@@ -1,0 +1,279 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Core relational operator coverage (SURVEY §2.2-§2.6) expressed as
+  * oracle-checkable queries over the driver's TPC-H-ish tables.
+  *
+  * Scale notes (100 TB design stance):
+  *  - every dimension-side join is explicitly `broadcast()` (tile-grid-style
+  *    dims in the reference are ≤19k rows — SURVEY J1/J2); fact-fact joins
+  *    rely on shuffle hash/sort-merge + AQE.
+  *  - all aggregates are algebraic (partial+final map-side combine) except
+  *    where the reference itself is holistic (median, §2.4 A4).
+  *  - filters/projections stay on base columns so parquet gets
+  *    PushedFilters + pruned ReadSchema.
+  *
+  * Double-typed outputs are rounded to 2dp on BOTH sides (data has 2dp, so
+  * true sums sit 0.005 away from any rounding boundary — engine-order float
+  * error ~1e-7 cannot flip the rounded value).
+  */
+object Relational {
+  import graft.Tables.{lineitem, orders, customer, supplier, nation, region}
+
+  /** Q1-style pricing summary: A2 groupBy + algebraic aggs (SURVEY A2/A3/F9,
+    * reference groupby at flyte/build.py:37-42). */
+  def q01PricingSummary(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    lineitem(s, d)
+      .filter($"l_shipdate" <= to_timestamp(lit("1998-09-02")))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        round(sum($"l_quantity"), 2).as("sum_qty"),
+        round(sum($"l_extendedprice"), 2).as("sum_base_price"),
+        round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("sum_disc_price"),
+        round(avg($"l_quantity"), 2).as("avg_qty"),
+        round(avg($"l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  val q01Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  round(sum(l_quantity), 2) AS sum_qty,
+      |  round(sum(l_extendedprice), 2) AS sum_base_price,
+      |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+      |  round(avg(l_quantity), 2) AS avg_qty,
+      |  round(avg(l_discount), 4) AS avg_disc,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Projection + filter pushdown (SURVEY P1/P2): predicate and column set
+    * must reach the parquet scan (PushedFilters / pruned ReadSchema). */
+  def q02FilterProject(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    lineitem(s, d)
+      .filter($"l_shipdate" >= to_timestamp(lit("1995-01-01")) &&
+              $"l_shipdate" <  to_timestamp(lit("1995-07-01")) &&
+              $"l_quantity" > 45.0)
+      .select($"l_orderkey", $"l_linenumber", $"l_quantity",
+              round($"l_extendedprice", 2).as("price"))
+      .orderBy($"l_orderkey", $"l_linenumber")
+  }
+
+  val q02Sql: String =
+    """SELECT l_orderkey, l_linenumber, l_quantity,
+      |  round(l_extendedprice, 2) AS price
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+      |  AND l_shipdate < TIMESTAMP '1995-07-01' AND l_quantity > 45.0
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** Broadcast dim join chain (SURVEY J2: key-lookup joins are always
+    * broadcast — dims here play the 19k-row tile grid's role). */
+  def q03BroadcastJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    orders(s, d)
+      .join(broadcast(customer(s, d)), $"o_custkey" === $"c_custkey")
+      .join(broadcast(nation(s, d)), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_name")
+      .agg(round(sum($"o_totalprice"), 2).as("revenue"),
+           count(lit(1)).as("n_orders"))
+      .orderBy($"n_name")
+  }
+
+  val q03Sql: String =
+    """SELECT n_name, round(sum(o_totalprice), 2) AS revenue,
+      |  count(*) AS n_orders
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  /** Existence anti-join — the reference's core incremental-compute pattern
+    * (SURVEY J3, scenes.py:115-138): rows whose counterpart does NOT exist. */
+  def q04AntiJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    customer(s, d)
+      .join(orders(s, d).filter($"o_totalprice" > 300000.0),
+            $"c_custkey" === $"o_custkey", "left_anti")
+      .select($"c_custkey", $"c_name")
+      .orderBy($"c_custkey")
+  }
+
+  val q04Sql: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |  WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Semi-join (SURVEY J1 shape: keep dims that intersect the fact set). */
+  def q05SemiJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    supplier(s, d)
+      .join(lineitem(s, d).filter($"l_shipdate" >= to_timestamp(lit("1998-01-01"))),
+            $"s_suppkey" === $"l_suppkey", "left_semi")
+      .select($"s_suppkey", $"s_name")
+      .orderBy($"s_suppkey")
+  }
+
+  val q05Sql: String =
+    """SELECT s_suppkey, s_name FROM supplier
+      |WHERE EXISTS (SELECT 1 FROM lineitem
+      |  WHERE l_suppkey = s_suppkey AND l_shipdate >= TIMESTAMP '1998-01-01')
+      |ORDER BY s_suppkey""".stripMargin
+
+  /** Cross join (SURVEY J4: tiles × snapped-times enumeration). */
+  def q06CrossJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    region(s, d).crossJoin(nation(s, d))
+      .select($"r_name", $"n_name")
+      .orderBy($"r_name", $"n_name")
+  }
+
+  val q06Sql: String =
+    "SELECT r_name, n_name FROM region CROSS JOIN nation ORDER BY r_name, n_name"
+
+  /** Interval/range-membership join (SURVEY J6): generated band dim,
+    * broadcast nested-loop on the range predicate — dim side is tiny by
+    * construction, matching the reference's period-window membership. */
+  def q07RangeJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val bands = s.range(0, 25).toDF("band")
+      .select($"band",
+        ($"band" * 3000.0).as("lo"),
+        (($"band" + 1) * 3000.0).as("hi"))
+    lineitem(s, d)
+      .join(broadcast(bands),
+            $"l_extendedprice" >= $"lo" && $"l_extendedprice" < $"hi")
+      .groupBy($"band")
+      .agg(count(lit(1)).as("n"), round(sum($"l_quantity"), 2).as("qty"))
+      .orderBy($"band")
+  }
+
+  val q07Sql: String =
+    """SELECT band, count(*) AS n, round(sum(l_quantity), 2) AS qty
+      |FROM (SELECT range AS band, range * 3000.0 AS lo,
+      |             (range + 1) * 3000.0 AS hi FROM range(0, 25)) b
+      |JOIN lineitem ON l_extendedprice >= lo AND l_extendedprice < hi
+      |GROUP BY band ORDER BY band""".stripMargin
+
+  /** Analytic window functions (row_number / lag / running sum — SURVEY F8's
+    * cumulative-offset idiom done relationally). */
+  def q08WindowFuncs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+    orders(s, d)
+      .select($"o_custkey", $"o_orderkey",
+        row_number().over(w).as("rn"),
+        round(coalesce(lag($"o_totalprice", 1).over(w), lit(0.0)), 2).as("prev_price"),
+        round(sum($"o_totalprice")
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2)
+          .as("running_total"))
+      .orderBy($"o_custkey", $"rn")
+  }
+
+  val q08Sql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  row_number() OVER w AS rn,
+      |  round(coalesce(lag(o_totalprice, 1) OVER w, 0.0), 2) AS prev_price,
+      |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+      |    ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, rn""".stripMargin
+
+  /** Distinct by key (SURVEY A5/A6: drop_duplicates / unique()). */
+  def q09Distinct(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    customer(s, d)
+      .select($"c_mktsegment", $"c_nationkey".cast("bigint").as("c_nationkey"))
+      .distinct()
+      .orderBy($"c_mktsegment", $"c_nationkey")
+  }
+
+  val q09Sql: String =
+    """SELECT DISTINCT c_mktsegment, CAST(c_nationkey AS BIGINT) AS c_nationkey
+      |FROM customer ORDER BY c_mktsegment, c_nationkey""".stripMargin
+
+  /** Union-all + aggregate (SURVEY O3: pd.concat idiom). */
+  def q10Union(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val c = customer(s, d).select($"c_nationkey".cast("bigint").as("nkey"))
+    val p = supplier(s, d).select($"s_nationkey".cast("bigint").as("nkey"))
+    c.unionByName(p).groupBy($"nkey").agg(count(lit(1)).as("n")).orderBy($"nkey")
+  }
+
+  val q10Sql: String =
+    """SELECT nkey, count(*) AS n FROM (
+      |  SELECT CAST(c_nationkey AS BIGINT) AS nkey FROM customer
+      |  UNION ALL SELECT CAST(s_nationkey AS BIGINT) FROM supplier) u
+      |GROUP BY nkey ORDER BY nkey""".stripMargin
+
+  /** Top-k with deterministic tie-break (SURVEY §2.6; TakeOrderedAndProject
+    * physical op — no full sort at scale). */
+  def q11TopK(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    orders(s, d)
+      .select($"o_orderkey", round($"o_totalprice", 2).as("price"))
+      .orderBy($"price".desc, $"o_orderkey")
+      .limit(10)
+  }
+
+  val q11Sql: String =
+    """SELECT o_orderkey, round(o_totalprice, 2) AS price FROM orders
+      |ORDER BY price DESC, o_orderkey LIMIT 10""".stripMargin
+
+  /** First/min/max-of-group (SURVEY O5: unique()[0] + assert-single). */
+  def q12FirstOfGroup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    orders(s, d)
+      .groupBy($"o_custkey")
+      .agg(min($"o_orderdate").cast("date").as("first_order"),
+           max($"o_orderdate").cast("date").as("last_order"),
+           count(lit(1)).as("n_orders"))
+      .orderBy($"o_custkey")
+  }
+
+  val q12Sql: String =
+    """SELECT o_custkey, CAST(min(o_orderdate) AS DATE) AS first_order,
+      |  CAST(max(o_orderdate) AS DATE) AS last_order, count(*) AS n_orders
+      |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> (q01PricingSummary _),
+    "q02_filter_project"  -> (q02FilterProject _),
+    "q03_broadcast_join"  -> (q03BroadcastJoin _),
+    "q04_anti_join"       -> (q04AntiJoin _),
+    "q05_semi_join"       -> (q05SemiJoin _),
+    "q06_cross_join"      -> (q06CrossJoin _),
+    "q07_range_join"      -> (q07RangeJoin _),
+    "q08_window_funcs"    -> (q08WindowFuncs _),
+    "q09_distinct"        -> (q09Distinct _),
+    "q10_union_agg"       -> (q10Union _),
+    "q11_topk"            -> (q11TopK _),
+    "q12_first_of_group"  -> (q12FirstOfGroup _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q01_pricing_summary" -> q01Sql,
+    "q02_filter_project"  -> q02Sql,
+    "q03_broadcast_join"  -> q03Sql,
+    "q04_anti_join"       -> q04Sql,
+    "q05_semi_join"       -> q05Sql,
+    "q06_cross_join"      -> q06Sql,
+    "q07_range_join"      -> q07Sql,
+    "q08_window_funcs"    -> q08Sql,
+    "q09_distinct"        -> q09Sql,
+    "q10_union_agg"       -> q10Sql,
+    "q11_topk"            -> q11Sql,
+    "q12_first_of_group"  -> q12Sql,
+  )
+}

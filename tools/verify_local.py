@@ -1,0 +1,78 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate.
+
+Usage: python3 tools/verify_local.py <outDir> [sfDir]
+
+Expects `sbt "runMain graft.Verify <sfDir> <outDir>"` to have run already
+(or run it yourself). Loads each <outDir>/<name> parquet result, runs the
+matching oracle SQL from oracle_sql.json in DuckDB with views over the
+sfDir parquet tables, sorts columns by name + rows by all columns, and
+compares values.
+"""
+import json, sys, glob, os
+import duckdb
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+def norm(df):
+    df = df[sorted(df.columns)]
+    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    return df
+
+def main():
+    out = sys.argv[1]
+    sf = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracles = json.load(open(f"{out}/oracle_sql.json"))
+    names = sorted(os.path.basename(p) for p in glob.glob(f"{out}/*") if os.path.isdir(p))
+    n_pass = n_fail = n_weak = 0
+    for name in names:
+        files = glob.glob(f"{out}/{name}/*.parquet")
+        if not files:
+            print(f"FAIL  {name}: no parquet output"); n_fail += 1; continue
+        got = con.execute(f"SELECT * FROM read_parquet({files!r})").df()
+        if name not in oracles:
+            status = "WEAK " if len(got) > 0 else "FAIL "
+            print(f"{status} {name}: rows={len(got)} (no oracle)")
+            n_weak += len(got) > 0; n_fail += len(got) == 0
+            continue
+        try:
+            exp = con.execute(oracles[name]).df()
+        except Exception as e:
+            print(f"FAIL  {name}: oracle SQL error: {e}"); n_fail += 1; continue
+        g, e = norm(got), norm(exp)
+        if list(g.columns) != list(e.columns):
+            print(f"FAIL  {name}: columns {list(g.columns)} != {list(e.columns)}"); n_fail += 1; continue
+        if len(g) != len(e):
+            print(f"FAIL  {name}: rows {len(g)} != {len(e)}"); n_fail += 1; continue
+        # compare cell-by-cell with dtype coercion via string round-trip for
+        # timestamps, exact for the rest
+        import pandas as pd
+        ok = True
+        for c in g.columns:
+            a, b = g[c], e[c]
+            try:
+                if str(a.dtype).startswith("datetime") or str(b.dtype).startswith("datetime"):
+                    a = pd.to_datetime(a).astype("datetime64[us]")
+                    b = pd.to_datetime(b).astype("datetime64[us]")
+                eq = (a.isna() & b.isna()) | (a == b)
+                if not eq.all():
+                    bad = (~eq).idxmax()
+                    print(f"FAIL  {name}: col {c} row {bad}: {a[bad]!r} != {b[bad]!r}")
+                    ok = False; break
+            except Exception as ex:
+                print(f"FAIL  {name}: col {c} compare error {ex} (dtypes {a.dtype} vs {b.dtype})")
+                ok = False; break
+        if ok:
+            print(f"PASS  {name}: rows={len(g)}"); n_pass += 1
+        else:
+            n_fail += 1
+    print(f"\n{n_pass} pass, {n_weak} weak (rows-only), {n_fail} fail")
+    sys.exit(1 if n_fail else 0)
+
+if __name__ == "__main__":
+    main()
