@@ -1,0 +1,109 @@
+package graft.cube
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.{GridDef, Region}
+import graft.agg.TemporalReduce.{VectorMeanAggregator, VectorMedianAggregator}
+
+/** One chunk of the dense [time, band, y, x] cube in long format
+  * (SURVEY §1.3): `data` is the row-major flattened chunkY×chunkX payload,
+  * NaN = nodata/masked. The cube IS a DataFrame — concat/slice/reduce are
+  * relational ops on the chunk keys, so Catalyst partition-prunes region
+  * slices and the shuffle key for temporal reduction is (band, cy, cx),
+  * which at scale is exactly the write-layout key (no second shuffle before
+  * the sink).
+  */
+final case class ChunkRow(time: Int, band: Int, cy: Int, cx: Int, data: Array[Float])
+
+object ChunkTable {
+
+  /** O4: concat along time — pure union with shifted keys
+    * (xr.concat(dim="time"), mosaics.py:214-226). */
+  def concatTime(a: Dataset[ChunkRow], b: Dataset[ChunkRow], nTimeA: Int): Dataset[ChunkRow] = {
+    import a.sparkSession.implicits._
+    a.union(b.map(r => r.copy(time = r.time + nTimeA)))
+  }
+
+  /** O4: concat along band (mosaics.py:227-229). */
+  def concatBand(a: Dataset[ChunkRow], b: Dataset[ChunkRow], nBandA: Int): Dataset[ChunkRow] = {
+    import a.sparkSession.implicits._
+    a.union(b.map(r => r.copy(band = r.band + nBandA)))
+  }
+
+  /** P7: region slice as chunk-key range predicates — partition pruning, the
+    * relational form of ds.isel(region) (flyte/build.py:170-173). Regions
+    * from RegionPlanner are chunk-aligned by construction. */
+  def slice(ds: Dataset[ChunkRow], r: Region, grid: GridDef): Dataset[ChunkRow] =
+    ds.filter(c =>
+      c.time >= r.time0 && c.time < r.time1 &&
+      c.band >= r.band0 && c.band < r.band1 &&
+      c.cy * grid.chunkY >= r.y0 && c.cy * grid.chunkY < r.y1 &&
+      c.cx * grid.chunkX >= r.x0 && c.cx * grid.chunkX < r.x1)
+
+  /** A7: spatial coarsen (downsample by factor f with mean, NaN-skipping) —
+    * chunk-local map, no shuffle (coarsen().mean(), flyte/utils.py:100-112). */
+  def coarsen(ds: Dataset[ChunkRow], grid: GridDef, f: Int): Dataset[ChunkRow] = {
+    require(grid.chunkY % f == 0 && grid.chunkX % f == 0,
+      s"factor $f must divide chunk ${grid.chunkY}x${grid.chunkX}")
+    import ds.sparkSession.implicits._
+    val (h, w) = (grid.chunkY, grid.chunkX)
+    ds.map { r =>
+      val oh = h / f; val ow = w / f
+      val out = new Array[Float](oh * ow)
+      var oy = 0
+      while (oy < oh) {
+        var ox = 0
+        while (ox < ow) {
+          var sum = 0.0; var n = 0
+          var dy = 0
+          while (dy < f) {
+            var dx = 0
+            while (dx < f) {
+              val v = r.data((oy * f + dy) * w + (ox * f + dx))
+              if (!v.isNaN) { sum += v; n += 1 }
+              dx += 1
+            }
+            dy += 1
+          }
+          out(oy * ow + ox) = if (n == 0) Float.NaN else (sum / n).toFloat
+          ox += 1
+        }
+        oy += 1
+      }
+      r.copy(data = out)
+    }
+  }
+
+  /** P4 + A3/A4 + U1: per-dataset temporal reduction over the cube.
+    * Masks value chunks with the co-located QA chunk (`qa == 1` keeps the
+    * pixel — glad.py:260-261), drops the QA band (P5), then reduces each
+    * (band, cy, cx) cell block across time with the dataset's reducer.
+    *
+    * Plan shape at scale: the QA side is joined on (time, cy, cx) — an
+    * equi-join co-partitioned with the value side — then ONE shuffle on
+    * (band, cy, cx) for the aggregation. The mask itself is a codegen'd
+    * zip_with; only the final reduce is typed. */
+  def temporalReduce(ds: Dataset[ChunkRow], grid: GridDef, qaBand: Int,
+                     reduction: String): Dataset[ChunkRow] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    val qa = ds.filter($"band" === qaBand)
+      .select($"time", $"cy", $"cx", $"data".as("qa"))
+    val masked = ds.filter($"band" =!= qaBand)
+      .join(qa, Seq("time", "cy", "cx"))
+      .select($"time", $"band", $"cy", $"cx",
+        zip_with($"data", $"qa",
+          (v, q) => when(q === 1.0f, v).otherwise(lit(Float.NaN))).as("data"))
+      .as[ChunkRow]
+    val n = grid.chunkY * grid.chunkX
+    val agg = reduction match {
+      case "mean"   => new VectorMeanAggregator(n).toColumn
+      case "median" => new VectorMedianAggregator(n).toColumn
+      case other    => throw new IllegalArgumentException(s"unknown reduction $other")
+    }
+    masked.groupByKey(r => (r.band, r.cy, r.cx))
+      .mapValues(_.data)(graft.agg.ExprEnc.floatArray)
+      .agg(agg.name("data"))
+      .map { kv => ChunkRow(0, kv._1._1, kv._1._2, kv._1._3, kv._2) }
+  }
+}

@@ -34,19 +34,19 @@ object Relational {
         round(sum($"l_quantity"), 2).as("sum_qty"),
         round(sum($"l_extendedprice"), 2).as("sum_base_price"),
         round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("sum_disc_price"),
-        round(avg($"l_quantity"), 2).as("avg_qty"),
-        round(avg($"l_discount"), 4).as("avg_disc"),
+        QueryUtil.safeAvg($"l_quantity", 2).as("avg_qty"),
+        QueryUtil.safeAvg($"l_discount", 4).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy($"l_returnflag", $"l_linestatus")
   }
 
   val q01Sql: String =
-    """SELECT l_returnflag, l_linestatus,
+    s"""SELECT l_returnflag, l_linestatus,
       |  round(sum(l_quantity), 2) AS sum_qty,
       |  round(sum(l_extendedprice), 2) AS sum_base_price,
       |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
-      |  round(avg(l_quantity), 2) AS avg_qty,
-      |  round(avg(l_discount), 4) AS avg_disc,
+      |  ${QueryUtil.safeAvgSql("l_quantity", 2)} AS avg_qty,
+      |  ${QueryUtil.safeAvgSql("l_discount", 4)} AS avg_disc,
       |  count(*) AS count_order
       |FROM lineitem
       |WHERE l_shipdate <= TIMESTAMP '1998-09-02'

@@ -45,14 +45,15 @@ object Temporal {
     import s.implicits._
     lineitem(s, d)
       .groupBy(TemporalGrid.datetimeToPeriod($"l_shipdate").as("period"))
-      .agg(count(lit(1)).as("n"), round(avg($"l_extendedprice"), 2).as("avg_price"))
+      .agg(count(lit(1)).as("n"),
+           QueryUtil.safeAvg($"l_extendedprice", 2).as("avg_price"))
       .orderBy($"period")
   }
 
   val q14Sql: String =
-    """SELECT 392 + 23*(year(l_shipdate)-1997) + (dayofyear(l_shipdate)-1)//16 AS period,
-      |  count(*) AS n, round(avg(l_extendedprice), 2) AS avg_price
-      |FROM lineitem GROUP BY 1 ORDER BY period""".stripMargin
+    s"""SELECT 392 + 23*(year(l_shipdate)-1997) + (dayofyear(l_shipdate)-1)//16 AS period,
+       |  count(*) AS n, ${QueryUtil.safeAvgSql("l_extendedprice", 2)} AS avg_price
+       |FROM lineitem GROUP BY 1 ORDER BY period""".stripMargin
 
   /** W3 inverse: period → period-start date round-trip on the distinct
     * periods present in the data. */

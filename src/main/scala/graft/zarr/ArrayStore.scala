@@ -1,0 +1,119 @@
+package graft.zarr
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import org.apache.spark.sql.{Dataset, SparkSession}
+import graft.cube.ChunkRow
+import graft.model.GridDef
+
+/** Chunked-array store — the engine's Zarr-shaped sink/source
+  * (SURVEY §2.1 S4/S8/S9).
+  *
+  * Layout: `<root>/meta.json` (schema: dims, chunk grid, dtype, band
+  * labels) + `<root>/c/<t>.<b>.<cy>.<cx>` raw little-endian float32 chunk
+  * payloads — the same two-phase contract as the reference's Zarr path:
+  *
+  *  1. `init` = metadata-only store creation (`to_zarr(compute=False)`,
+  *     flyte/build.py:110): one driver-side write, no data;
+  *  2. `write` = massively parallel region writes (`to_zarr(region=…)`,
+  *     flyte/build.py:156-176): every executor writes only chunks it owns,
+  *     to a deterministic key, via temp-file + atomic rename — so task
+  *     retries AND speculative duplicates are idempotent (SURVEY §7 hard
+  *     part 4), with no commit coordination.
+  *
+  * Local-FS paths here; on a cluster the same layout goes through the
+  * Hadoop FS API (s3a/gs) — only `put`/`readFully` change.
+  */
+object ArrayStore {
+
+  final case class Meta(grid: GridDef, bands: Seq[String])
+
+  private def metaJson(m: Meta): String = {
+    val b = m.bands.map(x => "\"" + x + "\"").mkString("[", ",", "]")
+    val g = m.grid
+    s"""{"nTime":${g.nTime},"nBand":${g.nBand},"nY":${g.nY},"nX":${g.nX},
+       |"chunkY":${g.chunkY},"chunkX":${g.chunkX},"itemBytes":${g.itemBytes},
+       |"dtype":"float32","bands":$b}""".stripMargin.replace("\n", "")
+  }
+
+  private def parseMeta(s: String): Meta = {
+    def num(k: String): Int =
+      s.split("\"" + k + "\":")(1).takeWhile(c => c.isDigit || c == '-').toInt
+    val bands = s.split("\"bands\":\\[")(1).takeWhile(_ != ']')
+      .split(",").filter(_.nonEmpty).map(_.replaceAll("\"", "")).toSeq
+    Meta(GridDef(num("nTime"), num("nBand"), num("nY"), num("nX"),
+      num("chunkY"), num("chunkX"), num("itemBytes")), bands)
+  }
+
+  /** S8: metadata-only store init. */
+  def init(root: String, meta: Meta): Unit = {
+    val dir = Paths.get(root)
+    Files.createDirectories(dir.resolve("c"))
+    Files.writeString(dir.resolve("meta.json"), metaJson(meta))
+  }
+
+  def readMeta(root: String): Meta =
+    parseMeta(Files.readString(Paths.get(root, "meta.json")))
+
+  /** S9: idempotent parallel chunk writes. Deterministic output keys +
+    * write-temp-then-atomic-rename ⇒ safe under retry and speculation. */
+  def write(ds: Dataset[ChunkRow], root: String): Unit = {
+    ds.foreachPartition { (it: Iterator[ChunkRow]) =>
+      val cdir = Paths.get(root, "c")
+      it.foreach { r =>
+        val bytes = new Array[Byte](r.data.length * 4)
+        ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+          .asFloatBuffer().put(r.data)
+        val dst = cdir.resolve(s"${r.time}.${r.band}.${r.cy}.${r.cx}")
+        val tmp = cdir.resolve(s".${dst.getFileName}.${java.util.UUID.randomUUID}.tmp")
+        Files.write(tmp, bytes)
+        Files.move(tmp, dst, StandardCopyOption.ATOMIC_MOVE,
+          StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+  }
+
+  /** S4: re-open the store as a chunk table. Chunk keys come from file
+    * names (a manifest listing — no payload read needed to plan), payloads
+    * stream through the executors. */
+  def read(spark: SparkSession, root: String): Dataset[ChunkRow] = {
+    import spark.implicits._
+    val files = spark.read.format("binaryFile")
+      .load(Paths.get(root, "c").toString + "/*")
+      .select("path", "content")
+    files.map { row =>
+      val name = row.getString(0).split('/').last
+      val Array(t, b, cy, cx) = name.split('.').map(_.toInt)
+      val bytes = row.getAs[Array[Byte]](1)
+      val floats = new Array[Float](bytes.length / 4)
+      ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+        .asFloatBuffer().get(floats)
+      ChunkRow(t, b, cy, cx, floats)
+    }
+  }
+
+  /** Chunk-level existence listing for incremental writes (J3 over the
+    * store: list once, anti-join, write only missing). */
+  def existingKeys(spark: SparkSession, root: String): Dataset[(Int, Int, Int, Int)] = {
+    import spark.implicits._
+    val dir = Paths.get(root, "c")
+    val names =
+      if (Files.isDirectory(dir)) {
+        val s = Files.list(dir)
+        try s.iterator().asInstanceOf[java.util.Iterator[Path]]
+          .asScala().map(_.getFileName.toString).filterNot(_.startsWith(".")).toSeq
+        finally s.close()
+      } else Seq.empty
+    names.map { n =>
+      val Array(t, b, cy, cx) = n.split('.').map(_.toInt)
+      (t, b, cy, cx)
+    }.toDS()
+  }
+
+  private implicit class IterOps[A](it: java.util.Iterator[A]) {
+    def asScala(): Iterator[A] = new Iterator[A] {
+      def hasNext = it.hasNext
+      def next() = it.next()
+    }
+  }
+}
