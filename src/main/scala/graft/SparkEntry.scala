@@ -17,12 +17,20 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++
     graft.queries.Temporal.queries ++
-    graft.queries.Aggregates.queries
+    graft.queries.Aggregates.queries ++
+    graft.queries.TextQueries.queries ++
+    graft.queries.DedupQueries.queries ++
+    graft.queries.SimilarityQueries.queries ++
+    graft.queries.PipelineQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracles ++
     graft.queries.Temporal.oracles ++
-    graft.queries.Aggregates.oracles
+    graft.queries.Aggregates.oracles ++
+    graft.queries.TextQueries.oracles ++
+    graft.queries.DedupQueries.oracles ++
+    graft.queries.SimilarityQueries.oracles ++
+    graft.queries.PipelineQueries.oracles
 }

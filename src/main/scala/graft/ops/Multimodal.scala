@@ -1,0 +1,64 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing (BASELINE north star): media as opaque
+  * `BINARY` payloads + typed metadata, with decode/feature-extraction as
+  * per-partition batch functions.
+  *
+  * The decode step is a clearly-marked deterministic STUB (no image/audio
+  * codecs in this container); everything around it — binary schema, batch
+  * iteration shape, partition sizing, output schema — is the real Spark
+  * plumbing a production decoder (JNI/FFI codec per partition) would use.
+  * A real deployment swaps `decodeStub` only.
+  */
+object Multimodal {
+
+  final case class MediaFeature(
+      doc_id: Long, n_bytes: Long, mean_byte: Double, feature: Array[Float])
+
+  /** STUB decoder: byte stats + a fake fixed-width "feature vector" from
+    * byte-range means. Deterministic in the payload. */
+  def decodeStub(payload: Array[Byte]): (Double, Array[Float]) = {
+    val n = payload.length
+    var sum = 0L
+    var i = 0
+    while (i < n) { sum += payload(i) & 0xff; i += 1 }
+    val mean = if (n == 0) 0.0 else sum.toDouble / n
+    val dim = 4
+    val feat = new Array[Float](dim)
+    var d2 = 0
+    while (d2 < dim) {
+      val lo = d2 * n / dim; val hi = math.max(lo + 1, (d2 + 1) * n / dim)
+      var s = 0L; var j = lo
+      while (j < hi) { s += payload(j) & 0xff; j += 1 }
+      feat(d2) = (s.toDouble / (hi - lo)).toFloat
+      d2 += 1
+    }
+    (mean, feat)
+  }
+
+  /** Attach a binary payload column (here: utf-8 of a text column — the
+    * stand-in for image/audio bytes read from object storage). */
+  def withPayload(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("payload", encode(col(textCol), "utf-8"))
+
+  /** Batch feature extraction over binary payloads: mapPartitions so a real
+    * decoder initializes once per partition (codec context, GPU handle …)
+    * and streams the batch — the Scala-side shape of a pandas-UDF batch. */
+  def extractFeatures(df: DataFrame, id: String): Dataset[MediaFeature] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val idIdx = df.schema.fieldIndex(id)
+    val payloadIdx = df.schema.fieldIndex("payload")
+    df.mapPartitions { rows =>
+      // per-partition decoder init would go here (once, not per row)
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]](payloadIdx)
+        val (mean, feat) = decodeStub(payload)
+        MediaFeature(r.getLong(idIdx), payload.length.toLong, mean, feat)
+      }
+    }
+  }
+}

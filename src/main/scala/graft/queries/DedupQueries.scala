@@ -1,0 +1,97 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.documents
+import graft.ops.Dedup
+
+/** Dedup operator coverage (exact, n-gram Jaccard, MinHash-LSH, SimHash) —
+  * every variant oracle-checked: the LSH/banded paths are
+  * candidate-generation + exact verification, so their output equals the
+  * brute-force SQL oracle whenever recall at the threshold is ≈1 (argued
+  * per-operator below and property-tested in DedupSpec).
+  */
+object DedupQueries {
+
+  /** q26: exact dedup — canonical id per identical text. */
+  def q26Exact(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Dedup.exactCanonical(documents(s, d), "doc_id", "text")
+      .select($"content_hash", $"canonical_id", $"n_copies")
+      .orderBy($"canonical_id")
+  }
+
+  val q26Sql: String =
+    s"""SELECT ${DuckSql.polyHashSql("lower(text)")} AS content_hash,
+       |  min(doc_id) AS canonical_id, count(*) AS n_copies
+       |FROM documents GROUP BY text ORDER BY canonical_id""".stripMargin
+
+  private def jaccardOracle(threshold: Double): String =
+    s"""WITH toks AS (SELECT doc_id, ${DuckSql.tokensSql} AS ws FROM documents),
+       |sh AS (SELECT doc_id, ${DuckSql.shinglesSql("ws", 3)} AS shingles
+       |  FROM toks WHERE len(ws) >= 3),
+       |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+       |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+       |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+       |sizes AS (SELECT doc_id, len(shingles) AS n FROM sh)
+       |SELECT id_a, id_b,
+       |  ${DuckSql.roundpSql("inter * 1.0 / (sa.n + sb.n - inter)", 6)} AS jac
+       |FROM pairs
+       |JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+       |WHERE inter * 1.0 / (sa.n + sb.n - inter) >= $threshold
+       |ORDER BY id_a, id_b""".stripMargin
+
+  /** q27: exhaustive word-3-gram Jaccard near-dup pairs (inverted-index
+    * join), threshold 0.7. */
+  def q27NgramJaccard(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Dedup.jaccardPairs(documents(s, d), "doc_id", "text", 3, 0.7)
+      .orderBy($"id_a", $"id_b")
+  }
+
+  val q27Sql: String = jaccardOracle(0.7)
+
+  /** q28: MinHash-LSH dedup at J ≥ 0.8 (64 hashes, 2 rows × 32 bands →
+    * miss probability ≤ (1−0.64)³² ≈ 6e-15, so output = brute force). */
+  def q28MinhashLsh(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Dedup.minhashDedupPairs(documents(s, d), "doc_id", "text", 3, 0.8)
+      .orderBy($"id_a", $"id_b")
+  }
+
+  val q28Sql: String = jaccardOracle(0.8)
+
+  /** q29: SimHash near-dup — 48-bit fingerprints, 4×12-bit bands (pigeonhole
+    * ⇒ recall 1 for hamming ≤ 3), exact hamming verification. Oracle is the
+    * brute-force fingerprint XOR popcount. */
+  def q29Simhash(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Dedup.simhashPairs(documents(s, d), "doc_id", "text", 3, maxHamming = 3)
+      .orderBy($"id_a", $"id_b")
+  }
+
+  val q29Sql: String =
+    s"""WITH toks AS (SELECT doc_id, ${DuckSql.tokensSql} AS ws FROM documents),
+       |fp AS (SELECT doc_id,
+       |  ${DuckSql.simhash48Sql(DuckSql.shingleHashesSql("ws", 3))} AS simhash
+       |  FROM toks WHERE len(ws) >= 3)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+       |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+       |ORDER BY id_a, id_b""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q26_dedup_exact"    -> (q26Exact _),
+    "q27_ngram_jaccard"  -> (q27NgramJaccard _),
+    "q28_minhash_lsh"    -> (q28MinhashLsh _),
+    "q29_simhash"        -> (q29Simhash _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q26_dedup_exact"    -> q26Sql,
+    "q27_ngram_jaccard"  -> q27Sql,
+    "q28_minhash_lsh"    -> q28Sql,
+    "q29_simhash"        -> q29Sql,
+  )
+}
