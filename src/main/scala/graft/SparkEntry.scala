@@ -9,9 +9,24 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
+  /** Flagship: the full E2→E3→E1 mosaic pipeline (SURVEY §3) on a small
+    * envelope — ingest plan, incremental anti-join, masked temporal
+    * reduction, store init + idempotent parallel writes, region plan —
+    * then a pricing-summary query on sf0.001. Driver smoke-checks rows>0. */
+  def entry(spark: SparkSession): DataFrame = {
+    import graft.model.{AnnualMeanDataset, Envelope}
+    import graft.pipelines.MosaicPipeline
+    val store = java.nio.file.Files.createTempDirectory("graft-entry-store")
+    val cfg = MosaicPipeline.Config(
+      query = Envelope(-1.5, 40.2, 0.3, 41.8),
+      times = Seq(java.sql.Timestamp.valueOf("2021-06-15 00:00:00")),
+      dataset = AnnualMeanDataset,
+      storeRoot = store.toString,
+      chunkPx = 8)
+    val (cube, _, regions) = MosaicPipeline.run(spark, cfg)
+    require(cube.count() > 0 && regions.nonEmpty, "pipeline produced no chunks")
     graft.queries.Relational.q01PricingSummary(spark, "/root/testdata/sf0.001")
+  }
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

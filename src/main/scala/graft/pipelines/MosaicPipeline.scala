@@ -1,0 +1,167 @@
+package graft.pipelines
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.cube.{ChunkRow, ChunkTable}
+import graft.geo.Envelopes
+import graft.model._
+import graft.ops.Incremental
+import graft.plan.{RegionPlanner, ScenePlanner}
+import graft.zarr.ArrayStore
+
+/** End-to-end dataset-building pipeline — the engine's equivalent of the
+  * reference's three workflows (SURVEY §3):
+  *
+  *  E2 ingest_scenes:   required scenes (U4) → anti-join existing (J3) →
+  *                      idempotent scene materialization (S5/S6 stand-in)
+  *  E3 scene_features:  tile-date work units (F5) → anti-join (J3) →
+  *                      window stack + temporal reduce (U1/A3/A4)
+  *  E1 mosaic build:    store init (S8) → region plan (O8) → parallel
+  *                      idempotent region writes (S9)
+  *
+  * Where the reference shells out to GDAL per scene, this pipeline
+  * synthesizes deterministic scene chunks (the "download+COG" effect is a
+  * generator — the orchestration, memoization and write paths are real).
+  * One driver program, lazy end-to-end: Flyte task boundaries collapse into
+  * Spark stages (SURVEY §3 lifecycle note).
+  */
+object MosaicPipeline {
+
+  final case class Config(
+      query: Envelope,
+      times: Seq[Timestamp],
+      dataset: TemporalDatasetProtocol,
+      storeRoot: String,
+      chunkPx: Int = 16,          // px per tile side (test-scale; 2048/4004 in prod)
+      regionBudgetBytes: Long = 1L << 20)
+
+  /** Deterministic synthetic pixel: f(tile, period, band, cell). Plays the
+    * role of the downloaded scene's content; QA band (last band) cycles a
+    * mask pattern like the reference's QA==1 semantics. */
+  private[graft] def pixel(tileId: String, period: Long, band: Int, cell: Int, nBands: Int): Float = {
+    val h = (tileId.hashCode.toLong & 0xffffL) + period * 31 + band * 7 + cell
+    if (band == nBands - 1) (if (h % 3 == 0) 0f else 1f)
+    else (h % 1000).toFloat
+  }
+
+  /** E2: plan required scenes, skip existing, "ingest" the rest as chunk
+    * rows (one chunk per (tile, period, band)). Returns the scene cube
+    * table keyed by (tile_id, period, band). */
+  def ingestScenes(spark: SparkSession, cfg: Config, grid: DataFrame,
+                   existingUrls: DataFrame): DataFrame = {
+    import spark.implicits._
+    val required = ScenePlanner.requiredScenes(spark, grid, cfg.query, cfg.times, cfg.dataset)
+    val missing = Incremental.missing(required, existingUrls, "url")
+    val nBands = cfg.dataset.bands.length + 1 // + QA band
+    val px = cfg.chunkPx
+    missing
+      .select($"tile_id", $"url",
+        graft.time.TemporalGrid.datetimeToPeriod($"datetime").as("period"))
+      .crossJoin(broadcast(spark.range(0, nBands).toDF("band")))
+      .as[(String, String, Long, Long)]
+      .map { case (tile, _, period, band) =>
+        val data = Array.tabulate(px * px)(c => pixel(tile, period, band.toInt, c, nBands))
+        (tile, period, band.toInt, data)
+      }
+      .toDF("tile_id", "period", "band", "data")
+  }
+
+  /** E3: per (tile, snapped time), stack the trailing window of scenes and
+    * apply the dataset's temporal reduction — the masked mean/median over
+    * the time dimension (U1). Output: one feature chunk per
+    * (tile, time, band). */
+  def buildFeatures(spark: SparkSession, cfg: Config, grid: DataFrame,
+                    scenes: DataFrame): DataFrame = {
+    import spark.implicits._
+    val proto = cfg.dataset
+    val snapped = cfg.times.toDF("t")
+      .select(proto.snapToTemporalGrid($"t").as("time")).distinct()
+    val windows = snapped.select($"time",
+      explode(proto.windowPeriods($"time")).as("period"))
+    // join scenes into each window: shuffle key (period) then reduce per
+    // (tile, time, band) — the window length bounds the group size.
+    val qaBand = proto.bands.length // last = QA
+    val stacked = scenes.join(windows, Seq("period"))
+    val masked = stacked
+      .filter($"band" =!= qaBand)
+      .join(stacked.filter($"band" === qaBand)
+          .select($"tile_id", $"period", $"time", $"data".as("qa")),
+        Seq("tile_id", "period", "time"))
+      .select($"tile_id", $"time", $"band", $"period",
+        zip_with($"data", $"qa",
+          (v, q) => when(q === 1.0f, v).otherwise(lit(Float.NaN))).as("data"))
+    val n = cfg.chunkPx * cfg.chunkPx
+    val agg = proto.reduction match {
+      case "mean"   => new graft.agg.TemporalReduce.VectorMeanAggregator(n).toColumn
+      case "median" => new graft.agg.TemporalReduce.VectorMedianAggregator(n).toColumn
+    }
+    masked.as[(String, Timestamp, Int, Long, Array[Float])]
+      .groupByKey(r => (r._1, r._2, r._3))
+      .mapValues(_._5)(graft.agg.ExprEnc.floatArray)
+      .agg(agg.name("data"))
+      .map(kv => (kv._1._1, kv._1._2, kv._1._3, kv._2))
+      .toDF("tile_id", "time", "band", "data")
+  }
+
+  /** E1: assemble features into the chunked store — tiles become the chunk
+    * grid (tile (cy,cx) from its position in the covering grid), times
+    * become the time axis; init writes metadata only, then one idempotent
+    * parallel write pass, incremental via chunk-key anti-join. */
+  def buildMosaic(spark: SparkSession, cfg: Config, grid: DataFrame,
+                  features: DataFrame): (GridDef, Seq[Region]) = {
+    import spark.implicits._
+    val times = cfg.times.map(t =>
+      new Timestamp(java.time.LocalDateTime.of(
+        t.toLocalDateTime.getYear, 1, 1, 0, 0).atZone(java.time.ZoneOffset.UTC)
+        .toInstant.toEpochMilli))
+      .distinct.sorted
+    val timeIndex = times.zipWithIndex.toMap
+    val tiles = Envelopes.tilesIntersecting(grid, cfg.query)
+      .select($"tile_id", $"xmin", $"ymin").collect()
+    val lons = tiles.map(_.getDouble(1)).distinct.sorted
+    val lats = tiles.map(_.getDouble(2)).distinct.sorted
+    val lonIdx = lons.zipWithIndex.toMap
+    val latIdx = lats.zipWithIndex.toMap
+    val tileCell = tiles.map(r =>
+      r.getString(0) -> (latIdx(r.getDouble(2)), lonIdx(r.getDouble(1)))).toMap
+    val gridDef = GridDef(
+      nTime = times.length, nBand = cfg.dataset.bands.length,
+      nY = lats.length * cfg.chunkPx, nX = lons.length * cfg.chunkPx,
+      chunkY = cfg.chunkPx, chunkX = cfg.chunkPx, itemBytes = 4)
+
+    ArrayStore.init(cfg.storeRoot, ArrayStore.Meta(gridDef, cfg.dataset.bands))
+
+    val bTile = spark.sparkContext.broadcast(tileCell)
+    val bTime = spark.sparkContext.broadcast(timeIndex.map { case (k, v) => (k.getTime, v) })
+    val chunks: Dataset[ChunkRow] = features
+      .as[(String, Timestamp, Int, Array[Float])]
+      .map { case (tile, time, band, data) =>
+        val (cy, cx) = bTile.value(tile)
+        ChunkRow(bTime.value(time.getTime), band, cy, cx, data)
+      }
+    // incremental: skip chunks already in the store (deterministic keys)
+    val existing = ArrayStore.existingKeys(spark, cfg.storeRoot)
+      .toDF("time", "band", "cy", "cx")
+    val pending = chunks.toDF()
+      .join(existing, Seq("time", "band", "cy", "cx"), "left_anti")
+      .as[ChunkRow]
+    ArrayStore.write(pending, cfg.storeRoot)
+
+    val regions = RegionPlanner.planBandRange(
+      gridDef, cfg.regionBudgetBytes, 0, gridDef.nBand)
+    (gridDef, regions)
+  }
+
+  /** Full E1∘E2∘E3 run; returns the reopened store as a chunk table plus
+    * the planned regions (the unit of downstream parallel work). */
+  def run(spark: SparkSession, cfg: Config): (Dataset[ChunkRow], GridDef, Seq[Region]) = {
+    import spark.implicits._
+    val grid = Envelopes.tileGrid(spark, cfg.query)
+    val noExisting = Seq.empty[String].toDF("url")
+    val scenes = ingestScenes(spark, cfg, grid, noExisting)
+    val features = buildFeatures(spark, cfg, grid, scenes)
+    val (gridDef, regions) = buildMosaic(spark, cfg, grid, features)
+    (ArrayStore.read(spark, cfg.storeRoot), gridDef, regions)
+  }
+}

@@ -1,0 +1,68 @@
+package graft
+
+import java.sql.Timestamp
+import org.scalatest.funsuite.AnyFunSuite
+import graft.model.{AnnualMeanDataset, AnnualMedianDataset, Envelope}
+import graft.pipelines.MosaicPipeline
+import graft.time.TemporalGrid
+import graft.zarr.ArrayStore
+
+/** End-to-end golden test for the E2→E3→E1 pipeline (SURVEY §3):
+  * hand-computes the masked temporal reduction for a known cell from the
+  * deterministic scene generator and checks the value that landed in the
+  * store, plus idempotent re-run behavior. */
+class PipelineSpec extends AnyFunSuite with SparkSpecBase {
+
+  private val query = Envelope(-1.5, 40.2, 0.3, 41.8) // 3 lon x 2 lat tiles
+  private val t0 = Timestamp.valueOf("2021-06-15 00:00:00")
+
+  private def refPeriods: Seq[Long] = {
+    // snap(2021-06-15) = 2021-01-01; window 365d clamped [2020-01-01 ..]
+    // = periods 921..944 (validated in TemporalGridSpec)
+    (921L to 944L)
+  }
+
+  test("pipeline store value equals hand-computed masked mean") {
+    val store = java.nio.file.Files.createTempDirectory("graft-pipe").toString
+    val cfg = MosaicPipeline.Config(query, Seq(t0), AnnualMeanDataset, store, chunkPx = 4)
+    val (cube, grid, regions) = MosaicPipeline.run(spark, cfg)
+    assert(grid.nTime == 1 && grid.nBand == 7)
+    assert(grid.nY == 2 * 4 && grid.nX == 3 * 4)
+    val rows = cube.collect()
+    assert(rows.length == 7 * 2 * 3) // bands x tile grid, 1 time
+
+    // hand-compute cell 0 of band 0 for the tile at (cy, cx) = (0, 0):
+    // lats sorted -> 40 is index 0; lons -> -2 index 0; that tile's id:
+    val tileId = {
+      import graft.geo.Envelopes
+      import org.apache.spark.sql.functions.col
+      Envelopes.tilesIntersecting(Envelopes.tileGrid(spark, query), query)
+        .filter(col("xmin") === -2.0 && col("ymin") === 40.0)
+        .select("tile_id").collect().head.getString(0)
+    }
+    val nBands = 8
+    val kept = refPeriods.filter { p =>
+      MosaicPipeline.pixel(tileId, p, nBands - 1, 0, nBands) == 1f
+    }
+    val expected = kept.map(p => MosaicPipeline.pixel(tileId, p, 0, 0, nBands))
+      .map(_.toDouble).sum / kept.size
+    val got = rows.find(r => r.band == 0 && r.cy == 0 && r.cx == 0).get.data(0)
+    assert(math.abs(got - expected) < 1e-4, s"$got != $expected")
+
+    // regions exactly tile the store grid
+    assert(regions.map(_.cells).sum == grid.nTime.toLong * grid.nBand * grid.nY * grid.nX)
+
+    // idempotent re-run: second pass writes nothing new, store unchanged
+    val before = ArrayStore.existingKeys(spark, store).count()
+    MosaicPipeline.run(spark, cfg)
+    assert(ArrayStore.existingKeys(spark, store).count() == before)
+  }
+
+  test("median dataset runs the holistic reducer end-to-end") {
+    val store = java.nio.file.Files.createTempDirectory("graft-pipe-med").toString
+    val cfg = MosaicPipeline.Config(query, Seq(t0), AnnualMedianDataset, store, chunkPx = 4)
+    val (cube, _, _) = MosaicPipeline.run(spark, cfg)
+    val r = cube.filter(c => c.band == 1 && c.cy == 0 && c.cx == 1).collect().head
+    assert(r.data.length == 16 && !r.data(0).isNaN)
+  }
+}
