@@ -36,7 +36,8 @@ object SparkEntry {
     graft.queries.TextQueries.queries ++
     graft.queries.DedupQueries.queries ++
     graft.queries.SimilarityQueries.queries ++
-    graft.queries.PipelineQueries.queries
+    graft.queries.PipelineQueries.queries ++
+    graft.queries.AdvancedQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -47,5 +48,6 @@ object SparkEntry {
     graft.queries.TextQueries.oracles ++
     graft.queries.DedupQueries.oracles ++
     graft.queries.SimilarityQueries.oracles ++
-    graft.queries.PipelineQueries.oracles
+    graft.queries.PipelineQueries.oracles ++
+    graft.queries.AdvancedQueries.oracles
 }

@@ -23,7 +23,9 @@ object Tables {
     val df = load(s, d, "events")
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
-        df.withColumn("ts", timestamp_micros(floor(col("ts") / 1000L).cast("long")))
+        // integer div: epoch-nanos exceed double's 2^53 exact-integer range,
+        // so floor(ts/1000.0) would be off by ±1µs on some rows
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case _ => df
     }
   }

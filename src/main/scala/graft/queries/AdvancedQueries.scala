@@ -1,0 +1,130 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables.{documents, embeddings, events, lineitem}
+import graft.functions.DotProductF32
+import graft.functions.TextFunctions.{polyHash, roundp}
+import graft.ops.Sessionize
+
+/** Advanced operator coverage: native-codegen vector math, gap
+  * sessionization, size-based batching (O7), content-hash table
+  * fingerprints (F10/U6). */
+object AdvancedQueries {
+
+  /** q35: kNN through the native DotProductF32 Catalyst expression (fused
+    * codegen loop) — accumulation order matches the HOF/oracle form, so
+    * results stay hash-comparable while the hot loop is ~interpreter-free. */
+  def q35KnnNative(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = embeddings(s, d)
+    val q = emb.filter($"vec_id" >= 20 && $"vec_id" < 40)
+      .select($"vec_id".as("qid"), $"embedding".as("qv"))
+    val c = emb.select($"vec_id".as("cid"), $"embedding".as("cv"))
+    val scored = c.join(broadcast(q), $"qid" =!= $"cid")
+      .select($"qid", $"cid",
+        roundp(DotProductF32.cosine($"qv", $"cv"), 6).as("cos"))
+    val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"cid")
+    scored.withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter($"rank" <= 5)
+      .select($"qid", $"rank", $"cid", $"cos")
+      .orderBy($"qid", $"rank")
+  }
+
+  val q35Sql: String =
+    s"""WITH scored AS (
+       |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+       |    ${DuckSql.roundpSql(DuckSql.cosineSql("q.embedding", "c.embedding", 64), 6)}
+       |      AS cos
+       |  FROM embeddings q JOIN embeddings c
+       |    ON q.vec_id >= 20 AND q.vec_id < 40 AND c.vec_id <> q.vec_id)
+       |SELECT qid, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid)
+       |    AS rank, cid, cos
+       |FROM scored QUALIFY rank <= 5 ORDER BY qid, rank""".stripMargin
+
+  /** q36: gap-based sessionization (30-min inactivity). Timestamps cast to
+    * µs on both sides (events parquet is ns; Spark reads µs). */
+  def q36Sessionize(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Sessionize.relational(events(s, d), gapMinutes = 30)
+      .select($"user_id", $"session_id", $"n_events", $"start_ts", $"end_ts")
+      .orderBy($"user_id", $"session_id")
+  }
+
+  val q36Sql: String =
+    """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      |m AS (SELECT user_id, ts,
+      |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts FROM e),
+      |flags AS (SELECT user_id, ts,
+      |    CASE WHEN prev_ts IS NULL
+      |      OR epoch_us(ts) - epoch_us(prev_ts) > 30*60*1000000 THEN 1 ELSE 0 END
+      |      AS new_session FROM m),
+      |sess AS (SELECT user_id, ts,
+      |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM flags)
+      |SELECT user_id, session_id, count(*) AS n_events,
+      |  min(ts) AS start_ts, max(ts) AS end_ts
+      |FROM sess GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin
+
+  /** q37: size-based batching (O7, scenes.py:60-70): deterministic batch
+    * ids from a byte budget — here 4 KiB of text per batch in doc order. */
+  def q37SizeBatching(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.orderBy($"doc_id")
+    documents(s, d)
+      .select($"doc_id", length($"text").cast("bigint").as("n_bytes"))
+      .withColumn("cum_bytes",
+        sum($"n_bytes").over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("batch_id",
+        (coalesce($"cum_bytes", lit(0L)) / lit(4096L)).cast("bigint"))
+      .select($"doc_id", $"n_bytes", $"batch_id")
+      .orderBy($"doc_id")
+  }
+
+  val q37Sql: String =
+    """SELECT doc_id, len(text)::BIGINT AS n_bytes,
+      |  (coalesce(sum(len(text)::BIGINT) OVER (ORDER BY doc_id
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 4096)::BIGINT
+      |    AS batch_id
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** q38: order-independent content fingerprint of a projected table
+    * (F10/U6 — the reference's dataframe-hash cache key): sum of per-row
+    * rolling hashes mod 2³². */
+  def q38TableHash(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    lineitem(s, d)
+      .select(polyHash(concat_ws("|",
+        $"l_orderkey", $"l_linenumber",
+        // double→string rendering differs across engines; hash exact cents
+        round($"l_quantity" * 100).cast("bigint"), $"l_returnflag"))
+        .as("row_hash"))
+      .agg((sum($"row_hash") % 4294967296L).as("table_hash"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  val q38Sql: String = {
+    val row = DuckSql.polyHashSql(
+      "concat_ws('|', l_orderkey, l_linenumber, " +
+        "CAST(round(l_quantity * 100) AS BIGINT), l_returnflag)")
+    s"""SELECT sum(row_hash) % 4294967296 AS table_hash, count(*) AS n_rows
+       |FROM (SELECT $row AS row_hash FROM lineitem)""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q35_knn_native"    -> (q35KnnNative _),
+    "q36_sessionize"    -> (q36Sessionize _),
+    "q37_size_batching" -> (q37SizeBatching _),
+    "q38_table_hash"    -> (q38TableHash _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q35_knn_native"    -> q35Sql,
+    "q36_sessionize"    -> q36Sql,
+    "q37_size_batching" -> q37Sql,
+    "q38_table_hash"    -> q38Sql,
+  )
+}

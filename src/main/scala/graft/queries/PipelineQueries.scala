@@ -53,7 +53,7 @@ object PipelineQueries {
     val stream = s.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet") // stream source needs a dir
       .parquet(d)
-      .withColumn("ts_conv", timestamp_micros(floor(col("ts") / 1000L).cast("long")))
+      .withColumn("ts_conv", timestamp_micros(expr("ts div 1000")))
       .withWatermark("ts_conv", "0 seconds")
       .groupBy(window($"ts_conv", "5 minutes").as("w"), $"event_type")
       .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("sum_v"))

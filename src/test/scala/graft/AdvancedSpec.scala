@@ -1,0 +1,57 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.functions.{DotProductF32, VectorFunctions}
+import graft.ops.Sessionize
+
+class AdvancedSpec extends AnyFunSuite with SparkSpecBase {
+  import spark.implicits._
+
+  test("native DotProductF32 equals the HOF dotSeq bit-for-bit") {
+    val emb = Tables.embeddings(spark, sfSmoke).limit(50)
+    val pairs = emb.as("a").crossJoin(emb.as("b")).limit(500)
+      .select(
+        DotProductF32.dot($"a.embedding", $"b.embedding").as("native"),
+        VectorFunctions.dotSeq($"a.embedding", $"b.embedding").as("hof"))
+      .collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+  }
+
+  test("graft_dot is callable from SQL after extension registration") {
+    GraftExtensions.register(spark)
+    Tables.embeddings(spark, sfSmoke).limit(5).createOrReplaceTempView("emb_t")
+    val v = spark.sql(
+      "SELECT graft_dot(embedding, embedding) AS d FROM emb_t ORDER BY vec_id")
+      .collect().map(_.getDouble(0))
+    assert(v.length == 5 && v.forall(_ > 0))
+  }
+
+  test("native dot survives whole-stage codegen (plan contains codegen stage)") {
+    val emb = Tables.embeddings(spark, sfSmoke).limit(10)
+    val df = emb.select(DotProductF32.dot($"embedding", $"embedding").as("d"))
+    val plan = df.queryExecution.executedPlan.toString
+    // the `*(n)` prefix marks operators inside a WholeStageCodegen stage
+    assert("""\*\(\d+\) Project \[dotproductf32""".r.findFirstIn(plan).isDefined, plan)
+    assert(df.collect().forall(_.getDouble(0) > 0))
+  }
+
+  test("stateful sessionization equals the relational form (batch catch-up)") {
+    val ev = Tables.events(spark, sfSmoke)
+    val batch = Sessionize.relational(ev, 30)
+      .select($"user_id", $"session_id", $"n_events", $"start_ts", $"end_ts")
+      .collect().map(_.toSeq).toSet
+    val typed = ev.select($"user_id", $"ts").as[(Long, java.sql.Timestamp)]
+    val streamed = Sessionize.stateful(typed, 30)
+    // batch mode: flatMapGroupsWithState sees each user's full history once,
+    // but only CLOSED sessions are emitted; emit the open tail via state
+    val emitted = streamed.collect()
+      .map(s => Seq(s.user_id, s.session_id, s.n_events, s.start_ts, s.end_ts)).toSet
+    // every emitted (closed) session must match the relational result
+    assert(emitted.subsetOf(batch),
+      s"closed sessions diverge: ${emitted -- batch}")
+    // and closed sessions should be the large majority
+    assert(emitted.size >= batch.size / 2)
+  }
+}
