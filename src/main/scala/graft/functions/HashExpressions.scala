@@ -1,0 +1,146 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types._
+
+/** Native hash-signature expressions.
+  *
+  * The HOF (`aggregate`/`zip_with`) formulations of MinHash/SimHash are
+  * semantically identical but evaluate one interpreted lambda dispatch per
+  * (element × permutation/bit) — ~3k dispatches per document, which
+  * measured ~0.4 s/doc. These expressions run the same arithmetic as a
+  * fused JVM loop (~µs/doc). CodegenFallback: one virtual call per row,
+  * loop body is plain JVM — the win over HOFs is already 5 orders of
+  * magnitude, and the arithmetic stays bit-identical to the DuckDB oracle
+  * twins in DuckSql.
+  */
+private[graft] trait ExpectsLongArray extends UnaryExpression {
+  def fname: String
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$fname expects ARRAY<BIGINT>, got ${other.sql}")
+  }
+}
+
+/** MinHash signature: out[j] = min over h of ((2j+1)·h + j² + 7) mod P,
+  * P = 4294967291. Empty input → empty array. */
+case class MinHashSig(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsLongArray with CodegenFallback {
+  val fname = "graft_minhash"
+  private val P = 4294967291L
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  // non-nullable (null input → empty signature): a nullable output makes
+  // joins on derived keys infer isnotnull(<this whole pipeline>) filters
+  // that re-evaluate the expression tree once more per row
+  override def nullable: Boolean = false
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) new GenericArrayData(Array.empty[Long]) else nullSafeEval(v)
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val hs = input.asInstanceOf[ArrayData]
+    val m = hs.numElements()
+    if (m == 0) return new GenericArrayData(Array.empty[Long])
+    val sig = Array.fill(n)(P)
+    var i = 0
+    while (i < m) {
+      val h = hs.getLong(i)
+      var j = 0
+      while (j < n) {
+        val v = ((2L * j + 1) * h + j.toLong * j + 7) % P
+        if (v < sig(j)) sig(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  override protected def withNewChildInternal(c: Expression): MinHashSig = copy(child = c)
+}
+
+/** 48-bit SimHash: bit i (contributing 2^(47−i)) set iff the ±1 vote over
+  * elements' bit i is positive. */
+case class SimHash48(child: Expression)
+    extends UnaryExpression with ExpectsLongArray with CodegenFallback {
+  val fname = "graft_simhash"
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false // null input → 0 (see MinHashSig)
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) 0L else nullSafeEval(v)
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val hs = input.asInstanceOf[ArrayData]
+    val m = hs.numElements()
+    val votes = new Array[Int](48)
+    var i = 0
+    while (i < m) {
+      val h = hs.getLong(i)
+      var b = 0
+      while (b < 48) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var fp = 0L
+    var b = 0
+    while (b < 48) { // b is the LSB-order bit index; MSB-first assembly
+      fp = fp * 2 + (if (votes(b) > 0) 1L else 0L)
+      b += 1
+    }
+    fp
+  }
+
+  override protected def withNewChildInternal(c: Expression): SimHash48 = copy(child = c)
+}
+
+/** 32-bit polynomial rolling hash over a string:
+  * fold(chars, 0, h·31 + codePoint) mod 2³² — char-identical to the HOF
+  * `aggregate(split(s,''), ...)` form and the DuckDB list_reduce twin
+  * (ascii() = first code point; iteration here is by code point). */
+case class PolyHash32(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_polyhash expects STRING, got ${other.sql}")
+  }
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) 0L else nullSafeEval(v)
+  }
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.toString
+    var acc = 0L
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val cp = s.codePointAt(i)
+      acc = (acc * 31 + cp) % 4294967296L
+      i += Character.charCount(cp)
+    }
+    acc
+  }
+  override protected def withNewChildInternal(c: Expression): PolyHash32 = copy(child = c)
+}
+
+object HashExpressions {
+  def minhashSig(hs: Column, n: Int): Column =
+    Bridge.column(MinHashSig(Bridge.expression(hs), n))
+  def simhash48(hs: Column): Column =
+    Bridge.column(SimHash48(Bridge.expression(hs)))
+  def polyHash32(s: Column): Column =
+    Bridge.column(PolyHash32(Bridge.expression(s)))
+}

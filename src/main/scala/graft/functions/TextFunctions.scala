@@ -32,11 +32,11 @@ object TextFunctions {
       .otherwise(array().cast("array<string>")) // sequence(1, n<1) would count DOWN
 
   /** 32-bit polynomial rolling hash: h = fold(chars, 0, h*31 + code) mod 2³².
-    * Identical in DuckDB: list_reduce(list_transform(split(s,''),
-    *   x -> ascii(x)::BIGINT), (a,b) -> (a*31+b) % 4294967296). */
-  def polyHash(s: Column): Column =
-    aggregate(split(s, ""), lit(0L),
-      (acc, ch) => (acc * 31 + ascii(ch)) % lit(4294967296L))
+    * Native expression (a char-level HOF fold costs one interpreted lambda
+    * dispatch per character). Identical in DuckDB:
+    * list_reduce(list_transform(split(s,''), x -> ascii(x)::BIGINT),
+    *   (a,b) -> (a*31+b) % 4294967296). */
+  def polyHash(s: Column): Column = HashExpressions.polyHash32(s)
 
   /** Distinct shingle hashes for a document — MinHash input. */
   def shingleHashes(text: Column, k: Int): Column =
@@ -44,28 +44,18 @@ object TextFunctions {
 
   private val MinhashPrime = 4294967291L // largest prime < 2^32
 
-  /** n-permutation MinHash signature over shingle hashes.
-    * Permutation j: h ↦ ((2j+1)·h + j² + 7) mod P. Null/empty-safe: empty
-    * docs get an empty signature. */
+  /** n-permutation MinHash signature over shingle hashes — native
+    * expression (HashExpressions.MinHashSig): the HOF formulation costs an
+    * interpreted lambda dispatch per (element × permutation). Permutation
+    * j: h ↦ ((2j+1)·h + j² + 7) mod P; empty docs → empty signature. */
   def minhashSignature(hs: Column, n: Int): Column =
-    when(size(hs) > 0,
-      transform(sequence(lit(0), lit(n - 1)),
-        j => array_min(transform(hs,
-          h => ((lit(2) * j + 1) * h + j * j + lit(7)) % lit(MinhashPrime)))))
-      .otherwise(array().cast("array<bigint>"))
+    HashExpressions.minhashSig(hs, n)
 
   /** 48-bit SimHash from shingle hashes (bit i set iff the +1/−1 vote over
-    * hashes' bit i is positive). 48 bits keeps the `Σ bit·2ⁱ` assembly well
-    * inside BIGINT on both engines. */
-  def simhash48(hs: Column): Column = {
-    val bits = array((0 until 48).map { i =>
-      when(
-        aggregate(hs, lit(0L),
-          (acc, h) => acc + when(shiftright(h, i) % 2 === 1, 1L).otherwise(-1L))
-          > 0, lit(1L)).otherwise(lit(0L))
-    }: _*)
-    aggregate(bits, lit(0L), (acc, b) => acc * 2 + b)
-  }
+    * hashes' bit i is positive; MSB-first assembly keeps the value in
+    * BIGINT on both engines). Native expression, same rationale. */
+  def simhash48(hs: Column): Column =
+    HashExpressions.simhash48(hs)
 
   /** Count of tokens from `words` present in ws. */
   def stopwordCount(ws: Column, words: Seq[String]): Column =

@@ -67,9 +67,12 @@ object Dedup {
   def minhashCandidates(df: DataFrame, id: String, text: String, k: Int,
                         nHashes: Int, rowsPerBand: Int): DataFrame = {
     val nBands = nHashes / rowsPerBand
-    val sig = df.select(col(id).as("doc_id"),
-        minhashSignature(shingleHashes(col(text), k), nHashes).as("sig"))
+    // self-joined below: persist so the signature pipeline runs once, not
+    // once per join side
+    val sig = stagedHashes(df, id, text, k)
+      .select(col("doc_id"), minhashSignature(col("hs"), nHashes).as("sig"))
       .filter(size(col("sig")) > 0)
+      .persist()
     val bands = sig.select(col("doc_id"),
       explode(array((0 until nBands).map(b =>
         struct(lit(b).as("band"),
@@ -90,7 +93,7 @@ object Dedup {
                         threshold: Double, nHashes: Int = 64,
                         rowsPerBand: Int = 2): DataFrame = {
     val cands = minhashCandidates(df, id, text, k, nHashes, rowsPerBand)
-    val sets = shingleSets(df, id, text, k)
+    val sets = shingleSets(df, id, text, k).persist() // joined on both pair sides
     val withSets = cands
       .join(sets.select(col("doc_id").as("id_a"), col("shingles").as("sa")), Seq("id_a"))
       .join(sets.select(col("doc_id").as("id_b"), col("shingles").as("sb")), Seq("id_b"))
@@ -101,9 +104,20 @@ object Dedup {
   }
 
   /** Per-doc 48-bit SimHash fingerprints. */
+  /** Tokenize → shingle → hash as STAGED projections over attributes.
+    * `shingles(tokens(text))` as one expression inlines the tokenizer into
+    * the per-shingle slice lambda (HOFs get no CSE) — O(shingles × split)
+    * re-tokenization per row. Each stage's input here is a multi-reference
+    * attribute, which CollapseProject refuses to inline. */
+  private def stagedHashes(df: DataFrame, id: String, text: String, k: Int): DataFrame =
+    df.select(col(id).as("doc_id"), tokens(col(text)).as("ws"))
+      .select(col("doc_id"), shingles(col("ws"), k).as("sh"))
+      .select(col("doc_id"),
+        array_distinct(transform(col("sh"), s => polyHash(s))).as("hs"))
+
   def simhashFingerprints(df: DataFrame, id: String, text: String, k: Int): DataFrame =
-    df.select(col(id).as("doc_id"),
-        simhash48(shingleHashes(col(text), k)).as("simhash"))
+    stagedHashes(df, id, text, k)
+      .select(col("doc_id"), simhash48(col("hs")).as("simhash"))
 
   /** SimHash near-dup pairs: 4×12-bit band candidates (hamming ≤ maxHamming
     * guarantees ≥1 identical band when maxHamming < 4 by pigeonhole over 48
@@ -111,7 +125,7 @@ object Dedup {
   def simhashPairs(df: DataFrame, id: String, text: String, k: Int,
                    maxHamming: Int): DataFrame = {
     require(maxHamming < 4, "4-band pigeonhole only covers hamming <= 3")
-    val fp = simhashFingerprints(df, id, text, k)
+    val fp = simhashFingerprints(df, id, text, k).persist() // self-joined
     val bands = fp.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),

@@ -22,11 +22,14 @@ object Similarity {
     * top-k per query is a bounded window. */
   def knnBrute(emb: DataFrame, id: String, vec: String,
                queryPred: org.apache.spark.sql.Column, k: Int): DataFrame = {
+    // norms are precomputed per row (not per pair): cos = dot/(nq*nc) is the
+    // same doubles as dot/(sqrt(dot qq)*sqrt(dot cc)), 3x fewer dot products
     val q = emb.filter(queryPred)
-      .select(col(id).as("qid"), col(vec).as("qv"))
-    val c = emb.select(col(id).as("cid"), col(vec).as("cv"))
+      .select(col(id).as("qid"), col(vec).as("qv"), norm(col(vec)).as("qn"))
+    val c = emb.select(col(id).as("cid"), col(vec).as("cv"), norm(col(vec)).as("cn"))
     val scored = c.join(broadcast(q), col("qid") =!= col("cid"))
-      .select(col("qid"), col("cid"), roundp(cosine(col("qv"), col("cv")), 6).as("cos"))
+      .select(col("qid"), col("cid"),
+        roundp(dotSeq(col("qv"), col("cv")) / (col("qn") * col("cn")), 6).as("cos"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -87,11 +90,12 @@ object Similarity {
     * the LSH-candidates + verify variant composes from knnLsh's bucketing
     * exactly like Dedup.minhashDedupPairs. */
   def nearDupPairs(emb: DataFrame, id: String, vec: String, threshold: Double): DataFrame = {
-    val a = emb.select(col(id).as("id_a"), col(vec).as("va"))
-    val b = emb.select(col(id).as("id_b"), col(vec).as("vb"))
+    val a = emb.select(col(id).as("id_a"), col(vec).as("va"), norm(col(vec)).as("na"))
+    val b = emb.select(col(id).as("id_b"), col(vec).as("vb"), norm(col(vec)).as("nb"))
     a.join(b, col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        roundp(cosine(col("va"), col("vb")), 6).as("cos"))
+        roundp(graft.functions.DotProductF32.dot(col("va"), col("vb")) /
+          (col("na") * col("nb")), 6).as("cos"))
       .filter(col("cos") >= threshold)
   }
 }

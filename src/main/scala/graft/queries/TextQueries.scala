@@ -110,9 +110,12 @@ object TextQueries {
     * hash (the winnowing primitive). */
   def q25Fingerprint(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    documents(s, d).select($"doc_id",
-        polyHash(lower($"text")).as("content_hash"),
-        array_min(shingleHashes($"text", 3)).as("min_shingle_hash"))
+    documents(s, d)
+      .select($"doc_id", polyHash(lower($"text")).as("content_hash"),
+        tokens($"text").as("ws"))
+      .select($"doc_id", $"content_hash", shingles($"ws", 3).as("sh"))
+      .select($"doc_id", $"content_hash",
+        array_min(transform($"sh", s => polyHash(s))).as("min_shingle_hash"))
       .orderBy($"doc_id")
   }
 
