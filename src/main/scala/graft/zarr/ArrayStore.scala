@@ -73,23 +73,13 @@ object ArrayStore {
     }
   }
 
-  /** S4: re-open the store as a chunk table. Chunk keys come from file
-    * names (a manifest listing — no payload read needed to plan), payloads
-    * stream through the executors. */
+  /** S4: re-open the store as a chunk table via the DataSourceV2 source —
+    * chunk keys live in file names, so key predicates push down and prune
+    * the file list at plan time (see ChunkStoreSource); payloads stream
+    * through the executors. */
   def read(spark: SparkSession, root: String): Dataset[ChunkRow] = {
     import spark.implicits._
-    val files = spark.read.format("binaryFile")
-      .load(Paths.get(root, "c").toString + "/*")
-      .select("path", "content")
-    files.map { row =>
-      val name = row.getString(0).split('/').last
-      val Array(t, b, cy, cx) = name.split('.').map(_.toInt)
-      val bytes = row.getAs[Array[Byte]](1)
-      val floats = new Array[Float](bytes.length / 4)
-      ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
-        .asFloatBuffer().get(floats)
-      ChunkRow(t, b, cy, cx, floats)
-    }
+    spark.read.format("graft.zarr.ChunkStoreSource").load(root).as[ChunkRow]
   }
 
   /** Chunk-level existence listing for incremental writes (J3 over the
