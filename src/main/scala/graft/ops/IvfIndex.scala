@@ -1,0 +1,82 @@
+package graft.ops
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.linalg.Vectors
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.DotProductF32
+import graft.functions.TextFunctions.roundp
+
+/** IVF (inverted-file) approximate nearest neighbor — the k-means-cell
+  * scale path for similarity search (BASELINE north star: "an IVF or LSH
+  * bucketed variant").
+  *
+  * Index = KMeans centroids (deterministic seed) + a corpus partitioned by
+  * nearest-centroid cell; query = score only the `nProbe` nearest cells'
+  * members. At 100 TB the cell assignment is the write-time partition key
+  * (one shuffle at index build, zero at query: cells are pruned partitions)
+  * and centroids are a broadcast table.
+  */
+object IvfIndex {
+
+  final case class Index(centroids: Array[(Int, Array[Float])], assigned: DataFrame)
+
+  /** Build: cluster on a (deterministic) sample, assign every row to its
+    * cell via the native dot product (cosine on normalized data). */
+  def build(emb: DataFrame, id: String, vec: String, nCells: Int,
+            seed: Long = 42L): Index = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val train = emb.select(col(vec)).as[Array[Float]]
+      .map(a => org.apache.spark.ml.feature.LabeledPoint(0.0,
+        Vectors.dense(a.map(_.toDouble))))
+      .toDF()
+    val model = new KMeans().setK(nCells).setSeed(seed).setFeaturesCol("features")
+      .fit(train)
+    val centroids = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => i -> c.toArray.map(_.toFloat) }
+    val bc = spark.sparkContext.broadcast(centroids)
+    val assignUdf = udf { (a: Seq[Float]) =>
+      val arr = a.toArray
+      var best = -1; var bestD = Double.MinValue
+      bc.value.foreach { case (i, c) =>
+        var d = 0.0; var j = 0
+        while (j < arr.length) { d += arr(j) * c(j); j += 1 }
+        if (d > bestD) { bestD = d; best = i }
+      }
+      best
+    }
+    Index(centroids, emb.withColumn("__cell", assignUdf(col(vec))))
+  }
+
+  /** Query: probe the nProbe nearest cells per query vector, exact-rank
+    * members by cosine. */
+  def knn(index: Index, id: String, vec: String,
+          queryPred: org.apache.spark.sql.Column, k: Int, nProbe: Int): DataFrame = {
+    val spark = index.assigned.sparkSession
+    val cents = index.centroids
+    val bc = spark.sparkContext.broadcast(cents)
+    val probeUdf = udf { (a: Seq[Float]) =>
+      val arr = a.toArray
+      bc.value.map { case (i, c) =>
+        var d = 0.0; var j = 0
+        while (j < arr.length) { d += arr(j) * c(j); j += 1 }
+        (i, d)
+      }.sortBy(-_._2).take(nProbe).map(_._1)
+    }
+    val q = index.assigned.filter(queryPred)
+      .select(col(id).as("qid"), col(vec).as("qv"),
+        explode(probeUdf(col(vec))).as("__cell"))
+    val cands = index.assigned
+      .select(col(id).as("cid"), col(vec).as("cv"), col("__cell"))
+      .join(q, Seq("__cell"))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), col("qv"), col("cv"))
+      .distinct()
+    val scored = cands.select(col("qid"), col("cid"),
+      roundp(DotProductF32.cosine(col("qv"), col("cv")), 6).as("cos"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+}

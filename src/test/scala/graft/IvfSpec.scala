@@ -1,0 +1,37 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.{IvfIndex, Rebalance, Similarity}
+
+class IvfSpec extends AnyFunSuite with SparkSpecBase {
+  import spark.implicits._
+
+  test("IVF knn reaches higher recall than hyperplane LSH at same k") {
+    val emb = Tables.embeddings(spark, sfSmoke)
+    val brute = Similarity.knnBrute(emb, "vec_id", "embedding", $"vec_id" < 10, 5)
+      .select($"qid", $"cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val idx = IvfIndex.build(emb, "vec_id", "embedding", nCells = 16)
+    // weakly-similar synthetic data: recall tracks the probed fraction;
+    // 6/16 cells ≈ 38% of the corpus should recover well over half the
+    // true top-5 (hyperplane LSH measured 0.45 on the same data)
+    val ivf = IvfIndex.knn(idx, "vec_id", "embedding", $"vec_id" < 10, 5, nProbe = 6)
+      .select($"qid", $"cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall >= 0.55, s"IVF recall $recall")
+  }
+
+  test("salted sum/count equals the plain aggregate") {
+    val li = Tables.lineitem(spark, sfSmoke)
+    val plain = li.groupBy($"l_returnflag")
+      .agg(sum($"l_quantity").as("sum_l_quantity"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), (r.getDouble(1), r.getLong(2)))).toMap
+    val salted = Rebalance.saltedSumCount(li, Seq("l_returnflag"), "l_quantity")
+      .collect().map(r => (r.getString(0), (r.getDouble(1), r.getLong(2)))).toMap
+    assert(salted.keySet == plain.keySet)
+    salted.foreach { case (k, (s, n)) =>
+      assert(n == plain(k)._2)
+      assert(math.abs(s - plain(k)._1) < 1e-6)
+    }
+  }
+}
