@@ -1,0 +1,50 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
+import graft.queries.{Relational, Temporal}
+
+/** Shuffle-budget audit: the plan shapes that matter at 100 TB, asserted
+  * on the pre-AQE physical plan. A regression that adds an Exchange to
+  * these is a scale bug even when results stay correct. */
+class PlanAuditSpec extends AnyFunSuite with SparkSpecBase {
+
+  // sparkPlan predates EnsureRequirements (no Exchanges yet); count on the
+  // executedPlan rendering, which includes the AQE initial plan
+  private def planStr(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+  private def shuffles(df: DataFrame): Int =
+    "Exchange (hash|range|SinglePartition|rangepartitioning|hashpartitioning)".r
+      .findAllIn(planStr(df)).size
+  private def broadcasts(df: DataFrame): Int =
+    "BroadcastExchange".r.findAllIn(planStr(df)).size
+
+  test("q01 pricing summary: one shuffle (partial+final agg), ignoring the output sort") {
+    // the ORDER BY adds a range exchange; the aggregation itself must be 1
+    val noSort = Tables.lineitem(spark, sfSmoke)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(org.apache.spark.sql.functions.sum("l_quantity"))
+    assert(shuffles(noSort) == 1, noSort.queryExecution.sparkPlan.toString)
+  }
+
+  test("q03 dim joins broadcast both dims; only the agg shuffles") {
+    val df = Relational.q03BroadcastJoin(spark, sfSmoke)
+    assert(broadcasts(df) == 2, df.queryExecution.sparkPlan.toString)
+    assert(shuffles(df) <= 2, df.queryExecution.sparkPlan.toString) // agg + sort
+  }
+
+  test("scene planner is generation, not matching: broadcast only, <=2 shuffles") {
+    val df = Temporal.q16RequiredScenes(spark, sfSmoke)
+    // one distinct on the (tiny) period set + the output sort; the
+    // tile-grid x periods expansion itself must not shuffle
+    assert(shuffles(df) <= 2, df.queryExecution.sparkPlan.toString)
+    assert(broadcasts(df) >= 1, df.queryExecution.sparkPlan.toString)
+  }
+
+  test("anti-join stays a broadcast/shuffle hash join, not nested loop") {
+    val df = Relational.q04AntiJoin(spark, sfSmoke)
+    val plan = df.queryExecution.sparkPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+}
