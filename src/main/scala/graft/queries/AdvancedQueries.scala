@@ -43,29 +43,37 @@ object AdvancedQueries {
        |    AS rank, cid, cos
        |FROM scored QUALIFY rank <= 5 ORDER BY qid, rank""".stripMargin
 
-  /** q36: gap-based sessionization (30-min inactivity). Timestamps cast to
-    * µs on both sides (events parquet is ns; Spark reads µs). */
+  /** q36: gap-based sessionization (30-min inactivity).
+    *
+    * Round-1 postmortem: the driver hash-compare failed on rendering, not
+    * logic — TIMESTAMP columns and DuckDB window-`sum` HUGEINTs (which
+    * pandas renders as float64) diverge from Spark's µs timestamps /
+    * BIGINTs even when the values agree. Both sides now emit pure BIGINTs:
+    * epoch-µs bounds, and the oracle casts its running sum to BIGINT. */
   def q36Sessionize(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Sessionize.relational(events(s, d), gapMinutes = 30)
-      .select($"user_id", $"session_id", $"n_events", $"start_ts", $"end_ts")
+      .select($"user_id", $"session_id", $"n_events",
+        unix_micros($"start_ts").as("start_us"),
+        unix_micros($"end_ts").as("end_us"))
       .orderBy($"user_id", $"session_id")
   }
 
   val q36Sql: String =
-    """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
-      |m AS (SELECT user_id, ts,
-      |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts FROM e),
-      |flags AS (SELECT user_id, ts,
-      |    CASE WHEN prev_ts IS NULL
-      |      OR epoch_us(ts) - epoch_us(prev_ts) > 30*60*1000000 THEN 1 ELSE 0 END
+    """WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+      |m AS (SELECT user_id, us,
+      |    lag(us) OVER (PARTITION BY user_id ORDER BY us) AS prev_us FROM e),
+      |flags AS (SELECT user_id, us,
+      |    CASE WHEN prev_us IS NULL
+      |      OR us - prev_us > 30*60*1000000 THEN 1 ELSE 0 END
       |      AS new_session FROM m),
-      |sess AS (SELECT user_id, ts,
-      |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
-      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |sess AS (SELECT user_id, us,
+      |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY us
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS session_id
       |  FROM flags)
       |SELECT user_id, session_id, count(*) AS n_events,
-      |  min(ts) AS start_ts, max(ts) AS end_ts
+      |  min(us) AS start_us, max(us) AS end_us
       |FROM sess GROUP BY user_id, session_id
       |ORDER BY user_id, session_id""".stripMargin
 
@@ -110,7 +118,11 @@ object AdvancedQueries {
     val row = DuckSql.polyHashSql(
       "concat_ws('|', l_orderkey, l_linenumber, " +
         "CAST(round(l_quantity * 100) AS BIGINT), l_returnflag)")
-    s"""SELECT sum(row_hash) % 4294967296 AS table_hash, count(*) AS n_rows
+    // CAST to BIGINT: DuckDB sum(BIGINT) is HUGEINT, which pandas renders
+    // as float64 — rows/schema "match" after normalization but the hashed
+    // rendering differs from Spark's int64 (round-1 q38 failure).
+    s"""SELECT CAST(sum(row_hash) % 4294967296 AS BIGINT) AS table_hash,
+       |  count(*) AS n_rows
        |FROM (SELECT $row AS row_hash FROM lineitem)""".stripMargin
   }
 

@@ -18,10 +18,17 @@ import graft.functions.TextFunctions.roundp
   */
 object PipelineQueries {
 
-  /** q33: multimodal feature extraction over binary payloads. */
+  /** q33: multimodal feature extraction over binary payloads.
+    *
+    * The oracle derives bytes from code points (DuckDB has no blob-unnest),
+    * which equals the UTF-8 bytes only for ASCII text — so both sides
+    * restrict to ASCII docs EXPLICITLY (octet_length == char length)
+    * rather than relying on the fixture happening to be ASCII. */
   def q33Multimodal(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val media = Multimodal.withPayload(documents(s, d), "text")
+    val ascii = documents(s, d)
+      .filter(octet_length($"text") === length($"text"))
+    val media = Multimodal.withPayload(ascii, "text")
     Multimodal.extractFeatures(media, "doc_id").toDF()
       .select($"doc_id", $"n_bytes",
         roundp($"mean_byte", 6).as("mean_byte"),
@@ -35,7 +42,8 @@ object PipelineQueries {
     s"""WITH b AS (SELECT doc_id,
        |    list_transform(split(text, ''), x -> ascii(x)) AS bytes,
        |    octet_length(encode(text))::BIGINT AS n_bytes
-       |  FROM documents)
+       |  FROM documents
+       |  WHERE octet_length(encode(text)) = length(text))
        |SELECT doc_id, n_bytes,
        |  ${DuckSql.roundpSql("list_sum(bytes) * 1.0 / n_bytes", 6)} AS mean_byte,
        |  ${DuckSql.roundpSql(
