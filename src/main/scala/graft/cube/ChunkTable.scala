@@ -30,15 +30,22 @@ object ChunkTable {
     a.union(b.map(r => r.copy(band = r.band + nBandA)))
   }
 
-  /** P7: region slice as chunk-key range predicates — partition pruning, the
-    * relational form of ds.isel(region) (flyte/build.py:170-173). Regions
-    * from RegionPlanner are chunk-aligned by construction. */
-  def slice(ds: Dataset[ChunkRow], r: Region, grid: GridDef): Dataset[ChunkRow] =
-    ds.filter(c =>
-      c.time >= r.time0 && c.time < r.time1 &&
-      c.band >= r.band0 && c.band < r.band1 &&
-      c.cy * grid.chunkY >= r.y0 && c.cy * grid.chunkY < r.y1 &&
-      c.cx * grid.chunkX >= r.x0 && c.cx * grid.chunkX < r.x1)
+  /** P7: region slice as chunk-key range predicates — the relational form
+    * of ds.isel(region) (flyte/build.py:170-173). Regions from
+    * RegionPlanner are chunk-aligned by construction. Pixel bounds are
+    * folded to literal chunk-index bounds on the DRIVER so the filter is a
+    * plain `attr ⋈ literal` conjunction Catalyst can translate to source
+    * Filters — it reaches ChunkStoreSource's plan-time file pruning (a
+    * typed lambda would be opaque and read the whole store). */
+  def slice(ds: Dataset[ChunkRow], r: Region, grid: GridDef): Dataset[ChunkRow] = {
+    import ds.sparkSession.implicits._
+    def ceilDiv(a: Int, b: Int) = (a + b - 1) / b
+    ds.filter(
+      $"time" >= r.time0 && $"time" < r.time1 &&
+      $"band" >= r.band0 && $"band" < r.band1 &&
+      $"cy" >= ceilDiv(r.y0, grid.chunkY) && $"cy" < ceilDiv(r.y1, grid.chunkY) &&
+      $"cx" >= ceilDiv(r.x0, grid.chunkX) && $"cx" < ceilDiv(r.x1, grid.chunkX))
+  }
 
   /** A7: spatial coarsen (downsample by factor f with mean, NaN-skipping) —
     * chunk-local map, no shuffle (coarsen().mean(), flyte/utils.py:100-112). */

@@ -62,29 +62,55 @@ object ChunkStoreSource {
     finally s.close()
   }
 
-  /** Evaluate a pushed filter against a chunk key; filters on non-key
-    * columns are not accepted for pushdown in the first place. */
+  private val keyCols = Set("time", "band", "cy", "cx")
+
+  /** Evaluate a pushed filter against a chunk key. Only called on filters
+    * `evaluable` accepted, so every case is exact — `Not` is safe because an
+    * unknown shape can never appear beneath it. Key columns are non-nullable
+    * ints, so `<=>` degenerates to `=`, IsNull is constant-false and
+    * IsNotNull constant-true. */
   def keep(f: Filter, k: Key): Boolean = {
-    def v(attr: String): Option[Int] = attr match {
-      case "time" => Some(k.time); case "band" => Some(k.band)
-      case "cy" => Some(k.cy); case "cx" => Some(k.cx); case _ => None
+    def v(attr: String): Int = attr match {
+      case "time" => k.time; case "band" => k.band
+      case "cy" => k.cy; case "cx" => k.cx
+      case other => throw new IllegalStateException(s"non-key attr $other pushed")
     }
     f match {
-      case EqualTo(a, x: Int)            => v(a).forall(_ == x)
-      case GreaterThan(a, x: Int)        => v(a).forall(_ > x)
-      case GreaterThanOrEqual(a, x: Int) => v(a).forall(_ >= x)
-      case LessThan(a, x: Int)           => v(a).forall(_ < x)
-      case LessThanOrEqual(a, x: Int)    => v(a).forall(_ <= x)
-      case In(a, xs)                     => v(a).forall(x => xs.contains(x))
+      case EqualTo(a, x: Int)            => v(a) == x
+      case EqualNullSafe(a, x: Int)      => v(a) == x
+      case GreaterThan(a, x: Int)        => v(a) > x
+      case GreaterThanOrEqual(a, x: Int) => v(a) >= x
+      case LessThan(a, x: Int)           => v(a) < x
+      case LessThanOrEqual(a, x: Int)    => v(a) <= x
+      case In(a, xs)                     => xs.contains(v(a))
+      case IsNull(_)                     => false
+      case IsNotNull(_)                  => true
       case And(l, r)                     => keep(l, k) && keep(r, k)
       case Or(l, r)                      => keep(l, k) || keep(r, k)
       case Not(g)                        => !keep(g, k)
-      case _                             => true // unknown → don't prune
+      case other => throw new IllegalStateException(s"unevaluable filter $other pushed")
     }
   }
 
-  def isKeyFilter(f: Filter): Boolean = f.references.forall(
-    Set("time", "band", "cy", "cx").contains)
+  /** Pushdown accept-list — MUST match `keep`'s evaluate-list exactly,
+    * recursing through And/Or/Not: a filter Spark treats as fully applied
+    * but `keep` cannot evaluate would silently return wrong rows (and
+    * under Not, prune everything). Anything else stays residual. */
+  def evaluable(f: Filter): Boolean = f match {
+    case EqualTo(a, _: Int)            => keyCols(a)
+    case EqualNullSafe(a, _: Int)      => keyCols(a)
+    case GreaterThan(a, _: Int)        => keyCols(a)
+    case GreaterThanOrEqual(a, _: Int) => keyCols(a)
+    case LessThan(a, _: Int)           => keyCols(a)
+    case LessThanOrEqual(a, _: Int)    => keyCols(a)
+    case In(a, xs)                     => keyCols(a) && xs.forall(_.isInstanceOf[Int])
+    case IsNull(a)                     => keyCols(a)
+    case IsNotNull(a)                  => keyCols(a)
+    case And(l, r)                     => evaluable(l) && evaluable(r)
+    case Or(l, r)                      => evaluable(l) && evaluable(r)
+    case Not(g)                        => evaluable(g)
+    case _                             => false
+  }
 }
 
 class ChunkStoreTable(root: String) extends Table with SupportsRead {
@@ -93,35 +119,63 @@ class ChunkStoreTable(root: String) extends Table with SupportsRead {
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ChunkScanBuilder(root)
+    new ChunkScanBuilder(root,
+      options.getLong("maxPartitionBytes", 128L * 1024 * 1024))
 }
 
-class ChunkScanBuilder(root: String) extends ScanBuilder with SupportsPushDownFilters {
+class ChunkScanBuilder(root: String, maxPartitionBytes: Long)
+    extends ScanBuilder with SupportsPushDownFilters {
   private var pushed: Array[Filter] = Array.empty
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    val (accepted, rejected) = filters.partition(ChunkStoreSource.isKeyFilter)
+    val (accepted, rejected) = filters.partition(ChunkStoreSource.evaluable)
     pushed = accepted
     rejected // residual: Spark re-applies these above the scan
   }
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new ChunkScan(root, pushed)
+  override def build(): Scan = new ChunkScan(root, pushed, maxPartitionBytes)
 }
 
-class ChunkScan(root: String, filters: Array[Filter]) extends Scan with Batch {
+class ChunkScan(root: String, filters: Array[Filter], maxPartitionBytes: Long)
+    extends Scan with Batch {
   override def readSchema(): StructType = ChunkStoreSource.schema
   override def description(): String =
     s"graft chunk store $root, PushedFilters: [${filters.mkString(", ")}]"
   override def toBatch: Batch = this
 
+  /** Plan-time pruning, then byte-budget splitting (the FilePartition
+    * sizing rule): sorted (for key locality) surviving files are greedily
+    * packed into partitions of at most
+    * `min(maxPartitionBytes, max(openCost, totalBytes / parallelism))` —
+    * a 100 TB store at the default 128 MiB budget plans ~800k tasks (not a
+    * fixed 32), while a small store still fans out to cluster width. */
   override def planInputPartitions(): Array[InputPartition] = {
-    // plan-time pruning: only matching chunk files become work
     val files = ChunkStoreSource.listKeys(root)
       .filter { case (k, _) => filters.forall(ChunkStoreSource.keep(_, k)) }
-    val slices = math.max(1, math.min(files.size, 32))
-    files.grouped(math.max(1, (files.size + slices - 1) / slices))
-      .map(g => ChunkInputPartition(g.toArray): InputPartition).toArray
+      .sortBy { case (k, _) => (k.time, k.band, k.cy, k.cx) }
+    if (files.isEmpty) return Array(ChunkInputPartition(Array.empty))
+    val sized = files.map { f =>
+      (f, try Files.size(Paths.get(f._2)) catch { case _: Exception => 0L })
+    }
+    val totalBytes = sized.map(_._2).sum
+    val parallelism = org.apache.spark.sql.SparkSession.active
+      .sparkContext.defaultParallelism.toLong.max(1L)
+    val openCost = 4L * 1024 // per-file overhead floor, as in FilePartition
+    val budget = math.min(maxPartitionBytes,
+      math.max(openCost, totalBytes / parallelism + 1))
+    val parts = Array.newBuilder[InputPartition]
+    val cur = Array.newBuilder[(ChunkStoreSource.Key, String)]
+    var curBytes = 0L; var curN = 0
+    for ((f, sz) <- sized) {
+      val cost = math.max(sz, openCost)
+      if (curN > 0 && curBytes + cost > budget) {
+        parts += ChunkInputPartition(cur.result()); cur.clear(); curBytes = 0L; curN = 0
+      }
+      cur += f; curBytes += cost; curN += 1
+    }
+    if (curN > 0) parts += ChunkInputPartition(cur.result())
+    parts.result()
   }
   override def createReaderFactory(): PartitionReaderFactory = ChunkReaderFactory
 }

@@ -57,4 +57,59 @@ class ChunkSourceSpec extends AnyFunSuite with SparkSpecBase {
     val got = df.collect()
     assert(got.length == 4) // t=1,b=1: all 4 spatial chunks share that payload
   }
+
+  test("null-safe equality <=> on a key column returns correct rows") {
+    val got = load.filter($"time" <=> 2).count()
+    assert(got == 2 * 2 * 2, s"<=> must behave as = on non-null keys, got $got")
+  }
+
+  test("IsNull / IsNotNull on key columns are exact (keys are non-nullable)") {
+    assert(load.filter($"time".isNull).count() == 0)
+    assert(load.filter($"time".isNotNull).count() == rows.size)
+  }
+
+  test("Not over a shape the source can't evaluate must not prune everything") {
+    // NOT(time IN (0,1)) where one In value is non-int after translation is
+    // hard to synthesize; instead exercise Not over a residual-only filter:
+    // startsWith on a cast — untranslatable, stays above the scan.
+    val df = load.filter(!($"time".cast("string").startsWith("2")))
+    assert(df.count() == 2 * 2 * 2 * 2, "t=0,1 rows must survive")
+    // and Not over an evaluable filter still prunes exactly
+    val scanDf = load.filter(!($"time" === 2))
+    assert(scanDf.count() == 2 * 2 * 2 * 2)
+  }
+
+  test("region slice reaches source pruning with literal chunk bounds") {
+    import graft.cube.ChunkTable
+    import graft.model.Region
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val sliced = ChunkTable.slice(load.as[graft.cube.ChunkRow],
+      Region(time0 = 1, time1 = 2, band0 = 0, band1 = 2, y0 = 0, y1 = 2, x0 = 2, x1 = 4),
+      grid)
+    assert(sliced.count() == 1 * 2 * 1 * 1) // t=1, both bands, cy=0, cx=1
+    val b = sliced.queryExecution.sparkPlan.collect { case s: BatchScanExec => s }
+    assert(b.nonEmpty, "slice must stay a relational filter over the scan")
+    val nFiles = b.head.inputPartitions.map(
+      _.asInstanceOf[graft.zarr.ChunkInputPartition].files.length).sum
+    assert(nFiles == 2, s"slice should plan exactly 2 files, planned $nFiles")
+  }
+
+  test("partition count follows the byte budget, not a fixed cap") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    // 4*3*2*2 = 48 chunk files; a 1-byte budget packs one file per task
+    val bigRoot = java.nio.file.Files.createTempDirectory("graft-dsv2-big").toString
+    val bigGrid = GridDef(4, 3, 4, 4, 2, 2, 4)
+    val big = for {
+      t <- 0 until 4; b <- 0 until 3; cy <- 0 until 2; cx <- 0 until 2
+    } yield ChunkRow(t, b, cy, cx, Array.fill(4)(1f))
+    ArrayStore.init(bigRoot, ArrayStore.Meta(bigGrid, Seq("B1", "B2", "B3")))
+    ArrayStore.write(spark.createDataset(big), bigRoot)
+    val df = spark.read.format("graft.zarr.ChunkStoreSource")
+      .option("maxPartitionBytes", "1").load(bigRoot)
+    val b2 = df.queryExecution.sparkPlan.collect { case s: BatchScanExec => s }
+    assert(b2.head.inputPartitions.length == 48,
+      s"48 files at a 1-byte budget must plan 48 tasks (no 32 cap), " +
+        s"got ${b2.head.inputPartitions.length}")
+    assert(df.count() == 48)
+  }
 }
