@@ -17,6 +17,7 @@ object Profile {
       val t0 = System.nanoTime()
       val cnt = try SparkEntry.queries(n)(spark, sf).count() catch { case e: Throwable => println(s"$n ERROR ${e.getMessage.take(100)}"); -1L }
       println(f"PROF $n%-24s ${(System.nanoTime()-t0)/1e9}%8.2f s rows=$cnt")
+      spark.catalog.clearCache()
     }
     spark.stop()
   }

@@ -136,6 +136,65 @@ case class PolyHash32(child: Expression)
   override protected def withNewChildInternal(c: Expression): PolyHash32 = copy(child = c)
 }
 
+/** Random-hyperplane LSH signatures for ALL tables in one fused pass:
+  * out[t] = the `nPlanes` sign bits of table t's hyperplane projections,
+  * packed MSB-first into a LONG. Arithmetic is identical to the staged HOF
+  * form (Similarity.lshBucket's documented LCG): component for
+  * (t, plane p, dim d) = ((1103515245·idx + 12345) mod 2³¹)/2³¹ − 0.5 with
+  * idx = (31t+1)·nPlanes·nDims + p·nDims + d. The HOF form dispatches one
+  * interpreted lambda per (table × plane × dim) = 2048 per row; this is one
+  * JVM loop. */
+case class HyperplaneSigs(child: Expression, nPlanes: Int, nDims: Int, nTables: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_hyperplane expects ARRAY<FLOAT|DOUBLE>, got ${other.sql}")
+  }
+  // lazy: child.dataType is illegal to call until the child resolves,
+  // and copy()/withNewChildInternal construct this node mid-analysis
+  private lazy val isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false // null input → empty array (see MinHashSig)
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) new GenericArrayData(Array.empty[Long]) else nullSafeEval(v)
+  }
+  override def nullSafeEval(input: Any): Any = {
+    val vec = input.asInstanceOf[ArrayData]
+    val n = math.min(vec.numElements(), nDims)
+    val out = new Array[Long](nTables)
+    var t = 0
+    while (t < nTables) {
+      val base = (31L * t + 1L) * (nPlanes.toLong * nDims)
+      var bucket = 0L
+      var p = 0
+      while (p < nPlanes) {
+        var proj = 0.0
+        var d = 0
+        while (d < n) {
+          val idx = base + p.toLong * nDims + d
+          val comp = ((1103515245L * idx + 12345L) % 2147483648L).toDouble /
+            2147483648.0 - 0.5
+          val x = if (isFloat) vec.getFloat(d).toDouble else vec.getDouble(d)
+          proj += x * comp
+          d += 1
+        }
+        bucket = bucket * 2 + (if (proj > 0) 1L else 0L)
+        p += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression): HyperplaneSigs = copy(child = c)
+}
+
 object HashExpressions {
   def minhashSig(hs: Column, n: Int): Column =
     Bridge.column(MinHashSig(Bridge.expression(hs), n))
@@ -143,4 +202,6 @@ object HashExpressions {
     Bridge.column(SimHash48(Bridge.expression(hs)))
   def polyHash32(s: Column): Column =
     Bridge.column(PolyHash32(Bridge.expression(s)))
+  def hyperplaneSigs(vec: Column, nPlanes: Int, nDims: Int, nTables: Int): Column =
+    Bridge.column(HyperplaneSigs(Bridge.expression(vec), nPlanes, nDims, nTables))
 }

@@ -35,22 +35,30 @@ object Dedup {
 
   /** Exhaustive n-gram Jaccard pairs via a shingle inverted index:
     * explode → equi-join on shingle → count = |A∩B|, then |A∪B| from set
-    * sizes. One shuffle on the shingle key + one on the pair key. */
+    * sizes. One shuffle on the shingle key + one on the pair key.
+    *
+    * `maxDf` is the scale guard: a shingle appearing in d docs contributes
+    * d²/2 rows to the self-join, so one hot shingle ("in the the") makes
+    * the plan quadratic. With the cap, over-cap shingles are dropped from
+    * the comparison universe — index AND set sizes, so Jaccard stays
+    * internally consistent — via a broadcast anti-join (the hot list is
+    * small by definition: at most totalPostings/cap entries). */
   def jaccardPairs(df: DataFrame, id: String, text: String, k: Int,
                    threshold: Double, maxDf: Option[Int] = None): DataFrame = {
-    val sets = shingleSets(df, id, text, k).cache()
-    val inv0 = sets.select(col("doc_id"), explode(col("shingles")).as("s"))
-    val inv = maxDf match {
+    val inv0 = shingleSets(df, id, text, k)
+      .select(col("doc_id"), explode(col("shingles")).as("s"))
+    val inv = (maxDf match {
       case Some(cap) =>
-        val freq = inv0.groupBy("s").count().filter(col("count") <= cap).select("s")
-        inv0.join(freq, "s")
+        val hot = inv0.groupBy("s").count().filter(col("count") > cap).select("s")
+        inv0.join(broadcast(hot), Seq("s"), "left_anti")
       case None => inv0
-    }
+    }).cache() // three consumers below (self-join reuses one exchange)
     val inter = inv.as("a").join(inv.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .agg(count(lit(1)).as("inter"))
-    val sizes = sets.select(col("doc_id"), size(col("shingles")).as("n"))
+    // |A| over the CAPPED universe (shingles are distinct per doc)
+    val sizes = inv.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val jac = col("inter") * lit(1.0) /
       (col("na") + col("nb") - col("inter"))
     inter

@@ -65,15 +65,20 @@ object Similarity {
 
   /** ANN top-k: candidates share an LSH bucket in ≥1 of `nTables` tables;
     * exact cosine ranks candidates. Recall < 1 by construction — verified
-    * against `knnBrute` in the spec, not the oracle. */
+    * against `knnBrute` in the spec, not the oracle.
+    *
+    * Bucketing runs through the native `HyperplaneSigs` expression (one
+    * fused JVM loop emitting all `nTables` signatures per row) rather than
+    * the staged-HOF `lshBucket` form — same arithmetic (spec-asserted
+    * equal), without nTables × nPlanes × nDims interpreted lambda
+    * dispatches per row. */
   def knnLsh(emb: DataFrame, id: String, vec: String,
              queryPred: org.apache.spark.sql.Column, k: Int,
              nPlanes: Int = 4, nTables: Int = 8, nDims: Int = 64): DataFrame = {
     val withBuckets = emb.select(col(id).as("cid"), col(vec).as("cv"),
-      explode(array((0 until nTables).map(t =>
-        struct(lit(t).as("tbl"), lshBucket(col(vec), nPlanes, nDims, t).as("bucket"))): _*))
-        .as("tb"))
-      .select(col("cid"), col("cv"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+        posexplode(graft.functions.HashExpressions.hyperplaneSigs(
+          col(vec), nPlanes, nDims, nTables)))
+      .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "bucket")
     val qb = withBuckets.join(
       emb.filter(queryPred).select(col(id).as("qid")),
       col("qid") === col("cid"))

@@ -26,30 +26,46 @@ object DedupQueries {
        |  min(doc_id) AS canonical_id, count(*) AS n_copies
        |FROM documents GROUP BY text ORDER BY canonical_id""".stripMargin
 
-  private def jaccardOracle(threshold: Double): String =
+  private def jaccardOracle(threshold: Double, maxDf: Option[Int] = None): String = {
+    val capFilter = maxDf match {
+      case Some(cap) =>
+        s"""ex AS (SELECT doc_id, s FROM ex0
+           |  WHERE s NOT IN (SELECT s FROM ex0 GROUP BY s HAVING count(*) > $cap)),""".stripMargin
+      case None => "ex AS (SELECT doc_id, s FROM ex0),"
+    }
     s"""WITH toks AS (SELECT doc_id, ${DuckSql.tokensSql} AS ws FROM documents),
        |sh AS (SELECT doc_id, ${DuckSql.shinglesSql("ws", 3)} AS shingles
        |  FROM toks WHERE len(ws) >= 3),
-       |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+       |ex0 AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+       |$capFilter
        |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
        |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
-       |sizes AS (SELECT doc_id, len(shingles) AS n FROM sh)
+       |sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id)
        |SELECT id_a, id_b,
        |  ${DuckSql.roundpSql("inter * 1.0 / (sa.n + sb.n - inter)", 6)} AS jac
        |FROM pairs
        |JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
        |WHERE inter * 1.0 / (sa.n + sb.n - inter) >= $threshold
        |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** Shingles appearing in more docs than this are dropped from q27's
+    * comparison universe (both engines): the standard frequency cap that
+    * keeps the inverted-index self-join from going quadratic on a hot
+    * shingle. A no-op on the fixture (max df 25 at sf0.1) — the value is
+    * the 100 TB bound, exercised directly in DedupSpec. */
+  val Q27MaxDf = 1000
 
   /** q27: exhaustive word-3-gram Jaccard near-dup pairs (inverted-index
-    * join), threshold 0.7. */
+    * join), threshold 0.7, df-capped. */
   def q27NgramJaccard(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    Dedup.jaccardPairs(documents(s, d), "doc_id", "text", 3, 0.7)
+    Dedup.jaccardPairs(documents(s, d), "doc_id", "text", 3, 0.7,
+        maxDf = Some(Q27MaxDf))
       .orderBy($"id_a", $"id_b")
   }
 
-  val q27Sql: String = jaccardOracle(0.7)
+  val q27Sql: String = jaccardOracle(0.7, maxDf = Some(Q27MaxDf))
 
   /** q28: MinHash-LSH dedup at J ≥ 0.8 (64 hashes, 2 rows × 32 bands →
     * miss probability ≤ (1−0.64)³² ≈ 6e-15, so output = brute force). */

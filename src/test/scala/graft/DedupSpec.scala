@@ -27,6 +27,28 @@ class DedupSpec extends AnyFunSuite with SparkSpecBase {
     assert(sh(1) == Seq("one two three", "two three four"))
   }
 
+  test("maxDf cap drops hot shingles from index AND sizes consistently") {
+    // "x x x x" appears in all 4 docs (df=4 > cap=2) — its shingles leave
+    // the universe; docs 1/2 then compare only over their unique tails.
+    val hot = Seq(
+      (1L, "x x x x alpha beta gamma delta"),
+      (2L, "x x x x alpha beta gamma epsilon"),
+      (3L, "x x x x completely different words here"),
+      (4L, "x x x x nothing like the others at all")).toDF("doc_id", "text")
+    val capped = Dedup.jaccardPairs(hot, "doc_id", "text", 3, 0.3, maxDf = Some(2))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // doc1 capped shingles: {x x alpha (df2 ok? appears docs1,2 → df2 <= 2 keep),
+    // x alpha beta, alpha beta gamma, beta gamma delta}; doc2 same with epsilon.
+    // shared = {x x alpha, x alpha beta, alpha beta gamma} = 3; sizes 4,4 → 3/5
+    assert(capped.contains((1L, 2L)), s"capped pairs: $capped")
+    assert(math.abs(capped((1L, 2L)) - 0.6) < 1e-9,
+      s"expected capped jac 3/5, got ${capped((1L, 2L))}")
+    // uncapped: the 4 shared "x x x"-prefixed shingles inflate similarity
+    val uncapped = Dedup.jaccardPairs(hot, "doc_id", "text", 3, 0.3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(uncapped((1L, 2L)) > capped((1L, 2L)))
+  }
+
   test("minhash-LSH pairs equal brute-force jaccard pairs at threshold 0.8") {
     val brute = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.8)
       .select($"id_a", $"id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -46,6 +68,20 @@ class DedupSpec extends AnyFunSuite with SparkSpecBase {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(sim == brute)
     assert(sim.nonEmpty, "expected some hamming<=3 pairs in fixture")
+  }
+
+  test("native HyperplaneSigs equals staged-HOF lshBucket for every table") {
+    val emb = Tables.embeddings(spark, sfSmoke)
+    val (nP, nD, nT) = (4, 64, 8)
+    val native = emb.orderBy($"vec_id")
+      .select(graft.functions.HashExpressions.hyperplaneSigs($"embedding", nP, nD, nT))
+      .collect().map(_.getSeq[Long](0))
+    val hof = emb.orderBy($"vec_id")
+      .select(array((0 until nT).map(t =>
+        Similarity.lshBucket($"embedding", nP, nD, t)): _*))
+      .collect().map(_.getSeq[Long](0))
+    assert(native.length == hof.length && native.nonEmpty)
+    native.zip(hof).foreach { case (n, h) => assert(n == h) }
   }
 
   test("knn LSH recall >= 0.5 vs brute force at k=5 (and exact on candidates)") {
