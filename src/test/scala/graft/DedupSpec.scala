@@ -70,6 +70,18 @@ class DedupSpec extends AnyFunSuite with SparkSpecBase {
     assert(sim.nonEmpty, "expected some hamming<=3 pairs in fixture")
   }
 
+  test("cluster-pruned near-dup pairs equal the all-pairs brute form exactly") {
+    val emb = Tables.embeddings(spark, sfSmoke)
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2))
+    val pruned = Similarity.nearDupPairs(emb, "vec_id", "embedding", 0.3)
+      .collect().map(key).toSet
+    val brute = Similarity.nearDupPairsBrute(emb, "vec_id", "embedding", 0.3)
+      .collect().map(key).toSet
+    assert(brute.nonEmpty, "fixture should have pairs at 0.3")
+    assert(pruned == brute)
+  }
+
   test("native HyperplaneSigs equals staged-HOF lshBucket for every table") {
     val emb = Tables.embeddings(spark, sfSmoke)
     val (nP, nD, nT) = (4, 64, 8)

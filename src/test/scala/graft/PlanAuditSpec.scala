@@ -47,4 +47,11 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpecBase {
     val plan = df.queryExecution.sparkPlan.toString
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  test("q30 near-dup pairs: hash equi-joins only — no nested-loop, no cartesian") {
+    val df = graft.queries.SimilarityQueries.q30NearDup(spark, sfSmoke)
+    val plan = planStr(df)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }
