@@ -27,11 +27,13 @@ object Dedup {
         col("canonical_id"), col("n_copies"))
 
   /** Per-doc distinct shingle-string sets (the comparison universe for
-    * Jaccard), docs with < k words dropped (no shingle exists). */
+    * Jaccard), docs with < k words dropped (no shingle exists). Fused
+    * native expression — one JVM pass, not the staged tokenize/slice HOFs
+    * (which the self-joined consumers would re-evaluate per join side). */
   def shingleSets(df: DataFrame, id: String, text: String, k: Int): DataFrame =
-    df.select(col(id).as("doc_id"), tokens(col(text)).as("ws"))
-      .filter(size(col("ws")) >= k)
-      .select(col("doc_id"), shingles(col("ws"), k).as("shingles"))
+    df.select(col(id).as("doc_id"),
+        graft.functions.ShingleExpressions.wordShingles(col(text), k).as("shingles"))
+      .filter(col("shingles").isNotNull)
 
   /** Exhaustive n-gram Jaccard pairs via a shingle inverted index:
     * explode → equi-join on shingle → count = |A∩B|, then |A∪B| from set
@@ -111,17 +113,12 @@ object Dedup {
       .select(col("id_a"), col("id_b"), roundp(jac, 6).as("jac"))
   }
 
-  /** Per-doc 48-bit SimHash fingerprints. */
-  /** Tokenize → shingle → hash as STAGED projections over attributes.
-    * `shingles(tokens(text))` as one expression inlines the tokenizer into
-    * the per-shingle slice lambda (HOFs get no CSE) — O(shingles × split)
-    * re-tokenization per row. Each stage's input here is a multi-reference
-    * attribute, which CollapseProject refuses to inline. */
+  /** Per-doc distinct shingle hashes — fused native expression (tokenize →
+    * shingle → PolyHash32 → distinct in one JVM pass; hash values identical
+    * to the staged `array_distinct(transform(shingles(tokens(..))))`). */
   private def stagedHashes(df: DataFrame, id: String, text: String, k: Int): DataFrame =
-    df.select(col(id).as("doc_id"), tokens(col(text)).as("ws"))
-      .select(col("doc_id"), shingles(col("ws"), k).as("sh"))
-      .select(col("doc_id"),
-        array_distinct(transform(col("sh"), s => polyHash(s))).as("hs"))
+    df.select(col(id).as("doc_id"),
+      graft.functions.ShingleExpressions.wordShingleHashes(col(text), k).as("hs"))
 
   def simhashFingerprints(df: DataFrame, id: String, text: String, k: Int): DataFrame =
     stagedHashes(df, id, text, k)

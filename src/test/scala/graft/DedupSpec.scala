@@ -70,6 +70,29 @@ class DedupSpec extends AnyFunSuite with SparkSpecBase {
     assert(sim.nonEmpty, "expected some hamming<=3 pairs in fixture")
   }
 
+  test("fused shingle expressions equal the staged-HOF forms on real docs") {
+    import graft.functions.TextFunctions._
+    import graft.functions.ShingleExpressions._
+    val docs = Tables.documents(spark, sfSmoke)
+    val fused = docs.orderBy($"doc_id")
+      .select(wordShingles($"text", 3), wordShingleHashes($"text", 3))
+      .collect()
+    val staged = docs.orderBy($"doc_id")
+      .select(tokens($"text").as("ws"))
+      .select(shingles($"ws", 3).as("sh"))
+      .select(
+        when(size($"sh") >= 1, $"sh").as("sh"), // [] for short docs
+        array_distinct(transform($"sh", s => polyHash(s))).as("hs"))
+      .collect()
+    assert(fused.length == staged.length && fused.nonEmpty)
+    fused.zip(staged).foreach { case (f, s) =>
+      val fSh = if (f.isNullAt(0)) null else f.getSeq[String](0)
+      val sSh = if (s.isNullAt(0)) null else s.getSeq[String](0)
+      assert(fSh == sSh)
+      assert(f.getSeq[Long](1) == s.getSeq[Long](1))
+    }
+  }
+
   test("cluster-pruned near-dup pairs equal the all-pairs brute form exactly") {
     val emb = Tables.embeddings(spark, sfSmoke)
     val key = (r: org.apache.spark.sql.Row) =>
