@@ -52,12 +52,37 @@ object PipelineQueries {
        |FROM b ORDER BY doc_id""".stripMargin
 
   /** q34: Structured Streaming — AvailableNow batch-catchup over the events
-    * parquet, tumbling 5-minute window aggregation, memory sink. Returns
-    * the sink table; must equal the batch oracle (stream/batch parity). */
-  def q34StreamWindow(s: SparkSession, d: String): DataFrame = {
+    * parquet, tumbling 5-minute window aggregation, UPDATE mode with a
+    * 0-second watermark, foreachBatch appending each update batch to
+    * parquet. Result = latest update per (window, event_type) read back
+    * from the sink files; must equal the batch oracle (stream/batch
+    * parity).
+    *
+    * Scale shape vs the earlier complete-mode/memory-sink form: update mode
+    * + watermark evicts closed windows from the state store instead of
+    * holding every window forever, and the sink is distributed files, not a
+    * driver-materialized table. Update (not append) because append can
+    * never emit the final in-flight window — its end exceeds the terminal
+    * watermark — which would break parity with the batch oracle. */
+  def q34StreamWindow(s0: SparkSession, d: String): DataFrame = {
+    // clone the session for the streaming run: state-store partition count
+    // follows spark.sql.shuffle.partitions at first checkpoint, and 32
+    // near-empty HDFSBacked state partitions cost more in per-batch
+    // snapshot/commit file IO than they buy in parallelism at this volume.
+    // (On a real cluster you would raise this with the key cardinality —
+    // it is a per-query knob, not a global.)
+    val s = s0.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", "8")
     import s.implicits._
     val schema = graft.Tables.load(s, d, "events").schema
-    val name = "graft_stream_q34"
+    val base = new java.io.File(sys.props("java.io.tmpdir"), "graft_q34")
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmrf)
+      f.delete(): Unit
+    }
+    rmrf(base) // fresh checkpoint + sink per invocation (idempotent rerun)
+    val outDir = new java.io.File(base, "out").getAbsolutePath
+    val ckDir = new java.io.File(base, "ck").getAbsolutePath
     val stream = s.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet") // stream source needs a dir
       .parquet(d)
@@ -65,12 +90,21 @@ object PipelineQueries {
       .withWatermark("ts_conv", "0 seconds")
       .groupBy(window($"ts_conv", "5 minutes").as("w"), $"event_type")
       .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("sum_v"))
+      .select($"w.start".as("win_start"), $"event_type", $"n", $"sum_v")
     val q = stream.writeStream
-      .format("memory").queryName(name).outputMode("complete")
+      .outputMode("update")
+      .option("checkpointLocation", ckDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(outDir)
+      }
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    s.table(name)
-      .select($"w.start".as("win_start"), $"event_type", $"n", $"sum_v")
+    val latest = org.apache.spark.sql.expressions.Window
+      .partitionBy($"win_start", $"event_type").orderBy($"batch_id".desc)
+    s.read.parquet(outDir)
+      .withColumn("rn", row_number().over(latest)).filter($"rn" === 1)
+      .select($"win_start", $"event_type", $"n", $"sum_v")
       .orderBy($"win_start", $"event_type")
   }
 
