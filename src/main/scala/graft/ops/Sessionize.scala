@@ -43,10 +43,21 @@ object Sessionize {
   private case class SessState(sessionId: Long, lastMicros: Long,
                                startMicros: Long, n: Long)
 
-  /** Streaming sessionization over a user-keyed stream. Emits a session
-    * when the gap closes it; `flushAll` (batch-catchup mode) also emits the
-    * open session at end of input so AvailableNow runs match batch. */
-  def stateful(events: Dataset[(Long, Timestamp)], gapMinutes: Int): Dataset[SessionOut] = {
+  /** Streaming sessionization over a user-keyed stream.
+    *
+    * Default (`flushAll = false`): a session is emitted only when a later
+    * event CLOSES it (gap exceeded) — the only sound emission rule for an
+    * open-ended stream, where any open session may still grow; the open
+    * tail stays in state.
+    *
+    * `flushAll = true` is the batch-catchup drain: after folding the
+    * group's input, the still-open session is emitted too and state is
+    * cleared. Correct exactly when this invocation sees each user's full
+    * remaining history (batch execution, or the last AvailableNow batch) —
+    * that is the mode whose output equals `relational`, asserted in
+    * AdvancedSpec as full set equality. */
+  def stateful(events: Dataset[(Long, Timestamp)], gapMinutes: Int,
+               flushAll: Boolean = false): Dataset[SessionOut] = {
     val spark = events.sparkSession
     import spark.implicits._
     val gapMicros = gapMinutes * 60L * 1000000L
@@ -76,7 +87,13 @@ object Sessionize {
                 st = Some(SessState(1, m, m, 1))
             }
           }
-          state.update(st.toList)
+          if (flushAll) {
+            st.foreach(s => out += SessionOut(user, s.sessionId, s.n,
+              toTs(s.startMicros), toTs(s.lastMicros)))
+            state.remove()
+          } else {
+            state.update(st.toList)
+          }
           out.iterator
       }
   }

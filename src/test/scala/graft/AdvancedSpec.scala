@@ -43,15 +43,16 @@ class AdvancedSpec extends AnyFunSuite with SparkSpecBase {
       .select($"user_id", $"session_id", $"n_events", $"start_ts", $"end_ts")
       .collect().map(_.toSeq).toSet
     val typed = ev.select($"user_id", $"ts").as[(Long, java.sql.Timestamp)]
-    val streamed = Sessionize.stateful(typed, 30)
-    // batch mode: flatMapGroupsWithState sees each user's full history once,
-    // but only CLOSED sessions are emitted; emit the open tail via state
-    val emitted = streamed.collect()
+    // flushAll drain: each user's full history is in this (batch) pass, so
+    // open tails are emitted too — output must EQUAL the relational form
+    val flushed = Sessionize.stateful(typed, 30, flushAll = true).collect()
       .map(s => Seq(s.user_id, s.session_id, s.n_events, s.start_ts, s.end_ts)).toSet
-    // every emitted (closed) session must match the relational result
-    assert(emitted.subsetOf(batch),
-      s"closed sessions diverge: ${emitted -- batch}")
-    // and closed sessions should be the large majority
-    assert(emitted.size >= batch.size / 2)
+    assert(flushed == batch,
+      s"missing=${(batch -- flushed).take(3)} extra=${(flushed -- batch).take(3)}")
+    // default (live-stream) mode: only closed sessions, a strict subset
+    val closedOnly = Sessionize.stateful(typed, 30).collect()
+      .map(s => Seq(s.user_id, s.session_id, s.n_events, s.start_ts, s.end_ts)).toSet
+    assert(closedOnly.subsetOf(batch), s"diverge: ${(closedOnly -- batch).take(3)}")
+    assert(closedOnly.size < flushed.size)
   }
 }
