@@ -26,9 +26,10 @@ object Tables {
         // integer div: epoch-nanos exceed double's 2^53 exact-integer range,
         // so floor(ts/1000.0) would be off by ±1µs on some rows.
         // `div` truncates toward zero, which equals floor only for
-        // non-negative nanos — the events fixture is post-1970 by contract
-        // (TESTDATA.md); pre-1970 data would need a floor-mod correction
-        // to stay aligned with DuckDB's CAST(ns AS TIMESTAMP).
+        // non-negative nanos. The generated events fixtures are all
+        // 2024-dated (observed range, all SFs); pre-1970 data would need a
+        // floor-mod correction to stay aligned with DuckDB's
+        // CAST(ns AS TIMESTAMP).
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case _ => df
     }

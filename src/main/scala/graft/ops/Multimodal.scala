@@ -28,6 +28,7 @@ object Multimodal {
     val mean = if (n == 0) 0.0 else sum.toDouble / n
     val dim = 4
     val feat = new Array[Float](dim)
+    if (n == 0) return (mean, feat) // zero-length payload: all-zero features
     var d2 = 0
     while (d2 < dim) {
       val lo = d2 * n / dim; val hi = math.max(lo + 1, (d2 + 1) * n / dim)

@@ -101,7 +101,14 @@ object AdvancedQueries {
 
   /** q38: order-independent content fingerprint of a projected table
     * (F10/U6 — the reference's dataframe-hash cache key): sum of per-row
-    * rolling hashes mod 2³². */
+    * rolling hashes mod 2³².
+    *
+    * Two-level modular reduction: int64-summing raw 2³²-bounded hashes
+    * overflows (ANSI-throws) past ~2³¹ rows, so partials are reduced mod
+    * 2³² per 1024-way shard first — mod is a sum homomorphism, so the
+    * result is identical and the capacity bound moves to ~2³¹ rows PER
+    * SHARD (≈2⁴¹ ≈ 2.2e12 rows total; raise shards for more). The DuckDB
+    * oracle sums exactly in HUGEINT then takes the same mod. */
   def q38TableHash(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     lineitem(s, d)
@@ -110,8 +117,11 @@ object AdvancedQueries {
         // double→string rendering differs across engines; hash exact cents
         round($"l_quantity" * 100).cast("bigint"), $"l_returnflag"))
         .as("row_hash"))
-      .agg((sum($"row_hash") % 4294967296L).as("table_hash"),
-        count(lit(1)).as("n_rows"))
+      .groupBy(pmod($"row_hash", lit(1024L)).as("_shard"))
+      .agg((sum($"row_hash") % 4294967296L).as("_partial"),
+        count(lit(1)).as("_n"))
+      .agg((sum($"_partial") % 4294967296L).as("table_hash"),
+        coalesce(sum($"_n"), lit(0L)).as("n_rows"))
   }
 
   val q38Sql: String = {

@@ -26,8 +26,10 @@ object PipelineQueries {
     * rather than relying on the fixture happening to be ASCII. */
   def q33Multimodal(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    // non-empty too: a zero-length payload has no byte-range features and
+    // the oracle's list_sum([]) would go NULL where Spark emits 0.0
     val ascii = documents(s, d)
-      .filter(octet_length($"text") === length($"text"))
+      .filter(octet_length($"text") === length($"text") && length($"text") > 0)
     val media = Multimodal.withPayload(ascii, "text")
     Multimodal.extractFeatures(media, "doc_id").toDF()
       .select($"doc_id", $"n_bytes",
@@ -43,7 +45,7 @@ object PipelineQueries {
        |    list_transform(split(text, ''), x -> ascii(x)) AS bytes,
        |    octet_length(encode(text))::BIGINT AS n_bytes
        |  FROM documents
-       |  WHERE octet_length(encode(text)) = length(text))
+       |  WHERE octet_length(encode(text)) = length(text) AND length(text) > 0)
        |SELECT doc_id, n_bytes,
        |  ${DuckSql.roundpSql("list_sum(bytes) * 1.0 / n_bytes", 6)} AS mean_byte,
        |  ${DuckSql.roundpSql(
