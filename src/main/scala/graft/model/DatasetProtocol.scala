@@ -11,6 +11,16 @@ import graft.time.TemporalGrid
   * metadata or a Column-expression factory, so every protocol method stays
   * inside Catalyst codegen.
   */
+/** URL column functions shared across protocols. */
+object Urls {
+  /** F1 — object-store URL → GDAL virtual-filesystem path
+    * (mosaics.py:74-76: gs:// → /vsigs/, s3:// → /vsis3/; plain literal
+    * replacement, all occurrences, like the reference's str.replace). */
+  def gdalVsiLocation(url: Column): Column =
+    replace(replace(url, lit("gs://"), lit("/vsigs/")),
+      lit("s3://"), lit("/vsis3/"))
+}
+
 trait TemporalDatasetProtocol {
   def name: String
   def bands: Seq[String]

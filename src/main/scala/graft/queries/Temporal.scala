@@ -171,7 +171,31 @@ object Temporal {
        |  AND period % 2 <> 0
        |ORDER BY url""".stripMargin
 
+  /** F1: object-store URL → GDAL VSI path rewrite (mosaics.py:74-76) over
+    * the q17 URL set; the gs_location column exercises the gs:// branch on
+    * the same key space. */
+  def q39UrlRewrite(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.model.Urls.gdalVsiLocation
+    q17TileDateUrls(s, d)
+      .select($"tile_id", $"time",
+        gdalVsiLocation($"url").as("location"),
+        gdalVsiLocation(replace($"url", lit("s3://"), lit("gs://")))
+          .as("gs_location"))
+      .orderBy($"location")
+  }
+
+  val q39Sql: String =
+    s"""WITH q17 AS (${q17Sql.replace("ORDER BY url", "")})
+       |SELECT tile_id, time,
+       |  replace(replace(url, 'gs://', '/vsigs/'), 's3://', '/vsis3/')
+       |    AS location,
+       |  replace(replace(replace(url, 's3://', 'gs://'), 'gs://', '/vsigs/'),
+       |    's3://', '/vsis3/') AS gs_location
+       |FROM q17 ORDER BY location""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q39_url_rewrite"         -> (q39UrlRewrite _),
     "q13_snap_year"           -> (q13SnapYear _),
     "q14_period_bucket"       -> (q14PeriodBucket _),
     "q15_period_roundtrip"    -> (q15PeriodRoundtrip _),
@@ -181,6 +205,7 @@ object Temporal {
   )
 
   val oracles: Map[String, String] = Map(
+    "q39_url_rewrite"         -> q39Sql,
     "q13_snap_year"           -> q13Sql,
     "q14_period_bucket"       -> q14Sql,
     "q15_period_roundtrip"    -> q15Sql,

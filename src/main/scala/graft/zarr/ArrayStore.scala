@@ -100,6 +100,46 @@ object ArrayStore {
     }.toDS()
   }
 
+  /** S10: usage accounting — per top-level entry under `root`, recursive
+    * (file count, total bytes): the store-utilities twin of the reference's
+    * `default_bucket_usage_task` (flyte/utils.py:44-57, fs.du per subdir).
+    * Driver-side listing: the reference's is too, and the result is one row
+    * per top-level prefix. */
+  def du(root: String): Map[String, (Long, Long)] = {
+    val rootPath = Paths.get(root)
+    if (!Files.isDirectory(rootPath)) return Map.empty
+    def walk(p: Path): (Long, Long) =
+      if (Files.isDirectory(p)) {
+        val s = Files.list(p)
+        try s.iterator().asInstanceOf[java.util.Iterator[Path]].asScala()
+          .map(walk).foldLeft((0L, 0L)) { case ((c1, b1), (c2, b2)) =>
+            (c1 + c2, b1 + b2)
+          }
+        finally s.close()
+      } else (1L, Files.size(p))
+    val top = Files.list(rootPath)
+    try top.iterator().asInstanceOf[java.util.Iterator[Path]].asScala()
+      .map(p => p.getFileName.toString -> walk(p)).toMap
+    finally top.close()
+  }
+
+  /** S10: recursive store removal, guarded like the reference's
+    * password-gated `rm_project_bucket_task` (flyte/utils.py:58-62) —
+    * deleting a whole store must be an explicit, two-token act. */
+  def rm(root: String, force: Boolean): Unit = {
+    require(force, s"refusing to delete store at $root: pass force = true")
+    def del(p: Path): Unit = {
+      if (Files.isDirectory(p)) {
+        val s = Files.list(p)
+        try s.iterator().asInstanceOf[java.util.Iterator[Path]].asScala()
+          .foreach(del)
+        finally s.close()
+      }
+      Files.deleteIfExists(p): Unit
+    }
+    del(Paths.get(root))
+  }
+
   private implicit class IterOps[A](it: java.util.Iterator[A]) {
     def asScala(): Iterator[A] = new Iterator[A] {
       def hasNext = it.hasNext
