@@ -1,7 +1,7 @@
 package graft.pipelines
 
 import java.sql.Timestamp
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.cube.{ChunkRow, ChunkTable}
 import graft.geo.Envelopes
@@ -20,11 +20,13 @@ import graft.zarr.ArrayStore
   *  E1 mosaic build:    store init (S8) → region plan (O8) → parallel
   *                      idempotent region writes (S9)
   *
-  * Where the reference shells out to GDAL per scene, this pipeline
-  * synthesizes deterministic scene chunks (the "download+COG" effect is a
-  * generator — the orchestration, memoization and write paths are real).
-  * One driver program, lazy end-to-end: Flyte task boundaries collapse into
-  * Spark stages (SURVEY §3 lifecycle note).
+  * Two E2 forms with one output contract: `ingestScenes` synthesizes
+  * deterministic scene chunks (fast correctness harness), and
+  * `ingestSceneTiffs` fetches + decodes real tiled-GeoTIFF scene files
+  * (raster.GeoTiff, S2/S5) — PipelineSpec asserts the two produce the
+  * same store when the files carry the generator's pixels. One driver
+  * program, lazy end-to-end: Flyte task boundaries collapse into Spark
+  * stages (SURVEY §3 lifecycle note).
   */
 object MosaicPipeline {
 
@@ -153,6 +155,39 @@ object MosaicPipeline {
     (gridDef, regions)
   }
 
+  /** E2 (real-raster form, S2+S5): fetch each missing scene's GeoTIFF with
+    * the bulk fetch operator, decode with the tiled-TIFF reader, emit one
+    * chunk per (tile, period, band) — the same output contract as the
+    * generator form, so E3/E1 are unchanged. `localizeUrl` maps the
+    * protocol's object-store URL to a reachable one (tests: a file://
+    * fixture tree laid out like the bucket; production: identity or a
+    * signing rewrite). Scenes are one chunk tile per file at this scale;
+    * bigger scenes would chunk each band plane here instead of requiring
+    * equality. */
+  def ingestSceneTiffs(spark: SparkSession, cfg: Config, grid: DataFrame,
+                       existingUrls: DataFrame, localizeUrl: Column => Column,
+                       workdir: String): DataFrame = {
+    import spark.implicits._
+    val required = ScenePlanner.requiredScenes(spark, grid, cfg.query, cfg.times, cfg.dataset)
+    val missing = Incremental.missing(required, existingUrls, "url")
+      .select($"tile_id", $"url",
+        graft.time.TemporalGrid.datetimeToPeriod($"datetime").as("period"))
+      .withColumn("src", localizeUrl($"url"))
+    val fetched = graft.ops.Fetch.fetchToDir(missing, "src", workdir)()
+    val px = cfg.chunkPx
+    missing.join(fetched.select($"url".as("src"), $"dest"), Seq("src"))
+      .select($"tile_id", $"period", $"dest").distinct()
+      .as[(String, Long, String)]
+      .flatMap { case (tile, period, dest) =>
+        val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(dest))
+        val fi = graft.raster.GeoTiff.info(bytes)
+        require(fi.width == px && fi.height == px,
+          s"scene tile must be ${px}x$px, got ${fi.width}x${fi.height}")
+        (0 until fi.bands).map(b => (tile, period, b, graft.raster.GeoTiff.readBand(bytes, b)))
+      }
+      .toDF("tile_id", "period", "band", "data")
+  }
+
   /** Full E1∘E2∘E3 run; returns the reopened store as a chunk table plus
     * the planned regions (the unit of downstream parallel work). */
   def run(spark: SparkSession, cfg: Config): (Dataset[ChunkRow], GridDef, Seq[Region]) = {
@@ -160,6 +195,22 @@ object MosaicPipeline {
     val grid = Envelopes.tileGrid(spark, cfg.query)
     val noExisting = Seq.empty[String].toDF("url")
     val scenes = ingestScenes(spark, cfg, grid, noExisting)
+    val features = buildFeatures(spark, cfg, grid, scenes)
+    val (gridDef, regions) = buildMosaic(spark, cfg, grid, features)
+    (ArrayStore.read(spark, cfg.storeRoot), gridDef, regions)
+  }
+
+  /** Full run over REAL raster files: scene .tifs under `srcRoot` (laid
+    * out as the URL path, host dropped — Fetch.destRel), fetched into
+    * `workdir`, decoded, then the standard E3→E1. */
+  def runFromTiffs(spark: SparkSession, cfg: Config, srcRoot: String,
+                   workdir: String): (Dataset[ChunkRow], GridDef, Seq[Region]) = {
+    import spark.implicits._
+    val grid = Envelopes.tileGrid(spark, cfg.query)
+    val noExisting = Seq.empty[String].toDF("url")
+    val localize = (u: Column) => concat(lit("file://" + srcRoot + "/"),
+      regexp_replace(u, "^[a-z0-9]+://[^/]+/", ""))
+    val scenes = ingestSceneTiffs(spark, cfg, grid, noExisting, localize, workdir)
     val features = buildFeatures(spark, cfg, grid, scenes)
     val (gridDef, regions) = buildMosaic(spark, cfg, grid, features)
     (ArrayStore.read(spark, cfg.storeRoot), gridDef, regions)

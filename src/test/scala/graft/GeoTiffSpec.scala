@@ -1,0 +1,66 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.raster.{GeoTiff, GeoTiffWriter}
+
+class GeoTiffSpec extends AnyFunSuite {
+
+  private def band(w: Int, h: Int, seed: Int): Array[Float] =
+    Array.tabulate(w * h)(i => (seed * 1000 + i).toFloat / 7f)
+
+  test("writer->reader round-trip: single band, single tile") {
+    val (w, h) = (16, 16)
+    val b0 = band(w, h, 1)
+    val bytes = GeoTiffWriter.write(w, h, Seq(b0),
+      pixelScale = (0.25, 0.25), tiepoint = (-3.5, 43.8), nodata = Some(Double.NaN))
+    val fi = GeoTiff.info(bytes)
+    assert(fi.width == w && fi.height == h && fi.bands == 1)
+    assert(fi.bits == 32 && fi.sampleFormat == 3 && fi.compression == 8)
+    assert(fi.pixelScale.contains((0.25, 0.25)))
+    assert(fi.tiepoint.contains((-3.5, 43.8)))
+    assert(fi.nodata.exists(_.isNaN))
+    assert(GeoTiff.readBand(bytes, 0).toSeq == b0.toSeq)
+  }
+
+  test("round-trip: multi-band interleaved, multiple tiles, edge padding") {
+    val (w, h) = (40, 24) // 256-cap -> tile 48x32? no: min(256, ceil16) = 48/32 -> single tile
+    val bands = Seq(band(w, h, 1), band(w, h, 2), band(w, h, 3))
+    val bytes = GeoTiffWriter.write(w, h, bands, tileSize = 16) // 3x2 tile grid, edge pads
+    val fi = GeoTiff.info(bytes)
+    assert(fi.bands == 3 && fi.tileW == 16 && fi.tileH == 16)
+    assert(fi.tilesAcross == 3 && fi.tilesDown == 2)
+    for (b <- 0 until 3)
+      assert(GeoTiff.readBand(bytes, b).toSeq == bands(b).toSeq, s"band $b")
+  }
+
+  test("reader handles big-endian and striped layouts") {
+    // hand-build a tiny big-endian striped uncompressed uint8 TIFF:
+    // 4x2, strips of 1 row — exercises the non-tiled + MM + int paths
+    val bb = java.nio.ByteBuffer.allocate(256).order(java.nio.ByteOrder.BIG_ENDIAN)
+    bb.put('M'.toByte).put('M'.toByte).putShort(42).putInt(8)
+    bb.position(8); bb.putShort(8)
+    def entry(tag: Int, typ: Int, count: Int, value: Int): Unit = {
+      bb.putShort(tag.toShort).putShort(typ.toShort).putInt(count)
+      if (typ == 3) { bb.putShort(value.toShort); bb.putShort(0) } else bb.putInt(value)
+    }
+    entry(256, 4, 1, 4); entry(257, 4, 1, 2)   // 4x2
+    entry(258, 3, 1, 8); entry(259, 3, 1, 1)   // uint8, uncompressed
+    entry(273, 4, 2, 0)                        // strip offsets -> ext at 120
+    entry(277, 3, 1, 1); entry(278, 4, 1, 1)   // 1 band, 1 row/strip
+    entry(279, 4, 2, 0)                        // strip byte counts -> ext at 128
+    bb.putInt(0) // next IFD
+    // patch the two external arrays
+    val so = bb.position()
+    bb.putInt(140).putInt(144) // strip offsets
+    val sc = bb.position()
+    bb.putInt(4).putInt(4)
+    // rewrite entries 273/279 value slots to the ext offsets
+    bb.putInt(10 + 4 * 12 + 8, so) // 5th entry (273) value slot
+    bb.putInt(10 + 7 * 12 + 8, sc) // 8th entry (279) value slot
+    bb.position(140); bb.put(Array[Byte](1, 2, 3, 4, 5, 6, 7, 8))
+    val fi = GeoTiff.info(bb.array())
+    assert(fi.width == 4 && fi.height == 2 && fi.tileW == 4 && fi.tileH == 1)
+    assert(GeoTiff.readBand(bb.array(), 0).toSeq ==
+      Seq(1f, 2f, 3f, 4f, 5f, 6f, 7f, 8f))
+  }
+}

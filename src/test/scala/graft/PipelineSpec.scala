@@ -65,4 +65,43 @@ class PipelineSpec extends AnyFunSuite with SparkSpecBase {
     val r = cube.filter(c => c.band == 1 && c.cy == 0 && c.cx == 1).collect().head
     assert(r.data.length == 16 && !r.data(0).isNaN)
   }
+
+  test("real-raster ingest (GeoTIFF fixtures) produces the same store as the generator") {
+    import org.apache.spark.sql.functions.col
+    import graft.plan.ScenePlanner
+    import graft.raster.GeoTiffWriter
+    val px = 4; val nBands = 8 // 7 feature bands + QA
+    val cfg0 = MosaicPipeline.Config(query, Seq(t0), AnnualMeanDataset,
+      java.nio.file.Files.createTempDirectory("graft-pipe-gen").toString, chunkPx = px)
+
+    // lay out one .tif per required scene under srcRoot, path = URL path,
+    // pixels = exactly what the generator would synthesize
+    val srcRoot = java.nio.file.Files.createTempDirectory("graft-tif-src").toString
+    val grid = graft.geo.Envelopes.tileGrid(spark, query)
+    val scenes = ScenePlanner.requiredScenes(spark, grid, query, Seq(t0), AnnualMeanDataset)
+      .select(col("tile_id"), col("url"),
+        graft.time.TemporalGrid.datetimeToPeriod(col("datetime")).as("period"))
+      .collect()
+    assert(scenes.nonEmpty)
+    scenes.foreach { r =>
+      val (tile, url, period) = (r.getString(0), r.getString(1), r.getLong(2))
+      val bands = (0 until nBands).map(b =>
+        Array.tabulate(px * px)(c => MosaicPipeline.pixel(tile, period, b, c, nBands)))
+      val dst = java.nio.file.Paths.get(srcRoot, graft.ops.Fetch.destRel(url))
+      java.nio.file.Files.createDirectories(dst.getParent)
+      java.nio.file.Files.write(dst,
+        GeoTiffWriter.write(px, px, bands, nodata = Some(Double.NaN)))
+    }
+
+    val (cubeGen, _, _) = MosaicPipeline.run(spark, cfg0)
+    val cfgTif = cfg0.copy(storeRoot =
+      java.nio.file.Files.createTempDirectory("graft-pipe-tif").toString)
+    val work = java.nio.file.Files.createTempDirectory("graft-tif-work").toString
+    val (cubeTif, _, _) = MosaicPipeline.runFromTiffs(spark, cfgTif, srcRoot, work)
+
+    val a = cubeGen.collect().map(r => (r.time, r.band, r.cy, r.cx) -> r.data.toSeq).toMap
+    val b = cubeTif.collect().map(r => (r.time, r.band, r.cy, r.cx) -> r.data.toSeq).toMap
+    assert(a.keySet == b.keySet)
+    a.foreach { case (k, v) => assert(v == b(k), s"chunk $k diverges") }
+  }
 }
