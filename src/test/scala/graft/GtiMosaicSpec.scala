@@ -1,0 +1,80 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.raster.{GeoTiffWriter, GtiMosaic}
+
+/** GTI manifest contract: metadata round-trips from the sidecar alone (no
+  * tile probing), envelope pruning is an index predicate, and assembly is
+  * last-valid-pixel-wins in manifest order with per-file resample. */
+class GtiMosaicSpec extends AnyFunSuite with SparkSpecBase {
+  import spark.implicits._
+
+  private val meta = GtiMosaic.Meta("Float32", Double.NaN,
+    0.0, 0.0, 10.0, 10.0, 1.0, 1.0, 1, "nearest", "EPSG:4326")
+
+  // A: 6x6 res-1 at (0,10), all 1s. B: 12x8 res-0.5 over x[4,10) y[6,10),
+  // all 2s except a NaN block at its left edge (x in [4,5), all rows).
+  private def buildFixtures(dir: String): Unit = {
+    val a = Array.fill(36)(1.0f)
+    Files.write(Paths.get(dir, "a.tif"), GeoTiffWriter.write(6, 6, Seq(a),
+      pixelScale = (1.0, 1.0), tiepoint = (0.0, 10.0), nodata = Some(Double.NaN)))
+    val b = Array.tabulate(12 * 8) { i =>
+      val c = i % 12
+      if (c < 2) Float.NaN else 2.0f // cols 0-1 = x in [4,5): nodata
+    }
+    Files.write(Paths.get(dir, "b.tif"), GeoTiffWriter.write(12, 8, Seq(b),
+      pixelScale = (0.5, 0.5), tiepoint = (4.0, 10.0), nodata = Some(Double.NaN)))
+  }
+
+  private def writeManifest(dir: String, dst: String): Unit = {
+    val index = Seq(
+      ("s3://mosaic.fixtures/" + "a.tif", 0.0, 4.0, 6.0, 10.0),
+      ("s3://mosaic.fixtures/" + "b.tif", 4.0, 6.0, 10.0, 10.0))
+      .toDF("location", "minx", "miny", "maxx", "maxy")
+    GtiMosaic.write(index.coalesce(1), dst, meta)
+  }
+
+  test("metadata + index round-trip from manifest only; locations are VSI") {
+    val dst = Files.createTempDirectory("graft-gti").toString
+    writeManifest(Files.createTempDirectory("none").toString, dst)
+    val m = GtiMosaic.readMeta(dst)
+    assert(m.dataType == "Float32" && m.nodata.isNaN && m.bandCount == 1)
+    assert((m.minx, m.miny, m.maxx, m.maxy) == ((0.0, 0.0, 10.0, 10.0)))
+    assert(m.resx == 1.0 && m.nX == 10 && m.nY == 10)
+    // no tile file exists anywhere — metadata and index still fully read
+    val idx = GtiMosaic.readIndex(spark, dst).orderBy("seq").collect()
+    assert(idx.length == 2)
+    assert(idx.map(_.getAs[String]("location")).toSeq ==
+      Seq("/vsis3/mosaic.fixtures/a.tif", "/vsis3/mosaic.fixtures/b.tif"))
+    // envelope pruning keeps only intersecting tiles
+    assert(GtiMosaic.readIndex(spark, dst, Some((0.0, 4.0, 3.0, 10.0))).count() == 1)
+  }
+
+  test("assembly: last valid pixel wins in manifest order, per-file resample") {
+    val fix = Files.createTempDirectory("graft-gti-fix").toString
+    buildFixtures(fix)
+    val dst = Files.createTempDirectory("graft-gti2").toString
+    writeManifest(fix, dst)
+    val localize = (loc: String) =>
+      Paths.get(fix, loc.split('/').last).toString
+    val chunks = GtiMosaic.assemble(spark, dst, band = 0, chunkPx = 5)(localize)
+      .collect().map(r => (r.cy, r.cx) -> r.data).toMap
+    assert(chunks.keySet == Set((0, 0), (0, 1), (1, 0), (1, 1)))
+    def at(gx: Int, gy: Int): Float = { // gy from top
+      val c = chunks((gy / 5, gx / 5))
+      c((gy % 5) * 5 + (gx % 5))
+    }
+    assert(at(1, 1) == 1.0f)   // A only
+    assert(at(5, 1) == 2.0f)   // overlap x=5.5,y top: B wins over A
+    assert(at(4, 2) == 1.0f)   // overlap but B nodata at x in [4,5): A shows
+    assert(at(8, 1) == 2.0f)   // B only
+    assert(at(8, 8).isNaN)     // uncovered (below both)
+    assert(at(1, 5) == 1.0f)   // A's bottom row (y = 4.5)
+    assert(at(1, 7).isNaN)     // below A's extent
+    // envelope-restricted assembly prunes to the intersecting chunk(s)
+    val sub = GtiMosaic.assemble(spark, dst, 0, 5, Some((0.5, 5.5, 4.0, 9.5)))(localize)
+      .collect()
+    assert(sub.map(r => (r.cy, r.cx)).toSet == Set((0, 0)))
+  }
+}
