@@ -70,3 +70,58 @@ object NearestCentroid {
   def nearest(vec: Column, centroids: Array[Array[Float]]): Column =
     Bridge.column(NearestCentroid(Bridge.expression(vec), centroids))
 }
+
+/** Top-`n` centroid ids by descending DOT PRODUCT (IVF cell assignment and
+  * probe-list in one fused loop — replaces the per-row UDFs that
+  * serialized a broadcast read per batch). Ties keep ascending id order,
+  * matching the stable `sortBy(-score)` of the UDF form it replaces.
+  * Unlike [[NearestCentroid]] this scores raw dot (the IVF index's metric
+  * on its unnormalized k-means centroids), not cosine. */
+case class NearestCells(child: Expression, centroids: Array[Array[Float]], n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_nearest_cells expects ARRAY<FLOAT>, got ${other.sql}")
+  }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val x = input.asInstanceOf[ArrayData]
+    val len = x.numElements()
+    val scores = new Array[Double](centroids.length)
+    var c = 0
+    while (c < centroids.length) {
+      val ct = centroids(c)
+      val m = math.min(len, ct.length)
+      var d = 0.0; var i = 0
+      while (i < m) { d += x.getFloat(i).toDouble * ct(i).toDouble; i += 1 }
+      scores(c) = d
+      c += 1
+    }
+    val k = math.min(n, centroids.length)
+    val picked = new Array[Int](k)
+    val used = new Array[Boolean](centroids.length)
+    var j = 0
+    while (j < k) {
+      var best = -1; var bd = Double.NegativeInfinity
+      var i = 0
+      while (i < centroids.length) {
+        if (!used(i) && scores(i) > bd) { bd = scores(i); best = i }
+        i += 1
+      }
+      used(best) = true; picked(j) = best
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(picked)
+  }
+
+  override protected def withNewChildInternal(c: Expression): NearestCells =
+    copy(child = c)
+}
+
+object NearestCells {
+  def topCells(vec: Column, centroids: Array[Array[Float]], n: Int): Column =
+    Bridge.column(NearestCells(Bridge.expression(vec), centroids, n))
+}

@@ -23,7 +23,8 @@ object IvfIndex {
   final case class Index(centroids: Array[(Int, Array[Float])], assigned: DataFrame)
 
   /** Build: cluster on a (deterministic) sample, assign every row to its
-    * cell via the native dot product (cosine on normalized data). */
+    * cell via the native top-cells expression (no per-row UDF — the
+    * centroid table rides in the plan, one fused JVM loop per row). */
   def build(emb: DataFrame, id: String, vec: String, nCells: Int,
             seed: Long = 42L): Index = {
     val spark = emb.sparkSession
@@ -36,38 +37,20 @@ object IvfIndex {
       .fit(train)
     val centroids = model.clusterCenters.zipWithIndex
       .map { case (c, i) => i -> c.toArray.map(_.toFloat) }
-    val bc = spark.sparkContext.broadcast(centroids)
-    val assignUdf = udf { (a: Seq[Float]) =>
-      val arr = a.toArray
-      var best = -1; var bestD = Double.MinValue
-      bc.value.foreach { case (i, c) =>
-        var d = 0.0; var j = 0
-        while (j < arr.length) { d += arr(j) * c(j); j += 1 }
-        if (d > bestD) { bestD = d; best = i }
-      }
-      best
-    }
-    Index(centroids, emb.withColumn("__cell", assignUdf(col(vec))))
+    val cents = centroids.map(_._2)
+    Index(centroids, emb.withColumn("__cell",
+      element_at(graft.functions.NearestCells.topCells(col(vec), cents, 1), 1)))
   }
 
   /** Query: probe the nProbe nearest cells per query vector, exact-rank
     * members by cosine. */
   def knn(index: Index, id: String, vec: String,
           queryPred: org.apache.spark.sql.Column, k: Int, nProbe: Int): DataFrame = {
-    val spark = index.assigned.sparkSession
-    val cents = index.centroids
-    val bc = spark.sparkContext.broadcast(cents)
-    val probeUdf = udf { (a: Seq[Float]) =>
-      val arr = a.toArray
-      bc.value.map { case (i, c) =>
-        var d = 0.0; var j = 0
-        while (j < arr.length) { d += arr(j) * c(j); j += 1 }
-        (i, d)
-      }.sortBy(-_._2).take(nProbe).map(_._1)
-    }
+    val cents = index.centroids.map(_._2)
     val q = index.assigned.filter(queryPred)
       .select(col(id).as("qid"), col(vec).as("qv"),
-        explode(probeUdf(col(vec))).as("__cell"))
+        explode(graft.functions.NearestCells.topCells(col(vec), cents, nProbe))
+          .as("__cell"))
     val cands = index.assigned
       .select(col(id).as("cid"), col(vec).as("cv"), col("__cell"))
       .join(q, Seq("__cell"))

@@ -62,10 +62,22 @@ object SimilarityQueries {
       .orderBy($"qid", $"rank")
   }
 
+  /** q40: IVF ANN top-5 (16 k-means cells, 4 probed) — the write-time-
+    * partitioned scale path. Approximate like q32: rows-only check, recall
+    * vs brute force spec-asserted (IvfSpec). */
+  def q40KnnIvf(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val idx = graft.ops.IvfIndex.build(embeddings(s, d), "vec_id", "embedding", nCells = 16)
+    graft.ops.IvfIndex.knn(idx, "vec_id", "embedding", $"vec_id" < 20, k = 5, nProbe = 4)
+      .select($"qid", $"rank".cast("bigint").as("rank"), $"cid", $"cos")
+      .orderBy($"qid", $"rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_embedding_neardup" -> (q30NearDup _),
     "q31_knn_brute"         -> (q31KnnBrute _),
     "q32_knn_lsh"           -> (q32KnnLsh _),
+    "q40_knn_ivf"           -> (q40KnnIvf _),
   )
 
   val oracles: Map[String, String] = Map(
