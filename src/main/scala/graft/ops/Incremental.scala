@@ -22,19 +22,21 @@ object Incremental {
   /** A8: per-partition existence probe with one client per partition —
     * the Spark shape of the reference's 16-worker dask `urls_exists`
     * (datasets/utils.py:154-178). `probe` must be serializable and is
-    * instantiated once per partition, not per row. */
+    * instantiated once per partition, not per row. Dataset mapPartitions
+    * with an explicit Row encoder — no RDD round-trip, so the plan keeps
+    * its schema/lineage and stays inside the SQL engine. */
   def withExists(df: DataFrame, urlCol: String)
                 (probeFactory: () => String => Boolean): DataFrame = {
-    val spark = df.sparkSession
-    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.{Encoder, Row}
+    import org.apache.spark.sql.catalyst.encoders.RowEncoder
     import org.apache.spark.sql.types._
     val schema = df.schema.add(StructField("exists", BooleanType, nullable = false))
     val idx = df.schema.fieldIndex(urlCol)
-    val rdd = df.rdd.mapPartitions { it =>
+    implicit val enc: Encoder[Row] = RowEncoder.encoderFor(schema)
+    df.mapPartitions { it =>
       val probe = probeFactory()
       it.map(r => Row.fromSeq(r.toSeq :+ probe(r.getString(idx))))
     }
-    spark.createDataFrame(rdd, schema)
   }
 
   /** Convenience: deterministic-output memoization — keep only work units
