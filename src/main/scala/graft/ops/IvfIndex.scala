@@ -26,15 +26,18 @@ object IvfIndex {
     * cell via the native top-cells expression (no per-row UDF — the
     * centroid table rides in the plan, one fused JVM loop per row). */
   def build(emb: DataFrame, id: String, vec: String, nCells: Int,
-            seed: Long = 42L): Index = {
+            seed: Long = 42L, trainCap: Int = 65536): Index = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val train = emb.select(col(vec)).as[Array[Float]]
+    // centroid training is bounded by design: at 100 TB the fit runs on a
+    // capped sample (centroid quality needs representativeness, not the
+    // full corpus), while ASSIGNMENT below is distributed over everything
+    val train = emb.select(col(vec)).limit(trainCap).as[Array[Float]]
       .map(a => org.apache.spark.ml.feature.LabeledPoint(0.0,
         Vectors.dense(a.map(_.toDouble))))
       .toDF()
-    val model = new KMeans().setK(nCells).setSeed(seed).setFeaturesCol("features")
-      .fit(train)
+    val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(10)
+      .setFeaturesCol("features").fit(train)
     val centroids = model.clusterCenters.zipWithIndex
       .map { case (c, i) => i -> c.toArray.map(_.toFloat) }
     val cents = centroids.map(_._2)

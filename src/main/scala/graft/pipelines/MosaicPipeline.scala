@@ -188,6 +188,42 @@ object MosaicPipeline {
       .toDF("tile_id", "period", "band", "data")
   }
 
+  /** S6 (real form): write each (tile, time) feature group as a tiled
+    * float32 GeoTIFF at its deterministic output path — the engine twin of
+    * the reference's COG-ify + upload (scene_urls_to_cog,
+    * datasets/utils.py:140-151; deterministic URL = F5 memoization key).
+    * One file per task element inside foreachPartition, temp + atomic
+    * rename, existing outputs skipped — the same idempotence contract as
+    * every other sink here. Returns nothing; reopen with GeoTiff. */
+  def writeFeatureCogs(features: DataFrame, outRoot: String, px: Int,
+                       nodata: Double = Double.NaN): Unit = {
+    import features.sparkSession.implicits._
+    features
+      .groupBy($"tile_id", $"time")
+      .agg(sort_array(collect_list(struct($"band", $"data"))).as("bands"))
+      .select($"tile_id", date_format($"time", "yyyyMMdd").as("ymd"), $"bands")
+      .as[(String, String, Seq[(Int, Array[Float])])]
+      .foreachPartition { (it: Iterator[(String, String, Seq[(Int, Array[Float])])]) =>
+        it.foreach { case (tile, ymd, bands) =>
+          val dst = java.nio.file.Paths.get(outRoot, "features", tile, s"$ymd.tif")
+          if (!java.nio.file.Files.exists(dst)) {
+            java.nio.file.Files.createDirectories(dst.getParent)
+            val bytes = graft.raster.GeoTiffWriter.write(px, px,
+              bands.map(_._2), nodata = Some(nodata))
+            val tmp = dst.resolveSibling(
+              s".${dst.getFileName}.${java.util.UUID.randomUUID}.tmp")
+            java.nio.file.Files.write(tmp, bytes)
+            try java.nio.file.Files.move(tmp, dst,
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+            catch { // concurrent retry already landed the same bytes
+              case _: java.nio.file.FileAlreadyExistsException =>
+                java.nio.file.Files.delete(tmp)
+            }
+          }
+        }
+      }
+  }
+
   /** Full E1∘E2∘E3 run; returns the reopened store as a chunk table plus
     * the planned regions (the unit of downstream parallel work). */
   def run(spark: SparkSession, cfg: Config): (Dataset[ChunkRow], GridDef, Seq[Region]) = {

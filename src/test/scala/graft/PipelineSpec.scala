@@ -66,6 +66,42 @@ class PipelineSpec extends AnyFunSuite with SparkSpecBase {
     assert(r.data.length == 16 && !r.data(0).isNaN)
   }
 
+  test("feature COG sink writes reopenable tifs at deterministic paths, idempotently") {
+    import org.apache.spark.sql.functions.col
+    val store = java.nio.file.Files.createTempDirectory("graft-pipe-cog").toString
+    val cfg = MosaicPipeline.Config(query, Seq(t0), AnnualMeanDataset, store, chunkPx = 4)
+    val grid = graft.geo.Envelopes.tileGrid(spark, query)
+    val scenes = MosaicPipeline.ingestScenes(spark, cfg, grid,
+      spark.emptyDataFrame.selectExpr("'x' as url").limit(0))
+    val features = MosaicPipeline.buildFeatures(spark, cfg, grid, scenes)
+    val outRoot = java.nio.file.Files.createTempDirectory("graft-cogs").toString
+    MosaicPipeline.writeFeatureCogs(features, outRoot, px = 4)
+    val expected = features.collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getInt(2)) -> r.getSeq[Float](3))
+      .toMap
+    assert(expected.nonEmpty)
+    // reopen one tile's file and compare every band plane
+    val (tile, time, _) = expected.keySet.head
+    val ymd = new java.text.SimpleDateFormat("yyyyMMdd").format(time)
+    val path = java.nio.file.Paths.get(outRoot, "features", tile, s"$ymd.tif")
+    assert(java.nio.file.Files.exists(path), path.toString)
+    val bytes = java.nio.file.Files.readAllBytes(path)
+    val fi = graft.raster.GeoTiff.info(bytes)
+    assert(fi.bands == 7 && fi.width == 4 && fi.nodata.exists(_.isNaN))
+    for (b <- 0 until fi.bands) {
+      val got = graft.raster.GeoTiff.readBand(bytes, b).toSeq
+      val want = expected((tile, time, b)).toSeq
+      // NaN-tolerant elementwise compare
+      got.zip(want).foreach { case (g, w) =>
+        assert((g.isNaN && w.isNaN) || g == w, s"band $b")
+      }
+    }
+    // idempotent rerun leaves mtimes unchanged
+    val mtime = java.nio.file.Files.getLastModifiedTime(path)
+    MosaicPipeline.writeFeatureCogs(features, outRoot, px = 4)
+    assert(java.nio.file.Files.getLastModifiedTime(path) == mtime)
+  }
+
   test("real-raster ingest (GeoTIFF fixtures) produces the same store as the generator") {
     import org.apache.spark.sql.functions.col
     import graft.plan.ScenePlanner
