@@ -6,6 +6,12 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
+/** Open-session state for [[Sessionize.stateful]]. Top level: the state
+  * store's codegen'd encoder cannot reference a case class nested inside
+  * an object (observed Janino failure resolving member accessors). */
+private[graft] final case class SessState(
+    sessionId: Long, lastMicros: Long, startMicros: Long, n: Long)
+
 /** Sessionization — gap-based event sessions per user.
   *
   * Two implementations with identical semantics:
@@ -40,8 +46,6 @@ object Sessionize {
         min(col("ts")).as("start_ts"), max(col("ts")).as("end_ts"))
   }
 
-  private case class SessState(sessionId: Long, lastMicros: Long,
-                               startMicros: Long, n: Long)
 
   /** Streaming sessionization over a user-keyed stream.
     *

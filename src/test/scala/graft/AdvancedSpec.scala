@@ -55,4 +55,28 @@ class AdvancedSpec extends AnyFunSuite with SparkSpecBase {
     assert(closedOnly.subsetOf(batch), s"diverge: ${(closedOnly -- batch).take(3)}")
     assert(closedOnly.size < flushed.size)
   }
+
+  test("stateful sessionization runs as a REAL stream and matches the batch closed set") {
+    import org.apache.spark.sql.functions._
+    val schema = Tables.load(spark, sfSmoke, "events").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(sfSmoke)
+      .withColumn("ts_conv", timestamp_micros(expr("ts div 1000")))
+      .select($"user_id", $"ts_conv").as[(Long, java.sql.Timestamp)]
+    val name = "graft_stream_sessions"
+    val q = Sessionize.stateful(stream, 30).writeStream
+      .format("memory").queryName(name).outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table(name).collect()
+      .map(r => Seq(r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getTimestamp(3), r.getTimestamp(4))).toSet
+    val ev = Tables.events(spark, sfSmoke)
+    val closedBatch = Sessionize.stateful(
+      ev.select($"user_id", $"ts").as[(Long, java.sql.Timestamp)], 30).collect()
+      .map(s => Seq[Any](s.user_id, s.session_id, s.n_events, s.start_ts, s.end_ts)).toSet
+    assert(streamed == closedBatch,
+      s"missing=${(closedBatch -- streamed).take(3)} extra=${(streamed -- closedBatch).take(3)}")
+    assert(streamed.nonEmpty)
+  }
 }

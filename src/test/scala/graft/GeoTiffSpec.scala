@@ -33,6 +33,24 @@ class GeoTiffSpec extends AnyFunSuite {
       assert(GeoTiff.readBand(bytes, b).toSeq == bands(b).toSeq, s"band $b")
   }
 
+  test("round-trip property: random sizes, band counts, tile sizes") {
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 25) {
+      val w = 1 + rnd.nextInt(70)
+      val h = 1 + rnd.nextInt(70)
+      val nb = 1 + rnd.nextInt(4)
+      val ts = Seq(16, 32, 48)(rnd.nextInt(3))
+      val bands = (0 until nb).map(b =>
+        Array.fill(w * h)(rnd.nextFloat() * 1000f - 500f))
+      val bytes = GeoTiffWriter.write(w, h, bands, tileSize = ts)
+      val fi = GeoTiff.info(bytes)
+      assert(fi.width == w && fi.height == h && fi.bands == nb, s"$w x $h x $nb @ $ts")
+      for (b <- 0 until nb)
+        assert(GeoTiff.readBand(bytes, b).toSeq == bands(b).toSeq,
+          s"band $b of $w x $h x $nb @ tile $ts")
+    }
+  }
+
   test("reader handles big-endian and striped layouts") {
     // hand-build a tiny big-endian striped uncompressed uint8 TIFF:
     // 4x2, strips of 1 row — exercises the non-tiled + MM + int paths
