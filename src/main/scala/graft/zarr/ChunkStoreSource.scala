@@ -45,8 +45,21 @@ object ChunkStoreSource {
 
   final case class Key(time: Int, band: Int, cy: Int, cx: Int)
 
+  /** Store layout detection: the raw layout keeps chunks under `c/`; a
+    * Zarr v2 store keeps them under `<var>/` beside `.zarray`, zlib-
+    * compressed to a declared full-chunk size. One source serves both, so
+    * the externally-readable Zarr format gets the same plan-time pruning. */
+  def layout(root: String): (String, Int) = {
+    if (Files.isDirectory(Paths.get(root, "c"))) (s"$root/c", 0)
+    else if (Files.exists(Paths.get(root, "data", ".zarray"))) {
+      val g = ZarrStore.readGrid(root)
+      (s"$root/data", g.chunkY * g.chunkX * 4)
+    } else (s"$root/c", 0)
+  }
+
   def listKeys(root: String): Seq[(Key, String)] = {
-    val dir = Paths.get(root, "c")
+    val (dirStr, _) = layout(root)
+    val dir = Paths.get(dirStr)
     if (!Files.isDirectory(dir)) return Seq.empty
     val s = Files.list(dir)
     try s.iterator().asScala
@@ -55,7 +68,7 @@ object ChunkStoreSource {
       .flatMap { n =>
         n.split('.') match {
           case Array(t, b, cy, cx) =>
-            Some(Key(t.toInt, b.toInt, cy.toInt, cx.toInt) -> s"$root/c/$n")
+            Some(Key(t.toInt, b.toInt, cy.toInt, cx.toInt) -> s"$dirStr/$n")
           case _ => None
         }
       }.toSeq
@@ -151,10 +164,11 @@ class ChunkScan(root: String, filters: Array[Filter], maxPartitionBytes: Long)
     * a 100 TB store at the default 128 MiB budget plans ~800k tasks (not a
     * fixed 32), while a small store still fans out to cluster width. */
   override def planInputPartitions(): Array[InputPartition] = {
+    val inflateTo = ChunkStoreSource.layout(root)._2
     val files = ChunkStoreSource.listKeys(root)
       .filter { case (k, _) => filters.forall(ChunkStoreSource.keep(_, k)) }
       .sortBy { case (k, _) => (k.time, k.band, k.cy, k.cx) }
-    if (files.isEmpty) return Array(ChunkInputPartition(Array.empty))
+    if (files.isEmpty) return Array(ChunkInputPartition(Array.empty, inflateTo))
     val sized = files.map { f =>
       (f, try Files.size(Paths.get(f._2)) catch { case _: Exception => 0L })
     }
@@ -170,28 +184,45 @@ class ChunkScan(root: String, filters: Array[Filter], maxPartitionBytes: Long)
     for ((f, sz) <- sized) {
       val cost = math.max(sz, openCost)
       if (curN > 0 && curBytes + cost > budget) {
-        parts += ChunkInputPartition(cur.result()); cur.clear(); curBytes = 0L; curN = 0
+        parts += ChunkInputPartition(cur.result(), inflateTo)
+        cur.clear(); curBytes = 0L; curN = 0
       }
       cur += f; curBytes += cost; curN += 1
     }
-    if (curN > 0) parts += ChunkInputPartition(cur.result())
+    if (curN > 0) parts += ChunkInputPartition(cur.result(), inflateTo)
     parts.result()
   }
   override def createReaderFactory(): PartitionReaderFactory = ChunkReaderFactory
 }
 
+/** `inflateTo` > 0 marks zlib-compressed (Zarr) payloads of that
+  * decompressed byte size; 0 = raw float32 files. */
 final case class ChunkInputPartition(
-    files: Array[(ChunkStoreSource.Key, String)]) extends InputPartition
+    files: Array[(ChunkStoreSource.Key, String)], inflateTo: Int = 0)
+    extends InputPartition
 
 object ChunkReaderFactory extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-    val files = p.asInstanceOf[ChunkInputPartition].files
+    val part = p.asInstanceOf[ChunkInputPartition]
+    val files = part.files
     new PartitionReader[InternalRow] {
       private var i = -1
       override def next(): Boolean = { i += 1; i < files.length }
       override def get(): InternalRow = {
         val (k, path) = files(i)
-        val bytes = Files.readAllBytes(Paths.get(path))
+        val raw = Files.readAllBytes(Paths.get(path))
+        val bytes =
+          if (part.inflateTo == 0) raw
+          else {
+            val inf = new java.util.zip.Inflater()
+            inf.setInput(raw)
+            val out = new Array[Byte](part.inflateTo)
+            var off = 0
+            while (!inf.finished() && off < out.length)
+              off += inf.inflate(out, off, out.length - off)
+            inf.end()
+            out
+          }
         val floats = new Array[Float](bytes.length / 4)
         ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
           .asFloatBuffer().get(floats)

@@ -103,36 +103,11 @@ object ZarrStore {
     }
   }
 
-  /** Reopen chunk payloads as a distributed chunk table: list keys on the
-    * driver (names only), decode zlib payloads on executors. */
+  /** Reopen the store through the DataSourceV2 chunk source — Zarr layout
+    * is auto-detected there, so key-predicate pushdown prunes zlib chunk
+    * files at plan time exactly like the raw layout (ZarrSpec asserts). */
   def read(spark: SparkSession, root: String, varName: String = "data"): Dataset[ChunkRow] = {
     import spark.implicits._
-    val g = readGrid(root, varName)
-    val dir = Paths.get(root, varName)
-    val keys = {
-      val s = Files.list(dir)
-      try s.iterator().asInstanceOf[java.util.Iterator[java.nio.file.Path]]
-        .asScala().map(_.getFileName.toString)
-        .filter(n => n.headOption.exists(_.isDigit)).toSeq
-      finally s.close()
-    }
-    val full = g.chunkY * g.chunkX
-    val dirStr = dir.toString // Path is not serializable; close over the string
-    spark.createDataset(keys).repartition(math.max(1, math.min(keys.size, 32)))
-      .map { n =>
-        val Array(t, b, cy, cx) = n.split('.').map(_.toInt)
-        val raw = inflate(Files.readAllBytes(Paths.get(dirStr, n)), full * 4)
-        val floats = new Array[Float](full)
-        ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
-          .asFloatBuffer().get(floats)
-        ChunkRow(t, b, cy, cx, floats)
-      }
-  }
-
-  private implicit class IterOps[A](it: java.util.Iterator[A]) {
-    def asScala(): Iterator[A] = new Iterator[A] {
-      def hasNext = it.hasNext
-      def next() = it.next()
-    }
+    spark.read.format("graft.zarr.ChunkStoreSource").load(root).as[ChunkRow]
   }
 }

@@ -50,6 +50,25 @@ class ZarrSpec extends AnyFunSuite with SparkSpecBase {
     assert(edge.drop(8).forall(_.isNaN))
   }
 
+  test("Zarr layout reads through DSv2 with key pushdown pruning files") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    import org.apache.spark.sql.functions.col
+    val root = freshStore()
+    val rows = for (t <- 0 to 1; cy <- 0 to 1; cx <- 0 to 1)
+      yield ChunkRow(t, 0, cy, cx, Array.fill(16)((t * 100 + cy * 10 + cx).toFloat))
+    ZarrStore.write(rows.toDS(), root)
+    val df = spark.read.format("graft.zarr.ChunkStoreSource").load(root)
+      .filter(col("time") === 1 && col("cx") === 0)
+    assert(df.count() == 2)
+    val b = df.queryExecution.sparkPlan.collect { case s: BatchScanExec => s }
+    assert(b.nonEmpty)
+    val nFiles = b.head.inputPartitions.map(
+      _.asInstanceOf[graft.zarr.ChunkInputPartition].files.length).sum
+    assert(nFiles == 2, s"pushdown should plan exactly 2 zlib files, got $nFiles")
+    val got = df.collect().map(r => r.getSeq[Float](4).head).toSet
+    assert(got == Set(100f, 110f))
+  }
+
   test("chunk files decode with plain zlib to little-endian C-order float32") {
     val root = freshStore()
     val data = Array.tabulate(16)(i => i * 1.5f)
