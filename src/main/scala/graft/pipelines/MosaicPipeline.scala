@@ -132,7 +132,10 @@ object MosaicPipeline {
       nY = lats.length * cfg.chunkPx, nX = lons.length * cfg.chunkPx,
       chunkY = cfg.chunkPx, chunkX = cfg.chunkPx, itemBytes = 4)
 
-    ArrayStore.init(cfg.storeRoot, ArrayStore.Meta(gridDef, cfg.dataset.bands))
+    // the mosaic lands in the Zarr v2 layout — the reference's own store
+    // contract (flyte/build.py:110: a store xarray reopens); the DSv2
+    // source auto-detects it, so reads/pruning are unchanged
+    graft.zarr.ZarrStore.init(cfg.storeRoot, gridDef, bands = cfg.dataset.bands)
 
     val bTile = spark.sparkContext.broadcast(tileCell)
     val bTime = spark.sparkContext.broadcast(timeIndex.map { case (k, v) => (k.getTime, v) })
@@ -148,7 +151,7 @@ object MosaicPipeline {
     val pending = chunks.toDF()
       .join(existing, Seq("time", "band", "cy", "cx"), "left_anti")
       .as[ChunkRow]
-    ArrayStore.write(pending, cfg.storeRoot)
+    graft.zarr.ZarrStore.write(pending, cfg.storeRoot)
 
     val regions = RegionPlanner.planBandRange(
       gridDef, cfg.regionBudgetBytes, 0, gridDef.nBand)

@@ -83,21 +83,12 @@ object ArrayStore {
   }
 
   /** Chunk-level existence listing for incremental writes (J3 over the
-    * store: list once, anti-join, write only missing). */
+    * store: list once, anti-join, write only missing). Layout-independent:
+    * works for the raw and Zarr v2 layouts via the source's detection. */
   def existingKeys(spark: SparkSession, root: String): Dataset[(Int, Int, Int, Int)] = {
     import spark.implicits._
-    val dir = Paths.get(root, "c")
-    val names =
-      if (Files.isDirectory(dir)) {
-        val s = Files.list(dir)
-        try s.iterator().asInstanceOf[java.util.Iterator[Path]]
-          .asScala().map(_.getFileName.toString).filterNot(_.startsWith(".")).toSeq
-        finally s.close()
-      } else Seq.empty
-    names.map { n =>
-      val Array(t, b, cy, cx) = n.split('.').map(_.toInt)
-      (t, b, cy, cx)
-    }.toDS()
+    ChunkStoreSource.listKeys(root)
+      .map { case (k, _) => (k.time, k.band, k.cy, k.cx) }.toDS()
   }
 
   /** S10: usage accounting — per top-level entry under `root`, recursive

@@ -37,14 +37,19 @@ object ZarrStore {
       """"compressor":{"id":"zlib","level":1},"fill_value":"NaN",""" +
       """"order":"C","filters":null,"dimension_separator":"."}"""
 
-  /** S8 metadata-only init: group + array metadata, no data bytes. */
-  def init(root: String, grid: GridDef, varName: String = "data"): Unit = {
+  /** S8 metadata-only init: group + array metadata, no data bytes. Band
+    * labels ride in `.zattrs` beside the xarray dimension convention. */
+  def init(root: String, grid: GridDef, varName: String = "data",
+           bands: Seq[String] = Nil): Unit = {
     val dir = Paths.get(root, varName)
     Files.createDirectories(dir)
     Files.writeString(Paths.get(root, ".zgroup"), """{"zarr_format":2}""")
     Files.writeString(dir.resolve(".zarray"), zarrayJson(grid))
-    Files.writeString(dir.resolve(".zattrs"),
-      DimNames.mkString("""{"_ARRAY_DIMENSIONS":["""", "\",\"", "\"]}"))
+    val dims = DimNames.mkString("\"_ARRAY_DIMENSIONS\":[\"", "\",\"", "\"]")
+    val labels =
+      if (bands.isEmpty) ""
+      else bands.mkString(""","band_labels":["""", "\",\"", "\"]")
+    Files.writeString(dir.resolve(".zattrs"), s"{$dims$labels}")
   }
 
   def readGrid(root: String, varName: String = "data"): GridDef = {
