@@ -62,4 +62,74 @@ object Multimodal {
       }
     }
   }
+
+  final case class ResizedImage(
+      doc_id: Long, width: Int, height: Int, pixels: Array[Byte])
+
+  /** STUB image decode: payload bytes row-major as a `width`-wide gray
+    * image (height = ceil(n / width)), zero-padded — deterministic fake in
+    * place of a JPEG/PNG codec; the resize math below is real. */
+  private[graft] def decodeImageStub(payload: Array[Byte], width: Int): (Int, Int, Array[Byte]) = {
+    val h = math.max(1, (payload.length + width - 1) / width)
+    val px = java.util.Arrays.copyOf(payload, width * h)
+    (width, h, px)
+  }
+
+  /** Image resize over binary payloads (decode stubbed, resampling real):
+    * nearest-neighbor to (outW, outH), one decoder per partition, output =
+    * typed (width, height, pixels) rows — the batch shape a production
+    * imaging codec plugs into unchanged. */
+  def resizeImages(df: DataFrame, id: String, srcWidth: Int,
+                   outW: Int, outH: Int): Dataset[ResizedImage] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val idIdx = df.schema.fieldIndex(id)
+    val payloadIdx = df.schema.fieldIndex("payload")
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val (w, h, px) = decodeImageStub(r.getAs[Array[Byte]](payloadIdx), srcWidth)
+        val out = new Array[Byte](outW * outH)
+        var y = 0
+        while (y < outH) {
+          val sy = math.min(h - 1, y * h / outH)
+          var x = 0
+          while (x < outW) {
+            val sx = math.min(w - 1, x * w / outW)
+            out(y * outW + x) = px(sy * w + sx)
+            x += 1
+          }
+          y += 1
+        }
+        ResizedImage(r.getLong(idIdx), outW, outH, out)
+      }
+    }
+  }
+
+  final case class VideoFrame(
+      doc_id: Long, frame_idx: Int, ts_ms: Long, frame: Array[Byte])
+
+  /** Video frame sampling (decode stubbed, sampling real): treat the
+    * payload as `frameBytes`-sized frames at `fps`; emit every `stride`-th
+    * frame as its own row with its timestamp — the explode-shaped op a
+    * training pipeline runs before per-frame feature extraction. Truncated
+    * trailing bytes (a partial frame) are dropped, like a real demuxer. */
+  def sampleFrames(df: DataFrame, id: String, frameBytes: Int, fps: Double,
+                   stride: Int): Dataset[VideoFrame] = {
+    require(frameBytes > 0 && stride > 0 && fps > 0)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val idIdx = df.schema.fieldIndex(id)
+    val payloadIdx = df.schema.fieldIndex("payload")
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val payload = r.getAs[Array[Byte]](payloadIdx)
+        val docId = r.getLong(idIdx)
+        val nFrames = payload.length / frameBytes
+        (0 until nFrames by stride).iterator.map { f =>
+          VideoFrame(docId, f, math.round(f * 1000.0 / fps),
+            java.util.Arrays.copyOfRange(payload, f * frameBytes, (f + 1) * frameBytes))
+        }
+      }
+    }
+  }
 }

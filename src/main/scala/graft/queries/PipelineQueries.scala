@@ -115,13 +115,50 @@ object PipelineQueries {
       |  count(*) AS n, round(sum(value), 2) AS sum_v
       |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin
 
+  /** q41: multimodal image resize — stub-decode each ASCII doc's bytes as
+    * a width-8 gray image, nearest-neighbor resize to 4×4, emit dims + an
+    * unsigned pixel checksum. The oracle replays the exact index
+    * arithmetic (sy = ⌊y·h/4⌋ capped, sx = ⌊x·8/4⌋ capped, zero padding)
+    * over code points, so the resample math itself is hash-checked. */
+  def q41Resize(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ascii = documents(s, d)
+      .filter(octet_length($"text") === length($"text") && length($"text") > 0)
+    val media = Multimodal.withPayload(ascii, "text")
+    Multimodal.resizeImages(media, "doc_id", srcWidth = 8, outW = 4, outH = 4)
+      .map(r => (r.doc_id, r.width.toLong, r.height.toLong,
+        r.pixels.foldLeft(0L)((acc, b) => acc + (b & 0xff))))
+      .toDF("doc_id", "width", "height", "checksum")
+      .orderBy($"doc_id")
+  }
+
+  val q41Sql: String =
+    s"""WITH b AS (SELECT doc_id,
+       |    list_transform(split(text, ''), x -> ascii(x)) AS bytes,
+       |    octet_length(encode(text)) AS n
+       |  FROM documents
+       |  WHERE octet_length(encode(text)) = length(text) AND length(text) > 0),
+       |dims AS (SELECT doc_id, bytes, n,
+       |    greatest(1, (n + 7) // 8) AS h FROM b),
+       |px AS (SELECT doc_id,
+       |    coalesce(bytes[least(h - 1, (y * h) // 4) * 8
+       |      + least(7, (x * 8) // 4) + 1], 0) AS v
+       |  FROM dims
+       |  CROSS JOIN generate_series(0, 3) g1(y)
+       |  CROSS JOIN generate_series(0, 3) g2(x))
+       |SELECT doc_id, CAST(4 AS BIGINT) AS width, CAST(4 AS BIGINT) AS height,
+       |  CAST(sum(v) AS BIGINT) AS checksum
+       |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q33_multimodal"    -> (q33Multimodal _),
     "q34_stream_window" -> (q34StreamWindow _),
+    "q41_resize"        -> (q41Resize _),
   )
 
   val oracles: Map[String, String] = Map(
     "q33_multimodal"    -> q33Sql,
     "q34_stream_window" -> q34Sql,
+    "q41_resize"        -> q41Sql,
   )
 }
