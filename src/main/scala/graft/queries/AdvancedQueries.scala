@@ -136,11 +136,30 @@ object AdvancedQueries {
        |FROM (SELECT $row AS row_hash FROM lineitem)""".stripMargin
   }
 
+  /** q42: skew-mitigated aggregation (O2) — two-phase salted sum/count by
+    * l_returnflag (3 hot keys over all rows: worst-case skew for a plain
+    * groupBy). The salt breaks each key across 16 reducers; sum/count are
+    * algebraic, so the oracle is the PLAIN group-by — identical results
+    * prove the rewrite is semantics-preserving. */
+  def q42SaltedAgg(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.ops.Rebalance.saltedSumCount(
+        lineitem(s, d), Seq("l_returnflag"), "l_quantity")
+      .select($"l_returnflag", round($"sum_l_quantity", 2).as("sum_qty"), $"n")
+      .orderBy($"l_returnflag")
+  }
+
+  val q42Sql: String =
+    """SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty,
+      |  count(*) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q35_knn_native"    -> (q35KnnNative _),
     "q36_sessionize"    -> (q36Sessionize _),
     "q37_size_batching" -> (q37SizeBatching _),
     "q38_table_hash"    -> (q38TableHash _),
+    "q42_salted_agg"    -> (q42SaltedAgg _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -148,5 +167,6 @@ object AdvancedQueries {
     "q36_sessionize"    -> q36Sql,
     "q37_size_batching" -> q37Sql,
     "q38_table_hash"    -> q38Sql,
+    "q42_salted_agg"    -> q42Sql,
   )
 }
