@@ -93,6 +93,35 @@ class DedupSpec extends AnyFunSuite with SparkSpecBase {
     }
   }
 
+  test("fused shingles equal staged-HOF forms on multi-byte unicode text") {
+    import graft.functions.TextFunctions._
+    import graft.functions.ShingleExpressions._
+    val texts = Seq(
+      "Crème BRÛLÉE crème brûlée Tôt ou tard",
+      "ÇA VA ça va straße STRASSE grüßen",
+      "日本語 テスト 形態素 解析 テスト 日本語 です",
+      "mixed ASCII und Ümlaute ößß 日本 text here",
+      "İstanbul i̇ dotted capital I edge",
+      "emoji 😀 test 😀 emoji words between 😀 here")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val df = texts.toDF("doc_id", "text")
+    val fused = df.orderBy($"doc_id")
+      .select(wordShingles($"text", 3), wordShingleHashes($"text", 3))
+      .collect()
+    val staged = df.orderBy($"doc_id")
+      .select(tokens($"text").as("ws"))
+      .select(shingles($"ws", 3).as("sh"))
+      .select(when(size($"sh") >= 1, $"sh").as("sh"),
+        array_distinct(transform($"sh", s => polyHash(s))).as("hs"))
+      .collect()
+    fused.zip(staged).foreach { case (f, s) =>
+      val fSh = if (f.isNullAt(0)) null else f.getSeq[String](0)
+      val sSh = if (s.isNullAt(0)) null else s.getSeq[String](0)
+      assert(fSh == sSh, s"shingles diverge: $fSh vs $sSh")
+      assert(f.getSeq[Long](1) == s.getSeq[Long](1))
+    }
+  }
+
   test("cluster-pruned near-dup pairs equal the all-pairs brute form exactly") {
     val emb = Tables.embeddings(spark, sfSmoke)
     val key = (r: org.apache.spark.sql.Row) =>

@@ -77,4 +77,28 @@ class GtiMosaicSpec extends AnyFunSuite with SparkSpecBase {
       .collect()
     assert(sub.map(r => (r.cy, r.cx)).toSet == Set((0, 0)))
   }
+
+  test("assembly: multiband tiles and numeric (non-NaN) nodata semantics") {
+    val fix = Files.createTempDirectory("graft-gti-mb").toString
+    // one 4x4 two-band tile at (0,10); band 1 uses numeric nodata -99:
+    // cells where band1 == -99 must stay at the mosaic fill (NaN)
+    val b0 = Array.tabulate(16)(i => 10f + i)
+    val b1 = Array.tabulate(16)(i => if (i % 2 == 0) -99f else 50f + i)
+    Files.write(Paths.get(fix, "mb.tif"), GeoTiffWriter.write(4, 4, Seq(b0, b1),
+      pixelScale = (1.0, 1.0), tiepoint = (0.0, 10.0), nodata = Some(-99.0)))
+    val dst = Files.createTempDirectory("graft-gti-mb-dst").toString
+    val meta2 = meta.copy(maxx = 4.0, miny = 6.0, bandCount = 2, nodata = -99.0)
+    GtiMosaic.write(
+      Seq(("s3://mosaic.fixtures/mb.tif", 0.0, 6.0, 4.0, 10.0))
+        .toDF("location", "minx", "miny", "maxx", "maxy"),
+      dst, meta2)
+    val localize = (loc: String) => Paths.get(fix, loc.split('/').last).toString
+    val band0 = GtiMosaic.assemble(spark, dst, 0, 4)(localize).collect().head.data
+    assert(band0.toSeq == b0.toSeq)
+    val band1 = GtiMosaic.assemble(spark, dst, 1, 4)(localize).collect().head.data
+    b1.zip(band1).foreach { case (src, got) =>
+      if (src == -99f) assert(got.isNaN, s"nodata $src must not land")
+      else assert(got == src)
+    }
+  }
 }
