@@ -54,4 +54,23 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpecBase {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("dedup joins (q27/q28/q29) stay hash equi-joins — no nested-loop, no cartesian") {
+    for (q <- Seq("q27NgramJaccard", "q28MinhashLsh", "q29Simhash")) {
+      val df = q match {
+        case "q27NgramJaccard" => graft.queries.DedupQueries.q27NgramJaccard(spark, sfSmoke)
+        case "q28MinhashLsh"   => graft.queries.DedupQueries.q28MinhashLsh(spark, sfSmoke)
+        case _                 => graft.queries.DedupQueries.q29Simhash(spark, sfSmoke)
+      }
+      val plan = planStr(df)
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"$q: $plan")
+      assert(!plan.contains("CartesianProduct"), s"$q: $plan")
+    }
+    spark.catalog.clearCache() // dedup paths persist intermediates
+  }
+
+  test("q42 salted aggregation: exactly the two agg shuffles plus the sort") {
+    val df = graft.queries.AdvancedQueries.q42SaltedAgg(spark, sfSmoke)
+    assert(shuffles(df) <= 3, df.queryExecution.sparkPlan.toString)
+  }
 }
