@@ -51,17 +51,24 @@ object IvfIndex {
           queryPred: org.apache.spark.sql.Column, k: Int, nProbe: Int): DataFrame = {
     val cents = index.centroids.map(_._2)
     val q = index.assigned.filter(queryPred)
-      .select(col(id).as("qid"), col(vec).as("qv"),
+      .select(col(id).as("qid"),
         explode(graft.functions.NearestCells.topCells(col(vec), cents, nProbe))
           .as("__cell"))
+    // candidate ids first, vectors joined back after the dedupe — the
+    // nProbe-way expansion never shuffles embedding payloads
     val cands = index.assigned
-      .select(col(id).as("cid"), col(vec).as("cv"), col("__cell"))
+      .select(col(id).as("cid"), col("__cell"))
       .join(q, Seq("__cell"))
       .filter(col("qid") =!= col("cid"))
-      .select(col("qid"), col("cid"), col("qv"), col("cv"))
+      .select(col("qid"), col("cid"))
       .distinct()
-    val scored = cands.select(col("qid"), col("cid"),
-      roundp(DotProductF32.cosine(col("qv"), col("cv")), 6).as("cos"))
+    val qv = broadcast(index.assigned.filter(queryPred)
+      .select(col(id).as("qid"), col(vec).as("qv")))
+    val scored = cands
+      .join(qv, Seq("qid"))
+      .join(index.assigned.select(col(id).as("cid"), col(vec).as("cv")), Seq("cid"))
+      .select(col("qid"), col("cid"),
+        roundp(DotProductF32.cosine(col("qv"), col("cv")), 6).as("cos"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }

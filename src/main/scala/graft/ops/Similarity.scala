@@ -82,13 +82,22 @@ object Similarity {
     val qb = withBuckets.join(
       emb.filter(queryPred).select(col(id).as("qid")),
       col("qid") === col("cid"))
-      .select(col("qid"), col("cv").as("qv"), col("tbl"), col("bucket"))
-    val cands = withBuckets.join(qb, Seq("tbl", "bucket"))
+      .select(col("qid"), col("tbl"), col("bucket"))
+    // dedupe candidate PAIRS on ids only — the multi-table union would
+    // otherwise shuffle both embedding vectors per duplicate; vectors are
+    // joined back once per surviving pair (query side broadcast-small)
+    val cands = withBuckets.select(col("cid"), col("tbl"), col("bucket"))
+      .join(qb, Seq("tbl", "bucket"))
       .filter(col("qid") =!= col("cid"))
-      .select(col("qid"), col("qv"), col("cid"), col("cv"))
+      .select(col("qid"), col("cid"))
       .distinct()
-    val scored = cands.select(col("qid"), col("cid"),
-      roundp(cosine(col("qv"), col("cv")), 6).as("cos"))
+    val qv = broadcast(emb.filter(queryPred)
+      .select(col(id).as("qid"), col(vec).as("qv")))
+    val scored = cands
+      .join(qv, Seq("qid"))
+      .join(emb.select(col(id).as("cid"), col(vec).as("cv")), Seq("cid"))
+      .select(col("qid"), col("cid"),
+        roundp(cosine(col("qv"), col("cv")), 6).as("cos"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
