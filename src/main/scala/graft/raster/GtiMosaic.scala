@@ -147,6 +147,30 @@ object GtiMosaic {
       }
   }
 
+  /** Multi-manifest temporal mosaic — the reference's
+    * `build_temporal_mosaic` (mosaics.py:217-262): one GTI per (dataset,
+    * time) concatenated into a single [time, band, y, x] cube. Each input
+    * manifest contributes its assembly at the given time index and band
+    * offset; the result is a lazy union, so every (manifest, band) pair
+    * materializes independently in parallel — the Spark twin of "open each
+    * GTI lazily, concat dims, chunk by time". Manifests must share the
+    * target grid (the reference's requirement too). */
+  def temporalMosaic(spark: SparkSession,
+                     parts: Seq[(String, Int, Int)], // (manifest dst, timeIdx, bandOffset)
+                     env: Option[(Double, Double, Double, Double)] = None,
+                     chunkPx: Int = 256)
+                    (localize: String => String): Dataset[ChunkRow] = {
+    import spark.implicits._
+    require(parts.nonEmpty)
+    parts.map { case (dst, timeIdx, bandOffset) =>
+      val nBands = readMeta(dst).bandCount
+      (0 until nBands).map { b =>
+        assemble(spark, dst, b, chunkPx, env)(localize)
+          .map(r => ChunkRow(timeIdx, bandOffset + r.band, r.cy, r.cx, r.data))
+      }.reduce(_ union _)
+    }.reduce(_ union _)
+  }
+
   private def chunkRange(lo: Double, hi: Double, res: Double, chunkPx: Int,
                          nCells: Int): Seq[Int] = {
     val nChunks = (nCells + chunkPx - 1) / chunkPx

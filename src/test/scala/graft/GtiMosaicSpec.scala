@@ -78,6 +78,25 @@ class GtiMosaicSpec extends AnyFunSuite with SparkSpecBase {
     assert(sub.map(r => (r.cy, r.cx)).toSet == Set((0, 0)))
   }
 
+  test("temporalMosaic concatenates manifests into [time, band] cube indices") {
+    val fix = Files.createTempDirectory("graft-gti-tm").toString
+    buildFixtures(fix)
+    val dst1 = Files.createTempDirectory("graft-gti-t0").toString
+    val dst2 = Files.createTempDirectory("graft-gti-t1").toString
+    writeManifest(fix, dst1)
+    writeManifest(fix, dst2)
+    val localize = (loc: String) => Paths.get(fix, loc.split('/').last).toString
+    val cube = GtiMosaic.temporalMosaic(spark,
+      Seq((dst1, 0, 0), (dst2, 1, 3)), chunkPx = 5)(localize)
+      .collect()
+    // 2 manifests x 1 band x 4 chunks; distinct (time, band) = {(0,0),(1,3)}
+    assert(cube.length == 8)
+    assert(cube.map(r => (r.time, r.band)).toSet == Set((0, 0), (1, 3)))
+    // same pixel content at both time steps (same fixture tiles)
+    val by = cube.groupBy(r => (r.time, r.cy, r.cx))
+    assert(by.values.forall(_.length == 1))
+  }
+
   test("assembly: multiband tiles and numeric (non-NaN) nodata semantics") {
     val fix = Files.createTempDirectory("graft-gti-mb").toString
     // one 4x4 two-band tile at (0,10); band 1 uses numeric nodata -99:
