@@ -97,6 +97,30 @@ class GtiMosaicSpec extends AnyFunSuite with SparkSpecBase {
     assert(by.values.forall(_.length == 1))
   }
 
+  test("E1 composition: GTI manifests -> temporal mosaic -> Zarr store round-trip") {
+    // the reference's build_dataset_mosaic_workflow: per-time GTIs opened
+    // lazily, concatenated, written region-parallel into a Zarr store
+    val fix = Files.createTempDirectory("graft-gti-e1").toString
+    buildFixtures(fix)
+    val dst = Files.createTempDirectory("graft-gti-e1m").toString
+    writeManifest(fix, dst)
+    val localize = (loc: String) => Paths.get(fix, loc.split('/').last).toString
+    val cube = GtiMosaic.temporalMosaic(spark, Seq((dst, 0, 0)), chunkPx = 5)(localize)
+    val store = Files.createTempDirectory("graft-gti-e1z").toString
+    graft.zarr.ZarrStore.init(store,
+      graft.model.GridDef(1, 1, 10, 10, 5, 5, 4), bands = Seq("b0"))
+    graft.zarr.ZarrStore.write(cube, store)
+    val back = graft.zarr.ZarrStore.read(spark, store).collect()
+      .map(r => (r.time, r.band, r.cy, r.cx) -> r.data.toSeq).toMap
+    val want = cube.collect().map(r => (r.time, r.band, r.cy, r.cx) -> r.data.toSeq).toMap
+    assert(back.keySet == want.keySet && back.keySet.size == 4)
+    want.foreach { case (k, v) =>
+      back(k).zip(v).foreach { case (g, w) =>
+        assert((g.isNaN && w.isNaN) || g == w, s"chunk $k")
+      }
+    }
+  }
+
   test("assembly: multiband tiles and numeric (non-NaN) nodata semantics") {
     val fix = Files.createTempDirectory("graft-gti-mb").toString
     // one 4x4 two-band tile at (0,10); band 1 uses numeric nodata -99:
