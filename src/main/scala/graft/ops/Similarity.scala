@@ -19,9 +19,14 @@ object Similarity {
   /** Exact top-k cosine neighbors for each query row (queries = rows
     * matching `queryPred`). Broadcast the (small) query side; the corpus
     * streams — at 100 TB this is one scan, no corpus shuffle; the final
-    * top-k per query is a bounded window. */
+    * per-query top-k is a bounded typed Aggregator with map-side partial
+    * combine, so the ranking shuffle carries at most partitions × Q × k
+    * rows — NOT the window form, which would ship every scored row to one
+    * reducer per query (ordering is identical; spec + oracle assert). */
   def knnBrute(emb: DataFrame, id: String, vec: String,
                queryPred: org.apache.spark.sql.Column, k: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
     // norms are precomputed per row (not per pair): cos = dot/(nq*nc) is the
     // same doubles as dot/(sqrt(dot qq)*sqrt(dot cc)), 3x fewer dot products
     val q = emb.filter(queryPred)
@@ -33,10 +38,16 @@ object Similarity {
         // (AdvancedSpec), ~25x faster in the Q x N pair loop
         roundp(graft.functions.DotProductF32.dot(col("qv"), col("cv")) /
           (col("qn") * col("cn")), 6).as("cos"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("cid"), col("cos"), col("rank"))
+    scored.as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues(r => (r._2, r._3))
+      .agg(new graft.agg.TopKAgg(k).toColumn.name("top"))
+      .flatMap { case (qid, top) =>
+        top.iterator.zipWithIndex.map { case ((cid, cos), i) =>
+          (qid, cid, cos, i + 1)
+        }
+      }
+      .toDF("qid", "cid", "cos", "rank")
   }
 
   /** Deterministic pseudo-random hyperplane component r(plane, dim) ∈

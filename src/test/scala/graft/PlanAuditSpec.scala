@@ -69,6 +69,13 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpecBase {
     spark.catalog.clearCache() // dedup paths persist intermediates
   }
 
+  test("q31 brute kNN ranks via partial-combining aggregate, not a window") {
+    val df = graft.queries.SimilarityQueries.q31KnnBrute(spark, sfSmoke)
+    val plan = planStr(df)
+    assert(!plan.contains("Window"), plan) // window = full corpus per query reducer
+    assert(plan.contains("ObjectHashAggregate") || plan.contains("SortAggregate"), plan)
+  }
+
   test("q42 salted aggregation: exactly the two agg shuffles plus the sort") {
     val df = graft.queries.AdvancedQueries.q42SaltedAgg(spark, sfSmoke)
     assert(shuffles(df) <= 3, df.queryExecution.sparkPlan.toString)
