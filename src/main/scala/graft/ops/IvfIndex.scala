@@ -3,7 +3,6 @@ package graft.ops
 import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.linalg.Vectors
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.DotProductF32
 import graft.functions.TextFunctions.roundp
@@ -69,7 +68,6 @@ object IvfIndex {
       .join(index.assigned.select(col(id).as("cid"), col(vec).as("cv")), Seq("cid"))
       .select(col("qid"), col("cid"),
         roundp(DotProductF32.cosine(col("qv"), col("cv")), 6).as("cos"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    Similarity.topKRank(scored, k)
   }
 }

@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.VectorFunctions._
 import graft.functions.TextFunctions.roundp
@@ -109,9 +108,22 @@ object Similarity {
       .join(emb.select(col(id).as("cid"), col(vec).as("cv")), Seq("cid"))
       .select(col("qid"), col("cid"),
         roundp(cosine(col("qv"), col("cv")), 6).as("cos"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    topKRank(scored, k)
+  }
+
+  /** Shared bounded per-query ranking (see knnBrute's scale note). */
+  private[graft] def topKRank(scored: DataFrame, k: Int): DataFrame = {
+    val spark = scored.sparkSession
+    import spark.implicits._
+    scored.as[(Long, Long, Double)]
+      .groupByKey(_._1).mapValues(r => (r._2, r._3))
+      .agg(new graft.agg.TopKAgg(k).toColumn.name("top"))
+      .flatMap { case (qid, top) =>
+        top.iterator.zipWithIndex.map { case ((cid, cos), i) =>
+          (qid, cid, cos, i + 1)
+        }
+      }
+      .toDF("qid", "cid", "cos", "rank")
   }
 
   /** Spherical k-means centroids (unit vectors) from a bounded driver-side

@@ -25,10 +25,17 @@ object AdvancedQueries {
     val scored = c.join(broadcast(q), $"qid" =!= $"cid")
       .select($"qid", $"cid",
         roundp(DotProductF32.cosine($"qv", $"cv"), 6).as("cos"))
-    val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"cid")
-    scored.withColumn("rank", row_number().over(w).cast("bigint"))
-      .filter($"rank" <= 5)
-      .select($"qid", $"rank", $"cid", $"cos")
+    // bounded top-k aggregator, not a window: partial combine keeps the
+    // ranking shuffle at partitions x Q x k rows (ordering identical)
+    scored.as[(Long, Long, Double)]
+      .groupByKey(_._1).mapValues(r => (r._2, r._3))
+      .agg(new graft.agg.TopKAgg(5).toColumn.name("top"))
+      .flatMap { case (qid, top) =>
+        top.iterator.zipWithIndex.map { case ((cid, cos), i) =>
+          (qid, (i + 1).toLong, cid, cos)
+        }
+      }
+      .toDF("qid", "rank", "cid", "cos")
       .orderBy($"qid", $"rank")
   }
 
