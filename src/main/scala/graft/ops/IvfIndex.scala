@@ -35,8 +35,10 @@ object IvfIndex {
       .map(a => org.apache.spark.ml.feature.LabeledPoint(0.0,
         Vectors.dense(a.map(_.toDouble))))
       .toDF()
-    val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(10)
-      .setFeaturesCol("features").fit(train)
+    // random init (seeded): k-means|| init costs several extra distributed
+    // passes that buy nothing at IVF's coarse-quantizer quality bar
+    val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(8)
+      .setInitMode("random").setFeaturesCol("features").fit(train)
     val centroids = model.clusterCenters.zipWithIndex
       .map { case (c, i) => i -> c.toArray.map(_.toFloat) }
     val cents = centroids.map(_._2)
