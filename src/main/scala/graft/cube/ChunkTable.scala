@@ -81,6 +81,71 @@ object ChunkTable {
     }
   }
 
+  /** Spatial rechunk — re-tile the cube from `grid`'s (chunkY, chunkX) to
+    * (newChunkY, newChunkX): the reference's `array.chunk({"x": 512,
+    * "y": 512})` (datasets/utils.py:128) as key arithmetic (SURVEY §7 hard
+    * part 1).
+    *
+    * Plan shape: each input chunk SPLITS locally into the fragments that
+    * land in each output chunk (flatMap, no shuffle), then ONE shuffle on
+    * the output chunk key assembles fragments at their offsets. Shuffle
+    * volume = the payload bytes, once; each output group holds at most
+    * ⌈newChunkY/chunkY + 1⌉ × ⌈newChunkX/chunkX + 1⌉ fragments. Cells of
+    * an output chunk beyond the grid extent (edge chunks) are NaN, the
+    * same fill contract as the store. */
+  def rechunk(ds: Dataset[ChunkRow], grid: GridDef,
+              newChunkY: Int, newChunkX: Int): Dataset[ChunkRow] = {
+    require(newChunkY > 0 && newChunkX > 0)
+    val spark = ds.sparkSession
+    import spark.implicits._
+    val (h, w) = (grid.chunkY, grid.chunkX)
+    val (nY, nX) = (grid.nY, grid.nX)
+    ds.flatMap { r =>
+      // global pixel bounds of this input chunk, clipped to the grid
+      val gy0 = r.cy * h; val gy1 = math.min(gy0 + h, nY)
+      val gx0 = r.cx * w; val gx1 = math.min(gx0 + w, nX)
+      val oy0 = gy0 / newChunkY; val oy1 = (gy1 - 1) / newChunkY
+      val ox0 = gx0 / newChunkX; val ox1 = (gx1 - 1) / newChunkX
+      for (ocy <- oy0 to oy1; ocx <- ox0 to ox1) yield {
+        val fy0 = math.max(gy0, ocy * newChunkY)
+        val fy1 = math.min(gy1, (ocy + 1) * newChunkY)
+        val fx0 = math.max(gx0, ocx * newChunkX)
+        val fx1 = math.min(gx1, (ocx + 1) * newChunkX)
+        val fh = fy1 - fy0; val fw = fx1 - fx0
+        val frag = new Array[Float](fh * fw)
+        var y = 0
+        while (y < fh) {
+          var x = 0
+          while (x < fw) {
+            frag(y * fw + x) = r.data((fy0 - gy0 + y) * w + (fx0 - gx0 + x))
+            x += 1
+          }
+          y += 1
+        }
+        // (key..., offset-in-output, fragment dims, payload)
+        (r.time, r.band, ocy, ocx,
+          fy0 - ocy * newChunkY, fx0 - ocx * newChunkX, fh, fw, frag)
+      }
+    }
+    .groupByKey(t => (t._1, t._2, t._3, t._4))
+    .mapGroups { (key: (Int, Int, Int, Int), frags: Iterator[(Int, Int, Int, Int, Int, Int, Int, Int, Array[Float])]) =>
+      val (time, band, ocy, ocx) = key
+      val out = Array.fill(newChunkY * newChunkX)(Float.NaN)
+      frags.foreach { case (_, _, _, _, oy, ox, fh, fw, frag) =>
+        var y = 0
+        while (y < fh) {
+          var x = 0
+          while (x < fw) {
+            out((oy + y) * newChunkX + (ox + x)) = frag(y * fw + x)
+            x += 1
+          }
+          y += 1
+        }
+      }
+      ChunkRow(time, band, ocy, ocx, out)
+    }
+  }
+
   /** P4 + A3/A4 + U1: per-dataset temporal reduction over the cube.
     * Masks value chunks with the co-located QA chunk (`qa == 1` keeps the
     * pixel — glad.py:260-261), drops the QA band (P5), then reduces each

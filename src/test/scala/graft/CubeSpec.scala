@@ -142,4 +142,38 @@ class CubeSpec extends AnyFunSuite with SparkSpecBase {
     // incremental listing sees every key
     assert(ArrayStore.existingKeys(spark, root).count() == cube().size)
   }
+
+  test("rechunk re-tiles by key arithmetic: values at global coords preserved") {
+    // cube where cell value encodes its GLOBAL (y, x): g = y * 100 + x
+    val g = GridDef(nTime = 1, nBand = 1, nY = 6, nX = 10, chunkY = 2,
+      chunkX = 4, itemBytes = 4)
+    def globalVal(y: Int, x: Int): Float = (y * 100 + x).toFloat
+    val rows = for (cy <- 0 until 3; cx <- 0 until 3) yield {
+      val data = Array.tabulate(2 * 4) { i =>
+        val y = cy * 2 + i / 4; val x = cx * 4 + i % 4
+        if (y < 6 && x < 10) globalVal(y, x) else Float.NaN // pad cells
+      }
+      ChunkRow(0, 0, cy, cx, data)
+    }
+    val ds = rows.toDS()
+    // 2x4 -> 3x3 tiling (neither dimension divides evenly)
+    val re = ChunkTable.rechunk(ds, g, 3, 3).collect()
+      .map(r => (r.cy, r.cx) -> r.data).toMap
+    assert(re.keySet == (for (cy <- 0 until 2; cx <- 0 until 4) yield (cy, cx)).toSet)
+    for (((cy, cx), data) <- re; i <- data.indices) {
+      val y = cy * 3 + i / 3; val x = cx * 3 + i % 3
+      if (y < 6 && x < 10)
+        assert(data(i) == globalVal(y, x), s"chunk ($cy,$cx) cell $i")
+      else assert(data(i).isNaN, s"chunk ($cy,$cx) cell $i should be fill")
+    }
+    // round-trip back to the original tiling reproduces the cube exactly
+    val back = ChunkTable.rechunk(
+        ChunkTable.rechunk(ds, g, 3, 3),
+        g.copy(chunkY = 3, chunkX = 3), 2, 4).collect()
+      .map(r => (r.cy, r.cx) -> r.data.toSeq).toMap
+    val want = rows.map(r => (r.cy, r.cx) -> r.data.toSeq).toMap
+    assert(back.keySet == want.keySet)
+    for ((k, v) <- want; (got, w) <- back(k).zip(v))
+      assert((got.isNaN && w.isNaN) || got == w, s"chunk $k")
+  }
 }
