@@ -3,8 +3,8 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.DotProductF32
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import graft.functions._
 
 /** Engine extension point — registers graft's native expressions with the
   * session so they are usable from SQL as well as the Column API:
@@ -18,20 +18,43 @@ import graft.functions.DotProductF32
   * `spark.sql.extensions=graft.GraftExtensions` deployment on a cluster.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit = {
-    e.injectFunction(GraftExtensions.dotFunction)
-  }
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(e.injectFunction)
 }
 
 object GraftExtensions {
-  val dotFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
-    FunctionIdentifier("graft_dot"),
-    new ExpressionInfo(classOf[DotProductF32].getName, "graft_dot"),
-    (args: Seq[Expression]) => DotProductF32(args(0), args(1)))
+  private type Fn = (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
+
+  private def intArg(e: Expression, fn: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn expects an INTEGER literal argument, got $other")
+  }
+
+  private def fn(name: String, cls: Class[_])
+                (builder: Seq[Expression] => Expression): Fn =
+    (FunctionIdentifier(name), new ExpressionInfo(cls.getName, name), builder)
+
+  /** The whole native family, SQL-callable. Shape/centroid parameters must
+    * be integer literals (they size the fused loops at plan time). */
+  val functions: Seq[Fn] = Seq(
+    fn("graft_dot", classOf[DotProductF32])(a => DotProductF32(a(0), a(1))),
+    fn("graft_polyhash", classOf[PolyHash32])(a => PolyHash32(a(0))),
+    fn("graft_minhash", classOf[MinHashSig])(a =>
+      MinHashSig(a(0), intArg(a(1), "graft_minhash"))),
+    fn("graft_simhash", classOf[SimHash48])(a => SimHash48(a(0))),
+    fn("graft_hyperplane", classOf[HyperplaneSigs])(a =>
+      HyperplaneSigs(a(0), intArg(a(1), "graft_hyperplane"),
+        intArg(a(2), "graft_hyperplane"), intArg(a(3), "graft_hyperplane"))),
+    fn("graft_word_shingles", classOf[WordShingles])(a =>
+      WordShingles(a(0), intArg(a(1), "graft_word_shingles"))),
+    fn("graft_shingle_hashes", classOf[WordShingleHashes])(a =>
+      WordShingleHashes(a(0), intArg(a(1), "graft_shingle_hashes"))),
+  )
 
   /** Imperative registration for an existing session (tests, Verify). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val registry: FunctionRegistry = spark.sessionState.functionRegistry
-    registry.registerFunction(dotFunction._1, dotFunction._2, dotFunction._3)
+    functions.foreach(f => registry.registerFunction(f._1, f._2, f._3))
   }
 }

@@ -28,6 +28,32 @@ class AdvancedSpec extends AnyFunSuite with SparkSpecBase {
     assert(v.length == 5 && v.forall(_ > 0))
   }
 
+  test("the full native family is SQL-callable and matches the Column API") {
+    GraftExtensions.register(spark)
+    Tables.documents(spark, sfSmoke).limit(20).createOrReplaceTempView("docs_t")
+    Tables.embeddings(spark, sfSmoke).limit(20).createOrReplaceTempView("emb_t2")
+    val sqlSide = spark.sql(
+      """SELECT doc_id, graft_polyhash(text) AS ph,
+        |  graft_word_shingles(text, 3) AS sh,
+        |  graft_shingle_hashes(text, 3) AS hs,
+        |  graft_simhash(graft_shingle_hashes(text, 3)) AS sim,
+        |  graft_minhash(graft_shingle_hashes(text, 3), 8) AS mh
+        |FROM docs_t ORDER BY doc_id""".stripMargin).collect()
+    val colSide = Tables.documents(spark, sfSmoke).limit(20).orderBy($"doc_id")
+      .select($"doc_id", graft.functions.TextFunctions.polyHash($"text"),
+        graft.functions.ShingleExpressions.wordShingles($"text", 3),
+        graft.functions.ShingleExpressions.wordShingleHashes($"text", 3),
+        graft.functions.HashExpressions.simhash48(
+          graft.functions.ShingleExpressions.wordShingleHashes($"text", 3)),
+        graft.functions.HashExpressions.minhashSig(
+          graft.functions.ShingleExpressions.wordShingleHashes($"text", 3), 8))
+      .collect()
+    sqlSide.zip(colSide).foreach { case (a, b) => assert(a == b) }
+    val hp = spark.sql(
+      "SELECT graft_hyperplane(embedding, 4, 64, 8) FROM emb_t2").collect()
+    assert(hp.forall(_.getSeq[Long](0).length == 8))
+  }
+
   test("native dot survives whole-stage codegen (plan contains codegen stage)") {
     val emb = Tables.embeddings(spark, sfSmoke).limit(10)
     val df = emb.select(DotProductF32.dot($"embedding", $"embedding").as("d"))
