@@ -107,9 +107,13 @@ case class SimHash48(child: Expression)
 /** 32-bit polynomial rolling hash over a string:
   * fold(chars, 0, h·31 + codePoint) mod 2³² — char-identical to the HOF
   * `aggregate(split(s,''), ...)` form and the DuckDB list_reduce twin
-  * (ascii() = first code point; iteration here is by code point). */
-case class PolyHash32(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+  * (ascii() = first code point; iteration here is by code point).
+  *
+  * Real `doGenCode` (static-kernel call), unlike the array-returning
+  * natives: its children are codegen-able string expressions (concat_ws,
+  * lower), and a CodegenFallback here would drag that whole subtree onto
+  * the interpreted path per row. */
+case class PolyHash32(child: Expression) extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
@@ -121,18 +125,24 @@ case class PolyHash32(child: Expression)
     val v = child.eval(input)
     if (v == null) 0L else nullSafeEval(v)
   }
-  override def nullSafeEval(input: Any): Any = {
-    val s = input.toString
-    var acc = 0L
-    var i = 0
-    val n = s.length
-    while (i < n) {
-      val cp = s.codePointAt(i)
-      acc = (acc * 31 + cp) % 4294967296L
-      i += Character.charCount(cp)
-    }
-    acc
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.polyHash32(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val c = child.genCode(ctx)
+    ev.copy(
+      code = code"""
+        ${c.code}
+        long ${ev.value} = ${c.isNull} ? 0L :
+          graft.functions.HashKernels.polyHash32(${c.value});
+      """,
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
   }
+
   override protected def withNewChildInternal(c: Expression): PolyHash32 = copy(child = c)
 }
 

@@ -71,6 +71,16 @@ private[graft] object ShingleKernel {
   }
 }
 
+/** PUBLIC static kernel for generated code: whole-stage codegen calls
+  * `graft.functions.HashKernels.polyHash32(utf8)` directly (Scala object →
+  * static forwarder), keeping PolyHash32's CHILDREN inside codegen — a
+  * CodegenFallback would interpret the whole subtree (e.g. q38's
+  * concat_ws) per row. Must stay public: Janino-generated classes cannot
+  * see `private[graft]`. */
+object HashKernels {
+  def polyHash32(s: UTF8String): Long = ShingleKernel.polyHash32(s.toString)
+}
+
 /** `graft_word_shingles(text, k)` → ARRAY<STRING>: distinct word-k-shingle
   * strings, first-occurrence order; NULL for docs with < k tokens (the
   * caller's `isNotNull` filter replaces the staged `size(ws) >= k`). */

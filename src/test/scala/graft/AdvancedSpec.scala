@@ -54,6 +54,15 @@ class AdvancedSpec extends AnyFunSuite with SparkSpecBase {
     assert(hp.forall(_.getSeq[Long](0).length == 8))
   }
 
+  test("polyhash generates code (its string children stay inside codegen)") {
+    val df = Tables.documents(spark, sfSmoke).limit(10)
+      .select(graft.functions.TextFunctions.polyHash(
+        concat_ws("|", $"doc_id", lower($"text"))).as("h"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert("""\*\(\d+\) Project \[polyhash32""".r.findFirstIn(plan).isDefined, plan)
+    assert(df.collect().length == 10)
+  }
+
   test("native dot survives whole-stage codegen (plan contains codegen stage)") {
     val emb = Tables.embeddings(spark, sfSmoke).limit(10)
     val df = emb.select(DotProductF32.dot($"embedding", $"embedding").as("d"))
