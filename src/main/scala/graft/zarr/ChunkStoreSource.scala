@@ -162,7 +162,11 @@ class ChunkScan(root: String, filters: Array[Filter], maxPartitionBytes: Long)
     * packed into partitions of at most
     * `min(maxPartitionBytes, max(openCost, totalBytes / parallelism))` —
     * a 100 TB store at the default 128 MiB budget plans ~800k tasks (not a
-    * fixed 32), while a small store still fans out to cluster width. */
+    * fixed 32), while a small store still fans out to cluster width.
+    * The key listing is driver-side, like Spark's own InMemoryFileIndex:
+    * one flat directory of names (~40 B/chunk of driver memory, seconds
+    * per million entries); a store beyond that keeps a manifest table
+    * instead of a listing — the GtiMosaic pattern. */
   override def planInputPartitions(): Array[InputPartition] = {
     val inflateTo = ChunkStoreSource.layout(root)._2
     val files = ChunkStoreSource.listKeys(root)
