@@ -1,0 +1,95 @@
+package graft.ops
+
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{DataFrame, Dataset}
+
+/** Size-based batching (O7 — reference `flyte/scenes.py:60-70` packs work
+  * into byte-budget batches) as a two-pass distributed prefix sum.
+  *
+  * The naive plan — `sum(bytes) over (order by key)` — is a global window:
+  * Spark moves EVERY row to one reducer (WindowExec warns "Moving all data
+  * to a single partition"), a scale-killer at 100 TB. This operator
+  * produces bit-identical batch ids with no single-partition stage:
+  *
+  *   1. Range-partition rows by the ordering key (one shuffle, the same
+  *      exchange the global sort would need anyway) and sort within each
+  *      partition.
+  *   2. Pass 1: per-partition byte subtotals — a P-row result (P = the
+  *      partition count), collected to the driver. O(P) metadata, never
+  *      row data.
+  *   3. Driver: exclusive cumulative sum of the ordered subtotals gives
+  *      each partition its starting byte offset; broadcast the P longs.
+  *   4. Pass 2: re-walk each partition in key order with a partition-local
+  *      running total seeded at the broadcast offset;
+  *      `batch_id = bytes_before / budget`.
+  *
+  * Parallelism is P throughout; the per-row work is a pipelined
+  * mapPartitions over the persisted range exchange (pass 1 reads the same
+  * cached partitions pass 2 does, so rows are scanned twice but shuffled
+  * once).
+  */
+object SizeBatch {
+
+  /** Assign contiguous byte-budget batch ids in ascending key order.
+    *
+    * @param rows  (key, n_bytes) pairs; keys assumed distinct (the
+    *              reference batches by URL, unique by construction)
+    * @param budget bytes per batch (> 0)
+    * @param parts  partition count for the range exchange — at cluster
+    *               scale set this near `spark.sql.shuffle.partitions`
+    * @return columns (key BIGINT, n_bytes BIGINT, batch_id BIGINT),
+    *         batch_id = floor(preceding-bytes / budget), identical to the
+    *         single-reducer `Window.orderBy(key)` formulation
+    */
+  def assign(rows: Dataset[(Long, Long)], budget: Long, parts: Int): DataFrame = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    require(budget > 0, s"budget must be positive, got $budget")
+    val n = math.max(parts, 1)
+
+    // normalize names: a Dataset[(Long, Long)] keeps its source column
+    // names, so address positionally
+    val ranged = rows
+      .toDF("key", "n_bytes")
+      .as[(Long, Long)]
+      .repartitionByRange(n, $"key")
+      .sortWithinPartitions($"key")
+      .persist()
+
+    // Pass 1: one (partitionId, subtotal) row per partition. Range
+    // partition i holds strictly smaller keys than partition i+1, so the
+    // id order IS the key order.
+    val subtotals: Map[Int, Long] = ranged
+      .mapPartitions { it =>
+        var total = 0L
+        it.foreach(total += _._2)
+        Iterator.single((TaskContext.getPartitionId(), total))
+      }
+      .collect()
+      .toMap
+
+    // Driver-side exclusive prefix sum over <= n longs.
+    val offsets = new Array[Long](n)
+    var acc = 0L
+    var p = 0
+    while (p < n) {
+      offsets(p) = acc
+      acc += subtotals.getOrElse(p, 0L)
+      p += 1
+    }
+    val bcOffsets = spark.sparkContext.broadcast(offsets)
+    val b = budget
+
+    // Pass 2: partition-local running sum seeded at the global offset.
+    ranged
+      .mapPartitions { it =>
+        var cum = bcOffsets.value(TaskContext.getPartitionId())
+        it.map { case (key, bytes) =>
+          val batch = cum / b
+          cum += bytes
+          (key, bytes, batch)
+        }
+      }
+      .toDF("key", "n_bytes", "batch_id")
+  }
+}

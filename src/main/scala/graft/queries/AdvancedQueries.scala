@@ -1,7 +1,6 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables.{documents, embeddings, events, lineitem}
 import graft.functions.DotProductF32
@@ -85,17 +84,18 @@ object AdvancedQueries {
       |ORDER BY user_id, session_id""".stripMargin
 
   /** q37: size-based batching (O7, scenes.py:60-70): deterministic batch
-    * ids from a byte budget — here 4 KiB of text per batch in doc order. */
+    * ids from a byte budget — here 4 KiB of text per batch in doc order.
+    * Executed as SizeBatch's two-pass distributed prefix sum: identical
+    * ids to the `sum over (order by doc_id)` oracle, but no
+    * single-partition WindowExec anywhere in the plan. */
   def q37SizeBatching(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val w = Window.orderBy($"doc_id")
-    documents(s, d)
+    val rows = documents(s, d)
       .select($"doc_id", length($"text").cast("bigint").as("n_bytes"))
-      .withColumn("cum_bytes",
-        sum($"n_bytes").over(w.rowsBetween(Window.unboundedPreceding, -1)))
-      .withColumn("batch_id",
-        (coalesce($"cum_bytes", lit(0L)) / lit(4096L)).cast("bigint"))
-      .select($"doc_id", $"n_bytes", $"batch_id")
+      .as[(Long, Long)]
+    graft.ops.SizeBatch
+      .assign(rows, budget = 4096L, parts = s.sparkContext.defaultParallelism)
+      .toDF("doc_id", "n_bytes", "batch_id")
       .orderBy($"doc_id")
   }
 
