@@ -36,38 +36,67 @@ object Dedup {
       .filter(col("shingles").isNotNull)
 
   /** Exhaustive n-gram Jaccard pairs via a shingle inverted index:
-    * explode → equi-join on shingle → count = |A∩B|, then |A∪B| from set
-    * sizes. One shuffle on the shingle key + one on the pair key.
+    * explode → equi-join on shingle → count = |A∩B|, |A∪B| from set sizes.
+    * Exactly two shuffles: the shingle-key self-join and the pair-key
+    * aggregation.
+    *
+    * Plan notes (this is the engine's hottest dedup path):
+    *  - per-doc capped set sizes are computed PRE-explode (`size(shingles)`
+    *    is free on the array) and ride along each posting, so |A| and |B|
+    *    fall out of the pair aggregation itself — no separate sizes
+    *    aggregation and no post-agg joins back to the pair table;
+    *  - the (id_a, id_b) pair is packed into one 64-bit key
+    *    (`id_a << 32 | id_b`) for the count aggregation — half the
+    *    grouping-key bytes and one hash per row instead of two. Requires
+    *    ids in [0, 2³²), which also bounds the pair space itself (an
+    *    exhaustive-pairs output over more ids than that is not a plan
+    *    anyone should run — use the LSH paths).
     *
     * `maxDf` is the scale guard: a shingle appearing in d docs contributes
     * d²/2 rows to the self-join, so one hot shingle ("in the the") makes
-    * the plan quadratic. With the cap, over-cap shingles are dropped from
-    * the comparison universe — index AND set sizes, so Jaccard stays
-    * internally consistent — via a broadcast anti-join (the hot list is
-    * small by definition: at most totalPostings/cap entries). */
+    * the plan quadratic. Over-cap shingles are dropped from the comparison
+    * universe — index AND set sizes, so Jaccard stays internally
+    * consistent. The hot list is small by definition (≤ totalPostings/cap
+    * entries), so it is collected once at plan time and applied pre-explode
+    * with `array_except` — keeping the free pre-explode sizes exact over
+    * the capped universe. */
   def jaccardPairs(df: DataFrame, id: String, text: String, k: Int,
                    threshold: Double, maxDf: Option[Int] = None): DataFrame = {
-    val inv0 = shingleSets(df, id, text, k)
-      .select(col("doc_id"), explode(col("shingles")).as("s"))
-    val inv = (maxDf match {
+    val sets0 = shingleSets(df, id, text, k)
+    val sets = maxDf match {
       case Some(cap) =>
-        val hot = inv0.groupBy("s").count().filter(col("count") > cap).select("s")
-        inv0.join(broadcast(hot), Seq("s"), "left_anti")
-      case None => inv0
-    }).cache() // three consumers below (self-join reuses one exchange)
-    val inter = inv.as("a").join(inv.as("b"),
+        sets0.cache() // consumed by the hot-list job, then the index build
+        val hot = sets0.select(explode(col("shingles")).as("s"))
+          .groupBy("s").count().filter(col("count") > cap).select("s")
+          .collect().map(_.getString(0))
+        if (hot.isEmpty) sets0
+        else sets0
+          .withColumn("shingles", array_except(col("shingles"), typedlit(hot.toSeq)))
+      case None => sets0
+    }
+    val inv = sets
+      .withColumn("n", size(col("shingles")))
+      .filter(col("n") > 0)
+      .select(col("doc_id"), col("n"), explode(col("shingles")).as("s"))
+      .cache() // self-joined: materialize the postings once
+    // SHUFFLE_HASH: the equi-key is a string — a sort-merge join would sort
+    // every posting twice just to stream them; hashing one (per-partition
+    // bounded) side is strictly cheaper and AQE still handles skew splits
+    val pairs = inv.as("a").join(inv.as("b").hint("SHUFFLE_HASH"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .agg(count(lit(1)).as("inter"))
-    // |A| over the CAPPED universe (shingles are distinct per doc)
-    val sizes = inv.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      .select(
+        shiftleft(col("a.doc_id"), 32).bitwiseOR(col("b.doc_id")).as("pair"),
+        col("a.n").as("na0"), col("b.n").as("nb0"))
+      .groupBy(col("pair"))
+      .agg(count(lit(1)).as("inter"),
+        first(col("na0")).as("na"), first(col("nb0")).as("nb"))
     val jac = col("inter") * lit(1.0) /
       (col("na") + col("nb") - col("inter"))
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n", "na"), "id_a")
-      .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n", "nb"), "id_b")
+    pairs
       .filter(jac >= threshold)
-      .select(col("id_a"), col("id_b"), roundp(jac, 6).as("jac"))
+      .select(shiftrightunsigned(col("pair"), 32).as("id_a"),
+        col("pair").bitwiseAND(lit(0xFFFFFFFFL)).as("id_b"),
+        roundp(jac, 6).as("jac"))
   }
 
   /** MinHash-LSH candidate pairs: n-hash signature, banded r rows/band,

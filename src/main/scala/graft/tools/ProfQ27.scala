@@ -19,23 +19,36 @@ object ProfQ27 {
       println(f"STAGE $name%-28s ${(System.nanoTime() - t0) / 1e9}%7.2f s"); r
     }
     val docs = Tables.documents(spark, sf)
-    time("tokens") {
+    time("warmup-tokens") {
       docs.select(graft.functions.TextFunctions.tokens(col("text")).as("ws"))
         .select(sum(size(col("ws")))).collect()
     }
-    time("shingles") {
-      ops.Dedup.shingleSets(docs, "doc_id", "text", 3)
-        .select(sum(size(col("shingles")))).collect()
+    // new-plan stages
+    val sets0 = ops.Dedup.shingleSets(docs, "doc_id", "text", 3).cache()
+    time("hot-job (df counts)") {
+      sets0.select(explode(col("shingles")).as("s"))
+        .groupBy("s").count().filter(col("count") > 1000).select("s").collect()
     }
-    val inv = ops.Dedup.shingleSets(docs, "doc_id", "text", 3)
-      .select(col("doc_id"), explode(col("shingles")).as("s"))
-    time("explode-count") { inv.select(count(lit(1))).collect() }
-    time("selfjoin-count") {
-      inv.as("a").join(inv.as("b"),
+    val inv = sets0
+      .withColumn("n", size(col("shingles"))).filter(col("n") > 0)
+      .select(col("doc_id"), col("n"), explode(col("shingles")).as("s"))
+      .cache()
+    time("inv-materialize") { inv.count() }
+    time("selfjoin-hash+agg") {
+      inv.as("a").join(inv.as("b").hint("SHUFFLE_HASH"),
           col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .select(shiftleft(col("a.doc_id"), 32).bitwiseOR(col("b.doc_id")).as("pair"),
+          col("a.n").as("na0"), col("b.n").as("nb0"))
+        .groupBy(col("pair"))
+        .agg(count(lit(1)).as("inter"), first(col("na0")).as("na"), first(col("nb0")).as("nb"))
         .select(count(lit(1))).collect()
     }
-    time("full-q27") {
+    spark.catalog.clearCache()
+    time("full-q27 (cold)") {
+      queries.DedupQueries.q27NgramJaccard(spark, sf).count()
+    }
+    spark.catalog.clearCache()
+    time("full-q27 (again)") {
       queries.DedupQueries.q27NgramJaccard(spark, sf).count()
     }
     spark.stop()
