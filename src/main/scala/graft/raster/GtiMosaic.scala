@@ -27,13 +27,17 @@ import graft.cube.ChunkRow
   *     for overlapping pixels"; nodata never overwrites), resampling each
   *     file from its OWN affine grid (tiepoint/scale tags) to the target
   *     grid by nearest-neighbor — per-file grids may differ in resolution
-  *     and origin. Scope note: grids must share the mosaic CRS; a PROJ
-  *     port is out of scope, and the reference itself hands CRS warps to
-  *     GDAL.
+  *     and origin. Files whose grid lives in a DIFFERENT (affine-related)
+  *     CRS are warped through a registered linear transform — the
+  *     same-datum subset of the reference's GDAL warp (mosaics.py:44-50);
+  *     a full PROJ port stays out of scope.
   *
-  * Scale shape: the manifest is broadcast (it is metadata, ~100 B/tile);
-  * chunk tasks fan out embarrassingly parallel; each task reads only the
-  * files intersecting its chunk envelope.
+  * Scale shape: the manifest stays a DataFrame end to end — each tile row
+  * explodes to the chunk keys its envelope covers and equi-joins
+  * (cogroup) against the target chunk grid, so a million-tile index never
+  * passes through the driver and each chunk task sees exactly its own
+  * tiles, already grouped. Tile decodes go through a per-JVM LRU so a
+  * file overlapping many chunks in one task is read and decoded once.
   */
 object GtiMosaic {
 
@@ -86,65 +90,152 @@ object GtiMosaic {
     }
   }
 
+  /** Same-datum linear CRS bridge: mosaic coords = (ax·xf + bx, ay·yf + by)
+    * for file coords (xf, yf). Covers the affine-relatable subset (unit
+    * scaling, axis offsets) of the reference's GDAL warp without a PROJ
+    * port (mosaics.py:44-50 hands the general case to GDAL). */
+  final case class Affine(ax: Double, bx: Double, ay: Double, by: Double) {
+    require(ax != 0 && ay != 0, "degenerate affine transform")
+    def invX(x: Double): Double = (x - bx) / ax
+    def invY(y: Double): Double = (y - by) / ay
+  }
+  object Affine { val Identity: Affine = Affine(1, 0, 1, 0) }
+
+  /** One manifest row as seen by assembly; envelope is ALWAYS in mosaic
+    * coordinates (that is what index pruning and chunk covering need);
+    * `srs` names the FILE's pixel-grid CRS. Public only because Spark's
+    * generated encoder projections cannot touch private classes. */
+  final case class TileRef(seq: Long, location: String,
+      tx0: Double, ty0: Double, tx1: Double, ty1: Double, srs: String)
+
+  /** Per-JVM decoded-band LRU: a tile overlapping many chunks in one
+    * executor is read + decoded once, not once per chunk. Entries are
+    * (location, band) → (tiff info, full band plane); eviction is
+    * access-ordered. Bounded by entry count — size for the worst tile a
+    * deployment reads (a 4096² float plane is 64 MiB; 16 entries ≈ 1 GiB
+    * ceiling; override via `graft.gti.tileCacheEntries`). */
+  private object TileCache {
+    private val maxEntries =
+      sys.props.get("graft.gti.tileCacheEntries").map(_.toInt).getOrElse(16)
+    private val m =
+      new java.util.LinkedHashMap[(String, Int), (GeoTiff.Info, Array[Float])](
+          32, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[(String, Int), (GeoTiff.Info, Array[Float])]): Boolean =
+          size() > maxEntries
+      }
+    def get(loc: String, band: Int)(
+        load: => (GeoTiff.Info, Array[Float])): (GeoTiff.Info, Array[Float]) = {
+      val k = (loc, band)
+      val hit = m.synchronized(m.get(k))
+      if (hit != null) hit
+      else { // load outside the lock: a rare duplicate decode beats serial IO
+        val v = load
+        m.synchronized(m.put(k, v))
+        v
+      }
+    }
+  }
+
   /** Overlay assembly: materialize every target chunk intersecting `env`
     * for `band`, last-valid-pixel-wins in manifest order, per-file nearest
     * resample. `localize` maps a VSI location to a local path (tests:
-    * fixture tree; production: a fetch cache). */
+    * fixture tree; production: a fetch cache). `warps` registers
+    * (fileSrs, mosaicSrs) → file-to-mosaic affine transforms for tiles
+    * whose grid is in a different CRS; an unregistered mismatch fails
+    * fast.
+    *
+    * Plan: tile rows explode to the chunk keys their envelope covers
+    * (clamped to the query window) and cogroup against the dense chunk
+    * grid — a hash equi-join on (cy, cx). The manifest is never collected
+    * to the driver; per-chunk work sees only that chunk's tiles, sorted by
+    * manifest seq for the last-pixel-wins order. */
   def assemble(spark: SparkSession, dst: String, band: Int, chunkPx: Int,
-               env: Option[(Double, Double, Double, Double)] = None)
+               env: Option[(Double, Double, Double, Double)] = None,
+               warps: Map[(String, String), Affine] = Map.empty)
               (localize: String => String): Dataset[ChunkRow] = {
     import spark.implicits._
     val meta = readMeta(dst)
-    val tiles = readIndex(spark, dst, env)
-      .select(col("seq"), col("location"), col("minx"), col("miny"),
-        col("maxx"), col("maxy"))
-      .as[(Long, String, Double, Double, Double, Double)]
-      .collect().sortBy(_._1)
-    val bTiles = spark.sparkContext.broadcast(tiles)
+    val idx0 = readIndex(spark, dst, env)
+    val idx = if (idx0.columns.contains("srs")) idx0
+              else idx0.withColumn("srs", lit(meta.srs))
+    val tiles = idx.select(col("seq"), col("location"),
+        col("minx").as("tx0"), col("miny").as("ty0"),
+        col("maxx").as("tx1"), col("maxy").as("ty1"), col("srs"))
+      .as[TileRef]
     val (qx0, qy0, qx1, qy1) = env.getOrElse((meta.minx, meta.miny, meta.maxx, meta.maxy))
-    val cyRange = chunkRange(meta.maxy - qy1, meta.maxy - qy0, meta.resy, chunkPx, meta.nY)
-    val cxRange = chunkRange(qx0 - meta.minx, qx1 - meta.minx, meta.resx, chunkPx, meta.nX)
-    val chunkKeys = for (cy <- cyRange; cx <- cxRange) yield (cy, cx)
+    val cyR = chunkRange(meta.maxy - qy1, meta.maxy - qy0, meta.resy, chunkPx, meta.nY)
+    val cxR = chunkRange(qx0 - meta.minx, qx1 - meta.minx, meta.resx, chunkPx, meta.nX)
+    if (cyR.isEmpty || cxR.isEmpty)
+      return spark.emptyDataset[ChunkRow]
+    val (cyMin, cyMax) = (cyR.head, cyR.last)
+    val (cxMin, cxMax) = (cxR.head, cxR.last)
     val m = meta
+    val cp = chunkPx
+    val exploded = tiles.flatMap { t =>
+      for {
+        cy <- chunkRange(m.maxy - t.ty1, m.maxy - t.ty0, m.resy, cp, m.nY)
+          if cy >= cyMin && cy <= cyMax
+        cx <- chunkRange(t.tx0 - m.minx, t.tx1 - m.minx, m.resx, cp, m.nX)
+          if cx >= cxMin && cx <= cxMax
+      } yield (cy, cx, t)
+    }
+    val chunkKeys = for (cy <- cyR; cx <- cxR) yield (cy, cx)
+    val wr = warps
+    val loc = localize
+    val b = band
     spark.createDataset(chunkKeys)
-      .repartition(math.max(1, math.min(chunkKeys.size, 64)))
-      .map { case (cy, cx) =>
-        val data = Array.fill(chunkPx * chunkPx)(Float.NaN)
-        val chx0 = m.minx + cx.toLong * chunkPx * m.resx
-        val chy1 = m.maxy - cy.toLong * chunkPx * m.resy
-        val chx1 = chx0 + chunkPx * m.resx
-        val chy0 = chy1 - chunkPx * m.resy
-        bTiles.value.foreach { case (_, loc, tx0, ty0, tx1, ty1) =>
-          if (tx0 < chx1 && tx1 > chx0 && ty0 < chy1 && ty1 > chy0) {
-            val bytes = Files.readAllBytes(Paths.get(localize(loc)))
-            val fi = GeoTiff.info(bytes)
-            val plane = GeoTiff.readBand(bytes, band)
-            val (fresx, fresy) = fi.pixelScale.getOrElse((m.resx, m.resy))
-            val (fx0, fy1) = fi.tiepoint.getOrElse((tx0, ty1))
-            val nd = fi.nodata.getOrElse(m.nodata)
-            var py = 0
-            while (py < chunkPx) {
-              val y = chy1 - (py + 0.5) * m.resy // target cell center
-              val fr = math.floor((fy1 - y) / fresy).toInt
-              if (fr >= 0 && fr < fi.height) {
-                var px = 0
-                while (px < chunkPx) {
-                  val x = chx0 + (px + 0.5) * m.resx
-                  val fc = math.floor((x - fx0) / fresx).toInt
-                  if (fc >= 0 && fc < fi.width) {
-                    val v = plane(fr * fi.width + fc)
-                    val isNodata = if (nd.isNaN) v.isNaN else v == nd.toFloat
-                    if (!isNodata) data(py * chunkPx + px) = v
-                  }
-                  px += 1
-                }
-              }
-              py += 1
+      .groupByKey(identity)
+      .cogroup(exploded.groupByKey(r => (r._1, r._2))) { case ((cy, cx), keys, ts) =>
+        if (keys.isEmpty) Iterator.empty // right-only: outside the query grid
+        else Iterator.single(
+          paintChunk(m, b, cp, cy, cx, ts.map(_._3).toArray.sortBy(_.seq), wr, loc))
+      }
+  }
+
+  /** One chunk's overlay: tiles already grouped + seq-sorted by the plan. */
+  private def paintChunk(m: Meta, band: Int, chunkPx: Int, cy: Int, cx: Int,
+      tiles: Array[TileRef], warps: Map[(String, String), Affine],
+      localize: String => String): ChunkRow = {
+    val data = Array.fill(chunkPx * chunkPx)(Float.NaN)
+    val chx0 = m.minx + cx.toLong * chunkPx * m.resx
+    val chy1 = m.maxy - cy.toLong * chunkPx * m.resy
+    tiles.foreach { t =>
+      val (fi, plane) = TileCache.get(t.location, band) {
+        val bytes = Files.readAllBytes(Paths.get(localize(t.location)))
+        (GeoTiff.info(bytes), GeoTiff.readBand(bytes, band))
+      }
+      val aff =
+        if (t.srs == m.srs) Affine.Identity
+        else warps.getOrElse((t.srs, m.srs), throw new IllegalArgumentException(
+          s"tile ${t.location} grid CRS '${t.srs}' != mosaic '${m.srs}' and no " +
+            "affine warp is registered for the pair"))
+      // file grid in FILE coordinates; tiepoint fallback maps the manifest
+      // envelope corner back through the warp
+      val (fresx, fresy) = fi.pixelScale.getOrElse((m.resx, m.resy))
+      val (fx0, fy1) = fi.tiepoint.getOrElse((aff.invX(t.tx0), aff.invY(t.ty1)))
+      val nd = fi.nodata.getOrElse(m.nodata)
+      var py = 0
+      while (py < chunkPx) {
+        val y = chy1 - (py + 0.5) * m.resy // target cell center, mosaic CRS
+        val fr = math.floor((fy1 - aff.invY(y)) / fresy).toInt
+        if (fr >= 0 && fr < fi.height) {
+          var px = 0
+          while (px < chunkPx) {
+            val x = chx0 + (px + 0.5) * m.resx
+            val fc = math.floor((aff.invX(x) - fx0) / fresx).toInt
+            if (fc >= 0 && fc < fi.width) {
+              val v = plane(fr * fi.width + fc)
+              val isNodata = if (nd.isNaN) v.isNaN else v == nd.toFloat
+              if (!isNodata) data(py * chunkPx + px) = v
             }
+            px += 1
           }
         }
-        ChunkRow(0, band, cy, cx, data)
+        py += 1
       }
+    }
+    ChunkRow(0, band, cy, cx, data)
   }
 
   /** Multi-manifest temporal mosaic — the reference's

@@ -121,6 +121,57 @@ class GtiMosaicSpec extends AnyFunSuite with SparkSpecBase {
     }
   }
 
+  test("assembly plan is a chunk-key equi-join (cogroup), not a driver loop") {
+    val fix = Files.createTempDirectory("graft-gti-plan").toString
+    buildFixtures(fix)
+    val dst = Files.createTempDirectory("graft-gti-plan-dst").toString
+    writeManifest(fix, dst)
+    val localize = (loc: String) => Paths.get(fix, loc.split('/').last).toString
+    val ds = GtiMosaic.assemble(spark, dst, 0, 5)(localize)
+    val plan = ds.queryExecution.executedPlan.toString
+    assert(plan.contains("CoGroup"), plan)          // the chunk-key equi-join
+    assert(plan.contains("index"), plan)            // manifest scanned as a table
+    // and it still computes the same mosaic as the fixture expectations
+    assert(ds.collect().map(r => (r.cy, r.cx)).toSet ==
+      Set((0, 0), (0, 1), (1, 0), (1, 1)))
+  }
+
+  test("affine CRS warp: a tile in a scaled/offset grid resamples like a native one") {
+    val fix = Files.createTempDirectory("graft-gti-warp").toString
+    buildFixtures(fix) // a.tif, b.tif in the mosaic CRS
+    // b2.tif: SAME pixels as b.tif but its grid lives in a CRS where
+    // mosaic = 0.5 * file (so scale (1,1) at tiepoint (8,20) maps to
+    // b.tif's mosaic-CRS scale (0.5,0.5) at (4,10))
+    val b2 = Array.tabulate(12 * 8) { i => if (i % 12 < 2) Float.NaN else 2.0f }
+    Files.write(Paths.get(fix, "b2.tif"), GeoTiffWriter.write(12, 8, Seq(b2),
+      pixelScale = (1.0, 1.0), tiepoint = (8.0, 20.0), nodata = Some(Double.NaN)))
+    val dst = Files.createTempDirectory("graft-gti-warp-dst").toString
+    val index = Seq(
+      ("s3://mosaic.fixtures/a.tif", 0.0, 4.0, 6.0, 10.0, "EPSG:4326"),
+      ("s3://mosaic.fixtures/b2.tif", 4.0, 6.0, 10.0, 10.0, "local:half"))
+      .toDF("location", "minx", "miny", "maxx", "maxy", "srs")
+    GtiMosaic.write(index.coalesce(1), dst, meta)
+    val localize = (loc: String) => Paths.get(fix, loc.split('/').last).toString
+    val warps = Map(("local:half", "EPSG:4326") ->
+      GtiMosaic.Affine(0.5, 0.0, 0.5, 0.0))
+    val chunks = GtiMosaic.assemble(spark, dst, 0, 5, warps = warps)(localize)
+      .collect().map(r => (r.cy, r.cx) -> r.data).toMap
+    def at(gx: Int, gy: Int): Float = {
+      val c = chunks((gy / 5, gx / 5)); c((gy % 5) * 5 + (gx % 5))
+    }
+    // identical expectations to the native-CRS b.tif assembly test
+    assert(at(1, 1) == 1.0f)   // A only
+    assert(at(5, 1) == 2.0f)   // overlap: warped B2 wins over A
+    assert(at(4, 2) == 1.0f)   // B2 nodata strip x in [4,5): A shows through
+    assert(at(8, 1) == 2.0f)   // B2 only
+    assert(at(8, 8).isNaN)     // uncovered
+    // an unregistered CRS pair fails fast, not silently
+    val bad = intercept[Exception] {
+      GtiMosaic.assemble(spark, dst, 0, 5)(localize).collect()
+    }
+    assert(bad.getMessage != null)
+  }
+
   test("assembly: multiband tiles and numeric (non-NaN) nodata semantics") {
     val fix = Files.createTempDirectory("graft-gti-mb").toString
     // one 4x4 two-band tile at (0,10); band 1 uses numeric nodata -99:
