@@ -3,8 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types._
 
@@ -14,10 +13,9 @@ import org.apache.spark.sql.types._
   * semantically identical but evaluate one interpreted lambda dispatch per
   * (element × permutation/bit) — ~3k dispatches per document, which
   * measured ~0.4 s/doc. These expressions run the same arithmetic as a
-  * fused JVM loop (~µs/doc). CodegenFallback: one virtual call per row,
-  * loop body is plain JVM — the win over HOFs is already 5 orders of
-  * magnitude, and the arithmetic stays bit-identical to the DuckDB oracle
-  * twins in DuckSql.
+  * fused JVM loop (~µs/doc) and generate code (a static-kernel call into
+  * HashKernels), so consumers stay inside WholeStageCodegen; the
+  * arithmetic stays bit-identical to the DuckDB oracle twins in DuckSql.
   */
 private[graft] trait ExpectsLongArray extends UnaryExpression {
   def fname: String
@@ -29,78 +27,56 @@ private[graft] trait ExpectsLongArray extends UnaryExpression {
 }
 
 /** MinHash signature: out[j] = min over h of ((2j+1)·h + j² + 7) mod P,
-  * P = 4294967291. Empty input → empty array. */
+  * P = 4294967291. Empty input → empty array. Kernel lives in HashKernels
+  * (one body for eval + generated code). */
 case class MinHashSig(child: Expression, n: Int)
-    extends UnaryExpression with ExpectsLongArray with CodegenFallback {
+    extends UnaryExpression with ExpectsLongArray {
   val fname = "graft_minhash"
-  private val P = 4294967291L
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   // non-nullable (null input → empty signature): a nullable output makes
   // joins on derived keys infer isnotnull(<this whole pipeline>) filters
   // that re-evaluate the expression tree once more per row
   override def nullable: Boolean = false
-  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
-    val v = child.eval(input)
-    if (v == null) new GenericArrayData(Array.empty[Long]) else nullSafeEval(v)
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    HashKernels.minhashSig(child.eval(input).asInstanceOf[ArrayData], n)
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val c = child.genCode(ctx)
+    ev.copy(code = code"""
+      ${c.code}
+      org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+        graft.functions.HashKernels.minhashSig(${c.isNull} ? null : ${c.value}, $n);
+    """,
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
   }
-
-  override def nullSafeEval(input: Any): Any = {
-    val hs = input.asInstanceOf[ArrayData]
-    val m = hs.numElements()
-    if (m == 0) return new GenericArrayData(Array.empty[Long])
-    val sig = Array.fill(n)(P)
-    var i = 0
-    while (i < m) {
-      val h = hs.getLong(i)
-      var j = 0
-      while (j < n) {
-        val v = ((2L * j + 1) * h + j.toLong * j + 7) % P
-        if (v < sig(j)) sig(j) = v
-        j += 1
-      }
-      i += 1
-    }
-    new GenericArrayData(sig)
-  }
-
   override protected def withNewChildInternal(c: Expression): MinHashSig = copy(child = c)
 }
 
 /** 48-bit SimHash: bit i (contributing 2^(47−i)) set iff the ±1 vote over
-  * elements' bit i is positive. */
+  * elements' bit i is positive. Null input → 0 (see MinHashSig). */
 case class SimHash48(child: Expression)
-    extends UnaryExpression with ExpectsLongArray with CodegenFallback {
+    extends UnaryExpression with ExpectsLongArray {
   val fname = "graft_simhash"
   override def dataType: DataType = LongType
-  override def nullable: Boolean = false // null input → 0 (see MinHashSig)
-  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
-    val v = child.eval(input)
-    if (v == null) 0L else nullSafeEval(v)
+  override def nullable: Boolean = false
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    HashKernels.simhash48(child.eval(input).asInstanceOf[ArrayData])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val c = child.genCode(ctx)
+    ev.copy(code = code"""
+      ${c.code}
+      long ${ev.value} =
+        graft.functions.HashKernels.simhash48(${c.isNull} ? null : ${c.value});
+    """,
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
   }
-
-  override def nullSafeEval(input: Any): Any = {
-    val hs = input.asInstanceOf[ArrayData]
-    val m = hs.numElements()
-    val votes = new Array[Int](48)
-    var i = 0
-    while (i < m) {
-      val h = hs.getLong(i)
-      var b = 0
-      while (b < 48) {
-        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
-        b += 1
-      }
-      i += 1
-    }
-    var fp = 0L
-    var b = 0
-    while (b < 48) { // b is the LSB-order bit index; MSB-first assembly
-      fp = fp * 2 + (if (votes(b) > 0) 1L else 0L)
-      b += 1
-    }
-    fp
-  }
-
   override protected def withNewChildInternal(c: Expression): SimHash48 = copy(child = c)
 }
 
@@ -155,7 +131,7 @@ case class PolyHash32(child: Expression) extends UnaryExpression {
   * interpreted lambda per (table × plane × dim) = 2048 per row; this is one
   * JVM loop. */
 case class HyperplaneSigs(child: Expression, nPlanes: Int, nDims: Int, nTables: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
       TypeCheckResult.TypeCheckSuccess
@@ -170,37 +146,22 @@ case class HyperplaneSigs(child: Expression, nPlanes: Int, nDims: Int, nTables: 
   }
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = false // null input → empty array (see MinHashSig)
-  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
-    val v = child.eval(input)
-    if (v == null) new GenericArrayData(Array.empty[Long]) else nullSafeEval(v)
-  }
-  override def nullSafeEval(input: Any): Any = {
-    val vec = input.asInstanceOf[ArrayData]
-    val n = math.min(vec.numElements(), nDims)
-    val out = new Array[Long](nTables)
-    var t = 0
-    while (t < nTables) {
-      val base = (31L * t + 1L) * (nPlanes.toLong * nDims)
-      var bucket = 0L
-      var p = 0
-      while (p < nPlanes) {
-        var proj = 0.0
-        var d = 0
-        while (d < n) {
-          val idx = base + p.toLong * nDims + d
-          val comp = ((1103515245L * idx + 12345L) % 2147483648L).toDouble /
-            2147483648.0 - 0.5
-          val x = if (isFloat) vec.getFloat(d).toDouble else vec.getDouble(d)
-          proj += x * comp
-          d += 1
-        }
-        bucket = bucket * 2 + (if (proj > 0) 1L else 0L)
-        p += 1
-      }
-      out(t) = bucket
-      t += 1
-    }
-    new GenericArrayData(out)
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    HashKernels.hyperplaneSigs(child.eval(input).asInstanceOf[ArrayData],
+      nPlanes, nDims, nTables, isFloat)
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val c = child.genCode(ctx)
+    ev.copy(code = code"""
+      ${c.code}
+      org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+        graft.functions.HashKernels.hyperplaneSigs(
+          ${c.isNull} ? null : ${c.value}, $nPlanes, $nDims, $nTables, $isFloat);
+    """,
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
   }
   override protected def withNewChildInternal(c: Expression): HyperplaneSigs = copy(child = c)
 }

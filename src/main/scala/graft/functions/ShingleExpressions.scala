@@ -3,8 +3,6 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -71,57 +69,33 @@ private[graft] object ShingleKernel {
   }
 }
 
-/** PUBLIC static kernel for generated code: whole-stage codegen calls
-  * `graft.functions.HashKernels.polyHash32(utf8)` directly (Scala object →
-  * static forwarder), keeping PolyHash32's CHILDREN inside codegen — a
-  * CodegenFallback would interpret the whole subtree (e.g. q38's
-  * concat_ws) per row. Must stay public: Janino-generated classes cannot
-  * see `private[graft]`. */
+/** PUBLIC static kernels for generated code: whole-stage codegen calls
+  * `graft.functions.HashKernels.<kernel>(...)` directly (Scala object →
+  * static forwarder), so every native expression participates in codegen —
+  * a CodegenFallback would interpret the whole child subtree (e.g. q38's
+  * concat_ws) per row and break the enclosing WholeStageCodegen span. Must
+  * stay public: Janino-generated classes cannot see `private[graft]`.
+  * Null handling lives IN the kernels (null/short input → the expression's
+  * documented identity), so interpreted `eval` and generated code share
+  * one body. */
 object HashKernels {
-  def polyHash32(s: UTF8String): Long = ShingleKernel.polyHash32(s.toString)
-}
+  import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 
-/** `graft_word_shingles(text, k)` → ARRAY<STRING>: distinct word-k-shingle
-  * strings, first-occurrence order; NULL for docs with < k tokens (the
-  * caller's `isNotNull` filter replaces the staged `size(ws) >= k`). */
-case class WordShingles(child: Expression, k: Int)
-    extends UnaryExpression with CodegenFallback {
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case StringType => TypeCheckResult.TypeCheckSuccess
-    case other => TypeCheckResult.TypeCheckFailure(
-      s"graft_word_shingles expects STRING, got ${other.sql}")
-  }
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
-  override def nullable: Boolean = true
-  override def nullSafeEval(input: Any): Any = {
-    val sh = ShingleKernel.distinctShingles(ShingleKernel.tokenize(input), k)
+  def polyHash32(s: UTF8String): Long =
+    if (s == null) 0L else ShingleKernel.polyHash32(s.toString)
+
+  /** Distinct word-k-shingles; null for null/short docs (nullable expr). */
+  def wordShingles(s: UTF8String, k: Int): ArrayData = {
+    if (s == null) return null
+    val sh = ShingleKernel.distinctShingles(ShingleKernel.tokenize(s), k)
     if (sh == null) null
     else new GenericArrayData(sh.map(UTF8String.fromString(_): Any))
   }
-  override protected def withNewChildInternal(c: Expression): WordShingles =
-    copy(child = c)
-}
 
-/** `graft_word_shingle_hashes(text, k)` → ARRAY<BIGINT>: distinct
-  * PolyHash32 values of the doc's word-k-shingles, first-occurrence order;
-  * empty array for short/NULL docs (matching the staged
-  * `array_distinct(transform(shingles(tokens(text)), polyHash))` which
-  * yields [] there — its consumers filter on signature size). */
-case class WordShingleHashes(child: Expression, k: Int)
-    extends UnaryExpression with CodegenFallback {
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case StringType => TypeCheckResult.TypeCheckSuccess
-    case other => TypeCheckResult.TypeCheckFailure(
-      s"graft_word_shingle_hashes expects STRING, got ${other.sql}")
-  }
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def nullable: Boolean = false
-  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
-    val v = child.eval(input)
-    if (v == null) new GenericArrayData(Array.empty[Long]) else nullSafeEval(v)
-  }
-  override def nullSafeEval(input: Any): Any = {
-    val sh = ShingleKernel.distinctShingles(ShingleKernel.tokenize(input), k)
+  /** Distinct shingle PolyHash32s; EMPTY for null/short docs. */
+  def wordShingleHashes(s: UTF8String, k: Int): ArrayData = {
+    if (s == null) return new GenericArrayData(Array.empty[Long])
+    val sh = ShingleKernel.distinctShingles(ShingleKernel.tokenize(s), k)
     if (sh == null) return new GenericArrayData(Array.empty[Long])
     val seen = new java.util.LinkedHashSet[java.lang.Long]()
     var i = 0
@@ -134,6 +108,145 @@ case class WordShingleHashes(child: Expression, k: Int)
     var j = 0
     while (it.hasNext) { out(j) = it.next(); j += 1 }
     new GenericArrayData(out)
+  }
+
+  /** MinHash signature (see MinHashSig); EMPTY for null/empty input. */
+  def minhashSig(hs: ArrayData, n: Int): ArrayData = {
+    if (hs == null) return new GenericArrayData(Array.empty[Long])
+    val m = hs.numElements()
+    if (m == 0) return new GenericArrayData(Array.empty[Long])
+    val P = 4294967291L
+    val sig = Array.fill(n)(P)
+    var i = 0
+    while (i < m) {
+      val h = hs.getLong(i)
+      var j = 0
+      while (j < n) {
+        val v = ((2L * j + 1) * h + j.toLong * j + 7) % P
+        if (v < sig(j)) sig(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  /** 48-bit SimHash (see SimHash48); 0 for null input. */
+  def simhash48(hs: ArrayData): Long = {
+    if (hs == null) return 0L
+    val m = hs.numElements()
+    val votes = new Array[Int](48)
+    var i = 0
+    while (i < m) {
+      val h = hs.getLong(i)
+      var b = 0
+      while (b < 48) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var fp = 0L
+    var b = 0
+    while (b < 48) { // b is the LSB-order bit index; MSB-first assembly
+      fp = fp * 2 + (if (votes(b) > 0) 1L else 0L)
+      b += 1
+    }
+    fp
+  }
+
+  /** Hyperplane LSH buckets for all tables (see HyperplaneSigs); EMPTY for
+    * null input. */
+  def hyperplaneSigs(vec: ArrayData, nPlanes: Int, nDims: Int, nTables: Int,
+                     isFloat: Boolean): ArrayData = {
+    if (vec == null) return new GenericArrayData(Array.empty[Long])
+    val n = math.min(vec.numElements(), nDims)
+    val out = new Array[Long](nTables)
+    var t = 0
+    while (t < nTables) {
+      val base = (31L * t + 1L) * (nPlanes.toLong * nDims)
+      var bucket = 0L
+      var p = 0
+      while (p < nPlanes) {
+        var proj = 0.0
+        var d = 0
+        while (d < n) {
+          val idx = base + p.toLong * nDims + d
+          val comp = ((1103515245L * idx + 12345L) % 2147483648L).toDouble /
+            2147483648.0 - 0.5
+          val x = if (isFloat) vec.getFloat(d).toDouble else vec.getDouble(d)
+          proj += x * comp
+          d += 1
+        }
+        bucket = bucket * 2 + (if (proj > 0) 1L else 0L)
+        p += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** `graft_word_shingles(text, k)` → ARRAY<STRING>: distinct word-k-shingle
+  * strings, first-occurrence order; NULL for docs with < k tokens (the
+  * caller's `isNotNull` filter replaces the staged `size(ws) >= k`).
+  * Generates code: one static-kernel call, keeping consumers inside
+  * WholeStageCodegen. */
+case class WordShingles(child: Expression, k: Int) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_word_shingles expects STRING, got ${other.sql}")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    HashKernels.wordShingles(child.eval(input).asInstanceOf[UTF8String], k)
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val c = child.genCode(ctx)
+    ev.copy(code = code"""
+      ${c.code}
+      org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+        graft.functions.HashKernels.wordShingles(${c.isNull} ? null : ${c.value}, $k);
+      boolean ${ev.isNull} = ${ev.value} == null;
+    """)
+  }
+  override protected def withNewChildInternal(c: Expression): WordShingles =
+    copy(child = c)
+}
+
+/** `graft_word_shingle_hashes(text, k)` → ARRAY<BIGINT>: distinct
+  * PolyHash32 values of the doc's word-k-shingles, first-occurrence order;
+  * empty array for short/NULL docs (matching the staged
+  * `array_distinct(transform(shingles(tokens(text)), polyHash))` which
+  * yields [] there — its consumers filter on signature size). */
+case class WordShingleHashes(child: Expression, k: Int) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_word_shingle_hashes expects STRING, got ${other.sql}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    HashKernels.wordShingleHashes(child.eval(input).asInstanceOf[UTF8String], k)
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val c = child.genCode(ctx)
+    ev.copy(code = code"""
+      ${c.code}
+      org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+        graft.functions.HashKernels.wordShingleHashes(${c.isNull} ? null : ${c.value}, $k);
+    """,
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
   }
   override protected def withNewChildInternal(c: Expression): WordShingleHashes =
     copy(child = c)

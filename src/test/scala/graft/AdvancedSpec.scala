@@ -63,6 +63,34 @@ class AdvancedSpec extends AnyFunSuite with SparkSpecBase {
     assert(df.collect().length == 10)
   }
 
+  test("all array-returning natives generate code (inside WholeStageCodegen spans)") {
+    val docs = Tables.documents(spark, sfSmoke).limit(10)
+    val hashDf = docs.select(
+      graft.functions.ShingleExpressions.wordShingles($"text", 3).as("sh"),
+      graft.functions.HashExpressions.simhash48(
+        graft.functions.ShingleExpressions.wordShingleHashes($"text", 3)).as("sim"),
+      graft.functions.HashExpressions.minhashSig(
+        graft.functions.ShingleExpressions.wordShingleHashes($"text", 3), 8).as("mh"))
+    val emb = Tables.embeddings(spark, sfSmoke).limit(10)
+    val cents = Array(Array(1f, 0f, 0f), Array(0f, 1f, 0f))
+    val vecDf = emb.select(
+      graft.functions.HashExpressions.hyperplaneSigs($"embedding", 4, 64, 2).as("hp"),
+      graft.functions.NearestCentroid.nearest($"embedding", cents).as("nc"),
+      graft.functions.NearestCells.topCells($"embedding", cents, 2).as("cells"))
+    for ((df, names) <- Seq(
+        hashDf -> Seq("wordshingles", "wordshinglehashes", "simhash48", "minhashsig"),
+        vecDf -> Seq("hyperplanesigs", "nearestcentroid", "nearestcells"))) {
+      val plan = df.queryExecution.executedPlan.toString
+      for (n <- names) {
+        val line = plan.linesIterator.find(l => l.contains("Project") && l.contains(n))
+        // `*(n)` prefixes operators living inside a WholeStageCodegen stage
+        assert(line.exists("""\*\(\d+\) Project""".r.findFirstIn(_).isDefined),
+          s"$n not codegen'd:\n$plan")
+      }
+      assert(df.collect().length == 10) // and the generated code actually runs
+    }
+  }
+
   test("native dot survives whole-stage codegen (plan contains codegen stage)") {
     val emb = Tables.embeddings(spark, sfSmoke).limit(10)
     val df = emb.select(DotProductF32.dot($"embedding", $"embedding").as("d"))
