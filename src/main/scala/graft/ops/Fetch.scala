@@ -45,10 +45,36 @@ object Fetch {
     else Files.newInputStream(Paths.get(url))
   }
 
+  /** Bounded exponential retry on transient IO failures — the engine twin
+    * of the reference's recoverable-exception retries ×3 around scrapes
+    * (flyte/scenes.py:81-105) and GDAL's retry/delay configs
+    * (gdal_configs.py:17-21). Only IOException is transient-by-contract;
+    * anything else propagates immediately. Spark task retries remain the
+    * outer safety net — this inner loop just avoids re-running a whole
+    * partition for one flaky object. */
+  private[graft] def withRetries[A](retries: Int, backoffMs: Long)(f: => A): A = {
+    var attempt = 0
+    var delay = backoffMs
+    while (true) {
+      try return f
+      catch {
+        case e: java.io.IOException =>
+          if (attempt >= retries) throw e
+          attempt += 1
+          Thread.sleep(delay)
+          delay = math.min(delay * 2, 30000L)
+      }
+    }
+    sys.error("unreachable")
+  }
+
   /** Fetch every row's `urlCol` into `workdir`. Returns one row per input
     * row: (url, dest, n_bytes, fetched) — `fetched = false` marks an
-    * idempotent skip (destination already present; n_bytes = its size). */
-  def fetchToDir(df: DataFrame, urlCol: String, workdir: String)
+    * idempotent skip (destination already present; n_bytes = its size).
+    * Each URL gets up to `retries` transient-IOException retries with
+    * doubling backoff from `backoffMs` before the task fails. */
+  def fetchToDir(df: DataFrame, urlCol: String, workdir: String,
+                 retries: Int = 3, backoffMs: Long = 100L)
                 (openFactory: () => String => InputStream = () => defaultOpen): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
@@ -59,13 +85,20 @@ object Fetch {
         if (Files.exists(dst)) (url, dst.toString, Files.size(dst), false)
         else {
           Files.createDirectories(dst.getParent)
-          val tmp = dst.resolveSibling(
-            s".${dst.getFileName}.${java.util.UUID.randomUUID}.tmp")
-          val in = open(url)
-          val n =
-            try Files.copy(in, tmp, StandardCopyOption.REPLACE_EXISTING)
-            finally in.close()
-          moveAtomic(tmp, dst)
+          val n = withRetries(retries, backoffMs) {
+            val tmp = dst.resolveSibling(
+              s".${dst.getFileName}.${java.util.UUID.randomUUID}.tmp")
+            try {
+              val in = open(url)
+              val copied =
+                try Files.copy(in, tmp, StandardCopyOption.REPLACE_EXISTING)
+                finally in.close()
+              moveAtomic(tmp, dst)
+              copied
+            } catch {
+              case e: Throwable => Files.deleteIfExists(tmp); throw e
+            }
+          }
           (url, dst.toString, n, true)
         }
       }

@@ -31,6 +31,51 @@ class StoreOpsSpec extends AnyFunSuite with SparkSpecBase {
     assert(r1.map(_.getLong(2)).sorted.toSeq == r2.map(_.getLong(2)).sorted.toSeq)
   }
 
+  test("transient IO failures retry with backoff; success on retry, skip intact") {
+    val src = Files.createTempDirectory("graft-flaky-src")
+    val work = Files.createTempDirectory("graft-flaky-work")
+    val p = src.resolve("tiles/flaky.bin")
+    Files.createDirectories(p.getParent)
+    Files.write(p, Array.fill(64)(7.toByte))
+    val urls = Seq("file://" + p.toAbsolutePath).toDF("url")
+    StoreOpsSpec.flakyAttempts.clear()
+    val flaky: () => String => java.io.InputStream = () => { u =>
+      val n = StoreOpsSpec.flakyAttempts.merge(u, 1, (a, b) => a + b)
+      if (n <= 2) throw new java.io.IOException(s"transient #$n")
+      Fetch.defaultOpen(u)
+    }
+    val r = Fetch.fetchToDir(urls, "url", work.toString,
+      retries = 3, backoffMs = 1L)(flaky).collect()
+    assert(r.length == 1 && r.head.getBoolean(3) && r.head.getLong(2) == 64L)
+    assert(StoreOpsSpec.flakyAttempts.values().iterator().next() == 3) // 2 failures + 1 success
+    // idempotent skip unaffected: second run never calls open at all
+    StoreOpsSpec.flakyAttempts.clear()
+    val r2 = Fetch.fetchToDir(urls, "url", work.toString,
+      retries = 3, backoffMs = 1L)(flaky).collect()
+    assert(!r2.head.getBoolean(3) && StoreOpsSpec.flakyAttempts.isEmpty)
+    // exhausted retries propagate the IOException (task fails)
+    StoreOpsSpec.flakyAttempts.clear()
+    val dead: () => String => java.io.InputStream =
+      () => _ => throw new java.io.IOException("always down")
+    val urls2 = Seq("file://" + p.toAbsolutePath + ".gone").toDF("url")
+    val e = intercept[Exception] {
+      Fetch.fetchToDir(urls2, "url", work.toString,
+        retries = 1, backoffMs = 1L)(dead).collect()
+    }
+    assert(e.getMessage != null)
+    // non-IO exceptions are NOT retried: exactly one attempt happens
+    val bomb: () => String => java.io.InputStream = () => { u =>
+      StoreOpsSpec.flakyAttempts.merge(u, 1, (a, b) => a + b)
+      throw new IllegalStateException("not transient")
+    }
+    StoreOpsSpec.flakyAttempts.clear()
+    intercept[Exception] {
+      Fetch.fetchToDir(urls2, "url", work.toString,
+        retries = 3, backoffMs = 1L)(bomb).collect()
+    }
+    assert(StoreOpsSpec.flakyAttempts.values().iterator().next() == 1)
+  }
+
   test("fetch destination layout matches URL-path-minus-host (reference parity)") {
     assert(Fetch.destRel("s3://bucket/a/b/c.tif") == "a/b/c.tif")
     assert(Fetch.destRel("gs://bucket/x.tif") == "x.tif")
@@ -56,4 +101,10 @@ class StoreOpsSpec extends AnyFunSuite with SparkSpecBase {
     ArrayStore.rm(root, force = true)
     assert(!Files.exists(Paths.get(root)))
   }
+}
+
+/** Executor-side attempt counters for the flaky-fetch test (local mode:
+  * same JVM, so a static map is visible to both driver and tasks). */
+object StoreOpsSpec {
+  val flakyAttempts = new java.util.concurrent.ConcurrentHashMap[String, Int]()
 }
