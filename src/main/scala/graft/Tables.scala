@@ -18,19 +18,27 @@ object Tables {
     * every session builder here). With that conf `ts` arrives as BIGINT
     * nanos; convert to a proper timestamp (floor to micros — matches
     * DuckDB's ns value for the oracle at micro precision). */
+  /** Floor-division of epoch-nanos to epoch-micros, exact for ANY sign.
+    * Integer arithmetic throughout: epoch-nanos exceed double's 2^53
+    * exact-integer range, so floor(ts/1000.0) would be off by ±1µs on some
+    * rows; and plain `div` truncates toward zero, which equals floor only
+    * for non-negative nanos — subtracting the positive mod first makes the
+    * division exact, keeping pre-1970 timestamps aligned with DuckDB's
+    * CAST(ns AS TIMESTAMP). */
+  private[graft] def nanosFloorMicros(c: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    // `div` = IntegralDivide: exact long division (the subtraction already
+    // made the dividend a multiple of 1000, so truncation == floor here)
+    call_function("div", c - pmod(c, lit(1000L)), lit(1000L))
+  }
+
   private def eventsRaw(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
     val df = load(s, d, "events")
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
-        // integer div: epoch-nanos exceed double's 2^53 exact-integer range,
-        // so floor(ts/1000.0) would be off by ±1µs on some rows.
-        // `div` truncates toward zero, which equals floor only for
-        // non-negative nanos. The generated events fixtures are all
-        // 2024-dated (observed range, all SFs); pre-1970 data would need a
-        // floor-mod correction to stay aligned with DuckDB's
-        // CAST(ns AS TIMESTAMP).
-        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        df.withColumn("ts", timestamp_micros(nanosFloorMicros(col("ts"))))
       case _ => df
     }
   }

@@ -67,4 +67,19 @@ class TemporalGridSpec extends AnyFunSuite with SparkSpecBase {
     assert(ids.contains("004W_41N"), ids.mkString(","))
     assert(ids.contains("002E_44N"), ids.mkString(","))
   }
+
+  test("nanos->micros conversion floors for negative (pre-1970) epochs too") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // ns -> expected floor(ns/1000) micros, exact integer semantics
+    val cases = Seq(
+      (1500L, 1L), (999L, 0L), (1000L, 1L), (0L, 0L),
+      (-1L, -1L), (-999L, -1L), (-1000L, -1L), (-1001L, -2L), (-1500L, -2L),
+      // 1969-12-31T23:59:59.999999999 -> -1 micro (floor), not 0 (truncate)
+      (-1L, -1L))
+    val got = cases.map(_._1).toDF("ts")
+      .select(Tables.nanosFloorMicros(col("ts")).as("us"))
+      .as[Long].collect().toSeq
+    assert(got == cases.map(_._2), got.toString)
+  }
 }
