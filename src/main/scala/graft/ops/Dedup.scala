@@ -112,17 +112,21 @@ object Dedup {
       .select(col("doc_id"), minhashSignature(col("hs"), nHashes).as("sig"))
       .filter(size(col("sig")) > 0)
       .persist()
+    // band bucket = ONE long: xxhash64 over (band index, the band's rows).
+    // Same (band, rows) always hashes equal, so recall is untouched; a
+    // 64-bit collision can only ADD a candidate, and every candidate is
+    // exact-verified downstream — so the join key drops the string build
+    // entirely. SHUFFLE_HASH: long-key self-join, no point sorting.
     val bands = sig.select(col("doc_id"),
       explode(array((0 until nBands).map(b =>
-        struct(lit(b).as("band"),
-          concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))
-            .as("key"))): _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
-    bands.as("a").join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .distinct()
+        xxhash64(lit(b), slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))): _*))
+        .as("key"))
+    bands.as("a").join(bands.as("b").hint("SHUFFLE_HASH"),
+        col("a.key") === col("b.key") && col("a.doc_id") < col("b.doc_id"))
+      .select(shiftleft(col("a.doc_id"), 32).bitwiseOR(col("b.doc_id")).as("pair"))
+      .distinct() // one long per pair for the dedupe shuffle
+      .select(shiftrightunsigned(col("pair"), 32).as("id_a"),
+        col("pair").bitwiseAND(lit(0xFFFFFFFFL)).as("id_b"))
   }
 
   /** MinHash-LSH dedup: candidates exact-verified against true Jaccard on
@@ -134,8 +138,10 @@ object Dedup {
     val cands = minhashCandidates(df, id, text, k, nHashes, rowsPerBand)
     val sets = shingleSets(df, id, text, k).persist() // joined on both pair sides
     val withSets = cands
-      .join(sets.select(col("doc_id").as("id_a"), col("shingles").as("sa")), Seq("id_a"))
-      .join(sets.select(col("doc_id").as("id_b"), col("shingles").as("sb")), Seq("id_b"))
+      .join(sets.select(col("doc_id").as("id_a"), col("shingles").as("sa"))
+        .hint("SHUFFLE_HASH"), Seq("id_a"))
+      .join(sets.select(col("doc_id").as("id_b"), col("shingles").as("sb"))
+        .hint("SHUFFLE_HASH"), Seq("id_b"))
     val inter = size(array_intersect(col("sa"), col("sb")))
     val jac = inter * lit(1.0) / (size(col("sa")) + size(col("sb")) - inter)
     withSets.filter(jac >= threshold)
@@ -167,7 +173,7 @@ object Dedup {
         .as("bk"))
       .select(col("doc_id"), col("simhash"),
         col("bk.band").as("band"), col("bk.key").as("key"))
-    bands.as("a").join(bands.as("b"),
+    bands.as("a").join(bands.as("b").hint("SHUFFLE_HASH"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
