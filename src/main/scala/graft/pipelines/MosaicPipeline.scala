@@ -211,8 +211,10 @@ object MosaicPipeline {
           val dst = java.nio.file.Paths.get(outRoot, "features", tile, s"$ymd.tif")
           if (!java.nio.file.Files.exists(dst)) {
             java.nio.file.Files.createDirectories(dst.getParent)
+            // overviews on, like the reference's COG driver defaults
+            // (datasets/utils.py:143-150: COG + BIGTIFF=IF_SAFER)
             val bytes = graft.raster.GeoTiffWriter.write(px, px,
-              bands.map(_._2), nodata = Some(nodata))
+              bands.map(_._2), nodata = Some(nodata), overviews = true)
             val tmp = dst.resolveSibling(
               s".${dst.getFileName}.${java.util.UUID.randomUUID}.tmp")
             java.nio.file.Files.write(tmp, bytes)

@@ -8,15 +8,16 @@ import java.util.zip.Inflater
   * flytemosaic/datasets/utils.py:123-126).
   *
   * Implements the public TIFF 6.0 + GeoTIFF structures directly (classic
-  * TIFF, either byte order): tiled or striped layout, PlanarConfiguration
-  * 1 (interleaved) or 2 (planar), Compression 1 (none) / 8 / 32946
-  * (zlib-deflate, what the COG driver emits for DEFLATE), samples of
-  * uint8/16/32 or float32 promoted to Float, plus the GeoTIFF
-  * ModelPixelScale / ModelTiepoint tags and GDAL's ASCII nodata tag.
-  * Deliberately NOT a full TIFF stack: no BigTIFF, predictors, JPEG/LZW —
-  * a reader for the scene files this engine's sink family writes and the
-  * subset of COGs the reference pipeline produces
-  * (driver=COG, BLOCKSIZE=512, default DEFLATE-or-none).
+  * AND BigTIFF containers, either byte order): tiled or striped layout,
+  * PlanarConfiguration 1 (interleaved) or 2 (planar), Compression 1
+  * (none) / 8 / 32946 (zlib-deflate, what the COG driver emits for
+  * DEFLATE), samples of uint8/16/32 or float32 promoted to Float, the
+  * GeoTIFF ModelPixelScale / ModelTiepoint tags, GDAL's ASCII nodata tag,
+  * and the COG overview IFD chain (`infos` walks it; `readBand(_, _,
+  * level)` decodes a reduced-resolution page). Deliberately NOT a full
+  * TIFF stack: no predictors, JPEG/LZW — a reader for the scene files
+  * this engine's sink family writes and the subset of COGs the reference
+  * pipeline produces (driver=COG, BLOCKSIZE=512, default DEFLATE-or-none).
   *
   * Byte-array based by design: scenes are fetched to local disk first
   * (Fetch, S5) exactly like the reference's download-then-open, and one
@@ -41,32 +42,58 @@ object GeoTiff {
 
   private def typeSize(t: Int): Int = t match {
     case 1 | 2 | 6 | 7 => 1; case 3 => 2; case 4 | 11 => 4; case 5 | 12 => 8
+    case 16 | 17 | 18 => 8 // BigTIFF LONG8/SLONG8/IFD8
     case other => throw new IllegalArgumentException(s"TIFF type $other unsupported")
   }
 
-  private def parseEntries(bytes: Array[Byte]): Map[Int, Entry] = {
-    val head = ByteBuffer.wrap(bytes, 0, 8)
+  private final case class Header(order: ByteOrder, big: Boolean, firstIfd: Long)
+
+  private def header(bytes: Array[Byte]): Header = {
     val order = (bytes(0), bytes(1)) match {
       case ('I', 'I') => ByteOrder.LITTLE_ENDIAN
       case ('M', 'M') => ByteOrder.BIG_ENDIAN
       case _ => throw new IllegalArgumentException("not a TIFF (bad byte-order mark)")
     }
-    head.order(order)
-    require(head.getShort(2) == 42, "not a classic TIFF (magic != 42)")
-    val ifdOff = java.lang.Integer.toUnsignedLong(head.getInt(4))
     val bb = ByteBuffer.wrap(bytes).order(order)
-    val n = java.lang.Short.toUnsignedInt(bb.getShort(ifdOff.toInt))
-    (0 until n).map { i =>
-      val e = ifdOff.toInt + 2 + i * 12
+    bb.getShort(2) match {
+      case 42 => Header(order, big = false, java.lang.Integer.toUnsignedLong(bb.getInt(4)))
+      case 43 =>
+        require(bb.getShort(4) == 8 && bb.getShort(6) == 0, "malformed BigTIFF header")
+        Header(order, big = true, bb.getLong(8))
+      case m => throw new IllegalArgumentException(s"not a TIFF (magic $m)")
+    }
+  }
+
+  /** One IFD's entries plus the offset of the next IFD (0 = end of chain). */
+  private def parseEntriesAt(bytes: Array[Byte], h: Header, ifdOff: Long): (Map[Int, Entry], Long) = {
+    val bb = ByteBuffer.wrap(bytes).order(h.order)
+    val (n, firstEntry, entryLen, inlineMax) =
+      if (h.big) (bb.getLong(ifdOff.toInt).toInt, ifdOff + 8, 20, 8)
+      else (java.lang.Short.toUnsignedInt(bb.getShort(ifdOff.toInt)), ifdOff + 2, 12, 4)
+    val entries = (0 until n).map { i =>
+      val e = (firstEntry + i.toLong * entryLen).toInt
       val tag = java.lang.Short.toUnsignedInt(bb.getShort(e))
       val typ = java.lang.Short.toUnsignedInt(bb.getShort(e + 2))
-      val count = java.lang.Integer.toUnsignedLong(bb.getInt(e + 4))
+      val count =
+        if (h.big) bb.getLong(e + 4)
+        else java.lang.Integer.toUnsignedLong(bb.getInt(e + 4))
+      val valueField = e + (if (h.big) 12 else 8)
       val byteLen = typeSize(typ) * count.toInt
       val valueOffset =
-        if (byteLen <= 4) e + 8L
-        else java.lang.Integer.toUnsignedLong(bb.getInt(e + 8))
-      tag -> Entry(tag, typ, count, bytes, order, valueOffset)
+        if (byteLen <= inlineMax) valueField.toLong
+        else if (h.big) bb.getLong(valueField)
+        else java.lang.Integer.toUnsignedLong(bb.getInt(valueField))
+      tag -> Entry(tag, typ, count, bytes, h.order, valueOffset)
     }.toMap
+    val nextAt = (firstEntry + n.toLong * entryLen).toInt
+    val next = if (h.big) bb.getLong(nextAt)
+               else java.lang.Integer.toUnsignedLong(bb.getInt(nextAt))
+    (entries, next)
+  }
+
+  private def parseEntries(bytes: Array[Byte]): Map[Int, Entry] = {
+    val h = header(bytes)
+    parseEntriesAt(bytes, h, h.firstIfd)._1
   }
 
   private def longs(e: Entry): Array[Long] = {
@@ -77,6 +104,7 @@ object GeoTiff {
         case 3 => java.lang.Short.toUnsignedInt(bb.getShort(off)).toLong
         case 4 => java.lang.Integer.toUnsignedLong(bb.getInt(off))
         case 1 => java.lang.Byte.toUnsignedInt(bb.get(off)).toLong
+        case 16 => bb.getLong(off) // BigTIFF LONG8
         case t => throw new IllegalArgumentException(s"tag ${e.tag}: integer TIFF type expected, got $t")
       }
     }
@@ -97,8 +125,25 @@ object GeoTiff {
   private def ascii(e: Entry): String =
     new String(e.raw, e.valueOffset.toInt, e.count.toInt - 1, "US-ASCII") // NUL-terminated
 
-  def info(bytes: Array[Byte]): Info = {
-    val es = parseEntries(bytes)
+  def info(bytes: Array[Byte]): Info = infoFrom(parseEntries(bytes))
+
+  /** Every page in the IFD chain: the main image first, then the COG
+    * reduced-resolution overviews in file order. */
+  def infos(bytes: Array[Byte]): Seq[Info] = {
+    val h = header(bytes)
+    val out = scala.collection.mutable.ArrayBuffer[Info]()
+    var off = h.firstIfd
+    var guard = 0
+    while (off != 0 && guard < 64) { // cycle guard: no sane COG has 64 levels
+      val (es, next) = parseEntriesAt(bytes, h, off)
+      out += infoFrom(es)
+      off = next
+      guard += 1
+    }
+    out.toSeq
+  }
+
+  private def infoFrom(es: Map[Int, Entry]): Info = {
     def one(tag: Int, dflt: => Long): Long = es.get(tag).map(longs(_)(0)).getOrElse(dflt)
     val width = one(256, sys.error("no ImageWidth")).toInt
     val height = one(257, sys.error("no ImageLength")).toInt
@@ -162,8 +207,15 @@ object GeoTiff {
   }
 
   /** Full-resolution band plane (row-major width×height floats). */
-  def readBand(bytes: Array[Byte], band: Int): Array[Float] = {
-    val fi = info(bytes)
+  def readBand(bytes: Array[Byte], band: Int): Array[Float] =
+    readBand(bytes, band, 0)
+
+  /** Band plane of pyramid level `level` (0 = full resolution, 1.. = the
+    * COG overview pages in IFD-chain order). */
+  def readBand(bytes: Array[Byte], band: Int, level: Int): Array[Float] = {
+    val pages = infos(bytes)
+    require(level < pages.length, s"level $level of ${pages.length}")
+    val fi = pages(level)
     require(band < fi.bands, s"band $band of ${fi.bands}")
     val order = if (bytes(0) == 'I') ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN
     val out = new Array[Float](fi.width * fi.height)

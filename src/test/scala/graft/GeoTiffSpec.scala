@@ -81,4 +81,44 @@ class GeoTiffSpec extends AnyFunSuite {
     assert(GeoTiff.readBand(bb.array(), 0).toSeq ==
       Seq(1f, 2f, 3f, 4f, 5f, 6f, 7f, 8f))
   }
+
+  test("COG overviews: IFD chain of nearest-decimated levels, full res intact") {
+    val (w, h) = (64, 48)
+    val b0 = band(w, h, 5)
+    val bytes = GeoTiffWriter.write(w, h, Seq(b0), tileSize = 16,
+      pixelScale = (0.5, 0.5), tiepoint = (10.0, 20.0), nodata = Some(Double.NaN),
+      overviews = true)
+    val pages = GeoTiff.infos(bytes)
+    // 64x48 -> 32x24 -> 16x12 (stops once max dim <= tile)
+    assert(pages.map(p => (p.width, p.height)) == Seq((64, 48), (32, 24), (16, 12)))
+    // geo tags only on the full-res page
+    assert(pages.head.pixelScale.contains((0.5, 0.5)))
+    // level 0 is bit-identical to the non-overview write
+    assert(GeoTiff.readBand(bytes, 0).toSeq == b0.toSeq)
+    // level 2 = full-res sampled at stride 4 (exact nearest decimation)
+    val l2 = GeoTiff.readBand(bytes, 0, 2)
+    val want = Array.tabulate(16 * 12) { i =>
+      b0(math.min((i / 16) * 4, h - 1) * w + math.min((i % 16) * 4, w - 1))
+    }
+    assert(l2.toSeq == want.toSeq)
+  }
+
+  test("BigTIFF container round-trips (8-byte offsets, LONG8 tile offsets)") {
+    val (w, h) = (40, 24)
+    val bands = Seq(band(w, h, 1), band(w, h, 2))
+    val bytes = GeoTiffWriter.write(w, h, bands, tileSize = 16,
+      pixelScale = (1.5, 1.5), tiepoint = (7.0, 9.0), nodata = Some(-42.0),
+      forceBigTiff = true)
+    assert(bytes(2) == 43 && bytes(3) == 0) // version 43 = BigTIFF
+    val fi = GeoTiff.info(bytes)
+    assert(fi.width == w && fi.height == h && fi.bands == 2)
+    assert(fi.pixelScale.contains((1.5, 1.5)) && fi.nodata.contains(-42.0))
+    for (b <- 0 until 2)
+      assert(GeoTiff.readBand(bytes, b).toSeq == bands(b).toSeq)
+    // and BigTIFF + overviews compose
+    val big2 = GeoTiffWriter.write(w, h, bands, tileSize = 16,
+      overviews = true, forceBigTiff = true)
+    assert(GeoTiff.infos(big2).length == 3) // 40x24 -> 20x12 -> 10x6
+    assert(GeoTiff.readBand(big2, 1, 1).length == 20 * 12)
+  }
 }

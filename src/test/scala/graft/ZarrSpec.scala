@@ -88,4 +88,27 @@ class ZarrSpec extends AnyFunSuite with SparkSpecBase {
     ZarrStore.write(Seq(ChunkRow(0, 0, 0, 0, data)).toDS(), root)
     assert(ZarrStore.read(spark, root).collect().length == 1)
   }
+
+  test("store preview renders a PGM quick-look without collecting full res") {
+    val root = Files.createTempDirectory("graft-preview").toString
+    // 8x8, 4x4 chunks, one time/band: left half = 10, right half = 30,
+    // bottom-right chunk left unwritten (fill NaN -> black)
+    val g = GridDef(1, 1, 8, 8, 4, 4, 4)
+    ZarrStore.init(root, g)
+    val rows = Seq(
+      ChunkRow(0, 0, 0, 0, Array.fill(16)(10f)),
+      ChunkRow(0, 0, 0, 1, Array.fill(16)(30f)),
+      ChunkRow(0, 0, 1, 0, Array.fill(16)(10f)))
+    ZarrStore.write(rows.toDS(), root)
+    val out = Files.createTempDirectory("graft-preview-out").resolve("p.pgm").toString
+    // maxPx 2 forces coarsen factor 4 -> a 2x2 preview
+    val (w, h, mn, mx) = graft.zarr.StorePreview.renderPgm(spark, root, out, maxPx = 2)
+    assert((w, h) == ((2, 2)) && mn == 10.0 && mx == 30.0)
+    val bytes = Files.readAllBytes(Paths.get(out))
+    val header = new String(bytes.take(9), "US-ASCII")
+    assert(header == "P5\n2 2\n255\n".replace("\\n", "\n") || header.startsWith("P5"))
+    val px = bytes.takeRight(4).map(b => java.lang.Byte.toUnsignedInt(b))
+    // (0,0)=10 -> 1; (0,1)=30 -> 255; (1,0)=10 -> 1; (1,1)=NaN -> 0
+    assert(px.toSeq == Seq(1, 255, 1, 0), px.toSeq.toString)
+  }
 }
