@@ -1,7 +1,5 @@
 package graft.ops
 
-import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.linalg.Vectors
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.functions.DotProductF32
@@ -21,27 +19,58 @@ object IvfIndex {
 
   final case class Index(centroids: Array[(Int, Array[Float])], assigned: DataFrame)
 
+  /** Seeded Lloyd k-means on a driver-side sample. The sample is already
+    * bounded (trainCap), so a plain JVM loop beats a distributed fit: the
+    * previous Spark ML KMeans ran ~2 jobs PER iteration over a 3-partition
+    * toy DataFrame — tens of scheduler round-trips to cluster rows that
+    * all fit in one array. Centroid quality only affects probe recall,
+    * never correctness (the probed cells are exact-ranked). */
+  private def lloydCentroids(sample: Array[Array[Float]], k: Int,
+                             iters: Int, seed: Long): Array[Array[Float]] = {
+    require(sample.nonEmpty, "empty training sample")
+    val dim = sample.head.length
+    val rnd = new scala.util.Random(seed)
+    val kk = math.min(k, sample.length)
+    var cents = rnd.shuffle(sample.indices.toVector).take(kk)
+      .map(i => sample(i).map(_.toDouble)).toArray
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(kk)(new Array[Double](dim))
+      val cnt = new Array[Int](kk)
+      sample.foreach { v =>
+        var best = 0; var bd = Double.MaxValue; var c = 0
+        while (c < kk) {
+          var d = 0.0; var j = 0
+          while (j < dim) {
+            val t = v(j).toDouble - cents(c)(j); d += t * t; j += 1
+          }
+          if (d < bd) { bd = d; best = c }
+          c += 1
+        }
+        cnt(best) += 1
+        var j = 0
+        while (j < dim) { sums(best)(j) += v(j); j += 1 }
+      }
+      cents = cents.zipWithIndex.map { case (old, c) =>
+        if (cnt(c) == 0) old else sums(c).map(_ / cnt(c))
+      }
+      it += 1
+    }
+    cents.map(_.map(_.toFloat))
+  }
+
   /** Build: cluster on a (deterministic) sample, assign every row to its
     * cell via the native top-cells expression (no per-row UDF — the
     * centroid table rides in the plan, one fused JVM loop per row). */
   def build(emb: DataFrame, id: String, vec: String, nCells: Int,
             seed: Long = 42L, trainCap: Int = 65536): Index = {
-    val spark = emb.sparkSession
-    import spark.implicits._
     // centroid training is bounded by design: at 100 TB the fit runs on a
     // capped sample (centroid quality needs representativeness, not the
     // full corpus), while ASSIGNMENT below is distributed over everything
-    val train = emb.select(col(vec)).limit(trainCap).as[Array[Float]]
-      .map(a => org.apache.spark.ml.feature.LabeledPoint(0.0,
-        Vectors.dense(a.map(_.toDouble))))
-      .toDF()
-    // random init (seeded): k-means|| init costs several extra distributed
-    // passes that buy nothing at IVF's coarse-quantizer quality bar
-    val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(8)
-      .setInitMode("random").setFeaturesCol("features").fit(train)
-    val centroids = model.clusterCenters.zipWithIndex
-      .map { case (c, i) => i -> c.toArray.map(_.toFloat) }
-    val cents = centroids.map(_._2)
+    val sample = emb.select(col(vec)).limit(trainCap).collect()
+      .map(_.getSeq[Float](0).toArray)
+    val cents = lloydCentroids(sample, nCells, iters = 8, seed = seed)
+    val centroids = cents.zipWithIndex.map { case (c, i) => i -> c }
     Index(centroids, emb.withColumn("__cell",
       element_at(graft.functions.NearestCells.topCells(col(vec), cents, 1), 1)))
   }

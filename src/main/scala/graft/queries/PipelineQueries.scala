@@ -88,7 +88,10 @@ object PipelineQueries {
     val stream = s.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet") // stream source needs a dir
       .parquet(d)
-      .withColumn("ts_conv", timestamp_micros(expr("ts div 1000")))
+      // same floor-exact conversion as the batch loader (pre-1970 safe),
+      // keeping the stream/batch parity property under any fixture
+      .withColumn("ts_conv",
+        timestamp_micros(graft.Tables.nanosFloorMicros(col("ts"))))
       .withWatermark("ts_conv", "0 seconds")
       .groupBy(window($"ts_conv", "5 minutes").as("w"), $"event_type")
       .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("sum_v"))
