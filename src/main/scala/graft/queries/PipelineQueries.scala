@@ -75,6 +75,11 @@ object PipelineQueries {
     // it is a per-query knob, not a global.)
     val s = s0.newSession()
     s.conf.set("spark.sql.shuffle.partitions", "8")
+    // update mode emits on DATA batches only; the trailing no-data batch
+    // exists to advance the watermark and evict state, which a terminating
+    // AvailableNow run doesn't need — skipping it saves a full micro-batch
+    // of state-store commit/snapshot IO per invocation
+    s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     import s.implicits._
     val schema = graft.Tables.load(s, d, "events").schema
     val base = new java.io.File(sys.props("java.io.tmpdir"), "graft_q34")
