@@ -204,11 +204,14 @@ object Similarity {
     import spark.implicits._
     val cents = sphericalCentroids(emb, vec, nCells)
     if (cents.isEmpty) return nearDupPairsBrute(emb, id, vec, threshold)
+    // three consumers (radii pass + both pair-join sides): materialize the
+    // assignment once instead of re-running scan+norm+NearestCentroid 3x
     val assigned = emb.select(col(id).as("_id"), col(vec).as("_v"),
         norm(col(vec)).as("_n"),
         graft.functions.NearestCentroid.nearest(col(vec), cents).as("_nc"))
       .select(col("_id"), col("_v"), col("_n"),
         col("_nc.cell").as("_cell"), col("_nc.angle").as("_ang"))
+      .persist()
     val radii = assigned.groupBy("_cell").agg(max(col("_ang")).as("r"))
       .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
     val bound = math.acos(math.max(-1.0, math.min(1.0, threshold - 1e-6))) + 1e-3
