@@ -109,29 +109,45 @@ object GtiMosaic {
       tx0: Double, ty0: Double, tx1: Double, ty1: Double, srs: String)
 
   /** Per-JVM decoded-band LRU: a tile overlapping many chunks in one
-    * executor is read + decoded once, not once per chunk. Entries are
-    * (location, band) → (tiff info, full band plane); eviction is
-    * access-ordered. Bounded by entry count — size for the worst tile a
-    * deployment reads (a 4096² float plane is 64 MiB; 16 entries ≈ 1 GiB
-    * ceiling; override via `graft.gti.tileCacheEntries`). */
+    * executor is read + decoded once, not once per chunk. Two tiers:
+    * a page-metadata cache (location → IFD-chain Infos, ~100 B each) and
+    * the heavy plane cache ((location, band, pyramid level) → decoded
+    * floats), both access-ordered. Bounded by entry count — size for the
+    * worst tile a deployment reads (a 4096² float plane is 64 MiB; 16
+    * entries ≈ 1 GiB ceiling; override via `graft.gti.tileCacheEntries`). */
   private object TileCache {
     private val maxEntries =
       sys.props.get("graft.gti.tileCacheEntries").map(_.toInt).getOrElse(16)
-    private val m =
-      new java.util.LinkedHashMap[(String, Int), (GeoTiff.Info, Array[Float])](
-          32, 0.75f, true) {
-        override def removeEldestEntry(
-            e: java.util.Map.Entry[(String, Int), (GeoTiff.Info, Array[Float])]): Boolean =
-          size() > maxEntries
+    private def lru[K, V](cap: Int) =
+      new java.util.LinkedHashMap[K, V](32, 0.75f, true) {
+        override def removeEldestEntry(e: java.util.Map.Entry[K, V]): Boolean =
+          size() > cap
       }
-    def get(loc: String, band: Int)(
-        load: => (GeoTiff.Info, Array[Float])): (GeoTiff.Info, Array[Float]) = {
-      val k = (loc, band)
-      val hit = m.synchronized(m.get(k))
+    private val metas = lru[String, Seq[GeoTiff.Info]](4096)
+    private val planes = lru[(String, Int, Int), Array[Float]](maxEntries)
+
+    def infos(loc: String, localize: String => String): Seq[GeoTiff.Info] = {
+      val hit = metas.synchronized(metas.get(loc))
+      if (hit != null) hit
+      else {
+        val v = GeoTiff.infos(Files.readAllBytes(Paths.get(localize(loc))))
+        metas.synchronized(metas.put(loc, v))
+        v
+      }
+    }
+
+    def plane(loc: String, band: Int, level: Int,
+              localize: String => String): Array[Float] = {
+      val k = (loc, band, level)
+      val hit = planes.synchronized(planes.get(k))
       if (hit != null) hit
       else { // load outside the lock: a rare duplicate decode beats serial IO
-        val v = load
-        m.synchronized(m.put(k, v))
+        val bytes = Files.readAllBytes(Paths.get(localize(loc)))
+        metas.synchronized { // piggyback: the parse is already paid for
+          if (metas.get(loc) == null) metas.put(loc, GeoTiff.infos(bytes))
+        }
+        val v = GeoTiff.readBand(bytes, band, level)
+        planes.synchronized(planes.put(k, v))
         v
       }
     }
@@ -201,10 +217,8 @@ object GtiMosaic {
     val chx0 = m.minx + cx.toLong * chunkPx * m.resx
     val chy1 = m.maxy - cy.toLong * chunkPx * m.resy
     tiles.foreach { t =>
-      val (fi, plane) = TileCache.get(t.location, band) {
-        val bytes = Files.readAllBytes(Paths.get(localize(t.location)))
-        (GeoTiff.info(bytes), GeoTiff.readBand(bytes, band))
-      }
+      val pages = TileCache.infos(t.location, localize)
+      val base = pages.head
       val aff =
         if (t.srs == m.srs) Affine.Identity
         else warps.getOrElse((t.srs, m.srs), throw new IllegalArgumentException(
@@ -212,9 +226,22 @@ object GtiMosaic {
             "affine warp is registered for the pair"))
       // file grid in FILE coordinates; tiepoint fallback maps the manifest
       // envelope corner back through the warp
-      val (fresx, fresy) = fi.pixelScale.getOrElse((m.resx, m.resy))
-      val (fx0, fy1) = fi.tiepoint.getOrElse((aff.invX(t.tx0), aff.invY(t.ty1)))
-      val nd = fi.nodata.getOrElse(m.nodata)
+      val (bresx, bresy) = base.pixelScale.getOrElse((m.resx, m.resy))
+      val (fx0, fy1) = base.tiepoint.getOrElse((aff.invX(t.tx0), aff.invY(t.ty1)))
+      val nd = base.nodata.getOrElse(m.nodata)
+      // COG pyramid pays off here: read the coarsest overview still at or
+      // finer than the target resolution (GDAL's overview-selection rule).
+      // Level ℓ decimates the full grid at stride 2^ℓ, so its effective
+      // mosaic-units resolution is base·|warp scale|·2^ℓ.
+      var lvl = 0
+      while (lvl + 1 < pages.length &&
+          bresx * math.abs(aff.ax) * (1L << (lvl + 1)) <= m.resx &&
+          bresy * math.abs(aff.ay) * (1L << (lvl + 1)) <= m.resy)
+        lvl += 1
+      val fi = pages(lvl)
+      val stride = 1 << lvl
+      val (fresx, fresy) = (bresx * stride, bresy * stride)
+      val plane = TileCache.plane(t.location, band, lvl, localize)
       var py = 0
       while (py < chunkPx) {
         val y = chy1 - (py + 0.5) * m.resy // target cell center, mosaic CRS
@@ -249,14 +276,15 @@ object GtiMosaic {
   def temporalMosaic(spark: SparkSession,
                      parts: Seq[(String, Int, Int)], // (manifest dst, timeIdx, bandOffset)
                      env: Option[(Double, Double, Double, Double)] = None,
-                     chunkPx: Int = 256)
+                     chunkPx: Int = 256,
+                     warps: Map[(String, String), Affine] = Map.empty)
                     (localize: String => String): Dataset[ChunkRow] = {
     import spark.implicits._
     require(parts.nonEmpty)
     parts.map { case (dst, timeIdx, bandOffset) =>
       val nBands = readMeta(dst).bandCount
       (0 until nBands).map { b =>
-        assemble(spark, dst, b, chunkPx, env)(localize)
+        assemble(spark, dst, b, chunkPx, env, warps)(localize)
           .map(r => ChunkRow(timeIdx, bandOffset + r.band, r.cy, r.cx, r.data))
       }.reduce(_ union _)
     }.reduce(_ union _)

@@ -172,6 +172,36 @@ class GtiMosaicSpec extends AnyFunSuite with SparkSpecBase {
     assert(bad.getMessage != null)
   }
 
+  test("assembly reads the matching COG overview level for coarse targets") {
+    val fix = Files.createTempDirectory("graft-gti-ovr").toString
+    // 8x8 file, values y*8+x, with a 4x4 level-1 overview (tileSize=4)
+    val full = Array.tabulate(64)(_.toFloat)
+    Files.write(Paths.get(fix, "ovr.tif"), GeoTiffWriter.write(8, 8, Seq(full),
+      tileSize = 4, pixelScale = (1.0, 1.0), tiepoint = (0.0, 8.0),
+      nodata = Some(Double.NaN), overviews = true))
+    // mosaic at res 2 (coarser than the file): level 1 (stride 2) is the
+    // coarsest page still at-or-finer than the target -> even-index picks
+    val dst = Files.createTempDirectory("graft-gti-ovr-dst").toString
+    val m2 = GtiMosaic.Meta("Float32", Double.NaN, 0.0, 0.0, 8.0, 8.0,
+      2.0, 2.0, 1, "nearest", "EPSG:4326")
+    GtiMosaic.write(
+      Seq(("s3://mosaic.fixtures/ovr.tif", 0.0, 0.0, 8.0, 8.0))
+        .toDF("location", "minx", "miny", "maxx", "maxy"), dst, m2)
+    val localize = (loc: String) => Paths.get(fix, loc.split('/').last).toString
+    val chunk = GtiMosaic.assemble(spark, dst, 0, 4)(localize).collect().head.data
+    val fromLevel1 = Array.tabulate(16)(i => full((2 * (i / 4)) * 8 + 2 * (i % 4)))
+    assert(chunk.toSeq == fromLevel1.toSeq,
+      s"expected level-1 (even-index) picks, got ${chunk.toSeq}")
+    // a full-res mosaic (res 1) over the same tile still reads level 0
+    val dstF = Files.createTempDirectory("graft-gti-ovr-full").toString
+    val m1 = m2.copy(resx = 1.0, resy = 1.0)
+    GtiMosaic.write(
+      Seq(("s3://mosaic.fixtures/ovr.tif", 0.0, 0.0, 8.0, 8.0))
+        .toDF("location", "minx", "miny", "maxx", "maxy"), dstF, m1)
+    val fullBack = GtiMosaic.assemble(spark, dstF, 0, 8)(localize).collect().head.data
+    assert(fullBack.toSeq == full.toSeq)
+  }
+
   test("assembly: multiband tiles and numeric (non-NaN) nodata semantics") {
     val fix = Files.createTempDirectory("graft-gti-mb").toString
     // one 4x4 two-band tile at (0,10); band 1 uses numeric nodata -99:

@@ -46,6 +46,22 @@ class SizeBatchSpec extends AnyFunSuite with SparkSpecBase {
     spark.catalog.clearCache()
   }
 
+  test("property: random sizes/budgets/partition counts match the window oracle") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 5) {
+      val n = 1 + rnd.nextInt(200)
+      val keys = rnd.shuffle((1 to n).map(_.toLong * 17)).toSeq
+      val data = keys.map(k => (k, rnd.nextInt(5000).toLong)) // includes 0-byte rows
+      val budget = 1L + rnd.nextInt(4096)
+      val parts = 1 + rnd.nextInt(12)
+      val got = SizeBatch.assign(data.toDS(), budget, parts)
+        .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+      assert(got == windowOracle(data, budget),
+        s"trial=$trial n=$n budget=$budget parts=$parts")
+    }
+    spark.catalog.clearCache()
+  }
+
   test("q37's plan has no WindowExec (the old single-partition scale-killer)") {
     val df = graft.queries.AdvancedQueries.q37SizeBatching(spark, sfSmoke)
     val plan = df.queryExecution.executedPlan.toString
