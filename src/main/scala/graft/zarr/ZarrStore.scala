@@ -50,6 +50,29 @@ object ZarrStore {
       if (bands.isEmpty) ""
       else bands.mkString(""","band_labels":["""", "\",\"", "\"]")
     Files.writeString(dir.resolve(".zattrs"), s"{$dims$labels}")
+    consolidate(root)
+  }
+
+  /** Zarr v2 consolidated metadata (`.zmetadata`, the `zarr.consolidate_
+    * metadata` convention xarray's `open_zarr(consolidated=True)` reads):
+    * every .zgroup/.zarray/.zattrs inlined into ONE root object, so an
+    * object-store open costs one GET instead of one per metadata file.
+    * Idempotent; re-run after adding more variables to the group. */
+  def consolidate(root: String): Unit = {
+    val rootPath = Paths.get(root)
+    val names = Set(".zgroup", ".zarray", ".zattrs")
+    val stream = Files.walk(rootPath)
+    val entries =
+      try {
+        import scala.jdk.CollectionConverters._
+        stream.iterator().asScala
+          .filter(p => names.contains(p.getFileName.toString))
+          .map(p => rootPath.relativize(p).toString.replace('\\', '/') -> p)
+          .toSeq.sortBy(_._1)
+          .map { case (rel, p) => s""""$rel":${Files.readString(p)}""" }
+      } finally stream.close()
+    Files.writeString(rootPath.resolve(".zmetadata"),
+      s"""{"metadata":{${entries.mkString(",")}},"zarr_consolidated_format":1}""")
   }
 
   def readGrid(root: String, varName: String = "data"): GridDef = {

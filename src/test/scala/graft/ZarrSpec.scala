@@ -111,4 +111,19 @@ class ZarrSpec extends AnyFunSuite with SparkSpecBase {
     // (0,0)=10 -> 1; (0,1)=30 -> 255; (1,0)=10 -> 1; (1,1)=NaN -> 0
     assert(px.toSeq == Seq(1, 255, 1, 0), px.toSeq.toString)
   }
+
+  test(".zmetadata consolidates group+array+attrs per the v2 convention") {
+    val root = freshStore()
+    val zm = Files.readString(Paths.get(root, ".zmetadata"))
+    assert(zm.contains("\"zarr_consolidated_format\":1"), zm)
+    // inlined copies equal the individual files
+    for ((rel, f) <- Seq(".zgroup" -> Paths.get(root, ".zgroup"),
+        "data/.zarray" -> Paths.get(root, "data", ".zarray"),
+        "data/.zattrs" -> Paths.get(root, "data", ".zattrs")))
+      assert(zm.contains("\"" + rel + "\":" + Files.readString(f)), rel)
+    // adding a second variable and re-consolidating picks it up
+    graft.zarr.ZarrStore.init(root, grid, varName = "qa")
+    val zm2 = Files.readString(Paths.get(root, ".zmetadata"))
+    assert(zm2.contains("\"qa/.zarray\":"), zm2)
+  }
 }
