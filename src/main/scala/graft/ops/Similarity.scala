@@ -85,18 +85,20 @@ object Similarity {
   def knnLsh(emb: DataFrame, id: String, vec: String,
              queryPred: org.apache.spark.sql.Column, k: Int,
              nPlanes: Int = 4, nTables: Int = 8, nDims: Int = 64): DataFrame = {
-    val withBuckets = emb.select(col(id).as("cid"), col(vec).as("cv"),
+    def buckets(side: DataFrame, idAs: String) = side
+      .select(col(id).as(idAs),
         posexplode(graft.functions.HashExpressions.hyperplaneSigs(
           col(vec), nPlanes, nDims, nTables)))
       .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "bucket")
-    val qb = withBuckets.join(
-      emb.filter(queryPred).select(col(id).as("qid")),
-      col("qid") === col("cid"))
-      .select(col("qid"), col("tbl"), col("bucket"))
+    // query buckets are computed directly on the (broadcast-small) query
+    // side — candidate generation is then a MAP-SIDE broadcast join over
+    // the streaming corpus buckets: zero corpus shuffle before the
+    // candidate-id dedupe, and the corpus is bucketed exactly once
+    val qb = broadcast(buckets(emb.filter(queryPred), "qid"))
     // dedupe candidate PAIRS on ids only — the multi-table union would
     // otherwise shuffle both embedding vectors per duplicate; vectors are
-    // joined back once per surviving pair (query side broadcast-small)
-    val cands = withBuckets.select(col("cid"), col("tbl"), col("bucket"))
+    // joined back once per surviving pair
+    val cands = buckets(emb, "cid")
       .join(qb, Seq("tbl", "bucket"))
       .filter(col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"))
