@@ -31,6 +31,22 @@ object Bench {
         "orders", "lineitem", "events", "documents", "embeddings")
       .foreach(t => Tables.load(spark, sfDir, t).count())
     graft.queries.Relational.q01PricingSummary(spark, sfDir).count()
+    // streaming machinery warmup (micro-batch planner, state store,
+    // checkpoint IO classes) over the tiny region table, so the one real
+    // streaming query isn't billed for JVM-wide first-touch costs
+    locally {
+      val ck = java.nio.file.Files.createTempDirectory("graft_bench_wu").toString
+      val wq = spark.readStream
+        .schema(Tables.load(spark, sfDir, "region").schema)
+        .option("pathGlobFilter", "region.parquet").parquet(sfDir)
+        .groupBy("r_regionkey").agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)))
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", ck)
+        .foreachBatch((b: org.apache.spark.sql.DataFrame, _: Long) => { b.count(); () })
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      wq.awaitTermination()
+    }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
