@@ -110,6 +110,21 @@ object HashKernels {
     new GenericArrayData(out)
   }
 
+  /** PolyHash32 of every element of a string array (order preserved, no
+    * dedup — min-style consumers are multiplicity-insensitive); EMPTY for
+    * null input. */
+  def arrayPolyHash(arr: ArrayData): ArrayData = {
+    if (arr == null) return new GenericArrayData(Array.empty[Long])
+    val n = arr.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      out(i) = ShingleKernel.polyHash32(arr.getUTF8String(i).toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** MinHash signature (see MinHashSig); EMPTY for null/empty input. */
   def minhashSig(hs: ArrayData, n: Int): ArrayData = {
     if (hs == null) return new GenericArrayData(Array.empty[Long])
@@ -252,9 +267,43 @@ case class WordShingleHashes(child: Expression, k: Int) extends UnaryExpression 
     copy(child = c)
 }
 
+/** `graft_array_polyhash(arr)` → ARRAY<BIGINT>: PolyHash32 of each element
+  * of a string array in one fused pass — lets consumers that already hold
+  * shingle STRINGS (e.g. a cached verification set) derive hash-space
+  * inputs without re-tokenizing the document. */
+case class ArrayPolyHash(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_array_polyhash expects ARRAY<STRING>, got ${other.sql}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    HashKernels.arrayPolyHash(
+      child.eval(input).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val c = child.genCode(ctx)
+    ev.copy(code = code"""
+      ${c.code}
+      org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+        graft.functions.HashKernels.arrayPolyHash(${c.isNull} ? null : ${c.value});
+    """,
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
+  override protected def withNewChildInternal(c: Expression): ArrayPolyHash =
+    copy(child = c)
+}
+
 object ShingleExpressions {
   def wordShingles(text: Column, k: Int): Column =
     Bridge.column(WordShingles(Bridge.expression(text), k))
   def wordShingleHashes(text: Column, k: Int): Column =
     Bridge.column(WordShingleHashes(Bridge.expression(text), k))
+  def arrayPolyHash(arr: Column): Column =
+    Bridge.column(ArrayPolyHash(Bridge.expression(arr)))
 }

@@ -104,12 +104,25 @@ object Dedup {
     * miss probability at J≥0.8 is (1−0.8²)³² ≈ 6·10⁻¹⁵ — recall is
     * effectively 1 at the verification threshold. */
   def minhashCandidates(df: DataFrame, id: String, text: String, k: Int,
-                        nHashes: Int, rowsPerBand: Int): DataFrame = {
+                        nHashes: Int, rowsPerBand: Int): DataFrame =
+    minhashCandidatesFromSets(
+      shingleSets(df, id, text, k), nHashes, rowsPerBand)
+
+  /** Candidates from an ALREADY-SHINGLED (doc_id, shingles) table — lets a
+    * caller that also needs the string sets (exact verification) pay the
+    * tokenize+shingle pass once. Signatures hash the set elements in one
+    * fused pass (ArrayPolyHash); MinHash's min-fold is order- and
+    * multiplicity-insensitive, so the signature equals the
+    * wordShingleHashes form exactly. */
+  private def minhashCandidatesFromSets(sets: DataFrame, nHashes: Int,
+                                        rowsPerBand: Int): DataFrame = {
     val nBands = nHashes / rowsPerBand
     // self-joined below: persist so the signature pipeline runs once, not
     // once per join side
-    val sig = stagedHashes(df, id, text, k)
-      .select(col("doc_id"), minhashSignature(col("hs"), nHashes).as("sig"))
+    val sig = sets
+      .select(col("doc_id"), minhashSignature(
+        graft.functions.ShingleExpressions.arrayPolyHash(col("shingles")),
+        nHashes).as("sig"))
       .filter(size(col("sig")) > 0)
       .persist()
     // band bucket = ONE long: xxhash64 over (band index, the band's rows).
@@ -135,8 +148,9 @@ object Dedup {
   def minhashDedupPairs(df: DataFrame, id: String, text: String, k: Int,
                         threshold: Double, nHashes: Int = 64,
                         rowsPerBand: Int = 2): DataFrame = {
-    val cands = minhashCandidates(df, id, text, k, nHashes, rowsPerBand)
-    val sets = shingleSets(df, id, text, k).persist() // joined on both pair sides
+    // ONE tokenize+shingle pass serves candidates AND exact verification
+    val sets = shingleSets(df, id, text, k).persist()
+    val cands = minhashCandidatesFromSets(sets, nHashes, rowsPerBand)
     val withSets = cands
       .join(sets.select(col("doc_id").as("id_a"), col("shingles").as("sa"))
         .hint("SHUFFLE_HASH"), Seq("id_a"))
