@@ -50,6 +50,7 @@ object GraftExtensions {
       WordShingles(a(0), intArg(a(1), "graft_word_shingles"))),
     fn("graft_shingle_hashes", classOf[WordShingleHashes])(a =>
       WordShingleHashes(a(0), intArg(a(1), "graft_shingle_hashes"))),
+    fn("graft_array_polyhash", classOf[ArrayPolyHash])(a => ArrayPolyHash(a(0))),
   )
 
   /** Imperative registration for an existing session (tests, Verify). */

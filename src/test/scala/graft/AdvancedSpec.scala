@@ -52,6 +52,13 @@ class AdvancedSpec extends AnyFunSuite with SparkSpecBase {
     val hp = spark.sql(
       "SELECT graft_hyperplane(embedding, 4, 64, 8) FROM emb_t2").collect()
     assert(hp.forall(_.getSeq[Long](0).length == 8))
+    // array-polyhash over shingle strings == per-shingle graft_polyhash
+    val aph = spark.sql(
+      """SELECT graft_array_polyhash(graft_word_shingles(text, 3)) AS a,
+        |  transform(graft_word_shingles(text, 3), s -> graft_polyhash(s)) AS b
+        |FROM docs_t WHERE graft_word_shingles(text, 3) IS NOT NULL""".stripMargin)
+      .collect()
+    aph.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
   }
 
   test("polyhash generates code (its string children stay inside codegen)") {
