@@ -56,29 +56,35 @@ object Dedup {
     * d²/2 rows to the self-join, so one hot shingle ("in the the") makes
     * the plan quadratic. Over-cap shingles are dropped from the comparison
     * universe — index AND set sizes, so Jaccard stays internally
-    * consistent. The hot list is small by definition (≤ totalPostings/cap
-    * entries), so it is collected once at plan time and applied pre-explode
-    * with `array_except` — keeping the free pre-explode sizes exact over
-    * the capped universe. */
+    * consistent. The hot list stays a DATAFRAME at any size (an anti-join
+    * drops its postings; the planner broadcasts it when small): a
+    * driver-collected literal would bound the operator by hot-list size,
+    * which at corpus scale is totalPostings/cap — not driver-material.
+    * When no shingle exceeds the cap (one cheap aggregation to check, the
+    * common case for sane caps), set sizes stay the free pre-explode
+    * `size(shingles)`; only an ENGAGED cap pays the post-filter size
+    * re-aggregation. */
   def jaccardPairs(df: DataFrame, id: String, text: String, k: Int,
                    threshold: Double, maxDf: Option[Int] = None): DataFrame = {
     val sets0 = shingleSets(df, id, text, k)
-    val sets = maxDf match {
-      case Some(cap) =>
-        sets0.cache() // consumed by the hot-list job, then the index build
-        val hot = sets0.select(explode(col("shingles")).as("s"))
-          .groupBy("s").count().filter(col("count") > cap).select("s")
-          .collect().map(_.getString(0))
-        if (hot.isEmpty) sets0
-        else sets0
-          .withColumn("shingles", array_except(col("shingles"), typedlit(hot.toSeq)))
-      case None => sets0
-    }
-    val inv = sets
+    def preSizedInv(sets: DataFrame): DataFrame = sets
       .withColumn("n", size(col("shingles")))
       .filter(col("n") > 0)
       .select(col("doc_id"), col("n"), explode(col("shingles")).as("s"))
-      .cache() // self-joined: materialize the postings once
+    val inv = (maxDf match {
+      case Some(cap) =>
+        sets0.cache() // hot-check job + index build share the shingle pass
+        val inv0 = sets0.select(col("doc_id"), explode(col("shingles")).as("s"))
+        val hot = inv0.groupBy("s").count()
+          .filter(col("count") > cap).select("s")
+        if (hot.isEmpty) preSizedInv(sets0) // cap is a no-op: sizes stay free
+        else {
+          val inv1 = inv0.join(hot, Seq("s"), "left_anti")
+          val sizes = inv1.groupBy("doc_id").agg(count(lit(1)).as("n"))
+          inv1.join(sizes, "doc_id").select(col("doc_id"), col("n"), col("s"))
+        }
+      case None => preSizedInv(sets0)
+    }).cache() // self-joined: materialize the postings once
     // SHUFFLE_HASH: the equi-key is a string — a sort-merge join would sort
     // every posting twice just to stream them; hashing one (per-partition
     // bounded) side is strictly cheaper and AQE still handles skew splits
