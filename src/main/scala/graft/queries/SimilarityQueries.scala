@@ -15,7 +15,7 @@ object SimilarityQueries {
   /** q30: embedding near-duplicate pairs, cosine ≥ 0.4 (data max ≈ 0.51). */
   def q30NearDup(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    Similarity.nearDupPairs(embeddings(s, d), "vec_id", "embedding", 0.4)
+    Similarity.nearDupPairs(embeddings(s, d), "vec_id", "embedding", 0.4, nCells = 32)
       .orderBy($"id_a", $"id_b")
   }
 
