@@ -193,14 +193,19 @@ object Dedup {
         .as("bk"))
       .select(col("doc_id"), col("simhash"),
         col("bk.band").as("band"), col("bk.key").as("key"))
+    // hamming is per-pair constant, so verify BEFORE the dedupe: only
+    // surviving near-dups enter the distinct, and the shuffle carries one
+    // packed long + the distance instead of two ids + two fingerprints
     bands.as("a").join(bands.as("b").hint("SHUFFLE_HASH"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
         col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        col("a.simhash").as("fp_a"), col("b.simhash").as("fp_b"))
-      .distinct()
-      .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast("bigint"))
+      .select(
+        shiftleft(col("a.doc_id"), 32).bitwiseOR(col("b.doc_id")).as("pair"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+          .cast("bigint").as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .select(col("id_a"), col("id_b"), col("hamming"))
+      .distinct()
+      .select(shiftrightunsigned(col("pair"), 32).as("id_a"),
+        col("pair").bitwiseAND(lit(0xFFFFFFFFL)).as("id_b"), col("hamming"))
   }
 }
