@@ -90,8 +90,10 @@ object IvfIndex {
       .select(col(id).as("cid"), col("__cell"))
       .join(q, Seq("__cell"))
       .filter(col("qid") =!= col("cid"))
-      .select(col("qid"), col("cid"))
-      .distinct()
+      .select(shiftleft(col("qid"), 32).bitwiseOR(col("cid")).as("pair"))
+      .distinct() // one packed long per candidate in the dedupe shuffle
+      .select(shiftrightunsigned(col("pair"), 32).as("qid"),
+        col("pair").bitwiseAND(lit(0xFFFFFFFFL)).as("cid"))
     val qv = broadcast(index.assigned.filter(queryPred)
       .select(col(id).as("qid"), col(vec).as("qv")))
     val scored = cands

@@ -101,8 +101,10 @@ object Similarity {
     val cands = buckets(emb, "cid")
       .join(qb, Seq("tbl", "bucket"))
       .filter(col("qid") =!= col("cid"))
-      .select(col("qid"), col("cid"))
-      .distinct()
+      .select(shiftleft(col("qid"), 32).bitwiseOR(col("cid")).as("pair"))
+      .distinct() // one packed long per candidate in the dedupe shuffle
+      .select(shiftrightunsigned(col("pair"), 32).as("qid"),
+        col("pair").bitwiseAND(lit(0xFFFFFFFFL)).as("cid"))
     val qv = broadcast(emb.filter(queryPred)
       .select(col(id).as("qid"), col(vec).as("qv")))
     val scored = cands
