@@ -91,7 +91,8 @@ object Dedup {
     val pairs = inv.as("a").join(inv.as("b").hint("SHUFFLE_HASH"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .select(
-        shiftleft(col("a.doc_id"), 32).bitwiseOR(col("b.doc_id")).as("pair"),
+        shiftleft(col("a.doc_id").cast("long"), 32)
+          .bitwiseOR(col("b.doc_id").cast("long")).as("pair"),
         col("a.n").as("na0"), col("b.n").as("nb0"))
       .groupBy(col("pair"))
       .agg(count(lit(1)).as("inter"),
@@ -142,7 +143,8 @@ object Dedup {
         .as("key"))
     bands.as("a").join(bands.as("b").hint("SHUFFLE_HASH"),
         col("a.key") === col("b.key") && col("a.doc_id") < col("b.doc_id"))
-      .select(shiftleft(col("a.doc_id"), 32).bitwiseOR(col("b.doc_id")).as("pair"))
+      .select(shiftleft(col("a.doc_id").cast("long"), 32)
+          .bitwiseOR(col("b.doc_id").cast("long")).as("pair"))
       .distinct() // one long per pair for the dedupe shuffle
       .select(shiftrightunsigned(col("pair"), 32).as("id_a"),
         col("pair").bitwiseAND(lit(0xFFFFFFFFL)).as("id_b"))
@@ -200,7 +202,8 @@ object Dedup {
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(
-        shiftleft(col("a.doc_id"), 32).bitwiseOR(col("b.doc_id")).as("pair"),
+        shiftleft(col("a.doc_id").cast("long"), 32)
+          .bitwiseOR(col("b.doc_id").cast("long")).as("pair"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
           .cast("bigint").as("hamming"))
       .filter(col("hamming") <= maxHamming)

@@ -90,7 +90,7 @@ object IvfIndex {
       .select(col(id).as("cid"), col("__cell"))
       .join(q, Seq("__cell"))
       .filter(col("qid") =!= col("cid"))
-      .select(shiftleft(col("qid"), 32).bitwiseOR(col("cid")).as("pair"))
+      .select(shiftleft(col("qid").cast("long"), 32).bitwiseOR(col("cid").cast("long")).as("pair"))
       .distinct() // one packed long per candidate in the dedupe shuffle
       .select(shiftrightunsigned(col("pair"), 32).as("qid"),
         col("pair").bitwiseAND(lit(0xFFFFFFFFL)).as("cid"))

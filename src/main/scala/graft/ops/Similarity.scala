@@ -101,7 +101,7 @@ object Similarity {
     val cands = buckets(emb, "cid")
       .join(qb, Seq("tbl", "bucket"))
       .filter(col("qid") =!= col("cid"))
-      .select(shiftleft(col("qid"), 32).bitwiseOR(col("cid")).as("pair"))
+      .select(shiftleft(col("qid").cast("long"), 32).bitwiseOR(col("cid").cast("long")).as("pair"))
       .distinct() // one packed long per candidate in the dedupe shuffle
       .select(shiftrightunsigned(col("pair"), 32).as("qid"),
         col("pair").bitwiseAND(lit(0xFFFFFFFFL)).as("cid"))
