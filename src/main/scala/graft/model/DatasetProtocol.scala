@@ -30,6 +30,11 @@ trait TemporalDatasetProtocol {
   def latest: Timestamp
   def windowDays: Int
 
+  /** Worst-case source scene size — the scrape-batch sizing input
+    * (reference: max_bytes_per_file ≈ 8 bands × 4004² × 2 B ≈ 256 MiB,
+    * glad.py:84-86). Default mirrors the reference's GLAD bound. */
+  def maxBytesPerFile: Long = 8L * 4004 * 4004 * 2
+
   /** W1 — default annual snap (glad.py:233-234). */
   def snapToTemporalGrid(ts: Column): Column = TemporalGrid.snapToYear(ts)
 

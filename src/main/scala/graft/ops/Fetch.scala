@@ -45,6 +45,21 @@ object Fetch {
     else Files.newInputStream(Paths.get(url))
   }
 
+  /** Partition count that bounds per-task download volume — the engine
+    * twin of the reference's scratch-sized URL batching
+    * (`flyte/scenes.py:60-70`: batch_size = ephemeral_storage //
+    * max_bytes_per_file, then one task per batch). Repartitioning the URL
+    * table to this count before `fetchToDir` caps each task's worst-case
+    * scratch usage at `taskScratchBytes` regardless of row skew. */
+  def boundedFetchParts(nUrls: Long, maxBytesPerFile: Long,
+                        taskScratchBytes: Long): Int = {
+    require(maxBytesPerFile > 0, "maxBytesPerFile must be positive")
+    require(taskScratchBytes >= maxBytesPerFile,
+      "task scratch must hold at least one file")
+    val urlsPerTask = taskScratchBytes / maxBytesPerFile
+    math.max(1L, (nUrls + urlsPerTask - 1) / urlsPerTask).toInt
+  }
+
   /** Bounded exponential retry on transient IO failures — the engine twin
     * of the reference's recoverable-exception retries ×3 around scrapes
     * (flyte/scenes.py:81-105) and GDAL's retry/delay configs

@@ -36,7 +36,11 @@ object MosaicPipeline {
       dataset: TemporalDatasetProtocol,
       storeRoot: String,
       chunkPx: Int = 16,          // px per tile side (test-scale; 2048/4004 in prod)
-      regionBudgetBytes: Long = 1L << 20)
+      regionBudgetBytes: Long = 1L << 20,
+      // per-task download scratch (reference _EPHEMERAL_STORAGE = 32 GiB,
+      // flyte/scenes.py:20); with dataset.maxBytesPerFile it sizes the
+      // fetch fan-out so no task exceeds its scratch
+      taskScratchBytes: Long = 32L << 30)
 
   /** Deterministic synthetic pixel: f(tile, period, band, cell). Plays the
     * role of the downloaded scene's content; QA band (last band) cycles a
@@ -176,7 +180,14 @@ object MosaicPipeline {
       .select($"tile_id", $"url",
         graft.time.TemporalGrid.datetimeToPeriod($"datetime").as("period"))
       .withColumn("src", localizeUrl($"url"))
-    val fetched = graft.ops.Fetch.fetchToDir(missing, "src", workdir)()
+      .cache() // counted for batch sizing, then fetched and joined below
+    // scratch-bounded fan-out (scenes.py:60-70 batching): each fetch task
+    // downloads at most taskScratchBytes even under worst-case file sizes
+    val nMissing = missing.count()
+    val fetchParts = graft.ops.Fetch.boundedFetchParts(
+      math.max(nMissing, 1L), cfg.dataset.maxBytesPerFile, cfg.taskScratchBytes)
+    val fetched = graft.ops.Fetch.fetchToDir(
+      missing.repartition(fetchParts), "src", workdir)()
     val px = cfg.chunkPx
     missing.join(fetched.select($"url".as("src"), $"dest"), Seq("src"))
       .select($"tile_id", $"period", $"dest").distinct()

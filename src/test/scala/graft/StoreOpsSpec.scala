@@ -83,6 +83,18 @@ class StoreOpsSpec extends AnyFunSuite with SparkSpecBase {
     assert(Fetch.destRel("/plain/path.bin") == "plain/path.bin")
   }
 
+  test("boundedFetchParts sizes the fan-out from scratch budget (reference batching)") {
+    import graft.ops.Fetch.boundedFetchParts
+    // reference shape: 32 GiB scratch / 256 MiB max file = 128 urls/task
+    val gib = 1L << 30
+    assert(boundedFetchParts(1280, 256L << 20, 32L * gib) == 10)
+    assert(boundedFetchParts(1, 256L << 20, 32L * gib) == 1)
+    assert(boundedFetchParts(129, 256L << 20, 32L * gib) == 2) // 128/task -> 2
+    // scratch == one file: one url per task
+    assert(boundedFetchParts(7, gib, gib) == 7)
+    intercept[IllegalArgumentException] { boundedFetchParts(10, 2 * gib, gib) }
+  }
+
   test("du accounts files+bytes per top-level entry; rm is force-guarded") {
     val root = Files.createTempDirectory("graft-du").toString
     import graft.model.GridDef
