@@ -79,7 +79,9 @@ object Dedup {
           .filter(col("count") > cap).select("s")
         if (hot.isEmpty) preSizedInv(sets0) // cap is a no-op: sizes stay free
         else {
-          val inv1 = inv0.join(hot, Seq("s"), "left_anti")
+          // consumed by the sizes aggregation AND the join back: one
+          // materialization instead of two anti-join recomputes
+          val inv1 = inv0.join(hot, Seq("s"), "left_anti").persist()
           val sizes = inv1.groupBy("doc_id").agg(count(lit(1)).as("n"))
           inv1.join(sizes, "doc_id").select(col("doc_id"), col("n"), col("s"))
         }
