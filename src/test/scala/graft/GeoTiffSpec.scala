@@ -42,12 +42,31 @@ class GeoTiffSpec extends AnyFunSuite {
       val ts = Seq(16, 32, 48)(rnd.nextInt(3))
       val bands = (0 until nb).map(b =>
         Array.fill(w * h)(rnd.nextFloat() * 1000f - 500f))
-      val bytes = GeoTiffWriter.write(w, h, bands, tileSize = ts)
+      val ovr = rnd.nextBoolean()
+      val big = rnd.nextBoolean()
+      val bytes = GeoTiffWriter.write(w, h, bands, tileSize = ts,
+        overviews = ovr, forceBigTiff = big)
       val fi = GeoTiff.info(bytes)
-      assert(fi.width == w && fi.height == h && fi.bands == nb, s"$w x $h x $nb @ $ts")
+      val tag = s"$w x $h x $nb @ $ts ovr=$ovr big=$big"
+      assert(fi.width == w && fi.height == h && fi.bands == nb, tag)
       for (b <- 0 until nb)
-        assert(GeoTiff.readBand(bytes, b).toSeq == bands(b).toSeq,
-          s"band $b of $w x $h x $nb @ tile $ts")
+        assert(GeoTiff.readBand(bytes, b).toSeq == bands(b).toSeq, s"band $b of $tag")
+      if (ovr) { // every level: right dims, decodable, exact decimation
+        val pages = GeoTiff.infos(bytes)
+        var stride = 1
+        for ((p, lvl) <- pages.zipWithIndex.drop(1)) {
+          stride *= 2
+          assert(p.width == (pages(lvl - 1).width + 1) / 2 &&
+            p.height == (pages(lvl - 1).height + 1) / 2, s"level $lvl of $tag")
+          val st = stride
+          val want = Array.tabulate(p.width * p.height) { i =>
+            bands(0)(math.min((i / p.width) * st, h - 1) * w +
+              math.min((i % p.width) * st, w - 1))
+          }
+          assert(GeoTiff.readBand(bytes, 0, lvl).toSeq == want.toSeq,
+            s"level $lvl decim of $tag")
+        }
+      }
     }
   }
 
