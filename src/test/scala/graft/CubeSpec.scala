@@ -176,4 +176,24 @@ class CubeSpec extends AnyFunSuite with SparkSpecBase {
     for ((k, v) <- want; (got, w) <- back(k).zip(v))
       assert((got.isNaN && w.isNaN) || got == w, s"chunk $k")
   }
+
+  test("geo-table records round-trip executor boundaries (reference test_types parity)") {
+    // tests/unit/flyte/test_types.py: a GeoDataFrame passed through a task
+    // boundary must come back equal. Spark twin: the task-IO case classes
+    // survive an encoder round-trip through a distributed identity map
+    // (serialize -> executor -> deserialize), values and schema intact.
+    import spark.implicits._
+    val rows = Seq(
+      graft.model.TileDateUrl("10N_000E", java.sql.Timestamp.valueOf("2021-01-01 00:00:00"),
+        "s3://source.scenes/a.tif", "annual_mean"),
+      graft.model.TileDateUrl("11N_001E", java.sql.Timestamp.valueOf("2022-01-01 00:00:00"),
+        "s3://source.scenes/b.tif", "annual_median"))
+    val back = spark.createDataset(rows).repartition(2)
+      .map(identity).collect().sortBy(_.tile_id).toSeq
+    assert(back == rows)
+    val tiles = Seq(graft.model.Tile("t1", -1.0, 40.0, 0.0, 41.0))
+    assert(spark.createDataset(tiles).map(identity).collect().toSeq == tiles)
+    val regions = Seq(graft.model.Region(0, 1, 0, 3, 0, 100, 0, 100))
+    assert(spark.createDataset(regions).map(identity).collect().toSeq == regions)
+  }
 }
