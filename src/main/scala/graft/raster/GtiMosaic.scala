@@ -168,10 +168,16 @@ object GtiMosaic {
     * manifest seq for the last-pixel-wins order. */
   def assemble(spark: SparkSession, dst: String, band: Int, chunkPx: Int,
                env: Option[(Double, Double, Double, Double)] = None,
-               warps: Map[(String, String), Affine] = Map.empty)
+               warps: Map[(String, String), Affine] = Map.empty,
+               resOverride: Option[(Double, Double)] = None)
               (localize: String => String): Dataset[ChunkRow] = {
     import spark.implicits._
-    val meta = readMeta(dst)
+    // res override at open (reference build_gti_xarray's xres/yres,
+    // mosaics.py:116-175): the target grid re-derives from the overridden
+    // resolution — nX/nY are res-dependent defs on Meta — and overview
+    // selection then reads correspondingly coarser pyramid pages
+    val meta = resOverride.fold(readMeta(dst))(r =>
+      readMeta(dst).copy(resx = r._1, resy = r._2))
     val idx0 = readIndex(spark, dst, env)
     val idx = if (idx0.columns.contains("srs")) idx0
               else idx0.withColumn("srs", lit(meta.srs))

@@ -200,6 +200,11 @@ class GtiMosaicSpec extends AnyFunSuite with SparkSpecBase {
         .toDF("location", "minx", "miny", "maxx", "maxy"), dstF, m1)
     val fullBack = GtiMosaic.assemble(spark, dstF, 0, 8)(localize).collect().head.data
     assert(fullBack.toSeq == full.toSeq)
+    // res OVERRIDE at open (build_gti_xarray's xres/yres): the res-1
+    // manifest assembled at res 2 equals the native res-2 assembly
+    val overridden = GtiMosaic.assemble(spark, dstF, 0, 4,
+      resOverride = Some((2.0, 2.0)))(localize).collect().head.data
+    assert(overridden.toSeq == fromLevel1.toSeq)
   }
 
   test("assembly: multiband tiles and numeric (non-NaN) nodata semantics") {
