@@ -248,22 +248,59 @@ object GtiMosaic {
       val stride = 1 << lvl
       val (fresx, fresy) = (bresx * stride, bresy * stride)
       val plane = TileCache.plane(t.location, band, lvl, localize)
+      // RESAMPLING honors the manifest metadata (mosaics.py:90; the
+      // reference's GTI default is "average"): average = mean of valid
+      // source pixels whose centers fall inside the target cell footprint,
+      // degrading to nearest when the source is coarser than the target
+      // (no center lands in the cell). Anything else = nearest.
+      val avg = m.resampling.equalsIgnoreCase("average")
+      def isNd(v: Float): Boolean = if (nd.isNaN) v.isNaN else v == nd.toFloat
       var py = 0
       while (py < chunkPx) {
-        val y = chy1 - (py + 0.5) * m.resy // target cell center, mosaic CRS
-        val fr = math.floor((fy1 - aff.invY(y)) / fresy).toInt
-        if (fr >= 0 && fr < fi.height) {
-          var px = 0
-          while (px < chunkPx) {
-            val x = chx0 + (px + 0.5) * m.resx
-            val fc = math.floor((aff.invX(x) - fx0) / fresx).toInt
-            if (fc >= 0 && fc < fi.width) {
-              val v = plane(fr * fi.width + fc)
-              val isNodata = if (nd.isNaN) v.isNaN else v == nd.toFloat
-              if (!isNodata) data(py * chunkPx + px) = v
+        val yTop = chy1 - py * m.resy
+        val yf0 = math.min(aff.invY(yTop), aff.invY(yTop - m.resy))
+        val yf1 = math.max(aff.invY(yTop), aff.invY(yTop - m.resy))
+        // nearest row for the cell center (also the averaging fallback)
+        val frN = math.floor((fy1 - aff.invY(yTop - 0.5 * m.resy)) / fresy).toInt
+        // file rows whose centers fall in [yf0, yf1)
+        val frLo = math.floor((fy1 - yf1) / fresy - 0.5).toInt + 1
+        val frHi = math.floor((fy1 - yf0) / fresy - 0.5).toInt
+        var px = 0
+        while (px < chunkPx) {
+          val xL = chx0 + px * m.resx
+          val xf0 = math.min(aff.invX(xL), aff.invX(xL + m.resx))
+          val xf1 = math.max(aff.invX(xL), aff.invX(xL + m.resx))
+          val fcN = math.floor((aff.invX(xL + 0.5 * m.resx) - fx0) / fresx).toInt
+          val out = py * chunkPx + px
+          if (avg) {
+            val fcLo = math.ceil((xf0 - fx0) / fresx - 0.5).toInt
+            val fcHi = math.ceil((xf1 - fx0) / fresx - 0.5).toInt - 1
+            if (frLo > frHi || fcLo > fcHi) { // source coarser: nearest
+              if (frN >= 0 && frN < fi.height && fcN >= 0 && fcN < fi.width) {
+                val v = plane(frN * fi.width + fcN)
+                if (!isNd(v)) data(out) = v
+              }
+            } else {
+              var sum = 0.0; var n = 0
+              var fr = math.max(frLo, 0)
+              val frEnd = math.min(frHi, fi.height - 1)
+              while (fr <= frEnd) {
+                var fc = math.max(fcLo, 0)
+                val fcEnd = math.min(fcHi, fi.width - 1)
+                while (fc <= fcEnd) {
+                  val v = plane(fr * fi.width + fc)
+                  if (!isNd(v)) { sum += v; n += 1 }
+                  fc += 1
+                }
+                fr += 1
+              }
+              if (n > 0) data(out) = (sum / n).toFloat
             }
-            px += 1
+          } else if (frN >= 0 && frN < fi.height && fcN >= 0 && fcN < fi.width) {
+            val v = plane(frN * fi.width + fcN)
+            if (!isNd(v)) data(out) = v
           }
+          px += 1
         }
         py += 1
       }

@@ -207,6 +207,41 @@ class GtiMosaicSpec extends AnyFunSuite with SparkSpecBase {
     assert(overridden.toSeq == fromLevel1.toSeq)
   }
 
+  test("average resampling honors manifest RESAMPLING metadata (reference default)") {
+    val fix = Files.createTempDirectory("graft-gti-avg").toString
+    // res-1 8x8 file, values y*8+x except a NaN at (0,0); no overviews so
+    // the box average is computed over true full-res pixels
+    val full = Array.tabulate(64)(i => if (i == 0) Float.NaN else i.toFloat)
+    Files.write(Paths.get(fix, "avg.tif"), GeoTiffWriter.write(8, 8, Seq(full),
+      pixelScale = (1.0, 1.0), tiepoint = (0.0, 8.0), nodata = Some(Double.NaN)))
+    val dst = Files.createTempDirectory("graft-gti-avg-dst").toString
+    val mAvg = GtiMosaic.Meta("Float32", Double.NaN, 0.0, 0.0, 8.0, 8.0,
+      2.0, 2.0, 1, "average", "EPSG:4326")
+    GtiMosaic.write(
+      Seq(("s3://mosaic.fixtures/avg.tif", 0.0, 0.0, 8.0, 8.0))
+        .toDF("location", "minx", "miny", "maxx", "maxy"), dst, mAvg)
+    val localize = (loc: String) => Paths.get(fix, loc.split('/').last).toString
+    val got = GtiMosaic.assemble(spark, dst, 0, 4)(localize).collect().head.data
+    // each res-2 cell = mean of its 2x2 res-1 block, NaN excluded
+    for (py <- 0 until 4; px <- 0 until 4) {
+      val vals = for {
+        dy <- 0 to 1; dx <- 0 to 1
+        v = full((py * 2 + dy) * 8 + px * 2 + dx) if !v.isNaN
+      } yield v.toDouble
+      val want = (vals.sum / vals.size).toFloat
+      assert(math.abs(got(py * 4 + px) - want) < 1e-5,
+        s"cell ($py,$px): got ${got(py * 4 + px)} want $want")
+    }
+    // nearest metadata on the same file still picks single pixels
+    val dstN = Files.createTempDirectory("graft-gti-avg-n").toString
+    GtiMosaic.write(
+      Seq(("s3://mosaic.fixtures/avg.tif", 0.0, 0.0, 8.0, 8.0))
+        .toDF("location", "minx", "miny", "maxx", "maxy"),
+      dstN, mAvg.copy(resampling = "nearest"))
+    val near = GtiMosaic.assemble(spark, dstN, 0, 4)(localize).collect().head.data
+    assert(near(1) == full(1 * 8 + 3)) // cell (0,1): center (3, 7) -> pixel (1,3)
+  }
+
   test("assembly: multiband tiles and numeric (non-NaN) nodata semantics") {
     val fix = Files.createTempDirectory("graft-gti-mb").toString
     // one 4x4 two-band tile at (0,10); band 1 uses numeric nodata -99:
