@@ -240,6 +240,30 @@ object MosaicPipeline {
       }
   }
 
+  /** One GTI manifest per distinct feature time — the reference's
+    * build-GTIs loop (`flyte/build.py:37-68`: group the feature gdf by
+    * datetime, one `build_recommended_gti` per group). `features` rows:
+    * (time TIMESTAMP, location, minx, miny, maxx, maxy). The per-group
+    * write is a driver loop like the reference's — times are the unit of
+    * work and are few by construction (A1 group-per-task). Returns
+    * (time, manifestDir) ascending, ready for `GtiMosaic.temporalMosaic`. */
+  def writeGtis(features: DataFrame, outRoot: String,
+                meta: graft.raster.GtiMosaic.Meta): Seq[(java.sql.Timestamp, String)] = {
+    import features.sparkSession.implicits._
+    val times = features.select($"time").distinct()
+      .as[java.sql.Timestamp].collect()
+      .sortBy(_.getTime)
+    times.toSeq.map { t =>
+      val ymd = new java.text.SimpleDateFormat("yyyyMMdd").format(t)
+      val dst = s"$outRoot/gti/$ymd"
+      graft.raster.GtiMosaic.write(
+        features.filter($"time" === t)
+          .select($"location", $"minx", $"miny", $"maxx", $"maxy"),
+        dst, meta)
+      (t, dst)
+    }
+  }
+
   /** Full E1∘E2∘E3 run; returns the reopened store as a chunk table plus
     * the planned regions (the unit of downstream parallel work). */
   def run(spark: SparkSession, cfg: Config): (Dataset[ChunkRow], GridDef, Seq[Region]) = {

@@ -97,6 +97,30 @@ class GtiMosaicSpec extends AnyFunSuite with SparkSpecBase {
     assert(by.values.forall(_.length == 1))
   }
 
+  test("writeGtis groups features by time into per-date manifests (build.py loop)") {
+    val fix = Files.createTempDirectory("graft-gti-wg").toString
+    buildFixtures(fix)
+    val root = Files.createTempDirectory("graft-gti-wg-root").toString
+    val features = Seq(
+      (java.sql.Timestamp.valueOf("2021-01-01 00:00:00"),
+        "s3://mosaic.fixtures/a.tif", 0.0, 4.0, 6.0, 10.0),
+      (java.sql.Timestamp.valueOf("2021-01-01 00:00:00"),
+        "s3://mosaic.fixtures/b.tif", 4.0, 6.0, 10.0, 10.0),
+      (java.sql.Timestamp.valueOf("2022-01-01 00:00:00"),
+        "s3://mosaic.fixtures/a.tif", 0.0, 4.0, 6.0, 10.0))
+      .toDF("time", "location", "minx", "miny", "maxx", "maxy")
+    val gtis = graft.pipelines.MosaicPipeline.writeGtis(features, root, meta)
+    assert(gtis.map(_._2.split('/').last) == Seq("20210101", "20220101"))
+    assert(GtiMosaic.readIndex(spark, gtis(0)._2).count() == 2)
+    assert(GtiMosaic.readIndex(spark, gtis(1)._2).count() == 1)
+    // and the manifests drive a temporal mosaic end to end
+    val localize = (loc: String) => Paths.get(fix, loc.split('/').last).toString
+    val cube = GtiMosaic.temporalMosaic(spark,
+      gtis.zipWithIndex.map { case ((_, d), i) => (d, i, 0) }, chunkPx = 5)(localize)
+      .collect()
+    assert(cube.map(_.time).toSet == Set(0, 1))
+  }
+
   test("E1 composition: GTI manifests -> temporal mosaic -> Zarr store round-trip") {
     // the reference's build_dataset_mosaic_workflow: per-time GTIs opened
     // lazily, concatenated, written region-parallel into a Zarr store
