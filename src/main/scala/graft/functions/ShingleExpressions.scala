@@ -112,14 +112,17 @@ object HashKernels {
 
   /** PolyHash32 of every element of a string array (order preserved, no
     * dedup — min-style consumers are multiplicity-insensitive); EMPTY for
-    * null input. */
+    * null input; null ELEMENTS hash to 0 (polyHash32's null convention —
+    * reachable from SQL via `graft_array_polyhash(array('a', NULL))`). */
   def arrayPolyHash(arr: ArrayData): ArrayData = {
     if (arr == null) return new GenericArrayData(Array.empty[Long])
     val n = arr.numElements()
     val out = new Array[Long](n)
     var i = 0
     while (i < n) {
-      out(i) = ShingleKernel.polyHash32(arr.getUTF8String(i).toString)
+      out(i) =
+        if (arr.isNullAt(i)) 0L
+        else ShingleKernel.polyHash32(arr.getUTF8String(i).toString)
       i += 1
     }
     new GenericArrayData(out)

@@ -46,11 +46,12 @@ object Dedup {
     *    fall out of the pair aggregation itself — no separate sizes
     *    aggregation and no post-agg joins back to the pair table;
     *  - the (id_a, id_b) pair is packed into one 64-bit key
-    *    (`id_a << 32 | id_b`) for the count aggregation — half the
-    *    grouping-key bytes and one hash per row instead of two. Requires
-    *    ids in [0, 2³²), which also bounds the pair space itself (an
-    *    exhaustive-pairs output over more ids than that is not a plan
-    *    anyone should run — use the LSH paths).
+    *    (`id_a << 32 | id_b`, PackedPair) for the count aggregation — half
+    *    the grouping-key bytes and one hash per row instead of two.
+    *    Requires ids in [0, 2³²) — enforced at runtime by PackedPair, and
+    *    that range also bounds the pair space itself (an exhaustive-pairs
+    *    output over more ids than that is not a plan anyone should run —
+    *    use the LSH paths).
     *
     * `maxDf` is the scale guard: a shingle appearing in d docs contributes
     * d²/2 rows to the self-join, so one hot shingle ("in the the") makes
@@ -71,9 +72,12 @@ object Dedup {
       .withColumn("n", size(col("shingles")))
       .filter(col("n") > 0)
       .select(col("doc_id"), col("n"), explode(col("shingles")).as("s"))
-    val inv = (maxDf match {
+    // upstream persists feeding only the postings build — dead (and
+    // eagerly unpersisted) once `inv` below is materialized
+    val upstream = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val inv = ScratchCache.register((maxDf match {
       case Some(cap) =>
-        sets0.cache() // hot-check job + index build share the shingle pass
+        upstream += sets0.cache() // hot-check job + index build share the shingle pass
         val inv0 = sets0.select(col("doc_id"), explode(col("shingles")).as("s"))
         val hot = inv0.groupBy("s").count()
           .filter(col("count") > cap).select("s")
@@ -82,19 +86,23 @@ object Dedup {
           // consumed by the sizes aggregation AND the join back: one
           // materialization instead of two anti-join recomputes
           val inv1 = inv0.join(hot, Seq("s"), "left_anti").persist()
+          upstream += inv1
           val sizes = inv1.groupBy("doc_id").agg(count(lit(1)).as("n"))
           inv1.join(sizes, "doc_id").select(col("doc_id"), col("n"), col("s"))
         }
       case None => preSizedInv(sets0)
-    }).cache() // self-joined: materialize the postings once
+    }).cache()) // self-joined: materialize the postings once
+    // fill the postings cache now (the self-join's first side would anyway)
+    // so the upstream frames can be released before the heavy join runs
+    inv.count()
+    upstream.foreach(_.unpersist())
     // SHUFFLE_HASH: the equi-key is a string — a sort-merge join would sort
     // every posting twice just to stream them; hashing one (per-partition
     // bounded) side is strictly cheaper and AQE still handles skew splits
     val pairs = inv.as("a").join(inv.as("b").hint("SHUFFLE_HASH"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .select(
-        shiftleft(col("a.doc_id").cast("long"), 32)
-          .bitwiseOR(col("b.doc_id").cast("long")).as("pair"),
+        PackedPair.pack(col("a.doc_id"), col("b.doc_id")).as("pair"),
         col("a.n").as("na0"), col("b.n").as("nb0"))
       .groupBy(col("pair"))
       .agg(count(lit(1)).as("inter"),
@@ -103,8 +111,8 @@ object Dedup {
       (col("na") + col("nb") - col("inter"))
     pairs
       .filter(jac >= threshold)
-      .select(shiftrightunsigned(col("pair"), 32).as("id_a"),
-        col("pair").bitwiseAND(lit(0xFFFFFFFFL)).as("id_b"),
+      .select(PackedPair.idA(col("pair")).as("id_a"),
+        PackedPair.idB(col("pair")).as("id_b"),
         roundp(jac, 6).as("jac"))
   }
 
@@ -127,13 +135,14 @@ object Dedup {
                                         rowsPerBand: Int): DataFrame = {
     val nBands = nHashes / rowsPerBand
     // self-joined below: persist so the signature pipeline runs once, not
-    // once per join side
-    val sig = sets
+    // once per join side; lives until the caller materializes the result
+    // (ScratchCache.releaseAll between session jobs)
+    val sig = ScratchCache.register(sets
       .select(col("doc_id"), minhashSignature(
         graft.functions.ShingleExpressions.arrayPolyHash(col("shingles")),
         nHashes).as("sig"))
       .filter(size(col("sig")) > 0)
-      .persist()
+      .persist())
     // band bucket = ONE long: xxhash64 over (band index, the band's rows).
     // Same (band, rows) always hashes equal, so recall is untouched; a
     // 64-bit collision can only ADD a candidate, and every candidate is
@@ -145,11 +154,10 @@ object Dedup {
         .as("key"))
     bands.as("a").join(bands.as("b").hint("SHUFFLE_HASH"),
         col("a.key") === col("b.key") && col("a.doc_id") < col("b.doc_id"))
-      .select(shiftleft(col("a.doc_id").cast("long"), 32)
-          .bitwiseOR(col("b.doc_id").cast("long")).as("pair"))
+      .select(PackedPair.pack(col("a.doc_id"), col("b.doc_id")).as("pair"))
       .distinct() // one long per pair for the dedupe shuffle
-      .select(shiftrightunsigned(col("pair"), 32).as("id_a"),
-        col("pair").bitwiseAND(lit(0xFFFFFFFFL)).as("id_b"))
+      .select(PackedPair.idA(col("pair")).as("id_a"),
+        PackedPair.idB(col("pair")).as("id_b"))
   }
 
   /** MinHash-LSH dedup: candidates exact-verified against true Jaccard on
@@ -159,7 +167,7 @@ object Dedup {
                         threshold: Double, nHashes: Int = 64,
                         rowsPerBand: Int = 2): DataFrame = {
     // ONE tokenize+shingle pass serves candidates AND exact verification
-    val sets = shingleSets(df, id, text, k).persist()
+    val sets = ScratchCache.register(shingleSets(df, id, text, k).persist())
     val cands = minhashCandidatesFromSets(sets, nHashes, rowsPerBand)
     val withSets = cands
       .join(sets.select(col("doc_id").as("id_a"), col("shingles").as("sa"))
@@ -189,7 +197,8 @@ object Dedup {
   def simhashPairs(df: DataFrame, id: String, text: String, k: Int,
                    maxHamming: Int): DataFrame = {
     require(maxHamming < 4, "4-band pigeonhole only covers hamming <= 3")
-    val fp = simhashFingerprints(df, id, text, k).persist() // self-joined
+    val fp = ScratchCache.register(
+      simhashFingerprints(df, id, text, k).persist()) // self-joined
     val bands = fp.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),
@@ -204,13 +213,12 @@ object Dedup {
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(
-        shiftleft(col("a.doc_id").cast("long"), 32)
-          .bitwiseOR(col("b.doc_id").cast("long")).as("pair"),
+        PackedPair.pack(col("a.doc_id"), col("b.doc_id")).as("pair"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
           .cast("bigint").as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
-      .select(shiftrightunsigned(col("pair"), 32).as("id_a"),
-        col("pair").bitwiseAND(lit(0xFFFFFFFFL)).as("id_b"), col("hamming"))
+      .select(PackedPair.idA(col("pair")).as("id_a"),
+        PackedPair.idB(col("pair")).as("id_b"), col("hamming"))
   }
 }

@@ -48,15 +48,20 @@ object Fetch {
   /** Partition count that bounds per-task download volume — the engine
     * twin of the reference's scratch-sized URL batching
     * (`flyte/scenes.py:60-70`: batch_size = ephemeral_storage //
-    * max_bytes_per_file, then one task per batch). Repartitioning the URL
-    * table to this count before `fetchToDir` caps each task's worst-case
-    * scratch usage at `taskScratchBytes` regardless of row skew. */
+    * (max_bytes_per_file * 4), one task per batch). The reference's 4×
+    * headroom is kept as `headroomDivisor`: downloads share the task's
+    * scratch disk with tile outputs and temp files, so budgeting only
+    * 1/headroom of it for fetched bytes leaves the rest free.
+    * Repartitioning the URL table to this count before `fetchToDir` caps
+    * each task's worst-case download volume at
+    * `taskScratchBytes / headroomDivisor` regardless of row skew. */
   def boundedFetchParts(nUrls: Long, maxBytesPerFile: Long,
-                        taskScratchBytes: Long): Int = {
+                        taskScratchBytes: Long, headroomDivisor: Int = 4): Int = {
     require(maxBytesPerFile > 0, "maxBytesPerFile must be positive")
-    require(taskScratchBytes >= maxBytesPerFile,
-      "task scratch must hold at least one file")
-    val urlsPerTask = taskScratchBytes / maxBytesPerFile
+    require(headroomDivisor > 0, "headroomDivisor must be positive")
+    require(taskScratchBytes / headroomDivisor >= maxBytesPerFile,
+      "task scratch (after headroom) must hold at least one file")
+    val urlsPerTask = taskScratchBytes / headroomDivisor / maxBytesPerFile
     math.max(1L, (nUrls + urlsPerTask - 1) / urlsPerTask).toInt
   }
 

@@ -76,7 +76,9 @@ object IvfIndex {
   }
 
   /** Query: probe the nProbe nearest cells per query vector, exact-rank
-    * members by cosine. */
+    * members by cosine. Id contract: `id` values must lie in [0, 2³²) —
+    * the candidate dedupe packs (qid, cid) into one long (PackedPair) and
+    * raises on out-of-range ids rather than corrupting pairs. */
   def knn(index: Index, id: String, vec: String,
           queryPred: org.apache.spark.sql.Column, k: Int, nProbe: Int): DataFrame = {
     val cents = index.centroids.map(_._2)
@@ -85,15 +87,16 @@ object IvfIndex {
         explode(graft.functions.NearestCells.topCells(col(vec), cents, nProbe))
           .as("__cell"))
     // candidate ids first, vectors joined back after the dedupe — the
-    // nProbe-way expansion never shuffles embedding payloads
+    // nProbe-way expansion never shuffles embedding payloads. PackedPair
+    // raises on ids outside [0, 2^32) rather than corrupting the key.
     val cands = index.assigned
       .select(col(id).as("cid"), col("__cell"))
       .join(q, Seq("__cell"))
       .filter(col("qid") =!= col("cid"))
-      .select(shiftleft(col("qid").cast("long"), 32).bitwiseOR(col("cid").cast("long")).as("pair"))
+      .select(PackedPair.pack(col("qid"), col("cid")).as("pair"))
       .distinct() // one packed long per candidate in the dedupe shuffle
-      .select(shiftrightunsigned(col("pair"), 32).as("qid"),
-        col("pair").bitwiseAND(lit(0xFFFFFFFFL)).as("cid"))
+      .select(PackedPair.idA(col("pair")).as("qid"),
+        PackedPair.idB(col("pair")).as("cid"))
     val qv = broadcast(index.assigned.filter(queryPred)
       .select(col(id).as("qid"), col(vec).as("qv")))
     val scored = cands

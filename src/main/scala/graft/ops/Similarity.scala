@@ -81,7 +81,11 @@ object Similarity {
     * fused JVM loop emitting all `nTables` signatures per row) rather than
     * the staged-HOF `lshBucket` form — same arithmetic (spec-asserted
     * equal), without nTables × nPlanes × nDims interpreted lambda
-    * dispatches per row. */
+    * dispatches per row.
+    *
+    * Id contract: `id` values must lie in [0, 2³²) — the candidate dedupe
+    * packs (qid, cid) into one long (PackedPair) and raises on ids outside
+    * that range rather than silently corrupting pairs. */
   def knnLsh(emb: DataFrame, id: String, vec: String,
              queryPred: org.apache.spark.sql.Column, k: Int,
              nPlanes: Int = 4, nTables: Int = 8, nDims: Int = 64): DataFrame = {
@@ -97,14 +101,16 @@ object Similarity {
     val qb = broadcast(buckets(emb.filter(queryPred), "qid"))
     // dedupe candidate PAIRS on ids only — the multi-table union would
     // otherwise shuffle both embedding vectors per duplicate; vectors are
-    // joined back once per surviving pair
+    // joined back once per surviving pair. PackedPair raises on ids outside
+    // [0, 2^32) — arbitrary user id columns must not silently corrupt the
+    // packed key.
     val cands = buckets(emb, "cid")
       .join(qb, Seq("tbl", "bucket"))
       .filter(col("qid") =!= col("cid"))
-      .select(shiftleft(col("qid").cast("long"), 32).bitwiseOR(col("cid").cast("long")).as("pair"))
+      .select(PackedPair.pack(col("qid"), col("cid")).as("pair"))
       .distinct() // one packed long per candidate in the dedupe shuffle
-      .select(shiftrightunsigned(col("pair"), 32).as("qid"),
-        col("pair").bitwiseAND(lit(0xFFFFFFFFL)).as("cid"))
+      .select(PackedPair.idA(col("pair")).as("qid"),
+        PackedPair.idB(col("pair")).as("cid"))
     val qv = broadcast(emb.filter(queryPred)
       .select(col(id).as("qid"), col(vec).as("qv")))
     val scored = cands
@@ -209,13 +215,15 @@ object Similarity {
     val cents = sphericalCentroids(emb, vec, nCells)
     if (cents.isEmpty) return nearDupPairsBrute(emb, id, vec, threshold)
     // three consumers (radii pass + both pair-join sides): materialize the
-    // assignment once instead of re-running scan+norm+NearestCentroid 3x
-    val assigned = emb.select(col(id).as("_id"), col(vec).as("_v"),
+    // assignment once instead of re-running scan+norm+NearestCentroid 3x;
+    // released by ScratchCache.releaseAll once the caller has materialized
+    val assigned = ScratchCache.register(
+      emb.select(col(id).as("_id"), col(vec).as("_v"),
         norm(col(vec)).as("_n"),
         graft.functions.NearestCentroid.nearest(col(vec), cents).as("_nc"))
       .select(col("_id"), col("_v"), col("_n"),
         col("_nc.cell").as("_cell"), col("_nc.angle").as("_ang"))
-      .persist()
+      .persist())
     val radii = assigned.groupBy("_cell").agg(max(col("_ang")).as("r"))
       .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
     val bound = math.acos(math.max(-1.0, math.min(1.0, threshold - 1e-6))) + 1e-3

@@ -49,12 +49,12 @@ object SizeBatch {
 
     // normalize names: a Dataset[(Long, Long)] keeps its source column
     // names, so address positionally
-    val ranged = rows
+    val ranged = ScratchCache.register(rows
       .toDF("key", "n_bytes")
       .as[(Long, Long)]
       .repartitionByRange(n, $"key")
       .sortWithinPartitions($"key")
-      .persist()
+      .persist())
 
     // Pass 1: one (partitionId, subtotal) row per partition. Range
     // partition i holds strictly smaller keys than partition i+1, so the

@@ -182,7 +182,8 @@ object MosaicPipeline {
       .withColumn("src", localizeUrl($"url"))
       .cache() // counted for batch sizing, then fetched and joined below
     // scratch-bounded fan-out (scenes.py:60-70 batching): each fetch task
-    // downloads at most taskScratchBytes even under worst-case file sizes
+    // downloads at most taskScratchBytes/4 even under worst-case file sizes
+    // (the reference's 4x headroom — outputs/temp files share the disk)
     val nMissing = missing.count()
     val fetchParts = graft.ops.Fetch.boundedFetchParts(
       math.max(nMissing, 1L), cfg.dataset.maxBytesPerFile, cfg.taskScratchBytes)
@@ -253,9 +254,22 @@ object MosaicPipeline {
     val times = features.select($"time").distinct()
       .as[java.sql.Timestamp].collect()
       .sortBy(_.getTime)
-    times.toSeq.map { t =>
-      val ymd = new java.text.SimpleDateFormat("yyyyMMdd").format(t)
-      val dst = s"$outRoot/gti/$ymd"
+    // UTC keys, never the JVM default zone (a local-zone yyyyMMdd maps two
+    // distinct instants to one dir across midnight); day-keys only when
+    // every time IS a UTC day boundary, else full timestamp keys — and the
+    // keys must be distinct or a later write(mode=overwrite) would clobber
+    // an earlier manifest while both returned entries point at it
+    val dayFmt = java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd")
+      .withZone(java.time.ZoneOffset.UTC)
+    val fullFmt = java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd'T'HHmmss")
+      .withZone(java.time.ZoneOffset.UTC)
+    val dayAligned = times.forall(t => java.lang.Math.floorMod(t.getTime, 86400000L) == 0L)
+    val fmt = if (dayAligned) dayFmt else fullFmt
+    val keys = times.map(t => fmt.format(java.time.Instant.ofEpochMilli(t.getTime)))
+    require(keys.distinct.length == keys.length,
+      s"writeGtis: non-unique manifest keys (sub-second time collisions): ${keys.mkString(",")}")
+    times.toSeq.zip(keys).map { case (t, key) =>
+      val dst = s"$outRoot/gti/$key"
       graft.raster.GtiMosaic.write(
         features.filter($"time" === t)
           .select($"location", $"minx", $"miny", $"maxx", $"maxy"),

@@ -163,4 +163,44 @@ class DedupSpec extends AnyFunSuite with SparkSpecBase {
     assert(mean == (97 + 98 + 99 + 100) / 4.0)
     assert(feat.length == 4 && feat(0) == 97.0f)
   }
+
+  test("PackedPair raises on ids outside [0, 2^32) instead of corrupting the key") {
+    import graft.ops.PackedPair
+    val ok = Seq((3L, 5L)).toDF("a", "b")
+      .select(PackedPair.pack($"a", $"b").as("p"))
+      .select(PackedPair.idA($"p"), PackedPair.idB($"p"))
+      .collect().head
+    assert((ok.getLong(0), ok.getLong(1)) == ((3L, 5L)))
+    for (bad <- Seq((-1L, 5L), (3L, 1L << 32))) {
+      val e = intercept[Exception] {
+        Seq(bad).toDF("a", "b").select(PackedPair.pack($"a", $"b")).collect()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("pair-packed id outside")), e.toString)
+    }
+  }
+
+  test("ScratchCache releases operator-internal persists on releaseAll") {
+    import graft.ops.ScratchCache
+    ScratchCache.releaseAll() // isolate from earlier suites
+    val docs = Tables.documents(spark, sfSmoke).limit(50)
+    val pairs = Dedup.minhashDedupPairs(docs, "doc_id", "text", 3, 0.8)
+    pairs.count() // materialize: sets + sig are persisted right now
+    assert(ScratchCache.registered >= 2)
+    ScratchCache.releaseAll()
+    assert(ScratchCache.registered == 0)
+    // released frames recompute transparently
+    assert(pairs.count() >= 0)
+  }
+
+  test("graft_array_polyhash hashes null elements to 0 (polyhash null convention)") {
+    val r = spark.range(1).select(
+      graft.functions.ShingleExpressions.arrayPolyHash(
+        array(lit("a"), lit(null).cast("string"), lit("b"))).as("h"))
+      .collect().head
+    val expect = Seq("a", "b").map(s =>
+      graft.functions.ShingleKernel.polyHash32(s))
+    assert(r.getSeq[Long](0) == Seq(expect(0), 0L, expect(1)))
+  }
 }

@@ -121,6 +121,25 @@ class GtiMosaicSpec extends AnyFunSuite with SparkSpecBase {
     assert(cube.map(_.time).toSet == Set(0, 1))
   }
 
+  test("writeGtis keys sub-daily times with full UTC timestamps (no same-day clobber)") {
+    val fix = Files.createTempDirectory("graft-gti-wg2").toString
+    buildFixtures(fix)
+    val root = Files.createTempDirectory("graft-gti-wg2-root").toString
+    // two distinct instants on the SAME calendar day: a yyyyMMdd key would
+    // collapse them to one dir and the second overwrite the first
+    val features = Seq(
+      (java.sql.Timestamp.valueOf("2021-01-01 00:00:00"),
+        "s3://mosaic.fixtures/a.tif", 0.0, 4.0, 6.0, 10.0),
+      (java.sql.Timestamp.valueOf("2021-01-01 06:30:00"),
+        "s3://mosaic.fixtures/b.tif", 4.0, 6.0, 10.0, 10.0))
+      .toDF("time", "location", "minx", "miny", "maxx", "maxy")
+    val gtis = graft.pipelines.MosaicPipeline.writeGtis(features, root, meta)
+    assert(gtis.map(_._2.split('/').last) ==
+      Seq("20210101T000000", "20210101T063000"))
+    assert(GtiMosaic.readIndex(spark, gtis(0)._2).count() == 1)
+    assert(GtiMosaic.readIndex(spark, gtis(1)._2).count() == 1)
+  }
+
   test("E1 composition: GTI manifests -> temporal mosaic -> Zarr store round-trip") {
     // the reference's build_dataset_mosaic_workflow: per-time GTIs opened
     // lazily, concatenated, written region-parallel into a Zarr store

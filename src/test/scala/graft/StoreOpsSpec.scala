@@ -85,14 +85,19 @@ class StoreOpsSpec extends AnyFunSuite with SparkSpecBase {
 
   test("boundedFetchParts sizes the fan-out from scratch budget (reference batching)") {
     import graft.ops.Fetch.boundedFetchParts
-    // reference shape: 32 GiB scratch / 256 MiB max file = 128 urls/task
+    // reference shape (scenes.py:68): 32 GiB scratch / (256 MiB file * 4x
+    // headroom) = 32 urls/task
     val gib = 1L << 30
-    assert(boundedFetchParts(1280, 256L << 20, 32L * gib) == 10)
+    assert(boundedFetchParts(1280, 256L << 20, 32L * gib) == 40)
     assert(boundedFetchParts(1, 256L << 20, 32L * gib) == 1)
-    assert(boundedFetchParts(129, 256L << 20, 32L * gib) == 2) // 128/task -> 2
-    // scratch == one file: one url per task
-    assert(boundedFetchParts(7, gib, gib) == 7)
-    intercept[IllegalArgumentException] { boundedFetchParts(10, 2 * gib, gib) }
+    assert(boundedFetchParts(33, 256L << 20, 32L * gib) == 2) // 32/task -> 2
+    // headroom disabled: budget == scratch
+    assert(boundedFetchParts(1280, 256L << 20, 32L * gib, headroomDivisor = 1) == 10)
+    // derated scratch == one file: one url per task
+    assert(boundedFetchParts(7, gib, 4L * gib) == 7)
+    // derated scratch can't hold one file
+    intercept[IllegalArgumentException] { boundedFetchParts(7, gib, gib) }
+    intercept[IllegalArgumentException] { boundedFetchParts(10, 2 * gib, gib, 1) }
   }
 
   test("du accounts files+bytes per top-level entry; rm is force-guarded") {
