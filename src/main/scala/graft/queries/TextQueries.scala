@@ -126,17 +126,158 @@ object TextQueries {
        |  list_min(${DuckSql.shingleHashesSql("ws", 3)}) AS min_shingle_hash
        |FROM t ORDER BY doc_id""".stripMargin
 
+  /** q43: Gopher-style word-repetition / diversity stats per document
+    * (Rae et al. 2021 repetition-removal rules, re-keyed to word n-grams —
+    * the fixture is single-line text, so line-based variants are
+    * degenerate here; the n-gram forms are the rules' general shape):
+    *  - distinct_word_ratio: type-token ratio (diversity signal);
+    *  - top_word_frac / top_bigram_frac: fraction of occurrences claimed
+    *    by the most frequent word / word-2-gram ("top n-gram fraction");
+    *  - dup_trigram_frac: fraction of 3-gram occurrences that are repeats
+    *    of an earlier occurrence ("duplicate n-gram fraction").
+    *
+    * Plan shape: one token projection fans into three explode→two-level
+    * aggregation branches, joined back on doc_id. Each branch is a
+    * map-side-combinable hash aggregation keyed by (doc_id, gram) — the
+    * standard distributed shape for per-doc gram stats at corpus scale
+    * (no per-row O(n²) HOF scans, no driver collection). */
+  def q43Repetition(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = documents(s, d).select($"doc_id", tokens($"text").as("ws"))
+    // non-distinct k-grams (multiplicity matters here, unlike `shingles`)
+    def grams(k: Int): Column =
+      when(size($"ws") >= k,
+        transform(sequence(lit(1), size($"ws") - (k - 1)),
+          i => concat_ws(" ", slice($"ws", i, lit(k)))))
+        .otherwise(array().cast("array<string>"))
+    def gramStats(k: Int, aggCols: Seq[Column]): DataFrame = toks
+      .select($"doc_id", explode(grams(k)).as("g"))
+      .groupBy($"doc_id", $"g").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id").agg(aggCols.head, aggCols.tail: _*)
+    val wordStats = gramStats(1, Seq(
+      sum($"c").cast("bigint").as("n_words"),
+      roundp(count(lit(1)) * lit(1.0) / sum($"c"), 6).as("distinct_word_ratio"),
+      roundp(max($"c") * lit(1.0) / sum($"c"), 6).as("top_word_frac")))
+    val bigramStats = gramStats(2, Seq(
+      roundp(max($"c") * lit(1.0) / sum($"c"), 6).as("top_bigram_frac")))
+    val trigramStats = gramStats(3, Seq(
+      roundp(sum($"c" - 1) * lit(1.0) / sum($"c"), 6).as("dup_trigram_frac")))
+    documents(s, d).select($"doc_id")
+      .join(wordStats, Seq("doc_id"), "left")
+      .join(bigramStats, Seq("doc_id"), "left")
+      .join(trigramStats, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"n_words", lit(0L)).as("n_words"),
+        coalesce($"distinct_word_ratio", lit(0.0)).as("distinct_word_ratio"),
+        coalesce($"top_word_frac", lit(0.0)).as("top_word_frac"),
+        coalesce($"top_bigram_frac", lit(0.0)).as("top_bigram_frac"),
+        coalesce($"dup_trigram_frac", lit(0.0)).as("dup_trigram_frac"))
+      .orderBy($"doc_id")
+  }
+
+  val q43Sql: String = {
+    def gramsSql(k: Int): String =
+      if (k == 1) "ws"
+      else s"CASE WHEN len(ws) >= $k THEN list_transform(" +
+        s"range(1, len(ws) - ${k - 1} + 1), i -> array_to_string(ws[i:i+${k - 1}], ' ')) " +
+        "ELSE [] END"
+    def branch(k: Int, sel: String): String =
+      s"""(SELECT doc_id, $sel
+         | FROM (SELECT doc_id, g, count(*) AS c
+         |   FROM (SELECT doc_id, unnest(${gramsSql(k)}) AS g
+         |     FROM (SELECT doc_id, ${DuckSql.tokensSql} AS ws FROM documents))
+         |   GROUP BY doc_id, g)
+         | GROUP BY doc_id)""".stripMargin
+    val w = branch(1, s"sum(c)::BIGINT AS n_words, " +
+      s"${DuckSql.roundpSql("count(*) * 1.0 / sum(c)", 6)} AS distinct_word_ratio, " +
+      s"${DuckSql.roundpSql("max(c) * 1.0 / sum(c)", 6)} AS top_word_frac")
+    val b = branch(2, s"${DuckSql.roundpSql("max(c) * 1.0 / sum(c)", 6)} AS top_bigram_frac")
+    val t = branch(3, s"${DuckSql.roundpSql("sum(c - 1) * 1.0 / sum(c)", 6)} AS dup_trigram_frac")
+    s"""SELECT d.doc_id,
+       |  coalesce(n_words, 0) AS n_words,
+       |  coalesce(distinct_word_ratio, 0.0) AS distinct_word_ratio,
+       |  coalesce(top_word_frac, 0.0) AS top_word_frac,
+       |  coalesce(top_bigram_frac, 0.0) AS top_bigram_frac,
+       |  coalesce(dup_trigram_frac, 0.0) AS dup_trigram_frac
+       |FROM documents d
+       |LEFT JOIN $w w USING (doc_id)
+       |LEFT JOIN $b b USING (doc_id)
+       |LEFT JOIN $t t USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** q44: n-gram decontamination — for each doc of the held-out source
+    * (`src0`, standing in for an eval/benchmark set), the fraction of its
+    * distinct 5-grams that also appear in ANY other source's documents
+    * (the 13-gram-overlap contamination check of GPT-3/PaLM reports, at a
+    * fixture-sized n).
+    *
+    * Plan shape: grams are hashed to longs (polyHash) before the semi-join
+    * so the shuffle carries 8-byte keys, not gram strings; the corpus side
+    * is distinct-reduced BEFORE the join (map-side combine cuts it to
+    * unique grams). One shuffle each side + one equi-join; never a
+    * driver-side set. A 32-bit hash collision can only add a false hit —
+    * the oracle hashes identically, so parity holds; production would use
+    * xxhash64 (same plan, wider key). */
+  def q44Contamination(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val k = 5
+    val toks = documents(s, d)
+      .select($"doc_id", $"source", shingles(tokens($"text"), k).as("gs"))
+    val bench = toks.filter($"source" === "src0")
+      .select($"doc_id", explode($"gs").as("g"))
+      .select($"doc_id", polyHash($"g").as("h"))
+    val corpus = toks.filter($"source" =!= "src0")
+      .select(explode($"gs").as("g"))
+      .select(polyHash($"g").as("h")).distinct()
+    val hits = bench.join(corpus, Seq("h"), "left_semi")
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_contaminated"))
+    toks.filter($"source" === "src0")
+      .select($"doc_id", size($"gs").cast("bigint").as("n_grams"))
+      .join(hits, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_grams",
+        coalesce($"n_contaminated", lit(0L)).as("n_contaminated"),
+        when($"n_grams" > 0, roundp(
+            coalesce($"n_contaminated", lit(0L)) * lit(1.0) / $"n_grams", 6))
+          .otherwise(lit(0.0)).as("contamination_frac"))
+      .orderBy($"doc_id")
+  }
+
+  val q44Sql: String = {
+    val gs = DuckSql.shinglesSql("ws", 5)
+    s"""WITH toks AS (SELECT doc_id, source, $gs AS gs
+       |    FROM (SELECT doc_id, source, ${DuckSql.tokensSql} AS ws FROM documents)),
+       |bench AS (SELECT doc_id, ${DuckSql.polyHashSql("g")} AS h
+       |  FROM (SELECT doc_id, unnest(gs) AS g FROM toks WHERE source = 'src0')),
+       |corpus AS (SELECT DISTINCT ${DuckSql.polyHashSql("g")} AS h
+       |  FROM (SELECT unnest(gs) AS g FROM toks WHERE source <> 'src0')),
+       |hits AS (SELECT doc_id, count(*) AS n_contaminated
+       |  FROM bench WHERE h IN (SELECT h FROM corpus) GROUP BY doc_id)
+       |SELECT t.doc_id, len(t.gs)::BIGINT AS n_grams,
+       |  coalesce(h.n_contaminated, 0)::BIGINT AS n_contaminated,
+       |  CASE WHEN len(t.gs) > 0 THEN
+       |    ${DuckSql.roundpSql("coalesce(h.n_contaminated, 0) * 1.0 / len(t.gs)", 6)}
+       |  ELSE 0.0 END AS contamination_frac
+       |FROM toks t LEFT JOIN hits h USING (doc_id)
+       |WHERE t.source = 'src0'
+       |ORDER BY t.doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q22_lang_id"     -> (q22LangId _),
-    "q23_quality"     -> (q23Quality _),
-    "q24_token_count" -> (q24TokenCount _),
-    "q25_fingerprint" -> (q25Fingerprint _),
+    "q22_lang_id"       -> (q22LangId _),
+    "q23_quality"       -> (q23Quality _),
+    "q24_token_count"   -> (q24TokenCount _),
+    "q25_fingerprint"   -> (q25Fingerprint _),
+    "q43_repetition"    -> (q43Repetition _),
+    "q44_contamination" -> (q44Contamination _),
   )
 
   val oracles: Map[String, String] = Map(
-    "q22_lang_id"     -> q22Sql,
-    "q23_quality"     -> q23Sql,
-    "q24_token_count" -> q24Sql,
-    "q25_fingerprint" -> q25Sql,
+    "q22_lang_id"       -> q22Sql,
+    "q23_quality"       -> q23Sql,
+    "q24_token_count"   -> q24Sql,
+    "q25_fingerprint"   -> q25Sql,
+    "q43_repetition"    -> q43Sql,
+    "q44_contamination" -> q44Sql,
   )
 }
