@@ -25,8 +25,8 @@ object IvfIndex {
     * toy DataFrame — tens of scheduler round-trips to cluster rows that
     * all fit in one array. Centroid quality only affects probe recall,
     * never correctness (the probed cells are exact-ranked). */
-  private def lloydCentroids(sample: Array[Array[Float]], k: Int,
-                             iters: Int, seed: Long): Array[Array[Float]] = {
+  private[ops] def lloydCentroids(sample: Array[Array[Float]], k: Int,
+                                  iters: Int, seed: Long): Array[Array[Float]] = {
     require(sample.nonEmpty, "empty training sample")
     val dim = sample.head.length
     val rnd = new scala.util.Random(seed)

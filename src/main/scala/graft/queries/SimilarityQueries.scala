@@ -73,11 +73,26 @@ object SimilarityQueries {
       .orderBy($"qid", $"rank")
   }
 
+  /** q45: product-quantization ANN top-5 (m=8 byte codes, ksub=64, exact
+    * cosine re-rank of the top-20 ADC candidates) — the compressed-domain
+    * scale path: queries scan 8-byte codes, not 256-byte vectors.
+    * Approximate like q32/q40: rows-only check, recall spec-asserted
+    * (PqSpec). */
+  def q45KnnPq(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val idx = graft.ops.PqIndex.build(embeddings(s, d), "vec_id", "embedding",
+      m = 8, ksub = 64)
+    graft.ops.PqIndex.knn(idx, "vec_id", "embedding", $"vec_id" < 20, k = 5)
+      .select($"qid", $"rank".cast("bigint").as("rank"), $"cid", $"cos")
+      .orderBy($"qid", $"rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_embedding_neardup" -> (q30NearDup _),
     "q31_knn_brute"         -> (q31KnnBrute _),
     "q32_knn_lsh"           -> (q32KnnLsh _),
     "q40_knn_ivf"           -> (q40KnnIvf _),
+    "q45_knn_pq"            -> (q45KnnPq _),
   )
 
   val oracles: Map[String, String] = Map(
