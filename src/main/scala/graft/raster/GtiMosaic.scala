@@ -27,10 +27,11 @@ import graft.cube.ChunkRow
   *     for overlapping pixels"; nodata never overwrites), resampling each
   *     file from its OWN affine grid (tiepoint/scale tags) to the target
   *     grid by nearest-neighbor — per-file grids may differ in resolution
-  *     and origin. Files whose grid lives in a DIFFERENT (affine-related)
-  *     CRS are warped through a registered linear transform — the
-  *     same-datum subset of the reference's GDAL warp (mosaics.py:44-50);
-  *     a full PROJ port stays out of scope.
+  *     and origin. Files whose grid lives in a DIFFERENT CRS are warped
+  *     through an axis-separable GridWarp — affine transforms plus the
+  *     built-in EPSG:4326↔3857 (Web Mercator) pair, covering the web-tiled
+  *     subset of the reference's GDAL warp (mosaics.py:44-50); coupled
+  *     projections (UTM etc.) stay out of scope.
   *
   * Scale shape: the manifest stays a DataFrame end to end — each tile row
   * explodes to the chunk keys its envelope covers and equi-joins
@@ -90,11 +91,55 @@ object GtiMosaic {
     }
   }
 
-  /** Same-datum linear CRS bridge: mosaic coords = (ax·xf + bx, ay·yf + by)
-    * for file coords (xf, yf). Covers the affine-relatable subset (unit
-    * scaling, axis offsets) of the reference's GDAL warp without a PROJ
-    * port (mosaics.py:44-50 hands the general case to GDAL). */
-  final case class Affine(ax: Double, bx: Double, ay: Double, by: Double) {
+  /** Axis-separable CRS bridge: maps MOSAIC coordinates to FILE-grid
+    * coordinates, one axis at a time. Covers every transform where x
+    * depends only on x and y only on y — affine shifts/scalings AND the
+    * geographic↔Web-Mercator pair (EPSG:4326/3857 are separable: easting
+    * is a function of longitude alone, northing of latitude alone).
+    * Coupled projections (UTM's transverse Mercator, conics) are the
+    * remaining GDAL-warp territory (mosaics.py:44-50) and stay out of
+    * scope — `assemble` fails fast on an unregistered pair. Both invX and
+    * invY must be monotone (footprint bounds take min/max of the two
+    * mapped edges). */
+  trait GridWarp extends Serializable {
+    def invX(x: Double): Double
+    def invY(y: Double): Double
+  }
+
+  object GridWarp {
+    /** WGS84/Web-Mercator sphere radius (EPSG:3857 definition). */
+    private val R = 6378137.0
+
+    /** mosaic EPSG:4326 (degrees) → file EPSG:3857 (meters). */
+    case object GeoToWebMercator extends GridWarp {
+      def invX(lon: Double): Double = R * math.toRadians(lon)
+      def invY(lat: Double): Double =
+        R * math.log(math.tan(math.Pi / 4 + math.toRadians(lat) / 2))
+    }
+
+    /** mosaic EPSG:3857 (meters) → file EPSG:4326 (degrees). */
+    case object WebMercatorToGeo extends GridWarp {
+      def invX(x: Double): Double = math.toDegrees(x / R)
+      def invY(y: Double): Double =
+        math.toDegrees(2 * math.atan(math.exp(y / R)) - math.Pi / 2)
+    }
+
+    /** Built-in transforms for well-known (fileSrs, mosaicSrs) pairs —
+      * consulted when no explicit registration overrides them. */
+    def standard(fileSrs: String, mosaicSrs: String): Option[GridWarp] = {
+      def n(s: String) = s.trim.toUpperCase
+      (n(fileSrs), n(mosaicSrs)) match {
+        case ("EPSG:3857", "EPSG:4326") => Some(GeoToWebMercator)
+        case ("EPSG:4326", "EPSG:3857") => Some(WebMercatorToGeo)
+        case _ => None
+      }
+    }
+  }
+
+  /** Same-datum linear bridge: mosaic = (ax·xf + bx, ay·yf + by) for file
+    * coords (xf, yf). */
+  final case class Affine(ax: Double, bx: Double, ay: Double, by: Double)
+      extends GridWarp {
     require(ax != 0 && ay != 0, "degenerate affine transform")
     def invX(x: Double): Double = (x - bx) / ax
     def invY(y: Double): Double = (y - by) / ay
@@ -157,9 +202,9 @@ object GtiMosaic {
     * for `band`, last-valid-pixel-wins in manifest order, per-file nearest
     * resample. `localize` maps a VSI location to a local path (tests:
     * fixture tree; production: a fetch cache). `warps` registers
-    * (fileSrs, mosaicSrs) → file-to-mosaic affine transforms for tiles
-    * whose grid is in a different CRS; an unregistered mismatch fails
-    * fast.
+    * (fileSrs, mosaicSrs) → mosaic-to-file grid transforms for tiles whose
+    * grid is in a different CRS; the EPSG:4326↔3857 pair resolves from
+    * GridWarp.standard when unregistered, anything else fails fast.
     *
     * Plan: tile rows explode to the chunk keys their envelope covers
     * (clamped to the query window) and cogroup against the dense chunk
@@ -168,7 +213,7 @@ object GtiMosaic {
     * manifest seq for the last-pixel-wins order. */
   def assemble(spark: SparkSession, dst: String, band: Int, chunkPx: Int,
                env: Option[(Double, Double, Double, Double)] = None,
-               warps: Map[(String, String), Affine] = Map.empty,
+               warps: Map[(String, String), GridWarp] = Map.empty,
                resOverride: Option[(Double, Double)] = None)
               (localize: String => String): Dataset[ChunkRow] = {
     import spark.implicits._
@@ -217,7 +262,7 @@ object GtiMosaic {
 
   /** One chunk's overlay: tiles already grouped + seq-sorted by the plan. */
   private def paintChunk(m: Meta, band: Int, chunkPx: Int, cy: Int, cx: Int,
-      tiles: Array[TileRef], warps: Map[(String, String), Affine],
+      tiles: Array[TileRef], warps: Map[(String, String), GridWarp],
       localize: String => String): ChunkRow = {
     val data = Array.fill(chunkPx * chunkPx)(Float.NaN)
     val chx0 = m.minx + cx.toLong * chunkPx * m.resx
@@ -225,11 +270,13 @@ object GtiMosaic {
     tiles.foreach { t =>
       val pages = TileCache.infos(t.location, localize)
       val base = pages.head
-      val aff =
+      val aff: GridWarp =
         if (t.srs == m.srs) Affine.Identity
-        else warps.getOrElse((t.srs, m.srs), throw new IllegalArgumentException(
-          s"tile ${t.location} grid CRS '${t.srs}' != mosaic '${m.srs}' and no " +
-            "affine warp is registered for the pair"))
+        else warps.get((t.srs, m.srs))
+          .orElse(GridWarp.standard(t.srs, m.srs))
+          .getOrElse(throw new IllegalArgumentException(
+            s"tile ${t.location} grid CRS '${t.srs}' != mosaic '${m.srs}' and no " +
+              "grid warp is registered (or built in) for the pair"))
       // file grid in FILE coordinates; tiepoint fallback maps the manifest
       // envelope corner back through the warp
       val (bresx, bresy) = base.pixelScale.getOrElse((m.resx, m.resy))
@@ -238,11 +285,18 @@ object GtiMosaic {
       // COG pyramid pays off here: read the coarsest overview still at or
       // finer than the target resolution (GDAL's overview-selection rule).
       // Level ℓ decimates the full grid at stride 2^ℓ, so its effective
-      // mosaic-units resolution is base·|warp scale|·2^ℓ.
+      // mosaic-units resolution is base·2^ℓ / (file units per mosaic
+      // unit). The warp scale is taken LOCALLY across this chunk's span —
+      // exact for affine warps, and the right per-chunk approximation for
+      // Mercator, whose y-scale varies with latitude.
+      val wSpanX = chunkPx * m.resx
+      val wSpanY = chunkPx * m.resy
+      val fPerMosX = math.abs(aff.invX(chx0 + wSpanX) - aff.invX(chx0)) / wSpanX
+      val fPerMosY = math.abs(aff.invY(chy1) - aff.invY(chy1 - wSpanY)) / wSpanY
       var lvl = 0
-      while (lvl + 1 < pages.length &&
-          bresx * math.abs(aff.ax) * (1L << (lvl + 1)) <= m.resx &&
-          bresy * math.abs(aff.ay) * (1L << (lvl + 1)) <= m.resy)
+      while (lvl + 1 < pages.length && fPerMosX > 0 && fPerMosY > 0 &&
+          bresx * (1L << (lvl + 1)) / fPerMosX <= m.resx &&
+          bresy * (1L << (lvl + 1)) / fPerMosY <= m.resy)
         lvl += 1
       val fi = pages(lvl)
       val stride = 1 << lvl
@@ -320,7 +374,7 @@ object GtiMosaic {
                      parts: Seq[(String, Int, Int)], // (manifest dst, timeIdx, bandOffset)
                      env: Option[(Double, Double, Double, Double)] = None,
                      chunkPx: Int = 256,
-                     warps: Map[(String, String), Affine] = Map.empty)
+                     warps: Map[(String, String), GridWarp] = Map.empty)
                     (localize: String => String): Dataset[ChunkRow] = {
     import spark.implicits._
     require(parts.nonEmpty)

@@ -215,6 +215,56 @@ class GtiMosaicSpec extends AnyFunSuite with SparkSpecBase {
     assert(bad.getMessage != null)
   }
 
+  test("Web-Mercator warp: a 3857-grid tile reprojects into a 4326 mosaic") {
+    // Mosaic: EPSG:4326, lon [0,12] x lat [57,69], res 3 -> 4x4 pixels,
+    // row centers at lat 67.5/64.5/61.5/58.5. Tile: EPSG:3857 grid, 10x10
+    // pixels spanning lon [0,12] x lat [55,70] IN MERCATOR METERS, value =
+    // row*10+col. At these latitudes Mercator's y-stretch moves EVERY
+    // mosaic row to a different file row than a linear lat fit would pick:
+    // hand-computed floors are [2,4,6,8] (linear would give [1,3,5,7]).
+    val R = 6378137.0
+    def mercY(lat: Double) = R * math.log(math.tan(math.Pi / 4 + math.toRadians(lat) / 2))
+    def mercX(lon: Double) = R * math.toRadians(lon)
+    val fix = Files.createTempDirectory("graft-gti-merc").toString
+    val vals = Array.tabulate(100)(_.toFloat)
+    val (yTop, yBot) = (mercY(70), mercY(55))
+    Files.write(Paths.get(fix, "m.tif"), GeoTiffWriter.write(10, 10, Seq(vals),
+      pixelScale = (mercX(12) / 10, (yTop - yBot) / 10),
+      tiepoint = (0.0, yTop), nodata = Some(Double.NaN)))
+    val dst = Files.createTempDirectory("graft-gti-merc-dst").toString
+    val mMeta = GtiMosaic.Meta("Float32", Double.NaN,
+      0.0, 57.0, 12.0, 69.0, 3.0, 3.0, 1, "nearest", "EPSG:4326")
+    val index = Seq(("s3://mosaic.fixtures/m.tif", 0.0, 55.0, 12.0, 70.0, "EPSG:3857"))
+      .toDF("location", "minx", "miny", "maxx", "maxy", "srs")
+    GtiMosaic.write(index.coalesce(1), dst, mMeta)
+    val localize = (loc: String) => Paths.get(fix, loc.split('/').last).toString
+    // no explicit warp registration: the built-in 3857->4326 pair resolves
+    val chunk = GtiMosaic.assemble(spark, dst, 0, 4)(localize).collect()
+    assert(chunk.length == 1 && chunk.head.cy == 0 && chunk.head.cx == 0)
+    val frExpected = Seq(2, 4, 6, 8) // hand-computed Mercator row floors
+    val fcExpected = Seq(1, 3, 6, 8) // floor(lon_c/12*10), linear in lon
+    for (py <- 0 until 4; px <- 0 until 4) {
+      val want = (frExpected(py) * 10 + fcExpected(px)).toFloat
+      assert(chunk.head.data(py * 4 + px) == want, s"pixel ($px,$py)")
+    }
+  }
+
+  test("GridWarp: 4326<->3857 built-ins invert each other and resolve by name") {
+    import graft.raster.GtiMosaic.GridWarp
+    val g2m = GridWarp.standard("EPSG:3857", "EPSG:4326")
+    val m2g = GridWarp.standard("epsg:4326", "EPSG:3857") // case-insensitive
+    assert(g2m.contains(GridWarp.GeoToWebMercator))
+    assert(m2g.contains(GridWarp.WebMercatorToGeo))
+    for (lon <- Seq(-179.5, -42.0, 0.0, 13.37, 179.5);
+         lat <- Seq(-84.0, -45.0, 0.0, 33.3, 84.0)) {
+      assert(math.abs(GridWarp.WebMercatorToGeo.invX(
+        GridWarp.GeoToWebMercator.invX(lon)) - lon) < 1e-9)
+      assert(math.abs(GridWarp.WebMercatorToGeo.invY(
+        GridWarp.GeoToWebMercator.invY(lat)) - lat) < 1e-9)
+    }
+    assert(GridWarp.standard("EPSG:32633", "EPSG:4326").isEmpty) // UTM: no silent guess
+  }
+
   test("assembly reads the matching COG overview level for coarse targets") {
     val fix = Files.createTempDirectory("graft-gti-ovr").toString
     // 8x8 file, values y*8+x, with a 4x4 level-1 overview (tileSize=4)
