@@ -1,0 +1,47 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions.polyHash
+
+/** Training-mix sampling and pseudonymization — the two data-governance
+  * operators of an LLM data pipeline (rebalancing source/language mixes,
+  * and stripping direct identifiers before training).
+  *
+  * Both are pure per-row column expressions: no shuffle, no state, no
+  * RNG — a resampled 100 TB corpus is one codegen'd scan, and reruns
+  * (or two engines) produce byte-identical output.
+  */
+object Sampling {
+
+  /** Deterministic stratified sampling: keep a row iff
+    * `hash(key ‖ salt) mod granularity < rate(stratum) · granularity`.
+    *
+    * The gate is a pure function of the ROW (not of partitioning, row
+    * order, or an RNG seed), so samples are reproducible, stable under
+    * repartitioning, and consistent across reruns — the properties mix
+    * rebalancing needs when a corpus is rebuilt incrementally. Rows in
+    * strata missing from `rates` are dropped (rate 0). */
+  def stratifiedSample(df: DataFrame, stratum: String, key: Column,
+                       rates: Map[String, Double], salt: String,
+                       granularity: Long = 10000L): DataFrame = {
+    require(rates.values.forall(r => r >= 0.0 && r <= 1.0), "rates in [0,1]")
+    val rateCol = rates.toSeq.sortBy(_._1).foldLeft(lit(0.0)) {
+      case (acc, (s, r)) => when(col(stratum) === s, lit(r)).otherwise(acc)
+    }
+    df.filter(
+      pmod(polyHash(concat(key, lit(salt))), lit(granularity)).cast("double")
+        < rateCol * granularity)
+  }
+
+  /** Deterministic pseudonym token for a direct identifier: a keyed hash —
+    * the same (value, salt) always maps to the same token, so joins on the
+    * pseudonym still work, but the raw identifier never leaves the scan. */
+  def tokenize(c: Column, salt: String): Column =
+    polyHash(concat(c, lit(salt)))
+
+  /** Generalize a numeric quasi-identifier to its band floor (k-anonymity
+    * style coarsening: 1234.56 → 1000 at width 1000). */
+  def band(c: Column, width: Double): Column =
+    floor(c / width) * width
+}

@@ -161,12 +161,57 @@ object AdvancedQueries {
       |  count(*) AS n
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** q46: deterministic stratified sampling — rebalance the language mix
+    * (downsample dominant English, keep rare strata whole) with a pure
+    * hash-gate per row: reproducible, partitioning-independent, zero
+    * shuffle. Oracle = the identical arithmetic in SQL. */
+  def q46StratifiedSample(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.ops.Sampling.stratifiedSample(
+        graft.Tables.documents(s, d), "lang", $"text",
+        rates = Map("en" -> 0.2, "de" -> 0.5, "es" -> 0.5, "fr" -> 0.5, "zh" -> 1.0),
+        salt = "mix1")
+      .select($"doc_id", $"lang")
+      .orderBy($"doc_id")
+  }
+
+  val q46Sql: String = {
+    val gate = DuckSql.polyHashSql("(text || 'mix1')")
+    s"""SELECT doc_id, lang FROM documents
+       |WHERE ($gate % 10000) * 1.0 <
+       |  (CASE lang WHEN 'en' THEN 0.2 WHEN 'de' THEN 0.5 WHEN 'es' THEN 0.5
+       |    WHEN 'fr' THEN 0.5 WHEN 'zh' THEN 1.0 ELSE 0.0 END) * 10000
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** q47: pseudonymization — direct identifier (name) becomes a keyed-hash
+    * token, the numeric quasi-identifier generalizes to a 1000-wide band;
+    * stable join keys survive, raw identifiers don't. Pure codegen scan. */
+  def q47Pseudonymize(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val c = graft.Tables.customer(s, d)
+    c.select($"c_custkey",
+        graft.ops.Sampling.tokenize($"c_name", "pz1").as("name_token"),
+        graft.ops.Sampling.band($"c_acctbal", 1000.0).as("acctbal_band"),
+        $"c_mktsegment")
+      .orderBy($"c_custkey")
+  }
+
+  val q47Sql: String =
+    s"""SELECT c_custkey,
+       |  ${DuckSql.polyHashSql("(c_name || 'pz1')")} AS name_token,
+       |  floor(c_acctbal / 1000.0) * 1000 AS acctbal_band,
+       |  c_mktsegment
+       |FROM customer ORDER BY c_custkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q35_knn_native"    -> (q35KnnNative _),
     "q36_sessionize"    -> (q36Sessionize _),
     "q37_size_batching" -> (q37SizeBatching _),
     "q38_table_hash"    -> (q38TableHash _),
     "q42_salted_agg"    -> (q42SaltedAgg _),
+    "q46_stratified_sample" -> (q46StratifiedSample _),
+    "q47_pseudonymize"  -> (q47Pseudonymize _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -175,5 +220,7 @@ object AdvancedQueries {
     "q37_size_batching" -> q37Sql,
     "q38_table_hash"    -> q38Sql,
     "q42_salted_agg"    -> q42Sql,
+    "q46_stratified_sample" -> q46Sql,
+    "q47_pseudonymize"  -> q47Sql,
   )
 }
