@@ -1,6 +1,7 @@
 package graft.raster
 
 import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.cube.ChunkRow
@@ -59,7 +60,14 @@ object GtiMosaic {
 
   /** S7 sink: `index` must carry (location, minx, miny, maxx, maxy) and
     * may carry time; locations are VSI-rewritten on write (F1). Row order
-    * is the overlap precedence, so it is made explicit as `seq`. */
+    * is the overlap precedence, so it is made explicit as `seq`.
+    *
+    * Two index artifacts are written: the parquet table (what `readIndex`
+    * / `assemble` scan — columnar, predicate-prunable) and `index.fgb`, a
+    * spec-layout FlatGeobuf twin — the format GDAL's GTI driver consumes
+    * (the reference writes its index as FlatGeobuf, mosaics.py:77-113).
+    * The fgb export streams through `toLocalIterator` ordered by seq, so
+    * the driver holds one partition at a time, never the whole manifest. */
   def write(index: DataFrame, dst: String, meta: Meta): Unit = {
     require(meta.bandCount > 0 && meta.resx > 0 && meta.resy > 0)
     val withSeq = index
@@ -67,6 +75,28 @@ object GtiMosaic {
       .withColumn("location", graft.model.Urls.gdalVsiLocation(col("location")))
     withSeq.write.mode("overwrite").parquet(dst + "/index")
     Files.writeString(Paths.get(dst, "gti.json"), metaJson(meta))
+    val hasTime = withSeq.columns.contains("time")
+    val cols = Seq(
+      FlatGeobuf.Col("location", FlatGeobuf.ColType.String),
+      FlatGeobuf.Col("seq", FlatGeobuf.ColType.Long)) ++
+      (if (hasTime) Seq(FlatGeobuf.Col("time", FlatGeobuf.ColType.String)) else Nil)
+    val projected = withSeq.select(
+      Seq(col("location"), col("seq"), col("minx"), col("miny"),
+        col("maxx"), col("maxy")) ++
+      (if (hasTime) Seq(col("time").cast("string")) else Nil): _*)
+      .orderBy("seq")
+    val epsg = meta.srs.trim.toUpperCase match {
+      case s if s.startsWith("EPSG:") => s.drop(5).toInt
+      case _ => 0
+    }
+    FlatGeobuf.write(dst + "/index.fgb", "index",
+      (meta.minx, meta.miny, meta.maxx, meta.maxy), cols,
+      projected.toLocalIterator().asScala.map { r =>
+        FlatGeobuf.Feature(r.getDouble(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5),
+          Seq[Any](r.getString(0), r.getLong(1)) ++
+            (if (hasTime) Seq[Any](r.getString(6)) else Nil))
+      }, epsg, count = projected.count())
   }
 
   /** S3 scan, metadata half: sidecar only — no tile file is opened. */
