@@ -29,10 +29,12 @@ import graft.cube.ChunkRow
   *     file from its OWN affine grid (tiepoint/scale tags) to the target
   *     grid by nearest-neighbor — per-file grids may differ in resolution
   *     and origin. Files whose grid lives in a DIFFERENT CRS are warped
-  *     through an axis-separable GridWarp — affine transforms plus the
-  *     built-in EPSG:4326↔3857 (Web Mercator) pair, covering the web-tiled
-  *     subset of the reference's GDAL warp (mosaics.py:44-50); coupled
-  *     projections (UTM etc.) stay out of scope.
+  *     through a PointWarp — affine transforms, the built-in
+  *     EPSG:4326↔3857 (Web Mercator) pair, and WGS84 UTM zones
+  *     (EPSG:326xx/327xx, coupled transverse Mercator with grid
+  *     convergence) — covering the common cases of the reference's GDAL
+  *     warp (mosaics.py:44-50); other projections fail fast unless a
+  *     custom PointWarp is registered.
   *
   * Scale shape: the manifest stays a DataFrame end to end — each tile row
   * explodes to the chunk keys its envelope covers and equi-joins
@@ -121,19 +123,114 @@ object GtiMosaic {
     }
   }
 
-  /** Axis-separable CRS bridge: maps MOSAIC coordinates to FILE-grid
-    * coordinates, one axis at a time. Covers every transform where x
-    * depends only on x and y only on y — affine shifts/scalings AND the
-    * geographic↔Web-Mercator pair (EPSG:4326/3857 are separable: easting
-    * is a function of longitude alone, northing of latitude alone).
-    * Coupled projections (UTM's transverse Mercator, conics) are the
-    * remaining GDAL-warp territory (mosaics.py:44-50) and stay out of
-    * scope — `assemble` fails fast on an unregistered pair. Both invX and
-    * invY must be monotone (footprint bounds take min/max of the two
-    * mapped edges). */
-  trait GridWarp extends Serializable {
+  /** CRS bridge: maps a MOSAIC coordinate to FILE-grid coordinates.
+    * Implementations must be locally monotone-ish (average-resampling
+    * footprints take the axis-aligned bbox of the four transformed cell
+    * corners — the standard conservative footprint under rotation, e.g.
+    * UTM grid convergence). Unregistered CRS pairs without a built-in
+    * (GridWarp.standard) make `assemble` fail fast, mirroring where the
+    * reference hands everything to GDAL (mosaics.py:44-50). */
+  trait PointWarp extends Serializable {
+    def toFile(x: Double, y: Double): (Double, Double)
+  }
+
+  /** Axis-separable specialization: x depends only on x, y only on y —
+    * affine shifts/scalings and the geographic↔Web-Mercator pair (easting
+    * is a function of longitude alone, northing of latitude alone). */
+  trait GridWarp extends PointWarp {
     def invX(x: Double): Double
     def invY(y: Double): Double
+    final override def toFile(x: Double, y: Double): (Double, Double) =
+      (invX(x), invY(y))
+  }
+
+  /** WGS84 transverse Mercator (UTM) — the COUPLED projection pair
+    * (easting/northing both depend on lat AND lon; grid convergence
+    * rotates the grid away from north off the central meridian). Series
+    * forms from Snyder, *Map Projections — A Working Manual* (USGS PP
+    * 1395, 1987), eqs. 8-9…8-25; centimeter-level inside a zone. */
+  object TransverseMercator {
+    private val A = 6378137.0 // WGS84 semi-major
+    private val F = 1.0 / 298.257223563
+    private val E2 = F * (2 - F)
+    private val Ep2 = E2 / (1 - E2)
+    private val K0 = 0.9996
+    private val FalseE = 500000.0
+    private val FalseNSouth = 10000000.0
+
+    def centralMeridian(zone: Int): Double = -183.0 + 6.0 * zone
+
+    /** Meridian arc from the equator (Snyder 3-21). */
+    def meridianArc(latDeg: Double): Double = {
+      val phi = math.toRadians(latDeg)
+      A * ((1 - E2 / 4 - 3 * E2 * E2 / 64 - 5 * E2 * E2 * E2 / 256) * phi -
+        (3 * E2 / 8 + 3 * E2 * E2 / 32 + 45 * E2 * E2 * E2 / 1024) * math.sin(2 * phi) +
+        (15 * E2 * E2 / 256 + 45 * E2 * E2 * E2 / 1024) * math.sin(4 * phi) -
+        (35 * E2 * E2 * E2 / 3072) * math.sin(6 * phi))
+    }
+
+    /** (lon, lat) degrees → (easting, northing) meters. */
+    def forward(zone: Int, south: Boolean, lonDeg: Double, latDeg: Double)
+        : (Double, Double) = {
+      val phi = math.toRadians(latDeg)
+      val dLam = math.toRadians(lonDeg - centralMeridian(zone))
+      val sinP = math.sin(phi); val cosP = math.cos(phi); val tanP = math.tan(phi)
+      val n = A / math.sqrt(1 - E2 * sinP * sinP)
+      val t = tanP * tanP
+      val c = Ep2 * cosP * cosP
+      val a1 = dLam * cosP
+      val m = meridianArc(latDeg)
+      val e = FalseE + K0 * n * (a1 +
+        (1 - t + c) * a1 * a1 * a1 / 6 +
+        (5 - 18 * t + t * t + 72 * c - 58 * Ep2) * math.pow(a1, 5) / 120)
+      val n0 = K0 * (m + n * tanP * (a1 * a1 / 2 +
+        (5 - t + 9 * c + 4 * c * c) * math.pow(a1, 4) / 24 +
+        (61 - 58 * t + t * t + 600 * c - 330 * Ep2) * math.pow(a1, 6) / 720))
+      (e, if (south) n0 + FalseNSouth else n0)
+    }
+
+    /** (easting, northing) meters → (lon, lat) degrees. */
+    def inverse(zone: Int, south: Boolean, easting: Double, northing: Double)
+        : (Double, Double) = {
+      val x = easting - FalseE
+      val y = if (south) northing - FalseNSouth else northing
+      val m = y / K0
+      val mu = m / (A * (1 - E2 / 4 - 3 * E2 * E2 / 64 - 5 * E2 * E2 * E2 / 256))
+      val e1 = (1 - math.sqrt(1 - E2)) / (1 + math.sqrt(1 - E2))
+      val phi1 = mu +
+        (3 * e1 / 2 - 27 * math.pow(e1, 3) / 32) * math.sin(2 * mu) +
+        (21 * e1 * e1 / 16 - 55 * math.pow(e1, 4) / 32) * math.sin(4 * mu) +
+        (151 * math.pow(e1, 3) / 96) * math.sin(6 * mu) +
+        (1097 * math.pow(e1, 4) / 512) * math.sin(8 * mu)
+      val sinP = math.sin(phi1); val cosP = math.cos(phi1); val tanP = math.tan(phi1)
+      val c1 = Ep2 * cosP * cosP
+      val t1 = tanP * tanP
+      val n1 = A / math.sqrt(1 - E2 * sinP * sinP)
+      val r1 = A * (1 - E2) / math.pow(1 - E2 * sinP * sinP, 1.5)
+      val d = x / (n1 * K0)
+      val phi = phi1 - (n1 * tanP / r1) * (d * d / 2 -
+        (5 + 3 * t1 + 10 * c1 - 4 * c1 * c1 - 9 * Ep2) * math.pow(d, 4) / 24 +
+        (61 + 90 * t1 + 298 * c1 + 45 * t1 * t1 - 252 * Ep2 - 3 * c1 * c1) *
+          math.pow(d, 6) / 720)
+      val lam = (d - (1 + 2 * t1 + c1) * math.pow(d, 3) / 6 +
+        (5 - 2 * c1 + 28 * t1 - 3 * c1 * c1 + 8 * Ep2 + 24 * t1 * t1) *
+          math.pow(d, 5) / 120) / cosP
+      (centralMeridian(zone) + math.toDegrees(lam), math.toDegrees(phi))
+    }
+  }
+
+  /** mosaic EPSG:4326 → file UTM zone (files gridded in UTM meters). */
+  final case class GeoToUtm(zone: Int, south: Boolean) extends PointWarp {
+    def toFile(lon: Double, lat: Double): (Double, Double) =
+      TransverseMercator.forward(zone, south, lon, lat)
+  }
+
+  /** mosaic UTM zone → file EPSG:4326 (files gridded in degrees). */
+  final case class UtmToGeo(zone: Int, south: Boolean) extends PointWarp {
+    def toFile(e: Double, n: Double): (Double, Double) = {
+      val (lon, lat) = TransverseMercator.inverse(zone, south, e, n)
+      (lon, lat)
+    }
   }
 
   object GridWarp {
@@ -155,12 +252,25 @@ object GtiMosaic {
     }
 
     /** Built-in transforms for well-known (fileSrs, mosaicSrs) pairs —
-      * consulted when no explicit registration overrides them. */
-    def standard(fileSrs: String, mosaicSrs: String): Option[GridWarp] = {
+      * consulted when no explicit registration overrides them. Covers
+      * Web Mercator (separable) and WGS84 UTM zones EPSG:326xx/327xx
+      * (coupled transverse Mercator). */
+    def standard(fileSrs: String, mosaicSrs: String): Option[PointWarp] = {
       def n(s: String) = s.trim.toUpperCase
+      def utm(code: String): Option[(Int, Boolean)] =
+        if (!code.startsWith("EPSG:32") || code.length != 10) None
+        else code.charAt(7) match {
+          case '6' => code.drop(8).toIntOption.filter(z => z >= 1 && z <= 60).map((_, false))
+          case '7' => code.drop(8).toIntOption.filter(z => z >= 1 && z <= 60).map((_, true))
+          case _ => None
+        }
       (n(fileSrs), n(mosaicSrs)) match {
         case ("EPSG:3857", "EPSG:4326") => Some(GeoToWebMercator)
         case ("EPSG:4326", "EPSG:3857") => Some(WebMercatorToGeo)
+        case (f, "EPSG:4326") if utm(f).isDefined =>
+          utm(f).map { case (z, s) => GeoToUtm(z, s) }
+        case ("EPSG:4326", m) if utm(m).isDefined =>
+          utm(m).map { case (z, s) => UtmToGeo(z, s) }
         case _ => None
       }
     }
@@ -243,7 +353,7 @@ object GtiMosaic {
     * manifest seq for the last-pixel-wins order. */
   def assemble(spark: SparkSession, dst: String, band: Int, chunkPx: Int,
                env: Option[(Double, Double, Double, Double)] = None,
-               warps: Map[(String, String), GridWarp] = Map.empty,
+               warps: Map[(String, String), PointWarp] = Map.empty,
                resOverride: Option[(Double, Double)] = None)
               (localize: String => String): Dataset[ChunkRow] = {
     import spark.implicits._
@@ -292,7 +402,7 @@ object GtiMosaic {
 
   /** One chunk's overlay: tiles already grouped + seq-sorted by the plan. */
   private def paintChunk(m: Meta, band: Int, chunkPx: Int, cy: Int, cx: Int,
-      tiles: Array[TileRef], warps: Map[(String, String), GridWarp],
+      tiles: Array[TileRef], warps: Map[(String, String), PointWarp],
       localize: String => String): ChunkRow = {
     val data = Array.fill(chunkPx * chunkPx)(Float.NaN)
     val chx0 = m.minx + cx.toLong * chunkPx * m.resx
@@ -300,7 +410,7 @@ object GtiMosaic {
     tiles.foreach { t =>
       val pages = TileCache.infos(t.location, localize)
       val base = pages.head
-      val aff: GridWarp =
+      val aff: PointWarp =
         if (t.srs == m.srs) Affine.Identity
         else warps.get((t.srs, m.srs))
           .orElse(GridWarp.standard(t.srs, m.srs))
@@ -310,19 +420,25 @@ object GtiMosaic {
       // file grid in FILE coordinates; tiepoint fallback maps the manifest
       // envelope corner back through the warp
       val (bresx, bresy) = base.pixelScale.getOrElse((m.resx, m.resy))
-      val (fx0, fy1) = base.tiepoint.getOrElse((aff.invX(t.tx0), aff.invY(t.ty1)))
+      val (fx0, fy1) = base.tiepoint.getOrElse(aff.toFile(t.tx0, t.ty1))
       val nd = base.nodata.getOrElse(m.nodata)
       // COG pyramid pays off here: read the coarsest overview still at or
       // finer than the target resolution (GDAL's overview-selection rule).
       // Level ℓ decimates the full grid at stride 2^ℓ, so its effective
       // mosaic-units resolution is base·2^ℓ / (file units per mosaic
-      // unit). The warp scale is taken LOCALLY across this chunk's span —
-      // exact for affine warps, and the right per-chunk approximation for
-      // Mercator, whose y-scale varies with latitude.
+      // unit). The warp scale is taken LOCALLY across this chunk's span
+      // via corner distances — exact for affine warps, per-chunk-accurate
+      // for Mercator's latitude-dependent stretch, and rotation-aware for
+      // UTM grid convergence (Euclidean distance, not per-axis deltas).
       val wSpanX = chunkPx * m.resx
       val wSpanY = chunkPx * m.resy
-      val fPerMosX = math.abs(aff.invX(chx0 + wSpanX) - aff.invX(chx0)) / wSpanX
-      val fPerMosY = math.abs(aff.invY(chy1) - aff.invY(chy1 - wSpanY)) / wSpanY
+      val c00 = aff.toFile(chx0, chy1)
+      val c10 = aff.toFile(chx0 + wSpanX, chy1)
+      val c01 = aff.toFile(chx0, chy1 - wSpanY)
+      def dist(a: (Double, Double), b: (Double, Double)): Double =
+        math.hypot(a._1 - b._1, a._2 - b._2)
+      val fPerMosX = dist(c10, c00) / wSpanX
+      val fPerMosY = dist(c01, c00) / wSpanY
       var lvl = 0
       while (lvl + 1 < pages.length && fPerMosX > 0 && fPerMosY > 0 &&
           bresx * (1L << (lvl + 1)) / fPerMosX <= m.resx &&
@@ -334,29 +450,38 @@ object GtiMosaic {
       val plane = TileCache.plane(t.location, band, lvl, localize)
       // RESAMPLING honors the manifest metadata (mosaics.py:90; the
       // reference's GTI default is "average"): average = mean of valid
-      // source pixels whose centers fall inside the target cell footprint,
-      // degrading to nearest when the source is coarser than the target
-      // (no center lands in the cell). Anything else = nearest.
+      // source pixels whose centers fall inside the target cell footprint
+      // (the axis-aligned bbox of the four warped cell corners), degrading
+      // to nearest when the source is coarser than the target (no center
+      // lands in the footprint). Anything else = nearest.
       val avg = m.resampling.equalsIgnoreCase("average")
       def isNd(v: Float): Boolean = if (nd.isNaN) v.isNaN else v == nd.toFloat
       var py = 0
       while (py < chunkPx) {
         val yTop = chy1 - py * m.resy
-        val yf0 = math.min(aff.invY(yTop), aff.invY(yTop - m.resy))
-        val yf1 = math.max(aff.invY(yTop), aff.invY(yTop - m.resy))
-        // nearest row for the cell center (also the averaging fallback)
-        val frN = math.floor((fy1 - aff.invY(yTop - 0.5 * m.resy)) / fresy).toInt
-        // file rows whose centers fall in [yf0, yf1)
-        val frLo = math.floor((fy1 - yf1) / fresy - 0.5).toInt + 1
-        val frHi = math.floor((fy1 - yf0) / fresy - 0.5).toInt
         var px = 0
         while (px < chunkPx) {
           val xL = chx0 + px * m.resx
-          val xf0 = math.min(aff.invX(xL), aff.invX(xL + m.resx))
-          val xf1 = math.max(aff.invX(xL), aff.invX(xL + m.resx))
-          val fcN = math.floor((aff.invX(xL + 0.5 * m.resx) - fx0) / fresx).toInt
+          // nearest file pixel for the warped cell center (also the
+          // averaging fallback)
+          val (fxc, fyc) = aff.toFile(xL + 0.5 * m.resx, yTop - 0.5 * m.resy)
+          val fcN = math.floor((fxc - fx0) / fresx).toInt
+          val frN = math.floor((fy1 - fyc) / fresy).toInt
           val out = py * chunkPx + px
           if (avg) {
+            // footprint = bbox of the four warped corners (conservative
+            // under rotation; equals the per-axis bounds when separable)
+            val cA = aff.toFile(xL, yTop)
+            val cB = aff.toFile(xL + m.resx, yTop)
+            val cC = aff.toFile(xL, yTop - m.resy)
+            val cD = aff.toFile(xL + m.resx, yTop - m.resy)
+            val xf0 = math.min(math.min(cA._1, cB._1), math.min(cC._1, cD._1))
+            val xf1 = math.max(math.max(cA._1, cB._1), math.max(cC._1, cD._1))
+            val yf0 = math.min(math.min(cA._2, cB._2), math.min(cC._2, cD._2))
+            val yf1 = math.max(math.max(cA._2, cB._2), math.max(cC._2, cD._2))
+            // file rows/cols whose centers fall inside the footprint
+            val frLo = math.floor((fy1 - yf1) / fresy - 0.5).toInt + 1
+            val frHi = math.floor((fy1 - yf0) / fresy - 0.5).toInt
             val fcLo = math.ceil((xf0 - fx0) / fresx - 0.5).toInt
             val fcHi = math.ceil((xf1 - fx0) / fresx - 0.5).toInt - 1
             if (frLo > frHi || fcLo > fcHi) { // source coarser: nearest
@@ -404,7 +529,7 @@ object GtiMosaic {
                      parts: Seq[(String, Int, Int)], // (manifest dst, timeIdx, bandOffset)
                      env: Option[(Double, Double, Double, Double)] = None,
                      chunkPx: Int = 256,
-                     warps: Map[(String, String), GridWarp] = Map.empty)
+                     warps: Map[(String, String), PointWarp] = Map.empty)
                     (localize: String => String): Dataset[ChunkRow] = {
     import spark.implicits._
     require(parts.nonEmpty)

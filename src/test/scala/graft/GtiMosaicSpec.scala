@@ -262,7 +262,101 @@ class GtiMosaicSpec extends AnyFunSuite with SparkSpecBase {
       assert(math.abs(GridWarp.WebMercatorToGeo.invY(
         GridWarp.GeoToWebMercator.invY(lat)) - lat) < 1e-9)
     }
-    assert(GridWarp.standard("EPSG:32633", "EPSG:4326").isEmpty) // UTM: no silent guess
+    assert(GridWarp.standard("EPSG:32633", "EPSG:4326")
+      .contains(GtiMosaic.GeoToUtm(33, south = false)))
+    assert(GridWarp.standard("EPSG:4326", "EPSG:32733")
+      .contains(GtiMosaic.UtmToGeo(33, south = true)))
+    assert(GridWarp.standard("EPSG:2154", "EPSG:4326").isEmpty) // Lambert: no silent guess
+  }
+
+  test("UTM transverse Mercator: independent invariants hold") {
+    import graft.raster.GtiMosaic.TransverseMercator
+    val (a, f) = (6378137.0, 1.0 / 298.257223563)
+    val e2 = f * (2 - f)
+    // 1) meridian arc cross-check by NUMERIC INTEGRATION of the ellipse
+    //    (Simpson's rule over M(phi) = ∫ a(1-e²)/(1-e²sin²t)^1.5 dt),
+    //    fully independent of the closed-form series
+    def arcNumeric(latDeg: Double): Double = {
+      val n = 20000
+      val h = math.toRadians(latDeg) / n
+      def g(t: Double) = a * (1 - e2) / math.pow(1 - e2 * math.sin(t) * math.sin(t), 1.5)
+      (0 until n).map { i =>
+        (g(i * h) + 4 * g(i * h + h / 2) + g((i + 1) * h)) * h / 6
+      }.sum
+    }
+    for (lat <- Seq(15.0, 45.0, 60.0, 84.0))
+      assert(math.abs(TransverseMercator.meridianArc(lat) - arcNumeric(lat)) < 0.001,
+        s"meridian arc at $lat")
+    // 2) on the central meridian: easting EXACTLY 500000, northing = k0*M
+    val (e0, n0) = TransverseMercator.forward(33, south = false, 15.0, 60.0)
+    assert(e0 == 500000.0)
+    assert(math.abs(n0 - 0.9996 * arcNumeric(60.0)) < 0.001)
+    // 3) south false northing
+    val (_, nS) = TransverseMercator.forward(33, south = true, 15.0, -30.0)
+    assert(math.abs(nS - (10000000.0 + 0.9996 * arcNumeric(-30.0))) < 0.001)
+    // 4) forward∘inverse identity across the zone (±3° of the CM)
+    for (lon <- Seq(12.5, 14.0, 15.0, 16.5, 17.9); lat <- Seq(-70.0, -10.0, 0.0, 40.0, 80.0)) {
+      val (e, n) = TransverseMercator.forward(33, lat < 0, lon, lat)
+      val (lon2, lat2) = TransverseMercator.inverse(33, lat < 0, e, n)
+      assert(math.abs(lon2 - lon) < 1e-8 && math.abs(lat2 - lat) < 1e-8,
+        s"roundtrip ($lon,$lat)")
+    }
+    // 5) secant property: the point scale k = k0 at the CM and back to
+    //    ~1.0 near ±180 km easting offset (measure k by differencing)
+    def scaleAt(lonDeg: Double, latDeg: Double): Double = {
+      val d = 1e-4 // degrees
+      val (e1m, n1m) = TransverseMercator.forward(33, south = false, lonDeg - d / 2, latDeg)
+      val (e2m, n2m) = TransverseMercator.forward(33, south = false, lonDeg + d / 2, latDeg)
+      val ground = math.toRadians(d) * math.cos(math.toRadians(latDeg)) *
+        (a / math.sqrt(1 - e2 * math.pow(math.sin(math.toRadians(latDeg)), 2)))
+      math.hypot(e2m - e1m, n2m - n1m) / ground
+    }
+    assert(math.abs(scaleAt(15.0, 0.0) - 0.9996) < 1e-6)
+    // ~180 km east of the CM at the equator: lon ≈ 15 + 1.616°
+    assert(math.abs(scaleAt(16.616, 0.0) - 1.0) < 2e-4)
+    // 6) grid convergence: north of the equator, a northward step east of
+    //    the CM leans WEST in grid coords (negative d-easting)
+    val (eA, nA) = TransverseMercator.forward(33, south = false, 17.0, 50.0)
+    val (eB, nB) = TransverseMercator.forward(33, south = false, 17.0, 50.01)
+    assert(eB < eA && nB > nA, "convergence sign")
+  }
+
+  test("UTM warp: a UTM-grid tile assembles into a 4326 mosaic correctly") {
+    import graft.raster.GtiMosaic.TransverseMercator
+    // Mosaic: EPSG:4326 over lon [14,16] x lat [49,51], res 0.5 -> 4x4.
+    // Tile: UTM 33N grid (CM 15E) covering that box with margin; value =
+    // row*12+col. Expected indices computed IN-TEST via the forward
+    // transform for each mosaic cell center (validating the assembly
+    // plumbing: envelope cover, per-pixel coupled warp, tiepoint math).
+    val zone = 33
+    val (eMin, eMax) = (TransverseMercator.forward(zone, false, 13.8, 49.0)._1 - 1000,
+      TransverseMercator.forward(zone, false, 16.2, 49.0)._1 + 1000)
+    val corners = for (lon <- Seq(13.8, 16.2); lat <- Seq(48.8, 51.2))
+      yield TransverseMercator.forward(zone, false, lon, lat)._2
+    val (nMin, nMax) = (corners.min - 1000, corners.max + 1000)
+    val (w, h) = (12, 12)
+    val (fresx, fresy) = ((eMax - eMin) / w, (nMax - nMin) / h)
+    val vals = Array.tabulate(w * h)(_.toFloat)
+    val fix = Files.createTempDirectory("graft-gti-utm").toString
+    Files.write(Paths.get(fix, "u.tif"), GeoTiffWriter.write(w, h, Seq(vals),
+      pixelScale = (fresx, fresy), tiepoint = (eMin, nMax),
+      nodata = Some(Double.NaN)))
+    val dst = Files.createTempDirectory("graft-gti-utm-dst").toString
+    val mMeta = GtiMosaic.Meta("Float32", Double.NaN,
+      14.0, 49.0, 16.0, 51.0, 0.5, 0.5, 1, "nearest", "EPSG:4326")
+    val index = Seq(("s3://mosaic.fixtures/u.tif", 13.8, 48.8, 16.2, 51.2, "EPSG:32633"))
+      .toDF("location", "minx", "miny", "maxx", "maxy", "srs")
+    GtiMosaic.write(index.coalesce(1), dst, mMeta)
+    val localize = (loc: String) => Paths.get(fix, loc.split('/').last).toString
+    val chunk = GtiMosaic.assemble(spark, dst, 0, 4)(localize).collect()
+    assert(chunk.length == 1)
+    for (py <- 0 until 4; px <- 0 until 4) {
+      val (lon, lat) = (14.0 + (px + 0.5) * 0.5, 51.0 - (py + 0.5) * 0.5)
+      val (e, n) = TransverseMercator.forward(zone, false, lon, lat)
+      val fc = math.floor((e - eMin) / fresx).toInt
+      val fr = math.floor((nMax - n) / fresy).toInt
+      assert(chunk.head.data(py * 4 + px) == (fr * w + fc).toFloat, s"($px,$py)")
+    }
   }
 
   test("assembly reads the matching COG overview level for coarse targets") {
