@@ -158,15 +158,70 @@ object PipelineQueries {
        |  CAST(sum(v) AS BIGINT) AS checksum
        |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** q48: streaming exact dedup — first occurrence per (1-hour window,
+    * user, event_type) via streaming `dropDuplicates` with the event-time
+    * window among the keys, so the watermark EVICTS closed windows' dedup
+    * state (unbounded-key streaming dedup is a state leak without this;
+    * with it, state is bounded by keys-per-open-window). The LLM-pipeline
+    * crossover: dedup of a continuously arriving corpus.
+    *
+    * Only the KEY SET is emitted (not first-arriving payload rows):
+    * arrival order within a micro-batch is parallelism-dependent, the key
+    * set is deterministic — and it is exactly `SELECT DISTINCT` in the
+    * batch oracle (stream/batch parity, like q34). */
+  def q48StreamDedup(s0: SparkSession, d: String): DataFrame = {
+    val s = s0.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    import s.implicits._
+    val schema = graft.Tables.load(s, d, "events").schema
+    val base = new java.io.File(sys.props("java.io.tmpdir"), "graft_q48")
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmrf)
+      f.delete(): Unit
+    }
+    rmrf(base)
+    val outDir = new java.io.File(base, "out").getAbsolutePath
+    val ckDir = new java.io.File(base, "ck").getAbsolutePath
+    val stream = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(d)
+      .withColumn("ts_conv",
+        timestamp_micros(graft.Tables.nanosFloorMicros(col("ts"))))
+      .withWatermark("ts_conv", "0 seconds")
+      .select(window($"ts_conv", "1 hour").as("w"), $"user_id", $"event_type")
+      .dropDuplicates("w", "user_id", "event_type")
+      .select($"w.start".as("win_start"), $"user_id", $"event_type")
+    val q = stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(outDir)
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // distinct on read-back: idempotence against sink re-appends (task
+    // retries); a correct single run emits each key exactly once already
+    s.read.parquet(outDir).distinct()
+      .orderBy($"win_start", $"user_id", $"event_type")
+  }
+
+  val q48Sql: String =
+    """SELECT DISTINCT time_bucket(INTERVAL 1 HOUR, ts) AS win_start,
+      |  user_id, event_type
+      |FROM events ORDER BY win_start, user_id, event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q33_multimodal"    -> (q33Multimodal _),
     "q34_stream_window" -> (q34StreamWindow _),
     "q41_resize"        -> (q41Resize _),
+    "q48_stream_dedup"  -> (q48StreamDedup _),
   )
 
   val oracles: Map[String, String] = Map(
     "q33_multimodal"    -> q33Sql,
     "q34_stream_window" -> q34Sql,
     "q41_resize"        -> q41Sql,
+    "q48_stream_dedup"  -> q48Sql,
   )
 }

@@ -80,4 +80,35 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpecBase {
     val df = graft.queries.AdvancedQueries.q42SaltedAgg(spark, sfSmoke)
     assert(shuffles(df) <= 3, df.queryExecution.sparkPlan.toString)
   }
+
+  test("q43/q44 repetition+contamination: hash equi-joins, no nested-loop") {
+    for ((n, df) <- Seq(
+        "q43" -> graft.queries.TextQueries.q43Repetition(spark, sfSmoke),
+        "q44" -> graft.queries.TextQueries.q44Contamination(spark, sfSmoke))) {
+      val plan = planStr(df)
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"$n: $plan")
+      assert(!plan.contains("CartesianProduct"), s"$n: $plan")
+    }
+  }
+
+  test("q46 stratified sample: pure scan+filter — ZERO shuffles before the sort") {
+    val df = graft.ops.Sampling.stratifiedSample(
+      Tables.documents(spark, sfSmoke), "lang",
+      org.apache.spark.sql.functions.col("text"), Map("en" -> 0.5), "s")
+    assert(shuffles(df) == 0, planStr(df))
+  }
+
+  test("q45 PQ ADC scan is the intended broadcast-NLJ; candidates rank via aggregate") {
+    val emb = Tables.embeddings(spark, sfSmoke)
+    val idx = graft.ops.PqIndex.build(emb, "vec_id", "embedding", m = 8, ksub = 16)
+    import spark.implicits._
+    val df = graft.ops.PqIndex.knn(idx, "vec_id", "embedding", $"vec_id" < 3, 5)
+    val plan = planStr(df)
+    // the Q×N code scan is a deliberate broadcast NLJ over m-BYTE CODES
+    // (like q31/q35 over vectors); what must NOT appear is a ranking
+    // window or an unbroadcast cartesian
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
 }
