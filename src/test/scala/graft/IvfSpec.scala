@@ -21,6 +21,41 @@ class IvfSpec extends AnyFunSuite with SparkSpecBase {
     assert(recall >= 0.55, s"IVF recall $recall")
   }
 
+  test("IVF save/load: cell-partitioned layout, sidecar centroids, knn parity") {
+    val emb = Tables.embeddings(spark, sfSmoke)
+    val idx = IvfIndex.build(emb, "vec_id", "embedding", nCells = 16)
+    val dst = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    IvfIndex.save(idx, "vec_id", "embedding", dst)
+    val loaded = IvfIndex.load(spark, dst)
+    // centroids round-trip through the sidecar (no data file touched)
+    assert(loaded.centroids.map(_._1).toSeq == idx.centroids.map(_._1).toSeq)
+    idx.centroids.zip(loaded.centroids).foreach { case ((_, a), (_, b)) =>
+      assert(a.toSeq == b.toSeq)
+    }
+    // identical probes on built vs reopened index
+    def res(i: IvfIndex.Index) =
+      IvfIndex.knn(i, "vec_id", "embedding", $"vec_id" < 10, 5, nProbe = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(res(loaded) == res(idx))
+  }
+
+  test("a probe of k cells reads exactly k partitions (write-time pruning)") {
+    val emb = Tables.embeddings(spark, sfSmoke)
+    val idx = IvfIndex.build(emb, "vec_id", "embedding", nCells = 16)
+    val dst = java.nio.file.Files.createTempDirectory("graft-ivf-prune").toString
+    IvfIndex.save(idx, "vec_id", "embedding", dst)
+    val loaded = IvfIndex.load(spark, dst)
+    val nParts = loaded.assigned.select("__cell").distinct().count()
+    assert(nParts > 4, s"fixture clustered into only $nParts cells")
+    val probed = loaded.assigned.filter($"__cell".isin(0, 1))
+    val scan = probed.queryExecution.executedPlan.collectLeaves().collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scan.nonEmpty, probed.queryExecution.executedPlan.toString)
+    val selected = scan.head.selectedPartitions.partitionCount
+    assert(selected <= 2, s"probe of 2 cells scanned $selected partitions")
+  }
+
   test("salted sum/count equals the plain aggregate") {
     val li = Tables.lineitem(spark, sfSmoke)
     val plain = li.groupBy($"l_returnflag")
