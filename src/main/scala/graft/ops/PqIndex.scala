@@ -61,6 +61,40 @@ object PqIndex {
     Index(cents, emb.withColumn("__code", PqExpressions.encode(col(vec), cents)))
   }
 
+  /** Persist the encoded corpus (id, vector, m-byte code) as parquet with
+    * a codebook JSON sidecar. The codes column is what a 100 TB ADC scan
+    * reads — 32× narrower than the vectors at d=64/m=8; column pruning
+    * keeps the vectors untouched until the candidate re-rank joins them
+    * back. */
+  def save(index: Index, dst: String): Unit = {
+    index.encoded.write.mode("overwrite").parquet(dst + "/codes")
+    val json = index.cents.zipWithIndex.map { case (sub, i) =>
+      s"""{"sub":$i,"centroids":[${
+        sub.map(c => "[" + c.mkString(",") + "]").mkString(",")}]}"""
+    }.mkString("[", ",", "]")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dst, "codebook.json"), json)
+  }
+
+  /** Reopen: codebook from the sidecar, codes as a plain scan. */
+  def load(spark: org.apache.spark.sql.SparkSession, dst: String): Index = {
+    val json = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(dst, "codebook.json"))
+    val cents = json.split("""\{"sub":""").drop(1).map { part =>
+      val sub = part.takeWhile(_.isDigit).toInt
+      // parse this subspace's [[a,b],[c,d],...] centroid list
+      var rest = part.substring(part.indexOf("[[") + 1)
+      val cs = scala.collection.mutable.ArrayBuffer.empty[Array[Float]]
+      while (rest.startsWith("[")) {
+        val end = rest.indexOf(']')
+        cs += rest.substring(1, end).split(',').filter(_.nonEmpty).map(_.toFloat)
+        rest = rest.substring(end + 1).dropWhile(_ == ',')
+      }
+      sub -> cs.toArray
+    }.sortBy(_._1).map(_._2)
+    Index(cents, spark.read.parquet(dst + "/codes"))
+  }
+
   /** ADC top-k: scan codes with per-query LUTs for the top k·refine
     * approximate candidates, then exact-rank those by true cosine.
     * Id contract: ids in [0, 2³²) (TopKAgg keys are the raw longs here,

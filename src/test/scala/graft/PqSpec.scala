@@ -55,6 +55,23 @@ class PqSpec extends AnyFunSuite with SparkSpecBase {
     assert(recall >= 0.55, s"PQ recall $recall")
   }
 
+  test("PQ save/load: codebook sidecar round-trips, knn parity on reopen") {
+    val emb = Tables.embeddings(spark, sfSmoke)
+    val idx = PqIndex.build(emb, "vec_id", "embedding", m = 8, ksub = 64)
+    val dst = java.nio.file.Files.createTempDirectory("graft-pq").toString
+    PqIndex.save(idx, dst)
+    val loaded = PqIndex.load(spark, dst)
+    assert(loaded.cents.length == idx.cents.length)
+    idx.cents.zip(loaded.cents).foreach { case (a, b) =>
+      assert(a.length == b.length)
+      a.zip(b).foreach { case (ca, cb) => assert(ca.toSeq == cb.toSeq) }
+    }
+    def res(i: PqIndex.Index) =
+      PqIndex.knn(i, "vec_id", "embedding", $"vec_id" < 10, k = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(res(loaded) == res(idx))
+  }
+
   test("pq knn plan has no CodegenFallback for the PQ expressions") {
     val emb = Tables.embeddings(spark, sfSmoke)
     val idx = PqIndex.build(emb, "vec_id", "embedding", m = 8, ksub = 64)
