@@ -1,0 +1,114 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.{DotProductF32, NearestCells, PqExpressions}
+import graft.functions.TextFunctions.roundp
+
+/** IVF+PQ composite ANN (the canonical billion-scale index layout,
+  * Jégou et al. 2011 "IVFADC"; FAISS `IVFx,PQy`): a coarse k-means
+  * quantizer partitions the corpus into cells, and members are stored as
+  * m-byte PQ codes. A query probes its nProbe nearest cells and
+  * ADC-scans ONLY those cells' codes.
+  *
+  * vs the standalone paths: q45's flat PQ scans every code (cheap per
+  * code, but all of them); q40's IVF reads whole vectors in probed cells.
+  * The composite does both prunings at once — nProbe/nCells of the
+  * corpus, at m bytes per member — which is why it is the layout the
+  * big-ANN systems actually ship.
+  *
+  * Codes quantize RAW vectors (FAISS `by_residual=false` flavor), so the
+  * flat-PQ codebook/LUT machinery is reused verbatim; residual encoding
+  * (per-cell LUT rebuild) is the known accuracy upgrade and is documented
+  * out of scope.
+  *
+  * 100 TB shape: both trainings are driver-bounded samples; assignment and
+  * encoding are one distributed scan; `save` partitions by cell so a
+  * probe's cell filter becomes directory-level partition pruning AND the
+  * ADC scan column-prunes to the m-byte codes; candidates are bounded by
+  * TopKAgg; only k·refine candidates per query rejoin float vectors.
+  */
+object IvfPq {
+
+  final case class Index(cells: Array[Array[Float]],
+                         cents: Array[Array[Array[Float]]],
+                         encoded: DataFrame)
+
+  /** Build: coarse cells (Lloyd, like IvfIndex) + flat-PQ codebook, then
+    * one scan adds `__cell` and `__code` to every row. */
+  def build(emb: DataFrame, id: String, vec: String, nCells: Int, m: Int,
+            ksub: Int, seed: Long = 42L, trainCap: Int = 65536): Index = {
+    val sample = emb.select(col(vec)).limit(trainCap).collect()
+      .map(_.getSeq[Float](0).toArray)
+    val cells = IvfIndex.lloydCentroids(sample, nCells, iters = 8, seed = seed)
+    val cents = PqIndex.trainCodebook(emb, vec, m, ksub, seed, trainCap)
+    Index(cells, cents, emb
+      .withColumn("__cell", element_at(NearestCells.topCells(col(vec), cells, 1), 1))
+      .withColumn("__code", PqExpressions.encode(col(vec), cents)))
+  }
+
+  /** Probe nProbe cells, ADC-scan their codes via a CELL EQUI-JOIN (the
+    * broadcast query side carries one LUT per query), bounded top-k·refine
+    * combine, exact cosine re-rank. */
+  def knn(index: Index, id: String, vec: String, queryPred: Column,
+          k: Int, nProbe: Int, refine: Int = 4): DataFrame = {
+    val q = broadcast(index.encoded.filter(queryPred)
+      .select(col(id).as("qid"),
+        PqExpressions.lut(col(vec), index.cents).as("lut"),
+        explode(NearestCells.topCells(col(vec), index.cells, nProbe)).as("__cell")))
+    val approx = index.encoded.select(col(id).as("cid"), col("__cell"), col("__code"))
+      .join(q, Seq("__cell")) // members of probed cells only
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        negate(PqExpressions.adc(col("lut"), col("__code"))).as("score"))
+    val cands = Similarity.topKRank(approx, k * refine).select("qid", "cid")
+    val qv = broadcast(index.encoded.filter(queryPred)
+      .select(col(id).as("qid"), col(vec).as("qv")))
+    val scored = cands
+      .join(qv, Seq("qid"))
+      .join(index.encoded.select(col(id).as("cid"), col(vec).as("cv")), Seq("cid"))
+      .select(col("qid"), col("cid"),
+        roundp(DotProductF32.cosine(col("qv"), col("cv")), 6).as("cos"))
+    Similarity.topKRank(scored, k)
+  }
+
+  /** Persist cell-partitioned (directory pruning on probes) with both
+    * codebooks in JSON sidecars. */
+  def save(index: Index, dst: String): Unit = {
+    index.encoded.write.mode("overwrite").partitionBy("__cell")
+      .parquet(dst + "/cells")
+    val cellsJson = index.cells.zipWithIndex.map { case (c, i) =>
+      s"""{"cell":$i,"centroid":[${c.mkString(",")}]}"""
+    }.mkString("[", ",", "]")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dst, "cells.json"), cellsJson)
+    val cbJson = index.cents.zipWithIndex.map { case (sub, i) =>
+      s"""{"sub":$i,"centroids":[${
+        sub.map(c => "[" + c.mkString(",") + "]").mkString(",")}]}"""
+    }.mkString("[", ",", "]")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dst, "codebook.json"), cbJson)
+  }
+
+  def load(spark: SparkSession, dst: String): Index = {
+    def sidecar(name: String): String = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(dst, name))
+    val cells = sidecar("cells.json").split("""\{"cell":""").drop(1).map { p =>
+      val cell = p.takeWhile(_.isDigit).toInt
+      cell -> p.split("""\[""")(1).takeWhile(_ != ']')
+        .split(',').filter(_.nonEmpty).map(_.toFloat)
+    }.sortBy(_._1).map(_._2)
+    val cents = sidecar("codebook.json").split("""\{"sub":""").drop(1).map { p =>
+      val sub = p.takeWhile(_.isDigit).toInt
+      var rest = p.substring(p.indexOf("[[") + 1)
+      val cs = scala.collection.mutable.ArrayBuffer.empty[Array[Float]]
+      while (rest.startsWith("[")) {
+        val end = rest.indexOf(']')
+        cs += rest.substring(1, end).split(',').filter(_.nonEmpty).map(_.toFloat)
+        rest = rest.substring(end + 1).dropWhile(_ == ',')
+      }
+      sub -> cs.toArray
+    }.sortBy(_._1).map(_._2)
+    Index(cells, cents, spark.read.parquet(dst + "/cells"))
+  }
+}

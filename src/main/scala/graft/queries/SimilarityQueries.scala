@@ -87,12 +87,27 @@ object SimilarityQueries {
       .orderBy($"qid", $"rank")
   }
 
+  /** q49: IVF+PQ composite ANN (the canonical big-ANN layout): 16 coarse
+    * cells × m=8/ksub=64 codes, 6 cells probed, exact re-rank. Both
+    * prunings at once — nProbe/nCells of the corpus at m bytes/member.
+    * Rows-only like the other ANN paths; recall spec-asserted (IvfPqSpec). */
+  def q49KnnIvfPq(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val idx = graft.ops.IvfPq.build(embeddings(s, d), "vec_id", "embedding",
+      nCells = 16, m = 8, ksub = 64)
+    graft.ops.IvfPq.knn(idx, "vec_id", "embedding", $"vec_id" < 20, k = 5,
+        nProbe = 6)
+      .select($"qid", $"rank".cast("bigint").as("rank"), $"cid", $"cos")
+      .orderBy($"qid", $"rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_embedding_neardup" -> (q30NearDup _),
     "q31_knn_brute"         -> (q31KnnBrute _),
     "q32_knn_lsh"           -> (q32KnnLsh _),
     "q40_knn_ivf"           -> (q40KnnIvf _),
     "q45_knn_pq"            -> (q45KnnPq _),
+    "q49_knn_ivfpq"         -> (q49KnnIvfPq _),
   )
 
   val oracles: Map[String, String] = Map(
