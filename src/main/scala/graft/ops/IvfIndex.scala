@@ -71,8 +71,13 @@ object IvfIndex {
       .map(_.getSeq[Float](0).toArray)
     val cents = lloydCentroids(sample, nCells, iters = 8, seed = seed)
     val centroids = cents.zipWithIndex.map { case (c, i) => i -> c }
-    Index(centroids, emb.withColumn("__cell",
-      element_at(graft.functions.NearestCells.topCells(col(vec), cents, 1), 1)))
+    // knn references the assigned frame four times (probe side, candidate
+    // corpus side, query vectors, re-rank join) — persist so assignment
+    // runs once, released by the session's ScratchCache sweep; a `load`ed
+    // index reads the cell-partitioned parquet instead
+    Index(centroids, ScratchCache.register(emb.withColumn("__cell",
+      element_at(graft.functions.NearestCells.topCells(col(vec), cents, 1), 1))
+      .persist()))
   }
 
   /** Persist the index with the CELL AS THE PARTITION KEY: parquet

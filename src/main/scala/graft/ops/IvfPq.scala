@@ -42,9 +42,12 @@ object IvfPq {
       .map(_.getSeq[Float](0).toArray)
     val cells = IvfIndex.lloydCentroids(sample, nCells, iters = 8, seed = seed)
     val cents = PqIndex.trainCodebook(emb, vec, m, ksub, seed, trainCap)
-    Index(cells, cents, emb
+    // knn references the encoded frame three times — persist so cell
+    // assignment + encoding run once (see PqIndex.build; load skips this)
+    Index(cells, cents, ScratchCache.register(emb
       .withColumn("__cell", element_at(NearestCells.topCells(col(vec), cells, 1), 1))
-      .withColumn("__code", PqExpressions.encode(col(vec), cents)))
+      .withColumn("__code", PqExpressions.encode(col(vec), cents))
+      .persist()))
   }
 
   /** Probe nProbe cells, ADC-scan their codes via a CELL EQUI-JOIN (the

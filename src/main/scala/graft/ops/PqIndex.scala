@@ -58,7 +58,12 @@ object PqIndex {
   def build(emb: DataFrame, id: String, vec: String, m: Int, ksub: Int,
             seed: Long = 42L, trainCap: Int = 65536): Index = {
     val cents = trainCodebook(emb, vec, m, ksub, seed, trainCap)
-    Index(cents, emb.withColumn("__code", PqExpressions.encode(col(vec), cents)))
+    // knn references the encoded frame three times (code scan, query
+    // broadcast, re-rank join) — persist so encoding runs once, released
+    // by the session's ScratchCache sweep. A `load`ed index reads
+    // pre-encoded parquet instead and skips this.
+    Index(cents, ScratchCache.register(
+      emb.withColumn("__code", PqExpressions.encode(col(vec), cents)).persist()))
   }
 
   /** Persist the encoded corpus (id, vector, m-byte code) as parquet with
