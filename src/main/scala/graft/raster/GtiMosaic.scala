@@ -219,6 +219,71 @@ object GtiMosaic {
     }
   }
 
+  /** WGS84 Lambert conformal conic (2 standard parallels) — the other
+    * widespread coupled family (national/continental grids: Lambert-93,
+    * US state planes, NAD83 LCC zones). Snyder USGS PP 1395 eqs.
+    * 15-1…15-11 on the ellipsoid. Parameters vary per CRS, so LCC warps
+    * are REGISTERED explicitly (no EPSG auto-resolution): pass
+    * `LambertConformal(...).toGeoFile` / `.fromGeoFile` in `warps`. */
+  final case class LambertConformal(lat1: Double, lat2: Double,
+      lat0: Double, lon0: Double, falseE: Double = 0.0, falseN: Double = 0.0) {
+    private val a = 6378137.0
+    private val e = math.sqrt(1.0 / 298.257223563 * (2 - 1.0 / 298.257223563))
+
+    private def mFn(phi: Double) =
+      math.cos(phi) / math.sqrt(1 - e * e * math.sin(phi) * math.sin(phi))
+    private def tFn(phi: Double) =
+      math.tan(math.Pi / 4 - phi / 2) /
+        math.pow((1 - e * math.sin(phi)) / (1 + e * math.sin(phi)), e / 2)
+
+    private val p1 = math.toRadians(lat1)
+    private val p2 = math.toRadians(lat2)
+    private val p0 = math.toRadians(lat0)
+    /** Cone constant (Snyder 15-8) — collapses to sin(p1) when the
+      * parallels coincide (tangent cone). */
+    val n: Double =
+      if (math.abs(lat1 - lat2) < 1e-12) math.sin(p1)
+      else math.log(mFn(p1) / mFn(p2)) / math.log(tFn(p1) / tFn(p2))
+    private val bigF = mFn(p1) / (n * math.pow(tFn(p1), n))
+    private val rho0 = a * bigF * math.pow(tFn(p0), n)
+
+    /** (lon, lat) degrees → projected (easting, northing) meters. */
+    def forward(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      val rho = a * bigF * math.pow(tFn(math.toRadians(latDeg)), n)
+      val theta = n * math.toRadians(lonDeg - lon0)
+      (falseE + rho * math.sin(theta),
+       falseN + rho0 - rho * math.cos(theta))
+    }
+
+    /** (easting, northing) meters → (lon, lat) degrees; iterative t→φ
+      * inversion (Snyder 7-9), converges in a handful of rounds. */
+    def inverse(easting: Double, northing: Double): (Double, Double) = {
+      val x = easting - falseE
+      val y = rho0 - (northing - falseN)
+      val rho = math.signum(n) * math.hypot(x, y)
+      val theta = math.atan2(math.signum(n) * x, math.signum(n) * y)
+      val t = math.pow(rho / (a * bigF), 1 / n)
+      var phi = math.Pi / 2 - 2 * math.atan(t)
+      var i = 0
+      while (i < 8) {
+        phi = math.Pi / 2 - 2 * math.atan(t *
+          math.pow((1 - e * math.sin(phi)) / (1 + e * math.sin(phi)), e / 2))
+        i += 1
+      }
+      (lon0 + math.toDegrees(theta / n), math.toDegrees(phi))
+    }
+
+    /** Warp for files gridded in this LCC inside a 4326 mosaic. */
+    def fromGeo: PointWarp = new PointWarp {
+      def toFile(lon: Double, lat: Double): (Double, Double) = forward(lon, lat)
+    }
+    /** Warp for 4326-gridded files inside a mosaic in this LCC. */
+    def toGeo: PointWarp = new PointWarp {
+      def toFile(east: Double, north: Double): (Double, Double) =
+        inverse(east, north)
+    }
+  }
+
   /** mosaic EPSG:4326 → file UTM zone (files gridded in UTM meters). */
   final case class GeoToUtm(zone: Int, south: Boolean) extends PointWarp {
     def toFile(lon: Double, lat: Double): (Double, Double) =

@@ -359,6 +359,68 @@ class GtiMosaicSpec extends AnyFunSuite with SparkSpecBase {
     }
   }
 
+  test("Lambert conformal conic: invariants + registered-warp assembly") {
+    import graft.raster.GtiMosaic.LambertConformal
+    // Lambert-93 parameters (RGF93 / France, public EPSG:2154 definition)
+    val l93 = LambertConformal(44.0, 49.0, 46.5, 3.0, 700000.0, 6600000.0)
+    // origin maps to the false origin exactly
+    assert(l93.forward(3.0, 46.5) == ((700000.0, 6600000.0)))
+    // roundtrip across the zone of use
+    for (lon <- Seq(-4.0, 0.0, 3.0, 7.5); lat <- Seq(41.5, 44.0, 46.5, 49.0, 51.0)) {
+      val (e, n) = l93.forward(lon, lat)
+      val (lon2, lat2) = l93.inverse(e, n)
+      assert(math.abs(lon2 - lon) < 1e-9 && math.abs(lat2 - lat) < 1e-9,
+        s"roundtrip ($lon,$lat)")
+    }
+    // secant-cone scale: k = 1 on both standard parallels, < 1 between,
+    // > 1 outside (measured by differencing along a parallel)
+    val a = 6378137.0; val f = 1.0 / 298.257223563; val e2 = f * (2 - f)
+    def k(lat: Double): Double = {
+      val d = 1e-5
+      val (x1, y1) = l93.forward(3.0 - d / 2, lat)
+      val (x2, y2) = l93.forward(3.0 + d / 2, lat)
+      val nu = a / math.sqrt(1 - e2 * math.pow(math.sin(math.toRadians(lat)), 2))
+      math.hypot(x2 - x1, y2 - y1) /
+        (math.toRadians(d) * math.cos(math.toRadians(lat)) * nu)
+    }
+    assert(math.abs(k(44.0) - 1.0) < 1e-6 && math.abs(k(49.0) - 1.0) < 1e-6)
+    assert(k(46.5) < 1.0 && k(41.0) > 1.0 && k(52.0) > 1.0)
+    // assembly: an LCC-grid tile in a 4326 mosaic via an EXPLICIT warp
+    // registration (no EPSG auto-resolution for LCC)
+    val (w, h) = (10, 10)
+    val cs = for (lon <- Seq(1.8, 6.2); lat <- Seq(44.8, 48.2)) yield l93.forward(lon, lat)
+    val (eMin, eMax) = (cs.map(_._1).min - 500, cs.map(_._1).max + 500)
+    val (nMin, nMax) = (cs.map(_._2).min - 500, cs.map(_._2).max + 500)
+    val (fresx, fresy) = ((eMax - eMin) / w, (nMax - nMin) / h)
+    val fix = Files.createTempDirectory("graft-gti-lcc").toString
+    Files.write(Paths.get(fix, "l.tif"), GeoTiffWriter.write(w, h,
+      Seq(Array.tabulate(w * h)(_.toFloat)),
+      pixelScale = (fresx, fresy), tiepoint = (eMin, nMax),
+      nodata = Some(Double.NaN)))
+    val dst = Files.createTempDirectory("graft-gti-lcc-dst").toString
+    val mMeta = GtiMosaic.Meta("Float32", Double.NaN,
+      2.0, 45.0, 6.0, 48.0, 1.0, 1.0, 1, "nearest", "EPSG:4326")
+    val index = Seq(("s3://mosaic.fixtures/l.tif", 1.8, 44.8, 6.2, 48.2, "EPSG:2154"))
+      .toDF("location", "minx", "miny", "maxx", "maxy", "srs")
+    GtiMosaic.write(index.coalesce(1), dst, mMeta)
+    val localize = (loc: String) => Paths.get(fix, loc.split('/').last).toString
+    // without registration: fail fast
+    intercept[Exception] {
+      GtiMosaic.assemble(spark, dst, 0, 4)(localize).collect()
+    }
+    val chunks = GtiMosaic.assemble(spark, dst, 0, 4,
+        warps = Map(("EPSG:2154", "EPSG:4326") -> l93.fromGeo))(localize)
+      .collect().map(r => (r.cy, r.cx) -> r.data).toMap
+    for (py <- 0 until 3; px <- 0 until 4) {
+      val (lon, lat) = (2.0 + (px + 0.5) * 1.0, 48.0 - (py + 0.5) * 1.0)
+      val (e, n) = l93.forward(lon, lat)
+      val fc = math.floor((e - eMin) / fresx).toInt
+      val fr = math.floor((nMax - n) / fresy).toInt
+      val got = chunks((py / 4, px / 4))((py % 4) * 4 + (px % 4))
+      assert(got == (fr * w + fc).toFloat, s"($px,$py)")
+    }
+  }
+
   test("assembly reads the matching COG overview level for coarse targets") {
     val fix = Files.createTempDirectory("graft-gti-ovr").toString
     // 8x8 file, values y*8+x, with a 4x4 level-1 overview (tileSize=4)
