@@ -211,11 +211,70 @@ object PipelineQueries {
       |  user_id, event_type
       |FROM events ORDER BY win_start, user_id, event_type""".stripMargin
 
+  /** q50: stream-stream interval join — click events joined to the error
+    * events that follow within 60 minutes for the same user, both sides
+    * watermarked so the join STATE is evicted as event time advances
+    * (the range condition bounds how long a click can match: buffered
+    * clicks older than watermark − 60 min are dropped — without this a
+    * stream-stream join buffers forever). Completes the Structured
+    * Streaming surface: windowed agg (q34), sessionization (q36), dedup
+    * (q48), and now the two-stream join. Batch-oracle parity like q34. */
+  def q50StreamJoin(s0: SparkSession, d: String): DataFrame = {
+    val s = s0.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    import s.implicits._
+    val schema = graft.Tables.load(s, d, "events").schema
+    val base = new java.io.File(sys.props("java.io.tmpdir"), "graft_q50")
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmrf)
+      f.delete(): Unit
+    }
+    rmrf(base)
+    val outDir = new java.io.File(base, "out").getAbsolutePath
+    val ckDir = new java.io.File(base, "ck").getAbsolutePath
+    def src() = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(d)
+      .withColumn("ts_conv",
+        timestamp_micros(graft.Tables.nanosFloorMicros(col("ts"))))
+    val clicks = src().filter($"event_type" === "click")
+      .select($"event_id".as("click_id"), $"user_id", $"ts_conv".as("click_ts"))
+      .withWatermark("click_ts", "0 seconds")
+    val errors = src().filter($"event_type" === "error")
+      .select($"event_id".as("error_id"), $"user_id".as("e_user"),
+        $"ts_conv".as("error_ts"))
+      .withWatermark("error_ts", "0 seconds")
+    val joined = clicks.join(errors, expr(
+      """user_id = e_user AND
+         error_ts >= click_ts AND
+         error_ts <= click_ts + interval 60 minutes"""))
+      .select($"user_id", $"click_id", $"error_id")
+    val q = joined.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(outDir)
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.read.parquet(outDir).distinct() // idempotence vs sink re-appends
+      .orderBy($"user_id", $"click_id", $"error_id")
+  }
+
+  val q50Sql: String =
+    """SELECT c.user_id, c.event_id AS click_id, e.event_id AS error_id
+      |FROM events c JOIN events e
+      |  ON c.event_type = 'click' AND e.event_type = 'error'
+      | AND c.user_id = e.user_id
+      | AND e.ts >= c.ts AND e.ts <= c.ts + INTERVAL 60 MINUTE
+      |ORDER BY c.user_id, click_id, error_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q33_multimodal"    -> (q33Multimodal _),
     "q34_stream_window" -> (q34StreamWindow _),
     "q41_resize"        -> (q41Resize _),
     "q48_stream_dedup"  -> (q48StreamDedup _),
+    "q50_stream_join"   -> (q50StreamJoin _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -223,5 +282,6 @@ object PipelineQueries {
     "q34_stream_window" -> q34Sql,
     "q41_resize"        -> q41Sql,
     "q48_stream_dedup"  -> q48Sql,
+    "q50_stream_join"   -> q50Sql,
   )
 }
