@@ -45,34 +45,54 @@ object ChunkStoreSource {
 
   final case class Key(time: Int, band: Int, cy: Int, cx: Int)
 
-  /** Store layout detection: the raw layout keeps chunks under `c/`; a
-    * Zarr v2 store keeps them under `<var>/` beside `.zarray`, zlib-
-    * compressed to a declared full-chunk size. One source serves both, so
-    * the externally-readable Zarr format gets the same plan-time pruning. */
-  def layout(root: String): (String, Int) = {
-    if (Files.isDirectory(Paths.get(root, "c"))) (s"$root/c", 0)
-    else if (Files.exists(Paths.get(root, "data", ".zarray"))) {
+  /** Store layout detection: the raw layout keeps chunks under `c/`
+    * (flat `t.b.cy.cx` names); a Zarr v2 store under `<var>/` beside
+    * `.zarray` (zlib, flat dot keys); a Zarr v3 store under
+    * `<var>/c/<t>/<b>/<cy>/<cx>` beside `zarr.json` (gzip codec, nested
+    * default chunk-key encoding). One source serves all three, so both
+    * externally-readable Zarr formats get the same plan-time pruning.
+    * Returns (chunk dir, decompressed size or 0 for raw, codec). */
+  def layout(root: String): (String, Int, String) = {
+    if (Files.exists(Paths.get(root, "data", "zarr.json"))) {
+      val g = ZarrStoreV3.readGrid(root)
+      (s"$root/data/c", g.chunkY * g.chunkX * 4, "gzip")
+    } else if (Files.exists(Paths.get(root, "data", ".zarray"))) {
       val g = ZarrStore.readGrid(root)
-      (s"$root/data", g.chunkY * g.chunkX * 4)
-    } else (s"$root/c", 0)
+      (s"$root/data", g.chunkY * g.chunkX * 4, "zlib")
+    } else (s"$root/c", 0, "raw")
   }
 
   def listKeys(root: String): Seq[(Key, String)] = {
-    val (dirStr, _) = layout(root)
+    val (dirStr, _, codec) = layout(root)
     val dir = Paths.get(dirStr)
     if (!Files.isDirectory(dir)) return Seq.empty
-    val s = Files.list(dir)
-    try s.iterator().asScala
-      .map(_.getFileName.toString)
-      .filterNot(_.startsWith("."))
-      .flatMap { n =>
-        n.split('.') match {
-          case Array(t, b, cy, cx) =>
-            Some(Key(t.toInt, b.toInt, cy.toInt, cx.toInt) -> s"$dirStr/$n")
-          case _ => None
-        }
-      }.toSeq
-    finally s.close()
+    if (codec == "gzip") { // v3 nested keys: c/<t>/<b>/<cy>/<cx>
+      val s = Files.walk(dir, 4)
+      try s.iterator().asScala
+        .filter(Files.isRegularFile(_))
+        .flatMap { p =>
+          val rel = dir.relativize(p).toString.replace('\\', '/')
+          rel.split('/') match {
+            case Array(t, b, cy, cx) if !cx.startsWith(".") =>
+              Some(Key(t.toInt, b.toInt, cy.toInt, cx.toInt) -> p.toString)
+            case _ => None
+          }
+        }.toSeq
+      finally s.close()
+    } else {
+      val s = Files.list(dir)
+      try s.iterator().asScala
+        .map(_.getFileName.toString)
+        .filterNot(_.startsWith("."))
+        .flatMap { n =>
+          n.split('.') match {
+            case Array(t, b, cy, cx) =>
+              Some(Key(t.toInt, b.toInt, cy.toInt, cx.toInt) -> s"$dirStr/$n")
+            case _ => None
+          }
+        }.toSeq
+      finally s.close()
+    }
   }
 
   private val keyCols = Set("time", "band", "cy", "cx")
@@ -168,11 +188,12 @@ class ChunkScan(root: String, filters: Array[Filter], maxPartitionBytes: Long)
     * per million entries); a store beyond that keeps a manifest table
     * instead of a listing — the GtiMosaic pattern. */
   override def planInputPartitions(): Array[InputPartition] = {
-    val inflateTo = ChunkStoreSource.layout(root)._2
+    val (_, inflateTo, codec) = ChunkStoreSource.layout(root)
     val files = ChunkStoreSource.listKeys(root)
       .filter { case (k, _) => filters.forall(ChunkStoreSource.keep(_, k)) }
       .sortBy { case (k, _) => (k.time, k.band, k.cy, k.cx) }
-    if (files.isEmpty) return Array(ChunkInputPartition(Array.empty, inflateTo))
+    if (files.isEmpty)
+      return Array(ChunkInputPartition(Array.empty, inflateTo, codec))
     val sized = files.map { f =>
       (f, try Files.size(Paths.get(f._2)) catch { case _: Exception => 0L })
     }
@@ -188,21 +209,23 @@ class ChunkScan(root: String, filters: Array[Filter], maxPartitionBytes: Long)
     for ((f, sz) <- sized) {
       val cost = math.max(sz, openCost)
       if (curN > 0 && curBytes + cost > budget) {
-        parts += ChunkInputPartition(cur.result(), inflateTo)
+        parts += ChunkInputPartition(cur.result(), inflateTo, codec)
         cur.clear(); curBytes = 0L; curN = 0
       }
       cur += f; curBytes += cost; curN += 1
     }
-    if (curN > 0) parts += ChunkInputPartition(cur.result(), inflateTo)
+    if (curN > 0) parts += ChunkInputPartition(cur.result(), inflateTo, codec)
     parts.result()
   }
   override def createReaderFactory(): PartitionReaderFactory = ChunkReaderFactory
 }
 
-/** `inflateTo` > 0 marks zlib-compressed (Zarr) payloads of that
-  * decompressed byte size; 0 = raw float32 files. */
+/** `inflateTo` > 0 marks compressed (Zarr) payloads of that decompressed
+  * byte size; 0 = raw float32 files. `codec` picks the decompressor:
+  * "zlib" (Zarr v2 compressor) or "gzip" (Zarr v3 codec, RFC 1952). */
 final case class ChunkInputPartition(
-    files: Array[(ChunkStoreSource.Key, String)], inflateTo: Int = 0)
+    files: Array[(ChunkStoreSource.Key, String)], inflateTo: Int = 0,
+    codec: String = "raw")
     extends InputPartition
 
 object ChunkReaderFactory extends PartitionReaderFactory {
@@ -217,7 +240,11 @@ object ChunkReaderFactory extends PartitionReaderFactory {
         val raw = Files.readAllBytes(Paths.get(path))
         val bytes =
           if (part.inflateTo == 0) raw
-          else {
+          else if (part.codec == "gzip") {
+            val in = new java.util.zip.GZIPInputStream(
+              new java.io.ByteArrayInputStream(raw))
+            try in.readNBytes(part.inflateTo) finally in.close()
+          } else {
             val inf = new java.util.zip.Inflater()
             inf.setInput(raw)
             val out = new Array[Byte](part.inflateTo)

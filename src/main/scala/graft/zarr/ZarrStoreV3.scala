@@ -1,0 +1,113 @@
+package graft.zarr
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import org.apache.spark.sql.{Dataset, SparkSession}
+import graft.cube.ChunkRow
+import graft.model.GridDef
+
+/** Zarr v3 on-disk store — the CURRENT Zarr spec twin of [[ZarrStore]]
+  * (v2), following the public core spec
+  * (https://zarr-specs.readthedocs.io/en/latest/v3/core/index.html):
+  *
+  *   <root>/zarr.json            {"zarr_format":3,"node_type":"group"}
+  *   <root>/<var>/zarr.json      array metadata: shape, data_type
+  *                               "float32", regular chunk_grid, default
+  *                               chunk_key_encoding ("/" separator),
+  *                               fill_value "NaN", codecs
+  *                               [bytes(little) → gzip], dimension_names
+  *   <root>/<var>/c/<t>/<b>/<cy>/<cx>   gzip(RFC 1952) of C-order LE f32
+  *
+  * Differences from v2 worth naming: metadata consolidates into ONE
+  * `zarr.json` per node (attributes live inside it — no .zattrs), chunk
+  * keys are nested directories under `c/` (the default encoding), and the
+  * compression codec is real gzip, not raw zlib. Any Zarr v3 reader
+  * (zarr-python ≥ 2.17/3.x, tensorstore) opens the store with no custom
+  * code. Write path keeps the S9 idempotence contract (deterministic
+  * keys, temp + atomic rename); `read` goes through the same DSv2 source
+  * as v2/raw, with identical key-filter pushdown and byte-budget
+  * partitioning (layout auto-detected from `zarr.json`).
+  */
+object ZarrStoreV3 {
+
+  private val DimNames = Seq("time", "band", "y", "x")
+
+  private def arrayJson(g: GridDef, bands: Seq[String]): String = {
+    val labels =
+      if (bands.isEmpty) ""
+      else bands.mkString(""""band_labels":["""", "\",\"", "\"],")
+    s"""{"zarr_format":3,"node_type":"array",""" +
+      s""""shape":[${g.nTime},${g.nBand},${g.nY},${g.nX}],""" +
+      """"data_type":"float32",""" +
+      s""""chunk_grid":{"name":"regular","configuration":{"chunk_shape":[1,1,${g.chunkY},${g.chunkX}]}},""" +
+      """"chunk_key_encoding":{"name":"default","configuration":{"separator":"/"}},""" +
+      """"fill_value":"NaN",""" +
+      """"codecs":[{"name":"bytes","configuration":{"endian":"little"}},""" +
+      """{"name":"gzip","configuration":{"level":1}}],""" +
+      s""""attributes":{$labels"_ARRAY_DIMENSIONS":[${
+        DimNames.mkString("\"", "\",\"", "\"")}]},""" +
+      s""""dimension_names":[${DimNames.mkString("\"", "\",\"", "\"")}]}"""
+  }
+
+  /** S8 metadata-only init: one zarr.json per node, no data bytes. */
+  def init(root: String, grid: GridDef, varName: String = "data",
+           bands: Seq[String] = Nil): Unit = {
+    val dir = Paths.get(root, varName)
+    Files.createDirectories(dir)
+    Files.writeString(Paths.get(root, "zarr.json"),
+      """{"zarr_format":3,"node_type":"group"}""")
+    Files.writeString(dir.resolve("zarr.json"), arrayJson(grid, bands))
+  }
+
+  def readGrid(root: String, varName: String = "data"): GridDef = {
+    val s = Files.readString(Paths.get(root, varName, "zarr.json"))
+    def arr(k: String): Array[Int] =
+      s.split("\"" + k + "\":\\[")(1).takeWhile(_ != ']').split(',').map(_.trim.toInt)
+    val Array(nT, nB, nY, nX) = arr("shape")
+    val Array(_, _, cy, cx) = arr("chunk_shape")
+    GridDef(nT, nB, nY, nX, cy, cx, itemBytes = 4) // float32
+  }
+
+  private def gzip(bytes: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream(bytes.length / 2 + 64)
+    val out = new java.util.zip.GZIPOutputStream(bos) {
+      `def`.setLevel(1) // declared codec level
+    }
+    out.write(bytes); out.close()
+    bos.toByteArray
+  }
+
+  /** S9-idempotent parallel chunk writes in Zarr v3 encoding (edge chunks
+    * NaN-padded to the declared chunk shape, per spec). */
+  def write(ds: Dataset[ChunkRow], root: String, varName: String = "data"): Unit = {
+    val full = {
+      val g = readGrid(root, varName)
+      g.chunkY * g.chunkX
+    }
+    ds.foreachPartition { (it: Iterator[ChunkRow]) =>
+      it.foreach { r =>
+        val padded =
+          if (r.data.length >= full) r.data
+          else r.data ++ Array.fill(full - r.data.length)(Float.NaN)
+        val bytes = new Array[Byte](padded.length * 4)
+        ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+          .asFloatBuffer().put(padded)
+        val dir = Paths.get(root, varName, "c",
+          r.time.toString, r.band.toString, r.cy.toString)
+        Files.createDirectories(dir)
+        val dst = dir.resolve(r.cx.toString)
+        val tmp = dir.resolve(s".${r.cx}.${java.util.UUID.randomUUID}.tmp")
+        Files.write(tmp, gzip(bytes))
+        Files.move(tmp, dst, StandardCopyOption.ATOMIC_MOVE,
+          StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+  }
+
+  /** Reopen through the shared DSv2 chunk source (v3 layout auto-detected;
+    * same pushdown pruning as v2/raw). */
+  def read(spark: SparkSession, root: String, varName: String = "data"): Dataset[ChunkRow] = {
+    import spark.implicits._
+    spark.read.format("graft.zarr.ChunkStoreSource").load(root).as[ChunkRow]
+  }
+}
