@@ -66,50 +66,65 @@ object PipelineQueries {
     * driver-materialized table. Update (not append) because append can
     * never emit the final in-flight window — its end exceeds the terminal
     * watermark — which would break parity with the batch oracle. */
-  def q34StreamWindow(s0: SparkSession, d: String): DataFrame = {
-    // clone the session for the streaming run: state-store partition count
-    // follows spark.sql.shuffle.partitions at first checkpoint, and 32
-    // near-empty HDFSBacked state partitions cost more in per-batch
-    // snapshot/commit file IO than they buy in parallelism at this volume.
-    // (On a real cluster you would raise this with the key cardinality —
-    // it is a per-query knob, not a global.)
+  /** Shared streaming-run scaffolding for q34/q48/q50.
+    *
+    * The session is CLONED per run: state-store partition count follows
+    * spark.sql.shuffle.partitions at first checkpoint, and 32 near-empty
+    * HDFSBacked state partitions cost more in per-batch snapshot/commit
+    * file IO than they buy in parallelism at this volume (a per-query
+    * knob on a real cluster, raised with key cardinality — never global).
+    * No-data micro-batches are disabled: they only advance the watermark
+    * to evict state, which a terminating AvailableNow run doesn't need —
+    * skipping them saves a full micro-batch of state-store IO per run.
+    * Checkpoint + sink dirs are wiped per invocation (idempotent rerun). */
+  private def streamRun(s0: SparkSession, tag: String): (SparkSession, String, String) = {
     val s = s0.newSession()
     s.conf.set("spark.sql.shuffle.partitions", "8")
-    // update mode emits on DATA batches only; the trailing no-data batch
-    // exists to advance the watermark and evict state, which a terminating
-    // AvailableNow run doesn't need — skipping it saves a full micro-batch
-    // of state-store commit/snapshot IO per invocation
     s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
-    import s.implicits._
-    val schema = graft.Tables.load(s, d, "events").schema
-    val base = new java.io.File(sys.props("java.io.tmpdir"), "graft_q34")
+    val base = new java.io.File(sys.props("java.io.tmpdir"), tag)
     def rmrf(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles().foreach(rmrf)
       f.delete(): Unit
     }
-    rmrf(base) // fresh checkpoint + sink per invocation (idempotent rerun)
-    val outDir = new java.io.File(base, "out").getAbsolutePath
-    val ckDir = new java.io.File(base, "ck").getAbsolutePath
-    val stream = s.readStream.schema(schema)
+    rmrf(base)
+    (s, new java.io.File(base, "out").getAbsolutePath,
+      new java.io.File(base, "ck").getAbsolutePath)
+  }
+
+  /** The events stream with the batch loader's floor-exact nanos→micros
+    * conversion as `ts_conv` (pre-1970 safe — stream/batch parity under
+    * any fixture). */
+  private def eventsStream(s: SparkSession, d: String): DataFrame =
+    s.readStream.schema(graft.Tables.load(s, d, "events").schema)
       .option("pathGlobFilter", "events.parquet") // stream source needs a dir
       .parquet(d)
-      // same floor-exact conversion as the batch loader (pre-1970 safe),
-      // keeping the stream/batch parity property under any fixture
       .withColumn("ts_conv",
         timestamp_micros(graft.Tables.nanosFloorMicros(col("ts"))))
-      .withWatermark("ts_conv", "0 seconds")
-      .groupBy(window($"ts_conv", "5 minutes").as("w"), $"event_type")
-      .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("sum_v"))
-      .select($"w.start".as("win_start"), $"event_type", $"n", $"sum_v")
+
+  /** AvailableNow → foreachBatch parquet-append sink, awaited. `tagBatch`
+    * adds batch_id (update-mode consumers keep the latest per key). */
+  private def runToParquet(stream: DataFrame, mode: String, outDir: String,
+                           ckDir: String, tagBatch: Boolean = false): Unit = {
     val q = stream.writeStream
-      .outputMode("update")
+      .outputMode(mode)
       .option("checkpointLocation", ckDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        batch.withColumn("batch_id", lit(batchId))
+        (if (tagBatch) batch.withColumn("batch_id", lit(batchId)) else batch)
           .write.mode("append").parquet(outDir)
       }
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
+  }
+
+  def q34StreamWindow(s0: SparkSession, d: String): DataFrame = {
+    val (s, outDir, ckDir) = streamRun(s0, "graft_q34")
+    import s.implicits._
+    val stream = eventsStream(s, d)
+      .withWatermark("ts_conv", "0 seconds")
+      .groupBy(window($"ts_conv", "5 minutes").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("sum_v"))
+      .select($"w.start".as("win_start"), $"event_type", $"n", $"sum_v")
+    runToParquet(stream, "update", outDir, ckDir, tagBatch = true)
     val latest = org.apache.spark.sql.expressions.Window
       .partitionBy($"win_start", $"event_type").orderBy($"batch_id".desc)
     s.read.parquet(outDir)
@@ -170,36 +185,14 @@ object PipelineQueries {
     * set is deterministic — and it is exactly `SELECT DISTINCT` in the
     * batch oracle (stream/batch parity, like q34). */
   def q48StreamDedup(s0: SparkSession, d: String): DataFrame = {
-    val s = s0.newSession()
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    val (s, outDir, ckDir) = streamRun(s0, "graft_q48")
     import s.implicits._
-    val schema = graft.Tables.load(s, d, "events").schema
-    val base = new java.io.File(sys.props("java.io.tmpdir"), "graft_q48")
-    def rmrf(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rmrf)
-      f.delete(): Unit
-    }
-    rmrf(base)
-    val outDir = new java.io.File(base, "out").getAbsolutePath
-    val ckDir = new java.io.File(base, "ck").getAbsolutePath
-    val stream = s.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(d)
-      .withColumn("ts_conv",
-        timestamp_micros(graft.Tables.nanosFloorMicros(col("ts"))))
+    val stream = eventsStream(s, d)
       .withWatermark("ts_conv", "0 seconds")
       .select(window($"ts_conv", "1 hour").as("w"), $"user_id", $"event_type")
       .dropDuplicates("w", "user_id", "event_type")
       .select($"w.start".as("win_start"), $"user_id", $"event_type")
-    val q = stream.writeStream
-      .outputMode("append")
-      .option("checkpointLocation", ckDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode("append").parquet(outDir)
-      }
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    runToParquet(stream, "append", outDir, ckDir)
     // distinct on read-back: idempotence against sink re-appends (task
     // retries); a correct single run emits each key exactly once already
     s.read.parquet(outDir).distinct()
@@ -220,27 +213,12 @@ object PipelineQueries {
     * Streaming surface: windowed agg (q34), sessionization (q36), dedup
     * (q48), and now the two-stream join. Batch-oracle parity like q34. */
   def q50StreamJoin(s0: SparkSession, d: String): DataFrame = {
-    val s = s0.newSession()
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    val (s, outDir, ckDir) = streamRun(s0, "graft_q50")
     import s.implicits._
-    val schema = graft.Tables.load(s, d, "events").schema
-    val base = new java.io.File(sys.props("java.io.tmpdir"), "graft_q50")
-    def rmrf(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rmrf)
-      f.delete(): Unit
-    }
-    rmrf(base)
-    val outDir = new java.io.File(base, "out").getAbsolutePath
-    val ckDir = new java.io.File(base, "ck").getAbsolutePath
-    def src() = s.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(d)
-      .withColumn("ts_conv",
-        timestamp_micros(graft.Tables.nanosFloorMicros(col("ts"))))
-    val clicks = src().filter($"event_type" === "click")
+    val clicks = eventsStream(s, d).filter($"event_type" === "click")
       .select($"event_id".as("click_id"), $"user_id", $"ts_conv".as("click_ts"))
       .withWatermark("click_ts", "0 seconds")
-    val errors = src().filter($"event_type" === "error")
+    val errors = eventsStream(s, d).filter($"event_type" === "error")
       .select($"event_id".as("error_id"), $"user_id".as("e_user"),
         $"ts_conv".as("error_ts"))
       .withWatermark("error_ts", "0 seconds")
@@ -249,14 +227,7 @@ object PipelineQueries {
          error_ts >= click_ts AND
          error_ts <= click_ts + interval 60 minutes"""))
       .select($"user_id", $"click_id", $"error_id")
-    val q = joined.writeStream
-      .outputMode("append")
-      .option("checkpointLocation", ckDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode("append").parquet(outDir)
-      }
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    runToParquet(joined, "append", outDir, ckDir)
     s.read.parquet(outDir).distinct() // idempotence vs sink re-appends
       .orderBy($"user_id", $"click_id", $"error_id")
   }
