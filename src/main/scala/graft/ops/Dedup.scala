@@ -191,6 +191,51 @@ object Dedup {
     stagedHashes(df, id, text, k)
       .select(col("doc_id"), simhash48(col("hs")).as("simhash"))
 
+  /** Connected components over an undirected pair table — the step that
+    * turns near-dup PAIRS into dedup GROUPS (one canonical survivor per
+    * component), which every pair generator above feeds at pipeline scale.
+    * Returns (id, component_id) for every id appearing in a pair, where
+    * component_id = min id reachable.
+    *
+    * Algorithm: iterative min-label propagation — each round every node
+    * takes the min of its own and its neighbors' labels; one
+    * neighbor-label equi-join + one min-aggregation shuffle per round,
+    * fully distributed (no driver-side union-find). Converges in
+    * O(component diameter) rounds; near-dup components are
+    * short-diameter in practice, and `maxIter` bounds adversarial
+    * chains. Convergence detection is O(1) extra work: per-node labels
+    * only ever DECREASE, so the label sum is strictly monotone and
+    * equality between rounds proves the fixpoint. */
+  def connectedComponents(pairs: DataFrame, a: String, b: String,
+                          maxIter: Int = 25): DataFrame = {
+    val edges = ScratchCache.register(
+      pairs.select(col(a).cast("long").as("src"), col(b).cast("long").as("dst"))
+        .union(pairs.select(col(b).cast("long").as("src"), col(a).cast("long").as("dst")))
+        .persist())
+    var labels = ScratchCache.register(
+      edges.select(col("src").as("id")).distinct()
+        .withColumn("label", col("id")).persist())
+    def labelSum(l: DataFrame): Long =
+      l.agg(sum(col("label"))).head().getLong(0)
+    var prevSum = labelSum(labels)
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIter) {
+      val nbr = edges.join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
+        .select(col("src").as("id"), col("label"))
+      val next = ScratchCache.register(
+        labels.select(col("id"), col("label")).union(nbr)
+          .groupBy(col("id")).agg(min(col("label")).as("label"))
+          .persist())
+      val s = labelSum(next)
+      converged = s == prevSum
+      prevSum = s
+      labels = next
+      it += 1
+    }
+    labels.select(col("id"), col("label").as("component_id"))
+  }
+
   /** SimHash near-dup pairs: 4×12-bit band candidates (hamming ≤ maxHamming
     * guarantees ≥1 identical band when maxHamming < 4 by pigeonhole over 48
     * bits), verified by exact hamming distance. */

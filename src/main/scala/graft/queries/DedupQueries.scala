@@ -26,28 +26,34 @@ object DedupQueries {
        |  min(doc_id) AS canonical_id, count(*) AS n_copies
        |FROM documents GROUP BY text ORDER BY canonical_id""".stripMargin
 
-  private def jaccardOracle(threshold: Double, maxDf: Option[Int] = None): String = {
+  /** Shared WITH-prefix ending in a `jpairs(id_a, id_b, jac)` relation —
+    * the brute-force thresholded Jaccard pairs both q27/q28's oracles and
+    * q51's component oracle build on (RECURSIVE for q51's reachability). */
+  private def jaccardPairsCte(threshold: Double, maxDf: Option[Int]): String = {
     val capFilter = maxDf match {
       case Some(cap) =>
         s"""ex AS (SELECT doc_id, s FROM ex0
            |  WHERE s NOT IN (SELECT s FROM ex0 GROUP BY s HAVING count(*) > $cap)),""".stripMargin
       case None => "ex AS (SELECT doc_id, s FROM ex0),"
     }
-    s"""WITH toks AS (SELECT doc_id, ${DuckSql.tokensSql} AS ws FROM documents),
+    s"""WITH RECURSIVE toks AS (SELECT doc_id, ${DuckSql.tokensSql} AS ws FROM documents),
        |sh AS (SELECT doc_id, ${DuckSql.shinglesSql("ws", 3)} AS shingles
        |  FROM toks WHERE len(ws) >= 3),
        |ex0 AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
        |$capFilter
        |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
        |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
-       |sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id)
-       |SELECT id_a, id_b,
-       |  ${DuckSql.roundpSql("inter * 1.0 / (sa.n + sb.n - inter)", 6)} AS jac
-       |FROM pairs
-       |JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
-       |WHERE inter * 1.0 / (sa.n + sb.n - inter) >= $threshold
-       |ORDER BY id_a, id_b""".stripMargin
+       |sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id),
+       |jpairs AS (SELECT id_a, id_b,
+       |    ${DuckSql.roundpSql("inter * 1.0 / (sa.n + sb.n - inter)", 6)} AS jac
+       |  FROM pairs
+       |  JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+       |  WHERE inter * 1.0 / (sa.n + sb.n - inter) >= $threshold)""".stripMargin
   }
+
+  private def jaccardOracle(threshold: Double, maxDf: Option[Int] = None): String =
+    jaccardPairsCte(threshold, maxDf) +
+      "\nSELECT id_a, id_b, jac FROM jpairs ORDER BY id_a, id_b"
 
   /** Shingles appearing in more docs than this are dropped from q27's
     * comparison universe (both engines): the standard frequency cap that
@@ -97,11 +103,37 @@ object DedupQueries {
        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** q51: dedup groups — MinHash pairs at J ≥ 0.8 (q28's generator) fed
+    * through distributed connected components; each paired doc maps to
+    * its component's min id (the canonical survivor). The oracle walks
+    * the same brute-force pairs with a recursive reachability CTE —
+    * iterative-fixpoint Spark vs recursive SQL, same answer. */
+  def q51DedupGroups(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pairs = Dedup.minhashDedupPairs(documents(s, d), "doc_id", "text", 3, 0.8)
+    Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .select($"id".as("doc_id"), $"component_id")
+      .orderBy($"doc_id")
+  }
+
+  val q51Sql: String =
+    jaccardPairsCte(0.8, None) +
+      """,
+        |edges AS (SELECT id_a AS a, id_b AS b FROM jpairs
+        |  UNION ALL SELECT id_b, id_a FROM jpairs),
+        |reach(id, r) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT re.id, e.b FROM reach re JOIN edges e ON re.r = e.a)
+        |SELECT id AS doc_id, min(r)::BIGINT AS component_id
+        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q26_dedup_exact"    -> (q26Exact _),
     "q27_ngram_jaccard"  -> (q27NgramJaccard _),
     "q28_minhash_lsh"    -> (q28MinhashLsh _),
     "q29_simhash"        -> (q29Simhash _),
+    "q51_dedup_groups"   -> (q51DedupGroups _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -109,5 +141,6 @@ object DedupQueries {
     "q27_ngram_jaccard"  -> q27Sql,
     "q28_minhash_lsh"    -> q28Sql,
     "q29_simhash"        -> q29Sql,
+    "q51_dedup_groups"   -> q51Sql,
   )
 }

@@ -203,4 +203,14 @@ class DedupSpec extends AnyFunSuite with SparkSpecBase {
       graft.functions.ShingleKernel.polyHash32(s))
     assert(r.getSeq[Long](0) == Seq(expect(0), 0L, expect(1)))
   }
+
+  test("connectedComponents: chains, cycles, isolated pairs -> min-id labels") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (22L, 20L)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+    graft.ops.ScratchCache.releaseAll()
+  }
 }
