@@ -212,27 +212,38 @@ object Dedup {
       pairs.select(col(a).cast("long").as("src"), col(b).cast("long").as("dst"))
         .union(pairs.select(col(b).cast("long").as("src"), col(a).cast("long").as("dst")))
         .persist())
-    var labels = ScratchCache.register(
-      edges.select(col("src").as("id")).distinct()
-        .withColumn("label", col("id")).persist())
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).persist()
+    // coalesce: an EMPTY pair table must yield an empty result, not an NPE
+    // from sum-of-nothing
     def labelSum(l: DataFrame): Long =
-      l.agg(sum(col("label"))).head().getLong(0)
+      l.agg(coalesce(sum(col("label")), lit(0L))).head().getLong(0)
     var prevSum = labelSum(labels)
     var it = 0
-    var converged = false
+    var converged = prevSum == 0L // empty graph: already at fixpoint
     while (!converged && it < maxIter) {
       val nbr = edges.join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
         .select(col("src").as("id"), col("label"))
-      val next = ScratchCache.register(
-        labels.select(col("id"), col("label")).union(nbr)
-          .groupBy(col("id")).agg(min(col("label")).as("label"))
-          .persist())
-      val s = labelSum(next)
+      val next = labels.select(col("id"), col("label")).union(nbr)
+        .groupBy(col("id")).agg(min(col("label")).as("label"))
+        .persist()
+      val s = labelSum(next) // materializes next...
+      labels.unpersist()     // ...so the superseded generation frees NOW
       converged = s == prevSum
       prevSum = s
       labels = next
       it += 1
     }
+    // a silent partial propagation would hand dedup several "canonical"
+    // survivors per true component — refuse instead; callers with known
+    // long chains raise maxIter
+    if (!converged) {
+      labels.unpersist()
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds " +
+          "(component diameter exceeds maxIter?)")
+    }
+    ScratchCache.register(labels) // final generation: released by the sweep
     labels.select(col("id"), col("label").as("component_id"))
   }
 

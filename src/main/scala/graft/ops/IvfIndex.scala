@@ -90,25 +90,18 @@ object IvfIndex {
     index.assigned
       .select(col(id), col(vec), col("__cell"))
       .write.mode("overwrite").partitionBy("__cell").parquet(dst + "/cells")
-    val json = index.centroids.map { case (i, c) =>
-      s"""{"cell":$i,"centroid":[${c.mkString(",")}]}"""
-    }.mkString("[", ",", "]")
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(dst, "centroids.json"), json)
+      java.nio.file.Paths.get(dst, "centroids.json"),
+      CentroidJson.writeCells(index.centroids.map(_._2).toSeq))
   }
 
   /** Reopen a saved index: centroids from the sidecar (no data file is
     * touched), vectors as the cell-partitioned scan. */
   def load(spark: org.apache.spark.sql.SparkSession, dst: String): Index = {
-    val json = java.nio.file.Files.readString(
-      java.nio.file.Paths.get(dst, "centroids.json"))
-    val cents = json.split("""\{"cell":""").drop(1).map { part =>
-      val cell = part.takeWhile(_.isDigit).toInt
-      val arr = part.split("""\[""")(1).takeWhile(_ != ']')
-        .split(',').filter(_.nonEmpty).map(_.toFloat)
-      cell -> arr
-    }.sortBy(_._1)
-    Index(cents, spark.read.parquet(dst + "/cells"))
+    val cents = CentroidJson.parseCells(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(dst, "centroids.json")))
+    Index(cents.zipWithIndex.map { case (c, i) => i -> c },
+      spark.read.parquet(dst + "/cells"))
   }
 
   /** Query: probe the nProbe nearest cells per query vector, exact-rank

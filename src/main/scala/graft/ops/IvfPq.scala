@@ -38,10 +38,11 @@ object IvfPq {
     * one scan adds `__cell` and `__code` to every row. */
   def build(emb: DataFrame, id: String, vec: String, nCells: Int, m: Int,
             ksub: Int, seed: Long = 42L, trainCap: Int = 65536): Index = {
-    val sample = emb.select(col(vec)).limit(trainCap).collect()
-      .map(_.getSeq[Float](0).toArray)
+    // ONE bounded collect feeds both trainings (cells on raw vectors, the
+    // codebook normalized inside trainCodebookFromSample)
+    val sample = PqIndex.rawSample(emb, vec, trainCap)
     val cells = IvfIndex.lloydCentroids(sample, nCells, iters = 8, seed = seed)
-    val cents = PqIndex.trainCodebook(emb, vec, m, ksub, seed, trainCap)
+    val cents = PqIndex.trainCodebookFromSample(sample, m, ksub, seed)
     // knn references the encoded frame three times — persist so cell
     // assignment + encoding run once (see PqIndex.build; load skips this)
     Index(cells, cents, ScratchCache.register(emb
@@ -80,38 +81,19 @@ object IvfPq {
   def save(index: Index, dst: String): Unit = {
     index.encoded.write.mode("overwrite").partitionBy("__cell")
       .parquet(dst + "/cells")
-    val cellsJson = index.cells.zipWithIndex.map { case (c, i) =>
-      s"""{"cell":$i,"centroid":[${c.mkString(",")}]}"""
-    }.mkString("[", ",", "]")
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(dst, "cells.json"), cellsJson)
-    val cbJson = index.cents.zipWithIndex.map { case (sub, i) =>
-      s"""{"sub":$i,"centroids":[${
-        sub.map(c => "[" + c.mkString(",") + "]").mkString(",")}]}"""
-    }.mkString("[", ",", "]")
+      java.nio.file.Paths.get(dst, "cells.json"),
+      CentroidJson.writeCells(index.cells.toSeq))
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(dst, "codebook.json"), cbJson)
+      java.nio.file.Paths.get(dst, "codebook.json"),
+      CentroidJson.writeCodebook(index.cents))
   }
 
   def load(spark: SparkSession, dst: String): Index = {
     def sidecar(name: String): String = java.nio.file.Files.readString(
       java.nio.file.Paths.get(dst, name))
-    val cells = sidecar("cells.json").split("""\{"cell":""").drop(1).map { p =>
-      val cell = p.takeWhile(_.isDigit).toInt
-      cell -> p.split("""\[""")(1).takeWhile(_ != ']')
-        .split(',').filter(_.nonEmpty).map(_.toFloat)
-    }.sortBy(_._1).map(_._2)
-    val cents = sidecar("codebook.json").split("""\{"sub":""").drop(1).map { p =>
-      val sub = p.takeWhile(_.isDigit).toInt
-      var rest = p.substring(p.indexOf("[[") + 1)
-      val cs = scala.collection.mutable.ArrayBuffer.empty[Array[Float]]
-      while (rest.startsWith("[")) {
-        val end = rest.indexOf(']')
-        cs += rest.substring(1, end).split(',').filter(_.nonEmpty).map(_.toFloat)
-        rest = rest.substring(end + 1).dropWhile(_ == ',')
-      }
-      sub -> cs.toArray
-    }.sortBy(_._1).map(_._2)
-    Index(cells, cents, spark.read.parquet(dst + "/cells"))
+    Index(CentroidJson.parseCells(sidecar("cells.json")),
+      CentroidJson.parseCodebook(sidecar("codebook.json")),
+      spark.read.parquet(dst + "/cells"))
   }
 }

@@ -34,16 +34,25 @@ object PqIndex {
   /** Per-subspace Lloyd on a bounded, unit-normalized driver sample (same
     * rationale as IvfIndex: centroid quality affects only approximation
     * error, never the re-ranked candidates' correctness). */
-  private[ops] def trainCodebook(emb: DataFrame, vec: String, m: Int, ksub: Int,
-                                 seed: Long, trainCap: Int): Array[Array[Array[Float]]] = {
-    require(ksub <= 256, s"PQ codes are bytes: ksub $ksub > 256")
+  /** Bounded driver-side sample of raw vectors (shared by the cell and
+    * codebook trainings — collected ONCE per index build). */
+  private[ops] def rawSample(emb: DataFrame, vec: String, trainCap: Int): Array[Array[Float]] = {
     val sample = emb.select(col(vec)).limit(trainCap).collect()
-      .map { r =>
-        val v = r.getSeq[Float](0).toArray
-        val nrm = math.sqrt(v.foldLeft(0.0)((a, x) => a + x.toDouble * x))
-        if (nrm > 0.0) v.map(x => (x / nrm).toFloat) else v
-      }
+      .map(_.getSeq[Float](0).toArray)
     require(sample.nonEmpty, "empty training sample")
+    sample
+  }
+
+  private[ops] def normalized(sample: Array[Array[Float]]): Array[Array[Float]] =
+    sample.map { v =>
+      val nrm = math.sqrt(v.foldLeft(0.0)((a, x) => a + x.toDouble * x))
+      if (nrm > 0.0) v.map(x => (x / nrm).toFloat) else v
+    }
+
+  private[ops] def trainCodebookFromSample(sampleRaw: Array[Array[Float]], m: Int,
+                                           ksub: Int, seed: Long): Array[Array[Array[Float]]] = {
+    require(ksub <= 256, s"PQ codes are bytes: ksub $ksub > 256")
+    val sample = normalized(sampleRaw)
     val dim = sample.head.length
     require(dim % m == 0, s"dim $dim not divisible by m $m")
     val dsub = dim / m
@@ -52,6 +61,10 @@ object PqIndex {
       IvfIndex.lloydCentroids(slice, ksub, iters = 8, seed = seed + sub)
     }
   }
+
+  private[ops] def trainCodebook(emb: DataFrame, vec: String, m: Int, ksub: Int,
+                                 seed: Long, trainCap: Int): Array[Array[Array[Float]]] =
+    trainCodebookFromSample(rawSample(emb, vec, trainCap), m, ksub, seed)
 
   /** Build: train the codebook on a capped sample, encode every row
     * distributively (adds an m-byte `__code` column). */
@@ -73,32 +86,16 @@ object PqIndex {
     * back. */
   def save(index: Index, dst: String): Unit = {
     index.encoded.write.mode("overwrite").parquet(dst + "/codes")
-    val json = index.cents.zipWithIndex.map { case (sub, i) =>
-      s"""{"sub":$i,"centroids":[${
-        sub.map(c => "[" + c.mkString(",") + "]").mkString(",")}]}"""
-    }.mkString("[", ",", "]")
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(dst, "codebook.json"), json)
+      java.nio.file.Paths.get(dst, "codebook.json"),
+      CentroidJson.writeCodebook(index.cents))
   }
 
   /** Reopen: codebook from the sidecar, codes as a plain scan. */
-  def load(spark: org.apache.spark.sql.SparkSession, dst: String): Index = {
-    val json = java.nio.file.Files.readString(
-      java.nio.file.Paths.get(dst, "codebook.json"))
-    val cents = json.split("""\{"sub":""").drop(1).map { part =>
-      val sub = part.takeWhile(_.isDigit).toInt
-      // parse this subspace's [[a,b],[c,d],...] centroid list
-      var rest = part.substring(part.indexOf("[[") + 1)
-      val cs = scala.collection.mutable.ArrayBuffer.empty[Array[Float]]
-      while (rest.startsWith("[")) {
-        val end = rest.indexOf(']')
-        cs += rest.substring(1, end).split(',').filter(_.nonEmpty).map(_.toFloat)
-        rest = rest.substring(end + 1).dropWhile(_ == ',')
-      }
-      sub -> cs.toArray
-    }.sortBy(_._1).map(_._2)
-    Index(cents, spark.read.parquet(dst + "/codes"))
-  }
+  def load(spark: org.apache.spark.sql.SparkSession, dst: String): Index =
+    Index(CentroidJson.parseCodebook(java.nio.file.Files.readString(
+        java.nio.file.Paths.get(dst, "codebook.json"))),
+      spark.read.parquet(dst + "/codes"))
 
   /** ADC top-k: scan codes with per-query LUTs for the top k·refine
     * approximate candidates, then exact-rank those by true cosine.

@@ -168,10 +168,29 @@ object FlatGeobuf {
     (header, 12 + size)
   }
 
+  /** Byte size of the packed Hilbert R-tree section (spec: 40-byte nodes —
+    * 4 doubles + uint64 offset — over all levels built bottom-up). */
+  private def rtreeSize(numItems: Long, nodeSize: Int): Long = {
+    var n = numItems
+    var numNodes = n
+    while (n != 1) {
+      n = (n + nodeSize - 1) / nodeSize
+      numNodes += n
+    }
+    numNodes * 40L
+  }
+
   def readFeatures(bytes: Array[Byte]): (Header, Seq[Feature]) = {
     val (header, afterHeader) = readHeader(bytes)
     val feats = Seq.newBuilder[Feature]
     var pos = afterHeader
+    // an INDEXED file (GDAL's default) carries the packed R-tree between
+    // header and features — skip it, or the first index bytes would parse
+    // as a feature size prefix and the walk would follow garbage offsets
+    if (header.indexNodeSize > 0 && header.count > 0)
+      pos += rtreeSize(header.count, header.indexNodeSize).toInt
+    else require(header.indexNodeSize == 0,
+      "indexed FlatGeobuf with unknown features_count is not supported")
     while (pos < bytes.length) {
       val size = ByteBuffer.wrap(bytes, pos, 4).order(ByteOrder.LITTLE_ENDIAN).getInt
       val r = new FbReader(bytes, pos + 4)

@@ -45,28 +45,36 @@ object ChunkStoreSource {
 
   final case class Key(time: Int, band: Int, cy: Int, cx: Int)
 
+  /** Detected store layout: chunk directory, decompressed chunk size
+    * (0 = raw float32 files), decompression codec, and whether chunk keys
+    * are nested directories (Zarr v3 default encoding) or flat names.
+    * Key layout and codec are INDEPENDENT spec dimensions — kept as
+    * separate fields so a future codec variant cannot break listing. */
+  final case class StoreLayout(dir: String, inflateTo: Int, codec: String,
+                               nestedKeys: Boolean)
+
   /** Store layout detection: the raw layout keeps chunks under `c/`
     * (flat `t.b.cy.cx` names); a Zarr v2 store under `<var>/` beside
     * `.zarray` (zlib, flat dot keys); a Zarr v3 store under
     * `<var>/c/<t>/<b>/<cy>/<cx>` beside `zarr.json` (gzip codec, nested
     * default chunk-key encoding). One source serves all three, so both
-    * externally-readable Zarr formats get the same plan-time pruning.
-    * Returns (chunk dir, decompressed size or 0 for raw, codec). */
-  def layout(root: String): (String, Int, String) = {
+    * externally-readable Zarr formats get the same plan-time pruning. */
+  def layout(root: String): StoreLayout = {
     if (Files.exists(Paths.get(root, "data", "zarr.json"))) {
       val g = ZarrStoreV3.readGrid(root)
-      (s"$root/data/c", g.chunkY * g.chunkX * 4, "gzip")
+      StoreLayout(s"$root/data/c", g.chunkY * g.chunkX * 4, "gzip", nestedKeys = true)
     } else if (Files.exists(Paths.get(root, "data", ".zarray"))) {
       val g = ZarrStore.readGrid(root)
-      (s"$root/data", g.chunkY * g.chunkX * 4, "zlib")
-    } else (s"$root/c", 0, "raw")
+      StoreLayout(s"$root/data", g.chunkY * g.chunkX * 4, "zlib", nestedKeys = false)
+    } else StoreLayout(s"$root/c", 0, "raw", nestedKeys = false)
   }
 
   def listKeys(root: String): Seq[(Key, String)] = {
-    val (dirStr, _, codec) = layout(root)
+    val l = layout(root)
+    val dirStr = l.dir
     val dir = Paths.get(dirStr)
     if (!Files.isDirectory(dir)) return Seq.empty
-    if (codec == "gzip") { // v3 nested keys: c/<t>/<b>/<cy>/<cx>
+    if (l.nestedKeys) { // v3 nested keys: c/<t>/<b>/<cy>/<cx>
       val s = Files.walk(dir, 4)
       try s.iterator().asScala
         .filter(Files.isRegularFile(_))
@@ -188,7 +196,8 @@ class ChunkScan(root: String, filters: Array[Filter], maxPartitionBytes: Long)
     * per million entries); a store beyond that keeps a manifest table
     * instead of a listing — the GtiMosaic pattern. */
   override def planInputPartitions(): Array[InputPartition] = {
-    val (_, inflateTo, codec) = ChunkStoreSource.layout(root)
+    val l = ChunkStoreSource.layout(root)
+    val (inflateTo, codec) = (l.inflateTo, l.codec)
     val files = ChunkStoreSource.listKeys(root)
       .filter { case (k, _) => filters.forall(ChunkStoreSource.keep(_, k)) }
       .sortBy { case (k, _) => (k.time, k.band, k.cy, k.cx) }

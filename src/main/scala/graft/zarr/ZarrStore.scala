@@ -1,8 +1,6 @@
 package graft.zarr
 
-import java.nio.{ByteBuffer, ByteOrder}
-import java.nio.file.{Files, Paths, StandardCopyOption}
-import java.util.zip.{Deflater, Inflater}
+import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.{Dataset, SparkSession}
 import graft.cube.ChunkRow
 import graft.model.GridDef
@@ -84,51 +82,12 @@ object ZarrStore {
     GridDef(nT, nB, nY, nX, cy, cx, itemBytes = 4) // "<f4"
   }
 
-  private def deflate(bytes: Array[Byte]): Array[Byte] = {
-    val d = new Deflater(1)
-    d.setInput(bytes); d.finish()
-    val out = new java.io.ByteArrayOutputStream(bytes.length / 2 + 64)
-    val buf = new Array[Byte](8192)
-    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
-    d.end()
-    out.toByteArray
-  }
-
-  private def inflate(bytes: Array[Byte], expected: Int): Array[Byte] = {
-    val inf = new Inflater()
-    inf.setInput(bytes)
-    val out = new Array[Byte](expected)
-    var off = 0
-    while (!inf.finished() && off < expected)
-      off += inf.inflate(out, off, expected - off)
-    inf.end()
-    out
-  }
-
-  /** S9-idempotent parallel chunk writes in Zarr v2 encoding. Partial edge
-    * chunks are padded to the full chunk shape with NaN (the declared
-    * fill_value), as the spec requires. */
+  /** S9-idempotent parallel chunk writes in Zarr v2 encoding (shared body:
+    * ChunkWriter — NaN edge-pad, LE float32, zlib, temp+atomic-rename). */
   def write(ds: Dataset[ChunkRow], root: String, varName: String = "data"): Unit = {
-    val full = {
-      val g = readGrid(root, varName)
-      g.chunkY * g.chunkX
-    }
-    ds.foreachPartition { (it: Iterator[ChunkRow]) =>
-      val dir = Paths.get(root, varName)
-      it.foreach { r =>
-        val padded =
-          if (r.data.length >= full) r.data
-          else r.data ++ Array.fill(full - r.data.length)(Float.NaN)
-        val bytes = new Array[Byte](padded.length * 4)
-        ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
-          .asFloatBuffer().put(padded)
-        val dst = dir.resolve(s"${r.time}.${r.band}.${r.cy}.${r.cx}")
-        val tmp = dir.resolve(s".${dst.getFileName}.${java.util.UUID.randomUUID}.tmp")
-        Files.write(tmp, deflate(bytes))
-        Files.move(tmp, dst, StandardCopyOption.ATOMIC_MOVE,
-          StandardCopyOption.REPLACE_EXISTING)
-      }
-    }
+    val g = readGrid(root, varName)
+    ChunkWriter.write(ds, s"$root/$varName", g.chunkY * g.chunkX,
+      nestedKeys = false, gzipCodec = false)
   }
 
   /** Reopen the store through the DataSourceV2 chunk source — Zarr layout

@@ -1,7 +1,6 @@
 package graft.zarr
 
-import java.nio.{ByteBuffer, ByteOrder}
-import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.{Dataset, SparkSession}
 import graft.cube.ChunkRow
 import graft.model.GridDef
@@ -68,40 +67,12 @@ object ZarrStoreV3 {
     GridDef(nT, nB, nY, nX, cy, cx, itemBytes = 4) // float32
   }
 
-  private def gzip(bytes: Array[Byte]): Array[Byte] = {
-    val bos = new java.io.ByteArrayOutputStream(bytes.length / 2 + 64)
-    val out = new java.util.zip.GZIPOutputStream(bos) {
-      `def`.setLevel(1) // declared codec level
-    }
-    out.write(bytes); out.close()
-    bos.toByteArray
-  }
-
-  /** S9-idempotent parallel chunk writes in Zarr v3 encoding (edge chunks
-    * NaN-padded to the declared chunk shape, per spec). */
+  /** S9-idempotent parallel chunk writes in Zarr v3 encoding (shared body:
+    * ChunkWriter — NaN edge-pad, LE float32, gzip, nested keys). */
   def write(ds: Dataset[ChunkRow], root: String, varName: String = "data"): Unit = {
-    val full = {
-      val g = readGrid(root, varName)
-      g.chunkY * g.chunkX
-    }
-    ds.foreachPartition { (it: Iterator[ChunkRow]) =>
-      it.foreach { r =>
-        val padded =
-          if (r.data.length >= full) r.data
-          else r.data ++ Array.fill(full - r.data.length)(Float.NaN)
-        val bytes = new Array[Byte](padded.length * 4)
-        ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
-          .asFloatBuffer().put(padded)
-        val dir = Paths.get(root, varName, "c",
-          r.time.toString, r.band.toString, r.cy.toString)
-        Files.createDirectories(dir)
-        val dst = dir.resolve(r.cx.toString)
-        val tmp = dir.resolve(s".${r.cx}.${java.util.UUID.randomUUID}.tmp")
-        Files.write(tmp, gzip(bytes))
-        Files.move(tmp, dst, StandardCopyOption.ATOMIC_MOVE,
-          StandardCopyOption.REPLACE_EXISTING)
-      }
-    }
+    val g = readGrid(root, varName)
+    ChunkWriter.write(ds, s"$root/$varName", g.chunkY * g.chunkX,
+      nestedKeys = true, gzipCodec = true)
   }
 
   /** Reopen through the shared DSv2 chunk source (v3 layout auto-detected;

@@ -204,6 +204,23 @@ class DedupSpec extends AnyFunSuite with SparkSpecBase {
     assert(r.getSeq[Long](0) == Seq(expect(0), 0L, expect(1)))
   }
 
+  test("connectedComponents: empty pair table -> empty result (no NPE)") {
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.connectedComponents(empty, "id_a", "id_b").count() == 0)
+    graft.ops.ScratchCache.releaseAll()
+  }
+
+  test("connectedComponents refuses to return partially-propagated labels") {
+    // a 6-node chain has diameter 5 > maxIter 2: must throw, not silently
+    // split one true component into several "canonical" groups
+    val chain = (1L to 5L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val e = intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, "id_a", "id_b", maxIter = 2).collect()
+    }
+    assert(e.getMessage.contains("converge"))
+    graft.ops.ScratchCache.releaseAll()
+  }
+
   test("connectedComponents: chains, cycles, isolated pairs -> min-id labels") {
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
       (20L, 21L), (21L, 22L), (22L, 20L)).toDF("id_a", "id_b")

@@ -79,6 +79,34 @@ class FlatGeobufSpec extends AnyFunSuite with SparkSpecBase {
     assert((back(1).minx, back(1).maxy) == ((4.0, 10.0)))
   }
 
+  test("readFeatures skips the packed R-tree of an INDEXED file") {
+    // build a normal unindexed file with a known features_count, then
+    // simulate a GDAL-style indexed file: patch index_node_size 0 -> 16 in
+    // the header flatbuffer and splice the R-tree's byte span (zeros are
+    // fine -- the reader must skip, not parse) between header and features
+    val cols = Seq(FlatGeobuf.Col("location", FlatGeobuf.ColType.String))
+    val feats = Seq(
+      FlatGeobuf.Feature(0, 0, 1, 1, Seq[Any]("a")),
+      FlatGeobuf.Feature(1, 1, 2, 2, Seq[Any]("b")))
+    val p = Files.createTempDirectory("graft-fgb-idx").resolve("t.fgb").toString
+    FlatGeobuf.write(p, "t", (0, 0, 2, 2), cols, feats.iterator,
+      epsg = 4326, count = 2)
+    val bytes = Files.readAllBytes(Paths.get(p))
+    val headerSize = java.nio.ByteBuffer.wrap(bytes, 8, 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+    val r = new FbReader(bytes, 12)
+    val nodeSizePos = r.fieldPos(r.rootTable, 9) // index_node_size field
+    assert(nodeSizePos > 0, "writer stores node size 0 explicitly")
+    java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putShort(nodeSizePos, 16)
+    // R-tree byte span for 2 items at node size 16: (2 leaf + 1 root) * 40
+    val spliced = bytes.take(12 + headerSize) ++
+      new Array[Byte](3 * 40) ++ bytes.drop(12 + headerSize)
+    val (h, back) = FlatGeobuf.readFeatures(spliced)
+    assert(h.indexNodeSize == 16 && h.count == 2)
+    assert(back == feats)
+  }
+
   test("GtiMosaic.write emits an index.fgb twin matching the parquet index") {
     val dst = Files.createTempDirectory("graft-gti-fgb").toString
     val meta = GtiMosaic.Meta("Float32", Double.NaN,
