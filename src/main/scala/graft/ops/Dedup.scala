@@ -208,9 +208,14 @@ object Dedup {
     * equality between rounds proves the fixpoint. */
   def connectedComponents(pairs: DataFrame, a: String, b: String,
                           maxIter: Int = 25): DataFrame = {
+    // both edge directions from ONE pass over the pair plan (a union of
+    // two selects would evaluate the upstream pair generator twice)
     val edges = ScratchCache.register(
-      pairs.select(col(a).cast("long").as("src"), col(b).cast("long").as("dst"))
-        .union(pairs.select(col(b).cast("long").as("src"), col(a).cast("long").as("dst")))
+      pairs.select(explode(array(
+          struct(col(a).cast("long").as("src"), col(b).cast("long").as("dst")),
+          struct(col(b).cast("long").as("src"), col(a).cast("long").as("dst"))))
+          .as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
         .persist())
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id")).persist()
