@@ -33,10 +33,9 @@ object PqKernels {
     v
   }
 
-  /** Per-subspace argmin-L2 code bytes (m bytes, ksub ≤ 256). */
-  def encode(x: ArrayData, cents: Array[Array[Array[Float]]]): Array[Byte] = {
-    if (x == null) return null
-    val v = normalized(x)
+  /** Plain-array encode — no normalization (used directly for RESIDUAL
+    * vectors, which live off the unit sphere by construction). */
+  def encodeArr(v: Array[Float], cents: Array[Array[Array[Float]]]): Array[Byte] = {
     val m = cents.length
     val out = new Array[Byte](m)
     var off = 0
@@ -66,11 +65,8 @@ object PqKernels {
     out
   }
 
-  /** ADC lookup table: lut[sub·ksub + c] = ||q_sub − cent(sub)(c)||². Built
-    * ONCE per query row; every corpus code then scores in O(m) lookups. */
-  def lut(x: ArrayData, cents: Array[Array[Array[Float]]]): ArrayData = {
-    if (x == null) return null
-    val v = normalized(x)
+  /** Plain-array LUT — no normalization (see encodeArr). */
+  def lutArr(v: Array[Float], cents: Array[Array[Array[Float]]]): Array[Float] = {
     val m = cents.length
     val ksub = cents(0).length
     val out = new Array[Float](m * ksub)
@@ -95,7 +91,52 @@ object PqKernels {
       off += dsub
       sub += 1
     }
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    out
+  }
+
+  /** Per-subspace argmin-L2 code bytes (m bytes, ksub ≤ 256). */
+  def encode(x: ArrayData, cents: Array[Array[Array[Float]]]): Array[Byte] = {
+    if (x == null) return null
+    encodeArr(normalized(x), cents)
+  }
+
+  /** ADC lookup table: lut[sub·ksub + c] = ||q_sub − cent(sub)(c)||². Built
+    * ONCE per query row; every corpus code then scores in O(m) lookups. */
+  def lut(x: ArrayData, cents: Array[Array[Array[Float]]]): ArrayData = {
+    if (x == null) return null
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      lutArr(normalized(x), cents))
+  }
+
+  private def residual(x: ArrayData, cell: Int,
+                       cells: Array[Array[Float]]): Array[Float] = {
+    val v = normalized(x)
+    val c = cells(cell)
+    val out = new Array[Float](v.length)
+    var i = 0
+    while (i < v.length) {
+      out(i) = v(i) - (if (i < c.length) c(i) else 0f)
+      i += 1
+    }
+    out
+  }
+
+  /** RESIDUAL encode (classic IVFADC, by_residual=true): code the offset
+    * from the row's coarse cell centroid — residuals carry far less energy
+    * than the vectors, so the same codebook budget quantizes finer. */
+  def encodeResidual(x: ArrayData, cell: Int, cells: Array[Array[Float]],
+                     cents: Array[Array[Array[Float]]]): Array[Byte] = {
+    if (x == null) return null
+    encodeArr(residual(x, cell, cells), cents)
+  }
+
+  /** Per-(query, probed cell) residual LUT — ADC then approximates
+    * ||q_n − x_n||² = ||(q_n − c) − (x_n − c)||² exactly per cell. */
+  def lutResidual(x: ArrayData, cell: Int, cells: Array[Array[Float]],
+                  cents: Array[Array[Array[Float]]]): ArrayData = {
+    if (x == null) return null
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      lutArr(residual(x, cell, cells), cents))
   }
 
   /** Approximate squared L2: sum of the code's m table entries. */
@@ -196,6 +237,62 @@ case class PqAdc(left: Expression, right: Expression) extends BinaryExpression {
       l: Expression, r: Expression): PqAdc = copy(left = l, right = r)
 }
 
+/** Residual PQ code: (vector, assigned cell) → m bytes coding the offset
+  * from the cell centroid (IVFADC by_residual=true). Both tables ride the
+  * plan as reference objects like the flat forms. */
+case class PqEncodeRes(left: Expression, right: Expression,
+                       cells: Array[Array[Float]],
+                       cents: Array[Array[Array[Float]]]) extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), IntegerType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"graft_pq_encode_res expects (ARRAY<FLOAT>, INT), got (${l.sql}, ${r.sql})")
+    }
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(vec: Any, cell: Any): Any =
+    PqKernels.encodeResidual(vec.asInstanceOf[ArrayData],
+      cell.asInstanceOf[Int], cells, cents)
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val cellsRef = ctx.addReferenceObj("pqCells", cells, "float[][]")
+    val centsRef = ctx.addReferenceObj("pqCents", cents, "float[][][]")
+    nullSafeCodeGen(ctx, ev, (v, c) =>
+      s"${ev.value} = graft.functions.PqKernels.encodeResidual($v, $c, $cellsRef, $centsRef);")
+  }
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): PqEncodeRes = copy(left = l, right = r)
+}
+
+/** Residual ADC LUT: (query vector, probed cell) → m·ksub floats. */
+case class PqLutRes(left: Expression, right: Expression,
+                    cells: Array[Array[Float]],
+                    cents: Array[Array[Array[Float]]]) extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), IntegerType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"graft_pq_lut_res expects (ARRAY<FLOAT>, INT), got (${l.sql}, ${r.sql})")
+    }
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def nullSafeEval(vec: Any, cell: Any): Any =
+    PqKernels.lutResidual(vec.asInstanceOf[ArrayData],
+      cell.asInstanceOf[Int], cells, cents)
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val cellsRef = ctx.addReferenceObj("pqCells", cells, "float[][]")
+    val centsRef = ctx.addReferenceObj("pqCents", cents, "float[][][]")
+    nullSafeCodeGen(ctx, ev, (v, c) =>
+      s"${ev.value} = graft.functions.PqKernels.lutResidual($v, $c, $cellsRef, $centsRef);")
+  }
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): PqLutRes = copy(left = l, right = r)
+}
+
 object PqExpressions {
   def encode(vec: Column, cents: Array[Array[Array[Float]]]): Column =
     Bridge.column(PqEncode(Bridge.expression(vec), cents))
@@ -203,4 +300,12 @@ object PqExpressions {
     Bridge.column(PqLut(Bridge.expression(vec), cents))
   def adc(lut: Column, code: Column): Column =
     Bridge.column(PqAdc(Bridge.expression(lut), Bridge.expression(code)))
+  def encodeResidual(vec: Column, cell: Column, cells: Array[Array[Float]],
+                     cents: Array[Array[Array[Float]]]): Column =
+    Bridge.column(PqEncodeRes(Bridge.expression(vec), Bridge.expression(cell),
+      cells, cents))
+  def lutResidual(vec: Column, cell: Column, cells: Array[Array[Float]],
+                  cents: Array[Array[Array[Float]]]): Column =
+    Bridge.column(PqLutRes(Bridge.expression(vec), Bridge.expression(cell),
+      cells, cents))
 }

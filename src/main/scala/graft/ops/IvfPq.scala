@@ -32,34 +32,78 @@ object IvfPq {
 
   final case class Index(cells: Array[Array[Float]],
                          cents: Array[Array[Array[Float]]],
-                         encoded: DataFrame)
+                         encoded: DataFrame,
+                         residual: Boolean = false)
 
-  /** Build: coarse cells (Lloyd, like IvfIndex) + flat-PQ codebook, then
-    * one scan adds `__cell` and `__code` to every row. */
+  /** Build: coarse cells (Lloyd, like IvfIndex) + PQ codebook, then one
+    * scan adds `__cell` and `__code` to every row.
+    *
+    * `residual = true` is classic IVFADC (by_residual): cells are trained
+    * on unit-normalized vectors, the codebook on the residuals
+    * `v_n − cell(v_n)` of the sample, and codes quantize each row's
+    * residual. Residuals carry far less energy than the vectors, so the
+    * same m·ksub budget quantizes finer; the ADC identity
+    * ||q_n − x_n||² = ||(q_n − c) − (x_n − c)||² holds per probed cell,
+    * so queries just build one LUT per (query, probed cell). Cell
+    * ASSIGNMENT stays the raw-dot argmax either way — argmax is scale-
+    * invariant, so raw and normalized vectors pick the same cell. */
   def build(emb: DataFrame, id: String, vec: String, nCells: Int, m: Int,
-            ksub: Int, seed: Long = 42L, trainCap: Int = 65536): Index = {
-    // ONE bounded collect feeds both trainings (cells on raw vectors, the
-    // codebook normalized inside trainCodebookFromSample)
+            ksub: Int, seed: Long = 42L, trainCap: Int = 65536,
+            residual: Boolean = false): Index = {
+    // ONE bounded collect feeds both trainings
     val sample = PqIndex.rawSample(emb, vec, trainCap)
-    val cells = IvfIndex.lloydCentroids(sample, nCells, iters = 8, seed = seed)
-    val cents = PqIndex.trainCodebookFromSample(sample, m, ksub, seed)
-    // knn references the encoded frame three times — persist so cell
-    // assignment + encoding run once (see PqIndex.build; load skips this)
-    Index(cells, cents, ScratchCache.register(emb
-      .withColumn("__cell", element_at(NearestCells.topCells(col(vec), cells, 1), 1))
-      .withColumn("__code", PqExpressions.encode(col(vec), cents))
-      .persist()))
+    if (residual) {
+      val sampleN = PqIndex.normalized(sample)
+      val cells = IvfIndex.lloydCentroids(sampleN, nCells, iters = 8, seed = seed)
+      // residual training set: offset of each normalized sample vector
+      // from its assigned (argmax-dot, ties to lower id — NearestCells'
+      // rule) cell centroid
+      val residuals = sampleN.map { v =>
+        var best = 0; var bd = Double.NegativeInfinity
+        var c = 0
+        while (c < cells.length) {
+          var d = 0.0; var j = 0
+          val ct = cells(c)
+          while (j < math.min(v.length, ct.length)) { d += v(j).toDouble * ct(j); j += 1 }
+          if (d > bd) { bd = d; best = c }
+          c += 1
+        }
+        val ct = cells(best)
+        Array.tabulate(v.length)(j => v(j) - (if (j < ct.length) ct(j) else 0f))
+      }
+      val cents = PqIndex.trainFromVectors(residuals, m, ksub, seed)
+      Index(cells, cents, ScratchCache.register(emb
+        .withColumn("__cell", element_at(NearestCells.topCells(col(vec), cells, 1), 1))
+        .withColumn("__code",
+          PqExpressions.encodeResidual(col(vec), col("__cell"), cells, cents))
+        .persist()), residual = true)
+    } else {
+      val cells = IvfIndex.lloydCentroids(sample, nCells, iters = 8, seed = seed)
+      val cents = PqIndex.trainCodebookFromSample(sample, m, ksub, seed)
+      // knn references the encoded frame three times — persist so cell
+      // assignment + encoding run once (see PqIndex.build; load skips this)
+      Index(cells, cents, ScratchCache.register(emb
+        .withColumn("__cell", element_at(NearestCells.topCells(col(vec), cells, 1), 1))
+        .withColumn("__code", PqExpressions.encode(col(vec), cents))
+        .persist()))
+    }
   }
 
   /** Probe nProbe cells, ADC-scan their codes via a CELL EQUI-JOIN (the
-    * broadcast query side carries one LUT per query), bounded top-k·refine
-    * combine, exact cosine re-rank. */
+    * broadcast query side carries one LUT per query — per (query, cell)
+    * in residual mode), bounded top-k·refine combine, exact cosine
+    * re-rank. */
   def knn(index: Index, id: String, vec: String, queryPred: Column,
           k: Int, nProbe: Int, refine: Int = 4): DataFrame = {
-    val q = broadcast(index.encoded.filter(queryPred)
-      .select(col(id).as("qid"),
-        PqExpressions.lut(col(vec), index.cents).as("lut"),
-        explode(NearestCells.topCells(col(vec), index.cells, nProbe)).as("__cell")))
+    val qBase = index.encoded.filter(queryPred)
+      .select(col(id).as("qid"), col(vec).as("__qv"),
+        explode(NearestCells.topCells(col(vec), index.cells, nProbe)).as("__cell"))
+    val q = broadcast((if (index.residual)
+        qBase.withColumn("lut",
+          PqExpressions.lutResidual(col("__qv"), col("__cell"), index.cells, index.cents))
+      else
+        qBase.withColumn("lut", PqExpressions.lut(col("__qv"), index.cents)))
+      .drop("__qv"))
     val approx = index.encoded.select(col(id).as("cid"), col("__cell"), col("__code"))
       .join(q, Seq("__cell")) // members of probed cells only
       .filter(col("qid") =!= col("cid"))
@@ -87,6 +131,9 @@ object IvfPq {
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(dst, "codebook.json"),
       CentroidJson.writeCodebook(index.cents))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dst, "meta.json"),
+      s"""{"residual":${index.residual}}""")
   }
 
   def load(spark: SparkSession, dst: String): Index = {
@@ -94,6 +141,7 @@ object IvfPq {
       java.nio.file.Paths.get(dst, name))
     Index(CentroidJson.parseCells(sidecar("cells.json")),
       CentroidJson.parseCodebook(sidecar("codebook.json")),
-      spark.read.parquet(dst + "/cells"))
+      spark.read.parquet(dst + "/cells"),
+      residual = sidecar("meta.json").contains("\"residual\":true"))
   }
 }

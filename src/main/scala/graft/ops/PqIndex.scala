@@ -49,18 +49,23 @@ object PqIndex {
       if (nrm > 0.0) v.map(x => (x / nrm).toFloat) else v
     }
 
-  private[ops] def trainCodebookFromSample(sampleRaw: Array[Array[Float]], m: Int,
-                                           ksub: Int, seed: Long): Array[Array[Array[Float]]] = {
+  /** Per-subspace Lloyd over ALREADY-PREPARED vectors (normalized for the
+    * flat form, raw residuals for IVFADC's by_residual form). */
+  private[ops] def trainFromVectors(vectors: Array[Array[Float]], m: Int,
+                                    ksub: Int, seed: Long): Array[Array[Array[Float]]] = {
     require(ksub <= 256, s"PQ codes are bytes: ksub $ksub > 256")
-    val sample = normalized(sampleRaw)
-    val dim = sample.head.length
+    val dim = vectors.head.length
     require(dim % m == 0, s"dim $dim not divisible by m $m")
     val dsub = dim / m
     Array.tabulate(m) { sub =>
-      val slice = sample.map(v => java.util.Arrays.copyOfRange(v, sub * dsub, (sub + 1) * dsub))
+      val slice = vectors.map(v => java.util.Arrays.copyOfRange(v, sub * dsub, (sub + 1) * dsub))
       IvfIndex.lloydCentroids(slice, ksub, iters = 8, seed = seed + sub)
     }
   }
+
+  private[ops] def trainCodebookFromSample(sampleRaw: Array[Array[Float]], m: Int,
+                                           ksub: Int, seed: Long): Array[Array[Array[Float]]] =
+    trainFromVectors(normalized(sampleRaw), m, ksub, seed)
 
   private[ops] def trainCodebook(emb: DataFrame, vec: String, m: Int, ksub: Int,
                                  seed: Long, trainCap: Int): Array[Array[Array[Float]]] =

@@ -87,14 +87,16 @@ object SimilarityQueries {
       .orderBy($"qid", $"rank")
   }
 
-  /** q49: IVF+PQ composite ANN (the canonical big-ANN layout): 16 coarse
-    * cells × m=8/ksub=64 codes, 6 cells probed, exact re-rank. Both
-    * prunings at once — nProbe/nCells of the corpus at m bytes/member.
-    * Rows-only like the other ANN paths; recall spec-asserted (IvfPqSpec). */
+  /** q49: IVF+PQ composite ANN in RESIDUAL mode (classic IVFADC): 16
+    * coarse cells × m=8/ksub=64 codes quantizing per-cell residuals, 6
+    * cells probed, exact re-rank. Both prunings at once — nProbe/nCells
+    * of the corpus at m bytes/member — with the residual codebook's finer
+    * quantization (spec-asserted ≤ flat ADC error). Rows-only like the
+    * other ANN paths; recall spec-asserted (IvfPqSpec). */
   def q49KnnIvfPq(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val idx = graft.ops.IvfPq.build(embeddings(s, d), "vec_id", "embedding",
-      nCells = 16, m = 8, ksub = 64)
+      nCells = 16, m = 8, ksub = 64, residual = true)
     graft.ops.IvfPq.knn(idx, "vec_id", "embedding", $"vec_id" < 20, k = 5,
         nProbe = 6)
       .select($"qid", $"rank".cast("bigint").as("rank"), $"cid", $"cos")

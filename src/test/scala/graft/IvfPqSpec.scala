@@ -33,6 +33,66 @@ class IvfPqSpec extends AnyFunSuite with SparkSpecBase {
     assert(!plan.contains("Window"), plan)
   }
 
+  test("residual (IVFADC) mode: lower-energy inputs quantize finer than flat") {
+    import graft.functions.{DotProductF32, PqExpressions}
+    val emb = Tables.embeddings(spark, sfSmoke)
+    def adcError(residual: Boolean): Double = {
+      val idx = IvfPq.build(emb, "vec_id", "embedding", nCells = 16, m = 8,
+        ksub = 64, residual = residual)
+      // probe ALL cells for vec_id 0, so every corpus row scores once with
+      // its own cell's LUT — the exact configuration knn uses
+      val q = idx.encoded.filter($"vec_id" === 0)
+        .select($"embedding".as("qv"))
+      val scored = idx.encoded.filter($"vec_id" > 0).crossJoin(broadcast(q))
+        .select(
+          (if (residual)
+             PqExpressions.adc(
+               PqExpressions.lutResidual($"qv", $"__cell", idx.cells, idx.cents),
+               $"__code")
+           else
+             PqExpressions.adc(
+               PqExpressions.lut($"qv", idx.cents), $"__code")).as("adc"),
+          (lit(2.0) - lit(2.0) * DotProductF32.cosine($"qv", $"embedding")).as("truth"))
+        .as[(Double, Double)].collect()
+      scored.map { case (a, t) => math.abs(a - t) }.sum / scored.length
+    }
+    val flat = adcError(residual = false)
+    val res = adcError(residual = true)
+    // residual vectors carry far less energy than unit vectors, so the
+    // same codebook budget must approximate distances at least as well
+    assert(res <= flat, s"residual ADC error $res vs flat $flat")
+    graft.ops.ScratchCache.releaseAll()
+  }
+
+  test("residual knn recall matches the flat composite's bound") {
+    val emb = Tables.embeddings(spark, sfSmoke)
+    val brute = Similarity.knnBrute(emb, "vec_id", "embedding", $"vec_id" < 10, 5)
+      .select($"qid", $"cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val idx = IvfPq.build(emb, "vec_id", "embedding", nCells = 16, m = 8,
+      ksub = 64, residual = true)
+    val got = IvfPq.knn(idx, "vec_id", "embedding", $"vec_id" < 10, 5,
+        nProbe = 6, refine = 4)
+      .select($"qid", $"cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & got).size.toDouble / brute.size
+    assert(recall >= 0.4, s"residual IVF+PQ recall $recall")
+    graft.ops.ScratchCache.releaseAll()
+  }
+
+  test("save/load round-trips the residual flag with knn parity") {
+    val emb = Tables.embeddings(spark, sfSmoke)
+    val idx = IvfPq.build(emb, "vec_id", "embedding", nCells = 16, m = 8,
+      ksub = 64, residual = true)
+    val dst = java.nio.file.Files.createTempDirectory("graft-ivfpq-res").toString
+    IvfPq.save(idx, dst)
+    val loaded = IvfPq.load(spark, dst)
+    assert(loaded.residual)
+    def res(i: IvfPq.Index) =
+      IvfPq.knn(i, "vec_id", "embedding", $"vec_id" < 10, 5, nProbe = 6)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(res(loaded) == res(idx))
+    graft.ops.ScratchCache.releaseAll()
+  }
+
   test("save/load: cell-partitioned, sidecars round-trip, knn parity, pruning") {
     val emb = Tables.embeddings(spark, sfSmoke)
     val idx = IvfPq.build(emb, "vec_id", "embedding", nCells = 16, m = 8, ksub = 64)
