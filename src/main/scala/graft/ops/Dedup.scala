@@ -180,6 +180,58 @@ object Dedup {
       .select(col("id_a"), col("id_b"), roundp(jac, 6).as("jac"))
   }
 
+  /** INCREMENTAL MinHash dedup: near-dup pairs where at least one side
+    * belongs to the NEW batch (`isNew`) — the corpus-growth flow: old-old
+    * pairs were already found when the old docs arrived, so a batch
+    * ingest only needs new-new and new-old pairs.
+    *
+    * Scale shape vs the full form: the candidate join is new-bands ×
+    * all-bands instead of the corpus band SELF-join — for a batch of B
+    * docs against a corpus of N, candidate work drops from O(N²·p) to
+    * O(B·N·p) band-collision pairs, and the planner can broadcast the
+    * (small) new side outright. Output equals `minhashDedupPairs`
+    * filtered to pairs touching the batch (spec-asserted). */
+  def minhashDedupPairsIncremental(df: DataFrame, id: String, text: String,
+                                   k: Int, threshold: Double, isNew: Column,
+                                   nHashes: Int = 64, rowsPerBand: Int = 2): DataFrame = {
+    val nBands = nHashes / rowsPerBand
+    val sets = ScratchCache.register(
+      df.select(col(id).as("doc_id"), isNew.as("__new"),
+          graft.functions.ShingleExpressions.wordShingles(col(text), k).as("shingles"))
+        .filter(col("shingles").isNotNull)
+        .persist())
+    val sig = sets
+      .select(col("doc_id"), col("__new"), minhashSignature(
+        graft.functions.ShingleExpressions.arrayPolyHash(col("shingles")),
+        nHashes).as("sig"))
+      .filter(size(col("sig")) > 0)
+    val bands = sig.select(col("doc_id"), col("__new"),
+      explode(array((0 until nBands).map(b =>
+        xxhash64(lit(b), slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))): _*))
+        .as("key"))
+    // every candidate has a new side by construction; canonical (a<b)
+    // packing dedupes the new-new pairs that both sides generate
+    val newSide = bands.filter(col("__new"))
+      .select(col("doc_id").as("nid"), col("key"))
+    val cands = bands.select(col("doc_id").as("oid"), col("key"))
+      .join(newSide.hint("SHUFFLE_HASH"), Seq("key"))
+      .filter(col("nid") =!= col("oid"))
+      .select(PackedPair.pack(least(col("nid"), col("oid")),
+        greatest(col("nid"), col("oid"))).as("pair"))
+      .distinct()
+      .select(PackedPair.idA(col("pair")).as("id_a"),
+        PackedPair.idB(col("pair")).as("id_b"))
+    val withSets = cands
+      .join(sets.select(col("doc_id").as("id_a"), col("shingles").as("sa"))
+        .hint("SHUFFLE_HASH"), Seq("id_a"))
+      .join(sets.select(col("doc_id").as("id_b"), col("shingles").as("sb"))
+        .hint("SHUFFLE_HASH"), Seq("id_b"))
+    val inter = size(array_intersect(col("sa"), col("sb")))
+    val jac = inter * lit(1.0) / (size(col("sa")) + size(col("sb")) - inter)
+    withSets.filter(jac >= threshold)
+      .select(col("id_a"), col("id_b"), roundp(jac, 6).as("jac"))
+  }
+
   /** Per-doc distinct shingle hashes — fused native expression (tokenize →
     * shingle → PolyHash32 → distinct in one JVM pass; hash values identical
     * to the staged `array_distinct(transform(shingles(tokens(..))))`). */

@@ -128,12 +128,34 @@ object DedupQueries {
         |SELECT id AS doc_id, min(r)::BIGINT AS component_id
         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
 
+  /** q52: incremental dedup — the `src0` documents stand in for a newly
+    * ingested batch; emit near-dup pairs (J ≥ 0.8) touching the batch
+    * only. The candidate join is new-bands × all-bands (O(B·N), broadcast-
+    * able new side) instead of the corpus self-join — the batch-ingest
+    * flow of a growing corpus. Oracle = the brute pairs restricted to
+    * batch membership. */
+  def q52IncrementalDedup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Dedup.minhashDedupPairsIncremental(documents(s, d), "doc_id", "text",
+        3, 0.8, isNew = $"source" === "src0")
+      .orderBy($"id_a", $"id_b")
+  }
+
+  val q52Sql: String =
+    jaccardPairsCte(0.8, None) +
+      """
+        |SELECT id_a, id_b, jac FROM jpairs
+        |WHERE id_a IN (SELECT doc_id FROM documents WHERE source = 'src0')
+        |   OR id_b IN (SELECT doc_id FROM documents WHERE source = 'src0')
+        |ORDER BY id_a, id_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q26_dedup_exact"    -> (q26Exact _),
     "q27_ngram_jaccard"  -> (q27NgramJaccard _),
     "q28_minhash_lsh"    -> (q28MinhashLsh _),
     "q29_simhash"        -> (q29Simhash _),
     "q51_dedup_groups"   -> (q51DedupGroups _),
+    "q52_incremental_dedup" -> (q52IncrementalDedup _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -142,5 +164,6 @@ object DedupQueries {
     "q28_minhash_lsh"    -> q28Sql,
     "q29_simhash"        -> q29Sql,
     "q51_dedup_groups"   -> q51Sql,
+    "q52_incremental_dedup" -> q52Sql,
   )
 }

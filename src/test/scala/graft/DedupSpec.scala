@@ -204,6 +204,21 @@ class DedupSpec extends AnyFunSuite with SparkSpecBase {
     assert(r.getSeq[Long](0) == Seq(expect(0), 0L, expect(1)))
   }
 
+  test("incremental minhash pairs == full pairs filtered to the batch") {
+    val full = Dedup.minhashDedupPairs(docs, "doc_id", "text", 3, 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batchIds = docs.filter($"source" === "src0")
+      .select($"doc_id").as[Long].collect().toSet
+    val expected = full.filter { case (a, b) =>
+      batchIds.contains(a) || batchIds.contains(b) }
+    val got = Dedup.minhashDedupPairsIncremental(docs, "doc_id", "text",
+        3, 0.6, isNew = $"source" === "src0")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected)
+    assert(got.size < full.size, "batch restriction must actually restrict")
+    graft.ops.ScratchCache.releaseAll()
+  }
+
   test("connectedComponents: empty pair table -> empty result (no NPE)") {
     val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
     assert(Dedup.connectedComponents(empty, "id_a", "id_b").count() == 0)
