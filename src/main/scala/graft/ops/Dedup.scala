@@ -131,27 +131,52 @@ object Dedup {
     * fused pass (ArrayPolyHash); MinHash's min-fold is order- and
     * multiplicity-insensitive, so the signature equals the
     * wordShingleHashes form exactly. */
+  /** Signature frame from a shingle-set frame (fused ArrayPolyHash pass),
+    * threading any `carry` columns through. */
+  private def signatures(sets: DataFrame, nHashes: Int,
+                         carry: Seq[String] = Nil): DataFrame =
+    sets.select((col("doc_id") +: carry.map(col)) :+ minhashSignature(
+        graft.functions.ShingleExpressions.arrayPolyHash(col("shingles")),
+        nHashes).as("sig"): _*)
+      .filter(size(col("sig")) > 0)
+
+  /** Banded keys from a signature frame. Band bucket = ONE long: xxhash64
+    * over (band index, the band's rows) — same (band, rows) always hashes
+    * equal, so recall is untouched; a 64-bit collision can only ADD a
+    * candidate, and every candidate is exact-verified downstream. */
+  private def bandKeys(sig: DataFrame, nHashes: Int, rowsPerBand: Int,
+                       carry: Seq[String] = Nil): DataFrame = {
+    val nBands = nHashes / rowsPerBand
+    sig.select((col("doc_id") +: carry.map(col)) :+
+      explode(array((0 until nBands).map(b =>
+        xxhash64(lit(b), slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))): _*))
+        .as("key"): _*)
+  }
+
+  /** Exact verification: candidate id pairs rejoin their shingle sets and
+    * keep true Jaccard ≥ threshold — shared by the full and incremental
+    * forms so the verification semantics cannot drift. */
+  private def verifyJaccard(cands: DataFrame, sets: DataFrame,
+                            threshold: Double): DataFrame = {
+    val withSets = cands
+      .join(sets.select(col("doc_id").as("id_a"), col("shingles").as("sa"))
+        .hint("SHUFFLE_HASH"), Seq("id_a"))
+      .join(sets.select(col("doc_id").as("id_b"), col("shingles").as("sb"))
+        .hint("SHUFFLE_HASH"), Seq("id_b"))
+    val inter = size(array_intersect(col("sa"), col("sb")))
+    val jac = inter * lit(1.0) / (size(col("sa")) + size(col("sb")) - inter)
+    withSets.filter(jac >= threshold)
+      .select(col("id_a"), col("id_b"), roundp(jac, 6).as("jac"))
+  }
+
   private def minhashCandidatesFromSets(sets: DataFrame, nHashes: Int,
                                         rowsPerBand: Int): DataFrame = {
-    val nBands = nHashes / rowsPerBand
     // self-joined below: persist so the signature pipeline runs once, not
     // once per join side; lives until the caller materializes the result
     // (ScratchCache.releaseAll between session jobs)
-    val sig = ScratchCache.register(sets
-      .select(col("doc_id"), minhashSignature(
-        graft.functions.ShingleExpressions.arrayPolyHash(col("shingles")),
-        nHashes).as("sig"))
-      .filter(size(col("sig")) > 0)
-      .persist())
-    // band bucket = ONE long: xxhash64 over (band index, the band's rows).
-    // Same (band, rows) always hashes equal, so recall is untouched; a
-    // 64-bit collision can only ADD a candidate, and every candidate is
-    // exact-verified downstream — so the join key drops the string build
-    // entirely. SHUFFLE_HASH: long-key self-join, no point sorting.
-    val bands = sig.select(col("doc_id"),
-      explode(array((0 until nBands).map(b =>
-        xxhash64(lit(b), slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))): _*))
-        .as("key"))
+    val sig = ScratchCache.register(signatures(sets, nHashes).persist())
+    // SHUFFLE_HASH: long-key self-join, no point sorting
+    val bands = bandKeys(sig, nHashes, rowsPerBand)
     bands.as("a").join(bands.as("b").hint("SHUFFLE_HASH"),
         col("a.key") === col("b.key") && col("a.doc_id") < col("b.doc_id"))
       .select(PackedPair.pack(col("a.doc_id"), col("b.doc_id")).as("pair"))
@@ -168,16 +193,8 @@ object Dedup {
                         rowsPerBand: Int = 2): DataFrame = {
     // ONE tokenize+shingle pass serves candidates AND exact verification
     val sets = ScratchCache.register(shingleSets(df, id, text, k).persist())
-    val cands = minhashCandidatesFromSets(sets, nHashes, rowsPerBand)
-    val withSets = cands
-      .join(sets.select(col("doc_id").as("id_a"), col("shingles").as("sa"))
-        .hint("SHUFFLE_HASH"), Seq("id_a"))
-      .join(sets.select(col("doc_id").as("id_b"), col("shingles").as("sb"))
-        .hint("SHUFFLE_HASH"), Seq("id_b"))
-    val inter = size(array_intersect(col("sa"), col("sb")))
-    val jac = inter * lit(1.0) / (size(col("sa")) + size(col("sb")) - inter)
-    withSets.filter(jac >= threshold)
-      .select(col("id_a"), col("id_b"), roundp(jac, 6).as("jac"))
+    verifyJaccard(minhashCandidatesFromSets(sets, nHashes, rowsPerBand),
+      sets, threshold)
   }
 
   /** INCREMENTAL MinHash dedup: near-dup pairs where at least one side
@@ -194,21 +211,16 @@ object Dedup {
   def minhashDedupPairsIncremental(df: DataFrame, id: String, text: String,
                                    k: Int, threshold: Double, isNew: Column,
                                    nHashes: Int = 64, rowsPerBand: Int = 2): DataFrame = {
-    val nBands = nHashes / rowsPerBand
     val sets = ScratchCache.register(
       df.select(col(id).as("doc_id"), isNew.as("__new"),
           graft.functions.ShingleExpressions.wordShingles(col(text), k).as("shingles"))
         .filter(col("shingles").isNotNull)
         .persist())
-    val sig = sets
-      .select(col("doc_id"), col("__new"), minhashSignature(
-        graft.functions.ShingleExpressions.arrayPolyHash(col("shingles")),
-        nHashes).as("sig"))
-      .filter(size(col("sig")) > 0)
-    val bands = sig.select(col("doc_id"), col("__new"),
-      explode(array((0 until nBands).map(b =>
-        xxhash64(lit(b), slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))): _*))
-        .as("key"))
+    // both candidate-join sides read the band frame: persist so the
+    // signature pipeline runs once (same guarantee as the full form)
+    val sig = ScratchCache.register(
+      signatures(sets, nHashes, carry = Seq("__new")).persist())
+    val bands = bandKeys(sig, nHashes, rowsPerBand, carry = Seq("__new"))
     // every candidate has a new side by construction; canonical (a<b)
     // packing dedupes the new-new pairs that both sides generate
     val newSide = bands.filter(col("__new"))
@@ -221,15 +233,7 @@ object Dedup {
       .distinct()
       .select(PackedPair.idA(col("pair")).as("id_a"),
         PackedPair.idB(col("pair")).as("id_b"))
-    val withSets = cands
-      .join(sets.select(col("doc_id").as("id_a"), col("shingles").as("sa"))
-        .hint("SHUFFLE_HASH"), Seq("id_a"))
-      .join(sets.select(col("doc_id").as("id_b"), col("shingles").as("sb"))
-        .hint("SHUFFLE_HASH"), Seq("id_b"))
-    val inter = size(array_intersect(col("sa"), col("sb")))
-    val jac = inter * lit(1.0) / (size(col("sa")) + size(col("sb")) - inter)
-    withSets.filter(jac >= threshold)
-      .select(col("id_a"), col("id_b"), roundp(jac, 6).as("jac"))
+    verifyJaccard(cands, sets, threshold)
   }
 
   /** Per-doc distinct shingle hashes — fused native expression (tokenize →
@@ -277,7 +281,10 @@ object Dedup {
       l.agg(coalesce(sum(col("label")), lit(0L))).head().getLong(0)
     var prevSum = labelSum(labels)
     var it = 0
-    var converged = prevSum == 0L // empty graph: already at fixpoint
+    // empty test must be a real emptiness check: ids are arbitrary longs
+    // here (cast from the caller's columns), and a non-empty graph whose
+    // ids happen to sum to zero must still propagate
+    var converged = labels.isEmpty
     while (!converged && it < maxIter) {
       val nbr = edges.join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
         .select(col("src").as("id"), col("label"))

@@ -95,15 +95,22 @@ object IvfPq {
     * re-rank. */
   def knn(index: Index, id: String, vec: String, queryPred: Column,
           k: Int, nProbe: Int, refine: Int = 4): DataFrame = {
-    val qBase = index.encoded.filter(queryPred)
-      .select(col(id).as("qid"), col(vec).as("__qv"),
-        explode(NearestCells.topCells(col(vec), index.cells, nProbe)).as("__cell"))
-    val q = broadcast((if (index.residual)
-        qBase.withColumn("lut",
-          PqExpressions.lutResidual(col("__qv"), col("__cell"), index.cells, index.cents))
+    val probeCells = explode(
+      NearestCells.topCells(col(vec), index.cells, nProbe)).as("__cell")
+    val q = broadcast(
+      if (index.residual)
+        // residual LUTs are inherently per (query, probed cell)
+        index.encoded.filter(queryPred)
+          .select(col(id).as("qid"), col(vec).as("__qv"), probeCells)
+          .withColumn("lut", PqExpressions.lutResidual(
+            col("__qv"), col("__cell"), index.cells, index.cents))
+          .drop("__qv")
       else
-        qBase.withColumn("lut", PqExpressions.lut(col("__qv"), index.cents)))
-      .drop("__qv"))
+        // flat LUT is cell-independent: build it BEFORE the explode so it
+        // is computed once per query, not once per probed cell
+        index.encoded.filter(queryPred)
+          .select(col(id).as("qid"),
+            PqExpressions.lut(col(vec), index.cents).as("lut"), probeCells))
     val approx = index.encoded.select(col(id).as("cid"), col("__cell"), col("__code"))
       .join(q, Seq("__cell")) // members of probed cells only
       .filter(col("qid") =!= col("cid"))
@@ -142,6 +149,8 @@ object IvfPq {
     Index(CentroidJson.parseCells(sidecar("cells.json")),
       CentroidJson.parseCodebook(sidecar("codebook.json")),
       spark.read.parquet(dst + "/cells"),
-      residual = sidecar("meta.json").contains("\"residual\":true"))
+      // pre-meta.json indexes (older saves) are flat by construction
+      residual = java.nio.file.Files.exists(java.nio.file.Paths.get(dst, "meta.json")) &&
+        sidecar("meta.json").contains("\"residual\":true"))
   }
 }

@@ -31,11 +31,10 @@ object PqIndex {
   /** m subspaces × ksub centroids × (d/m) dims, plus the encoded corpus. */
   final case class Index(cents: Array[Array[Array[Float]]], encoded: DataFrame)
 
-  /** Per-subspace Lloyd on a bounded, unit-normalized driver sample (same
-    * rationale as IvfIndex: centroid quality affects only approximation
-    * error, never the re-ranked candidates' correctness). */
   /** Bounded driver-side sample of raw vectors (shared by the cell and
-    * codebook trainings — collected ONCE per index build). */
+    * codebook trainings — collected ONCE per index build; same rationale
+    * as IvfIndex: centroid quality affects only approximation error,
+    * never the re-ranked candidates' correctness). */
   private[ops] def rawSample(emb: DataFrame, vec: String, trainCap: Int): Array[Array[Float]] = {
     val sample = emb.select(col(vec)).limit(trainCap).collect()
       .map(_.getSeq[Float](0).toArray)

@@ -169,13 +169,18 @@ object FlatGeobuf {
   }
 
   /** Byte size of the packed Hilbert R-tree section (spec: 40-byte nodes —
-    * 4 doubles + uint64 offset — over all levels built bottom-up). */
+    * 4 doubles + uint64 offset — over all levels built bottom-up). The
+    * level loop is a do-while, matching the reference generateLevelBounds:
+    * even a single item gets a root level above it (2 nodes, 80 bytes). */
   private def rtreeSize(numItems: Long, nodeSize: Int): Long = {
+    require(nodeSize >= 2, s"index_node_size $nodeSize below the spec minimum 2")
     var n = numItems
     var numNodes = n
-    while (n != 1) {
+    var done = false
+    while (!done) {
       n = (n + nodeSize - 1) / nodeSize
       numNodes += n
+      done = n == 1
     }
     numNodes * 40L
   }

@@ -85,26 +85,29 @@ class FlatGeobufSpec extends AnyFunSuite with SparkSpecBase {
     // the header flatbuffer and splice the R-tree's byte span (zeros are
     // fine -- the reader must skip, not parse) between header and features
     val cols = Seq(FlatGeobuf.Col("location", FlatGeobuf.ColType.String))
-    val feats = Seq(
+    val allFeats = Seq(
       FlatGeobuf.Feature(0, 0, 1, 1, Seq[Any]("a")),
       FlatGeobuf.Feature(1, 1, 2, 2, Seq[Any]("b")))
-    val p = Files.createTempDirectory("graft-fgb-idx").resolve("t.fgb").toString
-    FlatGeobuf.write(p, "t", (0, 0, 2, 2), cols, feats.iterator,
-      epsg = 4326, count = 2)
-    val bytes = Files.readAllBytes(Paths.get(p))
-    val headerSize = java.nio.ByteBuffer.wrap(bytes, 8, 4)
-      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
-    val r = new FbReader(bytes, 12)
-    val nodeSizePos = r.fieldPos(r.rootTable, 9) // index_node_size field
-    assert(nodeSizePos > 0, "writer stores node size 0 explicitly")
-    java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
-      .putShort(nodeSizePos, 16)
-    // R-tree byte span for 2 items at node size 16: (2 leaf + 1 root) * 40
-    val spliced = bytes.take(12 + headerSize) ++
-      new Array[Byte](3 * 40) ++ bytes.drop(12 + headerSize)
-    val (h, back) = FlatGeobuf.readFeatures(spliced)
-    assert(h.indexNodeSize == 16 && h.count == 2)
-    assert(back == feats)
+    // rtree nodes: 1 item -> leaf+root = 2 (the do-while case), 2 -> 3
+    for ((n, rtreeNodes) <- Seq(1 -> 2, 2 -> 3)) {
+      val feats = allFeats.take(n)
+      val p = Files.createTempDirectory("graft-fgb-idx").resolve("t.fgb").toString
+      FlatGeobuf.write(p, "t", (0, 0, 2, 2), cols, feats.iterator,
+        epsg = 4326, count = n)
+      val bytes = Files.readAllBytes(Paths.get(p))
+      val headerSize = java.nio.ByteBuffer.wrap(bytes, 8, 4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+      val r = new FbReader(bytes, 12)
+      val nodeSizePos = r.fieldPos(r.rootTable, 9) // index_node_size field
+      assert(nodeSizePos > 0, "writer stores node size 0 explicitly")
+      java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        .putShort(nodeSizePos, 16)
+      val spliced = bytes.take(12 + headerSize) ++
+        new Array[Byte](rtreeNodes * 40) ++ bytes.drop(12 + headerSize)
+      val (h, back) = FlatGeobuf.readFeatures(spliced)
+      assert(h.indexNodeSize == 16 && h.count == n)
+      assert(back == feats, s"n=$n")
+    }
   }
 
   test("GtiMosaic.write emits an index.fgb twin matching the parquet index") {
