@@ -132,4 +132,51 @@ object Multimodal {
       }
     }
   }
+
+  final case class AudioWindow(
+      doc_id: Long, window_idx: Int, n_samples: Int, rms: Double, zero_crossings: Long)
+
+  /** Audio feature extraction (decode stubbed, windowing real): treat
+    * each payload byte as an amplitude sample centered at 64
+    * (`(b & 0xFF) − 64` — a deterministic stand-in for a real codec's
+    * PCM decode; ASCII text payloads then swing around the letter/space
+    * boundary, giving non-degenerate sign changes) and emit per-window
+    * RMS energy + zero-crossing count — the two classic frame-level
+    * audio features. Same production shape as the image/video paths:
+    * mapPartitions with per-partition decoder init as the codec slot,
+    * one output row per analysis window, trailing partial window kept. */
+  def audioFeatures(df: DataFrame, id: String,
+                    windowSamples: Int): Dataset[AudioWindow] = {
+    require(windowSamples > 0)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val idIdx = df.schema.fieldIndex(id)
+    val payloadIdx = df.schema.fieldIndex("payload")
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val payload = r.getAs[Array[Byte]](payloadIdx)
+        val docId = r.getLong(idIdx)
+        val nWin = (payload.length + windowSamples - 1) / windowSamples
+        (0 until nWin).iterator.map { w =>
+          val lo = w * windowSamples
+          val hi = math.min(payload.length, lo + windowSamples)
+          var sumSq = 0.0
+          var zc = 0L
+          var prevSign = 0
+          var i = lo
+          while (i < hi) {
+            val s = (payload(i) & 0xFF) - 64 // centered-amplitude stub decode
+            sumSq += s.toDouble * s
+            val sign = if (s > 0) 1 else if (s < 0) -1 else 0
+            if (sign != 0) {
+              if (prevSign != 0 && sign != prevSign) zc += 1
+              prevSign = sign
+            }
+            i += 1
+          }
+          AudioWindow(docId, w, hi - lo, math.sqrt(sumSq / (hi - lo)), zc)
+        }
+      }
+    }
+  }
 }

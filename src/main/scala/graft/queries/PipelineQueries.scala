@@ -240,12 +240,52 @@ object PipelineQueries {
       | AND e.ts >= c.ts AND e.ts <= c.ts + INTERVAL 60 MINUTE
       |ORDER BY c.user_id, click_id, error_id""".stripMargin
 
+  /** q53: multimodal audio features — per-window RMS + zero crossings over
+    * the byte payload (stub decode: centered amplitude; see
+    * Multimodal.audioFeatures). Window math, energy, and the sequential
+    * sign-transition count are all real and oracle-replayed over code
+    * points (ASCII docs, like q33/q41). */
+  def q53Audio(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ascii = documents(s, d)
+      .filter(octet_length($"text") === length($"text") && length($"text") > 0)
+    val media = Multimodal.withPayload(ascii, "text")
+    Multimodal.audioFeatures(media, "doc_id", windowSamples = 64).toDF()
+      .select($"doc_id", $"window_idx".cast("bigint").as("window_idx"),
+        $"n_samples".cast("bigint").as("n_samples"),
+        roundp($"rms", 6).as("rms"), $"zero_crossings")
+      .orderBy($"doc_id", $"window_idx")
+  }
+
+  val q53Sql: String =
+    s"""WITH b AS (SELECT doc_id, list_transform(split(text, ''), x -> ascii(x) - 64) AS s
+       |  FROM documents
+       |  WHERE octet_length(encode(text)) = length(text) AND length(text) > 0),
+       |exp AS (SELECT doc_id, unnest(s) AS v, unnest(range(1, len(s) + 1)) AS i FROM b),
+       |g AS (SELECT doc_id, (i - 1) // 64 AS window_idx, count(*) AS n_samples,
+       |    ${DuckSql.roundpSql("sqrt(sum(v * v * 1.0) / count(*))", 6)} AS rms
+       |  FROM exp GROUP BY 1, 2),
+       |nz AS (SELECT doc_id, (i - 1) // 64 AS w, i,
+       |    CASE WHEN v > 0 THEN 1 ELSE -1 END AS sign
+       |  FROM exp WHERE v <> 0),
+       |nz2 AS (SELECT doc_id, w, sign,
+       |    lag(sign) OVER (PARTITION BY doc_id, w ORDER BY i) AS prev FROM nz),
+       |zc AS (SELECT doc_id, w,
+       |    sum(CASE WHEN prev IS NOT NULL AND sign <> prev THEN 1 ELSE 0 END)::BIGINT
+       |      AS zero_crossings
+       |  FROM nz2 GROUP BY doc_id, w)
+       |SELECT g.doc_id, g.window_idx, g.n_samples::BIGINT AS n_samples, g.rms,
+       |  coalesce(zc.zero_crossings, 0) AS zero_crossings
+       |FROM g LEFT JOIN zc ON zc.doc_id = g.doc_id AND zc.w = g.window_idx
+       |ORDER BY g.doc_id, g.window_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q33_multimodal"    -> (q33Multimodal _),
     "q34_stream_window" -> (q34StreamWindow _),
     "q41_resize"        -> (q41Resize _),
     "q48_stream_dedup"  -> (q48StreamDedup _),
     "q50_stream_join"   -> (q50StreamJoin _),
+    "q53_audio"         -> (q53Audio _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -254,5 +294,6 @@ object PipelineQueries {
     "q41_resize"        -> q41Sql,
     "q48_stream_dedup"  -> q48Sql,
     "q50_stream_join"   -> q50Sql,
+    "q53_audio"         -> q53Sql,
   )
 }

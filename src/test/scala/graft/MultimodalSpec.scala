@@ -20,6 +20,20 @@ class MultimodalSpec extends AnyFunSuite with SparkSpecBase {
     assert(padded.pixels.toSeq == Seq[Byte](9, 9, 9, 0))
   }
 
+  test("audioFeatures: windowed RMS + zero crossings, trailing partial kept") {
+    // samples after centering (b - 64): window0 = [-32, 32, -32, 32]
+    // (3 sign changes), window1 = [0, -64] (zeros skipped, one nonzero:
+    // 0 crossings) — trailing 2-sample partial window KEPT
+    val payload = Array[Byte](32, 96, 32, 96, 64, 0)
+    val df = Seq((3L, payload)).toDF("doc_id", "payload")
+    val ws = Multimodal.audioFeatures(df, "doc_id", windowSamples = 4)
+      .collect().sortBy(_.window_idx)
+    assert(ws.map(w => (w.window_idx, w.n_samples)).toSeq == Seq((0, 4), (1, 2)))
+    assert(ws(0).rms == 32.0 && ws(0).zero_crossings == 3)
+    assert(math.abs(ws(1).rms - math.sqrt((0.0 + 64.0 * 64) / 2)) < 1e-12)
+    assert(ws(1).zero_crossings == 0)
+  }
+
   test("sampleFrames: stride sampling with timestamps, partial frame dropped") {
     val payload = (0 until 10).map(_.toByte).toArray // 3 full 3-byte frames + 1 left over
     val df = Seq((7L, payload)).toDF("doc_id", "payload")
