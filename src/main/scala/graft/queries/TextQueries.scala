@@ -263,6 +263,40 @@ object TextQueries {
        |ORDER BY t.doc_id""".stripMargin
   }
 
+  /** q54: the quality GATE — the keep/drop decision real pipelines apply,
+    * composed from the operators above (q22's language ID + q43's
+    * repetition/diversity stats) with a fixed rule order so every drop
+    * carries its first failing reason. Both engines evaluate the same
+    * rounded inputs, so thresholds compare identically. */
+  def q54QualityGate(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val lang = q22LangId(s, d).select($"doc_id", $"lang_pred")
+    val rep = q43Repetition(s, d)
+    lang.join(rep, Seq("doc_id"))
+      .select($"doc_id",
+        when($"lang_pred" === "unknown", "lang")
+          .when($"n_words" < 20, "too_short")
+          .when($"distinct_word_ratio" < 0.4, "low_diversity")
+          .when($"top_word_frac" > 0.2, "repetitive_word")
+          .when($"dup_trigram_frac" > 0.05, "repetitive_trigram")
+          .otherwise("ok").as("verdict"))
+      .withColumn("keep", $"verdict" === "ok")
+      .orderBy($"doc_id")
+  }
+
+  val q54Sql: String = {
+    val verdict =
+      """CASE WHEN l.lang_pred = 'unknown' THEN 'lang'
+        |     WHEN r.n_words < 20 THEN 'too_short'
+        |     WHEN r.distinct_word_ratio < 0.4 THEN 'low_diversity'
+        |     WHEN r.top_word_frac > 0.2 THEN 'repetitive_word'
+        |     WHEN r.dup_trigram_frac > 0.05 THEN 'repetitive_trigram'
+        |     ELSE 'ok' END""".stripMargin
+    s"""SELECT l.doc_id, $verdict AS verdict, ($verdict) = 'ok' AS keep
+       |FROM ($q22Sql) l JOIN ($q43Sql) r USING (doc_id)
+       |ORDER BY l.doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q22_lang_id"       -> (q22LangId _),
     "q23_quality"       -> (q23Quality _),
@@ -270,6 +304,7 @@ object TextQueries {
     "q25_fingerprint"   -> (q25Fingerprint _),
     "q43_repetition"    -> (q43Repetition _),
     "q44_contamination" -> (q44Contamination _),
+    "q54_quality_gate"  -> (q54QualityGate _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -279,5 +314,6 @@ object TextQueries {
     "q25_fingerprint"   -> q25Sql,
     "q43_repetition"    -> q43Sql,
     "q44_contamination" -> q44Sql,
+    "q54_quality_gate"  -> q54Sql,
   )
 }

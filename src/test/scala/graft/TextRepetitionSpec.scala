@@ -63,6 +63,33 @@ class TextRepetitionSpec extends AnyFunSuite with SparkSpecBase {
     assert(got == expected)
   }
 
+  test("q54 gate verdicts replay the rule order on the component stats") {
+    import org.apache.spark.sql.functions.col
+    val stats = graft.queries.TextQueries.q22LangId(spark, sfSmoke)
+      .select(col("doc_id"), col("lang_pred"))
+      .join(graft.queries.TextQueries.q43Repetition(spark, sfSmoke), Seq("doc_id"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(6)))
+      .toMap // lang_pred, n_words, distinct_word_ratio, top_word_frac, dup_trigram_frac
+    val gate = graft.queries.TextQueries.q54QualityGate(spark, sfSmoke)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2)))
+    assert(gate.length == stats.size)
+    var kept = 0
+    gate.foreach { case (id, verdict, keep) =>
+      val (lang, n, dwr, twf, dtf) = stats(id)
+      val expect =
+        if (lang == "unknown") "lang"
+        else if (n < 20) "too_short"
+        else if (dwr < 0.4) "low_diversity"
+        else if (twf > 0.2) "repetitive_word"
+        else if (dtf > 0.05) "repetitive_trigram"
+        else "ok"
+      assert(verdict == expect && keep == (expect == "ok"), s"doc $id")
+      if (keep) kept += 1
+    }
+    assert(kept > 0 && kept < gate.length, "gate must actually discriminate")
+  }
+
   test("q44 held-out docs never count their own source as contamination") {
     import org.apache.spark.sql.functions._
     // a gram present ONLY within src0 must not be flagged: rebuild the
