@@ -125,14 +125,10 @@ object Dedup {
     minhashCandidatesFromSets(
       shingleSets(df, id, text, k), nHashes, rowsPerBand)
 
-  /** Candidates from an ALREADY-SHINGLED (doc_id, shingles) table — lets a
-    * caller that also needs the string sets (exact verification) pay the
-    * tokenize+shingle pass once. Signatures hash the set elements in one
-    * fused pass (ArrayPolyHash); MinHash's min-fold is order- and
+  /** Signature frame from a shingle-set frame (one fused ArrayPolyHash
+    * pass over the set elements; MinHash's min-fold is order- and
     * multiplicity-insensitive, so the signature equals the
-    * wordShingleHashes form exactly. */
-  /** Signature frame from a shingle-set frame (fused ArrayPolyHash pass),
-    * threading any `carry` columns through. */
+    * wordShingleHashes form exactly), threading `carry` columns through. */
   private def signatures(sets: DataFrame, nHashes: Int,
                          carry: Seq[String] = Nil): DataFrame =
     sets.select((col("doc_id") +: carry.map(col)) :+ minhashSignature(
@@ -169,6 +165,9 @@ object Dedup {
       .select(col("id_a"), col("id_b"), roundp(jac, 6).as("jac"))
   }
 
+  /** Candidates from an ALREADY-SHINGLED (doc_id, shingles) table — lets a
+    * caller that also needs the string sets (exact verification) pay the
+    * tokenize+shingle pass once. */
   private def minhashCandidatesFromSets(sets: DataFrame, nHashes: Int,
                                         rowsPerBand: Int): DataFrame = {
     // self-joined below: persist so the signature pipeline runs once, not

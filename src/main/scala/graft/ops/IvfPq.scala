@@ -95,22 +95,22 @@ object IvfPq {
     * re-rank. */
   def knn(index: Index, id: String, vec: String, queryPred: Column,
           k: Int, nProbe: Int, refine: Int = 4): DataFrame = {
-    val probeCells = explode(
-      NearestCells.topCells(col(vec), index.cells, nProbe)).as("__cell")
-    val q = broadcast(
-      if (index.residual)
-        // residual LUTs are inherently per (query, probed cell)
-        index.encoded.filter(queryPred)
-          .select(col(id).as("qid"), col(vec).as("__qv"), probeCells)
-          .withColumn("lut", PqExpressions.lutResidual(
-            col("__qv"), col("__cell"), index.cells, index.cents))
-          .drop("__qv")
-      else
-        // flat LUT is cell-independent: build it BEFORE the explode so it
-        // is computed once per query, not once per probed cell
-        index.encoded.filter(queryPred)
-          .select(col(id).as("qid"),
-            PqExpressions.lut(col(vec), index.cents).as("lut"), probeCells))
+    // LUTs evaluate per (query, probed cell) in BOTH modes: residual LUTs
+    // depend on the cell by nature, and for the flat form Catalyst hoists
+    // any pre-explode projection above the Generate anyway (verified on
+    // Spark 4.1.2 — ExtractGenerator keeps non-generator expressions in
+    // the Project over the Generate). That redundancy is bounded by the
+    // query-side contract: Q broadcastable queries × nProbe × m·ksub·dsub
+    // flops — thousands of flops per query, not a scan-side cost.
+    val qBase = index.encoded.filter(queryPred)
+      .select(col(id).as("qid"), col(vec).as("__qv"),
+        explode(NearestCells.topCells(col(vec), index.cells, nProbe)).as("__cell"))
+    val q = broadcast(qBase
+      .withColumn("lut",
+        if (index.residual)
+          PqExpressions.lutResidual(col("__qv"), col("__cell"), index.cells, index.cents)
+        else PqExpressions.lut(col("__qv"), index.cents))
+      .drop("__qv"))
     val approx = index.encoded.select(col(id).as("cid"), col("__cell"), col("__code"))
       .join(q, Seq("__cell")) // members of probed cells only
       .filter(col("qid") =!= col("cid"))

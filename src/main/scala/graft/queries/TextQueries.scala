@@ -284,18 +284,17 @@ object TextQueries {
       .orderBy($"doc_id")
   }
 
-  val q54Sql: String = {
-    val verdict =
-      """CASE WHEN l.lang_pred = 'unknown' THEN 'lang'
-        |     WHEN r.n_words < 20 THEN 'too_short'
-        |     WHEN r.distinct_word_ratio < 0.4 THEN 'low_diversity'
-        |     WHEN r.top_word_frac > 0.2 THEN 'repetitive_word'
-        |     WHEN r.dup_trigram_frac > 0.05 THEN 'repetitive_trigram'
-        |     ELSE 'ok' END""".stripMargin
-    s"""SELECT l.doc_id, $verdict AS verdict, ($verdict) = 'ok' AS keep
-       |FROM ($q22Sql) l JOIN ($q43Sql) r USING (doc_id)
-       |ORDER BY l.doc_id""".stripMargin
-  }
+  val q54Sql: String =
+    s"""SELECT doc_id, verdict, verdict = 'ok' AS keep
+       |FROM (SELECT l.doc_id,
+       |  CASE WHEN l.lang_pred = 'unknown' THEN 'lang'
+       |       WHEN r.n_words < 20 THEN 'too_short'
+       |       WHEN r.distinct_word_ratio < 0.4 THEN 'low_diversity'
+       |       WHEN r.top_word_frac > 0.2 THEN 'repetitive_word'
+       |       WHEN r.dup_trigram_frac > 0.05 THEN 'repetitive_trigram'
+       |       ELSE 'ok' END AS verdict
+       |  FROM ($q22Sql) l JOIN ($q43Sql) r USING (doc_id))
+       |ORDER BY doc_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q22_lang_id"       -> (q22LangId _),

@@ -173,6 +173,7 @@ object FlatGeobuf {
     * level loop is a do-while, matching the reference generateLevelBounds:
     * even a single item gets a root level above it (2 nodes, 80 bytes). */
   private def rtreeSize(numItems: Long, nodeSize: Int): Long = {
+    require(numItems > 0, "R-tree size undefined for zero items")
     require(nodeSize >= 2, s"index_node_size $nodeSize below the spec minimum 2")
     var n = numItems
     var numNodes = n
