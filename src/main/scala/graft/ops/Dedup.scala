@@ -258,9 +258,18 @@ object Dedup {
     * fully distributed (no driver-side union-find). Converges in
     * O(component diameter) rounds; near-dup components are
     * short-diameter in practice, and `maxIter` bounds adversarial
-    * chains. Convergence detection is O(1) extra work: per-node labels
-    * only ever DECREASE, so the label sum is strictly monotone and
-    * equality between rounds proves the fixpoint. */
+    * chains.
+    *
+    * Latency shape: exactly ONE Spark action per round — the round's
+    * aggregation carries an `observe` metric counting labels that
+    * DECREASED this round (exact, overflow-free, unlike a label-sum
+    * compare), so materializing the new generation and detecting the
+    * fixpoint are the same job. Round 1 is folded into initialization:
+    * the seed label is already min(id, neighbors) from a single
+    * aggregation over the edge list, so a diameter-d component needs
+    * d-1 loop rounds, and pair tables with no chains (the common
+    * near-dup case: every component a clique around one survivor)
+    * converge with a single loop pass. */
   def connectedComponents(pairs: DataFrame, a: String, b: String,
                           maxIter: Int = 25): DataFrame = {
     // both edge directions from ONE pass over the pair plan (a union of
@@ -272,31 +281,38 @@ object Dedup {
           .as("e"))
         .select(col("e.src").as("src"), col("e.dst").as("dst"))
         .persist())
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")).persist()
-    // coalesce: an EMPTY pair table must yield an empty result, not an NPE
-    // from sum-of-nothing
-    def labelSum(l: DataFrame): Long =
-      l.agg(coalesce(sum(col("label")), lit(0L))).head().getLong(0)
-    var prevSum = labelSum(labels)
+    // seed = round 1: label(id) = min(id, all neighbors) in one shuffle
+    // (edges carry both directions, so min(least(src,dst)) grouped by src
+    // IS the first propagation step)
+    var labels = edges.groupBy(col("src").as("id"))
+      .agg(min(least(col("src"), col("dst"))).as("label"))
+      .persist()
     var it = 0
-    // empty test must be a real emptiness check: ids are arbitrary longs
-    // here (cast from the caller's columns), and a non-empty graph whose
-    // ids happen to sum to zero must still propagate
-    var converged = labels.isEmpty
+    var converged = false
     while (!converged && it < maxIter) {
+      val obs = org.apache.spark.sql.Observation(s"cc_round_$it")
+      val own = labels.select(col("id"), col("label"), lit(true).as("own"))
       val nbr = edges.join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
-        .select(col("src").as("id"), col("label"))
-      val next = labels.select(col("id"), col("label")).union(nbr)
-        .groupBy(col("id")).agg(min(col("label")).as("label"))
+        .select(col("src").as("id"), col("label"), lit(false).as("own"))
+      // the old label rides the aggregation (each id has exactly ONE own
+      // row), so "did anything change" is measured inside the same pass
+      val next = own.union(nbr)
+        .groupBy(col("id"))
+        .agg(min(col("label")).as("label"),
+          max(when(col("own"), col("label"))).as("__old"))
+        .observe(obs,
+          coalesce(sum(when(col("label") < col("__old"), 1L).otherwise(0L)),
+            lit(0L)).as("changed"))
+        .select(col("id"), col("label"))
         .persist()
-      val s = labelSum(next) // materializes next...
-      labels.unpersist()     // ...so the superseded generation frees NOW
-      converged = s == prevSum
-      prevSum = s
+      next.count()       // the ONE action: materializes next + the metric
+      labels.unpersist() // superseded generation frees NOW
       labels = next
+      converged = obs.get("changed").asInstanceOf[Long] == 0L
       it += 1
     }
+    // (an empty graph needs no special case: the seed aggregation is
+    // empty, the first loop pass observes 0 changes and exits converged)
     // a silent partial propagation would hand dedup several "canonical"
     // survivors per true component — refuse instead; callers with known
     // long chains raise maxIter

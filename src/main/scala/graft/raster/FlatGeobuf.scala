@@ -41,10 +41,14 @@ object FlatGeobuf {
   // ---- encode ----------------------------------------------------------
 
   /** Header schema field ids: 0 name, 1 envelope, 2 geometry_type,
-    * 7 columns, 8 features_count, 9 index_node_size (default 16!), 10 crs. */
+    * 7 columns, 8 features_count, 9 index_node_size (default 16!), 10 crs,
+    * 13 metadata (free-form JSON string — where GDAL's GTI driver reads
+    * layer metadata like DATA_TYPE/NODATA/RESX from). */
   private def headerBytes(name: String, env: (Double, Double, Double, Double),
-                          cols: Seq[Col], count: Long, epsg: Int): Array[Byte] = {
+                          cols: Seq[Col], count: Long, epsg: Int,
+                          metadata: Option[String]): Array[Byte] = {
     val b = new FbBuilder(512)
+    val metaOff = metadata.map(b.createString)
     val nameOff = b.createString(name)
     val envOff = b.createDoubleVector(Array(env._1, env._2, env._3, env._4))
     val colOffs = cols.map { c =>
@@ -62,7 +66,7 @@ object FlatGeobuf {
       b.addIntField(1, epsg, 0)
       b.endTable()
     }
-    b.startTable(11)
+    b.startTable(14)
     b.addOffsetField(0, nameOff)
     b.addOffsetField(1, envOff)
     b.addByteField(2, GeomPolygon, 0)
@@ -70,6 +74,7 @@ object FlatGeobuf {
     b.addLongField(8, count, 0L)
     b.addShortField(9, 0, 16) // no packed R-tree: node size 0 (default 16)
     b.addOffsetField(10, crsOff)
+    metaOff.foreach(b.addOffsetField(13, _))
     b.finish(b.endTable())
   }
 
@@ -119,7 +124,7 @@ object FlatGeobuf {
     * `toLocalIterator`, so the index never materializes in driver memory. */
   def write(path: String, name: String, env: (Double, Double, Double, Double),
             cols: Seq[Col], feats: Iterator[Feature], epsg: Int,
-            count: Long = 0L): Long = {
+            count: Long = 0L, metadata: Option[String] = None): Long = {
     val out = new BufferedOutputStream(new FileOutputStream(path))
     def sizePrefixed(bytes: Array[Byte]): Unit = {
       val bb = ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
@@ -130,7 +135,7 @@ object FlatGeobuf {
       out.write(Magic)
       // `count` = features_count when the caller pre-counted (cheap for a
       // manifest already on disk); 0 = unknown, which the spec permits
-      sizePrefixed(headerBytes(name, env, cols, count, epsg))
+      sizePrefixed(headerBytes(name, env, cols, count, epsg, metadata))
       var n = 0L
       feats.foreach { f => sizePrefixed(featureBytes(cols, f)); n += 1 }
       require(count == 0L || count == n,
@@ -143,7 +148,8 @@ object FlatGeobuf {
 
   final case class Header(name: String, envelope: Array[Double],
                           geometryType: Byte, cols: Seq[Col], count: Long,
-                          indexNodeSize: Int, epsg: Int)
+                          indexNodeSize: Int, epsg: Int,
+                          metadata: Option[String] = None)
 
   def readHeader(bytes: Array[Byte]): (Header, Int) = {
     require(bytes.take(8).sameElements(Magic), "not a FlatGeobuf file")
@@ -159,12 +165,14 @@ object FlatGeobuf {
         Col(r.stringAt(r.refField(c, 0)), r.byteField(c, 1, 0))
       }
     val crsP = r.refField(h, 10)
+    val metaP = r.refField(h, 13)
     val header = Header(
       if (nameP < 0) "" else r.stringAt(nameP),
       if (envP < 0) Array.empty else r.doubleVector(envP),
       r.byteField(h, 2, 0), cols, r.longField(h, 8, 0L),
       r.shortField(h, 9, 16) & 0xFFFF,
-      if (crsP < 0) 0 else r.intField(crsP, 1, 0))
+      if (crsP < 0) 0 else r.intField(crsP, 1, 0),
+      if (metaP < 0) None else Some(r.stringAt(metaP)))
     (header, 12 + size)
   }
 
@@ -202,7 +210,14 @@ object FlatGeobuf {
       val r = new FbReader(bytes, pos + 4)
       val f = r.rootTable
       val geom = r.refField(f, 0)
-      val xy = r.doubleVector(r.refField(geom, 1))
+      // an externally-produced feature may omit the geometry — fail with a
+      // parse error naming the offset, not a garbage-offset dereference
+      if (geom < 0) throw new IllegalArgumentException(
+        s"FlatGeobuf feature at byte offset $pos has no geometry")
+      val xyP = r.refField(geom, 1)
+      if (xyP < 0) throw new IllegalArgumentException(
+        s"FlatGeobuf feature at byte offset $pos has no xy vector")
+      val xy = r.doubleVector(xyP)
       val xs = xy.indices.collect { case i if i % 2 == 0 => xy(i) }
       val ys = xy.indices.collect { case i if i % 2 == 1 => xy(i) }
       val propsP = r.refField(f, 1)

@@ -91,22 +91,58 @@ object GtiMosaic {
       case s if s.startsWith("EPSG:") => s.drop(5).toInt
       case _ => 0
     }
-    FlatGeobuf.write(dst + "/index.fgb", "index",
-      (meta.minx, meta.miny, meta.maxx, meta.maxy), cols,
-      projected.toLocalIterator().asScala.map { r =>
-        FlatGeobuf.Feature(r.getDouble(2), r.getDouble(3), r.getDouble(4),
-          r.getDouble(5),
-          Seq[Any](r.getString(0), r.getLong(1)) ++
-            (if (hasTime) Seq[Any](r.getString(6)) else Nil))
-      }, epsg, count = projected.count())
+    // One plan execution total: cache the ordered manifest so the
+    // features_count pre-count and the streamed feature pass read the same
+    // materialization (two independent runs could disagree and trip the
+    // writer's post-stream require after bytes were already written).
+    // The fgb goes to a temp name and renames on success, so a failed
+    // export can never leave a partial index.fgb beside the parquet index.
+    val cached = projected.cache()
+    try {
+      val tmp = Paths.get(dst, "index.fgb.tmp")
+      FlatGeobuf.write(tmp.toString, "index",
+        (meta.minx, meta.miny, meta.maxx, meta.maxy), cols,
+        cached.toLocalIterator().asScala.map { r =>
+          FlatGeobuf.Feature(r.getDouble(2), r.getDouble(3), r.getDouble(4),
+            r.getDouble(5),
+            Seq[Any](r.getString(0), r.getLong(1)) ++
+              (if (hasTime) Seq[Any](r.getString(6)) else Nil))
+        }, epsg, count = cached.count(),
+        // GDAL's GTI driver reads mosaic metadata from the FlatGeobuf
+        // header itself (reference embeds it via ogr2ogr layer metadata,
+        // mosaics.py:80-113) — embed the same JSON as the sidecar so an
+        // external reader needs no side files
+        metadata = Some(metaJson(meta)))
+      Files.move(tmp, Paths.get(dst, "index.fgb"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    } finally cached.unpersist()
   }
 
-  /** S3 scan, metadata half: sidecar only — no tile file is opened. */
+  /** S3 scan, metadata half: sidecar only — no tile file is opened.
+    * Falls back to the metadata embedded in the FlatGeobuf header when no
+    * sidecar exists (an externally-produced GTI carries it there). */
   def readMeta(dst: String): Meta = {
-    val s = Files.readString(Paths.get(dst, "gti.json"))
-    def str(k: String): String = s.split("\"" + k + "\":\"")(1).takeWhile(_ != '"')
-    def num(k: String): Double =
-      s.split("\"" + k + "\":")(1).takeWhile(c => c.isDigit || c == '-' || c == '.' || c == 'E').toDouble
+    val sidecar = Paths.get(dst, "gti.json")
+    val s =
+      if (Files.exists(sidecar)) Files.readString(sidecar)
+      else FlatGeobuf.readFile(dst + "/index.fgb")._1.metadata.getOrElse(
+        throw new IllegalArgumentException(
+          s"$dst has neither gti.json nor FlatGeobuf header metadata"))
+    parseMetaJson(s)
+  }
+
+  /** Real tokenizing parse (graft.model.Json) — robust against lowercase
+    * exponents and key-like substrings inside string values, which the
+    * previous string-splitting reader mis-read on external sidecars. */
+  private[graft] def parseMetaJson(s: String): Meta = {
+    val m = graft.model.Json.parseObject(s)
+    def str(k: String): String = m(k).asInstanceOf[String]
+    def num(k: String): Double = m(k) match {
+      case d: Double => d
+      case v: String => v.toDouble // external writers quote numerics freely
+      case other => throw new IllegalArgumentException(s"$k: $other")
+    }
     val nodata = { val v = str("NODATA"); if (v.equalsIgnoreCase("nan")) Double.NaN else v.toDouble }
     Meta(str("DATA_TYPE"), nodata, num("MINX"), num("MINY"), num("MAXX"),
       num("MAXY"), num("RESX"), num("RESY"), num("BAND_COUNT").toInt,

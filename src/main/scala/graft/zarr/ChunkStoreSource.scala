@@ -80,9 +80,14 @@ object ChunkStoreSource {
         .filter(Files.isRegularFile(_))
         .flatMap { p =>
           val rel = dir.relativize(p).toString.replace('\\', '/')
+          // toIntOption on EVERY component: a stray non-numeric entry at any
+          // depth (editor backup, lost+found) must skip the file, not abort
+          // the scan with a NumberFormatException
           rel.split('/') match {
-            case Array(t, b, cy, cx) if !cx.startsWith(".") =>
-              Some(Key(t.toInt, b.toInt, cy.toInt, cx.toInt) -> p.toString)
+            case Array(t, b, cy, cx) =>
+              for (ti <- t.toIntOption; bi <- b.toIntOption;
+                   yi <- cy.toIntOption; xi <- cx.toIntOption)
+                yield Key(ti, bi, yi, xi) -> p.toString
             case _ => None
           }
         }.toSeq
@@ -95,7 +100,9 @@ object ChunkStoreSource {
         .flatMap { n =>
           n.split('.') match {
             case Array(t, b, cy, cx) =>
-              Some(Key(t.toInt, b.toInt, cy.toInt, cx.toInt) -> s"$dirStr/$n")
+              for (ti <- t.toIntOption; bi <- b.toIntOption;
+                   yi <- cy.toIntOption; xi <- cx.toIntOption)
+                yield Key(ti, bi, yi, xi) -> s"$dirStr/$n"
             case _ => None
           }
         }.toSeq
@@ -252,7 +259,17 @@ object ChunkReaderFactory extends PartitionReaderFactory {
           else if (part.codec == "gzip") {
             val in = new java.util.zip.GZIPInputStream(
               new java.io.ByteArrayInputStream(raw))
-            try in.readNBytes(part.inflateTo) finally in.close()
+            // a truncated chunk must fail HERE with the chunk path, not
+            // surface later as a confusing float-decode length mismatch
+            try {
+              val b = in.readNBytes(part.inflateTo)
+              val exhausted = in.read() == -1
+              if (b.length != part.inflateTo || !exhausted)
+                throw new java.io.IOException(
+                  s"gzip chunk $path: expected ${part.inflateTo} bytes, " +
+                    s"got ${b.length}${if (exhausted) "" else " plus trailing data"}")
+              b
+            } finally in.close()
           } else {
             val inf = new java.util.zip.Inflater()
             inf.setInput(raw)

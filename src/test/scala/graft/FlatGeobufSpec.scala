@@ -131,5 +131,48 @@ class FlatGeobufSpec extends AnyFunSuite with SparkSpecBase {
       assert(f.props(0) == loc && f.props(1) == seq)
       assert((f.minx, f.miny, f.maxx, f.maxy) == env)
     }
+    // mosaic metadata is embedded in the fgb header itself (GDAL GTI layer
+    // metadata contract) — readMeta must work with NO sidecar present
+    assert(h.metadata.exists(_.contains("\"RESX\":1.0")))
+    Files.delete(Paths.get(dst, "gti.json"))
+    val m2 = GtiMosaic.readMeta(dst)
+    assert(m2.resx == 1.0 && m2.bandCount == 1 && m2.srs == "EPSG:4326"
+      && m2.nodata.isNaN)
+    // no partial/temp fgb left behind by the temp+rename export
+    assert(!Files.exists(Paths.get(dst, "index.fgb.tmp")))
+  }
+
+  test("header metadata string round-trips; absent metadata reads None") {
+    val cols = Seq(FlatGeobuf.Col("location", FlatGeobuf.ColType.String))
+    val p = Files.createTempDirectory("graft-fgb-meta").resolve("t.fgb").toString
+    val metaJson = """{"DATA_TYPE":"Float32","RESX":1e-05}"""
+    FlatGeobuf.write(p, "t", (0, 0, 1, 1), cols,
+      Iterator(FlatGeobuf.Feature(0, 0, 1, 1, Seq[Any]("a"))),
+      epsg = 4326, metadata = Some(metaJson))
+    val (h, _) = FlatGeobuf.readFile(p)
+    assert(h.metadata.contains(metaJson))
+    val p2 = Files.createTempDirectory("graft-fgb-meta").resolve("u.fgb").toString
+    FlatGeobuf.write(p2, "t", (0, 0, 1, 1), cols,
+      Iterator(FlatGeobuf.Feature(0, 0, 1, 1, Seq[Any]("a"))), epsg = 4326)
+    assert(FlatGeobuf.readFile(p2)._1.metadata.isEmpty)
+  }
+
+  test("a feature without geometry fails with a parse error, not garbage") {
+    // hand-build a feature table with ONLY properties (field 0 absent)
+    val cols = Seq(FlatGeobuf.Col("location", FlatGeobuf.ColType.String))
+    val fb = new FbBuilder()
+    val props = fb.createByteVector(Array[Byte]())
+    fb.startTable(2)
+    fb.addOffsetField(1, props)
+    val featBytes = fb.finish(fb.endTable())
+    val p = Files.createTempDirectory("graft-fgb-bad").resolve("t.fgb").toString
+    FlatGeobuf.write(p, "t", (0, 0, 1, 1), cols, Iterator.empty, epsg = 0)
+    val base = Files.readAllBytes(Paths.get(p))
+    val size = java.nio.ByteBuffer.allocate(4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(featBytes.length).array()
+    val bad = base ++ size ++ featBytes
+    val e = intercept[IllegalArgumentException](FlatGeobuf.readFeatures(bad))
+    assert(e.getMessage.contains("no geometry"))
+    assert(e.getMessage.contains(base.length.toString)) // names the offset
   }
 }
