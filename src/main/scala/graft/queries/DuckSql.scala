@@ -48,4 +48,19 @@ object DuckSql {
     val p = math.pow(10, ndec)
     s"round(($x) * $p) / $p"
   }
+
+  /** Hyperplane-LSH bucket twin of HashKernels.hyperplaneSigs for table
+    * `tbl` (a SQL expr): nPlanes sign bits packed MSB-first into a BIGINT.
+    * The LCG component for (t, plane p, dim d) is
+    * ((1103515245·idx + 12345) mod 2³¹)/2³¹ − 0.5 with
+    * idx = (31t+1)·nPlanes·nDims + p·nDims + d; the projection is the
+    * SEQUENTIAL double sum over dims (list_reduce first-element init ==
+    * the kernel's 0.0-init fold), so sign bits — and therefore buckets —
+    * are bit-identical across engines. */
+  def lshBucketSql(vec: String, tbl: String, nPlanes: Int, nDims: Int): String =
+    s"list_reduce(list_transform(range(0, $nPlanes), p -> CASE WHEN " +
+      s"list_reduce(list_transform(range(0, $nDims), d -> ($vec)[d+1]::DOUBLE * " +
+      s"(((1103515245 * ((($tbl)*31+1)*${nPlanes.toLong * nDims} + p*$nDims + d) + 12345) " +
+      s"% 2147483648)::DOUBLE / 2147483648.0 - 0.5)), (x, y) -> x + y) > 0 " +
+      "THEN 1::BIGINT ELSE 0::BIGINT END), (a, b) -> a * 2 + b)"
 }

@@ -51,9 +51,12 @@ object SimilarityQueries {
        |QUALIFY rank <= 5
        |ORDER BY qid, rank""".stripMargin
 
-  /** q32: LSH-bucketed ANN top-5 (8 hyperplane bits × 4 tables) — the scale
-    * path. Approximate: no SQL oracle; driver records rows>0, recall is
-    * spec-tested. */
+  /** q32: LSH-bucketed ANN top-5 (4 hyperplane bits × 8 tables) — the scale
+    * path. The LSH is fully deterministic (LCG hyperplanes), so the oracle
+    * replays the ENTIRE ANN — signatures, bucket-join candidates, exact
+    * cosine re-rank — in DuckDB and the driver hash-matches the real
+    * pruned output bit-for-bit. Recall (<1 by construction) is additionally
+    * property-tested vs brute force in DedupSpec. */
   def q32KnnLsh(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Similarity.knnLsh(embeddings(s, d), "vec_id", "embedding",
@@ -62,45 +65,106 @@ object SimilarityQueries {
       .orderBy($"qid", $"rank")
   }
 
+  /** The DuckDB twin of the whole LSH path (knnLsh defaults: nPlanes=4,
+    * nTables=8, nDims=64). */
+  val q32Sql: String = {
+    val bucket = DuckSql.lshBucketSql("e.embedding", "t.tbl", 4, 64)
+    s"""WITH sig AS (
+       |  SELECT e.vec_id, t.tbl, $bucket AS bucket
+       |  FROM embeddings e, (SELECT unnest(range(0, 8)) AS tbl) t),
+       |cand AS (
+       |  SELECT DISTINCT q.vec_id AS qid, c.vec_id AS cid
+       |  FROM sig q JOIN sig c ON q.tbl = c.tbl AND q.bucket = c.bucket
+       |  WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id),
+       |scored AS (
+       |  SELECT cand.qid, cand.cid,
+       |    ${DuckSql.roundpSql(DuckSql.cosineSql("qe.embedding", "ce.embedding", 64), 6)}
+       |      AS cos
+       |  FROM cand JOIN embeddings qe ON qe.vec_id = cand.qid
+       |            JOIN embeddings ce ON ce.vec_id = cand.cid)
+       |SELECT qid, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid)
+       |    AS rank, cid, cos
+       |FROM scored QUALIFY rank <= 5 ORDER BY qid, rank""".stripMargin
+  }
+
+  /** Recall-metric form for the k-means-seeded ANN paths (IVF/PQ): the
+    * centroids are deterministic but NOT SQL-expressible (unlike q32's LCG
+    * hyperplanes), so the oracle can't replay the candidate sets. Instead
+    * the query itself measures its ANN output against in-engine brute
+    * force and emits per query point (qid, n_results, mean_recall_ok);
+    * the oracle derives the expected row set from the embeddings table
+    * (every query point, exactly k results, mean recall over the floor).
+    * A bucketing/routing/ADC regression collapses recall to ~0 and fails
+    * the hash gate. `floor` is sized for the synthetic near-uniform
+    * embeddings (the hardest case for ANN: measured means 0.45-0.75 at
+    * sf0.01/sf0.1 vs floor 0.3); per-query floors would not be stable
+    * across scale factors, means are. */
+  private def recallMetric(ann: DataFrame, brute: DataFrame, k: Int,
+                           floor: Double): DataFrame = {
+    val a = graft.ops.ScratchCache.register(
+      ann.select(col("qid"), col("cid")).persist())
+    val perQ = a.groupBy(col("qid")).agg(count(lit(1)).as("n_results"))
+    val hits = a.join(brute.select(col("qid"), col("cid")), Seq("qid", "cid"))
+      .groupBy(col("qid")).agg(count(lit(1)).as("hits"))
+    val withHits = perQ.join(hits, Seq("qid"), "left")
+      .select(col("qid"), col("n_results"),
+        coalesce(col("hits"), lit(0L)).as("hits"))
+    val mean = withHits
+      .agg((sum(col("hits")) / (count(lit(1)) * k)).as("mr"))
+      .select((col("mr") >= floor).as("mean_recall_ok"))
+    withHits.select(col("qid"), col("n_results"))
+      .crossJoin(broadcast(mean))
+      .orderBy(col("qid"))
+  }
+
+  private def recallOracleSql(k: Int): String =
+    s"""SELECT vec_id AS qid, ${k}::BIGINT AS n_results, true AS mean_recall_ok
+       |FROM embeddings WHERE vec_id < 20 ORDER BY qid""".stripMargin
+
   /** q40: IVF ANN top-5 (16 k-means cells, 4 probed) — the write-time-
-    * partitioned scale path. Approximate like q32: rows-only check, recall
-    * vs brute force spec-asserted (IvfSpec). */
+    * partitioned scale path, gated through the recall-metric oracle. */
   def q40KnnIvf(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val idx = graft.ops.IvfIndex.build(embeddings(s, d), "vec_id", "embedding", nCells = 16)
-    graft.ops.IvfIndex.knn(idx, "vec_id", "embedding", $"vec_id" < 20, k = 5, nProbe = 4)
-      .select($"qid", $"rank".cast("bigint").as("rank"), $"cid", $"cos")
-      .orderBy($"qid", $"rank")
+    recallMetric(
+      graft.ops.IvfIndex.knn(idx, "vec_id", "embedding", $"vec_id" < 20,
+        k = 5, nProbe = 4),
+      Similarity.knnBrute(embeddings(s, d), "vec_id", "embedding",
+        $"vec_id" < 20, k = 5),
+      k = 5, floor = 0.3)
   }
 
   /** q45: product-quantization ANN top-5 (m=8 byte codes, ksub=64, exact
     * cosine re-rank of the top-20 ADC candidates) — the compressed-domain
-    * scale path: queries scan 8-byte codes, not 256-byte vectors.
-    * Approximate like q32/q40: rows-only check, recall spec-asserted
-    * (PqSpec). */
+    * scale path: queries scan 8-byte codes, not 256-byte vectors. Gated
+    * through the recall-metric oracle (see recallMetric). */
   def q45KnnPq(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val idx = graft.ops.PqIndex.build(embeddings(s, d), "vec_id", "embedding",
       m = 8, ksub = 64)
-    graft.ops.PqIndex.knn(idx, "vec_id", "embedding", $"vec_id" < 20, k = 5)
-      .select($"qid", $"rank".cast("bigint").as("rank"), $"cid", $"cos")
-      .orderBy($"qid", $"rank")
+    recallMetric(
+      graft.ops.PqIndex.knn(idx, "vec_id", "embedding", $"vec_id" < 20, k = 5),
+      Similarity.knnBrute(embeddings(s, d), "vec_id", "embedding",
+        $"vec_id" < 20, k = 5),
+      k = 5, floor = 0.3)
   }
 
   /** q49: IVF+PQ composite ANN in RESIDUAL mode (classic IVFADC): 16
     * coarse cells × m=8/ksub=64 codes quantizing per-cell residuals, 6
     * cells probed, exact re-rank. Both prunings at once — nProbe/nCells
     * of the corpus at m bytes/member — with the residual codebook's finer
-    * quantization (spec-asserted ≤ flat ADC error). Rows-only like the
-    * other ANN paths; recall spec-asserted (IvfPqSpec). */
+    * quantization (spec-asserted ≤ flat ADC error). Gated through the
+    * recall-metric oracle (see recallMetric). */
   def q49KnnIvfPq(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val idx = graft.ops.IvfPq.build(embeddings(s, d), "vec_id", "embedding",
       nCells = 16, m = 8, ksub = 64, residual = true)
-    graft.ops.IvfPq.knn(idx, "vec_id", "embedding", $"vec_id" < 20, k = 5,
-        nProbe = 6)
-      .select($"qid", $"rank".cast("bigint").as("rank"), $"cid", $"cos")
-      .orderBy($"qid", $"rank")
+    recallMetric(
+      graft.ops.IvfPq.knn(idx, "vec_id", "embedding", $"vec_id" < 20, k = 5,
+        nProbe = 6),
+      Similarity.knnBrute(embeddings(s, d), "vec_id", "embedding",
+        $"vec_id" < 20, k = 5),
+      k = 5, floor = 0.3)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -115,6 +179,9 @@ object SimilarityQueries {
   val oracles: Map[String, String] = Map(
     "q30_embedding_neardup" -> q30Sql,
     "q31_knn_brute"         -> q31Sql,
-    // q32 intentionally omitted: approximate operator, rows-only check.
+    "q32_knn_lsh"           -> q32Sql,
+    "q40_knn_ivf"           -> recallOracleSql(5),
+    "q45_knn_pq"            -> recallOracleSql(5),
+    "q49_knn_ivfpq"         -> recallOracleSql(5),
   )
 }
