@@ -129,7 +129,7 @@ object Dedup {
     * pass over the set elements; MinHash's min-fold is order- and
     * multiplicity-insensitive, so the signature equals the
     * wordShingleHashes form exactly), threading `carry` columns through. */
-  private def signatures(sets: DataFrame, nHashes: Int,
+  private[ops] def signatures(sets: DataFrame, nHashes: Int,
                          carry: Seq[String] = Nil): DataFrame =
     sets.select((col("doc_id") +: carry.map(col)) :+ minhashSignature(
         graft.functions.ShingleExpressions.arrayPolyHash(col("shingles")),
@@ -140,7 +140,7 @@ object Dedup {
     * over (band index, the band's rows) — same (band, rows) always hashes
     * equal, so recall is untouched; a 64-bit collision can only ADD a
     * candidate, and every candidate is exact-verified downstream. */
-  private def bandKeys(sig: DataFrame, nHashes: Int, rowsPerBand: Int,
+  private[ops] def bandKeys(sig: DataFrame, nHashes: Int, rowsPerBand: Int,
                        carry: Seq[String] = Nil): DataFrame = {
     val nBands = nHashes / rowsPerBand
     sig.select((col("doc_id") +: carry.map(col)) :+
@@ -152,7 +152,7 @@ object Dedup {
   /** Exact verification: candidate id pairs rejoin their shingle sets and
     * keep true Jaccard ≥ threshold — shared by the full and incremental
     * forms so the verification semantics cannot drift. */
-  private def verifyJaccard(cands: DataFrame, sets: DataFrame,
+  private[ops] def verifyJaccard(cands: DataFrame, sets: DataFrame,
                             threshold: Double): DataFrame = {
     val withSets = cands
       .join(sets.select(col("doc_id").as("id_a"), col("shingles").as("sa"))

@@ -136,8 +136,16 @@ object DedupQueries {
     * batch membership. */
   def q52IncrementalDedup(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    Dedup.minhashDedupPairsIncremental(documents(s, d), "doc_id", "text",
-        3, 0.8, isNew = $"source" === "src0")
+    // the PERSISTED-index flow: corpus shingled+banded once into a saved
+    // parquet band index, batch probes it (no corpus re-read). Output is
+    // identical to minhashDedupPairsIncremental over corpus ∪ batch
+    // (spec-asserted both ways in DedupSpec).
+    val docs = documents(s, d)
+    val dir = java.nio.file.Files.createTempDirectory("graft-band-index").toString
+    val ref = graft.ops.BandIndex.build(
+      docs.filter($"source" =!= "src0"), "doc_id", "text", dir)
+    graft.ops.BandIndex.probe(s, ref, docs.filter($"source" === "src0"),
+        "doc_id", "text", 0.8)
       .orderBy($"id_a", $"id_b")
   }
 

@@ -219,6 +219,39 @@ class DedupSpec extends AnyFunSuite with SparkSpecBase {
     graft.ops.ScratchCache.releaseAll()
   }
 
+  test("persisted band index: probe == in-memory incremental; append grows it") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bandidx").toString
+    val corpus = docs.filter($"source" =!= "src0")
+    val batch = docs.filter($"source" === "src0")
+    val ref = graft.ops.BandIndex.build(corpus, "doc_id", "text", dir,
+      k = 3, nHashes = 64, rowsPerBand = 2)
+    val probe = graft.ops.BandIndex.probe(spark, ref, batch, "doc_id", "text", 0.6)
+    // the probe plan must read the SAVED index, never the corpus text: its
+    // file scans touch only the index directory and the batch's source
+    val scans = probe.queryExecution.executedPlan.toString
+    assert(scans.contains(dir), scans.take(2000))
+    val expected = Dedup.minhashDedupPairsIncremental(docs, "doc_id", "text",
+        3, 0.6, isNew = $"source" === "src0")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val got = probe.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == expected)
+    // parameter mismatch fails fast on load+probe, not silently low recall
+    val loaded = graft.ops.BandIndex.load(dir)
+    assert(loaded == ref)
+    // append the batch; a second probe of a NEW near-dup of a batch doc
+    // must now find the pair against the GROWN index
+    graft.ops.BandIndex.append(spark, ref, batch, "doc_id", "text")
+    val batchDoc = batch.orderBy($"doc_id").select($"doc_id", $"text")
+      .as[(Long, String)].head()
+    val b2 = Seq((900001L, batchDoc._2 + " tail")).toDF("doc_id", "text")
+    val got2 = graft.ops.BandIndex.probe(spark, ref, b2, "doc_id", "text", 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got2.contains((batchDoc._1, 900001L)),
+      s"grown index must surface the new near-dup, got $got2")
+    graft.ops.ScratchCache.releaseAll()
+  }
+
   test("connectedComponents: empty pair table -> empty result (no NPE)") {
     val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
     assert(Dedup.connectedComponents(empty, "id_a", "id_b").count() == 0)
