@@ -352,27 +352,81 @@ object GtiMosaic {
         math.toDegrees(2 * math.atan(math.exp(y / R)) - math.Pi / 2)
     }
 
+    /** Registered-warp gallery: widely-used national/continental LCC
+      * grids, auto-resolved by EPSG code (parameters from the public EPSG
+      * registry). Their datums (RGF93/NAD83/ETRS89, all GRS80) differ
+      * from WGS84 by < 1 mm in ellipsoid terms — the standard
+      * treat-as-equal bridge. */
+    private val lccGallery: Map[String, LambertConformal] = Map(
+      // RGF93 / Lambert-93 (France)
+      "EPSG:2154" -> LambertConformal(49.0, 44.0, 46.5, 3.0,
+        700000.0, 6600000.0),
+      // ETRS89-extended / LCC Europe
+      "EPSG:3034" -> LambertConformal(35.0, 65.0, 52.0, 10.0,
+        4000000.0, 2800000.0),
+      // NAD83 / Statistics Canada Lambert
+      "EPSG:3347" -> LambertConformal(49.0, 77.0, 63.390675, -91.866667,
+        6200000.0, 3000000.0),
+      // NAD83 / Canada Atlas Lambert
+      "EPSG:3978" -> LambertConformal(49.0, 77.0, 49.0, -95.0, 0.0, 0.0))
+
+    private def utm(code: String): Option[(Int, Boolean)] =
+      if (!code.startsWith("EPSG:32") || code.length != 10) None
+      else code.charAt(7) match {
+        case '6' => code.drop(8).toIntOption.filter(z => z >= 1 && z <= 60).map((_, false))
+        case '7' => code.drop(8).toIntOption.filter(z => z >= 1 && z <= 60).map((_, true))
+        case _ => None
+      }
+
+    /** lon/lat degrees → projected coords of `srs`, for every CRS the
+      * engine knows natively. */
+    private def fromGeoFn(srs: String): Option[(Double, Double) => (Double, Double)] =
+      srs match {
+        case "EPSG:4326" => Some((lon, lat) => (lon, lat))
+        case "EPSG:3857" => Some((lon, lat) =>
+          (GeoToWebMercator.invX(lon), GeoToWebMercator.invY(lat)))
+        case u if utm(u).isDefined =>
+          utm(u).map { case (z, s) =>
+            (lon: Double, lat: Double) => TransverseMercator.forward(z, s, lon, lat) }
+        case l if lccGallery.contains(l) =>
+          Some((lon, lat) => lccGallery(l).forward(lon, lat))
+        case _ => None
+      }
+
+    /** projected coords of `srs` → lon/lat degrees (inverse of the above). */
+    private def toGeoFn(srs: String): Option[(Double, Double) => (Double, Double)] =
+      srs match {
+        case "EPSG:4326" => Some((x, y) => (x, y))
+        case "EPSG:3857" => Some((x, y) =>
+          (WebMercatorToGeo.invX(x), WebMercatorToGeo.invY(y)))
+        case u if utm(u).isDefined =>
+          utm(u).map { case (z, s) =>
+            (e: Double, n: Double) => TransverseMercator.inverse(z, s, e, n) }
+        case l if lccGallery.contains(l) =>
+          Some((x, y) => lccGallery(l).inverse(x, y))
+        case _ => None
+      }
+
     /** Built-in transforms for well-known (fileSrs, mosaicSrs) pairs —
-      * consulted when no explicit registration overrides them. Covers
-      * Web Mercator (separable) and WGS84 UTM zones EPSG:326xx/327xx
-      * (coupled transverse Mercator). */
+      * consulted when no explicit registration overrides them. The
+      * separable Web-Mercator pair keeps its fast GridWarp path; every
+      * OTHER pair among {4326, 3857, UTM 326xx/327xx, the LCC gallery}
+      * composes mosaic→lon/lat→file (mirroring how the reference hands
+      * arbitrary pairs to GDAL's proj pipeline, mosaics.py:44-50) —
+      * e.g. Lambert-93 tiles in a Web-Mercator mosaic resolve with no
+      * registration. */
     def standard(fileSrs: String, mosaicSrs: String): Option[PointWarp] = {
       def n(s: String) = s.trim.toUpperCase
-      def utm(code: String): Option[(Int, Boolean)] =
-        if (!code.startsWith("EPSG:32") || code.length != 10) None
-        else code.charAt(7) match {
-          case '6' => code.drop(8).toIntOption.filter(z => z >= 1 && z <= 60).map((_, false))
-          case '7' => code.drop(8).toIntOption.filter(z => z >= 1 && z <= 60).map((_, true))
-          case _ => None
-        }
       (n(fileSrs), n(mosaicSrs)) match {
         case ("EPSG:3857", "EPSG:4326") => Some(GeoToWebMercator)
         case ("EPSG:4326", "EPSG:3857") => Some(WebMercatorToGeo)
-        case (f, "EPSG:4326") if utm(f).isDefined =>
-          utm(f).map { case (z, s) => GeoToUtm(z, s) }
-        case ("EPSG:4326", m) if utm(m).isDefined =>
-          utm(m).map { case (z, s) => UtmToGeo(z, s) }
-        case _ => None
+        case (f, m) =>
+          for (m2g <- toGeoFn(m); g2f <- fromGeoFn(f)) yield new PointWarp {
+            def toFile(x: Double, y: Double): (Double, Double) = {
+              val (lon, lat) = m2g(x, y)
+              g2f(lon, lat)
+            }
+          }
       }
     }
   }

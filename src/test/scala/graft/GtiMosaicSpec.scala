@@ -262,11 +262,22 @@ class GtiMosaicSpec extends AnyFunSuite with SparkSpecBase {
       assert(math.abs(GridWarp.WebMercatorToGeo.invY(
         GridWarp.GeoToWebMercator.invY(lat)) - lat) < 1e-9)
     }
-    assert(GridWarp.standard("EPSG:32633", "EPSG:4326")
-      .contains(GtiMosaic.GeoToUtm(33, south = false)))
-    assert(GridWarp.standard("EPSG:4326", "EPSG:32733")
-      .contains(GtiMosaic.UtmToGeo(33, south = true)))
-    assert(GridWarp.standard("EPSG:2154", "EPSG:4326").isEmpty) // Lambert: no silent guess
+    // UTM pairs resolve through the geo-composition path — assert the
+    // BEHAVIOR matches the dedicated warps on sample points
+    val utmWarp = GridWarp.standard("EPSG:32633", "EPSG:4326").get
+    val utmRef = GtiMosaic.GeoToUtm(33, south = false)
+    val backWarp = GridWarp.standard("EPSG:4326", "EPSG:32733").get
+    val backRef = GtiMosaic.UtmToGeo(33, south = true)
+    for (lon <- Seq(13.5, 15.0, 16.5); lat <- Seq(-45.0, 40.0, 60.0)) {
+      val (g, r) = (utmWarp.toFile(lon, lat), utmRef.toFile(lon, lat))
+      assert(math.abs(g._1 - r._1) < 1e-9 && math.abs(g._2 - r._2) < 1e-9)
+      val (e, n) = GtiMosaic.TransverseMercator.forward(33, south = true, lon, lat)
+      val (g2, r2) = (backWarp.toFile(e, n), backRef.toFile(e, n))
+      assert(math.abs(g2._1 - r2._1) < 1e-9 && math.abs(g2._2 - r2._2) < 1e-9)
+    }
+    // gallery LCC codes now auto-resolve; unknown codes still don't
+    assert(GridWarp.standard("EPSG:2154", "EPSG:4326").isDefined)
+    assert(GridWarp.standard("EPSG:27700", "EPSG:4326").isEmpty)
   }
 
   test("UTM transverse Mercator: independent invariants hold") {
@@ -404,13 +415,18 @@ class GtiMosaicSpec extends AnyFunSuite with SparkSpecBase {
       .toDF("location", "minx", "miny", "maxx", "maxy", "srs")
     GtiMosaic.write(index.coalesce(1), dst, mMeta)
     val localize = (loc: String) => Paths.get(fix, loc.split('/').last).toString
-    // without registration: fail fast
-    intercept[Exception] {
-      GtiMosaic.assemble(spark, dst, 0, 4)(localize).collect()
-    }
+    // EPSG:2154 is in the built-in LCC gallery: NO registration needed —
+    // the gallery warp must agree with the locally-constructed l93
+    // (gallery lists parallels (49,44); the cone constant is symmetric)
+    val galleryChunks = GtiMosaic.assemble(spark, dst, 0, 4)(localize)
+      .collect().map(r => (r.cy, r.cx) -> r.data).toMap
     val chunks = GtiMosaic.assemble(spark, dst, 0, 4,
         warps = Map(("EPSG:2154", "EPSG:4326") -> l93.fromGeo))(localize)
       .collect().map(r => (r.cy, r.cx) -> r.data).toMap
+    // Arrays.equals: NaN-safe (bit-pattern) compare — chunks carry NaN pad
+    assert(galleryChunks.keySet == chunks.keySet &&
+      galleryChunks.forall { case (k, v) => java.util.Arrays.equals(v, chunks(k)) },
+      "gallery auto-resolved warp must equal the explicit registration")
     for (py <- 0 until 3; px <- 0 until 4) {
       val (lon, lat) = (2.0 + (px + 0.5) * 1.0, 48.0 - (py + 0.5) * 1.0)
       val (e, n) = l93.forward(lon, lat)
@@ -419,6 +435,43 @@ class GtiMosaicSpec extends AnyFunSuite with SparkSpecBase {
       val got = chunks((py / 4, px / 4))((py % 4) * 4 + (px % 4))
       assert(got == (fr * w + fc).toFloat, s"($px,$py)")
     }
+  }
+
+  test("warp gallery: LCC origins, cross-pair composition, unknown fails fast") {
+    import graft.raster.GtiMosaic.GridWarp
+    // projection origin maps to the false origin EXACTLY by definition
+    for ((srs, lon0, lat0, fe, fn) <- Seq(
+        ("EPSG:2154", 3.0, 46.5, 700000.0, 6600000.0),
+        ("EPSG:3034", 10.0, 52.0, 4000000.0, 2800000.0),
+        ("EPSG:3347", -91.866667, 63.390675, 6200000.0, 3000000.0),
+        ("EPSG:3978", -95.0, 49.0, 0.0, 0.0))) {
+      val warp = GridWarp.standard(srs, "EPSG:4326")
+        .getOrElse(fail(s"$srs not in gallery"))
+      val (e, n) = warp.toFile(lon0, lat0)
+      assert(math.abs(e - fe) < 1e-6 && math.abs(n - fn) < 1e-6, srs)
+      // and the reverse direction round-trips through lon/lat
+      val back = GridWarp.standard("EPSG:4326", srs)
+        .getOrElse(fail(s"$srs reverse missing")).toFile(e, n)
+      assert(math.abs(back._1 - lon0) < 1e-9 && math.abs(back._2 - lat0) < 1e-9, srs)
+    }
+    // cross-pair composition: Lambert-93 tiles in a WEB-MERCATOR mosaic —
+    // mosaic(3857) → lon/lat → file(2154), no registration
+    val composed = GridWarp.standard("EPSG:2154", "EPSG:3857")
+      .getOrElse(fail("2154<-3857 composition missing"))
+    val geo = GridWarp.standard("EPSG:2154", "EPSG:4326").get
+    val lonLat = (2.3522, 48.8566)
+    // build the 3857 coordinate of the test point directly (sphere formula)
+    val webX = 6378137.0 * math.toRadians(lonLat._1)
+    val webY = 6378137.0 * math.log(math.tan(math.Pi / 4 + math.toRadians(lonLat._2) / 2))
+    val viaComposed = composed.toFile(webX, webY)
+    val viaGeo = geo.toFile(lonLat._1, lonLat._2)
+    assert(math.abs(viaComposed._1 - viaGeo._1) < 1e-6 &&
+      math.abs(viaComposed._2 - viaGeo._2) < 1e-6)
+    // UTM cross LCC also composes (file UTM 31N, mosaic Lambert-93)
+    assert(GridWarp.standard("EPSG:32631", "EPSG:2154").isDefined)
+    // unknown CRS still fails fast (no silent identity)
+    assert(GridWarp.standard("EPSG:27700", "EPSG:4326").isEmpty)
+    assert(GridWarp.standard("EPSG:4326", "EPSG:27700").isEmpty)
   }
 
   test("assembly reads the matching COG overview level for coarse targets") {
