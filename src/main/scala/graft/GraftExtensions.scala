@@ -4,6 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.graftbridge.Bridge
 import graft.functions._
 
 /** Engine extension point — registers graft's native expressions with the
@@ -35,6 +36,12 @@ object GraftExtensions {
                 (builder: Seq[Expression] => Expression): Fn =
     (FunctionIdentifier(name), new ExpressionInfo(cls.getName, name), builder)
 
+  /** Wrap a Column-composition function as a registry builder — the same
+    * resolved expression tree the Scala API builds, SQL-callable. */
+  private def comp(args: Seq[Expression])
+                  (f: Seq[org.apache.spark.sql.Column] => org.apache.spark.sql.Column): Expression =
+    Bridge.expressionTree(f(args.map(Bridge.column)))
+
   /** The whole native family, SQL-callable. Shape/centroid parameters must
     * be integer literals (they size the fused loops at plan time). */
   val functions: Seq[Fn] = Seq(
@@ -51,6 +58,18 @@ object GraftExtensions {
     fn("graft_shingle_hashes", classOf[WordShingleHashes])(a =>
       WordShingleHashes(a(0), intArg(a(1), "graft_shingle_hashes"))),
     fn("graft_array_polyhash", classOf[ArrayPolyHash])(a => ArrayPolyHash(a(0))),
+    fn("graft_pq_adc", classOf[PqAdc])(a => PqAdc(a(0), a(1))),
+    // composition-backed (same trees as the Scala API):
+    fn("graft_tokens", TextFunctions.getClass)(a =>
+      comp(a)(c => TextFunctions.tokens(c(0)))),
+    fn("graft_token_count", TextFunctions.getClass)(a =>
+      comp(a)(c => TextFunctions.tokenCountRegex(c(0)))),
+    fn("graft_cosine", VectorFunctions.getClass)(a =>
+      comp(a)(c => VectorFunctions.cosine(c(0), c(1)))),
+    fn("graft_norm", VectorFunctions.getClass)(a =>
+      comp(a)(c => VectorFunctions.norm(c(0)))),
+    fn("graft_roundp", TextFunctions.getClass)(a =>
+      comp(a.take(1))(c => TextFunctions.roundp(c(0), intArg(a(1), "graft_roundp")))),
   )
 
   /** Imperative registration for an existing session (tests, Verify). */

@@ -11,4 +11,12 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Full ColumnNode→Expression conversion — required when a Column built
+    * from the public functions API (zip_with/aggregate/... compositions)
+    * must become a catalyst tree OUTSIDE a Dataset operation, e.g. inside
+    * a FunctionRegistry builder: `expression` defers with a wrapper node
+    * that analysis never unwraps there; this converts eagerly. */
+  def expressionTree(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
 }

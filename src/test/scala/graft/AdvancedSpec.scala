@@ -59,6 +59,23 @@ class AdvancedSpec extends AnyFunSuite with SparkSpecBase {
         |FROM docs_t WHERE graft_word_shingles(text, 3) IS NOT NULL""".stripMargin)
       .collect()
     aph.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
+    // composition-backed functions: same trees as the Scala API
+    val vec = spark.sql(
+      """SELECT graft_cosine(embedding, embedding) AS c,
+        |  graft_roundp(graft_norm(embedding), 3) AS n,
+        |  graft_tokens('A b  c') AS t, graft_token_count('one two-three') AS tc
+        |FROM emb_t2 LIMIT 3""".stripMargin).collect()
+    vec.foreach { r =>
+      assert(math.abs(r.getDouble(0) - 1.0) < 1e-9) // cos(v, v) == 1
+      assert(r.getDouble(1) > 0)
+      assert(r.getSeq[String](2) == Seq("a", "b", "c"))
+      assert(r.getInt(3) == 4) // BPE-ish: hyphen is its own token (one,two,-,three)
+    }
+    // graft_pq_adc(lut, codes): float LUT laid out [m][ksub] x BINARY codes
+    val adc = spark.sql(
+      "SELECT graft_pq_adc(array(1.0F, 2.0F, 3.0F, 4.0F), X'0001') AS d")
+      .collect().head.getDouble(0)
+    assert(math.abs(adc - (1.0f + 4.0f)) < 1e-9) // code0->lut[0][0], code1->lut[1][1]
   }
 
   test("polyhash generates code (its string children stay inside codegen)") {
