@@ -296,6 +296,34 @@ object TextQueries {
        |  FROM ($q22Sql) l JOIN ($q43Sql) r USING (doc_id))
        |ORDER BY doc_id""".stripMargin
 
+  /** q55: Bloom-filter decontamination — the SCALE direction of q44:
+    * benchmark grams compress into a plan-embedded Bloom sketch, the
+    * corpus (the 100 TB side) is tested map-side with zero shuffle, and
+    * only sketch-positive docs enter the exact verification join. The
+    * sketch is invisible to the output (verification removes false
+    * positives; false negatives are impossible), so the oracle is the
+    * plain exact SQL. */
+  def q55BloomDecontaminate(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.ops.Decontaminate.bloomContaminated(documents(s, d),
+        isBench = $"source" === "src0", "doc_id", "text", k = 5)
+      .orderBy($"doc_id")
+  }
+
+  val q55Sql: String =
+    s"""WITH toks AS (SELECT doc_id, source, ${DuckSql.shingleHashesSql("ws", 5)} AS hs
+       |    FROM (SELECT doc_id, source, ${DuckSql.tokensSql} AS ws FROM documents)),
+       |bench AS (SELECT DISTINCT unnest(hs) AS h FROM toks WHERE source = 'src0'),
+       |verified AS (SELECT doc_id, count(*) AS n_contaminated
+       |  FROM (SELECT doc_id, unnest(hs) AS h FROM toks WHERE source <> 'src0')
+       |  WHERE h IN (SELECT h FROM bench) GROUP BY doc_id)
+       |SELECT t.doc_id, len(t.hs)::BIGINT AS n_grams, v.n_contaminated,
+       |  ${DuckSql.roundpSql("v.n_contaminated * 1.0 / len(t.hs)", 6)}
+       |    AS contamination_frac
+       |FROM toks t JOIN verified v USING (doc_id)
+       |WHERE t.source <> 'src0'
+       |ORDER BY t.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q22_lang_id"       -> (q22LangId _),
     "q23_quality"       -> (q23Quality _),
@@ -304,6 +332,7 @@ object TextQueries {
     "q43_repetition"    -> (q43Repetition _),
     "q44_contamination" -> (q44Contamination _),
     "q54_quality_gate"  -> (q54QualityGate _),
+    "q55_bloom_decontaminate" -> (q55BloomDecontaminate _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -314,5 +343,6 @@ object TextQueries {
     "q43_repetition"    -> q43Sql,
     "q44_contamination" -> q44Sql,
     "q54_quality_gate"  -> q54Sql,
+    "q55_bloom_decontaminate" -> q55Sql,
   )
 }

