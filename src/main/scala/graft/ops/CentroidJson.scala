@@ -1,10 +1,11 @@
 package graft.ops
 
 /** Shared (de)serializers for the ANN index JSON sidecars: the flat
-  * coarse-cell centroid table and the per-subspace PQ codebook.
-  * Hand-rolled on purpose (no JSON dependency in the build); ONE
+  * coarse-cell centroid table and the per-subspace PQ codebook. ONE
   * implementation serves IvfIndex, PqIndex, and IvfPq so a parsing fix
-  * cannot drift between them. */
+  * cannot drift between them. Reads go through the engine's tokenizing
+  * parser (graft.model.Json); float round-trips are exact (shortest
+  * decimal repr parses back to the same float through double). */
 private[ops] object CentroidJson {
 
   def writeCells(cents: Seq[Array[Float]]): String =
@@ -12,12 +13,14 @@ private[ops] object CentroidJson {
       s"""{"cell":$i,"centroid":[${c.mkString(",")}]}"""
     }.mkString("[", ",", "]")
 
+  private def floats(v: Any): Array[Float] =
+    v.asInstanceOf[Vector[Any]].map(_.asInstanceOf[Double].toFloat).toArray
+
   def parseCells(json: String): Array[Array[Float]] =
-    json.split("""\{"cell":""").drop(1).map { p =>
-      val cell = p.takeWhile(_.isDigit).toInt
-      cell -> p.split("""\[""")(1).takeWhile(_ != ']')
-        .split(',').filter(_.nonEmpty).map(_.toFloat)
-    }.sortBy(_._1).map(_._2)
+    graft.model.Json.parse(json).asInstanceOf[Vector[Any]].map { o =>
+      val m = o.asInstanceOf[Map[String, Any]]
+      m("cell").asInstanceOf[Double].toInt -> floats(m("centroid"))
+    }.sortBy(_._1).map(_._2).toArray
 
   def writeCodebook(cents: Array[Array[Array[Float]]]): String =
     cents.zipWithIndex.map { case (sub, i) =>
@@ -26,15 +29,9 @@ private[ops] object CentroidJson {
     }.mkString("[", ",", "]")
 
   def parseCodebook(json: String): Array[Array[Array[Float]]] =
-    json.split("""\{"sub":""").drop(1).map { p =>
-      val sub = p.takeWhile(_.isDigit).toInt
-      var rest = p.substring(p.indexOf("[[") + 1)
-      val cs = scala.collection.mutable.ArrayBuffer.empty[Array[Float]]
-      while (rest.startsWith("[")) {
-        val end = rest.indexOf(']')
-        cs += rest.substring(1, end).split(',').filter(_.nonEmpty).map(_.toFloat)
-        rest = rest.substring(end + 1).dropWhile(_ == ',')
-      }
-      sub -> cs.toArray
-    }.sortBy(_._1).map(_._2)
+    graft.model.Json.parse(json).asInstanceOf[Vector[Any]].map { o =>
+      val m = o.asInstanceOf[Map[String, Any]]
+      m("sub").asInstanceOf[Double].toInt ->
+        m("centroids").asInstanceOf[Vector[Any]].map(floats).toArray
+    }.sortBy(_._1).map(_._2).toArray
 }

@@ -37,10 +37,11 @@ object ArrayStore {
   }
 
   private def parseMeta(s: String): Meta = {
-    def num(k: String): Int =
-      s.split("\"" + k + "\":")(1).takeWhile(c => c.isDigit || c == '-').toInt
-    val bands = s.split("\"bands\":\\[")(1).takeWhile(_ != ']')
-      .split(",").filter(_.nonEmpty).map(_.replaceAll("\"", "")).toSeq
+    // real tokenizing parse (graft.model.Json) — robust against band
+    // names containing brackets/commas/quotes, unlike string splitting
+    val m = graft.model.Json.parseObject(s)
+    def num(k: String): Int = m(k).asInstanceOf[Double].toInt
+    val bands = m("bands").asInstanceOf[Vector[Any]].map(_.asInstanceOf[String])
     Meta(GridDef(num("nTime"), num("nBand"), num("nY"), num("nX"),
       num("chunkY"), num("chunkX"), num("itemBytes")), bands)
   }
