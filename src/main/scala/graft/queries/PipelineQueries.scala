@@ -279,6 +279,41 @@ object PipelineQueries {
        |FROM g LEFT JOIN zc ON zc.doc_id = g.doc_id AND zc.w = g.window_idx
        |ORDER BY g.doc_id, g.window_idx""".stripMargin
 
+  /** q56: multimodal video frame sampling — the explode-shaped op before
+    * per-frame feature extraction: fixed-size frames from the byte
+    * payload, every `stride`-th frame emitted with its timestamp, partial
+    * trailing frame dropped (demuxer semantics). Frame bytes reduce to a
+    * checksum for the oracle (same device as q41's pixel checksum); the
+    * sampling math, timestamps, and truncation are oracle-replayed over
+    * code points (ASCII docs, like q33/q41/q53). */
+  def q56VideoFrames(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ascii = documents(s, d)
+      .filter(octet_length($"text") === length($"text") && length($"text") > 0)
+    val media = Multimodal.withPayload(ascii, "text")
+    Multimodal.sampleFrames(media, "doc_id", frameBytes = 16, fps = 4.0,
+        stride = 3)
+      .map(r => (r.doc_id, r.frame_idx.toLong, r.ts_ms,
+        r.frame.length.toLong,
+        r.frame.foldLeft(0L)((acc, b) => acc + (b & 0xff))))
+      .toDF("doc_id", "frame_idx", "ts_ms", "n_bytes", "checksum")
+      .orderBy($"doc_id", $"frame_idx")
+  }
+
+  val q56Sql: String =
+    s"""WITH b AS (SELECT doc_id,
+       |    list_transform(split(text, ''), x -> ascii(x)) AS bytes,
+       |    length(text) AS n
+       |  FROM documents
+       |  WHERE octet_length(encode(text)) = length(text) AND length(text) > 0),
+       |f AS (SELECT doc_id, bytes, unnest(range(0, n // 16)) AS frame_idx FROM b)
+       |SELECT doc_id, frame_idx::BIGINT AS frame_idx,
+       |  (frame_idx * 250)::BIGINT AS ts_ms, 16::BIGINT AS n_bytes,
+       |  list_sum(bytes[frame_idx * 16 + 1 : frame_idx * 16 + 16])::BIGINT
+       |    AS checksum
+       |FROM f WHERE frame_idx % 3 = 0
+       |ORDER BY doc_id, frame_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q33_multimodal"    -> (q33Multimodal _),
     "q34_stream_window" -> (q34StreamWindow _),
@@ -286,6 +321,7 @@ object PipelineQueries {
     "q48_stream_dedup"  -> (q48StreamDedup _),
     "q50_stream_join"   -> (q50StreamJoin _),
     "q53_audio"         -> (q53Audio _),
+    "q56_video_frames"  -> (q56VideoFrames _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -295,5 +331,6 @@ object PipelineQueries {
     "q48_stream_dedup"  -> q48Sql,
     "q50_stream_join"   -> q50Sql,
     "q53_audio"         -> q53Sql,
+    "q56_video_frames"  -> q56Sql,
   )
 }
