@@ -81,7 +81,14 @@ object PipelineQueries {
     val s = s0.newSession()
     s.conf.set("spark.sql.shuffle.partitions", "8")
     s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
-    val base = new java.io.File(sys.props("java.io.tmpdir"), tag)
+    // these checkpoints are SCRATCH by construction (wiped at the next
+    // invocation, no restart value for a terminating AvailableNow run) —
+    // tmpfs is the correct tier for them when present; a production
+    // restartable stream points this at durable storage instead
+    val tmpRoot =
+      if (new java.io.File("/dev/shm").isDirectory) "/dev/shm"
+      else sys.props("java.io.tmpdir")
+    val base = new java.io.File(tmpRoot, tag)
     def rmrf(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles().foreach(rmrf)
       f.delete(): Unit
