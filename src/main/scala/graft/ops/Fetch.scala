@@ -131,4 +131,144 @@ object Fetch {
     catch { // a concurrent retry won the rename race: its bytes are ours too
       case _: java.nio.file.FileAlreadyExistsException => Files.delete(tmp)
     }
+
+  // ---- multi-connection (chunked-range) variant ------------------------
+
+  /** Byte-range access to a URL — the seam the chunked fetch parallelizes
+    * over. `defaultRangeSource` serves file:/plain paths (sandbox-testable)
+    * and any http(s) server honoring Range headers; object stores plug in
+    * their ranged GET. */
+  trait RangeSource {
+    def size(url: String): Long
+    /** An InputStream over exactly bytes [off, off+len). */
+    def read(url: String, off: Long, len: Long): InputStream
+  }
+
+  private[graft] def defaultRangeSource: RangeSource = new RangeSource {
+    private def filePath(url: String): Option[Path] =
+      if (url.startsWith("file:")) Some(Paths.get(new URI(url)))
+      else if (!url.contains("://")) Some(Paths.get(url))
+      else None
+    def size(url: String): Long = filePath(url) match {
+      case Some(p) => Files.size(p)
+      case None =>
+        val c = new URI(url).toURL.openConnection()
+        c.setRequestProperty("Accept-Encoding", "identity")
+        val n = c.getContentLengthLong
+        require(n >= 0, s"$url: server did not report a content length")
+        n
+    }
+    def read(url: String, off: Long, len: Long): InputStream = filePath(url) match {
+      case Some(p) =>
+        val ch = java.nio.channels.FileChannel.open(p)
+        ch.position(off)
+        new java.io.BufferedInputStream(
+          new BoundedChannelStream(ch, len), 1 << 16)
+      case None =>
+        val c = new URI(url).toURL.openConnection()
+        c.setRequestProperty("Range", s"bytes=$off-${off + len - 1}")
+        c.getInputStream
+    }
+  }
+
+  /** InputStream view of at most `remaining` bytes of a channel; closing
+    * it closes the channel (each range reader owns its own handle). */
+  private final class BoundedChannelStream(
+      ch: java.nio.channels.FileChannel, private var remaining: Long)
+      extends InputStream {
+    override def read(): Int = {
+      val b = new Array[Byte](1)
+      if (read(b, 0, 1) < 0) -1 else b(0) & 0xff
+    }
+    override def read(b: Array[Byte], off: Int, len: Int): Int = {
+      if (remaining <= 0) return -1
+      val n = ch.read(java.nio.ByteBuffer.wrap(b, off,
+        math.min(len.toLong, remaining).toInt))
+      if (n > 0) remaining -= n
+      n
+    }
+    override def close(): Unit = ch.close()
+  }
+
+  /** Multi-connection fetch — the engine twin of the reference's aria2c
+    * path (datasets/utils.py:24-67: `-x/-s` split downloads): each file's
+    * byte range splits into `chunkBytes` pieces pulled by `connections`
+    * concurrent range readers into a preallocated temp file, then one
+    * atomic rename. The cluster-level knob stays PARTITION parallelism
+    * (like `fetchToDir`); `connections` is per-file IO concurrency — range
+    * reads are network-bound, not CPU-bound, so in-task threads are the
+    * right tool exactly as they are for aria2c. Same idempotence contract
+    * as `fetchToDir`: existing destinations skip, failures leave no
+    * partial dst, every chunk retries independently (a flaky byte range
+    * re-pulls chunkBytes, not the whole object). */
+  def fetchChunkedToDir(df: DataFrame, urlCol: String, workdir: String,
+                        chunkBytes: Long = 8L << 20, connections: Int = 4,
+                        retries: Int = 3, backoffMs: Long = 100L)
+                       (sourceFactory: () => RangeSource = () => defaultRangeSource): DataFrame = {
+    require(chunkBytes > 0 && connections > 0)
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(urlCol).cast("string")).as[String].mapPartitions { it =>
+      val src = sourceFactory()
+      // daemon threads: a task killed mid-download must not pin the JVM
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(connections,
+        (r: Runnable) => { val t = new Thread(r, "graft-fetch"); t.setDaemon(true); t })
+      val done = new Iterator[(String, String, Long, Boolean)] {
+        def hasNext: Boolean = { val h = it.hasNext; if (!h) pool.shutdown(); h }
+        def next(): (String, String, Long, Boolean) = {
+          val url = it.next()
+          val dst = Paths.get(workdir).resolve(destRel(url))
+          if (Files.exists(dst)) (url, dst.toString, Files.size(dst), false)
+          else {
+            Files.createDirectories(dst.getParent)
+            val total = withRetries(retries, backoffMs)(src.size(url))
+            val tmp = dst.resolveSibling(
+              s".${dst.getFileName}.${java.util.UUID.randomUUID}.tmp")
+            try {
+              val raf = new java.io.RandomAccessFile(tmp.toFile, "rw")
+              try {
+                raf.setLength(total)
+                val futures = (0L until total by chunkBytes).map { off =>
+                  val len = math.min(chunkBytes, total - off)
+                  pool.submit(new java.util.concurrent.Callable[Long] {
+                    def call(): Long = withRetries(retries, backoffMs) {
+                      val in = src.read(url, off, len)
+                      try {
+                        val buf = new Array[Byte](1 << 16)
+                        var pos = off
+                        var n = in.read(buf)
+                        while (n > 0) {
+                          raf.getChannel.write(
+                            java.nio.ByteBuffer.wrap(buf, 0, n), pos)
+                          pos += n
+                          n = in.read(buf)
+                        }
+                        val got = pos - off
+                        if (got != len) throw new java.io.IOException(
+                          s"$url range [$off,+$len): got $got bytes")
+                        got
+                      } finally in.close()
+                    }
+                  })
+                }
+                val copied = futures.map(_.get()).sum
+                require(copied == total, s"$url: $copied of $total bytes")
+              } finally raf.close()
+              moveAtomic(tmp, dst)
+              (url, dst.toString, total, true)
+            } catch {
+              case e: Throwable =>
+                Files.deleteIfExists(tmp)
+                e match {
+                  case ee: java.util.concurrent.ExecutionException =>
+                    throw ee.getCause
+                  case _ => throw e
+                }
+            }
+          }
+        }
+      }
+      done
+    }.toDF("url", "dest", "n_bytes", "fetched")
+  }
 }

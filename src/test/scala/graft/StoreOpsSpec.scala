@@ -31,6 +31,52 @@ class StoreOpsSpec extends AnyFunSuite with SparkSpecBase {
     assert(r1.map(_.getLong(2)).sorted.toSeq == r2.map(_.getLong(2)).sorted.toSeq)
   }
 
+  test("fetchChunkedToDir: multi-connection range assembly, skip, failure cleanup") {
+    val src = Files.createTempDirectory("graft-chunk-src")
+    val work = Files.createTempDirectory("graft-chunk-work")
+    // a payload spanning MANY chunks with position-dependent bytes: any
+    // range landing at the wrong offset corrupts the content check
+    val big = Array.tabulate(100 * 1024 + 37)(i => (i * 31 + i / 251).toByte)
+    val p = src.resolve("data/big.bin")
+    Files.createDirectories(p.getParent)
+    Files.write(p, big)
+    val small = src.resolve("data/small.bin")
+    Files.write(small, Array[Byte](1, 2, 3)) // single sub-chunk file
+    val urls = Seq("file://" + p.toAbsolutePath,
+      "file://" + small.toAbsolutePath).toDF("url")
+    val r1 = Fetch.fetchChunkedToDir(urls, "url", work.toString,
+      chunkBytes = 8 * 1024, connections = 4)().collect()
+    assert(r1.length == 2 && r1.forall(_.getBoolean(3)))
+    val dstBig = work.resolve(p.toAbsolutePath.toString.dropWhile(_ == '/'))
+    assert(java.util.Arrays.equals(Files.readAllBytes(dstBig), big))
+    val dstSmall = work.resolve(small.toAbsolutePath.toString.dropWhile(_ == '/'))
+    assert(Files.readAllBytes(dstSmall).toSeq == Seq[Byte](1, 2, 3))
+    // idempotent rerun
+    val r2 = Fetch.fetchChunkedToDir(urls, "url", work.toString,
+      chunkBytes = 8 * 1024, connections = 4)().collect()
+    assert(r2.forall(r => !r.getBoolean(3)))
+    // a source lying about its size fails the range check and leaves no
+    // partial destination (temp cleaned, no dst)
+    val liar = new Fetch.RangeSource {
+      val real = Fetch.defaultRangeSource
+      def size(url: String): Long = real.size(url) + 10 // overclaims
+      def read(url: String, off: Long, len: Long) = real.read(url, off, len)
+    }
+    val fresh = Files.createTempDirectory("graft-chunk-fail")
+    val ex = intercept[org.apache.spark.SparkException] {
+      Fetch.fetchChunkedToDir(urls, "url", fresh.toString,
+        chunkBytes = 8 * 1024, connections = 2, retries = 0)(() => liar).collect()
+    }
+    assert(ex.getMessage.contains("bytes") || ex.getCause != null)
+    val leftovers = Files.walk(fresh).iterator()
+    var found = List.empty[String]
+    while (leftovers.hasNext) {
+      val f = leftovers.next()
+      if (Files.isRegularFile(f)) found ::= f.toString
+    }
+    assert(found.isEmpty, s"partial files left: $found")
+  }
+
   test("transient IO failures retry with backoff; success on retry, skip intact") {
     val src = Files.createTempDirectory("graft-flaky-src")
     val work = Files.createTempDirectory("graft-flaky-work")
