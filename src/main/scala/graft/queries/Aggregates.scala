@@ -76,15 +76,50 @@ object Aggregates {
        |  ${QueryUtil.safeAvgSql("value", 2)} AS mean_v, count(*) AS n
        |FROM events GROUP BY 1, 2 ORDER BY gy, gx""".stripMargin
 
+  /** q57: exact percentile profile — per-source p25/p50/p75/p95 of the
+    * document token-count distribution (the corpus-stats pass a data
+    * pipeline runs before choosing packing/filter thresholds). Spark's
+    * builtin exact `percentile` (linear interpolation at rank p·(n−1))
+    * matches DuckDB's `quantile_cont` definitionally; one aggregation
+    * shuffle, sort-based holistic state bounded per (source) group. */
+  def q57Percentiles(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.Tables.documents(s, d)
+      .select($"source",
+        size(graft.functions.TextFunctions.tokens($"text")).cast("double").as("n"))
+      .groupBy($"source")
+      .agg(expr("percentile(n, array(0.25, 0.5, 0.75, 0.95))").as("ps"),
+        count(lit(1)).as("n_docs"))
+      .select($"source",
+        graft.functions.TextFunctions.roundp($"ps"(0), 6).as("p25"),
+        graft.functions.TextFunctions.roundp($"ps"(1), 6).as("p50"),
+        graft.functions.TextFunctions.roundp($"ps"(2), 6).as("p75"),
+        graft.functions.TextFunctions.roundp($"ps"(3), 6).as("p95"),
+        $"n_docs")
+      .orderBy($"source")
+  }
+
+  val q57Sql: String = {
+    def q(p: String, as: String) =
+      DuckSql.roundpSql(s"quantile_cont(n, $p)", 6) + s" AS $as"
+    s"""SELECT source, ${q("0.25", "p25")}, ${q("0.5", "p50")},
+       |  ${q("0.75", "p75")}, ${q("0.95", "p95")}, count(*) AS n_docs
+       |FROM (SELECT source, len(${DuckSql.tokensSql})::DOUBLE AS n
+       |      FROM documents)
+       |GROUP BY source ORDER BY source""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q19_masked_mean"   -> (q19MaskedMean _),
     "q20_masked_median" -> (q20MaskedMedian _),
     "q21_coarsen"       -> (q21Coarsen _),
+    "q57_percentiles"   -> (q57Percentiles _),
   )
 
   val oracles: Map[String, String] = Map(
     "q19_masked_mean"   -> q19Sql,
     "q20_masked_median" -> q20Sql,
     "q21_coarsen"       -> q21Sql,
+    "q57_percentiles"   -> q57Sql,
   )
 }
