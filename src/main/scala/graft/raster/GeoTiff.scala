@@ -199,6 +199,11 @@ object GeoTiff {
     val bb = ByteBuffer.wrap(raw).order(order)
     (fi.bits, fi.sampleFormat) match {
       case (32, 3) => val a = new Array[Float](samplesPerTile); bb.asFloatBuffer().get(a); a
+      case (64, 3) => Array.tabulate(samplesPerTile)(i => bb.getDouble(i * 8).toFloat)
+      // sampleFormat 2 = SIGNED integer (TIFF 6.0 §19) — decoding it
+      // unsigned silently corrupts negative values (e.g. temperature DNs)
+      case (8, 2)  => Array.tabulate(samplesPerTile)(i => bb.get(i).toFloat)
+      case (16, 2) => Array.tabulate(samplesPerTile)(i => bb.getShort(i * 2).toFloat)
       case (8, _)  => Array.tabulate(samplesPerTile)(i => java.lang.Byte.toUnsignedInt(bb.get(i)).toFloat)
       case (16, _) => Array.tabulate(samplesPerTile)(i => java.lang.Short.toUnsignedInt(bb.getShort(i * 2)).toFloat)
       case (32, _) => Array.tabulate(samplesPerTile)(i => bb.getInt(i * 4).toFloat)

@@ -101,6 +101,29 @@ class GeoTiffSpec extends AnyFunSuite {
       Seq(1f, 2f, 3f, 4f, 5f, 6f, 7f, 8f))
   }
 
+  test("signed int16 samples decode with their sign (SampleFormat=2)") {
+    // hand-build a little-endian striped int16 TIFF, 2x2, one strip, with
+    // negative DNs — the unsigned path would read -5 as 65531
+    val bb = java.nio.ByteBuffer.allocate(256).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('I'.toByte).put('I'.toByte).putShort(42).putInt(8)
+    bb.position(8); bb.putShort(9)
+    def entry(tag: Int, typ: Int, count: Int, value: Int): Unit = {
+      bb.putShort(tag.toShort).putShort(typ.toShort).putInt(count)
+      if (typ == 3) { bb.putShort(value.toShort); bb.putShort(0) } else bb.putInt(value)
+    }
+    entry(256, 4, 1, 2); entry(257, 4, 1, 2)   // 2x2
+    entry(258, 3, 1, 16); entry(259, 3, 1, 1)  // 16-bit, uncompressed
+    entry(273, 4, 1, 180)                      // one strip at 180
+    entry(277, 3, 1, 1); entry(278, 4, 1, 2)   // 1 band, 2 rows/strip
+    entry(279, 4, 1, 8)                        // 8 bytes
+    entry(339, 3, 1, 2)                        // SampleFormat = signed int
+    bb.putInt(0) // next IFD
+    bb.position(180)
+    Seq[Short](-5, 7, -32768, 32767).foreach(bb.putShort)
+    val got = GeoTiff.readBand(bb.array(), 0).toSeq
+    assert(got == Seq(-5f, 7f, -32768f, 32767f), got)
+  }
+
   test("COG overviews: IFD chain of nearest-decimated levels, full res intact") {
     val (w, h) = (64, 48)
     val b0 = band(w, h, 5)
