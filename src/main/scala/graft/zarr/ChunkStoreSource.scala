@@ -46,23 +46,29 @@ object ChunkStoreSource {
   final case class Key(time: Int, band: Int, cy: Int, cx: Int)
 
   /** Detected store layout: chunk directory, decompressed chunk size
-    * (0 = raw float32 files), decompression codec, and whether chunk keys
-    * are nested directories (Zarr v3 default encoding) or flat names.
-    * Key layout and codec are INDEPENDENT spec dimensions — kept as
-    * separate fields so a future codec variant cannot break listing. */
+    * (0 = raw float32 files), decompression codec, whether chunk keys
+    * are nested directories (Zarr v3 default encoding) or flat names,
+    * and — for a v3 `sharding_indexed` array — the chunks-per-shard
+    * factors (listed keys are then SHARD coordinates; inner chunks live
+    * behind each shard's trailing index). Key layout and codec are
+    * INDEPENDENT spec dimensions — kept as separate fields so a future
+    * codec variant cannot break listing. */
   final case class StoreLayout(dir: String, inflateTo: Int, codec: String,
-                               nestedKeys: Boolean)
+                               nestedKeys: Boolean,
+                               shard: Option[(Int, Int)] = None)
 
   /** Store layout detection: the raw layout keeps chunks under `c/`
     * (flat `t.b.cy.cx` names); a Zarr v2 store under `<var>/` beside
     * `.zarray` (zlib, flat dot keys); a Zarr v3 store under
     * `<var>/c/<t>/<b>/<cy>/<cx>` beside `zarr.json` (gzip codec, nested
-    * default chunk-key encoding). One source serves all three, so both
-    * externally-readable Zarr formats get the same plan-time pruning. */
+    * default chunk-key encoding), plain OR sharded. One source serves
+    * all of them, so every externally-readable layout gets the same
+    * plan-time pruning. */
   def layout(root: String): StoreLayout = {
     if (Files.exists(Paths.get(root, "data", "zarr.json"))) {
-      val g = ZarrStoreV3.readGrid(root)
-      StoreLayout(s"$root/data/c", g.chunkY * g.chunkX * 4, "gzip", nestedKeys = true)
+      val l = ZarrStoreV3.readLayout(root)
+      StoreLayout(s"$root/data/c", l.grid.chunkY * l.grid.chunkX * 4, "gzip",
+        nestedKeys = true, shard = l.shard)
     } else if (Files.exists(Paths.get(root, "data", ".zarray"))) {
       val g = ZarrStore.readGrid(root)
       StoreLayout(s"$root/data", g.chunkY * g.chunkX * 4, "zlib", nestedKeys = false)
@@ -205,11 +211,30 @@ class ChunkScan(root: String, filters: Array[Filter], maxPartitionBytes: Long)
   override def planInputPartitions(): Array[InputPartition] = {
     val l = ChunkStoreSource.layout(root)
     val (inflateTo, codec) = (l.inflateTo, l.codec)
+    // Plain layout: listed keys ARE row keys — pruning is exact here.
+    // Sharded layout: listed keys are SHARD coords; a shard survives when
+    // ANY of its inner keys satisfies the filters (exact existence test by
+    // enumerating the ≤ sy·sx inner keys), and the reader re-applies the
+    // filters per inner chunk — the pushdown contract (accepted == fully
+    // enforced) holds end to end, pruning just moves to shard granularity
+    // at plan time.
+    def keepFile(k: ChunkStoreSource.Key): Boolean = l.shard match {
+      case None => filters.forall(ChunkStoreSource.keep(_, k))
+      case Some((sy, sx)) =>
+        (0 until sy).exists { iy =>
+          (0 until sx).exists { ix =>
+            val inner = ChunkStoreSource.Key(k.time, k.band,
+              k.cy * sy + iy, k.cx * sx + ix)
+            filters.forall(ChunkStoreSource.keep(_, inner))
+          }
+        }
+    }
     val files = ChunkStoreSource.listKeys(root)
-      .filter { case (k, _) => filters.forall(ChunkStoreSource.keep(_, k)) }
+      .filter { case (k, _) => keepFile(k) }
       .sortBy { case (k, _) => (k.time, k.band, k.cy, k.cx) }
     if (files.isEmpty)
-      return Array(ChunkInputPartition(Array.empty, inflateTo, codec))
+      return Array(ChunkInputPartition(Array.empty, inflateTo, codec,
+        l.shard, filters))
     val sized = files.map { f =>
       (f, try Files.size(Paths.get(f._2)) catch { case _: Exception => 0L })
     }
@@ -225,12 +250,14 @@ class ChunkScan(root: String, filters: Array[Filter], maxPartitionBytes: Long)
     for ((f, sz) <- sized) {
       val cost = math.max(sz, openCost)
       if (curN > 0 && curBytes + cost > budget) {
-        parts += ChunkInputPartition(cur.result(), inflateTo, codec)
+        parts += ChunkInputPartition(cur.result(), inflateTo, codec,
+          l.shard, filters)
         cur.clear(); curBytes = 0L; curN = 0
       }
       cur += f; curBytes += cost; curN += 1
     }
-    if (curN > 0) parts += ChunkInputPartition(cur.result(), inflateTo, codec)
+    if (curN > 0) parts += ChunkInputPartition(cur.result(), inflateTo, codec,
+      l.shard, filters)
     parts.result()
   }
   override def createReaderFactory(): PartitionReaderFactory = ChunkReaderFactory
@@ -238,15 +265,99 @@ class ChunkScan(root: String, filters: Array[Filter], maxPartitionBytes: Long)
 
 /** `inflateTo` > 0 marks compressed (Zarr) payloads of that decompressed
   * byte size; 0 = raw float32 files. `codec` picks the decompressor:
-  * "zlib" (Zarr v2 compressor) or "gzip" (Zarr v3 codec, RFC 1952). */
+  * "zlib" (Zarr v2 compressor) or "gzip" (Zarr v3 codec, RFC 1952).
+  * `shard` = (chunksY, chunksX) per shard when files are v3 shards — the
+  * reader then walks each shard's trailing index and re-applies `filters`
+  * per inner chunk (exactness half of the pushdown contract). */
 final case class ChunkInputPartition(
     files: Array[(ChunkStoreSource.Key, String)], inflateTo: Int = 0,
-    codec: String = "raw")
+    codec: String = "raw", shard: Option[(Int, Int)] = None,
+    filters: Array[Filter] = Array.empty)
     extends InputPartition
 
 object ChunkReaderFactory extends PartitionReaderFactory {
+
+  private def gunzipExact(raw: Array[Byte], from: Int, len: Int,
+                          inflateTo: Int, what: String): Array[Byte] = {
+    val in = new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(raw, from, len))
+    try {
+      val b = in.readNBytes(inflateTo)
+      val exhausted = in.read() == -1
+      if (b.length != inflateTo || !exhausted)
+        throw new java.io.IOException(
+          s"gzip chunk $what: expected $inflateTo bytes, " +
+            s"got ${b.length}${if (exhausted) "" else " plus trailing data"}")
+      b
+    } finally in.close()
+  }
+
+  private def floatsRow(k: ChunkStoreSource.Key, bytes: Array[Byte]): InternalRow = {
+    val floats = new Array[Float](bytes.length / 4)
+    ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+      .asFloatBuffer().get(floats)
+    new GenericInternalRow(Array[Any](
+      k.time, k.band, k.cy, k.cx,
+      new GenericArrayData(floats.map(f => f: Any))))
+  }
+
+  /** Sharded read: walk the shard's trailing index — nInner (offset,
+    * nbytes) u64 LE pairs + a crc32c of the index bytes (verified: a
+    * corrupt index must fail HERE with the shard path) — gunzip each
+    * present inner chunk, and re-apply the pushed filters per inner key
+    * (the exactness half of the shard pushdown contract). */
+  private def shardRows(k: ChunkStoreSource.Key, path: String, sy: Int,
+                        sx: Int, inflateTo: Int,
+                        filters: Array[Filter]): Iterator[InternalRow] = {
+    val raw = Files.readAllBytes(Paths.get(path))
+    val nInner = sy * sx
+    val idxLen = nInner * 16 + 4
+    if (raw.length < idxLen)
+      throw new java.io.IOException(
+        s"shard $path: ${raw.length} bytes < index size $idxLen")
+    val idxOff = raw.length - idxLen
+    val crc = new java.util.zip.CRC32C()
+    crc.update(raw, idxOff, nInner * 16)
+    val bb = ByteBuffer.wrap(raw, idxOff, idxLen).order(ByteOrder.LITTLE_ENDIAN)
+    val slots = Array.fill(nInner)((bb.getLong(), bb.getLong()))
+    val stored = bb.getInt()
+    if (stored != crc.getValue.toInt)
+      throw new java.io.IOException(
+        s"shard $path: index crc32c mismatch (stored $stored, computed ${crc.getValue.toInt})")
+    (0 until nInner).iterator.flatMap { i =>
+      val (off, len) = slots(i)
+      if (off == -1L && len == -1L) Iterator.empty // absent inner chunk
+      else {
+        val inner = ChunkStoreSource.Key(k.time, k.band,
+          k.cy * sy + i / sx, k.cx * sx + i % sx)
+        if (!filters.forall(ChunkStoreSource.keep(_, inner))) Iterator.empty
+        else Iterator.single(floatsRow(inner,
+          gunzipExact(raw, off.toInt, len.toInt, inflateTo,
+            s"$path[inner $i]")))
+      }
+    }
+  }
+
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val part = p.asInstanceOf[ChunkInputPartition]
+    part.shard match {
+      case Some((sy, sx)) =>
+        val rows = part.files.iterator.flatMap { case (k, path) =>
+          shardRows(k, path, sy, sx, part.inflateTo, part.filters)
+        }
+        new PartitionReader[InternalRow] {
+          private var row: InternalRow = _
+          override def next(): Boolean = {
+            if (!rows.hasNext) false else { row = rows.next(); true }
+          }
+          override def get(): InternalRow = row
+          override def close(): Unit = ()
+        }
+      case None => plainReader(part)
+    }
+  }
+
+  private def plainReader(part: ChunkInputPartition): PartitionReader[InternalRow] = {
     val files = part.files
     new PartitionReader[InternalRow] {
       private var i = -1
@@ -256,21 +367,11 @@ object ChunkReaderFactory extends PartitionReaderFactory {
         val raw = Files.readAllBytes(Paths.get(path))
         val bytes =
           if (part.inflateTo == 0) raw
-          else if (part.codec == "gzip") {
-            val in = new java.util.zip.GZIPInputStream(
-              new java.io.ByteArrayInputStream(raw))
-            // a truncated chunk must fail HERE with the chunk path, not
-            // surface later as a confusing float-decode length mismatch
-            try {
-              val b = in.readNBytes(part.inflateTo)
-              val exhausted = in.read() == -1
-              if (b.length != part.inflateTo || !exhausted)
-                throw new java.io.IOException(
-                  s"gzip chunk $path: expected ${part.inflateTo} bytes, " +
-                    s"got ${b.length}${if (exhausted) "" else " plus trailing data"}")
-              b
-            } finally in.close()
-          } else {
+          else if (part.codec == "gzip")
+            // truncation fails HERE with the chunk path, not as a
+            // confusing float-decode length mismatch downstream
+            gunzipExact(raw, 0, raw.length, part.inflateTo, path)
+          else {
             val inf = new java.util.zip.Inflater()
             inf.setInput(raw)
             val out = new Array[Byte](part.inflateTo)
@@ -280,12 +381,7 @@ object ChunkReaderFactory extends PartitionReaderFactory {
             inf.end()
             out
           }
-        val floats = new Array[Float](bytes.length / 4)
-        ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
-          .asFloatBuffer().get(floats)
-        new GenericInternalRow(Array[Any](
-          k.time, k.band, k.cy, k.cx,
-          new GenericArrayData(floats.map(f => f: Any))))
+        floatsRow(k, bytes)
       }
       override def close(): Unit = ()
     }

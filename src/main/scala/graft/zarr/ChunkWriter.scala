@@ -24,7 +24,7 @@ private[zarr] object ChunkWriter {
     out.toByteArray
   }
 
-  private def gzip(bytes: Array[Byte]): Array[Byte] = {
+  private[zarr] def gzip(bytes: Array[Byte]): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream(bytes.length / 2 + 64)
     val out = new java.util.zip.GZIPOutputStream(bos) {
       `def`.setLevel(1) // declared codec level

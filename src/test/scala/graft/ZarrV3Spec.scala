@@ -92,4 +92,107 @@ class ZarrV3Spec extends AnyFunSuite with SparkSpecBase {
     val got = df.collect().map(r => r.getSeq[Float](4).head).toSet
     assert(got == Set(100f, 110f))
   }
+
+  test("sharded store: metadata, round-trip, partial shards, idempotence") {
+    val root = Files.createTempDirectory("graft-zarr3-shard").toString
+    // 6x6 grid of 2x2 inner chunks (3x3 inner grid), 2x2 chunks per shard
+    val g = GridDef(1, 1, 6, 6, 2, 2, 4)
+    ZarrStoreV3.initSharded(root, g, shardChunksY = 2, shardChunksX = 2)
+    val za = Files.readString(Paths.get(root, "data", "zarr.json"))
+    for (frag <- Seq(
+        "\"chunk_grid\":{\"name\":\"regular\",\"configuration\":{\"chunk_shape\":[1,1,4,4]}}",
+        "\"name\":\"sharding_indexed\"",
+        "\"chunk_shape\":[1,1,2,2]",
+        "{\"name\":\"crc32c\"}",
+        "\"index_location\":\"end\""))
+      assert(za.contains(frag), s"missing $frag in $za")
+    assert(ZarrStoreV3.readLayout(root) ==
+      ZarrStoreV3.V3Layout(g, Some((2, 2))))
+    // inner grid is 3x3: shard (0,0) holds inner (0..1)x(0..1) fully;
+    // shards (0,1)/(1,0)/(1,1) are PARTIAL (inner row/col 2 only)
+    val rows = for (cy <- 0 to 2; cx <- 0 to 2; if (cy, cx) != ((1, 1)))
+      yield ChunkRow(0, 0, cy, cx, Array.fill(4)((cy * 10 + cx).toFloat))
+    ZarrStoreV3.writeSharded(rows.toDS(), root)
+    // shard files keyed by SHARD coords
+    assert(Files.exists(Paths.get(root, "data", "c", "0", "0", "0", "0")))
+    assert(Files.exists(Paths.get(root, "data", "c", "0", "0", "1", "1")))
+    assert(!Files.exists(Paths.get(root, "data", "c", "0", "0", "2", "2")))
+    val back = ZarrStoreV3.read(spark, root).collect()
+      .map(r => (r.cy, r.cx) -> r.data.head).toMap
+    assert(back.size == 8) // (1,1) was never written, absent not NaN-filled
+    assert(rows.forall(r => back((r.cy, r.cx)) == (r.cy * 10 + r.cx).toFloat))
+    assert(!back.contains((1, 1)))
+    // idempotent rewrite of one shard
+    ZarrStoreV3.writeSharded(rows.filter(r => r.cy < 2 && r.cx < 2).toDS(), root)
+    assert(ZarrStoreV3.read(spark, root).collect().length == 8)
+  }
+
+  test("sharded store: external decode per the sharding-indexed spec") {
+    val root = Files.createTempDirectory("graft-zarr3-shardx").toString
+    val g = GridDef(1, 1, 4, 4, 2, 2, 4)
+    ZarrStoreV3.initSharded(root, g, 2, 2)
+    // write 3 of the 4 inner chunks of the single shard
+    val rows = Seq(
+      ChunkRow(0, 0, 0, 0, Array(1f, 2f, 3f, 4f)),
+      ChunkRow(0, 0, 0, 1, Array(5f, 6f, 7f, 8f)),
+      ChunkRow(0, 0, 1, 1, Array(9f, 10f, 11f, 12f)))
+    ZarrStoreV3.writeSharded(rows.toDS(), root)
+    val raw = Files.readAllBytes(Paths.get(root, "data", "c", "0", "0", "0", "0"))
+    // index: 4 inner slots x 16 bytes + 4-byte crc32c, at the END
+    val idxOff = raw.length - (4 * 16 + 4)
+    val bb = ByteBuffer.wrap(raw, idxOff, 4 * 16 + 4).order(ByteOrder.LITTLE_ENDIAN)
+    val slots = Array.fill(4)((bb.getLong(), bb.getLong()))
+    val crc = new java.util.zip.CRC32C()
+    crc.update(raw, idxOff, 4 * 16)
+    assert(bb.getInt() == crc.getValue.toInt, "crc32c of the index bytes")
+    // inner order is lexicographic (iy, ix): slots 0,1,3 present, 2 absent
+    assert(slots(2) == ((-1L, -1L)), "missing chunk = u64-max pair")
+    for ((slot, expect) <- Seq(slots(0) -> Seq(1f, 2f, 3f, 4f),
+        slots(1) -> Seq(5f, 6f, 7f, 8f), slots(3) -> Seq(9f, 10f, 11f, 12f))) {
+      val (off, len) = slot
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(raw, off.toInt, len.toInt))
+      val out = try in.readAllBytes() finally in.close()
+      val fs = new Array[Float](4)
+      ByteBuffer.wrap(out).order(ByteOrder.LITTLE_ENDIAN).asFloatBuffer().get(fs)
+      assert(fs.toSeq == expect, s"slot $slot")
+    }
+  }
+
+  test("sharded store: shard-level pruning + exact inner filtering") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    import org.apache.spark.sql.functions.col
+    val root = Files.createTempDirectory("graft-zarr3-shardp").toString
+    val g = GridDef(1, 1, 8, 8, 2, 2, 4) // 4x4 inner grid, 2x2 shards
+    ZarrStoreV3.initSharded(root, g, 2, 2)
+    val rows = for (cy <- 0 to 3; cx <- 0 to 3)
+      yield ChunkRow(0, 0, cy, cx, Array.fill(4)((cy * 10 + cx).toFloat))
+    ZarrStoreV3.writeSharded(rows.toDS(), root)
+    // cy==3 && cx==0 lives in shard (1,0): exactly ONE shard file planned,
+    // and exactly one ROW survives (reader re-applies filters per inner)
+    val df = spark.read.format("graft.zarr.ChunkStoreSource").load(root)
+      .filter(col("cy") === 3 && col("cx") === 0)
+    val b = df.queryExecution.sparkPlan.collect { case s: BatchScanExec => s }
+    val parts = b.head.inputPartitions.map(_.asInstanceOf[graft.zarr.ChunkInputPartition])
+    assert(parts.map(_.files.length).sum == 1,
+      s"shard pruning should plan 1 shard file, got ${parts.map(_.files.length).sum}")
+    val got = df.collect()
+    assert(got.length == 1 && got.head.getInt(2) == 3 && got.head.getInt(3) == 0)
+    assert(got.head.getSeq[Float](4).head == 30f)
+    // cy>=2 && cx<=1 is exactly shard (1,0): one file, all 4 inner rows
+    val df2 = spark.read.format("graft.zarr.ChunkStoreSource").load(root)
+      .filter(col("cy") >= 2 && col("cx") <= 1)
+    val b2 = df2.queryExecution.sparkPlan.collect { case s: BatchScanExec => s }
+    assert(b2.head.inputPartitions.map(
+      _.asInstanceOf[graft.zarr.ChunkInputPartition].files.length).sum == 1)
+    assert(df2.count() == 4)
+    // a predicate crossing the shard boundary (cy 1..2) touches BOTH shard
+    // rows in cx<=1: two files planned, exactly 4 inner rows survive
+    val df3 = spark.read.format("graft.zarr.ChunkStoreSource").load(root)
+      .filter(col("cy") >= 1 && col("cy") <= 2 && col("cx") <= 1)
+    val b3 = df3.queryExecution.sparkPlan.collect { case s: BatchScanExec => s }
+    assert(b3.head.inputPartitions.map(
+      _.asInstanceOf[graft.zarr.ChunkInputPartition].files.length).sum == 2)
+    assert(df3.count() == 4)
+  }
 }
