@@ -140,7 +140,12 @@ object ZarrStoreV3 {
   /** S9-idempotent parallel chunk writes in Zarr v3 encoding (shared body:
     * ChunkWriter — NaN edge-pad, LE float32, gzip, nested keys). */
   def write(ds: Dataset[ChunkRow], root: String, varName: String = "data"): Unit = {
-    val g = readGrid(root, varName)
+    val l = readLayout(root, varName)
+    // plain chunk files in a sharded-metadata store would be unreadable
+    // (readers expect shard indexes) — route to writeSharded instead
+    require(l.shard.isEmpty,
+      s"$root/$varName is a sharded array: use writeSharded")
+    val g = l.grid
     ChunkWriter.write(ds, s"$root/$varName", g.chunkY * g.chunkX,
       nestedKeys = true, gzipCodec = true)
   }
@@ -161,7 +166,10 @@ object ZarrStoreV3 {
     * contract as the unsharded path). */
   def writeSharded(ds: Dataset[ChunkRow], root: String,
                    varName: String = "data"): Unit = {
-    val V3Layout(g, Some((sy, sx))) = readLayout(root, varName): @unchecked
+    val l = readLayout(root, varName)
+    require(l.shard.isDefined,
+      s"$root/$varName is not sharded: use write (or initSharded first)")
+    val (g, (sy, sx)) = (l.grid, l.shard.get)
     val fullLen = g.chunkY * g.chunkX
     val varDir = s"$root/$varName"
     val spark = ds.sparkSession
