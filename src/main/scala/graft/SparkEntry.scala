@@ -37,7 +37,8 @@ object SparkEntry {
     graft.queries.DedupQueries.queries ++
     graft.queries.SimilarityQueries.queries ++
     graft.queries.PipelineQueries.queries ++
-    graft.queries.AdvancedQueries.queries
+    graft.queries.AdvancedQueries.queries ++
+    graft.queries.SketchQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -49,5 +50,6 @@ object SparkEntry {
     graft.queries.DedupQueries.oracles ++
     graft.queries.SimilarityQueries.oracles ++
     graft.queries.PipelineQueries.oracles ++
-    graft.queries.AdvancedQueries.oracles
+    graft.queries.AdvancedQueries.oracles ++
+    graft.queries.SketchQueries.oracles
 }

@@ -356,4 +356,49 @@ object Dedup {
       .select(PackedPair.idA(col("pair")).as("id_a"),
         PackedPair.idB(col("pair")).as("id_b"), col("hamming"))
   }
+
+  /** Exact-substring overlap pairs: documents sharing ≥1 identical
+    * character window of length `winLen` — the k-gram fingerprint
+    * formulation of suffix-based exact-substring dedup (the "50-token
+    * exact match" criterion of Lee et al., "Deduplicating Training Data
+    * Makes Language Models Better", ACL '22, which builds a suffix array;
+    * the distributed equivalent indexes every length-L window and joins).
+    *
+    * Plan: explode each doc into its distinct L-windows (docs shorter than
+    * L contribute nothing), equi-join the inverted index with itself on
+    * the window, aggregate per pair. Same two-shuffle shape as
+    * [[jaccardPairs]], with the same `maxDf` guard: a window appearing in
+    * d docs yields d²/2 join rows, so boilerplate windows (license
+    * headers…) are dropped from the comparison universe once they exceed
+    * the cap. At 100 TB you would join on a 64-bit window hash and verify
+    * the characters per candidate; the fixture joins on the window itself
+    * so the DuckDB oracle is exact with zero collision caveats. */
+  def substringPairs(df: DataFrame, id: String, text: String, winLen: Int,
+                     maxDf: Option[Int] = None): DataFrame = {
+    require(winLen >= 2)
+    val t = col(text)
+    val wins0 = df.select(col(id).cast("long").as("doc_id"),
+        explode(when(length(t) >= winLen, // sequence(1, n<1) would count DOWN
+          transform(sequence(lit(1), length(t) - (winLen - 1)),
+            i => substr(t, i, lit(winLen))))
+          .otherwise(array().cast("array<string>"))).as("sub"))
+      .distinct()
+    val wins = maxDf match {
+      case Some(cap) =>
+        val hot = wins0.groupBy("sub").count().filter(col("count") > cap)
+          .select("sub")
+        wins0.join(hot, Seq("sub"), "left_anti")
+      case None => wins0
+    }
+    val inv = ScratchCache.register(wins.persist()) // self-joined
+    inv.as("a").join(inv.as("b").hint("SHUFFLE_HASH"),
+        col("a.sub") === col("b.sub") && col("a.doc_id") < col("b.doc_id"))
+      .select(PackedPair.pack(col("a.doc_id"), col("b.doc_id")).as("pair"),
+        col("a.sub").as("sub"))
+      .groupBy(col("pair"))
+      .agg(count(lit(1)).as("shared"), min(col("sub")).as("example"))
+      .select(PackedPair.idA(col("pair")).as("id_a"),
+        PackedPair.idB(col("pair")).as("id_b"),
+        col("shared"), col("example"))
+  }
 }

@@ -1,0 +1,205 @@
+package graft.ops
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Mergeable one-pass sketches for corpus-scale profiling (the 100 TB
+  * companion to the exact holistic aggregates in q20/q57): a deterministic
+  * KLL-style quantile sketch and a Misra-Gries heavy-hitters summary.
+  *
+  * Both are ALGEBRAIC in Spark's sense — constant-size state, an
+  * order-insensitive-bounded `merge` — so they run as hash aggregates with
+  * map-side partial combine: each task ships one ≤ O(k log n) summary, the
+  * reduce side merges summaries, and no value list is ever collected. That
+  * is the property the exact forms (sort-based percentile, full groupBy
+  * word counts) give up at scale, where the per-group value mass exceeds
+  * executor memory.
+  *
+  * Determinism: both sketches avoid randomness (KLL's coin-flip compaction
+  * offset is replaced by per-level parity alternation — the classic
+  * deterministic even/odd compactor, same O(log(n/k)·n/k) worst-case rank
+  * error up to constants; Misra-Gries is deterministic by construction), so
+  * reruns over the same partitioning reproduce the same summary, and error
+  * GUARANTEES (not expectations) back the oracle checks in q59/q61.
+  */
+object Sketches {
+
+  /** Deterministic KLL-style quantile sketch.
+    *
+    * Levels of capacity-`k` buffers; an item at level i carries weight 2^i.
+    * A full buffer sorts and promotes alternate items (parity flips per
+    * compaction so consecutive compactions cancel bias) to the level above.
+    * Worst-case rank error after all compactions is bounded by
+    * Σ_i 2^i · (#compactions at level i) ≤ levels · n / k — with k = 256
+    * that is < 1.5 % of n for any n ≤ 10⁹ (levels ≤ 22 never materialize:
+    * level count grows as log₂(n/k)). Merge concatenates per-level buffers
+    * and re-compacts bottom-up — the bound is on TOTAL compactions, so it
+    * survives arbitrary merge trees (mergeability per Agarwal et al.,
+    * "Mergeable Summaries", PODS '12).
+    */
+  final class KllSketch(val k: Int) extends Serializable {
+    require(k >= 8, s"capacity $k too small")
+    var n: Long = 0L
+    var levels: ArrayBuffer[ArrayBuffer[Double]] = ArrayBuffer(ArrayBuffer.empty)
+    var parity: ArrayBuffer[Boolean] = ArrayBuffer(false)
+
+    def insert(x: Double): Unit = {
+      levels(0) += x
+      n += 1
+      if (levels(0).length >= k) compact(0)
+    }
+
+    private def ensureLevel(i: Int): Unit =
+      while (levels.length <= i) { levels += ArrayBuffer.empty; parity += false }
+
+    private def compact(i: Int): Unit = {
+      ensureLevel(i + 1)
+      val buf = levels(i)
+      val sorted = buf.toArray
+      java.util.Arrays.sort(sorted)
+      val off = if (parity(i)) 1 else 0
+      parity(i) = !parity(i)
+      var j = off
+      val up = levels(i + 1)
+      while (j < sorted.length) { up += sorted(j); j += 2 }
+      buf.clear()
+      if (up.length >= k) compact(i + 1)
+    }
+
+    def merge(o: KllSketch): KllSketch = {
+      n += o.n
+      ensureLevel(o.levels.length - 1)
+      var i = 0
+      while (i < o.levels.length) { levels(i) ++= o.levels(i); i += 1 }
+      i = 0
+      while (i < levels.length) { // bottom-up: promotions cascade upward
+        if (levels(i).length >= k) compact(i)
+        i += 1
+      }
+      this
+    }
+
+    /** All retained (value, weight) pairs, sorted by value. */
+    def weighted: Array[(Double, Long)] = {
+      val out = ArrayBuffer.empty[(Double, Long)]
+      var i = 0
+      while (i < levels.length) {
+        val w = 1L << i
+        levels(i).foreach(v => out += ((v, w)))
+        i += 1
+      }
+      out.sortBy(_._1).toArray
+    }
+
+    /** Estimated p-quantile: the smallest retained value whose cumulative
+      * weight reaches ceil(p·n). */
+    def quantile(p: Double): Double = {
+      require(p > 0 && p <= 1, s"p=$p out of (0,1]")
+      val items = weighted
+      require(items.nonEmpty, "empty sketch")
+      val target = math.max(1L, math.ceil(p * n).toLong)
+      var cum = 0L
+      var i = 0
+      while (i < items.length) {
+        cum += items(i)._2
+        if (cum >= target) return items(i)._1
+        i += 1
+      }
+      items.last._1
+    }
+  }
+
+  /** Typed Aggregator: value column → (n, quantile estimates at `ps`).
+    * The buffer is the sketch object itself (object hash aggregation keeps
+    * it deserialized between rows; Java serialization only crosses the
+    * partial/final shuffle, like a production sketch's binary image). */
+  final class KllAgg(k: Int, ps: Seq[Double])
+      extends Aggregator[Double, KllSketch, (Long, Seq[Double])] {
+    override def zero: KllSketch = new KllSketch(k)
+    override def reduce(b: KllSketch, x: Double): KllSketch = { b.insert(x); b }
+    override def merge(a: KllSketch, b: KllSketch): KllSketch = a.merge(b)
+    override def finish(b: KllSketch): (Long, Seq[Double]) =
+      if (b.n == 0) (0L, Seq.empty) else (b.n, ps.map(b.quantile))
+    override def bufferEncoder: Encoder[KllSketch] =
+      Encoders.javaSerialization[KllSketch]
+    override def outputEncoder: Encoder[(Long, Seq[Double])] =
+      ExpressionEncoder[(Long, Seq[Double])]()
+  }
+
+  /** Misra-Gries heavy-hitters summary with `k` counters.
+    *
+    * Guarantee: every item with true frequency > n/(k+1) is present, and
+    * each stored count undercounts by at most n/(k+1). Merge adds counts
+    * and, when over capacity, subtracts the (k+1)-th largest count from all
+    * (Agarwal et al. '12) — the guarantee is preserved across any merge
+    * tree, so candidates from a distributed aggregation are a SUPERSET of
+    * the true heavy hitters; an exact counting pass over just the
+    * candidates then makes the final answer exact (see q61).
+    */
+  final class MisraGries(val k: Int) extends Serializable {
+    require(k >= 1)
+    var n: Long = 0L
+    val counters: java.util.HashMap[String, Long] = new java.util.HashMap
+
+    def insert(x: String): Unit = {
+      n += 1
+      val c = counters.get(x) // 0L when absent (unboxed default)
+      if (c > 0L || counters.containsKey(x)) counters.put(x, c + 1L)
+      else if (counters.size < k) counters.put(x, 1L)
+      else decrementAll()
+    }
+
+    private def decrementAll(): Unit = {
+      val it = counters.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getValue <= 1L) it.remove() else e.setValue(e.getValue - 1L)
+      }
+    }
+
+    def merge(o: MisraGries): MisraGries = {
+      n += o.n
+      val it = o.counters.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        counters.merge(e.getKey, e.getValue, (a, b) => a + b)
+      }
+      if (counters.size > k) {
+        // subtract the (k+1)-th largest count from every counter
+        val vals = new Array[Long](counters.size)
+        val vit = counters.values().iterator()
+        var i = 0
+        while (vit.hasNext) { vals(i) = vit.next(); i += 1 }
+        java.util.Arrays.sort(vals)
+        val cut = vals(vals.length - (k + 1)) // (k+1)-th largest
+        val eit = counters.entrySet().iterator()
+        while (eit.hasNext) {
+          val e = eit.next()
+          if (e.getValue <= cut) eit.remove() else e.setValue(e.getValue - cut)
+        }
+      }
+      this
+    }
+
+    def items: Seq[(String, Long)] = {
+      import scala.jdk.CollectionConverters._
+      counters.asScala.toSeq.map { case (s, c) => (s, c) }
+    }
+  }
+
+  /** Typed Aggregator: token column → (n, candidate (item, lowerCount)s). */
+  final class MisraGriesAgg(k: Int)
+      extends Aggregator[String, MisraGries, (Long, Seq[(String, Long)])] {
+    override def zero: MisraGries = new MisraGries(k)
+    override def reduce(b: MisraGries, x: String): MisraGries = { b.insert(x); b }
+    override def merge(a: MisraGries, b: MisraGries): MisraGries = a.merge(b)
+    override def finish(b: MisraGries): (Long, Seq[(String, Long)]) = (b.n, b.items)
+    override def bufferEncoder: Encoder[MisraGries] =
+      Encoders.javaSerialization[MisraGries]
+    override def outputEncoder: Encoder[(Long, Seq[(String, Long)])] =
+      ExpressionEncoder[(Long, Seq[(String, Long)])]()
+  }
+}

@@ -204,6 +204,32 @@ object AdvancedQueries {
        |  c_mktsegment
        |FROM customer ORDER BY c_custkey""".stripMargin
 
+  /** q60: semi-structured extraction — pull a typed field out of a JSON
+    * payload column and aggregate it relationally. `get_json_object` is a
+    * codegen'd native expression evaluated inside the scan's projection (no
+    * UDF, no whole-document parse materialized); the oracle is DuckDB's
+    * own JSON path extraction — two independent JSON parsers agreeing on
+    * the same typed result. */
+  def q60JsonExtract(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    events(s, d)
+      .select($"event_type",
+        get_json_object($"props", "$.k").cast("long").as("k"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"k").as("sum_k"),
+        min($"k").as("min_k"), max($"k").as("max_k"))
+      .orderBy($"event_type")
+  }
+
+  val q60Sql: String =
+    // sum(BIGINT) is HUGEINT in DuckDB — cast back (q38 lesson)
+    """SELECT event_type, count(*) AS n,
+      |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+      |    AS sum_k,
+      |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+      |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q35_knn_native"    -> (q35KnnNative _),
     "q36_sessionize"    -> (q36Sessionize _),
@@ -212,6 +238,7 @@ object AdvancedQueries {
     "q42_salted_agg"    -> (q42SaltedAgg _),
     "q46_stratified_sample" -> (q46StratifiedSample _),
     "q47_pseudonymize"  -> (q47Pseudonymize _),
+    "q60_json_extract"  -> (q60JsonExtract _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -222,5 +249,6 @@ object AdvancedQueries {
     "q42_salted_agg"    -> q42Sql,
     "q46_stratified_sample" -> q46Sql,
     "q47_pseudonymize"  -> q47Sql,
+    "q60_json_extract"  -> q60Sql,
   )
 }

@@ -157,6 +157,37 @@ object DedupQueries {
         |   OR id_b IN (SELECT doc_id FROM documents WHERE source = 'src0')
         |ORDER BY id_a, id_b""".stripMargin
 
+  /** Windows shared by more docs than this leave q58's comparison universe
+    * (both engines) — the boilerplate guard that keeps the window self-join
+    * from going quadratic on a hot license header. A no-op on the fixture
+    * (max window df is small); the value is the 100 TB bound. */
+  val Q58MaxDf = 1000
+
+  /** q58: exact-substring dedup — pairs of documents sharing ≥1 identical
+    * 30-character window, with the count of distinct shared windows and
+    * the lexicographically-first example. The distributed k-gram
+    * formulation of suffix-array exact-substring dedup. */
+  def q58SubstringDedup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Dedup.substringPairs(documents(s, d), "doc_id", "text", 30,
+        maxDf = Some(Q58MaxDf))
+      .orderBy($"id_a", $"id_b")
+  }
+
+  val q58Sql: String =
+    s"""WITH pos AS (
+       |  SELECT doc_id, text,
+       |    unnest(generate_series(1, greatest(length(text) - 29, 0))) AS i
+       |  FROM documents),
+       |w0 AS (SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 30) AS sub
+       |  FROM pos),
+       |w AS (SELECT doc_id, sub FROM w0 WHERE sub NOT IN
+       |  (SELECT sub FROM w0 GROUP BY sub HAVING count(*) > $Q58MaxDf))
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  count(*) AS shared, min(a.sub) AS example
+       |FROM w a JOIN w b ON a.sub = b.sub AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2 ORDER BY id_a, id_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q26_dedup_exact"    -> (q26Exact _),
     "q27_ngram_jaccard"  -> (q27NgramJaccard _),
@@ -164,6 +195,7 @@ object DedupQueries {
     "q29_simhash"        -> (q29Simhash _),
     "q51_dedup_groups"   -> (q51DedupGroups _),
     "q52_incremental_dedup" -> (q52IncrementalDedup _),
+    "q58_substring_dedup" -> (q58SubstringDedup _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -173,5 +205,6 @@ object DedupQueries {
     "q29_simhash"        -> q29Sql,
     "q51_dedup_groups"   -> q51Sql,
     "q52_incremental_dedup" -> q52Sql,
+    "q58_substring_dedup" -> q58Sql,
   )
 }

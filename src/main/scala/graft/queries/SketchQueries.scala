@@ -1,0 +1,105 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.{documents, events}
+import graft.functions.TextFunctions
+import graft.ops.Sketches
+
+/** Sketch-aggregate coverage: one-pass mergeable summaries (quantile
+  * sketch, heavy hitters) whose outputs are gated by STRONGER-than-usual
+  * oracles — q59 validates the sketch's rank-error guarantee with an exact
+  * in-engine rank pass (the oracle pins group sizes and asserts the bound
+  * held), and q61's sketch is candidate-generation only, with an exact
+  * counting pass making the final answer EQUAL to the brute-force SQL.
+  */
+object SketchQueries {
+
+  private val Q59Ps = Seq(0.01, 0.25, 0.5, 0.75, 0.99)
+  /** Validated rank tolerance. KllSketch(256)'s deterministic worst case is
+    * levels·n/k ranks ≈ 1.5 % of n at any realizable n (Sketches.scala) —
+    * 0.05 is a 3× safety margin on the GUARANTEE, not an observed error. */
+  private val Q59Eps = 0.05
+
+  /** q59: streaming-friendly quantile profile — a deterministic KLL-style
+    * sketch per event_type (one hash-aggregate pass, map-side combine,
+    * O(k·log n) state per group), then an exact rank pass over the same
+    * table validates every estimate: ok ⇔ the true rank interval of the
+    * estimate is within Q59Eps of p. The oracle pins (event_type, p, n)
+    * exactly and asserts ok = true — i.e. DuckDB confirms the error bound
+    * CLAIM, the engine proves it empirically. Contrast q57 (exact
+    * percentiles, sort-based): this is the form that survives groups whose
+    * value mass exceeds executor memory. */
+  def q59QuantileSketch(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = events(s, d).select($"event_type", $"value")
+    val sketched = ev.as[(String, Double)]
+      .groupByKey(_._1).mapValues(_._2)
+      .agg(new Sketches.KllAgg(256, Q59Ps).toColumn.name("q"))
+      .collect() // one row per event_type — bounded by group cardinality
+    val est = sketched.flatMap { case (et, (n, qs)) =>
+      Q59Ps.zip(qs).map { case (p, e) => (et, p, e) }
+    }.toSeq.toDF("event_type", "p", "est")
+    ev.join(broadcast(est), "event_type")
+      .groupBy($"event_type", $"p")
+      .agg(count(lit(1)).as("n"),
+        sum(when($"value" < $"est", 1L).otherwise(0L)).as("lo"),
+        sum(when($"value" <= $"est", 1L).otherwise(0L)).as("hi"))
+      .select($"event_type", $"p", $"n",
+        ($"p" >= $"lo" / $"n" - Q59Eps && $"p" <= $"hi" / $"n" + Q59Eps)
+          .as("ok"))
+      .orderBy($"event_type", $"p")
+  }
+
+  val q59Sql: String =
+    """SELECT event_type, p, count(*) AS n, true AS ok
+      |FROM events CROSS JOIN
+      |  (SELECT unnest([0.01, 0.25, 0.5, 0.75, 0.99]) AS p) ps
+      |GROUP BY event_type, p ORDER BY event_type, p""".stripMargin
+
+  /** Output threshold (fraction of all tokens) and sketch width for q61.
+    * Guarantee chain: MisraGries(512) retains every token with frequency
+    * > n/513 ≈ 0.195 % < 0.5 %, so the candidate set is a superset of the
+    * answer; the exact counting pass then filters with true counts —
+    * output ≡ the plain GROUP BY/HAVING oracle. */
+  private val Q61Phi = 0.005
+  private val Q61K = 512
+
+  /** q61: corpus heavy hitters — tokens exceeding 0.5 % of all tokens.
+    * Pass 1 is one Misra-Gries hash aggregate (map-side combine, ≤ k
+    * counters of state anywhere); pass 2 counts ONLY the ≤ k candidates
+    * exactly (map-side filter, shuffle bounded by k×partitions, versus the
+    * full-vocabulary shuffle of a naive GROUP BY — the scale win at 100 TB,
+    * where the vocabulary is billions of keys but candidates fit in a
+    * broadcast). */
+  def q61HeavyHitters(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = documents(s, d)
+      .select(explode(TextFunctions.tokens($"text")).as("w"))
+    val (n, cands) = toks.as[String]
+      .select(new Sketches.MisraGriesAgg(Q61K).toColumn.name("mg"))
+      .head()
+    val candidates = cands.map(_._1)
+    toks.filter($"w".isInCollection(candidates))
+      .groupBy($"w").agg(count(lit(1)).as("c"))
+      .filter($"c" > lit(n) * Q61Phi)
+      .orderBy($"c".desc, $"w")
+  }
+
+  val q61Sql: String =
+    s"""WITH tok AS (SELECT unnest(${DuckSql.tokensSql}) AS w FROM documents),
+       |tot AS (SELECT count(*) AS n FROM tok)
+       |SELECT w, count(*) AS c FROM tok, tot
+       |GROUP BY w, n HAVING count(*) > n * $Q61Phi
+       |ORDER BY c DESC, w""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q59_quantile_sketch" -> (q59QuantileSketch _),
+    "q61_heavy_hitters"   -> (q61HeavyHitters _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q59_quantile_sketch" -> q59Sql,
+    "q61_heavy_hitters"   -> q61Sql,
+  )
+}

@@ -1,0 +1,170 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, Sketches}
+
+/** KLL quantile sketch + Misra-Gries heavy hitters + exact-substring
+  * dedup: local guarantee properties, merge-tree invariance, and Spark
+  * parity against brute-force on the fixture. */
+class SketchSpec extends AnyFunSuite with SparkSpecBase {
+  import spark.implicits._
+
+  // ---- KllSketch -----------------------------------------------------
+
+  private def rankOf(sorted: Array[Double], v: Double): (Long, Long) = {
+    val lo = sorted.count(_ < v).toLong
+    val hi = sorted.count(_ <= v).toLong
+    (lo, hi)
+  }
+
+  private def assertRankBound(sk: Sketches.KllSketch, data: Array[Double],
+                              eps: Double): Unit = {
+    val sorted = data.sorted
+    for (p <- Seq(0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99)) {
+      val est = sk.quantile(p)
+      val (lo, hi) = rankOf(sorted, est)
+      val n = data.length.toDouble
+      assert(p >= lo / n - eps && p <= hi / n + eps,
+        s"p=$p est=$est rank=[$lo,$hi] n=$n")
+    }
+  }
+
+  test("KLL rank error stays within the deterministic bound (sequential)") {
+    // adversarial-ish orders: sorted, reversed, interleaved
+    val n = 20000
+    val asc = Array.tabulate(n)(i => i.toDouble)
+    val desc = asc.reverse
+    val mix = Array.tabulate(n)(i => ((i * 7919) % n).toDouble)
+    for (data <- Seq(asc, desc, mix)) {
+      val sk = new Sketches.KllSketch(256)
+      data.foreach(sk.insert)
+      assert(sk.n == n)
+      assertRankBound(sk, data, 0.03)
+    }
+  }
+
+  test("KLL merge tree preserves the bound and the exact count") {
+    val n = 30000
+    val data = Array.tabulate(n)(i => math.sin(i.toDouble) * 1000)
+    // 8-way split merged pairwise (balanced tree), plus a skewed
+    // fold-left merge — both must respect the mergeable-summaries bound
+    def build(xs: Array[Double]): Sketches.KllSketch = {
+      val s = new Sketches.KllSketch(256); xs.foreach(s.insert); s
+    }
+    val parts = data.grouped(n / 8 + 1).map(build).toSeq
+    val folded = parts.map(identity).reduceLeft((a, b) => a.merge(b))
+    assert(folded.n == n)
+    assertRankBound(folded, data, 0.05)
+  }
+
+  test("KLL handles duplicates and tiny inputs") {
+    val sk = new Sketches.KllSketch(64)
+    Seq(5.0, 5.0, 5.0, 1.0).foreach(sk.insert)
+    assert(sk.quantile(0.5) == 5.0)
+    assert(sk.quantile(0.01) == 1.0)
+    val one = new Sketches.KllSketch(64)
+    one.insert(42.0)
+    assert(one.quantile(0.99) == 42.0)
+  }
+
+  // ---- MisraGries ----------------------------------------------------
+
+  test("Misra-Gries retains every item above n/(k+1) across merge trees") {
+    // 3 heavy items on a long-tail background, k small enough to stress
+    val heavy = Seq.fill(400)("a") ++ Seq.fill(300)("b") ++ Seq.fill(250)("c")
+    val tail = (0 until 1000).map(i => s"t$i")
+    val data = scala.util.Random.shuffle(heavy ++ tail) // fixed-seed not needed: guarantee is worst-case
+    val n = data.length
+    val k = 7
+    def build(xs: Seq[String]): Sketches.MisraGries = {
+      val m = new Sketches.MisraGries(k); xs.foreach(m.insert); m
+    }
+    val whole = build(data)
+    val split = data.grouped(n / 5 + 1).map(build).reduceLeft((a, b) => a.merge(b))
+    for (mg <- Seq(whole, split)) {
+      assert(mg.n == n)
+      val kept = mg.items.toMap
+      for (h <- Seq("a", "b", "c")) {
+        assert(kept.contains(h), s"heavy $h lost (k=$k, n=$n)")
+        // undercount bounded by n/(k+1)
+        val trueC = data.count(_ == h).toLong
+        assert(kept(h) <= trueC && kept(h) >= trueC - n / (k + 1))
+      }
+      assert(mg.items.size <= k)
+    }
+  }
+
+  test("q61 candidate chain is exact on the fixture") {
+    // the sketch candidates must be a superset of the true >0.5% tokens
+    val toks = Tables.documents(spark, sfSmoke)
+      .select(explode(graft.functions.TextFunctions.tokens($"text")).as("w"))
+    val exact = toks.groupBy($"w").agg(count(lit(1)).as("c"))
+    val n = toks.count()
+    val truth = exact.filter($"c" > n * 0.005).select("w").as[String]
+      .collect().toSet
+    val (sn, cands) = toks.as[String]
+      .select(new Sketches.MisraGriesAgg(512).toColumn.name("mg")).head()
+    assert(sn == n)
+    val candSet = cands.map(_._1).toSet
+    assert(truth.subsetOf(candSet), s"missing: ${truth -- candSet}")
+    val got = graft.queries.SketchQueries.q61HeavyHitters(spark, sfSmoke)
+      .select("w").as[String].collect().toSet
+    assert(got == truth)
+  }
+
+  test("q59 validation flags are all true on the fixture") {
+    val rows = graft.queries.SketchQueries.q59QuantileSketch(spark, sfSmoke)
+      .collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getBoolean(3)), "a quantile estimate broke its bound")
+  }
+
+  // ---- substringPairs ------------------------------------------------
+
+  test("substringPairs matches brute force and respects the df cap") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "xx the quick brown fox jumps over the lazy dog today"),
+      (3L, "completely unrelated text with no shared windows at all"),
+      (4L, "short")).toDF("doc_id", "text")
+    val L = 20
+    val got = Dedup.substringPairs(docs, "doc_id", "text", L)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    // brute force in scala
+    def wins(s: String) = (0 to s.length - L).map(i => s.substring(i, i + L)).toSet
+    val texts = Map(1L -> "the quick brown fox jumps over the lazy dog tonight",
+      2L -> "xx the quick brown fox jumps over the lazy dog today",
+      3L -> "completely unrelated text with no shared windows at all",
+      4L -> "short")
+    val expect = (for {
+      a <- texts.keys; b <- texts.keys if a < b
+      shared = if (texts(a).length >= L && texts(b).length >= L)
+        (wins(texts(a)) intersect wins(texts(b))).size else 0
+      if shared > 0
+    } yield ((a, b), shared.toLong)).toMap
+    assert(got == expect)
+    assert(expect.contains((1L, 2L))) // sanity: fixture does overlap
+    // cap=1 removes every window shared by 2+ docs → no pairs survive
+    val capped = Dedup.substringPairs(docs, "doc_id", "text", L, maxDf = Some(1))
+    assert(capped.isEmpty)
+  }
+
+  test("q60 json extraction matches a local parse") {
+    val rows = graft.queries.AdvancedQueries.q60JsonExtract(spark, sfSmoke)
+      .collect()
+    assert(rows.nonEmpty)
+    val ev = Tables.events(spark, sfSmoke)
+      .select($"event_type", $"props").as[(String, String)].collect()
+    val kRe = """"k"\s*:\s*(-?\d+)""".r
+    val grouped = ev.groupBy(_._1).map { case (et, xs) =>
+      val ks = xs.map(x => kRe.findFirstMatchIn(x._2).get.group(1).toLong)
+      et -> ((xs.length.toLong, ks.sum, ks.min, ks.max))
+    }
+    rows.foreach { r =>
+      val (n, s, mn, mx) = grouped(r.getString(0))
+      assert(r.getLong(1) == n && r.getLong(2) == s &&
+        r.getLong(3) == mn && r.getLong(4) == mx)
+    }
+  }
+}
