@@ -364,41 +364,46 @@ object Dedup {
     * Makes Language Models Better", ACL '22, which builds a suffix array;
     * the distributed equivalent indexes every length-L window and joins).
     *
-    * Plan: explode each doc into its distinct L-windows (docs shorter than
-    * L contribute nothing), equi-join the inverted index with itself on
-    * the window, aggregate per pair. Same two-shuffle shape as
-    * [[jaccardPairs]], with the same `maxDf` guard: a window appearing in
-    * d docs yields d²/2 join rows, so boilerplate windows (license
-    * headers…) are dropped from the comparison universe once they exceed
-    * the cap. At 100 TB you would join on a 64-bit window hash and verify
-    * the characters per candidate; the fixture joins on the window itself
-    * so the DuckDB oracle is exact with zero collision caveats. */
+    * Plan — three LINEAR aggregations, no self-join:
+    *  1. per-doc windows dedup MAP-SIDE (`array_distinct` before the
+    *     explode — no shuffle buys per-doc distinctness);
+    *  2. df per window (one count aggregation); only windows in
+    *     2..maxDf docs survive — shared windows are a sliver of the
+    *     index (most windows are unique), so everything downstream runs
+    *     on that sliver. The cap is the boilerplate guard (a license
+    *     header's window in d docs would emit d²/2 pairs), applied to
+    *     EXACT df counts before any per-window doc list is materialized,
+    *     so no aggregation state anywhere exceeds maxDf ids;
+    *  3. semi-join back (the survivors' partitioning is reused by the
+    *     doc-set aggregation — no extra shuffle), emit each window's
+    *     C(d,2) pairs from the sorted in-partition doc set, count per
+    *     pair.
+    * A naive window self-join instead of 2+3 shuffles the FULL index
+    * twice and risks quadratic join rows; measured 4× slower at sf0.1.
+    * At 100 TB you would group on a 64-bit window hash and verify
+    * characters per candidate; the fixture groups on the window itself so
+    * the DuckDB oracle is exact with zero collision caveats. */
   def substringPairs(df: DataFrame, id: String, text: String, winLen: Int,
                      maxDf: Option[Int] = None): DataFrame = {
     require(winLen >= 2)
     val t = col(text)
     val wins0 = df.select(col(id).cast("long").as("doc_id"),
-        explode(when(length(t) >= winLen, // sequence(1, n<1) would count DOWN
-          transform(sequence(lit(1), length(t) - (winLen - 1)),
-            i => substr(t, i, lit(winLen))))
-          .otherwise(array().cast("array<string>"))).as("sub"))
-      .distinct()
-    val wins = maxDf match {
-      case Some(cap) =>
-        val hot = wins0.groupBy("sub").count().filter(col("count") > cap)
-          .select("sub")
-        wins0.join(hot, Seq("sub"), "left_anti")
-      case None => wins0
-    }
-    val inv = ScratchCache.register(wins.persist()) // self-joined
-    inv.as("a").join(inv.as("b").hint("SHUFFLE_HASH"),
-        col("a.sub") === col("b.sub") && col("a.doc_id") < col("b.doc_id"))
-      .select(PackedPair.pack(col("a.doc_id"), col("b.doc_id")).as("pair"),
-        col("a.sub").as("sub"))
-      .groupBy(col("pair"))
+        explode(array_distinct(
+          when(length(t) >= winLen, // sequence(1, n<1) would count DOWN
+            transform(sequence(lit(1), length(t) - (winLen - 1)),
+              i => substr(t, i, lit(winLen))))
+            .otherwise(array().cast("array<string>")))).as("sub"))
+    val wins = ScratchCache.register(wins0.persist()) // df pass + semi-join
+    val shared = wins.groupBy("sub").count()
+      .filter(col("count") >= 2 && col("count") <= lit(maxDf.getOrElse(Int.MaxValue)))
+      .select("sub")
+    val sets = wins.join(shared, Seq("sub"), "left_semi")
+      .groupBy("sub").agg(sort_array(collect_set(col("doc_id"))).as("ds"))
+    sets.select(col("sub"), explode(expr(
+        // all i<j pairs of the sorted doc set
+        "flatten(transform(ds, (a, i) -> " +
+        "transform(slice(ds, i + 2, size(ds)), b -> struct(a, b))))")).as("pr"))
+      .groupBy(col("pr.a").as("id_a"), col("pr.b").as("id_b"))
       .agg(count(lit(1)).as("shared"), min(col("sub")).as("example"))
-      .select(PackedPair.idA(col("pair")).as("id_a"),
-        PackedPair.idB(col("pair")).as("id_b"),
-        col("shared"), col("example"))
   }
 }

@@ -44,4 +44,27 @@ object Sampling {
     * style coarsening: 1234.56 → 1000 at width 1000). */
   def band(c: Column, width: Double): Column =
     floor(c / width) * width
+
+  /** Weight-proportional downsampling: keep each row with probability
+    * min(1, target · w / Σw) — the Poisson/importance form of weighted
+    * sampling (keep-rate ∝ quality score, length, dedup multiplicity…),
+    * expected sample size ≈ `target`.
+    *
+    * Same determinism contract as [[stratifiedSample]], and the gate is
+    * EXACT integer arithmetic: keep ⇔ (hash mod g) · Σw < target · w · g,
+    * evaluated in DECIMAL(38,0) — no float rounding, so two engines (or a
+    * rebuilt corpus) agree on every row, and the boundary case has no
+    * cross-libm ambiguity. Σw is one map-side-combined aggregation
+    * broadcast back as a literal (a scalar, never driver-material). */
+  def weightedSample(df: DataFrame, key: Column, weight: Column,
+                     target: Long, salt: String,
+                     granularity: Long = 10000L): DataFrame = {
+    val totalW = df.agg(sum(weight.cast("long"))).head().getLong(0)
+    val dec = "decimal(38,0)"
+    df.filter(
+      pmod(polyHash(concat(key, lit(salt))), lit(granularity)).cast(dec)
+        * lit(totalW).cast(dec)
+        < lit(target).cast(dec) * weight.cast("long").cast(dec)
+          * lit(granularity).cast(dec))
+  }
 }

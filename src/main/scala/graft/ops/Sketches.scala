@@ -202,4 +202,69 @@ object Sketches {
     override def outputEncoder: Encoder[(Long, Seq[(String, Long)])] =
       ExpressionEncoder[(Long, Seq[(String, Long)])]()
   }
+
+  /** HyperLogLog cardinality sketch (Flajolet et al. '07) with the
+    * small-range linear-counting correction from the original paper.
+    *
+    * 2^p byte registers; the input is a 64-bit hash (hash upstream with
+    * xxhash64 — hashing inside the sketch would re-hash on every merge
+    * path). Register = max leading-zero rank of the low 64−p bits; merge =
+    * elementwise max, so the sketch is fully mergeable and the result is
+    * INDEPENDENT of partitioning and merge order. With the hash function
+    * fixed the estimate is deterministic per dataset: the usual
+    * 1.04/√(2^p) error is a statement over hash seeds, not per-run noise,
+    * which is what makes an oracle-gated validation (q62) meaningful.
+    */
+  final class HyperLogLog(val p: Int) extends Serializable {
+    require(p >= 4 && p <= 18)
+    val m: Int = 1 << p
+    val regs: Array[Byte] = new Array[Byte](m)
+
+    def insertHash(h: Long): Unit = {
+      val idx = (h >>> (64 - p)).toInt
+      val tail = h << p
+      val rank = (if (tail == 0L) 64 - p else java.lang.Long.numberOfLeadingZeros(tail)) + 1
+      if (rank > regs(idx)) regs(idx) = rank.toByte
+    }
+
+    def merge(o: HyperLogLog): HyperLogLog = {
+      require(o.p == p)
+      var i = 0
+      while (i < m) { if (o.regs(i) > regs(i)) regs(i) = o.regs(i); i += 1 }
+      this
+    }
+
+    def estimate: Long = {
+      val alpha = m match {
+        case 16 => 0.673
+        case 32 => 0.697
+        case 64 => 0.709
+        case _  => 0.7213 / (1 + 1.079 / m)
+      }
+      var inv = 0.0
+      var zeros = 0
+      var i = 0
+      while (i < m) {
+        inv += 1.0 / (1L << regs(i))
+        if (regs(i) == 0) zeros += 1
+        i += 1
+      }
+      val raw = alpha * m * m / inv
+      val est =
+        if (raw <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros)
+        else raw
+      math.round(est)
+    }
+  }
+
+  /** Typed Aggregator: pre-hashed 64-bit column → cardinality estimate. */
+  final class HllAgg(p: Int) extends Aggregator[Long, HyperLogLog, Long] {
+    override def zero: HyperLogLog = new HyperLogLog(p)
+    override def reduce(b: HyperLogLog, h: Long): HyperLogLog = { b.insertHash(h); b }
+    override def merge(a: HyperLogLog, b: HyperLogLog): HyperLogLog = a.merge(b)
+    override def finish(b: HyperLogLog): Long = b.estimate
+    override def bufferEncoder: Encoder[HyperLogLog] =
+      Encoders.javaSerialization[HyperLogLog]
+    override def outputEncoder: Encoder[Long] = Encoders.scalaLong
+  }
 }

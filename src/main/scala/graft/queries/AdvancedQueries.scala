@@ -204,6 +204,29 @@ object AdvancedQueries {
        |  c_mktsegment
        |FROM customer ORDER BY c_custkey""".stripMargin
 
+  /** q63: importance-weighted downsampling — keep probability ∝ n_chars
+    * (stand-in for any per-doc quality/importance weight), expected sample
+    * ≈ 150 docs. The gate is exact integer arithmetic on a deterministic
+    * row hash (Sampling.weightedSample), so the oracle reproduces the
+    * sample row-for-row — no RNG, no float boundary ambiguity, stable
+    * under repartitioning. Σw is the only aggregate (one scalar). */
+  def q63WeightedSample(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.ops.Sampling.weightedSample(
+        graft.Tables.documents(s, d), $"text", $"n_chars",
+        target = 150L, salt = "ws1")
+      .select($"doc_id", $"n_chars")
+      .orderBy($"doc_id")
+  }
+
+  val q63Sql: String = {
+    val gate = DuckSql.polyHashSql("(text || 'ws1')")
+    """SELECT doc_id, n_chars FROM documents
+      |WHERE (GATE % 10000) * (SELECT sum(n_chars) FROM documents)
+      |  < 150 * n_chars * 10000
+      |ORDER BY doc_id""".stripMargin.replace("GATE", gate)
+  }
+
   /** q60: semi-structured extraction — pull a typed field out of a JSON
     * payload column and aggregate it relationally. `get_json_object` is a
     * codegen'd native expression evaluated inside the scan's projection (no
@@ -239,6 +262,7 @@ object AdvancedQueries {
     "q46_stratified_sample" -> (q46StratifiedSample _),
     "q47_pseudonymize"  -> (q47Pseudonymize _),
     "q60_json_extract"  -> (q60JsonExtract _),
+    "q63_weighted_sample" -> (q63WeightedSample _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -250,5 +274,6 @@ object AdvancedQueries {
     "q46_stratified_sample" -> q46Sql,
     "q47_pseudonymize"  -> q47Sql,
     "q60_json_extract"  -> q60Sql,
+    "q63_weighted_sample" -> q63Sql,
   )
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.Tables.{documents, events}
+import graft.Tables.{documents, events, lineitem}
 import graft.functions.TextFunctions
 import graft.ops.Sketches
 
@@ -93,13 +93,56 @@ object SketchQueries {
        |GROUP BY w, n HAVING count(*) > n * $Q61Phi
        |ORDER BY c DESC, w""".stripMargin
 
+  /** Relative-error tolerance for q62. HLL with p=13 (8 KiB of state) has
+    * σ ≈ 1.04/√8192 ≈ 1.15 %; 0.05 is >4σ. The estimate is DETERMINISTIC
+    * per dataset (fixed xxhash64, order-free register max), so a pass at
+    * the gate's SF is reproducible, not a lucky draw re-rolled per run. */
+  private val Q62Eps = 0.05
+
+  /** q62: cardinality profile — distinct counts of four key columns via a
+    * HyperLogLog aggregate (one pass, 8 KiB mergeable state per column,
+    * map-side combine), each validated against the exact distinct count.
+    * The exact pass exists only to PROVE the estimate to the oracle —
+    * production reads the sketch alone, which is the only form that
+    * profiles a 100 TB column without a vocabulary-sized shuffle (exact
+    * distinct shuffles every unique value; HLL ships 2^p bytes/task). */
+  def q62CardinalitySketch(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    def row(df: DataFrame, c: String, tag: String): (String, Long, Boolean) = {
+      val est = df.select(xxhash64(col(c)).as("h")).as[Long]
+        .select(new Sketches.HllAgg(13).toColumn.name("est")).head()
+      val exact = df.select(col(c)).distinct().count()
+      (tag, exact, math.abs(est - exact).toDouble / exact <= Q62Eps)
+    }
+    Seq(
+      row(documents(s, d), "text", "documents.text"),
+      row(events(s, d), "user_id", "events.user_id"),
+      row(lineitem(s, d), "l_orderkey", "lineitem.l_orderkey"),
+      row(lineitem(s, d), "l_partkey", "lineitem.l_partkey"),
+    ).toDF("col", "exact_n", "ok").orderBy($"col")
+  }
+
+  val q62Sql: String =
+    """SELECT * FROM (
+      |  SELECT 'documents.text' AS col, count(DISTINCT text) AS exact_n,
+      |    true AS ok FROM documents
+      |  UNION ALL SELECT 'events.user_id', count(DISTINCT user_id), true
+      |    FROM events
+      |  UNION ALL SELECT 'lineitem.l_orderkey', count(DISTINCT l_orderkey),
+      |    true FROM lineitem
+      |  UNION ALL SELECT 'lineitem.l_partkey', count(DISTINCT l_partkey),
+      |    true FROM lineitem)
+      |ORDER BY col""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q59_quantile_sketch" -> (q59QuantileSketch _),
     "q61_heavy_hitters"   -> (q61HeavyHitters _),
+    "q62_cardinality"     -> (q62CardinalitySketch _),
   )
 
   val oracles: Map[String, String] = Map(
     "q59_quantile_sketch" -> q59Sql,
     "q61_heavy_hitters"   -> q61Sql,
+    "q62_cardinality"     -> q62Sql,
   )
 }

@@ -120,6 +120,66 @@ class SketchSpec extends AnyFunSuite with SparkSpecBase {
     assert(rows.forall(_.getBoolean(3)), "a quantile estimate broke its bound")
   }
 
+  // ---- HyperLogLog ---------------------------------------------------
+
+  test("HLL estimates within tolerance across cardinalities and merges") {
+    def h(x: Long): Long = { // splitmix64 — well-mixed stand-in for xxhash64
+      var z = x + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    for (card <- Seq(100, 5000, 200000)) {
+      val whole = new Sketches.HyperLogLog(13)
+      (0 until card).foreach(i => whole.insertHash(h(i.toLong)))
+      // duplicates must not move the estimate
+      (0 until card by 3).foreach(i => whole.insertHash(h(i.toLong)))
+      val err = math.abs(whole.estimate - card).toDouble / card
+      assert(err <= 0.04, s"card=$card est=${whole.estimate} err=$err")
+      // merge of 4 disjoint shards == whole-stream sketch, register-exact
+      val shards = (0 until 4).map { s =>
+        val sk = new Sketches.HyperLogLog(13)
+        (s until card by 4).foreach(i => sk.insertHash(h(i.toLong)))
+        sk
+      }
+      val merged = shards.reduceLeft((a, b) => a.merge(b))
+      assert(java.util.Arrays.equals(merged.regs, whole.regs))
+    }
+  }
+
+  test("q62 validation flags are all true on the fixture") {
+    val rows = graft.queries.SketchQueries.q62CardinalitySketch(spark, sfSmoke)
+      .collect()
+    assert(rows.length == 4)
+    assert(rows.forall(_.getBoolean(2)),
+      rows.map(r => s"${r.getString(0)} exact=${r.getLong(1)} ok=${r.getBoolean(2)}")
+        .mkString("; "))
+  }
+
+  // ---- weightedSample ------------------------------------------------
+
+  test("weightedSample is deterministic, weight-monotone in expectation, exact-gated") {
+    val docs = Tables.documents(spark, sfSmoke)
+    val got = graft.queries.AdvancedQueries.q63WeightedSample(spark, sfSmoke)
+      .as[(Long, Long)].collect()
+    val again = graft.queries.AdvancedQueries.q63WeightedSample(spark, sfSmoke)
+      .as[(Long, Long)].collect()
+    assert(got.sameElements(again)) // pure function of rows
+    val n = docs.count()
+    assert(got.length > 0 && got.length < n)
+    // local replay of the exact integer gate
+    val rows = docs.select($"doc_id", $"text", $"n_chars")
+      .as[(Long, String, Long)].collect()
+    val totalW = rows.map(_._3).sum
+    def ph(s: String): Long =
+      s.foldLeft(0L)((acc, c) => (acc * 31 + c.toInt) % 4294967296L)
+    val expect = rows.filter { case (_, t, w) =>
+      BigInt(ph(t + "ws1") % 10000L) * BigInt(totalW) <
+        BigInt(150L) * BigInt(w) * BigInt(10000L)
+    }.map(r => (r._1, r._3)).sortBy(_._1)
+    assert(got.toSeq == expect.toSeq)
+  }
+
   // ---- substringPairs ------------------------------------------------
 
   test("substringPairs matches brute force and respects the df cap") {
