@@ -128,6 +128,41 @@ object HashKernels {
     new GenericArrayData(out)
   }
 
+  /** Distinct length-L CHARACTER windows (codepoint-indexed, matching
+    * Spark `substring`/`length` and DuckDB `substr`/`length` semantics on
+    * supplementary-plane text), first-occurrence order; EMPTY for
+    * null/short docs. One pass: the staged
+    * `array_distinct(transform(sequence(...), i -> substr(text, i, L)))`
+    * pays an interpreted lambda dispatch per window — it dominated q58's
+    * scan. */
+  def charWindows(s: UTF8String, winLen: Int): ArrayData = {
+    if (s == null) return new GenericArrayData(Array.empty[Any])
+    val str = s.toString
+    val n = str.codePointCount(0, str.length)
+    if (n < winLen) return new GenericArrayData(Array.empty[Any])
+    // JVM-char offset of each codepoint start (+ end sentinel)
+    val starts = new Array[Int](n + 1)
+    var ci = 0
+    var idx = 0
+    while (idx < n) {
+      starts(idx) = ci
+      ci += Character.charCount(str.codePointAt(ci))
+      idx += 1
+    }
+    starts(n) = str.length
+    val seen = new java.util.LinkedHashSet[String]()
+    var i = 0
+    while (i + winLen <= n) {
+      seen.add(str.substring(starts(i), starts(i + winLen)))
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = UTF8String.fromString(it.next()); j += 1 }
+    new GenericArrayData(out)
+  }
+
   /** MinHash signature (see MinHashSig); EMPTY for null/empty input. */
   def minhashSig(hs: ArrayData, n: Int): ArrayData = {
     if (hs == null) return new GenericArrayData(Array.empty[Long])
@@ -302,6 +337,36 @@ case class ArrayPolyHash(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
+/** `graft_char_windows(text, L)` → ARRAY<STRING>: distinct L-character
+  * windows, first-occurrence order; empty array for short/NULL docs. The
+  * fused exact-substring-dedup scan kernel (q58). */
+case class CharWindows(child: Expression, winLen: Int) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_char_windows expects STRING, got ${other.sql}")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = false
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    HashKernels.charWindows(child.eval(input).asInstanceOf[UTF8String], winLen)
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val c = child.genCode(ctx)
+    ev.copy(code = code"""
+      ${c.code}
+      org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+        graft.functions.HashKernels.charWindows(${c.isNull} ? null : ${c.value}, $winLen);
+    """,
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
+  override protected def withNewChildInternal(c: Expression): CharWindows =
+    copy(child = c)
+}
+
 object ShingleExpressions {
   def wordShingles(text: Column, k: Int): Column =
     Bridge.column(WordShingles(Bridge.expression(text), k))
@@ -309,4 +374,6 @@ object ShingleExpressions {
     Bridge.column(WordShingleHashes(Bridge.expression(text), k))
   def arrayPolyHash(arr: Column): Column =
     Bridge.column(ArrayPolyHash(Bridge.expression(arr)))
+  def charWindows(text: Column, winLen: Int): Column =
+    Bridge.column(CharWindows(Bridge.expression(text), winLen))
 }

@@ -364,41 +364,48 @@ object Dedup {
     * Makes Language Models Better", ACL '22, which builds a suffix array;
     * the distributed equivalent indexes every length-L window and joins).
     *
-    * Plan — three LINEAR aggregations, no self-join:
-    *  1. per-doc windows dedup MAP-SIDE (`array_distinct` before the
-    *     explode — no shuffle buys per-doc distinctness);
-    *  2. df per window (one count aggregation); only windows in
-    *     2..maxDf docs survive — shared windows are a sliver of the
-    *     index (most windows are unique), so everything downstream runs
-    *     on that sliver. The cap is the boilerplate guard (a license
-    *     header's window in d docs would emit d²/2 pairs), applied to
-    *     EXACT df counts before any per-window doc list is materialized,
-    *     so no aggregation state anywhere exceeds maxDf ids;
-    *  3. semi-join back (the survivors' partitioning is reused by the
-    *     doc-set aggregation — no extra shuffle), emit each window's
-    *     C(d,2) pairs from the sorted in-partition doc set, count per
-    *     pair.
-    * A naive window self-join instead of 2+3 shuffles the FULL index
-    * twice and risks quadratic join rows; measured 4× slower at sf0.1.
-    * At 100 TB you would group on a 64-bit window hash and verify
-    * characters per candidate; the fixture groups on the window itself so
-    * the DuckDB oracle is exact with zero collision caveats. */
+    * Plan — linear aggregations only, no self-join, one heavy shuffle:
+    *  1. per-doc distinct windows from the fused CharWindows kernel (the
+    *     staged `array_distinct∘transform∘sequence` form pays an
+    *     interpreted lambda dispatch per window — it was the dominant
+    *     cost before fusing);
+    *  2. df per 64-bit window HASH (xxhash64): the heavy shuffle moves
+    *     16-byte (hash, count-partial) rows through a codegen'd long-key
+    *     hash aggregate instead of 40+-byte strings. Only hashes seen in
+    *     2..maxDf docs survive — shared windows are a sliver of the index
+    *     (most windows are unique);
+    *  3. the window stream regenerates (rescanning the corpus is ~30×
+    *     cheaper than materializing the window index) and semi-joins the
+    *     surviving hashes — AQE broadcasts the sliver, so no second
+    *     full shuffle — then groups by the actual WINDOW: pair emission
+    *     compares true characters, so a hash collision can only ADMIT a
+    *     candidate that then forms no pair (count ≥ 2 is re-proven per
+    *     window), never corrupt a pair.
+    *  4. each surviving window's C(d,2) pairs come from its sorted doc
+    *     set (bounded: a survivor's hash-group had ≤ maxDf rows, and the
+    *     true group is a subset), counted per pair.
+    * `maxDf` is the boilerplate guard (a license-header window in d docs
+    * would emit d²/2 pairs). Applying it to hash-groups can only drop an
+    * innocent window if it 64-bit-collides with a hot one (~d·2⁻⁶⁴ —
+    * negligible at any realizable corpus size, and collisions only
+    * REMOVE candidate windows from the comparison universe, mirroring
+    * the cap's own semantics). A naive window self-join instead of 2+3
+    * shuffles the full string index twice and risks quadratic join rows;
+    * measured 4× slower at sf0.1. */
   def substringPairs(df: DataFrame, id: String, text: String, winLen: Int,
                      maxDf: Option[Int] = None): DataFrame = {
     require(winLen >= 2)
-    val t = col(text)
     val wins0 = df.select(col(id).cast("long").as("doc_id"),
-        explode(array_distinct(
-          when(length(t) >= winLen, // sequence(1, n<1) would count DOWN
-            transform(sequence(lit(1), length(t) - (winLen - 1)),
-              i => substr(t, i, lit(winLen))))
-            .otherwise(array().cast("array<string>")))).as("sub"))
-    val wins = ScratchCache.register(wins0.persist()) // df pass + semi-join
-    val shared = wins.groupBy("sub").count()
-      .filter(col("count") >= 2 && col("count") <= lit(maxDf.getOrElse(Int.MaxValue)))
-      .select("sub")
-    val sets = wins.join(shared, Seq("sub"), "left_semi")
+        explode(graft.functions.ShingleExpressions.charWindows(
+          col(text), winLen)).as("sub"))
+      .withColumn("h", xxhash64(col("sub")))
+    val keep = wins0.groupBy("h").count()
+      .filter(col("count") >= 2 &&
+        col("count") <= lit(maxDf.getOrElse(Int.MaxValue)))
+      .select("h")
+    val sets = wins0.join(keep, Seq("h"), "left_semi")
       .groupBy("sub").agg(sort_array(collect_set(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) >= 2) // collision-admitted singletons drop here
     sets.select(col("sub"), explode(expr(
         // all i<j pairs of the sorted doc set
         "flatten(transform(ds, (a, i) -> " +

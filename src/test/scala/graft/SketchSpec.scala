@@ -182,6 +182,30 @@ class SketchSpec extends AnyFunSuite with SparkSpecBase {
 
   // ---- substringPairs ------------------------------------------------
 
+  test("CharWindows matches the staged HOF form, incl. unicode and SQL") {
+    val docs = Tables.documents(spark, sfSmoke).select($"text")
+      .union(Seq("短い", "日本語のテキストです、これはウィンドウ検査",
+        "emoji 😀 mixed éè text here padded out", "")
+        .toDF("text"))
+    val L = 12
+    val staged = docs.select(array_distinct(
+      when(length($"text") >= L,
+        transform(sequence(lit(1), length($"text") - (L - 1)),
+          i => substr($"text", i, lit(L))))
+        .otherwise(array().cast("array<string>"))).as("w"))
+      .collect().map(_.getSeq[String](0).sorted)
+    val fused = docs.select(
+      graft.functions.ShingleExpressions.charWindows($"text", L).as("w"))
+      .collect().map(_.getSeq[String](0).sorted)
+    assert(staged.length == fused.length)
+    staged.zip(fused).foreach { case (a, b) => assert(a == b) }
+    // SQL registration
+    GraftExtensions.register(spark)
+    val viaSql = spark.sql("SELECT size(graft_char_windows('hello world!', 5)) AS n")
+      .head().getInt(0)
+    assert(viaSql == 8)
+  }
+
   test("substringPairs matches brute force and respects the df cap") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog tonight"),
