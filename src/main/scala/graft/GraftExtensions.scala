@@ -74,9 +74,20 @@ object GraftExtensions {
       comp(a.take(1))(c => TextFunctions.roundp(c(0), intArg(a(1), "graft_roundp")))),
   )
 
-  /** Imperative registration for an existing session (tests, Verify). */
+  /** Imperative registration for an existing session (tests, Verify).
+    * Also registers the sketch AGGREGATES (`spark.udf.register` is the
+    * UDAF path — SparkSessionExtensions.injectFunction only takes scalar
+    * expression builders): `graft_hll_distinct(hash64)` and
+    * `graft_mg_heavy_hitters(token)` make the one-pass profile forms
+    * SQL-reachable with the same mergeable partial-combine plans as the
+    * Column API. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val registry: FunctionRegistry = spark.sessionState.functionRegistry
     functions.foreach(f => registry.registerFunction(f._1, f._2, f._3))
+    import org.apache.spark.sql.{functions => F, Encoders}
+    spark.udf.register("graft_hll_distinct",
+      F.udaf(new graft.ops.Sketches.HllAgg(13), Encoders.scalaLong))
+    spark.udf.register("graft_mg_heavy_hitters",
+      F.udaf(new graft.ops.Sketches.MisraGriesAgg(512), Encoders.STRING))
   }
 }

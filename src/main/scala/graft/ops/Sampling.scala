@@ -67,4 +67,16 @@ object Sampling {
         < lit(target).cast(dec) * weight.cast("long").cast(dec)
           * lit(granularity).cast(dec))
   }
+
+  /** Uniform EXACT-k sample: the k rows with the smallest
+    * (hash(key‖salt), tiebreak) — a deterministic reservoir. Same
+    * reproducibility contract as the gates above, and the plan is
+    * `TakeOrderedAndProject`: each partition keeps its local top-k, the
+    * driver merges partitions×k candidate rows — no global sort, no
+    * single-reducer shuffle, state O(k) everywhere. The fixed-size
+    * complement to [[stratifiedSample]]'s fixed-RATE gate (rebuilding a
+    * corpus snapshot at a size budget wants exactly k, not a rate). */
+  def uniformSampleK(df: DataFrame, key: Column, tiebreak: Column, k: Int,
+                     salt: String): DataFrame =
+    df.orderBy(polyHash(concat(key, lit(salt))), tiebreak).limit(k)
 }

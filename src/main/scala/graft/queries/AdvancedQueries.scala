@@ -227,6 +227,28 @@ object AdvancedQueries {
       |ORDER BY doc_id""".stripMargin.replace("GATE", gate)
   }
 
+  /** q64: uniform exact-k sample — the 100 docs with the smallest salted
+    * row hash (deterministic reservoir). Physical plan is
+    * TakeOrderedAndProject: per-partition top-k + driver merge of
+    * partitions×k rows — no global sort (PlanAuditSpec asserts no
+    * Exchange-then-Sort), which is what lets "give me exactly k rows"
+    * run on a 100 TB corpus without a single-reducer ordering. */
+  def q64UniformSampleK(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.ops.Sampling.uniformSampleK(
+        graft.Tables.documents(s, d), $"text", $"doc_id", k = 100, salt = "uk1")
+      .select($"doc_id", $"source")
+      .orderBy($"doc_id")
+  }
+
+  val q64Sql: String = {
+    val gate = DuckSql.polyHashSql("(text || 'uk1')")
+    s"""SELECT doc_id, source FROM
+       |  (SELECT doc_id, source FROM documents
+       |   ORDER BY $gate, doc_id LIMIT 100)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** q60: semi-structured extraction — pull a typed field out of a JSON
     * payload column and aggregate it relationally. `get_json_object` is a
     * codegen'd native expression evaluated inside the scan's projection (no
@@ -263,6 +285,7 @@ object AdvancedQueries {
     "q47_pseudonymize"  -> (q47Pseudonymize _),
     "q60_json_extract"  -> (q60JsonExtract _),
     "q63_weighted_sample" -> (q63WeightedSample _),
+    "q64_uniform_sample_k" -> (q64UniformSampleK _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -275,5 +298,6 @@ object AdvancedQueries {
     "q47_pseudonymize"  -> q47Sql,
     "q60_json_extract"  -> q60Sql,
     "q63_weighted_sample" -> q63Sql,
+    "q64_uniform_sample_k" -> q64Sql,
   )
 }

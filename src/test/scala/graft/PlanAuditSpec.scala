@@ -98,6 +98,16 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpecBase {
     assert(shuffles(df) == 0, planStr(df))
   }
 
+  test("q64 exact-k sample plans as TakeOrdered, not a global sort") {
+    val df = graft.ops.Sampling.uniformSampleK(
+      Tables.documents(spark, sfSmoke),
+      org.apache.spark.sql.functions.col("text"),
+      org.apache.spark.sql.functions.col("doc_id"), k = 100, salt = "uk1")
+    val plan = planStr(df)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(shuffles(df) == 0, plan) // per-partition top-k + driver merge
+  }
+
   test("q45 PQ ADC scan is the intended broadcast-NLJ; candidates rank via aggregate") {
     val emb = Tables.embeddings(spark, sfSmoke)
     val idx = graft.ops.PqIndex.build(emb, "vec_id", "embedding", m = 8, ksub = 16)

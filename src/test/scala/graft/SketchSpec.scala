@@ -234,6 +234,19 @@ class SketchSpec extends AnyFunSuite with SparkSpecBase {
     assert(capped.isEmpty)
   }
 
+  test("sketch aggregates are SQL-reachable via register()") {
+    GraftExtensions.register(spark)
+    Tables.documents(spark, sfSmoke).createOrReplaceTempView("sk_docs")
+    val hll = spark.sql(
+      "SELECT graft_hll_distinct(xxhash64(text)) FROM sk_docs").head().getLong(0)
+    val exact = Tables.documents(spark, sfSmoke).select("text").distinct().count()
+    assert(math.abs(hll - exact).toDouble / exact <= 0.05, s"hll=$hll exact=$exact")
+    val mg = spark.sql(
+      "SELECT graft_mg_heavy_hitters(w)._1 FROM " +
+      "(SELECT explode(graft_tokens(text)) AS w FROM sk_docs)").head().getLong(0)
+    assert(mg > 0)
+  }
+
   test("q60 json extraction matches a local parse") {
     val rows = graft.queries.AdvancedQueries.q60JsonExtract(spark, sfSmoke)
       .collect()
