@@ -108,18 +108,32 @@ object SketchQueries {
     * distinct shuffles every unique value; HLL ships 2^p bytes/task). */
   def q62CardinalitySketch(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    def row(df: DataFrame, c: String, tag: String): (String, Long, Boolean) = {
-      val est = df.select(xxhash64(col(c)).as("h")).as[Long]
-        .select(new Sketches.HllAgg(13).toColumn.name("est")).head()
-      val exact = df.select(col(c)).distinct().count()
-      (tag, exact, math.abs(est - exact).toDouble / exact <= Q62Eps)
-    }
-    Seq(
-      row(documents(s, d), "text", "documents.text"),
-      row(events(s, d), "user_id", "events.user_id"),
-      row(lineitem(s, d), "l_orderkey", "lineitem.l_orderkey"),
-      row(lineitem(s, d), "l_partkey", "lineitem.l_partkey"),
-    ).toDF("col", "exact_n", "ok").orderBy($"col")
+    // one tagged union → ONE sketch aggregation + ONE exact-distinct
+    // aggregation for all four columns (not 2 jobs per column): per-job
+    // fixed cost dominates profile queries at any scale
+    val cols: Seq[(DataFrame, String, String)] = Seq(
+      (documents(s, d), "text", "documents.text"),
+      (events(s, d), "user_id", "events.user_id"),
+      (lineitem(s, d), "l_orderkey", "lineitem.l_orderkey"),
+      (lineitem(s, d), "l_partkey", "lineitem.l_partkey"))
+    val tagged = cols.map { case (df, c, tag) =>
+        df.select(lit(tag).as("col"), xxhash64(col(c)).as("h"))
+      }.reduce(_.unionAll(_))
+    val ests = tagged.as[(String, Long)].groupByKey(_._1).mapValues(_._2)
+      .agg(new Sketches.HllAgg(13).toColumn.name("est")).collect().toMap
+    // exact distincts come from the VALUES, not the hashes (collisions);
+    // one ACTION: the per-table scalar aggregates cross-join into a single
+    // 1-row plan, so their stages run concurrently instead of 4 jobs
+    val exactRow = cols.map { case (df, c, tag) =>
+        df.agg(countDistinct(col(c)).as(tag.replace('.', '_')))
+      }.reduce(_.crossJoin(_)).head()
+    val exacts = cols.zipWithIndex.map { case ((_, _, tag), i) =>
+      tag -> exactRow.getLong(i)
+    }.toMap
+    cols.map { case (_, _, tag) =>
+      val exact = exacts(tag)
+      (tag, exact, math.abs(ests(tag) - exact).toDouble / exact <= Q62Eps)
+    }.toDF("col", "exact_n", "ok").orderBy($"col")
   }
 
   val q62Sql: String =
