@@ -247,6 +247,43 @@ object PipelineQueries {
       | AND e.ts >= c.ts AND e.ts <= c.ts + INTERVAL 60 MINUTE
       |ORDER BY c.user_id, click_id, error_id""".stripMargin
 
+  /** q65: streaming cardinality — the HLL sketch aggregate running INSIDE
+    * a Structured Streaming update-mode aggregation (the Aggregator's
+    * merge is the state-store combine), proving the sketch family composes
+    * with the streaming surface. HLL registers are an order-free max, so
+    * the streaming estimate is BIT-EQUAL to the batch estimate regardless
+    * of micro-batch slicing — `ok` asserts stream == batch AND the
+    * estimate within 5 % of the exact distinct count; the oracle pins
+    * (event_type, exact_n) and that both claims held. */
+  def q65StreamCardinality(s0: SparkSession, d: String): DataFrame = {
+    val (s, outDir, ckDir) = streamRun(s0, "graft_q65")
+    import s.implicits._
+    val hll = udaf(new graft.ops.Sketches.HllAgg(13),
+      org.apache.spark.sql.Encoders.scalaLong)
+    val stream = eventsStream(s, d)
+      .groupBy($"event_type")
+      .agg(hll(xxhash64($"user_id")).as("est"))
+    runToParquet(stream, "update", outDir, ckDir, tagBatch = true)
+    val latest = org.apache.spark.sql.expressions.Window
+      .partitionBy($"event_type").orderBy($"batch_id".desc)
+    val streamed = s.read.parquet(outDir)
+      .withColumn("rn", row_number().over(latest)).filter($"rn" === 1)
+      .select($"event_type", $"est".as("stream_est"))
+    val batch = graft.Tables.events(s, d)
+      .groupBy($"event_type")
+      .agg(hll(xxhash64($"user_id")).as("batch_est"),
+        countDistinct($"user_id").as("exact_n"))
+    batch.join(streamed, "event_type")
+      .select($"event_type", $"exact_n",
+        ($"stream_est" === $"batch_est" &&
+          abs($"stream_est" - $"exact_n") <= $"exact_n" * 0.05).as("ok"))
+      .orderBy($"event_type")
+  }
+
+  val q65Sql: String =
+    """SELECT event_type, count(DISTINCT user_id) AS exact_n, true AS ok
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** q53: multimodal audio features — per-window RMS + zero crossings over
     * the byte payload (stub decode: centered amplitude; see
     * Multimodal.audioFeatures). Window math, energy, and the sequential
@@ -329,6 +366,7 @@ object PipelineQueries {
     "q50_stream_join"   -> (q50StreamJoin _),
     "q53_audio"         -> (q53Audio _),
     "q56_video_frames"  -> (q56VideoFrames _),
+    "q65_stream_cardinality" -> (q65StreamCardinality _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -339,5 +377,6 @@ object PipelineQueries {
     "q50_stream_join"   -> q50Sql,
     "q53_audio"         -> q53Sql,
     "q56_video_frames"  -> q56Sql,
+    "q65_stream_cardinality" -> q65Sql,
   )
 }

@@ -324,6 +324,48 @@ object TextQueries {
        |WHERE t.source <> 'src0'
        |ORDER BY t.doc_id""".stripMargin
 
+  /** q66 chunking geometry: 50-token chunks, stride 40 (10-token overlap
+    * carries context across boundaries — the standard training-example
+    * packing shape). Chunk starts are 0, S, 2S… while < n, so every chunk
+    * is non-empty and the last may be short. */
+  private val ChunkLen = 50
+  private val ChunkStride = 40
+
+  /** q66: document chunking — explode each doc into overlapping
+    * fixed-token-count training chunks; emit per-chunk token counts and a
+    * content hash (the chunk table IS the training-example manifest, and
+    * hashing instead of re-emitting text keeps the result
+    * oracle-comparable byte-for-byte). Pure per-row expressions: tokenize
+    * once, `sequence` for chunk starts, `slice` per chunk — zero shuffle
+    * before the output sort. */
+  def q66Chunk(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    documents(s, d)
+      .select($"doc_id", tokens($"text").as("ws"))
+      .filter(size($"ws") > 0)
+      .select($"doc_id", $"ws",
+        explode(sequence(lit(0), size($"ws") - 1, lit(ChunkStride))).as("start"))
+      .select($"doc_id",
+        ($"start" / ChunkStride).cast("long").as("chunk_id"),
+        slice($"ws", $"start" + 1, lit(ChunkLen)).as("toks"))
+      .select($"doc_id", $"chunk_id",
+        size($"toks").cast("long").as("n_tokens"),
+        polyHash(concat_ws(" ", $"toks")).as("chunk_hash"))
+      .orderBy($"doc_id", $"chunk_id")
+  }
+
+  val q66Sql: String =
+    s"""WITH toks AS (SELECT doc_id, ${DuckSql.tokensSql} AS ws FROM documents),
+       |nz AS (SELECT doc_id, ws, len(ws) AS n FROM toks WHERE len(ws) > 0),
+       |st AS (SELECT doc_id, ws,
+       |    unnest(generate_series(0, n - 1, $ChunkStride)) AS start FROM nz)
+       |SELECT doc_id, (start // $ChunkStride)::BIGINT AS chunk_id,
+       |  len(list_slice(ws, start + 1, start + $ChunkLen))::BIGINT AS n_tokens,
+       |  ${DuckSql.polyHashSql(
+              s"array_to_string(list_slice(ws, start + 1, start + $ChunkLen), ' ')")}
+       |    AS chunk_hash
+       |FROM st ORDER BY doc_id, chunk_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q22_lang_id"       -> (q22LangId _),
     "q23_quality"       -> (q23Quality _),
@@ -333,6 +375,7 @@ object TextQueries {
     "q44_contamination" -> (q44Contamination _),
     "q54_quality_gate"  -> (q54QualityGate _),
     "q55_bloom_decontaminate" -> (q55BloomDecontaminate _),
+    "q66_chunking"      -> (q66Chunk _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -344,5 +387,6 @@ object TextQueries {
     "q44_contamination" -> q44Sql,
     "q54_quality_gate"  -> q54Sql,
     "q55_bloom_decontaminate" -> q55Sql,
+    "q66_chunking"      -> q66Sql,
   )
 }

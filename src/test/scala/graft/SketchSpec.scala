@@ -247,6 +247,35 @@ class SketchSpec extends AnyFunSuite with SparkSpecBase {
     assert(mg > 0)
   }
 
+  test("q65 streaming HLL equals batch HLL and stays within tolerance") {
+    val rows = graft.queries.PipelineQueries.q65StreamCardinality(spark, sfSmoke)
+      .collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getBoolean(2)),
+      rows.map(r => s"${r.getString(0)}: ok=${r.getBoolean(2)}").mkString("; "))
+  }
+
+  test("q66 chunking matches a local tokenizer replay") {
+    val got = graft.queries.TextQueries.q66Chunk(spark, sfSmoke)
+      .as[(Long, Long, Long, Long)].collect()
+    val docs = Tables.documents(spark, sfSmoke)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    def ph(s: String): Long =
+      s.foldLeft(0L)((acc, c) => (acc * 31 + c.toInt) % 4294967296L)
+    val expect = docs.flatMap { case (id, text) =>
+      val ws = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      if (ws.isEmpty) Nil
+      else (0 until ws.length by 40).zipWithIndex.map { case (start, ci) =>
+        val chunk = ws.slice(start, start + 50)
+        (id, ci.toLong, chunk.length.toLong, ph(chunk.mkString(" ")))
+      }
+    }.sortBy(r => (r._1, r._2))
+    assert(got.toSeq == expect.toSeq)
+    // overlap invariant: consecutive chunks of a long doc share 10 tokens
+    val long = expect.groupBy(_._1).filter(_._2.length > 1)
+    assert(long.nonEmpty, "fixture has no multi-chunk docs")
+  }
+
   test("q60 json extraction matches a local parse") {
     val rows = graft.queries.AdvancedQueries.q60JsonExtract(spark, sfSmoke)
       .collect()
