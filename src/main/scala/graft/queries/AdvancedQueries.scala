@@ -204,6 +204,105 @@ object AdvancedQueries {
        |  c_mktsegment
        |FROM customer ORDER BY c_custkey""".stripMargin
 
+  /** q67: data-quality constraint audit — the build-gate report a corpus
+    * pipeline runs on every snapshot: row-count floor, null budget, value
+    * range, categorical domain (all fused into ONE aggregation job over
+    * lineitem — Audit.aggregateChecks), plus primary-key uniqueness (one
+    * hash aggregation) and referential integrity lineitem→orders (one
+    * anti-join). Output = (check_name, observed metric, pass). */
+  def q67ConstraintAudit(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.ops.Audit
+    val li = lineitem(s, d)
+    val nullQty = sum(when($"l_quantity".isNull, 1L).otherwise(0L))
+    val badFlag = sum(when(!$"l_returnflag".isin("A", "N", "R"), 1L)
+      .otherwise(0L))
+    val aggRows = Audit.aggregateChecks(li, Seq(
+      Audit.Check("li_flag_domain", badFlag, badFlag === 0),
+      Audit.Check("li_qty_nulls", nullQty, nullQty === 0),
+      Audit.Check("li_qty_range", max($"l_quantity"),
+        min($"l_quantity") >= 1 && max($"l_quantity") <= 50),
+      Audit.Check("li_rowcount", count(lit(1)), count(lit(1)) > 0)))
+    val ord = graft.Tables.orders(s, d)
+    val dup = Audit.duplicateKeys(ord, "o_orderkey").count()
+    val orph = Audit.fkOrphans(li, "l_orderkey", ord, "o_orderkey").count()
+    aggRows.unionAll(Seq(
+        ("li_fk_orders", orph.toDouble, orph == 0L),
+        ("ord_pk_unique", dup.toDouble, dup == 0L))
+      .toDF("check_name", "metric", "pass"))
+      .orderBy($"check_name")
+  }
+
+  val q67Sql: String =
+    """SELECT * FROM (
+      |  SELECT 'li_flag_domain' AS check_name,
+      |    CAST(sum(CASE WHEN l_returnflag NOT IN ('A','N','R') THEN 1 ELSE 0
+      |      END) AS DOUBLE) AS metric,
+      |    sum(CASE WHEN l_returnflag NOT IN ('A','N','R') THEN 1 ELSE 0
+      |      END) = 0 AS pass FROM lineitem
+      |  UNION ALL SELECT 'li_qty_nulls',
+      |    CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS DOUBLE),
+      |    sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) = 0
+      |    FROM lineitem
+      |  UNION ALL SELECT 'li_qty_range', CAST(max(l_quantity) AS DOUBLE),
+      |    min(l_quantity) >= 1 AND max(l_quantity) <= 50 FROM lineitem
+      |  UNION ALL SELECT 'li_rowcount', CAST(count(*) AS DOUBLE),
+      |    count(*) > 0 FROM lineitem
+      |  UNION ALL SELECT 'li_fk_orders',
+      |    CAST((SELECT count(*) FROM lineitem l LEFT JOIN orders o
+      |      ON l.l_orderkey = o.o_orderkey WHERE o.o_orderkey IS NULL)
+      |      AS DOUBLE),
+      |    (SELECT count(*) FROM lineitem l LEFT JOIN orders o
+      |      ON l.l_orderkey = o.o_orderkey WHERE o.o_orderkey IS NULL) = 0
+      |  UNION ALL SELECT 'ord_pk_unique',
+      |    CAST((SELECT count(*) FROM (SELECT o_orderkey FROM orders
+      |      GROUP BY 1 HAVING count(*) > 1)) AS DOUBLE),
+      |    (SELECT count(*) FROM (SELECT o_orderkey FROM orders
+      |      GROUP BY 1 HAVING count(*) > 1)) = 0
+      |) ORDER BY check_name""".stripMargin
+
+  /** q68: snapshot diff — corpus versioning's "what changed between
+    * builds": full-outer join of two table versions on the key, rows
+    * classified added/removed/changed by content hash, unchanged rows
+    * never surface. The second snapshot is synthesized deterministically
+    * from the fixture (drop doc_id≡0 mod 97, append " v2" to text for
+    * doc_id≡0 mod 89, add re-keyed copies for doc_id≡0 mod 101), so both
+    * engines diff the same pair of versions. */
+  def q68SnapshotDiff(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = graft.Tables.documents(s, d)
+    val kept = docs.filter($"doc_id" % 97 =!= 0)
+      .select($"doc_id",
+        when($"doc_id" % 89 === 0, concat($"text", lit(" v2")))
+          .otherwise($"text").as("text"))
+    val added = docs.filter($"doc_id" % 101 === 0)
+      .select(($"doc_id" + 1000000L).as("doc_id"), $"text")
+    graft.ops.Audit.snapshotDiff(docs, kept.unionAll(added), "doc_id",
+        graft.functions.TextFunctions.polyHash(col("text")))
+      .orderBy($"doc_id")
+  }
+
+  val q68Sql: String = {
+    val ph = DuckSql.polyHashSql("text")
+    val ph2 = DuckSql.polyHashSql("(text || ' v2')")
+    s"""WITH b AS (SELECT doc_id, $ph AS h FROM documents),
+       |a AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 89 = 0 THEN $ph2 ELSE $ph END AS h
+       |  FROM documents WHERE doc_id % 97 <> 0
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, $ph FROM documents WHERE doc_id % 101 = 0)
+       |SELECT coalesce(b.doc_id, a.doc_id) AS doc_id,
+       |  CASE WHEN b.doc_id IS NULL THEN 'added'
+       |       WHEN a.doc_id IS NULL THEN 'removed'
+       |       WHEN b.h <> a.h THEN 'changed' END AS change_type
+       |FROM b FULL OUTER JOIN a ON b.doc_id = a.doc_id
+       |WHERE (CASE WHEN b.doc_id IS NULL THEN 'added'
+       |       WHEN a.doc_id IS NULL THEN 'removed'
+       |       WHEN b.h <> a.h THEN 'changed' END) IS NOT NULL
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** q63: importance-weighted downsampling — keep probability ∝ n_chars
     * (stand-in for any per-doc quality/importance weight), expected sample
     * ≈ 150 docs. The gate is exact integer arithmetic on a deterministic
@@ -286,6 +385,8 @@ object AdvancedQueries {
     "q60_json_extract"  -> (q60JsonExtract _),
     "q63_weighted_sample" -> (q63WeightedSample _),
     "q64_uniform_sample_k" -> (q64UniformSampleK _),
+    "q67_constraint_audit" -> (q67ConstraintAudit _),
+    "q68_snapshot_diff" -> (q68SnapshotDiff _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -299,5 +400,7 @@ object AdvancedQueries {
     "q60_json_extract"  -> q60Sql,
     "q63_weighted_sample" -> q63Sql,
     "q64_uniform_sample_k" -> q64Sql,
+    "q67_constraint_audit" -> q67Sql,
+    "q68_snapshot_diff" -> q68Sql,
   )
 }
