@@ -20,13 +20,16 @@ object Audit {
   final case class Check(name: String, metric: Column, pass: Column)
 
   /** Run checks that are plain aggregates over `df` — ONE aggregation job
-    * for the whole list. Returns (constraint, metric, pass) rows. */
+    * for the whole list. Returns (check_name, metric, pass) rows. On an
+    * EMPTY table most aggregates are NULL: a null metric surfaces as NaN
+    * and a null pass as FALSE (an empty build fails its gate loudly
+    * instead of NPE-ing the report). */
   def aggregateChecks(df: DataFrame, checks: Seq[Check]): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val aggs = checks.flatMap(c =>
-      Seq(c.metric.cast("double").as(c.name + "__m"),
-        c.pass.as(c.name + "__p")))
+      Seq(coalesce(c.metric.cast("double"), lit(Double.NaN)).as(c.name + "__m"),
+        coalesce(c.pass, lit(false)).as(c.name + "__p")))
     val row = df.agg(aggs.head, aggs.tail: _*).head()
     checks.zipWithIndex.map { case (c, i) =>
       (c.name, row.getDouble(2 * i), row.getBoolean(2 * i + 1))

@@ -59,7 +59,9 @@ object Sampling {
   def weightedSample(df: DataFrame, key: Column, weight: Column,
                      target: Long, salt: String,
                      granularity: Long = 10000L): DataFrame = {
-    val totalW = df.agg(sum(weight.cast("long"))).head().getLong(0)
+    val totalRow = df.agg(sum(weight.cast("long"))).head()
+    if (totalRow.isNullAt(0)) return df.limit(0) // empty input: empty sample
+    val totalW = totalRow.getLong(0)
     val dec = "decimal(38,0)"
     df.filter(
       pmod(polyHash(concat(key, lit(salt))), lit(granularity)).cast(dec)

@@ -20,6 +20,16 @@ class AuditSpec extends AnyFunSuite with SparkSpecBase {
     assert(out.toSeq == Seq(("rowcount", 3.0, true), ("v_nonneg", 1.0, false)))
   }
 
+  test("empty inputs: audit reports NaN/false, weightedSample returns empty") {
+    val empty = Seq.empty[(Long, Double)].toDF("id", "v")
+    val out = Audit.aggregateChecks(empty, Seq(
+      Audit.Check("v_max", max($"v"), max($"v") < 100))).head()
+    assert(out.getDouble(1).isNaN && !out.getBoolean(2))
+    val ed = Seq.empty[(Long, String, Long)].toDF("doc_id", "text", "n_chars")
+    assert(graft.ops.Sampling.weightedSample(ed, $"text", $"n_chars",
+      10L, "s").isEmpty)
+  }
+
   test("duplicateKeys and fkOrphans find exactly the violations") {
     val parent = Seq(1L, 2L, 2L, 3L).toDF("k")
     assert(Audit.duplicateKeys(parent, "k").as[(Long, Long)].collect()
