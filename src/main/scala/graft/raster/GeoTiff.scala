@@ -10,14 +10,18 @@ import java.util.zip.Inflater
   * Implements the public TIFF 6.0 + GeoTIFF structures directly (classic
   * AND BigTIFF containers, either byte order): tiled or striped layout,
   * PlanarConfiguration 1 (interleaved) or 2 (planar), Compression 1
-  * (none) / 8 / 32946 (zlib-deflate, what the COG driver emits for
-  * DEFLATE), samples of uint8/16/32 or float32 promoted to Float, the
-  * GeoTIFF ModelPixelScale / ModelTiepoint tags, GDAL's ASCII nodata tag,
-  * and the COG overview IFD chain (`infos` walks it; `readBand(_, _,
-  * level)` decodes a reduced-resolution page). Deliberately NOT a full
-  * TIFF stack: no predictors, JPEG/LZW — a reader for the scene files
-  * this engine's sink family writes and the subset of COGs the reference
-  * pipeline produces (driver=COG, BLOCKSIZE=512, default DEFLATE-or-none).
+  * (none) / 5 (LZW, TIFF-variant MSB-first with early change — TIFF 6.0
+  * §13) / 8 / 32946 (zlib-deflate, what the COG driver emits for
+  * DEFLATE), the horizontal-differencing predictor (317=2, the pairing
+  * GDAL emits for LZW/DEFLATE integer rasters), samples of uint8/16/32 or
+  * float32 promoted to Float, the GeoTIFF ModelPixelScale /
+  * ModelTiepoint tags, GDAL's ASCII nodata tag, and the COG overview IFD
+  * chain (`infos` walks it; `readBand(_, _, level)` decodes a
+  * reduced-resolution page). Deliberately NOT a full TIFF stack: no JPEG,
+  * no floating-point predictor — a reader for the scene files this
+  * engine's sink family writes and the subset of COGs the reference
+  * pipeline produces (driver=COG, BLOCKSIZE=512, default DEFLATE-or-none,
+  * plus the LZW+predictor combination common in the wild).
   *
   * Byte-array based by design: scenes are fetched to local disk first
   * (Fetch, S5) exactly like the reference's download-then-open, and one
@@ -31,7 +35,8 @@ object GeoTiff {
       offsets: Array[Long], byteCounts: Array[Long],
       pixelScale: Option[(Double, Double)],
       tiepoint: Option[(Double, Double)],
-      nodata: Option[Double]) {
+      nodata: Option[Double],
+      predictor: Int = 1) {
     def tilesAcross: Int = (width + tileW - 1) / tileW
     def tilesDown: Int = (height + tileH - 1) / tileH
     def tilesPerPlane: Int = tilesAcross * tilesDown
@@ -152,10 +157,14 @@ object GeoTiff {
     val sampleFormat = one(339, 1).toInt
     val compression = one(259, 1).toInt
     val planar = one(284, 1).toInt
-    require(compression == 1 || compression == 8 || compression == 32946,
-      s"compression $compression unsupported (none/deflate only)")
-    require(!es.contains(317) || longs(es(317))(0) == 1,
-      "TIFF predictor unsupported")
+    require(compression == 1 || compression == 5 || compression == 8 ||
+        compression == 32946,
+      s"compression $compression unsupported (none/LZW/deflate only)")
+    val predictor = es.get(317).map(longs(_)(0).toInt).getOrElse(1)
+    require(predictor == 1 || predictor == 2,
+      s"TIFF predictor $predictor unsupported (none/horizontal only)")
+    require(predictor == 1 || sampleFormat == 1 || sampleFormat == 2,
+      "horizontal predictor applies to integer samples only")
     val (tw, th, offE, cntE) =
       if (es.contains(322)) // tiled
         (one(322, 0).toInt, one(323, 0).toInt, es(324), es(325))
@@ -170,7 +179,8 @@ object GeoTiff {
       es.get(42113).map(ascii).flatMap { s => // GDAL writes lowercase "nan"
         val t = s.trim
         if (t.equalsIgnoreCase("nan")) Some(Double.NaN) else t.toDoubleOption
-      })
+      },
+      predictor)
   }
 
   private def inflate(src: Array[Byte], off: Long, len: Long, expected: Int): Array[Byte] = {
@@ -181,6 +191,162 @@ object GeoTiff {
     while (!inf.finished() && o < expected) o += inf.inflate(out, o, expected - o)
     inf.end()
     out
+  }
+
+  private val LzwClear = 256
+  private val LzwEoi = 257
+
+  /** TIFF-variant LZW decode (TIFF 6.0 §13): MSB-first bit packing, codes
+    * start at 9 bits, dictionary reset on Clear (256), EARLY CHANGE (the
+    * code width grows when the next free slot reaches 2^w − 1, one code
+    * earlier than classic LZW — the TIFF quirk every writer implements). */
+  private[graft] def lzwDecode(src: Array[Byte], off: Int, len: Int,
+                                expected: Int): Array[Byte] = {
+    val out = new Array[Byte](expected)
+    var outPos = 0
+    val entries = new Array[Array[Byte]](4096)
+    var i = 0
+    while (i < 256) { entries(i) = Array(i.toByte); i += 1 }
+    var next = 258
+    var width = 9
+    var bitBuf = 0L
+    var bitCnt = 0
+    var p = off
+    val end = off + len
+    var prev: Array[Byte] = null
+    def read(): Int = {
+      while (bitCnt < width && p < end) {
+        bitBuf = (bitBuf << 8) | (src(p) & 0xffL); p += 1; bitCnt += 8
+      }
+      if (bitCnt < width) LzwEoi // truncated stream: stop
+      else {
+        val v = ((bitBuf >>> (bitCnt - width)) & ((1 << width) - 1)).toInt
+        bitCnt -= width
+        v
+      }
+    }
+    var done = false
+    while (!done && outPos < expected) {
+      val code = read()
+      if (code == LzwEoi) done = true
+      else if (code == LzwClear) {
+        java.util.Arrays.fill(entries.asInstanceOf[Array[AnyRef]], 258, 4096, null)
+        next = 258; width = 9; prev = null
+      } else {
+        val entry =
+          if (code < next && entries(code) != null) {
+            if (prev != null && next < 4096) {
+              entries(next) = prev :+ entries(code)(0); next += 1
+            }
+            entries(code)
+          } else {
+            require(prev != null && code == next,
+              s"corrupt LZW stream: code $code next $next")
+            val e = prev :+ prev(0)
+            if (next < 4096) { entries(next) = e; next += 1 }
+            e
+          }
+        val n = math.min(entry.length, expected - outPos)
+        System.arraycopy(entry, 0, out, outPos, n)
+        outPos += n
+        prev = entry
+        if (next == (1 << width) - 1 && width < 12) width += 1 // early change
+      }
+    }
+    out
+  }
+
+  /** TIFF-variant LZW encode — the decoder's twin, exercised by the
+    * round-trip specs (the engine's own COG sink stays float32+deflate;
+    * LZW+predictor is a READ-compat feature for third-party integer
+    * COGs). Greedy longest-match over a string table, Clear emitted when
+    * the table fills; width schedule mirrors the decoder's early change. */
+  private[graft] def lzwEncode(src: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(src.length / 2 + 16)
+    var bitBuf = 0L
+    var bitCnt = 0
+    var width = 9
+    def emit(code: Int): Unit = {
+      bitBuf = (bitBuf << width) | code.toLong
+      bitCnt += width
+      while (bitCnt >= 8) {
+        out.write(((bitBuf >>> (bitCnt - 8)) & 0xff).toInt); bitCnt -= 8
+      }
+    }
+    val table = new java.util.HashMap[String, Integer](8192)
+    def resetTable(): Unit = {
+      table.clear()
+      var i = 0
+      while (i < 256) { table.put(String.valueOf(i.toChar), i); i += 1 }
+    }
+    resetTable()
+    var next = 258
+    emit(LzwClear)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < src.length) {
+      val c = (src(i) & 0xff).toChar
+      sb.append(c)
+      if (!table.containsKey(sb.toString)) {
+        sb.setLength(sb.length - 1)
+        emit(table.get(sb.toString))
+        table.put(sb.toString + c, next); next += 1
+        // the decoder's table LAGS this one by one entry mid-stream (it
+        // adds ci's entry while consuming c(i+1)), so it widens before
+        // reading c(i+1) when dec_next = next − 1 hits 2^w − 1:
+        if (next == (1 << width) && width < 12) width += 1
+        if (next >= 4094) { // leave headroom, reset both sides
+          emit(LzwClear); resetTable(); next = 258; width = 9
+        }
+        sb.setLength(0); sb.append(c)
+      }
+      i += 1
+    }
+    if (sb.length > 0) emit(table.get(sb.toString))
+    // the final code carries no table add, so the decoder CATCHES UP to
+    // `next` while consuming it — it widens before reading EOI at 2^w − 1
+    if (next == (1 << width) - 1 && width < 12) width += 1
+    emit(LzwEoi)
+    if (bitCnt > 0) out.write(((bitBuf << (8 - bitCnt)) & 0xff).toInt)
+    out.toByteArray
+  }
+
+  /** Undo horizontal differencing (predictor=2) in place: each row of the
+    * tile accumulates left-neighbor deltas per sample channel, at the
+    * sample's integer width (TIFF 6.0 §14). */
+  private def undoHorizontalPredictor(raw: Array[Byte], fi: Info,
+                                      order: ByteOrder): Unit = {
+    val spp = if (fi.planar == 1) fi.bands else 1
+    val rowSamples = fi.tileW * spp
+    val bb = ByteBuffer.wrap(raw).order(order)
+    var r = 0
+    while (r < fi.tileH) {
+      val base = r * rowSamples
+      var s = spp
+      fi.bits match {
+        case 8 =>
+          while (s < rowSamples) {
+            raw(base + s) = (raw(base + s) + raw(base + s - spp)).toByte
+            s += 1
+          }
+        case 16 =>
+          while (s < rowSamples) {
+            val idx = (base + s) * 2
+            bb.putShort(idx,
+              (bb.getShort(idx) + bb.getShort(idx - spp * 2)).toShort)
+            s += 1
+          }
+        case 32 =>
+          while (s < rowSamples) {
+            val idx = (base + s) * 4
+            bb.putInt(idx, bb.getInt(idx) + bb.getInt(idx - spp * 4))
+            s += 1
+          }
+        case b => throw new IllegalArgumentException(
+          s"predictor=2 with $b-bit samples unsupported")
+      }
+      r += 1
+    }
   }
 
   /** Decoded samples of one tile/strip index as floats (tile-local C-order,
@@ -194,8 +360,12 @@ object GeoTiff {
         System.arraycopy(bytes, fi.offsets(idx).toInt, out, 0,
           math.min(out.length, fi.byteCounts(idx).toInt))
         out
-      } else inflate(bytes, fi.offsets(idx), fi.byteCounts(idx),
+      } else if (fi.compression == 5)
+        lzwDecode(bytes, fi.offsets(idx).toInt, fi.byteCounts(idx).toInt,
+          samplesPerTile * (fi.bits / 8))
+      else inflate(bytes, fi.offsets(idx), fi.byteCounts(idx),
         samplesPerTile * (fi.bits / 8))
+    if (fi.predictor == 2) undoHorizontalPredictor(raw, fi, order)
     val bb = ByteBuffer.wrap(raw).order(order)
     (fi.bits, fi.sampleFormat) match {
       case (32, 3) => val a = new Array[Float](samplesPerTile); bb.asFloatBuffer().get(a); a

@@ -163,4 +163,64 @@ class GeoTiffSpec extends AnyFunSuite {
     assert(GeoTiff.infos(big2).length == 3) // 40x24 -> 20x12 -> 10x6
     assert(GeoTiff.readBand(big2, 1, 1).length == 20 * 12)
   }
+
+  test("LZW codec round-trips adversarial payloads") {
+    val rnd = new scala.util.Random(7)
+    val cases = Seq(
+      Array.empty[Byte],
+      Array[Byte](0),
+      Array.fill(17)(42.toByte),                       // runs → KwKwK codes
+      "abababababababababab".getBytes,                 // classic KwKwK
+      Array.tabulate(300)(i => (i % 251).toByte),      // forces 10-bit codes
+      Array.tabulate(70000)(_ => rnd.nextInt(256).toByte), // table reset path
+      Array.tabulate(8192)(i => (i / 32).toByte))      // long runs, width growth
+    for (c <- cases) {
+      val enc = GeoTiff.lzwEncode(c)
+      val dec = GeoTiff.lzwDecode(enc, 0, enc.length, c.length)
+      assert(dec.toSeq == c.toSeq, s"len=${c.length}")
+    }
+  }
+
+  test("LZW + horizontal predictor TIFF decodes (hand-built container)") {
+    // 4x4 single-band uint16, strip layout, II order, compression=5,
+    // predictor=2 — the GDAL-common integer-COG combination
+    val w = 4; val h = 4
+    val samples = Array[Int](
+      1000, 1005, 1003, 1010,
+      2000, 1990, 1991, 2005,
+      0, 65535, 1, 65534, // wrap-around deltas exercise mod-2^16 math
+      500, 500, 500, 500)
+    // horizontal differencing per row (mod 2^16), then LZW
+    val diffed = new Array[Byte](w * h * 2)
+    val bb = java.nio.ByteBuffer.wrap(diffed)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    for (r <- 0 until h; c <- 0 until w) {
+      val v = if (c == 0) samples(r * w) else samples(r * w + c) - samples(r * w + c - 1)
+      bb.putShort((r * w + c) * 2, (v & 0xffff).toShort)
+    }
+    val payload = GeoTiff.lzwEncode(diffed)
+    // classic TIFF, IFD after the payload at offset 8 + len (word-aligned)
+    val dataOff = 8
+    val ifdOff = dataOff + payload.length + (payload.length & 1)
+    val entries = Seq( // tag, type, count, value
+      (256, 3, 1L, w.toLong), (257, 3, 1L, h.toLong), (258, 3, 1L, 16L),
+      (259, 3, 1L, 5L), (273, 4, 1L, dataOff.toLong), (277, 3, 1L, 1L),
+      (278, 3, 1L, h.toLong), (279, 4, 1L, payload.length.toLong),
+      (284, 3, 1L, 1L), (317, 3, 1L, 2L), (339, 3, 1L, 1L))
+    val out = java.nio.ByteBuffer.allocate(ifdOff + 2 + entries.size * 12 + 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put('I'.toByte).put('I'.toByte).putShort(42).putInt(ifdOff)
+    out.position(dataOff); out.put(payload)
+    out.position(ifdOff); out.putShort(entries.size.toShort)
+    for ((tag, typ, cnt, v) <- entries) {
+      out.putShort(tag.toShort).putShort(typ.toShort).putInt(cnt.toInt)
+      if (typ == 3) out.putShort(v.toShort).putShort(0) else out.putInt(v.toInt)
+    }
+    out.putInt(0) // no next IFD
+    val tif = out.array()
+    val fi = GeoTiff.info(tif)
+    assert(fi.compression == 5 && fi.predictor == 2 && fi.bits == 16)
+    val got = GeoTiff.readBand(tif, 0)
+    assert(got.toSeq == samples.map(_.toFloat).toSeq)
+  }
 }
