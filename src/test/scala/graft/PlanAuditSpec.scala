@@ -98,6 +98,34 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpecBase {
     assert(shuffles(df) == 0, planStr(df))
   }
 
+  test("q58 substring dedup: linear aggregations, no index self-join") {
+    val df = graft.ops.Dedup.substringPairs(
+      Tables.documents(spark, sfSmoke), "doc_id", "text", 30,
+      maxDf = Some(1000))
+    val plan = planStr(df)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan) // semi-join hashes/broadcasts
+    // df-count (partial+final over one exchange), semi-join probe, doc-set
+    // agg (co-partitioned with the probe), pair agg — bounded exchanges
+    assert(shuffles(df) <= 4, plan)
+  }
+
+  test("sketch aggregations plan as object aggregates with partial combine") {
+    import spark.implicits._
+    val toks = Tables.documents(spark, sfSmoke)
+      .select(org.apache.spark.sql.functions.explode(
+        graft.functions.TextFunctions.tokens(
+          org.apache.spark.sql.functions.col("text"))).as("w")).as[String]
+    val mg = toks.select(
+      new graft.ops.Sketches.MisraGriesAgg(64).toColumn.name("mg"))
+    val plan = planStr(mg.toDF())
+    // ObjectHashAggregate partial (map side) + final after one exchange:
+    // each task ships ONE sketch, never the token stream
+    assert(plan.contains("ObjectHashAggregate"), plan)
+    assert(shuffles(mg.toDF()) == 1, plan)
+  }
+
   test("q64 exact-k sample plans as TakeOrdered, not a global sort") {
     val df = graft.ops.Sampling.uniformSampleK(
       Tables.documents(spark, sfSmoke),
