@@ -55,7 +55,8 @@ object ChunkStoreSource {
     * codec variant cannot break listing. */
   final case class StoreLayout(dir: String, inflateTo: Int, codec: String,
                                nestedKeys: Boolean,
-                               shard: Option[(Int, Int)] = None)
+                               shard: Option[(Int, Int)] = None,
+                               transpose: Option[(Int, Int)] = None)
 
   /** Store layout detection: the raw layout keeps chunks under `c/`
     * (flat `t.b.cy.cx` names); a Zarr v2 store under `<var>/` beside
@@ -68,7 +69,9 @@ object ChunkStoreSource {
     if (Files.exists(Paths.get(root, "data", "zarr.json"))) {
       val l = ZarrStoreV3.readLayout(root)
       StoreLayout(s"$root/data/c", l.grid.chunkY * l.grid.chunkX * 4, "gzip",
-        nestedKeys = true, shard = l.shard)
+        nestedKeys = true, shard = l.shard,
+        transpose =
+          if (l.transposeYX) Some((l.grid.chunkY, l.grid.chunkX)) else None)
     } else if (Files.exists(Paths.get(root, "data", ".zarray"))) {
       val g = ZarrStore.readGrid(root)
       StoreLayout(s"$root/data", g.chunkY * g.chunkX * 4, "zlib", nestedKeys = false)
@@ -234,7 +237,7 @@ class ChunkScan(root: String, filters: Array[Filter], maxPartitionBytes: Long)
       .sortBy { case (k, _) => (k.time, k.band, k.cy, k.cx) }
     if (files.isEmpty)
       return Array(ChunkInputPartition(Array.empty, inflateTo, codec,
-        l.shard, filters))
+        l.shard, filters, l.transpose))
     val sized = files.map { f =>
       (f, try Files.size(Paths.get(f._2)) catch { case _: Exception => 0L })
     }
@@ -251,13 +254,13 @@ class ChunkScan(root: String, filters: Array[Filter], maxPartitionBytes: Long)
       val cost = math.max(sz, openCost)
       if (curN > 0 && curBytes + cost > budget) {
         parts += ChunkInputPartition(cur.result(), inflateTo, codec,
-          l.shard, filters)
+          l.shard, filters, l.transpose)
         cur.clear(); curBytes = 0L; curN = 0
       }
       cur += f; curBytes += cost; curN += 1
     }
     if (curN > 0) parts += ChunkInputPartition(cur.result(), inflateTo, codec,
-      l.shard, filters)
+      l.shard, filters, l.transpose)
     parts.result()
   }
   override def createReaderFactory(): PartitionReaderFactory = ChunkReaderFactory
@@ -272,7 +275,8 @@ class ChunkScan(root: String, filters: Array[Filter], maxPartitionBytes: Long)
 final case class ChunkInputPartition(
     files: Array[(ChunkStoreSource.Key, String)], inflateTo: Int = 0,
     codec: String = "raw", shard: Option[(Int, Int)] = None,
-    filters: Array[Filter] = Array.empty)
+    filters: Array[Filter] = Array.empty,
+    transpose: Option[(Int, Int)] = None)
     extends InputPartition
 
 object ChunkReaderFactory extends PartitionReaderFactory {
@@ -292,10 +296,25 @@ object ChunkReaderFactory extends PartitionReaderFactory {
     } finally in.close()
   }
 
-  private def floatsRow(k: ChunkStoreSource.Key, bytes: Array[Byte]): InternalRow = {
-    val floats = new Array[Float](bytes.length / 4)
+  private def floatsRow(k: ChunkStoreSource.Key, bytes: Array[Byte],
+                        transpose: Option[(Int, Int)]): InternalRow = {
+    val stored = new Array[Float](bytes.length / 4)
     ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
-      .asFloatBuffer().get(floats)
+      .asFloatBuffer().get(stored)
+    // x-major store (`transpose` codec, order [0,1,3,2]): permute back to
+    // the engine's logical row-major [y][x]
+    val floats = transpose match {
+      case Some((cy, cx)) =>
+        val out = new Array[Float](stored.length)
+        var x = 0; var i = 0
+        while (x < cx) {
+          var y = 0
+          while (y < cy) { out(y * cx + x) = stored(i); i += 1; y += 1 }
+          x += 1
+        }
+        out
+      case None => stored
+    }
     new GenericInternalRow(Array[Any](
       k.time, k.band, k.cy, k.cx,
       new GenericArrayData(floats.map(f => f: Any))))
@@ -307,8 +326,8 @@ object ChunkReaderFactory extends PartitionReaderFactory {
     * present inner chunk, and re-apply the pushed filters per inner key
     * (the exactness half of the shard pushdown contract). */
   private def shardRows(k: ChunkStoreSource.Key, path: String, sy: Int,
-                        sx: Int, inflateTo: Int,
-                        filters: Array[Filter]): Iterator[InternalRow] = {
+                        sx: Int, inflateTo: Int, filters: Array[Filter],
+                        transpose: Option[(Int, Int)]): Iterator[InternalRow] = {
     val raw = Files.readAllBytes(Paths.get(path))
     val nInner = sy * sx
     val idxLen = nInner * 16 + 4
@@ -333,7 +352,7 @@ object ChunkReaderFactory extends PartitionReaderFactory {
         if (!filters.forall(ChunkStoreSource.keep(_, inner))) Iterator.empty
         else Iterator.single(floatsRow(inner,
           gunzipExact(raw, off.toInt, len.toInt, inflateTo,
-            s"$path[inner $i]")))
+            s"$path[inner $i]"), transpose))
       }
     }
   }
@@ -343,7 +362,8 @@ object ChunkReaderFactory extends PartitionReaderFactory {
     part.shard match {
       case Some((sy, sx)) =>
         val rows = part.files.iterator.flatMap { case (k, path) =>
-          shardRows(k, path, sy, sx, part.inflateTo, part.filters)
+          shardRows(k, path, sy, sx, part.inflateTo, part.filters,
+            part.transpose)
         }
         new PartitionReader[InternalRow] {
           private var row: InternalRow = _
@@ -381,7 +401,7 @@ object ChunkReaderFactory extends PartitionReaderFactory {
             inf.end()
             out
           }
-        floatsRow(k, bytes)
+        floatsRow(k, bytes, part.transpose)
       }
       override def close(): Unit = ()
     }

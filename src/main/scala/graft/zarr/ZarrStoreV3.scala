@@ -106,8 +106,10 @@ object ZarrStoreV3 {
   }
 
   /** Parsed array layout: logical (INNER-chunk) grid + chunks-per-shard
-    * factors when the array is sharded. */
-  final case class V3Layout(grid: GridDef, shard: Option[(Int, Int)])
+    * factors when the array is sharded + whether chunk elements are
+    * stored x-major (a `transpose` codec with order [0,1,3,2]). */
+  final case class V3Layout(grid: GridDef, shard: Option[(Int, Int)],
+                            transposeYX: Boolean = false)
 
   def readLayout(root: String, varName: String = "data"): V3Layout = {
     val m = graft.model.Json.parseObject(
@@ -119,17 +121,37 @@ object ZarrStoreV3 {
       ("configuration").asInstanceOf[Map[String, Any]]("chunk_shape"))
     val codecs = m("codecs").asInstanceOf[Vector[Any]]
       .map(_.asInstanceOf[Map[String, Any]])
+    // optional array→array `transpose` codec ahead of `bytes` in whichever
+    // chain encodes chunk ELEMENTS (top-level for plain arrays, the inner
+    // chain for sharded). Our chunks are [1,1,Y,X], so the only
+    // non-identity order that respects the t/b singleton dims is x-major
+    // [0,1,3,2]; anything else is rejected loudly.
+    def parseTranspose(chain: Vector[Map[String, Any]]): Boolean =
+      chain.find(_("name") == "transpose") match {
+        case Some(t) =>
+          val order = ints(t("configuration").asInstanceOf[Map[String, Any]]
+            ("order"))
+          require(order.sameElements(Array(0, 1, 3, 2)) ||
+              order.sameElements(Array(0, 1, 2, 3)),
+            s"transpose order [${order.mkString(",")}] unsupported " +
+              "(identity or x-major [0,1,3,2] only)")
+          order.sameElements(Array(0, 1, 3, 2))
+        case None => false
+      }
     codecs.headOption.filter(_("name") == "sharding_indexed") match {
       case Some(sh) =>
         val conf = sh("configuration").asInstanceOf[Map[String, Any]]
         val inner = ints(conf("chunk_shape"))
         require(gridShape(2) % inner(2) == 0 && gridShape(3) % inner(3) == 0,
           "shard shape must be a chunk multiple")
+        val innerChain = conf("codecs").asInstanceOf[Vector[Any]]
+          .map(_.asInstanceOf[Map[String, Any]])
         V3Layout(GridDef(nT, nB, nY, nX, inner(2), inner(3), itemBytes = 4),
-          Some((gridShape(2) / inner(2), gridShape(3) / inner(3))))
+          Some((gridShape(2) / inner(2), gridShape(3) / inner(3))),
+          parseTranspose(innerChain))
       case None =>
         V3Layout(GridDef(nT, nB, nY, nX, gridShape(2), gridShape(3),
-          itemBytes = 4), None)
+          itemBytes = 4), None, parseTranspose(codecs))
     }
   }
 

@@ -195,4 +195,64 @@ class ZarrV3Spec extends AnyFunSuite with SparkSpecBase {
       _.asInstanceOf[graft.zarr.ChunkInputPartition].files.length).sum == 2)
     assert(df3.count() == 4)
   }
+
+  test("transpose codec: x-major external store reads back row-major") {
+    // hand-built store (as an external writer with transpose would emit):
+    // 1x1 grid of one 2x3 chunk, elements stored x-major [0,1,3,2]
+    val root = Files.createTempDirectory("graft-zarr3t").toString
+    Files.writeString(Paths.get(root, "zarr.json"),
+      """{"zarr_format":3,"node_type":"group"}""")
+    Files.createDirectories(Paths.get(root, "data"))
+    Files.writeString(Paths.get(root, "data", "zarr.json"),
+      """{"zarr_format":3,"node_type":"array","shape":[1,1,2,3],""" +
+        """"data_type":"float32",""" +
+        """"chunk_grid":{"name":"regular","configuration":{"chunk_shape":[1,1,2,3]}},""" +
+        """"chunk_key_encoding":{"name":"default","configuration":{"separator":"/"}},""" +
+        """"fill_value":"NaN",""" +
+        """"codecs":[{"name":"transpose","configuration":{"order":[0,1,3,2]}},""" +
+        """{"name":"bytes","configuration":{"endian":"little"}},""" +
+        """{"name":"gzip","configuration":{"level":1}}],""" +
+        """"dimension_names":["time","band","y","x"]}""")
+    // logical row-major chunk [[1,2,3],[4,5,6]] → x-major storage
+    // order walks columns: 1,4,2,5,3,6
+    val stored = Array(1f, 4f, 2f, 5f, 3f, 6f)
+    val bb = ByteBuffer.allocate(24).order(ByteOrder.LITTLE_ENDIAN)
+    stored.foreach(bb.putFloat)
+    val chunkDir = Paths.get(root, "data", "c", "0", "0", "0")
+    Files.createDirectories(chunkDir)
+    val gz = new java.io.ByteArrayOutputStream()
+    val gzs = new java.util.zip.GZIPOutputStream(gz)
+    gzs.write(bb.array()); gzs.close()
+    Files.write(chunkDir.resolve("0"), gz.toByteArray)
+    val l = ZarrStoreV3.readLayout(root)
+    assert(l.transposeYX && l.grid.chunkY == 2 && l.grid.chunkX == 3)
+    val rows = ZarrStoreV3.read(spark, root).collect()
+    assert(rows.length == 1)
+    assert(rows.head.data.toSeq == Seq(1f, 2f, 3f, 4f, 5f, 6f)) // row-major
+  }
+
+  test("transpose codec: identity accepted, other orders rejected") {
+    def store(order: String): String = {
+      val root = Files.createTempDirectory("graft-zarr3o").toString
+      Files.writeString(Paths.get(root, "zarr.json"),
+        """{"zarr_format":3,"node_type":"group"}""")
+      Files.createDirectories(Paths.get(root, "data"))
+      Files.writeString(Paths.get(root, "data", "zarr.json"),
+        """{"zarr_format":3,"node_type":"array","shape":[1,1,2,2],""" +
+          """"data_type":"float32",""" +
+          """"chunk_grid":{"name":"regular","configuration":{"chunk_shape":[1,1,2,2]}},""" +
+          """"chunk_key_encoding":{"name":"default","configuration":{"separator":"/"}},""" +
+          """"fill_value":"NaN",""" +
+          s""""codecs":[{"name":"transpose","configuration":{"order":[$order]}},""" +
+          """{"name":"bytes","configuration":{"endian":"little"}},""" +
+          """{"name":"gzip","configuration":{"level":1}}],""" +
+          """"dimension_names":["time","band","y","x"]}""")
+      root
+    }
+    assert(!ZarrStoreV3.readLayout(store("0,1,2,3")).transposeYX) // identity
+    val ex = intercept[IllegalArgumentException] {
+      ZarrStoreV3.readLayout(store("3,2,1,0"))
+    }
+    assert(ex.getMessage.contains("transpose order"))
+  }
 }
