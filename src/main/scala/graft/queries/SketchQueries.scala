@@ -148,15 +148,54 @@ object SketchQueries {
       |    true FROM lineitem)
       |ORDER BY col""".stripMargin
 
+  /** q69: one-pass corpus profile — the "describe this 100 TB table"
+    * report: per source, row count + distinct-text HLL + n_chars median
+    * KLL, ALL from a single hash aggregation (mixed UDAF columns share
+    * the grouping pass; each ships constant-size state). Validation joins
+    * exact distincts and an exact rank pass per group; the oracle pins
+    * (source, n_docs, distinct_texts) and asserts both sketch claims. */
+  def q69Profile(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val hll = udaf(new Sketches.HllAgg(13),
+      org.apache.spark.sql.Encoders.scalaLong)
+    val kll = udaf(new Sketches.KllAgg(256, Seq(0.5)),
+      org.apache.spark.sql.Encoders.scalaDouble)
+    val docs = documents(s, d)
+    val prof = docs.groupBy($"source").agg(
+      count(lit(1)).as("n_docs"),
+      hll(xxhash64($"text")).as("hd"),
+      kll($"n_chars".cast("double")).as("kq"),
+      countDistinct($"text").as("distinct_texts"))
+      .select($"source", $"n_docs", $"distinct_texts", $"hd",
+        element_at($"kq._2", 1).as("med_est"))
+    docs.join(broadcast(prof), "source")
+      .groupBy($"source", $"n_docs", $"distinct_texts", $"hd", $"med_est")
+      .agg(
+        sum(when($"n_chars" < $"med_est", 1L).otherwise(0L)).as("lo"),
+        sum(when($"n_chars" <= $"med_est", 1L).otherwise(0L)).as("hi"))
+      .select($"source", $"n_docs", $"distinct_texts",
+        (abs($"hd" - $"distinct_texts") <= $"distinct_texts" * Q62Eps &&
+          lit(0.5) >= $"lo" / $"n_docs" - Q59Eps &&
+          lit(0.5) <= $"hi" / $"n_docs" + Q59Eps).as("ok"))
+      .orderBy($"source")
+  }
+
+  val q69Sql: String =
+    """SELECT source, count(*) AS n_docs,
+      |  count(DISTINCT text) AS distinct_texts, true AS ok
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q59_quantile_sketch" -> (q59QuantileSketch _),
     "q61_heavy_hitters"   -> (q61HeavyHitters _),
     "q62_cardinality"     -> (q62CardinalitySketch _),
+    "q69_profile"         -> (q69Profile _),
   )
 
   val oracles: Map[String, String] = Map(
     "q59_quantile_sketch" -> q59Sql,
     "q61_heavy_hitters"   -> q61Sql,
     "q62_cardinality"     -> q62Sql,
+    "q69_profile"         -> q69Sql,
   )
 }

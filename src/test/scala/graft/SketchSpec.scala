@@ -276,6 +276,13 @@ class SketchSpec extends AnyFunSuite with SparkSpecBase {
     assert(long.nonEmpty, "fixture has no multi-chunk docs")
   }
 
+  test("q69 one-pass profile: all sketch claims hold per source") {
+    val rows = graft.queries.SketchQueries.q69Profile(spark, sfSmoke).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getBoolean(3)),
+      rows.map(r => s"${r.getString(0)} ok=${r.getBoolean(3)}").mkString(";"))
+  }
+
   test("q60 json extraction matches a local parse") {
     val rows = graft.queries.AdvancedQueries.q60JsonExtract(spark, sfSmoke)
       .collect()
