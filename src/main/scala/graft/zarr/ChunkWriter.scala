@@ -34,12 +34,27 @@ private[zarr] object ChunkWriter {
   }
 
   def write(ds: Dataset[ChunkRow], varDir: String, fullLen: Int,
-            nestedKeys: Boolean, gzipCodec: Boolean): Unit =
+            nestedKeys: Boolean, gzipCodec: Boolean,
+            transposeYX: Option[(Int, Int)] = None): Unit =
     ds.foreachPartition { (it: Iterator[ChunkRow]) =>
       it.foreach { r =>
-        val padded =
+        val padded0 =
           if (r.data.length >= fullLen) r.data
           else r.data ++ Array.fill(fullLen - r.data.length)(Float.NaN)
+        // x-major store (`transpose` codec [0,1,3,2]): permute the padded
+        // [Y][X] rectangle column-major before encode
+        val padded = transposeYX match {
+          case Some((cy, cx)) =>
+            val out = new Array[Float](padded0.length)
+            var i = 0; var x = 0
+            while (x < cx) {
+              var y = 0
+              while (y < cy) { out(i) = padded0(y * cx + x); i += 1; y += 1 }
+              x += 1
+            }
+            out
+          case None => padded0
+        }
         val bytes = new Array[Byte](padded.length * 4)
         ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
           .asFloatBuffer().put(padded)

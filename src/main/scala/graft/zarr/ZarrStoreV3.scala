@@ -32,7 +32,8 @@ object ZarrStoreV3 {
 
   private val DimNames = Seq("time", "band", "y", "x")
 
-  private def arrayJson(g: GridDef, bands: Seq[String]): String = {
+  private def arrayJson(g: GridDef, bands: Seq[String],
+                        xMajor: Boolean = false): String = {
     val labels =
       if (bands.isEmpty) ""
       else bands.mkString(""""band_labels":["""", "\",\"", "\"],")
@@ -42,7 +43,10 @@ object ZarrStoreV3 {
       s""""chunk_grid":{"name":"regular","configuration":{"chunk_shape":[1,1,${g.chunkY},${g.chunkX}]}},""" +
       """"chunk_key_encoding":{"name":"default","configuration":{"separator":"/"}},""" +
       """"fill_value":"NaN",""" +
-      """"codecs":[{"name":"bytes","configuration":{"endian":"little"}},""" +
+      (if (xMajor)
+        """"codecs":[{"name":"transpose","configuration":{"order":[0,1,3,2]}},"""
+      else """"codecs":[""") +
+      """{"name":"bytes","configuration":{"endian":"little"}},""" +
       """{"name":"gzip","configuration":{"level":1}}],""" +
       s""""attributes":{$labels"_ARRAY_DIMENSIONS":[${
         DimNames.mkString("\"", "\",\"", "\"")}]},""" +
@@ -51,12 +55,12 @@ object ZarrStoreV3 {
 
   /** S8 metadata-only init: one zarr.json per node, no data bytes. */
   def init(root: String, grid: GridDef, varName: String = "data",
-           bands: Seq[String] = Nil): Unit = {
+           bands: Seq[String] = Nil, xMajor: Boolean = false): Unit = {
     val dir = Paths.get(root, varName)
     Files.createDirectories(dir)
     Files.writeString(Paths.get(root, "zarr.json"),
       """{"zarr_format":3,"node_type":"group"}""")
-    Files.writeString(dir.resolve("zarr.json"), arrayJson(grid, bands))
+    Files.writeString(dir.resolve("zarr.json"), arrayJson(grid, bands, xMajor))
   }
 
   /** Sharded array metadata (the v3 `sharding_indexed` codec, public spec
@@ -169,7 +173,8 @@ object ZarrStoreV3 {
       s"$root/$varName is a sharded array: use writeSharded")
     val g = l.grid
     ChunkWriter.write(ds, s"$root/$varName", g.chunkY * g.chunkX,
-      nestedKeys = true, gzipCodec = true)
+      nestedKeys = true, gzipCodec = true,
+      transposeYX = if (l.transposeYX) Some((g.chunkY, g.chunkX)) else None)
   }
 
   /** Reopen through the shared DSv2 chunk source (v3 layout auto-detected;

@@ -231,6 +231,25 @@ class ZarrV3Spec extends AnyFunSuite with SparkSpecBase {
     assert(rows.head.data.toSeq == Seq(1f, 2f, 3f, 4f, 5f, 6f)) // row-major
   }
 
+  test("transpose codec: x-major WRITE round-trips and stores column-major") {
+    val root = Files.createTempDirectory("graft-zarr3w").toString
+    val g = GridDef(1, 1, 2, 3, 2, 3, 4)
+    ZarrStoreV3.init(root, g, xMajor = true)
+    assert(ZarrStoreV3.readLayout(root).transposeYX)
+    val rows = Seq(ChunkRow(0, 0, 0, 0, Array(1f, 2f, 3f, 4f, 5f, 6f))).toDS()
+    ZarrStoreV3.write(rows, root)
+    // read back: logical row-major restored
+    val got = ZarrStoreV3.read(spark, root).collect()
+    assert(got.length == 1 && got.head.data.toSeq == Seq(1f, 2f, 3f, 4f, 5f, 6f))
+    // on-disk bytes really ARE x-major (independent gunzip)
+    val raw = new java.util.zip.GZIPInputStream(
+      Files.newInputStream(Paths.get(root, "data", "c", "0", "0", "0", "0")))
+      .readAllBytes()
+    val bb = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
+    val stored = Array.tabulate(6)(i => bb.getFloat(i * 4))
+    assert(stored.toSeq == Seq(1f, 4f, 2f, 5f, 3f, 6f))
+  }
+
   test("transpose codec: identity accepted, other orders rejected") {
     def store(order: String): String = {
       val root = Files.createTempDirectory("graft-zarr3o").toString
