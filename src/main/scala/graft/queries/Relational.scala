@@ -247,6 +247,51 @@ object Relational {
       |  CAST(max(o_orderdate) AS DATE) AS last_order, count(*) AS n_orders
       |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
 
+  /** q70: hierarchical rollup — (source, lang) totals plus per-source and
+    * grand-total superaggregates in ONE pass (Spark `rollup` = the Expand
+    * operator feeding a single hash aggregation, not N passes).
+    * `grouping_id` disambiguates real NULLs from rollup rows. */
+  def q70Rollup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.Tables.documents(s, d)
+      .rollup($"source", $"lang")
+      .agg(grouping_id().cast("long").as("gid"), // must live IN the agg list
+        count(lit(1)).as("n_docs"), sum($"n_chars").as("chars"))
+      .select(coalesce($"source", lit("ALL")).as("source"),
+        coalesce($"lang", lit("ALL")).as("lang"), $"gid", $"n_docs", $"chars")
+      .orderBy($"gid", $"source", $"lang")
+  }
+
+  val q70Sql: String =
+    """SELECT coalesce(source, 'ALL') AS source, coalesce(lang, 'ALL') AS lang,
+      |  CAST(grouping(source) * 2 + grouping(lang) AS BIGINT) AS gid,
+      |  count(*) AS n_docs, sum(n_chars) AS chars
+      |FROM documents GROUP BY ROLLUP (source, lang)
+      |ORDER BY gid, source, lang""".stripMargin
+
+  /** q71: pivot — language mix per source as columns (conditional
+    * aggregation under the hood: one scan, one aggregation; the explicit
+    * value list keeps the schema static, which is what a 100 TB pivot
+    * needs — value discovery would be a separate distinct pass). */
+  def q71Pivot(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.Tables.documents(s, d)
+      .groupBy($"source")
+      .pivot("lang", Seq("en", "de", "es", "fr", "zh"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy($"source")
+  }
+
+  val q71Sql: String =
+    """SELECT source,
+      |  CAST(count(*) FILTER (lang = 'en') AS BIGINT) AS en,
+      |  CAST(count(*) FILTER (lang = 'de') AS BIGINT) AS de,
+      |  CAST(count(*) FILTER (lang = 'es') AS BIGINT) AS es,
+      |  CAST(count(*) FILTER (lang = 'fr') AS BIGINT) AS fr,
+      |  CAST(count(*) FILTER (lang = 'zh') AS BIGINT) AS zh
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_filter_project"  -> (q02FilterProject _),
@@ -260,6 +305,8 @@ object Relational {
     "q10_union_agg"       -> (q10Union _),
     "q11_topk"            -> (q11TopK _),
     "q12_first_of_group"  -> (q12FirstOfGroup _),
+    "q70_rollup"          -> (q70Rollup _),
+    "q71_pivot"           -> (q71Pivot _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -275,5 +322,7 @@ object Relational {
     "q10_union_agg"       -> q10Sql,
     "q11_topk"            -> q11Sql,
     "q12_first_of_group"  -> q12Sql,
+    "q70_rollup"          -> q70Sql,
+    "q71_pivot"           -> q71Sql,
   )
 }
