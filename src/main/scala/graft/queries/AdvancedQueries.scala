@@ -374,6 +374,44 @@ object AdvancedQueries {
       |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** q72: as-of join — each click picks up the user's most recent purchase
+    * at or before the click instant (feature-extraction staple: "state as
+    * of event time"). `graft.ops.AsOfJoin` runs it as union + one keyed
+    * window fill: ONE shuffle on user_id, linear in |clicks|+|purchases| —
+    * vs the naive inequality join whose intermediate is every
+    * (click, earlier purchase) pair. Oracle is DuckDB's native ASOF LEFT
+    * JOIN — an independent engine's dedicated operator agreeing row-wise. */
+  def q72AsOfJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = events(s, d)
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id", $"event_id".as("click_id"),
+        unix_micros($"ts").as("click_us"))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id".as("purchase_id"),
+        unix_micros($"ts").as("purchase_us"),
+        roundp($"value", 6).as("purchase_value"))
+    graft.ops.AsOfJoin.leftAsOf(clicks, purchases,
+        keys = Seq("user_id"), leftTime = "click_us", rightTime = "purchase_us")
+      .orderBy($"user_id", $"click_us")
+  }
+
+  val q72Sql: String =
+    """WITH clicks AS (
+      |  SELECT user_id, event_id AS click_id,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS click_us
+      |  FROM events WHERE event_type = 'click'),
+      |purchases AS (
+      |  SELECT user_id, event_id AS purchase_id,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS purchase_us,
+      |    round(value * 1e6) / 1e6 AS purchase_value
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT c.user_id, c.click_id, c.click_us,
+      |  p.purchase_id, p.purchase_us, p.purchase_value
+      |FROM clicks c ASOF LEFT JOIN purchases p
+      |  ON c.user_id = p.user_id AND c.click_us >= p.purchase_us
+      |ORDER BY c.user_id, c.click_us""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q35_knn_native"    -> (q35KnnNative _),
     "q36_sessionize"    -> (q36Sessionize _),
@@ -387,6 +425,7 @@ object AdvancedQueries {
     "q64_uniform_sample_k" -> (q64UniformSampleK _),
     "q67_constraint_audit" -> (q67ConstraintAudit _),
     "q68_snapshot_diff" -> (q68SnapshotDiff _),
+    "q72_asof_join"     -> (q72AsOfJoin _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -402,5 +441,6 @@ object AdvancedQueries {
     "q64_uniform_sample_k" -> q64Sql,
     "q67_constraint_audit" -> q67Sql,
     "q68_snapshot_diff" -> q68Sql,
+    "q72_asof_join"     -> q72Sql,
   )
 }
