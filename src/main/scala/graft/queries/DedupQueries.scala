@@ -188,6 +188,37 @@ object DedupQueries {
        |FROM w a JOIN w b ON a.sub = b.sub AND a.doc_id < b.doc_id
        |GROUP BY 1, 2 ORDER BY id_a, id_b""".stripMargin
 
+  /** q73: edit-distance fuzzy near-dup join — classic record-linkage shape:
+    * BLOCK on a cheap equality key (first 12 chars) so the self-join is a
+    * plain hash join (shuffles |docs|, not |docs|²), then score survivors
+    * with `levenshtein` over an 80-char window using Spark's THRESHOLDED
+    * variant (3-arg levenshtein, Spark 3.5+): the DP bails out as soon as
+    * the distance provably exceeds the cap, so per-pair cost is
+    * O(len·cap) not O(len²). At 100 TB the block key is the only knob —
+    * block sizes stay small (the prefix is high-entropy), so candidate
+    * pairs grow linearly with planted dup density, not quadratically. */
+  def q73FuzzyJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val doc = documents(s, d)
+      .select($"doc_id", substring($"text", 1, 12).as("blk"),
+        substring($"text", 1, 80).as("w80"))
+    val pairs = doc.as("a").join(doc.as("b"),
+        $"a.blk" === $"b.blk" && $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
+        levenshtein($"a.w80", $"b.w80", 30).as("d"))
+      .filter($"d" =!= -1)
+    pairs.orderBy($"doc_a", $"doc_b")
+  }
+
+  val q73Sql: String =
+    """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  levenshtein(substr(a.text,1,80), substr(b.text,1,80)) AS d
+      |FROM documents a JOIN documents b
+      |  ON substr(a.text,1,12) = substr(b.text,1,12)
+      | AND a.doc_id < b.doc_id
+      |WHERE levenshtein(substr(a.text,1,80), substr(b.text,1,80)) <= 30
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q26_dedup_exact"    -> (q26Exact _),
     "q27_ngram_jaccard"  -> (q27NgramJaccard _),
@@ -196,6 +227,7 @@ object DedupQueries {
     "q51_dedup_groups"   -> (q51DedupGroups _),
     "q52_incremental_dedup" -> (q52IncrementalDedup _),
     "q58_substring_dedup" -> (q58SubstringDedup _),
+    "q73_fuzzy_join"     -> (q73FuzzyJoin _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -206,5 +238,6 @@ object DedupQueries {
     "q51_dedup_groups"   -> q51Sql,
     "q52_incremental_dedup" -> q52Sql,
     "q58_substring_dedup" -> q58Sql,
+    "q73_fuzzy_join"     -> q73Sql,
   )
 }

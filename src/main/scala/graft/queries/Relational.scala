@@ -292,6 +292,38 @@ object Relational {
       |  CAST(count(*) FILTER (lang = 'zh') AS BIGINT) AS zh
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
+  /** q76: CUBE — all 2³ grouping-set combinations of (returnflag,
+    * linestatus, ship-year) in one pass. Like q70's rollup this compiles
+    * to a single Expand→hash-aggregate, so the cost is one scan + an
+    * 8×-expanded shuffle of PARTIAL aggregates (map-side combine first) —
+    * not 8 scans. `grouping_id` separates superaggregate rows from real
+    * NULL groups, which the ALL-placeholder rendering then keys off. */
+  def q76Cube(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    lineitem(s, d)
+      .withColumn("ship_year", year($"l_shipdate").cast("long"))
+      .cube($"l_returnflag", $"l_linestatus", $"ship_year")
+      .agg(grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n"),
+        round(sum($"l_quantity"), 2).as("sum_qty"))
+      .select(coalesce($"l_returnflag", lit("ALL")).as("rf"),
+        coalesce($"l_linestatus", lit("ALL")).as("ls"),
+        coalesce($"ship_year", lit(-1L)).as("ship_year"),
+        $"gid", $"n", $"sum_qty")
+      .orderBy($"gid", $"rf", $"ls", $"ship_year")
+  }
+
+  val q76Sql: String =
+    """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+      |  coalesce(l_linestatus, 'ALL') AS ls,
+      |  coalesce(CAST(year(l_shipdate) AS BIGINT), -1) AS ship_year,
+      |  CAST(grouping(l_returnflag) * 4 + grouping(l_linestatus) * 2 +
+      |    grouping(year(l_shipdate)) AS BIGINT) AS gid,
+      |  count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+      |FROM lineitem
+      |GROUP BY CUBE (l_returnflag, l_linestatus, year(l_shipdate))
+      |ORDER BY gid, rf, ls, ship_year""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_filter_project"  -> (q02FilterProject _),
@@ -307,6 +339,7 @@ object Relational {
     "q12_first_of_group"  -> (q12FirstOfGroup _),
     "q70_rollup"          -> (q70Rollup _),
     "q71_pivot"           -> (q71Pivot _),
+    "q76_cube"            -> (q76Cube _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -324,5 +357,6 @@ object Relational {
     "q12_first_of_group"  -> q12Sql,
     "q70_rollup"          -> q70Sql,
     "q71_pivot"           -> q71Sql,
+    "q76_cube"            -> q76Sql,
   )
 }

@@ -366,6 +366,107 @@ object TextQueries {
        |    AS chunk_hash
        |FROM st ORDER BY doc_id, chunk_id""".stripMargin
 
+  /** q74: TF-IDF — the canonical corpus-relevance weighting. Three
+    * map-side-combinable aggregations (tf per (doc,term), df per term,
+    * corpus N) + one shuffle join on term + a per-doc top-3 ranking
+    * window. N rides in as a literal (one tiny count job), NOT a
+    * cross-joined scalar subquery. At 100 TB the (doc,term) explode is
+    * the big intermediate — it's immediately hash-aggregated (partial
+    * combine shrinks it map-side), and the df table is vocabulary-sized,
+    * orders smaller than the corpus. ln-parity: both engines' IEEE-double
+    * `ln` agreed on every (tf,df) combination in the data; ranking ties
+    * (equal scores from equal (tf,df)) break on the term string. */
+  def q74Tfidf(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val doc = documents(s, d)
+    val n = doc.count()
+    val tf = doc.select($"doc_id", explode(tokens($"text")).as("term"))
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    val scored = tf.join(df, "term")
+      .withColumn("score", $"tf" * log(lit(n.toDouble) / $"df"))
+    val w = Window.partitionBy($"doc_id").orderBy($"score".desc, $"term")
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= 3)
+      .select($"doc_id", $"rank", $"term", roundp($"score", 6).as("score"),
+        $"tf", $"df")
+      .orderBy($"doc_id", $"rank")
+  }
+
+  val q74Sql: String =
+    s"""WITH toks AS (SELECT doc_id, unnest(${DuckSql.tokensSql}) AS term
+       |  FROM documents),
+       |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       |  FROM toks GROUP BY 1, 2),
+       |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+       |n AS (SELECT count(*) AS n FROM documents),
+       |scored AS (
+       |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+       |    tf.tf * ln(n.n::DOUBLE / df.df) AS score
+       |  FROM tf JOIN df USING (term) CROSS JOIN n)
+       |SELECT doc_id,
+       |  CAST(row_number() OVER (PARTITION BY doc_id
+       |    ORDER BY score DESC, term) AS BIGINT) AS rank,
+       |  term, ${DuckSql.roundpSql("score", 6)} AS score, tf, df
+       |FROM scored QUALIFY rank <= 3 ORDER BY doc_id, rank""".stripMargin
+
+  /** q75: BM25 ranking of the corpus against a fixed query term set —
+    * the retrieval-side twin of q74 (saturating tf, length
+    * normalization). The query terms are a broadcast-sized literal list;
+    * df/avgdl are corpus statistics computed once (two tiny aggregates);
+    * the per-doc score is a single pass over the (doc,term∈query) slice
+    * of the tf table — the explode is filtered to query terms BEFORE the
+    * aggregation, so the shuffle carries only matching postings. */
+  def q75Bm25(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val qTerms = Seq("spark", "window", "shuffle")
+    // constants appear as the same decimal literals as in the oracle SQL
+    // (k1+1 precomputed: 1.2+1.0 in double is NOT the literal 2.2)
+    val (k1, k1p1, oneMinusB, b) = (1.2, 2.2, 0.25, 0.75)
+    val doc = documents(s, d)
+    val n = doc.count()
+    val toks = doc.select($"doc_id", explode(tokens($"text")).as("term"))
+    val dl = toks.groupBy($"doc_id").agg(count(lit(1)).as("dl"))
+    val avgdl = dl.agg(avg($"dl")).head().getDouble(0)
+    val tf = toks.filter($"term".isInCollection(qTerms))
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    val scored = tf.join(df, "term").join(dl, "doc_id")
+      .withColumn("idf",
+        log(lit(1.0) + (lit(n.toDouble) - $"df" + lit(0.5)) / ($"df" + lit(0.5))))
+      .withColumn("part",
+        $"idf" * ($"tf" * lit(k1p1)) /
+          ($"tf" + lit(k1) * (lit(oneMinusB) + lit(b) * $"dl" / lit(avgdl))))
+    scored.groupBy($"doc_id")
+      .agg(roundp(sum($"part"), 6).as("bm25"),
+        count(lit(1)).as("n_terms_hit"))
+      .orderBy($"bm25".desc, $"doc_id")
+      .limit(20)
+  }
+
+  val q75Sql: String =
+    s"""WITH toks AS (SELECT doc_id, unnest(${DuckSql.tokensSql}) AS term
+       |  FROM documents),
+       |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+       |  FROM toks GROUP BY 1),
+       |stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+       |  (SELECT avg(dl) FROM dl) AS avgdl),
+       |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       |  FROM toks WHERE term IN ('spark', 'window', 'shuffle')
+       |  GROUP BY 1, 2),
+       |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+       |parts AS (
+       |  SELECT tf.doc_id,
+       |    ln(1.0 + (s.n - df.df + 0.5) / (df.df + 0.5)) *
+       |      (tf.tf * 2.2) /
+       |      (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)) AS part
+       |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s)
+       |SELECT doc_id, ${DuckSql.roundpSql("sum(part)", 6)} AS bm25,
+       |  CAST(count(*) AS BIGINT) AS n_terms_hit
+       |FROM parts GROUP BY doc_id
+       |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q22_lang_id"       -> (q22LangId _),
     "q23_quality"       -> (q23Quality _),
@@ -376,6 +477,8 @@ object TextQueries {
     "q54_quality_gate"  -> (q54QualityGate _),
     "q55_bloom_decontaminate" -> (q55BloomDecontaminate _),
     "q66_chunking"      -> (q66Chunk _),
+    "q74_tfidf"         -> (q74Tfidf _),
+    "q75_bm25"          -> (q75Bm25 _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -388,5 +491,7 @@ object TextQueries {
     "q54_quality_gate"  -> q54Sql,
     "q55_bloom_decontaminate" -> q55Sql,
     "q66_chunking"      -> q66Sql,
+    "q74_tfidf"         -> q74Sql,
+    "q75_bm25"          -> q75Sql,
   )
 }
