@@ -38,7 +38,8 @@ object SparkEntry {
     graft.queries.SimilarityQueries.queries ++
     graft.queries.PipelineQueries.queries ++
     graft.queries.AdvancedQueries.queries ++
-    graft.queries.SketchQueries.queries
+    graft.queries.SketchQueries.queries ++
+    graft.queries.EventAnalytics.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -51,5 +52,6 @@ object SparkEntry {
     graft.queries.SimilarityQueries.oracles ++
     graft.queries.PipelineQueries.oracles ++
     graft.queries.AdvancedQueries.oracles ++
-    graft.queries.SketchQueries.oracles
+    graft.queries.SketchQueries.oracles ++
+    graft.queries.EventAnalytics.oracles
 }

@@ -412,6 +412,26 @@ object AdvancedQueries {
       |  ON c.user_id = p.user_id AND c.click_us >= p.purchase_us
       |ORDER BY c.user_id, c.click_us""".stripMargin
 
+  /** q80: the CUSTOM-STATE sessionizer under the oracle gate — same
+    * semantics as q36 but computed by `Sessionize.stateful`
+    * (flatMapGroupsWithState, the KeyValueGroupedDataset path) in
+    * batch-catchup mode (flushAll drains open sessions, exactly correct
+    * when the invocation sees full history). q36 already proves the
+    * relational form against DuckDB; this pins the stateful
+    * implementation to the SAME SQL oracle, so the streaming code path's
+    * session arithmetic is hash-checked, not just parity-tested. */
+  def q80StatefulSessions(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val typed = events(s, d)
+      .select($"user_id", $"ts").as[(Long, java.sql.Timestamp)]
+    graft.ops.Sessionize.stateful(typed, gapMinutes = 30, flushAll = true)
+      .toDF()
+      .select($"user_id", $"session_id", $"n_events",
+        unix_micros($"start_ts").as("start_us"),
+        unix_micros($"end_ts").as("end_us"))
+      .orderBy($"user_id", $"session_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q35_knn_native"    -> (q35KnnNative _),
     "q36_sessionize"    -> (q36Sessionize _),
@@ -426,6 +446,7 @@ object AdvancedQueries {
     "q67_constraint_audit" -> (q67ConstraintAudit _),
     "q68_snapshot_diff" -> (q68SnapshotDiff _),
     "q72_asof_join"     -> (q72AsOfJoin _),
+    "q80_stateful_sessions" -> (q80StatefulSessions _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -442,5 +463,6 @@ object AdvancedQueries {
     "q67_constraint_audit" -> q67Sql,
     "q68_snapshot_diff" -> q68Sql,
     "q72_asof_join"     -> q72Sql,
+    "q80_stateful_sessions" -> q36Sql,
   )
 }

@@ -1,0 +1,125 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.events
+
+/** Behavioral event analytics — the OLAP shapes a product/training-data
+  * pipeline runs over an event log: overlapping time windows, ordered
+  * funnels, cohort retention. All deterministic (integer epoch-µs math,
+  * min/count aggregates), all single-key-shuffle plans.
+  */
+object EventAnalytics {
+
+  private val SlideUs = 300000000L   // 5 min
+  private val WinUs   = 600000000L   // 10 min window = 2 slides
+  private val WeekUs  = 7L * 86400000000L
+
+  /** q77: sliding-window aggregation — each event lands in TWO
+    * overlapping 10-minute windows sliding by 5 (Spark's native
+    * `window(ts, "10 minutes", "5 minutes")`, the same generator
+    * Structured Streaming uses). The expansion factor is
+    * windowDuration/slide (2×) BEFORE the partial aggregation, after
+    * which map-side combine collapses to |windows|·|types| rows — the
+    * scale knob is the ratio, not the data size. */
+  def q77SlidingWindow(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    events(s, d)
+      .groupBy(window($"ts", "10 minutes", "5 minutes").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("sum_v"))
+      .select(unix_micros($"w.start").as("win_us"), $"event_type", $"n", $"sum_v")
+      .orderBy($"win_us", $"event_type")
+  }
+
+  val q77Sql: String =
+    s"""WITH e AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type, value
+       |  FROM events),
+       |x AS (SELECT unnest([us - us % $SlideUs,
+       |                     us - us % $SlideUs - $SlideUs]) AS win_us,
+       |  event_type, value FROM e)
+       |SELECT win_us, event_type, count(*) AS n, round(sum(value), 2) AS sum_v
+       |FROM x GROUP BY 1, 2 ORDER BY win_us, event_type""".stripMargin
+
+  /** q78: ordered funnel — per user: first view, first click AFTER that
+    * view, first purchase AFTER that click, all within 7 days of the
+    * view. Three filtered min-aggregations chained by keyed joins (each a
+    * map-side-combinable groupBy on user_id; AQE broadcasts the shrinking
+    * stage tables). No window sort: funnels over a 100 TB log reduce to
+    * |users|-sized intermediates immediately. */
+  def q78Funnel(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = events(s, d)
+      .select($"user_id", $"event_type", unix_micros($"ts").as("us"))
+    val v = e.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"us").as("t1"))
+    val c = e.filter($"event_type" === "click").join(v, "user_id")
+      .filter($"us" > $"t1" && $"us" <= $"t1" + lit(WeekUs))
+      .groupBy($"user_id").agg(min($"us").as("t2"))
+    val p = e.filter($"event_type" === "purchase").join(c, "user_id")
+      .filter($"us" > $"t2" && $"us" <= $"t2" + lit(WeekUs))
+      .groupBy($"user_id").agg(min($"us").as("t3"))
+    v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+      .select($"user_id", $"t1", $"t2", $"t3",
+        (lit(1L) + when($"t2".isNotNull, 1L).otherwise(0L)
+          + when($"t3".isNotNull, 1L).otherwise(0L)).as("depth"))
+      .orderBy($"user_id")
+  }
+
+  val q78Sql: String =
+    s"""WITH e AS (SELECT user_id, event_type,
+       |    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+       |v AS (SELECT user_id, min(us) AS t1 FROM e
+       |  WHERE event_type = 'view' GROUP BY 1),
+       |c AS (SELECT e.user_id, min(e.us) AS t2 FROM e
+       |  JOIN v ON e.user_id = v.user_id
+       |    AND e.us > v.t1 AND e.us <= v.t1 + $WeekUs
+       |  WHERE e.event_type = 'click' GROUP BY 1),
+       |p AS (SELECT e.user_id, min(e.us) AS t3 FROM e
+       |  JOIN c ON e.user_id = c.user_id
+       |    AND e.us > c.t2 AND e.us <= c.t2 + $WeekUs
+       |  WHERE e.event_type = 'purchase' GROUP BY 1)
+       |SELECT v.user_id, v.t1, c.t2, p.t3,
+       |  (1 + CASE WHEN c.t2 IS NULL THEN 0 ELSE 1 END
+       |     + CASE WHEN p.t3 IS NULL THEN 0 ELSE 1 END)::BIGINT AS depth
+       |FROM v LEFT JOIN c ON v.user_id = c.user_id
+       |       LEFT JOIN p ON v.user_id = p.user_id
+       |ORDER BY v.user_id""".stripMargin
+
+  /** q79: cohort retention matrix — users bucketed by first-seen week,
+    * counted as active per week offset. Two aggregations: first-seen per
+    * user (|users| rows), then distinct users per (cohort, offset) —
+    * countDistinct shuffles (cohort, offset, user) partials, never raw
+    * events. The fact-side join key is user_id, the first-seen table is
+    * users-sized → AQE broadcast at any realistic cohort cardinality. */
+  def q79Cohort(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = events(s, d)
+      .select($"user_id", (unix_micros($"ts") / lit(WeekUs)).cast("long").as("wk"))
+    val first = e.groupBy($"user_id").agg(min($"wk").as("cohort_wk"))
+    e.join(first, "user_id")
+      .groupBy($"cohort_wk", ($"wk" - $"cohort_wk").as("week_offset"))
+      .agg(countDistinct($"user_id").as("active_users"))
+      .orderBy($"cohort_wk", $"week_offset")
+  }
+
+  val q79Sql: String =
+    s"""WITH e AS (SELECT user_id,
+       |    epoch_us(CAST(ts AS TIMESTAMP)) // $WeekUs AS wk FROM events),
+       |f AS (SELECT user_id, min(wk) AS cohort_wk FROM e GROUP BY 1)
+       |SELECT f.cohort_wk, e.wk - f.cohort_wk AS week_offset,
+       |  count(DISTINCT e.user_id) AS active_users
+       |FROM e JOIN f ON e.user_id = f.user_id
+       |GROUP BY 1, 2 ORDER BY cohort_wk, week_offset""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q77_sliding_window" -> (q77SlidingWindow _),
+    "q78_funnel"         -> (q78Funnel _),
+    "q79_cohort"         -> (q79Cohort _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q77_sliding_window" -> q77Sql,
+    "q78_funnel"         -> q78Sql,
+    "q79_cohort"         -> q79Sql,
+  )
+}
