@@ -54,8 +54,14 @@ object Bench {
     // independent runs estimates steady-state cost while still paying every
     // query's real IO/shuffle/codegen work each pass (caches are dropped
     // between queries, so pass 2 is not a warm-cache replay).
+    // optional arg: comma-separated name substrings — bench a subset while
+    // iterating locally (the driver invokes with no args)
+    val only: Option[Seq[String]] =
+      if (args.nonEmpty) Some(args(0).split(",").toSeq) else None
     def pass(): Seq[(String, Double)] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (name, _) => only.forall(_.exists(name.contains)) }
+        .map { case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         val dt = (System.nanoTime() - t0) / 1e9

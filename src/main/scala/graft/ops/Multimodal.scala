@@ -179,4 +179,31 @@ object Multimodal {
       }
     }
   }
+
+  final case class ImageHash(doc_id: Long, hi: Long, lo: Long)
+
+  /** Average-hash (aHash) perceptual fingerprint: resize to 8×8, then one
+    * bit per pixel — is it brighter than the image mean. All-integer
+    * threshold (`px·64 > Σpx`, no division) so the bit pattern is exactly
+    * reproducible in any engine. The 64 bits are returned as two 32-bit
+    * halves in BIGINTs: a single i64 hash would need signed-overflow
+    * agreement across engines for bit 63, and the split halves also hand
+    * the Hamming banding its natural 16-bit band boundaries. */
+  def averageHash(df: DataFrame, id: String, srcWidth: Int): Dataset[ImageHash] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    resizeImages(df, id, srcWidth, outW = 8, outH = 8).map { r =>
+      val px = r.pixels.map(_ & 0xff)
+      val total = px.sum
+      var hi = 0L
+      var lo = 0L
+      var i = 0
+      while (i < 32) {
+        if (px(i) * 64 > total) hi |= 1L << (31 - i)
+        if (px(i + 32) * 64 > total) lo |= 1L << (63 - (i + 32))
+        i += 1
+      }
+      ImageHash(r.doc_id, hi, lo)
+    }
+  }
 }

@@ -2,8 +2,10 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.Tables
 import graft.Tables.{events, lineitem}
 import graft.agg.TemporalReduce
+import graft.functions.TextFunctions.roundp
 
 /** Aggregation-operator coverage (SURVEY §2.4): masked mean (A3), exact
   * holistic median via the engine's own Aggregator (A4), spatial coarsen
@@ -109,11 +111,55 @@ object Aggregates {
        |GROUP BY source ORDER BY source""".stripMargin
   }
 
+  /** q82: equal-frequency decile binning — bucket stats without a global
+    * sort. The naive form (ntile/cume_dist over a full ORDER BY) is a
+    * single-partition window — a non-starter at 100 TB. Instead: ONE
+    * exact-percentile aggregation produces the 9 cutoffs (holistic but
+    * |cuts|-sized output), the cutoff array rides along as a broadcast
+    * literal row, and bucket assignment is a 9-comparison scan projection
+    * feeding an ordinary hash aggregation. Cutoffs are rounded to 4dp on
+    * BOTH engines before comparing: interpolated quantiles can land
+    * within float-noise of a (2dp) data value, where an unrounded strict
+    * `>` would flip engine-by-engine; after rounding, cutoff==value
+    * exactly in both engines and ties resolve identically (to the lower
+    * bucket). */
+  def q82DecileStats(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ps = (1 to 9).map(_ / 10.0)
+    val cuts = Tables.orders(s, d)
+      .agg(expr(s"percentile(o_totalprice, array(${ps.mkString(",")}))").as("cuts"))
+    Tables.orders(s, d).crossJoin(broadcast(cuts))
+      .select($"o_totalprice",
+        size(filter(transform($"cuts", c => roundp(c, 4)),
+          c => $"o_totalprice" > c)).cast("long").as("bucket"))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n"),
+        round(min($"o_totalprice"), 2).as("lo"),
+        round(max($"o_totalprice"), 2).as("hi"),
+        round(sum($"o_totalprice"), 2).as("total"))
+      .orderBy($"bucket")
+  }
+
+  val q82Sql: String = {
+    val ps = (1 to 9).map(i => (i / 10.0).toString).mkString(", ")
+    s"""WITH c AS (SELECT list_transform(
+       |    quantile_cont(o_totalprice, [$ps]),
+       |    x -> round(x * 10000.0) / 10000.0) AS cuts FROM orders)
+       |SELECT len(list_filter(c.cuts, x -> o.o_totalprice > x))::BIGINT
+       |    AS bucket,
+       |  count(*) AS n, round(min(o_totalprice), 2) AS lo,
+       |  round(max(o_totalprice), 2) AS hi,
+       |  round(sum(o_totalprice), 2) AS total
+       |FROM orders o CROSS JOIN c
+       |GROUP BY 1 ORDER BY bucket""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q19_masked_mean"   -> (q19MaskedMean _),
     "q20_masked_median" -> (q20MaskedMedian _),
     "q21_coarsen"       -> (q21Coarsen _),
     "q57_percentiles"   -> (q57Percentiles _),
+    "q82_decile_stats"  -> (q82DecileStats _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -121,5 +167,6 @@ object Aggregates {
     "q20_masked_median" -> q20Sql,
     "q21_coarsen"       -> q21Sql,
     "q57_percentiles"   -> q57Sql,
+    "q82_decile_stats"  -> q82Sql,
   )
 }

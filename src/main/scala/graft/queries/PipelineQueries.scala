@@ -358,6 +358,69 @@ object PipelineQueries {
        |FROM f WHERE frame_idx % 3 = 0
        |ORDER BY doc_id, frame_idx""".stripMargin
 
+  /** q83: perceptual image near-dup — aHash fingerprints (8×8 average
+    * hash over the stub-decoded gray images) paired by Hamming distance ≤
+    * 3. The pair search is NOT quadratic: the 64-bit hash splits into 4 ×
+    * 16-bit bands, docs equi-join on any equal band, and candidates are
+    * exact-verified; by pigeonhole a pair within distance 3 has ≥ 1 of
+    * its 4 bands fully intact, so banding recall at the threshold is
+    * exactly 1 and the output EQUALS the oracle's all-pairs scan. At
+    * corpus scale the equi-join shuffles |docs|·4 16-byte rows instead of
+    * comparing |docs|² fingerprints. */
+  def q83PerceptualDedup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ascii = documents(s, d)
+      .filter(octet_length($"text") === length($"text") && length($"text") > 0)
+    val hashes = Multimodal.averageHash(
+        Multimodal.withPayload(ascii, "text"), "doc_id", srcWidth = 8)
+      .toDF()
+    val banded = hashes.select($"doc_id", $"hi", $"lo",
+      posexplode(array(
+        shiftrightunsigned($"hi", 16), $"hi".bitwiseAND(lit(0xffffL)),
+        shiftrightunsigned($"lo", 16), $"lo".bitwiseAND(lit(0xffffL))))
+        .as(Seq("band", "bv")))
+    banded.as("a").join(banded.as("b"),
+        $"a.band" === $"b.band" && $"a.bv" === $"b.bv" &&
+          $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
+        (bit_count($"a.hi".bitwiseXOR($"b.hi")) +
+         bit_count($"a.lo".bitwiseXOR($"b.lo"))).cast("long").as("dist"))
+      .filter($"dist" <= 3)
+      .distinct()
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  val q83Sql: String =
+    """WITH b AS (SELECT doc_id,
+      |    list_transform(split(text, ''), x -> ascii(x)) AS bytes,
+      |    octet_length(encode(text)) AS n
+      |  FROM documents
+      |  WHERE octet_length(encode(text)) = length(text) AND length(text) > 0),
+      |dims AS (SELECT doc_id, bytes, n, greatest(1, (n + 7) // 8) AS h
+      |  FROM b),
+      |px AS (SELECT doc_id, (y * 8 + x) AS idx,
+      |    coalesce(bytes[least(h - 1, (y * h) // 8) * 8
+      |      + least(7, (x * 8) // 8) + 1], 0) AS v
+      |  FROM dims
+      |  CROSS JOIN generate_series(0, 7) g1(y)
+      |  CROSS JOIN generate_series(0, 7) g2(x)),
+      |tot AS (SELECT doc_id, sum(v) AS total FROM px GROUP BY 1),
+      |bits AS (SELECT px.doc_id, idx,
+      |    CASE WHEN v * 64 > total THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+      |  FROM px JOIN tot USING (doc_id)),
+      |hashes AS (SELECT doc_id,
+      |    CAST(sum(CASE WHEN idx < 32 THEN bit << (31 - idx) ELSE 0 END)
+      |      AS BIGINT) AS hi,
+      |    CAST(sum(CASE WHEN idx >= 32 THEN bit << (63 - idx) ELSE 0 END)
+      |      AS BIGINT) AS lo
+      |  FROM bits GROUP BY 1)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  (bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)))::BIGINT
+      |    AS dist
+      |FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q33_multimodal"    -> (q33Multimodal _),
     "q34_stream_window" -> (q34StreamWindow _),
@@ -367,6 +430,7 @@ object PipelineQueries {
     "q53_audio"         -> (q53Audio _),
     "q56_video_frames"  -> (q56VideoFrames _),
     "q65_stream_cardinality" -> (q65StreamCardinality _),
+    "q83_perceptual_dedup" -> (q83PerceptualDedup _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -378,5 +442,6 @@ object PipelineQueries {
     "q53_audio"         -> q53Sql,
     "q56_video_frames"  -> q56Sql,
     "q65_stream_cardinality" -> q65Sql,
+    "q83_perceptual_dedup" -> q83Sql,
   )
 }

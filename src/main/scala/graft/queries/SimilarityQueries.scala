@@ -3,6 +3,8 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables.embeddings
+import graft.functions.VectorFunctions
+import graft.functions.TextFunctions.roundp
 import graft.ops.Similarity
 
 /** Similarity-search coverage: exact brute-force cosine top-k (oracle
@@ -167,6 +169,53 @@ object SimilarityQueries {
       k = 5, floor = 0.3)
   }
 
+  /** q81: per-label embedding centroids + cluster tightness — the
+    * embedding-space quality profile a training pipeline runs after
+    * labeling/clustering. Centroid = per-dimension mean via posexplode →
+    * (label, dim) hash aggregation (map-side combinable; the intermediate
+    * is |labels|·dims rows, NEVER |vectors|·dims after the partial
+    * combine), reassembled into an array with a deterministic
+    * (pos-ordered) fold. Tightness = mean cosine of each member to its
+    * centroid — the centroid table is |labels| rows, so the join back is
+    * a broadcast; cosines use the sequential-fold dotSeq (oracle-parity).
+    * Dimension count is read from the DATA (first row), not hardcoded. */
+  def q81Centroids(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = embeddings(s, d)
+    val dims = emb.select(size($"embedding")).head().getInt(0)
+    val cent = emb.select($"label", posexplode($"embedding").as(Seq("p", "v")))
+      .groupBy($"label", $"p").agg(avg($"v").as("c"))
+      .groupBy($"label").agg(
+        transform(array_sort(collect_list(struct($"p", $"c"))),
+          e => e.getField("c")).as("cv"))
+    val scored = emb.join(broadcast(cent), "label")
+      .select($"label",
+        VectorFunctions.cosine($"embedding", $"cv").as("cos"))
+    val byLabel = scored.groupBy($"label")
+      .agg(count(lit(1)).as("n"), roundp(avg($"cos"), 6).as("avg_cos"))
+    byLabel.join(cent.select($"label",
+        roundp(VectorFunctions.norm($"cv"), 6).as("centroid_norm")), "label")
+      .select($"label".cast("int").as("label"), $"n", $"avg_cos", $"centroid_norm")
+      .orderBy($"label")
+  }
+
+  val q81Sql: String =
+    s"""WITH dims AS (
+       |  SELECT label, d, avg(embedding[d + 1]::DOUBLE) AS c
+       |  FROM embeddings CROSS JOIN generate_series(0, 63) g(d)
+       |  GROUP BY 1, 2),
+       |cent AS (SELECT label, list(c ORDER BY d) AS cv FROM dims GROUP BY 1),
+       |scored AS (
+       |  SELECT e.label, ${DuckSql.cosineSql("e.embedding", "c.cv", 64)} AS cos
+       |  FROM embeddings e JOIN cent c ON e.label = c.label)
+       |SELECT s.label, count(*) AS n,
+       |  ${DuckSql.roundpSql("avg(s.cos)", 6)} AS avg_cos,
+       |  any_value(${DuckSql.roundpSql(
+              s"sqrt(${DuckSql.dotSeqSql("c.cv", "c.cv", 64)})", 6)})
+       |    AS centroid_norm
+       |FROM scored s JOIN cent c ON s.label = c.label
+       |GROUP BY s.label ORDER BY s.label""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_embedding_neardup" -> (q30NearDup _),
     "q31_knn_brute"         -> (q31KnnBrute _),
@@ -174,6 +223,7 @@ object SimilarityQueries {
     "q40_knn_ivf"           -> (q40KnnIvf _),
     "q45_knn_pq"            -> (q45KnnPq _),
     "q49_knn_ivfpq"         -> (q49KnnIvfPq _),
+    "q81_centroids"         -> (q81Centroids _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -183,5 +233,6 @@ object SimilarityQueries {
     "q40_knn_ivf"           -> recallOracleSql(5),
     "q45_knn_pq"            -> recallOracleSql(5),
     "q49_knn_ivfpq"         -> recallOracleSql(5),
+    "q81_centroids"         -> q81Sql,
   )
 }

@@ -44,6 +44,51 @@ class RankingQueriesSpec extends AnyFunSuite with SparkSpecBase {
     assert(rows.forall { case (s, h) => s > 0 && h >= 1 && h <= 3 })
   }
 
+  test("q81: centroid tightness in [-1,1], members partition the table") {
+    val rows = SparkEntry.queries("q81_centroids")(spark, sfSmoke).collect()
+    assert(rows.nonEmpty)
+    val total = Tables.embeddings(spark, sfSmoke).count()
+    assert(rows.map(_.getAs[Long]("n")).sum == total)
+    rows.foreach { r =>
+      val c = r.getAs[Double]("avg_cos")
+      assert(c >= -1.0 && c <= 1.0)
+      assert(r.getAs[Double]("centroid_norm") >= 0.0)
+    }
+  }
+
+  test("q82: decile buckets partition rows and bucket ranges are ordered") {
+    val rows = SparkEntry.queries("q82_decile_stats")(spark, sfSmoke)
+      .orderBy($"bucket").collect()
+    val total = Tables.orders(spark, sfSmoke).count()
+    assert(rows.map(_.getAs[Long]("n")).sum == total)
+    // hi of bucket k never exceeds lo of bucket k+1
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Double]("hi") <= b.getAs[Double]("lo"))
+      case _ =>
+    }
+    // equal-frequency: every bucket within 2x of the ideal share
+    val ideal = total.toDouble / rows.length
+    rows.foreach(r => assert(r.getAs[Long]("n") <= ideal * 2))
+  }
+
+  test("q83: banding finds EXACTLY the all-pairs Hamming matches") {
+    import graft.ops.Multimodal
+    val q = SparkEntry.queries("q83_perceptual_dedup")(spark, sfSmoke)
+    val got = q.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // brute-force reference on the same hashes
+    val ascii = Tables.documents(spark, sfSmoke)
+      .filter(octet_length($"text") === length($"text") && length($"text") > 0)
+    val hs = Multimodal.averageHash(
+      Multimodal.withPayload(ascii, "text"), "doc_id", 8).collect()
+    val brute = (for {
+      a <- hs; b <- hs if a.doc_id < b.doc_id
+      dist = java.lang.Long.bitCount(a.hi ^ b.hi) + java.lang.Long.bitCount(a.lo ^ b.lo)
+      if dist <= 3
+    } yield (a.doc_id, b.doc_id, dist.toLong)).toSet
+    assert(got == brute)
+  }
+
   test("q76: cube superaggregates are consistent with the base table") {
     val q = SparkEntry.queries("q76_cube")(spark, sfSmoke)
     val total = Tables.lineitem(spark, sfSmoke).count()
