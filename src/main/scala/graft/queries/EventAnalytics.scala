@@ -111,15 +111,109 @@ object EventAnalytics {
        |FROM e JOIN f ON e.user_id = f.user_id
        |GROUP BY 1, 2 ORDER BY cohort_wk, week_offset""".stripMargin
 
+  /** q84: SCD2 interval build — turn a change log (each user's signup
+    * events carrying a value) into validity intervals with a current-row
+    * flag: valid_to = next change's timestamp, open intervals marked
+    * current. One keyed window (single shuffle on user_id, in-partition
+    * sort); `lead` is the canonical interval-closer. MaxValue sentinel
+    * keeps the column BIGINT (a NULL valid_to would make every downstream
+    * range predicate three-valued). */
+  def q84Scd2(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id").orderBy($"valid_from")
+    events(s, d).filter($"event_type" === "signup")
+      .select($"user_id", unix_micros($"ts").as("valid_from"),
+        graft.functions.TextFunctions.roundp($"value", 6).as("value"))
+      .withColumn("nxt", lead($"valid_from", 1).over(w))
+      .select($"user_id", $"valid_from",
+        coalesce($"nxt", lit(Long.MaxValue)).as("valid_to"),
+        $"value", $"nxt".isNull.as("is_current"))
+      .orderBy($"user_id", $"valid_from")
+  }
+
+  val q84Sql: String =
+    """WITH s AS (SELECT user_id,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS valid_from,
+      |    round(value * 1e6) / 1e6 AS value
+      |  FROM events WHERE event_type = 'signup'),
+      |x AS (SELECT user_id, valid_from, value,
+      |    lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+      |      AS nxt FROM s)
+      |SELECT user_id, valid_from,
+      |  coalesce(nxt, 9223372036854775807) AS valid_to, value,
+      |  nxt IS NULL AS is_current
+      |FROM x ORDER BY user_id, valid_from""".stripMargin
+
+  /** q85: arbitrary GROUPING SETS — (source), (lang), and grand total in
+    * one pass (the general form q70's rollup and q76's cube specialize).
+    * Same Expand→single-hash-aggregate physical shape; the grouping-set
+    * list controls the expansion factor exactly (3× here, vs 2^n for
+    * cube). */
+  def q85GroupingSets(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.Tables.documents(s, d)
+      .groupingSets(Seq(Seq($"source"), Seq($"lang"), Seq()),
+        $"source", $"lang")
+      .agg(grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n_docs"), sum($"n_chars").as("chars"))
+      .select(coalesce($"source", lit("ALL")).as("source"),
+        coalesce($"lang", lit("ALL")).as("lang"), $"gid", $"n_docs", $"chars")
+      .orderBy($"gid", $"source", $"lang")
+  }
+
+  val q85Sql: String =
+    """SELECT coalesce(source, 'ALL') AS source, coalesce(lang, 'ALL') AS lang,
+      |  CAST(grouping(source) * 2 + grouping(lang) AS BIGINT) AS gid,
+      |  count(*) AS n_docs, sum(n_chars) AS chars
+      |FROM documents GROUP BY GROUPING SETS ((source), (lang), ())
+      |ORDER BY gid, source, lang""".stripMargin
+
+  /** q86: relational set operations — INTERSECT / EXCEPT audience
+    * segmentation (clickers vs purchasers). Spark's intersect/except are
+    * set-semantic (distinct) like SQL's; each compiles to a distinct +
+    * join (semi/anti) pair, all hash-partitioned on user_id. */
+  def q86SetOps(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = events(s, d)
+    def ids(t: String) = e.filter($"event_type" === t).select($"user_id")
+    val clickers = ids("click")
+    val buyers = ids("purchase")
+    clickers.intersect(buyers).withColumn("segment", lit("both"))
+      .unionByName(clickers.except(buyers).withColumn("segment", lit("click_only")))
+      .unionByName(buyers.except(clickers).withColumn("segment", lit("purchase_only")))
+      .orderBy($"user_id", $"segment")
+  }
+
+  val q86Sql: String =
+    """WITH c AS (SELECT user_id FROM events WHERE event_type = 'click'),
+      |p AS (SELECT user_id FROM events WHERE event_type = 'purchase')
+      |SELECT user_id, segment FROM (
+      |  SELECT user_id, 'both' AS segment FROM (
+      |    SELECT user_id FROM c INTERSECT SELECT user_id FROM p)
+      |  UNION ALL
+      |  SELECT user_id, 'click_only' FROM (
+      |    SELECT user_id FROM c EXCEPT SELECT user_id FROM p)
+      |  UNION ALL
+      |  SELECT user_id, 'purchase_only' FROM (
+      |    SELECT user_id FROM p EXCEPT SELECT user_id FROM c))
+      |ORDER BY user_id, segment""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q77_sliding_window" -> (q77SlidingWindow _),
     "q78_funnel"         -> (q78Funnel _),
     "q79_cohort"         -> (q79Cohort _),
+    "q84_scd2"           -> (q84Scd2 _),
+    "q85_grouping_sets"  -> (q85GroupingSets _),
+    "q86_set_ops"        -> (q86SetOps _),
   )
 
   val oracles: Map[String, String] = Map(
     "q77_sliding_window" -> q77Sql,
     "q78_funnel"         -> q78Sql,
     "q79_cohort"         -> q79Sql,
+    "q84_scd2"           -> q84Sql,
+    "q85_grouping_sets"  -> q85Sql,
+    "q86_set_ops"        -> q86Sql,
   )
 }

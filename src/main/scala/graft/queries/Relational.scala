@@ -324,6 +324,66 @@ object Relational {
       |GROUP BY CUBE (l_returnflag, l_linestatus, year(l_shipdate))
       |ORDER BY gid, rf, ls, ship_year""".stripMargin
 
+  /** q87: correlated scalar subquery — orders priced over 1.5× their own
+    * customer's average. Written AS a correlated subquery (not a manual
+    * join) so Catalyst's decorrelation does the rewrite: the optimized
+    * plan is one aggregate on o_custkey joined back to the fact —
+    * verified in PlanAuditSpec-style by the absence of any per-row
+    * subquery execution. The comparison threshold is rounded to 4dp on
+    * both engines: a 2dp price can sit within float-sum noise of the
+    * unrounded 1.5·avg boundary. */
+  def q87CorrelatedSubquery(s: SparkSession, d: String): DataFrame = {
+    orders(s, d).createOrReplaceTempView("orders_q87")
+    s.sql(
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
+        |FROM orders_q87 o
+        |WHERE o_totalprice > (
+        |  SELECT round(1.5 * avg(i.o_totalprice) * 10000) / 10000
+        |  FROM orders_q87 i WHERE i.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  val q87Sql: String =
+    """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
+      |FROM orders o
+      |WHERE o_totalprice > (
+      |  SELECT round(1.5 * avg(i.o_totalprice) * 10000) / 10000
+      |  FROM orders i WHERE i.o_custkey = o.o_custkey)
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** q88: RANGE-framed window — 30-day trailing revenue per customer.
+    * Unlike q08's ROWS frames, the frame is VALUE-based (all orders
+    * within 29 days before the current one), which is also what makes it
+    * tie-safe: same-day orders share one frame regardless of row order.
+    * One shuffle on o_custkey; the in-partition range scan is the
+    * standard streaming-frame sort pass. */
+  def q88RangeFrame(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // o_orderdate arrives TIMESTAMP_NTZ; session TZ is UTC so the cast is
+    // identity on the instant (matches the oracle's CAST AS TIMESTAMP)
+    val day = (unix_micros($"o_orderdate".cast("timestamp")) /
+      lit(86400000000L)).cast("long")
+    val w = Window.partitionBy($"o_custkey").orderBy($"day")
+      .rangeBetween(-29, Window.currentRow)
+    orders(s, d)
+      .select($"o_orderkey", $"o_custkey", day.as("day"),
+        $"o_totalprice")
+      .withColumn("trail30", round(sum($"o_totalprice").over(w), 2))
+      .select($"o_orderkey", $"o_custkey", $"day",
+        round($"o_totalprice", 2).as("price"), $"trail30")
+      .orderBy($"o_orderkey")
+  }
+
+  val q88Sql: String =
+    """WITH o AS (SELECT o_orderkey, o_custkey,
+      |    epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000 AS day,
+      |    o_totalprice FROM orders)
+      |SELECT o_orderkey, o_custkey, day, round(o_totalprice, 2) AS price,
+      |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY day
+      |    RANGE BETWEEN 29 PRECEDING AND CURRENT ROW), 2) AS trail30
+      |FROM o ORDER BY o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_filter_project"  -> (q02FilterProject _),
@@ -340,6 +400,8 @@ object Relational {
     "q70_rollup"          -> (q70Rollup _),
     "q71_pivot"           -> (q71Pivot _),
     "q76_cube"            -> (q76Cube _),
+    "q87_correlated_subquery" -> (q87CorrelatedSubquery _),
+    "q88_range_frame"     -> (q88RangeFrame _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -358,5 +420,7 @@ object Relational {
     "q70_rollup"          -> q70Sql,
     "q71_pivot"           -> q71Sql,
     "q76_cube"            -> q76Sql,
+    "q87_correlated_subquery" -> q87Sql,
+    "q88_range_frame"     -> q88Sql,
   )
 }

@@ -41,6 +41,62 @@ class EventAnalyticsSpec extends AnyFunSuite with SparkSpecBase {
     assert(q.filter($"week_offset" < 0).count() == 0)
   }
 
+  test("q84: SCD2 intervals tile each user's timeline without overlap") {
+    val rows = SparkEntry.queries("q84_scd2")(spark, sfSmoke)
+      .orderBy($"user_id", $"valid_from").collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).values.foreach { g =>
+      // consecutive intervals chain exactly; only the last is current/open
+      g.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getLong(2) == b.getLong(1), "valid_to must equal next valid_from")
+          assert(!a.getBoolean(4))
+        case _ =>
+      }
+      assert(g.last.getBoolean(4) && g.last.getLong(2) == Long.MaxValue)
+    }
+  }
+
+  test("q85: grouping sets expand 3x, one scan, levels partition the count") {
+    val q = SparkEntry.queries("q85_grouping_sets")(spark, sfSmoke)
+    val total = Tables.documents(spark, sfSmoke).count()
+    val byGid = q.groupBy($"gid").agg(sum($"n_docs")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // gid 1 = by-source, gid 2 = by-lang, gid 3 = grand total
+    assert(byGid.keySet == Set(1L, 2L, 3L))
+    byGid.values.foreach(v => assert(v == total))
+    val plan = q.queryExecution.sparkPlan.toString
+    assert("Scan parquet".r.findAllIn(plan).size == 1, s"one scan:\n$plan")
+    assert(plan.contains("Expand"))
+  }
+
+  test("q86: segments are disjoint and cover clickers union purchasers") {
+    val rows = SparkEntry.queries("q86_set_ops")(spark, sfSmoke).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.map(_._1).distinct.length == rows.length, "one segment per user")
+    val seg = rows.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    assert(seg.keySet.subsetOf(Set("both", "click_only", "purchase_only")))
+  }
+
+  test("q87: the correlated subquery decorrelates (no per-row subplan)") {
+    val q = SparkEntry.queries("q87_correlated_subquery")(spark, sfSmoke)
+    val plan = q.queryExecution.sparkPlan.toString
+    assert(!plan.toLowerCase.contains("subquery"),
+      s"expected decorrelated join+agg, got:\n$plan")
+    assert(q.count() > 0)
+  }
+
+  test("q88: RANGE frame equals a brute-force 30-day trailing sum") {
+    val rows = SparkEntry.queries("q88_range_frame")(spark, sfSmoke)
+      .select($"o_custkey", $"day", $"price", $"trail30").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    val byCust = rows.groupBy(_._1)
+    rows.foreach { case (c, d, _, t30) =>
+      val expect = byCust(c).filter(r => r._2 >= d - 29 && r._2 <= d).map(_._3).sum
+      assert(math.abs(t30 - expect) < 0.02, s"cust $c day $d: $t30 vs $expect")
+    }
+  }
+
   test("q80: stateful sessionizer output equals the relational q36 form") {
     val a = SparkEntry.queries("q80_stateful_sessions")(spark, sfSmoke).collect()
     val b = SparkEntry.queries("q36_sessionize")(spark, sfSmoke).collect()
