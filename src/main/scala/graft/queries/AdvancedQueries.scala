@@ -432,6 +432,38 @@ object AdvancedQueries {
       .orderBy($"user_id", $"session_id")
   }
 
+  /** q89: versioned-store time travel — build a two-version table through
+    * the REAL CommitLog (v0 = short documents, v1 = v0 + the long tail
+    * appended), then read BOTH snapshots back through the log and report
+    * per-version stats. The store machinery (atomic version commits,
+    * snapshot file resolution, time-travel reads) is on the oracle path:
+    * DuckDB recomputes what each version must contain from the same base
+    * table, so a wrong snapshot (missed file, leaked file, wrong version
+    * resolution) hash-mismatches. */
+  def q89TimeTravel(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-q89").toString
+    val log = new graft.store.CommitLog(root)
+    val docs = graft.Tables.documents(s, d)
+    log.append(docs.filter($"n_chars" <= 300))   // v0
+    log.append(docs.filter($"n_chars" > 300))    // v1 = full corpus
+    val perVersion = Seq(0, 1).map { v =>
+      log.read(s, v).agg(
+        count(lit(1)).as("n_docs"), sum($"n_chars").as("chars"))
+        .withColumn("version", lit(v.toLong))
+    }
+    perVersion.reduce(_ unionByName _)
+      .select($"version", $"n_docs", $"chars")
+      .orderBy($"version")
+  }
+
+  val q89Sql: String =
+    """SELECT 0 AS version, count(*) AS n_docs, sum(n_chars) AS chars
+      |FROM documents WHERE n_chars <= 300
+      |UNION ALL
+      |SELECT 1, count(*), sum(n_chars) FROM documents
+      |ORDER BY version""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q35_knn_native"    -> (q35KnnNative _),
     "q36_sessionize"    -> (q36Sessionize _),
@@ -447,6 +479,7 @@ object AdvancedQueries {
     "q68_snapshot_diff" -> (q68SnapshotDiff _),
     "q72_asof_join"     -> (q72AsOfJoin _),
     "q80_stateful_sessions" -> (q80StatefulSessions _),
+    "q89_time_travel"   -> (q89TimeTravel _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -464,5 +497,6 @@ object AdvancedQueries {
     "q68_snapshot_diff" -> q68Sql,
     "q72_asof_join"     -> q72Sql,
     "q80_stateful_sessions" -> q36Sql,
+    "q89_time_travel"   -> q89Sql,
   )
 }
