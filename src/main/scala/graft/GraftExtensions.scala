@@ -60,6 +60,8 @@ object GraftExtensions {
     fn("graft_array_polyhash", classOf[ArrayPolyHash])(a => ArrayPolyHash(a(0))),
     fn("graft_char_windows", classOf[CharWindows])(a =>
       CharWindows(a(0), intArg(a(1), "graft_char_windows"))),
+    fn("graft_char_window_hashes", classOf[CharWindowHashPos])(a =>
+      CharWindowHashPos(a(0), intArg(a(1), "graft_char_window_hashes"))),
     fn("graft_pq_adc", classOf[PqAdc])(a => PqAdc(a(0), a(1))),
     // composition-backed (same trees as the Scala API):
     fn("graft_tokens", TextFunctions.getClass)(a =>

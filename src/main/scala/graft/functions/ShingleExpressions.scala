@@ -163,6 +163,57 @@ object HashKernels {
     new GenericArrayData(out)
   }
 
+  /** XXH64 (seed 42 — Spark's `xxhash64` seed) of every distinct
+    * length-L character window, paired with the window's 1-based
+    * CODEPOINT start, first-occurrence order; EMPTY for null/short docs.
+    *
+    * The hash is computed straight over the document's UTF-8 bytes — no
+    * per-window String/UTF8String allocation — so a df-count pre-pass
+    * over ALL windows of a corpus moves only 12-byte structs. The window
+    * text itself is materialized later, for surviving hashes only, via
+    * `substring(text, pos, L)` (codepoint-indexed, same as this kernel's
+    * `pos`). Hash equality admits xxh64 collisions; consumers regroup by
+    * the actual window text before emitting (q58's sets stage). */
+  def charWindowHashPos(s: UTF8String, winLen: Int): ArrayData = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    if (s == null) return new GenericArrayData(Array.empty[Any])
+    val b = s.getBytes
+    // byte offset of each codepoint start (+ end sentinel)
+    var n = 0
+    var i = 0
+    while (i < b.length) {
+      if ((b(i) & 0xC0) != 0x80) n += 1
+      i += 1
+    }
+    if (n < winLen) return new GenericArrayData(Array.empty[Any])
+    val starts = new Array[Int](n + 1)
+    i = 0; var cp = 0
+    while (i < b.length) {
+      if ((b(i) & 0xC0) != 0x80) { starts(cp) = i; cp += 1 }
+      i += 1
+    }
+    starts(n) = b.length
+    val seen = new java.util.LinkedHashMap[java.lang.Long, java.lang.Integer]()
+    i = 0
+    while (i + winLen <= n) {
+      val off = starts(i)
+      val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+        b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + off,
+        starts(i + winLen) - off, 42L)
+      seen.putIfAbsent(h, i + 1): Unit
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.entrySet().iterator()
+    var j = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(j) = InternalRow(e.getKey.longValue(), e.getValue.intValue())
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** MinHash signature (see MinHashSig); EMPTY for null/empty input. */
   def minhashSig(hs: ArrayData, n: Int): ArrayData = {
     if (hs == null) return new GenericArrayData(Array.empty[Long])
@@ -367,6 +418,42 @@ case class CharWindows(child: Expression, winLen: Int) extends UnaryExpression {
     copy(child = c)
 }
 
+/** `graft_char_window_hashes(text, L)` → ARRAY<STRUCT<h: BIGINT, pos: INT>>:
+  * xxh64 of each distinct L-character window + its 1-based codepoint start,
+  * first-occurrence order; empty for short/NULL docs. The allocation-free
+  * df-count scan for exact-substring dedup (q58): window STRINGS are only
+  * materialized downstream, for hashes that survive the count filter. */
+case class CharWindowHashPos(child: Expression, winLen: Int)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_char_window_hashes expects STRING, got ${other.sql}")
+  }
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("h", LongType, nullable = false),
+      StructField("pos", IntegerType, nullable = false))),
+    containsNull = false)
+  override def nullable: Boolean = false
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    HashKernels.charWindowHashPos(child.eval(input).asInstanceOf[UTF8String], winLen)
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val c = child.genCode(ctx)
+    ev.copy(code = code"""
+      ${c.code}
+      org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+        graft.functions.HashKernels.charWindowHashPos(${c.isNull} ? null : ${c.value}, $winLen);
+    """,
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
+  override protected def withNewChildInternal(c: Expression): CharWindowHashPos =
+    copy(child = c)
+}
+
 object ShingleExpressions {
   def wordShingles(text: Column, k: Int): Column =
     Bridge.column(WordShingles(Bridge.expression(text), k))
@@ -376,4 +463,6 @@ object ShingleExpressions {
     Bridge.column(ArrayPolyHash(Bridge.expression(arr)))
   def charWindows(text: Column, winLen: Int): Column =
     Bridge.column(CharWindows(Bridge.expression(text), winLen))
+  def charWindowHashPos(text: Column, winLen: Int): Column =
+    Bridge.column(CharWindowHashPos(Bridge.expression(text), winLen))
 }

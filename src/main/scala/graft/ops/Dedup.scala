@@ -395,15 +395,26 @@ object Dedup {
   def substringPairs(df: DataFrame, id: String, text: String, winLen: Int,
                      maxDf: Option[Int] = None): DataFrame = {
     require(winLen >= 2)
-    val wins0 = df.select(col(id).cast("long").as("doc_id"),
-        explode(graft.functions.ShingleExpressions.charWindows(
-          col(text), winLen)).as("sub"))
-      .withColumn("h", xxhash64(col("sub")))
-    val keep = wins0.groupBy("h").count()
+    val hp = graft.functions.ShingleExpressions.charWindowHashPos(col(text), winLen)
+    // Pass 1 — df count over window HASHES only (12-byte structs, no
+    // window-string allocation or shuffle; the kernel hashes straight off
+    // the documents' UTF-8 bytes). Partial agg collapses each map side to
+    // its distinct hashes, so the shuffle is ~|distinct windows| longs.
+    val keep = df.select(explode(hp).as("w"))
+      .groupBy(col("w.h").as("h")).count()
       .filter(col("count") >= 2 &&
         col("count") <= lit(maxDf.getOrElse(Int.MaxValue)))
       .select("h")
-    val sets = wins0.join(keep, Seq("h"), "left_semi")
+    // Pass 2 — re-derive (h, pos) and materialize the window STRING for
+    // surviving hashes only (one substr per survivor, in the same codegen
+    // stage as the explode: dropped windows never allocate). `keep` is
+    // runtime-broadcast by AQE, so nothing here shuffles window text
+    // except the few duplicated windows entering the sets agg.
+    val sets = df.select(col(id).cast("long").as("doc_id"),
+        col(text).as("t"), explode(hp).as("w"))
+      .withColumn("h", col("w.h"))
+      .join(keep, Seq("h"), "left_semi")
+      .select(col("doc_id"), col("t").substr(col("w.pos"), lit(winLen)).as("sub"))
       .groupBy("sub").agg(sort_array(collect_set(col("doc_id"))).as("ds"))
       .filter(size(col("ds")) >= 2) // collision-admitted singletons drop here
     sets.select(col("sub"), explode(expr(

@@ -206,6 +206,37 @@ class SketchSpec extends AnyFunSuite with SparkSpecBase {
     assert(viaSql == 8)
   }
 
+  test("CharWindowHashPos: hashes+positions reconstruct charWindows exactly") {
+    val docs = Tables.documents(spark, sfSmoke).select($"text").limit(200)
+      .union(Seq("短い", "日本語のテキストです、これはウィンドウ検査",
+        "emoji 😀 mixed éè text here padded out", "")
+        .toDF("text"))
+    val L = 12
+    // resolve each (h, pos) back to its window text via substr: the
+    // reconstructed set must equal the string kernel's distinct windows,
+    // and every h must equal xxhash64 of its window
+    val rows = docs.select($"text",
+        explode(graft.functions.ShingleExpressions.charWindowHashPos($"text", L)).as("w"))
+      .select($"text".substr($"w.pos", lit(L)).as("sub"), $"w.h".as("h"),
+        xxhash64($"text".substr($"w.pos", lit(L))).as("hx"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(1) == r.getLong(2), r.getString(0)))
+    val rebuilt = docs.select($"text",
+        explode(graft.functions.ShingleExpressions.charWindowHashPos($"text", L)).as("w"))
+      .groupBy($"text").agg(sort_array(collect_list($"text".substr($"w.pos", lit(L)))).as("ws"))
+    val straight = docs.filter(length($"text") >= L).select($"text",
+        sort_array(graft.functions.ShingleExpressions.charWindows($"text", L)).as("ws"))
+    assert(rebuilt.join(straight, Seq("text"))
+      .filter(rebuilt("ws") =!= straight("ws")).isEmpty)
+    // SQL registration
+    GraftExtensions.register(spark)
+    val viaSql = spark.sql(
+      "SELECT size(graft_char_window_hashes('hello world!', 5)) AS n")
+      .head().getInt(0)
+    assert(viaSql == 8)
+  }
+
   test("substringPairs matches brute force and respects the df cap") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog tonight"),
