@@ -39,7 +39,8 @@ object SparkEntry {
     graft.queries.PipelineQueries.queries ++
     graft.queries.AdvancedQueries.queries ++
     graft.queries.SketchQueries.queries ++
-    graft.queries.EventAnalytics.queries
+    graft.queries.EventAnalytics.queries ++
+    graft.queries.StoreQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -53,5 +54,6 @@ object SparkEntry {
     graft.queries.PipelineQueries.oracles ++
     graft.queries.AdvancedQueries.oracles ++
     graft.queries.SketchQueries.oracles ++
-    graft.queries.EventAnalytics.oracles
+    graft.queries.EventAnalytics.oracles ++
+    graft.queries.StoreQueries.oracles
 }

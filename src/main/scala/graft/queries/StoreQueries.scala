@@ -1,0 +1,118 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.documents
+import graft.store.CommitLog
+
+/** Versioned-store (commit log) operator coverage: MERGE upsert, change
+  * feed, Z-order clustering key. Each query routes REAL store machinery
+  * (snapshot commits, copy-on-write file rewrites, version reads) onto
+  * the oracle path: DuckDB recomputes what the final table state must be
+  * from the same base table, so a store bug (lost row, double-applied
+  * update, stale snapshot) hash-mismatches.
+  */
+object StoreQueries {
+
+  /** q90: copy-on-write MERGE — v0 = the corpus laid out by source (so
+    * the upsert's file pruning is real: only files holding `src0`/`src1`
+    * keys rewrite, the rest carry over by name); batch = every `src0`
+    * doc with n_chars bumped +1000 (update arm) ∪ `src1` clones under
+    * fresh ids (insert arm). Reads back the merged head and aggregates
+    * per source. */
+  def q90MergeUpsert(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-q90").toString
+    val log = new CommitLog(root)
+    val docs = documents(s, d)
+    log.append(docs.repartition($"source")): Unit
+    val updates = docs.filter($"source" === "src0")
+      .withColumn("n_chars", $"n_chars" + 1000L)
+    val inserts = docs.filter($"source" === "src1")
+      .withColumn("doc_id", $"doc_id" + 10000000L)
+    log.merge(s, updates.unionByName(inserts), "doc_id"): Unit
+    log.read(s).groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("chars"))
+      .orderBy($"source")
+  }
+
+  val q90Sql: String =
+    """WITH merged AS (
+      |  SELECT source,
+      |    CASE WHEN source = 'src0' THEN n_chars + 1000 ELSE n_chars END AS n_chars
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT source, n_chars FROM documents WHERE source = 'src1')
+      |SELECT source, count(*) AS n_docs, sum(n_chars) AS chars
+      |FROM merged GROUP BY source ORDER BY source""".stripMargin
+
+  /** q91: change feed — v0 = the corpus; v1 = overwrite applying an
+    * update (src0: n_chars + 1000), a delete (src2 dropped), and inserts
+    * (src1 clones under fresh ids). `changes(0, 1)` keys a full-row-hash
+    * diff of the two snapshot READS, so a wrong version resolution or a
+    * row lost in the overwrite surfaces as a wrong change row. */
+  def q91ChangeFeed(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-q91").toString
+    val log = new CommitLog(root)
+    val docs = documents(s, d)
+    log.append(docs): Unit
+    val v1 = docs.filter($"source" =!= "src2")
+      .withColumn("n_chars",
+        when($"source" === "src0", $"n_chars" + 1000L).otherwise($"n_chars"))
+      .unionByName(docs.filter($"source" === "src1")
+        .withColumn("doc_id", $"doc_id" + 10000000L))
+    log.overwrite(v1): Unit
+    log.changes(s, 0, 1, "doc_id").orderBy($"doc_id", $"change_type")
+  }
+
+  val q91Sql: String =
+    """SELECT * FROM (
+      |  SELECT doc_id + 10000000 AS doc_id, 'insert' AS change_type
+      |  FROM documents WHERE source = 'src1'
+      |  UNION ALL
+      |  SELECT doc_id, 'delete' FROM documents WHERE source = 'src2'
+      |  UNION ALL
+      |  SELECT doc_id, 'update' FROM documents WHERE source = 'src0')
+      |ORDER BY doc_id, change_type""".stripMargin
+
+  /** q92: Z-order clustering key — the 32-bit Morton interleave of
+    * (n_chars, doc_id mod 2^16) computed with pure column bit math (the
+    * same key `CommitLog.compact` clusters file layout by; DuckDB runs
+    * the identical shift/mask cascade). First 1000 docs in Z order. */
+  def q92ZOrderKey(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    documents(s, d)
+      .select($"doc_id", graft.ops.ZOrder.interleave16(
+        $"n_chars", $"doc_id".bitwiseAND(lit(65535L))).as("z"))
+      .orderBy($"z", $"doc_id")
+      .limit(1000)
+  }
+
+  val q92Sql: String =
+    """WITH s0 AS (SELECT doc_id,
+      |    least(greatest(n_chars, 0), 65535) AS x, doc_id & 65535 AS y
+      |  FROM documents),
+      |s1 AS (SELECT doc_id, (x | (x << 8)) & 16711935 AS x,
+      |                      (y | (y << 8)) & 16711935 AS y FROM s0),
+      |s2 AS (SELECT doc_id, (x | (x << 4)) & 252645135 AS x,
+      |                      (y | (y << 4)) & 252645135 AS y FROM s1),
+      |s3 AS (SELECT doc_id, (x | (x << 2)) & 858993459 AS x,
+      |                      (y | (y << 2)) & 858993459 AS y FROM s2),
+      |s4 AS (SELECT doc_id, (x | (x << 1)) & 1431655765 AS x,
+      |                      (y | (y << 1)) & 1431655765 AS y FROM s3)
+      |SELECT doc_id, x | (y << 1) AS z FROM s4
+      |ORDER BY z, doc_id LIMIT 1000""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q90_merge_upsert" -> (q90MergeUpsert _),
+    "q91_change_feed"  -> (q91ChangeFeed _),
+    "q92_zorder_key"   -> (q92ZOrderKey _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q90_merge_upsert" -> q90Sql,
+    "q91_change_feed"  -> q91Sql,
+    "q92_zorder_key"   -> q92Sql,
+  )
+}

@@ -96,16 +96,7 @@ final class CommitLog(val root: String) {
   private def writeAndCommit(df: DataFrame, keepExisting: Boolean): Int = {
     val sub = f"data-${System.nanoTime()}%x"
     df.write.parquet(Paths.get(root, sub).toString)
-    val added = {
-      val d = Paths.get(root, sub)
-      val s = Files.list(d)
-      try {
-        import scala.jdk.CollectionConverters._
-        s.iterator().asScala.map(_.getFileName.toString)
-          .filter(n => n.endsWith(".parquet") && !n.startsWith("."))
-          .map(n => s"$sub/$n").toSeq
-      } finally s.close()
-    }
+    val added = listParquet(sub)
     val existing =
       if (keepExisting && headVersion() >= 0)
         snapshot().map(abs => Paths.get(root).relativize(Paths.get(abs)).toString)
@@ -117,6 +108,97 @@ final class CommitLog(val root: String) {
   def read(spark: SparkSession, version: Int = -1): DataFrame = {
     val files = snapshot(version)
     spark.read.parquet(files: _*)
+  }
+
+  /** Copy-on-write MERGE (upsert by `key`): rows of `batch` replace
+    * same-key rows of the head snapshot; unmatched batch rows insert.
+    *
+    * Only files that actually CONTAIN a matched key are rewritten —
+    * every other head file carries over into the new snapshot untouched
+    * (asserted by CommitLogSpec), so write amplification is bounded by
+    * the batch's file-level spread, not the table size. The touched-file
+    * probe reads just the key column (column-pruned scan + semi-join
+    * against the batch keys); with per-file key min/max stats the scan
+    * could prune further, but the probe is already distributed and
+    * O(|table keys|). Concurrency: optimistic — the final commit throws
+    * [[ConcurrentCommitException]] if another writer advanced the head,
+    * and the caller retries against the new snapshot (new data files are
+    * orphans until vacuum, never corruption). */
+  def merge(spark: SparkSession, batch: DataFrame, key: String): Int = {
+    import org.apache.spark.sql.functions._
+    val head = headVersion()
+    require(head >= 0, "merge into empty table: use append")
+    val files = snapshot(head)
+    val keys = batch.select(col(key)).distinct()
+    val touched = spark.read.parquet(files: _*)
+      .select(col(key), input_file_name().as("_f"))
+      .join(keys, Seq(key), "left_semi")
+      .select("_f").distinct().collect().map(_.getString(0))
+      .map(stripScheme).toSet
+    val untouched = files.filterNot(f => touched.contains(stripScheme(f)))
+    // survivors of the touched files (their non-matched rows) + the batch
+    val rewritten =
+      if (touched.isEmpty) batch
+      else spark.read.parquet(touched.toSeq: _*)
+        .join(keys, Seq(key), "left_anti")
+        .unionByName(batch)
+    val sub = f"data-${System.nanoTime()}%x"
+    rewritten.write.parquet(Paths.get(root, sub).toString)
+    val added = listParquet(sub)
+    val rel = untouched.map(abs =>
+      Paths.get(root).relativize(Paths.get(abs)).toString)
+    commitSnapshot(rel ++ added)
+  }
+
+  /** Change feed between two committed versions keyed by `key`: one row
+    * per changed key with `change_type` ∈ insert / delete / update
+    * (full-row comparison; unchanged keys are absent). The scan is two
+    * column-pruned snapshot reads + one shuffle on `key` — no log replay,
+    * no driver materialization. */
+  def changes(spark: SparkSession, from: Int, to: Int, key: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    def hashed(v: Int, as: String) = {
+      val df = read(spark, v)
+      df.select(col(key), xxhash64(df.columns.sorted.map(col): _*).as(as))
+    }
+    hashed(from, "_h0").join(hashed(to, "_h1"), Seq(key), "full_outer")
+      .withColumn("change_type",
+        when(col("_h0").isNull, "insert")
+          .when(col("_h1").isNull, "delete")
+          .when(col("_h0") =!= col("_h1"), "update"))
+      .filter(col("change_type").isNotNull)
+      .select(col(key), col("change_type"))
+  }
+
+  /** Rewrite the head snapshot into `numFiles` files range-clustered by
+    * `clusterBy` (e.g. a Z-order key — [[graft.ops.ZOrder]]): per-file
+    * value ranges come out disjoint, so any reader filtering on the
+    * cluster key can skip whole files from min/max stats. Content is
+    * unchanged (snapshot-level no-op); history keeps the old layout. */
+  def compact(spark: SparkSession, numFiles: Int,
+              clusterBy: Option[org.apache.spark.sql.Column] = None): Int = {
+    val df = read(spark)
+    val laid = clusterBy match {
+      case Some(c) => df.repartitionByRange(numFiles, c).sortWithinPartitions(c)
+      case None => df.repartition(numFiles)
+    }
+    writeAndCommit(laid, keepExisting = false)
+  }
+
+  /** Canonicalize `input_file_name()` URIs (`file:///x`, percent-encoded)
+    * and plain paths to one comparable form. */
+  private def stripScheme(p: String): String =
+    if (p.startsWith("file:")) Paths.get(java.net.URI.create(p)).toString else p
+
+  private def listParquet(sub: String): Seq[String] = {
+    val d = Paths.get(root, sub)
+    val s = Files.list(d)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.map(_.getFileName.toString)
+        .filter(n => n.endsWith(".parquet") && !n.startsWith("."))
+        .map(n => s"$sub/$n").toSeq
+    } finally s.close()
   }
 
   /** Delete data files referenced by NO version > `keepAfter` (and drop
