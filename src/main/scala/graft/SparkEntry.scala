@@ -40,7 +40,8 @@ object SparkEntry {
     graft.queries.AdvancedQueries.queries ++
     graft.queries.SketchQueries.queries ++
     graft.queries.EventAnalytics.queries ++
-    graft.queries.StoreQueries.queries
+    graft.queries.StoreQueries.queries ++
+    graft.queries.GraphQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -55,5 +56,6 @@ object SparkEntry {
     graft.queries.AdvancedQueries.oracles ++
     graft.queries.SketchQueries.oracles ++
     graft.queries.EventAnalytics.oracles ++
-    graft.queries.StoreQueries.oracles
+    graft.queries.StoreQueries.oracles ++
+    graft.queries.GraphQueries.oracles
 }

@@ -1,0 +1,59 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic fixed-point PageRank over an edge list.
+  *
+  * Ranks are BIGINT fixed-point (`scale` = 10¹² mass total), every step
+  * integer arithmetic: share = r DIV out-degree, damping = ×85 DIV 100.
+  * Floating-point PageRank is order-sensitive — a distributed sum's
+  * reduction tree changes the low bits run to run, so two engines (or two
+  * cluster layouts!) disagree in the last ulp and a hash-exact comparison
+  * is impossible. Integer division loses the same remainder mass on every
+  * engine, making the iteration bit-reproducible: the DuckDB oracle twin
+  * runs the identical `//` cascade and matches exactly (q93).
+  *
+  * Scale shape: per iteration one shuffle for the contribution sum (edges
+  * join ranks on src — both sides hash-partitioned on the join key), one
+  * broadcast of the 1-row dangling-mass aggregate, one left join to carry
+  * rankless nodes. Iteration count is FIXED (the caller picks it), so the
+  * whole run is one lazy Catalyst plan — no per-round driver actions (the
+  * q51 lesson). Node/degree frames are persisted via [[ScratchCache]]
+  * because every iteration re-reads them.
+  */
+object PageRank {
+
+  /** `edges`: distinct (src: BIGINT, dst: BIGINT). Returns (id, rank). */
+  def rankInt(spark: SparkSession, edges: DataFrame, iters: Int,
+              scale: Long = 1000000000000L): DataFrame = {
+    require(iters >= 1 && iters <= 20, "fixed small iteration count")
+    val e = ScratchCache.register(
+      edges.select(col("src").cast("long"), col("dst").cast("long")).persist())
+    val deg = ScratchCache.register(
+      e.groupBy(col("src").as("id")).agg(count(lit(1)).as("d")).persist())
+    val nodes = ScratchCache.register(
+      e.select(col("src").as("id")).union(e.select(col("dst").as("id")))
+        .distinct().persist())
+    val n = nodes.count()
+    require(n > 0, "empty graph")
+    val r0 = scale / n                     // integer base rank
+    val base = 15L * r0 / 100              // (1-α) term, α = 85/100
+    var r = nodes.withColumn("r", lit(r0))
+    for (_ <- 1 to iters) {
+      val withD = r.join(deg, Seq("id"), "left")
+      // 1-row dangling mass, joined in lazily (broadcast, no action)
+      val dang = withD.filter(col("d").isNull)
+        .agg(coalesce(sum(col("r")), lit(0L)).as("dm"))
+      val linked = withD.filter(col("d").isNotNull)
+      val contrib = e.join(linked, e("src") === linked("id"))
+        .select(col("dst").as("id"), expr("r div d").as("share"))
+        .groupBy("id").agg(sum(col("share")).as("c"))
+      r = nodes.join(contrib, Seq("id"), "left").crossJoin(broadcast(dang))
+        .select(col("id"),
+          (lit(base) + expr(s"85 * (coalesce(c, 0L) + dm div ${n}L) div 100"))
+            .as("r"))
+    }
+    r.select(col("id"), col("r").as("rank"))
+  }
+}

@@ -1,0 +1,123 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.{documents, events, lineitem}
+import graft.functions.TextFunctions.roundp
+
+/** Graph + ranking analytics: deterministic PageRank (q93), bounded
+  * top-k-per-group (q94), per-group z-score outliers (q95).
+  */
+object GraphQueries {
+
+  /** q93: PageRank over the supplier→part bipartite graph (distinct
+    * lineitem (l_suppkey, l_partkey) edges; part ids offset into their
+    * own namespace). 3 iterations of [[graft.ops.PageRank.rankInt]] —
+    * integer fixed-point, so the DuckDB twin running the same `//`
+    * cascade hash-matches exactly. Top 100 nodes. */
+  def q93PageRank(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val edges = lineitem(s, d)
+      .select($"l_suppkey".cast("long").as("src"),
+        ($"l_partkey".cast("long") + 1000000L).as("dst"))
+      .distinct()
+    val r = graft.ops.PageRank.rankInt(s, edges, iters = 3)
+      .orderBy(desc("rank"), $"id").limit(100)
+    // materialize before ScratchCache frames are released by the harness
+    r
+  }
+
+  private def prIterSql(k: Int): String = {
+    val p = if (k == 1) "r0" else s"r${k - 1}"
+    s"""dang$k AS (SELECT coalesce(sum(r), 0) AS dm
+       |  FROM $p LEFT JOIN deg USING (id) WHERE d IS NULL),
+       |c$k AS (SELECT e.dst AS id, sum(p.r // deg.d) AS c
+       |  FROM edges e JOIN $p p ON e.src = p.id JOIN deg ON deg.id = e.src
+       |  GROUP BY e.dst),
+       |r$k AS (SELECT nodes.id,
+       |    (SELECT base FROM consts)
+       |    + (85 * (coalesce(c$k.c, 0) + (SELECT dm FROM dang$k) // (SELECT n FROM nn))) // 100 AS r
+       |  FROM nodes LEFT JOIN c$k USING (id))""".stripMargin
+  }
+
+  val q93Sql: String =
+    s"""WITH edges AS (SELECT DISTINCT l_suppkey::BIGINT AS src,
+       |    l_partkey::BIGINT + 1000000 AS dst FROM lineitem),
+       |nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+       |deg AS (SELECT src AS id, count(*) AS d FROM edges GROUP BY 1),
+       |nn AS (SELECT count(*) AS n FROM nodes),
+       |consts AS (SELECT (15 * (1000000000000 // n)) // 100 AS base, n FROM nn),
+       |r0 AS (SELECT id, (SELECT 1000000000000 // n FROM nn) AS r FROM nodes),
+       |${prIterSql(1)},
+       |${prIterSql(2)},
+       |${prIterSql(3)}
+       |SELECT id, r AS rank FROM r3 ORDER BY rank DESC, id LIMIT 100""".stripMargin
+
+  /** q94: top-5 documents per source by n_chars (doc_id tiebreak) through
+    * the bounded TopKAgg — partial combine ships ≤ k rows per group per
+    * map task instead of windowing the whole corpus to one reducer per
+    * group. Oracle = the row_number window form (orders identical). */
+  def q94TopKPerGroup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    documents(s, d)
+      .select($"source", $"doc_id", $"n_chars")
+      .as[(String, Long, Long)]
+      .groupByKey(_._1).mapValues(r => (r._2, r._3.toDouble))
+      .agg(new graft.agg.TopKAgg(5).toColumn.name("top"))
+      .flatMap { case (src, top) =>
+        top.iterator.zipWithIndex.map { case ((id, ch), i) =>
+          (src, (i + 1).toLong, id, ch.toLong)
+        }
+      }
+      .toDF("source", "rank", "doc_id", "n_chars")
+      .orderBy($"source", $"rank")
+  }
+
+  val q94Sql: String =
+    """SELECT source, row_number() OVER w AS rank, doc_id, n_chars
+      |FROM documents
+      |WINDOW w AS (PARTITION BY source ORDER BY n_chars DESC, doc_id)
+      |QUALIFY rank <= 5
+      |ORDER BY source, rank""".stripMargin
+
+  /** q95: per-group z-score outliers — events whose value sits more than
+    * 3 population standard deviations from their event_type's mean. The
+    * stats join is a broadcast (|event types| rows), so the detection is
+    * one scan + one tiny aggregate: no window, no second shuffle of the
+    * event stream. */
+  def q95Outliers(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = events(s, d)
+    val stats = ev.groupBy($"event_type")
+      .agg(avg($"value").as("mu"), stddev_pop($"value").as("sd"),
+        count(lit(1)).as("n"))
+      .filter($"sd" > 0)
+    ev.join(broadcast(stats), Seq("event_type"))
+      .withColumn("z", ($"value" - $"mu") / $"sd")
+      .filter(abs($"z") > 3.0)
+      .select($"event_type", $"event_id", roundp($"z", 4).as("z"))
+      .orderBy($"event_type", $"event_id")
+  }
+
+  val q95Sql: String =
+    s"""WITH stats AS (
+       |  SELECT event_type, avg(value) AS mu, stddev_pop(value) AS sd
+       |  FROM events GROUP BY event_type HAVING stddev_pop(value) > 0)
+       |SELECT e.event_type, e.event_id,
+       |  ${DuckSql.roundpSql("(e.value - s.mu) / s.sd", 4)} AS z
+       |FROM events e JOIN stats s USING (event_type)
+       |WHERE abs((e.value - s.mu) / s.sd) > 3.0
+       |ORDER BY event_type, event_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q93_pagerank"        -> (q93PageRank _),
+    "q94_topk_per_group"  -> (q94TopKPerGroup _),
+    "q95_outliers"        -> (q95Outliers _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q93_pagerank"        -> q93Sql,
+    "q94_topk_per_group"  -> q94Sql,
+    "q95_outliers"        -> q95Sql,
+  )
+}

@@ -1,0 +1,62 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+class GraphSpec extends AnyFunSuite with SparkSpecBase {
+  import spark.implicits._
+
+  test("rankInt matches a driver-side replay of the integer recurrence") {
+    // 1→2, 1→3, 2→3; 3 dangling
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("src", "dst")
+    val got = graft.ops.PageRank.rankInt(spark, edges, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    graft.ops.ScratchCache.releaseAll()
+    // exact replay with plain Scala Longs
+    val scale = 1000000000000L
+    val nodes = Seq(1L, 2L, 3L)
+    val out = Map(1L -> Seq(2L, 3L), 2L -> Seq(3L))
+    val n = nodes.length.toLong
+    val base = 15L * (scale / n) / 100
+    var r = nodes.map(_ -> scale / n).toMap
+    for (_ <- 1 to 3) {
+      val dang = nodes.filterNot(out.contains).map(r).sum
+      val c = nodes.map(v => v -> nodes.filter(u =>
+        out.getOrElse(u, Nil).contains(v)).map(u => r(u) / out(u).length).sum).toMap
+      r = nodes.map(v => v -> (base + 85L * (c(v) + dang / n) / 100)).toMap
+    }
+    assert(got == r)
+    // sink node accumulated the most rank; mass is conserved up to the
+    // deterministic integer-division loss (never created)
+    assert(got(3L) > got(2L) && got(2L) > got(1L))
+    assert(got.values.sum <= scale)
+  }
+
+  test("rankInt handles a fully dangling edge set and empty-side ids") {
+    // every dst is dangling; ranks still well-defined and deterministic
+    val edges = Seq((1L, 10L), (2L, 10L), (3L, 11L)).toDF("src", "dst")
+    val a = graft.ops.PageRank.rankInt(spark, edges, 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    graft.ops.ScratchCache.releaseAll()
+    val b = graft.ops.PageRank.rankInt(spark, edges, 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    graft.ops.ScratchCache.releaseAll()
+    assert(a == b)                      // rerun-stable
+    assert(a(10L) > a(11L))             // two in-edges beat one
+    assert(a.keySet == Set(1L, 2L, 3L, 10L, 11L))
+  }
+
+  test("q93/q94/q95 plans: no cartesian, no window, broadcast stats join") {
+    def plan(name: String) = SparkEntry.queries(name)(spark, sfSmoke)
+      .queryExecution.sparkPlan.toString
+    val pr = plan("q93_pagerank")
+    assert(!pr.contains("CartesianProduct"))
+    val topk = plan("q94_topk_per_group")
+    assert(!topk.contains("Window"), topk)
+    assert(topk.contains("ObjectHashAggregate"), topk)
+    val outl = plan("q95_outliers")
+    assert(!outl.contains("Window"), outl)
+    assert(outl.contains("BroadcastHashJoin"), outl)
+    graft.ops.ScratchCache.releaseAll()
+  }
+}
