@@ -464,7 +464,31 @@ object AdvancedQueries {
       |SELECT 1, count(*), sum(n_chars) FROM documents
       |ORDER BY version""".stripMargin
 
+  /** q98: skew-salted shuffle join — lineitem (big, potentially hot
+    * suppliers) joins supplier through [[graft.ops.SkewJoin]]: the fact
+    * side salts on full-row hash, the dim side replicates buckets×, and
+    * the hot key's rows spread over `buckets` reducers instead of one.
+    * The oracle is the PLAIN join aggregate — salting must be invisible
+    * in the result. */
+  def q98SaltedJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val li = graft.Tables.lineitem(s, d).select($"l_suppkey".as("s_suppkey"),
+      ($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("rev"))
+    val sup = graft.Tables.supplier(s, d).select($"s_suppkey", $"s_name")
+    graft.ops.SkewJoin.inner(li, sup, "s_suppkey", buckets = 8)
+      .groupBy($"s_name")
+      .agg(count(lit(1)).as("n_items"), round(sum($"rev"), 2).as("revenue"))
+      .orderBy($"s_name")
+  }
+
+  val q98Sql: String =
+    """SELECT s.s_name, count(*) AS n_items,
+      |  round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 2) AS revenue
+      |FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |GROUP BY s.s_name ORDER BY s.s_name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q98_salted_join"   -> (q98SaltedJoin _),
     "q35_knn_native"    -> (q35KnnNative _),
     "q36_sessionize"    -> (q36Sessionize _),
     "q37_size_batching" -> (q37SizeBatching _),
@@ -483,6 +507,7 @@ object AdvancedQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q98_salted_join"   -> q98Sql,
     "q35_knn_native"    -> q35Sql,
     "q36_sessionize"    -> q36Sql,
     "q37_size_batching" -> q37Sql,

@@ -219,7 +219,43 @@ object DedupQueries {
       |WHERE levenshtein(substr(a.text,1,80), substr(b.text,1,80)) <= 30
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** q99: entity resolution end-to-end — blocked fuzzy matching (q73's
+    * edit-distance pairs) fed through distributed connected components,
+    * then EVERY document mapped to its entity id (its component's min
+    * doc_id; singletons resolve to themselves). The full record-linkage
+    * composition: block → score → cluster → assign, each stage the
+    * scale-safe operator already proven on its own. */
+  def q99EntityResolution(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pairs = q73FuzzyJoin(s, d)
+    val comp = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+    documents(s, d).select($"doc_id")
+      .join(comp.select($"id".as("doc_id"), $"component_id"), Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"component_id", $"doc_id").as("entity_id"))
+      .orderBy($"doc_id")
+  }
+
+  val q99Sql: String =
+    """WITH RECURSIVE pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM documents a JOIN documents b
+      |    ON substr(a.text, 1, 12) = substr(b.text, 1, 12)
+      |   AND a.doc_id < b.doc_id
+      |  WHERE levenshtein(substr(a.text, 1, 80), substr(b.text, 1, 80)) <= 30),
+      |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+      |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+      |reach(id, r) AS (
+      |  SELECT a, a FROM edges
+      |  UNION
+      |  SELECT re.id, e.b FROM reach re JOIN edges e ON re.r = e.a),
+      |comp AS (SELECT id, min(r) AS c FROM reach GROUP BY id)
+      |SELECT d.doc_id, coalesce(comp.c, d.doc_id)::BIGINT AS entity_id
+      |FROM documents d LEFT JOIN comp ON d.doc_id = comp.id
+      |ORDER BY d.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q99_entity_resolution" -> (q99EntityResolution _),
     "q26_dedup_exact"    -> (q26Exact _),
     "q27_ngram_jaccard"  -> (q27NgramJaccard _),
     "q28_minhash_lsh"    -> (q28MinhashLsh _),
@@ -231,6 +267,7 @@ object DedupQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q99_entity_resolution" -> q99Sql,
     "q26_dedup_exact"    -> q26Sql,
     "q27_ngram_jaccard"  -> q27Sql,
     "q28_minhash_lsh"    -> q28Sql,

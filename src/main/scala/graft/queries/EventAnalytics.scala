@@ -199,7 +199,84 @@ object EventAnalytics {
       |    SELECT user_id FROM p EXCEPT SELECT user_id FROM c))
       |ORDER BY user_id, segment""".stripMargin
 
+  /** q97: time-series gap fill — the hourly count series per event type
+    * INCLUDING empty hours (the resample-to-regular-grid step before any
+    * sequence model). The dense grid is generated, not scanned: distinct
+    * types × a `sequence(lo, hi, hour)` explode off a 1-row span
+    * aggregate, then a left join pulls real counts in. Grid size is
+    * |types|·|hours| — independent of event volume. */
+  def q97GapFill(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val HourUs = 3600000000L
+    val e = events(s, d).select($"event_type",
+      (unix_micros($"ts") - pmod(unix_micros($"ts"), lit(HourUs))).as("hr_us"))
+    val span = e.agg(min($"hr_us").as("lo"), max($"hr_us").as("hi"))
+    val grid = e.select($"event_type").distinct()
+      .crossJoin(broadcast(span))
+      .select($"event_type",
+        explode(sequence($"lo", $"hi", lit(HourUs))).as("hr_us"))
+    val cnt = e.groupBy($"event_type", $"hr_us").agg(count(lit(1)).as("n"))
+    grid.join(cnt, Seq("event_type", "hr_us"), "left")
+      .select($"event_type", $"hr_us", coalesce($"n", lit(0L)).as("n"))
+      .orderBy($"event_type", $"hr_us")
+  }
+
+  val q97Sql: String =
+    """WITH e AS (SELECT event_type, us - us % 3600000000 AS hr_us
+      |  FROM (SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      |        FROM events)),
+      |span AS (SELECT min(hr_us) AS lo, max(hr_us) AS hi FROM e),
+      |grid AS (SELECT t.event_type, g.hr_us
+      |  FROM (SELECT DISTINCT event_type FROM e) t
+      |  CROSS JOIN (SELECT unnest(generate_series((SELECT lo FROM span),
+      |    (SELECT hi FROM span), 3600000000)) AS hr_us) g),
+      |cnt AS (SELECT event_type, hr_us, count(*) AS n FROM e GROUP BY 1, 2)
+      |SELECT grid.event_type, grid.hr_us, coalesce(cnt.n, 0) AS n
+      |FROM grid LEFT JOIN cnt USING (event_type, hr_us)
+      |ORDER BY event_type, hr_us""".stripMargin
+
+  /** q100: Markov transition matrix — consecutive event-type bigrams per
+    * user (ordered by ts, event_id) with per-prev transition
+    * probabilities. Sequencing happens inside each user's group
+    * (flatMapGroups over a keyed shuffle, buffer bounded by that user's
+    * events — q80's stateful pattern); probabilities join back off the
+    * tiny per-prev total. n/total is an int-over-int division —
+    * IEEE-identical on both engines, so the rounded p hash-matches. */
+  def q100Transitions(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pairs = events(s, d)
+      .select($"user_id", unix_micros($"ts").as("us"), $"event_id", $"event_type")
+      .as[(Long, Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val evs = it.toArray.sortBy(e => (e._2, e._3))
+        evs.iterator.zip(evs.iterator.drop(1))
+          .map { case (a, b) => (a._4, b._4) }
+      }
+      .toDF("prev", "next")
+    val t = pairs.groupBy($"prev", $"next").agg(count(lit(1)).as("n"))
+    val tot = t.groupBy($"prev").agg(sum($"n").as("tn"))
+    t.join(broadcast(tot), Seq("prev"))
+      .select($"prev", $"next", $"n",
+        graft.functions.TextFunctions.roundp($"n".cast("double") / $"tn", 6).as("p"))
+      .orderBy($"prev", $"next")
+  }
+
+  val q100Sql: String =
+    s"""WITH seq AS (SELECT event_type,
+       |    lead(event_type) OVER (PARTITION BY user_id
+       |      ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS nxt
+       |  FROM events),
+       |t AS (SELECT event_type AS prev, nxt AS next, count(*) AS n
+       |  FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2),
+       |tot AS (SELECT prev, sum(n) AS tn FROM t GROUP BY prev)
+       |SELECT t.prev, t.next, t.n,
+       |  ${DuckSql.roundpSql("t.n * 1.0 / tot.tn", 6)} AS p
+       |FROM t JOIN tot USING (prev) ORDER BY prev, next""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q97_gap_fill"       -> (q97GapFill _),
+    "q100_transitions"   -> (q100Transitions _),
     "q77_sliding_window" -> (q77SlidingWindow _),
     "q78_funnel"         -> (q78Funnel _),
     "q79_cohort"         -> (q79Cohort _),
@@ -209,6 +286,8 @@ object EventAnalytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "q97_gap_fill"       -> q97Sql,
+    "q100_transitions"   -> q100Sql,
     "q77_sliding_window" -> q77Sql,
     "q78_funnel"         -> q78Sql,
     "q79_cohort"         -> q79Sql,

@@ -104,15 +104,101 @@ object StoreQueries {
       |SELECT doc_id, x | (y << 1) AS z FROM s4
       |ORDER BY z, doc_id LIMIT 1000""".stripMargin
 
+  /** q96: schema evolution — v0 files lack the `lang` column, v1 files
+    * carry it; the head READ (mergeSchema over the snapshot's files)
+    * surfaces `lang` as NULL for pre-evolution rows. A reader pinned to
+    * whichever file the planner samples first would either miss the
+    * column or fail — the aggregate proves the union schema is applied
+    * row-accurately. */
+  def q96SchemaEvolution(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-q96").toString
+    val log = new CommitLog(root)
+    val docs = documents(s, d)
+    log.append(docs.filter($"source" =!= "src0")
+      .select($"doc_id", $"source", $"n_chars")): Unit
+    log.append(docs.filter($"source" === "src0")
+      .select($"doc_id", $"source", $"n_chars", $"lang")): Unit
+    log.read(s)
+      .groupBy($"source", coalesce($"lang", lit("none")).as("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("chars"))
+      .orderBy($"source", $"lang")
+  }
+
+  val q96Sql: String =
+    """WITH v AS (
+      |  SELECT source, NULL AS lang, n_chars FROM documents WHERE source <> 'src0'
+      |  UNION ALL
+      |  SELECT source, lang, n_chars FROM documents WHERE source = 'src0')
+      |SELECT source, coalesce(lang, 'none') AS lang,
+      |  count(*) AS n_docs, sum(n_chars) AS chars
+      |FROM v GROUP BY source, coalesce(lang, 'none')
+      |ORDER BY source, lang""".stripMargin
+
+  /** q101: incremental view maintenance — the per-source aggregate of v1
+    * is REBUILT from the v0 aggregate plus the change feed's deltas
+    * (delete subtracts the old row, insert adds the new, update does
+    * both) — the maintenance arithmetic touches only changed keys' row
+    * images, fetched by keyed semi-joins. The oracle aggregates
+    * the v1 state directly: if the delta algebra or the feed is wrong,
+    * the maintained view diverges and hash-mismatches. */
+  def q101IncrementalAgg(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-q101").toString
+    val log = new CommitLog(root)
+    val docs = documents(s, d)
+    log.append(docs): Unit
+    val v1 = docs.filter($"source" =!= "src2")
+      .withColumn("n_chars",
+        when($"source" === "src0", $"n_chars" + 1000L).otherwise($"n_chars"))
+      .unionByName(docs.filter($"source" === "src1")
+        .withColumn("doc_id", $"doc_id" + 10000000L))
+    log.overwrite(v1): Unit
+    val base = log.read(s, 0).groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("chars"))
+    // per-key deltas carried by the feed: join each changed key to its
+    // old (v0) and new (v1) row images, subtract/add
+    val feed = log.changes(s, 0, 1, "doc_id")
+    val old = log.read(s, 0).select($"doc_id", $"source", $"n_chars")
+    val neu = log.read(s, 1).select($"doc_id", $"source", $"n_chars")
+    val delta = feed.join(old, Seq("doc_id"), "left")
+      .select($"source", lit(-1L).as("dn"), (-$"n_chars").as("dc"))
+      .filter($"source".isNotNull)
+      .unionByName(feed.join(neu, Seq("doc_id"), "left")
+        .select($"source", lit(1L).as("dn"), $"n_chars".as("dc"))
+        .filter($"source".isNotNull))
+      .groupBy($"source").agg(sum($"dn").as("dn"), sum($"dc").as("dc"))
+    base.join(delta, Seq("source"), "full_outer")
+      .select($"source",
+        (coalesce($"n_docs", lit(0L)) + coalesce($"dn", lit(0L))).as("n_docs"),
+        (coalesce($"chars", lit(0L)) + coalesce($"dc", lit(0L))).as("chars"))
+      .filter($"n_docs" > 0)
+      .orderBy($"source")
+  }
+
+  val q101Sql: String =
+    """SELECT source, count(*) AS n_docs, sum(n_chars) AS chars
+      |FROM (
+      |  SELECT source, CASE WHEN source = 'src0' THEN n_chars + 1000
+      |                      ELSE n_chars END AS n_chars
+      |  FROM documents WHERE source <> 'src2'
+      |  UNION ALL
+      |  SELECT source, n_chars FROM documents WHERE source = 'src1')
+      |GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q90_merge_upsert" -> (q90MergeUpsert _),
-    "q91_change_feed"  -> (q91ChangeFeed _),
-    "q92_zorder_key"   -> (q92ZOrderKey _),
+    "q90_merge_upsert"     -> (q90MergeUpsert _),
+    "q91_change_feed"      -> (q91ChangeFeed _),
+    "q92_zorder_key"       -> (q92ZOrderKey _),
+    "q96_schema_evolution" -> (q96SchemaEvolution _),
+    "q101_incremental_agg" -> (q101IncrementalAgg _),
   )
 
   val oracles: Map[String, String] = Map(
-    "q90_merge_upsert" -> q90Sql,
-    "q91_change_feed"  -> q91Sql,
-    "q92_zorder_key"   -> q92Sql,
+    "q90_merge_upsert"     -> q90Sql,
+    "q91_change_feed"      -> q91Sql,
+    "q92_zorder_key"       -> q92Sql,
+    "q96_schema_evolution" -> q96Sql,
+    "q101_incremental_agg" -> q101Sql,
   )
 }

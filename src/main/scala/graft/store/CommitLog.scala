@@ -104,10 +104,14 @@ final class CommitLog(val root: String) {
     commitSnapshot(existing ++ added)
   }
 
-  /** Read snapshot `version` (default head) as a DataFrame. */
+  /** Read snapshot `version` (default head) as a DataFrame. Schema
+    * evolution: files written before a column existed surface it as NULL
+    * (`mergeSchema` unions the per-file parquet schemas — the snapshot is
+    * the schema authority, not whichever file the planner samples
+    * first). */
   def read(spark: SparkSession, version: Int = -1): DataFrame = {
     val files = snapshot(version)
-    spark.read.parquet(files: _*)
+    spark.read.option("mergeSchema", "true").parquet(files: _*)
   }
 
   /** Copy-on-write MERGE (upsert by `key`): rows of `batch` replace
