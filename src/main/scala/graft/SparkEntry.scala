@@ -41,7 +41,8 @@ object SparkEntry {
     graft.queries.SketchQueries.queries ++
     graft.queries.EventAnalytics.queries ++
     graft.queries.StoreQueries.queries ++
-    graft.queries.GraphQueries.queries
+    graft.queries.GraphQueries.queries ++
+    graft.queries.CurationQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -57,5 +58,6 @@ object SparkEntry {
     graft.queries.SketchQueries.oracles ++
     graft.queries.EventAnalytics.oracles ++
     graft.queries.StoreQueries.oracles ++
-    graft.queries.GraphQueries.oracles
+    graft.queries.GraphQueries.oracles ++
+    graft.queries.CurationQueries.oracles
 }

@@ -487,7 +487,36 @@ object AdvancedQueries {
       |FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
       |GROUP BY s.s_name ORDER BY s.s_name""".stripMargin
 
+  /** q105: 2-D skyline (Pareto frontier) of part — cheapest price for the
+    * largest size; a part survives iff nothing is at-most-its-price AND
+    * at-least-its-size with one strict. Runs through
+    * [[graft.ops.Skyline.frontier]]: exact, one range exchange, two-pass
+    * prefix max — no quadratic self-join, no single-reducer window. The
+    * oracle is the INDEPENDENT NOT EXISTS dominance formulation. */
+  def q105Skyline(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pts = graft.Tables.part(s, d)
+      .select($"p_partkey".cast("long").as("id"),
+        $"p_retailprice".cast("double").as("cost"),
+        $"p_size".cast("long").as("gain"))
+      .as[(Long, Double, Long)]
+    graft.ops.Skyline.frontier(pts, 32)
+      .select($"id".as("p_partkey"), $"cost".as("price"), $"gain".as("size"))
+      .orderBy($"p_partkey")
+  }
+
+  val q105Sql: String =
+    """SELECT p.p_partkey::BIGINT AS p_partkey,
+      |  p.p_retailprice::DOUBLE AS price, p.p_size::BIGINT AS size
+      |FROM part p
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM part q
+      |  WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+      |    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
+      |ORDER BY p_partkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q105_skyline"      -> (q105Skyline _),
     "q98_salted_join"   -> (q98SaltedJoin _),
     "q35_knn_native"    -> (q35KnnNative _),
     "q36_sessionize"    -> (q36Sessionize _),
@@ -507,6 +536,7 @@ object AdvancedQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q105_skyline"      -> q105Sql,
     "q98_salted_join"   -> q98Sql,
     "q35_knn_native"    -> q35Sql,
     "q36_sessionize"    -> q36Sql,

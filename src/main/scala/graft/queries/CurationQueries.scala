@@ -1,0 +1,187 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.{customer, embeddings}
+import graft.functions.TextFunctions.roundp
+import graft.functions.VectorFunctions
+
+/** Data-curation operators for training pipelines: PII redaction (q102) and
+  * SemDeDup-style semantic deduplication (q104).
+  */
+object CurationQueries {
+
+  // ---------------------------------------------------------------- q102
+
+  /** Shared regex inventory (RE2 ∩ java.util.regex syntax, so the same
+    * pattern strings drive both Spark and the DuckDB oracle; no
+    * backreferences, no lookaround). */
+  val EmailPat = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val PhonePat = "[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+  val IdPat    = "Customer#[0-9]+"
+
+  /** Redact emails → [EMAIL], intl phone numbers → [PHONE], account ids →
+    * [ID]. Pure codegen'd builtins (regexp_replace), one projection — the
+    * per-row cost is the regex scans, no shuffle, no UDF. */
+  def redactPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, EmailPat, "[EMAIL]"),
+        PhonePat, "[PHONE]"),
+      IdPat, "[ID]")
+
+  /** Count of PII hits in the ORIGINAL text (pre-redaction), per class. */
+  def piiCount(c: Column): Column =
+    Seq(EmailPat, PhonePat, IdPat)
+      .map(p => size(regexp_extract_all(c, lit(p), lit(0))))
+      .reduce(_ + _)
+
+  /** q102: PII detection + redaction over a contact-card text. The corpus
+    * tables are synthetic word-salad with no embedded PII, so the text
+    * under test is DERIVED deterministically from customer columns (a
+    * TPC-H-style `NN-NNN-NNN-NNNN` phone keyed off custkey/nationkey, an
+    * email from name+segment) — the operator under test is the regex
+    * redaction pipeline itself, which is exactly what runs on a real
+    * corpus. Scale shape: a single narrow projection over the scan. */
+  def q102PiiRedact(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    def pad3(c: Column) = lpad(c.cast("string"), 3, "0")
+    val phone = concat(
+      (lit(10) + $"c_nationkey" % 25).cast("string"), lit("-"),
+      pad3(($"c_custkey" * 7 + 3) % 1000), lit("-"),
+      pad3(($"c_custkey" * 13 + 5) % 1000), lit("-"),
+      lpad((($"c_custkey" * 31 + 11) % 10000).cast("string"), 4, "0"))
+    val email = concat(
+      lower(regexp_replace($"c_name", "#", "")), lit("@"),
+      lower($"c_mktsegment"), lit(".example.com"))
+    val text = concat(
+      lit("reach "), $"c_name", lit(" at "), email, lit(" or call "), phone,
+      when($"c_custkey" % 3 === 0,
+        concat(lit(" alt "), phone)).otherwise(lit("")),
+      lit(" segment "), $"c_mktsegment")
+    customer(s, d)
+      .select($"c_custkey", text.as("text"))
+      .select($"c_custkey", redactPii($"text").as("redacted"),
+        piiCount($"text").cast("bigint").as("n_pii"))
+      .orderBy($"c_custkey")
+  }
+
+  val q102Sql: String = {
+    val pad3 = (e: String) => s"lpad(($e)::VARCHAR, 3, '0')"
+    val phone = s"(10 + c_nationkey % 25)::VARCHAR || '-' || " +
+      s"${pad3("(c_custkey * 7 + 3) % 1000")} || '-' || " +
+      s"${pad3("(c_custkey * 13 + 5) % 1000")} || '-' || " +
+      s"lpad(((c_custkey * 31 + 11) % 10000)::VARCHAR, 4, '0')"
+    val email = "lower(replace(c_name, '#', '')) || '@' || " +
+      "lower(c_mktsegment) || '.example.com'"
+    val text = s"'reach ' || c_name || ' at ' || $email || ' or call ' || " +
+      s"$phone || CASE WHEN c_custkey % 3 = 0 THEN ' alt ' || $phone " +
+      "ELSE '' END || ' segment ' || c_mktsegment"
+    s"""WITH t AS (SELECT c_custkey, $text AS text FROM customer)
+       |SELECT c_custkey,
+       |  regexp_replace(regexp_replace(regexp_replace(text,
+       |    '$EmailPat', '[EMAIL]', 'g'),
+       |    '$PhonePat', '[PHONE]', 'g'),
+       |    '$IdPat', '[ID]', 'g') AS redacted,
+       |  (len(regexp_extract_all(text, '$EmailPat'))
+       |   + len(regexp_extract_all(text, '$PhonePat'))
+       |   + len(regexp_extract_all(text, '$IdPat')))::BIGINT AS n_pii
+       |FROM t ORDER BY c_custkey""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q104
+
+  /** Cosine threshold for the q104 drop rule (data cosines top out ≈ 0.5;
+    * 0.30 keeps a non-trivial drop set on the synthetic embeddings). */
+  val SemDedupTau = 0.30
+  val SemDedupK   = 16
+
+  /** q104: SemDeDup-style semantic deduplication (Abbas et al., 2023:
+    * cluster the embedding space, then prune near-duplicates WITHIN each
+    * cluster — the clustering bounds the quadratic pair cost to
+    * per-cluster blocks instead of the full corpus).
+    *
+    * Deterministic variant so DuckDB can replay it exactly: "centroids" =
+    * the K lowest-vec_id vectors (collected to the driver: K×64 floats,
+    * bounded like the PQ codebooks); every vector joins its argmax-cosine
+    * centroid via plan-embedded literals (no join, no BNLJ); within a
+    * cluster a vector is dropped when some LOWER-id cluster-mate has
+    * cosine ≥ τ (id-dominance instead of greedy order-dependence keeps the
+    * rule SQL-expressible). Output: per-cluster (n, n_dropped).
+    *
+    * Scale: the only shuffles are the cluster-key equi-join and the final
+    * per-cluster aggregate; pair generation never leaves a cluster block —
+    * at 100 TB cluster counts grow with the corpus (K ≈ √N) to hold the
+    * per-block cost at O(N). */
+  def q104SemDedup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = embeddings(s, d)
+    val cents: Array[(Long, Array[Float])] = emb
+      .select($"vec_id".cast("long"), $"embedding")
+      .as[(Long, Array[Float])]
+      .orderBy($"vec_id")
+      .limit(SemDedupK)
+      .collect()
+
+    // argmax-cosine centroid: lexicographic max over (cos, -cid) structs —
+    // ties (measure-zero on real data) break toward the lowest cid,
+    // mirroring the oracle's ORDER BY cos DESC, cid
+    val scored = array(cents.map { case (cid, cv) =>
+      struct(
+        VectorFunctions.cosine($"embedding", typedlit(cv)).as("cos"),
+        lit(-cid).as("ncid"))
+    }: _*)
+    val assigned = graft.ops.ScratchCache.register(emb
+      .select($"vec_id".cast("long").as("vec_id"), $"embedding")
+      .withColumn("best", array_max(scored))
+      .select($"vec_id", $"embedding", (-$"best.ncid").cast("long").as("cluster"))
+      .persist())
+
+    val a = assigned.select($"cluster", $"vec_id".as("id_a"), $"embedding".as("ea"))
+    val b = assigned.select($"cluster", $"vec_id".as("id_b"), $"embedding".as("eb"))
+    val dropped = a.join(b, Seq("cluster"))
+      .filter($"id_a" < $"id_b" &&
+        roundp(VectorFunctions.cosine($"ea", $"eb"), 6) >= SemDedupTau)
+      .select($"cluster", $"id_b").distinct()
+      .groupBy($"cluster").agg(count(lit(1)).as("n_dropped"))
+
+    assigned.groupBy($"cluster").agg(count(lit(1)).as("n"))
+      .join(dropped, Seq("cluster"), "left")
+      .na.fill(0L, Seq("n_dropped"))
+      .orderBy($"cluster")
+  }
+
+  val q104Sql: String = {
+    val cos = (x: String, y: String) => DuckSql.cosineSql(x, y, 64)
+    s"""WITH cent AS (
+       |  SELECT vec_id AS cid, embedding AS cv FROM embeddings
+       |  ORDER BY vec_id LIMIT $SemDedupK),
+       |assign AS (
+       |  SELECT e.vec_id, e.embedding, c.cid AS cluster
+       |  FROM embeddings e CROSS JOIN cent c
+       |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+       |    ORDER BY ${cos("e.embedding", "c.cv")} DESC, c.cid) = 1),
+       |dropped AS (
+       |  SELECT a.cluster, b.vec_id AS id_b
+       |  FROM assign a JOIN assign b
+       |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+       |  WHERE ${DuckSql.roundpSql(cos("a.embedding", "b.embedding"), 6)}
+       |    >= $SemDedupTau
+       |  GROUP BY 1, 2),
+       |drops AS (SELECT cluster, count(*) AS n_dropped FROM dropped GROUP BY 1),
+       |stats AS (SELECT cluster, count(*) AS n FROM assign GROUP BY 1)
+       |SELECT s.cluster, s.n, coalesce(d.n_dropped, 0) AS n_dropped
+       |FROM stats s LEFT JOIN drops d USING (cluster)
+       |ORDER BY s.cluster""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q102_pii_redact" -> (q102PiiRedact _),
+    "q104_semdedup"   -> (q104SemDedup _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q102_pii_redact" -> q102Sql,
+    "q104_semdedup"   -> q104Sql,
+  )
+}

@@ -109,15 +109,75 @@ object GraphQueries {
        |WHERE abs((e.value - s.mu) / s.sd) > 3.0
        |ORDER BY event_type, event_id""".stripMargin
 
+  /** Triangle count over an undirected edge list already oriented low→high
+    * (u < v on every row, deduplicated). The join sequence e1(a,b) ⋈
+    * e2(b,c) ⋈ e3(a,c) with the orientation invariant counts each triangle
+    * a<b<c exactly once — the standard node-ordering trick that caps the
+    * wedge fan-out by the SMALLER endpoint's out-degree. All three joins
+    * are hash equi-joins shuffled on vertex keys; nothing is collected. */
+  def triangleCount(e: DataFrame): DataFrame = {
+    val e1 = e.select(col("u").as("a"), col("v").as("b"))
+    val e2 = e.select(col("u").as("b"), col("v").as("c"))
+    val e3 = e.select(col("u").as("a"), col("v").as("c"))
+    e1.join(e2, "b").join(e3, Seq("a", "c"))
+      .agg(count(lit(1)).as("value"))
+  }
+
+  /** q103: graph metrics of the part co-purchase graph — parts appearing
+    * in the same order are linked (distinct pairs, oriented u<v; the pair
+    * fan-out per order is C(k,2) with k bounded by order size, ≤7 in
+    * TPC-H-shaped data — skew-safe by construction). Output rows: edge,
+    * node, and triangle counts. At 100×, orientation by DEGREE instead of
+    * id is the drop-in upgrade for power-law graphs; co-order data is
+    * near-uniform so id orientation suffices. */
+  def q103Triangles(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val op = lineitem(s, d)
+      .select($"l_orderkey".as("o"), $"l_partkey".cast("long").as("p"))
+      .distinct()
+    val e = graft.ops.ScratchCache.register(
+      op.as("x").join(op.as("y"),
+          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("u"), col("y.p").as("v"))
+        .distinct()
+        .persist())
+    val edges = e.agg(count(lit(1)).as("value"))
+      .select(lit("edges").as("metric"), $"value")
+    val nodes = e.select($"u".as("id")).union(e.select($"v"))
+      .agg(countDistinct($"id").as("value"))
+      .select(lit("nodes").as("metric"), $"value")
+    val tris = triangleCount(e)
+      .select(lit("triangles").as("metric"), $"value")
+    edges.union(nodes).union(tris).orderBy($"metric")
+  }
+
+  val q103Sql: String =
+    """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey::BIGINT AS p
+      |  FROM lineitem),
+      |e AS (SELECT DISTINCT x.p AS u, y.p AS v
+      |  FROM op x JOIN op y ON x.o = y.o AND x.p < y.p),
+      |ne AS (SELECT count(*) AS value FROM e),
+      |nn AS (SELECT count(DISTINCT id) AS value
+      |  FROM (SELECT u AS id FROM e UNION ALL SELECT v FROM e)),
+      |tri AS (SELECT count(*) AS value
+      |  FROM e e1 JOIN e e2 ON e1.v = e2.u
+      |  JOIN e e3 ON e1.u = e3.u AND e2.v = e3.v)
+      |SELECT 'edges' AS metric, value FROM ne
+      |UNION ALL SELECT 'nodes', value FROM nn
+      |UNION ALL SELECT 'triangles', value FROM tri
+      |ORDER BY metric""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q93_pagerank"        -> (q93PageRank _),
     "q94_topk_per_group"  -> (q94TopKPerGroup _),
     "q95_outliers"        -> (q95Outliers _),
+    "q103_triangles"      -> (q103Triangles _),
   )
 
   val oracles: Map[String, String] = Map(
     "q93_pagerank"        -> q93Sql,
     "q94_topk_per_group"  -> q94Sql,
     "q95_outliers"        -> q95Sql,
+    "q103_triangles"      -> q103Sql,
   )
 }

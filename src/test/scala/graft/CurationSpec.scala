@@ -1,0 +1,114 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.queries.CurationQueries
+
+/** q102 PII redaction, q103 triangle counting, q104 SemDeDup, q105 skyline. */
+class CurationSpec extends AnyFunSuite with SparkSpecBase {
+  import spark.implicits._
+
+  test("redactPii masks emails, phones and account ids; counts match") {
+    val rows = Seq(
+      "write to jane.doe+spam@sub.example.org today",
+      "call 12-345-678-9012 or 99-111-222-3333",
+      "Customer#000000042 owes nothing",
+      "no pii here at all",
+      "x@y.io and 10-000-000-0000 and Customer#1")
+      .toDF("text")
+      .select($"text", CurationQueries.redactPii($"text").as("r"),
+        CurationQueries.piiCount($"text").as("n"))
+      .collect().map(r => (r.getString(1), r.getInt(2)))
+    assert(rows(0) == ("write to [EMAIL] today", 1))
+    assert(rows(1) == ("call [PHONE] or [PHONE]", 2))
+    assert(rows(2) == ("[ID] owes nothing", 1))
+    assert(rows(3) == ("no pii here at all", 0))
+    assert(rows(4) == ("[EMAIL] and [PHONE] and [ID]", 3))
+  }
+
+  test("q102 redacted output keeps no raw phone or id pattern") {
+    val out = CurationQueries.q102PiiRedact(spark, sfSmoke).collect()
+    assert(out.nonEmpty)
+    val phone = CurationQueries.PhonePat.r
+    out.foreach { r =>
+      val red = r.getString(1)
+      assert(phone.findFirstIn(red).isEmpty, red)
+      assert(!red.contains("@"), red)
+      assert(r.getLong(2) >= 3, r.toString) // email + >=1 phone + id
+    }
+  }
+
+  test("triangleCount matches known graphs") {
+    // K4 (complete on 4 nodes) has 4 triangles; adding a pendant edge adds 0
+    val k4 = (for (u <- 0 to 3; v <- (u + 1) to 3) yield (u.toLong, v.toLong))
+      .toDF("u", "v")
+    assert(graft.queries.GraphQueries.triangleCount(k4)
+      .head().getLong(0) == 4L)
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("u", "v")
+    assert(graft.queries.GraphQueries.triangleCount(path)
+      .head().getLong(0) == 0L)
+  }
+
+  test("q104 drop rule: every drop has a lower-id cluster-mate above tau") {
+    // replay the rule brute-force on the smoke embeddings
+    val emb = Tables.embeddings(spark, sfSmoke)
+      .select($"vec_id".cast("long"), $"embedding")
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      def dot(x: Array[Float], y: Array[Float]) =
+        x.zip(y).foldLeft(0.0)((acc, p) => acc + p._1.toDouble * p._2.toDouble)
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    }
+    val cents = emb.take(CurationQueries.SemDedupK)
+    val assign = emb.map { case (id, v) =>
+      val best = cents.map { case (cid, cv) => (cos(v, cv), -cid) }.max
+      (id, -best._2, v)
+    }
+    val p = math.pow(10, 6)
+    val expected = assign.groupBy(_._2).map { case (cl, members) =>
+      val dropped = members.count { case (id, _, v) =>
+        members.exists { case (id2, _, v2) =>
+          id2 < id && math.round(cos(v2, v) * p) / p >= CurationQueries.SemDedupTau
+        }
+      }
+      (cl, members.size.toLong, dropped.toLong)
+    }.toSeq.sortBy(_._1)
+    val got = CurationQueries.q104SemDedup(spark, sfSmoke)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected)
+    graft.ops.ScratchCache.releaseAll()
+  }
+
+  test("q104 pair generation stays an equi-join — no cartesian, no BNLJ") {
+    val df = CurationQueries.q104SemDedup(spark, sfSmoke)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    graft.ops.ScratchCache.releaseAll()
+  }
+
+  test("skyline frontier equals the quadratic dominance definition") {
+    val rnd = new scala.util.Random(7)
+    val pts = (1 to 400).map(i =>
+      (i.toLong, (rnd.nextInt(40) / 4.0), rnd.nextInt(50).toLong))
+    val expected = pts.filter { case (_, c, g) =>
+      !pts.exists { case (_, c2, g2) =>
+        c2 <= c && g2 >= g && (c2 < c || g2 > g)
+      }
+    }.map(t => (t._1, t._2, t._3)).sortBy(_._1)
+    val got = graft.ops.Skyline
+      .frontier(pts.toDS(), parts = 5)
+      .as[(Long, Double, Long)].collect().sortBy(_._1).toSeq
+    assert(got == expected)
+    graft.ops.ScratchCache.releaseAll()
+  }
+
+  test("skyline plan: one range exchange, no Window, no self-join") {
+    val pts = (1 to 50).map(i => (i.toLong, i / 3.0, (i % 7).toLong)).toDS()
+    val df = graft.ops.Skyline.frontier(pts, parts = 4)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("Join"), plan)
+    graft.ops.ScratchCache.releaseAll()
+  }
+}
