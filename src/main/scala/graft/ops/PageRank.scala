@@ -20,7 +20,16 @@ import org.apache.spark.sql.functions._
   * rankless nodes. Iteration count is FIXED (the caller picks it), so the
   * whole run is one lazy Catalyst plan — no per-round driver actions (the
   * q51 lesson). Node/degree frames are persisted via [[ScratchCache]]
-  * because every iteration re-reads them.
+  * because every iteration re-reads them, and so is each iteration's
+  * rank+degree frame: it feeds BOTH the dangling-mass broadcast and the
+  * linked-contribution path, and without a cache boundary every
+  * generation's consumers would re-evaluate the whole chain below it —
+  * the broadcast subjobs double the subtree per iteration, ~2^iters
+  * total work (measured 2.2× on 3 iterations at sf0.1). The edge frame
+  * is hash-repartitioned on `src` BEFORE caching so the per-iteration
+  * contribution join reuses that layout (InMemoryTableScan reports the
+  * child partitioning) instead of re-shuffling the edges every round —
+  * the same pay-the-shuffle-once layout Bucketing gives on disk.
   */
 object PageRank {
 
@@ -29,7 +38,8 @@ object PageRank {
               scale: Long = 1000000000000L): DataFrame = {
     require(iters >= 1 && iters <= 20, "fixed small iteration count")
     val e = ScratchCache.register(
-      edges.select(col("src").cast("long"), col("dst").cast("long")).persist())
+      edges.select(col("src").cast("long"), col("dst").cast("long"))
+        .repartition(col("src")).persist())
     val deg = ScratchCache.register(
       e.groupBy(col("src").as("id")).agg(count(lit(1)).as("d")).persist())
     val nodes = ScratchCache.register(
@@ -41,7 +51,7 @@ object PageRank {
     val base = 15L * r0 / 100              // (1-α) term, α = 85/100
     var r = nodes.withColumn("r", lit(r0))
     for (_ <- 1 to iters) {
-      val withD = r.join(deg, Seq("id"), "left")
+      val withD = ScratchCache.register(r.join(deg, Seq("id"), "left").persist())
       // 1-row dangling mass, joined in lazily (broadcast, no action)
       val dang = withD.filter(col("d").isNull)
         .agg(coalesce(sum(col("r")), lit(0L)).as("dm"))

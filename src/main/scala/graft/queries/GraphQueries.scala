@@ -109,44 +109,44 @@ object GraphQueries {
        |WHERE abs((e.value - s.mu) / s.sd) > 3.0
        |ORDER BY event_type, event_id""".stripMargin
 
-  /** Triangle count over an undirected edge list already oriented low→high
-    * (u < v on every row, deduplicated). The join sequence e1(a,b) ⋈
-    * e2(b,c) ⋈ e3(a,c) with the orientation invariant counts each triangle
-    * a<b<c exactly once — the standard node-ordering trick that caps the
-    * wedge fan-out by the SMALLER endpoint's out-degree. All three joins
-    * are hash equi-joins shuffled on vertex keys; nothing is collected. */
-  def triangleCount(e: DataFrame): DataFrame = {
-    val e1 = e.select(col("u").as("a"), col("v").as("b"))
-    val e2 = e.select(col("u").as("b"), col("v").as("c"))
-    val e3 = e.select(col("u").as("a"), col("v").as("c"))
-    e1.join(e2, "b").join(e3, Seq("a", "c"))
-      .agg(count(lit(1)).as("value"))
-  }
+  /** Triangle count — see [[graft.ops.Triangles]] for the two physical
+    * strategies (join-based any-scale vs broadcast-edge-set). */
+  def triangleCount(e: DataFrame, broadcastEdges: Boolean = false): DataFrame =
+    graft.ops.Triangles.count(e, broadcastEdges)
 
   /** q103: graph metrics of the part co-purchase graph — parts appearing
     * in the same order are linked (distinct pairs, oriented u<v; the pair
     * fan-out per order is C(k,2) with k bounded by order size, ≤7 in
     * TPC-H-shaped data — skew-safe by construction). Output rows: edge,
-    * node, and triangle counts. At 100×, orientation by DEGREE instead of
-    * id is the drop-in upgrade for power-law graphs; co-order data is
-    * near-uniform so id orientation suffices. */
+    * node, and triangle counts.
+    *
+    * Edge build: NO self-join — group each order's parts and emit packed
+    * ordered pairs with the fused [[graft.functions.GraphFunctions
+    * .packedPairs]] kernel (sort+dedup+pack in one codegen pass; the
+    * interpreted `flatten(transform(slice(...)))` HOF form paid a lambda
+    * dispatch per element). Dedup then shuffles ONE long per pair. At
+    * 100×, orientation by DEGREE instead of id is the drop-in upgrade for
+    * power-law graphs; co-order data is near-uniform so id orientation
+    * suffices. */
   def q103Triangles(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val op = lineitem(s, d)
+    import graft.ops.PackedPair
+    val pairs = lineitem(s, d)
       .select($"l_orderkey".as("o"), $"l_partkey".cast("long").as("p"))
-      .distinct()
+      .groupBy($"o").agg(collect_list($"p").as("ps"))
+      .select(explode(graft.functions.GraphFunctions.packedPairs($"ps")).as("uv"))
     val e = graft.ops.ScratchCache.register(
-      op.as("x").join(op.as("y"),
-          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
-        .select(col("x.p").as("u"), col("y.p").as("v"))
-        .distinct()
+      pairs.distinct()
+        .select(PackedPair.idA($"uv").as("u"), PackedPair.idB($"uv").as("v"))
         .persist())
     val edges = e.agg(count(lit(1)).as("value"))
       .select(lit("edges").as("metric"), $"value")
     val nodes = e.select($"u".as("id")).union(e.select($"v"))
       .agg(countDistinct($"id").as("value"))
       .select(lit("nodes").as("metric"), $"value")
-    val tris = triangleCount(e)
+    // ~1.2M co-order edges ≈ 10 MB packed — the broadcast-set strategy
+    // holds comfortably at bench scale; at 100× flip to countViaJoins
+    val tris = triangleCount(e, broadcastEdges = true)
       .select(lit("triangles").as("metric"), $"value")
     edges.union(nodes).union(tris).orderBy($"metric")
   }

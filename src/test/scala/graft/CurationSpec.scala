@@ -49,6 +49,44 @@ class CurationSpec extends AnyFunSuite with SparkSpecBase {
       .head().getLong(0) == 0L)
   }
 
+  test("packedPairs kernel: sorts, dedups, packs, guards") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    def run(xs: Seq[java.lang.Long]): Seq[Long] = {
+      val r = graft.functions.GraphKernels.packedPairs(
+        new GenericArrayData(xs.toArray[Any]))
+      (0 until r.numElements()).map(r.getLong)
+    }
+    assert(run(Seq(3L, 1L, 2L, 1L)) ==
+      Seq((1L << 32) | 2L, (1L << 32) | 3L, (2L << 32) | 3L))
+    assert(run(Seq(5L)) == Seq.empty)
+    assert(run(Seq(null, 7L, null, 4L)) == Seq((4L << 32) | 7L))
+    assert(graft.functions.GraphKernels.packedPairs(null).numElements() == 0)
+    intercept[IllegalArgumentException] { run(Seq(-1L, 2L)) }
+    // matches the HOF formulation on random arrays (including the SQL path)
+    val rnd = new scala.util.Random(3)
+    val arrs = Seq.fill(40)(Seq.fill(rnd.nextInt(8))(rnd.nextInt(50).toLong))
+    val df = arrs.toDF("ps")
+    val hof = df.selectExpr(
+      "flatten(transform(array_sort(array_distinct(ps)), (a, i) -> " +
+      "transform(slice(array_sort(array_distinct(ps)), i + 2, size(ps)), " +
+      "b -> a * 4294967296 + b))) AS want").collect().map(_.getSeq[Long](0))
+    val got = df.select(
+      graft.functions.GraphFunctions.packedPairs($"ps").as("got"))
+      .collect().map(_.getSeq[Long](0))
+    got.zip(hof).foreach { case (g, h) => assert(g == h) }
+  }
+
+  test("triangle strategies agree on a random graph") {
+    val rnd = new scala.util.Random(11)
+    val e = (1 to 300).map { _ =>
+      val a = rnd.nextInt(40).toLong; val b = rnd.nextInt(40).toLong
+      (math.min(a, b), math.max(a, b))
+    }.filter(p => p._1 != p._2).distinct.toDF("u", "v")
+    val viaJoins = graft.ops.Triangles.countViaJoins(e).head().getLong(0)
+    val viaSet = graft.ops.Triangles.countViaBroadcastSet(e).head().getLong(0)
+    assert(viaJoins == viaSet && viaJoins > 0)
+  }
+
   test("q104 drop rule: every drop has a lower-id cluster-mate above tau") {
     // replay the rule brute-force on the smoke embeddings
     val emb = Tables.embeddings(spark, sfSmoke)
