@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables.events
+import graft.functions.TextFunctions.roundp
 
 /** Behavioral event analytics — the OLAP shapes a product/training-data
   * pipeline runs over an event log: overlapping time windows, ordered
@@ -274,7 +275,108 @@ object EventAnalytics {
        |  ${DuckSql.roundpSql("t.n * 1.0 / tot.tn", 6)} AS p
        |FROM t JOIN tot USING (prev) ORDER BY prev, next""".stripMargin
 
+  /** q106: max concurrent intervals per event type — each event opens an
+    * interval [ts, ts + (⌊|value|·60⌋+1) s) (a deterministic synthetic
+    * duration; the corpus has no explicit end timestamps). Runs through
+    * [[graft.ops.Sweep.maxConcurrent]] — a grouped two-pass distributed
+    * prefix sum: NO per-group window reducer (the oracle IS that windowed
+    * form, making the comparison an independent check of the sweep). */
+  def q106MaxConcurrent(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val iv = events(s, d).select($"event_type",
+      unix_micros($"ts").as("st"),
+      (unix_micros($"ts")
+        + (floor(abs($"value") * 60).cast("long") + 1L) * 1000000L).as("en"))
+    val pts = iv.select($"event_type", explode(array(
+        struct($"st".as("t"), lit(1L).as("delta")),
+        struct($"en".as("t"), lit(-1L).as("delta")))).as("p"))
+      .select($"event_type", $"p.t", $"p.delta")
+      .as[(String, Long, Long)]
+    graft.ops.Sweep.maxConcurrent(pts, 32)
+      .select($"g".as("event_type"), $"max_concurrent")
+      .orderBy($"event_type")
+  }
+
+  val q106Sql: String =
+    """WITH iv AS (
+      |  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS st,
+      |    epoch_us(CAST(ts AS TIMESTAMP))
+      |      + (floor(abs(value) * 60)::BIGINT + 1) * 1000000 AS en
+      |  FROM events),
+      |pts AS (
+      |  SELECT event_type, st AS t, 1 AS delta FROM iv
+      |  UNION ALL SELECT event_type, en, -1 FROM iv),
+      |run AS (
+      |  SELECT event_type, sum(delta) OVER (PARTITION BY event_type
+      |    ORDER BY t, delta ROWS UNBOUNDED PRECEDING) AS c
+      |  FROM pts)
+      |SELECT event_type, max(c)::BIGINT AS max_concurrent
+      |FROM run GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** q107: per-group simple linear regression (value vs time) through
+    * EXACT mergeable sufficient statistics — Σx, Σy, Σxy, Σx² as
+    * DECIMAL(38,0) sums of integers (x = epoch seconds, y = ⌊value·10⁶⌋),
+    * combined map-side like any algebraic aggregate; slope/intercept are
+    * derived per group from the exact sums, so the result is
+    * bit-deterministic under ANY partitioning or reduction order — the
+    * float-sum ulp problem that makes naive distributed regression
+    * unreproducible never arises. This is the distributed-ML-fit shape:
+    * one narrow scan, one combine-friendly aggregate, G output rows. */
+  def q107GroupRegression(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = events(s, d).select($"event_type",
+      (unix_micros($"ts") - pmod(unix_micros($"ts"), lit(1000000L)))
+        .cast("long").as("usf"),
+      floor($"value" * 1000000d).cast("long").as("yi"))
+      .select($"event_type", ($"usf" / 1000000L).cast("long").as("x"), $"yi")
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(20,0)")
+    val stats = e.groupBy($"event_type").agg(
+      count(lit(1)).as("n"),
+      sum(dec($"x")).as("sx"),
+      sum(dec($"yi")).as("sy"),
+      sum(dec($"x") * dec($"yi")).as("sxy"),
+      sum(dec($"x") * dec($"x")).as("sxx"))
+    // exact-integer numerators/denominator, cast to double only at the end
+    val num = (dec($"n") * $"sxy" - $"sx" * $"sy").cast("double")
+    val den = (dec($"n") * $"sxx" - $"sx" * $"sx").cast("double")
+    stats
+      .select($"event_type", $"n",
+        // num/den is the slope in yi-units/s = 1e6 × (value-units/s)
+        roundp(num / den, 6).as("slope_e6"),
+        roundp(($"sy".cast("double") - (num / den) * $"sx".cast("double"))
+          / $"n".cast("double") / lit(1e6), 6).as("intercept"))
+      .orderBy($"event_type")
+  }
+
+  val q107Sql: String = {
+    val roundp6 = (x: String) => DuckSql.roundpSql(x, 6)
+    """WITH e AS (
+      |  SELECT event_type,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS x,
+      |    floor(value * 1000000)::BIGINT AS yi
+      |  FROM events),
+      |st AS (
+      |  SELECT event_type, count(*)::BIGINT AS n,
+      |    sum(x::HUGEINT) AS sx, sum(yi::HUGEINT) AS sy,
+      |    sum(x::HUGEINT * yi::HUGEINT) AS sxy,
+      |    sum(x::HUGEINT * x::HUGEINT) AS sxx
+      |  FROM e GROUP BY event_type)
+      |SELECT event_type, n,
+      |  ROUNDP6_A AS slope_e6,
+      |  ROUNDP6_B AS intercept
+      |FROM st ORDER BY event_type""".stripMargin
+      .replace("ROUNDP6_A", roundp6(
+        "(n::HUGEINT * sxy - sx * sy)::DOUBLE" +
+          " / (n::HUGEINT * sxx - sx * sx)::DOUBLE"))
+      .replace("ROUNDP6_B", roundp6(
+        "(sy::DOUBLE - ((n::HUGEINT * sxy - sx * sy)::DOUBLE" +
+          " / (n::HUGEINT * sxx - sx * sx)::DOUBLE) * sx::DOUBLE)" +
+          " / n::DOUBLE / 1e6"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q106_max_concurrent" -> (q106MaxConcurrent _),
+    "q107_group_regression" -> (q107GroupRegression _),
     "q97_gap_fill"       -> (q97GapFill _),
     "q100_transitions"   -> (q100Transitions _),
     "q77_sliding_window" -> (q77SlidingWindow _),
@@ -286,6 +388,8 @@ object EventAnalytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "q106_max_concurrent" -> q106Sql,
+    "q107_group_regression" -> q107Sql,
     "q97_gap_fill"       -> q97Sql,
     "q100_transitions"   -> q100Sql,
     "q77_sliding_window" -> q77Sql,

@@ -216,7 +216,53 @@ object SimilarityQueries {
        |FROM scored s JOIN cent c ON s.label = c.label
        |GROUP BY s.label ORDER BY s.label""".stripMargin
 
+  /** q108: deterministic negative sampling for contrastive training —
+    * every anchor (vec_id < 50) draws 4 pseudo-random corpus negatives
+    * via a keyed hash (`polyHash32(anchor ⊕ draw) mod N`): no RNG state,
+    * rerun-stable, and the "random" pick is a pure column expression, so
+    * sampling JOINS the corpus by id instead of shuffling it — the
+    * broadcast side is |anchors|·k rows, the corpus streams. Self-hits
+    * are dropped (deterministically), matching standard in-batch-negative
+    * hygiene. Scores are the parity-form cosine, so the whole sample is
+    * hash-checked against the DuckDB replay. */
+  def q108NegativeSampling(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = embeddings(s, d).select($"vec_id".cast("long").as("vec_id"),
+      $"embedding")
+    val nn = emb.agg(count(lit(1)).as("nn"))
+    val draws = emb.filter($"vec_id" < 50)
+      .select($"vec_id".as("qid"), $"embedding".as("qe"),
+        explode(sequence(lit(0), lit(3))).as("j"))
+      .crossJoin(broadcast(nn))
+      .select($"qid", $"qe", $"j",
+        (graft.functions.TextFunctions.polyHash(
+          concat($"qid".cast("string"), lit("_"), $"j".cast("string")))
+          % $"nn").as("neg"))
+      .filter($"neg" =!= $"qid")
+    draws.join(emb.withColumnRenamed("vec_id", "neg"), Seq("neg"))
+      .select($"qid", $"j".cast("bigint").as("j"), $"neg".as("neg_id"),
+        roundp(VectorFunctions.cosine($"qe", $"embedding"), 6).as("cos"))
+      .orderBy($"qid", $"j")
+  }
+
+  val q108Sql: String =
+    s"""WITH nn AS (SELECT count(*) AS n FROM embeddings),
+       |draws AS (
+       |  SELECT a.vec_id AS qid, j.j, a.embedding AS qe,
+       |    ${DuckSql.polyHashSql("a.vec_id::VARCHAR || '_' || j.j::VARCHAR")}
+       |      % (SELECT n FROM nn) AS neg
+       |  FROM embeddings a CROSS JOIN
+       |    (SELECT unnest(range(0, 4)) AS j) j
+       |  WHERE a.vec_id < 50)
+       |SELECT d.qid, d.j::BIGINT AS j, d.neg AS neg_id,
+       |  ${DuckSql.roundpSql(DuckSql.cosineSql("d.qe", "c.embedding", 64), 6)}
+       |    AS cos
+       |FROM draws d JOIN embeddings c ON c.vec_id = d.neg
+       |WHERE d.neg <> d.qid
+       |ORDER BY qid, j""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q108_negative_sampling" -> (q108NegativeSampling _),
     "q30_embedding_neardup" -> (q30NearDup _),
     "q31_knn_brute"         -> (q31KnnBrute _),
     "q32_knn_lsh"           -> (q32KnnLsh _),
@@ -227,6 +273,7 @@ object SimilarityQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q108_negative_sampling" -> q108Sql,
     "q30_embedding_neardup" -> q30Sql,
     "q31_knn_brute"         -> q31Sql,
     "q32_knn_lsh"           -> q32Sql,
