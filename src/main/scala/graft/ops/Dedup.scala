@@ -326,6 +326,54 @@ object Dedup {
     labels.select(col("id"), col("label").as("component_id"))
   }
 
+  /** Connected components when every edge is CONFINED to a block — the
+    * record-linkage invariant: candidate pairs come from a blocking key
+    * (prefix, LSH bucket, sort-neighborhood window), so no edge ever
+    * crosses blocks and each component lives inside exactly one block.
+    *
+    * That invariant collapses the iterative min-label propagation
+    * ([[connectedComponents]]: one shuffle + one driver action PER
+    * diameter round) to ONE shuffle total: hash-partition the pairs by
+    * block key, then run union-find locally per block inside
+    * `flatMapGroups`. Memory is bounded by the largest block — the same
+    * bound blocking itself promises (an unbounded block would already
+    * have blown up the pair join quadratically upstream), so this is
+    * scale-safe wherever blocked matching is.
+    *
+    * Returns (id BIGINT, component_id BIGINT) — component_id = min id of
+    * the component, matching [[connectedComponents]] exactly. Ids may
+    * repeat across blocks only if the caller's blocking is non-disjoint;
+    * with disjoint blocks (one block per record) each id appears once. */
+  def blockLocalComponents(pairs: DataFrame, block: String, a: String,
+                           b: String): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    pairs
+      .select(col(block).cast("string"), col(a).cast("long"),
+        col(b).cast("long"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent(r) != r) r = parent(r)
+          var c = x // path compression
+          while (parent(c) != c) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        it.foreach { case (_, x, y) =>
+          parent.getOrElseUpdate(x, x)
+          parent.getOrElseUpdate(y, y)
+          val rx = find(x); val ry = find(y)
+          if (rx != ry) { if (rx < ry) parent(ry) = rx else parent(rx) = ry }
+        }
+        // roots are unioned min-first, so find(id) IS the component min
+        parent.keysIterator.map(idv => (idv, find(idv))).toArray.iterator
+      }
+      .toDF("id", "component_id")
+  }
+
   /** SimHash near-dup pairs: 4×12-bit band candidates (hamming ≤ maxHamming
     * guarantees ≥1 identical band when maxHamming < 4 by pigeonhole over 48
     * bits), verified by exact hamming distance. */

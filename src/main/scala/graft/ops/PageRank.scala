@@ -16,12 +16,14 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: per iteration one shuffle for the contribution sum (edges
   * join ranks on src — both sides hash-partitioned on the join key), one
-  * broadcast of the 1-row dangling-mass aggregate, one left join to carry
-  * rankless nodes. Iteration count is FIXED (the caller picks it), so the
-  * whole run is one lazy Catalyst plan — no per-round driver actions (the
-  * q51 lesson). Node/degree frames are persisted via [[ScratchCache]]
-  * because every iteration re-reads them, and so is each iteration's
-  * rank+degree frame: it feeds BOTH the dangling-mass broadcast and the
+  * broadcast of the 1-row dangling-mass aggregate, one co-partitioned
+  * left join to carry rankless nodes. Iteration count is FIXED (the
+  * caller picks it), so the whole run is one lazy Catalyst plan — no
+  * per-round driver actions (the q51 lesson). The node frame carries the
+  * static out-degree, so no per-iteration rank⋈degree join exists. It is
+  * persisted via [[ScratchCache]] because every iteration re-reads it,
+  * and so is each iteration's rank generation: it feeds BOTH the
+  * dangling-mass broadcast and the
   * linked-contribution path, and without a cache boundary every
   * generation's consumers would re-evaluate the whole chain below it —
   * the broadcast subjobs double the subtree per iteration, ~2^iters
@@ -40,27 +42,32 @@ object PageRank {
     val e = ScratchCache.register(
       edges.select(col("src").cast("long"), col("dst").cast("long"))
         .repartition(col("src")).persist())
-    val deg = ScratchCache.register(
-      e.groupBy(col("src").as("id")).agg(count(lit(1)).as("d")).persist())
-    val nodes = ScratchCache.register(
+    // node frame CARRIES the (static) out-degree: the rank generation is
+    // (id, d, r) throughout, so no per-iteration rank⋈degree join exists —
+    // dangling/linked are mere filters on the cached generation, and the
+    // recombination join contrib⋈nd is co-partitioned (both hash(id)).
+    val nd = ScratchCache.register(
       e.select(col("src").as("id")).union(e.select(col("dst").as("id")))
-        .distinct().persist())
-    val n = nodes.count()
+        .distinct()
+        .join(e.groupBy(col("src").as("id")).agg(count(lit(1)).as("d")),
+          Seq("id"), "left")
+        .persist())
+    val n = nd.count()
     require(n > 0, "empty graph")
     val r0 = scale / n                     // integer base rank
     val base = 15L * r0 / 100              // (1-α) term, α = 85/100
-    var r = nodes.withColumn("r", lit(r0))
+    var r = nd.withColumn("r", lit(r0))
     for (_ <- 1 to iters) {
-      val withD = ScratchCache.register(r.join(deg, Seq("id"), "left").persist())
+      val cur = ScratchCache.register(r.persist())
       // 1-row dangling mass, joined in lazily (broadcast, no action)
-      val dang = withD.filter(col("d").isNull)
+      val dang = cur.filter(col("d").isNull)
         .agg(coalesce(sum(col("r")), lit(0L)).as("dm"))
-      val linked = withD.filter(col("d").isNotNull)
+      val linked = cur.filter(col("d").isNotNull)
       val contrib = e.join(linked, e("src") === linked("id"))
         .select(col("dst").as("id"), expr("r div d").as("share"))
         .groupBy("id").agg(sum(col("share")).as("c"))
-      r = nodes.join(contrib, Seq("id"), "left").crossJoin(broadcast(dang))
-        .select(col("id"),
+      r = nd.join(contrib, Seq("id"), "left").crossJoin(broadcast(dang))
+        .select(col("id"), col("d"),
           (lit(base) + expr(s"85 * (coalesce(c, 0L) + dm div ${n}L) div 100"))
             .as("r"))
     }

@@ -220,15 +220,28 @@ object DedupQueries {
       |ORDER BY doc_a, doc_b""".stripMargin
 
   /** q99: entity resolution end-to-end — blocked fuzzy matching (q73's
-    * edit-distance pairs) fed through distributed connected components,
-    * then EVERY document mapped to its entity id (its component's min
-    * doc_id; singletons resolve to themselves). The full record-linkage
-    * composition: block → score → cluster → assign, each stage the
-    * scale-safe operator already proven on its own. */
+    * edit-distance pairs) fed through connected components, then EVERY
+    * document mapped to its entity id (its component's min doc_id;
+    * singletons resolve to themselves). The full record-linkage
+    * composition: block → score → cluster → assign.
+    *
+    * Clustering exploits the blocking invariant: every match pair shares
+    * the 12-char-prefix block, so components are block-local and
+    * [[graft.ops.Dedup.blockLocalComponents]] resolves them in ONE
+    * shuffle (per-block union-find) instead of one-job-per-diameter
+    * iterative label propagation — same result, no driver round-trips. */
   def q99EntityResolution(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val pairs = q73FuzzyJoin(s, d)
-    val comp = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+    val doc = documents(s, d)
+      .select($"doc_id", substring($"text", 1, 12).as("blk"),
+        substring($"text", 1, 80).as("w80"))
+    val pairs = doc.as("a").join(doc.as("b"),
+        $"a.blk" === $"b.blk" && $"a.doc_id" < $"b.doc_id")
+      .select($"a.blk".as("blk"), $"a.doc_id".as("doc_a"),
+        $"b.doc_id".as("doc_b"),
+        levenshtein($"a.w80", $"b.w80", 30).as("dist"))
+      .filter($"dist" =!= -1)
+    val comp = Dedup.blockLocalComponents(pairs, "blk", "doc_a", "doc_b")
     documents(s, d).select($"doc_id")
       .join(comp.select($"id".as("doc_id"), $"component_id"), Seq("doc_id"), "left")
       .select($"doc_id",

@@ -278,4 +278,27 @@ class DedupSpec extends AnyFunSuite with SparkSpecBase {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
     graft.ops.ScratchCache.releaseAll()
   }
+
+  test("blockLocalComponents == iterative connectedComponents on blocked graphs") {
+    // random block-confined edges (ids namespaced per block so blocks are
+    // disjoint) — the union-find path must agree with label propagation
+    val rnd = new scala.util.Random(29)
+    val pairs = (1 to 400).map { _ =>
+      val blk = rnd.nextInt(8)
+      val x = blk * 1000L + rnd.nextInt(30)
+      val y = blk * 1000L + rnd.nextInt(30)
+      (s"b$blk", math.min(x, y), math.max(x, y) + 1) // +1 avoids self-loops
+    }.toDF("blk", "id_a", "id_b")
+    val viaBlocks = Dedup.blockLocalComponents(pairs, "blk", "id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val viaIter = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(viaBlocks == viaIter)
+    // long chain inside one block: diameter no longer costs rounds
+    val chain = (1L to 500L).map(i => ("c", i, i + 1)).toDF("blk", "id_a", "id_b")
+    val got = Dedup.blockLocalComponents(chain, "blk", "id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == 501 && got.forall(_._2 == 1L))
+    graft.ops.ScratchCache.releaseAll()
+  }
 }
