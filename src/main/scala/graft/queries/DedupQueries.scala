@@ -267,6 +267,52 @@ object DedupQueries {
       |FROM documents d LEFT JOIN comp ON d.doc_id = comp.id
       |ORDER BY d.doc_id""".stripMargin
 
+  /** q109: leakage-safe train/validation split — the assignment unit is
+    * the NEAR-DUP COMPONENT, not the document, so two near-duplicates can
+    * never straddle the split (the classic eval-contamination bug when
+    * splitting by row hash). Components come from the same MinHash-pair →
+    * connected-components chain as q51; unpaired docs are their own
+    * group. The gate is the deterministic keyed hash of the GROUP id
+    * (q46's machinery), so the split is reproducible, rerun-stable, and
+    * engine-independent.
+    *
+    * Scale shape: the component table is |paired docs|-sized (≪ corpus)
+    * and broadcast to the left join; the gate is a per-row expression —
+    * no extra shuffle beyond the component computation itself. */
+  def q109LeakageSplit(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.TextFunctions.polyHash
+    val pairs = Dedup.minhashDedupPairs(documents(s, d), "doc_id", "text", 3, 0.8)
+    val comp = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .withColumnRenamed("id", "doc_id")
+    documents(s, d).select($"doc_id")
+      .join(broadcast(comp), Seq("doc_id"), "left")
+      .withColumn("group_id", coalesce($"component_id", $"doc_id"))
+      .select($"doc_id", $"group_id",
+        when(pmod(polyHash(concat($"group_id".cast("string"), lit("split-v1"))),
+            lit(100L)) < 90, "train").otherwise("val").as("split"))
+      .orderBy($"doc_id")
+  }
+
+  val q109Sql: String = {
+    val gate = DuckSql.polyHashSql("(group_id::VARCHAR || 'split-v1')")
+    jaccardPairsCte(0.8, None) +
+      s""",
+         |edges AS (SELECT id_a AS a, id_b AS b FROM jpairs
+         |  UNION ALL SELECT id_b, id_a FROM jpairs),
+         |reach(id, r) AS (
+         |  SELECT a, a FROM edges
+         |  UNION
+         |  SELECT re.id, e.b FROM reach re JOIN edges e ON re.r = e.a),
+         |comp AS (SELECT id, min(r) AS c FROM reach GROUP BY id),
+         |grouped AS (
+         |  SELECT d.doc_id, coalesce(comp.c, d.doc_id)::BIGINT AS group_id
+         |  FROM documents d LEFT JOIN comp ON d.doc_id = comp.id)
+         |SELECT doc_id, group_id,
+         |  CASE WHEN $gate % 100 < 90 THEN 'train' ELSE 'val' END AS split
+         |FROM grouped ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q99_entity_resolution" -> (q99EntityResolution _),
     "q26_dedup_exact"    -> (q26Exact _),
@@ -277,6 +323,7 @@ object DedupQueries {
     "q52_incremental_dedup" -> (q52IncrementalDedup _),
     "q58_substring_dedup" -> (q58SubstringDedup _),
     "q73_fuzzy_join"     -> (q73FuzzyJoin _),
+    "q109_leakage_split" -> (q109LeakageSplit _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -289,5 +336,6 @@ object DedupQueries {
     "q52_incremental_dedup" -> q52Sql,
     "q58_substring_dedup" -> q58Sql,
     "q73_fuzzy_join"     -> q73Sql,
+    "q109_leakage_split" -> q109Sql,
   )
 }

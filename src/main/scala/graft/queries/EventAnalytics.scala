@@ -374,6 +374,62 @@ object EventAnalytics {
           " / n::DOUBLE / 1e6"))
   }
 
+  /** q110: distribution-drift audit via the Population Stability Index —
+    * for each event_type, compare the distribution of `value` (binned at
+    * width 5) between the first and second half of the month:
+    * PSI = Σ_bins (p_a − p_b)·ln(p_a / p_b), with add-one count smoothing
+    * so empty bins stay defined in both engines. PSI < 0.1 is the usual
+    * "no drift" read; the audit flags features whose input distribution
+    * moved between snapshots before a model retrain.
+    *
+    * Scale shape: ONE full-data shuffle (groupBy type×period×bin with
+    * map-side partial counts); everything after runs on the bin table
+    * (|types|·|bins| rows) — per-type totals and the PSI fold are
+    * small-small joins. At 100 TB the event scan dominates; the audit is
+    * a single pass. */
+  def q110DriftPsi(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val boundary = lit(java.sql.Timestamp.valueOf("2024-01-16 00:00:00"))
+    val binned = events(s, d)
+      .select($"event_type",
+        when($"ts" < boundary, 0).otherwise(1).as("period"),
+        floor($"value" / 5).cast("long").as("bin"))
+      .groupBy($"event_type", $"bin")
+      .agg(
+        sum(when($"period" === 0, 1L).otherwise(0L)).as("ca"),
+        sum(when($"period" === 1, 1L).otherwise(0L)).as("cb"))
+    val totals = binned.groupBy($"event_type")
+      .agg((sum($"ca") + count(lit(1))).as("ta"),
+        (sum($"cb") + count(lit(1))).as("tb"))
+    val pa = ($"ca" + 1.0) / $"ta"
+    val pb = ($"cb" + 1.0) / $"tb"
+    binned.join(totals, "event_type")
+      .groupBy($"event_type")
+      .agg(
+        roundp(sum((pa - pb) * log(pa / pb)), 6).as("psi"),
+        count(lit(1)).as("n_bins"))
+      .orderBy($"event_type")
+  }
+
+  val q110Sql: String =
+    s"""WITH binned AS (
+       |  SELECT event_type, floor(value / 5)::BIGINT AS bin,
+       |    sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+       |      THEN 1 ELSE 0 END) AS ca,
+       |    sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+       |      THEN 0 ELSE 1 END) AS cb
+       |  FROM events GROUP BY 1, 2),
+       |totals AS (SELECT event_type, sum(ca) + count(*) AS ta,
+       |    sum(cb) + count(*) AS tb
+       |  FROM binned GROUP BY 1)
+       |SELECT event_type,
+       |  ${DuckSql.roundpSql(
+            "sum(((ca + 1.0) / ta - (cb + 1.0) / tb) * " +
+              "ln(((ca + 1.0) / ta) / ((cb + 1.0) / tb)))", 6)} AS psi,
+       |  CAST(count(*) AS BIGINT) AS n_bins
+       |FROM binned JOIN totals USING (event_type)
+       |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q106_max_concurrent" -> (q106MaxConcurrent _),
     "q107_group_regression" -> (q107GroupRegression _),
@@ -385,6 +441,7 @@ object EventAnalytics {
     "q84_scd2"           -> (q84Scd2 _),
     "q85_grouping_sets"  -> (q85GroupingSets _),
     "q86_set_ops"        -> (q86SetOps _),
+    "q110_drift_psi"     -> (q110DriftPsi _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -398,5 +455,6 @@ object EventAnalytics {
     "q84_scd2"           -> q84Sql,
     "q85_grouping_sets"  -> q85Sql,
     "q86_set_ops"        -> q86Sql,
+    "q110_drift_psi"     -> q110Sql,
   )
 }

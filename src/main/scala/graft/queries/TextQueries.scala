@@ -467,6 +467,46 @@ object TextQueries {
        |FROM parts GROUP BY doc_id
        |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
 
+  /** q111: unigram language-model perplexity scoring (the CCNet-style
+    * quality filter, Wenzek et al. 2019: score each document by its
+    * negative log-likelihood under a LM trained on the corpus itself;
+    * outlier-NLL docs are gibberish or boilerplate). The LM here is the
+    * add-one-smoothed unigram model — logp(w) = ln((c(w)+1)/(N+V)) — so
+    * both engines can replay it exactly.
+    *
+    * Scale shape: the token explode is scanned twice (once to count the
+    * model, once to score) — two map-side passes; the model table is
+    * vocab-sized (Heaps' law: sublinear in corpus size) and broadcast to
+    * the scoring join, so the only full-data shuffle is the per-doc
+    * aggregate. N and V are scalars, cross-joined as a broadcast row. */
+  def q111Perplexity(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = documents(s, d)
+      .select($"doc_id", explode(tokens($"text")).as("w"))
+    val model = toks.groupBy($"w").agg(count(lit(1)).as("c"))
+    val stats = model.agg(sum($"c").as("n_tok"), count(lit(1)).as("vocab"))
+    toks.join(broadcast(model), "w")
+      .crossJoin(broadcast(stats))
+      .groupBy($"doc_id")
+      .agg(
+        roundp(avg(-log(($"c" + lit(1.0)) / ($"n_tok" + $"vocab"))), 6)
+          .as("nll"),
+        count(lit(1)).as("n_toks"))
+      .orderBy($"doc_id")
+  }
+
+  val q111Sql: String =
+    s"""WITH toks AS (SELECT doc_id, unnest(${DuckSql.tokensSql}) AS w
+       |  FROM documents),
+       |model AS (SELECT w, count(*) AS c FROM toks GROUP BY w),
+       |stats AS (SELECT sum(c) AS n_tok, count(*) AS vocab FROM model)
+       |SELECT doc_id,
+       |  ${DuckSql.roundpSql("avg(-ln((c + 1.0) / (n_tok + vocab)))", 6)}
+       |    AS nll,
+       |  CAST(count(*) AS BIGINT) AS n_toks
+       |FROM toks JOIN model USING (w) CROSS JOIN stats
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q22_lang_id"       -> (q22LangId _),
     "q23_quality"       -> (q23Quality _),
@@ -479,6 +519,7 @@ object TextQueries {
     "q66_chunking"      -> (q66Chunk _),
     "q74_tfidf"         -> (q74Tfidf _),
     "q75_bm25"          -> (q75Bm25 _),
+    "q111_perplexity"   -> (q111Perplexity _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -493,5 +534,6 @@ object TextQueries {
     "q66_chunking"      -> q66Sql,
     "q74_tfidf"         -> q74Sql,
     "q75_bm25"          -> q75Sql,
+    "q111_perplexity"   -> q111Sql,
   )
 }
