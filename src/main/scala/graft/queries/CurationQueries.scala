@@ -131,25 +131,61 @@ object CurationQueries {
         VectorFunctions.cosine($"embedding", typedlit(cv)).as("cos"),
         lit(-cid).as("ncid"))
     }: _*)
-    val assigned = graft.ops.ScratchCache.register(emb
+    val assigned = emb
       .select($"vec_id".cast("long").as("vec_id"), $"embedding")
       .withColumn("best", array_max(scored))
       .select($"vec_id", $"embedding", (-$"best.ncid").cast("long").as("cluster"))
-      .persist())
 
-    val a = assigned.select($"cluster", $"vec_id".as("id_a"), $"embedding".as("ea"))
-    val b = assigned.select($"cluster", $"vec_id".as("id_b"), $"embedding".as("eb"))
-    val dropped = a.join(b, Seq("cluster"))
-      .filter($"id_a" < $"id_b" &&
-        roundp(VectorFunctions.cosine($"ea", $"eb"), 6) >= SemDedupTau)
-      .select($"cluster", $"id_b").distinct()
-      .groupBy($"cluster").agg(count(lit(1)).as("n_dropped"))
-
-    assigned.groupBy($"cluster").agg(count(lit(1)).as("n"))
-      .join(dropped, Seq("cluster"), "left")
-      .na.fill(0L, Seq("n_dropped"))
+    // Block-local pair kernel: ONE shuffle (cluster key) and the whole
+    // within-cluster quadratic runs in memory per group with early exit —
+    // no self-join, no distinct, no recombination join. A block holds
+    // N/K vectors (K ≈ √N at scale), the same bound the join form had.
+    // Float math mirrors the column expressions exactly: sequential
+    // double dot (DotProductF32's contract), cos = dot/(√aa·√bb),
+    // round6 = BigDecimal(x·1e6) HALF_UP — so the kept/dropped set is
+    // bit-identical to the oracle's.
+    assigned.as[(Long, Array[Float], Long)]
+      .groupByKey(_._3)
+      .mapGroups { (cluster, it) =>
+        val vs = it.toArray.sortBy(_._1)
+        val m = vs.length
+        val norms = new Array[Double](m)
+        var i = 0
+        while (i < m) { norms(i) = math.sqrt(dotD(vs(i)._2, vs(i)._2)); i += 1 }
+        var dropped = 0L
+        var j = 1
+        while (j < m) {
+          var k = 0
+          var hit = false
+          while (k < j && !hit) {
+            val cos = dotD(vs(k)._2, vs(j)._2) / (norms(k) * norms(j))
+            if (round6(cos) >= SemDedupTau) { dropped += 1L; hit = true }
+            k += 1
+          }
+          j += 1
+        }
+        (cluster, m.toLong, dropped)
+      }
+      .toDF("cluster", "n", "n_dropped")
       .orderBy($"cluster")
   }
+
+  /** Sequential double-accumulated float dot — the JVM twin of
+    * functions.DotProductF32 (same index order, same widening), so block-
+    * local kernels and column expressions agree bit-for-bit. */
+  private def dotD(a: Array[Float], b: Array[Float]): Double = {
+    val n = math.min(a.length, b.length)
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+    acc
+  }
+
+  /** Spark `round(x·1e6)/1e6` twin: BigDecimal HALF_UP on the scaled
+    * double (org.apache.spark.sql.catalyst.expressions.Round semantics). */
+  private def round6(x: Double): Double =
+    BigDecimal(x * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP)
+      .toDouble / 1e6
 
   val q104Sql: String = {
     val cos = (x: String, y: String) => DuckSql.cosineSql(x, y, 64)

@@ -378,17 +378,31 @@ object TextQueries {
     * (equal scores from equal (tf,df)) break on the term string. */
   def q74Tfidf(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    import org.apache.spark.sql.expressions.Window
     val doc = documents(s, d)
     val n = doc.count()
-    val tf = doc.select($"doc_id", explode(tokens($"text")).as("term"))
-      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    // ONE explicit shuffle on term, whose layout every downstream step
+    // reuses: hash(term) satisfies the (doc_id,term) tf aggregation, the
+    // term df aggregation, AND the tf⋈df equi-join — Catalyst inserts no
+    // further exchange (hash(term) ⊆ each required clustering).
+    val toks = doc.select($"doc_id", explode(tokens($"text")).as("term"))
+      .repartition($"term")
+    val tf = toks.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
     val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
     val scored = tf.join(df, "term")
       .withColumn("score", $"tf" * log(lit(n.toDouble) / $"df"))
-    val w = Window.partitionBy($"doc_id").orderBy($"score".desc, $"term")
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter($"rank" <= 3)
+    // bounded top-3-per-doc: partial combine ships ≤3 rows per doc per map
+    // task instead of window-sorting the whole posting table on one
+    // reducer per doc — the only other shuffle, and it carries ≤ 3·|docs|
+    scored.select($"doc_id", $"term", $"score", $"tf", $"df")
+      .as[(Long, String, Double, Long, Long)]
+      .groupByKey(_._1).mapValues(r => (r._2, r._3, r._4, r._5))
+      .agg(new graft.agg.TermTopKAgg(3).toColumn.name("top"))
+      .flatMap { case (docId, top) =>
+        top.iterator.zipWithIndex.map { case ((term, score, tfv, dfv), i) =>
+          (docId, (i + 1).toLong, term, score, tfv, dfv)
+        }
+      }
+      .toDF("doc_id", "rank", "term", "score", "tf", "df")
       .select($"doc_id", $"rank", $"term", roundp($"score", 6).as("score"),
         $"tf", $"df")
       .orderBy($"doc_id", $"rank")
