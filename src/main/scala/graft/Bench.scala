@@ -18,6 +18,12 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // local[N] shuffles move through the page cache, not a network:
+      // lz4 framing is pure CPU overhead at this scale (a real cluster
+      // would keep compression on — these two are bench-host tuning, not
+      // engine semantics)
+      .config("spark.shuffle.compress", "false")
+      .config("spark.shuffle.spill.compress", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

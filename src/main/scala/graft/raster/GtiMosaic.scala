@@ -320,6 +320,120 @@ object GtiMosaic {
     }
   }
 
+  /** WGS84/GRS80 Albers equal-area conic (2 standard parallels) — the
+    * standard continental-statistics grid family (CONUS Albers, Australian
+    * Albers, California Albers). Snyder USGS PP 1395 eqs. 14-1…14-21 /
+    * 3-16 on the ellipsoid; equal-area by construction (the property
+    * tests check |Jacobian| equals the ellipsoidal area element). */
+  final case class AlbersEqualArea(lat1: Double, lat2: Double,
+      lat0: Double, lon0: Double, falseE: Double = 0.0, falseN: Double = 0.0) {
+    private val a = 6378137.0
+    private val e2 = 1.0 / 298.257223563 * (2 - 1.0 / 298.257223563)
+    private val e = math.sqrt(e2)
+
+    private def mFn(phi: Double) =
+      math.cos(phi) / math.sqrt(1 - e2 * math.sin(phi) * math.sin(phi))
+    /** Snyder 3-12: q(φ), the equal-area "authalic" ordinate. */
+    private def qFn(phi: Double) = {
+      val s = math.sin(phi)
+      (1 - e2) * (s / (1 - e2 * s * s) -
+        (1 / (2 * e)) * math.log((1 - e * s) / (1 + e * s)))
+    }
+
+    private val p1 = math.toRadians(lat1)
+    private val p2 = math.toRadians(lat2)
+    private val p0 = math.toRadians(lat0)
+    /** Cone constant (Snyder 14-14) — sin(p1) for a tangent cone. */
+    val n: Double =
+      if (math.abs(lat1 - lat2) < 1e-12) math.sin(p1)
+      else (mFn(p1) * mFn(p1) - mFn(p2) * mFn(p2)) / (qFn(p2) - qFn(p1))
+    private val bigC = mFn(p1) * mFn(p1) + n * qFn(p1)
+    private def rhoFn(q: Double) = a * math.sqrt(bigC - n * q) / n
+    private val rho0 = rhoFn(qFn(p0))
+
+    /** (lon, lat) degrees → projected (easting, northing) meters. */
+    def forward(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      val rho = rhoFn(qFn(math.toRadians(latDeg)))
+      val theta = n * math.toRadians(lonDeg - lon0)
+      (falseE + rho * math.sin(theta),
+       falseN + rho0 - rho * math.cos(theta))
+    }
+
+    /** (easting, northing) meters → (lon, lat) degrees; iterative q→φ
+      * inversion (Snyder 3-16). */
+    def inverse(easting: Double, northing: Double): (Double, Double) = {
+      val x = easting - falseE
+      val y = rho0 - (northing - falseN)
+      val rho = math.signum(n) * math.hypot(x, y)
+      val theta = math.atan2(math.signum(n) * x, math.signum(n) * y)
+      val q = (bigC - rho * rho * n * n / (a * a)) / n
+      var phi = math.asin(math.max(-1, math.min(1, q / 2)))
+      var i = 0
+      while (i < 12) {
+        val s = math.sin(phi)
+        val d = 1 - e2 * s * s
+        phi = phi + d * d / (2 * math.cos(phi)) *
+          (q / (1 - e2) - s / d +
+            (1 / (2 * e)) * math.log((1 - e * s) / (1 + e * s)))
+        i += 1
+      }
+      (lon0 + math.toDegrees(theta / n), math.toDegrees(phi))
+    }
+  }
+
+  /** WGS84 polar stereographic, variant B (standard parallel `latTs`;
+    * north aspect when latTs > 0, south otherwise) — the polar-science
+    * grid family (NSIDC sea-ice grids, Antarctic Polar Stereographic).
+    * Snyder USGS PP 1395 eqs. 21-1…21-44 / 7-9 on the ellipsoid;
+    * conformal, true scale at the standard parallel (both
+    * property-tested). */
+  final case class PolarStereographic(latTs: Double, lon0: Double,
+      falseE: Double = 0.0, falseN: Double = 0.0) {
+    private val a = 6378137.0
+    private val e2 = 1.0 / 298.257223563 * (2 - 1.0 / 298.257223563)
+    private val e = math.sqrt(e2)
+    private val south = latTs < 0
+
+    /** Snyder 15-9: conformal t(φ), north-aspect convention. */
+    private def tFn(phi: Double) =
+      math.tan(math.Pi / 4 - phi / 2) /
+        math.pow((1 - e * math.sin(phi)) / (1 + e * math.sin(phi)), e / 2)
+    private val pTs = math.toRadians(math.abs(latTs))
+    private val mTs = math.cos(pTs) / math.sqrt(1 - e2 * math.sin(pTs) * math.sin(pTs))
+    private val tTs = tFn(pTs)
+
+    /** (lon, lat) degrees → projected (easting, northing) meters. */
+    def forward(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      // south aspect = north-aspect math over the mirrored sphere
+      val phi = math.toRadians(if (south) -latDeg else latDeg)
+      val dLam = math.toRadians(if (south) -(lonDeg - lon0) else lonDeg - lon0)
+      val rho = a * mTs * tFn(phi) / tTs
+      val x = rho * math.sin(dLam)
+      val y = -rho * math.cos(dLam)
+      if (south) (falseE - x, falseN - y) else (falseE + x, falseN + y)
+    }
+
+    /** (easting, northing) meters → (lon, lat) degrees; iterative t→φ
+      * (Snyder 7-9). */
+    def inverse(easting: Double, northing: Double): (Double, Double) = {
+      val (x, y) =
+        if (south) (-(easting - falseE), -(northing - falseN))
+        else (easting - falseE, northing - falseN)
+      val rho = math.hypot(x, y)
+      val t = rho * tTs / (a * mTs)
+      var phi = math.Pi / 2 - 2 * math.atan(t)
+      var i = 0
+      while (i < 8) {
+        phi = math.Pi / 2 - 2 * math.atan(t *
+          math.pow((1 - e * math.sin(phi)) / (1 + e * math.sin(phi)), e / 2))
+        i += 1
+      }
+      val dLam = if (rho == 0) 0.0 else math.atan2(x, -y)
+      if (south) (lon0 - math.toDegrees(dLam), -math.toDegrees(phi))
+      else (lon0 + math.toDegrees(dLam), math.toDegrees(phi))
+    }
+  }
+
   /** mosaic EPSG:4326 → file UTM zone (files gridded in UTM meters). */
   final case class GeoToUtm(zone: Int, south: Boolean) extends PointWarp {
     def toFile(lon: Double, lat: Double): (Double, Double) =
@@ -370,6 +484,27 @@ object GtiMosaic {
       // NAD83 / Canada Atlas Lambert
       "EPSG:3978" -> LambertConformal(49.0, 77.0, 49.0, -95.0, 0.0, 0.0))
 
+    /** Albers gallery — the continental equal-area statistics grids
+      * (parameters from the public EPSG registry; NAD83/GDA94 ≈ WGS84
+      * under the same sub-mm GRS80 bridge as the LCC gallery). */
+    private val albersGallery: Map[String, AlbersEqualArea] = Map(
+      // NAD83 / Conus Albers
+      "EPSG:5070" -> AlbersEqualArea(29.5, 45.5, 23.0, -96.0),
+      // GDA94 / Australian Albers
+      "EPSG:3577" -> AlbersEqualArea(-18.0, -36.0, 0.0, 132.0),
+      // NAD83 / California Albers
+      "EPSG:3310" -> AlbersEqualArea(34.0, 40.5, 0.0, -120.0,
+        0.0, -4000000.0))
+
+    /** Polar-stereographic gallery — the WGS84 polar-science grids. */
+    private val polarGallery: Map[String, PolarStereographic] = Map(
+      // WGS84 / NSIDC Sea Ice Polar Stereographic North
+      "EPSG:3413" -> PolarStereographic(70.0, -45.0),
+      // WGS84 / Antarctic Polar Stereographic
+      "EPSG:3031" -> PolarStereographic(-71.0, 0.0),
+      // WGS84 / NSIDC Sea Ice Polar Stereographic South
+      "EPSG:3976" -> PolarStereographic(-70.0, 0.0))
+
     private def utm(code: String): Option[(Int, Boolean)] =
       if (!code.startsWith("EPSG:32") || code.length != 10) None
       else code.charAt(7) match {
@@ -390,6 +525,10 @@ object GtiMosaic {
             (lon: Double, lat: Double) => TransverseMercator.forward(z, s, lon, lat) }
         case l if lccGallery.contains(l) =>
           Some((lon, lat) => lccGallery(l).forward(lon, lat))
+        case al if albersGallery.contains(al) =>
+          Some((lon, lat) => albersGallery(al).forward(lon, lat))
+        case ps if polarGallery.contains(ps) =>
+          Some((lon, lat) => polarGallery(ps).forward(lon, lat))
         case _ => None
       }
 
@@ -404,6 +543,10 @@ object GtiMosaic {
             (e: Double, n: Double) => TransverseMercator.inverse(z, s, e, n) }
         case l if lccGallery.contains(l) =>
           Some((x, y) => lccGallery(l).inverse(x, y))
+        case al if albersGallery.contains(al) =>
+          Some((x, y) => albersGallery(al).inverse(x, y))
+        case ps if polarGallery.contains(ps) =>
+          Some((x, y) => polarGallery(ps).inverse(x, y))
         case _ => None
       }
 
