@@ -10,8 +10,27 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * assumes single-node layout.
   */
 object Tables {
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    normalizeNtz(df)
+  }
+
+  /** The driver's generator has written timestamps both as TIMESTAMP(NANOS)
+    * (read as BIGINT under nanosAsLong, converted below) and as plain
+    * TIMESTAMP(MICROS) without UTC adjustment — which Spark 4 infers as
+    * TIMESTAMP_NTZ. Every query (and every oracle comparison) was built
+    * against session-zone TIMESTAMP, so NTZ columns are normalized here at
+    * the single load choke point: with the UTC session zone used by all
+    * graft sessions, the cast reinterprets the naive value as the same
+    * instant DuckDB sees. */
+  private def normalizeNtz(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    val ntz = df.schema.fields.filter(_.dataType == TimestampNTZType)
+    if (ntz.isEmpty) df
+    else ntz.foldLeft(df)((d, f) =>
+      d.withColumn(f.name, col(f.name).cast(TimestampType)))
+  }
 
   /** events.parquet carries TIMESTAMP(NANOS), which Spark's parquet reader
     * rejects unless `spark.sql.legacy.parquet.nanosAsLong=true` (set in

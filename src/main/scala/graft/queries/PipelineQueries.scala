@@ -101,12 +101,21 @@ object PipelineQueries {
   /** The events stream with the batch loader's floor-exact nanos→micros
     * conversion as `ts_conv` (pre-1970 safe — stream/batch parity under
     * any fixture). */
-  private def eventsStream(s: SparkSession, d: String): DataFrame =
-    s.readStream.schema(graft.Tables.load(s, d, "events").schema)
+  private def eventsStream(s: SparkSession, d: String): DataFrame = {
+    val batchSchema = graft.Tables.load(s, d, "events").schema
+    val stream = s.readStream.schema(batchSchema)
       .option("pathGlobFilter", "events.parquet") // stream source needs a dir
       .parquet(d)
-      .withColumn("ts_conv",
-        timestamp_micros(graft.Tables.nanosFloorMicros(col("ts"))))
+    // `ts` arrives nanos-long (legacy fixtures) or as a proper timestamp
+    // (the batch loader already normalized the schema) — mirror the batch
+    // loader's conversion so stream/batch parity holds under either.
+    batchSchema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        stream.withColumn("ts_conv",
+          timestamp_micros(graft.Tables.nanosFloorMicros(col("ts"))))
+      case _ => stream.withColumn("ts_conv", col("ts"))
+    }
+  }
 
   /** AvailableNow → foreachBatch parquet-append sink, awaited. `tagBatch`
     * adds batch_id (update-mode consumers keep the latest per key). */

@@ -21,8 +21,10 @@ object ProfQ34 {
       println(f"STAGE $name%-22s ${(System.nanoTime() - t0) / 1e9}%7.2f s"); r
     }
     time("warm-batch") {
-      graft.Tables.load(spark, d, "events")
-        .withColumn("ts_conv", timestamp_micros(expr("ts div 1000")))
+      locally { val ev = graft.Tables.load(spark, d, "events")
+        ev.withColumn("ts_conv",
+          if (ev.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+            timestamp_micros(expr("ts div 1000")) else col("ts")) }
         .groupBy(window(col("ts_conv"), "5 minutes"), col("event_type"))
         .agg(count(lit(1))).count()
     }
@@ -40,7 +42,9 @@ object ProfQ34 {
     val q = time("stream-total") {
       val stream = s.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet").parquet(d)
-        .withColumn("ts_conv", timestamp_micros(expr("ts div 1000")))
+        .withColumn("ts_conv",
+          if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+            timestamp_micros(expr("ts div 1000")) else col("ts"))
         .withWatermark("ts_conv", "0 seconds")
         .groupBy(window(col("ts_conv"), "5 minutes").as("w"), col("event_type"))
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_v"))

@@ -148,7 +148,10 @@ class AdvancedSpec extends AnyFunSuite with SparkSpecBase {
     val schema = Tables.load(spark, sfSmoke, "events").schema
     val stream = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(sfSmoke)
-      .withColumn("ts_conv", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts_conv",
+        if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+          timestamp_micros(expr("ts div 1000"))
+        else col("ts"))
       .select($"user_id", $"ts_conv").as[(Long, java.sql.Timestamp)]
     val name = "graft_stream_sessions"
     val q = Sessionize.stateful(stream, 30).writeStream
