@@ -130,25 +130,19 @@ object GraphQueries {
     * suffices. */
   def q103Triangles(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    import graft.ops.PackedPair
-    val pairs = lineitem(s, d)
+    // ~1.2M co-order edges ≈ 10 MB packed — the broadcast-set strategy
+    // holds comfortably at bench scale, and under it the edge list is
+    // driver-resident by construction, so ALL the metrics come from one
+    // collect + one map-only triangle pass (Triangles.graphMetrics) —
+    // the only shuffle in the whole query is the per-order pair
+    // aggregation. At 100× flip to countViaJoins + distributed
+    // distinct/count aggregations (the any-scale plan).
+    val packed = lineitem(s, d)
       .select($"l_orderkey".as("o"), $"l_partkey".cast("long").as("p"))
       .groupBy($"o").agg(collect_list($"p").as("ps"))
       .select(explode(graft.functions.GraphFunctions.packedPairs($"ps")).as("uv"))
-    val e = graft.ops.ScratchCache.register(
-      pairs.distinct()
-        .select(PackedPair.idA($"uv").as("u"), PackedPair.idB($"uv").as("v"))
-        .persist())
-    val edges = e.agg(count(lit(1)).as("value"))
-      .select(lit("edges").as("metric"), $"value")
-    val nodes = e.select($"u".as("id")).union(e.select($"v"))
-      .agg(countDistinct($"id").as("value"))
-      .select(lit("nodes").as("metric"), $"value")
-    // ~1.2M co-order edges ≈ 10 MB packed — the broadcast-set strategy
-    // holds comfortably at bench scale; at 100× flip to countViaJoins
-    val tris = triangleCount(e, broadcastEdges = true)
-      .select(lit("triangles").as("metric"), $"value")
-    edges.union(nodes).union(tris).orderBy($"metric")
+      .as[Long]
+    graft.ops.Triangles.graphMetrics(packed).orderBy($"metric")
   }
 
   val q103Sql: String =

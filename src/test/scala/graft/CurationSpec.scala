@@ -87,6 +87,25 @@ class CurationSpec extends AnyFunSuite with SparkSpecBase {
     assert(viaJoins == viaSet && viaJoins > 0)
   }
 
+  test("graphMetrics equals the per-metric jobs, incl. duplicated input") {
+    val rnd = new scala.util.Random(7)
+    val pairs = (1 to 400).map { _ =>
+      val a = rnd.nextInt(50).toLong; val b = rnd.nextInt(50).toLong
+      (math.min(a, b), math.max(a, b))
+    }.filter(p => p._1 != p._2) // duplicates kept on purpose
+    val e = pairs.distinct.toDF("u", "v")
+    val packed = pairs // duplicated stream, as q103's explode emits it
+      .map { case (u, v) => (u << 32) | v }
+      .toDF("uv").as[Long]
+    val m = graft.ops.Triangles.graphMetrics(packed)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val wantEdges = pairs.distinct.size.toLong
+    val wantNodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct.size.toLong
+    val wantTris = graft.ops.Triangles.countViaJoins(e).head().getLong(0)
+    assert(m == Map("edges" -> wantEdges, "nodes" -> wantNodes,
+      "triangles" -> wantTris))
+  }
+
   test("q104 drop rule: every drop has a lower-id cluster-mate above tau") {
     // replay the rule brute-force on the smoke embeddings
     val emb = Tables.embeddings(spark, sfSmoke)
