@@ -448,8 +448,16 @@ object Dedup {
     // window-string allocation or shuffle; the kernel hashes straight off
     // the documents' UTF-8 bytes). Partial agg collapses each map side to
     // its distinct hashes, so the shuffle is ~|distinct windows| longs.
+    // explicit-width repartition on h: the window-hash stream is ~all
+    // distinct keys, so map-side combine can't shrink it and AQE would
+    // coalesce the ~|windows|-key final aggregate down to a couple of
+    // post-shuffle partitions (64 MiB advisory target), serializing the
+    // hash-table build; an explicit count keeps the reduce side wide
     val keep = df.select(explode(hp).as("w"))
-      .groupBy(col("w.h").as("h")).count()
+      .select(col("w.h").as("h"))
+      .repartition(df.sparkSession.sessionState.conf.numShufflePartitions,
+        col("h"))
+      .groupBy(col("h")).count()
       .filter(col("count") >= 2 &&
         col("count") <= lit(maxDf.getOrElse(Int.MaxValue)))
       .select("h")

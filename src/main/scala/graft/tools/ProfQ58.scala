@@ -97,6 +97,29 @@ object ProfQ58 {
     time("current-plan-3") {
       ops.Dedup.substringPairs(docs, "doc_id", "text", 30, Some(1000)).count()
     }
+    time("pass1-noCoalesce") {
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      val n = docs.select(explode(hp).as("w"))
+        .groupBy(col("w.h").as("h")).count()
+        .filter(col("count") >= 2 && col("count") <= 1000).count()
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      n
+    }
+    time("pass1-repart32") {
+      docs.select(explode(hp).as("w"))
+        .select(col("w.h").as("h"))
+        .repartition(32, col("h"))
+        .groupBy(col("h")).count()
+        .filter(col("count") >= 2 && col("count") <= 1000).count()
+    }
+    time("pass1-noPartialAgg") {
+      // partial agg on ~all-distinct keys builds a 9M-entry map per task
+      // just to emit the same rows — measure skipping it via typed agg
+      import spark.implicits._
+      docs.select(explode(hp).as("w")).select(col("w.h")).as[Long]
+        .rdd.map(h => (h, 1L)).reduceByKey(_ + _, 32)
+        .filter(kv => kv._2 >= 2 && kv._2 <= 1000).count()
+    }
     spark.stop()
   }
 }
