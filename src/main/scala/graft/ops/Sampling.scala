@@ -70,6 +70,30 @@ object Sampling {
           * lit(granularity).cast(dec))
   }
 
+  /** Target-mixture keep rates: the highest uniform-proportion sample the
+    * corpus can supply WITHOUT upsampling. Given per-stratum counts and
+    * target weights, the binding stratum is the one with the least data
+    * relative to its weight — `cap = min(count_s / w_s)` — and every
+    * stratum keeps `rate_s = w_s · cap / count_s` (the binding stratum
+    * keeps everything, rate 1). Feeding the result to
+    * [[stratifiedSample]] yields expected counts proportional to the
+    * target weights — the "data mixing" step of a training pipeline
+    * (reweighting web/books/code/... sources to a recipe).
+    *
+    * Driver math over |strata| doubles (bounded like every planner
+    * scalar); the expression order (w·cap then /count) is fixed so a SQL
+    * twin running `wt * cap / n` IEEE-matches bit-for-bit. */
+  def mixtureRates(counts: Map[String, Long],
+                   weights: Map[String, Double]): Map[String, Double] = {
+    require(counts.nonEmpty, "mixtureRates needs at least one stratum")
+    require(counts.keySet.subsetOf(weights.keySet),
+      s"missing weights for ${counts.keySet -- weights.keySet}")
+    require(counts.values.forall(_ > 0) && weights.values.forall(_ > 0),
+      "counts and weights must be positive")
+    val cap = counts.map { case (s, n) => n / weights(s) }.min
+    counts.map { case (s, n) => s -> weights(s) * cap / n }
+  }
+
   /** Uniform EXACT-k sample: the k rows with the smallest
     * (hash(key‖salt), tiebreak) — a deterministic reservoir. Same
     * reproducibility contract as the gates above, and the plan is

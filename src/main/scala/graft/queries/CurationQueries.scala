@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.Tables.{customer, embeddings}
+import graft.Tables.{customer, documents, embeddings}
 import graft.functions.TextFunctions.roundp
 import graft.functions.VectorFunctions
 
@@ -211,13 +211,106 @@ object CurationQueries {
        |ORDER BY s.cluster""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q112
+
+  /** q112: training-mix rebalancing — resample the corpus so per-source
+    * shares match a target recipe (the "data mixing" step before
+    * pre-training: weight web/books/code sources, downsample the rest).
+    * Target weight per source is derived deterministically from the
+    * source name (`(srcNum % 4) + 1`); [[graft.ops.Sampling.mixtureRates]]
+    * turns (counts, weights) into the highest no-upsampling keep rates,
+    * and the keep gate is the deterministic [[graft.ops.Sampling
+    * .stratifiedSample]] hash gate — no RNG, rerun- and
+    * repartition-stable.
+    *
+    * Scale shape: one map-side-combined count aggregation (|sources|
+    * rows, a planner scalar), then ONE codegen'd gated scan + one
+    * per-source count — no shuffle of the kept rows themselves. */
+  def q112MixtureRebalance(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = documents(s, d)
+    val counts = docs.groupBy($"source").count()
+      .as[(String, Long)].collect().toMap
+    val weights = counts.keys.map { src =>
+      src -> ((src.drop(3).toInt % 4) + 1).toDouble
+    }.toMap
+    val rates = graft.ops.Sampling.mixtureRates(counts, weights)
+    val kept = graft.ops.Sampling
+      .stratifiedSample(docs, "source", $"text", rates, salt = "mix2")
+      .groupBy($"source").agg(count(lit(1)).as("n_kept"))
+    val rateCol = rates.toSeq.sortBy(_._1).foldLeft(lit(0.0)) {
+      case (acc, (src, r)) => when($"source" === src, lit(r)).otherwise(acc)
+    }
+    docs.groupBy($"source").agg(count(lit(1)).as("n_docs"))
+      .join(kept, Seq("source"), "left")
+      .select($"source", $"n_docs",
+        coalesce($"n_kept", lit(0L)).as("n_kept"),
+        roundp(rateCol, 6).as("rate"))
+      .orderBy($"source")
+  }
+
+  val q112Sql: String = {
+    val gate = DuckSql.polyHashSql("(text || 'mix2')")
+    s"""WITH cnt AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+       |w AS (SELECT source, n_docs,
+       |  ((CAST(substr(source, 4) AS INT) % 4) + 1)::DOUBLE AS wt FROM cnt),
+       |c AS (SELECT min(n_docs / wt) AS cap FROM w),
+       |r AS (SELECT source, n_docs, wt * (SELECT cap FROM c) / n_docs AS rate
+       |  FROM w),
+       |kept AS (
+       |  SELECT d.source, count(*) AS n_kept
+       |  FROM documents d JOIN r USING (source)
+       |  WHERE (($gate) % 10000) * 1.0 < rate * 10000
+       |  GROUP BY 1)
+       |SELECT r.source, r.n_docs, coalesce(k.n_kept, 0) AS n_kept,
+       |  ${DuckSql.roundpSql("r.rate", 6)} AS rate
+       |FROM r LEFT JOIN kept k USING (source)
+       |ORDER BY r.source""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q113
+
+  /** q113: curriculum index — every document gets a stable dense global
+    * position ordered easiest-proxy-first (n_chars DESC, doc_id
+    * tiebreak) plus its decile bucket, via [[graft.ops.GlobalIndex]]'s
+    * two-pass range-partitioned ranking. The point at 100 TB: the oracle
+    * needs a global `row_number()` window (one reducer holds the
+    * corpus); the engine plan never materializes a global window —
+    * distributed range sort + per-partition counts + offset-seeded
+    * counters (plan-asserted window-free in CurationSpec). */
+  def q113Curriculum(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val rows = documents(s, d)
+      .select($"n_chars".cast("long"), $"doc_id".cast("long"))
+      .as[(Long, Long)]
+    val total = documents(s, d).count()
+    graft.ops.GlobalIndex
+      .byScoreDesc(rows, s.sessionState.conf.numShufflePartitions)
+      .select($"id".as("doc_id"), $"score".as("n_chars"), $"idx",
+        // integral divide (Column./ is true division) — BIGINT like the
+        // oracle's `//`
+        call_function("div", $"idx" * 10, lit(total)).as("decile"))
+      .orderBy($"idx")
+  }
+
+  val q113Sql: String =
+    """WITH t AS (SELECT doc_id, n_chars,
+      |  row_number() OVER (ORDER BY n_chars DESC, doc_id) - 1 AS idx,
+      |  count(*) OVER () AS n FROM documents)
+      |SELECT doc_id, n_chars, idx, (idx * 10) // n AS decile
+      |FROM t ORDER BY idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q102_pii_redact" -> (q102PiiRedact _),
-    "q104_semdedup"   -> (q104SemDedup _),
+    "q102_pii_redact"       -> (q102PiiRedact _),
+    "q104_semdedup"         -> (q104SemDedup _),
+    "q112_mixture_rebalance" -> (q112MixtureRebalance _),
+    "q113_curriculum"       -> (q113Curriculum _),
   )
 
   val oracles: Map[String, String] = Map(
-    "q102_pii_redact" -> q102Sql,
-    "q104_semdedup"   -> q104Sql,
+    "q102_pii_redact"       -> q102Sql,
+    "q104_semdedup"         -> q104Sql,
+    "q112_mixture_rebalance" -> q112Sql,
+    "q113_curriculum"       -> q113Sql,
   )
 }

@@ -168,4 +168,49 @@ class CurationSpec extends AnyFunSuite with SparkSpecBase {
     assert(!plan.contains("Join"), plan)
     graft.ops.ScratchCache.releaseAll()
   }
+
+  test("mixtureRates: binding stratum keeps all, shares match the recipe") {
+    val rates = graft.ops.Sampling.mixtureRates(
+      counts = Map("web" -> 1000L, "books" -> 100L, "code" -> 300L),
+      weights = Map("web" -> 4.0, "books" -> 1.0, "code" -> 2.0))
+    // books is binding: 100/1 < 300/2 < 1000/4
+    assert(rates("books") == 1.0)
+    assert(rates.values.forall(r => r > 0 && r <= 1.0))
+    // expected kept counts proportional to weights: 400 : 100 : 200
+    val kept = rates.map { case (s, r) =>
+      s -> r * Map("web" -> 1000L, "books" -> 100L, "code" -> 300L)(s) }
+    assert(math.abs(kept("web") / kept("books") - 4.0) < 1e-9)
+    assert(math.abs(kept("code") / kept("books") - 2.0) < 1e-9)
+  }
+
+  test("q112: rerun-deterministic, kept <= docs, binding source keeps all") {
+    val out = CurationQueries.q112MixtureRebalance(spark, sfSmoke)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(out.nonEmpty)
+    out.foreach { case (_, n, k, rate) =>
+      assert(k <= n && rate > 0 && rate <= 1.0)
+    }
+    assert(out.exists(_._4 == 1.0)) // some source is binding
+    val again = CurationQueries.q112MixtureRebalance(spark, sfSmoke)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(out.toSeq == again.toSeq)
+  }
+
+  test("q113 equals the row_number window replay; plan is window-free") {
+    val df = CurationQueries.q113Curriculum(spark, sfSmoke)
+    val got = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val docs = Tables.documents(spark, sfSmoke)
+      .select($"doc_id".cast("long"), $"n_chars".cast("long"))
+      .as[(Long, Long)].collect()
+    val want = docs.sortBy { case (id, ch) => (-ch, id) }.zipWithIndex
+      .map { case ((id, ch), i) =>
+        (id, ch, i.toLong, i.toLong * 10 / docs.length) }
+    assert(got.toSeq == want.toSeq)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    graft.ops.ScratchCache.releaseAll()
+  }
 }
