@@ -381,6 +381,38 @@ object GtiMosaic {
     }
   }
 
+  /** Spherical sinusoidal — the satellite-product tiling family (MODIS
+    * land grid, SR-ORG:6974: authalic sphere R = 6 371 007.181 m). Snyder
+    * USGS PP 1395 eqs. 30-1…30-7: x = R·Δλ·cos φ, y = R·φ — equal-area
+    * by construction (|Jacobian| = R²·cos φ, property-tested), closed-form
+    * in both directions. The reference leans on GDAL for exactly this
+    * family when mosaicking MODIS-gridded COGs (mosaics.py:44-50). */
+  final case class Sinusoidal(lon0: Double = 0.0,
+      radius: Double = Sinusoidal.ModisRadius) {
+
+    /** (lon, lat) degrees → projected (x, y) meters. */
+    def forward(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      val phi = math.toRadians(latDeg)
+      (radius * math.toRadians(lonDeg - lon0) * math.cos(phi), radius * phi)
+    }
+
+    /** (x, y) meters → (lon, lat) degrees; closed form. At the poles
+      * (cos φ = 0) every x maps to the same point — λ is taken as lon0,
+      * matching the forward image x = 0. */
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val phi = y / radius
+      val c = math.cos(phi)
+      val lam = if (math.abs(c) < 1e-14) 0.0 else x / (radius * c)
+      (lon0 + math.toDegrees(lam), math.toDegrees(phi))
+    }
+  }
+
+  object Sinusoidal {
+    /** MODIS land-grid sphere radius (authalic; MODIS Land Products
+      * Grid specification). */
+    val ModisRadius = 6371007.181
+  }
+
   /** WGS84 polar stereographic, variant B (standard parallel `latTs`;
     * north aspect when latTs > 0, south otherwise) — the polar-science
     * grid family (NSIDC sea-ice grids, Antarctic Polar Stereographic).
@@ -496,6 +528,15 @@ object GtiMosaic {
       "EPSG:3310" -> AlbersEqualArea(34.0, 40.5, 0.0, -120.0,
         0.0, -4000000.0))
 
+    /** Sinusoidal gallery — the satellite-product grids (sphere-based,
+      * no datum bridge needed: the MODIS grid is DEFINED on its authalic
+      * sphere). */
+    private val sinusoidalGallery: Map[String, Sinusoidal] = Map(
+      // MODIS Sinusoidal (MODIS land-products grid)
+      "SR-ORG:6974" -> Sinusoidal(),
+      // World Sinusoidal (common ESRI world grid, WGS84 major axis sphere)
+      "ESRI:54008" -> Sinusoidal(radius = 6378137.0))
+
     /** Polar-stereographic gallery — the WGS84 polar-science grids. */
     private val polarGallery: Map[String, PolarStereographic] = Map(
       // WGS84 / NSIDC Sea Ice Polar Stereographic North
@@ -529,6 +570,8 @@ object GtiMosaic {
           Some((lon, lat) => albersGallery(al).forward(lon, lat))
         case ps if polarGallery.contains(ps) =>
           Some((lon, lat) => polarGallery(ps).forward(lon, lat))
+        case sn if sinusoidalGallery.contains(sn) =>
+          Some((lon, lat) => sinusoidalGallery(sn).forward(lon, lat))
         case _ => None
       }
 
@@ -547,6 +590,8 @@ object GtiMosaic {
           Some((x, y) => albersGallery(al).inverse(x, y))
         case ps if polarGallery.contains(ps) =>
           Some((x, y) => polarGallery(ps).inverse(x, y))
+        case sn if sinusoidalGallery.contains(sn) =>
+          Some((x, y) => sinusoidalGallery(sn).inverse(x, y))
         case _ => None
       }
 

@@ -1,7 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
-import graft.raster.GtiMosaic.{AlbersEqualArea, GridWarp, PolarStereographic}
+import graft.raster.GtiMosaic.{AlbersEqualArea, GridWarp, PolarStereographic, Sinusoidal}
 
 /** Property tests for the Albers / polar-stereographic warp gallery.
   * Strategy (same as the UTM/LCC suites): a projection is pinned by its
@@ -132,9 +132,43 @@ class ProjectionGallerySpec extends AnyFunSuite {
     assert(math.abs(y3 - rhoTrue) < 1e-6)
   }
 
+  test("Sinusoidal: round-trip, equal-area Jacobian, MODIS tile anchors") {
+    val sin = Sinusoidal() // MODIS sphere
+    for (lon <- drange(-170.0, 170.0, 23.7); lat <- drange(-80.0, 80.0, 9.1)) {
+      val (x, y) = sin.forward(lon, lat)
+      val (lon2, lat2) = sin.inverse(x, y)
+      assert(math.abs(lon2 - lon) < 1e-9 && math.abs(lat2 - lat) < 1e-9,
+        s"round-trip at ($lon,$lat)")
+    }
+    // equal-area: |J| = R² cos φ on the sphere
+    val d = 1e-6
+    for (lon <- Seq(-120.0, 0.0, 77.0); lat <- Seq(-45.0, 10.0, 60.0)) {
+      val (xe, ye) = sin.forward(lon + d, lat)
+      val (xw, yw) = sin.forward(lon - d, lat)
+      val (xn, yn) = sin.forward(lon, lat + d)
+      val (xs, ys) = sin.forward(lon, lat - d)
+      val rad = math.toRadians(2 * d)
+      val jac = math.abs(
+        ((xe - xw) / rad) * ((yn - ys) / rad) -
+        ((xn - xs) / rad) * ((ye - yw) / rad))
+      val want = Sinusoidal.ModisRadius * Sinusoidal.ModisRadius *
+        math.cos(math.toRadians(lat))
+      assert(math.abs(jac / want - 1) < 1e-6, s"area at ($lon,$lat)")
+    }
+    // MODIS grid anchors: the grid spans 36 horizontal tiles of
+    // 1111950.5196666666 m (2π·R/36 at the equator ⟹ x(180°,0°) = 18 tiles)
+    val tile = 1111950.5196666666
+    val (x180, _) = sin.forward(180.0, 0.0)
+    assert(math.abs(x180 - 18 * tile) < 0.5, s"x(180,0)=$x180")
+    // y spans ±9 tiles at the poles
+    val (_, yN) = sin.forward(0.0, 90.0)
+    assert(math.abs(yN - 9 * tile) < 0.5, s"y(0,90)=$yN")
+  }
+
   test("gallery EPSG codes resolve in GridWarp.standard, composed via lon/lat") {
     for (code <- Seq("EPSG:5070", "EPSG:3577", "EPSG:3310",
-        "EPSG:3413", "EPSG:3031", "EPSG:3976")) {
+        "EPSG:3413", "EPSG:3031", "EPSG:3976",
+        "SR-ORG:6974", "ESRI:54008")) {
       assert(GridWarp.standard(code, "EPSG:4326").isDefined, s"$code from 4326")
       assert(GridWarp.standard("EPSG:4326", code).isDefined, s"$code to 4326")
       assert(GridWarp.standard(code, "EPSG:3857").isDefined, s"$code from 3857")
