@@ -21,9 +21,11 @@ object GraphQueries {
       .select($"l_suppkey".cast("long").as("src"),
         ($"l_partkey".cast("long") + 1000000L).as("dst"))
       .distinct()
-    val r = graft.ops.PageRank.rankInt(s, edges, iters = 3)
+    // supplier+part vertex set is ~3% of the edge count and bounded by
+    // the catalog size — the broadcast-rank regime (bit-identical to
+    // rankInt, which stays the unbounded-vertex path)
+    val r = graft.ops.PageRank.rankIntBroadcast(s, edges, iters = 3)
       .orderBy(desc("rank"), $"id").limit(100)
-    // materialize before ScratchCache frames are released by the harness
     r
   }
 

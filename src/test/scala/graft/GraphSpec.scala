@@ -32,6 +32,20 @@ class GraphSpec extends AnyFunSuite with SparkSpecBase {
     assert(got.values.sum <= scale)
   }
 
+  test("rankIntBroadcast is bit-identical to rankInt on a random graph") {
+    val rnd = new scala.util.Random(23)
+    val edges = (1 to 300).map { _ =>
+      (rnd.nextInt(30).toLong, (30 + rnd.nextInt(40)).toLong)
+    }.distinct.toDF("src", "dst")
+    val a = graft.ops.PageRank.rankInt(spark, edges, iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    graft.ops.ScratchCache.releaseAll()
+    val b = graft.ops.PageRank.rankIntBroadcast(spark, edges, iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    graft.ops.ScratchCache.releaseAll()
+    assert(a == b)
+  }
+
   test("rankInt handles a fully dangling edge set and empty-side ids") {
     // every dst is dangling; ranks still well-defined and deterministic
     val edges = Seq((1L, 10L), (2L, 10L), (3L, 11L)).toDF("src", "dst")
