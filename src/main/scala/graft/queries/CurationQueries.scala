@@ -300,11 +300,57 @@ object CurationQueries {
       |SELECT doc_id, n_chars, idx, (idx * 10) // n AS decile
       |FROM t ORDER BY idx""".stripMargin
 
+  // ---------------------------------------------------------------- q114
+
+  /** Token budget for q114's packed training sequences (~5 synthetic docs
+    * per sequence at the corpus's ~50-token documents). */
+  val PackBudget = 256L
+
+  /** q114: greedy sequence packing — documents assembled into fixed
+    * token-budget training sequences per source shard
+    * ([[graft.ops.SequencePack]]; the step between curation and
+    * tokenization). Token counts use the same BPE-ish regex as q24, so
+    * the recursive-CTE oracle replays the identical greedy recurrence
+    * over the identical counts. Packing is sequential inside a shard by
+    * definition; the shuffle key (source) is the parallel unit. */
+  def q114SequencePack(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = documents(s, d)
+      .select($"source", $"doc_id".cast("long").as("doc_id"),
+        graft.functions.TextFunctions.tokenCountRegex($"text")
+          .cast("long").as("n_tok"))
+      .as[(String, Long, Long)]
+    graft.ops.SequencePack.greedy(toks, PackBudget)
+      .orderBy($"source", $"doc_id")
+  }
+
+  val q114Sql: String =
+    s"""WITH RECURSIVE d AS (
+       |  SELECT source, doc_id,
+       |    len(regexp_extract_all(lower(text),
+       |      '[a-z0-9]+|[^a-z0-9\\s]'))::BIGINT AS n_tok,
+       |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+       |  FROM documents),
+       |r AS (
+       |  SELECT source, 0::BIGINT AS rn, 0::BIGINT AS bin, 0::BIGINT AS fill
+       |  FROM (SELECT DISTINCT source FROM d)
+       |  UNION ALL
+       |  SELECT d.source, d.rn,
+       |    CASE WHEN r.fill > 0 AND r.fill + d.n_tok > $PackBudget
+       |         THEN r.bin + 1 ELSE r.bin END,
+       |    CASE WHEN r.fill > 0 AND r.fill + d.n_tok > $PackBudget
+       |         THEN d.n_tok ELSE r.fill + d.n_tok END
+       |  FROM r JOIN d ON d.source = r.source AND d.rn = r.rn + 1)
+       |SELECT d.source, d.doc_id, d.n_tok, r.bin
+       |FROM r JOIN d ON d.source = r.source AND d.rn = r.rn
+       |ORDER BY d.source, d.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q102_pii_redact"       -> (q102PiiRedact _),
     "q104_semdedup"         -> (q104SemDedup _),
     "q112_mixture_rebalance" -> (q112MixtureRebalance _),
     "q113_curriculum"       -> (q113Curriculum _),
+    "q114_sequence_pack"    -> (q114SequencePack _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -312,5 +358,6 @@ object CurationQueries {
     "q104_semdedup"         -> q104Sql,
     "q112_mixture_rebalance" -> q112Sql,
     "q113_curriculum"       -> q113Sql,
+    "q114_sequence_pack"    -> q114Sql,
   )
 }

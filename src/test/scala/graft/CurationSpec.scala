@@ -198,6 +198,37 @@ class CurationSpec extends AnyFunSuite with SparkSpecBase {
     assert(out.toSeq == again.toSeq)
   }
 
+  test("sequence packing: greedy invariants + known hand case") {
+    // budget 10: [4,5] fill bin 0; 3 opens bin 1; oversized 12 sits alone
+    // in bin 2 (never split); 2 opens bin 3 because 12 closed its bin
+    val rows = Seq(("a", 1L, 4L), ("a", 2L, 5L), ("a", 3L, 3L),
+      ("a", 4L, 12L), ("a", 5L, 2L), ("b", 1L, 10L), ("b", 2L, 1L)).toDS()
+    val got = graft.ops.SequencePack.greedy(rows, 10L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
+      .sortBy(t => (t._1, t._2))
+    assert(got.toSeq == Seq(("a", 1L, 0L), ("a", 2L, 0L), ("a", 3L, 1L),
+      ("a", 4L, 2L), ("a", 5L, 3L), ("b", 1L, 0L), ("b", 2L, 1L)))
+  }
+
+  test("q114: bins are dense, ordered, and within budget unless singleton") {
+    val out = CurationQueries.q114SequencePack(spark, sfSmoke).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.nonEmpty)
+    out.groupBy(_._1).foreach { case (src, docs) =>
+      val sorted = docs.sortBy(_._2)
+      // bins start at 0, never skip, never decrease along doc order
+      assert(sorted.head._4 == 0L, src)
+      sorted.sliding(2).foreach { case Array(p, n) =>
+        assert(n._4 == p._4 || n._4 == p._4 + 1, s"$src bin jump")
+      case _ => }
+      sorted.groupBy(_._4).foreach { case (_, binDocs) =>
+        val tot = binDocs.map(_._3).sum
+        assert(tot <= CurationQueries.PackBudget || binDocs.length == 1,
+          s"$src overfull shared bin")
+      }
+    }
+  }
+
   test("q113 equals the row_number window replay; plan is window-free") {
     val df = CurationQueries.q113Curriculum(spark, sfSmoke)
     val got = df.collect()
