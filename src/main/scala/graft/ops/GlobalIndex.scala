@@ -31,7 +31,14 @@ object GlobalIndex {
     * @return columns (id BIGINT, score BIGINT, idx BIGINT), idx dense
     *         from 0, identical to
     *         `row_number() OVER (ORDER BY score DESC, id) - 1`. */
-  def byScoreDesc(rows: Dataset[(Long, Long)], parts: Int): DataFrame = {
+  def byScoreDesc(rows: Dataset[(Long, Long)], parts: Int): DataFrame =
+    byScoreDescWithTotal(rows, parts)._1
+
+  /** [[byScoreDesc]] plus the total row count — the offsets pass already
+    * sums every partition's count, so callers needing the total (decile
+    * divisors, shard math) get it without a second scan job. */
+  def byScoreDescWithTotal(rows: Dataset[(Long, Long)],
+                           parts: Int): (DataFrame, Long) = {
     val spark = rows.sparkSession
     import spark.implicits._
     val n = math.max(parts, 1)
@@ -58,7 +65,7 @@ object GlobalIndex {
       p += 1
     }
     val bcOffsets = spark.sparkContext.broadcast(offsets)
-    ranged
+    val df = ranged
       .mapPartitions { it =>
         var i = bcOffsets.value(TaskContext.getPartitionId())
         it.map { case (score, id) =>
@@ -68,5 +75,6 @@ object GlobalIndex {
         }
       }
       .toDF("id", "score", "idx")
+    (df, acc)
   }
 }

@@ -22,16 +22,21 @@ object Sampling {
     * repartitioning, and consistent across reruns — the properties mix
     * rebalancing needs when a corpus is rebuilt incrementally. Rows in
     * strata missing from `rates` are dropped (rate 0). */
+  /** The per-row rate lookup expression shared by the gate and any
+    * caller reporting the applied rate — ONE builder so the reported and
+    * applied rates cannot drift. */
+  def rateColumn(stratum: String, rates: Map[String, Double]): Column =
+    rates.toSeq.sortBy(_._1).foldLeft(lit(0.0)) {
+      case (acc, (s, r)) => when(col(stratum) === s, lit(r)).otherwise(acc)
+    }
+
   def stratifiedSample(df: DataFrame, stratum: String, key: Column,
                        rates: Map[String, Double], salt: String,
                        granularity: Long = 10000L): DataFrame = {
     require(rates.values.forall(r => r >= 0.0 && r <= 1.0), "rates in [0,1]")
-    val rateCol = rates.toSeq.sortBy(_._1).foldLeft(lit(0.0)) {
-      case (acc, (s, r)) => when(col(stratum) === s, lit(r)).otherwise(acc)
-    }
     df.filter(
       pmod(polyHash(concat(key, lit(salt))), lit(granularity)).cast("double")
-        < rateCol * granularity)
+        < rateColumn(stratum, rates) * granularity)
   }
 
   /** Deterministic pseudonym token for a direct identifier: a keyed hash —
@@ -91,7 +96,11 @@ object Sampling {
     require(counts.values.forall(_ > 0) && weights.values.forall(_ > 0),
       "counts and weights must be positive")
     val cap = counts.map { case (s, n) => n / weights(s) }.min
-    counts.map { case (s, n) => s -> weights(s) * cap / n }
+    // the binding stratum's w·cap/n is 1 up to rounding of the three
+    // float ops — a non-dyadic weight can land at 1+2ulp, which the
+    // gate's require(r <= 1) rejects; clamp (SQL twins mirror with
+    // LEAST(1.0, ...), so engine and oracle still agree bit-for-bit)
+    counts.map { case (s, n) => s -> math.min(1.0, weights(s) * cap / n) }
   }
 
   /** Uniform EXACT-k sample: the k rows with the smallest

@@ -238,14 +238,13 @@ object CurationQueries {
     val kept = graft.ops.Sampling
       .stratifiedSample(docs, "source", $"text", rates, salt = "mix2")
       .groupBy($"source").agg(count(lit(1)).as("n_kept"))
-    val rateCol = rates.toSeq.sortBy(_._1).foldLeft(lit(0.0)) {
-      case (acc, (src, r)) => when($"source" === src, lit(r)).otherwise(acc)
-    }
-    docs.groupBy($"source").agg(count(lit(1)).as("n_docs"))
+    // per-source totals are already driver-resident from the rate
+    // computation — a local relation, not a second corpus scan
+    counts.toSeq.sortBy(_._1).toDF("source", "n_docs")
       .join(kept, Seq("source"), "left")
       .select($"source", $"n_docs",
         coalesce($"n_kept", lit(0L)).as("n_kept"),
-        roundp(rateCol, 6).as("rate"))
+        roundp(graft.ops.Sampling.rateColumn("source", rates), 6).as("rate"))
       .orderBy($"source")
   }
 
@@ -255,8 +254,8 @@ object CurationQueries {
        |w AS (SELECT source, n_docs,
        |  ((CAST(substr(source, 4) AS INT) % 4) + 1)::DOUBLE AS wt FROM cnt),
        |c AS (SELECT min(n_docs / wt) AS cap FROM w),
-       |r AS (SELECT source, n_docs, wt * (SELECT cap FROM c) / n_docs AS rate
-       |  FROM w),
+       |r AS (SELECT source, n_docs,
+       |  LEAST(1.0, wt * (SELECT cap FROM c) / n_docs) AS rate FROM w),
        |kept AS (
        |  SELECT d.source, count(*) AS n_kept
        |  FROM documents d JOIN r USING (source)
@@ -283,9 +282,10 @@ object CurationQueries {
     val rows = documents(s, d)
       .select($"n_chars".cast("long"), $"doc_id".cast("long"))
       .as[(Long, Long)]
-    val total = documents(s, d).count()
-    graft.ops.GlobalIndex
-      .byScoreDesc(rows, s.sessionState.conf.numShufflePartitions)
+    // total rides the indexer's own counting pass — no extra scan job
+    val (indexed, total) = graft.ops.GlobalIndex
+      .byScoreDescWithTotal(rows, s.sessionState.conf.numShufflePartitions)
+    indexed
       .select($"id".as("doc_id"), $"score".as("n_chars"), $"idx",
         // integral divide (Column./ is true division) — BIGINT like the
         // oracle's `//`

@@ -413,6 +413,54 @@ object GtiMosaic {
     val ModisRadius = 6371007.181
   }
 
+  /** WGS84 ELLIPSOIDAL sinusoidal — the authority form of the world
+    * sinusoidal CRS (ESRI:54008 et al.; the spherical [[Sinusoidal]]
+    * diverges from it by up to ~25 km in northing at mid-latitudes).
+    * Snyder USGS PP 1395 §25 on the ellipsoid:
+    * x = a·Δλ·cosφ/√(1−e²sin²φ), y = M(φ) (meridian distance, eq. 3-21);
+    * inverse φ by the rectifying-series eq. 3-26, λ from eq. 25-19.
+    * Equal-area: |Jacobian| = a²(1−e²)cosφ/(1−e²sin²φ)² — the
+    * ellipsoidal area element, property-tested like Albers. */
+  final case class SinusoidalEllipsoidal(lon0: Double = 0.0) {
+    private val a = 6378137.0
+    private val e2 = 1.0 / 298.257223563 * (2 - 1.0 / 298.257223563)
+    private val m0 = 1 - e2 / 4 - 3 * e2 * e2 / 64 - 5 * e2 * e2 * e2 / 256
+    private val m2 = 3 * e2 / 8 + 3 * e2 * e2 / 32 + 45 * e2 * e2 * e2 / 1024
+    private val m4 = 15 * e2 * e2 / 256 + 45 * e2 * e2 * e2 / 1024
+    private val m6 = 35 * e2 * e2 * e2 / 3072
+    private val e1 = (1 - math.sqrt(1 - e2)) / (1 + math.sqrt(1 - e2))
+
+    /** Meridian distance M(φ), Snyder eq. 3-21. */
+    private def mDist(phi: Double): Double =
+      a * (m0 * phi - m2 * math.sin(2 * phi) + m4 * math.sin(4 * phi) -
+        m6 * math.sin(6 * phi))
+
+    /** (lon, lat) degrees → projected (x, y) meters. */
+    def forward(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      val phi = math.toRadians(latDeg)
+      val s = math.sin(phi)
+      (a * math.toRadians(lonDeg - lon0) * math.cos(phi) /
+        math.sqrt(1 - e2 * s * s),
+       mDist(phi))
+    }
+
+    /** (x, y) meters → (lon, lat) degrees (rectifying series, eq. 3-26). */
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val mu = y / (a * m0)
+      val phi = mu +
+        (3 * e1 / 2 - 27 * math.pow(e1, 3) / 32) * math.sin(2 * mu) +
+        (21 * e1 * e1 / 16 - 55 * math.pow(e1, 4) / 32) * math.sin(4 * mu) +
+        (151 * math.pow(e1, 3) / 96) * math.sin(6 * mu) +
+        (1097 * math.pow(e1, 4) / 512) * math.sin(8 * mu)
+      val c = math.cos(phi)
+      val s = math.sin(phi)
+      val lam =
+        if (math.abs(c) < 1e-14) 0.0
+        else x * math.sqrt(1 - e2 * s * s) / (a * c)
+      (lon0 + math.toDegrees(lam), math.toDegrees(phi))
+    }
+  }
+
   /** WGS84 polar stereographic, variant B (standard parallel `latTs`;
     * north aspect when latTs > 0, south otherwise) — the polar-science
     * grid family (NSIDC sea-ice grids, Antarctic Polar Stereographic).
@@ -532,10 +580,14 @@ object GtiMosaic {
       * no datum bridge needed: the MODIS grid is DEFINED on its authalic
       * sphere). */
     private val sinusoidalGallery: Map[String, Sinusoidal] = Map(
-      // MODIS Sinusoidal (MODIS land-products grid)
-      "SR-ORG:6974" -> Sinusoidal(),
-      // World Sinusoidal (common ESRI world grid, WGS84 major axis sphere)
-      "ESRI:54008" -> Sinusoidal(radius = 6378137.0))
+      // MODIS Sinusoidal (MODIS land-products grid — DEFINED on its
+      // authalic sphere, so the spherical form IS the authority form)
+      "SR-ORG:6974" -> Sinusoidal())
+
+    /** World Sinusoidal is defined on the WGS84 ELLIPSOID — the
+      * spherical form diverges ~25 km at mid-latitudes. */
+    private val sinusoidalEllGallery: Map[String, SinusoidalEllipsoidal] = Map(
+      "ESRI:54008" -> SinusoidalEllipsoidal())
 
     /** Polar-stereographic gallery — the WGS84 polar-science grids. */
     private val polarGallery: Map[String, PolarStereographic] = Map(
@@ -572,6 +624,8 @@ object GtiMosaic {
           Some((lon, lat) => polarGallery(ps).forward(lon, lat))
         case sn if sinusoidalGallery.contains(sn) =>
           Some((lon, lat) => sinusoidalGallery(sn).forward(lon, lat))
+        case sn if sinusoidalEllGallery.contains(sn) =>
+          Some((lon, lat) => sinusoidalEllGallery(sn).forward(lon, lat))
         case _ => None
       }
 
@@ -592,6 +646,8 @@ object GtiMosaic {
           Some((x, y) => polarGallery(ps).inverse(x, y))
         case sn if sinusoidalGallery.contains(sn) =>
           Some((x, y) => sinusoidalGallery(sn).inverse(x, y))
+        case sn if sinusoidalEllGallery.contains(sn) =>
+          Some((x, y) => sinusoidalEllGallery(sn).inverse(x, y))
         case _ => None
       }
 

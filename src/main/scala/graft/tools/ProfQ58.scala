@@ -98,12 +98,13 @@ object ProfQ58 {
       ops.Dedup.substringPairs(docs, "doc_id", "text", 30, Some(1000)).count()
     }
     time("pass1-noCoalesce") {
-      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
-      val n = docs.select(explode(hp).as("w"))
+      val key = "spark.sql.adaptive.coalescePartitions.enabled"
+      val prior = spark.conf.get(key)
+      spark.conf.set(key, "false")
+      try docs.select(explode(hp).as("w"))
         .groupBy(col("w.h").as("h")).count()
         .filter(col("count") >= 2 && col("count") <= 1000).count()
-      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
-      n
+      finally spark.conf.set(key, prior)
     }
     time("pass1-repart32") {
       docs.select(explode(hp).as("w"))

@@ -1,7 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
-import graft.raster.GtiMosaic.{AlbersEqualArea, GridWarp, PolarStereographic, Sinusoidal}
+import graft.raster.GtiMosaic.{AlbersEqualArea, GridWarp, PolarStereographic, Sinusoidal, SinusoidalEllipsoidal}
 
 /** Property tests for the Albers / polar-stereographic warp gallery.
   * Strategy (same as the UTM/LCC suites): a projection is pinned by its
@@ -163,6 +163,44 @@ class ProjectionGallerySpec extends AnyFunSuite {
     // y spans ±9 tiles at the poles
     val (_, yN) = sin.forward(0.0, 90.0)
     assert(math.abs(yN - 9 * tile) < 0.5, s"y(0,90)=$yN")
+  }
+
+  test("SinusoidalEllipsoidal: round-trip, ellipsoidal equal-area, y = M(lat)") {
+    val sin = SinusoidalEllipsoidal()
+    for (lon <- drange(-170.0, 170.0, 23.7); lat <- drange(-80.0, 80.0, 9.1)) {
+      val (x, y) = sin.forward(lon, lat)
+      val (lon2, lat2) = sin.inverse(x, y)
+      // 1e-6 deg ≈ 10 cm: the rectifying series (eq. 3-26) truncates at
+      // e1^4, leaving ~1 cm residual at high latitude
+      assert(math.abs(lon2 - lon) < 1e-6 && math.abs(lat2 - lat) < 1e-6,
+        s"round-trip at ($lon,$lat)")
+    }
+    // equal-area: |J| equals the ELLIPSOIDAL area element (same check as
+    // Albers — the two independent codebases agreeing pins both)
+    val d = 1e-6
+    for (lon <- Seq(-120.0, 0.0, 77.0); lat <- Seq(-45.0, 10.0, 60.0)) {
+      val (xe, ye) = sin.forward(lon + d, lat)
+      val (xw, yw) = sin.forward(lon - d, lat)
+      val (xn, yn) = sin.forward(lon, lat + d)
+      val (xs, ys) = sin.forward(lon, lat - d)
+      val rad = math.toRadians(2 * d)
+      val jac = math.abs(
+        ((xe - xw) / rad) * ((yn - ys) / rad) -
+        ((xn - xs) / rad) * ((ye - yw) / rad))
+      val s = math.sin(math.toRadians(lat))
+      val want = a * a * (1 - e2) * math.cos(math.toRadians(lat)) /
+        math.pow(1 - e2 * s * s, 2)
+      assert(math.abs(jac / want - 1) < 1e-5, s"area at ($lon,$lat)")
+    }
+    // northing is the meridian distance: the equator maps to 0 and one
+    // degree of latitude at the equator is ~110.574 km (WGS84)
+    assert(sin.forward(30.0, 0.0)._2 == 0.0)
+    val (_, y1) = sin.forward(0.0, 1.0)
+    assert(math.abs(y1 - 110574.4) < 100, s"M(1 deg)=$y1")
+    // divergence from the spherical form is the ~25 km the ellipsoid owes
+    val ySph = Sinusoidal(radius = 6378137.0).forward(0.0, 45.0)._2
+    val yEll = sin.forward(0.0, 45.0)._2
+    assert(ySph - yEll > 20000 && ySph - yEll < 30000)
   }
 
   test("gallery EPSG codes resolve in GridWarp.standard, composed via lon/lat") {
