@@ -35,6 +35,43 @@ import org.apache.spark.sql.functions._
   */
 object PageRank {
 
+  /** Estimated driver bytes per rank-vector entry under the broadcast
+    * regime (two Long→Long maps + the sorted id array, amortized). */
+  private val BytesPerNode = 40L
+
+  /** Last strategy [[rank]] chose — observable by specs so the switch
+    * itself is testable, not just the (identical) numeric output. */
+  @volatile private[graft] var lastChoice: String = ""
+
+  /** Strategy predicate, split out so the threshold arithmetic is
+    * unit-testable without running a job. */
+  private[graft] def broadcastFits(nNodes: Long, maxBroadcastBytes: Long): Boolean =
+    nNodes * BytesPerNode <= maxBroadcastBytes
+
+  /** Single entry point: MEASURES the vertex count (one
+    * approx_count_distinct pre-job over the edge frame — the same
+    * size-probe spirit as `spark.sql.autoBroadcastJoinThreshold`) and
+    * picks the regime, so callers never hand-pick the scale-sensitive
+    * variant. Under `maxBroadcastBytes` of estimated driver rank-vector
+    * footprint → [[rankIntBroadcast]]; past it → the fully distributed
+    * [[rankInt]]. Both produce bit-identical ranks (integer fixed-point),
+    * so the switch can never change results — only plan shape. */
+  def rank(spark: SparkSession, edges: DataFrame, iters: Int,
+           scale: Long = 1000000000000L,
+           maxBroadcastBytes: Long = 64L << 20): DataFrame = {
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+    val nNodes = e.select(explode(array(col("src"), col("dst"))).as("id"))
+      .agg(approx_count_distinct(col("id")).as("n"))
+      .head().getLong(0)
+    if (broadcastFits(nNodes, maxBroadcastBytes)) {
+      lastChoice = "broadcast"
+      rankIntBroadcast(spark, edges, iters, scale)
+    } else {
+      lastChoice = "distributed"
+      rankInt(spark, edges, iters, scale)
+    }
+  }
+
   /** `edges`: distinct (src: BIGINT, dst: BIGINT). Returns (id, rank). */
   def rankInt(spark: SparkSession, edges: DataFrame, iters: Int,
               scale: Long = 1000000000000L): DataFrame = {

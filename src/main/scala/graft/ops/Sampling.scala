@@ -14,14 +14,6 @@ import graft.functions.TextFunctions.polyHash
   */
 object Sampling {
 
-  /** Deterministic stratified sampling: keep a row iff
-    * `hash(key ‖ salt) mod granularity < rate(stratum) · granularity`.
-    *
-    * The gate is a pure function of the ROW (not of partitioning, row
-    * order, or an RNG seed), so samples are reproducible, stable under
-    * repartitioning, and consistent across reruns — the properties mix
-    * rebalancing needs when a corpus is rebuilt incrementally. Rows in
-    * strata missing from `rates` are dropped (rate 0). */
   /** The per-row rate lookup expression shared by the gate and any
     * caller reporting the applied rate — ONE builder so the reported and
     * applied rates cannot drift. */
@@ -30,6 +22,14 @@ object Sampling {
       case (acc, (s, r)) => when(col(stratum) === s, lit(r)).otherwise(acc)
     }
 
+  /** Deterministic stratified sampling: keep a row iff
+    * `hash(key ‖ salt) mod granularity < rate(stratum) · granularity`.
+    *
+    * The gate is a pure function of the ROW (not of partitioning, row
+    * order, or an RNG seed), so samples are reproducible, stable under
+    * repartitioning, and consistent across reruns — the properties mix
+    * rebalancing needs when a corpus is rebuilt incrementally. Rows in
+    * strata missing from `rates` are dropped (rate 0). */
   def stratifiedSample(df: DataFrame, stratum: String, key: Column,
                        rates: Map[String, Double], salt: String,
                        granularity: Long = 10000L): DataFrame = {

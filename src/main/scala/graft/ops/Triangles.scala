@@ -1,7 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.{coalesce, col, count => fcount, lit, sum}
+import org.apache.spark.sql.functions.{approx_count_distinct, array, coalesce, col, count => fcount, count_distinct, explode, lit, shiftrightunsigned, sum}
 
 /** Triangle counting over an undirected edge list oriented low→high
   * (u < v on every row, deduplicated; ids in [0, 2³²) — the
@@ -98,6 +98,56 @@ object Triangles {
   def count(e: DataFrame, broadcastEdges: Boolean): DataFrame =
     if (broadcastEdges) countViaBroadcastSet(e) else countViaJoins(e)
 
+  /** Last strategy [[metrics]] chose — observable by specs. */
+  @volatile private[graft] var lastChoice: String = ""
+
+  /** 8 bytes per packed edge on the driver/broadcast. */
+  private[graft] def broadcastFits(nEdges: Long, maxBroadcastBytes: Long): Boolean =
+    nEdges * 8L <= maxBroadcastBytes
+
+  /** Auto-switching metrics entry: MEASURES the distinct edge count (one
+    * approx_count_distinct pre-job on the packed stream) and picks
+    * [[graphMetrics]] (driver/broadcast regime) when the distinct edge
+    * list fits `maxBroadcastBytes`, else the fully distributed
+    * [[graphMetricsDistributed]] — the human-judgment scale call made
+    * automatic, like `autoBroadcastJoinThreshold`. */
+  def metrics(packed: org.apache.spark.sql.Dataset[Long],
+              maxBroadcastBytes: Long = 64L << 20): DataFrame = {
+    val spark = packed.sparkSession
+    import spark.implicits._
+    // normalize the single column's name (callers pack under any alias)
+    val cached = ScratchCache.register(packed.toDF("value").as[Long].persist())
+    val nDistinct = cached
+      .agg(approx_count_distinct(col("value")).as("n")).head().getLong(0)
+    if (broadcastFits(nDistinct, maxBroadcastBytes)) {
+      lastChoice = "broadcast"
+      graphMetrics(cached)
+    } else {
+      lastChoice = "distributed"
+      graphMetricsDistributed(cached)
+    }
+  }
+
+  /** Any-scale twin of [[graphMetrics]]: distributed distinct + count
+    * aggregations for the edge/node metrics, [[countViaJoins]] for the
+    * triangles — three shuffling jobs, nothing driver-resident. */
+  def graphMetricsDistributed(
+      packed: org.apache.spark.sql.Dataset[Long]): DataFrame = {
+    val spark = packed.sparkSession
+    val e = ScratchCache.register(packed.toDF("value").distinct()
+      .select(shiftrightunsigned(col("value"), 32).as("u"),
+        col("value").bitwiseAND(lit(0xffffffffL)).as("v"))
+      .persist())
+    val nEdges = e.count()
+    val nNodes = e.select(explode(array(col("u"), col("v"))).as("id"))
+      .agg(count_distinct(col("id")).as("n"))
+      .head().getLong(0)
+    import spark.implicits._
+    Seq(("edges", nEdges), ("nodes", nNodes)).toDF("metric", "value")
+      .union(countViaJoins(e)
+        .select(lit("triangles").as("metric"), col("value")))
+  }
+
   /** All three co-occurrence-graph metrics (edges, nodes, triangles) from
     * a packed u<v edge stream that may still carry duplicates — the
     * broadcast-precondition fast path behind q103.
@@ -113,13 +163,30 @@ object Triangles {
     * shuffle at all beyond the caller's pair aggregation.
     *
     * Scale contract: identical to [[countViaBroadcastSet]] — valid
-    * exactly when the edge list fits in a broadcast. Past that,
+    * exactly when the DISTINCT edge list fits in a broadcast. The
+    * incoming stream may carry co-occurrence multiplicity well beyond
+    * that, so each partition sorts and dedupes its slice BEFORE the
+    * collect: the driver payload is bounded by
+    * min(|stream|, nPartitions × |distinct edges|) ≈ |distinct edges|,
+    * not by the raw multiset. Past the broadcast bound,
     * [[countViaJoins]] plus distributed distinct/count aggregations is
     * the any-scale plan. */
   def graphMetrics(packed: org.apache.spark.sql.Dataset[Long]): DataFrame = {
     val spark = packed.sparkSession
     import spark.implicits._
-    val raw = packed.collect()
+    val raw = packed.mapPartitions { it =>
+      // partition-local sort+dedupe: collapses pair multiplicity where it
+      // is produced, so the driver never sees the duplicated stream
+      val a = it.toArray
+      java.util.Arrays.sort(a)
+      var m = 0
+      var k = 0
+      while (k < a.length) {
+        if (m == 0 || a(m - 1) != a(k)) { a(m) = a(k); m += 1 }
+        k += 1
+      }
+      java.util.Arrays.copyOf(a, m).iterator
+    }.collect()
     java.util.Arrays.sort(raw)
     var n = 0
     var i = 0

@@ -458,10 +458,10 @@ object AdvancedQueries {
   }
 
   val q89Sql: String =
-    """SELECT 0 AS version, count(*) AS n_docs, sum(n_chars) AS chars
+    """SELECT 0 AS version, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars
       |FROM documents WHERE n_chars <= 300
       |UNION ALL
-      |SELECT 1, count(*), sum(n_chars) FROM documents
+      |SELECT 1, count(*), CAST(sum(n_chars) AS BIGINT) FROM documents
       |ORDER BY version""".stripMargin
 
   /** q98: skew-salted shuffle join — lineitem (big, potentially hot
@@ -477,13 +477,13 @@ object AdvancedQueries {
     val sup = graft.Tables.supplier(s, d).select($"s_suppkey", $"s_name")
     graft.ops.SkewJoin.inner(li, sup, "s_suppkey", buckets = 8)
       .groupBy($"s_name")
-      .agg(count(lit(1)).as("n_items"), round(sum($"rev"), 2).as("revenue"))
+      .agg(count(lit(1)).as("n_items"), QueryUtil.safeSum($"rev", 2).as("revenue"))
       .orderBy($"s_name")
   }
 
   val q98Sql: String =
-    """SELECT s.s_name, count(*) AS n_items,
-      |  round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 2) AS revenue
+    s"""SELECT s.s_name, count(*) AS n_items,
+      |  ${QueryUtil.safeSumSql("l.l_extendedprice * (1.0 - l.l_discount)", 2)} AS revenue
       |FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
       |GROUP BY s.s_name ORDER BY s.s_name""".stripMargin
 

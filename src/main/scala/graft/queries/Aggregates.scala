@@ -136,7 +136,7 @@ object Aggregates {
       .agg(count(lit(1)).as("n"),
         round(min($"o_totalprice"), 2).as("lo"),
         round(max($"o_totalprice"), 2).as("hi"),
-        round(sum($"o_totalprice"), 2).as("total"))
+        QueryUtil.safeSum($"o_totalprice", 2).as("total"))
       .orderBy($"bucket")
   }
 
@@ -149,7 +149,7 @@ object Aggregates {
        |    AS bucket,
        |  count(*) AS n, round(min(o_totalprice), 2) AS lo,
        |  round(max(o_totalprice), 2) AS hi,
-       |  round(sum(o_totalprice), 2) AS total
+       |  ${QueryUtil.safeSumSql("o_totalprice", 2)} AS total
        |FROM orders o CROSS JOIN c
        |GROUP BY 1 ORDER BY bucket""".stripMargin
   }

@@ -231,8 +231,12 @@ object CurationQueries {
     val docs = documents(s, d)
     val counts = docs.groupBy($"source").count()
       .as[(String, Long)].collect().toMap
+    // digits extracted defensively (fixtures use 'srcNN', but any name is
+    // legal): last ≤6 digits, 0 when none — the SQL twin is in lockstep
     val weights = counts.keys.map { src =>
-      src -> ((src.drop(3).toInt % 4) + 1).toDouble
+      val digits = src.filter(_.isDigit).takeRight(6)
+      val n = if (digits.isEmpty) 0 else digits.toInt
+      src -> ((n % 4) + 1).toDouble
     }.toMap
     val rates = graft.ops.Sampling.mixtureRates(counts, weights)
     val kept = graft.ops.Sampling
@@ -252,7 +256,8 @@ object CurationQueries {
     val gate = DuckSql.polyHashSql("(text || 'mix2')")
     s"""WITH cnt AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
        |w AS (SELECT source, n_docs,
-       |  ((CAST(substr(source, 4) AS INT) % 4) + 1)::DOUBLE AS wt FROM cnt),
+       |  ((coalesce(TRY_CAST(right(regexp_replace(source, '[^0-9]', '', 'g'), 6)
+       |      AS INT), 0) % 4) + 1)::DOUBLE AS wt FROM cnt),
        |c AS (SELECT min(n_docs / wt) AS cap FROM w),
        |r AS (SELECT source, n_docs,
        |  LEAST(1.0, wt * (SELECT cap FROM c) / n_docs) AS rate FROM w),

@@ -27,7 +27,7 @@ object EventAnalytics {
     import s.implicits._
     events(s, d)
       .groupBy(window($"ts", "10 minutes", "5 minutes").as("w"), $"event_type")
-      .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("sum_v"))
+      .agg(count(lit(1)).as("n"), QueryUtil.safeSum($"value", 2).as("sum_v"))
       .select(unix_micros($"w.start").as("win_us"), $"event_type", $"n", $"sum_v")
       .orderBy($"win_us", $"event_type")
   }
@@ -38,7 +38,8 @@ object EventAnalytics {
        |x AS (SELECT unnest([us - us % $SlideUs,
        |                     us - us % $SlideUs - $SlideUs]) AS win_us,
        |  event_type, value FROM e)
-       |SELECT win_us, event_type, count(*) AS n, round(sum(value), 2) AS sum_v
+       |SELECT win_us, event_type, count(*) AS n,
+       |  ${QueryUtil.safeSumSql("value", 2)} AS sum_v
        |FROM x GROUP BY 1, 2 ORDER BY win_us, event_type""".stripMargin
 
   /** q78: ordered funnel — per user: first view, first click AFTER that
@@ -166,7 +167,7 @@ object EventAnalytics {
   val q85Sql: String =
     """SELECT coalesce(source, 'ALL') AS source, coalesce(lang, 'ALL') AS lang,
       |  CAST(grouping(source) * 2 + grouping(lang) AS BIGINT) AS gid,
-      |  count(*) AS n_docs, sum(n_chars) AS chars
+      |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars
       |FROM documents GROUP BY GROUPING SETS ((source), (lang), ())
       |ORDER BY gid, source, lang""".stripMargin
 

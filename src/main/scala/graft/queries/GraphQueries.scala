@@ -21,10 +21,11 @@ object GraphQueries {
       .select($"l_suppkey".cast("long").as("src"),
         ($"l_partkey".cast("long") + 1000000L).as("dst"))
       .distinct()
-    // supplier+part vertex set is ~3% of the edge count and bounded by
-    // the catalog size — the broadcast-rank regime (bit-identical to
-    // rankInt, which stays the unbounded-vertex path)
-    val r = graft.ops.PageRank.rankIntBroadcast(s, edges, iters = 3)
+    // PageRank.rank MEASURES the vertex count and picks the regime
+    // itself (broadcast rank vector here: supplier+part ≈ 3% of the
+    // edge count; past the byte threshold it flips to the fully
+    // distributed rankInt — bit-identical either way)
+    val r = graft.ops.PageRank.rank(s, edges, iters = 3)
       .orderBy(desc("rank"), $"id").limit(100)
     r
   }
@@ -53,7 +54,7 @@ object GraphQueries {
        |${prIterSql(1)},
        |${prIterSql(2)},
        |${prIterSql(3)}
-       |SELECT id, r AS rank FROM r3 ORDER BY rank DESC, id LIMIT 100""".stripMargin
+       |SELECT id, CAST(r AS BIGINT) AS rank FROM r3 ORDER BY rank DESC, id LIMIT 100""".stripMargin
 
   /** q94: top-5 documents per source by n_chars (doc_id tiebreak) through
     * the bounded TopKAgg — partial combine ships ≤ k rows per group per
@@ -132,19 +133,18 @@ object GraphQueries {
     * suffices. */
   def q103Triangles(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    // ~1.2M co-order edges ≈ 10 MB packed — the broadcast-set strategy
-    // holds comfortably at bench scale, and under it the edge list is
-    // driver-resident by construction, so ALL the metrics come from one
-    // collect + one map-only triangle pass (Triangles.graphMetrics) —
-    // the only shuffle in the whole query is the per-order pair
-    // aggregation. At 100× flip to countViaJoins + distributed
-    // distinct/count aggregations (the any-scale plan).
+    // ~1.2M co-order edges ≈ 10 MB packed — Triangles.metrics MEASURES
+    // the distinct edge count and picks the strategy itself: under the
+    // byte threshold the edge list is driver-resident (one collect + a
+    // map-only triangle pass, the only shuffle being the per-order pair
+    // aggregation); past it, countViaJoins + distributed distinct/count
+    // aggregations engage automatically (the any-scale plan).
     val packed = lineitem(s, d)
       .select($"l_orderkey".as("o"), $"l_partkey".cast("long").as("p"))
       .groupBy($"o").agg(collect_list($"p").as("ps"))
       .select(explode(graft.functions.GraphFunctions.packedPairs($"ps")).as("uv"))
       .as[Long]
-    graft.ops.Triangles.graphMetrics(packed).orderBy($"metric")
+    graft.ops.Triangles.metrics(packed).orderBy($"metric")
   }
 
   val q103Sql: String =

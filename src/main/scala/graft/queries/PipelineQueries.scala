@@ -138,8 +138,11 @@ object PipelineQueries {
     val stream = eventsStream(s, d)
       .withWatermark("ts_conv", "0 seconds")
       .groupBy(window($"ts_conv", "5 minutes").as("w"), $"event_type")
-      .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("sum_v"))
-      .select($"w.start".as("win_start"), $"event_type", $"n", $"sum_v")
+      // decimal sum state: exact under any batch split / merge order, so
+      // the streaming result is bit-equal to the batch oracle
+      .agg(count(lit(1)).as("n"), sum($"value".cast("decimal(28,6)")).as("sum_dec"))
+      .select($"w.start".as("win_start"), $"event_type", $"n",
+        (round($"sum_dec".cast("double") * 100) / 100).as("sum_v"))
     runToParquet(stream, "update", outDir, ckDir, tagBatch = true)
     val latest = org.apache.spark.sql.expressions.Window
       .partitionBy($"win_start", $"event_type").orderBy($"batch_id".desc)
@@ -150,8 +153,8 @@ object PipelineQueries {
   }
 
   val q34Sql: String =
-    """SELECT time_bucket(INTERVAL 5 MINUTE, ts) AS win_start, event_type,
-      |  count(*) AS n, round(sum(value), 2) AS sum_v
+    s"""SELECT time_bucket(INTERVAL 5 MINUTE, ts) AS win_start, event_type,
+      |  count(*) AS n, ${graft.queries.QueryUtil.safeSumSql("value", 2)} AS sum_v
       |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin
 
   /** q41: multimodal image resize — stub-decode each ASCII doc's bytes as

@@ -31,4 +31,20 @@ object QueryUtil {
     val p = math.pow(10, ndec)
     s"round((CAST(sum(CAST(($expr) AS DECIMAL(28,6))) AS DOUBLE) / count($expr)) * $p) / $p"
   }
+
+  /** Engine-parity rounded sum. Same contract as [[safeAvg]]: the partial
+    * sums are exact DECIMAL, so reduction order (salted buckets, AQE
+    * partition counts) cannot perturb the value that reaches `round` —
+    * a bare `round(sum(double), n)` is one ulp from flipping a digit
+    * whenever the engines reduce in different orders. */
+  def safeSum(c: Column, ndec: Int): Column = {
+    val p = math.pow(10, ndec)
+    round(sum(c.cast("decimal(28,6)")).cast("double") * lit(p)) / lit(p)
+  }
+
+  /** DuckDB SQL twin of [[safeSum]]. */
+  def safeSumSql(expr: String, ndec: Int): String = {
+    val p = math.pow(10, ndec)
+    s"round(CAST(sum(CAST(($expr) AS DECIMAL(28,6))) AS DOUBLE) * $p) / $p"
+  }
 }

@@ -31,9 +31,9 @@ object Relational {
       .filter($"l_shipdate" <= to_timestamp(lit("1998-09-02")))
       .groupBy($"l_returnflag", $"l_linestatus")
       .agg(
-        round(sum($"l_quantity"), 2).as("sum_qty"),
-        round(sum($"l_extendedprice"), 2).as("sum_base_price"),
-        round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("sum_disc_price"),
+        QueryUtil.safeSum($"l_quantity", 2).as("sum_qty"),
+        QueryUtil.safeSum($"l_extendedprice", 2).as("sum_base_price"),
+        QueryUtil.safeSum($"l_extendedprice" * (lit(1.0) - $"l_discount"), 2).as("sum_disc_price"),
         QueryUtil.safeAvg($"l_quantity", 2).as("avg_qty"),
         QueryUtil.safeAvg($"l_discount", 4).as("avg_disc"),
         count(lit(1)).as("count_order"))
@@ -42,9 +42,9 @@ object Relational {
 
   val q01Sql: String =
     s"""SELECT l_returnflag, l_linestatus,
-      |  round(sum(l_quantity), 2) AS sum_qty,
-      |  round(sum(l_extendedprice), 2) AS sum_base_price,
-      |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+      |  ${QueryUtil.safeSumSql("l_quantity", 2)} AS sum_qty,
+      |  ${QueryUtil.safeSumSql("l_extendedprice", 2)} AS sum_base_price,
+      |  ${QueryUtil.safeSumSql("l_extendedprice * (1.0 - l_discount)", 2)} AS sum_disc_price,
       |  ${QueryUtil.safeAvgSql("l_quantity", 2)} AS avg_qty,
       |  ${QueryUtil.safeAvgSql("l_discount", 4)} AS avg_disc,
       |  count(*) AS count_order
@@ -82,13 +82,13 @@ object Relational {
       .join(broadcast(customer(s, d)), $"o_custkey" === $"c_custkey")
       .join(broadcast(nation(s, d)), $"c_nationkey" === $"n_nationkey")
       .groupBy($"n_name")
-      .agg(round(sum($"o_totalprice"), 2).as("revenue"),
+      .agg(QueryUtil.safeSum($"o_totalprice", 2).as("revenue"),
            count(lit(1)).as("n_orders"))
       .orderBy($"n_name")
   }
 
   val q03Sql: String =
-    """SELECT n_name, round(sum(o_totalprice), 2) AS revenue,
+    s"""SELECT n_name, ${QueryUtil.safeSumSql("o_totalprice", 2)} AS revenue,
       |  count(*) AS n_orders
       |FROM orders
       |JOIN customer ON o_custkey = c_custkey
@@ -152,12 +152,12 @@ object Relational {
       .join(broadcast(bands),
             $"l_extendedprice" >= $"lo" && $"l_extendedprice" < $"hi")
       .groupBy($"band")
-      .agg(count(lit(1)).as("n"), round(sum($"l_quantity"), 2).as("qty"))
+      .agg(count(lit(1)).as("n"), QueryUtil.safeSum($"l_quantity", 2).as("qty"))
       .orderBy($"band")
   }
 
   val q07Sql: String =
-    """SELECT band, count(*) AS n, round(sum(l_quantity), 2) AS qty
+    s"""SELECT band, count(*) AS n, ${QueryUtil.safeSumSql("l_quantity", 2)} AS qty
       |FROM (SELECT range AS band, range * 3000.0 AS lo,
       |             (range + 1) * 3000.0 AS hi FROM range(0, 25)) b
       |JOIN lineitem ON l_extendedprice >= lo AND l_extendedprice < hi
@@ -173,8 +173,11 @@ object Relational {
       .select($"o_custkey", $"o_orderkey",
         row_number().over(w).as("rn"),
         round(coalesce(lag($"o_totalprice", 1).over(w), lit(0.0)), 2).as("prev_price"),
-        round(sum($"o_totalprice")
-          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2)
+        // decimal running sum: exact regardless of the engine's frame
+        // accumulation strategy (incremental vs segment tree)
+        (round(sum($"o_totalprice".cast("decimal(28,6)"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double") * 100) / 100)
           .as("running_total"))
       .orderBy($"o_custkey", $"rn")
   }
@@ -183,9 +186,9 @@ object Relational {
     """SELECT o_custkey, o_orderkey,
       |  row_number() OVER w AS rn,
       |  round(coalesce(lag(o_totalprice, 1) OVER w, 0.0), 2) AS prev_price,
-      |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+      |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) OVER (PARTITION BY o_custkey
       |    ORDER BY o_orderdate, o_orderkey
-      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) * 100) / 100 AS running_total
       |FROM orders
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
       |ORDER BY o_custkey, rn""".stripMargin
@@ -265,7 +268,7 @@ object Relational {
   val q70Sql: String =
     """SELECT coalesce(source, 'ALL') AS source, coalesce(lang, 'ALL') AS lang,
       |  CAST(grouping(source) * 2 + grouping(lang) AS BIGINT) AS gid,
-      |  count(*) AS n_docs, sum(n_chars) AS chars
+      |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars
       |FROM documents GROUP BY ROLLUP (source, lang)
       |ORDER BY gid, source, lang""".stripMargin
 
@@ -305,7 +308,7 @@ object Relational {
       .cube($"l_returnflag", $"l_linestatus", $"ship_year")
       .agg(grouping_id().cast("long").as("gid"),
         count(lit(1)).as("n"),
-        round(sum($"l_quantity"), 2).as("sum_qty"))
+        QueryUtil.safeSum($"l_quantity", 2).as("sum_qty"))
       .select(coalesce($"l_returnflag", lit("ALL")).as("rf"),
         coalesce($"l_linestatus", lit("ALL")).as("ls"),
         coalesce($"ship_year", lit(-1L)).as("ship_year"),
@@ -314,12 +317,12 @@ object Relational {
   }
 
   val q76Sql: String =
-    """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+    s"""SELECT coalesce(l_returnflag, 'ALL') AS rf,
       |  coalesce(l_linestatus, 'ALL') AS ls,
       |  coalesce(CAST(year(l_shipdate) AS BIGINT), -1) AS ship_year,
       |  CAST(grouping(l_returnflag) * 4 + grouping(l_linestatus) * 2 +
       |    grouping(year(l_shipdate)) AS BIGINT) AS gid,
-      |  count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+      |  count(*) AS n, ${QueryUtil.safeSumSql("l_quantity", 2)} AS sum_qty
       |FROM lineitem
       |GROUP BY CUBE (l_returnflag, l_linestatus, year(l_shipdate))
       |ORDER BY gid, rf, ls, ship_year""".stripMargin
@@ -369,7 +372,9 @@ object Relational {
     orders(s, d)
       .select($"o_orderkey", $"o_custkey", day.as("day"),
         $"o_totalprice")
-      .withColumn("trail30", round(sum($"o_totalprice").over(w), 2))
+      .withColumn("trail30",
+        round(sum($"o_totalprice".cast("decimal(28,6)")).over(w)
+          .cast("double") * 100) / 100)
       .select($"o_orderkey", $"o_custkey", $"day",
         round($"o_totalprice", 2).as("price"), $"trail30")
       .orderBy($"o_orderkey")
@@ -380,8 +385,8 @@ object Relational {
       |    epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000 AS day,
       |    o_totalprice FROM orders)
       |SELECT o_orderkey, o_custkey, day, round(o_totalprice, 2) AS price,
-      |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY day
-      |    RANGE BETWEEN 29 PRECEDING AND CURRENT ROW), 2) AS trail30
+      |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) OVER (PARTITION BY o_custkey ORDER BY day
+      |    RANGE BETWEEN 29 PRECEDING AND CURRENT ROW) AS DOUBLE) * 100) / 100 AS trail30
       |FROM o ORDER BY o_orderkey""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

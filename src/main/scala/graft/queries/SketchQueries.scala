@@ -52,7 +52,7 @@ object SketchQueries {
   }
 
   val q59Sql: String =
-    """SELECT event_type, p, count(*) AS n, true AS ok
+    """SELECT event_type, CAST(p AS DOUBLE) AS p, count(*) AS n, true AS ok
       |FROM events CROSS JOIN
       |  (SELECT unnest([0.01, 0.25, 0.5, 0.75, 0.99]) AS p) ps
       |GROUP BY event_type, p ORDER BY event_type, p""".stripMargin

@@ -43,7 +43,7 @@ object StoreQueries {
       |  FROM documents
       |  UNION ALL
       |  SELECT source, n_chars FROM documents WHERE source = 'src1')
-      |SELECT source, count(*) AS n_docs, sum(n_chars) AS chars
+      |SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars
       |FROM merged GROUP BY source ORDER BY source""".stripMargin
 
   /** q91: change feed — v0 = the corpus; v1 = overwrite applying an
@@ -131,7 +131,7 @@ object StoreQueries {
       |  UNION ALL
       |  SELECT source, lang, n_chars FROM documents WHERE source = 'src0')
       |SELECT source, coalesce(lang, 'none') AS lang,
-      |  count(*) AS n_docs, sum(n_chars) AS chars
+      |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars
       |FROM v GROUP BY source, coalesce(lang, 'none')
       |ORDER BY source, lang""".stripMargin
 
@@ -177,7 +177,7 @@ object StoreQueries {
   }
 
   val q101Sql: String =
-    """SELECT source, count(*) AS n_docs, sum(n_chars) AS chars
+    """SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars
       |FROM (
       |  SELECT source, CASE WHEN source = 'src0' THEN n_chars + 1000
       |                      ELSE n_chars END AS n_chars

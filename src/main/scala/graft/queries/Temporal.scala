@@ -30,13 +30,13 @@ object Temporal {
     import s.implicits._
     lineitem(s, d)
       .groupBy(TemporalGrid.snapToYear($"l_shipdate").cast("date").as("year_start"))
-      .agg(count(lit(1)).as("n"), round(sum($"l_quantity"), 2).as("qty"))
+      .agg(count(lit(1)).as("n"), QueryUtil.safeSum($"l_quantity", 2).as("qty"))
       .orderBy($"year_start")
   }
 
   val q13Sql: String =
-    """SELECT CAST(date_trunc('year', l_shipdate) AS DATE) AS year_start,
-      |  count(*) AS n, round(sum(l_quantity), 2) AS qty
+    s"""SELECT CAST(date_trunc('year', l_shipdate) AS DATE) AS year_start,
+      |  count(*) AS n, ${QueryUtil.safeSumSql("l_quantity", 2)} AS qty
       |FROM lineitem GROUP BY 1 ORDER BY year_start""".stripMargin
 
   /** W3: 16-day period bucketing (epoch-1997 arithmetic) over the fact

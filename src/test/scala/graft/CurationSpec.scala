@@ -106,6 +106,24 @@ class CurationSpec extends AnyFunSuite with SparkSpecBase {
       "triangles" -> wantTris))
   }
 
+  test("metrics auto-switch: distributed path engages past the byte threshold") {
+    val rnd = new scala.util.Random(13)
+    val pairs = (1 to 400).map { _ =>
+      val a = rnd.nextInt(50).toLong; val b = rnd.nextInt(50).toLong
+      (math.min(a, b), math.max(a, b))
+    }.filter(p => p._1 != p._2)
+    val packed = pairs.map { case (u, v) => (u << 32) | v }.toDF("uv").as[Long]
+    val a = graft.ops.Triangles.metrics(packed)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(graft.ops.Triangles.lastChoice == "broadcast")
+    graft.ops.ScratchCache.releaseAll()
+    val b = graft.ops.Triangles.metrics(packed, maxBroadcastBytes = 0L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(graft.ops.Triangles.lastChoice == "distributed")
+    graft.ops.ScratchCache.releaseAll()
+    assert(a == b) // the switch may never change the metrics
+  }
+
   test("q104 drop rule: every drop has a lower-id cluster-mate above tau") {
     // replay the rule brute-force on the smoke embeddings
     val emb = Tables.embeddings(spark, sfSmoke)

@@ -46,6 +46,25 @@ class GraphSpec extends AnyFunSuite with SparkSpecBase {
     assert(a == b)
   }
 
+  test("rank auto-switch: distributed path engages past the byte threshold") {
+    val rnd = new scala.util.Random(41)
+    val edges = (1 to 300).map { _ =>
+      (rnd.nextInt(30).toLong, (30 + rnd.nextInt(40)).toLong)
+    }.distinct.toDF("src", "dst")
+    // generous threshold → broadcast regime
+    val a = graft.ops.PageRank.rank(spark, edges, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(graft.ops.PageRank.lastChoice == "broadcast")
+    graft.ops.ScratchCache.releaseAll()
+    // 0-byte threshold → the fully distributed path MUST engage
+    val b = graft.ops.PageRank.rank(spark, edges, iters = 3,
+        maxBroadcastBytes = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(graft.ops.PageRank.lastChoice == "distributed")
+    graft.ops.ScratchCache.releaseAll()
+    assert(a == b) // the switch may never change the ranks
+  }
+
   test("rankInt handles a fully dangling edge set and empty-side ids") {
     // every dst is dangling; ranks still well-defined and deterministic
     val edges = Seq((1L, 10L), (2L, 10L), (3L, 11L)).toDF("src", "dst")

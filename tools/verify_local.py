@@ -11,8 +11,39 @@ compares values.
 """
 import json, sys, glob, os
 import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+def type_class(t):
+    """Coarse Arrow type class. The driver's hash is type-sensitive, so an
+    oracle emitting decimal128 where Spark dumps int64 hash-mismatches even
+    when every value is equal (round-6 q70/q85/q89/q90/q93/q96/q101). Flag
+    any cross-class divergence among the numeric classes; timestamps/strings
+    are normalized by the driver so only their class identity matters."""
+    if pa.types.is_decimal(t): return "decimal"
+    if pa.types.is_integer(t): return "int"
+    if pa.types.is_floating(t): return "float"
+    if pa.types.is_timestamp(t) or pa.types.is_date(t): return "time"
+    if pa.types.is_boolean(t): return "bool"
+    if pa.types.is_string(t) or pa.types.is_large_string(t): return "str"
+    return str(t)
+
+def dtype_audit(name, files, oracle_arrow_schema):
+    """Compare the Spark parquet dump's Arrow schema against the oracle's
+    fetch_arrow_table() schema, per column name. Returns [] if clean."""
+    spark_schema = pq.read_schema(files[0])
+    spark_types = {f.name: f.type for f in spark_schema}
+    bad = []
+    for f in oracle_arrow_schema:
+        if f.name not in spark_types:
+            continue  # column-set mismatch reported separately
+        sc, oc = type_class(spark_types[f.name]), type_class(f.type)
+        if sc != oc:
+            bad.append(f"col {f.name}: spark {spark_types[f.name]} ({sc}) "
+                       f"vs oracle {f.type} ({oc})")
+    return bad
 
 def norm(df):
     df = df[sorted(df.columns)]
@@ -41,9 +72,15 @@ def main():
             n_weak += len(got) > 0; n_fail += len(got) == 0
             continue
         try:
-            exp = con.execute(oracles[name]).df()
+            exp_arrow = con.execute(oracles[name]).fetch_arrow_table()
+            exp = exp_arrow.to_pandas()
         except Exception as e:
             print(f"FAIL  {name}: oracle SQL error: {e}"); n_fail += 1; continue
+        dtype_bad = dtype_audit(name, files, exp_arrow.schema)
+        if dtype_bad:
+            print(f"FAIL  {name}: dtype divergence (driver hash is type-sensitive): "
+                  + "; ".join(dtype_bad))
+            n_fail += 1; continue
         g, e = norm(got), norm(exp)
         if list(g.columns) != list(e.columns):
             print(f"FAIL  {name}: columns {list(g.columns)} != {list(e.columns)}"); n_fail += 1; continue
