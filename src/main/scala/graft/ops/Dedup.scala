@@ -439,7 +439,17 @@ object Dedup {
     * REMOVE candidate windows from the comparison universe, mirroring
     * the cap's own semantics). A naive window self-join instead of 2+3
     * shuffles the full string index twice and risks quadratic join rows;
-    * measured 4× slower at sf0.1. */
+    * measured 4× slower at sf0.1.
+    *
+    * Round-7 tuning pass (ProfQ58, quiet host, sf0.1): persisting the
+    * exploded window frame across the passes costs MORE than the rescan
+    * (270 MB cache write); a typed single-scan groupBy(h) that shuffles
+    * window STRINGS is 1.3-2× slower; replacing pass 1's hash aggregate
+    * with an exchange + per-partition sort-run count wins pass 1 ~15%
+    * but loses it back in the full plan — the mapPartitions boundary
+    * hides `keep`'s size from AQE, so the semi-join stops broadcasting.
+    * This plan is the measured optimum; the remaining gap to the DuckDB
+    * twin is Spark's per-stage fixed overhead, not data cost. */
   def substringPairs(df: DataFrame, id: String, text: String, winLen: Int,
                      maxDf: Option[Int] = None): DataFrame = {
     require(winLen >= 2)

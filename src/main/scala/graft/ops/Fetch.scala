@@ -39,10 +39,26 @@ object Fetch {
     p.dropWhile(_ == '/')
   }
 
-  private[graft] def defaultOpen: String => InputStream = { url =>
+  /** Per-request header provider (url → headers) — the credential seam
+    * mirroring the reference's secret-threaded downloads
+    * (flyte/scenes.py:92-105: `client_kwargs={"headers": ...}` built from
+    * task secrets). A provider is evaluated per URL on the EXECUTOR (it
+    * ships inside the task closure), so short-lived tokens can be minted
+    * per partition; file:/plain paths ignore it. */
+  type HeaderProvider = String => Map[String, String]
+
+  /** No credentials — the default. */
+  val NoAuth: HeaderProvider = _ => Map.empty
+
+  private[graft] def defaultOpen: String => InputStream = defaultOpen(NoAuth)
+
+  private[graft] def defaultOpen(headers: HeaderProvider): String => InputStream = { url =>
     if (url.startsWith("file:")) Files.newInputStream(Paths.get(new URI(url)))
-    else if (url.contains("://")) new URI(url).toURL.openStream()
-    else Files.newInputStream(Paths.get(url))
+    else if (url.contains("://")) {
+      val c = new URI(url).toURL.openConnection()
+      headers(url).foreach { case (k, v) => c.setRequestProperty(k, v) }
+      c.getInputStream
+    } else Files.newInputStream(Paths.get(url))
   }
 
   /** Partition count that bounds per-task download volume — the engine
@@ -92,10 +108,15 @@ object Fetch {
     * row: (url, dest, n_bytes, fetched) — `fetched = false` marks an
     * idempotent skip (destination already present; n_bytes = its size).
     * Each URL gets up to `retries` transient-IOException retries with
-    * doubling backoff from `backoffMs` before the task fails. */
+    * doubling backoff from `backoffMs` before the task fails. `auth`
+    * injects per-request headers (bearer tokens, signed-URL params-as-
+    * headers) into the default opener; a custom `openFactory` owns its
+    * own credentials and ignores it. */
   def fetchToDir(df: DataFrame, urlCol: String, workdir: String,
-                 retries: Int = 3, backoffMs: Long = 100L)
-                (openFactory: () => String => InputStream = () => defaultOpen): DataFrame = {
+                 retries: Int = 3, backoffMs: Long = 100L,
+                 auth: HeaderProvider = NoAuth)
+                (openFactory: () => String => InputStream =
+                   () => defaultOpen(auth)): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(urlCol).cast("string")).as[String].mapPartitions { it =>
@@ -144,32 +165,37 @@ object Fetch {
     def read(url: String, off: Long, len: Long): InputStream
   }
 
-  private[graft] def defaultRangeSource: RangeSource = new RangeSource {
-    private def filePath(url: String): Option[Path] =
-      if (url.startsWith("file:")) Some(Paths.get(new URI(url)))
-      else if (!url.contains("://")) Some(Paths.get(url))
-      else None
-    def size(url: String): Long = filePath(url) match {
-      case Some(p) => Files.size(p)
-      case None =>
-        val c = new URI(url).toURL.openConnection()
-        c.setRequestProperty("Accept-Encoding", "identity")
-        val n = c.getContentLengthLong
-        require(n >= 0, s"$url: server did not report a content length")
-        n
+  private[graft] def defaultRangeSource: RangeSource = defaultRangeSource(NoAuth)
+
+  private[graft] def defaultRangeSource(headers: HeaderProvider): RangeSource =
+    new RangeSource {
+      private def filePath(url: String): Option[Path] =
+        if (url.startsWith("file:")) Some(Paths.get(new URI(url)))
+        else if (!url.contains("://")) Some(Paths.get(url))
+        else None
+      def size(url: String): Long = filePath(url) match {
+        case Some(p) => Files.size(p)
+        case None =>
+          val c = new URI(url).toURL.openConnection()
+          c.setRequestProperty("Accept-Encoding", "identity")
+          headers(url).foreach { case (k, v) => c.setRequestProperty(k, v) }
+          val n = c.getContentLengthLong
+          require(n >= 0, s"$url: server did not report a content length")
+          n
+      }
+      def read(url: String, off: Long, len: Long): InputStream = filePath(url) match {
+        case Some(p) =>
+          val ch = java.nio.channels.FileChannel.open(p)
+          ch.position(off)
+          new java.io.BufferedInputStream(
+            new BoundedChannelStream(ch, len), 1 << 16)
+        case None =>
+          val c = new URI(url).toURL.openConnection()
+          c.setRequestProperty("Range", s"bytes=$off-${off + len - 1}")
+          headers(url).foreach { case (k, v) => c.setRequestProperty(k, v) }
+          c.getInputStream
+      }
     }
-    def read(url: String, off: Long, len: Long): InputStream = filePath(url) match {
-      case Some(p) =>
-        val ch = java.nio.channels.FileChannel.open(p)
-        ch.position(off)
-        new java.io.BufferedInputStream(
-          new BoundedChannelStream(ch, len), 1 << 16)
-      case None =>
-        val c = new URI(url).toURL.openConnection()
-        c.setRequestProperty("Range", s"bytes=$off-${off + len - 1}")
-        c.getInputStream
-    }
-  }
 
   /** InputStream view of at most `remaining` bytes of a channel; closing
     * it closes the channel (each range reader owns its own handle). */
@@ -203,8 +229,10 @@ object Fetch {
     * re-pulls chunkBytes, not the whole object). */
   def fetchChunkedToDir(df: DataFrame, urlCol: String, workdir: String,
                         chunkBytes: Long = 8L << 20, connections: Int = 4,
-                        retries: Int = 3, backoffMs: Long = 100L)
-                       (sourceFactory: () => RangeSource = () => defaultRangeSource): DataFrame = {
+                        retries: Int = 3, backoffMs: Long = 100L,
+                        auth: HeaderProvider = NoAuth)
+                       (sourceFactory: () => RangeSource =
+                          () => defaultRangeSource(auth)): DataFrame = {
     require(chunkBytes > 0 && connections > 0)
     val spark = df.sparkSession
     import spark.implicits._

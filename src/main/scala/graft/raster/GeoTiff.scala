@@ -13,15 +13,17 @@ import java.util.zip.Inflater
   * (none) / 5 (LZW, TIFF-variant MSB-first with early change — TIFF 6.0
   * §13) / 8 / 32946 (zlib-deflate, what the COG driver emits for
   * DEFLATE), the horizontal-differencing predictor (317=2, the pairing
-  * GDAL emits for LZW/DEFLATE integer rasters), samples of uint8/16/32 or
-  * float32 promoted to Float, the GeoTIFF ModelPixelScale /
-  * ModelTiepoint tags, GDAL's ASCII nodata tag, and the COG overview IFD
-  * chain (`infos` walks it; `readBand(_, _, level)` decodes a
-  * reduced-resolution page). Deliberately NOT a full TIFF stack: no JPEG,
-  * no floating-point predictor — a reader for the scene files this
-  * engine's sink family writes and the subset of COGs the reference
-  * pipeline produces (driver=COG, BLOCKSIZE=512, default DEFLATE-or-none,
-  * plus the LZW+predictor combination common in the wild).
+  * GDAL emits for LZW/DEFLATE integer rasters) and the floating-point
+  * predictor (317=3, TIFF Technical Note 3 — GDAL's PREDICTOR=3 float
+  * COGs), samples of uint8/16/32 or float32 promoted to Float, the
+  * GeoTIFF ModelPixelScale / ModelTiepoint tags, GDAL's ASCII nodata
+  * tag, and the COG overview IFD chain (`infos` walks it;
+  * `readBand(_, _, level)` decodes a reduced-resolution page).
+  * Deliberately NOT a full TIFF stack: no JPEG — a reader for the scene
+  * files this engine's sink family writes and the subset of COGs the
+  * reference pipeline produces (driver=COG, BLOCKSIZE=512, default
+  * DEFLATE-or-none, plus the LZW/DEFLATE+predictor combinations common
+  * in the wild).
   *
   * Byte-array based by design: scenes are fetched to local disk first
   * (Fetch, S5) exactly like the reference's download-then-open, and one
@@ -161,10 +163,12 @@ object GeoTiff {
         compression == 32946,
       s"compression $compression unsupported (none/LZW/deflate only)")
     val predictor = es.get(317).map(longs(_)(0).toInt).getOrElse(1)
-    require(predictor == 1 || predictor == 2,
-      s"TIFF predictor $predictor unsupported (none/horizontal only)")
-    require(predictor == 1 || sampleFormat == 1 || sampleFormat == 2,
+    require(predictor == 1 || predictor == 2 || predictor == 3,
+      s"TIFF predictor $predictor unsupported (none/horizontal/floating-point)")
+    require(predictor != 2 || sampleFormat == 1 || sampleFormat == 2,
       "horizontal predictor applies to integer samples only")
+    require(predictor != 3 || sampleFormat == 3,
+      "floating-point predictor applies to IEEE float samples only")
     val (tw, th, offE, cntE) =
       if (es.contains(322)) // tiled
         (one(322, 0).toInt, one(323, 0).toInt, es(324), es(325))
@@ -349,12 +353,49 @@ object GeoTiff {
     }
   }
 
+  /** Undo the floating-point predictor (predictor=3, TIFF Technical Note
+    * 3): each encoded row is the float bytes SPLIT into byte planes
+    * (plane 0 = the IEEE most-significant byte of every sample, then the
+    * next byte, …) with byte-wise horizontal differencing at stride spp
+    * across the planed row. Decode accumulates the byte deltas, then
+    * re-interleaves the planes big-endian — so the returned buffer is
+    * ALWAYS big-endian float data, independent of the file's byte order
+    * (the planes themselves are defined MSB-first, as libtiff writes
+    * them). */
+  private def undoFloatPredictor(raw: Array[Byte], fi: Info): Array[Byte] = {
+    val spp = if (fi.planar == 1) fi.bands else 1
+    val bps = fi.bits / 8
+    val wc = fi.tileW * spp        // samples per row
+    val rowBytes = wc * bps
+    val out = new Array[Byte](raw.length)
+    var r = 0
+    while (r < fi.tileH) {
+      val base = r * rowBytes
+      var i = base + spp           // accumulate byte deltas, stride spp
+      while (i < base + rowBytes) {
+        raw(i) = (raw(i) + raw(i - spp)).toByte
+        i += 1
+      }
+      var c = 0                    // un-plane: out = big-endian floats
+      while (c < wc) {
+        var b = 0
+        while (b < bps) {
+          out(base + c * bps + b) = raw(base + b * wc + c)
+          b += 1
+        }
+        c += 1
+      }
+      r += 1
+    }
+    out
+  }
+
   /** Decoded samples of one tile/strip index as floats (tile-local C-order,
     * interleaved samples if planar=1). */
-  private def tileSamples(bytes: Array[Byte], fi: Info, idx: Int, order: ByteOrder): Array[Float] = {
+  private def tileSamples(bytes: Array[Byte], fi: Info, idx: Int, order0: ByteOrder): Array[Float] = {
     val samplesPerTile =
       fi.tileW * fi.tileH * (if (fi.planar == 1) fi.bands else 1)
-    val raw =
+    val raw0 =
       if (fi.compression == 1) {
         val out = new Array[Byte](samplesPerTile * (fi.bits / 8))
         System.arraycopy(bytes, fi.offsets(idx).toInt, out, 0,
@@ -365,7 +406,12 @@ object GeoTiff {
           samplesPerTile * (fi.bits / 8))
       else inflate(bytes, fi.offsets(idx), fi.byteCounts(idx),
         samplesPerTile * (fi.bits / 8))
-    if (fi.predictor == 2) undoHorizontalPredictor(raw, fi, order)
+    if (fi.predictor == 2) undoHorizontalPredictor(raw0, fi, order0)
+    // predictor 3's planes are MSB-first by definition: the reassembled
+    // buffer is big-endian no matter what the container header says
+    val (raw, order) =
+      if (fi.predictor == 3) (undoFloatPredictor(raw0, fi), ByteOrder.BIG_ENDIAN)
+      else (raw0, order0)
     val bb = ByteBuffer.wrap(raw).order(order)
     (fi.bits, fi.sampleFormat) match {
       case (32, 3) => val a = new Array[Float](samplesPerTile); bb.asFloatBuffer().get(a); a

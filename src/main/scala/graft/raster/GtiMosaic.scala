@@ -196,41 +196,38 @@ object GtiMosaic {
 
     def centralMeridian(zone: Int): Double = -183.0 + 6.0 * zone
 
-    /** Meridian arc from the equator (Snyder 3-21). */
-    def meridianArc(latDeg: Double): Double = {
-      val phi = math.toRadians(latDeg)
-      A * ((1 - E2 / 4 - 3 * E2 * E2 / 64 - 5 * E2 * E2 * E2 / 256) * phi -
-        (3 * E2 / 8 + 3 * E2 * E2 / 32 + 45 * E2 * E2 * E2 / 1024) * math.sin(2 * phi) +
-        (15 * E2 * E2 / 256 + 45 * E2 * E2 * E2 / 1024) * math.sin(4 * phi) -
-        (35 * E2 * E2 * E2 / 3072) * math.sin(6 * phi))
-    }
-
-    /** (lon, lat) degrees → (easting, northing) meters. */
-    def forward(zone: Int, south: Boolean, lonDeg: Double, latDeg: Double)
+    /** General-parameter forward (lon/lat degrees → easting/northing
+      * meters): arbitrary origin, central meridian, scale factor and
+      * false offsets — the `+proj=tmerc` form. The UTM entry points are
+      * the (lat0=0, k0=0.9996, x0=500km) specialization. */
+    def forwardGeneral(lat0: Double, lon0: Double, k0: Double,
+        x0: Double, y0: Double, lonDeg: Double, latDeg: Double)
         : (Double, Double) = {
       val phi = math.toRadians(latDeg)
-      val dLam = math.toRadians(lonDeg - centralMeridian(zone))
+      val dLam = math.toRadians(lonDeg - lon0)
       val sinP = math.sin(phi); val cosP = math.cos(phi); val tanP = math.tan(phi)
       val n = A / math.sqrt(1 - E2 * sinP * sinP)
       val t = tanP * tanP
       val c = Ep2 * cosP * cosP
       val a1 = dLam * cosP
-      val m = meridianArc(latDeg)
-      val e = FalseE + K0 * n * (a1 +
+      val m = meridianArc(latDeg) - meridianArc(lat0)
+      val e = x0 + k0 * n * (a1 +
         (1 - t + c) * a1 * a1 * a1 / 6 +
         (5 - 18 * t + t * t + 72 * c - 58 * Ep2) * math.pow(a1, 5) / 120)
-      val n0 = K0 * (m + n * tanP * (a1 * a1 / 2 +
+      val n0 = y0 + k0 * (m + n * tanP * (a1 * a1 / 2 +
         (5 - t + 9 * c + 4 * c * c) * math.pow(a1, 4) / 24 +
         (61 - 58 * t + t * t + 600 * c - 330 * Ep2) * math.pow(a1, 6) / 720))
-      (e, if (south) n0 + FalseNSouth else n0)
+      (e, n0)
     }
 
-    /** (easting, northing) meters → (lon, lat) degrees. */
-    def inverse(zone: Int, south: Boolean, easting: Double, northing: Double)
+    /** General-parameter inverse (easting/northing meters → lon/lat
+      * degrees), inverse of [[forwardGeneral]]. */
+    def inverseGeneral(lat0: Double, lon0: Double, k0: Double,
+        x0: Double, y0: Double, easting: Double, northing: Double)
         : (Double, Double) = {
-      val x = easting - FalseE
-      val y = if (south) northing - FalseNSouth else northing
-      val m = y / K0
+      val x = easting - x0
+      val y = northing - y0
+      val m = y / k0 + meridianArc(lat0)
       val mu = m / (A * (1 - E2 / 4 - 3 * E2 * E2 / 64 - 5 * E2 * E2 * E2 / 256))
       val e1 = (1 - math.sqrt(1 - E2)) / (1 + math.sqrt(1 - E2))
       val phi1 = mu +
@@ -243,7 +240,7 @@ object GtiMosaic {
       val t1 = tanP * tanP
       val n1 = A / math.sqrt(1 - E2 * sinP * sinP)
       val r1 = A * (1 - E2) / math.pow(1 - E2 * sinP * sinP, 1.5)
-      val d = x / (n1 * K0)
+      val d = x / (n1 * k0)
       val phi = phi1 - (n1 * tanP / r1) * (d * d / 2 -
         (5 + 3 * t1 + 10 * c1 - 4 * c1 * c1 - 9 * Ep2) * math.pow(d, 4) / 24 +
         (61 + 90 * t1 + 298 * c1 + 45 * t1 * t1 - 252 * Ep2 - 3 * c1 * c1) *
@@ -251,8 +248,29 @@ object GtiMosaic {
       val lam = (d - (1 + 2 * t1 + c1) * math.pow(d, 3) / 6 +
         (5 - 2 * c1 + 28 * t1 - 3 * c1 * c1 + 8 * Ep2 + 24 * t1 * t1) *
           math.pow(d, 5) / 120) / cosP
-      (centralMeridian(zone) + math.toDegrees(lam), math.toDegrees(phi))
+      (lon0 + math.toDegrees(lam), math.toDegrees(phi))
     }
+
+    /** Meridian arc from the equator (Snyder 3-21). */
+    def meridianArc(latDeg: Double): Double = {
+      val phi = math.toRadians(latDeg)
+      A * ((1 - E2 / 4 - 3 * E2 * E2 / 64 - 5 * E2 * E2 * E2 / 256) * phi -
+        (3 * E2 / 8 + 3 * E2 * E2 / 32 + 45 * E2 * E2 * E2 / 1024) * math.sin(2 * phi) +
+        (15 * E2 * E2 / 256 + 45 * E2 * E2 * E2 / 1024) * math.sin(4 * phi) -
+        (35 * E2 * E2 * E2 / 3072) * math.sin(6 * phi))
+    }
+
+    /** (lon, lat) degrees → (easting, northing) meters. */
+    def forward(zone: Int, south: Boolean, lonDeg: Double, latDeg: Double)
+        : (Double, Double) =
+      forwardGeneral(0.0, centralMeridian(zone), K0, FalseE,
+        if (south) FalseNSouth else 0.0, lonDeg, latDeg)
+
+    /** (easting, northing) meters → (lon, lat) degrees. */
+    def inverse(zone: Int, south: Boolean, easting: Double, northing: Double)
+        : (Double, Double) =
+      inverseGeneral(0.0, centralMeridian(zone), K0, FalseE,
+        if (south) FalseNSouth else 0.0, easting, northing)
   }
 
   /** WGS84 Lambert conformal conic (2 standard parallels) — the other
@@ -626,6 +644,8 @@ object GtiMosaic {
           Some((lon, lat) => sinusoidalGallery(sn).forward(lon, lat))
         case sn if sinusoidalEllGallery.contains(sn) =>
           Some((lon, lat) => sinusoidalEllGallery(sn).forward(lon, lat))
+        case p if Proj4.looksLikeProj(p) =>
+          Proj4.parse(p).map(c => c.forward)
         case _ => None
       }
 
@@ -648,19 +668,28 @@ object GtiMosaic {
           Some((x, y) => sinusoidalGallery(sn).inverse(x, y))
         case sn if sinusoidalEllGallery.contains(sn) =>
           Some((x, y) => sinusoidalEllGallery(sn).inverse(x, y))
+        case p if Proj4.looksLikeProj(p) =>
+          Proj4.parse(p).map(c => c.inverse)
         case _ => None
       }
 
     /** Built-in transforms for well-known (fileSrs, mosaicSrs) pairs —
       * consulted when no explicit registration overrides them. The
       * separable Web-Mercator pair keeps its fast GridWarp path; every
-      * OTHER pair among {4326, 3857, UTM 326xx/327xx, the LCC gallery}
-      * composes mosaic→lon/lat→file (mirroring how the reference hands
-      * arbitrary pairs to GDAL's proj pipeline, mosaics.py:44-50) —
-      * e.g. Lambert-93 tiles in a Web-Mercator mosaic resolve with no
-      * registration. */
+      * OTHER pair among {4326, 3857, UTM 326xx/327xx, the galleries, and
+      * any [[Proj4]]-parseable `+proj=…` string} composes
+      * mosaic→lon/lat→file (mirroring how the reference hands arbitrary
+      * pairs to GDAL's proj pipeline, mosaics.py:44-50) — e.g. Lambert-93
+      * tiles in a Web-Mercator mosaic, or an unregistered national grid
+      * given as a proj string (flyte/build.py:56-75's `CRS.from_string`
+      * path), resolve with no registration. */
     def standard(fileSrs: String, mosaicSrs: String): Option[PointWarp] = {
-      def n(s: String) = s.trim.toUpperCase
+      // proj4 strings are case-sensitive (+proj=lcc) — only authority
+      // codes get uppercased
+      def n(s: String) = {
+        val t = s.trim
+        if (Proj4.looksLikeProj(t)) t else t.toUpperCase
+      }
       (n(fileSrs), n(mosaicSrs)) match {
         case ("EPSG:3857", "EPSG:4326") => Some(GeoToWebMercator)
         case ("EPSG:4326", "EPSG:3857") => Some(WebMercatorToGeo)

@@ -1,0 +1,164 @@
+package graft.raster
+
+/** Minimal proj4-string interpreter over the engine's native projection
+  * kernels — closes the reference's arbitrary-CRS gap: `flyte/build.py:56-75`
+  * accepts any user `crs: str` (via `CRS.from_string`) and
+  * `flytemosaic/mosaics.py:44-50` allows per-file CRSs, both delegated to
+  * GDAL/PROJ there. Here a proj string compiles onto the same Snyder
+  * kernels the EPSG gallery uses, so an unregistered national grid
+  * (`+proj=lcc +lat_1=… `) warps without a gallery entry.
+  *
+  * Supported: `+proj=longlat | merc (spherical, a=b) | utm | tmerc | lcc |
+  * aea | stere (polar aspect) | sinu` on WGS84/GRS80 (flattening delta
+  * < 0.1 mm — the gallery's treat-as-equal bridge) or an explicit sphere
+  * (`+R=` / `+a=+b=`, the MODIS-grid form). Anything else — unknown
+  * projections, non-WGS84 ellipsoids, nonzero `+towgs84` datum shifts,
+  * oblique stere — returns None, keeping `assemble`'s fail-fast contract
+  * rather than silently mis-warping.
+  */
+object Proj4 {
+
+  /** A compiled projection pair: forward = (lonDeg, latDeg) → (x, y),
+    * inverse = (x, y) → (lonDeg, latDeg). */
+  final case class Compiled(
+      forward: (Double, Double) => (Double, Double),
+      inverse: (Double, Double) => (Double, Double))
+
+  private val WgsA = 6378137.0
+
+  /** True iff the string looks like a proj4 string (leading `+key=…`). */
+  def looksLikeProj(s: String): Boolean = s.trim.startsWith("+")
+
+  def parse(s: String): Option[Compiled] = {
+    val toks = s.trim.split("\\s+").filter(_.nonEmpty)
+    if (!toks.forall(_.startsWith("+"))) return None
+    val kv: Map[String, String] = toks.map { t =>
+      val body = t.drop(1)
+      val i = body.indexOf('=')
+      if (i < 0) body -> "" else body.take(i) -> body.drop(i + 1)
+    }.toMap
+    def num(k: String): Option[Double] = kv.get(k).flatMap(_.toDoubleOption)
+    def numOr(k: String, d: Double): Option[Double] = kv.get(k) match {
+      case None => Some(d)
+      case Some(v) => v.toDoubleOption // present-but-malformed ⇒ fail parse
+    }
+
+    // datum handling: WGS84/GRS80 (or nothing — proj defaults WGS84),
+    // or an explicit sphere; any real datum shift is unsupported
+    val towgsOk = kv.get("towgs84").forall(
+      _.split(",").forall(_.toDoubleOption.exists(_ == 0.0)))
+    val sphereR: Option[Double] = num("R").orElse {
+      (num("a"), num("b")) match {
+        case (Some(a), Some(b)) if a == b => Some(a)
+        case _ => None
+      }
+    }
+    val wgsLike = {
+      val ellpsOk = kv.get("ellps").forall(e =>
+        e.equalsIgnoreCase("WGS84") || e.equalsIgnoreCase("GRS80"))
+      val datumOk = kv.get("datum").forall(_.equalsIgnoreCase("WGS84"))
+      val aOk = num("a").forall(_ == WgsA)
+      ellpsOk && datumOk && aOk
+    }
+    if (!towgsOk) return None
+
+    kv.get("proj").flatMap {
+      case "longlat" | "latlong" if wgsLike =>
+        Some(Compiled((lon, lat) => (lon, lat), (x, y) => (x, y)))
+
+      case "merc" =>
+        // spherical (Web-)Mercator only: x = R·Δλ, y = R·ln tan(π/4+φ/2)
+        val rOpt = sphereR.orElse(if (wgsLike) Some(WgsA) else None)
+        for {
+          r <- rOpt
+          lon0 <- numOr("lon_0", 0.0)
+          _ <- numOr("k", 1.0).filter(_ == 1.0)
+          x0 <- numOr("x_0", 0.0); y0 <- numOr("y_0", 0.0)
+          _ <- numOr("lat_ts", 0.0).filter(_ == 0.0)
+        } yield Compiled(
+          (lon, lat) => (x0 + r * math.toRadians(lon - lon0),
+            y0 + r * math.log(math.tan(math.Pi / 4 + math.toRadians(lat) / 2))),
+          (x, y) => (lon0 + math.toDegrees((x - x0) / r),
+            math.toDegrees(2 * math.atan(math.exp((y - y0) / r)) - math.Pi / 2)))
+
+      case "utm" if wgsLike =>
+        kv.get("zone").flatMap(_.toIntOption)
+          .filter(z => z >= 1 && z <= 60).map { z =>
+            val south = kv.contains("south")
+            Compiled(
+              (lon, lat) => GtiMosaic.TransverseMercator.forward(z, south, lon, lat),
+              (x, y) => GtiMosaic.TransverseMercator.inverse(z, south, x, y))
+          }
+
+      case "tmerc" if wgsLike =>
+        for {
+          lat0 <- numOr("lat_0", 0.0); lon0 <- numOr("lon_0", 0.0)
+          k0 <- numOr("k", 1.0).flatMap(k => numOr("k_0", k))
+          x0 <- numOr("x_0", 0.0); y0 <- numOr("y_0", 0.0)
+        } yield Compiled(
+          (lon, lat) => GtiMosaic.TransverseMercator
+            .forwardGeneral(lat0, lon0, k0, x0, y0, lon, lat),
+          (x, y) => GtiMosaic.TransverseMercator
+            .inverseGeneral(lat0, lon0, k0, x0, y0, x, y))
+
+      case "lcc" if wgsLike =>
+        for {
+          lat1 <- num("lat_1")
+          lat2 <- numOr("lat_2", lat1)
+          lat0 <- numOr("lat_0", 0.0); lon0 <- numOr("lon_0", 0.0)
+          x0 <- numOr("x_0", 0.0); y0 <- numOr("y_0", 0.0)
+          _ <- numOr("k_0", 1.0).filter(_ == 1.0)
+        } yield {
+          val p = GtiMosaic.LambertConformal(lat1, lat2, lat0, lon0, x0, y0)
+          Compiled((lon, lat) => p.forward(lon, lat), (x, y) => p.inverse(x, y))
+        }
+
+      case "aea" if wgsLike =>
+        for {
+          lat1 <- num("lat_1")
+          lat2 <- numOr("lat_2", lat1)
+          lat0 <- numOr("lat_0", 0.0); lon0 <- numOr("lon_0", 0.0)
+          x0 <- numOr("x_0", 0.0); y0 <- numOr("y_0", 0.0)
+        } yield {
+          val p = GtiMosaic.AlbersEqualArea(lat1, lat2, lat0, lon0, x0, y0)
+          Compiled((lon, lat) => p.forward(lon, lat), (x, y) => p.inverse(x, y))
+        }
+
+      case "stere" if wgsLike =>
+        // polar aspect only (lat_0 = ±90): the variant-B kernel
+        for {
+          latO <- num("lat_0").filter(l => math.abs(l) == 90.0)
+          ts <- numOr("lat_ts", latO)
+          lon0 <- numOr("lon_0", 0.0)
+          x0 <- numOr("x_0", 0.0); y0 <- numOr("y_0", 0.0)
+        } yield {
+          val latTs = if (latO < 0) -math.abs(ts) else math.abs(ts)
+          val p = GtiMosaic.PolarStereographic(latTs, lon0, x0, y0)
+          Compiled((lon, lat) => p.forward(lon, lat), (x, y) => p.inverse(x, y))
+        }
+
+      case "sinu" =>
+        for {
+          lon0 <- numOr("lon_0", 0.0)
+          x0 <- numOr("x_0", 0.0); y0 <- numOr("y_0", 0.0)
+          c <- sphereR match {
+            case Some(r) =>
+              val p = GtiMosaic.Sinusoidal(lon0, r)
+              Some(Compiled(
+                (lon, lat) => p.forward(lon, lat), (x, y) => p.inverse(x, y)))
+            case None if wgsLike =>
+              val p = GtiMosaic.SinusoidalEllipsoidal(lon0)
+              Some(Compiled(
+                (lon, lat) => p.forward(lon, lat), (x, y) => p.inverse(x, y)))
+            case None => None
+          }
+        } yield
+          if (x0 == 0.0 && y0 == 0.0) c
+          else Compiled(
+            (lon, lat) => { val (x, y) = c.forward(lon, lat); (x + x0, y + y0) },
+            (x, y) => c.inverse(x - x0, y - y0))
+
+      case _ => None
+    }
+  }
+}

@@ -113,6 +113,63 @@ object ProfQ58 {
         .groupBy(col("h")).count()
         .filter(col("count") >= 2 && col("count") <= 1000).count()
     }
+    time("pass1-sortRuns") {
+      // no hash table: exchange on h, sort each partition's longs, count
+      // runs — keep h iff run length in [2, maxDf]
+      import spark.implicits._
+      docs.select(explode(hp).as("w"))
+        .select(col("w.h").as("h"))
+        .repartition(32, col("h"))
+        .as[Long]
+        .mapPartitions { it =>
+          val a = it.toArray
+          java.util.Arrays.sort(a)
+          val out = Array.newBuilder[Long]
+          var i = 0
+          while (i < a.length) {
+            var j = i + 1
+            while (j < a.length && a(j) == a(i)) j += 1
+            val c = j - i
+            if (c >= 2 && c <= 1000) out += a(i)
+            i = j
+          }
+          out.result().iterator
+        }.count()
+    }
+    time("full-sortRuns") {
+      import spark.implicits._
+      val keep = docs.select(explode(hp).as("w"))
+        .select(col("w.h").as("h"))
+        .repartition(32, col("h"))
+        .as[Long]
+        .mapPartitions { it =>
+          val a = it.toArray
+          java.util.Arrays.sort(a)
+          val out = Array.newBuilder[Long]
+          var i = 0
+          while (i < a.length) {
+            var j = i + 1
+            while (j < a.length && a(j) == a(i)) j += 1
+            val c = j - i
+            if (c >= 2 && c <= 1000) out += a(i)
+            i = j
+          }
+          out.result().iterator
+        }.toDF("h")
+      val sets = docs.select(col("doc_id").cast("long").as("doc_id"),
+          col("text").as("t"), explode(hp).as("w"))
+        .withColumn("h", col("w.h"))
+        .join(keep, Seq("h"), "left_semi")
+        .select(col("doc_id"), col("t").substr(col("w.pos"), lit(30)).as("sub"))
+        .groupBy("sub").agg(sort_array(collect_set(col("doc_id"))).as("ds"))
+        .filter(size(col("ds")) >= 2)
+      sets.select(col("sub"), explode(expr(
+          "flatten(transform(ds, (a, i) -> " +
+          "transform(slice(ds, i + 2, size(ds)), b -> struct(a, b))))")).as("pr"))
+        .groupBy(col("pr.a").as("id_a"), col("pr.b").as("id_b"))
+        .agg(count(lit(1)).as("shared"), min(col("sub")).as("example"))
+        .count()
+    }
     time("pass1-noPartialAgg") {
       // partial agg on ~all-distinct keys builds a 9M-entry map per task
       // just to emit the same rows — measure skipping it via typed agg

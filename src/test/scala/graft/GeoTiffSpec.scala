@@ -223,4 +223,62 @@ class GeoTiffSpec extends AnyFunSuite {
     val got = GeoTiff.readBand(tif, 0)
     assert(got.toSeq == samples.map(_.toFloat).toSeq)
   }
+
+  test("DEFLATE + floating-point predictor (3) decodes (TTN3 hand-build)") {
+    // 4x3 single-band float32, strip layout, II container — the GDAL
+    // PREDICTOR=3 float-COG combination. Values exercise sign, subnormal
+    // neighborhood, NaN and large magnitudes (byte planes differ wildly).
+    val w = 4; val h = 3
+    val samples = Array[Float](
+      1.5f, -2.25f, 0.0f, 3.14159f,
+      1e-38f, -1e38f, 42.0f, Float.NaN,
+      -0.5f, 0.5f, 123456.78f, -1e-20f)
+    val bps = 4
+    val enc = new Array[Byte](w * h * bps)
+    for (r <- 0 until h) {
+      val base = r * w * bps
+      // split the row's floats into byte planes, MSB first
+      for (c <- 0 until w) {
+        val bits = java.lang.Float.floatToRawIntBits(samples(r * w + c))
+        for (b <- 0 until bps)
+          enc(base + b * w + c) = ((bits >>> (8 * (3 - b))) & 0xff).toByte
+      }
+      // horizontal byte differencing at stride spp=1, high index first
+      var i = base + w * bps - 1
+      while (i > base) { enc(i) = (enc(i) - enc(i - 1)).toByte; i -= 1 }
+    }
+    val d = new java.util.zip.Deflater()
+    d.setInput(enc); d.finish()
+    val obuf = new java.io.ByteArrayOutputStream()
+    val tmp = new Array[Byte](4096)
+    while (!d.finished()) obuf.write(tmp, 0, d.deflate(tmp))
+    val payload = obuf.toByteArray
+    val dataOff = 8
+    val ifdOff = dataOff + payload.length + (payload.length & 1)
+    val entries = Seq( // tag, type, count, value
+      (256, 3, 1L, w.toLong), (257, 3, 1L, h.toLong), (258, 3, 1L, 32L),
+      (259, 3, 1L, 8L), (273, 4, 1L, dataOff.toLong), (277, 3, 1L, 1L),
+      (278, 4, 1L, h.toLong), (279, 4, 1L, payload.length.toLong),
+      (284, 3, 1L, 1L), (317, 3, 1L, 3L), (339, 3, 1L, 3L))
+    val out = java.nio.ByteBuffer.allocate(ifdOff + 2 + entries.size * 12 + 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put('I'.toByte).put('I'.toByte).putShort(42).putInt(ifdOff)
+    out.position(dataOff); out.put(payload)
+    out.position(ifdOff); out.putShort(entries.size.toShort)
+    for ((tag, typ, cnt, v) <- entries) {
+      out.putShort(tag.toShort).putShort(typ.toShort).putInt(cnt.toInt)
+      if (typ == 3) out.putShort(v.toShort).putShort(0) else out.putInt(v.toInt)
+    }
+    out.putInt(0)
+    val tif = out.array()
+    val fi = GeoTiff.info(tif)
+    assert(fi.compression == 8 && fi.predictor == 3 && fi.bits == 32 &&
+      fi.sampleFormat == 3)
+    val got = GeoTiff.readBand(tif, 0)
+    // bit-exact compare (NaN-safe)
+    assert(got.length == samples.length)
+    for (i <- samples.indices)
+      assert(java.lang.Float.floatToRawIntBits(got(i)) ==
+        java.lang.Float.floatToRawIntBits(samples(i)), s"sample $i")
+  }
 }

@@ -1,0 +1,164 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.raster.{GeoTiffWriter, GtiMosaic, Proj4}
+
+/** Proj4-string CRS interpreter: compiled projections must agree with the
+  * hand-registered kernels, round-trip, reject what the engine cannot do
+  * honestly (datum shifts, unknown projections), and drive `assemble` for
+  * tiles whose grid is an unregistered-but-parseable national grid — the
+  * reference's `CRS.from_string` path (flyte/build.py:56-75). */
+class Proj4Spec extends AnyFunSuite with SparkSpecBase {
+  import spark.implicits._
+
+  private val L93 = "+proj=lcc +lat_1=49 +lat_2=44 +lat_0=46.5 +lon_0=3 " +
+    "+x_0=700000 +y_0=6600000 +ellps=GRS80 +towgs84=0,0,0,0,0,0,0 " +
+    "+units=m +no_defs"
+
+  test("proj lcc string equals the gallery kernel (Lambert-93)") {
+    val c = Proj4.parse(L93).getOrElse(fail("L93 proj string must parse"))
+    val gallery = GtiMosaic.GridWarp.standard("EPSG:2154", "EPSG:4326").get
+    for (lon <- Seq(-4.0, 0.0, 3.0, 7.5); lat <- Seq(41.5, 44.0, 46.5, 49.0)) {
+      val (e1, n1) = c.forward(lon, lat)
+      val (e2, n2) = gallery.toFile(lon, lat)
+      assert(math.abs(e1 - e2) < 1e-9 && math.abs(n1 - n2) < 1e-9, s"($lon,$lat)")
+      val (lon2, lat2) = c.inverse(e1, n1)
+      assert(math.abs(lon2 - lon) < 1e-9 && math.abs(lat2 - lat) < 1e-9)
+    }
+  }
+
+  test("proj utm/tmerc strings equal the transverse Mercator kernel") {
+    val utm = Proj4.parse("+proj=utm +zone=31 +datum=WGS84 +units=m +no_defs")
+      .getOrElse(fail("utm must parse"))
+    val (e, n) = utm.forward(2.35, 48.86)
+    val (e2, n2) = GtiMosaic.TransverseMercator.forward(31, south = false, 2.35, 48.86)
+    assert(e == e2 && n == n2)
+    // the same zone written as an explicit tmerc is identical math
+    val tm = Proj4.parse("+proj=tmerc +lat_0=0 +lon_0=3 +k=0.9996 " +
+      "+x_0=500000 +y_0=0 +ellps=WGS84 +units=m +no_defs")
+      .getOrElse(fail("tmerc must parse"))
+    val (e3, n3) = tm.forward(2.35, 48.86)
+    assert(math.abs(e3 - e) < 1e-9 && math.abs(n3 - n) < 1e-9)
+    // NZTM2000-shaped grid (nonzero lat-origin false northing) round-trips
+    val nz = Proj4.parse("+proj=tmerc +lat_0=0 +lon_0=173 +k=0.9996 " +
+      "+x_0=1600000 +y_0=10000000 +ellps=GRS80 +units=m +no_defs").get
+    // ±5° from the central meridian: the 6-term Snyder series round-trips
+    // to ~1e-7 deg (≈1 cm) — series truncation, not a kernel bug
+    for (lon <- Seq(168.0, 173.0, 178.0); lat <- Seq(-46.0, -41.0, -35.0)) {
+      val (x, y) = nz.forward(lon, lat)
+      val (lon2, lat2) = nz.inverse(x, y)
+      assert(math.abs(lon2 - lon) < 1e-6 && math.abs(lat2 - lat) < 1e-6)
+    }
+  }
+
+  test("proj aea / stere / sinu / merc strings hit their kernels and round-trip") {
+    val conus = Proj4.parse("+proj=aea +lat_1=29.5 +lat_2=45.5 +lat_0=23 " +
+      "+lon_0=-96 +x_0=0 +y_0=0 +ellps=GRS80 +units=m +no_defs").get
+    val gallery = GtiMosaic.GridWarp.standard("EPSG:5070", "EPSG:4326").get
+    val (e1, n1) = conus.forward(-100.0, 40.0)
+    val (e2, n2) = gallery.toFile(-100.0, 40.0)
+    assert(math.abs(e1 - e2) < 1e-9 && math.abs(n1 - n2) < 1e-9)
+
+    val npolar = Proj4.parse("+proj=stere +lat_0=90 +lat_ts=70 +lon_0=-45 " +
+      "+x_0=0 +y_0=0 +datum=WGS84 +units=m +no_defs").get
+    val g3413 = GtiMosaic.GridWarp.standard("EPSG:3413", "EPSG:4326").get
+    val (p1, p2) = npolar.forward(-30.0, 75.0)
+    val (q1, q2) = g3413.toFile(-30.0, 75.0)
+    assert(math.abs(p1 - q1) < 1e-9 && math.abs(p2 - q2) < 1e-9)
+    // south aspect: lat_0=-90 resolves the southern kernel
+    val spolar = Proj4.parse("+proj=stere +lat_0=-90 +lat_ts=-71 +lon_0=0 " +
+      "+datum=WGS84").get
+    val (s1, s2) = spolar.forward(45.0, -75.0)
+    val g3031 = GtiMosaic.GridWarp.standard("EPSG:3031", "EPSG:4326").get
+    val (t1, t2) = g3031.toFile(45.0, -75.0)
+    assert(math.abs(s1 - t1) < 1e-9 && math.abs(s2 - t2) < 1e-9)
+
+    // MODIS sinusoidal sphere via +R; false offsets applied and inverted
+    val sinu = Proj4.parse("+proj=sinu +lon_0=0 +x_0=100 +y_0=-200 " +
+      "+R=6371007.181 +units=m +no_defs").get
+    val (x, y) = sinu.forward(10.0, 50.0)
+    val ref = GtiMosaic.Sinusoidal().forward(10.0, 50.0)
+    assert(math.abs(x - (ref._1 + 100)) < 1e-9 && math.abs(y - (ref._2 - 200)) < 1e-9)
+    val (lon2, lat2) = sinu.inverse(x, y)
+    assert(math.abs(lon2 - 10.0) < 1e-9 && math.abs(lat2 - 50.0) < 1e-9)
+    // ellipsoidal sinu (world sinusoidal) without +R
+    val sinuE = Proj4.parse("+proj=sinu +lon_0=0 +ellps=WGS84").get
+    val refE = GtiMosaic.SinusoidalEllipsoidal().forward(10.0, 50.0)
+    assert(sinuE.forward(10.0, 50.0) == refE)
+
+    // spherical Web-Mercator string equals the 3857 GridWarp
+    val merc = Proj4.parse("+proj=merc +a=6378137 +b=6378137 +lat_ts=0 " +
+      "+lon_0=0 +x_0=0 +y_0=0 +k=1 +units=m +no_defs").get
+    val (mx, my) = merc.forward(2.35, 48.86)
+    assert(math.abs(mx - GtiMosaic.GridWarp.GeoToWebMercator.invX(2.35)) < 1e-9 &&
+      math.abs(my - GtiMosaic.GridWarp.GeoToWebMercator.invY(48.86)) < 1e-9)
+
+    val ll = Proj4.parse("+proj=longlat +datum=WGS84 +no_defs").get
+    assert(ll.forward(12.5, -33.0) == ((12.5, -33.0)))
+  }
+
+  test("honest rejection: datum shifts, unknown projections, oblique stere") {
+    // OSGB36 (EPSG:27700) carries a real datum shift — must NOT parse
+    assert(Proj4.parse("+proj=tmerc +lat_0=49 +lon_0=-2 +k=0.9996012717 " +
+      "+x_0=400000 +y_0=-100000 +ellps=airy " +
+      "+towgs84=446.448,-125.157,542.06,0.15,0.247,0.842,-20.489").isEmpty)
+    // unknown projection family
+    assert(Proj4.parse("+proj=omerc +lat_0=4 +lonc=102.25 +alpha=323.13 " +
+      "+ellps=WGS84").isEmpty)
+    // oblique stereographic is not the polar kernel
+    assert(Proj4.parse("+proj=stere +lat_0=52.15 +lon_0=5.39 +ellps=WGS84").isEmpty)
+    // non-WGS84 ellipsoid without explicit sphere semantics
+    assert(Proj4.parse("+proj=lcc +lat_1=46 +lat_2=49 +lat_0=47 +lon_0=13 " +
+      "+ellps=bessel").isEmpty)
+    // malformed numeric fails the parse rather than defaulting
+    assert(Proj4.parse("+proj=lcc +lat_1=abc +lat_0=47 +lon_0=13 +ellps=WGS84").isEmpty)
+    // and GridWarp.standard stays fail-fast for them
+    assert(GtiMosaic.GridWarp.standard(
+      "+proj=omerc +lat_0=4 +ellps=WGS84", "EPSG:4326").isEmpty)
+  }
+
+  test("assemble: tiles in an unregistered-but-parseable proj-string grid") {
+    // a made-up national LCC grid that is NOT in the gallery
+    val projStr = "+proj=lcc +lat_1=40 +lat_2=44 +lat_0=42 +lon_0=12 " +
+      "+x_0=1500000 +y_0=2000000 +ellps=GRS80 +units=m +no_defs"
+    val kernel = GtiMosaic.LambertConformal(40.0, 44.0, 42.0, 12.0,
+      1500000.0, 2000000.0)
+    val (w, h) = (10, 10)
+    val cs = for (lon <- Seq(10.8, 13.2); lat <- Seq(40.8, 43.2))
+      yield kernel.forward(lon, lat)
+    val (eMin, eMax) = (cs.map(_._1).min - 500, cs.map(_._1).max + 500)
+    val (nMin, nMax) = (cs.map(_._2).min - 500, cs.map(_._2).max + 500)
+    val (fresx, fresy) = ((eMax - eMin) / w, (nMax - nMin) / h)
+    val fix = Files.createTempDirectory("graft-gti-proj").toString
+    Files.write(Paths.get(fix, "p.tif"), GeoTiffWriter.write(w, h,
+      Seq(Array.tabulate(w * h)(_.toFloat)),
+      pixelScale = (fresx, fresy), tiepoint = (eMin, nMax),
+      nodata = Some(Double.NaN)))
+    val dst = Files.createTempDirectory("graft-gti-proj-dst").toString
+    val mMeta = GtiMosaic.Meta("Float32", Double.NaN,
+      11.0, 41.0, 13.0, 43.0, 0.5, 0.5, 1, "nearest", "EPSG:4326")
+    val index = Seq(("s3://mosaic.fixtures/p.tif", 10.8, 40.8, 13.2, 43.2, projStr))
+      .toDF("location", "minx", "miny", "maxx", "maxy", "srs")
+    GtiMosaic.write(index.coalesce(1), dst, mMeta)
+    val localize = (loc: String) => Paths.get(fix, loc.split('/').last).toString
+    // auto-resolved from the proj string — no warp registration
+    val auto = GtiMosaic.assemble(spark, dst, 0, 4)(localize)
+      .collect().map(r => (r.cy, r.cx) -> r.data).toMap
+    // must equal the explicit kernel registration
+    val explicit = GtiMosaic.assemble(spark, dst, 0, 4,
+        warps = Map((projStr, "EPSG:4326") -> kernel.fromGeo))(localize)
+      .collect().map(r => (r.cy, r.cx) -> r.data).toMap
+    assert(auto.nonEmpty && auto.keySet == explicit.keySet &&
+      auto.forall { case (k, v) => java.util.Arrays.equals(v, explicit(k)) })
+    // spot-check pixel provenance against the kernel directly
+    for (py <- 0 until 4; px <- 0 until 4) {
+      val (lon, lat) = (11.0 + (px + 0.5) * 0.5, 43.0 - (py + 0.5) * 0.5)
+      val (e, n) = kernel.forward(lon, lat)
+      val fc = math.floor((e - eMin) / fresx).toInt
+      val fr = math.floor((nMax - n) / fresy).toInt
+      val got = auto((py / 4, px / 4))((py % 4) * 4 + (px % 4))
+      assert(got == (fr * w + fc).toFloat, s"($px,$py)")
+    }
+  }
+}

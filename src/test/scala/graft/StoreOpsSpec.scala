@@ -77,6 +77,63 @@ class StoreOpsSpec extends AnyFunSuite with SparkSpecBase {
     assert(found.isEmpty, s"partial files left: $found")
   }
 
+  test("auth header provider: credentialed HTTP fetch, plain + chunked") {
+    // auth-requiring stub server (reference parity: flyte/scenes.py:92-105
+    // threads secrets into the scene downloads as client headers)
+    val payload = Array.tabulate(40 * 1024 + 11)(i => (i * 17 + 3).toByte)
+    val srv = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    srv.createContext("/data/scene.bin", { ex =>
+      val got = Option(ex.getRequestHeaders.getFirst("Authorization"))
+      if (!got.contains("Bearer graft-test-token")) {
+        ex.sendResponseHeaders(401, -1); ex.close()
+      } else {
+        val range = Option(ex.getRequestHeaders.getFirst("Range"))
+        range match {
+          case Some(r) => // bytes=a-b inclusive
+            val Array(a, b) = r.stripPrefix("bytes=").split("-").map(_.toLong)
+            val slice = java.util.Arrays.copyOfRange(
+              payload, a.toInt, (b + 1).toInt)
+            ex.sendResponseHeaders(206, slice.length.toLong)
+            ex.getResponseBody.write(slice)
+          case None =>
+            ex.sendResponseHeaders(200, payload.length.toLong)
+            ex.getResponseBody.write(payload)
+        }
+        ex.close()
+      }
+    }: com.sun.net.httpserver.HttpHandler)
+    srv.start()
+    try {
+      val url = s"http://127.0.0.1:${srv.getAddress.getPort}/data/scene.bin"
+      val urls = Seq(url).toDF("url")
+      val bearer: Fetch.HeaderProvider =
+        _ => Map("Authorization" -> "Bearer graft-test-token")
+      // no credentials → the server rejects, the task fails (no silent skip)
+      val noAuthDir = Files.createTempDirectory("graft-auth-no")
+      intercept[org.apache.spark.SparkException] {
+        Fetch.fetchToDir(urls, "url", noAuthDir.toString,
+          retries = 0, backoffMs = 1L)().collect()
+      }
+      // with the provider the bytes land intact
+      val okDir = Files.createTempDirectory("graft-auth-ok")
+      val r = Fetch.fetchToDir(urls, "url", okDir.toString,
+        retries = 0, backoffMs = 1L, auth = bearer)().collect()
+      assert(r.length == 1 && r.head.getBoolean(3) &&
+        r.head.getLong(2) == payload.length.toLong)
+      assert(java.util.Arrays.equals(
+        Files.readAllBytes(okDir.resolve("data/scene.bin")), payload))
+      // chunked variant sends the header on the size probe AND every range
+      val chDir = Files.createTempDirectory("graft-auth-ch")
+      val rc = Fetch.fetchChunkedToDir(urls, "url", chDir.toString,
+        chunkBytes = 8 * 1024, connections = 3,
+        retries = 0, backoffMs = 1L, auth = bearer)().collect()
+      assert(rc.length == 1 && rc.head.getBoolean(3))
+      assert(java.util.Arrays.equals(
+        Files.readAllBytes(chDir.resolve("data/scene.bin")), payload))
+    } finally srv.stop(0)
+  }
+
   test("transient IO failures retry with backoff; success on retry, skip intact") {
     val src = Files.createTempDirectory("graft-flaky-src")
     val work = Files.createTempDirectory("graft-flaky-work")
