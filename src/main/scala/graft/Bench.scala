@@ -82,10 +82,15 @@ object Bench {
     val results = pass().map { case (name, dt) =>
       name -> math.min(dt, p1.getOrElse(name, dt))
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // 3-decimal formatting keeps the single JSON line within the driver's
+    // capture buffer (r06's full-precision line was truncated mid-stream and
+    // recorded as parsed:null); millisecond resolution loses nothing real
+    def fmt(v: Double): String =
+      BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -67,6 +67,40 @@ object Dedup {
     * re-aggregation. */
   def jaccardPairs(df: DataFrame, id: String, text: String, k: Int,
                    threshold: Double, maxDf: Option[Int] = None): DataFrame = {
+    val pairs = shinglePairCounts(df, id, text, k, maxDf)
+    val jac = col("inter") * lit(1.0) /
+      (col("na") + col("nb") - col("inter"))
+    pairs
+      .filter(jac >= threshold)
+      .select(PackedPair.idA(col("pair")).as("id_a"),
+        PackedPair.idB(col("pair")).as("id_b"),
+        roundp(jac, 6).as("jac"))
+  }
+
+  /** Overlap-coefficient (Jaccard-containment) near-dup pairs:
+    * score = |A∩B| / min(|A|,|B|) — the asymmetric-size criterion that
+    * catches a document EMBEDDED in a larger one (quote-plus-commentary,
+    * boilerplate-wrapped reposts), which plain Jaccard misses because the
+    * union is dominated by the larger side. Same inverted-index plan and
+    * `maxDf` scale guard as [[jaccardPairs]]; only the scoring differs. */
+  def containmentPairs(df: DataFrame, id: String, text: String, k: Int,
+                       threshold: Double, maxDf: Option[Int] = None): DataFrame = {
+    val pairs = shinglePairCounts(df, id, text, k, maxDf)
+    val ov = col("inter") * lit(1.0) / least(col("na"), col("nb"))
+    pairs
+      .filter(ov >= threshold)
+      .select(PackedPair.idA(col("pair")).as("id_a"),
+        PackedPair.idB(col("pair")).as("id_b"),
+        roundp(ov, 6).as("containment"))
+  }
+
+  /** Shared pair-intersection engine for the exhaustive shingle scorers:
+    * builds the size-carrying inverted index (df-capped), self-joins it,
+    * and returns one row per candidate pair — (packed pair, |A∩B|, |A|,
+    * |B|). Callers apply their scoring function; plan/persist notes below
+    * apply to every consumer. */
+  private def shinglePairCounts(df: DataFrame, id: String, text: String,
+                                k: Int, maxDf: Option[Int]): DataFrame = {
     val sets0 = shingleSets(df, id, text, k)
     def preSizedInv(sets: DataFrame): DataFrame = sets
       .withColumn("n", size(col("shingles")))
@@ -99,7 +133,7 @@ object Dedup {
     // SHUFFLE_HASH: the equi-key is a string — a sort-merge join would sort
     // every posting twice just to stream them; hashing one (per-partition
     // bounded) side is strictly cheaper and AQE still handles skew splits
-    val pairs = inv.as("a").join(inv.as("b").hint("SHUFFLE_HASH"),
+    inv.as("a").join(inv.as("b").hint("SHUFFLE_HASH"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .select(
         PackedPair.pack(col("a.doc_id"), col("b.doc_id")).as("pair"),
@@ -107,13 +141,6 @@ object Dedup {
       .groupBy(col("pair"))
       .agg(count(lit(1)).as("inter"),
         first(col("na0")).as("na"), first(col("nb0")).as("nb"))
-    val jac = col("inter") * lit(1.0) /
-      (col("na") + col("nb") - col("inter"))
-    pairs
-      .filter(jac >= threshold)
-      .select(PackedPair.idA(col("pair")).as("id_a"),
-        PackedPair.idB(col("pair")).as("id_b"),
-        roundp(jac, 6).as("jac"))
   }
 
   /** MinHash-LSH candidate pairs: n-hash signature, banded r rows/band,

@@ -350,12 +350,222 @@ object CurationQueries {
        |FROM r JOIN d ON d.source = r.source AND d.rn = r.rn
        |ORDER BY d.source, d.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q118
+
+  /** Hosts whose documents are dropped by q118's blocklist gate (the
+    * domain-level filter every web-corpus pipeline applies before
+    * content-level curation). */
+  val BlockedHosts = Seq("src3.example.com", "src7.example.com")
+
+  /** q118: URL canonicalization + domain blocklist + URL-level dedup —
+    * the first curation pass of a web crawl: normalize each document's
+    * URL (lowercase scheme/host, strip `www.`, strip `utm_*` tracking
+    * params, strip trailing slash), drop blocklisted domains, and pick
+    * the min-doc_id canonical per normalized URL. The corpus tables carry
+    * no URL column, so the URL is DERIVED deterministically from
+    * (source, doc_id) with mixed case, optional `www.`, tracking params
+    * and trailing slashes injected — the operator under test is the
+    * normalization pipeline itself (pure codegen'd regexp expressions).
+    *
+    * Scale shape: one projection over the scan, then one hash aggregation
+    * on the normalized URL + one join back for canonical assignment — the
+    * standard dedup-by-derived-key shape. */
+  def q118UrlNormalize(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val url = concat(
+      when($"doc_id" % 2 === 0, "HTTPS").otherwise("http"), lit("://"),
+      when($"doc_id" % 3 === 0, "WWW.").otherwise(""),
+      $"source", lit(".Example.COM"),
+      lit("/docs/"), ($"doc_id" % 50).cast("string"),
+      when($"doc_id" % 4 === 0, "/").otherwise(""),
+      when($"doc_id" % 5 === 0, concat(lit("?utm_source=feed&utm_campaign=c9&ref="), $"source"))
+        .when($"doc_id" % 5 === 1, concat(lit("?ref="), $"source"))
+        .otherwise(""))
+    val sch = lower(regexp_extract($"url", "^([a-zA-Z]+)://", 1))
+    val host = regexp_replace(
+      lower(regexp_extract($"url", "^[a-zA-Z]+://([^/?#]+)", 1)), "^www\\.", "")
+    val path = regexp_replace(regexp_extract($"url", "^[a-zA-Z]+://[^/?#]+([^?]*)", 1),
+      "/$", "")
+    val qs = regexp_replace(
+      regexp_replace(regexp_extract($"url", "\\?(.*)$", 1),
+        "(^|&)utm_[a-z_]+=[^&]*", ""),
+      "^&", "")
+    val withNorm = documents(s, d)
+      .select($"doc_id", url.as("url"))
+      .select($"doc_id",
+        concat(sch, lit("://"), host, path,
+          when(qs =!= "", concat(lit("?"), qs)).otherwise("")).as("url_norm"),
+        host.isInCollection(BlockedHosts).as("blocked"))
+    val canon = withNorm.groupBy($"url_norm")
+      .agg(min($"doc_id").as("canonical_id"))
+    withNorm.join(canon, Seq("url_norm"))
+      .select($"doc_id", $"url_norm", $"blocked",
+        $"canonical_id".cast("long").as("canonical_id"),
+        ($"doc_id" =!= $"canonical_id").as("is_dup"))
+      .orderBy($"doc_id")
+  }
+
+  val q118Sql: String = {
+    val blocked = BlockedHosts.map("'" + _ + "'").mkString(", ")
+    s"""WITH raw AS (SELECT doc_id,
+       |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'http' END) || '://' ||
+       |    (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END) ||
+       |    source || '.Example.COM' ||
+       |    '/docs/' || (doc_id % 50)::VARCHAR ||
+       |    (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END) ||
+       |    (CASE WHEN doc_id % 5 = 0
+       |          THEN '?utm_source=feed&utm_campaign=c9&ref=' || source
+       |          WHEN doc_id % 5 = 1 THEN '?ref=' || source
+       |          ELSE '' END) AS url
+       |  FROM documents),
+       |parts AS (SELECT doc_id,
+       |    lower(regexp_extract(url, '^([a-zA-Z]+)://', 1)) AS sch,
+       |    regexp_replace(lower(regexp_extract(url, '^[a-zA-Z]+://([^/?#]+)', 1)),
+       |      '^www\\.', '') AS host,
+       |    regexp_replace(regexp_extract(url, '^[a-zA-Z]+://[^/?#]+([^?]*)', 1),
+       |      '/$$', '') AS path,
+       |    regexp_replace(regexp_replace(regexp_extract(url, '\\?(.*)$$', 1),
+       |      '(^|&)utm_[a-z_]+=[^&]*', '', 'g'), '^&', '') AS qs
+       |  FROM raw),
+       |norm AS (SELECT doc_id,
+       |    sch || '://' || host || path ||
+       |      (CASE WHEN qs <> '' THEN '?' || qs ELSE '' END) AS url_norm,
+       |    host IN ($blocked) AS blocked
+       |  FROM parts),
+       |canon AS (SELECT url_norm, min(doc_id) AS canonical_id
+       |  FROM norm GROUP BY url_norm)
+       |SELECT n.doc_id, n.url_norm, n.blocked,
+       |  c.canonical_id::BIGINT AS canonical_id,
+       |  n.doc_id <> c.canonical_id AS is_dup
+       |FROM norm n JOIN canon c USING (url_norm)
+       |ORDER BY n.doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q119
+
+  /** q119: BPE merge-candidate counting — the inner statistic of
+    * byte-pair-encoding tokenizer training: count every ADJACENT token
+    * pair across the corpus and rank the top merge candidates. One
+    * codegen'd array expression per document (no self-join, no window:
+    * the pair stream comes from `transform(sequence)` inside the scan
+    * projection), one map-side-combinable count aggregation, and a
+    * TakeOrdered top-k — at 100 TB the shuffle carries |distinct pairs|
+    * partial counts, not the token stream. */
+  def q119BpePairs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.TextFunctions.tokens
+    documents(s, d)
+      .select(tokens($"text").as("ws"))
+      .filter(size($"ws") >= 2)
+      .select(explode(transform(sequence(lit(1), size($"ws") - 1),
+        i => concat(element_at($"ws", i), lit(" "), element_at($"ws", i + 1))))
+        .as("pair"))
+      .groupBy($"pair")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"pair")
+      .limit(20)
+  }
+
+  val q119Sql: String =
+    s"""WITH toks AS (SELECT ${DuckSql.tokensSql} AS ws FROM documents),
+       |nz AS (SELECT ws FROM toks WHERE len(ws) >= 2),
+       |p AS (SELECT unnest(list_transform(range(1, len(ws)),
+       |    i -> ws[i] || ' ' || ws[i + 1])) AS pair FROM nz)
+       |SELECT pair, count(*)::BIGINT AS n
+       |FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------- q120
+
+  /** q120's stub-embedder dimensionality and retrieval query text. */
+  val RetrievalDims  = 8
+  val RetrievalQuery = "spark window shuffle"
+  val RetrievalTopK  = 10
+
+  /** polyHash32 replayed at plan time (for the query-vector literals) —
+    * same fold as functions.HashExpressions.polyHash32. */
+  private def polyHash32Local(text: String): Long =
+    text.foldLeft(0L)((a, c) => (a * 31 + c.toLong) & 0xFFFFFFFFL)
+
+  /** Deterministic stub-embedder dimension d for a 32-bit content hash h:
+    * ((h·(2d+3)) mod 1000)/1000 − 0.5. Stands in for a real encoder the
+    * way the multimodal stubs do — the Spark-side plumbing (chunking,
+    * per-chunk embedding in the scan projection, top-k retrieval) is the
+    * operator under test, and DuckDB can replay the arithmetic exactly. */
+  private def stubDim(h: Long, d: Int): Double =
+    ((h * (2L * d + 3)) % 1000L) / 1000.0 - 0.5
+
+  /** q120: RAG-style chunk retrieval — documents split into 50-token
+    * chunks at stride 40 (q66's grid), each chunk embedded by the
+    * deterministic stub encoder IN the scan projection, scored by cosine
+    * against the query vector, global top-10. The retrieval shape at
+    * scale: no shuffle at all before the TakeOrdered top-k (chunking,
+    * embedding and scoring are one codegen'd projection; a real encoder
+    * would swap in via mapInPandas/ONNX without touching the plan).
+    * For index-backed (sublinear) retrieval over a persisted corpus, the
+    * IVF/PQ family (q40/q45/q49) is the scale path; this is the
+    * no-index scan form. */
+  def q120ChunkRetrieval(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.TextFunctions.{polyHash, roundp, tokens}
+    val qh = polyHash32Local(RetrievalQuery)
+    val qvec = (0 until RetrievalDims).map(stubDim(qh, _))
+    val qnorm = math.sqrt(qvec.map(x => x * x).sum)
+    val chunks = documents(s, d)
+      .select($"doc_id", tokens($"text").as("ws"))
+      .filter(size($"ws") > 0)
+      .select($"doc_id",
+        explode(sequence(lit(0), size($"ws") - 1, lit(40))).as("start"), $"ws")
+      .select($"doc_id", ($"start" / 40).cast("long").as("chunk_id"),
+        polyHash(concat_ws(" ", slice($"ws", $"start" + 1, lit(50)))).as("h"))
+    val dims = (0 until RetrievalDims).map(i =>
+      (($"h" * lit(2L * i + 3)) % lit(1000L)).cast("double") / lit(1000.0)
+        - lit(0.5))
+    val dot = dims.zip(qvec).map { case (c, q) => c * lit(q) }.reduceLeft(_ + _)
+    val normSq = dims.map(c => c * c).reduceLeft(_ + _)
+    chunks
+      .filter(normSq > 0)
+      .select($"doc_id", $"chunk_id",
+        roundp(dot / (sqrt(normSq) * lit(qnorm)), 6).as("score"))
+      .orderBy($"score".desc, $"doc_id", $"chunk_id")
+      .limit(RetrievalTopK)
+  }
+
+  val q120Sql: String = {
+    val qh = polyHash32Local(RetrievalQuery)
+    val qvec = (0 until RetrievalDims).map(stubDim(qh, _))
+    val qnorm = math.sqrt(qvec.map(x => x * x).sum)
+    val dimDefs = (0 until RetrievalDims).map(i =>
+      s"((h * ${2 * i + 3}) % 1000) / 1000.0 - 0.5 AS d$i").mkString(",\n|    ")
+    val dot = (0 until RetrievalDims)
+      .map(i => s"d$i * ${qvec(i)}").mkString(" + ")
+    val normSq = (0 until RetrievalDims).map(i => s"d$i * d$i").mkString(" + ")
+    s"""WITH toks AS (SELECT doc_id, ${DuckSql.tokensSql} AS ws FROM documents),
+       |nz AS (SELECT doc_id, ws FROM toks WHERE len(ws) > 0),
+       |st AS (SELECT doc_id, ws,
+       |    unnest(generate_series(0, len(ws) - 1, 40)) AS start FROM nz),
+       |c AS (SELECT doc_id, (start // 40)::BIGINT AS chunk_id,
+       |    ${DuckSql.polyHashSql(
+              "array_to_string(list_slice(ws, start + 1, start + 50), ' ')")}
+       |      AS h
+       |  FROM st),
+       |dims AS (SELECT doc_id, chunk_id,
+       |    $dimDefs
+       |  FROM c)
+       |SELECT doc_id, chunk_id,
+       |  ${DuckSql.roundpSql(s"($dot) / (sqrt($normSq) * $qnorm)", 6)} AS score
+       |FROM dims WHERE ($normSq) > 0
+       |ORDER BY score DESC, doc_id, chunk_id LIMIT $RetrievalTopK""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q102_pii_redact"       -> (q102PiiRedact _),
     "q104_semdedup"         -> (q104SemDedup _),
     "q112_mixture_rebalance" -> (q112MixtureRebalance _),
     "q113_curriculum"       -> (q113Curriculum _),
     "q114_sequence_pack"    -> (q114SequencePack _),
+    "q118_url_normalize"    -> (q118UrlNormalize _),
+    "q119_bpe_pairs"        -> (q119BpePairs _),
+    "q120_chunk_retrieval"  -> (q120ChunkRetrieval _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -364,5 +574,8 @@ object CurationQueries {
     "q112_mixture_rebalance" -> q112Sql,
     "q113_curriculum"       -> q113Sql,
     "q114_sequence_pack"    -> q114Sql,
+    "q118_url_normalize"    -> q118Sql,
+    "q119_bpe_pairs"        -> q119Sql,
+    "q120_chunk_retrieval"  -> q120Sql,
   )
 }

@@ -313,6 +313,146 @@ object DedupQueries {
          |FROM grouped ORDER BY doc_id""".stripMargin
   }
 
+  /** q115: dedup survivor selection — the ACTION step after clustering:
+    * each near-dup component (q51's MinHash-pair connected components)
+    * keeps exactly one representative, chosen by quality (longest text,
+    * doc_id tiebreak), and reports how much it purged. The survivor rule
+    * is argmax-by-struct — `max(struct(n_chars, -doc_id))` — one ordinary
+    * hash aggregation, so selection costs one shuffle over the PAIRED
+    * docs only (≪ corpus; unpaired docs trivially survive and are not
+    * re-listed).
+    *
+    * Scale shape: components from banded LSH (no all-pairs), the member
+    * join is |paired docs|, and the argmax aggregation is map-side
+    * combinable — nothing here sees the full corpus after the pair
+    * generation. */
+  def q115DedupSurvivors(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = documents(s, d)
+    val pairs = Dedup.minhashDedupPairs(docs, "doc_id", "text", 3, 0.8)
+    val comp = Dedup.connectedComponents(pairs, "id_a", "id_b")
+    comp.join(docs.select($"doc_id".as("id"), $"n_chars"), Seq("id"))
+      .groupBy($"component_id")
+      .agg(count(lit(1)).as("n_members"),
+        max(struct($"n_chars".as("c"), (-$"id").as("nid"))).as("best"))
+      .select($"component_id".cast("long").as("component_id"),
+        (-$"best.nid").cast("long").as("survivor_id"),
+        $"best.c".cast("long").as("survivor_chars"),
+        $"n_members")
+      .orderBy($"component_id")
+  }
+
+  val q115Sql: String =
+    jaccardPairsCte(0.8, None) +
+      """,
+        |edges AS (SELECT id_a AS a, id_b AS b FROM jpairs
+        |  UNION ALL SELECT id_b, id_a FROM jpairs),
+        |reach(id, r) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT re.id, e.b FROM reach re JOIN edges e ON re.r = e.a),
+        |comp AS (SELECT id, min(r) AS c FROM reach GROUP BY id),
+        |m AS (SELECT comp.c AS component_id, d.doc_id, d.n_chars
+        |  FROM comp JOIN documents d ON d.doc_id = comp.id),
+        |ranked AS (SELECT component_id, doc_id, n_chars,
+        |    count(*) OVER (PARTITION BY component_id) AS cnt,
+        |    row_number() OVER (PARTITION BY component_id
+        |      ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM m)
+        |SELECT component_id::BIGINT AS component_id,
+        |  doc_id::BIGINT AS survivor_id, n_chars::BIGINT AS survivor_chars,
+        |  cnt::BIGINT AS n_members
+        |FROM ranked WHERE rn = 1 ORDER BY component_id""".stripMargin
+
+  /** q116: overlap-coefficient (containment) near-dup pairs — catches a
+    * short document embedded in a longer one (|A∩B|/min(|A|,|B|) ≥ 0.9
+    * over word-3-gram sets), the asymmetric criterion plain Jaccard
+    * misses. Same inverted-index + df-cap plan as q27; only the scoring
+    * differs ([[graft.ops.Dedup.containmentPairs]]). */
+  def q116Containment(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Dedup.containmentPairs(documents(s, d), "doc_id", "text", 3, 0.9,
+        maxDf = Some(Q27MaxDf))
+      .orderBy($"id_a", $"id_b")
+  }
+
+  val q116Sql: String =
+    s"""WITH toks AS (SELECT doc_id, ${DuckSql.tokensSql} AS ws FROM documents),
+       |sh AS (SELECT doc_id, ${DuckSql.shinglesSql("ws", 3)} AS shingles
+       |  FROM toks WHERE len(ws) >= 3),
+       |ex0 AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+       |ex AS (SELECT doc_id, s FROM ex0 WHERE s NOT IN
+       |  (SELECT s FROM ex0 GROUP BY s HAVING count(*) > $Q27MaxDf)),
+       |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+       |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id)
+       |SELECT id_a, id_b,
+       |  ${DuckSql.roundpSql("inter * 1.0 / least(sa.n, sb.n)", 6)} AS containment
+       |FROM pairs
+       |JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+       |WHERE inter * 1.0 / least(sa.n, sb.n) >= 0.9
+       |ORDER BY id_a, id_b""".stripMargin
+
+  /** q117: segment-level (paragraph) dedup — the C4/Dolma granularity:
+    * documents split into disjoint 10-token segments; a segment INSTANCE
+    * is a duplicate when the same segment content occurred earlier in the
+    * corpus (first occurrence = min (doc_id, seg_idx), the deterministic
+    * scan-order dominance rule). Output per doc: segment count, duplicate
+    * count, kept fraction — the inputs to boilerplate trimming.
+    *
+    * Scale shape: one shuffle keyed by the 32-bit segment hash for the
+    * first-occurrence aggregate, one join back (both sides
+    * |segments|-sized, hash-partitioned), one per-doc aggregate. No
+    * windows, no self-join; the min-struct aggregate is map-side
+    * combinable. */
+  def q117SegmentDedup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.TextFunctions.{polyHash, roundp, tokens}
+    val segLen = 10
+    val segs = documents(s, d)
+      .select($"doc_id", tokens($"text").as("ws"))
+      .filter(size($"ws") > 0)
+      .select($"doc_id",
+        explode(sequence(lit(0), size($"ws") - 1, lit(segLen))).as("start"),
+        $"ws")
+      .select($"doc_id", ($"start" / segLen).cast("long").as("seg_idx"),
+        polyHash(concat_ws(" ", slice($"ws", $"start" + 1, lit(segLen))))
+          .as("h"))
+    val firstSeen = segs.groupBy($"h")
+      .agg(min(struct($"doc_id", $"seg_idx")).as("first"))
+    segs.join(firstSeen, Seq("h"))
+      .select($"doc_id", $"seg_idx",
+        (struct($"doc_id", $"seg_idx") =!= $"first").as("is_dup"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_segments"),
+        sum(when($"is_dup", 1L).otherwise(0L)).as("n_dup_segments"))
+      .select($"doc_id", $"n_segments", $"n_dup_segments",
+        roundp(($"n_segments" - $"n_dup_segments") * lit(1.0) / $"n_segments", 6)
+          .as("kept_frac"))
+      .orderBy($"doc_id")
+  }
+
+  val q117Sql: String =
+    s"""WITH toks AS (SELECT doc_id, ${DuckSql.tokensSql} AS ws FROM documents),
+       |nz AS (SELECT doc_id, ws FROM toks WHERE len(ws) > 0),
+       |st AS (SELECT doc_id, ws,
+       |    unnest(generate_series(0, len(ws) - 1, 10)) AS start FROM nz),
+       |seg AS (SELECT doc_id, (start // 10)::BIGINT AS seg_idx,
+       |    ${DuckSql.polyHashSql(
+              "array_to_string(list_slice(ws, start + 1, start + 10), ' ')")}
+       |      AS h
+       |  FROM st),
+       |marked AS (SELECT doc_id, seg_idx,
+       |    row_number() OVER (PARTITION BY h ORDER BY doc_id, seg_idx) > 1
+       |      AS is_dup
+       |  FROM seg)
+       |SELECT doc_id, count(*)::BIGINT AS n_segments,
+       |  count(*) FILTER (is_dup)::BIGINT AS n_dup_segments,
+       |  ${DuckSql.roundpSql(
+            "(count(*) - count(*) FILTER (is_dup)) * 1.0 / count(*)", 6)}
+       |    AS kept_frac
+       |FROM marked GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q99_entity_resolution" -> (q99EntityResolution _),
     "q26_dedup_exact"    -> (q26Exact _),
@@ -324,6 +464,9 @@ object DedupQueries {
     "q58_substring_dedup" -> (q58SubstringDedup _),
     "q73_fuzzy_join"     -> (q73FuzzyJoin _),
     "q109_leakage_split" -> (q109LeakageSplit _),
+    "q115_dedup_survivors" -> (q115DedupSurvivors _),
+    "q116_containment"   -> (q116Containment _),
+    "q117_segment_dedup" -> (q117SegmentDedup _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -337,5 +480,8 @@ object DedupQueries {
     "q58_substring_dedup" -> q58Sql,
     "q73_fuzzy_join"     -> q73Sql,
     "q109_leakage_split" -> q109Sql,
+    "q115_dedup_survivors" -> q115Sql,
+    "q116_containment"   -> q116Sql,
+    "q117_segment_dedup" -> q117Sql,
   )
 }
