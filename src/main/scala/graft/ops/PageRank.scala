@@ -59,16 +59,22 @@ object PageRank {
   def rank(spark: SparkSession, edges: DataFrame, iters: Int,
            scale: Long = 1000000000000L,
            maxBroadcastBytes: Long = 64L << 20): DataFrame = {
-    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+    // persist BEFORE the probe: the probe job fills the cache, so the
+    // (possibly expensive — q93's edges are a distinct over lineitem)
+    // edge derivation runs once, not once for the probe and again for
+    // the ranking variant (the variants see storageLevel set and skip
+    // their own re-persist)
+    val e = ScratchCache.register(
+      edges.select(col("src").cast("long"), col("dst").cast("long")).persist())
     val nNodes = e.select(explode(array(col("src"), col("dst"))).as("id"))
       .agg(approx_count_distinct(col("id")).as("n"))
       .head().getLong(0)
     if (broadcastFits(nNodes, maxBroadcastBytes)) {
       lastChoice = "broadcast"
-      rankIntBroadcast(spark, edges, iters, scale)
+      rankIntBroadcast(spark, e, iters, scale)
     } else {
       lastChoice = "distributed"
-      rankInt(spark, edges, iters, scale)
+      rankInt(spark, e, iters, scale)
     }
   }
 
@@ -76,9 +82,11 @@ object PageRank {
   def rankInt(spark: SparkSession, edges: DataFrame, iters: Int,
               scale: Long = 1000000000000L): DataFrame = {
     require(iters >= 1 && iters <= 20, "fixed small iteration count")
-    val e = ScratchCache.register(
-      edges.select(col("src").cast("long"), col("dst").cast("long"))
-        .repartition(col("src")).persist())
+    val pre = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .repartition(col("src"))
+    // an already-cached input (rank()'s probe) feeds the repartition from
+    // memory; only persist the co-partitioned layout itself
+    val e = ScratchCache.register(pre.persist())
     // node frame CARRIES the (static) out-degree: the rank generation is
     // (id, d, r) throughout, so no per-iteration rank⋈degree join exists —
     // dangling/linked are mere filters on the cached generation, and the
@@ -126,8 +134,13 @@ object PageRank {
                        scale: Long = 1000000000000L): DataFrame = {
     import spark.implicits._
     require(iters >= 1 && iters <= 20, "fixed small iteration count")
-    val e = ScratchCache.register(
-      edges.select(col("src").cast("long"), col("dst").cast("long")).persist())
+    // rank()'s probe hands the frame in already cached — don't write a
+    // second identical cache copy for the cast projection
+    val e =
+      if (edges.storageLevel.useMemory)
+        edges.select(col("src").cast("long"), col("dst").cast("long"))
+      else ScratchCache.register(
+        edges.select(col("src").cast("long"), col("dst").cast("long")).persist())
     // one setup job: nodes + out-degrees (|nodes| bounded by contract)
     val deg: Map[Long, Long] = e.groupBy($"src").count()
       .as[(Long, Long)].collect().toMap

@@ -19,11 +19,16 @@ import java.util.zip.Inflater
   * GeoTIFF ModelPixelScale / ModelTiepoint tags, GDAL's ASCII nodata
   * tag, and the COG overview IFD chain (`infos` walks it;
   * `readBand(_, _, level)` decodes a reduced-resolution page).
-  * Deliberately NOT a full TIFF stack: no JPEG — a reader for the scene
-  * files this engine's sink family writes and the subset of COGs the
-  * reference pipeline produces (driver=COG, BLOCKSIZE=512, default
-  * DEFLATE-or-none, plus the LZW/DEFLATE+predictor combinations common
-  * in the wild).
+  * Compression 7 (new-style JPEG, TIFF/EP) decodes each tile's JPEG
+  * stream through the JDK's javax.imageio codec, merging the shared
+  * JPEGTables tag (347) into abbreviated tile streams the way
+  * GDAL-written JPEG COGs expect; subsampled YCbCr tiles come back in
+  * the decoded (RGB) color space, matching GDAL's default
+  * JPEG_COLOR_MODE behavior. Deliberately NOT a full TIFF stack — a
+  * reader for the scene files this engine's sink family writes and the
+  * subset of COGs the reference pipeline produces (driver=COG,
+  * BLOCKSIZE=512, default DEFLATE-or-none, plus the LZW/DEFLATE/
+  * predictor/JPEG combinations common in the wild).
   *
   * Byte-array based by design: scenes are fetched to local disk first
   * (Fetch, S5) exactly like the reference's download-then-open, and one
@@ -38,7 +43,8 @@ object GeoTiff {
       pixelScale: Option[(Double, Double)],
       tiepoint: Option[(Double, Double)],
       nodata: Option[Double],
-      predictor: Int = 1) {
+      predictor: Int = 1,
+      jpegTables: Option[Array[Byte]] = None) {
     def tilesAcross: Int = (width + tileW - 1) / tileW
     def tilesDown: Int = (height + tileH - 1) / tileH
     def tilesPerPlane: Int = tilesAcross * tilesDown
@@ -159,9 +165,11 @@ object GeoTiff {
     val sampleFormat = one(339, 1).toInt
     val compression = one(259, 1).toInt
     val planar = one(284, 1).toInt
-    require(compression == 1 || compression == 5 || compression == 8 ||
-        compression == 32946,
-      s"compression $compression unsupported (none/LZW/deflate only)")
+    require(compression == 1 || compression == 5 || compression == 7 ||
+        compression == 8 || compression == 32946,
+      s"compression $compression unsupported (none/LZW/JPEG/deflate only)")
+    require(compression != 7 || bits == 8,
+      "JPEG tiles are 8-bit only (TIFF/EP new-style JPEG)")
     val predictor = es.get(317).map(longs(_)(0).toInt).getOrElse(1)
     require(predictor == 1 || predictor == 2 || predictor == 3,
       s"TIFF predictor $predictor unsupported (none/horizontal/floating-point)")
@@ -184,7 +192,9 @@ object GeoTiff {
         val t = s.trim
         if (t.equalsIgnoreCase("nan")) Some(Double.NaN) else t.toDoubleOption
       },
-      predictor)
+      predictor,
+      es.get(347).map(e => java.util.Arrays.copyOfRange(
+        e.raw, e.valueOffset.toInt, (e.valueOffset + e.count).toInt)))
   }
 
   private def inflate(src: Array[Byte], off: Long, len: Long, expected: Int): Array[Byte] = {
@@ -390,9 +400,54 @@ object GeoTiff {
     out
   }
 
+  /** Decode one JPEG (compression 7) tile/strip through javax.imageio.
+    * A JPEGTables tag (347) holds an abbreviated table stream
+    * (SOI…tables…EOI); tile streams then omit their own tables, and the
+    * interchange stream the codec wants is tables-minus-EOI ++
+    * tile-minus-SOI (TIFF/EP). Full self-contained tile streams (no 347)
+    * decode as-is. YCbCr sources come back color-converted (RGB) — the
+    * decoded color space is what the codec emits, mirroring GDAL's
+    * default JPEG_COLOR_MODE. */
+  private def jpegTileSamples(bytes: Array[Byte], fi: Info, idx: Int): Array[Float] = {
+    val spp = if (fi.planar == 1) fi.bands else 1
+    val off = fi.offsets(idx).toInt
+    val len = fi.byteCounts(idx).toInt
+    val stream = fi.jpegTables match {
+      case Some(tbl) if tbl.length > 4 =>
+        val out = new Array[Byte](tbl.length - 2 + len - 2)
+        System.arraycopy(tbl, 0, out, 0, tbl.length - 2)
+        System.arraycopy(bytes, off + 2, out, tbl.length - 2, len - 2)
+        out
+      case _ => java.util.Arrays.copyOfRange(bytes, off, off + len)
+    }
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(stream))
+    require(img != null, "JPEG tile decode produced no image")
+    val raster = img.getRaster
+    require(raster.getNumBands >= spp,
+      s"JPEG tile decodes to ${raster.getNumBands} bands, TIFF declares $spp")
+    val out = new Array[Float](fi.tileW * fi.tileH * spp)
+    val w = math.min(img.getWidth, fi.tileW)
+    val h = math.min(img.getHeight, fi.tileH)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var b = 0
+        while (b < spp) {
+          out((y * fi.tileW + x) * spp + b) = raster.getSample(x, y, b).toFloat
+          b += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
   /** Decoded samples of one tile/strip index as floats (tile-local C-order,
     * interleaved samples if planar=1). */
   private def tileSamples(bytes: Array[Byte], fi: Info, idx: Int, order0: ByteOrder): Array[Float] = {
+    if (fi.compression == 7) return jpegTileSamples(bytes, fi, idx)
     val samplesPerTile =
       fi.tileW * fi.tileH * (if (fi.planar == 1) fi.bands else 1)
     val raw0 =

@@ -11,10 +11,13 @@ package graft.raster
   * Supported: `+proj=longlat | merc (spherical, a=b) | utm | tmerc | lcc |
   * aea | stere (polar aspect) | sinu` on WGS84/GRS80 (flattening delta
   * < 0.1 mm — the gallery's treat-as-equal bridge) or an explicit sphere
-  * (`+R=` / `+a=+b=`, the MODIS-grid form). Anything else — unknown
-  * projections, non-WGS84 ellipsoids, nonzero `+towgs84` datum shifts,
-  * oblique stere — returns None, keeping `assemble`'s fail-fast contract
-  * rather than silently mis-warping.
+  * (`+R=` / `+a=+b=`, the MODIS-grid form); plus `+proj=sterea` (oblique
+  * double stereographic, EPSG 9809) on ANY registered ellipsoid with an
+  * optional nonzero `+towgs84` 3/7-parameter Helmert datum shift
+  * ([[Datum]]) — the RD-New-class national grids. Anything else — unknown
+  * projections, datum shifts on the fixed-WGS84 kernels — returns None,
+  * keeping `assemble`'s fail-fast contract rather than silently
+  * mis-warping.
   */
 object Proj4 {
 
@@ -44,9 +47,27 @@ object Proj4 {
     }
 
     // datum handling: WGS84/GRS80 (or nothing — proj defaults WGS84),
-    // or an explicit sphere; any real datum shift is unsupported
+    // or an explicit sphere. A REAL datum shift (nonzero +towgs84 on a
+    // legacy ellipsoid) is supported for the ellipsoid-parametrized
+    // kernels (sterea) via Datum.Helmert; the fixed-WGS84 kernels still
+    // refuse it — projecting Bessel geodetic coordinates through WGS84
+    // series constants would silently mis-warp by ~100 m.
     val towgsOk = kv.get("towgs84").forall(
       _.split(",").forall(_.toDoubleOption.exists(_ == 0.0)))
+    val helmert: Option[Datum.Helmert] = kv.get("towgs84") match {
+      case None => Some(Datum.Helmert(0, 0, 0))
+      case Some(v) =>
+        val ps = v.split(",").map(_.trim.toDoubleOption)
+        if (ps.exists(_.isEmpty)) None
+        else ps.flatten match {
+          case Array(dx, dy, dz) => Some(Datum.Helmert(dx, dy, dz))
+          case Array(dx, dy, dz, rx, ry, rz, s) =>
+            Some(Datum.Helmert(dx, dy, dz, rx, ry, rz, s))
+          case _ => None
+        }
+    }
+    val namedEll: Option[Datum.Ellipsoid] =
+      kv.get("ellps").flatMap(e => Datum.byName.get(e.toLowerCase))
     val sphereR: Option[Double] = num("R").orElse {
       (num("a"), num("b")) match {
         case (Some(a), Some(b)) if a == b => Some(a)
@@ -60,7 +81,8 @@ object Proj4 {
       val aOk = num("a").forall(_ == WgsA)
       ellpsOk && datumOk && aOk
     }
-    if (!towgsOk) return None
+    // fixed-WGS84 kernels refuse a real shift; sterea handles it below
+    if (!towgsOk && !kv.get("proj").contains("sterea")) return None
 
     kv.get("proj").flatMap {
       case "longlat" | "latlong" if wgsLike =>
@@ -122,6 +144,32 @@ object Proj4 {
         } yield {
           val p = GtiMosaic.AlbersEqualArea(lat1, lat2, lat0, lon0, x0, y0)
           Compiled((lon, lat) => p.forward(lon, lat), (x, y) => p.inverse(x, y))
+        }
+
+      case "sterea" =>
+        // oblique (double) stereographic, EPSG 9809 — ellipsoid-
+        // parametrized, so legacy datums (RD New on Bessel) work; a
+        // nonzero +towgs84 wraps the kernel in the Helmert datum shift
+        // (Compiled's geographic side stays WGS84 lon/lat)
+        for {
+          hm <- helmert
+          ell <- namedEll.orElse(if (wgsLike) Some(Datum.WGS84) else None)
+          lat0 <- numOr("lat_0", 0.0); lon0 <- numOr("lon_0", 0.0)
+          k0 <- numOr("k", 1.0).flatMap(k => numOr("k_0", k))
+          x0 <- numOr("x_0", 0.0); y0 <- numOr("y_0", 0.0)
+        } yield {
+          val p = Datum.ObliqueStereographic(lat0, lon0, k0, x0, y0, ell)
+          if (hm.isIdentity && ell.e2 == Datum.WGS84.e2 && ell.a == Datum.WGS84.a)
+            Compiled((lon, lat) => p.forward(lon, lat), (x, y) => p.inverse(x, y))
+          else Compiled(
+            (lon, lat) => {
+              val (ll, lp) = Datum.wgs84ToLocal(ell, hm, lon, lat)
+              p.forward(ll, lp)
+            },
+            (x, y) => {
+              val (ll, lp) = p.inverse(x, y)
+              Datum.localToWgs84(ell, hm, ll, lp)
+            })
         }
 
       case "stere" if wgsLike =>
