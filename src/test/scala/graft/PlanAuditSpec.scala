@@ -136,6 +136,39 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpecBase {
     assert(shuffles(df) == 0, plan) // per-partition top-k + driver merge
   }
 
+  test("q117 segment dedup: two hash shuffles + per-doc agg, no Window, no self-join") {
+    val df = graft.queries.DedupQueries.q117SegmentDedup(spark, sfSmoke)
+    val plan = planStr(df)
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    // hash(first-occurrence agg) + join-back + doc agg + output sort
+    assert(shuffles(df) <= 5, plan)
+  }
+
+  test("q119 BPE pairs: one count shuffle then TakeOrdered — no global sort") {
+    val df = graft.queries.CurationQueries.q119BpePairs(spark, sfSmoke)
+    val plan = planStr(df)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(shuffles(df) == 1, plan)
+  }
+
+  test("q120 chunk retrieval: zero shuffles before the TakeOrdered top-k") {
+    val df = graft.queries.CurationQueries.q120ChunkRetrieval(spark, sfSmoke)
+    val plan = planStr(df)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(shuffles(df) == 0, plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
+  test("q118 URL dedup: dedup-by-key aggregation + join back, hash joins only") {
+    val df = graft.queries.CurationQueries.q118UrlNormalize(spark, sfSmoke)
+    val plan = planStr(df)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
   test("q45 PQ ADC scan is the intended broadcast-NLJ; candidates rank via aggregate") {
     val emb = Tables.embeddings(spark, sfSmoke)
     val idx = graft.ops.PqIndex.build(emb, "vec_id", "embedding", m = 8, ksub = 16)
