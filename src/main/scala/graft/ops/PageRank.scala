@@ -141,11 +141,18 @@ object PageRank {
         edges.select(col("src").cast("long"), col("dst").cast("long"))
       else ScratchCache.register(
         edges.select(col("src").cast("long"), col("dst").cast("long")).persist())
-    // one setup job: nodes + out-degrees (|nodes| bounded by contract)
-    val deg: Map[Long, Long] = e.groupBy($"src").count()
-      .as[(Long, Long)].collect().toMap
-    val ids: Array[Long] = e.select($"src").union(e.select($"dst"))
-      .distinct().as[Long].collect().sorted
+    // ONE setup job: every node id with its out-degree (out-degree 0 =
+    // dangling) from a single explode + aggregate — not separate deg and
+    // distinct-ids jobs (per-job fixed cost dominates at gate SF; at
+    // scale it is one shuffle either way). |nodes| bounded by contract.
+    val nodeDeg: Array[(Long, Long)] = e.select(explode(array(
+        struct(col("src").as("id"), lit(1L).as("c")),
+        struct(col("dst").as("id"), lit(0L).as("c")))).as("x"))
+      .groupBy($"x.id".as("id")).agg(sum($"x.c").as("d"))
+      .as[(Long, Long)].collect()
+    val deg: Map[Long, Long] = nodeDeg.iterator
+      .filter(_._2 > 0).toMap
+    val ids: Array[Long] = nodeDeg.map(_._1).sorted
     val n = ids.length.toLong
     require(n > 0, "empty graph")
     val r0 = scale / n

@@ -1,0 +1,56 @@
+#!/usr/bin/env python3
+"""Per-oracle DuckDB timing at a given SF — the like-for-like baseline for
+BENCH comparisons (the judge flags any engine query > 2x its DuckDB twin).
+
+Usage: python3 tools/time_oracles.py <outDir-with-oracle_sql.json> [sfDir] [bench.json]
+
+Prints per-query DuckDB seconds; with a bench JSON (Bench's one-line output)
+also prints the engine/duck ratio sorted worst-first.
+"""
+import json, os, sys, time
+import duckdb
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def main():
+    out = sys.argv[1]
+    sf = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    bench = json.load(open(sys.argv[3]))["queries"] if len(sys.argv) > 3 else {}
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracles = json.load(open(os.path.join(out, "oracle_sql.json")))
+    rows = []
+    for name in sorted(oracles):
+        best = None
+        for _ in range(2):  # min of two, mirroring Bench
+            t0 = time.time()
+            try:
+                con.execute(oracles[name]).fetchall()
+                dt = time.time() - t0
+            except Exception as e:
+                dt = float("nan")
+                print(f"ERR {name}: {str(e)[:120]}")
+                break
+            best = dt if best is None else min(best, dt)
+        rows.append((name, best))
+    total = sum(r[1] for r in rows if r[1] == r[1])
+    print(f"duckdb total {total:.1f}s over {len(rows)} queries  sf={sf}")
+    if bench:
+        ratio = [(n, bench.get(n), d, (bench.get(n, 0) / d if d and d > 0.0 else None))
+                 for n, d in rows]
+        ratio.sort(key=lambda r: -(r[3] or 0))
+        print(f"engine total {sum(v for v in bench.values()):.1f}s")
+        print("worst engine/duck ratios:")
+        for n, e, d, r in ratio[:20]:
+            print(f"  {n}: engine={e}s duck={d:.3f}s ratio={r:.2f}" if r else f"  {n}: duck={d}")
+    else:
+        for n, d in sorted(rows, key=lambda r: -(r[1] or 0))[:20]:
+            print(f"  {n}: {d:.3f}s")
+
+
+if __name__ == "__main__":
+    main()
