@@ -120,10 +120,13 @@ object Datum {
       z + ep2 * ell.b * math.pow(math.sin(theta), 3),
       p - ell.e2 * ell.a * math.pow(math.cos(theta), 3))
     var i = 0
-    while (i < 6) { // fixpoint: φ = atan2(z + e²·ν·sinφ, p)
+    var delta = 1.0
+    while (i < 20 && delta > 1e-15) { // fixpoint: φ = atan2(z + e²·ν·sinφ, p)
       val sinP = math.sin(lat)
       val nu = ell.a / math.sqrt(1 - ell.e2 * sinP * sinP)
-      lat = math.atan2(z + ell.e2 * nu * sinP, p)
+      val next = math.atan2(z + ell.e2 * nu * sinP, p)
+      delta = math.abs(next - lat)
+      lat = next
       i += 1
     }
     (math.toDegrees(lon), math.toDegrees(lat))
@@ -145,6 +148,77 @@ object Datum {
     val (x, y, z) = geodeticToGeocentric(ell, lonDeg, latDeg)
     val (wx, wy, wz) = hm.forward(x, y, z)
     geocentricToGeodetic(WGS84, wx, wy, wz)
+  }
+
+  /** Transverse Mercator on an ARBITRARY ellipsoid (Snyder USGS PP 1395
+    * eqs. 8-9…8-25, the same series as the WGS84 gallery kernel but with
+    * the ellipsoid as a parameter) — the legacy-datum Gauss-Krüger /
+    * national-grid family (DHDN on Bessel, Pulkovo on Krassowsky, ED50
+    * UTM on International). Spec-pinned to the EPSG Guidance Note 7-2
+    * worked example (OSGB36 / British National Grid on Airy 1830) and to
+    * bit-equality with the WGS84 gallery kernel at WGS84 parameters. */
+  final case class EllipsoidalTransverseMercator(
+      lat0Deg: Double, lon0Deg: Double, k0: Double,
+      x0: Double, y0: Double, ell: Ellipsoid) {
+    private val A = ell.a
+    private val E2 = ell.e2
+    private val Ep2 = E2 / (1 - E2)
+
+    /** Meridian arc from the equator (Snyder 3-21). */
+    private def meridianArc(latDeg: Double): Double = {
+      val phi = math.toRadians(latDeg)
+      A * ((1 - E2 / 4 - 3 * E2 * E2 / 64 - 5 * E2 * E2 * E2 / 256) * phi -
+        (3 * E2 / 8 + 3 * E2 * E2 / 32 + 45 * E2 * E2 * E2 / 1024) * math.sin(2 * phi) +
+        (15 * E2 * E2 / 256 + 45 * E2 * E2 * E2 / 1024) * math.sin(4 * phi) -
+        (35 * E2 * E2 * E2 / 3072) * math.sin(6 * phi))
+    }
+
+    /** lon/lat degrees (on `ell`) → easting/northing meters. */
+    def forward(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      val phi = math.toRadians(latDeg)
+      val dLam = math.toRadians(lonDeg - lon0Deg)
+      val sinP = math.sin(phi); val cosP = math.cos(phi); val tanP = math.tan(phi)
+      val n = A / math.sqrt(1 - E2 * sinP * sinP)
+      val t = tanP * tanP
+      val c = Ep2 * cosP * cosP
+      val a1 = dLam * cosP
+      val m = meridianArc(latDeg) - meridianArc(lat0Deg)
+      val e = x0 + k0 * n * (a1 +
+        (1 - t + c) * a1 * a1 * a1 / 6 +
+        (5 - 18 * t + t * t + 72 * c - 58 * Ep2) * math.pow(a1, 5) / 120)
+      val n0 = y0 + k0 * (m + n * tanP * (a1 * a1 / 2 +
+        (5 - t + 9 * c + 4 * c * c) * math.pow(a1, 4) / 24 +
+        (61 - 58 * t + t * t + 600 * c - 330 * Ep2) * math.pow(a1, 6) / 720))
+      (e, n0)
+    }
+
+    /** easting/northing meters → lon/lat degrees (on `ell`). */
+    def inverse(easting: Double, northing: Double): (Double, Double) = {
+      val x = easting - x0
+      val y = northing - y0
+      val m = y / k0 + meridianArc(lat0Deg)
+      val mu = m / (A * (1 - E2 / 4 - 3 * E2 * E2 / 64 - 5 * E2 * E2 * E2 / 256))
+      val e1 = (1 - math.sqrt(1 - E2)) / (1 + math.sqrt(1 - E2))
+      val phi1 = mu +
+        (3 * e1 / 2 - 27 * math.pow(e1, 3) / 32) * math.sin(2 * mu) +
+        (21 * e1 * e1 / 16 - 55 * math.pow(e1, 4) / 32) * math.sin(4 * mu) +
+        (151 * math.pow(e1, 3) / 96) * math.sin(6 * mu) +
+        (1097 * math.pow(e1, 4) / 512) * math.sin(8 * mu)
+      val sinP = math.sin(phi1); val cosP = math.cos(phi1); val tanP = math.tan(phi1)
+      val c1 = Ep2 * cosP * cosP
+      val t1 = tanP * tanP
+      val n1 = A / math.sqrt(1 - E2 * sinP * sinP)
+      val r1 = A * (1 - E2) / math.pow(1 - E2 * sinP * sinP, 1.5)
+      val d = x / (n1 * k0)
+      val phi = phi1 - (n1 * tanP / r1) * (d * d / 2 -
+        (5 + 3 * t1 + 10 * c1 - 4 * c1 * c1 - 9 * Ep2) * math.pow(d, 4) / 24 +
+        (61 + 90 * t1 + 298 * c1 + 45 * t1 * t1 - 252 * Ep2 - 3 * c1 * c1) *
+          math.pow(d, 6) / 720)
+      val lam = (d - (1 + 2 * t1 + c1) * math.pow(d, 3) / 6 +
+        (5 - 2 * c1 + 28 * t1 - 3 * c1 * c1 + 8 * Ep2 + 24 * t1 * t1) *
+          math.pow(d, 5) / 120) / cosP
+      (lon0Deg + math.toDegrees(lam), math.toDegrees(phi))
+    }
   }
 
   /** Oblique (double) stereographic projection, EPSG method 9809 — the

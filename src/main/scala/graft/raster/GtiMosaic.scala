@@ -280,9 +280,10 @@ object GtiMosaic {
     * are REGISTERED explicitly (no EPSG auto-resolution): pass
     * `LambertConformal(...).toGeoFile` / `.fromGeoFile` in `warps`. */
   final case class LambertConformal(lat1: Double, lat2: Double,
-      lat0: Double, lon0: Double, falseE: Double = 0.0, falseN: Double = 0.0) {
-    private val a = 6378137.0
-    private val e = math.sqrt(1.0 / 298.257223563 * (2 - 1.0 / 298.257223563))
+      lat0: Double, lon0: Double, falseE: Double = 0.0, falseN: Double = 0.0,
+      ell: Datum.Ellipsoid = Datum.WGS84) {
+    private val a = ell.a
+    private val e = ell.e
 
     private def mFn(phi: Double) =
       math.cos(phi) / math.sqrt(1 - e * e * math.sin(phi) * math.sin(phi))
@@ -344,10 +345,11 @@ object GtiMosaic {
     * 3-16 on the ellipsoid; equal-area by construction (the property
     * tests check |Jacobian| equals the ellipsoidal area element). */
   final case class AlbersEqualArea(lat1: Double, lat2: Double,
-      lat0: Double, lon0: Double, falseE: Double = 0.0, falseN: Double = 0.0) {
-    private val a = 6378137.0
-    private val e2 = 1.0 / 298.257223563 * (2 - 1.0 / 298.257223563)
-    private val e = math.sqrt(e2)
+      lat0: Double, lon0: Double, falseE: Double = 0.0, falseN: Double = 0.0,
+      ell: Datum.Ellipsoid = Datum.WGS84) {
+    private val a = ell.a
+    private val e2 = ell.e2
+    private val e = ell.e
 
     private def mFn(phi: Double) =
       math.cos(phi) / math.sqrt(1 - e2 * math.sin(phi) * math.sin(phi))
@@ -486,10 +488,11 @@ object GtiMosaic {
     * conformal, true scale at the standard parallel (both
     * property-tested). */
   final case class PolarStereographic(latTs: Double, lon0: Double,
-      falseE: Double = 0.0, falseN: Double = 0.0) {
-    private val a = 6378137.0
-    private val e2 = 1.0 / 298.257223563 * (2 - 1.0 / 298.257223563)
-    private val e = math.sqrt(e2)
+      falseE: Double = 0.0, falseN: Double = 0.0,
+      ell: Datum.Ellipsoid = Datum.WGS84) {
+    private val a = ell.a
+    private val e2 = ell.e2
+    private val e = ell.e
     private val south = latTs < 0
 
     /** Snyder 15-9: conformal t(φ), north-aspect convention. */

@@ -11,13 +11,16 @@ package graft.raster
   * Supported: `+proj=longlat | merc (spherical, a=b) | utm | tmerc | lcc |
   * aea | stere (polar aspect) | sinu` on WGS84/GRS80 (flattening delta
   * < 0.1 mm — the gallery's treat-as-equal bridge) or an explicit sphere
-  * (`+R=` / `+a=+b=`, the MODIS-grid form); plus `+proj=sterea` (oblique
-  * double stereographic, EPSG 9809) on ANY registered ellipsoid with an
-  * optional nonzero `+towgs84` 3/7-parameter Helmert datum shift
-  * ([[Datum]]) — the RD-New-class national grids. Anything else — unknown
-  * projections, datum shifts on the fixed-WGS84 kernels — returns None,
-  * keeping `assemble`'s fail-fast contract rather than silently
-  * mis-warping.
+  * (`+R=` / `+a=+b=`, the MODIS-grid form). Legacy datums: `longlat`,
+  * `utm`, `tmerc`, `lcc`, `aea`, polar `stere` and `sterea` (oblique
+  * double stereographic, EPSG 9809) also compile on ANY registered
+  * `+ellps=` with an optional 3/7-parameter `+towgs84` Helmert shift
+  * ([[Datum]]) — the Gauss-Krüger/DHDN, ED50-UTM and RD-New national-
+  * grid classes; the Compiled geographic side is ALWAYS WGS84 lon/lat
+  * (the shift is composed inside). Anything else — unknown projections,
+  * unknown ellipsoid names, `+datum=` shorthands other than WGS84,
+  * nonzero shifts without a recognized ellipsoid — returns None, keeping
+  * `assemble`'s fail-fast contract rather than silently mis-warping.
   */
 object Proj4 {
 
@@ -47,11 +50,12 @@ object Proj4 {
     }
 
     // datum handling: WGS84/GRS80 (or nothing — proj defaults WGS84),
-    // or an explicit sphere. A REAL datum shift (nonzero +towgs84 on a
-    // legacy ellipsoid) is supported for the ellipsoid-parametrized
-    // kernels (sterea) via Datum.Helmert; the fixed-WGS84 kernels still
-    // refuse it — projecting Bessel geodetic coordinates through WGS84
-    // series constants would silently mis-warp by ~100 m.
+    // an explicit sphere, or a REGISTERED legacy ellipsoid; a nonzero
+    // +towgs84 compiles to a Datum.Helmert composed around the
+    // ellipsoid-parametrized kernel. A shift without a recognized
+    // ellipsoid fails the parse — projecting shifted geodetic
+    // coordinates through the wrong series constants would silently
+    // mis-warp by ~100 m.
     val towgsOk = kv.get("towgs84").forall(
       _.split(",").forall(_.toDoubleOption.exists(_ == 0.0)))
     val helmert: Option[Datum.Helmert] = kv.get("towgs84") match {
@@ -81,12 +85,50 @@ object Proj4 {
       val aOk = num("a").forall(_ == WgsA)
       ellpsOk && datumOk && aOk
     }
-    // fixed-WGS84 kernels refuse a real shift; sterea handles it below
-    if (!towgsOk && !kv.get("proj").contains("sterea")) return None
+    // the plain (no-datum-machinery) regime: WGS84 family AND identity
+    // shift — the original gallery kernels, bit-for-bit
+    val plainWgs = wgsLike && towgsOk
+    // legacy regime needs a registered ellipsoid to compile against
+    // (+datum= shorthands other than WGS84 stay unsupported)
+    val legacyEll: Option[Datum.Ellipsoid] =
+      if (kv.get("datum").forall(_.equalsIgnoreCase("WGS84"))) namedEll
+      else None
+    // a real shift needs (a) an ellipsoid we can compile against and
+    // (b) a projection family with a datum-composable kernel
+    if (!towgsOk && legacyEll.isEmpty && !wgsLike) return None
+    if (!towgsOk && !kv.get("proj").exists(Set("longlat", "latlong", "utm",
+        "tmerc", "lcc", "aea", "stere", "sterea"))) return None
+
+    // compose the Helmert datum shift around a kernel whose geodetic side
+    // is `ell`; Compiled's geographic side stays WGS84 lon/lat. GRS80 with
+    // an identity shift is the treat-as-equal bridge (no wrap).
+    def datumWrapped(p: Compiled, ell: Datum.Ellipsoid,
+                     hm: Datum.Helmert): Compiled =
+      if (hm.isIdentity && ell.a == Datum.WGS84.a &&
+          math.abs(ell.f - Datum.WGS84.f) < 1e-9) p
+      else Compiled(
+        (lon, lat) => {
+          val (ll, lp) = Datum.wgs84ToLocal(ell, hm, lon, lat)
+          p.forward(ll, lp)
+        },
+        (x, y) => {
+          val (ll, lp) = p.inverse(x, y)
+          Datum.localToWgs84(ell, hm, ll, lp)
+        })
+    // ellipsoid for a legacy path: named, or the WGS84 default when only
+    // the shift is non-plain (`+ellps=WGS84 +towgs84=...`)
+    def shiftEll: Option[Datum.Ellipsoid] =
+      legacyEll.orElse(if (wgsLike) Some(Datum.WGS84) else None)
 
     kv.get("proj").flatMap {
-      case "longlat" | "latlong" if wgsLike =>
+      case "longlat" | "latlong" if plainWgs =>
         Some(Compiled((lon, lat) => (lon, lat), (x, y) => (x, y)))
+
+      case "longlat" | "latlong" =>
+        // legacy-datum geographic CRS: the "projection" is the shift
+        for { hm <- helmert; ell <- shiftEll } yield
+          datumWrapped(Compiled((lon, lat) => (lon, lat), (x, y) => (x, y)),
+            ell, hm)
 
       case "merc" =>
         // spherical (Web-)Mercator only: x = R·Δλ, y = R·ln tan(π/4+φ/2)
@@ -103,7 +145,7 @@ object Proj4 {
           (x, y) => (lon0 + math.toDegrees((x - x0) / r),
             math.toDegrees(2 * math.atan(math.exp((y - y0) / r)) - math.Pi / 2)))
 
-      case "utm" if wgsLike =>
+      case "utm" if plainWgs =>
         kv.get("zone").flatMap(_.toIntOption)
           .filter(z => z >= 1 && z <= 60).map { z =>
             val south = kv.contains("south")
@@ -112,7 +154,22 @@ object Proj4 {
               (x, y) => GtiMosaic.TransverseMercator.inverse(z, south, x, y))
           }
 
-      case "tmerc" if wgsLike =>
+      case "utm" =>
+        // legacy-datum UTM (ED50 on International, etc.): the ellipsoidal
+        // kernel + Helmert wrap
+        for {
+          hm <- helmert; ell <- shiftEll
+          z <- kv.get("zone").flatMap(_.toIntOption).filter(z => z >= 1 && z <= 60)
+        } yield {
+          val p = Datum.EllipsoidalTransverseMercator(
+            0.0, GtiMosaic.TransverseMercator.centralMeridian(z), 0.9996,
+            500000.0, if (kv.contains("south")) 10000000.0 else 0.0, ell)
+          datumWrapped(
+            Compiled((lon, lat) => p.forward(lon, lat), (x, y) => p.inverse(x, y)),
+            ell, hm)
+        }
+
+      case "tmerc" if plainWgs =>
         for {
           lat0 <- numOr("lat_0", 0.0); lon0 <- numOr("lon_0", 0.0)
           k0 <- numOr("k", 1.0).flatMap(k => numOr("k_0", k))
@@ -123,7 +180,22 @@ object Proj4 {
           (x, y) => GtiMosaic.TransverseMercator
             .inverseGeneral(lat0, lon0, k0, x0, y0, x, y))
 
-      case "lcc" if wgsLike =>
+      case "tmerc" =>
+        // legacy-datum Gauss-Krüger (DHDN on Bessel, Pulkovo on
+        // Krassowsky): the ellipsoidal kernel + Helmert wrap
+        for {
+          hm <- helmert; ell <- shiftEll
+          lat0 <- numOr("lat_0", 0.0); lon0 <- numOr("lon_0", 0.0)
+          k0 <- numOr("k", 1.0).flatMap(k => numOr("k_0", k))
+          x0 <- numOr("x_0", 0.0); y0 <- numOr("y_0", 0.0)
+        } yield {
+          val p = Datum.EllipsoidalTransverseMercator(lat0, lon0, k0, x0, y0, ell)
+          datumWrapped(
+            Compiled((lon, lat) => p.forward(lon, lat), (x, y) => p.inverse(x, y)),
+            ell, hm)
+        }
+
+      case "lcc" if plainWgs =>
         for {
           lat1 <- num("lat_1")
           lat2 <- numOr("lat_2", lat1)
@@ -135,7 +207,25 @@ object Proj4 {
           Compiled((lon, lat) => p.forward(lon, lat), (x, y) => p.inverse(x, y))
         }
 
-      case "aea" if wgsLike =>
+      case "lcc" =>
+        // legacy-datum LCC (NTF Lambert zones on Clarke 1880 IGN-class
+        // ellipsoids approximated by clrk80, Belge 72): the parametrized
+        // gallery kernel + Helmert wrap
+        for {
+          hm <- helmert; ell <- shiftEll
+          lat1 <- num("lat_1")
+          lat2 <- numOr("lat_2", lat1)
+          lat0 <- numOr("lat_0", 0.0); lon0 <- numOr("lon_0", 0.0)
+          x0 <- numOr("x_0", 0.0); y0 <- numOr("y_0", 0.0)
+          _ <- numOr("k_0", 1.0).filter(_ == 1.0)
+        } yield {
+          val p = GtiMosaic.LambertConformal(lat1, lat2, lat0, lon0, x0, y0, ell)
+          datumWrapped(
+            Compiled((lon, lat) => p.forward(lon, lat), (x, y) => p.inverse(x, y)),
+            ell, hm)
+        }
+
+      case "aea" if plainWgs =>
         for {
           lat1 <- num("lat_1")
           lat2 <- numOr("lat_2", lat1)
@@ -146,6 +236,20 @@ object Proj4 {
           Compiled((lon, lat) => p.forward(lon, lat), (x, y) => p.inverse(x, y))
         }
 
+      case "aea" =>
+        for {
+          hm <- helmert; ell <- shiftEll
+          lat1 <- num("lat_1")
+          lat2 <- numOr("lat_2", lat1)
+          lat0 <- numOr("lat_0", 0.0); lon0 <- numOr("lon_0", 0.0)
+          x0 <- numOr("x_0", 0.0); y0 <- numOr("y_0", 0.0)
+        } yield {
+          val p = GtiMosaic.AlbersEqualArea(lat1, lat2, lat0, lon0, x0, y0, ell)
+          datumWrapped(
+            Compiled((lon, lat) => p.forward(lon, lat), (x, y) => p.inverse(x, y)),
+            ell, hm)
+        }
+
       case "sterea" =>
         // oblique (double) stereographic, EPSG 9809 — ellipsoid-
         // parametrized, so legacy datums (RD New on Bessel) work; a
@@ -153,26 +257,18 @@ object Proj4 {
         // (Compiled's geographic side stays WGS84 lon/lat)
         for {
           hm <- helmert
-          ell <- namedEll.orElse(if (wgsLike) Some(Datum.WGS84) else None)
+          ell <- shiftEll
           lat0 <- numOr("lat_0", 0.0); lon0 <- numOr("lon_0", 0.0)
           k0 <- numOr("k", 1.0).flatMap(k => numOr("k_0", k))
           x0 <- numOr("x_0", 0.0); y0 <- numOr("y_0", 0.0)
         } yield {
           val p = Datum.ObliqueStereographic(lat0, lon0, k0, x0, y0, ell)
-          if (hm.isIdentity && ell.e2 == Datum.WGS84.e2 && ell.a == Datum.WGS84.a)
-            Compiled((lon, lat) => p.forward(lon, lat), (x, y) => p.inverse(x, y))
-          else Compiled(
-            (lon, lat) => {
-              val (ll, lp) = Datum.wgs84ToLocal(ell, hm, lon, lat)
-              p.forward(ll, lp)
-            },
-            (x, y) => {
-              val (ll, lp) = p.inverse(x, y)
-              Datum.localToWgs84(ell, hm, ll, lp)
-            })
+          datumWrapped(
+            Compiled((lon, lat) => p.forward(lon, lat), (x, y) => p.inverse(x, y)),
+            ell, hm)
         }
 
-      case "stere" if wgsLike =>
+      case "stere" if plainWgs =>
         // polar aspect only (lat_0 = ±90): the variant-B kernel
         for {
           latO <- num("lat_0").filter(l => math.abs(l) == 90.0)
@@ -183,6 +279,22 @@ object Proj4 {
           val latTs = if (latO < 0) -math.abs(ts) else math.abs(ts)
           val p = GtiMosaic.PolarStereographic(latTs, lon0, x0, y0)
           Compiled((lon, lat) => p.forward(lon, lat), (x, y) => p.inverse(x, y))
+        }
+
+      case "stere" =>
+        // legacy-datum polar stereographic, same polar-only contract
+        for {
+          hm <- helmert; ell <- shiftEll
+          latO <- num("lat_0").filter(l => math.abs(l) == 90.0)
+          ts <- numOr("lat_ts", latO)
+          lon0 <- numOr("lon_0", 0.0)
+          x0 <- numOr("x_0", 0.0); y0 <- numOr("y_0", 0.0)
+        } yield {
+          val latTs = if (latO < 0) -math.abs(ts) else math.abs(ts)
+          val p = GtiMosaic.PolarStereographic(latTs, lon0, x0, y0, ell)
+          datumWrapped(
+            Compiled((lon, lat) => p.forward(lon, lat), (x, y) => p.inverse(x, y)),
+            ell, hm)
         }
 
       case "sinu" =>

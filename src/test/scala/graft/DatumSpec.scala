@@ -84,11 +84,109 @@ class DatumSpec extends AnyFunSuite {
       s"datum shift magnitude $dMeters m")
   }
 
-  test("proj4 still refuses a real datum shift on the fixed-WGS84 kernels") {
-    assert(Proj4.parse("+proj=tmerc +lat_0=0 +lon_0=9 +k=1 +x_0=3500000 " +
-      "+y_0=0 +ellps=bessel +towgs84=598.1,73.7,418.2,0.202,0.045,-2.455,6.7")
-      .isEmpty)
-    // identity towgs84 stays accepted
+  test("ellipsoidal tmerc reproduces the EPSG worked example (OSGB36 on Airy)") {
+    // EPSG Guidance Note 7-2, method 9807: British National Grid —
+    // lat_0 49°N, lon_0 2°W, k0 0.9996012717, FE 400000, FN -100000,
+    // Airy 1830; input 50°30'N 00°30'E -> E 577274.99, N 69740.50.
+    val bng = Datum.EllipsoidalTransverseMercator(
+      49.0, -2.0, 0.9996012717, 400000.0, -100000.0, Datum.byName("airy"))
+    val (e, n) = bng.forward(0.5, 50.5)
+    assert(math.abs(e - 577274.99) < 0.03, s"easting $e")
+    assert(math.abs(n - 69740.50) < 0.03, s"northing $n")
+    val (lon, lat) = bng.inverse(577274.99, 69740.50)
+    assert(math.abs(lon - 0.5) < 1e-6 && math.abs(lat - 50.5) < 1e-6,
+      s"inverse ($lon, $lat)")
+  }
+
+  test("ellipsoidal tmerc at WGS84 parameters equals the gallery kernel bit-for-bit") {
+    val p = Datum.EllipsoidalTransverseMercator(
+      0.0, 9.0, 0.9996, 500000.0, 0.0, Datum.WGS84)
+    for (lon <- Seq(7.2, 9.0, 11.4); lat <- Seq(-33.0, 0.0, 48.1, 71.5)) {
+      val (e1, n1) = p.forward(lon, lat)
+      val (e2, n2) = graft.raster.GtiMosaic.TransverseMercator
+        .forwardGeneral(0.0, 9.0, 0.9996, 500000.0, 0.0, lon, lat)
+      assert(e1 == e2 && n1 == n2, s"($lon,$lat): ($e1,$n1) vs ($e2,$n2)")
+    }
+  }
+
+  test("parametrized gallery kernels default to the exact WGS84 constants") {
+    import graft.raster.GtiMosaic.{AlbersEqualArea, LambertConformal, PolarStereographic}
+    val l1 = LambertConformal(44.0, 49.0, 46.5, 3.0, 700000.0, 6600000.0)
+    val l2 = LambertConformal(44.0, 49.0, 46.5, 3.0, 700000.0, 6600000.0, Datum.WGS84)
+    assert(l1.forward(2.35, 48.85) == l2.forward(2.35, 48.85))
+    val a1 = AlbersEqualArea(29.5, 45.5, 23.0, -96.0)
+    val a2 = AlbersEqualArea(29.5, 45.5, 23.0, -96.0, 0.0, 0.0, Datum.WGS84)
+    assert(a1.forward(-100.0, 40.0) == a2.forward(-100.0, 40.0))
+    val s1 = PolarStereographic(70.0, -45.0)
+    val s2 = PolarStereographic(70.0, -45.0, 0.0, 0.0, Datum.WGS84)
+    assert(s1.forward(-40.0, 75.0) == s2.forward(-40.0, 75.0))
+  }
+
+  private val dhdnProj = "+proj=tmerc +lat_0=0 +lon_0=9 +k=1 +x_0=3500000 " +
+    "+y_0=0 +ellps=bessel +towgs84=598.1,73.7,418.2,0.202,0.045,-2.455,6.7 " +
+    "+units=m +no_defs"
+
+  test("proj4 Gauss-Krüger on Bessel + 7-param shift (DHDN) compiles and shifts") {
+    val c = Proj4.parse(dhdnProj).getOrElse(fail("DHDN proj string rejected"))
+    // round-trip tolerance 1e-7 deg (~1 cm): the 2-D datum-shift
+    // convention discards ellipsoidal height on the local side, so a
+    // shifted round-trip is exact only to ~h·e² — inherent, same as PROJ
+    for (lon <- Seq(7.5, 9.0, 10.7); lat <- Seq(48.1, 50.9, 53.6)) {
+      val (e, n) = c.forward(lon, lat)
+      val (lon2, lat2) = c.inverse(e, n)
+      assert(math.abs(lon2 - lon) < 1e-7 && math.abs(lat2 - lat) < 1e-7,
+        s"($lon,$lat) -> ($lon2,$lat2)")
+    }
+    // vs the same grid WITHOUT the datum shift: the Helmert moves the
+    // projected point by the expected O(100 m)
+    val noShift = Proj4.parse("+proj=tmerc +lat_0=0 +lon_0=9 +k=1 " +
+      "+x_0=3500000 +y_0=0 +ellps=bessel").getOrElse(fail("rejected"))
+    val (e1, n1) = c.forward(9.5, 50.0)
+    val (e0, n0) = noShift.forward(9.5, 50.0)
+    val d = math.hypot(e1 - e0, n1 - n0)
+    assert(d > 30.0 && d < 500.0, s"datum shift moved $d m")
+  }
+
+  test("proj4 ED50 UTM (intl + 3-param shift) compiles; shift points the right way") {
+    val c = Proj4.parse("+proj=utm +zone=31 +ellps=intl " +
+      "+towgs84=-87,-98,-121 +units=m +no_defs").getOrElse(fail("rejected"))
+    val wgs = Proj4.parse("+proj=utm +zone=31 +ellps=WGS84")
+      .getOrElse(fail("rejected"))
+    // ED50 grid coordinates of a WGS84 point sit ~100-250 m away from the
+    // WGS84-grid coordinates (the classic European offset)
+    val (e1, n1) = c.forward(2.2945, 48.8584)
+    val (e2, n2) = wgs.forward(2.2945, 48.8584)
+    val d = math.hypot(e1 - e2, n1 - n2)
+    assert(d > 80.0 && d < 300.0, s"ED50 offset $d m")
+    val (lon, lat) = c.inverse(e1, n1)
+    assert(math.abs(lon - 2.2945) < 1e-8 && math.abs(lat - 48.8584) < 1e-8)
+  }
+
+  test("proj4 legacy longlat (bessel + shift) is the pure datum shift") {
+    val c = Proj4.parse("+proj=longlat +ellps=bessel " +
+      "+towgs84=565.417,50.3319,465.552,-0.398957,0.343988,-1.8774,4.0725")
+      .getOrElse(fail("rejected"))
+    val (lon, lat) = c.forward(5.38763888888889, 52.15616055555555)
+    val dMeters = math.hypot(
+      (lon - 5.38763888888889) * 111320.0 * math.cos(math.toRadians(52.16)),
+      (lat - 52.15616055555555) * 111132.0)
+    assert(dMeters > 20.0 && dMeters < 300.0, s"shift $dMeters m")
+    val (lon2, lat2) = c.inverse(lon, lat)
+    // 1e-7 deg: height-discard residual (see the DHDN round-trip note)
+    assert(math.abs(lon2 - 5.38763888888889) < 1e-7 &&
+      math.abs(lat2 - 52.15616055555555) < 1e-7)
+  }
+
+  test("proj4 still refuses what it cannot compile safely") {
+    // real shift with an unknown ellipsoid name
+    assert(Proj4.parse("+proj=tmerc +lat_0=0 +lon_0=9 +ellps=weird " +
+      "+towgs84=598.1,73.7,418.2").isEmpty)
+    // real shift on a projection family with no datum-composable kernel
+    assert(Proj4.parse("+proj=merc +towgs84=598.1,73.7,418.2").isEmpty)
+    assert(Proj4.parse("+proj=sinu +R=6371007.181 +towgs84=1,2,3").isEmpty)
+    // +datum= shorthands other than WGS84 stay unsupported
+    assert(Proj4.parse("+proj=tmerc +lat_0=0 +lon_0=9 +datum=potsdam").isEmpty)
+    // identity towgs84 stays accepted on the plain path
     assert(Proj4.parse("+proj=tmerc +lat_0=0 +lon_0=9 +k=0.9996 " +
       "+x_0=500000 +y_0=0 +ellps=WGS84 +towgs84=0,0,0").isDefined)
   }

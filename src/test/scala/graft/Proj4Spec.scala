@@ -98,19 +98,28 @@ class Proj4Spec extends AnyFunSuite with SparkSpecBase {
     assert(ll.forward(12.5, -33.0) == ((12.5, -33.0)))
   }
 
-  test("honest rejection: datum shifts, unknown projections, oblique stere") {
-    // OSGB36 (EPSG:27700) carries a real datum shift — must NOT parse
-    assert(Proj4.parse("+proj=tmerc +lat_0=49 +lon_0=-2 +k=0.9996012717 " +
+  test("honest rejection: unknown projections/ellipsoids, oblique stere") {
+    // OSGB36 (EPSG:27700) carries a real datum shift — round-7 Datum
+    // machinery now compiles it (DatumSpec pins the worked example);
+    // here just assert it parses and round-trips
+    val osgb = Proj4.parse("+proj=tmerc +lat_0=49 +lon_0=-2 +k=0.9996012717 " +
       "+x_0=400000 +y_0=-100000 +ellps=airy " +
-      "+towgs84=446.448,-125.157,542.06,0.15,0.247,0.842,-20.489").isEmpty)
+      "+towgs84=446.448,-125.157,542.06,0.15,0.247,0.842,-20.489")
+    assert(osgb.isDefined)
+    locally {
+      val c = osgb.get
+      val (e, n) = c.forward(-0.1276, 51.5074)
+      val (lon, lat) = c.inverse(e, n)
+      assert(math.abs(lon + 0.1276) < 1e-7 && math.abs(lat - 51.5074) < 1e-7)
+    }
     // unknown projection family
     assert(Proj4.parse("+proj=omerc +lat_0=4 +lonc=102.25 +alpha=323.13 " +
       "+ellps=WGS84").isEmpty)
-    // oblique stereographic is not the polar kernel
+    // oblique stereographic is not the polar kernel (sterea covers it)
     assert(Proj4.parse("+proj=stere +lat_0=52.15 +lon_0=5.39 +ellps=WGS84").isEmpty)
-    // non-WGS84 ellipsoid without explicit sphere semantics
+    // unknown ellipsoid name with a shift
     assert(Proj4.parse("+proj=lcc +lat_1=46 +lat_2=49 +lat_0=47 +lon_0=13 " +
-      "+ellps=bessel").isEmpty)
+      "+ellps=unknown1880 +towgs84=1,2,3").isEmpty)
     // malformed numeric fails the parse rather than defaulting
     assert(Proj4.parse("+proj=lcc +lat_1=abc +lat_0=47 +lon_0=13 +ellps=WGS84").isEmpty)
     // and GridWarp.standard stays fail-fast for them
