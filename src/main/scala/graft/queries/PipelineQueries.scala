@@ -433,7 +433,46 @@ object PipelineQueries {
       |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** q121: STREAMING heavy hitters — the Misra-Gries sketch Aggregator
+    * running as Structured Streaming update-mode state (like q65's HLL,
+    * for the frequency family): the state-store combine is the sketch
+    * merge. MG's recall guarantee — any token with frequency > n/k
+    * survives EVERY merge order — holds across arbitrary micro-batch
+    * slicing, so the final candidate set ⊇ the true φ-heavy hitters and
+    * the exact recount makes the output EQUAL the brute-force SQL
+    * (φ = ${SketchQueries.Q61Phi} ≫ 1/k). Same output as q61, so the
+    * same oracle — but computed through the streaming surface.
+    *
+    * Scale shape: each micro-batch ships one k-entry summary per
+    * partition into the state store; the recount touches only candidate
+    * tokens (≤ k) via a broadcast-able isin filter. */
+  def q121StreamHeavyHitters(s0: SparkSession, d: String): DataFrame = {
+    val (s, outDir, ckDir) = streamRun(s0, "graft_q121")
+    import s.implicits._
+    import graft.functions.TextFunctions
+    val mg = udaf(new graft.ops.Sketches.MisraGriesAgg(SketchQueries.Q61K),
+      org.apache.spark.sql.Encoders.STRING)
+    val batchSchema = graft.Tables.load(s, d, "documents").schema
+    val docs = s.readStream.schema(batchSchema)
+      .option("pathGlobFilter", "documents.parquet").parquet(d)
+    val stream = docs
+      .select(explode(TextFunctions.tokens($"text")).as("w"))
+      .agg(mg($"w").as("mg"))
+    runToParquet(stream, "update", outDir, ckDir, tagBatch = true)
+    val (n, cands) = s.read.parquet(outDir)
+      .orderBy($"batch_id".desc).limit(1)
+      .select($"mg._1", $"mg._2").as[(Long, Seq[(String, Long)])].head()
+    val candidates = cands.map(_._1)
+    graft.Tables.documents(s, d)
+      .select(explode(TextFunctions.tokens($"text")).as("w"))
+      .filter($"w".isInCollection(candidates))
+      .groupBy($"w").agg(count(lit(1)).as("c"))
+      .filter($"c" > lit(n) * SketchQueries.Q61Phi)
+      .orderBy($"c".desc, $"w")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q121_stream_heavy_hitters" -> (q121StreamHeavyHitters _),
     "q33_multimodal"    -> (q33Multimodal _),
     "q34_stream_window" -> (q34StreamWindow _),
     "q41_resize"        -> (q41Resize _),
@@ -446,6 +485,7 @@ object PipelineQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q121_stream_heavy_hitters" -> SketchQueries.q61Sql,
     "q33_multimodal"    -> q33Sql,
     "q34_stream_window" -> q34Sql,
     "q41_resize"        -> q41Sql,

@@ -62,8 +62,8 @@ object SketchQueries {
     * > n/513 ≈ 0.195 % < 0.5 %, so the candidate set is a superset of the
     * answer; the exact counting pass then filters with true counts —
     * output ≡ the plain GROUP BY/HAVING oracle. */
-  private val Q61Phi = 0.005
-  private val Q61K = 512
+  private[queries] val Q61Phi = 0.005
+  private[queries] val Q61K = 512
 
   /** q61: corpus heavy hitters — tokens exceeding 0.5 % of all tokens.
     * Pass 1 is one Misra-Gries hash aggregate (map-side combine, ≤ k

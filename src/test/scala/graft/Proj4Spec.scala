@@ -170,4 +170,43 @@ class Proj4Spec extends AnyFunSuite with SparkSpecBase {
       assert(got == (fr * w + fc).toFloat, s"($px,$py)")
     }
   }
+
+  test("assemble: tiles in a legacy-datum grid (DHDN Gauss-Krüger zone 3)") {
+    // EPSG:31467-style string: Bessel ellipsoid + 7-param Helmert shift —
+    // the datum-composed warp resolves straight from the proj string
+    val projStr = "+proj=tmerc +lat_0=0 +lon_0=9 +k=1 +x_0=3500000 " +
+      "+y_0=0 +ellps=bessel " +
+      "+towgs84=598.1,73.7,418.2,0.202,0.045,-2.455,6.7 +units=m +no_defs"
+    val c = Proj4.parse(projStr).getOrElse(fail("DHDN string rejected"))
+    val (w, h) = (10, 10)
+    val cs = for (lon <- Seq(7.8, 10.2); lat <- Seq(48.8, 51.2))
+      yield c.forward(lon, lat)
+    val (eMin, eMax) = (cs.map(_._1).min - 500, cs.map(_._1).max + 500)
+    val (nMin, nMax) = (cs.map(_._2).min - 500, cs.map(_._2).max + 500)
+    val (fresx, fresy) = ((eMax - eMin) / w, (nMax - nMin) / h)
+    val fix = Files.createTempDirectory("graft-gti-dhdn").toString
+    Files.write(Paths.get(fix, "d.tif"), GeoTiffWriter.write(w, h,
+      Seq(Array.tabulate(w * h)(_.toFloat)),
+      pixelScale = (fresx, fresy), tiepoint = (eMin, nMax),
+      nodata = Some(Double.NaN)))
+    val dst = Files.createTempDirectory("graft-gti-dhdn-dst").toString
+    val mMeta = GtiMosaic.Meta("Float32", Double.NaN,
+      8.0, 49.0, 10.0, 51.0, 0.5, 0.5, 1, "nearest", "EPSG:4326")
+    val index = Seq(("s3://mosaic.fixtures/d.tif", 7.8, 48.8, 10.2, 51.2, projStr))
+      .toDF("location", "minx", "miny", "maxx", "maxy", "srs")
+    GtiMosaic.write(index.coalesce(1), dst, mMeta)
+    val localize = (loc: String) => Paths.get(fix, loc.split('/').last).toString
+    val auto = GtiMosaic.assemble(spark, dst, 0, 4)(localize)
+      .collect().map(r => (r.cy, r.cx) -> r.data).toMap
+    assert(auto.nonEmpty)
+    // pixel provenance against the datum-composed kernel directly
+    for (py <- 0 until 4; px <- 0 until 4) {
+      val (lon, lat) = (8.0 + (px + 0.5) * 0.5, 51.0 - (py + 0.5) * 0.5)
+      val (e, n) = c.forward(lon, lat)
+      val fc = math.floor((e - eMin) / fresx).toInt
+      val fr = math.floor((nMax - n) / fresy).toInt
+      val got = auto((py / 4, px / 4))((py % 4) * 4 + (px % 4))
+      assert(got == (fr * w + fc).toFloat, s"($px,$py)")
+    }
+  }
 }

@@ -331,4 +331,15 @@ class SketchSpec extends AnyFunSuite with SparkSpecBase {
         r.getLong(3) == mn && r.getLong(4) == mx)
     }
   }
+
+  test("q121 streaming heavy hitters equals the batch q61 result (MG merge-order-free recall)") {
+    val stream = graft.queries.PipelineQueries
+      .q121StreamHeavyHitters(spark, sfSmoke)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val batch = graft.queries.SketchQueries
+      .q61HeavyHitters(spark, sfSmoke)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(stream == batch, s"stream $stream vs batch $batch")
+    assert(stream.nonEmpty)
+  }
 }
