@@ -557,7 +557,125 @@ object CurationQueries {
        |ORDER BY score DESC, doc_id, chunk_id LIMIT $RetrievalTopK""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q122
+
+  /** q122: the END-TO-END curation funnel — the full pre-training data
+    * pipeline (CCNet/Dolma shape) as ONE declarative composition, with
+    * per-stage survivor counts (the "funnel report" every pipeline run
+    * produces): raw → domain blocklist → language gate (q22's stopword
+    * argmax, en) → quality gate (length + lexical diversity) → exact
+    * dedup (min-id per identical text) → MinHash near-dedup at J ≥ 0.8
+    * (id-dominance drop) → benchmark decontamination (src0 = the held-out
+    * benchmark: its 5-gram hash set evicts contaminated corpus docs, and
+    * the benchmark docs themselves leave the training pool).
+    *
+    * Scale shape: every stage is a filter/aggregate on the survivor
+    * frame of the previous one — the only non-linear step is the
+    * banded-LSH near-dup pair generation, bounded exactly as in q28.
+    * The dedup-input and dedup-output frames are persisted (each feeds
+    * two consumers); everything upstream replays as codegen'd scans. */
+  def q122CurationFunnel(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.TextFunctions.{polyHash, shingles, stopwordCount, tokens}
+    val s0 = documents(s, d).select($"doc_id", $"text", $"source")
+    val s1 = s0.filter(!$"source".isInCollection(Seq("src3", "src7")))
+    val langCounts = Seq(
+      "n_de" -> Seq("der", "die", "das", "und"),
+      "n_en" -> Seq("the", "a", "of", "and"),
+      "n_es" -> Seq("el", "la", "los", "de"),
+      "n_fr" -> Seq("le", "les", "des", "et"))
+    val l = langCounts.foldLeft(s1.withColumn("ws", tokens($"text"))) {
+      case (df, (n, wlist)) => df.withColumn(n, stopwordCount($"ws", wlist))
+    }
+    val g = greatest($"n_de", $"n_en", $"n_es", $"n_fr")
+    // q22's argmax rule restricted to 'en': max > 0, en hits it, de
+    // (earlier in code order) does not
+    val s2 = l.filter(g > 0 && $"n_en" === g && $"n_de" < g)
+      .select($"doc_id", $"text", $"source", $"ws")
+    val s3 = s2.filter(size($"ws") >= 20 &&
+      size(array_distinct($"ws")) * lit(1.0) / size($"ws") >= 0.4)
+    val canon = s3.groupBy(lower($"text").as("lt"))
+      .agg(min($"doc_id").as("keep_id"))
+    val s4 = graft.ops.ScratchCache.register(
+      s3.join(canon,
+        lower(s3("text")) === canon("lt") && s3("doc_id") === canon("keep_id"),
+        "left_semi").persist())
+    val pairs = graft.ops.Dedup.minhashDedupPairs(s4, "doc_id", "text", 3, 0.8)
+    val drops = pairs.select($"id_b").distinct()
+    val s5 = graft.ops.ScratchCache.register(
+      s4.join(drops, s4("doc_id") === drops("id_b"), "left_anti").persist())
+    val benchGrams = documents(s, d).filter($"source" === "src0")
+      .select(explode(shingles(tokens($"text"), 5)).as("gr"))
+      .select(polyHash($"gr").as("h")).distinct()
+    val contaminated = s5.filter($"source" =!= "src0")
+      .select($"doc_id", explode(shingles($"ws", 5)).as("gr"))
+      .select($"doc_id", polyHash($"gr").as("h"))
+      .join(benchGrams, Seq("h"), "left_semi")
+      .select($"doc_id").distinct()
+    val s6 = s5.filter($"source" =!= "src0")
+      .join(contaminated, Seq("doc_id"), "left_anti")
+    Seq(
+      "0_input" -> s0, "1_url_blocklist" -> s1, "2_lang" -> s2,
+      "3_quality" -> s3, "4_exact_dedup" -> s4, "5_near_dedup" -> s5,
+      "6_decontaminated" -> s6)
+      .map { case (name, df) => (name, df.count()) }
+      .toDF("stage", "n_docs")
+      .orderBy($"stage")
+  }
+
+  val q122Sql: String = {
+    val toks = DuckSql.tokensSql
+    def cnt(wordsSql: String) =
+      s"len(list_filter(ws, w -> w IN ($wordsSql)))::BIGINT"
+    s"""WITH s0 AS (SELECT doc_id, text, source FROM documents),
+       |s1 AS (SELECT * FROM s0 WHERE source NOT IN ('src3', 'src7')),
+       |t1 AS (SELECT doc_id, text, source, $toks AS ws FROM s1),
+       |lng AS (SELECT doc_id, text, source, ws,
+       |    ${cnt("'der','die','das','und'")} AS n_de,
+       |    ${cnt("'the','a','of','and'")} AS n_en,
+       |    ${cnt("'el','la','los','de'")} AS n_es,
+       |    ${cnt("'le','les','des','et'")} AS n_fr
+       |  FROM t1),
+       |s2 AS (SELECT doc_id, text, source, ws FROM lng
+       |  WHERE greatest(n_de, n_en, n_es, n_fr) > 0
+       |    AND n_en = greatest(n_de, n_en, n_es, n_fr)
+       |    AND n_de < greatest(n_de, n_en, n_es, n_fr)),
+       |s3 AS (SELECT * FROM s2 WHERE len(ws) >= 20
+       |  AND len(list_distinct(ws)) * 1.0 / len(ws) >= 0.4),
+       |s4 AS (SELECT * FROM s3 WHERE doc_id IN
+       |  (SELECT min(doc_id) FROM s3 GROUP BY lower(text))),
+       |sh AS (SELECT doc_id, ${DuckSql.shinglesSql("ws", 3)} AS shingles
+       |  FROM s4 WHERE len(ws) >= 3),
+       |ex AS (SELECT doc_id, unnest(shingles) AS sg FROM sh),
+       |pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+       |  FROM ex a JOIN ex b ON a.sg = b.sg AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |sz AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY 1),
+       |drops AS (SELECT DISTINCT id_b FROM pr
+       |  JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+       |  WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.8),
+       |s5 AS (SELECT * FROM s4 WHERE doc_id NOT IN (SELECT id_b FROM drops)),
+       |bt AS (SELECT $toks AS ws FROM documents WHERE source = 'src0'),
+       |bg AS (SELECT DISTINCT ${DuckSql.polyHashSql("gr")} AS h FROM
+       |  (SELECT unnest(${DuckSql.shinglesSql("ws", 5)}) AS gr FROM bt)),
+       |s5g AS (SELECT doc_id, unnest(${DuckSql.shinglesSql("ws", 5)}) AS gr
+       |  FROM s5 WHERE source <> 'src0'),
+       |cont AS (SELECT DISTINCT doc_id FROM s5g
+       |  WHERE ${DuckSql.polyHashSql("gr")} IN (SELECT h FROM bg)),
+       |s6 AS (SELECT * FROM s5 WHERE source <> 'src0'
+       |  AND doc_id NOT IN (SELECT doc_id FROM cont))
+       |SELECT '0_input' AS stage, count(*)::BIGINT AS n_docs FROM s0
+       |UNION ALL SELECT '1_url_blocklist', count(*)::BIGINT FROM s1
+       |UNION ALL SELECT '2_lang', count(*)::BIGINT FROM s2
+       |UNION ALL SELECT '3_quality', count(*)::BIGINT FROM s3
+       |UNION ALL SELECT '4_exact_dedup', count(*)::BIGINT FROM s4
+       |UNION ALL SELECT '5_near_dedup', count(*)::BIGINT FROM s5
+       |UNION ALL SELECT '6_decontaminated', count(*)::BIGINT FROM s6
+       |ORDER BY stage""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q122_curation_funnel"  -> (q122CurationFunnel _),
     "q102_pii_redact"       -> (q102PiiRedact _),
     "q104_semdedup"         -> (q104SemDedup _),
     "q112_mixture_rebalance" -> (q112MixtureRebalance _),
@@ -569,6 +687,7 @@ object CurationQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q122_curation_funnel"  -> q122Sql,
     "q102_pii_redact"       -> q102Sql,
     "q104_semdedup"         -> q104Sql,
     "q112_mixture_rebalance" -> q112Sql,

@@ -110,6 +110,18 @@ class CorpusOpsSpec extends AnyFunSuite with SparkSpecBase {
     assert(got.toList == List(("a b", 3L), ("b a", 1L), ("b c", 1L)))
   }
 
+  test("q122 curation funnel: stages monotonically shrink and end non-empty") {
+    val rows = CurationQueries.q122CurationFunnel(spark, sfSmoke)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.map(_._1).toSeq == Seq("0_input", "1_url_blocklist",
+      "2_lang", "3_quality", "4_exact_dedup", "5_near_dedup",
+      "6_decontaminated"))
+    val ns = rows.map(_._2)
+    assert(ns.zip(ns.tail).forall { case (a, b) => b <= a },
+      s"funnel must shrink: ${ns.toSeq}")
+    assert(ns.last > 0 && ns.last < ns.head)
+  }
+
   test("q120 retrieval: top-k size, score bounds, and deterministic order") {
     val rows = CurationQueries.q120ChunkRetrieval(spark, sfSmoke).collect()
     assert(rows.length == CurationQueries.RetrievalTopK)
