@@ -577,23 +577,36 @@ object CurationQueries {
   def q122CurationFunnel(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import graft.functions.TextFunctions.{polyHash, shingles, stopwordCount, tokens}
-    val s0 = documents(s, d).select($"doc_id", $"text", $"source")
-    val s1 = s0.filter(!$"source".isInCollection(Seq("src3", "src7")))
     val langCounts = Seq(
       "n_de" -> Seq("der", "die", "das", "und"),
       "n_en" -> Seq("the", "a", "of", "and"),
       "n_es" -> Seq("el", "la", "los", "de"),
       "n_fr" -> Seq("le", "les", "des", "et"))
-    val l = langCounts.foldLeft(s1.withColumn("ws", tokens($"text"))) {
+    // stages 0-3 are row-local predicates: evaluate them as FLAGS in one
+    // projection so all four funnel counts come from a single scan
+    // (conditional aggregation), instead of one count job per stage
+    val flagged0 = langCounts.foldLeft(documents(s, d)
+        .select($"doc_id", $"text", $"source")
+        .withColumn("ws", tokens($"text"))) {
       case (df, (n, wlist)) => df.withColumn(n, stopwordCount($"ws", wlist))
     }
     val g = greatest($"n_de", $"n_en", $"n_es", $"n_fr")
-    // q22's argmax rule restricted to 'en': max > 0, en hits it, de
-    // (earlier in code order) does not
-    val s2 = l.filter(g > 0 && $"n_en" === g && $"n_de" < g)
+    val flagged = flagged0
+      .withColumn("f_url", !$"source".isInCollection(Seq("src3", "src7")))
+      // q22's argmax rule restricted to 'en': max > 0, en hits it, de
+      // (earlier in code order) does not
+      .withColumn("f_lang", $"f_url" && g > 0 && $"n_en" === g && $"n_de" < g)
+      .withColumn("f_qual", $"f_lang" && size($"ws") >= 20 &&
+        size(array_distinct($"ws")) * lit(1.0) / size($"ws") >= 0.4)
+    val Row4 = flagged.agg(
+      count(lit(1)).as("n0"),
+      sum(when($"f_url", 1L).otherwise(0L)).as("n1"),
+      sum(when($"f_lang", 1L).otherwise(0L)).as("n2"),
+      sum(when($"f_qual", 1L).otherwise(0L)).as("n3")).head()
+    val (n0, n1, n2, n3) =
+      (Row4.getLong(0), Row4.getLong(1), Row4.getLong(2), Row4.getLong(3))
+    val s3 = flagged.filter($"f_qual")
       .select($"doc_id", $"text", $"source", $"ws")
-    val s3 = s2.filter(size($"ws") >= 20 &&
-      size(array_distinct($"ws")) * lit(1.0) / size($"ws") >= 0.4)
     val canon = s3.groupBy(lower($"text").as("lt"))
       .agg(min($"doc_id").as("keep_id"))
     val s4 = graft.ops.ScratchCache.register(
@@ -614,11 +627,12 @@ object CurationQueries {
       .select($"doc_id").distinct()
     val s6 = s5.filter($"source" =!= "src0")
       .join(contaminated, Seq("doc_id"), "left_anti")
-    Seq(
-      "0_input" -> s0, "1_url_blocklist" -> s1, "2_lang" -> s2,
-      "3_quality" -> s3, "4_exact_dedup" -> s4, "5_near_dedup" -> s5,
-      "6_decontaminated" -> s6)
-      .map { case (name, df) => (name, df.count()) }
+    (Seq(
+      "0_input" -> n0, "1_url_blocklist" -> n1, "2_lang" -> n2,
+      "3_quality" -> n3) ++
+      Seq("4_exact_dedup" -> s4, "5_near_dedup" -> s5,
+        "6_decontaminated" -> s6)
+        .map { case (name, df) => (name, df.count()) })
       .toDF("stage", "n_docs")
       .orderBy($"stage")
   }

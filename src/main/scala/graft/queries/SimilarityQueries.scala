@@ -261,7 +261,87 @@ object SimilarityQueries {
        |WHERE d.neg <> d.qid
        |ORDER BY qid, j""".stripMargin
 
+  /** q123: bitext mining — margin-based parallel-pair extraction between
+    * two embedding spaces (Artetxe & Schwenk 2019, the LASER/CCMatrix
+    * recipe for mining translation pairs for MT training data): for each
+    * source vector (label 0) take its best cosine match among targets
+    * (label 1) and score it by the RATIO margin — cos(x,y) divided by
+    * the mean of both sides' top-8 neighbor cosines — which suppresses
+    * hubs (vectors close to everything score margins ≈ 1 and sink).
+    * Output: top-20 mined pairs by margin.
+    *
+    * Both engines compute identical doubles (sequential-fold dot, shared
+    * norm factorization, top-8 mean as a left fold over the desc-sorted
+    * list), so argmax/rank decisions can't diverge. Scale shape: the
+    * |A|×|B| scoring is the brute form (B broadcast); at corpus scale the
+    * pair generation swaps for the IVF-celled join (q40) with the margin
+    * arithmetic unchanged — the aggregations are per-source/per-target
+    * hash aggs either way. */
+  def q123BitextMining(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val k = 8
+    val emb = embeddings(s, d)
+    def side(label: Int, id: String, v: String) =
+      emb.filter($"label" === label)
+        .select($"vec_id".cast("long").as(id), $"embedding".as(v))
+        .withColumn(s"n_$id", sqrt(VectorFunctions.dotSeq(col(v), col(v))))
+    val a = side(0, "src", "va")
+    val b = side(1, "dst", "vb")
+    val p = graft.ops.ScratchCache.register(
+      a.crossJoin(broadcast(b))
+        .select($"src", $"dst",
+          (VectorFunctions.dotSeq($"va", $"vb") / ($"n_src" * $"n_dst"))
+            .as("cs"))
+        .persist())
+    // mean of the top-k cosines per side: left fold over the desc-sorted
+    // list (0.0 + c1 == c1, so the fold equals DuckDB's list_reduce)
+    def topkMean(key: String) = p.groupBy(col(key))
+      .agg((aggregate(
+        slice(sort_array(collect_list($"cs"), asc = false), 1, k),
+        lit(0.0), (acc, x) => acc + x) / k).as(s"knn_$key"))
+    val nx = topkMean("src")
+    val ny = topkMean("dst")
+    val best = p.groupBy($"src")
+      .agg(max(struct($"cs", (-$"dst").as("nd"))).as("bst"))
+      .select($"src", (-$"bst.nd").cast("long").as("dst"), $"bst.cs".as("cs"))
+    best.join(nx, "src").join(ny, "dst")
+      .select($"src".as("src_id"), $"dst".as("dst_id"),
+        roundp($"cs", 6).as("cos"),
+        roundp($"cs" / (lit(0.5) * ($"knn_src" + $"knn_dst")), 6).as("margin"))
+      .orderBy($"margin".desc, $"src_id")
+      .limit(20)
+  }
+
+  val q123Sql: String = {
+    val dot = (x: String, y: String) => DuckSql.dotSeqSql(x, y, 64)
+    s"""WITH a AS (SELECT vec_id AS src, embedding AS va,
+       |    sqrt(${dot("embedding", "embedding")}) AS na
+       |  FROM embeddings WHERE label = 0),
+       |b AS (SELECT vec_id AS dst, embedding AS vb,
+       |    sqrt(${dot("embedding", "embedding")}) AS nb
+       |  FROM embeddings WHERE label = 1),
+       |p AS (SELECT src, dst, ${dot("va", "vb")} / (na * nb) AS cs
+       |  FROM a CROSS JOIN b),
+       |nx AS (SELECT src,
+       |    list_reduce(list_sort(list(cs), 'DESC')[1:8], (x, y) -> x + y) / 8
+       |      AS knn_src
+       |  FROM p GROUP BY src),
+       |ny AS (SELECT dst,
+       |    list_reduce(list_sort(list(cs), 'DESC')[1:8], (x, y) -> x + y) / 8
+       |      AS knn_dst
+       |  FROM p GROUP BY dst),
+       |best AS (SELECT src, dst, cs FROM p
+       |  QUALIFY row_number() OVER (PARTITION BY src ORDER BY cs DESC, dst) = 1)
+       |SELECT b.src AS src_id, b.dst AS dst_id,
+       |  ${DuckSql.roundpSql("b.cs", 6)} AS cos,
+       |  ${DuckSql.roundpSql("b.cs / (0.5 * (nx.knn_src + ny.knn_dst))", 6)}
+       |    AS margin
+       |FROM best b JOIN nx ON nx.src = b.src JOIN ny ON ny.dst = b.dst
+       |ORDER BY margin DESC, src_id LIMIT 20""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q123_bitext_mining" -> (q123BitextMining _),
     "q108_negative_sampling" -> (q108NegativeSampling _),
     "q30_embedding_neardup" -> (q30NearDup _),
     "q31_knn_brute"         -> (q31KnnBrute _),
@@ -273,6 +353,7 @@ object SimilarityQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q123_bitext_mining" -> q123Sql,
     "q108_negative_sampling" -> q108Sql,
     "q30_embedding_neardup" -> q30Sql,
     "q31_knn_brute"         -> q31Sql,
