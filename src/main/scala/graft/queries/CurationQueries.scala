@@ -688,7 +688,134 @@ object CurationQueries {
        |ORDER BY stage""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q124
+
+  /** q124: source-overlap matrix — pairwise shingle-set Jaccard between
+    * SOURCES (not documents): the corpus-level diagnostic that tells a
+    * curation team which feeds duplicate each other before any per-doc
+    * dedup runs. Per-source distinct word-3-gram sets, pairwise
+    * |A∩B|/|A∪B| over all source pairs.
+    *
+    * Plan — bitmask source-set aggregation, NO shingle self-join: each
+    * shingle's member-source set packs into one LONG via `bit_or`
+    * (idempotent, so no distinct stage and full map-side combine), the
+    * mask histogram collapses |distinct shingles| rows to |distinct
+    * source-sets| (≤ 2^|sources|, in practice tiny), and every pairwise
+    * intersection and per-source set size reads off that histogram with
+    * broadcast literal pair/bit frames. A shingle-keyed self-join instead
+    * multiplies each shingle row by its source-pair fan-out (up to
+    * |sources|²) — measured 5.4 s vs 1.8 s at sf0.1 on this fixture's
+    * high-overlap sources. Source count is bounded by contract (≤ 63,
+    * the long's bit width) — the same driver-size class as PQ codebooks. */
+  def q124SourceOverlap(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.TextFunctions.{roundp, shingles, tokens}
+    // fused native shingle kernel (one JVM pass per doc) — the staged
+    // tokenize/transform/concat HOF chain pays an interpreted lambda
+    // dispatch per shingle, which dominates at corpus scale
+    val base = documents(s, d)
+      .select($"source", explode(coalesce(
+        graft.functions.ShingleExpressions.wordShingles($"text", 3),
+        array().cast("array<string>"))).as("sh"))
+    // source probe reads the source COLUMN only (columnar scan) — going
+    // through `base` would pay the shingle explode a second time
+    val sources = documents(s, d).select($"source")
+      .distinct().as[String].collect().sorted
+    require(sources.length <= 63,
+      s"bitmask overlap supports <= 63 sources, got ${sources.length}")
+    val bitFrame = sources.zipWithIndex
+      .map { case (src, i) => (src, 1L << i) }.toSeq.toDF("source", "bit")
+    val maskCounts = graft.ops.ScratchCache.register(
+      base.join(broadcast(bitFrame), "source")
+        .groupBy($"sh").agg(bit_or($"bit").as("m"))
+        .groupBy($"m").agg(count(lit(1)).as("c"))
+        .persist())
+    val pairFrame = (for {
+      i <- sources.indices; j <- sources.indices if i < j
+    } yield (sources(i), sources(j), (1L << i) | (1L << j)))
+      .toDF("src_a", "src_b", "pb")
+    val inter = maskCounts.crossJoin(broadcast(pairFrame))
+      .filter($"m".bitwiseAND($"pb") === $"pb")
+      .groupBy($"src_a", $"src_b").agg(sum($"c").as("inter"))
+    val sizes = maskCounts.crossJoin(broadcast(bitFrame))
+      .filter($"m".bitwiseAND($"bit") === $"bit")
+      .groupBy($"source").agg(sum($"c").as("n"))
+    inter
+      .join(sizes.select($"source".as("src_a"), $"n".as("na")), "src_a")
+      .join(sizes.select($"source".as("src_b"), $"n".as("nb")), "src_b")
+      .select($"src_a", $"src_b", $"inter",
+        roundp($"inter" * lit(1.0) / ($"na" + $"nb" - $"inter"), 6).as("jac"))
+      .orderBy($"src_a", $"src_b")
+  }
+
+  val q124Sql: String =
+    s"""WITH toks AS (SELECT source, ${DuckSql.tokensSql} AS ws FROM documents),
+       |ex AS (SELECT DISTINCT source, unnest(${DuckSql.shinglesSql("ws", 3)})
+       |    AS sh
+       |  FROM toks WHERE len(ws) >= 3),
+       |sizes AS (SELECT source, count(*) AS n FROM ex GROUP BY 1),
+       |inter AS (SELECT a.source AS src_a, b.source AS src_b,
+       |    count(*) AS inter
+       |  FROM ex a JOIN ex b ON a.sh = b.sh AND a.source < b.source
+       |  GROUP BY 1, 2)
+       |SELECT src_a, src_b, inter,
+       |  ${DuckSql.roundpSql("inter * 1.0 / (sa.n + sb.n - inter)", 6)} AS jac
+       |FROM inter
+       |JOIN sizes sa ON sa.source = src_a JOIN sizes sb ON sb.source = src_b
+       |ORDER BY src_a, src_b""".stripMargin
+
+  // ---------------------------------------------------------------- q125
+
+  /** Core-vocabulary size for q125 (the corpus fixture's total vocabulary
+    * is small, so the "core" is its head). */
+  val CoreVocabK = 20
+
+  /** q125: core-vocabulary coverage — per-source out-of-vocabulary rate
+    * against the corpus's top-K words (count desc, word tiebreak): the
+    * tokenizer-planning statistic (what fraction of the token stream
+    * falls outside a candidate vocabulary). Scale shape: one
+    * map-side-combined word count → TakeOrdered K (the vocabulary is a
+    * driver-size literal by construction) → one broadcast-semi-join
+    * flagged scan → per-source aggregate. */
+  def q125VocabCoverage(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.TextFunctions.{roundp, tokens}
+    val toks = documents(s, d)
+      .select($"source", $"doc_id", explode(tokens($"text")).as("w"))
+    val vocab = toks.groupBy($"w").agg(count(lit(1)).as("c"))
+      .orderBy($"c".desc, $"w").limit(CoreVocabK)
+      .select($"w")
+    val perDoc = toks
+      .join(broadcast(vocab.withColumn("in_v", lit(1L))), Seq("w"), "left")
+      .groupBy($"source", $"doc_id")
+      .agg(count(lit(1)).as("n_tok"),
+        (count(lit(1)) - sum(coalesce($"in_v", lit(0L)))).as("n_oov"))
+    // micro-average (Σoov/Σtok): integer sums are reduction-order-free,
+    // so the rate is bit-stable across engines/partitionings (the q98
+    // float-sum lesson)
+    perDoc.groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_oov").as("oov_sum"), sum($"n_tok").as("tok_sum"))
+      .select($"source", $"n_docs",
+        roundp($"oov_sum" * lit(1.0) / $"tok_sum", 6).as("oov_rate"))
+      .orderBy($"source")
+  }
+
+  val q125Sql: String =
+    s"""WITH toks AS (SELECT source, doc_id, unnest(${DuckSql.tokensSql}) AS w
+       |  FROM documents),
+       |vocab AS (SELECT w FROM (SELECT w, count(*) AS c FROM toks GROUP BY w
+       |  ORDER BY c DESC, w LIMIT $CoreVocabK)),
+       |per_doc AS (SELECT source, doc_id, count(*) AS n_tok,
+       |    count(*) FILTER (w NOT IN (SELECT w FROM vocab)) AS n_oov
+       |  FROM toks GROUP BY 1, 2)
+       |SELECT source, count(*)::BIGINT AS n_docs,
+       |  ${DuckSql.roundpSql("sum(n_oov) * 1.0 / sum(n_tok)", 6)} AS oov_rate
+       |FROM per_doc GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q124_source_overlap"   -> (q124SourceOverlap _),
+    "q125_vocab_coverage"   -> (q125VocabCoverage _),
     "q122_curation_funnel"  -> (q122CurationFunnel _),
     "q102_pii_redact"       -> (q102PiiRedact _),
     "q104_semdedup"         -> (q104SemDedup _),
@@ -701,6 +828,8 @@ object CurationQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q124_source_overlap"   -> q124Sql,
+    "q125_vocab_coverage"   -> q125Sql,
     "q122_curation_funnel"  -> q122Sql,
     "q102_pii_redact"       -> q102Sql,
     "q104_semdedup"         -> q104Sql,
