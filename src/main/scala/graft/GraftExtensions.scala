@@ -57,6 +57,8 @@ object GraftExtensions {
       WordShingles(a(0), intArg(a(1), "graft_word_shingles"))),
     fn("graft_shingle_hashes", classOf[WordShingleHashes])(a =>
       WordShingleHashes(a(0), intArg(a(1), "graft_shingle_hashes"))),
+    fn("graft_shingle_hashes64", classOf[WordShingleHashes64])(a =>
+      WordShingleHashes64(a(0), intArg(a(1), "graft_shingle_hashes64"))),
     fn("graft_array_polyhash", classOf[ArrayPolyHash])(a => ArrayPolyHash(a(0))),
     fn("graft_char_windows", classOf[CharWindows])(a =>
       CharWindows(a(0), intArg(a(1), "graft_char_windows"))),

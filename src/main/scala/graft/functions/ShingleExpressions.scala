@@ -54,6 +54,21 @@ private[graft] object ShingleKernel {
     seen.toArray(new Array[String](seen.size))
   }
 
+  /** FNV-1a 64-bit over UTF-16 code units — a full-width key for
+    * set-arithmetic consumers where 32-bit birthday collisions would
+    * merge distinct shingles. */
+  def fnv64(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      h ^= s.charAt(i).toLong
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
   /** PolyHash32 of a string — arithmetic identical to
     * HashExpressions.PolyHash32 (code-point fold, mod 2³²). */
   def polyHash32(s: String): Long = {
@@ -101,6 +116,29 @@ object HashKernels {
     var i = 0
     while (i < sh.length) {
       seen.add(ShingleKernel.polyHash32(sh(i)))
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** Distinct shingle 64-bit hashes (FNV-1a over UTF-16 code units of the
+    * shingle string); EMPTY for null/short docs. The 64-bit space makes
+    * collision-merge negligible at corpus scale (expected collisions
+    * ≈ n²/2⁶⁵ — the 32-bit [[wordShingleHashes]] expects ~100 merged
+    * shingles already at 1M distinct), so set-arithmetic consumers
+    * (q124's source-overlap masks) can aggregate on the hash alone. */
+  def wordShingleHashes64(s: UTF8String, k: Int): ArrayData = {
+    if (s == null) return new GenericArrayData(Array.empty[Long])
+    val sh = ShingleKernel.distinctShingles(ShingleKernel.tokenize(s), k)
+    if (sh == null) return new GenericArrayData(Array.empty[Long])
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    var i = 0
+    while (i < sh.length) {
+      seen.add(ShingleKernel.fnv64(sh(i)))
       i += 1
     }
     val out = new Array[Long](seen.size)
@@ -356,6 +394,40 @@ case class WordShingleHashes(child: Expression, k: Int) extends UnaryExpression 
     copy(child = c)
 }
 
+/** `graft_shingle_hashes64(text, k)` → ARRAY<BIGINT>: distinct FNV-1a-64
+  * values of the doc's word-k-shingles, first-occurrence order; empty for
+  * short/NULL docs. Full-width sibling of [[WordShingleHashes]] for
+  * consumers doing SET arithmetic on the hash itself (32-bit birthday
+  * collisions would merge distinct shingles' sets at corpus scale). */
+case class WordShingleHashes64(child: Expression, k: Int)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_shingle_hashes64 expects STRING, got ${other.sql}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    HashKernels.wordShingleHashes64(
+      child.eval(input).asInstanceOf[UTF8String], k)
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val c = child.genCode(ctx)
+    ev.copy(code = code"""
+      ${c.code}
+      org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+        graft.functions.HashKernels.wordShingleHashes64(${c.isNull} ? null : ${c.value}, $k);
+    """,
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
+  override protected def withNewChildInternal(c: Expression): WordShingleHashes64 =
+    copy(child = c)
+}
+
 /** `graft_array_polyhash(arr)` → ARRAY<BIGINT>: PolyHash32 of each element
   * of a string array in one fused pass — lets consumers that already hold
   * shingle STRINGS (e.g. a cached verification set) derive hash-space
@@ -459,6 +531,8 @@ object ShingleExpressions {
     Bridge.column(WordShingles(Bridge.expression(text), k))
   def wordShingleHashes(text: Column, k: Int): Column =
     Bridge.column(WordShingleHashes(Bridge.expression(text), k))
+  def wordShingleHashes64(text: Column, k: Int): Column =
+    Bridge.column(WordShingleHashes64(Bridge.expression(text), k))
   def arrayPolyHash(arr: Column): Column =
     Bridge.column(ArrayPolyHash(Bridge.expression(arr)))
   def charWindows(text: Column, winLen: Int): Column =

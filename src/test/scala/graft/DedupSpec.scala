@@ -93,6 +93,37 @@ class DedupSpec extends AnyFunSuite with SparkSpecBase {
     }
   }
 
+  test("wordShingleHashes64 = fnv64 over the exact wordShingles strings") {
+    import graft.functions.ShingleExpressions._
+    val df = Tables.documents(spark, sfSmoke)
+      .select($"doc_id", wordShingles($"text", 3).as("sh"),
+        wordShingleHashes64($"text", 3).as("h64"))
+      .orderBy($"doc_id").collect()
+    def fnv(s: String): Long = {
+      var h = 0xcbf29ce484222325L
+      s.foreach { c => h ^= c.toLong; h *= 0x100000001b3L }
+      h
+    }
+    assert(df.nonEmpty)
+    var sawNonEmpty = false
+    df.foreach { r =>
+      val sh = if (r.isNullAt(1)) Seq.empty[String] else r.getSeq[String](1)
+      val got = r.getSeq[Long](2)
+      // kernel dedups by HASH in first-occurrence order; replay that
+      val want = collection.mutable.LinkedHashSet.empty[Long]
+      sh.foreach(s => want += fnv(s))
+      assert(got == want.toSeq, s"doc ${r.getLong(0)}")
+      sawNonEmpty |= got.nonEmpty
+    }
+    assert(sawNonEmpty)
+    // SQL registration round-trips
+    GraftExtensions.register(spark)
+    val viaSql = spark.sql(
+      "SELECT graft_shingle_hashes64('one two three four', 3)")
+      .collect()(0).getSeq[Long](0)
+    assert(viaSql == Seq(fnv("one two three"), fnv("two three four")))
+  }
+
   test("fused shingles equal staged-HOF forms on multi-byte unicode text") {
     import graft.functions.TextFunctions._
     import graft.functions.ShingleExpressions._
