@@ -42,31 +42,3 @@ class TopKAgg(k: Int)
   override def outputEncoder: Encoder[Seq[(Long, Double)]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Long, Double)]]()
 }
-
-/** [[TopKAgg]] with a term-scored payload row (term, score, tf, df) —
-  * ranking order (score DESC, term ASC), identical to
-  * `row_number() OVER (ORDER BY score DESC, term)`: the bounded-shuffle
-  * form of per-doc term ranking (q74). Strings compare as Java String
-  * ordinals == UTF8String binary order == DuckDB binary collation on the
-  * ASCII tokens both engines produce. */
-class TermTopKAgg(k: Int)
-    extends Aggregator[(String, Double, Long, Long),
-      Seq[(String, Double, Long, Long)], Seq[(String, Double, Long, Long)]] {
-  private type R = (String, Double, Long, Long)
-
-  private def better(a: R, b: R): Boolean =
-    a._2 > b._2 || (a._2 == b._2 && a._1 < b._1)
-
-  private def trim(xs: Seq[R]): Seq[R] =
-    if (xs.length <= k) xs else xs.sortWith(better).take(k)
-
-  override def zero: Seq[R] = Vector.empty
-  override def reduce(buf: Seq[R], in: R): Seq[R] = trim(buf :+ in)
-  override def merge(a: Seq[R], b: Seq[R]): Seq[R] = trim(a ++ b)
-  override def finish(buf: Seq[R]): Seq[R] = buf.sortWith(better)
-
-  override def bufferEncoder: Encoder[Seq[R]] =
-    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[R]]()
-  override def outputEncoder: Encoder[Seq[R]] =
-    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[R]]()
-}

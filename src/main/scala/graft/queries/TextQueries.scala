@@ -386,25 +386,31 @@ object TextQueries {
     // further exchange (hash(term) ⊆ each required clustering).
     val toks = doc.select($"doc_id", explode(tokens($"text")).as("term"))
       .repartition($"term")
-    val tf = toks.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    // tf feeds BOTH the df aggregation and the scoring join — persist so
+    // the posting aggregation runs once (ReusedExchange alone would dedup
+    // the shuffle but recompute the hash aggregate on each consumer)
+    val tf = graft.ops.ScratchCache.register(
+      toks.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf")).persist())
     val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
     val scored = tf.join(df, "term")
       .withColumn("score", $"tf" * log(lit(n.toDouble) / $"df"))
-    // bounded top-3-per-doc: partial combine ships ≤3 rows per doc per map
-    // task instead of window-sorting the whole posting table on one
-    // reducer per doc — the only other shuffle, and it carries ≤ 3·|docs|
+    // bounded top-3-per-doc, all-native: per-doc collect_list of the
+    // doc's posting structs (bounded by DOCUMENT LENGTH — the same
+    // boundedness contract as chunking), sorted in-expression and
+    // sliced. Stays inside Tungsten rows end to end — the previous typed
+    // groupByKey + Aggregator tail paid encoder round-trips per posting
+    // and benched ~2× slower at sf0.1. Sort key: (-score, term) — score
+    // ≥ 0 always (df ≤ n ⇒ ln ≥ 0), so the negation can't mix ±0.0;
+    // ties (equal (tf, df) ⇒ bit-equal doubles) break on the term.
     scored.select($"doc_id", $"term", $"score", $"tf", $"df")
-      .as[(Long, String, Double, Long, Long)]
-      .groupByKey(_._1).mapValues(r => (r._2, r._3, r._4, r._5))
-      .agg(new graft.agg.TermTopKAgg(3).toColumn.name("top"))
-      .flatMap { case (docId, top) =>
-        top.iterator.zipWithIndex.map { case ((term, score, tfv, dfv), i) =>
-          (docId, (i + 1).toLong, term, score, tfv, dfv)
-        }
-      }
-      .toDF("doc_id", "rank", "term", "score", "tf", "df")
-      .select($"doc_id", $"rank", $"term", roundp($"score", 6).as("score"),
-        $"tf", $"df")
+      .groupBy($"doc_id")
+      .agg(slice(array_sort(collect_list(struct(
+        (-$"score").as("ns"), $"term", $"score", $"tf", $"df"))), 1, 3)
+        .as("top"))
+      .select($"doc_id", posexplode($"top"))
+      .select($"doc_id", ($"pos" + 1).cast("long").as("rank"),
+        $"col.term".as("term"), roundp($"col.score", 6).as("score"),
+        $"col.tf".as("tf"), $"col.df".as("df"))
       .orderBy($"doc_id", $"rank")
   }
 
@@ -427,11 +433,16 @@ object TextQueries {
 
   /** q75: BM25 ranking of the corpus against a fixed query term set —
     * the retrieval-side twin of q74 (saturating tf, length
-    * normalization). The query terms are a broadcast-sized literal list;
-    * df/avgdl are corpus statistics computed once (two tiny aggregates);
-    * the per-doc score is a single pass over the (doc,term∈query) slice
-    * of the tf table — the explode is filtered to query terms BEFORE the
-    * aggregation, so the shuffle carries only matching postings. */
+    * normalization). The query terms are a LITERAL list, so the whole
+    * tf/dl computation pivots into one conditional aggregation: ONE
+    * token-explode pass, ONE shuffle (the per-doc groupBy), per-doc row
+    * = (dl, tf_term1..tf_termK). Corpus stats (avgdl + per-term df) are
+    * one tiny aggregate over that |docs|-sized frame; the score is then
+    * a per-row expression — no posting-table join exists at all. The
+    * previous tf⋈df⋈dl join form scanned the explode twice and ran two
+    * extra stat actions — benched ~2.7× slower at sf0.1. Scales: the
+    * pivoted frame is |docs| rows × K query terms (K literal-bounded,
+    * the same contract as q71's pivot). */
   def q75Bm25(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val qTerms = Seq("spark", "window", "shuffle")
@@ -439,22 +450,39 @@ object TextQueries {
     // (k1+1 precomputed: 1.2+1.0 in double is NOT the literal 2.2)
     val (k1, k1p1, oneMinusB, b) = (1.2, 2.2, 0.25, 0.75)
     val doc = documents(s, d)
-    val n = doc.count()
-    val toks = doc.select($"doc_id", explode(tokens($"text")).as("term"))
-    val dl = toks.groupBy($"doc_id").agg(count(lit(1)).as("dl"))
-    val avgdl = dl.agg(avg($"dl")).head().getDouble(0)
-    val tf = toks.filter($"term".isInCollection(qTerms))
-      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
-    val scored = tf.join(df, "term").join(dl, "doc_id")
-      .withColumn("idf",
-        log(lit(1.0) + (lit(n.toDouble) - $"df" + lit(0.5)) / ($"df" + lit(0.5))))
-      .withColumn("part",
-        $"idf" * ($"tf" * lit(k1p1)) /
-          ($"tf" + lit(k1) * (lit(oneMinusB) + lit(b) * $"dl" / lit(avgdl))))
-    scored.groupBy($"doc_id")
-      .agg(roundp(sum($"part"), 6).as("bm25"),
-        count(lit(1)).as("n_terms_hit"))
+    val n = doc.count() // parquet metadata count — no scan
+    val tfCols = qTerms.map(t =>
+      sum(when($"term" === t, 1L).otherwise(0L)).as(s"tf_$t"))
+    val perDoc = graft.ops.ScratchCache.register(
+      doc.select($"doc_id", explode(tokens($"text")).as("term"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("dl"), tfCols: _*)
+        .persist())
+    // one row: avgdl + df per query term (df = docs where tf_t > 0)
+    val statsRow = perDoc.agg(avg($"dl").as("avgdl"),
+      qTerms.map(t =>
+        sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).as(s"df_$t")): _*)
+      .head()
+    val avgdl = statsRow.getDouble(0)
+    val dfMap = qTerms.zipWithIndex
+      .map { case (t, i) => t -> statsRow.getLong(i + 1) }.toMap
+    // per-term BM25 part as a literal-constant expression; summed in the
+    // oracle's term order (tf join order = query-list order)
+    def part(t: String): Column = {
+      val df = dfMap(t)
+      val idf = when(col(s"tf_$t") > 0,
+        log(lit(1.0) + (lit(n.toDouble) - lit(df.toDouble) + lit(0.5)) /
+          (lit(df.toDouble) + lit(0.5))))
+      idf * (col(s"tf_$t") * lit(k1p1)) /
+        (col(s"tf_$t") + lit(k1) * (lit(oneMinusB) + lit(b) * $"dl" / lit(avgdl)))
+    }
+    val hits = qTerms.map(t => when(col(s"tf_$t") > 0, 1L).otherwise(0L))
+      .reduce(_ + _)
+    perDoc.filter(hits > 0)
+      .select($"doc_id",
+        roundp(qTerms.map(t => coalesce(part(t), lit(0.0))).reduce(_ + _), 6)
+          .as("bm25"),
+        hits.as("n_terms_hit"))
       .orderBy($"bm25".desc, $"doc_id")
       .limit(20)
   }
