@@ -44,6 +44,20 @@ class RankingQueriesSpec extends AnyFunSuite with SparkSpecBase {
     assert(rows.forall { case (s, h) => s > 0 && h >= 1 && h <= 3 })
   }
 
+  test("q74/q75 plan shapes: native ranking tail, joinless pivoted BM25") {
+    // q74: the top-3 tail is collect_list+array_sort — no typed
+    // Aggregator, so no object serialization boundary in the plan
+    val p74 = SparkEntry.queries("q74_tfidf")(spark, sfSmoke)
+      .queryExecution.sparkPlan.toString
+    assert(!p74.contains("SerializeFromObject") &&
+      !p74.contains("MapGroups"), s"q74 tail must stay native:\n$p74")
+    // q75: literal query terms pivot into one conditional aggregation —
+    // the plan has NO join of any kind (tf/df/dl tables never exist)
+    val p75 = SparkEntry.queries("q75_bm25")(spark, sfSmoke)
+      .queryExecution.sparkPlan.toString
+    assert(!p75.contains("Join"), s"q75 must be join-free:\n$p75")
+  }
+
   test("q81: centroid tightness in [-1,1], members partition the table") {
     val rows = SparkEntry.queries("q81_centroids")(spark, sfSmoke).collect()
     assert(rows.nonEmpty)
