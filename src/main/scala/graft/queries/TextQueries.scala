@@ -478,10 +478,15 @@ object TextQueries {
     }
     val hits = qTerms.map(t => when(col(s"tf_$t") > 0, 1L).otherwise(0L))
       .reduce(_ + _)
+    // DECIMAL-stabilized sum (the q98 lesson): each part truncates to
+    // DECIMAL(28,6) before the add, so the literal-order engine sum and
+    // the oracle's join-order sum can't diverge in the last ulp and flip
+    // round(·, 6)
     perDoc.filter(hits > 0)
       .select($"doc_id",
-        roundp(qTerms.map(t => coalesce(part(t), lit(0.0))).reduce(_ + _), 6)
-          .as("bm25"),
+        roundp(qTerms.map(t =>
+            coalesce(part(t), lit(0.0)).cast("decimal(28,6)"))
+          .reduce(_ + _).cast("double"), 6).as("bm25"),
         hits.as("n_terms_hit"))
       .orderBy($"bm25".desc, $"doc_id")
       .limit(20)
@@ -504,7 +509,7 @@ object TextQueries {
        |      (tf.tf * 2.2) /
        |      (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)) AS part
        |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s)
-       |SELECT doc_id, ${DuckSql.roundpSql("sum(part)", 6)} AS bm25,
+       |SELECT doc_id, ${QueryUtil.safeSumSql("part", 6)} AS bm25,
        |  CAST(count(*) AS BIGINT) AS n_terms_hit
        |FROM parts GROUP BY doc_id
        |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
