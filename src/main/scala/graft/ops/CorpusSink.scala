@@ -1,0 +1,88 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+/** Sharded training-corpus sink — the last mile of the curation funnel:
+  * write a curated document set as SIZE-BOUNDED parquet shards with a
+  * deterministic, self-verifying manifest. (The LLM-side sibling of the
+  * COG/Zarr sinks; reference sinks are raster-only — its tabular
+  * artifacts stay inside the orchestrator, `flyte/build.py:179-228`.)
+  *
+  * Design:
+  *  - Shard assignment is [[SizeBatch]]'s two-pass distributed prefix
+  *    sum over the ordering key — bit-identical to the single-reducer
+  *    `sum(w) OVER (ORDER BY key)` formulation but with NO global
+  *    window, so ids are stable across reruns, partitionings, and
+  *    cluster layouts (a training run can cite "shard 17" forever).
+  *  - One parquet file per shard: rows hash-repartition on shard_id
+  *    (all rows of a shard land in one task) and `partitionBy` writes
+  *    each shard to its own `shard_id=N/` directory via Spark's file
+  *    committer (driver-coordinated temp + rename — the idempotence the
+  *    Zarr writers hand-roll because they bypass the committer).
+  *    `SaveMode.Overwrite` makes re-runs replace, not duplicate.
+  *  - The manifest — (shard_id, n_docs, weight sum, content_hash) — is
+  *    computed from the SAME assignment frame that fed the writes;
+  *    content_hash is the order-independent sum-of-row-hashes mod 2³²
+  *    (the q38 table-fingerprint form), so a reader can re-derive and
+  *    check it from the shard files alone. Per-shard row counts are
+  *    bounded by budget/min-weight; the int64 hash sum is safe below
+  *    ~2³¹ rows per shard (raise `budget` granularity past that).
+  */
+object CorpusSink {
+
+  /** Write `docs` as budget-bounded shards under `dir`; return the
+    * manifest (shard_id, n_docs, n_weight, content_hash), ordered.
+    *
+    * @param docs     input frame; must contain `idCol` (distinct BIGINT
+    *                 ordering key) and `weightCol` (BIGINT size proxy:
+    *                 chars, bytes, token count)
+    * @param rowHash  per-row content hash expression (BIGINT in [0,2³²))
+    * @param budget   max total weight per shard (prefix-sum semantics:
+    *                 a shard closes when cumulative weight crosses it)
+    * @param parts    range-exchange width for the assignment pass
+    */
+  def write(docs: DataFrame, idCol: String, weightCol: String,
+            rowHash: Column, budget: Long, dir: String,
+            parts: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val assigned = ScratchCache.register(docs
+      .join(
+        SizeBatch.assign(
+            docs.select(col(idCol).cast("long"),
+              col(weightCol).cast("long")).as[(Long, Long)],
+            budget, parts)
+          .toDF(idCol, "_w", "shard_id")
+          .select(col(idCol), col("shard_id")),
+        Seq(idCol))
+      .persist())
+    assigned
+      .repartition(col("shard_id"))
+      .sortWithinPartitions(col("shard_id"), col(idCol))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("shard_id")
+      .parquet(dir)
+    assigned
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(weightCol).cast("long")).as("n_weight"),
+        (sum(rowHash) % 4294967296L).as("content_hash"))
+      .orderBy(col("shard_id"))
+  }
+
+  /** Recompute the manifest from an already-written shard directory —
+    * the verification side of the contract: equality with the writer's
+    * returned manifest proves the files on disk are complete and
+    * uncorrupted (shard dirs recover shard_id from partition pruning's
+    * directory layout; nothing is re-shuffled except the tiny per-shard
+    * aggregate). */
+  def manifestOf(spark: org.apache.spark.sql.SparkSession, dir: String,
+                 weightCol: String, rowHash: Column): DataFrame =
+    spark.read.parquet(dir)
+      .groupBy(col("shard_id").cast("long").as("shard_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(weightCol).cast("long")).as("n_weight"),
+        (sum(rowHash) % 4294967296L).as("content_hash"))
+      .orderBy(col("shard_id"))
+}

@@ -824,7 +824,50 @@ object CurationQueries {
        |  ${DuckSql.roundpSql("sum(n_oov) * 1.0 / sum(n_tok)", 6)} AS oov_rate
        |FROM per_doc GROUP BY source ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- q126
+
+  /** q126's per-shard character budget (sf0.01: ~8 shards, sf0.1: ~24). */
+  val ShardBudget = 64000L
+
+  /** q126: sharded corpus sink + manifest — the curation funnel's LAST
+    * MILE: the corpus lands as size-bounded parquet shards (one file per
+    * shard, Spark's committer for atomicity, overwrite-idempotent) and
+    * the query returns the deterministic manifest: per-shard doc count,
+    * weight sum, and order-independent content hash. Shard assignment is
+    * the SizeBatch two-pass prefix sum — NO global window — so the
+    * oracle's single-reducer `sum OVER (ORDER BY)` replay proves the
+    * distributed assignment bit-identical. The hash lets any reader
+    * re-derive and audit a shard without trusting the writer
+    * ([[graft.ops.CorpusSink.manifestOf]]; CorpusSinkSpec proves
+    * write → reopen → recompute equality and double-write idempotence). */
+  def q126CorpusShards(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.TextFunctions.polyHash
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-corpus-shards").toString
+    graft.ops.CorpusSink.write(
+        documents(s, d), "doc_id", "n_chars",
+        polyHash(concat_ws("|", $"doc_id", $"text")),
+        budget = ShardBudget, dir = dir,
+        parts = s.sparkContext.defaultParallelism)
+      .select($"shard_id", $"n_docs", $"n_weight".as("n_chars"),
+        $"content_hash")
+  }
+
+  val q126Sql: String = {
+    val rh = DuckSql.polyHashSql("concat_ws('|', doc_id, text)")
+    s"""WITH a AS (SELECT doc_id, n_chars::BIGINT AS w, $rh AS rh,
+       |    (coalesce(sum(n_chars::BIGINT) OVER (ORDER BY doc_id
+       |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |     // $ShardBudget)::BIGINT AS shard_id
+       |  FROM documents)
+       |SELECT shard_id, count(*) AS n_docs, CAST(sum(w) AS BIGINT) AS n_chars,
+       |  CAST(sum(rh) % 4294967296 AS BIGINT) AS content_hash
+       |FROM a GROUP BY shard_id ORDER BY shard_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q126_corpus_shards"    -> (q126CorpusShards _),
     "q124_source_overlap"   -> (q124SourceOverlap _),
     "q125_vocab_coverage"   -> (q125VocabCoverage _),
     "q122_curation_funnel"  -> (q122CurationFunnel _),
@@ -839,6 +882,7 @@ object CurationQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q126_corpus_shards"    -> q126Sql,
     "q124_source_overlap"   -> q124Sql,
     "q125_vocab_coverage"   -> q125Sql,
     "q122_curation_funnel"  -> q122Sql,

@@ -1,0 +1,82 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.CorpusSink
+
+/** CorpusSink: shard files on disk must carry exactly the corpus, one
+  * file per shard, and the writer's manifest must equal a manifest
+  * recomputed from the files alone — the self-verifying-sink contract. */
+class CorpusSinkSpec extends AnyFunSuite with SparkSpecBase {
+  import spark.implicits._
+
+  private def rowHash = graft.functions.TextFunctions.polyHash(
+    concat_ws("|", $"doc_id", $"text"))
+
+  private def freshDir() = java.nio.file.Files
+    .createTempDirectory("corpus-sink-spec").toString
+
+  test("write -> reopen: manifest equals file-derived manifest; docs complete") {
+    val docs = Tables.documents(spark, sfSmoke)
+    val dir = freshDir()
+    val manifest = CorpusSink.write(docs, "doc_id", "n_chars", rowHash,
+      budget = 16000L, dir = dir, parts = 4).collect()
+    assert(manifest.length > 1, "fixture should span multiple shards")
+    val reread = CorpusSink.manifestOf(spark, dir, "n_chars", rowHash).collect()
+    assert(manifest.map(_.toSeq).toSeq == reread.map(_.toSeq).toSeq)
+    // every document lands exactly once
+    val back = spark.read.parquet(dir)
+    assert(back.count() == docs.count())
+    assert(back.select("doc_id").distinct().count() == docs.count())
+    // one parquet file per shard (all rows of a shard in one task)
+    val shardDirs = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("shard_id="))
+    assert(shardDirs.length == manifest.length)
+    shardDirs.foreach { sd =>
+      val files = sd.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length == 1, s"${sd.getName}: ${files.length} files")
+    }
+  }
+
+  test("double-write is idempotent: same manifest, same file count") {
+    val docs = Tables.documents(spark, sfSmoke)
+    val dir = freshDir()
+    def run() = CorpusSink.write(docs, "doc_id", "n_chars", rowHash,
+      budget = 16000L, dir = dir, parts = 4).collect().map(_.toSeq).toSeq
+    val first = run()
+    val second = run()
+    assert(first == second)
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("shard_id="))
+      .flatMap(_.listFiles()).filter(_.getName.endsWith(".parquet"))
+    assert(files.length == first.length)
+  }
+
+  test("budget larger than the corpus -> one shard holding everything") {
+    val docs = Tables.documents(spark, sfSmoke)
+    val dir = freshDir()
+    val m = CorpusSink.write(docs, "doc_id", "n_chars", rowHash,
+      budget = Long.MaxValue / 4, dir = dir, parts = 4).collect()
+    assert(m.length == 1 && m(0).getLong(0) == 0L)
+    assert(m(0).getLong(1) == docs.count())
+  }
+
+  test("assignment equals the single-reducer window replay") {
+    val docs = Tables.documents(spark, sfSmoke)
+    val dir = freshDir()
+    val manifest = CorpusSink.write(docs, "doc_id", "n_chars", rowHash,
+      budget = 16000L, dir = dir, parts = 4).collect().map(_.toSeq).toSeq
+    val replay = docs
+      .withColumn("shard_id",
+        (coalesce(sum($"n_chars".cast("long")).over(
+          org.apache.spark.sql.expressions.Window.orderBy($"doc_id")
+            .rowsBetween(Long.MinValue, -1)), lit(0L)) / 16000L)
+          .cast("long"))
+      .groupBy($"shard_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_chars".cast("long")).as("n_weight"),
+        (sum(rowHash) % 4294967296L).as("content_hash"))
+      .orderBy($"shard_id").collect().map(_.toSeq).toSeq
+    assert(manifest == replay)
+  }
+}
