@@ -843,8 +843,12 @@ object CurationQueries {
   def q126CorpusShards(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import graft.functions.TextFunctions.polyHash
-    val dir = java.nio.file.Files
-      .createTempDirectory("graft-corpus-shards").toString
+    // deterministic per-sfDir scratch target: repeat runs OVERWRITE the
+    // same shards (exercising the sink's idempotence) instead of leaking
+    // a fresh temp dir per invocation
+    val dir = new java.io.File(
+      java.lang.System.getProperty("java.io.tmpdir"),
+      s"graft-corpus-shards-${math.abs(d.hashCode)}").toString
     graft.ops.CorpusSink.write(
         documents(s, d), "doc_id", "n_chars",
         polyHash(concat_ws("|", $"doc_id", $"text")),
