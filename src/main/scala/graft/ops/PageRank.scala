@@ -45,6 +45,9 @@ object PageRank {
     * regime (two Long→Long maps + the sorted id array, amortized). */
   private val BytesPerNode = 40L
 
+  /** Driver bytes per collected distinct edge (two packed longs). */
+  private val BytesPerEdge = 16L
+
   /** Last strategy [[rank]] chose — observable by specs so the switch
     * itself is testable, not just the (identical) numeric output. */
   @volatile private[graft] var lastChoice: String = ""
@@ -64,29 +67,47 @@ object PageRank {
         .groupBy(col("x.id").as("id")).agg(sum(col("x.c")).as("d"))
         .persist())
 
-  /** Single entry point: computes the (id, out-degree) node frame —
-    * needed by either regime — counts it exactly, and picks the regime,
-    * so callers never hand-pick the scale-sensitive variant. Under
-    * `maxBroadcastBytes` of estimated driver rank-vector footprint →
-    * the broadcast loop; past it → the fully distributed loop. Both
-    * produce bit-identical ranks (integer fixed-point), so the switch
-    * can never change results — only plan shape. */
+  /** Single entry point with THREE measured regimes (the
+    * Triangles.metrics pattern), picked automatically so callers never
+    * hand-pick the scale-sensitive variant; every regime produces
+    * bit-identical ranks (integer fixed-point — sums are
+    * reduction-order-free), so the switch can never change results,
+    * only plan shape:
+    *
+    *  1. driver-local — the DISTINCT EDGE LIST fits
+    *     `maxDriverEdgeBytes` (16 B/edge): collect it once and iterate
+    *     in driver arrays. Zero per-iteration jobs; the whole rank is
+    *     one collect + O(iters·|E|) driver arithmetic — catalog-sized
+    *     graphs shouldn't pay distributed iteration overhead.
+    *  2. broadcast — the VERTEX SET fits `maxBroadcastBytes`: rank
+    *     vector driver-resident, one broadcast-join job per iteration
+    *     over the cached edges.
+    *  3. distributed — the any-scale path: rank generations stay
+    *     distributed, one lazy Catalyst plan.
+    */
   def rank(spark: SparkSession, edges: DataFrame, iters: Int,
            scale: Long = 1000000000000L,
-           maxBroadcastBytes: Long = 64L << 20): DataFrame = {
-    // persist BEFORE the node-frame job, which fills the cache, so the
+           maxBroadcastBytes: Long = 64L << 20,
+           maxDriverEdgeBytes: Long = 64L << 20): DataFrame = {
+    // persist BEFORE the probe actions, which fill the cache, so the
     // (possibly expensive — q93's edges are a distinct over lineitem)
     // edge derivation runs once
     val e = ScratchCache.register(
       edges.select(col("src").cast("long"), col("dst").cast("long")).persist())
-    val nd = nodeDegFrame(e)
-    val n = nd.count()
-    if (broadcastFits(n, maxBroadcastBytes)) {
-      lastChoice = "broadcast"
-      broadcastLoop(spark, e, nd, n, iters, scale)
+    val nEdges = e.count()
+    if (nEdges * BytesPerEdge <= maxDriverEdgeBytes) {
+      lastChoice = "driver-local"
+      driverLocalLoop(spark, e, iters, scale)
     } else {
-      lastChoice = "distributed"
-      distributedLoop(spark, e, nd, n, iters, scale)
+      val nd = nodeDegFrame(e)
+      val n = nd.count()
+      if (broadcastFits(n, maxBroadcastBytes)) {
+        lastChoice = "broadcast"
+        broadcastLoop(spark, e, nd, n, iters, scale)
+      } else {
+        lastChoice = "distributed"
+        distributedLoop(spark, e, nd, n, iters, scale)
+      }
     }
   }
 
@@ -109,6 +130,62 @@ object PageRank {
       edges.select(col("src").cast("long"), col("dst").cast("long")).persist())
     val nd = nodeDegFrame(e)
     broadcastLoop(spark, e, nd, nd.count(), iters, scale)
+  }
+
+  /** Driver-local regime: ONE collect of the distinct edge list (bounded
+    * by `maxDriverEdgeBytes` — the same boundedness contract as
+    * Triangles.graphMetrics' edge array), then pure array arithmetic.
+    * Node ids resolve by binary search over the sorted distinct-id
+    * array; contributions accumulate in a long array (order-free integer
+    * sums), so the output is bit-identical to the distributed loops. */
+  private def driverLocalLoop(spark: SparkSession, e: DataFrame,
+                              iters: Int, scale: Long): DataFrame = {
+    import spark.implicits._
+    require(iters >= 1 && iters <= 20, "fixed small iteration count")
+    val pairs = e.as[(Long, Long)].collect()
+    val ids: Array[Long] = {
+      val all = new Array[Long](pairs.length * 2)
+      var i = 0
+      while (i < pairs.length) {
+        all(2 * i) = pairs(i)._1; all(2 * i + 1) = pairs(i)._2; i += 1
+      }
+      java.util.Arrays.sort(all)
+      var m = 0; var k = 0
+      while (k < all.length) {
+        if (m == 0 || all(m - 1) != all(k)) { all(m) = all(k); m += 1 }
+        k += 1
+      }
+      java.util.Arrays.copyOf(all, m)
+    }
+    val n = ids.length.toLong
+    require(n > 0, "empty graph")
+    def idx(v: Long): Int = java.util.Arrays.binarySearch(ids, v)
+    val srcIdx = pairs.map(p => idx(p._1))
+    val dstIdx = pairs.map(p => idx(p._2))
+    val deg = new Array[Long](ids.length)
+    srcIdx.foreach(deg(_) += 1L)
+    val r0 = scale / n
+    val base = 15L * r0 / 100
+    var r = Array.fill(ids.length)(r0)
+    for (_ <- 1 to iters) {
+      val contrib = new Array[Long](ids.length)
+      var i = 0
+      while (i < srcIdx.length) {
+        contrib(dstIdx(i)) += r(srcIdx(i)) / deg(srcIdx(i))
+        i += 1
+      }
+      var dm = 0L
+      i = 0
+      while (i < ids.length) { if (deg(i) == 0L) dm += r(i); i += 1 }
+      val next = new Array[Long](ids.length)
+      i = 0
+      while (i < ids.length) {
+        next(i) = base + 85L * (contrib(i) + dm / n) / 100L
+        i += 1
+      }
+      r = next
+    }
+    ids.indices.map(i => (ids(i), r(i))).toDF("id", "rank")
   }
 
   private def distributedLoop(spark: SparkSession, edges: DataFrame,

@@ -46,23 +46,29 @@ class GraphSpec extends AnyFunSuite with SparkSpecBase {
     assert(a == b)
   }
 
-  test("rank auto-switch: distributed path engages past the byte threshold") {
+  test("rank auto-switch: all three regimes engage on thresholds, ranks identical") {
     val rnd = new scala.util.Random(41)
     val edges = (1 to 300).map { _ =>
       (rnd.nextInt(30).toLong, (30 + rnd.nextInt(40)).toLong)
     }.distinct.toDF("src", "dst")
-    // generous threshold → broadcast regime
+    // generous thresholds → the edge list fits the driver → driver-local
     val a = graft.ops.PageRank.rank(spark, edges, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(graft.ops.PageRank.lastChoice == "driver-local")
+    graft.ops.ScratchCache.releaseAll()
+    // edges past the driver budget, vertices within broadcast → broadcast
+    val b = graft.ops.PageRank.rank(spark, edges, iters = 3,
+        maxDriverEdgeBytes = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(graft.ops.PageRank.lastChoice == "broadcast")
     graft.ops.ScratchCache.releaseAll()
-    // 0-byte threshold → the fully distributed path MUST engage
-    val b = graft.ops.PageRank.rank(spark, edges, iters = 3,
-        maxBroadcastBytes = 0L)
+    // both budgets exhausted → the fully distributed path MUST engage
+    val c = graft.ops.PageRank.rank(spark, edges, iters = 3,
+        maxBroadcastBytes = 0L, maxDriverEdgeBytes = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(graft.ops.PageRank.lastChoice == "distributed")
     graft.ops.ScratchCache.releaseAll()
-    assert(a == b) // the switch may never change the ranks
+    assert(a == b && b == c) // the switch may never change the ranks
   }
 
   test("rankInt handles a fully dangling edge set and empty-side ids") {
