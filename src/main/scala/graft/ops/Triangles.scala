@@ -105,21 +105,25 @@ object Triangles {
   private[graft] def broadcastFits(nEdges: Long, maxBroadcastBytes: Long): Boolean =
     nEdges * 8L <= maxBroadcastBytes
 
-  /** Auto-switching metrics entry: MEASURES the distinct edge count (one
-    * approx_count_distinct pre-job on the packed stream) and picks
-    * [[graphMetrics]] (driver/broadcast regime) when the distinct edge
-    * list fits `maxBroadcastBytes`, else the fully distributed
-    * [[graphMetricsDistributed]] — the human-judgment scale call made
-    * automatic, like `autoBroadcastJoinThreshold`. */
+  /** Auto-switching metrics entry: measures the PACKED stream length
+    * (a count on the cache-filling scan — no extra aggregation job; the
+    * count is a hard upper bound on the distinct edge count AND on the
+    * driver collect payload, duplicates included, so the contract never
+    * depends on the dedupe ratio) and picks [[graphMetrics]]
+    * (driver/broadcast regime) when that bound fits `maxBroadcastBytes`,
+    * else the fully distributed [[graphMetricsDistributed]] — the
+    * human-judgment scale call made automatic, like
+    * `autoBroadcastJoinThreshold`. (A stream whose duplicated length
+    * exceeds the budget but whose distinct set would fit goes
+    * distributed — conservative, still exact.) */
   def metrics(packed: org.apache.spark.sql.Dataset[Long],
               maxBroadcastBytes: Long = 64L << 20): DataFrame = {
     val spark = packed.sparkSession
     import spark.implicits._
     // normalize the single column's name (callers pack under any alias)
     val cached = ScratchCache.register(packed.toDF("value").as[Long].persist())
-    val nDistinct = cached
-      .agg(approx_count_distinct(col("value")).as("n")).head().getLong(0)
-    if (broadcastFits(nDistinct, maxBroadcastBytes)) {
+    val nPacked = cached.count()
+    if (broadcastFits(nPacked, maxBroadcastBytes)) {
       lastChoice = "broadcast"
       graphMetrics(cached)
     } else {
