@@ -45,8 +45,14 @@ object PageRank {
     * regime (two Long→Long maps + the sorted id array, amortized). */
   private val BytesPerNode = 40L
 
-  /** Driver bytes per collected distinct edge (two packed longs). */
-  private val BytesPerEdge = 16L
+  /** Driver bytes per collected distinct edge under the driver-local
+    * regime — the WORKING footprint, not the raw payload: the collected
+    * Array[(Long,Long)] boxes each edge in a Tuple2 (~48 B with object
+    * headers + array ref), plus the two Int index arrays (8 B/edge) and
+    * the per-node long arrays (amortized small: |V| ≤ 2|E|). 16 B/edge
+    * (the serialized size) would admit graphs whose transient heap is
+    * 4-5× the budget. */
+  private val BytesPerEdge = 64L
 
   /** Last strategy [[rank]] chose — observable by specs so the switch
     * itself is testable, not just the (identical) numeric output. */
@@ -75,7 +81,9 @@ object PageRank {
     * only plan shape:
     *
     *  1. driver-local — the DISTINCT EDGE LIST fits
-    *     `maxDriverEdgeBytes` (16 B/edge): collect it once and iterate
+    *     `maxDriverEdgeBytes` (64 B/edge of WORKING footprint —
+    *     boxed collect + index arrays, see [[BytesPerEdge]]): collect
+    *     it once and iterate
     *     in driver arrays. Zero per-iteration jobs; the whole rank is
     *     one collect + O(iters·|E|) driver arithmetic — catalog-sized
     *     graphs shouldn't pay distributed iteration overhead.

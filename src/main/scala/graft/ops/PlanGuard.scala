@@ -28,11 +28,18 @@ import org.apache.spark.sql.execution.window.WindowExec
   *    limits are fine; a SinglePartition shuffle feeding more compute
   *    is usually a missing partition key).
   *
-  * `audit` walks the ADAPTIVE plan when present (the post-AQE tree —
-  * runtime-demoted broadcasts and coalesced exchanges are what actually
-  * ran) and descends into subqueries. `assertScaleSafe` turns ERROR
-  * findings into an exception for CI gates; WARNs pass (they need human
-  * judgment), but arrive in the message of the returned findings.
+  * `audit` walks the adaptive node's CURRENT physical plan and descends
+  * into subqueries. On a frame that has already run, that is the final
+  * post-AQE tree (runtime-demoted broadcasts, coalesced exchanges); on
+  * an unexecuted frame — the usual pre-run gate — it is the INITIAL
+  * physical plan, so hazards AQE introduces at replan time (e.g. a
+  * demoted broadcast) are not visible until execution. The rules above
+  * are mostly structural (a global window or cartesian join is declared
+  * in the query, not invented by AQE), but join-strategy rules can shift
+  * at replan time — re-audit after a run when you need the as-executed
+  * verdict. `assertScaleSafe` turns ERROR findings into an
+  * exception for CI gates; WARNs pass (they need human judgment), but
+  * arrive in the returned findings.
   */
 object PlanGuard {
 

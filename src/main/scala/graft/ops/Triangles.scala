@@ -1,7 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.{approx_count_distinct, array, coalesce, col, count => fcount, count_distinct, explode, lit, shiftrightunsigned, sum}
+import org.apache.spark.sql.functions.{array, coalesce, col, count => fcount, count_distinct, explode, lit, shiftrightunsigned, sum}
 
 /** Triangle counting over an undirected edge list oriented low→high
   * (u < v on every row, deduplicated; ids in [0, 2³²) — the

