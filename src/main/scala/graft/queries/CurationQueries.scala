@@ -705,9 +705,29 @@ object CurationQueries {
     * broadcast literal pair/bit frames. A shingle-keyed self-join instead
     * multiplies each shingle row by its source-pair fan-out (up to
     * |sources|²) — measured 5.4 s vs 1.8 s at sf0.1 on this fixture's
-    * high-overlap sources. Source count is bounded by contract (≤ 63,
-    * the long's bit width) — the same driver-size class as PQ codebooks. */
-  def q124SourceOverlap(s: SparkSession, d: String): DataFrame = {
+    * high-overlap sources. The bitmask regime covers ≤ 63 sources (the
+    * long's bit width); past that [[sourceOverlapViaSets]] takes over
+    * with identical semantics, so no source cardinality fails fast. */
+  def q124SourceOverlap(s: SparkSession, d: String): DataFrame =
+    sourceOverlap(documents(s, d))
+
+  /** Regime dispatch for the source-overlap matrix. The probe is a
+    * TakeOrdered(64) over distinct sources — driver-safe at ANY source
+    * cardinality (it never materializes more than 64 names), unlike a
+    * full collect-then-count. ≤ 63 sources ride the long-bitmask
+    * histogram; more fall through to the set-keyed regime. */
+  def sourceOverlap(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val probe = docs.select($"source").distinct()
+      .orderBy($"source").limit(64).as[String].collect()
+    if (probe.length <= 63) sourceOverlapBitmask(docs, probe)
+    else sourceOverlapViaSets(docs)
+  }
+
+  private def sourceOverlapBitmask(docs: DataFrame,
+                                   sources: Array[String]): DataFrame = {
+    val s = docs.sparkSession
     import s.implicits._
     import graft.functions.TextFunctions.roundp
     // fused native shingle-HASH kernel (one JVM pass per doc): the
@@ -719,15 +739,11 @@ object CurationQueries {
     // expected collisions ≈ n²/2⁶⁵, ~3·10⁻⁸ at 1M distinct shingles and
     // still <3% at 100 TB-scale 10¹⁰ shingles, each perturbing one
     // histogram cell of a corpus-level DIAGNOSTIC (not a dedup decision).
-    val base = documents(s, d)
+    val base = docs
       .select($"source", explode(
         graft.functions.ShingleExpressions.wordShingleHashes64($"text", 3))
         .as("sh64"))
-    // source probe reads the source COLUMN only (columnar scan) — going
-    // through `base` would pay the shingle explode a second time
-    val sources = documents(s, d).select($"source")
-      .distinct().as[String].collect().sorted
-    require(sources.length <= 63,
+    require(sources.length <= 63, // dispatcher invariant
       s"bitmask overlap supports <= 63 sources, got ${sources.length}")
     val bitFrame = sources.zipWithIndex
       .map { case (src, i) => (src, 1L << i) }.toSeq.toDF("source", "bit")
@@ -754,6 +770,45 @@ object CurationQueries {
     maskCounts.crossJoin(broadcast(pairFrame))
       .filter($"m".bitwiseAND($"pb") === $"pb")
       .groupBy($"src_a", $"src_b", $"na", $"nb").agg(sum($"c").as("inter"))
+      .select($"src_a", $"src_b", $"inter",
+        roundp($"inter" * lit(1.0) / ($"na" + $"nb" - $"inter"), 6).as("jac"))
+      .orderBy($"src_a", $"src_b")
+  }
+
+  /** Any-source-cardinality source-overlap regime: the histogram keys on
+    * the sorted member-source ARRAY instead of a packed long, removing
+    * the 63-source bitmask cap while keeping the same plan skeleton —
+    * ONE corpus-size shuffle (the per-shingle `collect_set(source)`
+    * partial-aggregates map-side), then every pairwise intersection and
+    * per-source size reads off the |distinct source-sets| histogram; the
+    * C(|ss|,2) pair fan-out runs over that tiny frame, never the shingle
+    * stream. Tails stay distributed (broadcast size joins) rather than
+    * driver-folded, since |sources| is no longer long-bounded. */
+  private[graft] def sourceOverlapViaSets(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    import graft.functions.TextFunctions.roundp
+    val base = docs.select($"source", explode(
+      graft.functions.ShingleExpressions.wordShingleHashes64($"text", 3))
+      .as("sh64"))
+    val hist = graft.ops.ScratchCache.register(
+      base.groupBy($"sh64").agg(sort_array(collect_set($"source")).as("ss"))
+        .groupBy($"ss").agg(count(lit(1)).as("c"))
+        .persist())
+    val sizes = hist.select(explode($"ss").as("source"), $"c")
+      .groupBy($"source").agg(sum($"c").as("n"))
+    val inter = hist.select(explode(expr(
+        // all i<j pairs of the sorted member-source set
+        "flatten(transform(ss, (a, i) -> " +
+        "transform(slice(ss, i + 2, size(ss)), b -> struct(a, b))))")).as("pr"),
+        $"c")
+      .groupBy($"pr.a".as("src_a"), $"pr.b".as("src_b"))
+      .agg(sum($"c").as("inter"))
+    inter
+      .join(broadcast(sizes.select($"source".as("src_a"), $"n".as("na"))),
+        "src_a")
+      .join(broadcast(sizes.select($"source".as("src_b"), $"n".as("nb"))),
+        "src_b")
       .select($"src_a", $"src_b", $"inter",
         roundp($"inter" * lit(1.0) / ($"na" + $"nb" - $"inter"), 6).as("jac"))
       .orderBy($"src_a", $"src_b")

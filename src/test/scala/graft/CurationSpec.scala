@@ -28,6 +28,31 @@ class CurationSpec extends AnyFunSuite with SparkSpecBase {
       s"fnv64 collision on fixture: $strings distinct shingles vs $hashes hashes")
   }
 
+  test("q124 set-keyed overlap regime == bitmask regime on the fixture") {
+    val docs = Tables.documents(spark, sfSmoke)
+    val viaBitmask = CurationQueries.sourceOverlap(docs).collect()
+    val viaSets = CurationQueries.sourceOverlapViaSets(docs).collect()
+    assert(viaBitmask.nonEmpty)
+    assert(viaBitmask.toSeq == viaSets.toSeq)
+  }
+
+  test("sourceOverlap dispatches past 63 sources instead of failing fast") {
+    // 70 sources: src00/src01 share every shingle (jac 1.0), the rest are
+    // pairwise-disjoint — zero-intersection pairs never emit a row in
+    // either regime, so the full 70-source matrix is exactly one row
+    val rows = Seq(
+      ("src00", "alpha beta gamma delta"),
+      ("src01", "alpha beta gamma delta")) ++
+      (2 until 70).map(i => (f"src$i%02d", f"w$i%02da w$i%02db w$i%02dc"))
+    val docs = rows.toDF("source", "text")
+    val out = CurationQueries.sourceOverlap(docs).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getString(0) == "src00" && r.getString(1) == "src01")
+    assert(r.getLong(2) == 2L) // "alpha beta gamma" + "beta gamma delta"
+    assert(r.getDouble(3) == 1.0)
+  }
+
   test("redactPii masks emails, phones and account ids; counts match") {
     val rows = Seq(
       "write to jane.doe+spam@sub.example.org today",
