@@ -7,11 +7,19 @@ import org.apache.spark.sql.functions._
   * `BINARY` payloads + typed metadata, with decode/feature-extraction as
   * per-partition batch functions.
   *
-  * The decode step is a clearly-marked deterministic STUB (no image/audio
-  * codecs in this container); everything around it — binary schema, batch
-  * iteration shape, partition sizing, output schema — is the real Spark
-  * plumbing a production decoder (JNI/FFI codec per partition) would use.
-  * A real deployment swaps `decodeStub` only.
+  * Two decode modes share every kernel:
+  *  - `codec = "stub"` (default): the deterministic byte-level fake —
+  *    replayable in any engine, so it is what the DuckDB oracle fixtures
+  *    exercise (text bytes stand in for media bytes).
+  *  - `codec = "auto"`: REAL decode via [[MediaCodecs]] — magic-byte
+  *    sniffing, then `javax.imageio` for JPEG/PNG/BMP/GIF and
+  *    `javax.sound.sampled` for WAV/PCM; payloads that are not decodable
+  *    media fall back to the stub, so mixed corpora (some rows media,
+  *    some text) run in one pass.
+  * Everything around the decode call — binary schema, mapPartitions batch
+  * shape, partition sizing, output schema — is identical in both modes;
+  * `MediaCodecSpec` drives real JPEG/PNG/WAV fixtures through the same
+  * kernels the oracle queries use.
   */
 object Multimodal {
 
@@ -47,21 +55,32 @@ object Multimodal {
 
   /** Batch feature extraction over binary payloads: mapPartitions so a real
     * decoder initializes once per partition (codec context, GPU handle …)
-    * and streams the batch — the Scala-side shape of a pandas-UDF batch. */
-  def extractFeatures(df: DataFrame, id: String): Dataset[MediaFeature] = {
+    * and streams the batch — the Scala-side shape of a pandas-UDF batch.
+    * With `codec = "auto"`, image payloads are first decoded to gray pixels
+    * by [[MediaCodecs]] and the stats run over the decoded raster. */
+  def extractFeatures(df: DataFrame, id: String,
+                      codec: String = "stub"): Dataset[MediaFeature] = {
+    requireCodec(codec)
     val spark = df.sparkSession
     import spark.implicits._
     val idIdx = df.schema.fieldIndex(id)
     val payloadIdx = df.schema.fieldIndex("payload")
+    val real = codec == "auto"
     df.mapPartitions { rows =>
       // per-partition decoder init would go here (once, not per row)
       rows.map { r =>
         val payload = r.getAs[Array[Byte]](payloadIdx)
-        val (mean, feat) = decodeStub(payload)
+        val decoded =
+          if (real) MediaCodecs.decodeImageGray(payload).map(_._3).getOrElse(payload)
+          else payload
+        val (mean, feat) = decodeStub(decoded)
         MediaFeature(r.getLong(idIdx), payload.length.toLong, mean, feat)
       }
     }
   }
+
+  private def requireCodec(codec: String): Unit =
+    require(codec == "stub" || codec == "auto", s"codec must be stub|auto, got $codec")
 
   final case class ResizedImage(
       doc_id: Long, width: Int, height: Int, pixels: Array[Byte])
@@ -75,19 +94,28 @@ object Multimodal {
     (width, h, px)
   }
 
-  /** Image resize over binary payloads (decode stubbed, resampling real):
-    * nearest-neighbor to (outW, outH), one decoder per partition, output =
-    * typed (width, height, pixels) rows — the batch shape a production
-    * imaging codec plugs into unchanged. */
+  /** Image resize over binary payloads: nearest-neighbor to (outW, outH),
+    * one decoder per partition, output = typed (width, height, pixels)
+    * rows. `codec = "auto"` decodes real JPEG/PNG/BMP/GIF payloads via
+    * [[MediaCodecs.decodeImageGray]] (non-media payloads fall back to the
+    * stub); `codec = "stub"` is the deterministic oracle-replayable fake. */
   def resizeImages(df: DataFrame, id: String, srcWidth: Int,
-                   outW: Int, outH: Int): Dataset[ResizedImage] = {
+                   outW: Int, outH: Int,
+                   codec: String = "stub"): Dataset[ResizedImage] = {
+    requireCodec(codec)
     val spark = df.sparkSession
     import spark.implicits._
     val idIdx = df.schema.fieldIndex(id)
     val payloadIdx = df.schema.fieldIndex("payload")
+    val real = codec == "auto"
     df.mapPartitions { rows =>
       rows.map { r =>
-        val (w, h, px) = decodeImageStub(r.getAs[Array[Byte]](payloadIdx), srcWidth)
+        val payload = r.getAs[Array[Byte]](payloadIdx)
+        val (w, h, px) =
+          if (real)
+            MediaCodecs.decodeImageGray(payload)
+              .getOrElse(decodeImageStub(payload, srcWidth))
+          else decodeImageStub(payload, srcWidth)
         val out = new Array[Byte](outW * outH)
         var y = 0
         while (y < outH) {
@@ -136,36 +164,42 @@ object Multimodal {
   final case class AudioWindow(
       doc_id: Long, window_idx: Int, n_samples: Int, rms: Double, zero_crossings: Long)
 
-  /** Audio feature extraction (decode stubbed, windowing real): treat
-    * each payload byte as an amplitude sample centered at 64
-    * (`(b & 0xFF) − 64` — a deterministic stand-in for a real codec's
-    * PCM decode; ASCII text payloads then swing around the letter/space
-    * boundary, giving non-degenerate sign changes) and emit per-window
-    * RMS energy + zero-crossing count — the two classic frame-level
-    * audio features. Same production shape as the image/video paths:
+  /** Audio feature extraction: decode to mono PCM samples, then emit
+    * per-window RMS energy + zero-crossing count — the two classic
+    * frame-level audio features. `codec = "auto"` runs real WAV/PCM decode
+    * via [[MediaCodecs.decodeAudioPcm]] (any JVM-supported bit depth,
+    * multi-channel averaged to mono; non-audio payloads fall back to the
+    * stub); `codec = "stub"` is the deterministic byte-level fake the
+    * oracle replays. Same production shape as the image/video paths:
     * mapPartitions with per-partition decoder init as the codec slot,
     * one output row per analysis window, trailing partial window kept. */
   def audioFeatures(df: DataFrame, id: String,
-                    windowSamples: Int): Dataset[AudioWindow] = {
+                    windowSamples: Int,
+                    codec: String = "stub"): Dataset[AudioWindow] = {
     require(windowSamples > 0)
+    requireCodec(codec)
     val spark = df.sparkSession
     import spark.implicits._
     val idIdx = df.schema.fieldIndex(id)
     val payloadIdx = df.schema.fieldIndex("payload")
+    val real = codec == "auto"
     df.mapPartitions { rows =>
       rows.flatMap { r =>
         val payload = r.getAs[Array[Byte]](payloadIdx)
         val docId = r.getLong(idIdx)
-        val nWin = (payload.length + windowSamples - 1) / windowSamples
+        val samples =
+          if (real) MediaCodecs.decodeAudioPcm(payload).getOrElse(stubSamples(payload))
+          else stubSamples(payload)
+        val nWin = (samples.length + windowSamples - 1) / windowSamples
         (0 until nWin).iterator.map { w =>
           val lo = w * windowSamples
-          val hi = math.min(payload.length, lo + windowSamples)
+          val hi = math.min(samples.length, lo + windowSamples)
           var sumSq = 0.0
           var zc = 0L
           var prevSign = 0
           var i = lo
           while (i < hi) {
-            val s = (payload(i) & 0xFF) - 64 // centered-amplitude stub decode
+            val s = samples(i)
             sumSq += s.toDouble * s
             val sign = if (s > 0) 1 else if (s < 0) -1 else 0
             if (sign != 0) {
@@ -180,6 +214,16 @@ object Multimodal {
     }
   }
 
+  /** Stub "PCM decode": each payload byte as an amplitude centered at 64
+    * (ASCII text swings around the letter/space boundary, giving
+    * non-degenerate sign changes) — the oracle-replayable fake. */
+  private[graft] def stubSamples(payload: Array[Byte]): Array[Int] = {
+    val out = new Array[Int](payload.length)
+    var i = 0
+    while (i < payload.length) { out(i) = (payload(i) & 0xFF) - 64; i += 1 }
+    out
+  }
+
   final case class ImageHash(doc_id: Long, hi: Long, lo: Long)
 
   /** Average-hash (aHash) perceptual fingerprint: resize to 8×8, then one
@@ -189,10 +233,11 @@ object Multimodal {
     * halves in BIGINTs: a single i64 hash would need signed-overflow
     * agreement across engines for bit 63, and the split halves also hand
     * the Hamming banding its natural 16-bit band boundaries. */
-  def averageHash(df: DataFrame, id: String, srcWidth: Int): Dataset[ImageHash] = {
+  def averageHash(df: DataFrame, id: String, srcWidth: Int,
+                  codec: String = "stub"): Dataset[ImageHash] = {
     val spark = df.sparkSession
     import spark.implicits._
-    resizeImages(df, id, srcWidth, outW = 8, outH = 8).map { r =>
+    resizeImages(df, id, srcWidth, outW = 8, outH = 8, codec = codec).map { r =>
       val px = r.pixels.map(_ & 0xff)
       val total = px.sum
       var hi = 0L
