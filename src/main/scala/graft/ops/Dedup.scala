@@ -477,23 +477,24 @@ object Dedup {
     * hides `keep`'s size from AQE, so the semi-join stops broadcasting.
     * This plan is the measured optimum; the remaining gap to the DuckDB
     * twin is Spark's per-stage fixed overhead, not data cost. */
-  def substringPairs(df: DataFrame, id: String, text: String, winLen: Int,
+  def substringPairs(df0: DataFrame, id: String, text: String, winLen: Int,
                      maxDf: Option[Int] = None): DataFrame = {
     require(winLen >= 2)
+    // the window kernels below explode each doc ~|text| ways: fan the
+    // COMPACT doc rows out first when the scan alone can't parallelize
+    // (single-row-group input) — identity on any real-size corpus
+    val df = FanOut.cpu(df0)
     val hp = graft.functions.ShingleExpressions.charWindowHashPos(col(text), winLen)
     // Pass 1 — df count over window HASHES only (12-byte structs, no
     // window-string allocation or shuffle; the kernel hashes straight off
     // the documents' UTF-8 bytes). Partial agg collapses each map side to
     // its distinct hashes, so the shuffle is ~|distinct windows| longs.
-    // explicit-width repartition on h: the window-hash stream is ~all
-    // distinct keys, so map-side combine can't shrink it and AQE would
-    // coalesce the ~|windows|-key final aggregate down to a couple of
-    // post-shuffle partitions (64 MiB advisory target), serializing the
-    // hash-table build; an explicit count keeps the reduce side wide
+    // (An explicit-width repartition on h used to hold the reduce side
+    // wide against AQE coalescing; with the fan-out above making the map
+    // side parallel, the extra exchange measures strictly slower —
+    // ProfQ58b: pass-1 0.92 s with it, 0.65 s without.)
     val keep = df.select(explode(hp).as("w"))
       .select(col("w.h").as("h"))
-      .repartition(df.sparkSession.sessionState.conf.numShufflePartitions,
-        col("h"))
       .groupBy(col("h")).count()
       .filter(col("count") >= 2 &&
         col("count") <= lit(maxDf.getOrElse(Int.MaxValue)))

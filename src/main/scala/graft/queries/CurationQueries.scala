@@ -739,37 +739,55 @@ object CurationQueries {
     // expected collisions ≈ n²/2⁶⁵, ~3·10⁻⁸ at 1M distinct shingles and
     // still <3% at 100 TB-scale 10¹⁰ shingles, each perturbing one
     // histogram cell of a corpus-level DIAGNOSTIC (not a dedup decision).
-    val base = docs
+    // fan the compact doc rows out before the ~|text|-way shingle explode
+    // when the scan alone can't parallelize (single-row-group input)
+    val base = graft.ops.FanOut.cpu(docs)
       .select($"source", explode(
         graft.functions.ShingleExpressions.wordShingleHashes64($"text", 3))
         .as("sh64"))
     require(sources.length <= 63, // dispatcher invariant
       s"bitmask overlap supports <= 63 sources, got ${sources.length}")
-    val bitFrame = sources.zipWithIndex
-      .map { case (src, i) => (src, 1L << i) }.toSeq.toDF("source", "bit")
-    val maskCounts = graft.ops.ScratchCache.register(
-      base.join(broadcast(bitFrame), "source")
-        .groupBy($"sh64").agg(bit_or($"bit").as("m"))
-        .groupBy($"m").agg(count(lit(1)).as("c"))
-        .persist())
-    // per-source set sizes: ≤ |sources| ≤ 63 rows by the same contract
-    // that sizes bitFrame — collecting them folds na/nb into the
-    // driver-built pair frame, so the whole tail after the histogram is
-    // ONE broadcast-crossjoin job instead of two crossjoins + two joins
-    // (tail jobs dominated the wall clock once the heavy agg was fixed:
-    // 1.6 → 1.1 s at sf0.1)
-    val sizes = maskCounts.crossJoin(broadcast(bitFrame))
-      .filter($"m".bitwiseAND($"bit") === $"bit")
-      .groupBy($"source").agg(sum($"c").as("n"))
-      .as[(String, Long)].collect().toMap
-    val pairFrame = (for {
+    // source → bit as an inline literal-map lookup, not a broadcast join:
+    // ≤ 63 entries is well inside literal-expression size, and it drops a
+    // broadcast-build job + join stage from the plan's critical path
+    // (unknown sources — impossible by construction of the probe — would
+    // surface as a null mask, whose rows explode() then drops)
+    val bitOf = element_at(
+      map(sources.zipWithIndex.flatMap { case (src, i) =>
+        Seq(lit(src), lit(1L << i)) }: _*), $"source")
+    val hist = base.select($"sh64", bitOf.as("bit"))
+      .groupBy($"sh64").agg(bit_or($"bit").as("m"))
+      .groupBy($"m").agg(count(lit(1)).as("c"))
+    // One tagged pass folds BOTH the pairwise intersections and the
+    // per-source sizes over the histogram: a broadcast-literal probe
+    // frame carries every pair mask (i,j → bit_i|bit_j) plus every
+    // single-bit size probe (i,-1 → bit_i); one codegen'd crossJoin +
+    // bitwiseAND filter + sum collapses the histogram to ≤ C(63,2)+63 =
+    // 2079 rows — a driver collect bounded by the regime's ≤63-source
+    // contract, never by data size. (Two designs measured worse at
+    // sf0.1: the previous persist + sizes-crossjoin + final-crossjoin
+    // tail cost three jobs and ~1.0 s of the 1.9 s wall; an
+    // explode-the-set-bits HOF pass cost ~1.4 s because higher-order
+    // functions are interpreter-only — CodegenFallback per mask row.)
+    val probeFrame = ((for {
       i <- sources.indices; j <- sources.indices if i < j
-    } yield (sources(i), sources(j), (1L << i) | (1L << j),
-        sizes.getOrElse(sources(i), 0L), sizes.getOrElse(sources(j), 0L)))
-      .toDF("src_a", "src_b", "pb", "na", "nb")
-    maskCounts.crossJoin(broadcast(pairFrame))
+    } yield (i, j, (1L << i) | (1L << j))) ++
+      sources.indices.map(i => (i, -1, 1L << i)))
+      .toDF("i", "j", "pb")
+    val tagged = hist.crossJoin(broadcast(probeFrame))
       .filter($"m".bitwiseAND($"pb") === $"pb")
-      .groupBy($"src_a", $"src_b", $"na", $"nb").agg(sum($"c").as("inter"))
+      .groupBy($"i", $"j").agg(sum($"c").as("n"))
+      .collect()
+    val sizes = tagged.collect {
+      case r if r.getInt(1) == -1 => r.getInt(0) -> r.getLong(2) }.toMap
+    val inter = tagged.collect {
+      case r if r.getInt(1) >= 0 =>
+        (sources(r.getInt(0)), sources(r.getInt(1)), r.getLong(2),
+          sizes(r.getInt(0)), sizes(r.getInt(1)))
+    }.toSeq.sortBy(t => (t._1, t._2))
+    // jac computed back in a (local-relation) plan so the float rounding
+    // path is byte-identical to every other engine-side roundp
+    inter.toDF("src_a", "src_b", "inter", "na", "nb")
       .select($"src_a", $"src_b", $"inter",
         roundp($"inter" * lit(1.0) / ($"na" + $"nb" - $"inter"), 6).as("jac"))
       .orderBy($"src_a", $"src_b")
@@ -788,7 +806,7 @@ object CurationQueries {
     val s = docs.sparkSession
     import s.implicits._
     import graft.functions.TextFunctions.roundp
-    val base = docs.select($"source", explode(
+    val base = graft.ops.FanOut.cpu(docs).select($"source", explode(
       graft.functions.ShingleExpressions.wordShingleHashes64($"text", 3))
       .as("sh64"))
     val hist = graft.ops.ScratchCache.register(

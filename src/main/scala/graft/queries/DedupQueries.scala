@@ -202,7 +202,11 @@ object DedupQueries {
     val doc = documents(s, d)
       .select($"doc_id", substring($"text", 1, 12).as("blk"),
         substring($"text", 1, 80).as("w80"))
-    val pairs = doc.as("a").join(doc.as("b"),
+    // probe side fans out so the broadcast-join probe + per-pair edit
+    // distance parallelize even off a single-row-group scan (ProfQ73:
+    // the lev stage was single-task and dominated the query); identity
+    // on any real-size corpus, where the scan has splits of its own
+    val pairs = graft.ops.FanOut.cpu(doc).as("a").join(doc.as("b"),
         $"a.blk" === $"b.blk" && $"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
         levenshtein($"a.w80", $"b.w80", 30).as("d"))
@@ -235,7 +239,8 @@ object DedupQueries {
     val doc = documents(s, d)
       .select($"doc_id", substring($"text", 1, 12).as("blk"),
         substring($"text", 1, 80).as("w80"))
-    val pairs = doc.as("a").join(doc.as("b"),
+    // same probe-side fan-out as q73 (single-task lev stage otherwise)
+    val pairs = graft.ops.FanOut.cpu(doc).as("a").join(doc.as("b"),
         $"a.blk" === $"b.blk" && $"a.doc_id" < $"b.doc_id")
       .select($"a.blk".as("blk"), $"a.doc_id".as("doc_a"),
         $"b.doc_id".as("doc_b"),

