@@ -40,6 +40,9 @@ object Datum {
     "clrk80" -> Ellipsoid(6378249.145, 293.465),
     "airy"   -> Ellipsoid(6377563.396, 299.3249646),
     "krass"  -> Ellipsoid(6378245.0, 298.3),
+    "evrst69" -> Ellipsoid(6377295.664, 300.8017),
+    "evrstss" -> Ellipsoid(6377298.556, 300.8017),
+    "aust_sa" -> Ellipsoid(6378160.0, 298.25),
     "sphere" -> Ellipsoid(6370997.0, 0.0))
 
   /** 7-parameter Helmert transformation, PROJ `+towgs84` position-vector

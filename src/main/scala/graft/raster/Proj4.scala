@@ -12,15 +12,21 @@ package graft.raster
   * aea | stere (polar aspect) | sinu` on WGS84/GRS80 (flattening delta
   * < 0.1 mm — the gallery's treat-as-equal bridge) or an explicit sphere
   * (`+R=` / `+a=+b=`, the MODIS-grid form). Legacy datums: `longlat`,
-  * `utm`, `tmerc`, `lcc`, `aea`, polar `stere` and `sterea` (oblique
-  * double stereographic, EPSG 9809) also compile on ANY registered
-  * `+ellps=` with an optional 3/7-parameter `+towgs84` Helmert shift
-  * ([[Datum]]) — the Gauss-Krüger/DHDN, ED50-UTM and RD-New national-
-  * grid classes; the Compiled geographic side is ALWAYS WGS84 lon/lat
-  * (the shift is composed inside). Anything else — unknown projections,
-  * unknown ellipsoid names, `+datum=` shorthands other than WGS84,
-  * nonzero shifts without a recognized ellipsoid — returns None, keeping
-  * `assemble`'s fail-fast contract rather than silently mis-warping.
+  * `utm`, `tmerc`, `lcc`, `aea`, polar `stere`, `sterea` (oblique
+  * double stereographic, EPSG 9809), `somerc` (Swiss, EPSG:2056/21781),
+  * `omerc` (Hotine variants A/B, RSO Borneo/Malaysia), `krovak`
+  * (S-JTSK, EPSG:5514) and `geos` (geostationary GOES/Meteosat fixed
+  * grids) all compile on ANY registered `+ellps=` with an optional
+  * 3/7-parameter `+towgs84` Helmert shift ([[Datum]], [[ProjExt]]) — the
+  * Gauss-Krüger/DHDN, ED50-UTM and RD-New national-grid classes; the
+  * Compiled geographic side is ALWAYS WGS84 lon/lat (the shift is
+  * composed inside). `+nadgrids=<file>.gsb` NTv2 grid shifts ([[Ntv2]])
+  * supersede the Helmert, PROJ-style; a present-but-unreadable grid
+  * fails the parse. Anything else — unknown projections, unknown
+  * ellipsoid names, `+datum=` shorthands other than WGS84, non-Greenwich
+  * `+pm=`, nonzero shifts without a recognized ellipsoid — returns None,
+  * keeping `assemble`'s fail-fast contract rather than silently
+  * mis-warping.
   */
 object Proj4 {
 
@@ -58,6 +64,22 @@ object Proj4 {
     // mis-warp by ~100 m.
     val towgsOk = kv.get("towgs84").forall(
       _.split(",").forall(_.toDoubleOption.exists(_ == 0.0)))
+    // +nadgrids: NTv2 grid-based datum shift — present but unreadable
+    // fails the parse (fail-fast, never silently ignore a shift); when
+    // readable it REPLACES the Helmert (PROJ precedence). `@file` optional
+    // grids keep the @-marker semantics only in that a missing file still
+    // fails here: assemble's contract prefers an error to a mis-warp.
+    val gridSpec = kv.get("nadgrids").map { v =>
+      v.split(",").map(_.trim).filter(s => s.nonEmpty && s != "null")
+        .map(s => if (s.startsWith("@")) s.drop(1) else s)
+        .headOption.flatMap(Ntv2.read)
+    }
+    if (gridSpec.exists(_.isEmpty)) return None
+    val grid: Option[Ntv2.Grid] = gridSpec.flatten
+    // +pm: Greenwich only — a non-Greenwich prime meridian would shift
+    // every longitude; fail fast rather than silently ignore it
+    if (kv.get("pm").exists(pm => !pm.equalsIgnoreCase("greenwich")))
+      return None
     val helmert: Option[Datum.Helmert] = kv.get("towgs84") match {
       case None => Some(Datum.Helmert(0, 0, 0))
       case Some(v) =>
@@ -87,7 +109,7 @@ object Proj4 {
     }
     // the plain (no-datum-machinery) regime: WGS84 family AND identity
     // shift — the original gallery kernels, bit-for-bit
-    val plainWgs = wgsLike && towgsOk
+    val plainWgs = wgsLike && towgsOk && grid.isEmpty
     // legacy regime needs a registered ellipsoid to compile against
     // (+datum= shorthands other than WGS84 stay unsupported)
     val legacyEll: Option[Datum.Ellipsoid] =
@@ -97,24 +119,41 @@ object Proj4 {
     // (b) a projection family with a datum-composable kernel
     if (!towgsOk && legacyEll.isEmpty && !wgsLike) return None
     if (!towgsOk && !kv.get("proj").exists(Set("longlat", "latlong", "utm",
-        "tmerc", "lcc", "aea", "stere", "sterea"))) return None
+        "tmerc", "lcc", "aea", "stere", "sterea", "somerc", "omerc",
+        "krovak", "geos"))) return None
 
     // compose the Helmert datum shift around a kernel whose geodetic side
     // is `ell`; Compiled's geographic side stays WGS84 lon/lat. GRS80 with
     // an identity shift is the treat-as-equal bridge (no wrap).
     def datumWrapped(p: Compiled, ell: Datum.Ellipsoid,
-                     hm: Datum.Helmert): Compiled =
-      if (hm.isIdentity && ell.a == Datum.WGS84.a &&
-          math.abs(ell.f - Datum.WGS84.f) < 1e-9) p
-      else Compiled(
-        (lon, lat) => {
-          val (ll, lp) = Datum.wgs84ToLocal(ell, hm, lon, lat)
-          p.forward(ll, lp)
-        },
-        (x, y) => {
-          val (ll, lp) = p.inverse(x, y)
-          Datum.localToWgs84(ell, hm, ll, lp)
-        })
+                     hm: Datum.Helmert): Compiled = grid match {
+      case Some(g) =>
+        // NTv2 shifts are GEOGRAPHIC offsets source→pivot: the kernel
+        // projects local-datum lon/lat, so WGS84 input first walks the
+        // grid backwards (fixpoint inverse), and kernel output walks it
+        // forwards; the Helmert is superseded (PROJ precedence)
+        Compiled(
+          (lon, lat) => {
+            val (ll, lp) = g.inverse(lon, lat)
+            p.forward(ll, lp)
+          },
+          (x, y) => {
+            val (ll, lp) = p.inverse(x, y)
+            g.forward(ll, lp)
+          })
+      case None =>
+        if (hm.isIdentity && ell.a == Datum.WGS84.a &&
+            math.abs(ell.f - Datum.WGS84.f) < 1e-9) p
+        else Compiled(
+          (lon, lat) => {
+            val (ll, lp) = Datum.wgs84ToLocal(ell, hm, lon, lat)
+            p.forward(ll, lp)
+          },
+          (x, y) => {
+            val (ll, lp) = p.inverse(x, y)
+            Datum.localToWgs84(ell, hm, ll, lp)
+          })
+    }
     // ellipsoid for a legacy path: named, or the WGS84 default when only
     // the shift is non-plain (`+ellps=WGS84 +towgs84=...`)
     def shiftEll: Option[Datum.Ellipsoid] =
@@ -292,6 +331,83 @@ object Proj4 {
         } yield {
           val latTs = if (latO < 0) -math.abs(ts) else math.abs(ts)
           val p = GtiMosaic.PolarStereographic(latTs, lon0, x0, y0, ell)
+          datumWrapped(
+            Compiled((lon, lat) => p.forward(lon, lat), (x, y) => p.inverse(x, y)),
+            ell, hm)
+        }
+
+      case "somerc" =>
+        // Swiss oblique Mercator (EPSG:21781/2056 class): swisstopo
+        // formulary kernel; mutual-validated against the EPSG HOM-B
+        // azimuth-90 formulation in ProjExtSpec
+        for {
+          hm <- helmert; ell <- shiftEll
+          lat0 <- numOr("lat_0", 0.0); lon0 <- numOr("lon_0", 0.0)
+          k0 <- numOr("k", 1.0).flatMap(k => numOr("k_0", k))
+          x0 <- numOr("x_0", 0.0); y0 <- numOr("y_0", 0.0)
+        } yield {
+          val p = ProjExt.SwissObliqueMercator(lat0, lon0, k0, x0, y0, ell)
+          datumWrapped(
+            Compiled((lon, lat) => p.forward(lon, lat), (x, y) => p.inverse(x, y)),
+            ell, hm)
+        }
+
+      case "omerc" =>
+        // Hotine oblique Mercator (RSO Borneo/Malaysia class). PROJ
+        // semantics: variant B by default, +no_uoff/+no_off → variant A;
+        // +gamma defaults to the azimuth. Two-point (+lat_1/+lon_1/…)
+        // form not supported — fail fast without +alpha.
+        for {
+          hm <- helmert; ell <- shiftEll
+          latC <- num("lat_0")
+          lonC <- num("lonc").orElse(num("lon_0"))
+          alpha <- num("alpha")
+          gamma <- numOr("gamma", alpha)
+          k0 <- numOr("k", 1.0).flatMap(k => numOr("k_0", k))
+          x0 <- numOr("x_0", 0.0); y0 <- numOr("y_0", 0.0)
+        } yield {
+          val variantB = !(kv.contains("no_uoff") || kv.contains("no_off"))
+          val p = ProjExt.HotineObliqueMercator(latC, lonC, alpha, gamma,
+            k0, x0, y0, ell, variantB)
+          datumWrapped(
+            Compiled((lon, lat) => p.forward(lon, lat), (x, y) => p.inverse(x, y)),
+            ell, hm)
+        }
+
+      case "krovak" =>
+        // Krovak / S-JTSK (EPSG 9819). `lon_0` is Greenwich-referenced
+        // (EPSG's "42°30' E of Ferro" ≡ the 24°50' E Greenwich every
+        // published string carries — see ProjExt.Krovak). Defaults are
+        // the S-JTSK constants, like PROJ's.
+        for {
+          hm <- helmert; ell <- shiftEll
+          lat0 <- numOr("lat_0", 49.5)
+          lon0 <- numOr("lon_0", 24.833333333333332)
+          alpha <- numOr("alpha", 30.28813972222222)
+          k0 <- numOr("k", 0.9999).flatMap(k => numOr("k_0", k))
+          x0 <- numOr("x_0", 0.0); y0 <- numOr("y_0", 0.0)
+        } yield {
+          val p = ProjExt.Krovak(lat0, lon0, alpha, k0, x0, y0, ell)
+          datumWrapped(
+            Compiled((lon, lat) => p.forward(lon, lat), (x, y) => p.inverse(x, y)),
+            ell, hm)
+        }
+
+      case "geos" =>
+        // geostationary satellite view (GOES-R `+sweep=x`, Meteosat
+        // `+sweep=y` default — PROJ convention); +h = orbit height above
+        // the ellipsoid surface. Off-disk points → NaN (assemble treats
+        // NaN source coords as out-of-footprint).
+        for {
+          hm <- helmert
+          ell <- sphereR.map(r => Datum.Ellipsoid(r, 0.0)).orElse(shiftEll)
+          h <- num("h")
+          sweep <- kv.get("sweep").orElse(Some("y"))
+            .filter(s => s == "x" || s == "y")
+          lon0 <- numOr("lon_0", 0.0)
+          x0 <- numOr("x_0", 0.0); y0 <- numOr("y_0", 0.0)
+        } yield {
+          val p = ProjExt.Geos(lon0, h, sweep == "x", x0, y0, ell)
           datumWrapped(
             Compiled((lon, lat) => p.forward(lon, lat), (x, y) => p.inverse(x, y)),
             ell, hm)

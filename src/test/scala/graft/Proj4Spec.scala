@@ -112,9 +112,17 @@ class Proj4Spec extends AnyFunSuite with SparkSpecBase {
       val (lon, lat) = c.inverse(e, n)
       assert(math.abs(lon + 0.1276) < 1e-7 && math.abs(lat - 51.5074) < 1e-7)
     }
-    // unknown projection family
-    assert(Proj4.parse("+proj=omerc +lat_0=4 +lonc=102.25 +alpha=323.13 " +
-      "+ellps=WGS84").isEmpty)
+    // omerc compiles since round 8 (ProjExtSpec pins it) — here just
+    // round-trip the RSO Malaysia West string that round 7 rejected
+    locally {
+      val rso = Proj4.parse("+proj=omerc +lat_0=4 +lonc=102.25 +alpha=323.13 " +
+        "+ellps=WGS84").getOrElse(fail("omerc rejected"))
+      val (e, n) = rso.forward(101.7, 3.15)
+      val (lon, lat) = rso.inverse(e, n)
+      assert(math.abs(lon - 101.7) < 1e-7 && math.abs(lat - 3.15) < 1e-7)
+    }
+    // a genuinely unknown projection family still fails fast
+    assert(Proj4.parse("+proj=robin +lon_0=0 +ellps=WGS84").isEmpty)
     // oblique stereographic is not the polar kernel (sterea covers it)
     assert(Proj4.parse("+proj=stere +lat_0=52.15 +lon_0=5.39 +ellps=WGS84").isEmpty)
     // unknown ellipsoid name with a shift

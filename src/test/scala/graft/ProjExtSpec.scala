@@ -1,0 +1,259 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.raster.{Datum, GeoTiffWriter, GtiMosaic, Ntv2, Proj4, ProjExt}
+
+/** Extended projection kernels (somerc / omerc / krovak / geos) + NTv2
+  * grid shifts: EPSG Guidance Note worked-example pins, independent-
+  * formulation cross-checks, round-trips, proj-string compilation, and a
+  * krovak-CRS tile assembled into a mosaic (the reference's any-CRS
+  * contract, flytemosaic/mosaics.py:44-50). */
+class ProjExtSpec extends AnyFunSuite with SparkSpecBase {
+  import spark.implicits._
+
+  private def dms(d: Int, m: Int, s: Double): Double = d + m / 60.0 + s / 3600.0
+  private val bessel = Datum.byName("bessel")
+
+  test("omerc variant B: EPSG worked example (Timbalai 1948 / RSO Borneo)") {
+    val hom = ProjExt.HotineObliqueMercator(
+      latCDeg = 4.0, lonCDeg = 115.0,
+      alphaDeg = dms(53, 18, 56.9537), gammaDeg = dms(53, 7, 48.3685),
+      kc = 0.99984, fe = 590476.87, fn = 442857.65,
+      ell = Datum.byName("evrstss"), variantB = true)
+    val (e, n) = hom.forward(dms(115, 48, 19.8196), dms(5, 23, 14.1129))
+    assert(math.abs(e - 679245.73) < 0.02, s"E=$e")
+    assert(math.abs(n - 596562.78) < 0.02, s"N=$n")
+    val (lon, lat) = hom.inverse(679245.73, 596562.78)
+    assert(math.abs(lon - dms(115, 48, 19.8196)) < 1e-6)
+    assert(math.abs(lat - dms(5, 23, 14.1129)) < 1e-6)
+  }
+
+  test("krovak: EPSG worked example (S-JTSK), proj sign convention") {
+    val kro = ProjExt.Krovak(49.5, dms(24, 50, 0), dms(30, 17, 17.3031),
+      0.9999, 0, 0, bessel)
+    // EPSG GN7-2 method 9819: Southing 1050538.63, Westing 568991.00 →
+    // proj/EPSG:5514 Krovak East North = (−westing, −southing)
+    val (x, y) = kro.forward(dms(16, 50, 59.1790), dms(50, 12, 32.4416))
+    assert(math.abs(x - -568991.00) < 0.05, s"x=$x")
+    assert(math.abs(y - -1050538.63) < 0.05, s"y=$y")
+    val (lon, lat) = kro.inverse(-568991.00, -1050538.63)
+    assert(math.abs(lon - dms(16, 50, 59.1790)) < 1e-6)
+    assert(math.abs(lat - dms(50, 12, 32.4416)) < 1e-6)
+  }
+
+  test("somerc ≡ EPSG HOM variant B at azimuth 90 (two independent formulations)") {
+    // Swiss LV95 parameters on Bessel: the swisstopo conformal-sphere
+    // kernel and the EPSG 9815 aposphere kernel are derived independently;
+    // sub-0.1 mm agreement across Switzerland validates both
+    val lat0 = dms(46, 57, 8.66); val lon0 = dms(7, 26, 22.5)
+    val sw = ProjExt.SwissObliqueMercator(lat0, lon0, 1.0, 2600000, 1200000, bessel)
+    val hom90 = ProjExt.HotineObliqueMercator(lat0, lon0, 90.0, 90.0, 1.0,
+      2600000, 1200000, bessel, variantB = true)
+    for (li <- 0 to 5; pi <- 0 to 5) {
+      val lon = 6.0 + li * 0.8
+      val lat = 45.8 + pi * 0.4
+      val (sx, sy) = sw.forward(lon, lat)
+      val (hx, hy) = hom90.forward(lon, lat)
+      assert(math.abs(sx - hx) < 1e-4 && math.abs(sy - hy) < 1e-4,
+        s"($lon,$lat): somerc=($sx,$sy) homB=($hx,$hy)")
+      val (blon, blat) = sw.inverse(sx, sy)
+      assert(math.abs(blon - lon) < 1e-9 && math.abs(blat - lat) < 1e-9)
+    }
+    // projection center → false origin exactly
+    val (cx, cy) = sw.forward(lon0, lat0)
+    assert(math.abs(cx - 2600000) < 1e-6 && math.abs(cy - 1200000) < 1e-6)
+  }
+
+  test("somerc: conformality (numeric isotropy of the local scale)") {
+    val sw = ProjExt.SwissObliqueMercator(dms(46, 57, 8.66), dms(7, 26, 22.5),
+      1.0, 2600000, 1200000, bessel)
+    val d = 1e-6
+    for ((lon, lat) <- Seq((7.0, 46.2), (9.5, 47.4), (6.3, 46.8))) {
+      val phi = math.toRadians(lat)
+      val sinP = math.sin(phi)
+      val nu = bessel.a / math.sqrt(1 - bessel.e2 * sinP * sinP)
+      val rho = bessel.a * (1 - bessel.e2) /
+        math.pow(1 - bessel.e2 * sinP * sinP, 1.5)
+      val (x0, y0) = sw.forward(lon, lat)
+      val (xE, yE) = sw.forward(lon + d, lat)
+      val (xN, yN) = sw.forward(lon, lat + d)
+      val hE = math.hypot(xE - x0, yE - y0) /
+        (math.toRadians(d) * nu * math.cos(phi))
+      val hN = math.hypot(xN - x0, yN - y0) / (math.toRadians(d) * rho)
+      assert(math.abs(hE / hN - 1) < 1e-4, s"($lon,$lat): hE=$hE hN=$hN")
+    }
+  }
+
+  test("geos: nadir anchors, round-trips, sweep conventions, off-disk NaN") {
+    val grs80 = Datum.byName("grs80")
+    for (sweepX <- Seq(true, false)) {
+      val g = ProjExt.Geos(-75.0, 35786023.0, sweepX, 0, 0, grs80)
+      assert(g.forward(-75.0, 0.0) == ((0.0, 0.0))) // sub-satellite point
+      // near nadir the scan-angle × h coordinate ≈ ground offset
+      val (x, _) = g.forward(-75.0 + 0.01, 0.0)
+      assert(math.abs(x / (grs80.a * math.toRadians(0.01)) - 1) < 1e-3)
+      for ((lon, lat) <- Seq((-100.0, 35.0), (-60.0, -20.0), (-80.0, 45.0),
+          (-75.0, -55.0))) {
+        val (px, py) = g.forward(lon, lat)
+        val (rl, rp) = g.inverse(px, py)
+        assert(math.abs(rl - lon) < 1e-9 && math.abs(rp - lat) < 1e-9,
+          s"sweepX=$sweepX ($lon,$lat)")
+      }
+      // antipode is invisible from the satellite
+      val (nx, ny) = g.forward(105.0, 0.0)
+      assert(nx.isNaN && ny.isNaN)
+    }
+    // on the equator the two sweep conventions agree; off it they differ
+    val gx = ProjExt.Geos(-75.0, 35786023.0, sweepX = true, 0, 0, grs80)
+    val gy = ProjExt.Geos(-75.0, 35786023.0, sweepX = false, 0, 0, grs80)
+    val (ex1, ey1) = gx.forward(-70.0, 0.0)
+    val (ex2, ey2) = gy.forward(-70.0, 0.0)
+    assert(math.abs(ex1 - ex2) < 1e-9 && math.abs(ey1 - ey2) < 1e-9)
+    val (ox1, _) = gx.forward(-70.0, 30.0)
+    val (ox2, _) = gy.forward(-70.0, 30.0)
+    assert(math.abs(ox1 - ox2) > 100.0) // materially different mappings
+  }
+
+  test("proj strings compile: EPSG:2056, EPSG:5514, RSO, GOES-East") {
+    val lv95 = Proj4.parse("+proj=somerc +lat_0=46.95240555555556 " +
+      "+lon_0=7.439583333333333 +k_0=1 +x_0=2600000 +y_0=1200000 " +
+      "+ellps=bessel +towgs84=674.374,15.056,405.346,0,0,0,0 +units=m +no_defs")
+      .getOrElse(fail("EPSG:2056 rejected"))
+    // WGS84 Bern observatory lands within the datum-shift distance of the
+    // CH1903+ origin (gross-error anchor; the kernel itself is pinned above)
+    val (be, bn) = lv95.forward(7.438639, 46.951083)
+    assert(math.hypot(be - 2600000, bn - 1200000) < 500, s"($be,$bn)")
+    val (blon, blat) = lv95.inverse(be, bn)
+    assert(math.abs(blon - 7.438639) < 1e-7 && math.abs(blat - 46.951083) < 1e-7)
+
+    val sjtsk = Proj4.parse("+proj=krovak +lat_0=49.5 +lon_0=24.83333333333333 " +
+      "+alpha=30.28813972222222 +k=0.9999 +x_0=0 +y_0=0 +ellps=bessel " +
+      "+towgs84=589,76,480 +units=m +no_defs").getOrElse(fail("EPSG:5514 rejected"))
+    // Prague, WGS84: Krovak East North is negative and ~(-745k, -1043k)
+    val (px, py) = sjtsk.forward(14.42076, 50.08804)
+    assert(px < -700000 && px > -800000 && py < -1000000 && py > -1100000,
+      s"($px,$py)")
+    val (plon, plat) = sjtsk.inverse(px, py)
+    assert(math.abs(plon - 14.42076) < 1e-7 && math.abs(plat - 50.08804) < 1e-7)
+
+    assert(Proj4.parse("+proj=omerc +lat_0=4 +lonc=115 " +
+      "+alpha=53.31582047222222 +gamma=53.13010236111111 +k=0.99984 " +
+      "+x_0=590476.87 +y_0=442857.65 +ellps=evrstSS +units=m +no_defs").isDefined)
+    assert(Proj4.parse("+proj=geos +h=35786023 +lon_0=-75 +sweep=x " +
+      "+ellps=GRS80 +units=m +no_defs").isDefined)
+    // geos with a bad sweep fails fast
+    assert(Proj4.parse("+proj=geos +h=35786023 +lon_0=-75 +sweep=z " +
+      "+ellps=GRS80").isEmpty)
+    // non-Greenwich prime meridian fails fast rather than mis-warping
+    assert(Proj4.parse("+proj=krovak +lat_0=49.5 +lon_0=42.5 " +
+      "+alpha=30.28813972222222 +k=0.9999 +ellps=bessel +pm=ferro").isEmpty)
+  }
+
+  test("NTv2: write/read round-trip, bilinear interpolation, fixpoint inverse") {
+    val dir = Files.createTempDirectory("graft-ntv2").toString
+    val path = s"$dir/test.gsb"
+    // 3×3 grid over lat 45..47, lonW -(-8)..: E_LONG=28800s (8°W? no —
+    // longitudes positive WEST: grid covers lon 8°W..10°W), shifts vary
+    // linearly so bilinear interpolation is EXACT at any interior point
+    val sLat = 45 * 3600.0; val nLat = 47 * 3600.0
+    val eLonW = 8 * 3600.0; val wLonW = 10 * 3600.0
+    val inc = 3600.0
+    val latShift = Array.tabulate(9)(i => (0.5f + 0.1f * (i / 3) + 0.02f * (i % 3)))
+    val lonShift = Array.tabulate(9)(i => (-0.3f + 0.05f * (i / 3) - 0.01f * (i % 3)))
+    Ntv2.write(path, sLat, nLat, eLonW, wLonW, inc, inc, latShift, lonShift)
+    val grid = Ntv2.read(path).getOrElse(fail("NTv2 read failed"))
+    assert(grid.subs.length == 1)
+    val g = grid.subs.head
+    assert(g.nRows == 3 && g.nCols == 3)
+    // node exactness: source (lon −9°E = 9°W → col 1, lat 46 → row 1)
+    assert(g.shiftAt(9.0, 46.0).contains(
+      (latShift(4).toDouble, lonShift(4).toDouble)))
+    // interior bilinear = the linear field evaluated there
+    val (dLat, dLon) = g.shiftAt(8.7, 45.3).get
+    assert(math.abs(dLat - (0.5 + 0.1 * 0.3 + 0.02 * 0.7)) < 1e-6)
+    assert(math.abs(dLon - (-0.3 + 0.05 * 0.3 - 0.01 * 0.7)) < 1e-6)
+    // forward applies the shift in east-positive convention
+    val (tl, tp) = grid.forward(-9.0, 46.0)
+    assert(math.abs(tp - (46.0 + latShift(4) / 3600.0)) < 1e-12)
+    assert(math.abs(tl - (-9.0 - lonShift(4) / 3600.0)) < 1e-12)
+    // outside every sub-grid: identity
+    assert(grid.forward(0.0, 0.0) == ((0.0, 0.0)))
+    // inverse is the fixpoint inverse of forward
+    val (sl, sp) = grid.inverse(tl, tp)
+    assert(math.abs(sl - -9.0) < 1e-10 && math.abs(sp - 46.0) < 1e-10)
+  }
+
+  test("+nadgrids composes into the compiled projection; missing file fails fast") {
+    val dir = Files.createTempDirectory("graft-ntv2p").toString
+    val path = s"$dir/shift.gsb"
+    // constant 1.8"/-0.9" shift field (lat/lon), lon 8°W..10°W, lat 45..47
+    Ntv2.write(path, 45 * 3600.0, 47 * 3600.0, 8 * 3600.0, 10 * 3600.0,
+      3600.0, 3600.0, Array.fill(9)(1.8f), Array.fill(9)(-0.9f))
+    val c = Proj4.parse(s"+proj=longlat +ellps=clrk66 +nadgrids=$path +no_defs")
+      .getOrElse(fail("longlat+nadgrids rejected"))
+    // forward: WGS84 lon/lat → local datum geographic = grid INVERSE.
+    // latShift +1.8" north, lonShift −0.9" positive-west = +0.9" east:
+    // local = target − shift on both axes
+    val (llon, llat) = c.forward(-9.0, 46.0)
+    assert(math.abs(llat - (46.0 - 1.8 / 3600.0)) < 1e-9)
+    assert(math.abs(llon - (-9.0 - 0.9 / 3600.0)) < 1e-9)
+    // inverse walks the grid forward again
+    val (wlon, wlat) = c.inverse(llon, llat)
+    assert(math.abs(wlon - -9.0) < 1e-9 && math.abs(wlat - 46.0) < 1e-9)
+    // a projected CRS with the same grid: roundtrip through the kernel
+    val tm = Proj4.parse("+proj=tmerc +lat_0=0 +lon_0=-9 +k=0.9996 " +
+      s"+x_0=500000 +y_0=0 +ellps=clrk66 +nadgrids=$path")
+      .getOrElse(fail("tmerc+nadgrids rejected"))
+    val (e, n) = tm.forward(-9.2, 46.1)
+    val (rlon, rlat) = tm.inverse(e, n)
+    assert(math.abs(rlon - -9.2) < 1e-8 && math.abs(rlat - 46.1) < 1e-8)
+    // grid supersedes towgs84 (PROJ precedence): same result with a bogus
+    // Helmert present
+    val tm2 = Proj4.parse("+proj=tmerc +lat_0=0 +lon_0=-9 +k=0.9996 " +
+      s"+x_0=500000 +y_0=0 +ellps=clrk66 +towgs84=999,999,999 +nadgrids=$path")
+      .getOrElse(fail("tmerc+towgs84+nadgrids rejected"))
+    assert(tm2.forward(-9.2, 46.1) == ((e, n)))
+    // present-but-missing grid file: fail fast, never silently ignore
+    assert(Proj4.parse("+proj=longlat +ellps=clrk66 " +
+      s"+nadgrids=$dir/enoent.gsb").isEmpty)
+  }
+
+  test("assemble: tiles in a krovak-CRS grid (EPSG:5514-style)") {
+    val projStr = "+proj=krovak +lat_0=49.5 +lon_0=24.83333333333333 " +
+      "+alpha=30.28813972222222 +k=0.9999 +x_0=0 +y_0=0 +ellps=bessel " +
+      "+towgs84=589,76,480 +units=m +no_defs"
+    val c = Proj4.parse(projStr).getOrElse(fail("krovak string rejected"))
+    val (w, h) = (10, 10)
+    val cs = for (lon <- Seq(13.8, 16.2); lat <- Seq(48.8, 51.2))
+      yield c.forward(lon, lat)
+    val (eMin, eMax) = (cs.map(_._1).min - 500, cs.map(_._1).max + 500)
+    val (nMin, nMax) = (cs.map(_._2).min - 500, cs.map(_._2).max + 500)
+    val (fresx, fresy) = ((eMax - eMin) / w, (nMax - nMin) / h)
+    val fix = Files.createTempDirectory("graft-gti-krovak").toString
+    Files.write(Paths.get(fix, "k.tif"), GeoTiffWriter.write(w, h,
+      Seq(Array.tabulate(w * h)(_.toFloat)),
+      pixelScale = (fresx, fresy), tiepoint = (eMin, nMax),
+      nodata = Some(Double.NaN)))
+    val dst = Files.createTempDirectory("graft-gti-krovak-dst").toString
+    val mMeta = GtiMosaic.Meta("Float32", Double.NaN,
+      14.0, 49.0, 16.0, 51.0, 0.5, 0.5, 1, "nearest", "EPSG:4326")
+    val index = Seq(("s3://mosaic.fixtures/k.tif", 13.8, 48.8, 16.2, 51.2, projStr))
+      .toDF("location", "minx", "miny", "maxx", "maxy", "srs")
+    GtiMosaic.write(index.coalesce(1), dst, mMeta)
+    val localize = (loc: String) => Paths.get(fix, loc.split('/').last).toString
+    val auto = GtiMosaic.assemble(spark, dst, 0, 4)(localize)
+      .collect().map(r => (r.cy, r.cx) -> r.data).toMap
+    assert(auto.nonEmpty)
+    // pixel provenance against the compiled krovak kernel directly
+    for (py <- 0 until 4; px <- 0 until 4) {
+      val (lon, lat) = (14.0 + (px + 0.5) * 0.5, 51.0 - (py + 0.5) * 0.5)
+      val (e, n) = c.forward(lon, lat)
+      val fc = math.floor((e - eMin) / fresx).toInt
+      val fr = math.floor((nMax - n) / fresy).toInt
+      val got = auto((py / 4, px / 4))((py % 4) * 4 + (px % 4))
+      assert(got == (fr * w + fc).toFloat, s"($px,$py)")
+    }
+  }
+}
