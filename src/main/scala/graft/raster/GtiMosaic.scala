@@ -884,9 +884,55 @@ object GtiMosaic {
       // source pixels whose centers fall inside the target cell footprint
       // (the axis-aligned bbox of the four warped cell corners), degrading
       // to nearest when the source is coarser than the target (no center
-      // lands in the footprint). Anything else = nearest.
-      val avg = m.resampling.equalsIgnoreCase("average")
+      // lands in the footprint). bilinear = 2×2 weighted sample at the
+      // warped cell center, cubic = 4×4 Catmull-Rom (a = −0.5, GDAL's
+      // kernel); both skip nodata/out-of-bounds taps and renormalize over
+      // the remaining weight (all-invalid → nodata). Anything else =
+      // nearest.
+      val mode = m.resampling.toLowerCase match {
+        case "average" => 0
+        case "bilinear" => 1
+        case "cubic" => 2
+        case _ => 3
+      }
       def isNd(v: Float): Boolean = if (nd.isNaN) v.isNaN else v == nd.toFloat
+      // gx/gy are file PIXEL-CENTER coordinates (pixel k's center at k)
+      def sampleKernel(gx: Double, gy: Double, cubic: Boolean): Float = {
+        val r = if (cubic) 2 else 1 // taps per axis: 2r
+        val xb = math.floor(gx).toInt
+        val yb = math.floor(gy).toInt
+        def w1(t: Double): Double =
+          if (cubic) {
+            val a = -0.5; val at = math.abs(t)
+            if (at <= 1) ((a + 2) * at - (a + 3)) * at * at + 1
+            else if (at < 2) ((a * at - 5 * a) * at + 8 * a) * at - 4 * a
+            else 0.0
+          } else math.max(0.0, 1.0 - math.abs(t))
+        var sum = 0.0
+        var wsum = 0.0
+        var j = -r + 1
+        while (j <= r) {
+          val fr = yb + j
+          if (fr >= 0 && fr < fi.height) {
+            val wy = w1(gy - fr)
+            var i = -r + 1
+            while (i <= r) {
+              val fc = xb + i
+              if (fc >= 0 && fc < fi.width && wy != 0.0) {
+                val v = plane(fr * fi.width + fc)
+                if (!isNd(v)) {
+                  val w = wy * w1(gx - fc)
+                  sum += w * v
+                  wsum += w
+                }
+              }
+              i += 1
+            }
+          }
+          j += 1
+        }
+        if (wsum > 1e-12) (sum / wsum).toFloat else Float.NaN
+      }
       var py = 0
       while (py < chunkPx) {
         val yTop = chy1 - py * m.resy
@@ -899,7 +945,12 @@ object GtiMosaic {
           val fcN = math.floor((fxc - fx0) / fresx).toInt
           val frN = math.floor((fy1 - fyc) / fresy).toInt
           val out = py * chunkPx + px
-          if (avg) {
+          if (mode == 1 || mode == 2) {
+            val gx = (fxc - fx0) / fresx - 0.5
+            val gy = (fy1 - fyc) / fresy - 0.5
+            val v = sampleKernel(gx, gy, mode == 2)
+            if (!v.isNaN) data(out) = v
+          } else if (mode == 0) {
             // footprint = bbox of the four warped corners (conservative
             // under rotation; equals the per-axis bounds when separable)
             val cA = aff.toFile(xL, yTop)

@@ -544,6 +544,111 @@ class GtiMosaicSpec extends AnyFunSuite with SparkSpecBase {
     assert(near(1) == full(1 * 8 + 3)) // cell (0,1): center (3, 7) -> pixel (1,3)
   }
 
+  test("bilinear/cubic resampling: linear-field reproduction, hand-computed values") {
+    val fix = Files.createTempDirectory("graft-gti-bil").toString
+    // 6x6 res-1 file, v = 6y + x — BILINEAR in pixel coords, so bilinear
+    // resampling must reproduce it exactly at any interior sample point,
+    // and Catmull-Rom cubic (linear precision) likewise
+    val full = Array.tabulate(36)(i => i.toFloat)
+    Files.write(Paths.get(fix, "lin.tif"), GeoTiffWriter.write(6, 6, Seq(full),
+      pixelScale = (1.0, 1.0), tiepoint = (0.0, 6.0), nodata = Some(Double.NaN)))
+    val localize = (loc: String) => Paths.get(fix, loc.split('/').last).toString
+    def clamp(v: Double) = math.max(0.0, math.min(5.0, v))
+
+    // bilinear at res 0.5 (finer target): expected 6*gy + gx with
+    // edge-renormalization clamping each axis to the boundary column/row
+    val dstB = Files.createTempDirectory("graft-gti-bil-b").toString
+    GtiMosaic.write(
+      Seq(("s3://mosaic.fixtures/lin.tif", 0.0, 0.0, 6.0, 6.0))
+        .toDF("location", "minx", "miny", "maxx", "maxy"),
+      dstB, GtiMosaic.Meta("Float32", Double.NaN, 0.0, 0.0, 6.0, 6.0,
+        0.5, 0.5, 1, "bilinear", "EPSG:4326"))
+    val gotB = GtiMosaic.assemble(spark, dstB, 0, 12)(localize)
+      .collect().head.data
+    for (py <- 0 until 12; px <- 0 until 12) {
+      val gx = 0.5 * px - 0.25
+      val gy = 0.5 * py - 0.25
+      val want = (6 * clamp(gy) + clamp(gx)).toFloat
+      assert(math.abs(gotB(py * 12 + px) - want) < 1e-4,
+        s"bilinear ($py,$px): got ${gotB(py * 12 + px)} want $want")
+    }
+
+    // cubic at res 1 aligned with the file: every target center hits a
+    // pixel center, Catmull-Rom weights collapse to (0,1,0,0) → exact
+    val dstC = Files.createTempDirectory("graft-gti-bil-c").toString
+    GtiMosaic.write(
+      Seq(("s3://mosaic.fixtures/lin.tif", 0.0, 0.0, 6.0, 6.0))
+        .toDF("location", "minx", "miny", "maxx", "maxy"),
+      dstC, GtiMosaic.Meta("Float32", Double.NaN, 0.0, 0.0, 6.0, 6.0,
+        1.0, 1.0, 1, "cubic", "EPSG:4326"))
+    val gotC = GtiMosaic.assemble(spark, dstC, 0, 6)(localize)
+      .collect().head.data
+    assert(gotC.toSeq == full.toSeq)
+
+    // cubic at res 0.5, full-support interior: linear precision → 6gy+gx
+    val dstC2 = Files.createTempDirectory("graft-gti-bil-c2").toString
+    GtiMosaic.write(
+      Seq(("s3://mosaic.fixtures/lin.tif", 0.0, 0.0, 6.0, 6.0))
+        .toDF("location", "minx", "miny", "maxx", "maxy"),
+      dstC2, GtiMosaic.Meta("Float32", Double.NaN, 0.0, 0.0, 6.0, 6.0,
+        0.5, 0.5, 1, "cubic", "EPSG:4326"))
+    val gotC2 = GtiMosaic.assemble(spark, dstC2, 0, 12)(localize)
+      .collect().head.data
+    for (py <- 3 to 8; px <- 3 to 8) {
+      val gx = 0.5 * px - 0.25
+      val gy = 0.5 * py - 0.25
+      val want = (6 * gy + gx).toFloat
+      assert(math.abs(gotC2(py * 12 + px) - want) < 1e-4,
+        s"cubic ($py,$px): got ${gotC2(py * 12 + px)} want $want")
+    }
+
+    // nodata renormalization: NaN at pixel (2,2); the res-0.5 bilinear
+    // cell whose center sits at gx=1.75, gy=2.25 weights pixels
+    // (2,1),(2,2),(3,1),(3,2) — the NaN tap drops and the rest renorm
+    val holey = full.clone(); holey(2 * 6 + 2) = Float.NaN
+    Files.write(Paths.get(fix, "hole.tif"), GeoTiffWriter.write(6, 6, Seq(holey),
+      pixelScale = (1.0, 1.0), tiepoint = (0.0, 6.0), nodata = Some(Double.NaN)))
+    val dstH = Files.createTempDirectory("graft-gti-bil-h").toString
+    GtiMosaic.write(
+      Seq(("s3://mosaic.fixtures/hole.tif", 0.0, 0.0, 6.0, 6.0))
+        .toDF("location", "minx", "miny", "maxx", "maxy"),
+      dstH, GtiMosaic.Meta("Float32", Double.NaN, 0.0, 0.0, 6.0, 6.0,
+        0.5, 0.5, 1, "bilinear", "EPSG:4326"))
+    val gotH = GtiMosaic.assemble(spark, dstH, 0, 12)(localize)
+      .collect().head.data
+    locally { // px=4,py=5 → gx=1.75 (wx: col1=0.25, col2=0.75),
+      //                     gy=2.25 (wy: row2=0.75, row3=0.25)
+      val taps = Seq((2, 1, 0.75 * 0.25), (2, 2, 0.75 * 0.75),
+        (3, 1, 0.25 * 0.25), (3, 2, 0.25 * 0.75))
+        .filterNot { case (r, c, _) => holey(r * 6 + c).isNaN }
+      val want = (taps.map { case (r, c, w) => w * holey(r * 6 + c) }.sum /
+        taps.map(_._3).sum).toFloat
+      assert(math.abs(gotH(5 * 12 + 4) - want) < 1e-4,
+        s"nodata renorm: got ${gotH(5 * 12 + 4)} want $want")
+    }
+
+    // warped grid: file CRS = half-scale affine (mosaic = 2 × file);
+    // bilinear through the warp still reproduces the linear field
+    val dstW = Files.createTempDirectory("graft-gti-bil-w").toString
+    GtiMosaic.write(
+      Seq(("s3://mosaic.fixtures/lin.tif", 0.0, 0.0, 12.0, 12.0, "local:half"))
+        .toDF("location", "minx", "miny", "maxx", "maxy", "srs"),
+      dstW, GtiMosaic.Meta("Float32", Double.NaN, 0.0, 0.0, 12.0, 12.0,
+        1.0, 1.0, 1, "bilinear", "EPSG:4326"))
+    // Affine: mosaic = ax·file + bx ⇒ (2,0) makes file = 0.5 × mosaic
+    val warps = Map(("local:half", "EPSG:4326") ->
+      GtiMosaic.Affine(2.0, 0.0, 2.0, 0.0))
+    val gotW = GtiMosaic.assemble(spark, dstW, 0, 12, warps = warps)(localize)
+      .collect().head.data
+    for (py <- 0 until 12; px <- 0 until 12) {
+      val gx = 0.5 * (px + 0.5) - 0.5
+      val gy = 0.5 * (py + 0.5) - 0.5
+      val want = (6 * clamp(gy) + clamp(gx)).toFloat
+      assert(math.abs(gotW(py * 12 + px) - want) < 1e-4,
+        s"warped bilinear ($py,$px): got ${gotW(py * 12 + px)} want $want")
+    }
+  }
+
   test("assembly: multiband tiles and numeric (non-NaN) nodata semantics") {
     val fix = Files.createTempDirectory("graft-gti-mb").toString
     // one 4x4 two-band tile at (0,10); band 1 uses numeric nodata -99:
