@@ -79,9 +79,35 @@ object Bench {
         name -> dt
       }
     val p1 = pass().toMap
-    val results = pass().map { case (name, dt) =>
+    val results0 = pass().map { case (name, dt) =>
       name -> math.min(dt, p1.getOrElse(name, dt))
     }
+    // flagship raster pipeline (E2→E3→E1, ~110 synthetic 1° tiles,
+    // 24 16-day periods × 7 bands): tracked like the queries so the
+    // mosaic path has a bench number, not just specs. Fresh store per
+    // run; min of two, like the query passes. Skipped under a subset
+    // filter unless asked for by name.
+    val results =
+      if (!only.forall(_.exists("mosaic_pipeline".contains(_)))) results0
+      else {
+        def mosaicRun(): Double = {
+          val store = java.nio.file.Files
+            .createTempDirectory("graft_bench_mosaic").toString
+          val cfg = graft.pipelines.MosaicPipeline.Config(
+            graft.model.Envelope(-5.5, 40.2, 4.3, 50.8), // 10×11 = 110 tiles
+            Seq(java.sql.Timestamp.valueOf("2021-06-15 00:00:00")),
+            graft.model.AnnualMeanDataset, store, chunkPx = 16)
+          val t0 = System.nanoTime()
+          val (cube, _, _) = graft.pipelines.MosaicPipeline.run(spark, cfg)
+          val n = cube.count()
+          require(n > 0, "mosaic pipeline produced no chunks")
+          val dt = (System.nanoTime() - t0) / 1e9
+          graft.ops.ScratchCache.releaseAll()
+          spark.catalog.clearCache()
+          dt
+        }
+        results0 :+ ("mosaic_pipeline_110tiles" -> math.min(mosaicRun(), mosaicRun()))
+      }
     // 3-decimal formatting keeps the single JSON line within the driver's
     // capture buffer (r06's full-precision line was truncated mid-stream and
     // recorded as parsed:null); millisecond resolution loses nothing real

@@ -1,6 +1,7 @@
 package graft.ops
 
 import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -99,5 +100,37 @@ object BandIndex {
       Dedup.shingleSets(batch, id, text, ref.k).persist())
     batchSets.write.mode("append").parquet(ref.path + "/sets")
     bandFrame(batchSets, ref).write.mode("append").parquet(ref.path + "/bands")
+  }
+
+  /** Rewrite bands/ and sets/ into size-targeted files. `append` is
+    * deliberately append-only (one cheap write per batch), so a steady
+    * drip of small batches fragments the parquet into one-file-per-batch
+    * slivers and probe-side scan planning degrades with file count.
+    * Compaction is the standard log-structured answer: read each table,
+    * coalesce to ceil(bytes / targetFileBytes) files, write beside the
+    * live table, then swap directories — crash-safe in the rename-based
+    * sense (the live table is replaced only after the rewrite completed;
+    * a crash mid-rewrite leaves the original intact plus a stale *_tmp
+    * to garbage-collect). Probe results are identical pre/post
+    * (spec-asserted): compaction changes layout, never content. */
+  def compact(spark: SparkSession, ref: Ref,
+              targetFileBytes: Long = 64L << 20): Unit = {
+    for (table <- Seq("sets", "bands")) {
+      val dir = Paths.get(ref.path, table)
+      val bytes = Files.walk(dir).iterator().asScala
+        .filter(p => p.toString.endsWith(".parquet"))
+        .map(p => Files.size(p)).sum
+      val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+      val tmp = Paths.get(ref.path, table + "_tmp")
+      spark.read.parquet(dir.toString)
+        .repartition(nFiles)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val old = Paths.get(ref.path, table + "_old")
+      Files.move(dir, old)
+      Files.move(tmp, dir)
+      // best-effort GC of the replaced generation
+      Files.walk(old).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(p => Files.deleteIfExists(p))
+    }
   }
 }

@@ -47,11 +47,25 @@ object CorpusSink {
             parts: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // content_hash is BIGINT sum(rowHash) with rowHash < 2³²: it wraps
+    // past ~2³¹ rows per shard, where the DuckDB HUGEINT oracle would
+    // diverge. ENFORCE the bound instead of documenting it: weights are
+    // checked ≥ 1 per row (runtime raise_error in the assignment scan,
+    // never pruned — it feeds the prefix sum), so n_docs per shard ≤
+    // shard weight ≤ budget + w_max, and budget < 2³¹ − 1 keeps the sum
+    // exact.
+    require(budget < (1L << 31) - 1,
+      s"shard budget $budget must stay below 2^31-1 so sum(rowHash) cannot wrap")
+    val wChecked = when(col(weightCol).cast("long") >= 1L,
+        col(weightCol).cast("long"))
+      .otherwise(raise_error(concat(
+        lit(s"CorpusSink: weight '$weightCol' must be >= 1, got "),
+        col(weightCol).cast("string"), lit(" for id "),
+        col(idCol).cast("string"))).cast("long"))
     val assigned = ScratchCache.register(docs
       .join(
         SizeBatch.assign(
-            docs.select(col(idCol).cast("long"),
-              col(weightCol).cast("long")).as[(Long, Long)],
+            docs.select(col(idCol).cast("long"), wChecked).as[(Long, Long)],
             budget, parts)
           .toDF(idCol, "_w", "shard_id")
           .select(col(idCol), col("shard_id")),

@@ -916,12 +916,17 @@ object CurationQueries {
   def q126CorpusShards(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import graft.functions.TextFunctions.polyHash
-    // deterministic per-sfDir scratch target: repeat runs OVERWRITE the
-    // same shards (exercising the sink's idempotence) instead of leaking
-    // a fresh temp dir per invocation
+    // deterministic per-(user, sfDir) scratch target: repeat runs
+    // OVERWRITE the same shards (exercising the sink's idempotence)
+    // instead of leaking a fresh temp dir per invocation. The sanitized
+    // FULL path (not its 32-bit hash) keys the dir, so two different
+    // data dirs can never collide, and user.name isolates concurrent
+    // users on one host.
     val dir = new java.io.File(
       java.lang.System.getProperty("java.io.tmpdir"),
-      s"graft-corpus-shards-${math.abs(d.hashCode)}").toString
+      "graft-corpus-shards-" +
+        java.lang.System.getProperty("user.name", "u") + "-" +
+        d.replaceAll("[^A-Za-z0-9._-]", "_")).toString
     graft.ops.CorpusSink.write(
         documents(s, d), "doc_id", "n_chars",
         polyHash(concat_ws("|", $"doc_id", $"text")),

@@ -55,10 +55,31 @@ class CorpusSinkSpec extends AnyFunSuite with SparkSpecBase {
   test("budget larger than the corpus -> one shard holding everything") {
     val docs = Tables.documents(spark, sfSmoke)
     val dir = freshDir()
+    // the largest legal budget (the 2^31-1 content-hash wrap guard caps
+    // it) still dwarfs the smoke corpus's total weight → one shard
     val m = CorpusSink.write(docs, "doc_id", "n_chars", rowHash,
-      budget = Long.MaxValue / 4, dir = dir, parts = 4).collect()
+      budget = (1L << 31) - 2, dir = dir, parts = 4).collect()
     assert(m.length == 1 && m(0).getLong(0) == 0L)
     assert(m(0).getLong(1) == docs.count())
+  }
+
+  test("guards: over-limit budget and non-positive weights are refused") {
+    val docs = Tables.documents(spark, sfSmoke)
+    intercept[IllegalArgumentException] {
+      CorpusSink.write(docs, "doc_id", "n_chars", rowHash,
+        budget = 1L << 31, dir = freshDir(), parts = 4)
+    }
+    // a zero weight would break the n_docs <= budget bound the hash-wrap
+    // guard relies on: raise_error fires during assignment, not silently
+    val bad = docs.withColumn("n_chars",
+      org.apache.spark.sql.functions.when(
+        org.apache.spark.sql.functions.col("doc_id") === 3L, 0L)
+        .otherwise(org.apache.spark.sql.functions.col("n_chars")))
+    val e = intercept[Exception] {
+      CorpusSink.write(bad, "doc_id", "n_chars", rowHash,
+        budget = 64000L, dir = freshDir(), parts = 4).collect()
+    }
+    assert(e.getMessage != null)
   }
 
   test("assignment equals the single-reducer window replay") {

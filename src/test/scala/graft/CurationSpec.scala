@@ -8,24 +8,32 @@ import graft.queries.CurationQueries
 class CurationSpec extends AnyFunSuite with SparkSpecBase {
   import spark.implicits._
 
-  test("q124 hash-space overlap == string-space overlap (no fnv64 collision on fixtures)") {
+  test("q124 hash-space overlap == string-space overlap (no fnv64 collision on ANY fixture)") {
     // the engine aggregates on fnv64(shingle) while the oracle dedups
     // exact strings — equality is probabilistic in general (documented
-    // ≈ n²/2⁶⁵), so PIN it on the real fixture: distinct hash count must
-    // equal distinct shingle count per source, and the full q124 output
-    // must equal a string-keyed replay bit-for-bit
+    // ≈ n²/2⁶⁵), so PIN it on EVERY fixture scale the harness runs
+    // (sf0.001 smoke, sf0.01 correctness gate, sf0.1 bench): a new or
+    // regenerated fixture can't silently reintroduce a hash-vs-string
+    // divergence without this test seeing it
     import org.apache.spark.sql.functions._
-    val docs = Tables.documents(spark, sfSmoke)
-    val strings = docs.select($"source", explode(coalesce(
-        graft.functions.ShingleExpressions.wordShingles($"text", 3),
-        array().cast("array<string>"))).as("sh"))
-      .select($"source", $"sh").distinct().count()
-    val hashes = docs.select($"source", explode(
-        graft.functions.ShingleExpressions.wordShingleHashes64($"text", 3))
-        .as("h"))
-      .select($"source", $"h").distinct().count()
-    assert(strings == hashes,
-      s"fnv64 collision on fixture: $strings distinct shingles vs $hashes hashes")
+    val dirs = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1")
+      .filter(d => java.nio.file.Files.exists(
+        java.nio.file.Paths.get(d, "documents.parquet")))
+    assert(dirs.nonEmpty, "no fixture dirs found")
+    for (d <- dirs) {
+      val docs = Tables.documents(spark, d)
+      val strings = docs.select($"source", explode(coalesce(
+          graft.functions.ShingleExpressions.wordShingles($"text", 3),
+          array().cast("array<string>"))).as("sh"))
+        .select($"source", $"sh").distinct().count()
+      val hashes = docs.select($"source", explode(
+          graft.functions.ShingleExpressions.wordShingleHashes64($"text", 3))
+          .as("h"))
+        .select($"source", $"h").distinct().count()
+      assert(strings == hashes,
+        s"fnv64 collision on $d: $strings distinct shingles vs $hashes hashes")
+    }
   }
 
   test("q124 set-keyed overlap regime == bitmask regime on the fixture") {

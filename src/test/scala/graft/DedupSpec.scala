@@ -283,6 +283,44 @@ class DedupSpec extends AnyFunSuite with SparkSpecBase {
     graft.ops.ScratchCache.releaseAll()
   }
 
+  test("band index compact: probe results identical, file count reduced") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bandcmp").toString
+    val corpus = docs.filter($"source" =!= "src0")
+    val ref = graft.ops.BandIndex.build(corpus, "doc_id", "text", dir,
+      k = 3, nHashes = 64, rowsPerBand = 2)
+    // a steady drip of one-doc appends fragments the index
+    val drip = docs.filter($"source" === "src0").orderBy($"doc_id")
+      .select($"doc_id", $"text").as[(Long, String)].collect().take(6)
+    for ((id, text) <- drip)
+      graft.ops.BandIndex.append(spark, ref,
+        Seq((id, text)).toDF("doc_id", "text"), "doc_id", "text")
+    def parquetFiles(sub: String): Int = {
+      val it = java.nio.file.Files.walk(java.nio.file.Paths.get(dir, sub))
+        .iterator()
+      var n = 0
+      while (it.hasNext) { if (it.next().toString.endsWith(".parquet")) n += 1 }
+      n
+    }
+    val before = parquetFiles("sets") + parquetFiles("bands")
+    val batch = Seq((900002L, drip.head._2 + " extra tail")).toDF("doc_id", "text")
+    val preCompact = graft.ops.BandIndex.probe(spark, ref, batch,
+        "doc_id", "text", 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    graft.ops.BandIndex.compact(spark, ref)
+    val after = parquetFiles("sets") + parquetFiles("bands")
+    assert(after < before, s"compact must shrink files: $before -> $after")
+    assert(after == 2, s"tiny index compacts to one file per table, got $after")
+    val postCompact = graft.ops.BandIndex.probe(spark, ref, batch,
+        "doc_id", "text", 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(postCompact == preCompact && preCompact.nonEmpty,
+      s"probe must be layout-independent: $preCompact vs $postCompact")
+    // no stale generations left behind
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "sets_old")))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "bands_tmp")))
+    graft.ops.ScratchCache.releaseAll()
+  }
+
   test("connectedComponents: empty pair table -> empty result (no NPE)") {
     val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
     assert(Dedup.connectedComponents(empty, "id_a", "id_b").count() == 0)

@@ -1,6 +1,7 @@
 package graft
 
 import java.sql.Timestamp
+import scala.jdk.CollectionConverters._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.model.{AnnualMeanDataset, AnnualMedianDataset, Envelope}
 import graft.pipelines.MosaicPipeline
@@ -15,6 +16,63 @@ class PipelineSpec extends AnyFunSuite with SparkSpecBase {
 
   private val query = Envelope(-1.5, 40.2, 0.3, 41.8) // 3 lon x 2 lat tiles
   private val t0 = Timestamp.valueOf("2021-06-15 00:00:00")
+
+  test("streaming Misra-Gries state carries across REAL trigger boundaries") {
+    // q121's gate runs AvailableNow over one file = one drain; this spec
+    // forces TWO micro-batches (maxFilesPerTrigger=1 over two files) so
+    // the sketch state provably merges across trigger boundaries, then
+    // asserts the recounted heavy hitters EQUAL the exact batch answer —
+    // merge-order freedom under real trigger slicing, not just one drain.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.functions.TextFunctions
+    val docs = graft.Tables.documents(spark, sfSmoke)
+    val base = java.nio.file.Files.createTempDirectory("graft-mg-mt")
+    val in = base.resolve("in"); java.nio.file.Files.createDirectories(in)
+    def writeHalf(pred: org.apache.spark.sql.Column, name: String): Unit = {
+      val tmp = base.resolve(name + "-tmp")
+      docs.filter(pred).coalesce(1).write.parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).iterator().asScala
+        .find(_.toString.endsWith(".parquet")).get
+      java.nio.file.Files.move(part, in.resolve(name + ".parquet"))
+    }
+    writeHalf($"doc_id" % 2 === 0, "a")
+    writeHalf($"doc_id" % 2 =!= 0, "b")
+    val k = 512; val phi = 0.005
+    val mg = udaf(new graft.ops.Sketches.MisraGriesAgg(k),
+      org.apache.spark.sql.Encoders.STRING)
+    val out = base.resolve("out").toString
+    val ck = base.resolve("ck").toString
+    val q = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(in.toString)
+      .select(explode(TextFunctions.tokens($"text")).as("w"))
+      .agg(mg($"w").as("mg"))
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", ck)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        df.withColumn("batch_id", lit(id))
+          .write.mode("append").parquet(out); ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val snaps = spark.read.parquet(out)
+    // two real trigger boundaries, each emitting an updated state snapshot
+    assert(snaps.select($"batch_id").distinct().count() == 2)
+    val (n, cands) = snaps.orderBy($"batch_id".desc).limit(1)
+      .select($"mg._1", $"mg._2").as[(Long, Seq[(String, Long)])].head()
+    val allToks = docs.select(explode(TextFunctions.tokens($"text")).as("w"))
+    assert(n == allToks.count()) // state counted BOTH batches
+    // recounted heavy hitters from the carried state == exact batch answer
+    val exact = allToks.groupBy($"w").agg(count(lit(1)).as("c"))
+      .filter($"c" > lit(n) * phi)
+      .orderBy($"c".desc, $"w").as[(String, Long)].collect().toSeq
+    val viaState = allToks.filter($"w".isInCollection(cands.map(_._1)))
+      .groupBy($"w").agg(count(lit(1)).as("c"))
+      .filter($"c" > lit(n) * phi)
+      .orderBy($"c".desc, $"w").as[(String, Long)].collect().toSeq
+    assert(viaState == exact, s"state-derived hitters diverge: $viaState vs $exact")
+    assert(exact.nonEmpty) // the fixture actually exercises the path
+  }
 
   private def refPeriods: Seq[Long] = {
     // snap(2021-06-15) = 2021-01-01; window 365d clamped [2020-01-01 ..]
