@@ -31,6 +31,12 @@ object Dedup {
     * native expression — one JVM pass, not the staged tokenize/slice HOFs
     * (which the self-joined consumers would re-evaluate per join side). */
   def shingleSets(df: DataFrame, id: String, text: String, k: Int): DataFrame =
+    // NOT fanned out (cf. FanOut in substringPairs): measured at sf0.1,
+    // inserting the redistribution exchange here REGRESSED every consumer
+    // (q28 0.96→1.56 s, q52 1.6→2.9 s) — shingle pipelines reference this
+    // frame from several join/agg consumers, so the extra exchange runs
+    // once per consumer while the kernel-in-one-task cost it removes is
+    // only ~0.2 s
     df.select(col(id).as("doc_id"),
         graft.functions.ShingleExpressions.wordShingles(col(text), k).as("shingles"))
       .filter(col("shingles").isNotNull)
