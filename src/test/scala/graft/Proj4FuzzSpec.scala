@@ -12,15 +12,19 @@ import graft.raster.Proj4
   */
 class Proj4FuzzSpec extends AnyFunSuite {
 
-  private val keys = Gen.oneOf("proj", "lat_0", "lon_0", "lat_1", "lat_2",
-    "k", "k_0", "x_0", "y_0", "zone", "south", "ellps", "datum", "towgs84",
-    "units", "no_defs", "R", "a", "b", "lat_ts", "weird")
+  private val keys = Gen.oneOf("proj", "lat_0", "lon_0", "lonc", "lat_1",
+    "lat_2", "k", "k_0", "x_0", "y_0", "zone", "south", "ellps", "datum",
+    "towgs84", "units", "no_defs", "R", "a", "b", "lat_ts", "alpha",
+    "gamma", "h", "sweep", "pm", "nadgrids", "no_uoff", "no_off", "weird")
   private val values = Gen.oneOf(
     Gen.oneOf("tmerc", "utm", "lcc", "aea", "stere", "sterea", "sinu",
-      "merc", "longlat", "nonsense", ""),
+      "merc", "longlat", "somerc", "omerc", "krovak", "geos",
+      "nonsense", ""),
     Gen.choose(-1e9, 1e9).map(_.toString),
-    Gen.oneOf("WGS84", "GRS80", "bessel", "intl", "airy", "bogus", "NaN",
-      "abc", "1,2", "1,2,3", "1,2,3,4,5,6,7", "1,2,3,4,5,6,7,8", ",,,"))
+    Gen.oneOf("WGS84", "GRS80", "bessel", "intl", "airy", "evrstSS",
+      "bogus", "NaN", "abc", "1,2", "1,2,3", "1,2,3,4,5,6,7",
+      "1,2,3,4,5,6,7,8", ",,,", "x", "y", "z", "ferro", "greenwich",
+      "/nonexistent/grid.gsb", "@optional.gsb"))
   private val token: Gen[String] = for {
     k <- keys; v <- values
     form <- Gen.oneOf(0, 1, 2)
