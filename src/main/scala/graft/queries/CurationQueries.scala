@@ -948,7 +948,164 @@ object CurationQueries {
        |FROM a GROUP BY shard_id ORDER BY shard_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q127
+
+  /** q127: cross-document SPAN dedup report (Dolma/CCNet paragraph-dedup
+    * shape, adapted to the fixture's unpunctuated text): 8-token word
+    * spans appearing in ≥ 2 distinct documents, with how many documents
+    * carry each. The per-doc span sets come from the fused distinct-
+    * shingle kernel, so the plan is explode → ONE count aggregation —
+    * map-side combine collapses each partition's duplicate spans before
+    * the only corpus-size shuffle. At 100 TB the span stream is the big
+    * intermediate and it never materializes outside the aggregation. */
+  def q127SpanDedup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    documents(s, d)
+      .select(explode(
+        graft.functions.ShingleExpressions.wordShingles($"text", 8))
+        .as("span"))
+      .groupBy($"span").agg(count(lit(1)).as("n_docs"))
+      .filter($"n_docs" >= 2)
+      .orderBy($"n_docs".desc, $"span")
+  }
+
+  val q127Sql: String =
+    s"""WITH t AS (SELECT doc_id, ${DuckSql.tokensSql} AS ws FROM documents),
+       |w AS (SELECT DISTINCT doc_id, unnest(${DuckSql.shinglesSql("ws", 8)})
+       |    AS span FROM t)
+       |SELECT span, count(*) AS n_docs FROM w
+       |GROUP BY span HAVING count(*) >= 2
+       |ORDER BY n_docs DESC, span""".stripMargin
+
+  // ---------------------------------------------------------------- q129
+
+  /** q129: decontamination MATRIX — per (benchmark, corpus source), how
+    * many corpus documents share at least one 5-gram with that benchmark
+    * (src0/src1 play two held-out benchmarks). The per-benchmark ×
+    * per-source view q44's corpus-level report can't give: which corpus
+    * slices leak into which eval. Scale shape: the benchmark gram sets
+    * are eval-sized (broadcast side of the equi-join); the corpus gram
+    * stream joins once and two-phase-aggregates the distinct doc count. */
+  def q129DecontamMatrix(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val benches = Seq("src0", "src1")
+    // fused distinct-shingle-hash kernel: no gram strings materialize
+    // (same hashes as the oracle's list_transform(…, polyHash) twin)
+    val grams = documents(s, d)
+      .select($"source", $"doc_id", explode(
+        graft.functions.ShingleExpressions.wordShingleHashes($"text", 5))
+        .as("h"))
+    val bench = grams.filter($"source".isInCollection(benches))
+      .select($"source".as("benchmark"), $"h").distinct()
+    grams.filter(!$"source".isInCollection(benches))
+      .join(bench, Seq("h"))
+      .groupBy($"benchmark", $"source")
+      .agg(countDistinct($"doc_id").as("n_contaminated"))
+      .orderBy($"benchmark", $"source")
+  }
+
+  val q129Sql: String =
+    s"""WITH t AS (SELECT doc_id, source, ${DuckSql.tokensSql} AS ws
+       |  FROM documents),
+       |g AS (SELECT doc_id, source,
+       |    unnest(${DuckSql.shingleHashesSql("ws", 5)}) AS h FROM t),
+       |bench AS (SELECT DISTINCT source AS benchmark, h FROM g
+       |  WHERE source IN ('src0', 'src1'))
+       |SELECT benchmark, source,
+       |  count(DISTINCT doc_id)::BIGINT AS n_contaminated
+       |FROM g JOIN bench USING (h)
+       |WHERE source NOT IN ('src0', 'src1')
+       |GROUP BY 1, 2 ORDER BY benchmark, source""".stripMargin
+
+  // ---------------------------------------------------------------- q130
+
+  /** q130: marginal source NOVELTY — for each source, the fraction of its
+    * distinct 3-shingles whose lexicographically-first owning source is
+    * itself (the "what does adding this source contribute" view of the
+    * q124 overlap matrix, computable in ONE pass: no pairwise joins).
+    * Engine keys on the fused 64-bit shingle-hash kernel; hash-vs-string
+    * parity with the exact-string oracle is pinned per fixture by
+    * CurationSpec's collision test (same kernel and k as q124). The
+    * distinct (source, shingle) exchange is consumed by both the owner
+    * and the per-source total aggregations — exchange reuse, one shuffle
+    * of 8-byte keys. */
+  def q130SourceNovelty(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.TextFunctions.roundp
+    val ex = documents(s, d)
+      .select($"source", explode(
+        graft.functions.ShingleExpressions.wordShingleHashes64($"text", 3))
+        .as("h"))
+      .distinct()
+    val novel = ex.groupBy($"h").agg(min($"source").as("source"))
+      .groupBy($"source").agg(count(lit(1)).as("n_novel"))
+    val tot = ex.groupBy($"source").agg(count(lit(1)).as("n_shingles"))
+    tot.join(novel, Seq("source"), "left")
+      .select($"source", $"n_shingles",
+        coalesce($"n_novel", lit(0L)).as("n_novel"),
+        roundp(coalesce($"n_novel", lit(0L)) * lit(1.0) / $"n_shingles", 6)
+          .as("novelty"))
+      .orderBy($"source")
+  }
+
+  val q130Sql: String =
+    s"""WITH t AS (SELECT source, ${DuckSql.tokensSql} AS ws FROM documents),
+       |ex AS (SELECT DISTINCT source,
+       |    unnest(${DuckSql.shinglesSql("ws", 3)}) AS sh FROM t),
+       |own AS (SELECT sh, min(source) AS source FROM ex GROUP BY sh),
+       |novel AS (SELECT source, count(*) AS n_novel FROM own GROUP BY source),
+       |tot AS (SELECT source, count(*) AS n_shingles FROM ex GROUP BY source)
+       |SELECT t.source, t.n_shingles,
+       |  coalesce(n.n_novel, 0)::BIGINT AS n_novel,
+       |  ${DuckSql.roundpSql("coalesce(n.n_novel, 0) * 1.0 / t.n_shingles", 6)}
+       |    AS novelty
+       |FROM tot t LEFT JOIN novel n USING (source)
+       |ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------- q131
+
+  /** q131: per-source token ENTROPY — Shannon entropy of each source's
+    * unigram distribution plus its token/vocab masses: the lexical-
+    * diversity row of a data-mixing report (a low-entropy source is
+    * boilerplate-heavy regardless of its size). One (source, token)
+    * aggregation with map-side combine is the only corpus-size shuffle;
+    * the per-source mass join is vocabulary-sized. */
+  def q131TokenEntropy(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.TextFunctions.{roundp, tokens}
+    val tf = documents(s, d)
+      .select($"source", explode(tokens($"text")).as("w"))
+      .groupBy($"source", $"w").agg(count(lit(1)).as("c"))
+    // H = −Σ (c/N)·ln(c/N) = ln N − Σ(c·ln c)/N: the second form folds
+    // into ONE aggregation over tf (no per-source mass join); identical
+    // algebraically, 1e-12-level float agreement → equal at roundp(6)
+    tf.groupBy($"source")
+      .agg(
+        roundp(log(sum($"c")) -
+          sum($"c" * log($"c")) / sum($"c"), 6).as("entropy"),
+        sum($"c").as("n_tokens"),
+        count(lit(1)).as("vocab"))
+      .orderBy($"source")
+  }
+
+  val q131Sql: String =
+    s"""WITH toks AS (SELECT source, unnest(${DuckSql.tokensSql}) AS w
+       |  FROM documents),
+       |tf AS (SELECT source, w, count(*) AS c FROM toks GROUP BY 1, 2),
+       |n AS (SELECT source, sum(c)::BIGINT AS n FROM tf GROUP BY 1)
+       |SELECT source,
+       |  ${DuckSql.roundpSql(
+             "-sum((c * 1.0 / n) * ln(c * 1.0 / n))", 6)} AS entropy,
+       |  max(n) AS n_tokens,
+       |  count(*) AS vocab
+       |FROM tf JOIN n USING (source)
+       |GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q127_span_dedup"       -> (q127SpanDedup _),
+    "q129_decontam_matrix"  -> (q129DecontamMatrix _),
+    "q130_source_novelty"   -> (q130SourceNovelty _),
+    "q131_token_entropy"    -> (q131TokenEntropy _),
     "q126_corpus_shards"    -> (q126CorpusShards _),
     "q124_source_overlap"   -> (q124SourceOverlap _),
     "q125_vocab_coverage"   -> (q125VocabCoverage _),
@@ -964,6 +1121,10 @@ object CurationQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q127_span_dedup"       -> q127Sql,
+    "q129_decontam_matrix"  -> q129Sql,
+    "q130_source_novelty"   -> q130Sql,
+    "q131_token_entropy"    -> q131Sql,
     "q126_corpus_shards"    -> q126Sql,
     "q124_source_overlap"   -> q124Sql,
     "q125_vocab_coverage"   -> q125Sql,

@@ -128,6 +128,53 @@ object DedupQueries {
         |SELECT id AS doc_id, min(r)::BIGINT AS component_id
         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
 
+  /** q128: near-dup CLUSTER-SIZE histogram — the shape-of-duplication
+    * report run before choosing a dedup policy (a corpus of 2-doc pairs
+    * needs different survivor rules than one with thousand-doc spam
+    * clusters). q51's components aggregate to sizes, sizes to a
+    * histogram; documents in no pair appear as the size-1 row via an
+    * anti-join (never a driver-side subtraction). All steps are
+    * aggregations on frames ≤ |paired docs| past the pair generator. */
+  def q128ClusterSizes(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = documents(s, d)
+    val pairs = Dedup.minhashDedupPairs(docs, "doc_id", "text", 3, 0.8)
+    // comp is ≤ |paired docs| and feeds BOTH the histogram and the
+    // singleton anti-join — persist it so the minhash pair pipeline
+    // upstream runs once, not once per consumer
+    val comp = graft.ops.ScratchCache.register(
+      Dedup.connectedComponents(pairs, "id_a", "id_b").persist())
+    val hist = comp.groupBy($"component_id").agg(count(lit(1)).as("sz"))
+      .groupBy($"sz".as("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+    val singles = docs.select($"doc_id")
+      .join(comp.select($"id".as("doc_id")), Seq("doc_id"), "left_anti")
+      .agg(count(lit(1)).as("n_clusters"))
+      .select(lit(1L).as("cluster_size"), $"n_clusters")
+    singles.unionByName(hist)
+      .filter($"n_clusters" > 0)
+      .orderBy($"cluster_size")
+  }
+
+  val q128Sql: String =
+    jaccardPairsCte(0.8, None) +
+      """,
+        |edges AS (SELECT id_a AS a, id_b AS b FROM jpairs
+        |  UNION ALL SELECT id_b, id_a FROM jpairs),
+        |reach(id, r) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT re.id, e.b FROM reach re JOIN edges e ON re.r = e.a),
+        |comp AS (SELECT id, min(r) AS c FROM reach GROUP BY id),
+        |szs AS (SELECT c, count(*) AS sz FROM comp GROUP BY c),
+        |hist AS (SELECT sz AS cluster_size, count(*) AS n_clusters
+        |  FROM szs GROUP BY sz),
+        |singles AS (SELECT 1::BIGINT AS cluster_size, count(*) AS n_clusters
+        |  FROM documents WHERE doc_id NOT IN (SELECT id FROM comp))
+        |SELECT cluster_size, n_clusters FROM
+        |  (SELECT * FROM singles UNION ALL SELECT * FROM hist)
+        |WHERE n_clusters > 0
+        |ORDER BY cluster_size""".stripMargin
+
   /** q52: incremental dedup — the `src0` documents stand in for a newly
     * ingested batch; emit near-dup pairs (J ≥ 0.8) touching the batch
     * only. The candidate join is new-bands × all-bands (O(B·N), broadcast-
@@ -465,6 +512,7 @@ object DedupQueries {
     "q28_minhash_lsh"    -> (q28MinhashLsh _),
     "q29_simhash"        -> (q29Simhash _),
     "q51_dedup_groups"   -> (q51DedupGroups _),
+    "q128_cluster_sizes" -> (q128ClusterSizes _),
     "q52_incremental_dedup" -> (q52IncrementalDedup _),
     "q58_substring_dedup" -> (q58SubstringDedup _),
     "q73_fuzzy_join"     -> (q73FuzzyJoin _),
@@ -481,6 +529,7 @@ object DedupQueries {
     "q28_minhash_lsh"    -> q28Sql,
     "q29_simhash"        -> q29Sql,
     "q51_dedup_groups"   -> q51Sql,
+    "q128_cluster_sizes" -> q128Sql,
     "q52_incremental_dedup" -> q52Sql,
     "q58_substring_dedup" -> q58Sql,
     "q73_fuzzy_join"     -> q73Sql,
