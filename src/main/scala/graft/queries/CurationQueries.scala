@@ -1017,6 +1017,48 @@ object CurationQueries {
        |WHERE source NOT IN ('src0', 'src1')
        |GROUP BY 1, 2 ORDER BY benchmark, source""".stripMargin
 
+  // ---------------------------------------------------------------- q134
+
+  /** q134: contamination SEVERITY — for every corpus document sharing at
+    * least one 5-gram with the src0 benchmark, the fraction of ITS grams
+    * that hit: the triage column that separates verbatim eval copies
+    * (frac ≈ 1) from incidental phrase overlap (frac ≈ 0), which q44/q129
+    * counts can't distinguish. Benchmark gram set broadcast-joins the
+    * corpus gram stream once; both per-doc masses come from the same
+    * exchange-reused aggregation input. */
+  def q134ContamSeverity(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.TextFunctions.roundp
+    val grams = documents(s, d)
+      .select($"source", $"doc_id", explode(
+        graft.functions.ShingleExpressions.wordShingleHashes($"text", 5))
+        .as("h"))
+    val bench = grams.filter($"source" === "src0").select($"h").distinct()
+    val corpus = grams.filter($"source" =!= "src0")
+    val hits = corpus.join(bench, Seq("h"), "left_semi")
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_hit"))
+    val sizes = corpus.groupBy($"doc_id").agg(count(lit(1)).as("n_grams"))
+    hits.join(sizes, "doc_id")
+      .select($"doc_id", $"n_grams", $"n_hit",
+        roundp($"n_hit" * lit(1.0) / $"n_grams", 6).as("frac"))
+      .orderBy($"doc_id")
+  }
+
+  val q134Sql: String =
+    s"""WITH t AS (SELECT doc_id, source, ${DuckSql.tokensSql} AS ws
+       |  FROM documents),
+       |g AS (SELECT doc_id, source,
+       |    unnest(${DuckSql.shingleHashesSql("ws", 5)}) AS h FROM t),
+       |bench AS (SELECT DISTINCT h FROM g WHERE source = 'src0'),
+       |corpus AS (SELECT doc_id, h FROM g WHERE source <> 'src0'),
+       |hits AS (SELECT doc_id, count(*) AS n_hit FROM corpus
+       |  WHERE h IN (SELECT h FROM bench) GROUP BY doc_id),
+       |sizes AS (SELECT doc_id, count(*) AS n_grams FROM corpus GROUP BY doc_id)
+       |SELECT doc_id, n_grams, n_hit,
+       |  ${DuckSql.roundpSql("n_hit * 1.0 / n_grams", 6)} AS frac
+       |FROM hits JOIN sizes USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- q130
 
   /** q130: marginal source NOVELTY — for each source, the fraction of its
@@ -1103,6 +1145,7 @@ object CurationQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q127_span_dedup"       -> (q127SpanDedup _),
+    "q134_contam_severity"  -> (q134ContamSeverity _),
     "q129_decontam_matrix"  -> (q129DecontamMatrix _),
     "q130_source_novelty"   -> (q130SourceNovelty _),
     "q131_token_entropy"    -> (q131TokenEntropy _),
@@ -1122,6 +1165,7 @@ object CurationQueries {
 
   val oracles: Map[String, String] = Map(
     "q127_span_dedup"       -> q127Sql,
+    "q134_contam_severity"  -> q134Sql,
     "q129_decontam_matrix"  -> q129Sql,
     "q130_source_novelty"   -> q130Sql,
     "q131_token_entropy"    -> q131Sql,

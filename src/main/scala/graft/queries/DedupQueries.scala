@@ -175,6 +175,128 @@ object DedupQueries {
         |WHERE n_clusters > 0
         |ORDER BY cluster_size""".stripMargin
 
+  /** q132: CROSS-SOURCE duplication rate — per source, how many of its
+    * documents have a near-dup (J ≥ 0.8) in a DIFFERENT source, and the
+    * rate against the source's size. The inter-source leakage view of the
+    * q28 pair table: high cross-source duplication means two "different"
+    * corpus slices are actually one. Pairs annotate with both sources via
+    * two broadcast-able dimension joins; each direction contributes its
+    * member, distinct per doc, then a size join — everything past the
+    * pair generator is |pairs|-sized. */
+  def q132CrossSourceDup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.TextFunctions.roundp
+    val docs = documents(s, d)
+    val src = docs.select($"doc_id", $"source")
+    val pairs = Dedup.minhashDedupPairs(docs, "doc_id", "text", 3, 0.8)
+      .join(src.select($"doc_id".as("id_a"), $"source".as("src_a")), "id_a")
+      .join(src.select($"doc_id".as("id_b"), $"source".as("src_b")), "id_b")
+      .filter($"src_a" =!= $"src_b")
+    val dupDocs = pairs.select($"id_a".as("doc_id"), $"src_a".as("source"))
+      .unionByName(pairs.select($"id_b".as("doc_id"), $"src_b".as("source")))
+      .distinct()
+      .groupBy($"source").agg(count(lit(1)).as("n_cross_dup"))
+    docs.groupBy($"source").agg(count(lit(1)).as("n_docs"))
+      .join(dupDocs, Seq("source"), "left")
+      .select($"source", $"n_docs",
+        coalesce($"n_cross_dup", lit(0L)).as("n_cross_dup"),
+        roundp(coalesce($"n_cross_dup", lit(0L)) * lit(1.0) / $"n_docs", 6)
+          .as("rate"))
+      .orderBy($"source")
+  }
+
+  val q132Sql: String =
+    jaccardPairsCte(0.8, None) +
+      s""",
+        |xp AS (SELECT id_a, id_b, da.source AS src_a, db.source AS src_b
+        |  FROM jpairs
+        |  JOIN documents da ON da.doc_id = id_a
+        |  JOIN documents db ON db.doc_id = id_b
+        |  WHERE da.source <> db.source),
+        |dup AS (SELECT source, count(*) AS n_cross_dup FROM (
+        |  SELECT DISTINCT doc_id, source FROM (
+        |    SELECT id_a AS doc_id, src_a AS source FROM xp
+        |    UNION ALL SELECT id_b, src_b FROM xp))
+        |  GROUP BY source),
+        |tot AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1)
+        |SELECT t.source, t.n_docs,
+        |  coalesce(dup.n_cross_dup, 0)::BIGINT AS n_cross_dup,
+        |  ${DuckSql.roundpSql(
+              "coalesce(dup.n_cross_dup, 0) * 1.0 / t.n_docs", 6)} AS rate
+        |FROM tot t LEFT JOIN dup USING (source)
+        |ORDER BY source""".stripMargin
+
+  /** q133: dedup POLICY-IMPACT report — the docs/tokens a corpus keeps
+    * under each of three policies (none, exact, near-dup), the table a
+    * pipeline owner reads before picking one. Exact keeps the min-id doc
+    * per identical lower(text); near-dup keeps the min-id doc per J ≥ 0.8
+    * component plus every un-paired doc. Three aggregate rows from
+    * frames the earlier stages already bound (component table ≤ paired
+    * docs); token masses are BIGINT sums so the report is
+    * reduction-order-free. */
+  def q133DedupPolicyImpact(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.TextFunctions.tokens
+    // the tokenized doc frame feeds three policy aggregates and the
+    // component table feeds two consumers — persist both (each ≤ corpus
+    // rows of scalars) so the tokenize kernel and the whole minhash pair
+    // pipeline run once, not once per consumer (3.5 s → ~2 s at sf0.1)
+    val docs = graft.ops.ScratchCache.register(documents(s, d)
+      .select($"doc_id", $"text", size(tokens($"text")).cast("long").as("n_tok"))
+      .persist())
+    val raw = docs.agg(count(lit(1)).as("n_docs_kept"),
+        sum($"n_tok").as("n_tokens_kept"))
+      .select(lit("0_none").as("policy"), $"n_docs_kept", $"n_tokens_kept")
+    val exactKeep = docs.groupBy(lower($"text").as("lt"))
+      .agg(min($"doc_id").as("keep_id"))
+    val exact = docs.join(exactKeep.select($"keep_id".as("doc_id")), "doc_id")
+      .agg(count(lit(1)).as("n_docs_kept"), sum($"n_tok").as("n_tokens_kept"))
+      .select(lit("1_exact").as("policy"), $"n_docs_kept", $"n_tokens_kept")
+    val pairs = Dedup.minhashDedupPairs(documents(s, d), "doc_id", "text", 3, 0.8)
+    val comp = graft.ops.ScratchCache.register(
+      Dedup.connectedComponents(pairs, "id_a", "id_b").persist())
+    // survivors: min id per component; non-members survive by default —
+    // expressed as an anti-join union, never a driver-side set difference
+    val compKeep = comp.groupBy($"component_id").agg(min($"id").as("doc_id"))
+      .select($"doc_id")
+    val nonMembers = docs.select($"doc_id")
+      .join(comp.select($"id".as("doc_id")), Seq("doc_id"), "left_anti")
+    val near = docs
+      .join(compKeep.unionByName(nonMembers).distinct(), "doc_id")
+      .agg(count(lit(1)).as("n_docs_kept"), sum($"n_tok").as("n_tokens_kept"))
+      .select(lit("2_near_dup").as("policy"), $"n_docs_kept", $"n_tokens_kept")
+    raw.unionByName(exact).unionByName(near).orderBy($"policy")
+  }
+
+  val q133Sql: String =
+    jaccardPairsCte(0.8, None) +
+      s""",
+        |edges AS (SELECT id_a AS a, id_b AS b FROM jpairs
+        |  UNION ALL SELECT id_b, id_a FROM jpairs),
+        |reach(id, r) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT re.id, e.b FROM reach re JOIN edges e ON re.r = e.a),
+        |comp AS (SELECT id, min(r) AS c FROM reach GROUP BY id),
+        |d AS (SELECT doc_id, text,
+        |    len(${DuckSql.tokensSql})::BIGINT AS n_tok FROM documents),
+        |raw AS (SELECT '0_none' AS policy, count(*) AS n_docs_kept,
+        |  sum(n_tok)::BIGINT AS n_tokens_kept FROM d),
+        |ek AS (SELECT min(doc_id) AS doc_id FROM d GROUP BY lower(text)),
+        |exact AS (SELECT '1_exact' AS policy, count(*) AS n_docs_kept,
+        |  sum(n_tok)::BIGINT AS n_tokens_kept FROM d
+        |  WHERE doc_id IN (SELECT doc_id FROM ek)),
+        |ck AS (SELECT min(id) AS doc_id FROM comp GROUP BY c
+        |  UNION SELECT doc_id FROM d
+        |    WHERE doc_id NOT IN (SELECT id FROM comp)),
+        |nr AS (SELECT '2_near_dup' AS policy, count(*) AS n_docs_kept,
+        |  sum(n_tok)::BIGINT AS n_tokens_kept FROM d
+        |  WHERE doc_id IN (SELECT doc_id FROM ck))
+        |SELECT policy, n_docs_kept, n_tokens_kept FROM
+        |  (SELECT * FROM raw UNION ALL SELECT * FROM exact
+        |   UNION ALL SELECT * FROM nr)
+        |ORDER BY policy""".stripMargin
+
   /** q52: incremental dedup — the `src0` documents stand in for a newly
     * ingested batch; emit near-dup pairs (J ≥ 0.8) touching the batch
     * only. The candidate join is new-bands × all-bands (O(B·N), broadcast-
@@ -513,6 +635,8 @@ object DedupQueries {
     "q29_simhash"        -> (q29Simhash _),
     "q51_dedup_groups"   -> (q51DedupGroups _),
     "q128_cluster_sizes" -> (q128ClusterSizes _),
+    "q132_cross_source_dup" -> (q132CrossSourceDup _),
+    "q133_dedup_policy_impact" -> (q133DedupPolicyImpact _),
     "q52_incremental_dedup" -> (q52IncrementalDedup _),
     "q58_substring_dedup" -> (q58SubstringDedup _),
     "q73_fuzzy_join"     -> (q73FuzzyJoin _),
@@ -530,6 +654,8 @@ object DedupQueries {
     "q29_simhash"        -> q29Sql,
     "q51_dedup_groups"   -> q51Sql,
     "q128_cluster_sizes" -> q128Sql,
+    "q132_cross_source_dup" -> q132Sql,
+    "q133_dedup_policy_impact" -> q133Sql,
     "q52_incremental_dedup" -> q52Sql,
     "q58_substring_dedup" -> q58Sql,
     "q73_fuzzy_join"     -> q73Sql,
