@@ -945,7 +945,12 @@ object GtiMosaic {
           val fcN = math.floor((fxc - fx0) / fresx).toInt
           val frN = math.floor((fy1 - fyc) / fresy).toInt
           val out = py * chunkPx + px
-          if (mode == 1 || mode == 2) {
+          // out-of-domain warp (e.g. a geos-CRS tile seen from beyond the
+          // visible disk) returns NaN coordinates; NaN.toInt is 0, so an
+          // unguarded nearest/average path would silently resample pixel
+          // (0,0) — skip the cell instead (stays mosaic nodata)
+          if (fxc.isNaN || fyc.isNaN) ()
+          else if (mode == 1 || mode == 2) {
             val gx = (fxc - fx0) / fresx - 0.5
             val gy = (fy1 - fyc) / fresy - 0.5
             val v = sampleKernel(gx, gy, mode == 2)

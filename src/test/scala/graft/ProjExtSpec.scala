@@ -220,6 +220,58 @@ class ProjExtSpec extends AnyFunSuite with SparkSpecBase {
       s"+nadgrids=$dir/enoent.gsb").isEmpty)
   }
 
+  test("assemble: a geos-CRS tile; off-disk mosaic cells stay nodata") {
+    // GOES-East fixed-grid tile in a GLOBAL 4326 mosaic: cells beyond the
+    // visible disk warp to NaN scan angles — they must stay at the mosaic
+    // fill, never silently resample pixel (0,0) (NaN.toInt == 0)
+    val projStr = "+proj=geos +h=35786023 +lon_0=-75 +sweep=x " +
+      "+ellps=GRS80 +units=m +no_defs"
+    val c = Proj4.parse(projStr).getOrElse(fail("geos string rejected"))
+    val (w, h) = (10, 10)
+    // tile covers a modest window around the sub-satellite point
+    val cs = for (lon <- Seq(-95.0, -55.0); lat <- Seq(-18.0, 18.0))
+      yield c.forward(lon, lat)
+    val (eMin, eMax) = (cs.map(_._1).min - 1e4, cs.map(_._1).max + 1e4)
+    val (nMin, nMax) = (cs.map(_._2).min - 1e4, cs.map(_._2).max + 1e4)
+    val (fresx, fresy) = ((eMax - eMin) / w, (nMax - nMin) / h)
+    val fix = Files.createTempDirectory("graft-gti-geos").toString
+    Files.write(Paths.get(fix, "g.tif"), GeoTiffWriter.write(w, h,
+      Seq(Array.tabulate(w * h)(_.toFloat)),
+      pixelScale = (fresx, fresy), tiepoint = (eMin, nMax),
+      nodata = Some(Double.NaN)))
+    val dst = Files.createTempDirectory("graft-gti-geos-dst").toString
+    // mosaic spans lon -180..180 in 30° cells: the antipodal half is
+    // beyond the disk; tile envelope declared global so the chunk join
+    // offers the tile to every cell and the WARP must reject off-disk
+    val mMeta = GtiMosaic.Meta("Float32", Double.NaN,
+      -180.0, -30.0, 180.0, 30.0, 30.0, 30.0, 1, "nearest", "EPSG:4326")
+    val index = Seq(("s3://mosaic.fixtures/g.tif", -180.0, -30.0, 180.0, 30.0,
+      projStr)).toDF("location", "minx", "miny", "maxx", "maxy", "srs")
+    GtiMosaic.write(index.coalesce(1), dst, mMeta)
+    val localize = (loc: String) => Paths.get(fix, loc.split('/').last).toString
+    val chunks = GtiMosaic.assemble(spark, dst, 0, 2)(localize)
+      .collect().map(r => (r.cy, r.cx) -> r.data).toMap
+    def cell(gx: Int, gy: Int): Float = {
+      val ch = chunks((gy / 2, gx / 2)); ch((gy % 2) * 2 + (gx % 2))
+    }
+    // visible cells near the sub-satellite longitude resolve through the
+    // kernel to the expected file pixel
+    for (gy <- 0 until 2; gx <- Seq(3, 4)) { // lon centers -75, -45
+      val (lon, lat) = (-180.0 + (gx + 0.5) * 30.0, 30.0 - (gy + 0.5) * 30.0)
+      val (e, n) = c.forward(lon, lat)
+      val fc = math.floor((e - eMin) / fresx).toInt
+      val fr = math.floor((nMax - n) / fresy).toInt
+      val want =
+        if (fr >= 0 && fr < h && fc >= 0 && fc < w) (fr * w + fc).toFloat
+        else Float.NaN
+      val got = cell(gx, gy)
+      assert((got.isNaN && want.isNaN) || got == want, s"($gx,$gy): $got vs $want")
+    }
+    // the antipodal cell (lon center 105°E) is beyond the visible disk
+    assert(cell(9, 0).isNaN && cell(9, 1).isNaN,
+      "off-disk cells must stay nodata, not resample pixel (0,0)")
+  }
+
   test("assemble: tiles in a krovak-CRS grid (EPSG:5514-style)") {
     val projStr = "+proj=krovak +lat_0=49.5 +lon_0=24.83333333333333 " +
       "+alpha=30.28813972222222 +k=0.9999 +x_0=0 +y_0=0 +ellps=bessel " +
