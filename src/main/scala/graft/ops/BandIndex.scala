@@ -115,22 +115,27 @@ object BandIndex {
     * (spec-asserted): compaction changes layout, never content. */
   def compact(spark: SparkSession, ref: Ref,
               targetFileBytes: Long = 64L << 20): Unit = {
+    def rmTree(p: java.nio.file.Path): Unit =
+      if (Files.exists(p))
+        Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(q => Files.deleteIfExists(q))
     for (table <- Seq("sets", "bands")) {
       val dir = Paths.get(ref.path, table)
+      val tmp = Paths.get(ref.path, table + "_tmp")
+      val old = Paths.get(ref.path, table + "_old")
+      // a previous crashed compaction may have left stale generations:
+      // clear them first so the swap's moves cannot fail on residue
+      rmTree(tmp); rmTree(old)
       val bytes = Files.walk(dir).iterator().asScala
         .filter(p => p.toString.endsWith(".parquet"))
         .map(p => Files.size(p)).sum
       val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
-      val tmp = Paths.get(ref.path, table + "_tmp")
       spark.read.parquet(dir.toString)
         .repartition(nFiles)
         .write.mode("overwrite").parquet(tmp.toString)
-      val old = Paths.get(ref.path, table + "_old")
       Files.move(dir, old)
       Files.move(tmp, dir)
-      // best-effort GC of the replaced generation
-      Files.walk(old).sorted(java.util.Comparator.reverseOrder())
-        .iterator().asScala.foreach(p => Files.deleteIfExists(p))
+      rmTree(old) // best-effort GC of the replaced generation
     }
   }
 }

@@ -130,8 +130,12 @@ object Similarity {
     val spark = scored.sparkSession
     import spark.implicits._
     val cols = scored.columns
-    scored.groupBy(col(cols(0)).as("qid"))
-      .agg(graft.functions.TopKScore(col(cols(1)), col(cols(2)), k).as("top"))
+    // explicit upcasts keep the contract the old typed form enforced via
+    // its encoder ((Long, Long, Double)): a float-scored caller degrades
+    // to a cast, not a runtime class-cast inside the aggregate
+    scored.groupBy(col(cols(0)).cast("long").as("qid"))
+      .agg(graft.functions.TopKScore(col(cols(1)).cast("long"),
+        col(cols(2)).cast("double"), k).as("top"))
       .select(col("qid"), posexplode(col("top")))
       .select(col("qid"), col("col.cid").as("cid"), col("col.cos").as("cos"),
         (col("pos") + 1).cast("int").as("rank"))

@@ -70,9 +70,15 @@ object Proj4 {
     // grids keep the @-marker semantics only in that a missing file still
     // fails here: assemble's contract prefers an error to a mis-warp.
     val gridSpec = kv.get("nadgrids").map { v =>
-      v.split(",").map(_.trim).filter(s => s.nonEmpty && s != "null")
+      val files = v.split(",").map(_.trim).filter(s => s.nonEmpty && s != "null")
         .map(s => if (s.startsWith("@")) s.drop(1) else s)
-        .headOption.flatMap(Ntv2.read)
+      // PROJ consults the listed grids in order; here ALL must load (a
+      // silently-dropped grid would mis-warp the points it covers) and
+      // their sub-grids concatenate — Grid.forward already picks the
+      // densest containing sub-grid per point
+      val grids = files.map(Ntv2.read)
+      if (files.isEmpty || grids.exists(_.isEmpty)) None
+      else Some(Ntv2.Grid(grids.flatten.flatMap(_.subs).toSeq))
     }
     if (gridSpec.exists(_.isEmpty)) return None
     val grid: Option[Ntv2.Grid] = gridSpec.flatten

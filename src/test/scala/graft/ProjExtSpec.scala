@@ -218,6 +218,21 @@ class ProjExtSpec extends AnyFunSuite with SparkSpecBase {
     // present-but-missing grid file: fail fast, never silently ignore
     assert(Proj4.parse("+proj=longlat +ellps=clrk66 " +
       s"+nadgrids=$dir/enoent.gsb").isEmpty)
+    // multiple listed grids: ALL must load and all are consulted — a
+    // point inside only the second file's area still gets its shift
+    val path2 = s"$dir/shift2.gsb"
+    Ntv2.write(path2, 50 * 3600.0, 52 * 3600.0, 8 * 3600.0, 10 * 3600.0,
+      3600.0, 3600.0, Array.fill(9)(3.6f), Array.fill(9)(0f))
+    val multi = Proj4.parse(
+      s"+proj=longlat +ellps=clrk66 +nadgrids=$path,$path2")
+      .getOrElse(fail("multi-grid nadgrids rejected"))
+    val (_, mlat1) = multi.forward(-9.0, 46.0) // grid 1 area: 1.8" shift
+    val (_, mlat2) = multi.forward(-9.0, 51.0) // grid 2 area: 3.6" shift
+    assert(math.abs(mlat1 - (46.0 - 1.8 / 3600.0)) < 1e-9)
+    assert(math.abs(mlat2 - (51.0 - 3.6 / 3600.0)) < 1e-9)
+    // one bad entry in the list fails the whole parse
+    assert(Proj4.parse(
+      s"+proj=longlat +ellps=clrk66 +nadgrids=$path,$dir/enoent.gsb").isEmpty)
   }
 
   test("assemble: a geos-CRS tile; off-disk mosaic cells stay nodata") {
