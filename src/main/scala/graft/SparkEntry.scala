@@ -42,7 +42,8 @@ object SparkEntry {
     graft.queries.EventAnalytics.queries ++
     graft.queries.StoreQueries.queries ++
     graft.queries.GraphQueries.queries ++
-    graft.queries.CurationQueries.queries
+    graft.queries.CurationQueries.queries ++
+    graft.queries.CorpusOpsQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -59,5 +60,6 @@ object SparkEntry {
     graft.queries.EventAnalytics.oracles ++
     graft.queries.StoreQueries.oracles ++
     graft.queries.GraphQueries.oracles ++
-    graft.queries.CurationQueries.oracles
+    graft.queries.CurationQueries.oracles ++
+    graft.queries.CorpusOpsQueries.oracles
 }

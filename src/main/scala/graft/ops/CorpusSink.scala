@@ -42,6 +42,11 @@ object CorpusSink {
     *                 a shard closes when cumulative weight crosses it)
     * @param parts    range-exchange width for the assignment pass
     */
+  /** Name of the hidden manifest directory under the sink root. The `_`
+    * prefix keeps Spark's (and parquet's) path filters from reading it as
+    * data, so `spark.read.parquet(dir)` still sees only the shards. */
+  val ManifestDir = "_manifest"
+
   def write(docs: DataFrame, idCol: String, weightCol: String,
             rowHash: Column, budget: Long, dir: String,
             parts: Int): DataFrame = {
@@ -77,12 +82,43 @@ object CorpusSink {
       .write.mode(SaveMode.Overwrite)
       .partitionBy("shard_id")
       .parquet(dir)
-    assigned
+    val manifest = assigned
       .groupBy(col("shard_id"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col(weightCol).cast("long")).as("n_weight"),
-        (sum(rowHash) % 4294967296L).as("content_hash"))
+        (sum(rowHash) % 4294967296L).as("content_hash"),
+        min(col(idCol).cast("long")).as("min_id"),
+        max(col(idCol).cast("long")).as("max_id"))
       .orderBy(col("shard_id"))
+    // persist the manifest next to the shards (hidden dir): min_id/max_id
+    // are ZONE MAPS — shard assignment is the prefix sum over idCol order,
+    // so shards hold contiguous id ranges and a range predicate prunes to
+    // the overlapping shards without touching the rest (readRange below).
+    manifest.coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(new java.io.File(dir, ManifestDir).toString)
+    manifest
+  }
+
+  /** Zone-map-pruned range read: open ONLY the shards whose [min_id,
+    * max_id] manifest range overlaps [lo, hi], then apply the exact
+    * residual filter. At 100 TB this is the difference between touching
+    * the whole corpus and touching |range|/budget shard files — the same
+    * file-skipping contract a lakehouse gets from parquet footer stats,
+    * but driven by the sink's own manifest, so it holds on ANY object
+    * store without footer round-trips. The collected shard list is
+    * bounded by the RANGE width (range/budget entries), not corpus size. */
+  def readRange(spark: org.apache.spark.sql.SparkSession, dir: String,
+                idCol: String, lo: Long, hi: Long): DataFrame = {
+    val shards = spark.read
+      .parquet(new java.io.File(dir, ManifestDir).toString)
+      .filter(col("min_id") <= hi && col("max_id") >= lo)
+      .select(col("shard_id").cast("long")).collect().map(_.getLong(0))
+    if (shards.isEmpty)
+      return spark.read.option("basePath", dir).parquet(dir)
+        .filter(lit(false))
+    spark.read.option("basePath", dir)
+      .parquet(shards.map(s => s"$dir/shard_id=$s"): _*)
+      .filter(col(idCol).cast("long").between(lo, hi))
   }
 
   /** Recompute the manifest from an already-written shard directory —
@@ -92,11 +128,14 @@ object CorpusSink {
     * directory layout; nothing is re-shuffled except the tiny per-shard
     * aggregate). */
   def manifestOf(spark: org.apache.spark.sql.SparkSession, dir: String,
-                 weightCol: String, rowHash: Column): DataFrame =
+                 weightCol: String, rowHash: Column,
+                 idCol: String = "doc_id"): DataFrame =
     spark.read.parquet(dir)
       .groupBy(col("shard_id").cast("long").as("shard_id"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col(weightCol).cast("long")).as("n_weight"),
-        (sum(rowHash) % 4294967296L).as("content_hash"))
+        (sum(rowHash) % 4294967296L).as("content_hash"),
+        min(col(idCol).cast("long")).as("min_id"),
+        max(col(idCol).cast("long")).as("max_id"))
       .orderBy(col("shard_id"))
 }

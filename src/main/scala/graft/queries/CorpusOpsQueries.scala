@@ -1,0 +1,366 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.documents
+import graft.functions.TextFunctions.{polyHash, roundp, stopwordCount, tokens}
+
+/** Round-8 corpus-operations batch: boilerplate removal (q135), adaptive
+  * per-language quality gating (q136), token-budget waterfilling (q137),
+  * zone-map-pruned shard reads (q138), one-pass moment profiles (q139),
+  * and source-distribution similarity (q140). Each is the Spark-first
+  * shape of a curation step a 100 TB pipeline runs between crawl and
+  * training mix; every one is DuckDB-oracle-gated.
+  */
+object CorpusOpsQueries {
+
+  // ---------------------------------------------------------------- q135
+
+  /** q135: BOILERPLATE segment removal report (the CCNet/C4 line-dedup
+    * shape on the fixture's unpunctuated text): aligned 10-token segments
+    * appearing in ≥ 3 DISTINCT documents are boilerplate (headers,
+    * navigation, license blocks); per document, how many segments it has,
+    * how many are boilerplate, and the kept fraction. Unlike q117 (first
+    * occurrence survives), boilerplate removal drops EVERY occurrence.
+    *
+    * Scale shape: segments hash through the q117 kernel (both engines
+    * hash, so parity holds even under collision); the boilerplate set is
+    * tiny BY DEFINITION (segments repeated across ≥3 docs), so the
+    * back-join broadcasts; one corpus-size shuffle total (the distinct-
+    * doc count per hash). */
+  def q135Boilerplate(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val segLen = 10
+    val segs = documents(s, d)
+      .select($"doc_id", tokens($"text").as("ws"))
+      .filter(size($"ws") > 0)
+      .select($"doc_id",
+        explode(sequence(lit(0), size($"ws") - 1, lit(segLen))).as("start"),
+        $"ws")
+      .select($"doc_id",
+        polyHash(concat_ws(" ", slice($"ws", $"start" + 1, lit(segLen))))
+          .as("h"))
+    val boiler = segs.groupBy($"h")
+      .agg(countDistinct($"doc_id").as("nd"))
+      .filter($"nd" >= 3)
+      .select($"h", lit(1).as("is_b"))
+    segs.join(broadcast(boiler), Seq("h"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_segments"),
+        sum(when($"is_b" === 1, 1L).otherwise(0L)).as("n_boiler"))
+      .select($"doc_id", $"n_segments", $"n_boiler",
+        roundp(($"n_segments" - $"n_boiler") * lit(1.0) / $"n_segments", 6)
+          .as("kept_frac"))
+      .orderBy($"doc_id")
+  }
+
+  val q135Sql: String =
+    s"""WITH toks AS (SELECT doc_id, ${DuckSql.tokensSql} AS ws FROM documents),
+       |nz AS (SELECT doc_id, ws FROM toks WHERE len(ws) > 0),
+       |st AS (SELECT doc_id, ws,
+       |    unnest(generate_series(0, len(ws) - 1, 10)) AS start FROM nz),
+       |seg AS (SELECT doc_id,
+       |    ${DuckSql.polyHashSql(
+              "array_to_string(list_slice(ws, start + 1, start + 10), ' ')")}
+       |      AS h
+       |  FROM st),
+       |b AS (SELECT h AS bh FROM seg GROUP BY h
+       |  HAVING count(DISTINCT doc_id) >= 3)
+       |SELECT doc_id, count(*)::BIGINT AS n_segments,
+       |  count(bh)::BIGINT AS n_boiler,
+       |  ${DuckSql.roundpSql(
+            "(count(*) - count(bh)) * 1.0 / count(*)", 6)} AS kept_frac
+       |FROM seg LEFT JOIN b ON seg.h = b.bh
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q136
+
+  /** q136: ADAPTIVE quality gate — instead of one global threshold (q54),
+    * each language keeps its own top 80 %: the per-lang exact 20th-
+    * percentile of the q23 quality score becomes that language's cutoff.
+    * Fixed global thresholds systematically starve non-English slices
+    * whose score distributions sit lower; per-slice quantile cutoffs are
+    * the standard fix (CCNet buckets by perplexity quantile per lang).
+    *
+    * Scale shape: the percentile aggregation is holistic but its OUTPUT
+    * is |langs| rows — the cutoffs broadcast back over the corpus scan
+    * (q82's pattern, per group). Cutoffs round to 4dp on both engines so
+    * interpolated-quantile float noise cannot flip a >= comparison. */
+  def q136AdaptiveQuality(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val scored = documents(s, d)
+      .select($"lang", tokens($"text").as("ws"))
+      .select($"lang", size($"ws").cast("long").as("n_words"),
+        stopwordCount($"ws", Seq("the", "a", "of", "and")).as("n_stop"))
+      .select($"lang",
+        roundp(least($"n_words", lit(100)) / lit(100.0) *
+          (lit(1.0) - $"n_stop" * lit(1.0) / $"n_words"), 6).as("q"))
+    val cuts = scored.groupBy($"lang")
+      .agg(roundp(expr("percentile(q, 0.2)"), 4).as("cutoff"))
+    scored.join(broadcast(cuts), Seq("lang"))
+      .groupBy($"lang", $"cutoff")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"q" >= $"cutoff", 1L).otherwise(0L)).as("n_kept"))
+      .orderBy($"lang")
+  }
+
+  val q136Sql: String = {
+    val ws = DuckSql.tokensSql
+    s"""WITH t AS (SELECT lang, $ws AS ws FROM documents),
+       |c AS (SELECT lang, len(ws)::BIGINT AS n_words,
+       |  len(list_filter(ws, w -> w IN ('the','a','of','and'))) AS n_stop
+       |  FROM t),
+       |sc AS (SELECT lang, ${DuckSql.roundpSql(
+            "least(n_words, 100) / 100.0 * (1.0 - n_stop * 1.0 / n_words)", 6)}
+       |    AS q FROM c),
+       |cut AS (SELECT lang, ${DuckSql.roundpSql("quantile_cont(q, 0.2)", 4)}
+       |    AS cutoff FROM sc GROUP BY lang)
+       |SELECT sc.lang AS lang, cutoff, count(*)::BIGINT AS n_docs,
+       |  (count(*) FILTER (q >= cutoff))::BIGINT AS n_kept
+       |FROM sc JOIN cut ON sc.lang = cut.lang
+       |GROUP BY 1, 2 ORDER BY sc.lang""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q137
+
+  /** q137: token-budget WATERFILLING — allocate a total token budget
+    * (here: half the corpus) across sources so no source exceeds a
+    * common cap c, chosen as the largest integer with
+    * Σ min(T_s, c) ≤ B. Small sources keep everything; large sources
+    * are capped equally — the standard "temperature-flattened" data-mix
+    * allocation, computed EXACTLY in integer arithmetic.
+    *
+    * Scale shape: one corpus-size aggregation produces |sources| totals
+    * (sources are a bounded config axis, not data); the waterfill cap is
+    * solved on the driver over that contract-bounded frame (the q124
+    * pattern) and rides back as a literal — no window over data, no
+    * iteration. */
+  def q137Waterfill(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val totals = documents(s, d)
+      .select($"source", size(tokens($"text")).cast("long").as("w"))
+      .groupBy($"source").agg(sum($"w").as("n_tokens"))
+    // bounded collect: one row per source
+    val rows = totals.select($"source", $"n_tokens").as[(String, Long)]
+      .collect().sortBy(r => (r._2, r._1))
+    val total = rows.map(_._2).sum
+    val budget = total / 2
+    // ascending sweep: sources smaller than the running equal-share are
+    // fully allocated; the first source the share cannot cover fixes c
+    var prefix = 0L
+    var cap = Long.MaxValue
+    var k = 0
+    while (k < rows.length && cap == Long.MaxValue) {
+      val cand = (budget - prefix) / (rows.length - k)
+      if (cand < rows(k)._2) cap = cand else prefix += rows(k)._2
+      k += 1
+    }
+    totals.select($"source", $"n_tokens",
+        least($"n_tokens", lit(cap)).as("alloc"))
+      .orderBy($"source")
+  }
+
+  val q137Sql: String = {
+    val ws = DuckSql.tokensSql
+    s"""WITH t AS (SELECT source, CAST(sum(len($ws)) AS BIGINT) AS n_tokens
+       |  FROM documents GROUP BY source),
+       |o AS (SELECT source, n_tokens,
+       |    row_number() OVER (ORDER BY n_tokens, source) AS k,
+       |    coalesce(sum(n_tokens) OVER (ORDER BY n_tokens, source
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS p,
+       |    count(*) OVER () AS n, sum(n_tokens) OVER () AS tot FROM t),
+       |cand AS (SELECT k, n_tokens,
+       |    ((tot // 2) - p) // (n - k + 1) AS cand FROM o),
+       |cap AS (SELECT cand FROM cand WHERE cand < n_tokens
+       |  ORDER BY k LIMIT 1)
+       |SELECT source, n_tokens,
+       |  CAST(CASE WHEN (SELECT count(*) FROM cap) = 0 THEN n_tokens
+       |       ELSE least(n_tokens, (SELECT cand FROM cap)) END AS BIGINT)
+       |    AS alloc
+       |FROM t ORDER BY source""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q138
+
+  /** q138: ZONE-MAP-pruned shard range read — write the corpus through
+    * [[graft.ops.CorpusSink]] (whose manifest now carries per-shard
+    * min/max id), then answer a doc_id-range aggregate by opening ONLY
+    * the overlapping shards ([[graft.ops.CorpusSink.readRange]]). The
+    * oracle is the plain range filter over the raw table, so a green row
+    * proves pruning loses nothing; CorpusSinkSpec asserts the file-count
+    * side (fewer inputFiles than a full scan). The range bounds derive
+    * from the data (min/max ids), so the query is fixture-independent. */
+  def q138ZoneMapRange(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dir = new java.io.File(
+      java.lang.System.getProperty("java.io.tmpdir"),
+      "graft-zonemap-shards-" +
+        java.lang.System.getProperty("user.name", "u") + "-" +
+        d.replaceAll("[^A-Za-z0-9._-]", "_")).toString
+    graft.ops.CorpusSink.write(
+      documents(s, d), "doc_id", "n_chars",
+      polyHash(concat_ws("|", $"doc_id", $"text")),
+      budget = CurationQueries.ShardBudget, dir = dir,
+      parts = s.sparkContext.defaultParallelism)
+    val b = documents(s, d)
+      .agg(min($"doc_id").as("lo0"), max($"doc_id").as("hi0")).head()
+    val (lo0, hi0) = (b.getLong(0), b.getLong(1))
+    val (lo, hi) = (lo0 + (hi0 - lo0) / 5, lo0 + (hi0 - lo0) * 3 / 5)
+    graft.ops.CorpusSink.readRange(s, dir, "doc_id", lo, hi)
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_chars".cast("long")).as("n_chars"),
+        min($"doc_id").as("min_id"), max($"doc_id").as("max_id"))
+  }
+
+  val q138Sql: String =
+    """WITH b AS (SELECT min(doc_id) AS lo0, max(doc_id) AS hi0
+      |    FROM documents),
+      |r AS (SELECT lo0 + (hi0 - lo0) // 5 AS lo,
+      |    lo0 + ((hi0 - lo0) * 3) // 5 AS hi FROM b)
+      |SELECT count(*)::BIGINT AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+      |  min(doc_id) AS min_id, max(doc_id) AS max_id
+      |FROM documents, r WHERE doc_id BETWEEN lo AND hi""".stripMargin
+
+  // ---------------------------------------------------------------- q139
+
+  /** q139: per-source length-distribution MOMENT profile — count, mean,
+    * standard deviation, and skewness of the token-count distribution,
+    * computed from exact integer power sums (Σw, Σw², Σw³). The one-pass
+    * map-combinable form: float moments (`stddev`, hand-rolled skew over
+    * doubles) are reduction-order-sensitive and engine-divergent; integer
+    * power sums are associative and EXACT, so the final double arithmetic
+    * is one deterministic expression evaluated identically by both
+    * engines. Sums ride as DECIMAL(38,0)/HUGEINT so the bound is the
+    * 10³⁸ decimal capacity, not int64 (w³ alone overflows int64 past
+    * ~2 M-token documents). */
+  def q139MomentProfile(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sums = documents(s, d)
+      .select($"source", size(tokens($"text")).cast("long").as("w"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n"),
+        sum($"w".cast("decimal(38,0)")).cast("double").as("s1"),
+        // widen BEFORE multiplying: w³ in int64 overflows past ~2M-token
+        // documents; decimal(38,0) products stay exact to 10³⁸
+        sum(($"w".cast("decimal(38,0)") * $"w").cast("decimal(38,0)"))
+          .cast("double").as("s2"),
+        sum(($"w".cast("decimal(38,0)") * $"w" * $"w").cast("decimal(38,0)"))
+          .cast("double").as("s3"))
+    // the double expressions mirror q139Sql token-for-token: same tree,
+    // same IEEE result, so roundp(…, 6) is deterministic cross-engine
+    val nD = $"n" * lit(1.0)
+    val mean = $"s1" / nD
+    val m2 = $"s2" / nD - mean * mean
+    val v = when(m2 > 0.0, m2).otherwise(lit(0.0))
+    val std = sqrt(v)
+    val m3 = $"s3" / nD - lit(3.0) * mean * ($"s2" / nD) +
+      lit(2.0) * mean * mean * mean
+    sums.select($"source", $"n".as("n_docs"),
+        roundp(mean, 6).as("mean_tokens"),
+        roundp(std, 6).as("std_tokens"),
+        roundp(when(std > 0.0, m3 / (std * std * std)).otherwise(lit(0.0)), 6)
+          .as("skew_tokens"))
+      .orderBy($"source")
+  }
+
+  val q139Sql: String = {
+    val ws = DuckSql.tokensSql
+    val nD = "(n * 1.0)"
+    val mean = s"(s1 / $nD)"
+    val m2 = s"(s2 / $nD - $mean * $mean)"
+    val v = s"(CASE WHEN $m2 > 0.0 THEN $m2 ELSE 0.0 END)"
+    val std = s"sqrt($v)"
+    val m3 = s"(s3 / $nD - 3.0 * $mean * (s2 / $nD) + " +
+      s"2.0 * $mean * $mean * $mean)"
+    s"""WITH t AS (SELECT source, len($ws)::BIGINT AS w FROM documents),
+       |a AS (SELECT source, count(*)::BIGINT AS n,
+       |    CAST(sum(CAST(w AS HUGEINT)) AS DOUBLE) AS s1,
+       |    CAST(sum(CAST(w AS HUGEINT) * w) AS DOUBLE) AS s2,
+       |    CAST(sum(CAST(w AS HUGEINT) * w * w) AS DOUBLE) AS s3
+       |  FROM t GROUP BY source)
+       |SELECT source, n AS n_docs,
+       |  ${DuckSql.roundpSql(mean, 6)} AS mean_tokens,
+       |  ${DuckSql.roundpSql(std, 6)} AS std_tokens,
+       |  ${DuckSql.roundpSql(
+            s"CASE WHEN $std > 0.0 THEN $m3 / ($std * $std * $std) " +
+              "ELSE 0.0 END", 6)} AS skew_tokens
+       |FROM a ORDER BY source""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q140
+
+  /** q140: source-pair DISTRIBUTION similarity — cosine between the
+    * token-frequency vectors of every source pair: which corpus slices
+    * are stylistically interchangeable vs complementary (the mix-design
+    * view q124's shingle-overlap matrix — verbatim duplication — cannot
+    * give: two sources can share 0 shingles yet have near-identical
+    * unigram profiles). Dot products and norms are EXACT integer sums;
+    * only the final cosine divides in doubles (identical expression both
+    * engines).
+    *
+    * Scale shape: one (source, token) count aggregation — corpus-sized
+    * shuffle, map-side combined — then a |vocab|-keyed self-join whose
+    * output is at most |sources|² rows per token; sources are a bounded
+    * config axis, so the pair frame stays tiny. Pairs that share no
+    * token are absent (inner-join semantics, identical in the oracle). */
+  def q140SourceCosine(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val counts = documents(s, d)
+      .select($"source", explode(tokens($"text")).as("w"))
+      .groupBy($"source", $"w").agg(count(lit(1)).as("c"))
+    val norms = counts.groupBy($"source")
+      .agg(sum($"c" * $"c").as("n2"))
+    val dots = counts.as("a").join(counts.as("b"),
+        $"a.w" === $"b.w" && $"a.source" < $"b.source")
+      .groupBy($"a.source".as("src_a"), $"b.source".as("src_b"))
+      .agg(sum($"a.c" * $"b.c").as("dot"))
+    dots
+      .join(broadcast(norms.select($"source".as("src_a"), $"n2".as("n2a"))),
+        Seq("src_a"))
+      .join(broadcast(norms.select($"source".as("src_b"), $"n2".as("n2b"))),
+        Seq("src_b"))
+      .select($"src_a", $"src_b",
+        roundp($"dot" * lit(1.0) /
+          (sqrt($"n2a" * lit(1.0)) * sqrt($"n2b" * lit(1.0))), 6)
+          .as("cosine"))
+      .orderBy($"src_a", $"src_b")
+  }
+
+  val q140Sql: String = {
+    val ws = DuckSql.tokensSql
+    s"""WITH w AS (SELECT source, unnest($ws) AS w FROM documents),
+       |c AS (SELECT source, w, count(*)::BIGINT AS c FROM w GROUP BY 1, 2),
+       |n AS (SELECT source, CAST(sum(c * c) AS BIGINT) AS n2 FROM c
+       |  GROUP BY source),
+       |p AS (SELECT a.source AS src_a, b.source AS src_b,
+       |    CAST(sum(a.c * b.c) AS BIGINT) AS dot
+       |  FROM c a JOIN c b ON a.w = b.w AND a.source < b.source
+       |  GROUP BY 1, 2)
+       |SELECT src_a, src_b,
+       |  ${DuckSql.roundpSql(
+            "dot * 1.0 / (sqrt(na.n2 * 1.0) * sqrt(nb.n2 * 1.0))", 6)}
+       |    AS cosine
+       |FROM p JOIN n na ON p.src_a = na.source
+       |       JOIN n nb ON p.src_b = nb.source
+       |ORDER BY src_a, src_b""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q135_boilerplate"      -> (q135Boilerplate _),
+    "q136_adaptive_quality" -> (q136AdaptiveQuality _),
+    "q137_waterfill"        -> (q137Waterfill _),
+    "q138_zonemap_range"    -> (q138ZoneMapRange _),
+    "q139_moment_profile"   -> (q139MomentProfile _),
+    "q140_source_cosine"    -> (q140SourceCosine _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q135_boilerplate"      -> q135Sql,
+    "q136_adaptive_quality" -> q136Sql,
+    "q137_waterfill"        -> q137Sql,
+    "q138_zonemap_range"    -> q138Sql,
+    "q139_moment_profile"   -> q139Sql,
+    "q140_source_cosine"    -> q140Sql,
+  )
+}

@@ -471,8 +471,53 @@ object PipelineQueries {
       .orderBy($"c".desc, $"w")
   }
 
+  /** q141: STREAMING decontamination — the q44/q129 benchmark-overlap
+    * test run as a stream-STATIC join, the shape of screening an
+    * incoming crawl feed against a fixed benchmark suite before it ever
+    * lands in the corpus. The benchmark gram set is a static frame (it
+    * broadcast-hash-joins inside every micro-batch; no streaming state
+    * at all — this is the stateless-join member of the streaming
+    * surface), the corpus is the stream; matches append to the sink and
+    * the per-doc hit count is an ordinary batch aggregate over the
+    * landed matches. Oracle: the equivalent batch SQL, so AvailableNow
+    * catch-up must reproduce the exact join result. */
+  def q141StreamDecontam(s0: SparkSession, d: String): DataFrame = {
+    val (s, outDir, ckDir) = streamRun(s0, "graft_q141")
+    import s.implicits._
+    import graft.functions.ShingleExpressions.wordShingleHashes
+    val bench = graft.Tables.documents(s, d)
+      .filter($"source" === "src0")
+      .select(explode(wordShingleHashes($"text", 5)).as("h"))
+      .distinct()
+    val batchSchema = graft.Tables.load(s, d, "documents").schema
+    val docs = s.readStream.schema(batchSchema)
+      .option("pathGlobFilter", "documents.parquet").parquet(d)
+    val stream = docs.filter($"source" =!= "src0")
+      .select($"doc_id", explode(wordShingleHashes($"text", 5)).as("h"))
+      .join(bench, Seq("h"), "left_semi")
+    runToParquet(stream, "append", outDir, ckDir)
+    // distinct on read-back: idempotence against sink re-appends, and
+    // (doc_id, h) is already unique per doc (the kernel emits distinct
+    // hashes), so the count is the distinct hit-gram count
+    s.read.parquet(outDir).distinct()
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_hit"))
+      .orderBy($"doc_id")
+  }
+
+  val q141Sql: String =
+    s"""WITH t AS (SELECT doc_id, source, ${DuckSql.tokensSql} AS ws
+       |  FROM documents),
+       |g AS (SELECT doc_id, source,
+       |    unnest(${DuckSql.shingleHashesSql("ws", 5)}) AS h FROM t),
+       |bench AS (SELECT DISTINCT h FROM g WHERE source = 'src0')
+       |SELECT doc_id, count(*)::BIGINT AS n_hit
+       |FROM (SELECT DISTINCT doc_id, h FROM g WHERE source <> 'src0') c
+       |JOIN bench USING (h)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q121_stream_heavy_hitters" -> (q121StreamHeavyHitters _),
+    "q141_stream_decontam" -> (q141StreamDecontam _),
     "q33_multimodal"    -> (q33Multimodal _),
     "q34_stream_window" -> (q34StreamWindow _),
     "q41_resize"        -> (q41Resize _),
@@ -486,6 +531,7 @@ object PipelineQueries {
 
   val oracles: Map[String, String] = Map(
     "q121_stream_heavy_hitters" -> SketchQueries.q61Sql,
+    "q141_stream_decontam" -> q141Sql,
     "q33_multimodal"    -> q33Sql,
     "q34_stream_window" -> q34Sql,
     "q41_resize"        -> q41Sql,

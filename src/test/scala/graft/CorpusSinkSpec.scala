@@ -96,8 +96,41 @@ class CorpusSinkSpec extends AnyFunSuite with SparkSpecBase {
       .groupBy($"shard_id")
       .agg(count(lit(1)).as("n_docs"),
         sum($"n_chars".cast("long")).as("n_weight"),
-        (sum(rowHash) % 4294967296L).as("content_hash"))
+        (sum(rowHash) % 4294967296L).as("content_hash"),
+        min($"doc_id".cast("long")).as("min_id"),
+        max($"doc_id".cast("long")).as("max_id"))
       .orderBy($"shard_id").collect().map(_.toSeq).toSeq
     assert(manifest == replay)
+  }
+
+  test("zone maps: readRange prunes to overlapping shards, result exact") {
+    val docs = Tables.documents(spark, sfSmoke)
+    val dir = freshDir()
+    val manifest = CorpusSink.write(docs, "doc_id", "n_chars", rowHash,
+      budget = 16000L, dir = dir, parts = 4).collect()
+    // the persisted _manifest equals the writer's returned manifest
+    val onDisk = spark.read
+      .parquet(new java.io.File(dir, CorpusSink.ManifestDir).toString)
+      .orderBy($"shard_id").collect()
+    assert(manifest.map(_.toSeq).toSeq == onDisk.map(_.toSeq).toSeq)
+    // _manifest stays invisible to a plain read of the sink root
+    assert(spark.read.parquet(dir).columns.sorted.toSeq ==
+      (docs.columns :+ "shard_id").sorted.toSeq)
+    // a range covering ~one shard reads FEWER files than the full corpus
+    val bounds = manifest.map(r => (r.getLong(4), r.getLong(5)))
+    val (lo, hi) = bounds(1) // exactly the second shard's id range
+    val pruned = CorpusSink.readRange(spark, dir, "doc_id", lo, hi)
+    assert(pruned.inputFiles.length < spark.read.parquet(dir).inputFiles.length,
+      "range read must open fewer shard files than a full scan")
+    // exactness: pruned read == plain filter over the whole corpus
+    val expect = docs.filter($"doc_id".between(lo, hi))
+      .select($"doc_id").orderBy($"doc_id").collect().map(_.getLong(0)).toSeq
+    val got = pruned.select($"doc_id").orderBy($"doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == expect && got.nonEmpty)
+    // a range past every shard is empty without error
+    val top = bounds.map(_._2).max
+    assert(CorpusSink.readRange(spark, dir, "doc_id", top + 1, top + 100)
+      .count() == 0L)
   }
 }
