@@ -75,9 +75,8 @@ object IvfIndex {
     // corpus side, query vectors, re-rank join) — persist so assignment
     // runs once, released by the session's ScratchCache sweep; a `load`ed
     // index reads the cell-partitioned parquet instead
-    Index(centroids, ScratchCache.register(emb.withColumn("__cell",
-      element_at(graft.functions.NearestCells.topCells(col(vec), cents, 1), 1))
-      .persist()))
+    Index(centroids,
+      ScratchCache.register(assignTo(emb, vec, cents).persist()))
   }
 
   /** Persist the index with the CELL AS THE PARTITION KEY: parquet
@@ -102,6 +101,59 @@ object IvfIndex {
       java.nio.file.Paths.get(dst, "centroids.json")))
     Index(cents.zipWithIndex.map { case (c, i) => i -> c },
       spark.read.parquet(dst + "/cells"))
+  }
+
+  /** Cell assignment against a FIXED centroid table — the shared kernel
+    * of [[build]] and [[append]] (one fused JVM loop per row, centroids
+    * ride in the plan as literals). */
+  def assignTo(emb: DataFrame, vec: String,
+               cents: Array[Array[Float]]): DataFrame =
+    emb.withColumn("__cell",
+      element_at(graft.functions.NearestCells.topCells(col(vec), cents, 1), 1))
+
+  /** Incrementally GROW a saved index: assign `newEmb` to the EXISTING
+    * centroids and parquet-append into the cell partitions — no
+    * re-clustering, no rewrite of the resident corpus. This is how a
+    * 100 TB vector index absorbs a daily ingest batch: the batch pays one
+    * assignment scan + one append; probe cost afterwards is identical to
+    * a from-scratch build with the same centroids (spec-asserted), because
+    * querying only ever sees (centroids, cell-partitioned rows). Repeated
+    * small appends fragment the cell directories — [[compact]] rewrites
+    * them; probe results are unaffected either way.
+    *
+    * Like BandIndex.append, ids must be disjoint from the resident
+    * corpus (the knn dedupe treats equal ids as self-pairs). */
+  def append(spark: org.apache.spark.sql.SparkSession, dst: String,
+             newEmb: DataFrame, id: String, vec: String): Index = {
+    val cents = CentroidJson.parseCells(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(dst, "centroids.json")))
+    assignTo(newEmb, vec, cents.toArray)
+      .select(col(id), col(vec), col("__cell"))
+      .write.mode("append").partitionBy("__cell").parquet(dst + "/cells")
+    load(spark, dst)
+  }
+
+  /** Rewrite append-fragmented cell partitions: one file per cell again
+    * (the build layout), via the BandIndex tmp/old directory swap so a
+    * crash mid-compaction never leaves the index unreadable. Probe
+    * results are identical before and after — only file counts change. */
+  def compact(spark: org.apache.spark.sql.SparkSession, dst: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    def rmTree(p: java.nio.file.Path): Unit =
+      if (Files.exists(p))
+        Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(q => Files.deleteIfExists(q))
+    val dir = Paths.get(dst, "cells")
+    val tmp = Paths.get(dst, "cells_tmp")
+    val old = Paths.get(dst, "cells_old")
+    rmTree(tmp); rmTree(old)
+    spark.read.parquet(dir.toString)
+      .repartition(col("__cell"))
+      .write.mode("overwrite").partitionBy("__cell").parquet(tmp.toString)
+    Files.move(dir, old)
+    Files.move(tmp, dir)
+    rmTree(old) // best-effort GC of the replaced generation
   }
 
   /** Query: probe the nProbe nearest cells per query vector, exact-rank

@@ -155,9 +155,11 @@ object CorpusOpsQueries {
       if (cand < rows(k)._2) cap = cand else prefix += rows(k)._2
       k += 1
     }
-    totals.select($"source", $"n_tokens",
-        least($"n_tokens", lit(cap)).as("alloc"))
-      .orderBy($"source")
+    // result assembled from the already-collected bounded frame — the
+    // corpus is scanned exactly once (the totals aggregation)
+    rows.map { case (src, t) => (src, t, math.min(t, cap)) }
+      .sortBy(_._1).toSeq
+      .toDF("source", "n_tokens", "alloc")
   }
 
   val q137Sql: String = {

@@ -39,6 +39,40 @@ class IvfSpec extends AnyFunSuite with SparkSpecBase {
     assert(res(loaded) == res(idx))
   }
 
+  test("append grows a saved index to knn-parity with a full build; compact defragments") {
+    val emb = Tables.embeddings(spark, sfSmoke)
+    val half1 = emb.filter($"vec_id" % 2 === 0)
+    val half2 = emb.filter($"vec_id" % 2 =!= 0)
+    // build + save on half the corpus, append the rest in two batches
+    // (two appends so the cell dirs genuinely fragment)
+    val idx1 = IvfIndex.build(half1, "vec_id", "embedding", nCells = 16)
+    val dst = java.nio.file.Files.createTempDirectory("graft-ivf-app").toString
+    IvfIndex.save(idx1, "vec_id", "embedding", dst)
+    IvfIndex.append(spark, dst, half2.filter($"vec_id" % 4 === 1),
+      "vec_id", "embedding")
+    val grown = IvfIndex.append(spark, dst, half2.filter($"vec_id" % 4 === 3),
+      "vec_id", "embedding")
+    assert(grown.assigned.count() == emb.count())
+    // parity: a from-scratch assignment of the FULL corpus to the SAME
+    // centroids must answer probes identically
+    val full = IvfIndex.Index(idx1.centroids,
+      IvfIndex.assignTo(emb, "embedding", idx1.centroids.map(_._2)))
+    def res(i: IvfIndex.Index) =
+      IvfIndex.knn(i, "vec_id", "embedding", $"vec_id" < 10, 5, nProbe = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val before = res(grown)
+    assert(before == res(full))
+    // compact: fewer files, identical probes
+    def nFiles = java.nio.file.Files.walk(
+        java.nio.file.Paths.get(dst, "cells"))
+      .filter(p => p.toString.endsWith(".parquet")).count()
+    val fragmented = nFiles
+    IvfIndex.compact(spark, dst)
+    assert(nFiles < fragmented,
+      s"compact should shrink $fragmented parquet files")
+    assert(res(IvfIndex.load(spark, dst)) == before)
+  }
+
   test("a probe of k cells reads exactly k partitions (write-time pruning)") {
     val emb = Tables.embeddings(spark, sfSmoke)
     val idx = IvfIndex.build(emb, "vec_id", "embedding", nCells = 16)
