@@ -99,6 +99,28 @@ object CorpusSink {
     manifest
   }
 
+  /** Cheap staleness test for an existing sink dir: the manifest's
+    * totals (doc count, weight, content-hash sum mod 2³²) are compared
+    * against the caller's freshly-computed corpus totals — one tiny
+    * manifest aggregate, no shard file touched. Per-shard hash sums fold
+    * to the corpus total under the modulus, so any row added, dropped, or
+    * altered flips the comparison. Callers that re-run a pipeline over an
+    * unchanged corpus can skip the rewrite entirely (write → read-many is
+    * the economic shape of a training-corpus sink). */
+  def isFresh(spark: org.apache.spark.sql.SparkSession, dir: String,
+              nDocs: Long, nWeight: Long, hashMod: Long): Boolean = {
+    val m = new java.io.File(dir, ManifestDir)
+    if (!m.isDirectory) return false
+    try {
+      val r = spark.read.parquet(m.toString)
+        .agg(sum(col("n_docs")), sum(col("n_weight")),
+          sum(col("content_hash")) % 4294967296L)
+        .head()
+      !r.isNullAt(0) && r.getLong(0) == nDocs && r.getLong(1) == nWeight &&
+        r.getLong(2) == hashMod
+    } catch { case scala.util.control.NonFatal(_) => false }
+  }
+
   /** Zone-map-pruned range read: open ONLY the shards whose [min_id,
     * max_id] manifest range overlaps [lo, hi], then apply the exact
     * residual filter. At 100 TB this is the difference between touching

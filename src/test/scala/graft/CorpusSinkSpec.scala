@@ -133,4 +133,19 @@ class CorpusSinkSpec extends AnyFunSuite with SparkSpecBase {
     assert(CorpusSink.readRange(spark, dir, "doc_id", top + 1, top + 100)
       .count() == 0L)
   }
+
+  test("isFresh: matches the written corpus, flips on any total change") {
+    val docs = Tables.documents(spark, sfSmoke)
+    val dir = freshDir()
+    assert(!CorpusSink.isFresh(spark, dir, 1, 1, 1), "no manifest yet")
+    CorpusSink.write(docs, "doc_id", "n_chars", rowHash,
+      budget = 16000L, dir = dir, parts = 4)
+    val st = docs.agg(count(lit(1)), sum($"n_chars".cast("long")),
+      sum(rowHash) % 4294967296L).head()
+    val (n, w, h) = (st.getLong(0), st.getLong(1), st.getLong(2))
+    assert(CorpusSink.isFresh(spark, dir, n, w, h))
+    assert(!CorpusSink.isFresh(spark, dir, n + 1, w, h))
+    assert(!CorpusSink.isFresh(spark, dir, n, w - 1, h))
+    assert(!CorpusSink.isFresh(spark, dir, n, w, (h + 1) % 4294967296L))
+  }
 }
