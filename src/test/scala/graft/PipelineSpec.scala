@@ -74,6 +74,75 @@ class PipelineSpec extends AnyFunSuite with SparkSpecBase {
     assert(exact.nonEmpty) // the fixture actually exercises the path
   }
 
+  test("watermark drops late data: closed windows exclude it, metric counts it") {
+    // The piece the AvailableNow parity gates can't show (their fixture
+    // arrives in event-time order): a row arriving AFTER the watermark
+    // passed its window must be EXCLUDED from that window's finalized
+    // (append-mode) result, and the engine must account for the drop.
+    // Two real triggers: batch A advances the watermark past the first
+    // window; batch B delivers one late row into it plus one on-time row.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-late")
+    val in = base.resolve("in"); java.nio.file.Files.createDirectories(in)
+    def ts(hm: String) = Timestamp.valueOf(s"2024-01-01 $hm:00")
+    def writeBatch(rows: Seq[(Timestamp, Long)], name: String,
+                   modMillis: Long): Unit = {
+      val tmp = base.resolve(name + "-tmp")
+      rows.toDF("ts", "user_id").coalesce(1).write.parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).iterator().asScala
+        .find(_.toString.endsWith(".parquet")).get
+      val dst = in.resolve(name + ".parquet")
+      java.nio.file.Files.move(part, dst)
+      // FileStreamSource orders batches by modification time — pin it so
+      // batch A provably precedes batch B
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(modMillis))
+    }
+    // batch A: three rows in [10:00, 10:05) + one at 11:00 that pushes
+    // the 10-minute watermark to 10:50, far past the first window.
+    // batch B advances nothing much but lets the 10:50 watermark take
+    // effect: the first window is EVICTED (emitted final) at its end.
+    // batch C then delivers the late row — Spark's late-record filter
+    // uses the PREVIOUS batch's committed watermark, so a row that is
+    // late-but-state-still-live (arriving in B) would legally still be
+    // aggregated; arriving in C, after eviction, it MUST drop.
+    val now = java.lang.System.currentTimeMillis()
+    writeBatch(Seq((ts("10:01"), 1L), (ts("10:02"), 2L), (ts("10:04"), 3L),
+      (ts("11:00"), 4L)), "a", now - 60000)
+    writeBatch(Seq((ts("11:01"), 5L)), "b", now - 30000)
+    // batch C: one LATE row into the closed window + one on-time row
+    writeBatch(Seq((ts("10:03"), 99L), (ts("11:02"), 6L)), "c", now)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType)))
+    val out = base.resolve("out").toString
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(in.toString)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "5 minutes").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select($"w.start".as("win_start"), $"n")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", base.resolve("ck").toString)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.write.mode("append").parquet(out); ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val dropped = q.recentProgress
+      .flatMap(p => p.stateOperators.map(_.numRowsDroppedByWatermark)).sum
+    assert(dropped == 1L, s"expected exactly the late row dropped, got $dropped")
+    val finalized = spark.read.parquet(out)
+      .as[(Timestamp, Long)].collect().toSeq
+    // the closed first window holds ONLY batch A's three rows, emitted
+    // exactly once — the late arrival neither inflated nor resurrected it
+    assert(finalized == Seq((ts("10:00"), 3L)),
+      s"closed window must exclude the late row: $finalized")
+  }
+
   private def refPeriods: Seq[Long] = {
     // snap(2021-06-15) = 2021-01-01; window 365d clamped [2020-01-01 ..]
     // = periods 921..944 (validated in TemporalGridSpec)
