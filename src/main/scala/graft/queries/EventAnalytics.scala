@@ -431,7 +431,42 @@ object EventAnalytics {
        |FROM binned JOIN totals USING (event_type)
        |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** q143: TRAJECTORY construction — per user, the time-ordered sequence
+    * of their first 20 event types (plus the total count and a content
+    * hash of the truncated trajectory): raw event logs become the
+    * behavioral-sequence rows an agent/recommendation training set is
+    * built from. The ordering key (ts, event_id) is a total order, so
+    * the assembled string is deterministic on both engines.
+    *
+    * Scale shape: ONE user-keyed shuffle; per-group state is the user's
+    * own event list (bounded by per-user activity, truncated on
+    * aggregation output) — no window over data, no global sort. */
+  def q143Trajectories(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.TextFunctions.polyHash
+    events(s, d)
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"),
+        concat_ws(">", slice(expr(
+          "transform(array_sort(collect_list(" +
+            "struct(ts, event_id, event_type))), x -> x.event_type)"),
+          1, 20)).as("seq"))
+      .select($"user_id", $"n_events", $"seq",
+        polyHash($"seq").as("seq_hash"))
+      .orderBy($"user_id")
+  }
+
+  val q143Sql: String =
+    s"""SELECT user_id, count(*)::BIGINT AS n_events,
+       |  array_to_string(list(event_type ORDER BY ts, event_id)[1:20], '>')
+       |    AS seq,
+       |  ${DuckSql.polyHashSql(
+            "array_to_string(list(event_type ORDER BY ts, event_id)[1:20], '>')")}
+       |    AS seq_hash
+       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q143_trajectories"   -> (q143Trajectories _),
     "q106_max_concurrent" -> (q106MaxConcurrent _),
     "q107_group_regression" -> (q107GroupRegression _),
     "q97_gap_fill"       -> (q97GapFill _),
@@ -446,6 +481,7 @@ object EventAnalytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "q143_trajectories"   -> q143Sql,
     "q106_max_concurrent" -> q106Sql,
     "q107_group_regression" -> q107Sql,
     "q97_gap_fill"       -> q97Sql,

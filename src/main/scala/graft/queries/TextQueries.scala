@@ -556,7 +556,66 @@ object TextQueries {
        |FROM toks JOIN model USING (w) CROSS JOIN stats
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** q142: COLLOCATION mining — top-50 bigram pairs by pointwise mutual
+    * information, c(a,b) ≥ 5. PMI separates grammatical glue from real
+    * multiword units (the phrase-vocabulary step of a tokenizer/data
+    * pipeline); all masses are EXACT integer counts off ONE bigram
+    * stream (pair counts + both marginals share the explode), so the
+    * only float is the final log expression, written identically in both
+    * engines and rounded to 6dp before the ordering.
+    *
+    * Scale shape: bigram explode → three hash aggregations (map-side
+    * combined, the marginals are |vocab|-sized) → two token-keyed joins
+    * linear in |pairs| → TakeOrdered(50). No self-join, no window. */
+  def q142Collocations(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pairs = documents(s, d)
+      .select(tokens($"text").as("ws"))
+      // size >= 2: Spark's sequence(1, size-1) DESCENDS for empty docs
+      .filter(size($"ws") >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(ws) - 1), " +
+          "i -> struct(element_at(ws, i) AS a, element_at(ws, i + 1) AS b))"))
+        .as("s"))
+      .select($"s.a".as("a"), $"s.b".as("b"))
+    // ONE corpus-size aggregation; marginals and the total derive from
+    // the |distinct-bigram| count table (same exact integers as counting
+    // the raw stream), which persists for its four consumers — the
+    // standard LM count-table materialization
+    val cab = graft.ops.ScratchCache.register(
+      pairs.groupBy($"a", $"b").agg(count(lit(1)).as("c")).persist())
+    val ca = cab.groupBy($"a").agg(sum($"c").as("cf"))
+    val cb = cab.groupBy($"b").agg(sum($"c").as("cs"))
+    val n = broadcast(cab.agg(sum($"c").as("nn")))
+    cab.filter($"c" >= 5)
+      .join(ca, Seq("a")).join(cb, Seq("b")).crossJoin(n)
+      .select($"a", $"b", $"c",
+        roundp(log($"c" * lit(1.0) * $"nn" / ($"cf" * lit(1.0) * $"cs")), 6)
+          .as("pmi"))
+      .orderBy($"pmi".desc, $"a", $"b")
+      .limit(50)
+  }
+
+  val q142Sql: String = {
+    val ws = DuckSql.tokensSql
+    s"""WITH t AS (SELECT $ws AS ws FROM documents),
+       |bg AS (SELECT unnest(list_transform(range(1, len(ws)),
+       |    i -> struct_pack(a := ws[i], b := ws[i+1]))) AS s FROM t),
+       |p AS (SELECT s.a AS a, s.b AS b FROM bg),
+       |cab AS (SELECT a, b, count(*)::BIGINT AS c FROM p GROUP BY 1, 2),
+       |ca AS (SELECT a, count(*)::BIGINT AS cf FROM p GROUP BY a),
+       |cb AS (SELECT b, count(*)::BIGINT AS cs FROM p GROUP BY b),
+       |n AS (SELECT count(*)::BIGINT AS nn FROM p)
+       |SELECT a, b, c,
+       |  ${DuckSql.roundpSql("ln(c * 1.0 * nn / (cf * 1.0 * cs))", 6)}
+       |    AS pmi
+       |FROM cab JOIN ca USING (a) JOIN cb USING (b), n
+       |WHERE c >= 5
+       |ORDER BY pmi DESC, a, b LIMIT 50""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q142_collocations" -> (q142Collocations _),
     "q22_lang_id"       -> (q22LangId _),
     "q23_quality"       -> (q23Quality _),
     "q24_token_count"   -> (q24TokenCount _),
@@ -572,6 +631,7 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q142_collocations" -> q142Sql,
     "q22_lang_id"       -> q22Sql,
     "q23_quality"       -> q23Sql,
     "q24_token_count"   -> q24Sql,
