@@ -145,23 +145,13 @@ object CorpusOpsQueries {
       .groupBy($"source").agg(sum($"w").as("n_tokens"))
     // bounded collect: one row per source
     val rows = totals.select($"source", $"n_tokens").as[(String, Long)]
-      .collect().sortBy(r => (r._2, r._1))
-    val total = rows.map(_._2).sum
-    val budget = total / 2
-    // ascending sweep: sources smaller than the running equal-share are
-    // fully allocated; the first source the share cannot cover fixes c
-    var prefix = 0L
-    var cap = Long.MaxValue
-    var k = 0
-    while (k < rows.length && cap == Long.MaxValue) {
-      val cand = (budget - prefix) / (rows.length - k)
-      if (cand < rows(k)._2) cap = cand else prefix += rows(k)._2
-      k += 1
-    }
+      .collect().toSeq
+    val budget = rows.map(_._2).sum / 2
+    val cap = graft.ops.Waterfill.cap(rows.map(_._2), budget)
     // result assembled from the already-collected bounded frame — the
     // corpus is scanned exactly once (the totals aggregation)
     rows.map { case (src, t) => (src, t, math.min(t, cap)) }
-      .sortBy(_._1).toSeq
+      .sortBy(_._1)
       .toDF("source", "n_tokens", "alloc")
   }
 
