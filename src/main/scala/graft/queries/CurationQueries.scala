@@ -1143,7 +1143,149 @@ object CurationQueries {
        |FROM tf JOIN n USING (source)
        |GROUP BY source ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- q144
+
+  /** q144: INCREMENTAL curation — the daily-increment flow: a new batch
+    * (doc_id % 10 == 0 plays today's crawl) is curated AGAINST the
+    * resident corpus (the other 90 %), not against itself alone:
+    * row-local gates, then exact dedup vs the corpus + within-batch
+    * first-occurrence, then near-dup via a [[graft.ops.BandIndex]] probe
+    * (the corpus is shingled ONCE into the persisted index; the batch
+    * pays O(batch) — the q52 machinery composed into the full funnel),
+    * then benchmark decontamination. Returns per-stage survivor counts.
+    *
+    * Near-dup drop rule (deterministic, oracle-mirrored): a batch doc
+    * drops if it near-dups any resident corpus doc, or an earlier
+    * (smaller-id) batch doc. 100 TB shape: every stage is a semi/anti
+    * join or the banded probe — nothing rescans the resident corpus
+    * except the one-time index build, which a real deployment amortizes
+    * across batches via BandIndex.append. */
+  def q144IncrementalCuration(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.TextFunctions.{polyHash, shingles, tokens}
+    val docs = documents(s, d)
+    val batch0 = docs.filter($"doc_id" % 10 === 0)
+    val corpus = docs.filter($"doc_id" % 10 =!= 0)
+    val n0 = batch0.count()
+    // stage 1: row-local gates (blocklist + length + diversity)
+    val gated = graft.ops.ScratchCache.register(batch0
+      .withColumn("ws", tokens($"text"))
+      .filter(!$"source".isInCollection(Seq("src3", "src7")) &&
+        size($"ws") >= 20 &&
+        size(array_distinct($"ws")) * lit(1.0) / size($"ws") >= 0.4)
+      .persist())
+    val n1 = gated.count()
+    // stage 2: exact dedup — drop batch docs whose text already lives in
+    // the corpus, then first-occurrence within the batch
+    val ex = gated.join(
+      corpus.select(lower($"text").as("lt")).distinct(),
+      lower(gated("text")) === $"lt", "left_anti")
+    val canon = ex.groupBy(lower($"text").as("lt2"))
+      .agg(min($"doc_id").as("keep_id"))
+    val s2 = graft.ops.ScratchCache.register(
+      ex.join(canon, lower(ex("text")) === canon("lt2") &&
+          ex("doc_id") === canon("keep_id"), "left_semi")
+        .persist())
+    val n2 = s2.count()
+    // stage 3: near-dup vs corpus via the persisted band index. The
+    // index lives in a deterministic per-(user, sfDir) dir with a stats
+    // stamp: re-runs over an unchanged corpus skip the O(corpus) build
+    // and go straight to the O(batch) probe — the amortized shape a real
+    // deployment gets from BandIndex.append across daily batches.
+    val idxDir = new java.io.File(
+      java.lang.System.getProperty("java.io.tmpdir"),
+      "graft-q144-index-" +
+        java.lang.System.getProperty("user.name", "u") + "-" +
+        d.replaceAll("[^A-Za-z0-9._-]", "_")).toString
+    val cs = corpus.agg(count(lit(1)),
+      sum(polyHash(concat_ws("|", $"doc_id", $"text"))) % 4294967296L).head()
+    val stamp = s"""{"n":${cs.getLong(0)},"h":${cs.getLong(1)}}"""
+    val stampPath = java.nio.file.Paths.get(idxDir, "corpus-stats.json")
+    val ref =
+      if (java.nio.file.Files.exists(stampPath) &&
+          java.nio.file.Files.readString(stampPath) == stamp)
+        graft.ops.BandIndex.load(idxDir)
+      else {
+        val r = graft.ops.BandIndex.build(corpus, "doc_id", "text", idxDir)
+        java.nio.file.Files.writeString(stampPath, stamp)
+        r
+      }
+    val pairs = graft.ops.BandIndex.probe(s, ref, s2, "doc_id", "text", 0.8)
+    val bIds = s2.select($"doc_id".as("bid"))
+    val drops = pairs
+      .join(bIds.withColumnRenamed("bid", "a_in"),
+        $"id_a" === $"a_in", "left")
+      .join(bIds.withColumnRenamed("bid", "b_in"),
+        $"id_b" === $"b_in", "left")
+      .select(
+        when($"a_in".isNotNull && $"b_in".isNotNull, $"id_b")
+          .when($"a_in".isNotNull, $"id_a")
+          .otherwise($"id_b").as("x"))
+      .distinct()
+    val s3 = graft.ops.ScratchCache.register(
+      s2.join(drops, s2("doc_id") === drops("x"), "left_anti").persist())
+    val n3 = s3.count()
+    // stage 4: benchmark decontamination (src0 grams over the WHOLE
+    // table, as in q122; src0 batch docs are benchmark, never corpus)
+    val benchGrams = docs.filter($"source" === "src0")
+      .select(explode(shingles(tokens($"text"), 5)).as("gr"))
+      .select(polyHash($"gr").as("h")).distinct()
+    val contaminated = s3.filter($"source" =!= "src0")
+      .select($"doc_id", explode(shingles($"ws", 5)).as("gr"))
+      .select($"doc_id", polyHash($"gr").as("h"))
+      .join(benchGrams, Seq("h"), "left_semi")
+      .select($"doc_id").distinct()
+    val s4 = s3.filter($"source" =!= "src0")
+      .join(contaminated, Seq("doc_id"), "left_anti")
+    Seq("0_batch" -> n0, "1_gates" -> n1, "2_exact_vs_corpus" -> n2,
+        "3_neardup_vs_corpus" -> n3, "4_decontaminated" -> s4.count())
+      .toDF("stage", "n_docs")
+      .orderBy($"stage")
+  }
+
+  val q144Sql: String = {
+    val toks = DuckSql.tokensSql
+    DedupQueries.jaccardPairsCte(0.8, None) + "," +
+      s"""
+       |b0 AS (SELECT doc_id, text, source, $toks AS ws FROM documents
+       |  WHERE doc_id % 10 = 0),
+       |g AS (SELECT * FROM b0 WHERE source NOT IN ('src3', 'src7')
+       |  AND len(ws) >= 20
+       |  AND len(list_distinct(ws)) * 1.0 / len(ws) >= 0.4),
+       |ex2 AS (SELECT * FROM g WHERE lower(text) NOT IN
+       |  (SELECT lower(text) FROM documents WHERE doc_id % 10 <> 0)),
+       |s2 AS (SELECT * FROM ex2 WHERE doc_id IN
+       |  (SELECT min(doc_id) FROM ex2 GROUP BY lower(text))),
+       |nd AS (
+       |  SELECT id_b AS x FROM jpairs
+       |    WHERE id_a % 10 <> 0 AND id_b IN (SELECT doc_id FROM s2)
+       |  UNION
+       |  SELECT id_a FROM jpairs
+       |    WHERE id_b % 10 <> 0 AND id_a IN (SELECT doc_id FROM s2)
+       |  UNION
+       |  SELECT id_b FROM jpairs
+       |    WHERE id_a IN (SELECT doc_id FROM s2)
+       |      AND id_b IN (SELECT doc_id FROM s2)),
+       |s3 AS (SELECT * FROM s2 WHERE doc_id NOT IN (SELECT x FROM nd)),
+       |bt AS (SELECT $toks AS ws FROM documents WHERE source = 'src0'),
+       |bg AS (SELECT DISTINCT ${DuckSql.polyHashSql("gr")} AS h FROM
+       |  (SELECT unnest(${DuckSql.shinglesSql("ws", 5)}) AS gr FROM bt)),
+       |s3g AS (SELECT doc_id, unnest(${DuckSql.shinglesSql("ws", 5)}) AS gr
+       |  FROM s3 WHERE source <> 'src0'),
+       |cont AS (SELECT DISTINCT doc_id FROM s3g
+       |  WHERE ${DuckSql.polyHashSql("gr")} IN (SELECT h FROM bg)),
+       |s4 AS (SELECT * FROM s3 WHERE source <> 'src0'
+       |  AND doc_id NOT IN (SELECT doc_id FROM cont))
+       |SELECT '0_batch' AS stage, count(*)::BIGINT AS n_docs FROM b0
+       |UNION ALL SELECT '1_gates', count(*)::BIGINT FROM g
+       |UNION ALL SELECT '2_exact_vs_corpus', count(*)::BIGINT FROM s2
+       |UNION ALL SELECT '3_neardup_vs_corpus', count(*)::BIGINT FROM s3
+       |UNION ALL SELECT '4_decontaminated', count(*)::BIGINT FROM s4
+       |ORDER BY stage""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q144_incremental_curation" -> (q144IncrementalCuration _),
     "q127_span_dedup"       -> (q127SpanDedup _),
     "q134_contam_severity"  -> (q134ContamSeverity _),
     "q129_decontam_matrix"  -> (q129DecontamMatrix _),
@@ -1164,6 +1306,7 @@ object CurationQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q144_incremental_curation" -> q144Sql,
     "q127_span_dedup"       -> q127Sql,
     "q134_contam_severity"  -> q134Sql,
     "q129_decontam_matrix"  -> q129Sql,

@@ -29,7 +29,7 @@ object DedupQueries {
   /** Shared WITH-prefix ending in a `jpairs(id_a, id_b, jac)` relation —
     * the brute-force thresholded Jaccard pairs both q27/q28's oracles and
     * q51's component oracle build on (RECURSIVE for q51's reachability). */
-  private def jaccardPairsCte(threshold: Double, maxDf: Option[Int]): String = {
+  private[queries] def jaccardPairsCte(threshold: Double, maxDf: Option[Int]): String = {
     val capFilter = maxDf match {
       case Some(cap) =>
         s"""ex AS (SELECT doc_id, s FROM ex0
