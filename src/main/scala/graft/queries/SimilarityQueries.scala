@@ -340,6 +340,63 @@ object SimilarityQueries {
        |ORDER BY margin DESC, src_id LIMIT 20""".stripMargin
   }
 
+  /** q145: embedding DRIFT between two corpus snapshots — per label, the
+    * L2 distance between the centroid of the even-vec_id half and the
+    * odd-vec_id half (the halves play "last week's" and "this week's"
+    * embedding snapshots): the monitoring signal that detects encoder or
+    * upstream-data shift before it poisons an ANN index or a dedup
+    * threshold. The per-dim averages assemble into ORDERED vectors and
+    * the distance folds sequentially (the q81 parity machinery), so the
+    * only reduction-order-sensitive step is the per-(label, dim) mean —
+    * grouped exactly like q81's green centroid oracle.
+    *
+    * Scale shape: one posexplode + (label, parity, dim) hash aggregation
+    * — |labels|·2·|dims| output rows — then driver-bounded vector math
+    * per label. No pairwise joins, no window. */
+  def q145EmbeddingDrift(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = embeddings(s, d)
+    val cent = emb
+      .select($"label", ($"vec_id" % 2 === 0).as("even"),
+        posexplode($"embedding").as(Seq("p", "v")))
+      .groupBy($"label", $"even", $"p").agg(avg($"v").as("c"))
+      .groupBy($"label", $"even").agg(
+        transform(array_sort(collect_list(struct($"p", $"c"))),
+          e => e.getField("c")).as("cv"))
+    val a = cent.filter($"even").select($"label", $"cv".as("ca"))
+    val b = cent.filter(!$"even").select($"label", $"cv".as("cb"))
+    val counts = emb.groupBy($"label")
+      .agg(sum(when($"vec_id" % 2 === 0, 1L).otherwise(0L)).as("n_even"),
+        sum(when($"vec_id" % 2 =!= 0, 1L).otherwise(0L)).as("n_odd"))
+    a.join(b, Seq("label")).join(counts, Seq("label"))
+      .select($"label".cast("int").as("label"), $"n_even", $"n_odd",
+        roundp(sqrt(aggregate(
+          zip_with($"ca", $"cb", (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, v) => acc + v)), 6).as("drift"))
+      .orderBy($"label")
+  }
+
+  val q145Sql: String =
+    s"""WITH dims AS (
+       |  SELECT label, vec_id % 2 = 0 AS even, d,
+       |    avg(embedding[d + 1]::DOUBLE) AS c
+       |  FROM embeddings CROSS JOIN generate_series(0, 63) g(d)
+       |  GROUP BY 1, 2, 3),
+       |cent AS (SELECT label, even, list(c ORDER BY d) AS cv
+       |  FROM dims GROUP BY 1, 2),
+       |cnt AS (SELECT label,
+       |    sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_even,
+       |    sum(CASE WHEN vec_id % 2 <> 0 THEN 1 ELSE 0 END)::BIGINT AS n_odd
+       |  FROM embeddings GROUP BY label)
+       |SELECT a.label::INT AS label, cnt.n_even, cnt.n_odd,
+       |  ${DuckSql.roundpSql(
+            "sqrt(list_reduce(list_transform(range(1, 65), " +
+              "i -> (a.cv[i] - b.cv[i]) * (a.cv[i] - b.cv[i])), " +
+              "(x, y) -> x + y))", 6)} AS drift
+       |FROM cent a JOIN cent b ON a.label = b.label AND a.even AND NOT b.even
+       |JOIN cnt ON cnt.label = a.label
+       |ORDER BY a.label""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q123_bitext_mining" -> (q123BitextMining _),
     "q108_negative_sampling" -> (q108NegativeSampling _),
@@ -350,6 +407,7 @@ object SimilarityQueries {
     "q45_knn_pq"            -> (q45KnnPq _),
     "q49_knn_ivfpq"         -> (q49KnnIvfPq _),
     "q81_centroids"         -> (q81Centroids _),
+    "q145_embedding_drift"  -> (q145EmbeddingDrift _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -362,5 +420,6 @@ object SimilarityQueries {
     "q45_knn_pq"            -> recallOracleSql(5),
     "q49_knn_ivfpq"         -> recallOracleSql(5),
     "q81_centroids"         -> q81Sql,
+    "q145_embedding_drift"  -> q145Sql,
   )
 }
