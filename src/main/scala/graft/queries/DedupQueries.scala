@@ -73,6 +73,40 @@ object DedupQueries {
 
   val q27Sql: String = jaccardOracle(0.7, maxDf = Some(Q27MaxDf))
 
+  /** q146: dedup-threshold SENSITIVITY — before committing a corpus to a
+    * near-dup threshold, the tuning report: for each candidate threshold,
+    * how many pairs fire and how many documents would drop (survivor =
+    * smaller id, as everywhere in the dedup family). ONE exact
+    * inverted-index jaccard pass at the loosest threshold feeds every
+    * row — the per-threshold numbers are conditional aggregation over
+    * the same pair frame, not one dedup run per threshold. Exact pairs
+    * (not LSH candidates) so recall is 1 at every reported threshold and
+    * the oracle is the plain SQL replay. */
+  def q146ThresholdSweep(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pairs = graft.ops.ScratchCache.register(
+      Dedup.jaccardPairs(documents(s, d), "doc_id", "text", 3, 0.7,
+        maxDf = Some(Q27MaxDf)).persist())
+    val ts = Seq(0.7, 0.8, 0.9)
+    ts.map { t =>
+      val row = pairs.filter($"jac" >= t)
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct($"id_b").as("n_dropped")).head()
+      (t, row.getLong(0), row.getLong(1))
+    }.toDF("threshold", "n_pairs", "n_dropped")
+      .orderBy($"threshold")
+  }
+
+  val q146Sql: String =
+    jaccardPairsCte(0.7, Some(Q27MaxDf)) +
+      """
+        |SELECT t.threshold::DOUBLE AS threshold,
+        |  count(jp.id_a)::BIGINT AS n_pairs,
+        |  count(DISTINCT jp.id_b)::BIGINT AS n_dropped
+        |FROM (VALUES (0.7), (0.8), (0.9)) t(threshold)
+        |LEFT JOIN jpairs jp ON jp.jac >= t.threshold
+        |GROUP BY t.threshold ORDER BY threshold""".stripMargin
+
   /** q28: MinHash-LSH dedup at J ≥ 0.8 (64 hashes, 2 rows × 32 bands →
     * miss probability ≤ (1−0.64)³² ≈ 6e-15, so output = brute force). */
   def q28MinhashLsh(s: SparkSession, d: String): DataFrame = {
@@ -631,6 +665,7 @@ object DedupQueries {
     "q99_entity_resolution" -> (q99EntityResolution _),
     "q26_dedup_exact"    -> (q26Exact _),
     "q27_ngram_jaccard"  -> (q27NgramJaccard _),
+    "q146_threshold_sweep" -> (q146ThresholdSweep _),
     "q28_minhash_lsh"    -> (q28MinhashLsh _),
     "q29_simhash"        -> (q29Simhash _),
     "q51_dedup_groups"   -> (q51DedupGroups _),
@@ -650,6 +685,7 @@ object DedupQueries {
     "q99_entity_resolution" -> q99Sql,
     "q26_dedup_exact"    -> q26Sql,
     "q27_ngram_jaccard"  -> q27Sql,
+    "q146_threshold_sweep" -> q146Sql,
     "q28_minhash_lsh"    -> q28Sql,
     "q29_simhash"        -> q29Sql,
     "q51_dedup_groups"   -> q51Sql,
