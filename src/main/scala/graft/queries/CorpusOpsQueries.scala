@@ -25,9 +25,10 @@ object CorpusOpsQueries {
     *
     * Scale shape: segments hash through the q117 kernel (both engines
     * hash, so parity holds even under collision); the boilerplate set is
-    * tiny BY DEFINITION (segments repeated across ≥3 docs), so the
-    * back-join broadcasts; one corpus-size shuffle total (the distinct-
-    * doc count per hash). */
+    * usually tiny (segments repeated across ≥3 docs), so AQE broadcasts
+    * the back-join from stats — unhinted, because the set is not
+    * BOUNDED; one corpus-size shuffle total (the distinct-doc count per
+    * hash). */
   def q135Boilerplate(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val segLen = 10
@@ -44,7 +45,11 @@ object CorpusOpsQueries {
       .agg(countDistinct($"doc_id").as("nd"))
       .filter($"nd" >= 3)
       .select($"h", lit(1).as("is_b"))
-    segs.join(broadcast(boiler), Seq("h"), "left")
+    // no broadcast HINT: the boiler set is usually tiny (AQE broadcasts
+    // it from stats) but is not BOUNDED — a fully-triplicated corpus
+    // makes it |segments|/3, where a forced broadcast would OOM and a
+    // stats-gated plan degrades to a shuffle join instead
+    segs.join(boiler, Seq("h"), "left")
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_segments"),
         sum(when($"is_b" === 1, 1L).otherwise(0L)).as("n_boiler"))

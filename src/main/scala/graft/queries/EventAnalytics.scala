@@ -444,13 +444,23 @@ object EventAnalytics {
   def q143Trajectories(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import graft.functions.TextFunctions.polyHash
-    events(s, d)
-      .groupBy($"user_id")
-      .agg(count(lit(1)).as("n_events"),
-        concat_ws(">", slice(expr(
-          "transform(array_sort(collect_list(" +
-            "struct(ts, event_id, event_type))), x -> x.event_type)"),
-          1, 20)).as("seq"))
+    // rank-filter BEFORE collecting: row_number runs in the spillable
+    // window operator, so a pathological heavy user degrades to disk —
+    // a groupBy collect_list of the full history would instead grow an
+    // in-memory array per user. The groupBy after the filter collects at
+    // most 20 rows per user, and its exchange reuses the window's
+    // user_id partitioning (one real shuffle).
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val first = events(s, d)
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("rn", row_number().over(w)).filter($"rn" <= 20)
+    val seqs = first.groupBy($"user_id").agg(
+      concat_ws(">", expr(
+        "transform(array_sort(collect_list(struct(rn, event_type))), " +
+          "x -> x.event_type)")).as("seq"))
+    events(s, d).groupBy($"user_id").agg(count(lit(1)).as("n_events"))
+      .join(seqs, Seq("user_id"))
       .select($"user_id", $"n_events", $"seq",
         polyHash($"seq").as("seq_hash"))
       .orderBy($"user_id")
