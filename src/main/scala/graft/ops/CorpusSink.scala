@@ -112,7 +112,7 @@ object CorpusSink {
     val m = new java.io.File(dir, ManifestDir)
     if (!m.isDirectory) return false
     try {
-      val r = spark.read.parquet(m.toString)
+      val r = manifestFrame(spark, dir)
         .agg(sum(col("n_docs")), sum(col("n_weight")),
           sum(col("content_hash")) % 4294967296L)
         .head()
@@ -129,10 +129,18 @@ object CorpusSink {
     * but driven by the sink's own manifest, so it holds on ANY object
     * store without footer round-trips. The collected shard list is
     * bounded by the RANGE width (range/budget entries), not corpus size. */
+  /** The persisted manifest. Read via an explicit part-file glob: the
+    * `_`-prefixed dir as a TOP path trips Spark's non-data filter into a
+    * spurious "all paths were ignored" warning; the part files inside
+    * are ordinary names. */
+  def manifestFrame(spark: org.apache.spark.sql.SparkSession,
+                    dir: String): DataFrame =
+    spark.read.parquet(
+      new java.io.File(dir, ManifestDir).toString + "/*.parquet")
+
   def readRange(spark: org.apache.spark.sql.SparkSession, dir: String,
                 idCol: String, lo: Long, hi: Long): DataFrame = {
-    val shards = spark.read
-      .parquet(new java.io.File(dir, ManifestDir).toString)
+    val shards = manifestFrame(spark, dir)
       .filter(col("min_id") <= hi && col("max_id") >= lo)
       .select(col("shard_id").cast("long")).collect().map(_.getLong(0))
     if (shards.isEmpty)

@@ -109,8 +109,7 @@ class CorpusSinkSpec extends AnyFunSuite with SparkSpecBase {
     val manifest = CorpusSink.write(docs, "doc_id", "n_chars", rowHash,
       budget = 16000L, dir = dir, parts = 4).collect()
     // the persisted _manifest equals the writer's returned manifest
-    val onDisk = spark.read
-      .parquet(new java.io.File(dir, CorpusSink.ManifestDir).toString)
+    val onDisk = CorpusSink.manifestFrame(spark, dir)
       .orderBy($"shard_id").collect()
     assert(manifest.map(_.toSeq).toSeq == onDisk.map(_.toSeq).toSeq)
     // _manifest stays invisible to a plain read of the sink root
