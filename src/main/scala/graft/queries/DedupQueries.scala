@@ -107,6 +107,79 @@ object DedupQueries {
         |LEFT JOIN jpairs jp ON jp.jac >= t.threshold
         |GROUP BY t.threshold ORDER BY threshold""".stripMargin
 
+  /** q147: CONTENT-DEFINED chunking dedup — chunk boundaries cut AFTER
+    * tokens whose hash falls in a fixed residue class (token-level CDC,
+    * expected chunk ≈ 8 tokens), so an insertion or deletion only moves
+    * the boundaries around it: unlike q117/q135's ALIGNED segments, the
+    * chunks downstream of an edit still match across document versions —
+    * the rsync/LBFS trick applied to corpus dedup. Per document: chunk
+    * count, chunks shared with ≥1 OTHER doc, and the shared fraction.
+    *
+    * Scale shape: boundary selection and chunk hashing are per-row
+    * array expressions inside the scan (no shuffle); the only
+    * corpus-size exchanges are the chunk-hash frequency aggregation and
+    * the join back. Both engines hash with the same polyHash, so parity
+    * holds even under collision. */
+  def q147CdcChunks(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.TextFunctions.{polyHash, roundp, tokens}
+    val base = documents(s, d)
+      .select($"doc_id", tokens($"text").as("ws"))
+      .filter(size($"ws") > 0)
+    // 1-based cut positions after boundary-class tokens, bracketed by
+    // the doc's ends; a trailing boundary token duplicates the final
+    // bound and is dropped by the b > a filter below
+    val withB = base.withColumn("bounds",
+      concat(array(lit(0)),
+        filter(
+          transform($"ws", (w, i) =>
+            when(pmod(polyHash(w), lit(8)) === 0, i + 1).otherwise(-1)),
+          p => p > 0),
+        array(size($"ws"))))
+    val chunks = withB
+      .withColumn("ch", filter(
+        transform(sequence(lit(1), size($"bounds") - 1), j =>
+          struct(element_at($"bounds", j).as("a"),
+            element_at($"bounds", j + 1).as("b"))),
+        s2 => s2.getField("b") > s2.getField("a")))
+      .select($"doc_id",
+        explode(transform($"ch", s2 => polyHash(concat_ws(" ",
+          slice($"ws", s2.getField("a") + 1,
+            s2.getField("b") - s2.getField("a")))))).as("h"))
+    val counts = chunks.groupBy($"h")
+      .agg(countDistinct($"doc_id").as("nd"))
+    chunks.join(counts, Seq("h"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when($"nd" >= 2, 1L).otherwise(0L)).as("n_shared"))
+      .select($"doc_id", $"n_chunks", $"n_shared",
+        roundp($"n_shared" * lit(1.0) / $"n_chunks", 6).as("shared_frac"))
+      .orderBy($"doc_id")
+  }
+
+  val q147Sql: String = {
+    val ph = DuckSql.polyHashSql("ws[i]")
+    val chunkPh = DuckSql.polyHashSql("array_to_string(ws[s.a+1:s.b], ' ')")
+    s"""WITH t AS (SELECT doc_id, ${DuckSql.tokensSql} AS ws FROM documents),
+       |nz AS (SELECT doc_id, ws FROM t WHERE len(ws) > 0),
+       |b AS (SELECT doc_id, ws, [0::BIGINT] ||
+       |    list_filter(list_transform(range(1, len(ws) + 1),
+       |      i -> CASE WHEN $ph % 8 = 0 THEN i ELSE -1 END), p -> p > 0)
+       |    || [len(ws)::BIGINT] AS bounds FROM nz),
+       |c AS (SELECT doc_id, unnest(list_transform(
+       |    list_filter(list_transform(range(1, len(bounds)),
+       |      j -> struct_pack(a := bounds[j], b := bounds[j+1])),
+       |      s -> s.b > s.a),
+       |    s -> $chunkPh)) AS h FROM b),
+       |n AS (SELECT h, count(DISTINCT doc_id) AS nd FROM c GROUP BY h)
+       |SELECT doc_id, count(*)::BIGINT AS n_chunks,
+       |  (count(*) FILTER (nd >= 2))::BIGINT AS n_shared,
+       |  ${DuckSql.roundpSql("(count(*) FILTER (nd >= 2)) * 1.0 / count(*)", 6)}
+       |    AS shared_frac
+       |FROM c JOIN n USING (h)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   /** q28: MinHash-LSH dedup at J ≥ 0.8 (64 hashes, 2 rows × 32 bands →
     * miss probability ≤ (1−0.64)³² ≈ 6e-15, so output = brute force). */
   def q28MinhashLsh(s: SparkSession, d: String): DataFrame = {
@@ -666,6 +739,7 @@ object DedupQueries {
     "q26_dedup_exact"    -> (q26Exact _),
     "q27_ngram_jaccard"  -> (q27NgramJaccard _),
     "q146_threshold_sweep" -> (q146ThresholdSweep _),
+    "q147_cdc_chunks"    -> (q147CdcChunks _),
     "q28_minhash_lsh"    -> (q28MinhashLsh _),
     "q29_simhash"        -> (q29Simhash _),
     "q51_dedup_groups"   -> (q51DedupGroups _),
@@ -686,6 +760,7 @@ object DedupQueries {
     "q26_dedup_exact"    -> q26Sql,
     "q27_ngram_jaccard"  -> q27Sql,
     "q146_threshold_sweep" -> q146Sql,
+    "q147_cdc_chunks"    -> q147Sql,
     "q28_minhash_lsh"    -> q28Sql,
     "q29_simhash"        -> q29Sql,
     "q51_dedup_groups"   -> q51Sql,
