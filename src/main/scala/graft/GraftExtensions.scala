@@ -64,6 +64,8 @@ object GraftExtensions {
       CharWindows(a(0), intArg(a(1), "graft_char_windows"))),
     fn("graft_char_window_hashes", classOf[CharWindowHashPos])(a =>
       CharWindowHashPos(a(0), intArg(a(1), "graft_char_window_hashes"))),
+    fn("graft_cdc_chunk_hashes", classOf[CdcChunkHashes])(a =>
+      CdcChunkHashes(a(0), intArg(a(1), "graft_cdc_chunk_hashes"))),
     fn("graft_pq_adc", classOf[PqAdc])(a => PqAdc(a(0), a(1))),
     // composition-backed (same trees as the Scala API):
     fn("graft_tokens", TextFunctions.getClass)(a =>

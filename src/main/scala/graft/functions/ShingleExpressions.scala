@@ -99,6 +99,32 @@ object HashKernels {
   def polyHash32(s: UTF8String): Long =
     if (s == null) 0L else ShingleKernel.polyHash32(s.toString)
 
+  /** Content-defined chunk hashes (q147's fused kernel): tokenize, cut
+    * AFTER tokens whose polyHash32 lands in residue class 0 (mod `m`),
+    * emit polyHash32 of each token run joined by single spaces —
+    * arithmetic identical to the staged HOF form (tokens → boundary
+    * filter → slice → concat_ws → hash), NON-distinct, document order.
+    * Empty array for null/token-free docs. */
+  def cdcChunkHashes(s: UTF8String, m: Int): ArrayData = {
+    if (s == null) return new GenericArrayData(Array.empty[Long])
+    val toks = ShingleKernel.tokenize(s)
+    if (toks.length == 0) return new GenericArrayData(Array.empty[Long])
+    val out = new scala.collection.mutable.ArrayBuffer[Any](8)
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i < toks.length) {
+      if (sb.length > 0) sb.append(' ')
+      sb.append(toks(i))
+      if (ShingleKernel.polyHash32(toks(i)) % m == 0) {
+        out += ShingleKernel.polyHash32(sb.toString)
+        sb.setLength(0)
+      }
+      i += 1
+    }
+    if (sb.length > 0) out += ShingleKernel.polyHash32(sb.toString)
+    new GenericArrayData(out.toArray)
+  }
+
   /** Distinct word-k-shingles; null for null/short docs (nullable expr). */
   def wordShingles(s: UTF8String, k: Int): ArrayData = {
     if (s == null) return null
@@ -526,6 +552,40 @@ case class CharWindowHashPos(child: Expression, winLen: Int)
     copy(child = c)
 }
 
+/** `graft_cdc_chunk_hashes(text, m)` → ARRAY<BIGINT>: polyHash32 of each
+  * content-defined chunk (token runs cut after hash-residue-0 tokens,
+  * mod m), non-distinct, document order; empty for null/token-free docs.
+  * The fused q147 scan kernel — the staged HOF form dispatches the
+  * per-token hash and per-chunk slice/concat through the interpreter. */
+case class CdcChunkHashes(child: Expression, m: Int) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType if m > 0 => TypeCheckResult.TypeCheckSuccess
+    case StringType => TypeCheckResult.TypeCheckFailure(
+      "graft_cdc_chunk_hashes modulus must be positive")
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_cdc_chunk_hashes expects STRING, got ${other.sql}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    HashKernels.cdcChunkHashes(child.eval(input).asInstanceOf[UTF8String], m)
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val c = child.genCode(ctx)
+    ev.copy(code = code"""
+      ${c.code}
+      org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+        graft.functions.HashKernels.cdcChunkHashes(${c.isNull} ? null : ${c.value}, $m);
+    """,
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
+  override protected def withNewChildInternal(c: Expression): CdcChunkHashes =
+    copy(child = c)
+}
+
 object ShingleExpressions {
   def wordShingles(text: Column, k: Int): Column =
     Bridge.column(WordShingles(Bridge.expression(text), k))
@@ -539,4 +599,6 @@ object ShingleExpressions {
     Bridge.column(CharWindows(Bridge.expression(text), winLen))
   def charWindowHashPos(text: Column, winLen: Int): Column =
     Bridge.column(CharWindowHashPos(Bridge.expression(text), winLen))
+  def cdcChunkHashes(text: Column, m: Int): Column =
+    Bridge.column(CdcChunkHashes(Bridge.expression(text), m))
 }

@@ -321,6 +321,44 @@ class DedupSpec extends AnyFunSuite with SparkSpecBase {
     graft.ops.ScratchCache.releaseAll()
   }
 
+  test("CDC chunk-hash kernel equals the staged HOF composition") {
+    // the fused native kernel (q147's scan path) must reproduce the
+    // declarative tokens -> boundary-cut -> slice -> concat -> hash
+    // pipeline bit-for-bit, per doc and with multiplicity
+    import graft.functions.TextFunctions.{polyHash, tokens}
+    val docs = Tables.documents(spark, sfSmoke)
+    val viaKernel = docs.select($"doc_id",
+        graft.functions.ShingleExpressions.cdcChunkHashes($"text", 8).as("hs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val base = docs
+      .select($"doc_id", tokens($"text").as("ws"))
+      .filter(size($"ws") > 0)
+      .withColumn("bounds",
+        concat(array(lit(0)),
+          filter(transform($"ws", (w, i) =>
+            when(pmod(polyHash(w), lit(8)) === 0, i + 1).otherwise(-1)),
+            p => p > 0),
+          array(size($"ws"))))
+      .withColumn("ch", filter(
+        transform(sequence(lit(1), size($"bounds") - 1), j =>
+          struct(element_at($"bounds", j).as("a"),
+            element_at($"bounds", j + 1).as("b"))),
+        s2 => s2.getField("b") > s2.getField("a")))
+      .select($"doc_id", transform($"ch", s2 => polyHash(concat_ws(" ",
+        slice($"ws", s2.getField("a") + 1,
+          s2.getField("b") - s2.getField("a"))))).as("hs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(viaKernel.filter(_._2.nonEmpty) == base.filter(_._2.nonEmpty))
+    assert(viaKernel.values.exists(_.size > 1), "fixture should chunk")
+    // degenerate inputs: null-free empty behavior
+    import spark.implicits._
+    val edge = Seq(("", 1L), ("   ", 2L), ("one", 3L)).toDF("text", "doc_id")
+      .select($"doc_id",
+        graft.functions.ShingleExpressions.cdcChunkHashes($"text", 8).as("hs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(edge(1L).isEmpty && edge(2L).isEmpty && edge(3L).size == 1)
+  }
+
   test("connectedComponents: empty pair table -> empty result (no NPE)") {
     val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
     assert(Dedup.connectedComponents(empty, "id_a", "id_b").count() == 0)
