@@ -515,9 +515,58 @@ object PipelineQueries {
        |JOIN bench USING (h)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** q148: STREAMING chunk-level dedup — the q147 CDC kernel running on
+    * an incoming feed: per content-defined chunk hash, the first owning
+    * document (min id) and the total occurrence count, maintained as
+    * update-mode streaming state. The dedup registry a crawl pipeline
+    * keeps warm so each new batch can be checked without re-reading the
+    * corpus; AvailableNow catch-up must equal the batch aggregate
+    * (min/count are order-free, so the oracle is plain SQL). Read-back
+    * takes each key's LAST update (max batch_id) — the q121 pattern. */
+  def q148StreamChunkDedup(s0: SparkSession, d: String): DataFrame = {
+    val (s, outDir, ckDir) = streamRun(s0, "graft_q148")
+    import s.implicits._
+    val batchSchema = graft.Tables.load(s, d, "documents").schema
+    val docs = s.readStream.schema(batchSchema)
+      .option("pathGlobFilter", "documents.parquet").parquet(d)
+    val stream = docs
+      .select($"doc_id", explode(graft.functions.ShingleExpressions
+        .cdcChunkHashes($"text", 8)).as("h"))
+      .groupBy($"h")
+      .agg(min($"doc_id").as("owner_id"),
+        count(lit(1)).as("n_occurrences"))
+    runToParquet(stream, "update", outDir, ckDir, tagBatch = true)
+    s.read.parquet(outDir)
+      .groupBy($"h")
+      .agg(max(struct($"batch_id", $"n_occurrences", $"owner_id"))
+        .as("last"))
+      .select($"h", $"last.owner_id".as("owner_id"),
+        $"last.n_occurrences".as("n_occurrences"))
+      .orderBy($"h")
+  }
+
+  val q148Sql: String = {
+    val ph = DuckSql.polyHashSql("ws[i]")
+    val chunkPh = DuckSql.polyHashSql("array_to_string(ws[s.a+1:s.b], ' ')")
+    s"""WITH t AS (SELECT doc_id, ${DuckSql.tokensSql} AS ws FROM documents),
+       |nz AS (SELECT doc_id, ws FROM t WHERE len(ws) > 0),
+       |b AS (SELECT doc_id, ws, [0::BIGINT] ||
+       |    list_filter(list_transform(range(1, len(ws) + 1),
+       |      i -> CASE WHEN $ph % 8 = 0 THEN i ELSE -1 END), p -> p > 0)
+       |    || [len(ws)::BIGINT] AS bounds FROM nz),
+       |c AS (SELECT doc_id, unnest(list_transform(
+       |    list_filter(list_transform(range(1, len(bounds)),
+       |      j -> struct_pack(a := bounds[j], b := bounds[j+1])),
+       |      s -> s.b > s.a),
+       |    s -> $chunkPh)) AS h FROM b)
+       |SELECT h, min(doc_id) AS owner_id, count(*)::BIGINT AS n_occurrences
+       |FROM c GROUP BY h ORDER BY h""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q121_stream_heavy_hitters" -> (q121StreamHeavyHitters _),
     "q141_stream_decontam" -> (q141StreamDecontam _),
+    "q148_stream_chunk_dedup" -> (q148StreamChunkDedup _),
     "q33_multimodal"    -> (q33Multimodal _),
     "q34_stream_window" -> (q34StreamWindow _),
     "q41_resize"        -> (q41Resize _),
@@ -532,6 +581,7 @@ object PipelineQueries {
   val oracles: Map[String, String] = Map(
     "q121_stream_heavy_hitters" -> SketchQueries.q61Sql,
     "q141_stream_decontam" -> q141Sql,
+    "q148_stream_chunk_dedup" -> q148Sql,
     "q33_multimodal"    -> q33Sql,
     "q34_stream_window" -> q34Sql,
     "q41_resize"        -> q41Sql,
