@@ -121,6 +121,9 @@ object ChunkStoreSource {
 
   private val keyCols = Set("time", "band", "cy", "cx")
 
+  /** Public form for the aggregate-pushdown builder. */
+  def isKeyCol(name: String): Boolean = keyCols(name)
+
   /** Evaluate a pushed filter against a chunk key. Only called on filters
     * `evaluable` accepted, so every case is exact — `Not` is safe because an
     * unknown shape can never appear beneath it. Key columns are non-nullable
@@ -181,8 +184,13 @@ class ChunkStoreTable(root: String) extends Table with SupportsRead {
 }
 
 class ChunkScanBuilder(root: String, maxPartitionBytes: Long)
-    extends ScanBuilder with SupportsPushDownFilters {
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownAggregates {
+  import org.apache.spark.sql.connector.expressions.NamedReference
+  import org.apache.spark.sql.connector.expressions.aggregate._
+
   private var pushed: Array[Filter] = Array.empty
+  private var pushedAgg: Option[Aggregation] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (accepted, rejected) = filters.partition(ChunkStoreSource.evaluable)
@@ -191,7 +199,111 @@ class ChunkScanBuilder(root: String, maxPartitionBytes: Long)
   }
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new ChunkScan(root, pushed, maxPartitionBytes)
+  private def keyRef(e: org.apache.spark.sql.connector.expressions.Expression)
+      : Option[String] = e match {
+    case f: NamedReference if f.fieldNames.length == 1 &&
+      ChunkStoreSource.isKeyCol(f.fieldNames()(0)) => Some(f.fieldNames()(0))
+    case _ => None
+  }
+
+  /** Aggregates the LISTING alone can answer exactly — COUNT(*) /
+    * MIN / MAX over key columns, grouped by key columns. One listed key
+    * = one row for plain layouts; a SHARDED store's inner-chunk presence
+    * lives behind per-shard indexes, so sharded layouts refuse the push
+    * and take the ordinary payload-reading path. */
+  private def canPush(agg: Aggregation): Boolean =
+    ChunkStoreSource.layout(root).shard.isEmpty &&
+      agg.groupByExpressions.forall(keyRef(_).isDefined) &&
+      agg.aggregateExpressions.forall {
+        case _: CountStar => true
+        case m: Min => keyRef(m.column).isDefined
+        case m: Max => keyRef(m.column).isDefined
+        case _ => false
+      }
+
+  // plan-time-complete: scan rows ARE the final aggregate (no merge agg)
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    canPush(agg)
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    if (!canPush(agg)) return false
+    pushedAgg = Some(agg)
+    true
+  }
+
+  override def build(): Scan = pushedAgg match {
+    case Some(a) => new ChunkAggScan(root, pushed, a)
+    case None => new ChunkScan(root, pushed, maxPartitionBytes)
+  }
+}
+
+/** Metadata-only aggregate scan: every value derives from the chunk-key
+  * listing at PLAN time — no payload byte is opened (spec-proved by
+  * corrupting a payload and aggregating anyway). Rows ship as one
+  * driver-computed InputPartition; output order is Spark's pushed-agg
+  * contract: group columns first, then aggregate columns. */
+class ChunkAggScan(root: String, filters: Array[Filter],
+                   agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+    extends Scan with Batch {
+  import org.apache.spark.sql.connector.expressions.NamedReference
+  import org.apache.spark.sql.connector.expressions.aggregate._
+
+  private def refName(
+      e: org.apache.spark.sql.connector.expressions.Expression): String =
+    e.asInstanceOf[NamedReference].fieldNames()(0)
+  private def groupCols: Seq[String] =
+    agg.groupByExpressions.toSeq.map(refName)
+
+  override def readSchema(): StructType = StructType(
+    groupCols.map(StructField(_, IntegerType, nullable = false)) ++
+      agg.aggregateExpressions.toSeq.zipWithIndex.map {
+        case (_: CountStar, i) =>
+          StructField(s"agg_$i", LongType, nullable = false)
+        case (_, i) => StructField(s"agg_$i", IntegerType, nullable = false)
+      })
+
+  override def description(): String =
+    s"graft chunk store $root (metadata-only aggregate), " +
+      s"PushedFilters: [${filters.mkString(", ")}], " +
+      s"PushedAggregation: [$agg]"
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    def v(k: ChunkStoreSource.Key, c: String): Int = c match {
+      case "time" => k.time; case "band" => k.band
+      case "cy" => k.cy; case "cx" => k.cx
+    }
+    val keys = ChunkStoreSource.listKeys(root).map(_._1)
+      .filter(k => filters.forall(ChunkStoreSource.keep(_, k)))
+    val gc = groupCols
+    val rows = keys.groupBy(k => gc.map(v(k, _)))
+      .toSeq.map { case (g, ks) =>
+        val aggVals = agg.aggregateExpressions.toSeq.map {
+          case _: CountStar => ks.size.toLong: Any
+          case m: Min => ks.map(v(_, refName(m.column))).min: Any
+          case m: Max => ks.map(v(_, refName(m.column))).max: Any
+          case other =>
+            throw new IllegalStateException(s"unpushable agg $other")
+        }
+        ((g.map(x => x: Any)) ++ aggVals).toArray
+      }
+    Array(ChunkAggPartition(rows.toArray))
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    ChunkAggReaderFactory
+}
+
+final case class ChunkAggPartition(rows: Array[Array[Any]])
+    extends InputPartition
+
+object ChunkAggReaderFactory extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private val rows = p.asInstanceOf[ChunkAggPartition].rows
+      private var i = -1
+      override def next(): Boolean = { i += 1; i < rows.length }
+      override def get(): InternalRow = new GenericInternalRow(rows(i))
+      override def close(): Unit = ()
+    }
 }
 
 class ChunkScan(root: String, filters: Array[Filter], maxPartitionBytes: Long)

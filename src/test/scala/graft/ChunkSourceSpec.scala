@@ -52,6 +52,43 @@ class ChunkSourceSpec extends AnyFunSuite with SparkSpecBase {
     assert(nFiles == 4, s"expected 4 pruned files, scan reads $nFiles")
   }
 
+  test("aggregate pushdown: count/min/max answered from the listing alone") {
+    // plan shape: the aggregate scan replaces the payload scan
+    val cnt = load.count()
+    assert(cnt == rows.size)
+    val gdf = load.filter($"time" >= 1).groupBy($"band")
+      .agg(count(lit(1)).as("n"), min($"cy").as("lo"), max($"cx").as("hi"))
+    val got = gdf.orderBy($"band").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getInt(2), r.getInt(3))).toSeq
+    assert(got == Seq((0, 8L, 0, 1), (1, 8L, 0, 1)), got.toSeq)
+    val desc = gdf.queryExecution.sparkPlan.collectLeaves().head.toString
+    assert(desc.contains("metadata-only aggregate"), desc)
+    // the PROOF no payload is opened: corrupt every chunk file, aggregate
+    // anyway — a payload-reading plan would fail to decode
+    // Zarr v2 store: zlib decode VALIDATES payloads, so corruption is
+    // guaranteed loud on any payload-reading path (raw float files would
+    // silently decode anything)
+    val r2 = java.nio.file.Files.createTempDirectory("graft-dsv2-agg").toString
+    graft.zarr.ZarrStore.init(r2, grid)
+    graft.zarr.ZarrStore.write(spark.createDataset(rows), r2)
+    val dir = java.nio.file.Paths.get(
+      graft.zarr.ChunkStoreSource.layout(r2).dir)
+    java.nio.file.Files.list(dir).iterator()
+      .forEachRemaining { f =>
+        if (!f.getFileName.toString.startsWith("."))
+          java.nio.file.Files.write(f, Array[Byte](1, 2, 3))
+      }
+    val broken = spark.read.format("graft.zarr.ChunkStoreSource").load(r2)
+    assert(broken.count() == rows.size)
+    assert(broken.groupBy($"time").count().count() == 3)
+    intercept[Exception] { broken.collect() } // full read must fail loudly
+    // aggregates OUTSIDE the accept-list take the ordinary path (and so
+    // fail on the corrupted payloads rather than answering wrongly)
+    intercept[Exception] {
+      broken.agg(sum(element_at($"data", 1))).collect()
+    }
+  }
+
   test("non-key filters stay residual and still apply") {
     val df = load.filter(element_at($"data", 1) === 110f)
     val got = df.collect()
