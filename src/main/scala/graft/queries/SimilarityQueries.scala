@@ -340,6 +340,46 @@ object SimilarityQueries {
        |ORDER BY margin DESC, src_id LIMIT 20""".stripMargin
   }
 
+  /** q149: HARD-NEGATIVE mining — for each anchor (vec_id < 20), the 3
+    * most-similar vectors carrying a DIFFERENT label: the contrastive-
+    * training sampler that replaces random negatives (q108) with the
+    * near-misses that actually move the loss. Same scale shape as
+    * knnBrute — broadcast anchors stream the corpus once, norms
+    * precomputed per row, native fused dot + the bounded TopKScore tail
+    * (k rows/anchor of shuffle state at any corpus size). */
+  def q149HardNegatives(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = embeddings(s, d)
+    val q = emb.filter($"vec_id" < 20)
+      .select($"vec_id".as("qid"), $"embedding".as("qv"),
+        $"label".as("qlabel"), VectorFunctions.norm($"embedding").as("qn"))
+    val c = emb.select($"vec_id".as("cid"), $"embedding".as("cv"),
+      $"label".as("clabel"), VectorFunctions.norm($"embedding").as("cn"))
+    val scored = c.join(broadcast(q),
+        $"qid" =!= $"cid" && $"qlabel" =!= $"clabel")
+      .select($"qid", $"cid",
+        roundp(graft.functions.DotProductF32.dot($"qv", $"cv") /
+          ($"qn" * $"cn"), 6).as("cos"))
+    graft.ops.Similarity.topKRank(scored, 3)
+      .select($"qid", $"rank".cast("bigint").as("rank"), $"cid", $"cos")
+      .orderBy($"qid", $"rank")
+  }
+
+  val q149Sql: String =
+    s"""WITH scored AS (
+       |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+       |    ${DuckSql.roundpSql(
+            DuckSql.cosineSql("q.embedding", "c.embedding", 64), 6)}
+       |      AS cos
+       |  FROM embeddings q JOIN embeddings c
+       |    ON q.vec_id < 20 AND c.vec_id <> q.vec_id
+       |   AND c.label <> q.label)
+       |SELECT qid, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid)
+       |    AS rank, cid, cos
+       |FROM scored
+       |QUALIFY rank <= 3
+       |ORDER BY qid, rank""".stripMargin
+
   /** q145: embedding DRIFT between two corpus snapshots — per label, the
     * L2 distance between the centroid of the even-vec_id half and the
     * odd-vec_id half (the halves play "last week's" and "this week's"
@@ -408,6 +448,7 @@ object SimilarityQueries {
     "q49_knn_ivfpq"         -> (q49KnnIvfPq _),
     "q81_centroids"         -> (q81Centroids _),
     "q145_embedding_drift"  -> (q145EmbeddingDrift _),
+    "q149_hard_negatives"   -> (q149HardNegatives _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -421,5 +462,6 @@ object SimilarityQueries {
     "q49_knn_ivfpq"         -> recallOracleSql(5),
     "q81_centroids"         -> q81Sql,
     "q145_embedding_drift"  -> q145Sql,
+    "q149_hard_negatives"   -> q149Sql,
   )
 }
