@@ -133,6 +133,26 @@ object Multimodal {
     }
   }
 
+  final case class Thumbnail(doc_id: Long, thumb: Array[Byte])
+
+  /** Decode → resize → RE-ENCODE (the thumbnail sink): the full
+    * image-transform loop a multimodal corpus pays per row, emitted as
+    * real PNG (or BMP) bytes ready for a binary-column write. Same
+    * mapPartitions batch shape and codec dispatch as [[resizeImages]];
+    * the stub decode path still re-encodes, so the op is exercisable
+    * without real media. MediaCodecSpec round-trips: decoding the
+    * emitted bytes reproduces resizeImages' pixel matrix exactly
+    * (PNG/BMP are lossless for 8-bit gray). */
+  def thumbnails(df: DataFrame, id: String, srcWidth: Int,
+                 outW: Int, outH: Int, codec: String = "stub",
+                 format: String = "png"): Dataset[Thumbnail] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    resizeImages(df, id, srcWidth, outW, outH, codec)
+      .map(r => Thumbnail(r.doc_id,
+        MediaCodecs.encodeImageGray(outW, outH, r.pixels, format)))
+  }
+
   final case class VideoFrame(
       doc_id: Long, frame_idx: Int, ts_ms: Long, frame: Array[Byte])
 

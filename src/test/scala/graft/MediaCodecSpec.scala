@@ -72,6 +72,32 @@ class MediaCodecSpec extends AnyFunSuite with SparkSpecBase {
     assert(out(1).pixels.toSeq == expectedJ.toSeq)
   }
 
+  test("thumbnails: decode -> resize -> PNG re-encode round-trips losslessly") {
+    val df = Seq(
+      (1L, fixture("fixture.png")),
+      (2L, fixture("fixture.jpg"))
+    ).toDF("doc_id", "payload")
+    val thumbs = Multimodal.thumbnails(df, "doc_id", srcWidth = 16,
+      outW = 8, outH = 6, codec = "auto", format = "png")
+      .collect().sortBy(_.doc_id)
+    val resized = Multimodal.resizeImages(df, "doc_id", srcWidth = 16,
+      outW = 8, outH = 6, codec = "auto").collect().sortBy(_.doc_id)
+    thumbs.zip(resized).foreach { case (th, rz) =>
+      // emitted bytes are a REAL PNG container...
+      assert(MediaCodecs.sniff(th.thumb) == MediaCodecs.Png)
+      // ...that decodes back to exactly the resized pixel matrix
+      val Some((w, h, px)) = MediaCodecs.decodeImageGray(th.thumb)
+      assert(w == 8 && h == 6)
+      assert(px.toSeq == rz.pixels.toSeq, s"doc ${th.doc_id} round-trip")
+    }
+    // the stub path re-encodes too: same contract without real media
+    val stub = Multimodal.thumbnails(
+      Multimodal.withPayload(Seq((3L, "plain text payload")).toDF("doc_id", "text"), "text"),
+      "doc_id", srcWidth = 16, outW = 4, outH = 4).collect()
+    assert(stub.length == 1 &&
+      MediaCodecs.sniff(stub.head.thumb) == MediaCodecs.Png)
+  }
+
   test("audioFeatures codec=auto: real WAV RMS/zero-crossings match direct PCM math") {
     val df = Seq((5L, fixture("fixture16.wav"))).toDF("doc_id", "payload")
     val ws = Multimodal.audioFeatures(df, "doc_id", windowSamples = 100, codec = "auto")
