@@ -354,8 +354,88 @@ object CorpusOpsQueries {
        |ORDER BY src_a, src_b""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q150
+
+  /** q150: the corpus DATA CARD — the one-table summary a dataset ships
+    * with (docs, tokens, slices, duplication, benchmark contamination),
+    * composed from the engine's own operators in as few passes as the
+    * numbers allow: one scan feeds the count/token/char/source/lang
+    * block (a single aggregation), one exact-dedup aggregation yields
+    * the duplicate fraction, and one gram semi-join yields the
+    * contamination fraction. Values land in ONE double column (counts
+    * are < 2⁵³ so the cast is exact; rates are roundp 6), keyed by
+    * metric name — the deterministic artifact a release pipeline
+    * attaches to every corpus snapshot. */
+  def q150DataCard(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.ShingleExpressions.wordShingleHashes
+    val docs = documents(s, d)
+    val base = docs.agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(tokens($"text")).cast("long")).as("n_tokens"),
+      sum($"n_chars".cast("long")).as("n_chars"),
+      countDistinct($"source").as("n_sources"),
+      countDistinct($"lang").as("n_langs")).head()
+    val nDocs = base.getLong(0)
+    val dupDocs = docs.groupBy(lower($"text")).agg(count(lit(1)).as("c"))
+      .agg(sum($"c" - 1)).head().getLong(0)
+    val benchHashes = docs.filter($"source" === "src0")
+      .select(explode(wordShingleHashes($"text", 5)).as("h")).distinct()
+    val contaminated = docs.filter($"source" =!= "src0")
+      .select($"doc_id", explode(wordShingleHashes($"text", 5)).as("h"))
+      .join(benchHashes, Seq("h"), "left_semi")
+      .select($"doc_id").distinct().count()
+    val nonBench = docs.filter($"source" =!= "src0").count()
+    def frac(a: Long, b: Long): Double =
+      math.round(a * 1.0 / b * 1e6) / 1e6
+    Seq(
+      ("n_docs", nDocs.toDouble),
+      ("n_tokens", base.getLong(1).toDouble),
+      ("n_chars", base.getLong(2).toDouble),
+      ("n_sources", base.getLong(3).toDouble),
+      ("n_langs", base.getLong(4).toDouble),
+      ("exact_dup_frac", frac(dupDocs, nDocs)),
+      ("mean_tokens_per_doc", frac(base.getLong(1), nDocs)),
+      ("contaminated_frac", frac(contaminated, nonBench)))
+      .toDF("metric", "value")
+      .orderBy($"metric")
+  }
+
+  val q150Sql: String = {
+    val ws = DuckSql.tokensSql
+    s"""WITH t AS (SELECT doc_id, source, lang, n_chars, $ws AS ws, text
+       |  FROM documents),
+       |base AS (SELECT count(*)::BIGINT AS n_docs,
+       |    CAST(sum(len(ws)) AS BIGINT) AS n_tokens,
+       |    CAST(sum(n_chars) AS BIGINT) AS n_chars,
+       |    count(DISTINCT source)::BIGINT AS n_sources,
+       |    count(DISTINCT lang)::BIGINT AS n_langs FROM t),
+       |dup AS (SELECT CAST(sum(c - 1) AS BIGINT) AS n_dup FROM
+       |  (SELECT count(*) AS c FROM t GROUP BY lower(text))),
+       |g AS (SELECT doc_id, source,
+       |    unnest(${DuckSql.shingleHashesSql("ws", 5)}) AS h FROM t),
+       |bench AS (SELECT DISTINCT h FROM g WHERE source = 'src0'),
+       |cont AS (SELECT count(DISTINCT doc_id)::BIGINT AS n FROM g
+       |  WHERE source <> 'src0' AND h IN (SELECT h FROM bench)),
+       |nb AS (SELECT count(*)::BIGINT AS n FROM t WHERE source <> 'src0')
+       |SELECT metric, value FROM (
+       |  SELECT 'n_docs' AS metric, n_docs::DOUBLE AS value FROM base
+       |  UNION ALL SELECT 'n_tokens', n_tokens::DOUBLE FROM base
+       |  UNION ALL SELECT 'n_chars', n_chars::DOUBLE FROM base
+       |  UNION ALL SELECT 'n_sources', n_sources::DOUBLE FROM base
+       |  UNION ALL SELECT 'n_langs', n_langs::DOUBLE FROM base
+       |  UNION ALL SELECT 'exact_dup_frac',
+       |    round(n_dup * 1.0 / n_docs * 1e6) / 1e6 FROM dup, base
+       |  UNION ALL SELECT 'mean_tokens_per_doc',
+       |    round(n_tokens * 1.0 / n_docs * 1e6) / 1e6 FROM base
+       |  UNION ALL SELECT 'contaminated_frac',
+       |    round(cont.n * 1.0 / nb.n * 1e6) / 1e6 FROM cont, nb)
+       |ORDER BY metric""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q135_boilerplate"      -> (q135Boilerplate _),
+    "q150_data_card"        -> (q150DataCard _),
     "q136_adaptive_quality" -> (q136AdaptiveQuality _),
     "q137_waterfill"        -> (q137Waterfill _),
     "q138_zonemap_range"    -> (q138ZoneMapRange _),
@@ -365,6 +445,7 @@ object CorpusOpsQueries {
 
   val oracles: Map[String, String] = Map(
     "q135_boilerplate"      -> q135Sql,
+    "q150_data_card"        -> q150Sql,
     "q136_adaptive_quality" -> q136Sql,
     "q137_waterfill"        -> q137Sql,
     "q138_zonemap_range"    -> q138Sql,
