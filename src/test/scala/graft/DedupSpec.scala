@@ -357,6 +357,40 @@ class DedupSpec extends AnyFunSuite with SparkSpecBase {
         graft.functions.ShingleExpressions.cdcChunkHashes($"text", 8).as("hs"))
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
     assert(edge(1L).isEmpty && edge(2L).isEmpty && edge(3L).size == 1)
+    // fuzz: 100 random token streams (mixed-case, runs of whitespace,
+    // unicode) — kernel and HOF must stay bit-identical on all of them
+    val rnd = new scala.util.Random(20260814L)
+    val alphabet = "abcXYZ09 	  αβ日本 "
+    val fuzz = (0 until 100).map { i =>
+      (100L + i, (0 until (1 + rnd.nextInt(120)))
+        .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    }
+    val fdf = fuzz.toDF("doc_id", "text")
+    val fk = fdf.select($"doc_id",
+        graft.functions.ShingleExpressions.cdcChunkHashes($"text", 8).as("hs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val fh = fdf
+      .select($"doc_id", tokens($"text").as("ws"))
+      .filter(size($"ws") > 0)
+      .withColumn("bounds",
+        concat(array(lit(0)),
+          filter(transform($"ws", (w, i) =>
+            when(pmod(polyHash(w), lit(8)) === 0, i + 1).otherwise(-1)),
+            p => p > 0),
+          array(size($"ws"))))
+      .withColumn("ch", filter(
+        transform(sequence(lit(1), size($"bounds") - 1), j =>
+          struct(element_at($"bounds", j).as("a"),
+            element_at($"bounds", j + 1).as("b"))),
+        s2 => s2.getField("b") > s2.getField("a")))
+      .select($"doc_id", transform($"ch", s2 => polyHash(concat_ws(" ",
+        slice($"ws", s2.getField("a") + 1,
+          s2.getField("b") - s2.getField("a"))))).as("hs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    fuzz.foreach { case (id, _) =>
+      assert(fk.getOrElse(id, Seq.empty[Long]) == fh.getOrElse(id, Seq.empty[Long]),
+        s"fuzz doc $id diverges")
+    }
   }
 
   test("connectedComponents: empty pair table -> empty result (no NPE)") {
