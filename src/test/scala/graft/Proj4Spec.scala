@@ -98,6 +98,55 @@ class Proj4Spec extends AnyFunSuite with SparkSpecBase {
     assert(ll.forward(12.5, -33.0) == ((12.5, -33.0)))
   }
 
+  test("proj cea (EASE-Grid 2.0) pins to the published global extent; eqc round-trips") {
+    // EPSG:6933 (ellipsoidal cylindrical equal-area, lat_ts=30, WGS84):
+    // NSIDC publishes the EASE-Grid 2.0 global extent as
+    // x = +-17367530.445161 m (lon +-180), y = +-7314540.830638 m (poles)
+    val ease = Proj4.parse("+proj=cea +lat_ts=30 +lon_0=0 +x_0=0 +y_0=0 " +
+      "+datum=WGS84 +units=m +no_defs").getOrElse(fail("cea must parse"))
+    val (xe, _) = ease.forward(180.0, 0.0)
+    assert(math.abs(xe - 17367530.445161) < 1e-3, s"x(180)=$xe")
+    // independent mathematical pin — equal-area closure: the full map
+    // rectangle (2x_max * 2y_pole) must equal the ellipsoid's authalic
+    // sphere area 4*pi*Rq^2 (Rq = 6371007.181 m for WGS84, the published
+    // authalic radius), which fixes y_pole = Rq^2 / (a*k0)
+    val (_, yn) = ease.forward(0.0, 90.0)
+    val rq = 6371007.1809
+    val expectedPole = rq * rq / (xe / math.Pi)
+    assert(math.abs(yn - expectedPole) < 1e-2, s"y(90)=$yn vs $expectedPole")
+    // inverse at the pole hits the explicit special case
+    val (_, latP) = ease.inverse(0.0, yn)
+    assert(math.abs(latP - 90.0) < 1e-9)
+    // round-trip grid over the globe (sub-mm)
+    for (lon <- Seq(-179.0, -60.0, 0.0, 45.5, 179.0);
+         lat <- Seq(-80.0, -30.0, 0.0, 30.0, 66.5, 89.0)) {
+      val (x, y) = ease.forward(lon, lat)
+      val (lon2, lat2) = ease.inverse(x, y)
+      assert(math.abs(lon2 - lon) < 1e-9 && math.abs(lat2 - lat) < 1e-7,
+        s"cea roundtrip ($lon,$lat) -> ($lon2,$lat2)")
+    }
+    // spherical cea on an explicit +R: equal-area property y = R sinφ/cosφs
+    val sph = Proj4.parse("+proj=cea +lat_ts=0 +lon_0=0 +R=6371007").get
+    val (_, ys) = sph.forward(0.0, 30.0)
+    assert(math.abs(ys - 6371007 * 0.5) < 1e-6)
+
+    // eqc / plate carrée: x(180) = pi*R at lat_ts=0 (EPSG:32662 shape)
+    val eqc = Proj4.parse("+proj=eqc +lat_ts=0 +lat_0=0 +lon_0=0 " +
+      "+x_0=0 +y_0=0 +datum=WGS84 +units=m +no_defs").get
+    val (xq, yq) = eqc.forward(180.0, 45.0)
+    assert(math.abs(xq - math.Pi * 6378137.0) < 1e-6)
+    assert(math.abs(yq - math.toRadians(45.0) * 6378137.0) < 1e-6)
+    for (lon <- Seq(-170.0, 13.25); lat <- Seq(-89.0, 0.0, 52.5)) {
+      val (x, y) = eqc.forward(lon, lat)
+      val (lon2, lat2) = eqc.inverse(x, y)
+      assert(math.abs(lon2 - lon) < 1e-9 && math.abs(lat2 - lat) < 1e-9)
+    }
+    // scaled variant: lat_ts=60 halves the x scale (cos 60 = 1/2)
+    val eqc60 = Proj4.parse("+proj=eqc +lat_ts=60 +lon_0=0 +R=6371000").get
+    val (x60, _) = eqc60.forward(100.0, 10.0)
+    assert(math.abs(x60 - 6371000 * math.toRadians(100.0) * 0.5) < 1e-6)
+  }
+
   test("honest rejection: unknown projections/ellipsoids, oblique stere") {
     // OSGB36 (EPSG:27700) carries a real datum shift — round-7 Datum
     // machinery now compiles it (DatumSpec pins the worked example);
