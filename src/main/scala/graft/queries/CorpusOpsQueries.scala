@@ -433,9 +433,48 @@ object CorpusOpsQueries {
        |ORDER BY metric""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q151
+
+  /** q151: JSONL interchange under the ORACLE GATE — the corpus round-
+    * trips through [[graft.ops.CorpusInterchange]] (write as
+    * line-delimited JSON, read back schema-on-read with quarantine) and
+    * the result aggregates per source with a content hash. The oracle
+    * computes the same aggregate from the parquet table directly, so a
+    * green row proves the interchange is LOSSLESS — any field dropped,
+    * re-typed, or re-encoded by the JSON writer/reader flips the hash.
+    * Reject count rides along (must be 0 for well-formed output). */
+  def q151JsonlRoundtrip(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dir = new java.io.File(
+      java.lang.System.getProperty("java.io.tmpdir"),
+      "graft-jsonl-" +
+        java.lang.System.getProperty("user.name", "u") + "-" +
+        d.replaceAll("[^A-Za-z0-9._-]", "_")).toString
+    graft.ops.CorpusInterchange.writeJsonl(documents(s, d), dir)
+    val (clean, rejects) = graft.ops.CorpusInterchange.readJsonl(s, dir)
+    val nRejects = rejects.count()
+    clean.groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_chars").as("n_chars"),
+        (sum(polyHash(concat_ws("|", $"doc_id", $"text", $"lang")))
+          % 4294967296L).as("content_hash"))
+      .withColumn("n_rejects", lit(nRejects))
+      .orderBy($"source")
+  }
+
+  val q151Sql: String = {
+    val rh = DuckSql.polyHashSql("concat_ws('|', doc_id, text, lang)")
+    s"""SELECT source, count(*)::BIGINT AS n_docs,
+       |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+       |  CAST(sum($rh) % 4294967296 AS BIGINT) AS content_hash,
+       |  0::BIGINT AS n_rejects
+       |FROM documents GROUP BY source ORDER BY source""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q135_boilerplate"      -> (q135Boilerplate _),
     "q150_data_card"        -> (q150DataCard _),
+    "q151_jsonl_roundtrip"  -> (q151JsonlRoundtrip _),
     "q136_adaptive_quality" -> (q136AdaptiveQuality _),
     "q137_waterfill"        -> (q137Waterfill _),
     "q138_zonemap_range"    -> (q138ZoneMapRange _),
@@ -446,6 +485,7 @@ object CorpusOpsQueries {
   val oracles: Map[String, String] = Map(
     "q135_boilerplate"      -> q135Sql,
     "q150_data_card"        -> q150Sql,
+    "q151_jsonl_roundtrip"  -> q151Sql,
     "q136_adaptive_quality" -> q136Sql,
     "q137_waterfill"        -> q137Sql,
     "q138_zonemap_range"    -> q138Sql,
