@@ -471,10 +471,46 @@ object CorpusOpsQueries {
        |FROM documents GROUP BY source ORDER BY source""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q152
+
+  /** q152: K-ANONYMITY audit over the (lang, source) quasi-identifier —
+    * the release-governance check: any combination of externally-visible
+    * attributes carried by fewer than k documents re-identifies its
+    * members, so those rows must be suppressed or generalized before
+    * publication. Reports, per k ∈ {5, 15, 30}: how many equivalence
+    * classes fall below k and how many documents they hold (the
+    * suppression cost curve). ONE aggregation builds the class-size
+    * frame (|langs|·|sources| rows — bounded by config axes); the three
+    * k rows are conditional aggregation over it. */
+  def q152KAnonymity(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val classes = documents(s, d)
+      .groupBy($"lang", $"source").agg(count(lit(1)).as("c"))
+    val ks = Seq(5, 15, 30)
+    classes
+      .crossJoin(broadcast(ks.toDF("k")))
+      .groupBy($"k")
+      .agg(count(lit(1)).as("n_classes"),
+        sum(when($"c" < $"k", 1L).otherwise(0L)).as("n_below"),
+        sum(when($"c" < $"k", $"c").otherwise(0L)).as("n_docs_suppressed"))
+      .orderBy($"k")
+  }
+
+  val q152Sql: String =
+    """WITH cls AS (SELECT lang, source, count(*)::BIGINT AS c
+      |  FROM documents GROUP BY 1, 2)
+      |SELECT k, count(*)::BIGINT AS n_classes,
+      |  CAST(sum(CASE WHEN c < k THEN 1 ELSE 0 END) AS BIGINT) AS n_below,
+      |  CAST(sum(CASE WHEN c < k THEN c ELSE 0 END) AS BIGINT)
+      |    AS n_docs_suppressed
+      |FROM cls CROSS JOIN (VALUES (5), (15), (30)) t(k)
+      |GROUP BY k ORDER BY k""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q135_boilerplate"      -> (q135Boilerplate _),
     "q150_data_card"        -> (q150DataCard _),
     "q151_jsonl_roundtrip"  -> (q151JsonlRoundtrip _),
+    "q152_k_anonymity"      -> (q152KAnonymity _),
     "q136_adaptive_quality" -> (q136AdaptiveQuality _),
     "q137_waterfill"        -> (q137Waterfill _),
     "q138_zonemap_range"    -> (q138ZoneMapRange _),
@@ -486,6 +522,7 @@ object CorpusOpsQueries {
     "q135_boilerplate"      -> q135Sql,
     "q150_data_card"        -> q150Sql,
     "q151_jsonl_roundtrip"  -> q151Sql,
+    "q152_k_anonymity"      -> q152Sql,
     "q136_adaptive_quality" -> q136Sql,
     "q137_waterfill"        -> q137Sql,
     "q138_zonemap_range"    -> q138Sql,
