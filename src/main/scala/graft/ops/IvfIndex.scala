@@ -127,6 +127,13 @@ object IvfIndex {
              newEmb: DataFrame, id: String, vec: String): Index = {
     val cents = CentroidJson.parseCells(java.nio.file.Files.readString(
       java.nio.file.Paths.get(dst, "centroids.json")))
+    // column names must match the resident cells: a parquet append with
+    // different names would silently UNION the schemas and null out
+    // every resident column on read — refuse loudly instead
+    val existing = spark.read.parquet(dst + "/cells").columns.toSet
+    require(existing == Set(id, vec, "__cell"),
+      s"IvfIndex.append: saved index has columns $existing, " +
+        s"append offers ${Set(id, vec, "__cell")} — names must match")
     assignTo(newEmb, vec, cents.toArray)
       .select(col(id), col(vec), col("__cell"))
       .write.mode("append").partitionBy("__cell").parquet(dst + "/cells")

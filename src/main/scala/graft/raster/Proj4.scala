@@ -9,7 +9,8 @@ package graft.raster
   * (`+proj=lcc +lat_1=… `) warps without a gallery entry.
   *
   * Supported: `+proj=longlat | merc (spherical, a=b) | utm | tmerc | lcc |
-  * aea | stere (polar aspect) | sinu` on WGS84/GRS80 (flattening delta
+  * aea | stere (polar aspect) | sinu | cea (spherical + ellipsoidal
+  * EASE-Grid 2.0) | eqc` on WGS84/GRS80 (flattening delta
   * < 0.1 mm — the gallery's treat-as-equal bridge) or an explicit sphere
   * (`+R=` / `+a=+b=`, the MODIS-grid form). Legacy datums: `longlat`,
   * `utm`, `tmerc`, `lcc`, `aea`, polar `stere`, `sterea` (oblique
@@ -426,7 +427,8 @@ object Proj4 {
         for {
           r <- rOpt
           lon0 <- numOr("lon_0", 0.0)
-          ts <- numOr("lat_ts", 0.0)
+          // lat_ts = +-90 degenerates the cylinder to a line — fail fast
+          ts <- numOr("lat_ts", 0.0).filter(t => math.abs(t) < 90.0)
           x0 <- numOr("x_0", 0.0); y0 <- numOr("y_0", 0.0)
         } yield {
           val c = math.cos(math.toRadians(ts))
@@ -445,7 +447,8 @@ object Proj4 {
         // q; inverse iterates Snyder eq. 3-16 on φ.
         for {
           lon0 <- numOr("lon_0", 0.0)
-          ts <- numOr("lat_ts", 0.0)
+          // lat_ts = +-90: k0 -> 0, x collapses — fail fast like eqc
+          ts <- numOr("lat_ts", 0.0).filter(t => math.abs(t) < 90.0)
           x0 <- numOr("x_0", 0.0); y0 <- numOr("y_0", 0.0)
           c <- sphereR match {
             case Some(r) =>
