@@ -475,8 +475,50 @@ object EventAnalytics {
        |    AS seq_hash
        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** q153: EMBARGOED temporal split — backtest hygiene for event data:
+    * train takes everything before (cutoff − embargo), validation takes
+    * everything from cutoff on, and the embargo gap rows are DISCARDED so
+    * nothing whose influence straddles the boundary (sessions in flight,
+    * labels computed over trailing windows) leaks across. Cutoff = 80 %
+    * of the observed time range, embargo = 1 day — both exact integer
+    * µs arithmetic from one min/max pre-aggregation, so the split is
+    * reproducible forever. Reports per split: events, users, and the
+    * actual time bounds. */
+  def q153EmbargoSplit(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = events(s, d).select($"user_id", unix_micros($"ts").as("us"))
+    val mm = e.agg(min($"us"), max($"us")).head()
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    val cutoff = lo + (hi - lo) * 8 / 10
+    val embargoUs = 86400000000L
+    val tagged = e.withColumn("split",
+      when($"us" < cutoff - embargoUs, "train")
+        .when($"us" >= cutoff, "val")
+        .otherwise("embargoed"))
+    tagged.groupBy($"split")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct($"user_id").as("n_users"),
+        min($"us").as("min_us"), max($"us").as("max_us"))
+      .orderBy($"split")
+  }
+
+  val q153Sql: String =
+    """WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      |  FROM events),
+      |b AS (SELECT min(us) AS lo, max(us) AS hi FROM e),
+      |t AS (SELECT user_id, us,
+      |    CASE WHEN us < lo + (hi - lo) * 8 // 10 - 86400000000 THEN 'train'
+      |         WHEN us >= lo + (hi - lo) * 8 // 10 THEN 'val'
+      |         ELSE 'embargoed' END AS split
+      |  FROM e, b)
+      |SELECT split, count(*)::BIGINT AS n_events,
+      |  count(DISTINCT user_id)::BIGINT AS n_users,
+      |  min(us) AS min_us, max(us) AS max_us
+      |FROM t GROUP BY split ORDER BY split""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q143_trajectories"   -> (q143Trajectories _),
+    "q153_embargo_split"  -> (q153EmbargoSplit _),
     "q106_max_concurrent" -> (q106MaxConcurrent _),
     "q107_group_regression" -> (q107GroupRegression _),
     "q97_gap_fill"       -> (q97GapFill _),
@@ -492,6 +534,7 @@ object EventAnalytics {
 
   val oracles: Map[String, String] = Map(
     "q143_trajectories"   -> q143Sql,
+    "q153_embargo_split"  -> q153Sql,
     "q106_max_concurrent" -> q106Sql,
     "q107_group_regression" -> q107Sql,
     "q97_gap_fill"       -> q97Sql,
