@@ -307,11 +307,66 @@ object ChunkAggReaderFactory extends PartitionReaderFactory {
 }
 
 class ChunkScan(root: String, filters: Array[Filter], maxPartitionBytes: Long)
-    extends Scan with Batch {
+    extends Scan with Batch with SupportsRuntimeFiltering
+    with SupportsReportStatistics {
+  import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+
   override def readSchema(): StructType = ChunkStoreSource.schema
   override def description(): String =
     s"graft chunk store $root, PushedFilters: [${filters.mkString(", ")}]"
   override def toBatch: Batch = this
+
+  /** Runtime (join-driven) pruning — the DSv2 half of dynamic partition
+    * pruning. A broadcast-joined dim table's key values arrive here as an
+    * `In` filter at EXECUTION time (after the build side ran), and prune
+    * the chunk-file list exactly like plan-time pushed filters do: a
+    * "read the chunks for these 3 scenes" join opens 3 scenes' files,
+    * not the whole store. Same accept-list as the static push, so an
+    * untranslatable runtime filter is simply ignored (Spark re-applies
+    * the join itself — correctness never depends on the prune). */
+  private var runtimeFilters: Array[Filter] = Array.empty
+  override def filterAttributes(): Array[NamedReference] =
+    Array("time", "band", "cy", "cx").map(Expressions.column)
+  override def filter(fs: Array[Filter]): Unit =
+    runtimeFilters = fs.filter(ChunkStoreSource.evaluable)
+
+  /** Plan-time stats from the pruned listing, so Catalyst's join sizing
+    * sees the store's true (post-static-filter) size instead of the
+    * "unknown = infinite" DSv2 default — a small chunk table then
+    * BROADCASTS into joins against big fact frames. Rows: one per
+    * surviving key (sharded layouts report the sy·sx upper bound — stats
+    * may overestimate, never underestimate, so a broadcast decision is
+    * always safe). Bytes: decompressed row footprint (key ints + payload
+    * floats), the in-memory size join planning actually cares about. */
+  override def estimateStatistics(): Statistics = {
+    val l = ChunkStoreSource.layout(root)
+    val surviving = ChunkStoreSource.listKeys(root).filter { case (k, _) =>
+      l.shard match {
+        case None => filters.forall(ChunkStoreSource.keep(_, k))
+        case Some((sy, sx)) =>
+          (0 until sy).exists { iy => (0 until sx).exists { ix =>
+            val inner = ChunkStoreSource.Key(k.time, k.band,
+              k.cy * sy + iy, k.cx * sx + ix)
+            filters.forall(ChunkStoreSource.keep(_, inner))
+          }}
+      }
+    }
+    val perFile = l.shard.map { case (sy, sx) => sy.toLong * sx }.getOrElse(1L)
+    val rows = surviving.size * perFile
+    val payload =
+      if (l.inflateTo > 0) l.inflateTo.toLong
+      else if (surviving.isEmpty) 0L
+      else { // raw layout: payload bytes == file bytes; sample the first file
+        try Files.size(Paths.get(surviving.head._2)) catch { case _: Exception => 0L }
+      }
+    val bytes = rows * (16L + payload)
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(bytes)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.of(rows)
+    }
+  }
 
   /** Plan-time pruning, then byte-budget splitting (the FilePartition
     * sizing rule): sorted (for key locality) surviving files are greedily
@@ -326,6 +381,9 @@ class ChunkScan(root: String, filters: Array[Filter], maxPartitionBytes: Long)
   override def planInputPartitions(): Array[InputPartition] = {
     val l = ChunkStoreSource.layout(root)
     val (inflateTo, codec) = (l.inflateTo, l.codec)
+    // static pushed filters + any join-driven runtime filters: both prune
+    // identically (runtime ones just arrive after the build side executed)
+    val filters = this.filters ++ runtimeFilters
     // Plain layout: listed keys ARE row keys — pruning is exact here.
     // Sharded layout: listed keys are SHARD coords; a shard survives when
     // ANY of its inner keys satisfies the filters (exact existence test by

@@ -149,4 +149,63 @@ class ChunkSourceSpec extends AnyFunSuite with SparkSpecBase {
         s"got ${b2.head.inputPartitions.length}")
     assert(df.count() == 48)
   }
+
+  test("runtime filtering: a broadcast dim join prunes chunk FILES at execution") {
+    // Zarr v2 store (zlib validates payloads) with every time != 0 chunk
+    // corrupted: if the dim join's values reach the source as a runtime
+    // In-filter, the corrupt files are never opened and the query succeeds;
+    // any plan that reads them dies loudly in inflate.
+    val r = java.nio.file.Files.createTempDirectory("graft-dsv2-rtf").toString
+    graft.zarr.ZarrStore.init(r, grid)
+    graft.zarr.ZarrStore.write(spark.createDataset(rows), r)
+    val dir = java.nio.file.Paths.get(graft.zarr.ChunkStoreSource.layout(r).dir)
+    java.nio.file.Files.list(dir).iterator().forEachRemaining { f =>
+      val n = f.getFileName.toString
+      if (!n.startsWith(".") && !n.startsWith("0."))
+        java.nio.file.Files.write(f, Array[Byte](9, 9, 9))
+    }
+    val chunks = spark.read.format("graft.zarr.ChunkStoreSource").load(r)
+    intercept[Exception] { chunks.collect() } // corruption is effective
+    // selective predicate on the (broadcastable) dim side is what arms DPP;
+    // a Range leaf (unlike a LocalRelation) keeps its Filter through
+    // optimization, so the pruning rule can see the selectivity
+    val dim = spark.range(0, 3).select($"id".cast("int").as("t"))
+      .filter($"t" === 0)
+    val joined = chunks.join(dim, $"time" === $"t")
+      .select($"time", $"band", $"cy", $"cx", element_at($"data", 1).as("v"))
+    val got = joined.collect()
+    assert(got.length == 2 * 2 * 2, s"time=0 rows only, got ${got.length}")
+    assert(got.forall(_.getInt(0) == 0))
+    assert(got.map(r => (r.getInt(1), r.getFloat(4))).toSet ==
+      Set((0, 0f), (1, 10f)))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert("RuntimeFilters: \\[[^]]".r.findFirstIn(plan).isDefined,
+      s"scan must carry a non-empty runtime filter\n$plan")
+  }
+
+  test("reported statistics let a small chunk store broadcast into a big join") {
+    // direct stats contract: 24 raw chunks of 4 float32 = 16 payload bytes
+    val scan = new graft.zarr.ChunkScan(root, Array.empty, 128L * 1024 * 1024)
+    val st = scan.estimateStatistics()
+    assert(st.numRows().getAsLong == rows.size)
+    assert(st.sizeInBytes().getAsLong == rows.size * (16L + 16L))
+    // static filters shrink the estimate (stats see the pruned listing)
+    val st2 = new graft.zarr.ChunkScan(root,
+      Array(org.apache.spark.sql.sources.EqualTo("time", 0)),
+      128L * 1024 * 1024).estimateStatistics()
+    assert(st2.numRows().getAsLong == 8)
+    // plan-level effect: against a > autoBroadcastJoinThreshold fact frame
+    // the chunk side must be the BROADCAST build side (the DSv2 no-stats
+    // default would size it "unknown = huge" and fall back to SMJ/SHJ)
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val fact = spark.range(3 * 1000 * 1000).select(
+      ($"id" % 3).cast("int").as("ft"), $"id".as("payload"))
+    val j = fact.join(load, $"ft" === $"time")
+    val bhj = j.queryExecution.sparkPlan.collect { case b: BroadcastHashJoinExec => b }
+    assert(bhj.nonEmpty, s"expected broadcast join\n${j.queryExecution.sparkPlan}")
+    val buildHasScan = bhj.exists(b => (if (b.buildSide.toString == "BuildRight")
+      b.right else b.left).collect { case s: BatchScanExec => s }.nonEmpty)
+    assert(buildHasScan, "the chunk-store scan must be the broadcast side")
+  }
 }
