@@ -257,6 +257,75 @@ object Sketches {
     }
   }
 
+  /** COUNT-MIN sketch (Cormode & Muthukrishnan 2005): a d×w counter
+    * matrix; insert adds 1 to one counter per row, the point estimate is
+    * the MIN over rows — so estimates only ever over-count (the one-sided
+    * error bound q157's gate asserts: est ≥ exact always, est ≤ exact +
+    * εN w.h.p.). Counters merge by elementwise ADD — fully mergeable and
+    * map-side combinable like the other sketches here.
+    *
+    * Row hashes are deterministic LCG mixes of the item's 32-bit
+    * polyHash, one PUBLIC LCG multiplier per row (glibc, NR, VAX,
+    * Borland, MINSTD, Lehmer, BCPL, Delphi), bucketed from the HIGH bits:
+    * bucket_j(h) = (((h·A_j + 12345) mod 2³¹) · w) >> 31.
+    * Taking high bits matters: a low-bits `mod w` makes every row's
+    * bucket a linear function of h mod w, so two items with h₁ ≡ h₂
+    * (mod w) collide in ALL rows at once and the min() degenerates —
+    * caught by SketchSpec's one-sided-error property before this was
+    * switched. h < 2³² and A_j < 2³¹ keep the products inside signed
+    * 64-bit for BOTH engines, so a SQL oracle can replay the entire
+    * sketch exactly (q157 does). */
+  final class CountMin(val d: Int, val w: Int) extends Serializable {
+    require(d <= CountMin.A.length, s"at most ${CountMin.A.length} rows")
+    val counts: Array[Long] = new Array[Long](d * w)
+
+    def bucket(j: Int, h: Long): Int =
+      ((((h * CountMin.A(j) + 12345L) % 2147483648L) * w) >> 31).toInt
+
+    def insertHash(h: Long): Unit = {
+      var j = 0
+      while (j < d) { counts(j * w + bucket(j, h)) += 1L; j += 1 }
+    }
+
+    def merge(o: CountMin): CountMin = {
+      require(o.d == d && o.w == w, s"CountMin shape mismatch")
+      var i = 0
+      while (i < counts.length) { counts(i) += o.counts(i); i += 1 }
+      this
+    }
+
+    def estimate(h: Long): Long = {
+      var m = Long.MaxValue
+      var j = 0
+      while (j < d) {
+        val c = counts(j * w + bucket(j, h))
+        if (c < m) m = c
+        j += 1
+      }
+      m
+    }
+  }
+
+  object CountMin {
+    /** Public-textbook LCG multipliers, one per sketch row. */
+    val A: Array[Long] = Array(1103515245L, 1664525L, 69069L, 22695477L,
+      48271L, 16807L, 2147001325L, 134775813L)
+  }
+
+  /** Typed Aggregator: pre-hashed column → the d·w counter matrix
+    * (row-major), for estimate evaluation as plain column arithmetic. */
+  final class CountMinAgg(d: Int, w: Int)
+      extends Aggregator[Long, CountMin, Seq[Long]] {
+    override def zero: CountMin = new CountMin(d, w)
+    override def reduce(b: CountMin, h: Long): CountMin = { b.insertHash(h); b }
+    override def merge(a: CountMin, b: CountMin): CountMin = a.merge(b)
+    override def finish(b: CountMin): Seq[Long] = b.counts.toSeq
+    override def bufferEncoder: Encoder[CountMin] =
+      Encoders.javaSerialization[CountMin]
+    override def outputEncoder: Encoder[Seq[Long]] =
+      ExpressionEncoder[Seq[Long]]()
+  }
+
   /** Typed Aggregator: pre-hashed 64-bit column → cardinality estimate. */
   final class HllAgg(p: Int) extends Aggregator[Long, HyperLogLog, Long] {
     override def zero: HyperLogLog = new HyperLogLog(p)

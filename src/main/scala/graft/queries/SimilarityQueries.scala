@@ -437,7 +437,50 @@ object SimilarityQueries {
        |JOIN cnt ON cnt.label = a.label
        |ORDER BY a.label""".stripMargin
 
+  /** q155: DIVERSITY sampling — cap each region of embedding space at 2
+    * representatives (SemDeDup's prune step generalized: instead of
+    * dropping near-dups above a threshold, keep a bounded sample PER
+    * CELL so the training mix can't be dominated by a dense mode).
+    * Cells are deterministic 6-bit hyperplane-LSH signs (64 cells, the
+    * q32 LCG kernel at table 0), survivors are the 2 lowest vec_ids per
+    * cell — a deterministic priority an incremental re-run preserves.
+    *
+    * Scale shape: the cap runs as the NATIVE bounded TopKScore aggregate,
+    * so each map task ships ≤ 2 candidates per cell — shuffle volume is
+    * O(cells · k), INDEPENDENT of corpus size, where the row_number()
+    * window form would shuffle every row to |cells| partitions (a skew
+    * hazard at 100 TB; production raises nPlanes so cells ≈ millions).
+    * cell_size rides the same aggregate. */
+  def q155DiversitySample(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cells = embeddings(s, d).select($"vec_id",
+      element_at(graft.functions.HashExpressions.hyperplaneSigs(
+        $"embedding", 6, 64, 1), 1).as("cell"))
+    cells.groupBy($"cell")
+      .agg(graft.functions.TopKScore($"vec_id".cast("long"),
+          -$"vec_id".cast("double"), 2)
+          .as("top"),
+        count(lit(1)).as("cell_size"))
+      .select($"cell", posexplode($"top"), $"cell_size")
+      .select($"cell", ($"pos" + 1).cast("long").as("rank"),
+        $"col.cid".as("vec_id"), $"cell_size")
+      .orderBy($"cell", $"rank")
+  }
+
+  val q155Sql: String = {
+    val cell = DuckSql.lshBucketSql("embedding", "0", 6, 64)
+    s"""WITH sig AS (SELECT vec_id, $cell AS cell FROM embeddings),
+       |ranked AS (SELECT cell, vec_id,
+       |    row_number() OVER (PARTITION BY cell ORDER BY vec_id) AS rk,
+       |    count(*) OVER (PARTITION BY cell) AS sz
+       |  FROM sig)
+       |SELECT cell, CAST(rk AS BIGINT) AS rank, vec_id,
+       |  CAST(sz AS BIGINT) AS cell_size
+       |FROM ranked WHERE rk <= 2 ORDER BY cell, rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q155_diversity_sample" -> (q155DiversitySample _),
     "q123_bitext_mining" -> (q123BitextMining _),
     "q108_negative_sampling" -> (q108NegativeSampling _),
     "q30_embedding_neardup" -> (q30NearDup _),
@@ -452,6 +495,7 @@ object SimilarityQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q155_diversity_sample" -> q155Sql,
     "q123_bitext_mining" -> q123Sql,
     "q108_negative_sampling" -> q108Sql,
     "q30_embedding_neardup" -> q30Sql,

@@ -185,7 +185,72 @@ object SketchQueries {
       |  count(DISTINCT text) AS distinct_texts, true AS ok
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
+  /** q157: COUNT-MIN point-frequency estimates — the sketch you consult
+    * when the exact (term → count) table is too big to keep: "roughly how
+    * often does THIS token occur" in O(d·w) memory. The query builds the
+    * 4×256 sketch over every token occurrence in ONE map-side-combined
+    * aggregation, then evaluates the 20 true heaviest tokens against it:
+    * (token, exact, estimate, overcount). The sketch's hashes are LCG
+    * mixes of the 32-bit polyhash, so the ORACLE REPLAYS THE ENTIRE
+    * SKETCH in SQL (bucket sums of exact counts == the sketch's counters)
+    * and the one-sided error contract (estimate ≥ exact, always) is
+    * hash-checked, not just spec-asserted.
+    *
+    * Scale shape: the sketch aggregation ships one 8 KiB counter matrix
+    * per map task; the exact top-20 pass exists only to EVALUATE the
+    * sketch (at 100 TB you'd feed it q61's Misra-Gries candidates
+    * instead of an exact GROUP BY). Estimates are evaluated as plain
+    * column arithmetic over the broadcast counter array — no UDF. */
+  def q157CountMin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (dRows, wCols) = (4, 256)
+    val cm = udaf(new Sketches.CountMinAgg(dRows, wCols),
+      org.apache.spark.sql.Encoders.scalaLong)
+    val toks = documents(s, d)
+      .select(explode(TextFunctions.tokens($"text")).as("w"))
+      .select($"w", graft.functions.HashExpressions.polyHash32($"w").as("h"))
+    val sketch = toks.agg(cm($"h").as("counts"))
+    val top = toks.groupBy($"w", $"h").agg(count(lit(1)).as("n_exact"))
+      .orderBy($"n_exact".desc, $"w").limit(20)
+    val est = (0 until dRows).map { j =>
+      element_at($"counts",
+        shiftright((($"h" * lit(Sketches.CountMin.A(j)) + lit(12345L))
+          % lit(2147483648L)) * lit(wCols), 31).cast("int")
+          + lit(j * wCols) + lit(1))
+    }.reduce(least(_, _))
+    top.crossJoin(broadcast(sketch))
+      .select($"w", $"n_exact", est.as("n_est"))
+      .withColumn("overcount", $"n_est" - $"n_exact")
+      .orderBy($"n_exact".desc, $"w")
+  }
+
+  val q157Sql: String = {
+    val toks = DuckSql.tokensSql
+    val ph = DuckSql.polyHashSql("w")
+    s"""WITH toks AS (SELECT unnest($toks) AS w FROM documents),
+       |counts AS (SELECT w, CAST(count(*) AS BIGINT) AS n_exact
+       |  FROM toks GROUP BY 1),
+       |hashed AS (SELECT w, n_exact, $ph AS h FROM counts),
+       |js AS (SELECT unnest(range(0, 4)) AS j,
+       |    unnest([1103515245, 1664525, 69069, 22695477]) AS a),
+       |cells AS (SELECT js.j,
+       |    (((h * js.a + 12345) % 2147483648) * 256) >> 31 AS b,
+       |    CAST(sum(n_exact) AS BIGINT) AS bs
+       |  FROM hashed CROSS JOIN js GROUP BY 1, 2),
+       |top AS (SELECT w, n_exact, h,
+       |    row_number() OVER (ORDER BY n_exact DESC, w) AS rk
+       |  FROM hashed QUALIFY rk <= 20)
+       |SELECT t.w, t.n_exact, CAST(min(c.bs) AS BIGINT) AS n_est,
+       |  CAST(min(c.bs) - t.n_exact AS BIGINT) AS overcount
+       |FROM top t JOIN js ON true
+       |  JOIN cells c ON c.j = js.j
+       |    AND c.b = (((t.h * js.a + 12345) % 2147483648) * 256) >> 31
+       |GROUP BY t.w, t.n_exact
+       |ORDER BY t.n_exact DESC, t.w""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q157_countmin"       -> (q157CountMin _),
     "q59_quantile_sketch" -> (q59QuantileSketch _),
     "q61_heavy_hitters"   -> (q61HeavyHitters _),
     "q62_cardinality"     -> (q62CardinalitySketch _),
@@ -193,6 +258,7 @@ object SketchQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q157_countmin"       -> q157Sql,
     "q59_quantile_sketch" -> q59Sql,
     "q61_heavy_hitters"   -> q61Sql,
     "q62_cardinality"     -> q62Sql,

@@ -556,6 +556,156 @@ object TextQueries {
        |FROM toks JOIN model USING (w) CROSS JOIN stats
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** q154: REFERENCE-LM bigram perplexity filter — the actual CCNet gate
+    * (Wenzek et al. 2019): a language model trained on a REFERENCE slice
+    * (here source 'src0', standing in for Wikipedia) scores every
+    * document; low-cross-entropy docs "read like the reference" and pass,
+    * high-ce docs are gibberish/boilerplate and fail. Distinct from
+    * q111's self-perplexity on three axes: bigram context (so word ORDER
+    * matters, not just vocabulary), strict train/score separation (the
+    * score is an out-of-domain measure), and the filter DECISION is part
+    * of the output (kept flag + unseen-bigram OOV count — the
+    * explain-why-it-was-dropped columns a curation review needs).
+    * Model: add-one-smoothed p(w2|w1) = (c12+1)/(c1+V), both engines
+    * replay it exactly; ce = mean per-bigram NLL.
+    *
+    * Scale shape: bigrams are built in the ARRAY domain inside the scan
+    * projection (one explode, no self-join on position); the bigram-count
+    * join is a plain hash join on (w1,w2) — reference-slice bigram tables
+    * are NOT broadcast (unlike q111's vocab-bounded unigram model they
+    * grow with the reference corpus; AQE still broadcasts them when they
+    * measure small). The unigram side IS broadcast (vocab-bounded,
+    * Heaps' law) and V is a broadcast scalar. One full-data shuffle: the
+    * per-doc aggregate. */
+  def q154LmFilter(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val doc = documents(s, d)
+    val toks = doc.select($"doc_id", $"source", tokens($"text").as("ws"))
+    val bg = toks.where(size($"ws") >= 2)
+      .select($"doc_id", $"source", explode(expr(
+        "transform(sequence(0, size(ws)-2), " +
+          "i -> struct(ws[i] as w1, ws[i+1] as w2))")).as("b"))
+      .select($"doc_id", $"source", $"b.w1".as("w1"), $"b.w2".as("w2"))
+    val uni = toks.where($"source" === "src0")
+      .select(explode($"ws").as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("c1"))
+    val big = bg.where($"source" === "src0")
+      .groupBy($"w1", $"w2").agg(count(lit(1)).as("c12"))
+    val vocab = uni.agg(count(lit(1)).as("v"))
+    val scored = bg
+      .join(big, Seq("w1", "w2"), "left")
+      .join(broadcast(uni.withColumnRenamed("w", "w1")), Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .select($"doc_id",
+        (-log((coalesce($"c12", lit(0L)) + lit(1.0)) /
+          (coalesce($"c1", lit(0L)) + $"v"))).as("nll"),
+        when($"c12".isNull, lit(1L)).otherwise(lit(0L)).as("unseen"))
+    scored.groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        roundp(avg($"nll"), 6).as("ce"),
+        sum($"unseen").as("n_unseen"))
+      // decide on the ROUNDED value so the gate can't flip on float noise
+      .withColumn("kept",
+        when($"ce" < lit(3.55), lit(1L)).otherwise(lit(0L)))
+      .orderBy($"doc_id")
+  }
+
+  val q154Sql: String =
+    s"""WITH toks AS (SELECT doc_id, source, ${DuckSql.tokensSql} AS ws
+       |  FROM documents),
+       |bi AS (SELECT doc_id, source,
+       |    unnest(list_transform(range(1, len(ws)),
+       |      i -> {'w1': ws[i], 'w2': ws[i+1]})) AS b
+       |  FROM toks WHERE len(ws) >= 2),
+       |bg AS (SELECT doc_id, source, b.w1 AS w1, b.w2 AS w2 FROM bi),
+       |uni AS (SELECT unnest(ws) AS w FROM toks WHERE source = 'src0'),
+       |c1 AS (SELECT w, CAST(count(*) AS BIGINT) AS c1 FROM uni GROUP BY 1),
+       |c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+       |  FROM bg WHERE source = 'src0' GROUP BY 1, 2),
+       |v AS (SELECT CAST(count(*) AS BIGINT) AS v FROM c1),
+       |scored AS (
+       |  SELECT bg.doc_id,
+       |    -ln((coalesce(c12.c12, 0) + 1.0) / (coalesce(c1.c1, 0) + v.v))
+       |      AS nll,
+       |    CASE WHEN c12.c12 IS NULL THEN 1 ELSE 0 END AS unseen
+       |  FROM bg LEFT JOIN c12 ON bg.w1 = c12.w1 AND bg.w2 = c12.w2
+       |          LEFT JOIN c1 ON bg.w1 = c1.w
+       |          CROSS JOIN v)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |  ${DuckSql.roundpSql("avg(nll)", 6)} AS ce,
+       |  CAST(sum(unseen) AS BIGINT) AS n_unseen,
+       |  CASE WHEN ${DuckSql.roundpSql("avg(nll)", 6)} < 3.55
+       |    THEN 1::BIGINT ELSE 0::BIGINT END AS kept
+       |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** q156: LEXICAL-DIVERSITY audit per source — type/token ratio and
+    * hapax fraction at unigram AND bigram granularity. Template-generated
+    * or looped text shows a collapsed bigram type space and a vanishing
+    * hapax fraction long before any dedup pass fires; this is the
+    * one-table signal a corpus review reads next to q131's entropy.
+    * Everything is exact integer counting (sums/counts are associative,
+    * so the result is reduction-order-free); the two ratios are final
+    * per-row float expressions rounded at 6dp.
+    *
+    * Scale shape: two explode passes (unigram, bigram in the array
+    * domain), each map-side combined into a (source, term)-keyed count —
+    * the per-source rollup then touches only vocabulary-sized frames
+    * (Heaps' law), and the final join is |sources| rows. */
+  def q156LexicalDiversity(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = documents(s, d).select($"source", tokens($"text").as("ws"))
+    val uni = toks.select($"source", explode($"ws").as("w"))
+      .groupBy($"source", $"w").agg(count(lit(1)).as("c"))
+      .groupBy($"source").agg(
+        sum($"c").as("n_tokens"), count(lit(1)).as("n_types"),
+        sum(when($"c" === 1, lit(1L)).otherwise(lit(0L))).as("n_hapax"))
+    val big = toks.where(size($"ws") >= 2)
+      .select($"source", explode(expr(
+        "transform(sequence(0, size(ws)-2), i -> concat(ws[i], ' ', ws[i+1]))"))
+        .as("bg"))
+      .groupBy($"source", $"bg").agg(count(lit(1)).as("c"))
+      .groupBy($"source").agg(
+        sum($"c").as("n_bigrams"), count(lit(1)).as("n_bigram_types"),
+        sum(when($"c" === 1, lit(1L)).otherwise(lit(0L))).as("n_bigram_hapax"))
+    uni.join(big, "source")
+      .select($"source", $"n_tokens", $"n_types",
+        roundp($"n_types" * lit(1.0) / $"n_tokens", 6).as("ttr"),
+        $"n_hapax",
+        $"n_bigrams", $"n_bigram_types",
+        roundp($"n_bigram_types" * lit(1.0) / $"n_bigrams", 6)
+          .as("bigram_ttr"),
+        roundp($"n_bigram_hapax" * lit(1.0) / $"n_bigram_types", 6)
+          .as("bigram_hapax_frac"))
+      .orderBy($"source")
+  }
+
+  val q156Sql: String =
+    s"""WITH toks AS (SELECT source, ${DuckSql.tokensSql} AS ws
+       |  FROM documents),
+       |uc AS (SELECT source, w, count(*) AS c FROM
+       |  (SELECT source, unnest(ws) AS w FROM toks) GROUP BY 1, 2),
+       |uni AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+       |    CAST(count(*) AS BIGINT) AS n_types,
+       |    CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+       |  FROM uc GROUP BY 1),
+       |bc AS (SELECT source, bg, count(*) AS c FROM
+       |  (SELECT source, unnest(list_transform(range(1, len(ws)),
+       |      i -> ws[i] || ' ' || ws[i+1])) AS bg
+       |    FROM toks WHERE len(ws) >= 2) GROUP BY 1, 2),
+       |big AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_bigrams,
+       |    CAST(count(*) AS BIGINT) AS n_bigram_types,
+       |    CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_bigram_hapax
+       |  FROM bc GROUP BY 1)
+       |SELECT source, n_tokens, n_types,
+       |  ${DuckSql.roundpSql("n_types * 1.0 / n_tokens", 6)} AS ttr,
+       |  n_hapax, n_bigrams, n_bigram_types,
+       |  ${DuckSql.roundpSql("n_bigram_types * 1.0 / n_bigrams", 6)}
+       |    AS bigram_ttr,
+       |  ${DuckSql.roundpSql("n_bigram_hapax * 1.0 / n_bigram_types", 6)}
+       |    AS bigram_hapax_frac
+       |FROM uni JOIN big USING (source) ORDER BY source""".stripMargin
+
   /** q142: COLLOCATION mining — top-50 bigram pairs by pointwise mutual
     * information, c(a,b) ≥ 5. PMI separates grammatical glue from real
     * multiword units (the phrase-vocabulary step of a tokenizer/data
@@ -628,6 +778,8 @@ object TextQueries {
     "q74_tfidf"         -> (q74Tfidf _),
     "q75_bm25"          -> (q75Bm25 _),
     "q111_perplexity"   -> (q111Perplexity _),
+    "q154_lm_filter"    -> (q154LmFilter _),
+    "q156_lexical_diversity" -> (q156LexicalDiversity _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -644,5 +796,7 @@ object TextQueries {
     "q74_tfidf"         -> q74Sql,
     "q75_bm25"          -> q75Sql,
     "q111_perplexity"   -> q111Sql,
+    "q154_lm_filter"    -> q154Sql,
+    "q156_lexical_diversity" -> q156Sql,
   )
 }

@@ -342,4 +342,76 @@ class SketchSpec extends AnyFunSuite with SparkSpecBase {
     assert(stream == batch, s"stream $stream vs batch $batch")
     assert(stream.nonEmpty)
   }
+
+  // ---- CountMin ------------------------------------------------------
+
+  test("CountMin never under-counts, and merge trees equal sequential") {
+    val rnd = new scala.util.Random(7)
+    // zipf-ish: item i appears ~ N/(i+1) times, shuffled
+    val items = rnd.shuffle(
+      (0 until 200).flatMap(i => Seq.fill(2000 / (i + 1))(s"tok$i")).toVector)
+    val hashes = items.map(s =>
+      graft.functions.HashKernels.polyHash32(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s)))
+    val exact = hashes.groupBy(identity).view.mapValues(_.size.toLong).toMap
+
+    val seq = new Sketches.CountMin(4, 256)
+    hashes.foreach(seq.insertHash)
+    // merge tree: 7 uneven chunks merged pairwise in arbitrary order
+    val chunks = hashes.grouped(hashes.size / 7 + 1).map { c =>
+      val s = new Sketches.CountMin(4, 256); c.foreach(s.insertHash); s
+    }.toVector
+    val merged = chunks.reduceRight((a, b) => b.merge(a))
+    assert(seq.counts.toSeq == merged.counts.toSeq,
+      "counter matrices must be identical under any merge order")
+
+    val n = items.size
+    exact.foreach { case (h, c) =>
+      val est = seq.estimate(h)
+      assert(est >= c, s"CMS must never under-count: est $est < exact $c")
+      // standard guarantee: est <= exact + e/w * N with prob 1-(1/2)^d;
+      // assert a loose deterministic-ish 8x margin on the fixture
+      assert(est <= c + 8.0 * math.E / 256 * n,
+        s"est $est way past exact $c + eps*N")
+    }
+  }
+
+  test("q157 one-sided error holds for EVERY token at sf0.001, not just top-20") {
+    // rebuild the q157 sketch path but evaluate all tokens
+    import graft.functions.HashExpressions.polyHash32
+    val cmU = udaf(new Sketches.CountMinAgg(4, 256),
+      org.apache.spark.sql.Encoders.scalaLong)
+    val toks = graft.Tables.documents(spark, sfSmoke)
+      .select(explode(graft.functions.TextFunctions.tokens($"text")).as("w"))
+      .select($"w", polyHash32($"w").as("h"))
+    val counts = toks.agg(cmU($"h")).as[Seq[Long]].head.toArray
+    val cm = new Sketches.CountMin(4, 256)
+    Array.copy(counts, 0, cm.counts, 0, counts.length)
+    val exact = toks.groupBy($"w", $"h").count()
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(exact.nonEmpty)
+    exact.foreach { case (h, c) =>
+      assert(cm.estimate(h) >= c, s"under-count at h=$h")
+    }
+  }
+
+  test("q155 TopKScore cell cap == the row_number window form") {
+    import org.apache.spark.sql.expressions.Window
+    val emb = graft.Tables.embeddings(spark, sfSmoke)
+    val cells = emb.select($"vec_id".cast("long").as("vec_id"),
+      element_at(graft.functions.HashExpressions.hyperplaneSigs(
+        $"embedding", 6, 64, 1), 1).as("cell"))
+    val win = cells
+      .withColumn("rank", row_number().over(
+        Window.partitionBy($"cell").orderBy($"vec_id")))
+      .withColumn("cell_size", count(lit(1)).over(Window.partitionBy($"cell")))
+      .where($"rank" <= 2)
+      .select($"cell", $"rank".cast("long").as("rank"), $"vec_id", $"cell_size")
+      .orderBy($"cell", $"rank")
+      .collect().toSeq
+    val agg = graft.queries.SimilarityQueries
+      .q155DiversitySample(spark, sfSmoke).collect().toSeq
+    assert(agg == win, s"aggregate form diverges from window form")
+    assert(agg.nonEmpty)
+  }
 }
