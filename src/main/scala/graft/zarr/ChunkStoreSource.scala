@@ -185,12 +185,22 @@ class ChunkStoreTable(root: String) extends Table with SupportsRead {
 
 class ChunkScanBuilder(root: String, maxPartitionBytes: Long)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownAggregates {
+    with SupportsPushDownAggregates
+    with SupportsPushDownRequiredColumns {
   import org.apache.spark.sql.connector.expressions.NamedReference
   import org.apache.spark.sql.connector.expressions.aggregate._
 
   private var pushed: Array[Filter] = Array.empty
   private var pushedAgg: Option[Aggregation] = None
+  private var required: StructType = ChunkStoreSource.schema
+
+  /** Column pruning. Key columns come from FILE NAMES, so a projection
+    * that drops `data` never opens a payload at all (plain layouts) or
+    * reads only the trailing shard index (sharded layouts) — "which
+    * chunks exist per scene" style queries on a 100 TB store do zero
+    * payload IO even when they aren't expressible as pushed aggregates. */
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (accepted, rejected) = filters.partition(ChunkStoreSource.evaluable)
@@ -232,7 +242,7 @@ class ChunkScanBuilder(root: String, maxPartitionBytes: Long)
 
   override def build(): Scan = pushedAgg match {
     case Some(a) => new ChunkAggScan(root, pushed, a)
-    case None => new ChunkScan(root, pushed, maxPartitionBytes)
+    case None => new ChunkScan(root, pushed, maxPartitionBytes, required)
   }
 }
 
@@ -306,12 +316,13 @@ object ChunkAggReaderFactory extends PartitionReaderFactory {
     }
 }
 
-class ChunkScan(root: String, filters: Array[Filter], maxPartitionBytes: Long)
+class ChunkScan(root: String, filters: Array[Filter], maxPartitionBytes: Long,
+                required: StructType = ChunkStoreSource.schema)
     extends Scan with Batch with SupportsRuntimeFiltering
     with SupportsReportStatistics {
   import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
 
-  override def readSchema(): StructType = ChunkStoreSource.schema
+  override def readSchema(): StructType = required
   override def description(): String =
     s"graft chunk store $root, PushedFilters: [${filters.mkString(", ")}]"
   override def toBatch: Batch = this
@@ -354,7 +365,8 @@ class ChunkScan(root: String, filters: Array[Filter], maxPartitionBytes: Long)
     val perFile = l.shard.map { case (sy, sx) => sy.toLong * sx }.getOrElse(1L)
     val rows = surviving.size * perFile
     val payload =
-      if (l.inflateTo > 0) l.inflateTo.toLong
+      if (!required.fieldNames.contains("data")) 0L // pruned: keys only
+      else if (l.inflateTo > 0) l.inflateTo.toLong
       else if (surviving.isEmpty) 0L
       else { // raw layout: payload bytes == file bytes; sample the first file
         try Files.size(Paths.get(surviving.head._2)) catch { case _: Exception => 0L }
@@ -405,9 +417,10 @@ class ChunkScan(root: String, filters: Array[Filter], maxPartitionBytes: Long)
     val files = ChunkStoreSource.listKeys(root)
       .filter { case (k, _) => keepFile(k) }
       .sortBy { case (k, _) => (k.time, k.band, k.cy, k.cx) }
+    val fields = required.fieldNames
     if (files.isEmpty)
       return Array(ChunkInputPartition(Array.empty, inflateTo, codec,
-        l.shard, filters, l.transpose))
+        l.shard, filters, l.transpose, fields))
     val sized = files.map { f =>
       (f, try Files.size(Paths.get(f._2)) catch { case _: Exception => 0L })
     }
@@ -424,13 +437,13 @@ class ChunkScan(root: String, filters: Array[Filter], maxPartitionBytes: Long)
       val cost = math.max(sz, openCost)
       if (curN > 0 && curBytes + cost > budget) {
         parts += ChunkInputPartition(cur.result(), inflateTo, codec,
-          l.shard, filters, l.transpose)
+          l.shard, filters, l.transpose, fields)
         cur.clear(); curBytes = 0L; curN = 0
       }
       cur += f; curBytes += cost; curN += 1
     }
     if (curN > 0) parts += ChunkInputPartition(cur.result(), inflateTo, codec,
-      l.shard, filters, l.transpose)
+      l.shard, filters, l.transpose, fields)
     parts.result()
   }
   override def createReaderFactory(): PartitionReaderFactory = ChunkReaderFactory
@@ -446,7 +459,8 @@ final case class ChunkInputPartition(
     files: Array[(ChunkStoreSource.Key, String)], inflateTo: Int = 0,
     codec: String = "raw", shard: Option[(Int, Int)] = None,
     filters: Array[Filter] = Array.empty,
-    transpose: Option[(Int, Int)] = None)
+    transpose: Option[(Int, Int)] = None,
+    fields: Array[String] = ChunkStoreSource.schema.fieldNames)
     extends InputPartition
 
 object ChunkReaderFactory extends PartitionReaderFactory {
@@ -466,8 +480,8 @@ object ChunkReaderFactory extends PartitionReaderFactory {
     } finally in.close()
   }
 
-  private def floatsRow(k: ChunkStoreSource.Key, bytes: Array[Byte],
-                        transpose: Option[(Int, Int)]): InternalRow = {
+  private def decodeFloats(bytes: Array[Byte],
+                           transpose: Option[(Int, Int)]): GenericArrayData = {
     val stored = new Array[Float](bytes.length / 4)
     ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
       .asFloatBuffer().get(stored)
@@ -485,9 +499,28 @@ object ChunkReaderFactory extends PartitionReaderFactory {
         out
       case None => stored
     }
-    new GenericInternalRow(Array[Any](
-      k.time, k.band, k.cy, k.cx,
-      new GenericArrayData(floats.map(f => f: Any))))
+    new GenericArrayData(floats.map(f => f: Any))
+  }
+
+  /** Assemble an output row in the PRUNED schema's field order; `data` is
+    * by-name so a key-only projection never decodes (or even reads) the
+    * payload. */
+  private def projectRow(k: ChunkStoreSource.Key, fields: Array[String],
+                         data: => GenericArrayData): InternalRow = {
+    val vals = new Array[Any](fields.length)
+    var i = 0
+    while (i < fields.length) {
+      vals(i) = fields(i) match {
+        case "time" => k.time
+        case "band" => k.band
+        case "cy"   => k.cy
+        case "cx"   => k.cx
+        case "data" => data
+        case other => throw new IllegalStateException(s"unknown column $other")
+      }
+      i += 1
+    }
+    new GenericInternalRow(vals)
   }
 
   /** Sharded read: walk the shard's trailing index — nInner (offset,
@@ -497,7 +530,8 @@ object ChunkReaderFactory extends PartitionReaderFactory {
     * (the exactness half of the shard pushdown contract). */
   private def shardRows(k: ChunkStoreSource.Key, path: String, sy: Int,
                         sx: Int, inflateTo: Int, filters: Array[Filter],
-                        transpose: Option[(Int, Int)]): Iterator[InternalRow] = {
+                        transpose: Option[(Int, Int)],
+                        fields: Array[String]): Iterator[InternalRow] = {
     val raw = Files.readAllBytes(Paths.get(path))
     val nInner = sy * sx
     val idxLen = nInner * 16 + 4
@@ -520,9 +554,9 @@ object ChunkReaderFactory extends PartitionReaderFactory {
         val inner = ChunkStoreSource.Key(k.time, k.band,
           k.cy * sy + i / sx, k.cx * sx + i % sx)
         if (!filters.forall(ChunkStoreSource.keep(_, inner))) Iterator.empty
-        else Iterator.single(floatsRow(inner,
-          gunzipExact(raw, off.toInt, len.toInt, inflateTo,
-            s"$path[inner $i]"), transpose))
+        else Iterator.single(projectRow(inner, fields,
+          decodeFloats(gunzipExact(raw, off.toInt, len.toInt, inflateTo,
+            s"$path[inner $i]"), transpose)))
       }
     }
   }
@@ -533,7 +567,7 @@ object ChunkReaderFactory extends PartitionReaderFactory {
       case Some((sy, sx)) =>
         val rows = part.files.iterator.flatMap { case (k, path) =>
           shardRows(k, path, sy, sx, part.inflateTo, part.filters,
-            part.transpose)
+            part.transpose, part.fields)
         }
         new PartitionReader[InternalRow] {
           private var row: InternalRow = _
@@ -554,24 +588,28 @@ object ChunkReaderFactory extends PartitionReaderFactory {
       override def next(): Boolean = { i += 1; i < files.length }
       override def get(): InternalRow = {
         val (k, path) = files(i)
-        val raw = Files.readAllBytes(Paths.get(path))
-        val bytes =
-          if (part.inflateTo == 0) raw
-          else if (part.codec == "gzip")
-            // truncation fails HERE with the chunk path, not as a
-            // confusing float-decode length mismatch downstream
-            gunzipExact(raw, 0, raw.length, part.inflateTo, path)
-          else {
-            val inf = new java.util.zip.Inflater()
-            inf.setInput(raw)
-            val out = new Array[Byte](part.inflateTo)
-            var off = 0
-            while (!inf.finished() && off < out.length)
-              off += inf.inflate(out, off, out.length - off)
-            inf.end()
-            out
-          }
-        floatsRow(k, bytes, part.transpose)
+        // pruned projection: `data` unrequested ⇒ the payload file is
+        // never opened — keys come from the listing alone
+        projectRow(k, part.fields, {
+          val raw = Files.readAllBytes(Paths.get(path))
+          val bytes =
+            if (part.inflateTo == 0) raw
+            else if (part.codec == "gzip")
+              // truncation fails HERE with the chunk path, not as a
+              // confusing float-decode length mismatch downstream
+              gunzipExact(raw, 0, raw.length, part.inflateTo, path)
+            else {
+              val inf = new java.util.zip.Inflater()
+              inf.setInput(raw)
+              val out = new Array[Byte](part.inflateTo)
+              var off = 0
+              while (!inf.finished() && off < out.length)
+                off += inf.inflate(out, off, out.length - off)
+              inf.end()
+              out
+            }
+          decodeFloats(bytes, part.transpose)
+        })
       }
       override def close(): Unit = ()
     }

@@ -150,6 +150,34 @@ class ChunkSourceSpec extends AnyFunSuite with SparkSpecBase {
     assert(df.count() == 48)
   }
 
+  test("column pruning: a key-only projection never opens a payload") {
+    // corrupt EVERY payload in a zlib-validated store; key-only reads must
+    // still succeed (keys live in file names), full reads must fail
+    val r = java.nio.file.Files.createTempDirectory("graft-dsv2-prune").toString
+    graft.zarr.ZarrStore.init(r, grid)
+    graft.zarr.ZarrStore.write(spark.createDataset(rows), r)
+    val dir = java.nio.file.Paths.get(graft.zarr.ChunkStoreSource.layout(r).dir)
+    java.nio.file.Files.list(dir).iterator().forEachRemaining { f =>
+      if (!f.getFileName.toString.startsWith("."))
+        java.nio.file.Files.write(f, Array[Byte](9, 9, 9))
+    }
+    val broken = spark.read.format("graft.zarr.ChunkStoreSource").load(r)
+    // non-aggregate key projection (an aggregate would take the agg-push path)
+    val keys = broken.select($"time" * 100 + $"band" * 10 + $"cy" * 2 + $"cx")
+      .as[Int].collect().sorted
+    assert(keys.length == rows.size)
+    assert(keys.take(4).toSeq == Seq(0, 1, 2, 3))
+    intercept[Exception] { broken.select($"data").collect() }
+    // pruned ReadSchema is visible in the plan
+    val df = broken.select($"cy", $"time")
+    val desc = df.queryExecution.sparkPlan.collectLeaves().head.toString
+    assert(!desc.contains("data"), s"payload column must be pruned\n$desc")
+    // field order follows the pruned schema, values stay correct
+    val got = load.select($"cx", $"time").distinct().collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toSet
+    assert(got == (for (t <- 0 until 3; cx <- 0 until 2) yield (cx, t)).toSet)
+  }
+
   test("runtime filtering: a broadcast dim join prunes chunk FILES at execution") {
     // Zarr v2 store (zlib validates payloads) with every time != 0 chunk
     // corrupted: if the dim join's values reach the source as a runtime
