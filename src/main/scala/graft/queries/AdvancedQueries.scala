@@ -515,8 +515,138 @@ object AdvancedQueries {
       |    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
       |ORDER BY p_partkey""".stripMargin
 
+  /** q158: EPOCH-mixture upsampling — the "repeat high-quality sources"
+    * side of data mixing (the complement of q63's downsample and q137's
+    * caps): each source gets a target repeat factor (src0×2.5, src1×1.5,
+    * rest ×1.0), realized as floor(w) copies per doc plus one more when a
+    * deterministic per-doc gate lands under the fractional part. Weights
+    * are carried as integer TEN-THOUSANDTHS and the gate is the q63
+    * exact-integer polyhash gate, so expected == realized mixture is
+    * exactly replayable (no RNG, stable under repartitioning). Output:
+    * per source, docs, realized sample count, realized char budget, and
+    * the achieved ratio — the table a mixture plan is signed off on.
+    *
+    * Scale shape: one scan, one |sources|-row aggregate; the gate and
+    * copy count are scan-projection expressions. The expansion itself is
+    * NOT materialized (a training loader replays the copies column);
+    * only the accounting aggregates. */
+  def q158EpochMixture(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    // per-source repeat weight in ten-thousandths: floor = w/10000 copies,
+    // + 1 when gate < w%10000
+    val w = when($"source" === "src0", lit(25000L))
+      .when($"source" === "src1", lit(15000L))
+      .otherwise(lit(10000L))
+    val gate = pmod(polyHash(concat($"text", lit("em1"))), lit(10000L))
+    // integer floor of the weight (Spark's / is double division; the
+    // quotients here are exactly representable, so floor is exact)
+    val copies = floor(w / 10000L).cast("long") +
+      when(gate < w % 10000L, lit(1L)).otherwise(lit(0L))
+    documents(s, d)
+      .select($"source", $"n_chars", copies.as("copies"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"copies").as("n_samples"),
+        sum($"copies" * $"n_chars").as("sample_chars"))
+      .select($"source", $"n_docs", $"n_samples", $"sample_chars",
+        roundp($"n_samples" * lit(1.0) / $"n_docs", 4).as("realized_ratio"))
+      .orderBy($"source")
+  }
+
+  val q158Sql: String = {
+    val gate = s"(${DuckSql.polyHashSql("(text || 'em1')")} % 10000)"
+    s"""WITH wdocs AS (
+       |  SELECT source, n_chars,
+       |    CASE WHEN source = 'src0' THEN 25000
+       |         WHEN source = 'src1' THEN 15000 ELSE 10000 END AS w,
+       |    $gate AS gate
+       |  FROM documents),
+       |c AS (SELECT source, n_chars,
+       |    w // 10000 + (CASE WHEN gate < w % 10000 THEN 1 ELSE 0 END)
+       |      AS copies
+       |  FROM wdocs)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(copies) AS BIGINT) AS n_samples,
+       |  CAST(sum(copies * n_chars) AS BIGINT) AS sample_chars,
+       |  ${DuckSql.roundpSql("sum(copies) * 1.0 / count(*)", 4)}
+       |    AS realized_ratio
+       |FROM c GROUP BY source ORDER BY source""".stripMargin
+  }
+
+  /** q159: KOLMOGOROV-SMIRNOV drift between two corpus snapshots
+    * (deterministic hash halves) on the n_chars distribution, per source
+    * — the
+    * scalar-feature drift monitor beside q110's binned PSI and q145's
+    * embedding-centroid shift. The KS statistic is computed EXACTLY in
+    * integers: at each distinct value, |cumE·nO − cumO·nE| is an integer
+    * numerator over the common denominator nE·nO, so max() is
+    * reduction-order-free and both engines agree bit-for-bit; only the
+    * final displayed ratio is float (rounded 6dp), and the drift flag
+    * compares integers (ksNum·10 ≥ nE·nO ⟺ ks ≥ 0.1).
+    *
+    * Scale shape: counts collapse to one row per (source, distinct
+    * value) BEFORE the window, so the cumulative sum runs over
+    * vocabulary-sized frames partitioned by source — never over raw
+    * docs. */
+  def q159KsDrift(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // halves via a deterministic text hash, NOT doc_id parity: synthetic
+    // ids stride by |sources|, so per-source id parity is constant
+    val v = documents(s, d).select($"source",
+      (pmod(polyHash(concat($"text", lit("ks"))), lit(2L)) === 0).as("even"),
+      $"n_chars")
+    val cnt = v.groupBy($"source", $"n_chars").agg(
+      sum(when($"even", 1L).otherwise(0L)).as("ce"),
+      sum(when($"even", 0L).otherwise(1L)).as("co"))
+    val tot = v.groupBy($"source").agg(
+      sum(when($"even", 1L).otherwise(0L)).as("ne"),
+      sum(when($"even", 0L).otherwise(1L)).as("no"))
+    val win = Window.partitionBy($"source").orderBy($"n_chars")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cnt
+      .withColumn("cume", sum($"ce").over(win))
+      .withColumn("cumo", sum($"co").over(win))
+      .join(broadcast(tot), "source")
+      .groupBy($"source", $"ne", $"no")
+      .agg(max(abs($"cume" * $"no" - $"cumo" * $"ne")).as("ksnum"))
+      .select($"source", $"ne".as("n_even"), $"no".as("n_odd"),
+        roundp($"ksnum" * lit(1.0) / ($"ne" * $"no"), 6).as("ks"),
+        when($"ksnum" * 10L >= $"ne" * $"no", lit(1L)).otherwise(lit(0L))
+          .as("drifted"))
+      .orderBy($"source")
+  }
+
+  val q159Sql: String =
+    s"""WITH v AS (SELECT source,
+       |    ${DuckSql.polyHashSql("(text || 'ks')")} % 2 = 0 AS even, n_chars
+       |  FROM documents),
+       |cnt AS (SELECT source, n_chars,
+       |    CAST(sum(CASE WHEN even THEN 1 ELSE 0 END) AS BIGINT) AS ce,
+       |    CAST(sum(CASE WHEN even THEN 0 ELSE 1 END) AS BIGINT) AS co
+       |  FROM v GROUP BY 1, 2),
+       |tot AS (SELECT source,
+       |    CAST(sum(CASE WHEN even THEN 1 ELSE 0 END) AS BIGINT) AS ne,
+       |    CAST(sum(CASE WHEN even THEN 0 ELSE 1 END) AS BIGINT) AS no
+       |  FROM v GROUP BY 1),
+       |cum AS (SELECT source, n_chars,
+       |    sum(ce) OVER (PARTITION BY source ORDER BY n_chars
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cume,
+       |    sum(co) OVER (PARTITION BY source ORDER BY n_chars
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumo
+       |  FROM cnt)
+       |SELECT source, ne AS n_even, no AS n_odd,
+       |  ${DuckSql.roundpSql(
+              "max(abs(cume * no - cumo * ne)) * 1.0 / (ne * no)", 6)} AS ks,
+       |  CASE WHEN max(abs(cume * no - cumo * ne)) * 10 >= ne * no
+       |    THEN 1::BIGINT ELSE 0::BIGINT END AS drifted
+       |FROM cum JOIN tot USING (source)
+       |GROUP BY source, ne, no ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q105_skyline"      -> (q105Skyline _),
+    "q158_epoch_mixture" -> (q158EpochMixture _),
+    "q159_ks_drift"     -> (q159KsDrift _),
     "q98_salted_join"   -> (q98SaltedJoin _),
     "q35_knn_native"    -> (q35KnnNative _),
     "q36_sessionize"    -> (q36Sessionize _),
@@ -536,6 +666,8 @@ object AdvancedQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q158_epoch_mixture" -> q158Sql,
+    "q159_ks_drift"     -> q159Sql,
     "q105_skyline"      -> q105Sql,
     "q98_salted_join"   -> q98Sql,
     "q35_knn_native"    -> q35Sql,
