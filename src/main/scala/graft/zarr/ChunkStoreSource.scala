@@ -180,10 +180,13 @@ class ChunkStoreTable(root: String) extends Table with SupportsRead {
     Set(TableCapability.BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ChunkScanBuilder(root,
-      options.getLong("maxPartitionBytes", 128L * 1024 * 1024))
+      options.getLong("maxPartitionBytes", 128L * 1024 * 1024),
+      Option(options.get("keyGroupedBy")).map(_.split(',').map(_.trim).toSeq)
+        .getOrElse(Nil))
 }
 
-class ChunkScanBuilder(root: String, maxPartitionBytes: Long)
+class ChunkScanBuilder(root: String, maxPartitionBytes: Long,
+                       keyGroupedBy: Seq[String] = Nil)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownAggregates
     with SupportsPushDownRequiredColumns {
@@ -242,7 +245,8 @@ class ChunkScanBuilder(root: String, maxPartitionBytes: Long)
 
   override def build(): Scan = pushedAgg match {
     case Some(a) => new ChunkAggScan(root, pushed, a)
-    case None => new ChunkScan(root, pushed, maxPartitionBytes, required)
+    case None =>
+      new ChunkScan(root, pushed, maxPartitionBytes, required, keyGroupedBy)
   }
 }
 
@@ -317,12 +321,31 @@ object ChunkAggReaderFactory extends PartitionReaderFactory {
 }
 
 class ChunkScan(root: String, filters: Array[Filter], maxPartitionBytes: Long,
-                required: StructType = ChunkStoreSource.schema)
+                required: StructType = ChunkStoreSource.schema,
+                keyGroupedBy: Seq[String] = Nil)
     extends Scan with Batch with SupportsRuntimeFiltering
-    with SupportsReportStatistics {
+    with SupportsReportStatistics with SupportsReportPartitioning {
   import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+  import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 
   override def readSchema(): StructType = required
+
+  /** STORAGE-PARTITIONED JOIN support (opt-in via
+    * `option("keyGroupedBy", "time,band")`): the scan reports
+    * KeyGroupedPartitioning over the requested key prefix and plans one
+    * input partition PER KEY GROUP (each carrying its partition-key row),
+    * so a join of two chunk stores on those keys — cube vs cube, this
+    * year vs last year on the same grid — runs with ZERO shuffle on
+    * either side when `spark.sql.sources.v2.bucketing.enabled` is on.
+    * The trade is partition granularity: key groups replace byte-budget
+    * packing, so choose a prefix whose group count ≈ cluster width.
+    * Off by default — the plain path keeps its FilePartition-style byte
+    * budgeting. */
+  override def outputPartitioning(): Partitioning =
+    if (keyGroupedBy.isEmpty) new UnknownPartitioning(0)
+    else new KeyGroupedPartitioning(
+      keyGroupedBy.map(Expressions.identity).toArray,
+      planInputPartitions().length)
   override def description(): String =
     s"graft chunk store $root, PushedFilters: [${filters.mkString(", ")}]"
   override def toBatch: Batch = this
@@ -394,8 +417,13 @@ class ChunkScan(root: String, filters: Array[Filter], maxPartitionBytes: Long,
     val l = ChunkStoreSource.layout(root)
     val (inflateTo, codec) = (l.inflateTo, l.codec)
     // static pushed filters + any join-driven runtime filters: both prune
-    // identically (runtime ones just arrive after the build side executed)
-    val filters = this.filters ++ runtimeFilters
+    // identically (runtime ones just arrive after the build side executed).
+    // Key-grouped mode ignores runtime filters — dropping whole groups at
+    // execution would contradict the partition count the planner already
+    // reported (correctness is unaffected; the join re-applies them).
+    val filters =
+      if (keyGroupedBy.nonEmpty) this.filters
+      else this.filters ++ runtimeFilters
     // Plain layout: listed keys ARE row keys — pruning is exact here.
     // Sharded layout: listed keys are SHARD coords; a shard survives when
     // ANY of its inner keys satisfies the filters (exact existence test by
@@ -418,6 +446,28 @@ class ChunkScan(root: String, filters: Array[Filter], maxPartitionBytes: Long,
       .filter { case (k, _) => keepFile(k) }
       .sortBy { case (k, _) => (k.time, k.band, k.cy, k.cx) }
     val fields = required.fieldNames
+    if (keyGroupedBy.nonEmpty) {
+      // one partition per key group, each tagged with its partition-key
+      // row (HasPartitionKey) — the SPJ contract. Sorted by key for
+      // plan determinism.
+      def kv(k: ChunkStoreSource.Key, c: String): Int = c match {
+        case "time" => k.time; case "band" => k.band
+        case "cy" => k.cy; case "cx" => k.cx
+        case other =>
+          throw new IllegalArgumentException(s"keyGroupedBy: unknown column $other")
+      }
+      return files.groupBy { case (k, _) => keyGroupedBy.map(kv(k, _)) }
+        .toArray
+        .sortBy { case (kv, _) => (kv.lift(0).getOrElse(0),
+          kv.lift(1).getOrElse(0), kv.lift(2).getOrElse(0),
+          kv.lift(3).getOrElse(0)) }
+        .map { case (keyVals, fs) =>
+          new KeyedChunkInputPartition(
+            ChunkInputPartition(fs.toArray, inflateTo, codec, l.shard,
+              filters, l.transpose, fields),
+            keyVals.toArray): InputPartition
+        }
+    }
     if (files.isEmpty)
       return Array(ChunkInputPartition(Array.empty, inflateTo, codec,
         l.shard, filters, l.transpose, fields))
@@ -462,6 +512,15 @@ final case class ChunkInputPartition(
     transpose: Option[(Int, Int)] = None,
     fields: Array[String] = ChunkStoreSource.schema.fieldNames)
     extends InputPartition
+
+/** A chunk partition tagged with its partition-key row — what
+  * `KeyGroupedPartitioning` requires for storage-partitioned joins. */
+final class KeyedChunkInputPartition(
+    val inner: ChunkInputPartition, val keyVals: Array[Int])
+    extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new GenericInternalRow(keyVals.map(x => x: Any))
+}
 
 object ChunkReaderFactory extends PartitionReaderFactory {
 
@@ -562,7 +621,10 @@ object ChunkReaderFactory extends PartitionReaderFactory {
   }
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-    val part = p.asInstanceOf[ChunkInputPartition]
+    val part = p match {
+      case kp: KeyedChunkInputPartition => kp.inner
+      case cp: ChunkInputPartition => cp
+    }
     part.shard match {
       case Some((sy, sx)) =>
         val rows = part.files.iterator.flatMap { case (k, path) =>

@@ -178,6 +178,41 @@ class ChunkSourceSpec extends AnyFunSuite with SparkSpecBase {
     assert(got == (for (t <- 0 until 3; cx <- 0 until 2) yield (cx, t)).toSet)
   }
 
+  test("storage-partitioned join: two stores join on grouped keys with NO shuffle") {
+    // second store, same grid, different payloads
+    val r2 = java.nio.file.Files.createTempDirectory("graft-dsv2-spj").toString
+    ArrayStore.init(r2, ArrayStore.Meta(grid, Seq("B1", "B2")))
+    ArrayStore.write(spark.createDataset(rows.map(r =>
+      r.copy(data = r.data.map(_ + 1000f)))), r2)
+    def kg(path: String) = spark.read.format("graft.zarr.ChunkStoreSource")
+      .option("keyGroupedBy", "time,band,cy,cx").load(path)
+    val conf = spark.conf
+    val keys = Seq("spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val a = kg(root).withColumnRenamed("data", "da")
+      val b = kg(r2).withColumnRenamed("data", "db")
+      val j = a.join(b, Seq("time", "band", "cy", "cx"))
+        .select($"time", $"band", $"cy", $"cx",
+          (element_at($"db", 1) - element_at($"da", 1)).as("diff"))
+      val got = j.collect()
+      assert(got.length == rows.size)
+      assert(got.forall(_.getFloat(4) == 1000f))
+      // string-match the FINAL plan: collect() stops at the AQE boundary
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"SPJ must plan zero shuffles\n$plan")
+      assert(plan.contains("SortMergeJoin"),
+        s"expected a sort-merge join over co-partitioned scans\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("runtime filtering: a broadcast dim join prunes chunk FILES at execution") {
     // Zarr v2 store (zlib validates payloads) with every time != 0 chunk
     // corrupted: if the dim join's values reach the source as a runtime
