@@ -706,6 +706,89 @@ object TextQueries {
        |    AS bigram_hapax_frac
        |FROM uni JOIN big USING (source) ORDER BY source""".stripMargin
 
+  /** q160: VOCAB-SIZE sweep — out-of-vocabulary rate per source when the
+    * tokenizer keeps only the top-K corpus tokens, for K ∈ {8, 16, 24}:
+    * the table that says what a vocabulary budget costs each slice
+    * (non-English/minority sources degrade first — the per-slice view a
+    * single corpus-wide OOV number hides). All candidate vocabularies
+    * come from ONE count pass; per-K membership is a TakeOrdered limit
+    * over the vocab-sized count frame (total order (count DESC, token),
+    * so engine and oracle select identical boundary sets — and NO global
+    * window, per the PlanGuard contract). The token stream expands ×|K|
+    * map-side and hits one aggregate.
+    */
+  def q160VocabSweep(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ks = Seq(8, 16, 24)
+    val toks = documents(s, d)
+      .select($"source", explode(tokens($"text")).as("w"))
+    val counts = toks.groupBy($"w").agg(count(lit(1)).as("c"))
+    val vocab = ks.map { k =>
+      counts.orderBy($"c".desc, $"w").limit(k)
+        .select($"w", lit(k.toLong).as("k"), lit(1L).as("inv"))
+    }.reduce(_ unionByName _)
+    toks.select($"source", $"w",
+        explode(array(ks.map(k => lit(k.toLong)): _*)).as("k"))
+      .join(broadcast(vocab), Seq("w", "k"), "left")
+      .groupBy($"k", $"source")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when($"inv".isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select($"k", $"source", $"n_tokens", $"n_oov",
+        roundp($"n_oov" * lit(1.0) / $"n_tokens", 6).as("oov_rate"))
+      .orderBy($"k", $"source")
+  }
+
+  val q160Sql: String =
+    s"""WITH toks AS (SELECT source, unnest(${DuckSql.tokensSql}) AS w
+       |  FROM documents),
+       |counts AS (SELECT w, count(*) AS c FROM toks GROUP BY 1),
+       |ranked AS (SELECT w, row_number() OVER (ORDER BY c DESC, w) AS rk
+       |  FROM counts),
+       |ks AS (SELECT unnest([8, 16, 24]) AS k),
+       |j AS (SELECT ks.k, t.source,
+       |    CASE WHEN r.rk IS NULL OR r.rk > ks.k THEN 1 ELSE 0 END AS oov
+       |  FROM toks t CROSS JOIN ks LEFT JOIN ranked r ON r.w = t.w)
+       |SELECT CAST(k AS BIGINT) AS k, source,
+       |  CAST(count(*) AS BIGINT) AS n_tokens,
+       |  CAST(sum(oov) AS BIGINT) AS n_oov,
+       |  ${DuckSql.roundpSql("sum(oov) * 1.0 / count(*)", 6)} AS oov_rate
+       |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** q161: PADDING-WASTE accounting — the length-bucketed batching view
+    * of training efficiency (the alternative q114's greedy packing
+    * replaces): docs bucket into width-32 token-length bins, every doc in
+    * a bin pads to the bin cap, and the table reports what fraction of
+    * the batch FLOPs would be padding. Exact integers throughout
+    * (padding = n_docs·cap − Σ len); one scan, one |bins|-row aggregate.
+    */
+  def q161PaddingWaste(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val n = size(tokens($"text")).cast("long")
+    documents(s, d).select(n.as("n"))
+      .select($"n", floor($"n" / 32L).cast("long").as("bin"))
+      .groupBy($"bin")
+      .agg(count(lit(1)).as("n_docs"), sum($"n").as("n_tokens"))
+      .select($"bin", (($"bin" + 1L) * 32L).as("cap"), $"n_docs", $"n_tokens",
+        ($"n_docs" * ($"bin" + 1L) * 32L - $"n_tokens").as("padding"),
+        roundp(($"n_docs" * ($"bin" + 1L) * 32L - $"n_tokens") * lit(1.0) /
+          ($"n_docs" * ($"bin" + 1L) * 32L), 6).as("padding_frac"))
+      .orderBy($"bin")
+  }
+
+  val q161Sql: String =
+    s"""WITH lens AS (SELECT len(${DuckSql.tokensSql}) AS n FROM documents),
+       |b AS (SELECT n, n // 32 AS bin FROM lens),
+       |agg AS (SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(n) AS BIGINT) AS n_tokens
+       |  FROM b GROUP BY 1)
+       |SELECT CAST(bin AS BIGINT) AS bin,
+       |  CAST((bin + 1) * 32 AS BIGINT) AS cap, n_docs, n_tokens,
+       |  CAST(n_docs * (bin + 1) * 32 - n_tokens AS BIGINT) AS padding,
+       |  ${DuckSql.roundpSql(
+            "(n_docs * (bin + 1) * 32 - n_tokens) * 1.0 / (n_docs * (bin + 1) * 32)",
+            6)} AS padding_frac
+       |FROM agg ORDER BY bin""".stripMargin
+
   /** q142: COLLOCATION mining — top-50 bigram pairs by pointwise mutual
     * information, c(a,b) ≥ 5. PMI separates grammatical glue from real
     * multiword units (the phrase-vocabulary step of a tokenizer/data
@@ -780,6 +863,8 @@ object TextQueries {
     "q111_perplexity"   -> (q111Perplexity _),
     "q154_lm_filter"    -> (q154LmFilter _),
     "q156_lexical_diversity" -> (q156LexicalDiversity _),
+    "q160_vocab_sweep"  -> (q160VocabSweep _),
+    "q161_padding_waste" -> (q161PaddingWaste _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -798,5 +883,7 @@ object TextQueries {
     "q111_perplexity"   -> q111Sql,
     "q154_lm_filter"    -> q154Sql,
     "q156_lexical_diversity" -> q156Sql,
+    "q160_vocab_sweep"  -> q160Sql,
+    "q161_padding_waste" -> q161Sql,
   )
 }
