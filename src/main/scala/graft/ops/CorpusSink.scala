@@ -151,6 +151,101 @@ object CorpusSink {
       .filter(col(idCol).cast("long").between(lo, hi))
   }
 
+  /** Append a micro-batch of curated docs as NEW shards after the
+    * existing ones — the STREAMING last mile: a crawl feed drains into
+    * the same one-file-per-shard + self-verifying-manifest layout the
+    * batch `write` produces, without ever rewriting a closed shard
+    * (write-once shards are what lets a training run cite them forever).
+    * Shard ids continue from the manifest's max; each batch closes its
+    * final (possibly underfull) shard — the deliberate trade for
+    * append-only (a compaction pass can rewrite tails offline). The
+    * manifest is tiny and rewritten whole (old ∪ new) via the committer.
+    * Returns the NEW manifest rows. */
+  def appendBatch(batch: DataFrame, idCol: String, weightCol: String,
+                  rowHash: Column, budget: Long, dir: String,
+                  parts: Int): DataFrame = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    require(budget < (1L << 31) - 1,
+      s"shard budget $budget must stay below 2^31-1 so sum(rowHash) cannot wrap")
+    val hasManifest = new java.io.File(dir, ManifestDir).isDirectory
+    val old = if (hasManifest) Some(manifestFrame(spark, dir)) else None
+    val start = old.map(_.agg(max(col("shard_id").cast("long")))
+      .head().getLong(0) + 1L).getOrElse(0L)
+    // same ≥1-weight runtime guard as write(): it backs the wrap bound
+    val wChecked = when(col(weightCol).cast("long") >= 1L,
+        col(weightCol).cast("long"))
+      .otherwise(raise_error(concat(
+        lit(s"CorpusSink: weight '$weightCol' must be >= 1, got "),
+        col(weightCol).cast("string"), lit(" for id "),
+        col(idCol).cast("string"))).cast("long"))
+    val assigned = ScratchCache.register(batch
+      .join(
+        SizeBatch.assign(
+            batch.select(col(idCol).cast("long"), wChecked).as[(Long, Long)],
+            budget, parts)
+          .toDF(idCol, "_w", "shard_id")
+          .select(col(idCol), (col("shard_id") + start).as("shard_id")),
+        Seq(idCol))
+      .persist())
+    if (assigned.isEmpty) return spark.emptyDataFrame
+    assigned
+      .repartition(col("shard_id"))
+      .sortWithinPartitions(col("shard_id"), col(idCol))
+      .write.mode(SaveMode.Append)
+      .partitionBy("shard_id")
+      .parquet(dir)
+    val newRows = assigned
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(weightCol).cast("long")).as("n_weight"),
+        (sum(rowHash) % 4294967296L).as("content_hash"),
+        min(col(idCol).cast("long")).as("min_id"),
+        max(col(idCol).cast("long")).as("max_id"))
+    val manifest = (old match {
+      case Some(o) => o.select(newRows.columns.map(col): _*).unionByName(newRows)
+      case None => newRows
+    }).orderBy(col("shard_id")).localCheckpoint()
+    manifest.coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(new java.io.File(dir, ManifestDir).toString)
+    newRows.orderBy(col("shard_id"))
+  }
+
+  /** foreachBatch adapter with an at-most-once guard per micro-batch:
+    * Structured Streaming REPLAYS the last uncommitted batch on restart,
+    * so the sink records the highest appended batchId (temp + atomic
+    * rename beside the manifest) and ignores batches at or below it —
+    * append + commit-marker makes the replay a no-op instead of a
+    * duplicate shard set.
+    *
+    * {{{
+    * stream.writeStream.foreachBatch { (b: DataFrame, id: Long) =>
+    *   CorpusSink.appendStreamBatch(b, id, "doc_id", "n_chars", h, 4096, dir, 8)
+    * }
+    * }}} */
+  def appendStreamBatch(batch: DataFrame, batchId: Long, idCol: String,
+                        weightCol: String, rowHash: Column, budget: Long,
+                        dir: String, parts: Int): Unit = {
+    if (batchId <= committedBatchId(dir)) return
+    appendBatch(batch, idCol, weightCol, rowHash, budget, dir, parts)
+    val f = new java.io.File(new java.io.File(dir, ManifestDir), "_committed_batch")
+    f.getParentFile.mkdirs()
+    val tmp = new java.io.File(f.getParentFile, s"._committed_batch.tmp")
+    java.nio.file.Files.write(tmp.toPath,
+      batchId.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp.toPath, f.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Highest micro-batch id already appended to `dir` (−1 if none). */
+  def committedBatchId(dir: String): Long = {
+    val f = new java.io.File(new java.io.File(dir, ManifestDir), "_committed_batch")
+    if (!f.isFile) -1L
+    else new String(java.nio.file.Files.readAllBytes(f.toPath),
+      java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+  }
+
   /** Recompute the manifest from an already-written shard directory —
     * the verification side of the contract: equality with the writer's
     * returned manifest proves the files on disk are complete and

@@ -471,6 +471,46 @@ object CorpusOpsQueries {
        |FROM documents GROUP BY source ORDER BY source""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q162
+
+  /** q162: STREAMED corpus sink under the ORACLE GATE — the corpus
+    * arrives as two micro-batches through `CorpusSink.appendBatch` (the
+    * streaming foreachBatch path: write-once shards appended after the
+    * existing manifest max, manifest rewritten old ∪ new), is read back
+    * from the shard files, and aggregates per source with a content
+    * hash. The oracle aggregates the parquet table directly — any doc a
+    * batch boundary dropped, duplicated, or re-typed flips the hash.
+    * The batch split point is a doc_id median-ish constant so both
+    * batches are non-trivial at any SF. Fresh scratch dir per run:
+    * append semantics make re-use non-idempotent by design. */
+  def q162StreamedSink(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-streamsink-").toString
+    val docs = documents(s, d)
+    val rh = polyHash(concat_ws("|", $"doc_id", $"text"))
+    val cut = 80L * (docs.count() / 160L).max(1L) // ~median, id-scaled
+    graft.ops.CorpusSink.appendStreamBatch(docs.filter($"doc_id" < cut),
+      0L, "doc_id", "n_chars", rh, 16000L, dir, 8)
+    graft.ops.CorpusSink.appendStreamBatch(docs.filter($"doc_id" >= cut),
+      1L, "doc_id", "n_chars", rh, 16000L, dir, 8)
+    val back = s.read.parquet(dir)
+    back.groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_chars".cast("long")).as("n_chars"),
+        (sum(polyHash(concat_ws("|", $"doc_id", $"text")))
+          % 4294967296L).as("content_hash"))
+      .orderBy($"source")
+  }
+
+  val q162Sql: String = {
+    val rh = DuckSql.polyHashSql("concat_ws('|', doc_id, text)")
+    s"""SELECT source, count(*)::BIGINT AS n_docs,
+       |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+       |  CAST(sum($rh) % 4294967296 AS BIGINT) AS content_hash
+       |FROM documents GROUP BY source ORDER BY source""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q152
 
   /** q152: K-ANONYMITY audit over the (lang, source) quasi-identifier —
@@ -511,6 +551,7 @@ object CorpusOpsQueries {
     "q150_data_card"        -> (q150DataCard _),
     "q151_jsonl_roundtrip"  -> (q151JsonlRoundtrip _),
     "q152_k_anonymity"      -> (q152KAnonymity _),
+    "q162_streamed_sink"    -> (q162StreamedSink _),
     "q136_adaptive_quality" -> (q136AdaptiveQuality _),
     "q137_waterfill"        -> (q137Waterfill _),
     "q138_zonemap_range"    -> (q138ZoneMapRange _),
@@ -523,6 +564,7 @@ object CorpusOpsQueries {
     "q150_data_card"        -> q150Sql,
     "q151_jsonl_roundtrip"  -> q151Sql,
     "q152_k_anonymity"      -> q152Sql,
+    "q162_streamed_sink"    -> q162Sql,
     "q136_adaptive_quality" -> q136Sql,
     "q137_waterfill"        -> q137Sql,
     "q138_zonemap_range"    -> q138Sql,

@@ -147,4 +147,62 @@ class CorpusSinkSpec extends AnyFunSuite with SparkSpecBase {
     assert(!CorpusSink.isFresh(spark, dir, n, w - 1, h))
     assert(!CorpusSink.isFresh(spark, dir, n, w, (h + 1) % 4294967296L))
   }
+
+  test("appendBatch: two appends hold the full corpus; manifest self-verifies") {
+    val docs = Tables.documents(spark, sfSmoke)
+    val dir = freshDir()
+    val (a, b) = (docs.filter($"doc_id" < 80), docs.filter($"doc_id" >= 80))
+    val m1 = CorpusSink.appendBatch(a, "doc_id", "n_chars", rowHash,
+      budget = 16000L, dir = dir, parts = 4).collect()
+    val m2 = CorpusSink.appendBatch(b, "doc_id", "n_chars", rowHash,
+      budget = 16000L, dir = dir, parts = 4).collect()
+    assert(m1.nonEmpty && m2.nonEmpty)
+    // batch-2 shard ids continue strictly after batch-1's
+    val max1 = m1.map(_.getLong(0)).max
+    assert(m2.map(_.getLong(0)).min == max1 + 1,
+      "appended shards must continue after the existing max id")
+    // shards are write-once: batch 1's files are untouched by batch 2
+    val back = spark.read.parquet(dir)
+    assert(back.count() == docs.count())
+    assert(back.select("doc_id").distinct().count() == docs.count())
+    // the persisted manifest equals the file-derived manifest (self-verify)
+    val persisted = CorpusSink.manifestFrame(spark, dir)
+      .orderBy($"shard_id").collect().map(_.toSeq).toSeq
+    val derived = CorpusSink.manifestOf(spark, dir, "n_chars", rowHash)
+      .collect().map(_.toSeq).toSeq
+    assert(persisted == derived)
+    // zone-map range reads still prune correctly across appended shards
+    val r = CorpusSink.readRange(spark, dir, "doc_id", 70, 90)
+    assert(r.select("doc_id").as[Long].collect().sorted.toSeq ==
+      docs.filter($"doc_id".between(70, 90)).select($"doc_id".cast("long"))
+        .as[Long].collect().sorted.toSeq)
+  }
+
+  test("appendStreamBatch: a replayed micro-batch is a no-op (restart safety)") {
+    val docs = Tables.documents(spark, sfSmoke)
+    val dir = freshDir()
+    val (a, b) = (docs.filter($"doc_id" < 80), docs.filter($"doc_id" >= 80))
+    CorpusSink.appendStreamBatch(a, 0L, "doc_id", "n_chars", rowHash,
+      16000L, dir, 4)
+    CorpusSink.appendStreamBatch(b, 1L, "doc_id", "n_chars", rowHash,
+      16000L, dir, 4)
+    val before = CorpusSink.manifestFrame(spark, dir)
+      .orderBy($"shard_id").collect().map(_.toSeq).toSeq
+    assert(CorpusSink.committedBatchId(dir) == 1L)
+    // streaming restart replays the last batch — must not duplicate
+    CorpusSink.appendStreamBatch(b, 1L, "doc_id", "n_chars", rowHash,
+      16000L, dir, 4)
+    val after = CorpusSink.manifestFrame(spark, dir)
+      .orderBy($"shard_id").collect().map(_.toSeq).toSeq
+    assert(after == before, "replayed batch must be ignored")
+    assert(spark.read.parquet(dir).count() == docs.count())
+    // and the full streamed corpus equals one batch write, content-wise
+    val batchDir = freshDir()
+    CorpusSink.write(docs, "doc_id", "n_chars", rowHash, 16000L, batchDir, 4)
+    val sBack = spark.read.parquet(dir).select($"doc_id", $"text")
+      .collect().map(_.toSeq).toSet
+    val bBack = spark.read.parquet(batchDir).select($"doc_id", $"text")
+      .collect().map(_.toSeq).toSet
+    assert(sBack == bBack)
+  }
 }
