@@ -504,6 +504,233 @@ object Proj4 {
             (lon, lat) => { val (x, y) = c.forward(lon, lat); (x + x0, y + y0) },
             (x, y) => c.inverse(x - x0, y - y0))
 
+      case "laea" =>
+        // Lambert azimuthal equal-area. Spherical oblique: Snyder
+        // p.185 (24-2..24-4). Ellipsoidal: EPSG method 9820 / Snyder
+        // p.187-190 via authalic latitude — the ETRS89-LAEA Europe
+        // (EPSG:3035) and EASE-Grid 2.0 polar (EPSG:6931/6932) method.
+        // Pins (Proj4Spec): polar ρ(equator) = √2·Rq against the
+        // published WGS84 authalic radius, Jacobian area-closure at the
+        // oblique aspect, sub-mm round-trips.
+        for {
+          lon0 <- numOr("lon_0", 0.0)
+          lat0 <- numOr("lat_0", 0.0)
+          x0 <- numOr("x_0", 0.0); y0 <- numOr("y_0", 0.0)
+          c <- sphereR match {
+            case Some(r) =>
+              val phi0 = math.toRadians(lat0)
+              val (s0, c0) = (math.sin(phi0), math.cos(phi0))
+              Some(Compiled(
+                (lon, lat) => {
+                  val phi = math.toRadians(lat)
+                  val dl = math.toRadians(lon - lon0)
+                  val den = 1 + s0 * math.sin(phi) +
+                    c0 * math.cos(phi) * math.cos(dl)
+                  val kp = math.sqrt(2 / den)
+                  (r * kp * math.cos(phi) * math.sin(dl),
+                    r * kp * (c0 * math.sin(phi) -
+                      s0 * math.cos(phi) * math.cos(dl)))
+                },
+                (x, y) => {
+                  val rho = math.hypot(x, y)
+                  if (rho < 1e-12) (lon0, lat0)
+                  else {
+                    val ce = 2 * math.asin(math.min(1.0, rho / (2 * r)))
+                    val phi = math.asin(math.cos(ce) * s0 +
+                      y * math.sin(ce) * c0 / rho)
+                    val lam = math.atan2(x * math.sin(ce),
+                      rho * c0 * math.cos(ce) - y * s0 * math.sin(ce))
+                    (lon0 + math.toDegrees(lam), math.toDegrees(phi))
+                  }
+                }))
+            case None if wgsLike =>
+              val a = WgsA
+              val e2 = 0.00669437999014
+              val e = math.sqrt(e2)
+              def q(phi: Double): Double = {
+                val s = math.sin(phi)
+                (1 - e2) * (s / (1 - e2 * s * s) -
+                  (1 / (2 * e)) * math.log((1 - e * s) / (1 + e * s)))
+              }
+              val qp = q(math.Pi / 2)
+              // Snyder 3-16 fixpoint: φ from authalic q (shared with cea)
+              def phiFromQ(qq: Double): Double = {
+                if (math.abs(qq) >= qp * (1 - 1e-12))
+                  math.signum(qq) * math.Pi / 2
+                else {
+                  var phi = math.asin(qq / 2)
+                  var i = 0
+                  while (i < 15) {
+                    val s = math.sin(phi)
+                    val den = 1 - e2 * s * s
+                    phi += den * den / (2 * math.cos(phi)) *
+                      (qq / (1 - e2) - s / den +
+                        (1 / (2 * e)) * math.log((1 - e * s) / (1 + e * s)))
+                    i += 1
+                  }
+                  phi
+                }
+              }
+              if (math.abs(lat0) >= 90.0 - 1e-9) {
+                // polar aspect (Snyder 24-23/25): ρ = a·√(qp ∓ q)
+                val north = lat0 > 0
+                Some(Compiled(
+                  (lon, lat) => {
+                    val qq = q(math.toRadians(lat))
+                    val rho = a * math.sqrt(math.max(0.0,
+                      if (north) qp - qq else qp + qq))
+                    val dl = math.toRadians(lon - lon0)
+                    (rho * math.sin(dl),
+                      if (north) -rho * math.cos(dl) else rho * math.cos(dl))
+                  },
+                  (x, y) => {
+                    val rho = math.hypot(x, y)
+                    val qq =
+                      if (north) qp - (rho / a) * (rho / a)
+                      else (rho / a) * (rho / a) - qp
+                    val lam =
+                      if (rho < 1e-12) 0.0
+                      else if (north) math.atan2(x, -y) else math.atan2(x, y)
+                    (lon0 + math.toDegrees(lam),
+                      math.toDegrees(phiFromQ(qq)))
+                  }))
+              } else {
+                // oblique/equatorial aspect (EPSG 9820)
+                val phi0 = math.toRadians(lat0)
+                val rq = a * math.sqrt(qp / 2)
+                val beta0 = math.asin(
+                  math.max(-1.0, math.min(1.0, q(phi0) / qp)))
+                val (sb0, cb0) = (math.sin(beta0), math.cos(beta0))
+                val dConst = a * math.cos(phi0) /
+                  (math.sqrt(1 - e2 * math.sin(phi0) * math.sin(phi0)) *
+                    rq * cb0)
+                Some(Compiled(
+                  (lon, lat) => {
+                    val beta = math.asin(
+                      math.max(-1.0, math.min(1.0, q(math.toRadians(lat)) / qp)))
+                    val dl = math.toRadians(lon - lon0)
+                    val (sb, cb) = (math.sin(beta), math.cos(beta))
+                    val b = rq * math.sqrt(
+                      2 / (1 + sb0 * sb + cb0 * cb * math.cos(dl)))
+                    (b * dConst * cb * math.sin(dl),
+                      (b / dConst) * (cb0 * sb - sb0 * cb * math.cos(dl)))
+                  },
+                  (x, y) => {
+                    val rho = math.hypot(x / dConst, dConst * y)
+                    if (rho < 1e-12) (lon0, lat0)
+                    else {
+                      val ce = 2 * math.asin(
+                        math.min(1.0, rho / (2 * rq)))
+                      val betaP = math.asin(math.cos(ce) * sb0 +
+                        dConst * y * math.sin(ce) * cb0 / rho)
+                      val lam = math.atan2(x * math.sin(ce),
+                        dConst * rho * cb0 * math.cos(ce) -
+                          dConst * dConst * y * sb0 * math.sin(ce))
+                      (lon0 + math.toDegrees(lam),
+                        math.toDegrees(phiFromQ(qp * math.sin(betaP))))
+                    }
+                  }))
+              }
+            case None => None
+          }
+        } yield
+          if (x0 == 0.0 && y0 == 0.0) c
+          else Compiled(
+            (lon, lat) => { val (x, y) = c.forward(lon, lat); (x + x0, y + y0) },
+            (x, y) => c.inverse(x - x0, y - y0))
+
+      case "moll" =>
+        // Mollweide (Snyder p.251-252), spherical by construction — PROJ
+        // treats it as spherical on any datum, radius = a; we mirror
+        // that (explicit +R wins). θ from 2θ + sin2θ = π·sinφ (Newton).
+        for {
+          lon0 <- numOr("lon_0", 0.0)
+          x0 <- numOr("x_0", 0.0); y0 <- numOr("y_0", 0.0)
+          r <- sphereR.orElse(if (wgsLike) Some(WgsA) else None)
+        } yield {
+          val sqrt2 = math.sqrt(2.0)
+          def theta(phi: Double): Double = {
+            val target = math.Pi * math.sin(phi)
+            if (math.abs(phi) >= math.Pi / 2 - 1e-12)
+              math.signum(phi) * math.Pi / 2
+            else {
+              var th = phi
+              var i = 0
+              while (i < 25) {
+                val f = 2 * th + math.sin(2 * th) - target
+                th -= f / (2 + 2 * math.cos(2 * th))
+                i += 1
+              }
+              th
+            }
+          }
+          val c = Compiled(
+            (lon, lat) => {
+              val th = theta(math.toRadians(lat))
+              ((2 * sqrt2 / math.Pi) * r * math.toRadians(lon - lon0) *
+                math.cos(th),
+                sqrt2 * r * math.sin(th))
+            },
+            (x, y) => {
+              val th = math.asin(math.max(-1.0, math.min(1.0, y / (sqrt2 * r))))
+              val phi = math.asin(math.max(-1.0, math.min(1.0,
+                (2 * th + math.sin(2 * th)) / math.Pi)))
+              val lam =
+                if (math.abs(th) >= math.Pi / 2 - 1e-12) 0.0
+                else math.Pi * x / (2 * sqrt2 * r * math.cos(th))
+              (lon0 + math.toDegrees(lam), math.toDegrees(phi))
+            })
+          if (x0 == 0.0 && y0 == 0.0) c
+          else Compiled(
+            (lon, lat) => { val (x, y) = c.forward(lon, lat); (x + x0, y + y0) },
+            (x, y) => c.inverse(x - x0, y - y0))
+        }
+
+      case "aeqd" =>
+        // Azimuthal equidistant, SPHERICAL only (Snyder p.195, 25-2/25-4):
+        // distance from the center on the map equals the great-circle
+        // distance exactly. PROJ's ellipsoidal aeqd runs geodesics — a
+        // spherical stand-in on +datum grids would silently diverge
+        // ~0.3 %, so ellipsoidal strings FAIL FAST (the honest-rejection
+        // contract) and only explicit +R spheres compile.
+        for {
+          lon0 <- numOr("lon_0", 0.0)
+          lat0 <- numOr("lat_0", 0.0)
+          x0 <- numOr("x_0", 0.0); y0 <- numOr("y_0", 0.0)
+          r <- sphereR
+        } yield {
+          val phi0 = math.toRadians(lat0)
+          val (s0, c0) = (math.sin(phi0), math.cos(phi0))
+          val c = Compiled(
+            (lon, lat) => {
+              val phi = math.toRadians(lat)
+              val dl = math.toRadians(lon - lon0)
+              val cosc = s0 * math.sin(phi) +
+                c0 * math.cos(phi) * math.cos(dl)
+              val cc = math.acos(math.max(-1.0, math.min(1.0, cosc)))
+              val k = if (cc < 1e-12) 1.0 else cc / math.sin(cc)
+              (r * k * math.cos(phi) * math.sin(dl),
+                r * k * (c0 * math.sin(phi) -
+                  s0 * math.cos(phi) * math.cos(dl)))
+            },
+            (x, y) => {
+              val rho = math.hypot(x, y)
+              if (rho < 1e-12) (lon0, lat0)
+              else {
+                val cc = rho / r
+                val phi = math.asin(math.cos(cc) * s0 +
+                  y * math.sin(cc) * c0 / rho)
+                val lam = math.atan2(x * math.sin(cc),
+                  rho * c0 * math.cos(cc) - y * s0 * math.sin(cc))
+                (lon0 + math.toDegrees(lam), math.toDegrees(phi))
+              }
+            })
+          if (x0 == 0.0 && y0 == 0.0) c
+          else Compiled(
+            (lon, lat) => { val (x, y) = c.forward(lon, lat); (x + x0, y + y0) },
+            (x, y) => c.inverse(x - x0, y - y0))
+        }
+
       case "sinu" =>
         for {
           lon0 <- numOr("lon_0", 0.0)

@@ -147,6 +147,112 @@ class Proj4Spec extends AnyFunSuite with SparkSpecBase {
     assert(math.abs(x60 - 6371000 * math.toRadians(100.0) * 0.5) < 1e-6)
   }
 
+  test("proj laea: authalic pins, equal-area closure, EPSG:3035/6931 shapes") {
+    val rq = 6371007.1809 // published WGS84 authalic radius (shared pin)
+    // POLAR aspect (EASE-Grid 2.0 North, EPSG:6931 string): the map
+    // radius at the equator is √2·Rq — a closed-form authalic pin
+    val north = Proj4.parse("+proj=laea +lat_0=90 +lon_0=0 +x_0=0 +y_0=0 " +
+      "+datum=WGS84 +units=m +no_defs").getOrElse(fail("polar laea"))
+    val (xe, ye) = north.forward(90.0, 0.0) // due east of the pole
+    assert(math.abs(math.hypot(xe, ye) - math.sqrt(2) * rq) < 1e-2,
+      s"polar equator radius ${math.hypot(xe, ye)} vs ${math.sqrt(2) * rq}")
+    // y-axis orientation: lon=0 maps to -y (south on the map)
+    val (x0n, y0n) = north.forward(0.0, 80.0)
+    assert(math.abs(x0n) < 1e-6 && y0n < 0)
+    // OBLIQUE aspect — the ETRS89-LAEA Europe string (EPSG:3035):
+    val eu = Proj4.parse("+proj=laea +lat_0=52 +lon_0=10 +x_0=4321000 " +
+      "+y_0=3210000 +datum=WGS84 +units=m +no_defs")
+      .getOrElse(fail("oblique laea"))
+    // natural origin lands exactly on the false origin
+    val (ox, oy) = eu.forward(10.0, 52.0)
+    assert(math.abs(ox - 4321000) < 1e-6 && math.abs(oy - 3210000) < 1e-6)
+    // EQUAL-AREA closure (the property that defines the method): a small
+    // quad's map area equals its ellipsoidal area within 1e-6 relative,
+    // at several latitudes incl. south of the origin
+    val a = 6378137.0; val e2 = 0.00669437999014
+    for ((lon, lat) <- Seq((5.0, 50.0), (20.0, 40.0), (10.0, 70.0),
+                           (-8.0, 36.0), (10.0, 52.0))) {
+      // small enough that finite-difference truncation sits well under
+      // the 1e-6 gate even 20° from the projection center
+      val h = 1e-4 // degrees
+      val p00 = eu.forward(lon, lat); val p10 = eu.forward(lon + h, lat)
+      val p01 = eu.forward(lon, lat + h)
+      val mapArea = math.abs(
+        (p10._1 - p00._1) * (p01._2 - p00._2) -
+          (p01._1 - p00._1) * (p10._2 - p00._2))
+      val phi = math.toRadians(lat)
+      val den = 1 - e2 * math.sin(phi) * math.sin(phi)
+      val ellArea = a * a * (1 - e2) * math.cos(phi) / (den * den) *
+        math.toRadians(h) * math.toRadians(h)
+      assert(math.abs(mapArea / ellArea - 1) < 1e-6,
+        s"area ratio at ($lon,$lat): ${mapArea / ellArea}")
+    }
+    // sub-mm round-trips across the map, incl. polar store points
+    for ((lon, lat) <- Seq((10.0, 52.0), (-10.3, 34.7), (31.0, 71.2),
+                           (10.0, 90.0), (179.0, 55.0))) {
+      val (x, y) = eu.forward(lon, lat)
+      val (lon2, lat2) = eu.inverse(x, y)
+      assert((math.abs(lat - 90) < 1e-9 || math.abs(lon2 - lon) < 1e-7) &&
+        math.abs(lat2 - lat) < 1e-7, s"laea roundtrip ($lon,$lat)->($lon2,$lat2)")
+    }
+    for ((lon, lat) <- Seq((0.0, 89.0), (120.0, 45.0), (-60.0, 10.0))) {
+      val (x, y) = north.forward(lon, lat)
+      val (lon2, lat2) = north.inverse(x, y)
+      assert(math.abs(lon2 - lon) < 1e-7 && math.abs(lat2 - lat) < 1e-7)
+    }
+    // spherical laea on +R: k' at the origin is 1 (Snyder 24-2)
+    val sph = Proj4.parse("+proj=laea +lat_0=40 +lon_0=-100 +R=6371000")
+      .getOrElse(fail("spherical laea"))
+    val (sx, sy) = sph.forward(-100.0, 40.0)
+    assert(math.abs(sx) < 1e-9 && math.abs(sy) < 1e-9)
+    val (l2, p2) = sph.inverse(sph.forward(-95.0, 35.0)._1,
+      sph.forward(-95.0, 35.0)._2)
+    assert(math.abs(l2 + 95) < 1e-7 && math.abs(p2 - 35) < 1e-7)
+  }
+
+  test("proj moll + aeqd: closed-form pins and honest aeqd rejection") {
+    // Mollweide: x(±180, 0) = ±2√2·R, y(poles) = ±√2·R; PROJ treats any
+    // datum as the a-radius sphere — mirror with +datum=WGS84
+    val m = Proj4.parse("+proj=moll +lon_0=0 +datum=WGS84 +units=m +no_defs")
+      .getOrElse(fail("moll"))
+    val rA = 6378137.0
+    val (xm, _) = m.forward(180.0, 0.0)
+    assert(math.abs(xm - 2 * math.sqrt(2) * rA) < 1e-6, s"x(180,0)=$xm")
+    val (_, yp) = m.forward(0.0, 90.0)
+    assert(math.abs(yp - math.sqrt(2) * rA) < 1e-6, s"y(pole)=$yp")
+    // total map area (ellipse π·ab) equals the sphere area 4πR² — the
+    // equal-area identity that fixes both axes
+    assert(math.abs(math.Pi * (2 * math.sqrt(2) * rA) * (math.sqrt(2) * rA) /
+      (4 * math.Pi * rA * rA) - 1) < 1e-12)
+    for ((lon, lat) <- Seq((0.0, 0.0), (-179.0, -60.0), (45.0, 52.5),
+                           (13.0, 89.5))) {
+      val (x, y) = m.forward(lon, lat)
+      val (lon2, lat2) = m.inverse(x, y)
+      assert(math.abs(lon2 - lon) < 1e-7 && math.abs(lat2 - lat) < 1e-7,
+        s"moll roundtrip ($lon,$lat)->($lon2,$lat2)")
+    }
+    // aeqd spherical: map distance from center == great-circle distance
+    // (the defining property), azimuthal directions preserved
+    val r = 6371000.0
+    val ae = Proj4.parse(s"+proj=aeqd +lat_0=48.0 +lon_0=2.0 +R=$r")
+      .getOrElse(fail("aeqd"))
+    for ((lon, lat) <- Seq((2.0, 49.0), (-70.0, 40.0), (140.0, -35.0))) {
+      val (x, y) = ae.forward(lon, lat)
+      val (p1, l1) = (math.toRadians(48.0), math.toRadians(2.0))
+      val (p2r, l2r) = (math.toRadians(lat), math.toRadians(lon))
+      val gc = r * math.acos(math.min(1.0, math.sin(p1) * math.sin(p2r) +
+        math.cos(p1) * math.cos(p2r) * math.cos(l2r - l1)))
+      assert(math.abs(math.hypot(x, y) - gc) < 1e-6,
+        s"aeqd dist ${math.hypot(x, y)} vs great-circle $gc")
+      val (lon2, lat2) = ae.inverse(x, y)
+      assert(math.abs(lon2 - lon) < 1e-7 && math.abs(lat2 - lat) < 1e-7)
+    }
+    // ellipsoidal aeqd would need geodesics — must fail fast, not
+    // silently run spherical math on a datum grid
+    assert(Proj4.parse("+proj=aeqd +lat_0=48 +lon_0=2 +datum=WGS84").isEmpty)
+    assert(Proj4.parse("+proj=aeqd +lat_0=48 +lon_0=2 +ellps=GRS80").isEmpty)
+  }
+
   test("honest rejection: unknown projections/ellipsoids, oblique stere") {
     // OSGB36 (EPSG:27700) carries a real datum shift — round-7 Datum
     // machinery now compiles it (DatumSpec pins the worked example);
