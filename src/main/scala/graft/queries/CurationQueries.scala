@@ -1297,7 +1297,166 @@ object CurationQueries {
        |ORDER BY stage""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q163
+
+  /** q163: DSIR-style data selection — importance weights from hashed
+    * unigram features (Xie et al. 2023, "Data Selection via Importance
+    * Resampling"). Tokens hash into 64 buckets (polyHash32 mod 64, the
+    * shared cross-engine hash); the TARGET distribution is the lang='en'
+    * slice, the RAW distribution the whole corpus; both are
+    * Laplace-smoothed bucket frequencies from ONE count pass. A doc's
+    * score is its mean per-token log-likelihood ratio
+    * ln(p_target/p_raw) — the top-50 table is what an importance
+    * resampler would feed.
+    *
+    * Scale shape: the bucket table is 64 rows (broadcast both for the
+    * per-token join and the totals), so the only corpus-sized exchanges
+    * are the bucket partial-agg and the per-doc aggregation — no window,
+    * no self-join; the feature space stays O(1) no matter the corpus.
+    * Floats appear only in the final log/avg, rounded to 6dp (q111's
+    * order-drift absorption); the trailing `+ 0.0` normalizes a
+    * potential -0.0 at the rounding boundary identically in both
+    * engines. */
+  def q163DsirWeights(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.TextFunctions.{polyHash, tokens}
+    val B = 64
+    val toks = documents(s, d)
+      .select($"doc_id", $"source", $"lang", explode(tokens($"text")).as("w"))
+      .select($"doc_id", $"source", $"lang",
+        pmod(polyHash($"w"), lit(B.toLong)).as("b"))
+    val bk = toks.groupBy($"b").agg(
+      sum(when($"lang" === "en", 1L).otherwise(0L)).as("ct"),
+      count(lit(1)).as("cr"))
+    val n = bk.agg(sum($"ct").as("nt"), sum($"cr").as("nr"))
+    toks.join(broadcast(bk), Seq("b")).crossJoin(broadcast(n))
+      .select($"doc_id", $"source",
+        (log(($"ct" + lit(1.0)) / ($"nt" + lit(B.toDouble))) -
+          log(($"cr" + lit(1.0)) / ($"nr" + lit(B.toDouble)))).as("lr"))
+      .groupBy($"doc_id", $"source")
+      .agg(count(lit(1)).as("n_tokens"),
+        (roundp(avg($"lr"), 6) + lit(0.0)).as("dsir_score"))
+      .orderBy($"dsir_score".desc, $"doc_id")
+      .limit(50)
+  }
+
+  val q163Sql: String = {
+    val ws = DuckSql.tokensSql
+    s"""WITH toks AS (SELECT doc_id, source, lang, unnest($ws) AS w
+       |  FROM documents),
+       |h AS (SELECT doc_id, source, lang,
+       |    (${DuckSql.polyHashSql("w")}) % 64 AS b FROM toks),
+       |bk AS (SELECT b,
+       |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS ct,
+       |    count(*)::BIGINT AS cr FROM h GROUP BY 1),
+       |n AS (SELECT sum(ct)::BIGINT AS nt, sum(cr)::BIGINT AS nr FROM bk),
+       |sc AS (SELECT doc_id, source,
+       |    ln((ct + 1.0) / (nt + 64.0)) - ln((cr + 1.0) / (nr + 64.0)) AS lr
+       |  FROM h JOIN bk USING (b), n)
+       |SELECT doc_id, source, count(*)::BIGINT AS n_tokens,
+       |  ${DuckSql.roundpSql("avg(lr)", 6)} + 0.0 AS dsir_score
+       |FROM sc GROUP BY 1, 2
+       |ORDER BY dsir_score DESC, doc_id LIMIT 50""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q164
+
+  /** q164: corpus keyness — Dunning's log-likelihood ratio (G², the
+    * standard corpus-linguistics keyword statistic) of every token in
+    * the src0 slice against the rest of the corpus, signed by direction
+    * (positive = overrepresented in src0). All masses are EXACT integer
+    * counts from ONE token aggregation (per-word conditional sums give
+    * both contingency cells); the only floats are the final expected
+    * counts + logs, written identically in both engines and rounded to
+    * 6dp. The direction sign compares a·nb vs b·na in EXACT integer
+    * arithmetic, so engine and oracle never disagree at the boundary.
+    *
+    * Scale shape: token explode → one |vocab|-sized hash aggregation
+    * (map-side combined) → broadcast of the 2-cell totals → per-word
+    * scalar math. No join on corpus-sized keys, no window. */
+  def q164Keyness(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.TextFunctions.tokens
+    val counts = documents(s, d)
+      .select($"source", explode(tokens($"text")).as("w"))
+      .groupBy($"w").agg(
+        sum(when($"source" === "src0", 1L).otherwise(0L)).as("a"),
+        sum(when($"source" =!= "src0", 1L).otherwise(0L)).as("b"))
+    val tot = counts.agg(sum($"a").as("na"), sum($"b").as("nb"))
+    val ea = $"na" * lit(1.0) * ($"a" + $"b") / ($"na" + $"nb")
+    val eb = $"nb" * lit(1.0) * ($"a" + $"b") / ($"na" + $"nb")
+    val g2 = lit(2.0) *
+      (when($"a" > 0L, $"a" * log($"a" / ea)).otherwise(lit(0.0)) +
+        when($"b" > 0L, $"b" * log($"b" / eb)).otherwise(lit(0.0)))
+    val sgn = when($"a" * $"nb" > $"b" * $"na", lit(1.0)).otherwise(lit(-1.0))
+    counts.crossJoin(broadcast(tot))
+      .select($"w", $"a", $"b",
+        (roundp(sgn * g2, 6) + lit(0.0)).as("keyness"))
+      .orderBy($"keyness".desc, $"w")
+  }
+
+  val q164Sql: String = {
+    val ws = DuckSql.tokensSql
+    val ea = "(na * 1.0 * (a + b) / (na + nb))"
+    val eb = "(nb * 1.0 * (a + b) / (na + nb))"
+    s"""WITH toks AS (SELECT source, unnest($ws) AS w FROM documents),
+       |c AS (SELECT w,
+       |    sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)::BIGINT AS a,
+       |    sum(CASE WHEN source <> 'src0' THEN 1 ELSE 0 END)::BIGINT AS b
+       |  FROM toks GROUP BY 1),
+       |n AS (SELECT sum(a)::BIGINT AS na, sum(b)::BIGINT AS nb FROM c),
+       |g AS (SELECT w, a, b,
+       |    2.0 * ((CASE WHEN a > 0 THEN a * ln(a / $ea) ELSE 0.0 END)
+       |         + (CASE WHEN b > 0 THEN b * ln(b / $eb) ELSE 0.0 END)) AS g2,
+       |    CASE WHEN a * nb > b * na THEN 1.0 ELSE -1.0 END AS sgn
+       |  FROM c, n)
+       |SELECT w, a, b, ${DuckSql.roundpSql("sgn * g2", 6)} + 0.0 AS keyness
+       |FROM g ORDER BY keyness DESC, w""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q165
+
+  /** Phrase blocklist shared by q165's engine plan and oracle. One entry
+    * never matches, proving absent patterns drop from BOTH sides. */
+  val BlockPhrases: Seq[String] = Seq(
+    "batch batch batch", "slow small", "customer line",
+    "merge part window", "spark win", "key order sort",
+    "data line join", "never matches anything")
+
+  /** q165: multi-phrase blocklist audit — how many documents each
+    * blocklisted phrase hits. The engine scans every document ONCE with
+    * a fused Aho–Corasick automaton ([[graft.functions.PhraseMatches]]):
+    * O(|text|) per row regardless of blocklist size, where the naive
+    * `contains` conjunction the oracle runs is O(|patterns|·|text|) and
+    * regrows the plan with the blocklist. Distinct matched pattern ids
+    * explode into a ≤|patterns|-row aggregate (map-side combined), so
+    * the shuffle is bytes no matter the corpus; real blocklists
+    * (10⁴–10⁶ phrases) only widen the automaton build, never the
+    * per-row or shuffle cost. */
+  def q165PhraseBlocklist(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.PhraseMatch.phraseMatches
+    val patArr = array(BlockPhrases.map(lit): _*)
+    documents(s, d)
+      .select(explode(phraseMatches($"text", BlockPhrases)).as("pid"))
+      .groupBy($"pid").agg(count(lit(1)).as("n_docs"))
+      .select(element_at(patArr, $"pid" + 1).as("pattern"), $"n_docs")
+      .orderBy($"pattern")
+  }
+
+  val q165Sql: String = {
+    val lits = BlockPhrases.map(p => s"'$p'").mkString(", ")
+    s"""WITH pats AS (SELECT unnest([$lits]) AS p),
+       |m AS (SELECT d.doc_id, p.p FROM documents d
+       |  JOIN pats p ON contains(d.text, p.p))
+       |SELECT p AS pattern, count(*)::BIGINT AS n_docs
+       |FROM m GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q163_dsir_weights"     -> (q163DsirWeights _),
+    "q164_keyness"          -> (q164Keyness _),
+    "q165_phrase_blocklist" -> (q165PhraseBlocklist _),
     "q144_incremental_curation" -> (q144IncrementalCuration _),
     "q127_span_dedup"       -> (q127SpanDedup _),
     "q134_contam_severity"  -> (q134ContamSeverity _),
@@ -1319,6 +1478,9 @@ object CurationQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q163_dsir_weights"     -> q163Sql,
+    "q164_keyness"          -> q164Sql,
+    "q165_phrase_blocklist" -> q165Sql,
     "q144_incremental_curation" -> q144Sql,
     "q127_span_dedup"       -> q127Sql,
     "q134_contam_severity"  -> q134Sql,
