@@ -217,6 +217,39 @@ object Dedup {
         PackedPair.idB(col("pair")).as("id_b"))
   }
 
+  /** MinHash FIDELITY audit: for every near-dup pair at `threshold` (LSH
+    * candidates, exact-verified — identical pair set to
+    * [[minhashDedupPairs]]), the SIGNATURE-estimated Jaccard (matching
+    * components / nHashes) next to the exact one. This is the estimator a
+    * 100 TB deployment would trust INSTEAD of exact verification (exact
+    * set intersection needs the shingle sets shipped to the pair; the
+    * estimate needs only the fixed-width signature), so the per-pair
+    * error table is the evidence for making that trade. Estimates are
+    * exact rationals k/64 (dyadic — bit-identical across engines); the
+    * error column subtracts the ROUNDED exact Jaccard so both engines
+    * round identically. */
+  def minhashFidelity(df: DataFrame, id: String, text: String, k: Int,
+                      threshold: Double, nHashes: Int = 64,
+                      rowsPerBand: Int = 2): DataFrame = {
+    val sets = ScratchCache.register(shingleSets(df, id, text, k).persist())
+    val verified = verifyJaccard(
+      minhashCandidatesFromSets(sets, nHashes, rowsPerBand), sets, threshold)
+    val sig = signatures(sets, nHashes)
+    val matches = aggregate(
+      zip_with(col("siga"), col("sigb"),
+        (a, b) => when(a === b, 1L).otherwise(0L)),
+      lit(0L), (acc, v) => acc + v)
+    verified
+      .join(sig.select(col("doc_id").as("id_a"), col("sig").as("siga"))
+        .hint("SHUFFLE_HASH"), Seq("id_a"))
+      .join(sig.select(col("doc_id").as("id_b"), col("sig").as("sigb"))
+        .hint("SHUFFLE_HASH"), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("jac"),
+        roundp(matches / lit(nHashes.toDouble), 6).as("est_jac"),
+        roundp(abs(matches / lit(nHashes.toDouble) - col("jac")), 6)
+          .as("abs_err"))
+  }
+
   /** MinHash-LSH dedup: candidates exact-verified against true Jaccard on
     * the shingle sets — output identical to brute force at the threshold,
     * cost bounded by the candidate count. */

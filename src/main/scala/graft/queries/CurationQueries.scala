@@ -1453,7 +1453,101 @@ object CurationQueries {
        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q169
+
+  /** q169: TEMPERATURE-scaled source sampling — the multilingual-LM
+    * mixture rule (mC4/mT5, XLM-R): source sampling weight
+    * q_i ∝ p_i^(1/T) where p_i is the token share, reported for
+    * T ∈ {0.5, 1.0, 2.0} (sharpen / natural / flatten). Complements
+    * q112 (explicit target mix) and q158 (epoch budgets): temperature is
+    * the one-knob version pipelines actually expose. Token masses are
+    * exact BIGINTs from one aggregation; the |sources|×|T| frame is tiny
+    * (broadcast totals, no window), floats only in the final pow/share
+    * math, rounded at 6dp on both engines. */
+  def q169TemperatureMix(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.TextFunctions.tokens
+    val counts = documents(s, d)
+      .select($"source", explode(tokens($"text")).as("w"))
+      .groupBy($"source").agg(count(lit(1)).as("n_tokens"))
+    val tot = counts.agg(sum($"n_tokens").as("n_total"))
+    val scaled = counts.crossJoin(broadcast(tot))
+      .select($"source", $"n_tokens",
+        ($"n_tokens" * lit(1.0) / $"n_total").as("p"),
+        explode(array(lit(0.5), lit(1.0), lit(2.0))).as("t"))
+      .select($"source", $"n_tokens", $"p", $"t",
+        pow($"p", lit(1.0) / $"t").as("w"))
+    val z = scaled.groupBy($"t").agg(sum($"w").as("z"))
+    scaled.join(broadcast(z), Seq("t"))
+      .select($"t", $"source", $"n_tokens",
+        roundp($"p", 6).as("p"), roundp($"w" / $"z", 6).as("q"))
+      .orderBy($"t", $"source")
+  }
+
+  val q169Sql: String = {
+    val ws = DuckSql.tokensSql
+    s"""WITH toks AS (SELECT source, unnest($ws) AS w FROM documents),
+       |c AS (SELECT source, count(*)::BIGINT AS n_tokens
+       |  FROM toks GROUP BY 1),
+       |n AS (SELECT sum(n_tokens)::BIGINT AS n_total FROM c),
+       |sc AS (SELECT source, n_tokens, n_tokens * 1.0 / n_total AS p, t,
+       |    pow(n_tokens * 1.0 / n_total, 1.0 / t) AS w
+       |  FROM c, n, (SELECT unnest([0.5, 1.0, 2.0]) AS t)),
+       |z AS (SELECT t, sum(w) AS z FROM sc GROUP BY 1)
+       |SELECT sc.t::DOUBLE AS t, source, n_tokens,
+       |  ${DuckSql.roundpSql("p", 6)} AS p,
+       |  ${DuckSql.roundpSql("w / z", 6)} AS q
+       |FROM sc JOIN z ON sc.t = z.t ORDER BY sc.t, source""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q170
+
+  /** q170: per-document NOVELTY — for each doc, the fraction of its
+    * distinct 3-shingles already owned by an earlier doc (min doc_id <
+    * its own): the arrival-order memorization curve q130 reports only at
+    * source granularity. High seen_frac = the doc adds nothing the
+    * corpus hasn't got — the per-doc signal an ingest gate thresholds.
+    * Engine keys on the fused 64-bit shingle-hash kernel (same kernel
+    * and k as q124/q130, hash-vs-string parity pinned per fixture by
+    * CurationSpec); the distinct (doc, shingle) exchange feeds both the
+    * first-owner aggregation and the join back — two corpus-sized
+    * shuffles on 8-byte keys, no window, no self-join. */
+  def q170DocNovelty(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sh = graft.ops.ScratchCache.register(documents(s, d)
+      .select($"doc_id",
+        explode(graft.functions.ShingleExpressions
+          .wordShingleHashes64($"text", 3)).as("h"))
+      .persist())
+    val owner = sh.groupBy($"h").agg(min($"doc_id").as("first_doc"))
+    sh.join(owner.hint("SHUFFLE_HASH"), Seq("h"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when($"first_doc" < $"doc_id", 1L).otherwise(0L)).as("n_seen"))
+      .select($"doc_id", $"n_shingles", $"n_seen",
+        roundp($"n_seen" * lit(1.0) / $"n_shingles", 6).as("seen_frac"))
+      .orderBy($"doc_id")
+  }
+
+  val q170Sql: String = {
+    val ws = DuckSql.tokensSql
+    s"""WITH toks AS (SELECT doc_id, $ws AS ws FROM documents),
+       |sh AS (SELECT doc_id, ${DuckSql.shinglesSql("ws", 3)} AS shingles
+       |  FROM toks WHERE len(ws) >= 3),
+       |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+       |own AS (SELECT s, min(doc_id) AS first_doc FROM ex GROUP BY 1)
+       |SELECT doc_id, count(*)::BIGINT AS n_shingles,
+       |  sum(CASE WHEN first_doc < doc_id THEN 1 ELSE 0 END)::BIGINT
+       |    AS n_seen,
+       |  ${DuckSql.roundpSql(
+            "sum(CASE WHEN first_doc < doc_id THEN 1 ELSE 0 END) * 1.0 " +
+              "/ count(*)", 6)} AS seen_frac
+       |FROM ex JOIN own USING (s) GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q170_doc_novelty"      -> (q170DocNovelty _),
+    "q169_temperature_mix"  -> (q169TemperatureMix _),
     "q163_dsir_weights"     -> (q163DsirWeights _),
     "q164_keyness"          -> (q164Keyness _),
     "q165_phrase_blocklist" -> (q165PhraseBlocklist _),
@@ -1478,6 +1572,8 @@ object CurationQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q170_doc_novelty"      -> q170Sql,
+    "q169_temperature_mix"  -> q169Sql,
     "q163_dsir_weights"     -> q163Sql,
     "q164_keyness"          -> q164Sql,
     "q165_phrase_blocklist" -> q165Sql,

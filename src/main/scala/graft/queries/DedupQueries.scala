@@ -167,6 +167,41 @@ object DedupQueries {
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  /** q168: MinHash-estimate FIDELITY — per near-dup pair (J ≥ 0.7), the
+    * 64-hash signature estimate of Jaccard next to the exact value and
+    * the absolute error. The estimator (matching components / 64) is what
+    * a 100 TB pipeline would use in place of exact set intersection; this
+    * table is the audit that justifies it. The oracle replays the WHOLE
+    * estimator — permutation j: h ↦ ((2j+1)·h + j² + 7) mod 4294967291
+    * over the distinct shingle-hash set, list_min per permutation — so
+    * the driver hash-checks the signatures themselves, not just the
+    * pair set. Estimates are dyadic rationals k/64 (exact in binary both
+    * engines); pair recall at 0.7 via 2×32 bands misses with
+    * p = (1−0.49)³² ≈ 4e-10 per pair — negligible. */
+  def q168MinhashFidelity(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Dedup.minhashFidelity(documents(s, d), "doc_id", "text", 3, 0.7)
+      .orderBy($"id_a", $"id_b")
+  }
+
+  val q168Sql: String = {
+    val sigExpr = "list_transform(range(0, 64), j -> list_min(" +
+      "list_transform(hs, h -> ((2*j + 1)*h + j*j + 7) % 4294967291)))"
+    val est = "(list_sum(list_transform(range(0, 64), " +
+      "j -> CASE WHEN sa.sig[j+1] = sb.sig[j+1] THEN 1 ELSE 0 END)) / 64.0)"
+    jaccardPairsCte(0.7, None) +
+      s""",
+        |sig AS (SELECT doc_id, $sigExpr AS sig FROM (
+        |  SELECT doc_id, ${DuckSql.shingleHashesSql("ws", 3)} AS hs
+        |  FROM toks WHERE len(ws) >= 3)),
+        |SELECT_BASE AS (SELECT id_a, id_b, jac,
+        |    ${DuckSql.roundpSql(est, 6)} AS est_jac,
+        |    ${DuckSql.roundpSql(s"abs($est - jac)", 6)} AS abs_err
+        |  FROM jpairs
+        |  JOIN sig sa ON sa.doc_id = id_a JOIN sig sb ON sb.doc_id = id_b)
+        |SELECT * FROM SELECT_BASE ORDER BY id_a, id_b""".stripMargin
+  }
+
   /** q28: MinHash-LSH dedup at J ≥ 0.8 (64 hashes, 2 rows × 32 bands →
     * miss probability ≤ (1−0.64)³² ≈ 6e-15, so output = brute force). */
   def q28MinhashLsh(s: SparkSession, d: String): DataFrame = {
@@ -722,6 +757,7 @@ object DedupQueries {
        |FROM marked GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q168_minhash_fidelity" -> (q168MinhashFidelity _),
     "q99_entity_resolution" -> (q99EntityResolution _),
     "q26_dedup_exact"    -> (q26Exact _),
     "q27_ngram_jaccard"  -> (q27NgramJaccard _),
@@ -743,6 +779,7 @@ object DedupQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q168_minhash_fidelity" -> q168Sql,
     "q99_entity_resolution" -> q99Sql,
     "q26_dedup_exact"    -> q26Sql,
     "q27_ngram_jaccard"  -> q27Sql,

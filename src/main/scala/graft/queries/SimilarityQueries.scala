@@ -479,7 +479,140 @@ object SimilarityQueries {
        |FROM ranked WHERE rk <= 2 ORDER BY cell, rank""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q166
+
+  /** Top-5 exact-cosine neighbor PAIRS (qid, cid) for the first 20 query
+    * vectors over an arbitrary vector column — the shared harness behind
+    * the q166/q167 recall audits. */
+  private def top5Pairs(base: DataFrame): DataFrame = {
+    import base.sparkSession.implicits._
+    Similarity.knnBrute(base, "vec_id", "embedding", $"vec_id" < 20, k = 5)
+      .select($"qid", $"cid")
+  }
+
+  /** Recall-overlap report: |top5(exact) ∩ top5(approx)| per query, with
+    * zero-overlap queries kept (left join from the exact side). */
+  private def overlapReport(exact: DataFrame, approx: DataFrame): DataFrame = {
+    import exact.sparkSession.implicits._
+    val hit = exact.join(approx, Seq("qid", "cid"))
+      .groupBy($"qid").agg(count(lit(1)).as("n_common"))
+    exact.select($"qid").distinct()
+      .join(hit, Seq("qid"), "left")
+      .select($"qid", coalesce($"n_common", lit(0L)).as("n_common"))
+      .select($"qid", $"n_common",
+        roundp($"n_common" / lit(5.0), 6).as("recall_at_5"))
+      .orderBy($"qid")
+  }
+
+  /** Shared oracle twin of [[overlapReport]] over two `(qid, cid)` CTEs
+    * named `ef` (exact/full) and `ap` (approx). */
+  private def overlapSql(withClauses: String): String =
+    s"""$withClauses,
+       |hit AS (SELECT ef.qid, count(*)::BIGINT AS n_common
+       |  FROM ef JOIN ap ON ef.qid = ap.qid AND ef.cid = ap.cid
+       |  GROUP BY 1),
+       |qs AS (SELECT DISTINCT qid FROM ef)
+       |SELECT qs.qid, coalesce(hit.n_common, 0)::BIGINT AS n_common,
+       |  ${DuckSql.roundpSql("coalesce(hit.n_common, 0) / 5.0", 6)}
+       |    AS recall_at_5
+       |FROM qs LEFT JOIN hit ON qs.qid = hit.qid ORDER BY qs.qid""".stripMargin
+
+  /** Oracle CTE producing top-5 `(qid, cid)` by rounded cosine over a
+    * vector expression of `nDims` leading dims, aliased `alias`. */
+  private def top5Sql(alias: String, vecExpr: String, nDims: Int): String = {
+    val cos = DuckSql.roundpSql(
+      DuckSql.cosineSql(s"q.$vecExpr", s"c.$vecExpr", nDims), 6)
+    s"""$alias AS (SELECT qid, cid FROM (
+       |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY $cos DESC, c.vec_id) AS rk
+       |  FROM embeddings q JOIN embeddings c
+       |    ON q.vec_id < 20 AND c.vec_id <> q.vec_id)
+       |  WHERE rk <= 5)""".stripMargin
+  }
+
+  /** q166: MATRYOSHKA truncation audit (Kusupati et al. 2022, MRL) — how
+    * much top-5 retrieval survives when 64-dim embeddings are truncated
+    * to their first 16 dims (the memory/latency lever MRL training buys).
+    * Both sides are exact brute-force cosine with the shared rounded
+    * (cos, cid) total order, so the driver hash-matches the WHOLE audit,
+    * not a summary. Scale shape: two broadcast-query scans + a
+    * 20·5-row join — corpus never shuffles on pair keys. */
+  def q166Matryoshka(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val full = top5Pairs(embeddings(s, d))
+    val trunc = top5Pairs(embeddings(s, d)
+      .select($"vec_id", slice($"embedding", 1, 16).as("embedding")))
+    overlapReport(full, trunc)
+  }
+
+  val q166Sql: String = overlapSql(
+    s"""WITH ${top5Sql("ef", "embedding", 64)},
+       |${top5Sql("ap", "embedding", 16)}""".stripMargin)
+
+  // ---------------------------------------------------------------- q167
+
+  /** q167: SCALAR-QUANTIZATION (SQ8) recall audit — per-vector min/max
+    * affine quantization of each dim to an 8-bit code, top-5 retrieval
+    * over the RECONSTRUCTED vectors vs exact top-5. The third standard
+    * ANN compression family next to the existing PQ (q45) and IVFPQ
+    * (q49); SQ8's 4× shrink is what real vector stores default to.
+    * Everything is deterministic double math shared with the oracle:
+    * per-vector extremes, positive-range round (HALF_UP in both
+    * engines), the sequential-fold cosine, and the rounded ordering —
+    * the driver hash-matches the full per-query table. Degenerate
+    * constant vectors keep their raw values on BOTH sides. */
+  def q167Sq8Recall(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val base = embeddings(s, d)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      .select($"vec_id", $"v",
+        array_min($"v").as("mn"), array_max($"v").as("mx"))
+    val recon = base.select($"vec_id",
+      when($"mx" === $"mn", $"v").otherwise(
+        transform($"v", x =>
+          $"mn" + round((x - $"mn") / ($"mx" - $"mn") * lit(255.0)) *
+            ($"mx" - $"mn") / lit(255.0))).as("r"))
+    val rq = recon.filter($"vec_id" < 20)
+      .select($"vec_id".as("qid"), $"r".as("qv"),
+        VectorFunctions.norm($"r").as("qn"))
+    val rc = recon.select($"vec_id".as("cid"), $"r".as("cv"),
+      VectorFunctions.norm($"r").as("cn"))
+    val approx = rc.join(broadcast(rq), $"qid" =!= $"cid")
+      .select($"qid", $"cid",
+        roundp(VectorFunctions.dotSeq($"qv", $"cv") / ($"qn" * $"cn"), 6)
+          .as("cos"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"qid")
+          .orderBy($"cos".desc, $"cid")))
+      .filter($"rk" <= 5).select($"qid", $"cid")
+    overlapReport(top5Pairs(embeddings(s, d)), approx)
+  }
+
+  val q167Sql: String = {
+    val reconElem = "CASE WHEN mx = mn THEN v ELSE " +
+      "list_transform(v, x -> mn + round((x - mn) / (mx - mn) * 255.0) * " +
+      "(mx - mn) / 255.0) END"
+    val cos = DuckSql.roundpSql(DuckSql.cosineSql("q.r", "c.r", 64), 6)
+    overlapSql(
+      s"""WITH rec AS (
+         |  SELECT vec_id, $reconElem AS r FROM (
+         |    SELECT vec_id, embedding::DOUBLE[] AS v,
+         |      list_min(embedding::DOUBLE[]) AS mn,
+         |      list_max(embedding::DOUBLE[]) AS mx FROM embeddings)),
+         |ap AS (SELECT qid, cid FROM (
+         |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY $cos DESC, c.vec_id) AS rk
+         |  FROM rec q JOIN rec c
+         |    ON q.vec_id < 20 AND c.vec_id <> q.vec_id)
+         |  WHERE rk <= 5),
+         |${top5Sql("ef", "embedding", 64)}""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q166_matryoshka"       -> (q166Matryoshka _),
+    "q167_sq8_recall"       -> (q167Sq8Recall _),
     "q155_diversity_sample" -> (q155DiversitySample _),
     "q123_bitext_mining" -> (q123BitextMining _),
     "q108_negative_sampling" -> (q108NegativeSampling _),
@@ -495,6 +628,8 @@ object SimilarityQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q166_matryoshka"       -> q166Sql,
+    "q167_sq8_recall"       -> q167Sql,
     "q155_diversity_sample" -> q155Sql,
     "q123_bitext_mining" -> q123Sql,
     "q108_negative_sampling" -> q108Sql,

@@ -847,7 +847,107 @@ object TextQueries {
        |ORDER BY pmi DESC, a, b LIMIT 50""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q171
+
+  /** q171: term BURSTINESS — variance-to-mean ratio (VMR) of per-document
+    * counts for the top-10 corpus terms (Church & Gale: content words
+    * burst, VMR ≫ 1; function words spread, VMR ≈ 1 — a
+    * frequency-independent content-ness signal). Moments come from EXACT
+    * integer sums (Σn, Σn² over per-doc counts; absent docs contribute
+    * the implicit zero through the corpus-wide doc count), so the only
+    * floats are the final two divisions, written identically in both
+    * engines. Scale shape: one |vocab| count agg → TakeOrdered(10) →
+    * broadcast term filter → per-(term, doc) agg → 10-row moments. */
+  def q171Burstiness(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docsDf = documents(s, d)
+    val toks = docsDf.select($"doc_id", explode(tokens($"text")).as("w"))
+    val top = toks.groupBy($"w").agg(count(lit(1)).as("c"))
+      .orderBy($"c".desc, $"w").limit(10).select($"w")
+    val stats = toks.join(broadcast(top), Seq("w"))
+      .groupBy($"w", $"doc_id").agg(count(lit(1)).as("n"))
+      .groupBy($"w").agg(sum($"n").as("s1"), sum($"n" * $"n").as("s2"))
+    val dCount = docsDf.agg(count(lit(1)).as("d"))
+    val mean = $"s1" * lit(1.0) / $"d"
+    stats.crossJoin(broadcast(dCount))
+      .select($"w", $"s1".as("n_occurrences"),
+        roundp(mean, 6).as("mean_per_doc"),
+        roundp(($"s2" * lit(1.0) / $"d" - mean * mean) / mean, 6).as("vmr"))
+      .orderBy($"w")
+  }
+
+  val q171Sql: String = {
+    val ws = DuckSql.tokensSql
+    val mean = "(s1 * 1.0 / d)"
+    s"""WITH toks AS (SELECT doc_id, unnest($ws) AS w FROM documents),
+       |cnt AS (SELECT w, count(*)::BIGINT AS c FROM toks GROUP BY 1),
+       |top AS (SELECT w FROM (SELECT w,
+       |    row_number() OVER (ORDER BY c DESC, w) AS rk FROM cnt)
+       |  WHERE rk <= 10),
+       |pd AS (SELECT t.w, t.doc_id, count(*)::BIGINT AS n
+       |  FROM toks t JOIN top USING (w) GROUP BY 1, 2),
+       |st AS (SELECT w, sum(n)::BIGINT AS s1, sum(n * n)::BIGINT AS s2
+       |  FROM pd GROUP BY 1),
+       |dc AS (SELECT count(*)::BIGINT AS d FROM documents)
+       |SELECT w, s1 AS n_occurrences,
+       |  ${DuckSql.roundpSql(mean, 6)} AS mean_per_doc,
+       |  ${DuckSql.roundpSql(s"(s2 * 1.0 / d - $mean * $mean) / $mean", 6)}
+       |    AS vmr
+       |FROM st, dc ORDER BY w""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q172
+
+  /** q172: ZIPF slope — least-squares fit of ln(count) on ln(rank) over
+    * the top-30 token types (healthy natural corpora fit slope ≈ −1;
+    * templated/boilerplate-heavy ones flatten — a one-number corpus
+    * health check). The rank order is the shared (count DESC, token)
+    * total order; ranks come from a 30×30 join on the TakeOrdered frame
+    * (contract-bounded — NO global window, per the PlanGuard rule that
+    * bans unpartitioned windows at corpus scale). Regression moments are
+    * 30-element double sums — reduction-order drift ~1e-15, absorbed by
+    * the 6dp rounding exactly as every avg-based query. */
+  def q172ZipfSlope(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val top = documents(s, d)
+      .select(explode(tokens($"text")).as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("c"))
+      .orderBy($"c".desc, $"w").limit(30)
+    val ranked = top.as("x").join(top.as("y"),
+        col("y.c") > col("x.c") ||
+          (col("y.c") === col("x.c") && col("y.w") < col("x.w")), "left")
+      .groupBy(col("x.w"), col("x.c"))
+      .agg((count(col("y.w")) + lit(1L)).as("rank"))
+    val pts = ranked.select(log(col("rank").cast("double")).as("x"),
+      log(col("c").cast("double")).as("y"))
+    val m = pts.agg(count(lit(1)).as("n"), sum($"x").as("sx"),
+      sum($"y").as("sy"), sum($"x" * $"x").as("sxx"),
+      sum($"x" * $"y").as("sxy"))
+    val slope = ($"n" * $"sxy" - $"sx" * $"sy") /
+      ($"n" * $"sxx" - $"sx" * $"sx")
+    m.select($"n".as("n_points"), roundp(slope, 6).as("slope"),
+      roundp(($"sy" - slope * $"sx") / $"n", 6).as("intercept"))
+  }
+
+  val q172Sql: String = {
+    val ws = DuckSql.tokensSql
+    val slope = "((n * sxy - sx * sy) / (n * sxx - sx * sx))"
+    s"""WITH toks AS (SELECT unnest($ws) AS w FROM documents),
+       |cnt AS (SELECT w, count(*)::BIGINT AS c FROM toks GROUP BY 1),
+       |top AS (SELECT w, c, rk FROM (SELECT w, c,
+       |    row_number() OVER (ORDER BY c DESC, w) AS rk FROM cnt)
+       |  WHERE rk <= 30),
+       |pts AS (SELECT ln(rk * 1.0) AS x, ln(c * 1.0) AS y FROM top),
+       |m AS (SELECT count(*)::BIGINT AS n, sum(x) AS sx, sum(y) AS sy,
+       |    sum(x * x) AS sxx, sum(x * y) AS sxy FROM pts)
+       |SELECT n AS n_points, ${DuckSql.roundpSql(slope, 6)} AS slope,
+       |  ${DuckSql.roundpSql(s"(sy - $slope * sx) / n", 6)} AS intercept
+       |FROM m""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q171_burstiness"   -> (q171Burstiness _),
+    "q172_zipf_slope"   -> (q172ZipfSlope _),
     "q142_collocations" -> (q142Collocations _),
     "q22_lang_id"       -> (q22LangId _),
     "q23_quality"       -> (q23Quality _),
@@ -868,6 +968,8 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q171_burstiness"   -> q171Sql,
+    "q172_zipf_slope"   -> q172Sql,
     "q142_collocations" -> q142Sql,
     "q22_lang_id"       -> q22Sql,
     "q23_quality"       -> q23Sql,
