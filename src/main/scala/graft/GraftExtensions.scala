@@ -32,6 +32,12 @@ object GraftExtensions {
       s"$fn expects an INTEGER literal argument, got $other")
   }
 
+  private def strArg(e: Expression, fn: String): String = e match {
+    case Literal(v: org.apache.spark.unsafe.types.UTF8String, _) => v.toString
+    case other => throw new IllegalArgumentException(
+      s"$fn expects STRING literal pattern arguments, got $other")
+  }
+
   private def fn(name: String, cls: Class[_])
                 (builder: Seq[Expression] => Expression): Fn =
     (FunctionIdentifier(name), new ExpressionInfo(cls.getName, name), builder)
@@ -67,6 +73,10 @@ object GraftExtensions {
     fn("graft_cdc_chunk_hashes", classOf[CdcChunkHashes])(a =>
       CdcChunkHashes(a(0), intArg(a(1), "graft_cdc_chunk_hashes"))),
     fn("graft_pq_adc", classOf[PqAdc])(a => PqAdc(a(0), a(1))),
+    // graft_phrase_matches(text, 'p1', 'p2', ...): the pattern list is
+    // literal because the Aho-Corasick automaton is built at plan time
+    fn("graft_phrase_matches", classOf[PhraseMatches])(a =>
+      PhraseMatches(a(0), a.drop(1).map(strArg(_, "graft_phrase_matches")))),
     // composition-backed (same trees as the Scala API):
     fn("graft_tokens", TextFunctions.getClass)(a =>
       comp(a)(c => TextFunctions.tokens(c(0)))),

@@ -59,6 +59,21 @@ class PhraseMatchSpec extends AnyFunSuite with SparkSpecBase {
     assert(fused.count() > 0)
   }
 
+  test("SQL surface: graft_phrase_matches with literal patterns") {
+    GraftExtensions.register(spark)
+    Tables.documents(spark, "/root/testdata/sf0.001").createOrReplaceTempView("pm_docs")
+    val n = spark.sql(
+      "SELECT graft_phrase_matches(text, 'the', 'zzz-no-match') AS p FROM pm_docs")
+      .selectExpr("size(p) AS k")
+      .where("k > 0").count()
+    assert(n > 0)
+    // non-literal pattern arguments must fail fast, not mis-plan
+    val err = intercept[Exception] {
+      spark.sql("SELECT graft_phrase_matches(text, text) FROM pm_docs").collect()
+    }
+    assert(err.getMessage.contains("STRING literal"), err.getMessage)
+  }
+
   test("expression survives whole-stage codegen (no fallback plan)") {
     val s = spark
     import s.implicits._
