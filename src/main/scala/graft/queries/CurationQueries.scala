@@ -1545,7 +1545,57 @@ object CurationQueries {
        |FROM ex JOIN own USING (s) GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q174
+
+  /** q174: LEAVE-ONE-OUT source loss — for each source, what removing it
+    * costs the corpus: its document-shingle mass and the distinct
+    * 3-shingle types ONLY it owns (plus that count as a fraction of the
+    * corpus type inventory). The ablation view of q130's marginal
+    * novelty: novelty says what a source adds on arrival, this says what
+    * it would take away — the table a mixture owner reads before
+    * dropping a source. Same fused 64-bit shingle kernel and fixture
+    * collision pin as q124/q130/q170; one (shingle, source) aggregation
+    * feeds the owner count, the totals, and both per-source sums. */
+  def q174SourceTypeLoss(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val t1 = graft.ops.ScratchCache.register(documents(s, d)
+      .select($"source",
+        explode(graft.functions.ShingleExpressions
+          .wordShingleHashes64($"text", 3)).as("h"))
+      .groupBy($"h", $"source").agg(count(lit(1)).as("c"))
+      .persist())
+    val owners = t1.groupBy($"h").agg(count(lit(1)).as("n_src"))
+    val tot = owners.agg(count(lit(1)).as("n_types"))
+    t1.join(owners.hint("SHUFFLE_HASH"), Seq("h"))
+      .groupBy($"source")
+      .agg(sum($"c").as("n_doc_shingles"),
+        sum(when($"n_src" === 1L, 1L).otherwise(0L)).as("n_sole_types"))
+      .crossJoin(broadcast(tot))
+      .select($"source", $"n_doc_shingles", $"n_sole_types",
+        roundp($"n_sole_types" * lit(1.0) / $"n_types", 6)
+          .as("sole_type_frac"))
+      .orderBy($"source")
+  }
+
+  val q174Sql: String = {
+    val ws = DuckSql.tokensSql
+    s"""WITH toks AS (SELECT doc_id, source, $ws AS ws FROM documents),
+       |sh AS (SELECT doc_id, source,
+       |    unnest(${DuckSql.shinglesSql("ws", 3)}) AS s
+       |  FROM toks WHERE len(ws) >= 3),
+       |t1 AS (SELECT s, source, count(*)::BIGINT AS c FROM sh GROUP BY 1, 2),
+       |own AS (SELECT s, count(*)::BIGINT AS n_src FROM t1 GROUP BY 1),
+       |tot AS (SELECT count(*)::BIGINT AS n_types FROM own)
+       |SELECT source, sum(c)::BIGINT AS n_doc_shingles,
+       |  sum(CASE WHEN n_src = 1 THEN 1 ELSE 0 END)::BIGINT AS n_sole_types,
+       |  ${DuckSql.roundpSql(
+            "sum(CASE WHEN n_src = 1 THEN 1 ELSE 0 END) * 1.0 / any_value(n_types)",
+            6)} AS sole_type_frac
+       |FROM t1 JOIN own USING (s), tot GROUP BY source ORDER BY source""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q174_source_type_loss" -> (q174SourceTypeLoss _),
     "q170_doc_novelty"      -> (q170DocNovelty _),
     "q169_temperature_mix"  -> (q169TemperatureMix _),
     "q163_dsir_weights"     -> (q163DsirWeights _),
@@ -1572,6 +1622,7 @@ object CurationQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q174_source_type_loss" -> q174Sql,
     "q170_doc_novelty"      -> q170Sql,
     "q169_temperature_mix"  -> q169Sql,
     "q163_dsir_weights"     -> q163Sql,

@@ -945,7 +945,70 @@ object TextQueries {
        |FROM m""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q173
+
+  /** q173: CCNet-style perplexity BUCKETING — every doc lands in
+    * head/middle/tail by global NLL terciles (Wenzek et al. 2020: CCNet
+    * keeps the head, samples the middle, drops the tail), reported as a
+    * per-source × bucket census. Per-doc NLL is q111's smoothed-unigram
+    * score, ROUNDED FIRST so both engines bucket identical doubles; the
+    * tercile cuts are exact linear-interpolation percentiles (Spark
+    * `percentile` ≡ DuckDB `quantile_cont`, p computed as 1/3 and 2/3 in
+    * IEEE double on both sides). A 1-ulp interpolation difference cannot
+    * flip a bucket: cuts only coincide with a doc's (6dp) NLL when the
+    * interpolation is exact on both engines.
+    *
+    * Scale note: exact percentile sorts per group — at deployment scale
+    * the cuts would come from approx_percentile (or a fixed reference
+    * model's thresholds, as CCNet actually does); the exact form is the
+    * oracle-checkable twin. Everything else is broadcast joins and one
+    * census aggregation. */
+  def q173CcnetBuckets(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = documents(s, d)
+      .select($"doc_id", $"source", explode(tokens($"text")).as("w"))
+    val model = toks.groupBy($"w").agg(count(lit(1)).as("c"))
+    val stats = model.agg(sum($"c").as("n_tok"), count(lit(1)).as("vocab"))
+    val nll = toks.join(broadcast(model), Seq("w"))
+      .crossJoin(broadcast(stats))
+      .groupBy($"doc_id", $"source")
+      .agg(roundp(avg(-log(($"c" + lit(1.0)) / ($"n_tok" + $"vocab"))), 6)
+        .as("nll"))
+    val cuts = nll.agg(
+      percentile($"nll", lit(1.0 / 3)).as("t1"),
+      percentile($"nll", lit(2.0 / 3)).as("t2"))
+    nll.crossJoin(broadcast(cuts))
+      .select($"source",
+        when($"nll" <= $"t1", "0_head")
+          .when($"nll" <= $"t2", "1_middle")
+          .otherwise("2_tail").as("bucket"))
+      .groupBy($"source", $"bucket").agg(count(lit(1)).as("n_docs"))
+      .orderBy($"source", $"bucket")
+  }
+
+  val q173Sql: String = {
+    val ws = DuckSql.tokensSql
+    s"""WITH toks AS (SELECT doc_id, source, unnest($ws) AS w
+       |  FROM documents),
+       |model AS (SELECT w, count(*)::BIGINT AS c FROM toks GROUP BY 1),
+       |st AS (SELECT sum(c)::BIGINT AS n_tok, count(*)::BIGINT AS vocab
+       |  FROM model),
+       |nll AS (SELECT doc_id, source,
+       |    ${DuckSql.roundpSql("avg(-ln((c + 1.0) / (n_tok + vocab)))", 6)}
+       |      AS nll
+       |  FROM toks JOIN model USING (w), st GROUP BY 1, 2),
+       |cuts AS (SELECT quantile_cont(nll, 1::DOUBLE / 3) AS t1,
+       |    quantile_cont(nll, 2::DOUBLE / 3) AS t2 FROM nll)
+       |SELECT source,
+       |  CASE WHEN nll <= t1 THEN '0_head'
+       |       WHEN nll <= t2 THEN '1_middle'
+       |       ELSE '2_tail' END AS bucket,
+       |  count(*)::BIGINT AS n_docs
+       |FROM nll, cuts GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q173_ccnet_buckets" -> (q173CcnetBuckets _),
     "q171_burstiness"   -> (q171Burstiness _),
     "q172_zipf_slope"   -> (q172ZipfSlope _),
     "q142_collocations" -> (q142Collocations _),
@@ -968,6 +1031,7 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q173_ccnet_buckets" -> q173Sql,
     "q171_burstiness"   -> q171Sql,
     "q172_zipf_slope"   -> q172Sql,
     "q142_collocations" -> q142Sql,
