@@ -112,6 +112,56 @@ object GraphQueries {
        |WHERE abs((e.value - s.mu) / s.sd) > 3.0
        |ORDER BY event_type, event_id""".stripMargin
 
+  /** q175: ROBUST outlier census — the median/MAD twin of q95 (mean/std
+    * breaks down when the contamination itself inflates the std; MAD has
+    * a 50% breakdown point). Per event_type: exact median, MAD (median
+    * absolute deviation from the ROUNDED median), and how many events
+    * sit beyond the 3σ-equivalent robust fence 3·1.4826·MAD. Both
+    * medians are exact interpolated percentiles over values both engines
+    * read from the same parquet; median and MAD are rounded to 6dp
+    * BEFORE the fence comparison, so the flag inputs are bit-identical
+    * cross-engine. Scale shape: two per-group exact-percentile
+    * aggregations (the sort-based exact path — approx_percentile is the
+    * deployment swap, same as q173) + one broadcast-join scan. */
+  def q175RobustOutliers(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = events(s, d)
+    val med = ev.groupBy($"event_type")
+      .agg(roundp(percentile($"value", lit(0.5)), 6).as("med"),
+        count(lit(1)).as("n"))
+    val mad = ev.join(broadcast(med), Seq("event_type"))
+      .groupBy($"event_type")
+      .agg(roundp(percentile(abs($"value" - $"med"), lit(0.5)), 6).as("mad"))
+    ev.join(broadcast(med), Seq("event_type"))
+      .join(broadcast(mad), Seq("event_type"))
+      .groupBy($"event_type")
+      .agg(first($"n").as("n"), first($"med").as("med"),
+        first($"mad").as("mad"),
+        // 3·1.4826 pre-folded to ONE literal: 4.4478 parses to the same
+        // double here and in DuckDB, where 3.0*1.4826 would be decimal math
+        sum(when(abs($"value" - $"med") > lit(4.4478) * $"mad",
+          1L).otherwise(0L)).as("n_outliers"))
+      .select($"event_type", $"n", $"med", $"mad", $"n_outliers")
+      .orderBy($"event_type")
+  }
+
+  val q175Sql: String =
+    s"""WITH med AS (SELECT event_type,
+       |    ${DuckSql.roundpSql("quantile_cont(value, 0.5)", 6)} AS med,
+       |    count(*)::BIGINT AS n
+       |  FROM events GROUP BY 1),
+       |mad AS (SELECT e.event_type,
+       |    ${DuckSql.roundpSql("quantile_cont(abs(e.value - m.med), 0.5)", 6)}
+       |      AS mad
+       |  FROM events e JOIN med m USING (event_type) GROUP BY 1)
+       |SELECT e.event_type, any_value(m.n) AS n, any_value(m.med) AS med,
+       |  any_value(d.mad) AS mad,
+       |  sum(CASE WHEN abs(e.value - m.med) > 4.4478 * d.mad
+       |    THEN 1 ELSE 0 END)::BIGINT AS n_outliers
+       |FROM events e JOIN med m USING (event_type)
+       |JOIN mad d ON d.event_type = e.event_type
+       |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin
+
   /** Triangle count — see [[graft.ops.Triangles]] for the two physical
     * strategies (join-based any-scale vs broadcast-edge-set). */
   def triangleCount(e: DataFrame, broadcastEdges: Boolean = false): DataFrame =
@@ -167,6 +217,7 @@ object GraphQueries {
     "q93_pagerank"        -> (q93PageRank _),
     "q94_topk_per_group"  -> (q94TopKPerGroup _),
     "q95_outliers"        -> (q95Outliers _),
+    "q175_robust_outliers" -> (q175RobustOutliers _),
     "q103_triangles"      -> (q103Triangles _),
   )
 
@@ -174,6 +225,7 @@ object GraphQueries {
     "q93_pagerank"        -> q93Sql,
     "q94_topk_per_group"  -> q94Sql,
     "q95_outliers"        -> q95Sql,
+    "q175_robust_outliers" -> q175Sql,
     "q103_triangles"      -> q103Sql,
   )
 }

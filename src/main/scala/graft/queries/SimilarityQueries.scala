@@ -610,7 +610,62 @@ object SimilarityQueries {
          |${top5Sql("ef", "embedding", 64)}""".stripMargin)
   }
 
+  // ---------------------------------------------------------------- q176
+
+  /** q176: nearest-centroid label CONFUSION — the standard linear-probe
+    * sanity check of an embedding table: assign every vector to its
+    * nearest per-label centroid (q81's construction) by rounded cosine
+    * and cross-tabulate true vs predicted label. The diagonal says the
+    * labels are linearly separable in embedding space; off-diagonal mass
+    * localizes which labels the encoder confuses. Argmax is window-free
+    * and tie-deterministic: max rounded cosine per vector via one
+    * aggregation, then min label among exact ties. Scale shape: the
+    * centroid table is |labels| rows (broadcast); scoring is a
+    * |vectors|×|labels| broadcast fan-out — linear in the corpus. */
+  def q176LabelConfusion(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = embeddings(s, d)
+    val cent = emb.select($"label", posexplode($"embedding").as(Seq("p", "v")))
+      .groupBy($"label", $"p").agg(avg($"v").as("c"))
+      .groupBy($"label").agg(
+        transform(array_sort(collect_list(struct($"p", $"c"))),
+          e => e.getField("c")).as("cv"))
+      .select($"label".as("clabel"), $"cv")
+    val scored = graft.ops.ScratchCache.register(
+      emb.crossJoin(broadcast(cent))
+        .select($"vec_id", $"label", $"clabel",
+          roundp(VectorFunctions.cosine($"embedding", $"cv"), 6).as("cos"))
+        .persist())
+    val best = scored.groupBy($"vec_id").agg(max($"cos").as("mc"))
+    val pred = scored.join(best.hint("SHUFFLE_HASH"), Seq("vec_id"))
+      .filter($"cos" === $"mc")
+      .groupBy($"vec_id", $"label").agg(min($"clabel").as("pred_label"))
+    pred.groupBy($"label", $"pred_label").agg(count(lit(1)).as("n"))
+      .select($"label".cast("int").as("label"),
+        $"pred_label".cast("int").as("pred_label"), $"n")
+      .orderBy($"label", $"pred_label")
+  }
+
+  val q176Sql: String =
+    s"""WITH dims AS (
+       |  SELECT label, d, avg(embedding[d + 1]::DOUBLE) AS c
+       |  FROM embeddings CROSS JOIN generate_series(0, 63) g(d)
+       |  GROUP BY 1, 2),
+       |cent AS (SELECT label AS clabel, list(c ORDER BY d) AS cv
+       |  FROM dims GROUP BY 1),
+       |scored AS (SELECT e.vec_id, e.label, c.clabel,
+       |    ${DuckSql.roundpSql(DuckSql.cosineSql("e.embedding", "c.cv", 64), 6)}
+       |      AS cos
+       |  FROM embeddings e CROSS JOIN cent c),
+       |best AS (SELECT vec_id, max(cos) AS mc FROM scored GROUP BY 1),
+       |pred AS (SELECT s.vec_id, s.label, min(s.clabel) AS pred_label
+       |  FROM scored s JOIN best b ON s.vec_id = b.vec_id AND s.cos = b.mc
+       |  GROUP BY 1, 2)
+       |SELECT label, pred_label, count(*)::BIGINT AS n
+       |FROM pred GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q176_label_confusion"  -> (q176LabelConfusion _),
     "q166_matryoshka"       -> (q166Matryoshka _),
     "q167_sq8_recall"       -> (q167Sq8Recall _),
     "q155_diversity_sample" -> (q155DiversitySample _),
@@ -628,6 +683,7 @@ object SimilarityQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q176_label_confusion"  -> q176Sql,
     "q166_matryoshka"       -> q166Sql,
     "q167_sq8_recall"       -> q167Sql,
     "q155_diversity_sample" -> q155Sql,
