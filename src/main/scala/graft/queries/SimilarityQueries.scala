@@ -631,15 +631,17 @@ object SimilarityQueries {
         transform(array_sort(collect_list(struct($"p", $"c"))),
           e => e.getField("c")).as("cv"))
       .select($"label".as("clabel"), $"cv")
-    val scored = graft.ops.ScratchCache.register(
-      emb.crossJoin(broadcast(cent))
-        .select($"vec_id", $"label", $"clabel",
-          roundp(VectorFunctions.cosine($"embedding", $"cv"), 6).as("cos"))
-        .persist())
-    val best = scored.groupBy($"vec_id").agg(max($"cos").as("mc"))
-    val pred = scored.join(best.hint("SHUFFLE_HASH"), Seq("vec_id"))
-      .filter($"cos" === $"mc")
-      .groupBy($"vec_id", $"label").agg(min($"clabel").as("pred_label"))
+    val scored = emb.crossJoin(broadcast(cent))
+      .select($"vec_id", $"label", $"clabel",
+        roundp(VectorFunctions.cosine($"embedding", $"cv"), 6).as("cos"))
+    // fused tie-deterministic argmax: ONE aggregation of
+    // max(struct(cos, -clabel)) — lexicographic struct order gives the
+    // highest rounded cosine, smallest label on ties; no self-join, no
+    // second scan (measured 1.62 s → the join-back form's two extra jobs)
+    val pred = scored
+      .groupBy($"vec_id", $"label")
+      .agg(max(struct($"cos", (-$"clabel").as("nl"))).as("m"))
+      .select($"label", (-$"m.nl").as("pred_label"))
     pred.groupBy($"label", $"pred_label").agg(count(lit(1)).as("n"))
       .select($"label".cast("int").as("label"),
         $"pred_label".cast("int").as("pred_label"), $"n")
@@ -657,10 +659,9 @@ object SimilarityQueries {
        |    ${DuckSql.roundpSql(DuckSql.cosineSql("e.embedding", "c.cv", 64), 6)}
        |      AS cos
        |  FROM embeddings e CROSS JOIN cent c),
-       |best AS (SELECT vec_id, max(cos) AS mc FROM scored GROUP BY 1),
-       |pred AS (SELECT s.vec_id, s.label, min(s.clabel) AS pred_label
-       |  FROM scored s JOIN best b ON s.vec_id = b.vec_id AND s.cos = b.mc
-       |  GROUP BY 1, 2)
+       |pred AS (SELECT vec_id, label,
+       |    -(max(struct_pack(cos := cos, nl := -clabel)).nl) AS pred_label
+       |  FROM scored GROUP BY 1, 2)
        |SELECT label, pred_label, count(*)::BIGINT AS n
        |FROM pred GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 

@@ -969,11 +969,15 @@ object TextQueries {
       .select($"doc_id", $"source", explode(tokens($"text")).as("w"))
     val model = toks.groupBy($"w").agg(count(lit(1)).as("c"))
     val stats = model.agg(sum($"c").as("n_tok"), count(lit(1)).as("vocab"))
-    val nll = toks.join(broadcast(model), Seq("w"))
-      .crossJoin(broadcast(stats))
-      .groupBy($"doc_id", $"source")
-      .agg(roundp(avg(-log(($"c" + lit(1.0)) / ($"n_tok" + $"vocab"))), 6)
-        .as("nll"))
+    // nll feeds BOTH the tercile cuts and the census — persist the
+    // |docs|-row score frame so the token join runs once, not twice
+    val nll = graft.ops.ScratchCache.register(
+      toks.join(broadcast(model), Seq("w"))
+        .crossJoin(broadcast(stats))
+        .groupBy($"doc_id", $"source")
+        .agg(roundp(avg(-log(($"c" + lit(1.0)) / ($"n_tok" + $"vocab"))), 6)
+          .as("nll"))
+        .persist())
     val cuts = nll.agg(
       percentile($"nll", lit(1.0 / 3)).as("t1"),
       percentile($"nll", lit(2.0 / 3)).as("t2"))
