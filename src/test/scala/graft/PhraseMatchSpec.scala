@@ -59,6 +59,34 @@ class PhraseMatchSpec extends AnyFunSuite with SparkSpecBase {
     assert(fused.count() > 0)
   }
 
+  test("stress: 993-pattern blocklist == naive contains (JVM-side sweep)") {
+    // blocklists run to 10^4-10^6 phrases; the automaton must stay exact
+    // as the pattern trie deepens and fail links cross pattern families.
+    // Patterns: every word pair from the corpus vocabulary (dense overlap,
+    // shared prefixes/suffixes) plus char fragments that straddle word
+    // boundaries.
+    val words = Seq("the", "fast", "key", "order", "sort", "table", "scan",
+      "merge", "part", "window", "small", "hash", "join", "batch", "stream",
+      "spark", "win", "row", "data", "slow", "filter", "customer", "line",
+      "value", "group", "query", "agg", "big", "a", "of", "and")
+    val pats = (for (a <- words; b <- words) yield s"$a $b") ++
+      words.map(w => w.take(2) + " ") ++ Seq("zz-never")
+    assert(pats.size > 900)
+    val ac = new AhoCorasick(pats.toArray)
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("text").collect().map(_.getString(0)).take(100)
+    for (t <- docs) {
+      val got = {
+        val a = ac.matchIds(UTF8String.fromString(t))
+        (0 until a.numElements()).map(a.getInt).toSet
+      }
+      val want = pats.zipWithIndex.collect {
+        case (p, i) if t.contains(p) => i
+      }.toSet
+      assert(got == want, s"mismatch on doc: ${t.take(60)}")
+    }
+  }
+
   test("SQL surface: graft_phrase_matches with literal patterns") {
     GraftExtensions.register(spark)
     Tables.documents(spark, "/root/testdata/sf0.001").createOrReplaceTempView("pm_docs")
