@@ -73,6 +73,9 @@ object GraftExtensions {
     fn("graft_cdc_chunk_hashes", classOf[CdcChunkHashes])(a =>
       CdcChunkHashes(a(0), intArg(a(1), "graft_cdc_chunk_hashes"))),
     fn("graft_pq_adc", classOf[PqAdc])(a => PqAdc(a(0), a(1))),
+    fn("graft_winnow", classOf[WinnowHashes])(a =>
+      WinnowHashes(a(0), intArg(a(1), "graft_winnow"),
+        intArg(a(2), "graft_winnow"))),
     // graft_phrase_matches(text, 'p1', 'p2', ...): the pattern list is
     // literal because the Aho-Corasick automaton is built at plan time
     fn("graft_phrase_matches", classOf[PhraseMatches])(a =>

@@ -192,6 +192,53 @@ object HashKernels {
     new GenericArrayData(out)
   }
 
+  /** WINNOWING fingerprints (Schleimer et al. 2003, the MOSS algorithm):
+    * polyHash32 every k-codepoint gram, slide a w-gram window, select the
+    * window minimum with RIGHTMOST tie-break (the robust-winnowing rule),
+    * return the distinct selected hashes in first-selection order. Any
+    * shared substring of ≥ k+w−1 chars is guaranteed a shared
+    * fingerprint; expected density is 2/(w+1) of the grams. Gram hashes
+    * are the SAME codepoint polyHash32 fold as `polyHash(substr(text,
+    * i, k))`, so a DuckDB list replay is bit-identical. Docs with fewer
+    * than k+w−1 codepoints emit nothing (window loop is empty) — the
+    * SQL twin's empty range does the same. */
+  def winnowHashes(s: UTF8String, k: Int, w: Int): ArrayData = {
+    if (s == null) return new GenericArrayData(Array.empty[Long])
+    val str = s.toString
+    val cps = str.codePoints().toArray
+    val m = cps.length - k + 1
+    if (m < w) return new GenericArrayData(Array.empty[Long])
+    val g = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      var acc = 0L
+      var j = 0
+      while (j < k) {
+        acc = (acc * 31 + cps(i + j)) % 4294967296L
+        j += 1
+      }
+      g(i) = acc
+      i += 1
+    }
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    var jj = 0
+    while (jj + w <= m) {
+      var best = jj
+      var t = jj + 1
+      while (t < jj + w) {
+        if (g(t) <= g(best)) best = t // <= : rightmost minimal wins
+        t += 1
+      }
+      seen.add(g(best))
+      jj += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = it.next(); o += 1 }
+    new GenericArrayData(out)
+  }
+
   /** Distinct length-L CHARACTER windows (codepoint-indexed, matching
     * Spark `substring`/`length` and DuckDB `substr`/`length` semantics on
     * supplementary-plane text), first-occurrence order; EMPTY for
@@ -586,6 +633,38 @@ case class CdcChunkHashes(child: Expression, m: Int) extends UnaryExpression {
     copy(child = c)
 }
 
+/** `graft_winnow(text, k, w)` → distinct winnowing fingerprints (see
+  * [[HashKernels.winnowHashes]]). */
+case class WinnowHashes(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType if k > 0 && w > 0 => TypeCheckResult.TypeCheckSuccess
+    case StringType => TypeCheckResult.TypeCheckFailure(
+      "graft_winnow gram length and window must be positive")
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_winnow expects STRING, got ${other.sql}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    HashKernels.winnowHashes(child.eval(input).asInstanceOf[UTF8String], k, w)
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val c = child.genCode(ctx)
+    ev.copy(code = code"""
+      ${c.code}
+      org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+        graft.functions.HashKernels.winnowHashes(${c.isNull} ? null : ${c.value}, $k, $w);
+    """,
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
+  override protected def withNewChildInternal(c: Expression): WinnowHashes =
+    copy(child = c)
+}
+
 object ShingleExpressions {
   def wordShingles(text: Column, k: Int): Column =
     Bridge.column(WordShingles(Bridge.expression(text), k))
@@ -601,4 +680,6 @@ object ShingleExpressions {
     Bridge.column(CharWindowHashPos(Bridge.expression(text), winLen))
   def cdcChunkHashes(text: Column, m: Int): Column =
     Bridge.column(CdcChunkHashes(Bridge.expression(text), m))
+  def winnowHashes(text: Column, k: Int, w: Int): Column =
+    Bridge.column(WinnowHashes(Bridge.expression(text), k, w))
 }

@@ -1594,7 +1594,51 @@ object CurationQueries {
        |FROM t1 JOIN own USING (s), tot GROUP BY source ORDER BY source""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q178
+
+  /** q178: corpus GROWTH curve — distinct 3-shingle types accumulated per
+    * 50-doc ingestion batch (first-owner bucketing), with the running
+    * total: the diminishing-returns curve that says when more of the
+    * same source stops buying new content. New types per batch come from
+    * one first-owner aggregation (q170's frame); the cumulative column
+    * uses [[graft.ops.PrefixSum]]'s two-pass distributed prefix sum —
+    * NO global `sum() OVER (ORDER BY ...)` window (single-reducer,
+    * PlanGuard error class) and no triangle self-join (quadratic in
+    * batch count). The oracle may window freely — DuckDB is
+    * single-process anyway. */
+  def q178GrowthCurve(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val batches = documents(s, d)
+      .select($"doc_id",
+        explode(graft.functions.ShingleExpressions
+          .wordShingleHashes64($"text", 3)).as("h"))
+      .groupBy($"h").agg(min($"doc_id").as("fd"))
+      .select(floor($"fd" / 50L).cast("long").as("batch"))
+      .groupBy($"batch").agg(count(lit(1)).as("n_new"))
+      .as[(Long, Long)]
+    graft.ops.PrefixSum.byKeyAsc(batches, parts = 32)
+      .select($"k".as("batch"), (($"k" + 1L) * 50L).as("docs_ingested"),
+        $"v".as("n_new_types"), $"cum".as("cum_types"))
+      .orderBy($"batch")
+  }
+
+  val q178Sql: String = {
+    val ws = DuckSql.tokensSql
+    s"""WITH toks AS (SELECT doc_id, $ws AS ws FROM documents),
+       |sh AS (SELECT doc_id, unnest(${DuckSql.shinglesSql("ws", 3)}) AS s
+       |  FROM toks WHERE len(ws) >= 3),
+       |own AS (SELECT s, min(doc_id) AS fd FROM sh GROUP BY 1),
+       |b AS (SELECT fd // 50 AS batch, count(*)::BIGINT AS n_new
+       |  FROM own GROUP BY 1)
+       |SELECT CAST(batch AS BIGINT) AS batch,
+       |  CAST((batch + 1) * 50 AS BIGINT) AS docs_ingested, n_new
+       |    AS n_new_types,
+       |  CAST(sum(n_new) OVER (ORDER BY batch) AS BIGINT) AS cum_types
+       |FROM b ORDER BY batch""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q178_growth_curve"     -> (q178GrowthCurve _),
     "q174_source_type_loss" -> (q174SourceTypeLoss _),
     "q170_doc_novelty"      -> (q170DocNovelty _),
     "q169_temperature_mix"  -> (q169TemperatureMix _),
@@ -1622,6 +1666,7 @@ object CurationQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q178_growth_curve"     -> q178Sql,
     "q174_source_type_loss" -> q174Sql,
     "q170_doc_novelty"      -> q170Sql,
     "q169_temperature_mix"  -> q169Sql,

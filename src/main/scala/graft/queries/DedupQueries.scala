@@ -486,6 +486,63 @@ object DedupQueries {
        |FROM w a JOIN w b ON a.sub = b.sub AND a.doc_id < b.doc_id
        |GROUP BY 1, 2 ORDER BY id_a, id_b""".stripMargin
 
+  /** Hot-fingerprint df cap for q177. Unlike Q58MaxDf this one BITES on
+    * the fixture: the synthetic word-salad repeats the same 16-char runs
+    * across hundreds of docs, so the cap is doing its real job —
+    * discarding boilerplate fingerprints that identify nothing — not
+    * just standing guard for 100 TB. Mirrored exactly in the oracle. */
+  val Q177MaxDf = 25
+
+  /** q177: WINNOWING fingerprint dedup (Schleimer et al. 2003 — the MOSS
+    * algorithm): polyHash every 8-char gram, slide a 4-gram window,
+    * select each window's minimum (rightmost tie — robust winnowing),
+    * then pair documents sharing ≥ 3 distinct rare fingerprints. The
+    * guarantee q58's every-window form lacks a size for: any shared run
+    * of ≥ k+w−1 = 23 chars yields a shared fingerprint while only
+    * ~2/(w+1) of the grams are kept — the index is ~2.5× smaller than
+    * q58's at the same detection floor. The kernel
+    * ([[graft.functions.WinnowHashes]]) fuses gram-hash + window-min +
+    * dedup in one codegen pass; the oracle replays the selection with
+    * list lambdas (rightmost-min via a `<=` list_reduce), so the
+    * fingerprint SETS are hash-checked, not just the pairs. */
+  def q177Winnowing(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w0 = documents(s, d).select($"doc_id",
+      explode(graft.functions.ShingleExpressions
+        .winnowHashes($"text", 16, 8)).as("h"))
+    val fp = graft.ops.ScratchCache.register(w0.persist())
+    val hot = fp.groupBy($"h").agg(count(lit(1)).as("df"))
+      .filter($"df" > Q177MaxDf).select($"h")
+    val w = fp.join(broadcast(hot), Seq("h"), "left_anti")
+    w.as("a").join(w.as("b").hint("SHUFFLE_HASH"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter($"n_shared" >= 3)
+      .orderBy($"id_a", $"id_b")
+  }
+
+  val q177Sql: String = {
+    val gramHash = DuckSql.polyHashSql("substr(text, CAST(i AS INT), 16)")
+    s"""WITH t AS (SELECT doc_id, text, length(text) AS L FROM documents),
+       |gr AS (SELECT doc_id,
+       |    list_transform(range(1, L - 16 + 2), i -> $gramHash) AS g
+       |  FROM t WHERE L >= 23),
+       |sel AS (SELECT doc_id, list_distinct(
+       |    list_transform(range(1, len(g) - 8 + 2), j ->
+       |      g[list_reduce(range(j, j + 8),
+       |        (acc, i) -> CASE WHEN g[i] <= g[acc] THEN i ELSE acc END)]))
+       |    AS fps
+       |  FROM gr WHERE len(g) >= 8),
+       |w0 AS (SELECT doc_id, unnest(fps) AS h FROM sel),
+       |w AS (SELECT doc_id, h FROM w0 WHERE h NOT IN
+       |  (SELECT h FROM w0 GROUP BY h HAVING count(*) > $Q177MaxDf))
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  count(*)::BIGINT AS n_shared
+       |FROM w a JOIN w b ON a.h = b.h AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2 HAVING count(*) >= 3 ORDER BY id_a, id_b""".stripMargin
+  }
+
   /** q73: edit-distance fuzzy near-dup join — classic record-linkage shape:
     * BLOCK on a cheap equality key (first 12 chars) so the self-join is a
     * plain hash join (shuffles |docs|, not |docs|²), then score survivors
@@ -758,6 +815,7 @@ object DedupQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q168_minhash_fidelity" -> (q168MinhashFidelity _),
+    "q177_winnowing"     -> (q177Winnowing _),
     "q99_entity_resolution" -> (q99EntityResolution _),
     "q26_dedup_exact"    -> (q26Exact _),
     "q27_ngram_jaccard"  -> (q27NgramJaccard _),
@@ -780,6 +838,7 @@ object DedupQueries {
 
   val oracles: Map[String, String] = Map(
     "q168_minhash_fidelity" -> q168Sql,
+    "q177_winnowing"     -> q177Sql,
     "q99_entity_resolution" -> q99Sql,
     "q26_dedup_exact"    -> q26Sql,
     "q27_ngram_jaccard"  -> q27Sql,
