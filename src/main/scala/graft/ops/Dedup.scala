@@ -250,6 +250,48 @@ object Dedup {
           .as("abs_err"))
   }
 
+  /** LSH BANDING-EFFICIENCY curve: for nested band budgets (first 8, 16,
+    * all 32 bands), the candidate-pair count and how many candidates are
+    * true near-dups at `threshold` — the (cost, recall) tuning table for
+    * picking a banding scheme. ONE banded self-join computes the MINIMUM
+    * colliding band per pair; per-budget numbers are conditional sums
+    * over that frame (prefix property: the candidate set of b bands is
+    * exactly {min_band < b}), so the curve costs one LSH pass, not one
+    * per budget. A 64-bit band-key collision could add a spurious
+    * candidate (probability ≈ 2⁻⁶⁴ per band pair — the same accepted
+    * class as every banded path here); true-pair flags use the exact
+    * verified Jaccard. */
+  def bandingEfficiency(df: DataFrame, id: String, text: String, k: Int,
+                        threshold: Double, nHashes: Int = 64,
+                        rowsPerBand: Int = 2,
+                        bandCounts: Seq[Int] = Seq(8, 16, 32)): DataFrame = {
+    val sets = ScratchCache.register(shingleSets(df, id, text, k).persist())
+    val sig = ScratchCache.register(signatures(sets, nHashes).persist())
+    val nBands = nHashes / rowsPerBand
+    val bands = sig.select(col("doc_id"),
+      posexplode(array((0 until nBands).map(b =>
+        xxhash64(lit(b), slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))): _*))
+        .as(Seq("b", "key")))
+    val cand = bands.as("a").join(bands.as("b").hint("SHUFFLE_HASH"),
+        col("a.key") === col("b.key") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(min(col("a.b")).as("min_band"))
+    val withJac = ScratchCache.register(
+      verifyJaccard(cand.select(col("id_a"), col("id_b")), sets, 0.0)
+        .join(cand, Seq("id_a", "id_b"))
+        .persist())
+    bandCounts.map { bb =>
+      withJac.agg(
+        sum(when(col("min_band") < bb, 1L).otherwise(0L)).as("n_candidates"),
+        sum(when(col("min_band") < bb && col("jac") >= threshold, 1L)
+          .otherwise(0L)).as("n_true"))
+        .select(lit(bb.toLong).as("bands_used"),
+          col("n_candidates"), col("n_true"),
+          roundp(col("n_true") * lit(1.0) / col("n_candidates"), 6)
+            .as("precision"))
+    }.reduce(_ unionByName _)
+  }
+
   /** MinHash-LSH dedup: candidates exact-verified against true Jaccard on
     * the shingle sets — output identical to brute force at the threshold,
     * cost bounded by the candidate count. */

@@ -1637,7 +1637,46 @@ object CurationQueries {
        |FROM b ORDER BY batch""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q179
+
+  /** q179: SHARD-BALANCE audit — token load per hash shard when the
+    * corpus hash-partitions 32 ways on a keyed doc-id hash (the layout a
+    * distributed writer/training loader actually uses). Reports per
+    * shard the doc count, token mass and load factor (shard tokens ×
+    * P / total); max(load_factor) is the straggler multiplier a skewed
+    * key column buys you. One scan, one 32-row aggregate, broadcast
+    * total — the audit costs one pass no matter the corpus. */
+  def q179ShardBalance(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.TextFunctions.{polyHash, tokens}
+    val perShard = documents(s, d)
+      .select(pmod(polyHash(concat($"doc_id".cast("string"), lit("_shard"))),
+          lit(32L)).as("shard"),
+        size(tokens($"text")).cast("long").as("n_tok"))
+      .groupBy($"shard")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("n_tokens"))
+    val tot = perShard.agg(sum($"n_tokens").as("total"))
+    perShard.crossJoin(broadcast(tot))
+      .select($"shard", $"n_docs", $"n_tokens",
+        roundp($"n_tokens" * lit(32.0) / $"total", 6).as("load_factor"))
+      .orderBy($"shard")
+  }
+
+  val q179Sql: String = {
+    val ws = DuckSql.tokensSql
+    val h = DuckSql.polyHashSql("(doc_id::VARCHAR || '_shard')")
+    s"""WITH t AS (SELECT ($h) % 32 AS shard, len($ws) AS n_tok
+       |  FROM documents),
+       |ps AS (SELECT shard, count(*)::BIGINT AS n_docs,
+       |    sum(n_tok)::BIGINT AS n_tokens FROM t GROUP BY 1),
+       |tot AS (SELECT sum(n_tokens)::BIGINT AS total FROM ps)
+       |SELECT shard, n_docs, n_tokens,
+       |  ${DuckSql.roundpSql("n_tokens * 32.0 / total", 6)} AS load_factor
+       |FROM ps, tot ORDER BY shard""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q179_shard_balance"    -> (q179ShardBalance _),
     "q178_growth_curve"     -> (q178GrowthCurve _),
     "q174_source_type_loss" -> (q174SourceTypeLoss _),
     "q170_doc_novelty"      -> (q170DocNovelty _),
@@ -1666,6 +1705,7 @@ object CurationQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q179_shard_balance"    -> q179Sql,
     "q178_growth_curve"     -> q178Sql,
     "q174_source_type_loss" -> q174Sql,
     "q170_doc_novelty"      -> q170Sql,

@@ -543,6 +543,57 @@ object DedupQueries {
        |GROUP BY 1, 2 HAVING count(*) >= 3 ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** q180: LSH BANDING-EFFICIENCY curve — for nested band budgets (8, 16,
+    * 32 of the 2-row bands), candidate pairs generated, true near-dups
+    * (exact J ≥ 0.8) among them, and precision: the (cost, recall)
+    * table that justifies a banding scheme before a 100 TB run. One
+    * banded self-join yields the MINIMUM colliding band per pair; the
+    * nested budgets are conditional sums over that single frame
+    * ([[graft.ops.Dedup.bandingEfficiency]]). The oracle replays the
+    * signature permutations (q168's list replay) and finds colliding
+    * bands over all pairs — same numbers from the opposite plan shape. */
+  def q180LshEfficiency(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Dedup.bandingEfficiency(documents(s, d), "doc_id", "text", 3, 0.8)
+      .orderBy($"bands_used")
+  }
+
+  val q180Sql: String = {
+    val sigExpr = "list_transform(range(0, 64), j -> list_min(" +
+      "list_transform(hs, h -> ((2*j + 1)*h + j*j + 7) % 4294967291)))"
+    s"""WITH toks AS (SELECT doc_id, ${DuckSql.tokensSql} AS ws FROM documents),
+       |st AS (SELECT doc_id, ${DuckSql.shinglesSql("ws", 3)} AS sh,
+       |    ${DuckSql.shingleHashesSql("ws", 3)} AS hs
+       |  FROM toks WHERE len(ws) >= 3),
+       |sig AS (SELECT doc_id, sh, $sigExpr AS sig FROM st),
+       |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    a.sh AS sa, b.sh AS sb,
+       |    list_min(list_transform(range(0, 32), b2 ->
+       |      CASE WHEN a.sig[2*b2+1] = b.sig[2*b2+1]
+       |            AND a.sig[2*b2+2] = b.sig[2*b2+2] THEN b2 ELSE 99 END))
+       |      AS min_band
+       |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id),
+       |c2 AS (SELECT id_a, id_b, min_band,
+       |    len(list_intersect(sa, sb)) AS inter,
+       |    len(sa) AS na, len(sb) AS nb
+       |  FROM cand WHERE min_band < 32),
+       |j AS (SELECT id_a, id_b, min_band,
+       |    ${DuckSql.roundpSql("inter * 1.0 / (na + nb - inter)", 6)} AS jac
+       |  FROM c2),
+       |bb AS (SELECT unnest([8, 16, 32]) AS bands_used)
+       |SELECT CAST(bands_used AS BIGINT) AS bands_used,
+       |  sum(CASE WHEN min_band < bands_used THEN 1 ELSE 0 END)::BIGINT
+       |    AS n_candidates,
+       |  sum(CASE WHEN min_band < bands_used AND jac >= 0.8 THEN 1 ELSE 0
+       |    END)::BIGINT AS n_true,
+       |  ${DuckSql.roundpSql(
+            "sum(CASE WHEN min_band < bands_used AND jac >= 0.8 " +
+              "THEN 1 ELSE 0 END) * 1.0 / " +
+              "sum(CASE WHEN min_band < bands_used THEN 1 ELSE 0 END)", 6)}
+       |    AS precision
+       |FROM j, bb GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   /** q73: edit-distance fuzzy near-dup join — classic record-linkage shape:
     * BLOCK on a cheap equality key (first 12 chars) so the self-join is a
     * plain hash join (shuffles |docs|, not |docs|²), then score survivors
@@ -816,6 +867,7 @@ object DedupQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q168_minhash_fidelity" -> (q168MinhashFidelity _),
     "q177_winnowing"     -> (q177Winnowing _),
+    "q180_lsh_efficiency" -> (q180LshEfficiency _),
     "q99_entity_resolution" -> (q99EntityResolution _),
     "q26_dedup_exact"    -> (q26Exact _),
     "q27_ngram_jaccard"  -> (q27NgramJaccard _),
@@ -839,6 +891,7 @@ object DedupQueries {
   val oracles: Map[String, String] = Map(
     "q168_minhash_fidelity" -> q168Sql,
     "q177_winnowing"     -> q177Sql,
+    "q180_lsh_efficiency" -> q180Sql,
     "q99_entity_resolution" -> q99Sql,
     "q26_dedup_exact"    -> q26Sql,
     "q27_ngram_jaccard"  -> q27Sql,
