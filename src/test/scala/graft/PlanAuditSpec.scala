@@ -169,6 +169,40 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpecBase {
     assert(!plan.contains("Window"), plan)
   }
 
+  test("q163 DSIR: bucket/total joins broadcast, token stream never sort-merges") {
+    val df = graft.queries.CurationQueries.q163DsirWeights(spark, sfSmoke)
+    val plan = planStr(df)
+    assert(broadcasts(df) >= 2, plan) // 64-row bucket table + totals
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("q165 phrase blocklist: fused automaton in-scan, agg + sort shuffles only") {
+    val df = graft.queries.CurationQueries.q165PhraseBlocklist(spark, sfSmoke)
+    val plan = planStr(df)
+    assert(plan.contains("phrasematches"), plan)
+    assert(shuffles(df) <= 2, plan)
+  }
+
+  test("novelty/type-loss/winnowing (q170/q174/q177): hash equi-joins only") {
+    for (df <- Seq(
+        graft.queries.CurationQueries.q170DocNovelty(spark, sfSmoke),
+        graft.queries.CurationQueries.q174SourceTypeLoss(spark, sfSmoke),
+        graft.queries.DedupQueries.q177Winnowing(spark, sfSmoke))) {
+      val plan = planStr(df)
+      assert(!plan.contains("CartesianProduct"), plan)
+      // broadcast NLJ is fine only for the tiny totals cross join (q174)
+      assert(!plan.contains("SortMergeJoin"), plan)
+    }
+    graft.ops.ScratchCache.releaseAll()
+  }
+
+  test("q178 growth curve: PrefixSum keeps the plan window-free") {
+    val df = graft.queries.CurationQueries.q178GrowthCurve(spark, sfSmoke)
+    val plan = planStr(df)
+    assert(!plan.contains("Window"), plan)
+    graft.ops.ScratchCache.releaseAll()
+  }
+
   test("q45 PQ ADC scan is the intended broadcast-NLJ; candidates rank via aggregate") {
     val emb = Tables.embeddings(spark, sfSmoke)
     val idx = graft.ops.PqIndex.build(emb, "vec_id", "embedding", m = 8, ksub = 16)
