@@ -61,6 +61,14 @@ object TextFunctions {
   def stopwordCount(ws: Column, words: Seq[String]): Column =
     size(filter(ws, w => w.isInCollection(words)))
 
+  /** Chars of `t` matching regex class `pat` (e.g. "\\p{IsLatin}",
+    * "[0-9]"), by strip-length difference — two codegen'd builtins, no
+    * per-char explode. DuckDB twin:
+    * len(t) - len(regexp_replace(t, pat, '', 'g')) (RE2 spells scripts
+    * \p{Latin} where Java spells \p{IsLatin}). */
+  def charClassCount(t: Column, pat: String): Column =
+    (length(t) - length(regexp_replace(t, pat, ""))).cast("bigint")
+
   /** BPE-ish token count: runs of alnum OR single non-alnum-non-space. */
   def tokenCountRegex(text: Column): Column =
     size(regexp_extract_all(lower(text), lit("[a-z0-9]+|[^a-z0-9\\s]"), lit(0)))

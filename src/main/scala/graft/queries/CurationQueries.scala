@@ -1675,7 +1675,62 @@ object CurationQueries {
        |FROM ps, tot ORDER BY shard""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q183
+
+  /** q183: ADAPTIVE quality threshold — keep each source's top quartile
+    * by the q23 quality score, with the cutoff computed PER SOURCE
+    * (CCNet's per-language adaptive gate, vs q54's one fixed global
+    * threshold): a uniform cutoff drains low-resource or stylistically
+    * different sources to zero while barely touching the dominant one.
+    * Reports per source the p75 cutoff, survivor count and survivor mean
+    * quality. Plan: one scan computes the score, one |sources|-row exact
+    * percentile aggregate broadcasts back over the scored frame — the
+    * threshold table is O(|sources|) at any corpus size. Both engines
+    * compare the 6-dec ROUNDED score against the 6-dec ROUNDED cutoff,
+    * so the keep decision is deterministic (q57 established
+    * percentile ≡ quantile_cont parity). */
+  def q183AdaptiveThreshold(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.TextFunctions.{stopwordCount, tokens}
+    val scored = documents(s, d)
+      .select($"source", tokens($"text").as("ws"))
+      .select($"source", size($"ws").cast("bigint").as("n_words"),
+        stopwordCount($"ws", Seq("the", "a", "of", "and")).as("n_stop"))
+      .filter($"n_words" > 0L)
+      .select($"source",
+        roundp(least($"n_words", lit(100L)) / lit(100.0) *
+          (lit(1.0) - $"n_stop" * lit(1.0) / $"n_words"), 6).as("q"))
+    val thr = scored.groupBy($"source")
+      .agg(roundp(expr("percentile(q, 0.75)"), 6).as("thr"))
+    scored.join(broadcast(thr), Seq("source"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"q" >= $"thr", 1L).otherwise(0L)).as("n_kept"),
+        first($"thr").as("thr"),
+        QueryUtil.safeAvg(when($"q" >= $"thr", $"q"), 6).as("kept_avg_q"))
+      .orderBy($"source")
+  }
+
+  val q183Sql: String = {
+    val ws = DuckSql.tokensSql
+    s"""WITH toks AS (SELECT source, $ws AS ws FROM documents),
+       |t AS (SELECT source, len(ws)::BIGINT AS n_words,
+       |    len(list_filter(ws, w -> w IN ('the','a','of','and')))::BIGINT AS n_stop
+       |  FROM toks WHERE len(ws) > 0),
+       |d AS (SELECT source, ${DuckSql.roundpSql(
+              "least(n_words, 100) / 100.0 * (1.0 - n_stop * 1.0 / n_words)",
+              6)} AS q FROM t),
+       |thr AS (SELECT source, ${DuckSql.roundpSql(
+              "quantile_cont(q, 0.75)", 6)} AS thr FROM d GROUP BY 1)
+       |SELECT source, count(*)::BIGINT AS n_docs,
+       |  sum(CASE WHEN q >= thr THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+       |  any_value(thr) AS thr,
+       |  ${QueryUtil.safeAvgSql("CASE WHEN q >= thr THEN q END", 6)} AS kept_avg_q
+       |FROM d JOIN thr USING (source) GROUP BY source ORDER BY source""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q183_adaptive_threshold" -> (q183AdaptiveThreshold _),
     "q179_shard_balance"    -> (q179ShardBalance _),
     "q178_growth_curve"     -> (q178GrowthCurve _),
     "q174_source_type_loss" -> (q174SourceTypeLoss _),
@@ -1705,6 +1760,7 @@ object CurationQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q183_adaptive_threshold" -> q183Sql,
     "q179_shard_balance"    -> q179Sql,
     "q178_growth_curve"     -> q178Sql,
     "q174_source_type_loss" -> q174Sql,

@@ -864,7 +864,44 @@ object DedupQueries {
        |    AS kept_frac
        |FROM marked GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q184
+
+  /** q184: NORMALIZED exact dedup — C4/Gopher-style canonicalization
+    * (casefold, strip punctuation, collapse whitespace) before hashing,
+    * vs the raw-text dedup of q26: per source, how many "distinct" docs
+    * are really the same text wearing different punctuation/spacing.
+    * This is the cheapest rung of the near-dup ladder (q26 exact →
+    * q184 normalized → q28 MinHash) and in practice removes the bulk of
+    * boilerplate mirrors before MinHash ever runs. One scan + one
+    * two-key distinct aggregate (Expand×2); no joins, no window. */
+  def q184NormalizedDedup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val nrm = trim(regexp_replace(regexp_replace(lower($"text"),
+      "[^a-z0-9\\s]", ""), "\\s+", " "))
+    documents(s, d)
+      .select($"source", lower($"text").as("raw"), nrm.as("nrm"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct($"raw").as("n_raw_distinct"),
+        countDistinct($"nrm").as("n_norm_distinct"))
+      .select($"source", $"n_docs", $"n_raw_distinct", $"n_norm_distinct",
+        ($"n_raw_distinct" - $"n_norm_distinct").as("n_fuzzy_collapsed"))
+      .orderBy($"source")
+  }
+
+  val q184Sql: String = {
+    val nrm = "trim(regexp_replace(regexp_replace(lower(text), " +
+      "'[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))"
+    s"""SELECT source, count(*)::BIGINT AS n_docs,
+       |  count(DISTINCT lower(text))::BIGINT AS n_raw_distinct,
+       |  count(DISTINCT $nrm)::BIGINT AS n_norm_distinct,
+       |  (count(DISTINCT lower(text)) - count(DISTINCT $nrm))::BIGINT
+       |    AS n_fuzzy_collapsed
+       |FROM documents GROUP BY source ORDER BY source""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q184_normalized_dedup" -> (q184NormalizedDedup _),
     "q168_minhash_fidelity" -> (q168MinhashFidelity _),
     "q177_winnowing"     -> (q177Winnowing _),
     "q180_lsh_efficiency" -> (q180LshEfficiency _),
@@ -889,6 +926,7 @@ object DedupQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q184_normalized_dedup" -> q184Sql,
     "q168_minhash_fidelity" -> q168Sql,
     "q177_winnowing"     -> q177Sql,
     "q180_lsh_efficiency" -> q180Sql,

@@ -1011,7 +1011,106 @@ object TextQueries {
        |FROM nll, cuts GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q181
+
+  /** q181: SCRIPT-MIX audit — per source, the Unicode-script/char-class
+    * composition of the text (Latin-script, digit, whitespace, other
+    * fractions) plus the digit-heavy doc count (digit_frac > 0.2, the
+    * classic table/serial-number page signal a quality gate drops).
+    * Script detection is what language-ID leans on before any model
+    * runs: a "French" doc that is 40% Han script is mislabeled or spam.
+    * One scan, strip-length regex arithmetic (codegen, no tokenizer),
+    * one |sources|-row aggregate — the audit costs a single pass at any
+    * corpus size. Java `\p{IsLatin}` and RE2 `\p{Latin}` agree on ASCII
+    * + BMP; TextFunctionsSpec pins Cyrillic/Han/Greek behavior on a
+    * multilingual fixture. */
+  def q181ScriptMix(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val t = documents(s, d)
+      .select($"source", length($"text").cast("bigint").as("n"),
+        charClassCount($"text", "\\p{IsLatin}").as("n_latin"),
+        charClassCount($"text", "[0-9]").as("n_digit"),
+        charClassCount($"text", "\\s").as("n_ws"))
+      .filter($"n" > 0L)
+    t.groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        QueryUtil.safeAvg($"n_latin" * lit(1.0) / $"n", 6).as("latin_frac"),
+        QueryUtil.safeAvg($"n_digit" * lit(1.0) / $"n", 6).as("digit_frac"),
+        QueryUtil.safeAvg(($"n" - $"n_latin" - $"n_digit" - $"n_ws") *
+          lit(1.0) / $"n", 6).as("other_frac"),
+        sum(when($"n_digit" * 5L > $"n", 1L).otherwise(0L))
+          .as("n_digit_heavy"))
+      .orderBy($"source")
+  }
+
+  val q181Sql: String =
+    s"""WITH t AS (SELECT source, len(text)::BIGINT AS n,
+       |    (len(text) - len(regexp_replace(text, '\\p{Latin}', '', 'g')))::BIGINT AS n_latin,
+       |    (len(text) - len(regexp_replace(text, '[0-9]', '', 'g')))::BIGINT AS n_digit,
+       |    (len(text) - len(regexp_replace(text, '\\s', '', 'g')))::BIGINT AS n_ws
+       |  FROM documents WHERE len(text) > 0)
+       |SELECT source, count(*)::BIGINT AS n_docs,
+       |  ${QueryUtil.safeAvgSql("n_latin * 1.0 / n", 6)} AS latin_frac,
+       |  ${QueryUtil.safeAvgSql("n_digit * 1.0 / n", 6)} AS digit_frac,
+       |  ${QueryUtil.safeAvgSql("(n - n_latin - n_digit - n_ws) * 1.0 / n", 6)} AS other_frac,
+       |  sum(CASE WHEN n_digit * 5 > n THEN 1 ELSE 0 END)::BIGINT AS n_digit_heavy
+       |FROM t GROUP BY source ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------- q182
+
+  /** q182: hashed-bigram LINEAR CLASSIFIER score — the fastText-style
+    * quality/topic scorer every production curation stack runs after the
+    * cheap heuristics: hash each distinct word bigram into a 2¹⁶-bucket
+    * weight table, score the doc by the mean bucket weight, gate on the
+    * sign. Weights here are the deterministic multiplicative-hash table
+    * w(h) = ((h mod 2¹⁶)·40503 mod 2¹⁶) − 32768 (a trained model ships
+    * as a broadcast float array in the same plan shape); keeping weights
+    * INTEGER makes score_int an exact BIGINT both engines — the gate
+    * decision (score_int > 0) is bit-deterministic, no float reduction
+    * order anywhere. Scale shape: one scan, zero shuffles — the
+    * tokenize/shingle/hash work runs in the fused codegen'd
+    * [[graft.functions.ShingleExpressions.wordShingleHashes]] kernel and
+    * only the 3-integer-op weight fold is an interpreted HOF (the
+    * string-lambda form measured 3.75 s vs 0.5 s at sf0.1); the
+    * explode+groupBy form would shuffle |grams| ≈ |tokens| rows. The
+    * gram list is hash-distinct on both sides (kernel LinkedHashSet ≡
+    * oracle list_distinct-of-hashes), so a 32-bit within-doc collision
+    * cannot split the engines. */
+  def q182NgramClassifier(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    documents(s, d)
+      .select($"doc_id", graft.functions.ShingleExpressions
+        .wordShingleHashes($"text", 2).as("hs"))
+      .filter(size($"hs") >= 1)
+      .select($"doc_id", size($"hs").cast("bigint").as("n_grams"),
+        aggregate(transform($"hs",
+            h => ((h % 65536L) * 40503L % 65536L) - 32768L),
+          lit(0L), (acc, x) => acc + x).as("score_int"))
+      .select($"doc_id", $"n_grams", $"score_int",
+        roundp($"score_int" / ($"n_grams" * lit(65536.0)), 6).as("mean_w"),
+        when($"score_int" > 0L, 1L).otherwise(0L).as("keep"))
+      .orderBy($"doc_id")
+  }
+
+  val q182Sql: String = {
+    val ws = DuckSql.tokensSql
+    s"""WITH toks AS (SELECT doc_id, $ws AS ws FROM documents),
+       |g AS (SELECT doc_id, ${DuckSql.shingleHashesSql("ws", 2)} AS hs
+       |  FROM toks WHERE len(ws) >= 2),
+       |sc AS (SELECT doc_id, len(hs)::BIGINT AS n_grams,
+       |    list_sum(list_transform(hs,
+       |      h -> (h % 65536 * 40503 % 65536) - 32768
+       |    ))::BIGINT AS score_int
+       |  FROM g WHERE len(hs) >= 1)
+       |SELECT doc_id, n_grams, score_int,
+       |  ${DuckSql.roundpSql("score_int / (n_grams * 65536.0)", 6)} AS mean_w,
+       |  (CASE WHEN score_int > 0 THEN 1 ELSE 0 END)::BIGINT AS keep
+       |FROM sc ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q181_script_mix"   -> (q181ScriptMix _),
+    "q182_ngram_classifier" -> (q182NgramClassifier _),
     "q173_ccnet_buckets" -> (q173CcnetBuckets _),
     "q171_burstiness"   -> (q171Burstiness _),
     "q172_zipf_slope"   -> (q172ZipfSlope _),
@@ -1035,6 +1134,8 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q181_script_mix"   -> q181Sql,
+    "q182_ngram_classifier" -> q182Sql,
     "q173_ccnet_buckets" -> q173Sql,
     "q171_burstiness"   -> q171Sql,
     "q172_zipf_slope"   -> q172Sql,

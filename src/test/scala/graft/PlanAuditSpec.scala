@@ -203,6 +203,25 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpecBase {
     graft.ops.ScratchCache.releaseAll()
   }
 
+  test("q181/q182/q184 single-scan audits: no joins, bounded shuffles") {
+    for ((df, maxSh) <- Seq(
+        (graft.queries.TextQueries.q181ScriptMix(spark, sfSmoke), 2),
+        (graft.queries.TextQueries.q182NgramClassifier(spark, sfSmoke), 1),
+        (graft.queries.DedupQueries.q184NormalizedDedup(spark, sfSmoke), 3))) {
+      val plan = planStr(df)
+      assert(!plan.contains("Join"), plan)
+      assert(!plan.contains("Window"), plan)
+      assert(shuffles(df) <= maxSh, plan) // agg (+ Expand re-agg) + sort
+    }
+  }
+
+  test("q183 adaptive gate: threshold table broadcasts back, no sort-merge") {
+    val df = graft.queries.CurationQueries.q183AdaptiveThreshold(spark, sfSmoke)
+    val plan = planStr(df)
+    assert(broadcasts(df) >= 1, plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("q45 PQ ADC scan is the intended broadcast-NLJ; candidates rank via aggregate") {
     val emb = Tables.embeddings(spark, sfSmoke)
     val idx = graft.ops.PqIndex.build(emb, "vec_id", "embedding", m = 8, ksub = 16)
