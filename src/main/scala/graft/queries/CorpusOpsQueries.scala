@@ -546,7 +546,69 @@ object CorpusOpsQueries {
       |FROM cls CROSS JOIN (VALUES (5), (15), (30)) t(k)
       |GROUP BY k ORDER BY k""".stripMargin
 
+  // ---------------------------------------------------------------- q186
+
+  /** q186: l-DIVERSITY audit — k-anonymity's (q152) necessary companion:
+    * a (lang, source) equivalence class can be large (k-anonymous) yet
+    * leak everything because all its members share one sensitive value.
+    * Per class: size, distinct sensitive values (distinct l), and the
+    * entropy of the sensitive distribution (entropy l-diversity,
+    * Machanavajjhala et al. 2007), plus the l≥2 flag. The sensitive
+    * attribute here is a derived text class (has-digits / long-prose /
+    * other) standing in for whatever column a real release protects.
+    * Plan: two hash aggregations ((class, sv) counts → per-class fold) —
+    * no window, no join; entropy folds from exact counts with the
+    * DECIMAL-summed c·ln(c) trick so reduction order can't flip the
+    * rounded digit. */
+  def q186LDiversity(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.TextFunctions.charClassCount
+    val sv = documents(s, d)
+      .select($"lang", $"source", size(tokens($"text")).cast("bigint").as("n_words"),
+        charClassCount($"text", "[0-9]").as("n_digit"))
+      .select($"lang", $"source",
+        when($"n_digit" > 0L, "has_number")
+          .when($"n_words" > 40L, "long_prose")
+          .otherwise("other").as("sv"))
+    sv.groupBy($"lang", $"source", $"sv").agg(count(lit(1)).as("c"))
+      .groupBy($"lang", $"source")
+      .agg(sum($"c").as("n_docs"),
+        count(lit(1)).as("l_distinct"),
+        sum(($"c".cast("double") * log($"c".cast("double")))
+          .cast("decimal(28,6)")).as("clnc"))
+      .select($"lang", $"source", $"n_docs", $"l_distinct",
+        roundp(log($"n_docs".cast("double")) -
+          $"clnc".cast("double") / $"n_docs", 6).as("entropy_l"),
+        when($"l_distinct" >= 2L, 1L).otherwise(0L).as("meets_l2"))
+      .orderBy($"lang", $"source")
+  }
+
+  val q186Sql: String = {
+    val ws = DuckSql.tokensSql
+    s"""WITH t AS (SELECT lang, source, len($ws)::BIGINT AS n_words,
+       |    (len(text) - len(regexp_replace(text, '[0-9]', '', 'g')))::BIGINT AS n_digit
+       |  FROM documents),
+       |s AS (SELECT lang, source,
+       |    CASE WHEN n_digit > 0 THEN 'has_number'
+       |         WHEN n_words > 40 THEN 'long_prose'
+       |         ELSE 'other' END AS sv
+       |  FROM t),
+       |cc AS (SELECT lang, source, sv, count(*)::BIGINT AS c
+       |  FROM s GROUP BY 1, 2, 3),
+       |cls AS (SELECT lang, source, sum(c)::BIGINT AS n_docs,
+       |    count(*)::BIGINT AS l_distinct,
+       |    sum(CAST(c::DOUBLE * ln(c::DOUBLE) AS DECIMAL(28,6))) AS clnc
+       |  FROM cc GROUP BY 1, 2)
+       |SELECT lang, source, n_docs, l_distinct,
+       |  ${DuckSql.roundpSql(
+              "ln(n_docs::DOUBLE) - CAST(clnc AS DOUBLE) / n_docs", 6)}
+       |    AS entropy_l,
+       |  (CASE WHEN l_distinct >= 2 THEN 1 ELSE 0 END)::BIGINT AS meets_l2
+       |FROM cls ORDER BY lang, source""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q186_l_diversity"      -> (q186LDiversity _),
     "q135_boilerplate"      -> (q135Boilerplate _),
     "q150_data_card"        -> (q150DataCard _),
     "q151_jsonl_roundtrip"  -> (q151JsonlRoundtrip _),
@@ -560,6 +622,7 @@ object CorpusOpsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q186_l_diversity"      -> q186Sql,
     "q135_boilerplate"      -> q135Sql,
     "q150_data_card"        -> q150Sql,
     "q151_jsonl_roundtrip"  -> q151Sql,

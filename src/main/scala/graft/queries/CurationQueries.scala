@@ -1675,62 +1675,93 @@ object CurationQueries {
        |FROM ps, tot ORDER BY shard""".stripMargin
   }
 
-  // ---------------------------------------------------------------- q183
+  // ---------------------------------------------------------------- q185
 
-  /** q183: ADAPTIVE quality threshold — keep each source's top quartile
-    * by the q23 quality score, with the cutoff computed PER SOURCE
-    * (CCNet's per-language adaptive gate, vs q54's one fixed global
-    * threshold): a uniform cutoff drains low-resource or stylistically
-    * different sources to zero while barely touching the dominant one.
-    * Reports per source the p75 cutoff, survivor count and survivor mean
-    * quality. Plan: one scan computes the score, one |sources|-row exact
-    * percentile aggregate broadcasts back over the scored frame — the
-    * threshold table is O(|sources|) at any corpus size. Both engines
-    * compare the 6-dec ROUNDED score against the 6-dec ROUNDED cutoff,
-    * so the keep decision is deterministic (q57 established
-    * percentile ≡ quantile_cont parity). */
-  def q183AdaptiveThreshold(s: SparkSession, d: String): DataFrame = {
+  /** q185: WEAK-SUPERVISION label model diagnostics — the Snorkel-style
+    * audit of programmatic labeling functions (LFs) BEFORE training a
+    * label model: per-LF coverage (diagonal rows) and per-pair
+    * overlap/agreement/conflict counts. Three deterministic LFs vote
+    * {1=technical, 2=prose, −1=abstain}: digit presence, length band,
+    * stopword density (the density test is the INTEGER form
+    * n_stop·5 > n_words, so every vote is exact arithmetic in both
+    * engines). High-conflict pairs are the LFs a label model must
+    * down-weight; near-zero overlap means the matrix is too sparse to
+    * fit one. Plan: one scan folds all votes, ONE global aggregate
+    * computes the 3×3 upper triangle, the 6-row matrix assembles from
+    * a literal struct array — no joins, no window, no self-join of the
+    * vote frame (the naive LF×LF form is quadratic in |docs|). */
+  def q185LabelModel(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    import graft.functions.TextFunctions.{stopwordCount, tokens}
-    val scored = documents(s, d)
-      .select($"source", tokens($"text").as("ws"))
-      .select($"source", size($"ws").cast("bigint").as("n_words"),
-        stopwordCount($"ws", Seq("the", "a", "of", "and")).as("n_stop"))
-      .filter($"n_words" > 0L)
-      .select($"source",
-        roundp(least($"n_words", lit(100L)) / lit(100.0) *
-          (lit(1.0) - $"n_stop" * lit(1.0) / $"n_words"), 6).as("q"))
-    val thr = scored.groupBy($"source")
-      .agg(roundp(expr("percentile(q, 0.75)"), 6).as("thr"))
-    scored.join(broadcast(thr), Seq("source"))
-      .groupBy($"source")
-      .agg(count(lit(1)).as("n_docs"),
-        sum(when($"q" >= $"thr", 1L).otherwise(0L)).as("n_kept"),
-        first($"thr").as("thr"),
-        QueryUtil.safeAvg(when($"q" >= $"thr", $"q"), 6).as("kept_avg_q"))
-      .orderBy($"source")
+    import graft.functions.TextFunctions.{charClassCount, stopwordCount, tokens}
+    val votes = documents(s, d)
+      .select(tokens($"text").as("ws"), $"text")
+      .select(size($"ws").cast("bigint").as("n_words"),
+        stopwordCount($"ws", Seq("the", "a", "of", "and")).as("n_stop"),
+        charClassCount($"text", "[0-9]").as("n_digit"))
+      .select(
+        when($"n_digit" > 0L, 1L).otherwise(-1L).as("lf1"),
+        when($"n_words" > 40L, 1L).when($"n_words" < 15L, 2L)
+          .otherwise(-1L).as("lf2"),
+        when($"n_stop" * 5L > $"n_words", 2L).otherwise(-1L).as("lf3"))
+    def cov(c: Column) = sum(when(c =!= -1L, 1L).otherwise(0L))
+    def both(a: Column, b: Column) =
+      sum(when(a =!= -1L && b =!= -1L, 1L).otherwise(0L))
+    def agree(a: Column, b: Column) =
+      sum(when(a =!= -1L && a === b, 1L).otherwise(0L))
+    val a = votes.agg(
+      cov($"lf1").as("c1"), cov($"lf2").as("c2"), cov($"lf3").as("c3"),
+      both($"lf1", $"lf2").as("b12"), agree($"lf1", $"lf2").as("a12"),
+      both($"lf1", $"lf3").as("b13"), agree($"lf1", $"lf3").as("a13"),
+      both($"lf2", $"lf3").as("b23"), agree($"lf2", $"lf3").as("a23"))
+    def rowOf(la: String, lb: String, b: Column, ag: Column) =
+      struct(lit(la).as("lf_a"), lit(lb).as("lf_b"), b.as("n_both"),
+        ag.as("n_agree"), (b - ag).as("n_conflict"))
+    a.select(explode(array(
+        rowOf("lf_digit", "lf_digit", $"c1", $"c1"),
+        rowOf("lf_len", "lf_len", $"c2", $"c2"),
+        rowOf("lf_stop", "lf_stop", $"c3", $"c3"),
+        rowOf("lf_digit", "lf_len", $"b12", $"a12"),
+        rowOf("lf_digit", "lf_stop", $"b13", $"a13"),
+        rowOf("lf_len", "lf_stop", $"b23", $"a23"))).as("r"))
+      .select($"r.*").orderBy($"lf_a", $"lf_b")
   }
 
-  val q183Sql: String = {
+  val q185Sql: String = {
     val ws = DuckSql.tokensSql
-    s"""WITH toks AS (SELECT source, $ws AS ws FROM documents),
-       |t AS (SELECT source, len(ws)::BIGINT AS n_words,
-       |    len(list_filter(ws, w -> w IN ('the','a','of','and')))::BIGINT AS n_stop
-       |  FROM toks WHERE len(ws) > 0),
-       |d AS (SELECT source, ${DuckSql.roundpSql(
-              "least(n_words, 100) / 100.0 * (1.0 - n_stop * 1.0 / n_words)",
-              6)} AS q FROM t),
-       |thr AS (SELECT source, ${DuckSql.roundpSql(
-              "quantile_cont(q, 0.75)", 6)} AS thr FROM d GROUP BY 1)
-       |SELECT source, count(*)::BIGINT AS n_docs,
-       |  sum(CASE WHEN q >= thr THEN 1 ELSE 0 END)::BIGINT AS n_kept,
-       |  any_value(thr) AS thr,
-       |  ${QueryUtil.safeAvgSql("CASE WHEN q >= thr THEN q END", 6)} AS kept_avg_q
-       |FROM d JOIN thr USING (source) GROUP BY source ORDER BY source""".stripMargin
+    s"""WITH t AS (SELECT $ws AS ws, text FROM documents),
+       |f AS (SELECT len(ws)::BIGINT AS n_words,
+       |    len(list_filter(ws, w -> w IN ('the','a','of','and')))::BIGINT AS n_stop,
+       |    (len(text) - len(regexp_replace(text, '[0-9]', '', 'g')))::BIGINT AS n_digit
+       |  FROM t),
+       |l AS (SELECT
+       |    CASE WHEN n_digit > 0 THEN 1 ELSE -1 END AS lf1,
+       |    CASE WHEN n_words > 40 THEN 1 WHEN n_words < 15 THEN 2 ELSE -1 END AS lf2,
+       |    CASE WHEN n_stop * 5 > n_words THEN 2 ELSE -1 END AS lf3
+       |  FROM f),
+       |a AS (SELECT
+       |    sum(CASE WHEN lf1 <> -1 THEN 1 ELSE 0 END)::BIGINT AS c1,
+       |    sum(CASE WHEN lf2 <> -1 THEN 1 ELSE 0 END)::BIGINT AS c2,
+       |    sum(CASE WHEN lf3 <> -1 THEN 1 ELSE 0 END)::BIGINT AS c3,
+       |    sum(CASE WHEN lf1 <> -1 AND lf2 <> -1 THEN 1 ELSE 0 END)::BIGINT AS b12,
+       |    sum(CASE WHEN lf1 <> -1 AND lf1 = lf2 THEN 1 ELSE 0 END)::BIGINT AS a12,
+       |    sum(CASE WHEN lf1 <> -1 AND lf3 <> -1 THEN 1 ELSE 0 END)::BIGINT AS b13,
+       |    sum(CASE WHEN lf1 <> -1 AND lf1 = lf3 THEN 1 ELSE 0 END)::BIGINT AS a13,
+       |    sum(CASE WHEN lf2 <> -1 AND lf3 <> -1 THEN 1 ELSE 0 END)::BIGINT AS b23,
+       |    sum(CASE WHEN lf2 <> -1 AND lf2 = lf3 THEN 1 ELSE 0 END)::BIGINT AS a23
+       |  FROM l)
+       |SELECT lf_a, lf_b, n_both, n_agree, (n_both - n_agree)::BIGINT AS n_conflict
+       |FROM (
+       |  SELECT 'lf_digit' AS lf_a, 'lf_digit' AS lf_b, c1 AS n_both, c1 AS n_agree FROM a
+       |  UNION ALL SELECT 'lf_len', 'lf_len', c2, c2 FROM a
+       |  UNION ALL SELECT 'lf_stop', 'lf_stop', c3, c3 FROM a
+       |  UNION ALL SELECT 'lf_digit', 'lf_len', b12, a12 FROM a
+       |  UNION ALL SELECT 'lf_digit', 'lf_stop', b13, a13 FROM a
+       |  UNION ALL SELECT 'lf_len', 'lf_stop', b23, a23 FROM a)
+       |ORDER BY lf_a, lf_b""".stripMargin
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q183_adaptive_threshold" -> (q183AdaptiveThreshold _),
+    "q185_label_model" -> (q185LabelModel _),
     "q179_shard_balance"    -> (q179ShardBalance _),
     "q178_growth_curve"     -> (q178GrowthCurve _),
     "q174_source_type_loss" -> (q174SourceTypeLoss _),
@@ -1760,7 +1791,7 @@ object CurationQueries {
   )
 
   val oracles: Map[String, String] = Map(
-    "q183_adaptive_threshold" -> q183Sql,
+    "q185_label_model" -> q185Sql,
     "q179_shard_balance"    -> q179Sql,
     "q178_growth_curve"     -> q178Sql,
     "q174_source_type_loss" -> q174Sql,

@@ -215,11 +215,14 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpecBase {
     }
   }
 
-  test("q183 adaptive gate: threshold table broadcasts back, no sort-merge") {
-    val df = graft.queries.CurationQueries.q183AdaptiveThreshold(spark, sfSmoke)
-    val plan = planStr(df)
-    assert(broadcasts(df) >= 1, plan)
-    assert(!plan.contains("SortMergeJoin"), plan)
+  test("q185/q186: pure aggregation pipelines — no joins at any size") {
+    for (df <- Seq(
+        graft.queries.CurationQueries.q185LabelModel(spark, sfSmoke),
+        graft.queries.CorpusOpsQueries.q186LDiversity(spark, sfSmoke))) {
+      val plan = planStr(df)
+      assert(!plan.contains("Join"), plan)
+      assert(!plan.contains("Window"), plan)
+    }
   }
 
   test("q45 PQ ADC scan is the intended broadcast-NLJ; candidates rank via aggregate") {

@@ -5,9 +5,10 @@ import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions.charClassCount
 import graft.queries.{CurationQueries, DedupQueries, TextQueries}
 
-/** q181 script-mix, q182 hashed-bigram classifier, q183 adaptive quality
-  * threshold, q184 normalized dedup. The oracle gate only sees ASCII
-  * fixtures, so the multilingual and invariant behavior is pinned here. */
+/** q181 script-mix, q182 hashed-bigram classifier, q184 normalized dedup,
+  * q185 weak-supervision label model, q186 l-diversity. The oracle gate
+  * only sees ASCII fixtures, so the multilingual and invariant behavior
+  * is pinned here. */
 class ScriptClassifierSpec extends AnyFunSuite with SparkSpecBase {
   import spark.implicits._
 
@@ -71,17 +72,58 @@ class ScriptClassifierSpec extends AnyFunSuite with SparkSpecBase {
     }
   }
 
-  test("q183 keeps at least the top quartile per source (p75 gate semantics)") {
-    val out = CurationQueries.q183AdaptiveThreshold(spark, sfSmoke).collect()
+  test("q185 LF matrix invariants: agree <= both <= min coverage, diagonal exact") {
+    val out = CurationQueries.q185LabelModel(spark, sfSmoke).collect()
+    assert(out.length == 6)
+    val cov = out.filter(r => r.getString(0) == r.getString(1))
+      .map(r => r.getString(0) -> r.getAs[Long]("n_both")).toMap
+    assert(cov.size == 3)
+    for (r <- out) {
+      val (a, b) = (r.getString(0), r.getString(1))
+      val (both, agree, conf) = (r.getAs[Long]("n_both"),
+        r.getAs[Long]("n_agree"), r.getAs[Long]("n_conflict"))
+      assert(agree + conf == both, r.toString)
+      assert(both <= math.min(cov(a), cov(b)), r.toString)
+      if (a == b) assert(agree == both && conf == 0L, r.toString)
+    }
+  }
+
+  test("q185 conflict counting pinned on a hand-built corpus") {
+    // doc1: digits + 5 words (lf1=1, lf2=2 -> CONFLICT; lf3: 0 stop -> abstain)
+    // doc2: digits + 3 stopwords of 5 words (lf1=1, lf3=2 -> CONFLICT; lf2=2)
+    // doc3: no digits, 50 words, no stopwords (lf1 abstain, lf2=1, lf3 abstain)
+    val docs = Seq(
+      (1L, "code 42 alpha beta gamma", "en", "a", 24L),
+      (2L, "the 7 of and now", "en", "a", 16L),
+      (3L, ("lorem " * 50).trim, "en", "a", 300L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft-q185").toString
+    docs.coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = CurationQueries.q185LabelModel(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("n_both"), r.getAs[Long]("n_agree"),
+          r.getAs[Long]("n_conflict"))).toMap
+    assert(out(("lf_digit", "lf_digit")) == ((2L, 2L, 0L)))
+    assert(out(("lf_len", "lf_len")) == ((3L, 3L, 0L)))
+    assert(out(("lf_stop", "lf_stop")) == ((1L, 1L, 0L)))
+    // doc1: lf1=1 vs lf2=2 conflict; doc2: lf1=1 vs lf2=2 conflict
+    assert(out(("lf_digit", "lf_len")) == ((2L, 0L, 2L)))
+    // doc2 is the only (lf1, lf3) overlap: 1 vs 2 -> conflict
+    assert(out(("lf_digit", "lf_stop")) == ((1L, 0L, 1L)))
+    // doc2 only: lf2=2, lf3=2 -> agree
+    assert(out(("lf_len", "lf_stop")) == ((1L, 1L, 0L)))
+  }
+
+  test("q186 entropy l-diversity: 0 <= entropy <= ln(l_distinct), l2 flag consistent") {
+    val out = graft.queries.CorpusOpsQueries.q186LDiversity(spark, sfSmoke).collect()
     assert(out.nonEmpty)
     for (r <- out) {
-      val (n, kept) = (r.getAs[Long]("n_docs"), r.getAs[Long]("n_kept"))
-      // q >= p75 keeps >= 25% by definition (ties only add)
-      assert(kept * 4 >= n, s"source ${r.get(0)}: kept $kept of $n")
-      assert(kept <= n)
+      val (l, e) = (r.getAs[Long]("l_distinct"), r.getAs[Double]("entropy_l"))
+      assert(e >= -1e-9 && e <= math.log(l.toDouble) + 1e-9, r.toString)
+      assert((r.getAs[Long]("meets_l2") == 1L) == (l >= 2L), r.toString)
+      assert(l <= r.getAs[Long]("n_docs"))
     }
-    // cutoffs must differ across sources somewhere, else "adaptive" is a no-op
-    assert(out.map(_.getAs[Double]("thr")).distinct.length >= 1)
+    assert(out.exists(_.getAs[Long]("l_distinct") >= 2L))
   }
 
   test("q184 normalization collapses punctuation/spacing variants") {
