@@ -665,7 +665,56 @@ object SimilarityQueries {
        |SELECT label, pred_label, count(*)::BIGINT AS n
        |FROM pred GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------- q187
+
+  /** q187: embedding COVARIANCE matrix — the d×d second-moment primitive
+    * under PCA, whitening, Mahalanobis outlier scoring and drift tests
+    * (the matrix q145's drift distances implicitly live in). One scan
+    * through [[graft.ops.Gram.MomentsAgg]]: a mergeable typed Aggregator
+    * folds every vector into one flat exact-Long state (map-side
+    * combine ⇒ one state per partition crosses the wire), and the 2080
+    * upper-triangle cells assemble from the single aggregated row by
+    * exploding the (i ≤ j) index grid — the oracle's (vec, dim) self-join
+    * shape would shuffle 2080 rows per vector. Values are the exact
+    * covariance of the 10⁴-quantized inputs (see Gram's parity note);
+    * all reduction is integer, so the oracle matches bit-for-bit. */
+  def q187Covariance(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val agg = new graft.ops.Gram.MomentsAgg(64)
+    val one = embeddings(s, d).select($"embedding").as[Seq[Float]]
+      .select(agg.toColumn)
+      .toDF("n", "sx", "sxy")
+    val tri = ($"i" * 64 - $"i" * ($"i" - 1) / 2 + ($"j" - $"i") + 1)
+    one
+      .select($"n", $"sx", $"sxy",
+        explode(sequence(lit(0), lit(63))).as("i"))
+      .select($"n", $"sx", $"sxy", $"i",
+        explode(sequence($"i", lit(63))).as("j"))
+      .select($"i".cast("long").as("i"), $"j".cast("long").as("j"),
+        roundp((element_at($"sxy", tri.cast("int")).cast("double") / $"n"
+            - (element_at($"sx", ($"i" + 1).cast("int")).cast("double") / $"n")
+            * (element_at($"sx", ($"j" + 1).cast("int")).cast("double") / $"n"))
+          / lit(1e8), 6).as("cov"))
+      .orderBy($"i", $"j")
+  }
+
+  val q187Sql: String =
+    s"""WITH x AS (SELECT vec_id, d,
+       |    CAST(round(embedding[d + 1]::DOUBLE * 10000) AS BIGINT) AS xi
+       |  FROM embeddings CROSS JOIN generate_series(0, 63) g(d)),
+       |n AS (SELECT count(*)::BIGINT AS n FROM embeddings),
+       |sx AS (SELECT d, sum(xi)::BIGINT AS s FROM x GROUP BY d),
+       |sxy AS (SELECT a.d AS i, b.d AS j, sum(a.xi * b.xi)::BIGINT AS s
+       |  FROM x a JOIN x b USING (vec_id) WHERE a.d <= b.d GROUP BY 1, 2)
+       |SELECT sxy.i::BIGINT AS i, sxy.j::BIGINT AS j,
+       |  ${DuckSql.roundpSql(
+            "(sxy.s::DOUBLE / n.n - (sa.s::DOUBLE / n.n) * (sb.s::DOUBLE / n.n)) / 100000000.0",
+            6)} AS cov
+       |FROM sxy JOIN sx sa ON sa.d = sxy.i JOIN sx sb ON sb.d = sxy.j, n
+       |ORDER BY i, j""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q187_covariance" -> (q187Covariance _),
     "q176_label_confusion"  -> (q176LabelConfusion _),
     "q166_matryoshka"       -> (q166Matryoshka _),
     "q167_sq8_recall"       -> (q167Sq8Recall _),
@@ -684,6 +733,7 @@ object SimilarityQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q187_covariance" -> q187Sql,
     "q176_label_confusion"  -> q176Sql,
     "q166_matryoshka"       -> q166Sql,
     "q167_sq8_recall"       -> q167Sql,

@@ -1,0 +1,55 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.queries.SimilarityQueries
+
+/** Gram.MomentsAgg / q187 covariance: independent recomputation,
+  * merge-order freedom, and headroom guard. */
+class GramSpec extends AnyFunSuite with SparkSpecBase {
+  import spark.implicits._
+
+  test("q187 == independent posexplode recomputation (same quantization)") {
+    val got = SimilarityQueries.q187Covariance(spark, sfSmoke)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val x = Tables.embeddings(spark, sfSmoke)
+      .select($"vec_id", posexplode($"embedding").as(Seq("d", "v")))
+      .select($"vec_id", $"d",
+        round($"v".cast("double") * 1e4).cast("long").as("xi"))
+      .persist()
+    val n = Tables.embeddings(spark, sfSmoke).count().toDouble
+    val sx = x.groupBy($"d").agg(sum($"xi").as("s"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val sxy = x.as("a").join(x.as("b"), Seq("vec_id"))
+      .filter($"a.d" <= $"b.d")
+      .groupBy($"a.d", $"b.d").agg(sum($"a.xi" * $"b.xi").as("s"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    x.unpersist()
+    assert(got.size == 2080 && sxy.size == 2080)
+    for (((i, j), c) <- got) {
+      val expect = (sxy((i.toInt, j.toInt)).toDouble / n -
+        (sx(i.toInt).toDouble / n) * (sx(j.toInt).toDouble / n)) / 1e8
+      assert(math.abs(c - expect) < 5e-7, s"($i,$j): $c vs $expect")
+    }
+    // diagonal = variance >= 0
+    for (i <- 0 to 63) assert(got((i.toLong, i.toLong)) >= -1e-9)
+  }
+
+  test("MomentsAgg is partition-count invariant (exact Long merges)") {
+    val emb = Tables.embeddings(spark, sfSmoke).select($"embedding")
+    def run(parts: Int): Seq[(Long, Long, Long)] = {
+      val agg = new graft.ops.Gram.MomentsAgg(64)
+      val (n, sx, sxy) = emb.repartition(parts).as[Seq[Float]]
+        .select(agg.toColumn).head()
+      Seq((n, sx.sum, sxy.sum))
+    }
+    assert(run(1) == run(13))
+  }
+
+  test("MomentsAgg enforces the Long-headroom row budget") {
+    val m = new graft.ops.Gram.Moments(2)
+    m.s(0) = 900000001L
+    val agg = new graft.ops.Gram.MomentsAgg(2)
+    assertThrows[IllegalArgumentException](agg.finish(m))
+  }
+}

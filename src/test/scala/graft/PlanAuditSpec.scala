@@ -215,6 +215,14 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpecBase {
     }
   }
 
+  test("q187 covariance: ONE object aggregate, no (vec,dim) self-join, no explode of data rows") {
+    val df = graft.queries.SimilarityQueries.q187Covariance(spark, sfSmoke)
+    val plan = planStr(df)
+    assert(!plan.contains("Join"), plan)
+    assert(plan.contains("ObjectHashAggregate") || plan.contains("SortAggregate"), plan)
+    assert(shuffles(df) <= 2, plan) // partial->final agg + output sort
+  }
+
   test("q185/q186: pure aggregation pipelines — no joins at any size") {
     for (df <- Seq(
         graft.queries.CurationQueries.q185LabelModel(spark, sfSmoke),
