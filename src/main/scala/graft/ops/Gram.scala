@@ -79,4 +79,82 @@ object Gram {
     override def outputEncoder: Encoder[(Long, Seq[Long], Seq[Long])] =
       ExpressionEncoder[(Long, Seq[Long], Seq[Long])]()
   }
+
+  /** Materialize the d×d covariance implied by a MomentsAgg result —
+    * DRIVER-side and O(d²) by construction: the distributed pass reduced
+    * the corpus to 2145 longs, so everything after is bounded matrix
+    * math, the right side of the driver/cluster split at any corpus
+    * size. Unscaled back to input units. */
+  def covariance(n: Long, sx: Seq[Long], sxy: Seq[Long]): Array[Array[Double]] = {
+    val d = sx.length
+    require(n > 0 && sxy.length == d * (d + 1) / 2)
+    val c = Array.ofDim[Double](d, d)
+    var t = 0
+    var i = 0
+    while (i < d) {
+      var j = i
+      while (j < d) {
+        val v = (sxy(t).toDouble / n -
+          (sx(i).toDouble / n) * (sx(j).toDouble / n)) / 1e8
+        c(i)(j) = v; c(j)(i) = v
+        t += 1; j += 1
+      }
+      i += 1
+    }
+    c
+  }
+
+  /** Top-k eigenpairs of a symmetric matrix by deterministic power
+    * iteration with deflation (Hotelling) — eigenvalues descending,
+    * eigenvectors unit-norm with a sign convention (largest-|coord|
+    * entry positive) so results are run-stable. d is small (the matrix
+    * came from [[covariance]]), so O(k·iters·d²) driver work is
+    * negligible next to the corpus scan that produced it. */
+  def topEigen(m: Array[Array[Double]], k: Int, iters: Int = 500)
+      : Seq[(Double, Array[Double])] = {
+    val d = m.length
+    val a = m.map(_.clone())
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Double, Array[Double])]
+    for (_ <- 0 until math.min(k, d)) {
+      // deterministic generic-position init (a constant vector can be
+      // exactly orthogonal to an eigenvector and stall the iteration)
+      val raw = Array.tabulate(d)(i =>
+        (((i + 1) * 2654435761L + 12345L) % 1000003L).toDouble / 1000003.0 - 0.5)
+      val rn = math.sqrt(raw.map(x => x * x).sum)
+      var v = raw.map(_ / rn)
+      var lambda = 0.0
+      for (_ <- 0 until iters) {
+        val w = new Array[Double](d)
+        var i = 0
+        while (i < d) {
+          var s = 0.0; var j = 0
+          while (j < d) { s += a(i)(j) * v(j); j += 1 }
+          w(i) = s; i += 1
+        }
+        val nrm = math.sqrt(w.map(x => x * x).sum)
+        if (nrm < 1e-300) { lambda = 0.0 }
+        else {
+          v = w.map(_ / nrm)
+          lambda = nrm
+        }
+      }
+      // Rayleigh quotient for a signed eigenvalue (the iteration norm
+      // loses the sign of negative eigenvalues)
+      val av = Array.tabulate(d)(i => (0 until d).map(j => a(i)(j) * v(j)).sum)
+      lambda = (0 until d).map(i => v(i) * av(i)).sum
+      // sign convention
+      val mi = v.indices.maxBy(i => math.abs(v(i)))
+      val sgn = if (v(mi) < 0) -1.0 else 1.0
+      val vv = v.map(_ * sgn)
+      out += ((lambda, vv))
+      // deflate
+      var i = 0
+      while (i < d) {
+        var j = 0
+        while (j < d) { a(i)(j) -= lambda * vv(i) * vv(j); j += 1 }
+        i += 1
+      }
+    }
+    out.toSeq
+  }
 }

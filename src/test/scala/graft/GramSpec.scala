@@ -46,6 +46,37 @@ class GramSpec extends AnyFunSuite with SparkSpecBase {
     assert(run(1) == run(13))
   }
 
+  test("topEigen recovers a known spectrum and PCA residuals vanish on the fixture") {
+    // hand-built symmetric matrix with known eigenvalues {5, 2, 1}
+    // via M = Q diag Q^T for an orthonormal Q from Householder-ish rows
+    val q = Array(
+      Array(1.0 / math.sqrt(2), 1.0 / math.sqrt(2), 0.0),
+      Array(1.0 / math.sqrt(2), -1.0 / math.sqrt(2), 0.0),
+      Array(0.0, 0.0, 1.0))
+    val lams = Array(5.0, 2.0, 1.0)
+    val m = Array.tabulate(3, 3)((i, j) =>
+      (0 until 3).map(k => q(k)(i) * lams(k) * q(k)(j)).sum)
+    val eig = graft.ops.Gram.topEigen(m, 3)
+    assert(eig.map(_._1).zip(Seq(5.0, 2.0, 1.0))
+      .forall { case (a, b) => math.abs(a - b) < 1e-9 })
+
+    // fixture covariance: every returned eigenpair satisfies Av = λv
+    val agg = new graft.ops.Gram.MomentsAgg(64)
+    val (n, sx, sxy) = Tables.embeddings(spark, sfSmoke)
+      .select($"embedding").as[Seq[Float]].select(agg.toColumn).head()
+    val cov = graft.ops.Gram.covariance(n, sx, sxy)
+    val top = graft.ops.Gram.topEigen(cov, 8)
+    assert(top.map(_._1) == top.map(_._1).sortBy(-_), "descending order")
+    for ((lam, v) <- top) {
+      val av = Array.tabulate(64)(i => (0 until 64).map(j => cov(i)(j) * v(j)).sum)
+      val resid = math.sqrt((0 until 64).map(i => math.pow(av(i) - lam * v(i), 2)).sum)
+      assert(resid < 1e-6 * math.max(1.0, math.abs(lam)), s"resid $resid at lam $lam")
+    }
+    // explained variance can't exceed the trace
+    val trace = (0 until 64).map(i => cov(i)(i)).sum
+    assert(top.map(_._1).sum <= trace + 1e-9)
+  }
+
   test("MomentsAgg enforces the Long-headroom row budget") {
     val m = new graft.ops.Gram.Moments(2)
     m.s(0) = 900000001L
