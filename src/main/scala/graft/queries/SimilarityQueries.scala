@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables.embeddings
 import graft.functions.VectorFunctions
@@ -713,7 +713,63 @@ object SimilarityQueries {
        |FROM sxy JOIN sx sa ON sa.d = sxy.i JOIN sx sb ON sb.d = sxy.j, n
        |ORDER BY i, j""".stripMargin
 
+  // ---------------------------------------------------------------- q188
+
+  /** q188: MAHALANOBIS (diagonal) embedding outliers — the curation gate
+    * that drops vectors far from the corpus distribution in
+    * per-dimension z-score terms: encoder glitches, wrong-modality rows
+    * and truncated inputs all surface here before they poison an ANN
+    * index or a centroid. Two passes: a 64-group stats aggregate
+    * (posexplode → per-dim Σx, Σx² of 10⁴-quantized values — exact
+    * Longs), assembled into ONE ordered array row that broadcast-joins
+    * back; then a per-row zip_with fold computes Σ_d (x_d−μ_d)²/σ²_d
+    * with each term DECIMAL-cast so the 64-term reduction is
+    * order-free in both engines. Top-20 by TakeOrdered — k rows of
+    * state at any corpus size. */
+  def q188Mahalanobis(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = embeddings(s, d)
+    val stats = emb
+      .select(posexplode($"embedding").as(Seq("d", "v")))
+      .select($"d", round($"v".cast("double") * 1e4).cast("long").as("xi"))
+      .groupBy($"d")
+      .agg(sum($"xi").as("sx"), sum($"xi" * $"xi").as("sxx"),
+        count(lit(1)).as("n"))
+      .agg(sort_array(collect_list(struct($"d", $"sx", $"sxx", $"n")))
+        .as("st"))
+    val term = (x: Column, st: Column) => {
+      val xi = round(x.cast("double") * lit(1e4))
+      val mu = st.getField("sx").cast("double") / st.getField("n")
+      val vr = st.getField("sxx").cast("double") / st.getField("n") - mu * mu
+      ((xi - mu) * (xi - mu) / vr).cast("decimal(28,6)")
+    }
+    emb.crossJoin(broadcast(stats))
+      .select($"vec_id",
+        aggregate(zip_with($"embedding", $"st", term),
+          lit(0).cast("decimal(28,6)"),
+          (acc, t) => (acc + t).cast("decimal(28,6)"))
+          .cast("double").as("score0"))
+      .select($"vec_id", roundp($"score0", 4).as("score"))
+      .orderBy($"score".desc, $"vec_id").limit(20)
+  }
+
+  val q188Sql: String =
+    s"""WITH x AS (SELECT vec_id, d,
+       |    CAST(round(embedding[d + 1]::DOUBLE * 10000) AS BIGINT) AS xi
+       |  FROM embeddings CROSS JOIN generate_series(0, 63) g(d)),
+       |st AS (SELECT d, sum(xi)::BIGINT AS sx, sum(xi * xi)::BIGINT AS sxx,
+       |    count(*)::BIGINT AS n
+       |  FROM x GROUP BY d),
+       |sc AS (SELECT vec_id, CAST(sum(CAST(
+       |    (x.xi::DOUBLE - st.sx::DOUBLE / st.n) * (x.xi::DOUBLE - st.sx::DOUBLE / st.n)
+       |      / (st.sxx::DOUBLE / st.n - (st.sx::DOUBLE / st.n) * (st.sx::DOUBLE / st.n))
+       |    AS DECIMAL(28,6))) AS DOUBLE) AS score0
+       |  FROM x JOIN st USING (d) GROUP BY vec_id)
+       |SELECT vec_id, ${DuckSql.roundpSql("score0", 4)} AS score
+       |FROM sc ORDER BY score DESC, vec_id LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q188_mahalanobis" -> (q188Mahalanobis _),
     "q187_covariance" -> (q187Covariance _),
     "q176_label_confusion"  -> (q176LabelConfusion _),
     "q166_matryoshka"       -> (q166Matryoshka _),
@@ -733,6 +789,7 @@ object SimilarityQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q188_mahalanobis" -> q188Sql,
     "q187_covariance" -> q187Sql,
     "q176_label_confusion"  -> q176Sql,
     "q166_matryoshka"       -> q166Sql,

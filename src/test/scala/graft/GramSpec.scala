@@ -77,6 +77,24 @@ class GramSpec extends AnyFunSuite with SparkSpecBase {
     assert(top.map(_._1).sum <= trace + 1e-9)
   }
 
+  test("q188 ranks a planted far-outlier first; scores nonneg-descending") {
+    val base = Tables.embeddings(spark, sfSmoke)
+    val dir = java.nio.file.Files.createTempDirectory("graft-q188").toString
+    // plant vec_id = -1 at 50x the data scale on every dim
+    val planted = base.select($"vec_id", $"embedding", $"label")
+      .unionAll(spark.range(1).select(lit(-1L).as("vec_id"),
+        array((0 until 64).map(_ => lit(25.0f)): _*).as("embedding"),
+        lit(0).as("label")))
+    planted.coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/embeddings.parquet")
+    val out = SimilarityQueries.q188Mahalanobis(spark, dir).collect()
+    assert(out.length == 20)
+    assert(out.head.getLong(0) == -1L, out.head.toString)
+    val scores = out.map(_.getDouble(1))
+    assert(scores.forall(_ >= 0.0))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+  }
+
   test("MomentsAgg enforces the Long-headroom row budget") {
     val m = new graft.ops.Gram.Moments(2)
     m.s(0) = 900000001L

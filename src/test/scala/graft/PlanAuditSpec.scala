@@ -223,6 +223,15 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpecBase {
     assert(shuffles(df) <= 2, plan) // partial->final agg + output sort
   }
 
+  test("q188 mahalanobis: stats broadcast back, TakeOrdered tail, no dim shuffle per vector") {
+    val df = graft.queries.SimilarityQueries.q188Mahalanobis(spark, sfSmoke)
+    val plan = planStr(df)
+    assert(broadcasts(df) >= 1, plan)
+    assert(plan.contains("TakeOrdered"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(shuffles(df) <= 3, plan) // 64-group stats + 1-row assembly
+  }
+
   test("q185/q186: pure aggregation pipelines — no joins at any size") {
     for (df <- Seq(
         graft.queries.CurationQueries.q185LabelModel(spark, sfSmoke),
