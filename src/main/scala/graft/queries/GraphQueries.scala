@@ -213,7 +213,48 @@ object GraphQueries {
       |UNION ALL SELECT 'triangles', value FROM tri
       |ORDER BY metric""".stripMargin
 
+  // ---------------------------------------------------------------- q189
+
+  /** q189: SEED-HOP distance — min hops from a trusted seed set over the
+    * undirected supplier↔part graph (q93's edge set, both directions):
+    * the TrustRank-style propagation primitive ("how far does this node
+    * sit from anything we trust") that seeds quality priors and bounds
+    * contamination blast radii. [[graft.ops.Bfs.distances]] runs
+    * level-synchronous frontier expansion — (id, hop) state only, one
+    * equi-join + one anti-join per level, never paths (the oracle's
+    * recursive UNION dedups to the same state, which is the only reason
+    * a CTE replay stays polynomial). Depth-capped at 4. */
+  def q189SeedDistance(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val base = lineitem(s, d)
+      .select($"l_suppkey".cast("long").as("src"),
+        ($"l_partkey".cast("long") + 1000000L).as("dst"))
+    // NO edge-level distinct: duplicate edges are absorbed by the
+    // per-level frontier distinct inside Bfs, and skipping it saves a
+    // full |edges|-row shuffle before the walk even starts
+    val edges = base.unionByName(
+      base.select($"dst".as("src"), $"src".as("dst")))
+    val seeds = lineitem(s, d).filter($"l_suppkey" < 10)
+      .select($"l_suppkey".cast("long").as("id")).distinct()
+    graft.ops.Bfs.distances(edges, seeds, maxDepth = 4)
+      .orderBy($"id")
+  }
+
+  val q189Sql: String =
+    s"""WITH RECURSIVE e AS (SELECT DISTINCT l_suppkey::BIGINT AS src,
+       |    l_partkey::BIGINT + 1000000 AS dst FROM lineitem),
+       |ed AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+       |walk(id, hop) AS (
+       |  SELECT DISTINCT l_suppkey::BIGINT, 0::BIGINT FROM lineitem
+       |    WHERE l_suppkey < 10
+       |  UNION
+       |  SELECT ed.dst, w.hop + 1 FROM walk w JOIN ed ON ed.src = w.id
+       |    WHERE w.hop < 4)
+       |SELECT id, min(hop)::BIGINT AS hop FROM walk
+       |GROUP BY id ORDER BY id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q189_seed_distance"  -> (q189SeedDistance _),
     "q93_pagerank"        -> (q93PageRank _),
     "q94_topk_per_group"  -> (q94TopKPerGroup _),
     "q95_outliers"        -> (q95Outliers _),
@@ -222,6 +263,7 @@ object GraphQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q189_seed_distance"  -> q189Sql,
     "q93_pagerank"        -> q93Sql,
     "q94_topk_per_group"  -> q94Sql,
     "q95_outliers"        -> q95Sql,

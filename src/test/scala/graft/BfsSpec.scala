@@ -1,0 +1,45 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.Bfs
+
+/** Bfs.distances: hand-built graph truths — hops, cycles, unreachable
+  * nodes, depth cap, isolated seeds, early frontier exhaustion. */
+class BfsSpec extends AnyFunSuite with SparkSpecBase {
+  import spark.implicits._
+
+  private def dist(edges: Seq[(Long, Long)], seeds: Seq[Long], depth: Int) = {
+    val e = edges.toDF("src", "dst")
+    val s = seeds.toDF("id")
+    val out = Bfs.distances(e, s, depth).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    graft.ops.ScratchCache.releaseAll()
+    out
+  }
+
+  test("chain + branch + cycle: min-hop wins, unreachable absent") {
+    // 1 -> 2 -> 3 -> 4, 1 -> 3 (shortcut), 4 -> 1 (cycle), 9 isolated
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 3L), (4L, 1L), (8L, 9L))
+    val got = dist(edges, Seq(1L), depth = 5)
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 2L))
+  }
+
+  test("depth cap truncates the frontier") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    assert(dist(edges, Seq(1L), depth = 2) ==
+      Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
+    assert(dist(edges, Seq(1L), depth = 0) == Map(1L -> 0L))
+  }
+
+  test("isolated seed reports at hop 0; multi-seed min-hop merges") {
+    val edges = Seq((1L, 2L), (2L, 3L), (5L, 3L))
+    val got = dist(edges, Seq(1L, 5L, 42L), depth = 3)
+    assert(got == Map(1L -> 0L, 5L -> 0L, 42L -> 0L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("early exit: exhausted frontier stops before the cap") {
+    // depth cap 100 but the graph ends after 1 hop — must terminate fast
+    val got = dist(Seq((1L, 2L)), Seq(1L), depth = 100)
+    assert(got == Map(1L -> 0L, 2L -> 1L))
+  }
+}
