@@ -91,6 +91,13 @@ object GraftExtensions {
       comp(a)(c => VectorFunctions.norm(c(0)))),
     fn("graft_roundp", TextFunctions.getClass)(a =>
       comp(a.take(1))(c => TextFunctions.roundp(c(0), intArg(a(1), "graft_roundp")))),
+    // graft_char_class_count(text, '\\p{IsCyrillic}'): q181's script-mix
+    // kernel; the class pattern is a plan-time literal
+    fn("graft_char_class_count", TextFunctions.getClass)(a =>
+      comp(a.take(1))(c => TextFunctions.charClassCount(c(0),
+        strArg(a(1), "graft_char_class_count")))),
+    fn("graft_redact_pii", graft.queries.CurationQueries.getClass)(a =>
+      comp(a)(c => graft.queries.CurationQueries.redactPii(c(0)))),
   )
 
   /** Imperative registration for an existing session (tests, Verify).

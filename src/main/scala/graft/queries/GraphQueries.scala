@@ -253,7 +253,66 @@ object GraphQueries {
        |SELECT id, min(hop)::BIGINT AS hop FROM walk
        |GROUP BY id ORDER BY id""".stripMargin
 
+  // ---------------------------------------------------------------- q190
+
+  /** q190: PERSONALIZED PageRank (TrustRank) — q93's graph, but teleport
+    * mass returns only to the trusted seed suppliers (q189's seed set):
+    * rank becomes closeness-to-trust, the propagation prior a curation
+    * pipeline uses to score unvetted sources from a vetted few. Same
+    * integer fixed-point discipline as q93 (exact, order-free), so the
+    * DuckDB twin replays the full seed-aware `//` cascade and
+    * hash-matches bit-for-bit. Top 100. */
+  def q190TrustRank(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val edges = lineitem(s, d)
+      .select($"l_suppkey".cast("long").as("src"),
+        ($"l_partkey".cast("long") + 1000000L).as("dst"))
+      .distinct()
+    val seeds = lineitem(s, d).filter($"l_suppkey" < 10)
+      .select($"l_suppkey".cast("long").as("id")).distinct()
+    graft.ops.PageRank.rankSeeded(s, edges, seeds, iters = 3)
+      .orderBy(desc("rank"), $"id").limit(100)
+  }
+
+  private def pprIterSql(k: Int): String = {
+    val p = if (k == 1) "r0" else s"r${k - 1}"
+    s"""dang$k AS (SELECT coalesce(sum(r), 0) AS dm
+       |  FROM $p LEFT JOIN deg USING (id) WHERE d IS NULL),
+       |c$k AS (SELECT e.dst AS id, sum(p.r // deg.d) AS c
+       |  FROM edges e JOIN $p p ON e.src = p.id JOIN deg ON deg.id = e.src
+       |  GROUP BY e.dst),
+       |r$k AS (SELECT nf.id, nf.is_seed,
+       |    (CASE WHEN nf.is_seed THEN (SELECT base FROM consts) ELSE 0 END)
+       |    + (85 * (coalesce(c$k.c, 0)
+       |        + (CASE WHEN nf.is_seed
+       |           THEN (SELECT dm FROM dang$k) // (SELECT s FROM ns)
+       |           ELSE 0 END))) // 100 AS r
+       |  FROM nf LEFT JOIN c$k USING (id))""".stripMargin
+  }
+
+  val q190Sql: String =
+    s"""WITH edges AS (SELECT DISTINCT l_suppkey::BIGINT AS src,
+       |    l_partkey::BIGINT + 1000000 AS dst FROM lineitem),
+       |nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+       |deg AS (SELECT src AS id, count(*) AS d FROM edges GROUP BY 1),
+       |seeds AS (SELECT DISTINCT l_suppkey::BIGINT AS id FROM lineitem
+       |  WHERE l_suppkey < 10),
+       |ns AS (SELECT count(*) AS s FROM seeds),
+       |consts AS (SELECT (15 * (1000000000000 // s)) // 100 AS base FROM ns),
+       |nf AS (SELECT nodes.id, seeds.id IS NOT NULL AS is_seed
+       |  FROM nodes LEFT JOIN seeds USING (id)),
+       |r0 AS (SELECT id, is_seed,
+       |    CASE WHEN is_seed THEN (SELECT 1000000000000 // s FROM ns)
+       |         ELSE 0 END AS r
+       |  FROM nf),
+       |${pprIterSql(1)},
+       |${pprIterSql(2)},
+       |${pprIterSql(3)}
+       |SELECT id, CAST(r AS BIGINT) AS rank FROM r3
+       |ORDER BY rank DESC, id LIMIT 100""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q190_trustrank"      -> (q190TrustRank _),
     "q189_seed_distance"  -> (q189SeedDistance _),
     "q93_pagerank"        -> (q93PageRank _),
     "q94_topk_per_group"  -> (q94TopKPerGroup _),
@@ -263,6 +322,7 @@ object GraphQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q190_trustrank"      -> q190Sql,
     "q189_seed_distance"  -> q189Sql,
     "q93_pagerank"        -> q93Sql,
     "q94_topk_per_group"  -> q94Sql,

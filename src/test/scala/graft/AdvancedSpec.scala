@@ -28,6 +28,20 @@ class AdvancedSpec extends AnyFunSuite with SparkSpecBase {
     assert(v.length == 5 && v.forall(_ > 0))
   }
 
+  test("graft_char_class_count / graft_redact_pii SQL forms match the Column API") {
+    GraftExtensions.register(spark)
+    Seq((1L, "Дед abc 42, mail me: a.b@x.io or 01-234-567-8901"))
+      .toDF("id", "text").createOrReplaceTempView("pii_t")
+    val r = spark.sql(
+      """SELECT graft_char_class_count(text, '\\p{IsCyrillic}') AS cyr,
+        |  graft_char_class_count(text, '[0-9]') AS dig,
+        |  graft_redact_pii(text) AS red FROM pii_t""".stripMargin).head()
+    assert(r.getLong(0) == 3L)
+    assert(r.getLong(1) == 14L)
+    assert(r.getString(2).contains("[EMAIL]") && r.getString(2).contains("[PHONE]"))
+    assert(!r.getString(2).contains("a.b@x.io"))
+  }
+
   test("the full native family is SQL-callable and matches the Column API") {
     GraftExtensions.register(spark)
     Tables.documents(spark, sfSmoke).limit(20).createOrReplaceTempView("docs_t")

@@ -85,6 +85,47 @@ class GraphSpec extends AnyFunSuite with SparkSpecBase {
     assert(a.keySet == Set(1L, 2L, 3L, 10L, 11L))
   }
 
+  test("rankSeeded: hand-computed TrustRank on a 4-node toy graph") {
+    import spark.implicits._
+    // seeds {1}; 1 -> 2 -> 3, 4 isolated-ish (4 -> 2). scale 1000.
+    val edges = Seq((1L, 2L), (2L, 3L), (4L, 2L)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("id")
+    val got = graft.ops.PageRank
+      .rankSeeded(spark, edges, seeds, iters = 1, scale = 1000L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(graft.ops.PageRank.lastChoice == "driver-local")
+    // forcing the distributed loop must be bit-identical
+    val dist = graft.ops.PageRank
+      .rankSeeded(spark, edges, seeds, iters = 1, scale = 1000L,
+        maxDriverEdgeBytes = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(graft.ops.PageRank.lastChoice == "distributed")
+    assert(dist == got)
+    graft.ops.ScratchCache.releaseAll()
+    // r0: node1 = 1000, others 0. iter1:
+    //   dangling = node3 (d=0) holds 0 -> dm = 0
+    //   contrib: 2 <- r(1)/1 = 1000; 3 <- r(2)/1 = 0; 2 <- r(4)/1 = 0
+    //   seed base = 15*1000/100 = 150
+    //   r(1) = 150 + 85*(0 + 0)/100 = 150
+    //   r(2) = 0 + 85*1000/100 = 850; r(3) = 0; r(4) = 0
+    assert(got == Map(1L -> 150L, 2L -> 850L, 3L -> 0L, 4L -> 0L))
+  }
+
+  test("q190: mass stays on the seed side — non-seed suppliers rank 0") {
+    import spark.implicits._
+    val out = graft.queries.GraphQueries.q190TrustRank(spark, sfSmoke)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    graft.ops.ScratchCache.releaseAll()
+    assert(out.nonEmpty)
+    // suppliers are ids < 1000000; nothing points AT a supplier in the
+    // directed bipartite graph, so any supplier with rank > 0 must be a
+    // seed (teleport + dangling return are seed-only)
+    for ((id, r) <- out if id < 1000000L && r > 0L)
+      assert(id < 10L, s"non-seed supplier $id has rank $r")
+    // total rank never exceeds the scale (integer division only loses)
+    assert(out.values.sum <= 1000000000000L)
+  }
+
   test("q93/q94/q95 plans: no cartesian, no window, broadcast stats join") {
     def plan(name: String) = SparkEntry.queries(name)(spark, sfSmoke)
       .queryExecution.sparkPlan.toString
