@@ -563,7 +563,62 @@ object PipelineQueries {
        |FROM c GROUP BY h ORDER BY h""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q191
+
+  /** q191: STREAMING curation funnel — q122's batch funnel as a live
+    * drain: language gate → length/stopword quality gate → Aho-Corasick
+    * canary blocklist (all stateless, fused into the micro-batch scan) →
+    * per-(source, normalized-text) streaming exact dedup
+    * (`dropDuplicates` state — the warm registry a crawl keeps; RocksDB
+    * state store at scale, `WorkerConfig.streamingRecommended`) →
+    * append sink. The survivor report is a batch aggregate over the
+    * landed parquet. Dedup is PER SOURCE so survivor attribution is
+    * deterministic (a cross-source first-wins survivor depends on
+    * micro-batch arrival order — q132 covers cross-source dup analysis
+    * in batch); counts are of distinct normalized texts, so the oracle
+    * is plain SQL and AvailableNow catch-up must reproduce it exactly. */
+  def q191StreamFunnel(s0: SparkSession, d: String): DataFrame = {
+    val (s, outDir, ckDir) = streamRun(s0, "graft_q191")
+    import s.implicits._
+    import graft.functions.TextFunctions.{stopwordCount, tokens}
+    val batchSchema = graft.Tables.load(s, d, "documents").schema
+    val docs = s.readStream.schema(batchSchema)
+      .option("pathGlobFilter", "documents.parquet").parquet(d)
+    val stream = docs
+      .filter($"lang" === "en")
+      .select($"source", lower($"text").as("lt"), tokens($"text").as("ws"))
+      .select($"source", $"lt", size($"ws").cast("bigint").as("n_words"),
+        stopwordCount($"ws", Seq("the", "a", "of", "and")).as("n_stop"))
+      .filter($"n_words" >= 5L && $"n_stop" * 5L <= $"n_words" * 3L)
+      .filter(size(graft.functions.PhraseMatch
+        .phraseMatches($"lt", Seq("merge", "quarantine"))) === 0)
+      .select($"source", trim(regexp_replace(regexp_replace($"lt",
+        "[^a-z0-9\\s]", ""), "\\s+", " ")).as("nrm")) // the q184 chain
+      .dropDuplicates("source", "nrm")
+    runToParquet(stream, "append", outDir, ckDir)
+    s.read.parquet(outDir).select($"source", $"nrm").distinct()
+      .groupBy($"source").agg(count(lit(1)).as("n_survivors"))
+      .orderBy($"source")
+  }
+
+  val q191Sql: String = {
+    val ws = DuckSql.tokensSql
+    s"""WITH f AS (SELECT source, lower(text) AS lt,
+       |    len($ws)::BIGINT AS n_words,
+       |    len(list_filter($ws, w -> w IN ('the','a','of','and')))::BIGINT
+       |      AS n_stop
+       |  FROM documents WHERE lang = 'en'),
+       |g AS (SELECT source, trim(regexp_replace(regexp_replace(lt,
+       |    '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g')) AS nrm
+       |  FROM f
+       |  WHERE n_words >= 5 AND n_stop * 5 <= n_words * 3
+       |    AND NOT contains(lt, 'merge') AND NOT contains(lt, 'quarantine'))
+       |SELECT source, count(DISTINCT nrm)::BIGINT AS n_survivors
+       |FROM g GROUP BY source ORDER BY source""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q191_stream_funnel" -> (q191StreamFunnel _),
     "q121_stream_heavy_hitters" -> (q121StreamHeavyHitters _),
     "q141_stream_decontam" -> (q141StreamDecontam _),
     "q148_stream_chunk_dedup" -> (q148StreamChunkDedup _),
@@ -579,6 +634,7 @@ object PipelineQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q191_stream_funnel" -> q191Sql,
     "q121_stream_heavy_hitters" -> SketchQueries.q61Sql,
     "q141_stream_decontam" -> q141Sql,
     "q148_stream_chunk_dedup" -> q148Sql,
