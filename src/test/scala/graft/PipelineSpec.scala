@@ -74,6 +74,64 @@ class PipelineSpec extends AnyFunSuite with SparkSpecBase {
     assert(exact.nonEmpty) // the fixture actually exercises the path
   }
 
+  test("q191 dedup state suppresses a cross-trigger duplicate (two REAL batches)") {
+    // the funnel's dropDuplicates state must survive a trigger boundary:
+    // the same normalized text arrives in batch A and batch B; only the
+    // first emission may land in the append sink
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-q191-mt")
+    val in = base.resolve("in"); java.nio.file.Files.createDirectories(in)
+    def writeDocs(rows: Seq[(Long, String)], name: String): Unit = {
+      val tmp = base.resolve(name + "-tmp")
+      rows.toDF("doc_id", "text")
+        .select($"doc_id", $"text", lit("en").as("lang"),
+          lit("s1").as("source"), length($"text").cast("long").as("n_chars"))
+        .coalesce(1).write.parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).iterator().asScala
+        .find(_.toString.endsWith(".parquet")).get
+      java.nio.file.Files.move(part, in.resolve(name + ".parquet"))
+    }
+    // all pass the gates (>=5 words, low stopword, no canary)
+    writeDocs(Seq(
+      (1L, "Hello, World! this is fine today"),
+      (2L, "completely unique text number one ok")), "a")
+    writeDocs(Seq(
+      (3L, "hello   world this is fine today"), // same norm as doc 1
+      (4L, "another unique text number two ok")), "b")
+    val out = base.resolve("out").toString
+    val ck = base.resolve("ck").toString
+    import graft.functions.TextFunctions.{stopwordCount, tokens}
+    val schema = spark.read.parquet(in.toString).schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(in.toString)
+      .filter($"lang" === "en")
+      .select($"source", lower($"text").as("lt"), tokens($"text").as("ws"))
+      .select($"source", $"lt", size($"ws").cast("bigint").as("n_words"),
+        stopwordCount($"ws", Seq("the", "a", "of", "and")).as("n_stop"))
+      .filter($"n_words" >= 5L && $"n_stop" * 5L <= $"n_words" * 3L)
+      .filter(size(graft.functions.PhraseMatch
+        .phraseMatches($"lt", Seq("merge", "quarantine"))) === 0)
+      .select($"source", trim(regexp_replace(regexp_replace($"lt",
+        "[^a-z0-9\\s]", ""), "\\s+", " ")).as("nrm"))
+      .dropDuplicates("source", "nrm")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ck)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        df.withColumn("batch_id", lit(id))
+          .write.mode("append").parquet(out); ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val landed = spark.read.parquet(out)
+    assert(landed.select($"batch_id").distinct().count() == 2,
+      "expected two real trigger boundaries")
+    val survivors = landed.select($"nrm").as[String].collect().sorted
+    // doc 3's normalized text equals doc 1's -> exactly 3 survivors
+    assert(survivors.length == 3, survivors.mkString("; "))
+    assert(survivors.count(_ == "hello world this is fine today") == 1)
+  }
+
   test("watermark drops late data: closed windows exclude it, metric counts it") {
     // The piece the AvailableNow parity gates can't show (their fixture
     // arrives in event-time order): a row arriving AFTER the watermark
