@@ -643,7 +643,74 @@ object AdvancedQueries {
        |FROM cum JOIN tot USING (source)
        |GROUP BY source, ne, no ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- q192
+
+  /** q192: CO-OCCURRENCE lift (market-basket) — item pairs that appear
+    * in the same order far more often than independence predicts:
+    * lift = P(a,b) / (P(a)·P(b)), support ≥ 3, top 50. The association
+    * primitive behind "documents that co-cite", "tags that co-occur",
+    * template detection via co-occurring shingles. Scale shape: the
+    * pair join is SELF-co-partitioned on the basket key, so its output
+    * is Σ C(basket,2) — bounded by basket size (~7 here), linear in
+    * orders, never |items|²; item frequencies broadcast back. All
+    * counts exact BIGINT; lift's doubles derive from exact longs
+    * (products < 2⁵³), so rounding is engine-identical. */
+  def q192BasketLift(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    // basket-array form: ONE groupBy(ok) builds each order's distinct
+    // item set (collect_set dedups in-agg — no separate distinct pass),
+    // pairs expand IN-ROW over the sorted array (Σ C(basket,2) rows,
+    // never a self-join's repartition of both sides), and the pair count
+    // partial-combines map-side. Measured at sf0.1: self-join form
+    // 2.4-2.8 s, struct-pair baskets 2.8 s, packed-long baskets 1.94 s
+    // (ProfQ192 has the per-stage split).
+    val baskets = graft.ops.ScratchCache.register(lineitem(s, d)
+      .select($"l_orderkey".cast("long").as("ok"),
+        $"l_partkey".cast("long").as("item"))
+      .groupBy($"ok").agg(sort_array(collect_set($"item")).as("its"))
+      .persist())
+    val freq = baskets.select(explode($"its").as("item"))
+      .groupBy($"item").agg(count(lit(1)).as("f"))
+    val tot = baskets.agg(count(lit(1)).as("n"))
+    baskets
+      // pairs pack into ONE long (ids < 2³²): 8-byte shuffle rows and a
+      // single-column hash agg instead of a 2-field struct per pair
+      .select(explode(flatten(transform($"its", (x, i) =>
+        transform(slice($"its", i + lit(2), size($"its")),
+          y => x * lit(4294967296L) + y)))).as("pk"))
+      .groupBy($"pk").agg(count(lit(1)).as("f_ab"))
+      .filter($"f_ab" >= 3L)
+      .select(expr("pk div 4294967296L").as("item_a"),
+        pmod($"pk", lit(4294967296L)).as("item_b"), $"f_ab")
+      .join(broadcast(freq.select($"item".as("item_a"), $"f".as("f_a"))),
+        Seq("item_a"))
+      .join(broadcast(freq.select($"item".as("item_b"), $"f".as("f_b"))),
+        Seq("item_b"))
+      .crossJoin(broadcast(tot))
+      .select($"item_a", $"item_b", $"f_ab",
+        roundp(($"f_ab" * $"n").cast("double") /
+          ($"f_a" * $"f_b").cast("double"), 6).as("lift"))
+      .orderBy($"lift".desc, $"item_a", $"item_b").limit(50)
+  }
+
+  val q192Sql: String =
+    s"""WITH it AS (SELECT DISTINCT l_orderkey::BIGINT AS ok,
+       |    l_partkey::BIGINT AS item FROM lineitem),
+       |freq AS (SELECT item, count(*)::BIGINT AS f FROM it GROUP BY 1),
+       |tot AS (SELECT count(DISTINCT ok)::BIGINT AS n FROM it),
+       |p AS (SELECT a.item AS item_a, b.item AS item_b,
+       |    count(*)::BIGINT AS f_ab
+       |  FROM it a JOIN it b USING (ok) WHERE a.item < b.item
+       |  GROUP BY 1, 2 HAVING count(*) >= 3)
+       |SELECT item_a, item_b, f_ab,
+       |  ${DuckSql.roundpSql(
+            "(f_ab * n)::DOUBLE / (fa.f * fb.f)::DOUBLE", 6)} AS lift
+       |FROM p JOIN freq fa ON fa.item = p.item_a
+       |JOIN freq fb ON fb.item = p.item_b, tot
+       |ORDER BY lift DESC, item_a, item_b LIMIT 50""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q192_basket_lift" -> (q192BasketLift _),
     "q105_skyline"      -> (q105Skyline _),
     "q158_epoch_mixture" -> (q158EpochMixture _),
     "q159_ks_drift"     -> (q159KsDrift _),
@@ -666,6 +733,7 @@ object AdvancedQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q192_basket_lift" -> q192Sql,
     "q158_epoch_mixture" -> q158Sql,
     "q159_ks_drift"     -> q159Sql,
     "q105_skyline"      -> q105Sql,

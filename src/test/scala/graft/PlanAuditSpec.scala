@@ -232,6 +232,15 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpecBase {
     assert(shuffles(df) <= 3, plan) // 64-group stats + 1-row assembly
   }
 
+  test("q192 basket lift: in-row pair expansion — no self-join, freq tables broadcast") {
+    val df = graft.queries.AdvancedQueries.q192BasketLift(spark, sfSmoke)
+    val plan = planStr(df)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(broadcasts(df) >= 2, plan) // f_a, f_b (+1-row total)
+    graft.ops.ScratchCache.releaseAll()
+  }
+
   test("q185/q186: pure aggregation pipelines — no joins at any size") {
     for (df <- Seq(
         graft.queries.CurationQueries.q185LabelModel(spark, sfSmoke),
