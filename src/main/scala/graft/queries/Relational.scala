@@ -395,7 +395,58 @@ object Relational {
       |    RANGE BETWEEN 29 PRECEDING AND CURRENT ROW) AS DOUBLE) * 100) / 100 AS trail30
       |FROM o ORDER BY o_orderkey""".stripMargin
 
+  // ---------------------------------------------------------------- q193
+
+  /** q193: six-table STAR join (TPC-H Q5's local-supplier revenue) —
+    * the join-ordering/broadcast showcase: region→nation→supplier are
+    * descending-size dims Catalyst broadcasts, customer⋈orders⋈lineitem
+    * is the fact spine, and the c_nationkey = s_nationkey "local
+    * supplier" constraint closes the star into a cycle the optimizer
+    * must place correctly. Declarative — no hints except broadcast on
+    * the two smallest dims; AQE handles the rest. Revenue sums in exact
+    * DECIMAL (safeSum) so reduction order can't flip the rounded
+    * digit. */
+  def q193StarJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val li = lineitem(s, d)
+    val o = orders(s, d)
+      .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+        $"o_orderdate" < lit("1997-01-01").cast("timestamp"))
+    val c = customer(s, d)
+    val su = supplier(s, d)
+    val n = nation(s, d)
+    val r = region(s, d).filter($"r_name" === "ASIA")
+    li.join(o, $"l_orderkey" === $"o_orderkey")
+      .join(c, $"o_custkey" === $"c_custkey")
+      .join(su, $"l_suppkey" === $"s_suppkey" &&
+        $"c_nationkey" === $"s_nationkey")
+      .join(broadcast(n), $"s_nationkey" === $"n_nationkey")
+      .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"n_name")
+      .agg(QueryUtil.safeSum($"l_extendedprice" * (lit(1.0) - $"l_discount"), 2)
+        .as("revenue"), count(lit(1)).as("n_items"))
+      .orderBy($"revenue".desc, $"n_name")
+  }
+
+  val q193Sql: String =
+    s"""SELECT n_name,
+       |  ${QueryUtil.safeSumSql("l_extendedprice * (1.0 - l_discount)", 2)}
+       |    AS revenue,
+       |  count(*)::BIGINT AS n_items
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |  AND c_nationkey = s_nationkey
+       |JOIN nation ON s_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |WHERE r_name = 'ASIA'
+       |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+       |  AND o_orderdate < TIMESTAMP '1997-01-01'
+       |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q193_star_join" -> (q193StarJoin _),
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_filter_project"  -> (q02FilterProject _),
     "q03_broadcast_join"  -> (q03BroadcastJoin _),
@@ -416,6 +467,7 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q193_star_join" -> q193Sql,
     "q01_pricing_summary" -> q01Sql,
     "q02_filter_project"  -> q02Sql,
     "q03_broadcast_join"  -> q03Sql,

@@ -232,6 +232,13 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpecBase {
     assert(shuffles(df) <= 3, plan) // 64-group stats + 1-row assembly
   }
 
+  test("q193 star join: dims broadcast, no cartesian, fact spine is the only wide join") {
+    val df = graft.queries.Relational.q193StarJoin(spark, sfSmoke)
+    val plan = planStr(df)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(broadcasts(df) >= 2, plan) // nation + region at minimum
+  }
+
   test("q192 basket lift: in-row pair expansion — no self-join, freq tables broadcast") {
     val df = graft.queries.AdvancedQueries.q192BasketLift(spark, sfSmoke)
     val plan = planStr(df)
