@@ -445,7 +445,38 @@ object Relational {
        |  AND o_orderdate < TIMESTAMP '1997-01-01'
        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
 
+  // ---------------------------------------------------------------- q194
+
+  /** q194: customer-distribution (TPC-H Q13) — the null-preserving
+    * double aggregation: customers LEFT OUTER JOIN their qualifying
+    * orders (zero-order customers MUST survive as count 0 — an inner
+    * join silently drops the most interesting bucket), per-customer
+    * order counts, then the histogram of those counts. The two
+    * aggregations chain on different keys, so the plan is two hash
+    * shuffles; the outer join keeps the fact side from filtering the
+    * dim. */
+  def q194CustDist(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val o = orders(s, d).filter($"o_orderpriority" =!= "1-URGENT")
+    customer(s, d)
+      .join(o, $"c_custkey" === $"o_custkey", "left_outer")
+      .groupBy($"c_custkey")
+      .agg(count($"o_orderkey").as("c_count")) // count(col) skips nulls
+      .groupBy($"c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy($"custdist".desc, $"c_count".desc)
+  }
+
+  val q194Sql: String =
+    """SELECT c_count, count(*)::BIGINT AS custdist
+      |FROM (SELECT c_custkey, count(o_orderkey)::BIGINT AS c_count
+      |  FROM customer LEFT OUTER JOIN orders
+      |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      |  GROUP BY c_custkey) c_orders
+      |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q194_custdist" -> (q194CustDist _),
     "q193_star_join" -> (q193StarJoin _),
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_filter_project"  -> (q02FilterProject _),
@@ -467,6 +498,7 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q194_custdist" -> q194Sql,
     "q193_star_join" -> q193Sql,
     "q01_pricing_summary" -> q01Sql,
     "q02_filter_project"  -> q02Sql,
