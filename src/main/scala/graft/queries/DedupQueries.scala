@@ -304,6 +304,78 @@ object DedupQueries {
         |WHERE n_clusters > 0
         |ORDER BY cluster_size""".stripMargin
 
+  /** q197: source-partition MODULARITY of the near-dup graph — Newman
+    * modularity Q = Σ_s [L_s/m − (d_s/2m)²] where the partition is the
+    * document SOURCE, not the connected component (a components
+    * partition is degenerate: every edge is intra-component by
+    * definition). High contribution = a source duplicates mostly
+    * WITHIN itself (self-spam); a negative contribution = its near-dups
+    * live in OTHER sources (two "different" slices are one corpus) —
+    * the graph-theoretic sharpening of q132's cross-source rate. Edges
+    * are q51's verified MinHash pairs, persisted once; everything
+    * after is |pairs|-sized aggregation: intra counts from a source
+    * equality flag, degree sums from a 2-row-per-edge incidence union,
+    * m broadcast as a 1-row aggregate (never a driver scalar). All
+    * inputs to the double arithmetic are exact BIGINTs, so both
+    * engines run identical IEEE ops → identical 6dp rounding. */
+  def q197SourceModularity(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.TextFunctions.roundp
+    val docs = documents(s, d)
+    val src = docs.select($"doc_id", $"source")
+    val ends = graft.ops.ScratchCache.register(
+      Dedup.minhashDedupPairs(docs, "doc_id", "text", 3, 0.8)
+        .select($"id_a", $"id_b")
+        .join(src.select($"doc_id".as("id_a"), $"source".as("src_a")),
+          Seq("id_a"))
+        .join(src.select($"doc_id".as("id_b"), $"source".as("src_b")),
+          Seq("id_b"))
+        .persist())
+    val m = ends.agg(count(lit(1)).as("m"))
+    val incid = ends.select($"id_a".as("node"), $"src_a".as("source"))
+      .unionByName(ends.select($"id_b".as("node"), $"src_b".as("source")))
+    val deg = incid.groupBy($"source").agg(
+      count(lit(1)).as("degree_sum"),
+      countDistinct($"node").as("n_nodes"))
+    val intra = ends.filter($"src_a" === $"src_b")
+      .groupBy($"src_a".as("source")).agg(count(lit(1)).as("intra_edges"))
+    deg.join(intra, Seq("source"), "left_outer")
+      .na.fill(0L, Seq("intra_edges"))
+      .join(broadcast(m))
+      .select($"source", $"n_nodes", $"intra_edges", $"degree_sum",
+        roundp(
+          $"intra_edges".cast("double") / $"m".cast("double") -
+            ($"degree_sum".cast("double") / (lit(2.0) * $"m".cast("double"))) *
+            ($"degree_sum".cast("double") / (lit(2.0) * $"m".cast("double"))),
+          6).as("contribution"))
+      .orderBy($"source")
+  }
+
+  val q197Sql: String =
+    jaccardPairsCte(0.8, None) +
+      """,
+        |ep AS (SELECT id_a, id_b, sa.source AS src_a, sb.source AS src_b
+        |  FROM jpairs
+        |  JOIN documents sa ON sa.doc_id = id_a
+        |  JOIN documents sb ON sb.doc_id = id_b),
+        |mm AS (SELECT count(*) AS m FROM ep),
+        |incid AS (SELECT id_a AS node, src_a AS source FROM ep
+        |  UNION ALL SELECT id_b, src_b FROM ep),
+        |deg AS (SELECT source, count(*) AS degree_sum,
+        |    count(DISTINCT node) AS n_nodes
+        |  FROM incid GROUP BY source),
+        |intra AS (SELECT src_a AS source, count(*) AS intra_edges
+        |  FROM ep WHERE src_a = src_b GROUP BY src_a)
+        |SELECT deg.source, n_nodes::BIGINT AS n_nodes,
+        |  coalesce(intra_edges, 0)::BIGINT AS intra_edges,
+        |  degree_sum::BIGINT AS degree_sum,
+        |  round((coalesce(intra_edges, 0)::DOUBLE / m::DOUBLE
+        |      - (degree_sum::DOUBLE / (2.0 * m::DOUBLE))
+        |        * (degree_sum::DOUBLE / (2.0 * m::DOUBLE))) * 1000000.0)
+        |    / 1000000.0 AS contribution
+        |FROM deg LEFT OUTER JOIN intra ON deg.source = intra.source, mm
+        |ORDER BY deg.source""".stripMargin
+
   /** q132: CROSS-SOURCE duplication rate — per source, how many of its
     * documents have a near-dup (J ≥ 0.8) in a DIFFERENT source, and the
     * rate against the source's size. The inter-source leakage view of the
@@ -914,6 +986,7 @@ object DedupQueries {
     "q29_simhash"        -> (q29Simhash _),
     "q51_dedup_groups"   -> (q51DedupGroups _),
     "q128_cluster_sizes" -> (q128ClusterSizes _),
+    "q197_source_modularity" -> (q197SourceModularity _),
     "q132_cross_source_dup" -> (q132CrossSourceDup _),
     "q133_dedup_policy_impact" -> (q133DedupPolicyImpact _),
     "q52_incremental_dedup" -> (q52IncrementalDedup _),
@@ -939,6 +1012,7 @@ object DedupQueries {
     "q29_simhash"        -> q29Sql,
     "q51_dedup_groups"   -> q51Sql,
     "q128_cluster_sizes" -> q128Sql,
+    "q197_source_modularity" -> q197Sql,
     "q132_cross_source_dup" -> q132Sql,
     "q133_dedup_policy_impact" -> q133Sql,
     "q52_incremental_dedup" -> q52Sql,

@@ -475,7 +475,104 @@ object Relational {
       |  GROUP BY c_custkey) c_orders
       |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin
 
+  // ---------------------------------------------------------------- q195
+
+  /** q195: blame-the-supplier (TPC-H Q21's shape adapted to this schema:
+    * returned lines stand in for late receipts) — orders involving ≥2
+    * suppliers where EXACTLY ONE supplier had a returned line; that
+    * supplier takes the blame. The textbook form is two correlated
+    * self-joins on the fact table (EXISTS another-supplier /
+    * NOT EXISTS another-flagged-supplier — the oracle runs exactly
+    * that); at 100 TB each self-join re-shuffles the fact, so the
+    * engine instead folds BOTH existence tests into ONE per-order
+    * aggregation (distinct-supplier count, distinct-flagged count,
+    * and the unique flagged suppkey via min — exact because n_bad = 1
+    * is enforced in the filter). One fact shuffle total, then a
+    * semi-join against finalized orders and a supplier dim join. */
+  def q195BlameSupplier(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val flagged = when($"l_returnflag" === "R", $"l_suppkey")
+    val perOrder = lineitem(s, d)
+      .groupBy($"l_orderkey")
+      .agg(
+        countDistinct($"l_suppkey").as("n_supp"),
+        countDistinct(flagged).as("n_bad"),
+        min(flagged).as("bad_supp"))
+      .filter($"n_supp" >= 2 && $"n_bad" === 1)
+    val finalized = orders(s, d)
+      .filter($"o_orderstatus" === "F").select($"o_orderkey")
+    perOrder
+      .join(finalized, $"l_orderkey" === $"o_orderkey", "left_semi")
+      .join(supplier(s, d), $"bad_supp" === $"s_suppkey")
+      .groupBy($"s_name")
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy($"numwait".desc, $"s_name")
+      .limit(100)
+  }
+
+  val q195Sql: String =
+    """SELECT s_name, count(DISTINCT l1.l_orderkey)::BIGINT AS numwait
+      |FROM supplier
+      |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+      |JOIN orders ON o_orderkey = l1.l_orderkey
+      |WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |    WHERE l2.l_orderkey = l1.l_orderkey
+      |      AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |    WHERE l3.l_orderkey = l1.l_orderkey
+      |      AND l3.l_suppkey <> l1.l_suppkey AND l3.l_returnflag = 'R')
+      |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin
+
+  // ---------------------------------------------------------------- q196
+
+  /** q196: dormant high-balance customers (TPC-H Q22's shape) — customers
+    * above the GLOBAL average positive account balance with no order
+    * since 2000-01-01 (this synthetic corpus gives every customer SOME
+    * order, so Q22's "never ordered" literal is vacuous; dormancy-since
+    * keeps the identical plan shape non-degenerate), bucketed by nation.
+    * Exercises the global-scalar-subquery + anti-join pair: the scalar
+    * is a 1-row aggregate broadcast into the filter, the dormancy test
+    * is a shuffle anti-join against the date-filtered fact (the custkey
+    * set is |customers|-sized at scale — never broadcast, never
+    * collected; the date predicate pushes to the parquet scan). The
+    * threshold compare is exact: `bal * n_pos > sum_pos` in DECIMAL —
+    * no double division whose last ulp could flip a boundary customer
+    * between engines. */
+  def q196DormantValue(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val c = customer(s, d)
+    val posStats = c.filter($"c_acctbal" > 0.0)
+      .agg(sum($"c_acctbal".cast("decimal(28,6)")).as("sum_pos"),
+        count(lit(1)).as("n_pos"))
+    val recent = orders(s, d)
+      .filter($"o_orderdate" >= lit("2000-01-01").cast("timestamp"))
+      .select($"o_custkey")
+    c.join(broadcast(posStats))
+      .filter($"c_acctbal".cast("decimal(28,6)") * $"n_pos" > $"sum_pos")
+      .join(recent, $"c_custkey" === $"o_custkey", "left_anti")
+      .join(broadcast(nation(s, d)), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_name")
+      .agg(count(lit(1)).as("numcust"),
+        QueryUtil.safeSum($"c_acctbal", 2).as("totacctbal"))
+      .orderBy($"n_name")
+  }
+
+  val q196Sql: String =
+    s"""SELECT n_name, count(*)::BIGINT AS numcust,
+       |  ${QueryUtil.safeSumSql("c_acctbal", 2)} AS totacctbal
+       |FROM customer JOIN nation ON c_nationkey = n_nationkey
+       |WHERE CAST(c_acctbal AS DECIMAL(28,6))
+       |    * (SELECT count(*) FROM customer WHERE c_acctbal > 0.0)
+       |  > (SELECT sum(CAST(c_acctbal AS DECIMAL(28,6)))
+       |     FROM customer WHERE c_acctbal > 0.0)
+       |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+       |    AND o_orderdate >= TIMESTAMP '2000-01-01')
+       |GROUP BY n_name ORDER BY n_name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q195_blame_supplier" -> (q195BlameSupplier _),
+    "q196_dormant_value" -> (q196DormantValue _),
     "q194_custdist" -> (q194CustDist _),
     "q193_star_join" -> (q193StarJoin _),
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -498,6 +595,8 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q195_blame_supplier" -> q195Sql,
+    "q196_dormant_value" -> q196Sql,
     "q194_custdist" -> q194Sql,
     "q193_star_join" -> q193Sql,
     "q01_pricing_summary" -> q01Sql,

@@ -1108,7 +1108,69 @@ object TextQueries {
        |FROM sc ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q198
+
+  /** q198: QUANTILE NORMALIZATION of per-source document lengths to the
+    * pooled corpus distribution — the length-matching transform used
+    * before cross-source mixture training (a source whose "p90 doc" is
+    * 200 chars and one whose p90 is 20k chars get comparable length
+    * percentiles; norm_len is the value a doc's within-source rank maps
+    * to in the POOLED length distribution). Two scale-sensitive ranks,
+    * two different tools: the within-source rank is a window PARTITIONED
+    * by source (per-source sort, never global); the pooled rank is
+    * [[graft.ops.GlobalIndex]]'s two-pass distributed index — a global
+    * `row_number() OVER (ORDER BY ...)` here would funnel the corpus
+    * through one reducer (PlanGuard error class). The rank→pooled-index
+    * map is EXACT integer arithmetic (round-half-up a/b as
+    * (2a+b) div 2b on BIGINTs), so no double division can flip an index
+    * between engines; the final lookup is an equi-join on the dense
+    * pooled index. */
+  def q198QuantileNormalize(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = documents(s, d)
+      .select($"doc_id", $"source", length($"text").cast("bigint").as("orig_len"))
+    // pooled order: byScoreDesc sorts (score DESC, id ASC); feeding
+    // score = -len makes that (len ASC, doc_id ASC), the same total
+    // order as the oracle's row_number
+    val (pooledIdx, total) = graft.ops.GlobalIndex.byScoreDescWithTotal(
+      docs.select((-$"orig_len").as("s"), $"doc_id".as("i")).as[(Long, Long)],
+      32)
+    val pooled = pooledIdx.select($"idx".as("tidx"), (-$"score").as("norm_len"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source").orderBy($"orig_len", $"doc_id")
+    val ranked = docs
+      .withColumn("rn", row_number().over(w).cast("bigint"))
+      .withColumn("ns", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"source")))
+      .withColumn("tidx",
+        when($"ns" === 1L, 0L).otherwise(
+          expr(s"(2 * (rn - 1) * (${total} - 1) + (ns - 1)) div (2 * (ns - 1))")))
+    ranked.join(pooled, Seq("tidx"))
+      .select($"doc_id", $"source", $"orig_len", $"norm_len")
+      .orderBy($"doc_id")
+  }
+
+  val q198Sql: String =
+    """WITH d AS (SELECT doc_id, source, len(text)::BIGINT AS orig_len
+      |  FROM documents),
+      |nn AS (SELECT count(*) AS n FROM d),
+      |ranked AS (SELECT doc_id, source, orig_len,
+      |    row_number() OVER (PARTITION BY source
+      |      ORDER BY orig_len, doc_id)::BIGINT AS rn,
+      |    count(*) OVER (PARTITION BY source)::BIGINT AS ns FROM d),
+      |pooled AS (SELECT orig_len AS norm_len,
+      |    row_number() OVER (ORDER BY orig_len, doc_id) - 1 AS idx FROM d),
+      |tgt AS (SELECT doc_id, source, orig_len,
+      |    CASE WHEN ns = 1 THEN 0
+      |      ELSE (2 * (rn - 1) * (n - 1) + (ns - 1)) // (2 * (ns - 1))
+      |    END AS tidx
+      |  FROM ranked, nn)
+      |SELECT t.doc_id, t.source, t.orig_len, p.norm_len
+      |FROM tgt t JOIN pooled p ON p.idx = t.tidx
+      |ORDER BY t.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q198_quantile_normalize" -> (q198QuantileNormalize _),
     "q181_script_mix"   -> (q181ScriptMix _),
     "q182_ngram_classifier" -> (q182NgramClassifier _),
     "q173_ccnet_buckets" -> (q173CcnetBuckets _),
@@ -1134,6 +1196,7 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q198_quantile_normalize" -> q198Sql,
     "q181_script_mix"   -> q181Sql,
     "q182_ngram_classifier" -> q182Sql,
     "q173_ccnet_buckets" -> q173Sql,

@@ -38,7 +38,9 @@ def main():
             best = dt if best is None else min(best, dt)
         rows.append((name, best))
     total = sum(r[1] for r in rows if r[1] == r[1])
+    json.dump(dict(rows), open(os.path.join(out, "duck_times.json"), "w"))
     print(f"duckdb total {total:.1f}s over {len(rows)} queries  sf={sf}")
+    print(f"per-query times -> {os.path.join(out, 'duck_times.json')}")
     if bench:
         ratio = [(n, bench.get(n), d, (bench.get(n, 0) / d if d and d > 0.0 else None))
                  for n, d in rows]
