@@ -258,6 +258,37 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpecBase {
     }
   }
 
+  test("q195 blame-supplier: ONE lineitem scan — the Q21 double self-join is folded into one aggregation") {
+    val df = Relational.q195BlameSupplier(spark, sfSmoke)
+    val plan = planStr(df)
+    val factScans = "lineitem".r.findAllIn(plan).size
+    assert(factScans >= 1 && "Scan parquet".r.findAllIn(plan).size <= 3,
+      s"expected <=3 scans (lineitem+orders+supplier), plan:\n$plan")
+    // exactly one scan may mention the lineitem path
+    assert(plan.split('\n').count(l => l.contains("Scan parquet") && l.contains("lineitem")) == 1, plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q196 dormant-value: scalar stats broadcast + HASH anti-join") {
+    val df = Relational.q196DormantValue(spark, sfSmoke)
+    val plan = planStr(df)
+    assert(broadcasts(df) >= 2, plan) // posStats 1-row + nation dim
+    // the 1-ROW posStats broadcast is a deliberate NLJ (like q45's ADC
+    // scan); the anti-join against the fact must be a hash join
+    val anti = plan.split('\n').filter(_.contains("LeftAnti"))
+    assert(anti.nonEmpty && anti.forall(_.contains("HashJoin")), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q198 quantile-normalize: windows are source-PARTITIONED; pooled rank is the two-pass index, not a global window") {
+    val df = graft.queries.TextQueries.q198QuantileNormalize(spark, sfSmoke)
+    val plan = planStr(df)
+    // any Window node must carry a non-empty partition spec (source)
+    val winLines = plan.split('\n').filter(_.contains("Window"))
+    assert(winLines.forall(_.contains("source")), winLines.mkString("\n"))
+    graft.ops.ScratchCache.releaseAll()
+  }
+
   test("q45 PQ ADC scan is the intended broadcast-NLJ; candidates rank via aggregate") {
     val emb = Tables.embeddings(spark, sfSmoke)
     val idx = graft.ops.PqIndex.build(emb, "vec_id", "embedding", m = 8, ksub = 16)
