@@ -570,7 +570,101 @@ object Relational {
        |    AND o_orderdate >= TIMESTAMP '2000-01-01')
        |GROUP BY n_name ORDER BY n_name""".stripMargin
 
+  // ---------------------------------------------------------------- q199
+
+  /** q199: bilateral shipping volume (TPC-H Q7's shape) — revenue
+    * flowing between two specific nations in either direction, by
+    * direction and year. The optimizer test is the DISJUNCTIVE pair
+    * predicate `(c=A ∧ s=B) ∨ (c=B ∧ s=A)`: it cannot become a join
+    * key, so the engine pre-filters BOTH dim sides to the two-nation
+    * set (those equi-joins push down and broadcast) and leaves only
+    * the cheap residual OR on the joined row — the fact table is
+    * touched once, never once per disjunct. */
+  def q199BilateralVolume(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val twoNations = nation(s, d)
+      .filter($"n_name".isin("NATION_3", "NATION_7"))
+    val cust = customer(s, d)
+      .join(broadcast(twoNations.select($"n_nationkey", $"n_name".as("cust_nation"))),
+        $"c_nationkey" === $"n_nationkey")
+      .select($"c_custkey", $"cust_nation")
+    val supp = supplier(s, d)
+      .join(broadcast(twoNations.select($"n_nationkey", $"n_name".as("supp_nation"))),
+        $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey", $"supp_nation")
+    lineitem(s, d)
+      .join(orders(s, d), $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .join(broadcast(supp), $"l_suppkey" === $"s_suppkey")
+      .filter(($"cust_nation" === "NATION_3" && $"supp_nation" === "NATION_7") ||
+        ($"cust_nation" === "NATION_7" && $"supp_nation" === "NATION_3"))
+      .groupBy($"cust_nation", $"supp_nation",
+        year($"l_shipdate").cast("bigint").as("l_year"))
+      .agg(QueryUtil.safeSum($"l_extendedprice" * (lit(1.0) - $"l_discount"), 2)
+        .as("revenue"))
+      .orderBy($"cust_nation", $"supp_nation", $"l_year")
+  }
+
+  val q199Sql: String =
+    s"""SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+       |  year(l_shipdate)::BIGINT AS l_year,
+       |  ${QueryUtil.safeSumSql("l_extendedprice * (1.0 - l_discount)", 2)}
+       |    AS revenue
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN nation cn ON c_nationkey = cn.n_nationkey
+       |JOIN nation sn ON s_nationkey = sn.n_nationkey
+       |WHERE (cn.n_name = 'NATION_3' AND sn.n_name = 'NATION_7')
+       |   OR (cn.n_name = 'NATION_7' AND sn.n_name = 'NATION_3')
+       |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
+  // ---------------------------------------------------------------- q200
+
+  /** q200: market share (TPC-H Q8's shape) — one nation's fraction of
+    * total bilateral-relevant revenue per year: the conditional-ratio
+    * aggregation `sum(CASE WHEN …)/sum(…)` computed in ONE pass over
+    * the joined fact (two partial aggregates share the shuffle; a
+    * naive twin-query + join would scan and shuffle twice). The ratio
+    * divides two exact DECIMAL sums, rounded to 6dp only at output. */
+  def q200MarketShare(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.TextFunctions.roundp
+    val vol = lineitem(s, d)
+      .join(orders(s, d), $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(supplier(s, d)), $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(nation(s, d)), $"s_nationkey" === $"n_nationkey")
+    vol.groupBy(year($"o_orderdate").cast("bigint").as("o_year"))
+      .agg(
+        sum(when($"n_name" === "NATION_3",
+          ($"l_extendedprice" * (lit(1.0) - $"l_discount")).cast("decimal(28,6)"))
+          .otherwise(lit(0).cast("decimal(28,6)"))).as("nation_rev"),
+        sum(($"l_extendedprice" * (lit(1.0) - $"l_discount"))
+          .cast("decimal(28,6)")).as("total_rev"))
+      .select($"o_year",
+        roundp($"nation_rev".cast("double") / $"total_rev".cast("double"), 6)
+          .as("mkt_share"))
+      .orderBy($"o_year")
+  }
+
+  val q200Sql: String =
+    """WITH vol AS (SELECT year(o_orderdate)::BIGINT AS o_year,
+      |    CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6)) AS r,
+      |    n_name
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey)
+      |SELECT o_year,
+      |  round((CAST(sum(CASE WHEN n_name = 'NATION_3' THEN r
+      |        ELSE CAST(0 AS DECIMAL(28,6)) END) AS DOUBLE)
+      |    / CAST(sum(r) AS DOUBLE)) * 1000000.0) / 1000000.0 AS mkt_share
+      |FROM vol GROUP BY o_year ORDER BY o_year""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q199_bilateral_volume" -> (q199BilateralVolume _),
+    "q200_market_share" -> (q200MarketShare _),
     "q195_blame_supplier" -> (q195BlameSupplier _),
     "q196_dormant_value" -> (q196DormantValue _),
     "q194_custdist" -> (q194CustDist _),
@@ -595,6 +689,8 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q199_bilateral_volume" -> q199Sql,
+    "q200_market_share" -> q200Sql,
     "q195_blame_supplier" -> q195Sql,
     "q196_dormant_value" -> q196Sql,
     "q194_custdist" -> q194Sql,
