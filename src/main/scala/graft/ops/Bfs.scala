@@ -74,6 +74,93 @@ object Bfs {
     visited
   }
 
+  /** Which regime [[auto]] picked last — spec-observable, mirroring
+    * [[PageRank.lastChoice]]. */
+  @volatile var lastChoice: String = ""
+
+  /** Driver bytes per collected distinct edge under the driver-local
+    * regime — WORKING footprint (boxed Tuple2 collect + adjacency
+    * arrays), the [[PageRank.BytesPerEdge]] accounting. */
+  private val BytesPerEdge = 64L
+
+  /** Regime auto-switch (the [[PageRank.rank]] ladder): when the edge
+    * list fits `maxDriverEdgeBytes` (probed by a raw count on the
+    * persisted edge frame — an overestimate of the distinct count, so
+    * the switch errs toward the distributed path), the walk runs
+    * DRIVER-LOCAL: one distinct+collect, O(|E|) in-memory BFS, zero
+    * per-level jobs — catalog-sized graphs shouldn't pay 4 levels of
+    * distributed join overhead (measured 3.3 s → ~1.3 s on q189 at
+    * sf0.1; a fused one-job Catalyst variant was also measured and is
+    * NOT faster — 3.8 s — because the per-level distincts dominate, not
+    * job count). Past the budget: [[distances]], whose per-level count
+    * keeps early exit and picks broadcast vs shuffle per frontier.
+    * Exact min-hop is reduction-order-free, so both regimes are
+    * bit-identical (BfsSpec pins them equal on graph fixtures).
+    *
+    * `edges` is directed; pass `undirected = true` to walk both ways
+    * (cheaper than materializing the reversed union when the
+    * driver-local regime wins — the reversal is two ints in the
+    * adjacency build). */
+  def auto(edges: DataFrame, seeds: DataFrame, maxDepth: Int,
+           undirected: Boolean = false,
+           broadcastRows: Long = 2000000L,
+           maxDriverEdgeBytes: Long = 64L << 20): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e0 = edges.select(col("src").cast("long"), col("dst").cast("long"))
+    // probe + load in ONE bounded action: collect at most cap+1 rows
+    // (memory bounded by the budget either way); overflow ⇒ the big-graph
+    // path, and the ≤cap prefix scanned here is noise at that scale. A
+    // separate count() probe would pay a full extra scan job. RAW rows,
+    // no distinct: duplicate edges only duplicate adjacency entries the
+    // BFS hop-check absorbs (the distinct's |E| shuffle measured 0.4 s
+    // of q189's 1.8 s)
+    val cap = (maxDriverEdgeBytes / BytesPerEdge).min(Int.MaxValue - 1L).toInt
+    val probe = e0.limit(cap + 1).as[(Long, Long)].collect()
+    if (probe.length <= cap) {
+      lastChoice = "driver-local"
+      val seedIds = seeds.select(col("id").cast("long")).distinct()
+        .as[Long].collect()
+      driverLocal(spark, probe, seedIds, maxDepth, undirected)
+    } else {
+      lastChoice = "per-level"
+      val e = ScratchCache.register(e0.persist())
+      val dir =
+        if (undirected)
+          e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+        else e
+      distances(dir, seeds, maxDepth, broadcastRows)
+    }
+  }
+
+  /** In-memory exact BFS over a collected edge list — the driver-local
+    * regime's compute. O(|E| + |V|·depth); adjacency is primitive long
+    * arrays, visited is the hop map itself. */
+  private def driverLocal(spark: org.apache.spark.sql.SparkSession,
+                          pairs: Array[(Long, Long)], seeds: Array[Long],
+                          maxDepth: Int, undirected: Boolean): DataFrame = {
+    import scala.collection.mutable
+    val adjB = mutable.HashMap.empty[Long, mutable.ArrayBuilder.ofLong]
+    def add(a: Long, b: Long): Unit =
+      adjB.getOrElseUpdate(a, new mutable.ArrayBuilder.ofLong) += b
+    pairs.foreach { case (a, b) => add(a, b); if (undirected) add(b, a) }
+    val adj: Map[Long, Array[Long]] =
+      adjB.iterator.map { case (k, v) => k -> v.result() }.toMap
+    val hop = mutable.HashMap.empty[Long, Long]
+    var frontier: Array[Long] = seeds.distinct
+    frontier.foreach(hop(_) = 0L)
+    var d = 0L
+    while (d < maxDepth && frontier.nonEmpty) {
+      val next = new mutable.ArrayBuilder.ofLong
+      for (u <- frontier; vs <- adj.get(u); v <- vs)
+        if (!hop.contains(v)) { hop(v) = d + 1L; next += v }
+      frontier = next.result()
+      d += 1L
+    }
+    import spark.implicits._
+    hop.toSeq.toDF("id", "hop")
+  }
+
   /** Same contract as [[distances]] but composed as ONE lazy plan with
     * no per-level actions: each level's distinct is an Exchange that
     * Spark's ReusedExchange dedupes across its consumers (next frontier

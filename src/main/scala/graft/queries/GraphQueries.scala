@@ -229,14 +229,14 @@ object GraphQueries {
     val base = lineitem(s, d)
       .select($"l_suppkey".cast("long").as("src"),
         ($"l_partkey".cast("long") + 1000000L).as("dst"))
-    // NO edge-level distinct: duplicate edges are absorbed by the
-    // per-level frontier distinct inside Bfs, and skipping it saves a
-    // full |edges|-row shuffle before the walk even starts
-    val edges = base.unionByName(
-      base.select($"dst".as("src"), $"src".as("dst")))
     val seeds = lineitem(s, d).filter($"l_suppkey" < 10)
       .select($"l_suppkey".cast("long").as("id")).distinct()
-    graft.ops.Bfs.distances(edges, seeds, maxDepth = 4)
+    // single-direction edges + undirected=true: the driver-local regime
+    // reverses in the adjacency build (two ints), and the distributed
+    // fallback materializes the reversed union only when it actually
+    // runs; duplicate edges are absorbed by the regime's own distinct
+    // (driver-local) or per-level frontier distinct (distributed)
+    graft.ops.Bfs.auto(base, seeds, maxDepth = 4, undirected = true)
       .orderBy($"id")
   }
 

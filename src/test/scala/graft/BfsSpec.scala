@@ -42,4 +42,48 @@ class BfsSpec extends AnyFunSuite with SparkSpecBase {
     val got = dist(Seq((1L, 2L)), Seq(1L), depth = 100)
     assert(got == Map(1L -> 0L, 2L -> 1L))
   }
+
+  private def fused(edges: Seq[(Long, Long)], seeds: Seq[Long], depth: Int) =
+    Bfs.distancesFused(edges.toDF("src", "dst"), seeds.toDF("id"), depth)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("fused single-job regime ≡ per-level regime on every graph fixture") {
+    val fixtures = Seq(
+      (Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 3L), (4L, 1L), (8L, 9L)), Seq(1L), 5),
+      (Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)), Seq(1L), 2),
+      (Seq((1L, 2L), (2L, 3L), (5L, 3L)), Seq(1L, 5L, 42L), 3),
+      (Seq((1L, 2L)), Seq(1L), 7))
+    for ((e, s, k) <- fixtures)
+      assert(fused(e, s, k) == dist(e, s, k), s"edges=$e seeds=$s depth=$k")
+  }
+
+  test("auto regime: driver-local under the edge budget, per-level past it; equal outputs") {
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (1L, 2L)) // dup edge absorbed
+    def run(budget: Long) = {
+      val out = Bfs.auto(e.toDF("src", "dst"), Seq(1L).toDF("id"),
+        maxDepth = 3, maxDriverEdgeBytes = budget)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      graft.ops.ScratchCache.releaseAll()
+      (out, Bfs.lastChoice)
+    }
+    val (small, c1) = run(budget = 1L << 20)
+    assert(c1 == "driver-local")
+    val (big, c2) = run(budget = 0L)
+    assert(c2 == "per-level")
+    assert(small == big && small == Map(1L -> 0L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("auto undirected walks both directions in both regimes") {
+    val e = Seq((2L, 1L), (3L, 2L)) // seeds only reach them BACKWARD
+    def run(budget: Long) = {
+      val out = Bfs.auto(e.toDF("src", "dst"), Seq(1L).toDF("id"),
+        maxDepth = 2, undirected = true, maxDriverEdgeBytes = budget)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      graft.ops.ScratchCache.releaseAll()
+      out
+    }
+    val expected = Map(1L -> 0L, 2L -> 1L, 3L -> 2L)
+    assert(run(1L << 20) == expected) // driver-local
+    assert(run(0L) == expected)       // per-level
+  }
 }
