@@ -1566,7 +1566,11 @@ object CurationQueries {
       .persist())
     val owners = t1.groupBy($"h").agg(count(lit(1)).as("n_src"))
     val tot = owners.agg(count(lit(1)).as("n_types"))
-    t1.join(owners.hint("SHUFFLE_HASH"), Seq("h"))
+    // no join-strategy hint: AQE sees the post-shuffle owner size and
+    // broadcasts it when small (this fixture's 31-word vocab bounds
+    // 3-shingle types at ~30k) while real corpora with billions of
+    // types get the shuffle hash join — the regime switch is AQE's own
+    t1.join(owners, Seq("h"))
       .groupBy($"source")
       .agg(sum($"c").as("n_doc_shingles"),
         sum(when($"n_src" === 1L, 1L).otherwise(0L)).as("n_sole_types"))

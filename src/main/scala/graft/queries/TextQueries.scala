@@ -965,6 +965,10 @@ object TextQueries {
     * census aggregation. */
   def q173CcnetBuckets(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    // NOT persisted: caching the |tokens|-row exploded frame was
+    // measured SLOWER than re-running the tokenizer (3.6 s vs 1.4 s at
+    // sf0.1 — the cache fill of millions of short string rows costs
+    // more than the second codegen'd regex pass)
     val toks = documents(s, d)
       .select($"doc_id", $"source", explode(tokens($"text")).as("w"))
     val model = toks.groupBy($"w").agg(count(lit(1)).as("c"))
