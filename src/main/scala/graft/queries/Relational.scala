@@ -21,7 +21,7 @@ import graft.Tables
   * error ~1e-7 cannot flip the rounded value).
   */
 object Relational {
-  import graft.Tables.{lineitem, orders, customer, supplier, nation, region}
+  import graft.Tables.{lineitem, orders, customer, supplier, nation, region, part}
 
   /** Q1-style pricing summary: A2 groupBy + algebraic aggs (SURVEY A2/A3/F9,
     * reference groupby at flyte/build.py:37-42). */
@@ -662,7 +662,124 @@ object Relational {
       |    / CAST(sum(r) AS DOUBLE)) * 1000000.0) / 1000000.0 AS mkt_share
       |FROM vol GROUP BY o_year ORDER BY o_year""".stripMargin
 
+  // ---------------------------------------------------------------- q201
+
+  /** q201: returned-item revenue per customer (TPC-H Q10's shape) — the
+    * "who returned the most value this quarter" report: lineitem
+    * filtered to returns, orders to the quarter, the fact spine joined
+    * to customer, nation broadcast, top 20 by lost revenue. The shape
+    * matters at scale: BOTH filters push into their parquet scans
+    * before either join, the customer join keys on the already-reduced
+    * fact side, and the top-20 is a TakeOrdered (never a global sort).
+    * Deterministic cutoff: (revenue, c_custkey) is a total order. */
+  def q201ReturnedRevenue(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val li = lineitem(s, d).filter($"l_returnflag" === "R")
+    val o = orders(s, d)
+      .filter($"o_orderdate" >= lit("1996-10-01").cast("timestamp") &&
+        $"o_orderdate" < lit("1997-01-01").cast("timestamp"))
+    li.join(o, $"l_orderkey" === $"o_orderkey")
+      .join(customer(s, d), $"o_custkey" === $"c_custkey")
+      .join(broadcast(nation(s, d)), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"c_custkey", $"c_name", $"n_name")
+      .agg(QueryUtil.safeSum($"l_extendedprice" * (lit(1.0) - $"l_discount"), 2)
+        .as("revenue"))
+      .orderBy($"revenue".desc, $"c_custkey")
+      .limit(20)
+  }
+
+  val q201Sql: String =
+    s"""SELECT c_custkey, c_name, n_name,
+       |  ${QueryUtil.safeSumSql("l_extendedprice * (1.0 - l_discount)", 2)}
+       |    AS revenue
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |WHERE l_returnflag = 'R'
+       |  AND o_orderdate >= TIMESTAMP '1996-10-01'
+       |  AND o_orderdate < TIMESTAMP '1997-01-01'
+       |GROUP BY 1, 2, 3 ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------- q202
+
+  /** q202: quantity-band disjunctive join (TPC-H Q19's shape) — revenue
+    * from three (brand, size, quantity-band) OR-arms. The optimizer
+    * test: the disjunction spans BOTH tables, so it can only evaluate
+    * after the join — but its HULL on each side (quantity ∈ [1,30],
+    * size ≤ 15) is conjunctive and is added explicitly so each scan
+    * prunes before the join (the classic derived-predicate trick;
+    * Catalyst does not infer hulls of cross-table ORs). Part stays a
+    * broadcast dim; the residual OR is a cheap post-join filter. */
+  def q202BandJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val li = lineitem(s, d)
+      .filter($"l_quantity" >= 1.0 && $"l_quantity" <= 30.0) // hull
+    val p = part(s, d).filter($"p_size" <= 15) // hull
+    li.join(broadcast(p), $"l_partkey" === $"p_partkey")
+      .filter(
+        ($"p_brand" === "Brand#1" && $"p_size" <= 5 &&
+          $"l_quantity" >= 1.0 && $"l_quantity" <= 11.0) ||
+        ($"p_brand" === "Brand#2" && $"p_size" <= 10 &&
+          $"l_quantity" >= 10.0 && $"l_quantity" <= 20.0) ||
+        ($"p_brand" === "Brand#3" && $"p_size" <= 15 &&
+          $"l_quantity" >= 20.0 && $"l_quantity" <= 30.0))
+      .agg(QueryUtil.safeSum($"l_extendedprice" * (lit(1.0) - $"l_discount"), 2)
+        .as("revenue"), count(lit(1)).as("n_items"))
+  }
+
+  val q202Sql: String =
+    s"""SELECT ${QueryUtil.safeSumSql("l_extendedprice * (1.0 - l_discount)", 2)}
+       |    AS revenue,
+       |  count(*)::BIGINT AS n_items
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |WHERE (p_brand = 'Brand#1' AND p_size <= 5
+       |    AND l_quantity BETWEEN 1.0 AND 11.0)
+       |   OR (p_brand = 'Brand#2' AND p_size <= 10
+       |    AND l_quantity BETWEEN 10.0 AND 20.0)
+       |   OR (p_brand = 'Brand#3' AND p_size <= 15
+       |    AND l_quantity BETWEEN 20.0 AND 30.0)""".stripMargin
+
+  // ---------------------------------------------------------------- q203
+
+  /** q203: top supplier by quarterly revenue (TPC-H Q15's shape) — the
+    * argmax-vs-max pattern: per-supplier revenue aggregates once, the
+    * global max broadcasts back as a 1-row frame, and the EXACT DECIMAL
+    * equality (both sides the same safeSum) selects the winner(s) — no
+    * global sort, no window, and a revenue tie returns every tied
+    * supplier (the spec's own semantics). */
+  def q203TopSupplier(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val rev = lineitem(s, d)
+      .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1996-04-01").cast("timestamp"))
+      .groupBy($"l_suppkey")
+      .agg(QueryUtil.safeSum($"l_extendedprice" * (lit(1.0) - $"l_discount"), 2)
+        .as("total_rev"))
+    val top = rev.agg(max($"total_rev").as("max_rev"))
+    rev.join(broadcast(top), $"total_rev" === $"max_rev")
+      .join(broadcast(supplier(s, d)), $"l_suppkey" === $"s_suppkey")
+      .select($"s_suppkey", $"s_name", $"total_rev")
+      .orderBy($"s_suppkey")
+  }
+
+  val q203Sql: String =
+    s"""WITH rev AS (SELECT l_suppkey,
+       |    ${QueryUtil.safeSumSql("l_extendedprice * (1.0 - l_discount)", 2)}
+       |      AS total_rev
+       |  FROM lineitem
+       |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+       |    AND l_shipdate < TIMESTAMP '1996-04-01'
+       |  GROUP BY l_suppkey)
+       |SELECT s_suppkey, s_name, total_rev
+       |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+       |WHERE total_rev = (SELECT max(total_rev) FROM rev)
+       |ORDER BY s_suppkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q201_returned_revenue" -> (q201ReturnedRevenue _),
+    "q202_band_join" -> (q202BandJoin _),
+    "q203_top_supplier" -> (q203TopSupplier _),
     "q199_bilateral_volume" -> (q199BilateralVolume _),
     "q200_market_share" -> (q200MarketShare _),
     "q195_blame_supplier" -> (q195BlameSupplier _),
@@ -689,6 +806,9 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q201_returned_revenue" -> q201Sql,
+    "q202_band_join" -> q202Sql,
+    "q203_top_supplier" -> q203Sql,
     "q199_bilateral_volume" -> q199Sql,
     "q200_market_share" -> q200Sql,
     "q195_blame_supplier" -> q195Sql,
