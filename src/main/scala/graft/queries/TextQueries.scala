@@ -1173,7 +1173,108 @@ object TextQueries {
       |FROM tgt t JOIN pooled p ON p.idx = t.tidx
       |ORDER BY t.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q204
+
+  /** q204: GATE AGREEMENT (Cohen's κ) — how much the cheap heuristic
+    * gate (q54: lang/length/repetition rules) and the learned gate
+    * (q182: hashed-bigram classifier sign) actually agree beyond
+    * chance. The number a curation owner checks before swapping one
+    * gate for the other: high raw agreement with low κ means the gates
+    * only agree because most docs are easy. One |docs|⋈|docs| equi-join
+    * of the two verdict frames, one contingency aggregation; κ's
+    * arithmetic runs on exact BIGINT cell counts cast to double —
+    * identical IEEE ops both engines. */
+  def q204GateAgreement(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val h = q54QualityGate(s, d)
+      .select($"doc_id", $"keep".cast("long").as("kh"))
+    val c = q182NgramClassifier(s, d)
+      .select($"doc_id", $"keep".as("kc"))
+    val cells = h.join(c, Seq("doc_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(when($"kh" === 1L && $"kc" === 1L, 1L).otherwise(0L)).as("n11"),
+        sum(when($"kh" === 1L && $"kc" === 0L, 1L).otherwise(0L)).as("n10"),
+        sum(when($"kh" === 0L && $"kc" === 1L, 1L).otherwise(0L)).as("n01"),
+        sum(when($"kh" === 0L && $"kc" === 0L, 1L).otherwise(0L)).as("n00"))
+    val po = ($"n11" + $"n00").cast("double") / $"n".cast("double")
+    val pe = (($"n11" + $"n10").cast("double") * ($"n11" + $"n01").cast("double") +
+      ($"n00" + $"n01").cast("double") * ($"n00" + $"n10").cast("double")) /
+      ($"n".cast("double") * $"n".cast("double"))
+    cells.select($"n", $"n11", $"n10", $"n01", $"n00",
+      roundp(po, 6).as("po"), roundp(pe, 6).as("pe"),
+      when(pe === 1.0, 1.0).otherwise(roundp((po - pe) / (lit(1.0) - pe), 6))
+        .as("kappa"))
+  }
+
+  val q204Sql: String =
+    s"""WITH h AS (SELECT doc_id, keep::BIGINT AS kh FROM ($q54Sql)),
+       |c AS (SELECT doc_id, keep AS kc FROM ($q182Sql)),
+       |cells AS (SELECT count(*)::BIGINT AS n,
+       |    sum(CASE WHEN kh = 1 AND kc = 1 THEN 1 ELSE 0 END)::BIGINT AS n11,
+       |    sum(CASE WHEN kh = 1 AND kc = 0 THEN 1 ELSE 0 END)::BIGINT AS n10,
+       |    sum(CASE WHEN kh = 0 AND kc = 1 THEN 1 ELSE 0 END)::BIGINT AS n01,
+       |    sum(CASE WHEN kh = 0 AND kc = 0 THEN 1 ELSE 0 END)::BIGINT AS n00
+       |  FROM h JOIN c USING (doc_id))
+       |SELECT n, n11, n10, n01, n00,
+       |  round(((n11 + n00)::DOUBLE / n::DOUBLE) * 1000000.0) / 1000000.0 AS po,
+       |  round((((n11 + n10)::DOUBLE * (n11 + n01)::DOUBLE
+       |      + (n00 + n01)::DOUBLE * (n00 + n10)::DOUBLE)
+       |    / (n::DOUBLE * n::DOUBLE)) * 1000000.0) / 1000000.0 AS pe,
+       |  CASE WHEN ((n11 + n10)::DOUBLE * (n11 + n01)::DOUBLE
+       |      + (n00 + n01)::DOUBLE * (n00 + n10)::DOUBLE)
+       |      / (n::DOUBLE * n::DOUBLE) = 1.0 THEN 1.0
+       |    ELSE round((((n11 + n00)::DOUBLE / n::DOUBLE
+       |        - ((n11 + n10)::DOUBLE * (n11 + n01)::DOUBLE
+       |          + (n00 + n01)::DOUBLE * (n00 + n10)::DOUBLE)
+       |          / (n::DOUBLE * n::DOUBLE))
+       |      / (1.0 - ((n11 + n10)::DOUBLE * (n11 + n01)::DOUBLE
+       |          + (n00 + n01)::DOUBLE * (n00 + n10)::DOUBLE)
+       |          / (n::DOUBLE * n::DOUBLE))) * 1000000.0) / 1000000.0
+       |  END AS kappa
+       |FROM cells""".stripMargin
+
+  // ---------------------------------------------------------------- q205
+
+  /** q205: CALIBRATION of the learned gate against the heuristic —
+    * the reliability table: classifier mean-weight scores bucketed
+    * into 10 equal-width bins over (−0.5, 0.5), each bin reporting its
+    * doc count, mean (already-6dp-rounded) score, and the heuristic
+    * keep-rate. A well-calibrated score should be monotone in the
+    * heuristic rate; flat = the classifier learned nothing the rules
+    * didn't. Bin ids come from the ROUNDED score (both engines bucket
+    * identical doubles), clamped into [0,9]; one join + one census
+    * aggregation. */
+  def q205Calibration(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val h = q54QualityGate(s, d)
+      .select($"doc_id", $"keep".cast("long").as("kh"))
+    val c = q182NgramClassifier(s, d).select($"doc_id", $"mean_w")
+    c.join(h, Seq("doc_id"))
+      .select(least(greatest(floor(($"mean_w" + 0.5) * 10.0), lit(0.0)),
+        lit(9.0)).cast("bigint").as("bin"), $"mean_w", $"kh")
+      .groupBy($"bin")
+      .agg(count(lit(1)).as("n_docs"),
+        QueryUtil.safeAvg($"mean_w", 6).as("mean_score"),
+        roundp(sum($"kh").cast("double") / count(lit(1)).cast("double"), 6)
+          .as("heuristic_keep_rate"))
+      .orderBy($"bin")
+  }
+
+  val q205Sql: String =
+    s"""WITH h AS (SELECT doc_id, keep::BIGINT AS kh FROM ($q54Sql)),
+       |c AS (SELECT doc_id, mean_w FROM ($q182Sql)),
+       |b AS (SELECT least(greatest(floor((mean_w + 0.5) * 10.0), 0.0), 9.0)::BIGINT
+       |    AS bin, mean_w, kh
+       |  FROM c JOIN h USING (doc_id))
+       |SELECT bin, count(*)::BIGINT AS n_docs,
+       |  ${QueryUtil.safeAvgSql("mean_w", 6)} AS mean_score,
+       |  ${DuckSql.roundpSql("sum(kh)::DOUBLE / count(*)::DOUBLE", 6)}
+       |    AS heuristic_keep_rate
+       |FROM b GROUP BY bin ORDER BY bin""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q204_gate_agreement" -> (q204GateAgreement _),
+    "q205_calibration" -> (q205Calibration _),
     "q198_quantile_normalize" -> (q198QuantileNormalize _),
     "q181_script_mix"   -> (q181ScriptMix _),
     "q182_ngram_classifier" -> (q182NgramClassifier _),
@@ -1200,6 +1301,8 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q204_gate_agreement" -> q204Sql,
+    "q205_calibration" -> q205Sql,
     "q198_quantile_normalize" -> q198Sql,
     "q181_script_mix"   -> q181Sql,
     "q182_ngram_classifier" -> q182Sql,
