@@ -19,8 +19,10 @@ import graft.functions._
   * `spark.sql.extensions=graft.GraftExtensions` deployment on a cluster.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(e.injectFunction)
+    e.injectOptimizerRule(_ => graft.plan.InferDisjunctionHulls)
+  }
 }
 
 object GraftExtensions {
@@ -110,6 +112,14 @@ object GraftExtensions {
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val registry: FunctionRegistry = spark.sessionState.functionRegistry
     functions.foreach(f => registry.registerFunction(f._1, f._2, f._3))
+    // optimizer rules can't enter the operator batch of a session that
+    // already exists; the public experimental hook runs them in the
+    // "User Provided Optimizers" batch (the rule is written to be
+    // effective there — it plants hulls directly on join children)
+    if (!spark.experimental.extraOptimizations
+          .contains(graft.plan.InferDisjunctionHulls))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plan.InferDisjunctionHulls
     import org.apache.spark.sql.{functions => F, Encoders}
     spark.udf.register("graft_hll_distinct",
       F.udaf(new graft.ops.Sketches.HllAgg(13), Encoders.scalaLong))

@@ -19,6 +19,10 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // same engine config as Bench: SQL-surface functions + the
+    // hull-inference optimizer rule — the correctness gate must run the
+    // plans the bench runs
+    GraftExtensions.register(spark)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.exists(name.contains)) }

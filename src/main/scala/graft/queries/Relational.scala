@@ -706,17 +706,17 @@ object Relational {
   /** q202: quantity-band disjunctive join (TPC-H Q19's shape) — revenue
     * from three (brand, size, quantity-band) OR-arms. The optimizer
     * test: the disjunction spans BOTH tables, so it can only evaluate
-    * after the join — but its HULL on each side (quantity ∈ [1,30],
-    * size ≤ 15) is conjunctive and is added explicitly so each scan
-    * prunes before the join (the classic derived-predicate trick;
-    * Catalyst does not infer hulls of cross-table ORs). Part stays a
-    * broadcast dim; the residual OR is a cheap post-join filter. */
+    * after the join — but its HULL on each side (the OR of each
+    * disjunct's single-side conjuncts) is implied and scan-prunable.
+    * Catalyst does not infer cross-table OR hulls; graft's
+    * [[graft.plan.InferDisjunctionHulls]] optimizer rule does — this
+    * query writes ONLY the natural disjunction and HullRuleSpec +
+    * PlanAuditSpec assert the derived quantity-band and brand hulls
+    * reach both parquet scans as PushedFilters. Part stays a broadcast
+    * dim; the residual OR is a cheap post-join filter. */
   def q202BandJoin(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val li = lineitem(s, d)
-      .filter($"l_quantity" >= 1.0 && $"l_quantity" <= 30.0) // hull
-    val p = part(s, d).filter($"p_size" <= 15) // hull
-    li.join(broadcast(p), $"l_partkey" === $"p_partkey")
+    lineitem(s, d).join(broadcast(part(s, d)), $"l_partkey" === $"p_partkey")
       .filter(
         ($"p_brand" === "Brand#1" && $"p_size" <= 5 &&
           $"l_quantity" >= 1.0 && $"l_quantity" <= 11.0) ||

@@ -289,6 +289,18 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpecBase {
     graft.ops.ScratchCache.releaseAll()
   }
 
+  test("q202 band join: the OR-of-ANDs hulls are INFERRED and pushed to both scans") {
+    GraftExtensions.register(spark) // activates InferDisjunctionHulls
+    val df = Relational.q202BandJoin(spark, sfSmoke)
+    val plan = planStr(df)
+    // quantity-band hull on the lineitem scan, brand/size hull on part —
+    // derived by the optimizer rule, not written in the query
+    assert(plan.contains("Or(And(GreaterThanOrEqual(l_quantity,1.0)"),
+      s"lineitem hull not pushed:\n$plan")
+    assert(plan.contains("Or(And(EqualTo(p_brand,Brand#1)"),
+      s"part hull not pushed:\n$plan")
+  }
+
   test("q45 PQ ADC scan is the intended broadcast-NLJ; candidates rank via aggregate") {
     val emb = Tables.embeddings(spark, sfSmoke)
     val idx = graft.ops.PqIndex.build(emb, "vec_id", "embedding", m = 8, ksub = 16)
