@@ -1272,7 +1272,76 @@ object TextQueries {
        |    AS heuristic_keep_rate
        |FROM b GROUP BY bin ORDER BY bin""".stripMargin
 
+  // ---------------------------------------------------------------- q206
+
+  /** q206: length-inequality GINI — how unequally document length is
+    * distributed within each source and across the pooled corpus (the
+    * '__all' row). A source with G ≈ 0.6+ is a few giant pages plus
+    * stubs — a different cleaning/packing policy than a uniform one;
+    * the pooled-vs-per-source gap shows whether inequality is within
+    * sources or between them. Exact formula on the (len, doc_id)-sorted
+    * order: G = Σ(2i−n−1)·x_i / (n·Σx). Ranks come from the same two
+    * tools as q198 — per-source: a source-PARTITIONED window; pooled:
+    * [[graft.ops.GlobalIndex]]'s two-pass index (never a global
+    * window). The numerator folds in DECIMAL (rank·len products
+    * overflow int64 near 10¹⁸); the final division is two exact
+    * integers cast to double — identical IEEE both engines. */
+  def q206LengthGini(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = documents(s, d)
+      .select($"doc_id", $"source", length($"text").cast("bigint").as("len"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source").orderBy($"len", $"doc_id")
+    val giniOf = (num: Column, n: Column, tot: Column) =>
+      roundp(num.cast("double") / (n.cast("double") * tot.cast("double")), 6)
+    val per = docs
+      .withColumn("i", row_number().over(w).cast("bigint"))
+      .withColumn("ns", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"source")))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"len").as("total_len"),
+        sum((lit(2L) * $"i" - $"ns" - lit(1L)).cast("decimal(19,0)") *
+          $"len").as("num"))
+      .select($"source", $"n_docs", $"total_len",
+        giniOf($"num", $"n_docs", $"total_len").as("gini"))
+    val (pooledIdx, n) = graft.ops.GlobalIndex.byScoreDescWithTotal(
+      docs.select((-$"len").as("s"), $"doc_id".as("i")).as[(Long, Long)], 32)
+    val pooled = pooledIdx
+      .select((-$"score").as("len"), ($"idx" + 1L).as("i"))
+      .agg(count(lit(1)).as("n_docs"), sum($"len").as("total_len"),
+        sum((lit(2L) * $"i" - lit(n) - lit(1L)).cast("decimal(19,0)") *
+          $"len").as("num"))
+      .select(lit("__all").as("source"), $"n_docs", $"total_len",
+        giniOf($"num", $"n_docs", $"total_len").as("gini"))
+    per.unionByName(pooled).orderBy($"source")
+  }
+
+  val q206Sql: String =
+    """WITH d AS (SELECT doc_id, source, len(text)::BIGINT AS len
+      |  FROM documents),
+      |ranked AS (SELECT source, len,
+      |    row_number() OVER (PARTITION BY source
+      |      ORDER BY len, doc_id)::BIGINT AS i,
+      |    count(*) OVER (PARTITION BY source)::BIGINT AS ns FROM d),
+      |per AS (SELECT source, count(*)::BIGINT AS n_docs,
+      |    sum(len)::BIGINT AS total_len,
+      |    sum(CAST(2 * i - ns - 1 AS DECIMAL(19,0)) * len) AS num
+      |  FROM ranked GROUP BY source),
+      |pooled0 AS (SELECT len,
+      |    row_number() OVER (ORDER BY len, doc_id)::BIGINT AS i,
+      |    count(*) OVER ()::BIGINT AS n FROM d),
+      |pooled AS (SELECT '__all' AS source, count(*)::BIGINT AS n_docs,
+      |    sum(len)::BIGINT AS total_len,
+      |    sum(CAST(2 * i - n - 1 AS DECIMAL(19,0)) * len) AS num
+      |  FROM pooled0)
+      |SELECT source, n_docs, total_len,
+      |  round((num::DOUBLE / (n_docs::DOUBLE * total_len::DOUBLE))
+      |    * 1000000.0) / 1000000.0 AS gini
+      |FROM (SELECT * FROM per UNION ALL SELECT * FROM pooled)
+      |ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q206_length_gini" -> (q206LengthGini _),
     "q204_gate_agreement" -> (q204GateAgreement _),
     "q205_calibration" -> (q205Calibration _),
     "q198_quantile_normalize" -> (q198QuantileNormalize _),
@@ -1301,6 +1370,7 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q206_length_gini" -> q206Sql,
     "q204_gate_agreement" -> q204Sql,
     "q205_calibration" -> q205Sql,
     "q198_quantile_normalize" -> q198Sql,
