@@ -776,7 +776,168 @@ object Relational {
        |WHERE total_rev = (SELECT max(total_rev) FROM rev)
        |ORDER BY s_suppkey""".stripMargin
 
+  // ---------------------------------------------------------------- q207
+
+  /** q207: product-line profit by supplier nation and year (TPC-H Q9's
+    * shape; this schema has no partsupp, so unit cost is proxied as
+    * 60% of `p_retailprice`). The 5-way join is ordered so the
+    * SELECTIVE dim lands first: part is filtered to the 'red' product
+    * line (~13%) and broadcast, shrinking the fact before the
+    * lineitem⇄orders shuffle join (the only fact-fact shuffle);
+    * supplier and nation broadcast. Profit per row is one double
+    * expression written with identical associativity in both engines,
+    * then summed in exact DECIMAL ([[QueryUtil.safeSum]]). */
+  def q207ProductProfit(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val redParts = part(s, d).filter($"p_name".contains("red"))
+      .select($"p_partkey", $"p_retailprice")
+    lineitem(s, d)
+      .join(broadcast(redParts), $"l_partkey" === $"p_partkey")
+      .join(orders(s, d).select($"o_orderkey", $"o_orderdate"),
+        $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(supplier(s, d)), $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(nation(s, d)), $"s_nationkey" === $"n_nationkey")
+      .groupBy($"n_name".as("nation"),
+        year($"o_orderdate").cast("bigint").as("o_year"))
+      .agg(QueryUtil.safeSum(
+        $"l_extendedprice" * (lit(1.0) - $"l_discount") -
+          lit(0.6) * $"p_retailprice" * $"l_quantity", 2).as("profit"))
+      .orderBy($"nation", $"o_year")
+  }
+
+  val q207Sql: String =
+    s"""SELECT n_name AS nation, year(o_orderdate)::BIGINT AS o_year,
+       |  ${QueryUtil.safeSumSql(
+            "l_extendedprice * (1.0 - l_discount) - 0.6 * p_retailprice * l_quantity", 2)}
+       |    AS profit
+       |FROM lineitem
+       |JOIN part ON l_partkey = p_partkey
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN nation ON s_nationkey = n_nationkey
+       |WHERE p_name LIKE '%red%'
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------- q208
+
+  /** q208: small-quantity-order revenue (TPC-H Q17's shape) — revenue
+    * lost to orders below 20% of a part's average order quantity, for
+    * one brand. The textbook form is a correlated scalar subquery per
+    * fact row (the oracle runs exactly that); the engine decorrelates:
+    * the brand filter broadcasts into the fact FIRST (so the per-part
+    * aggregate runs over the ~4% surviving slice, not the full fact),
+    * the per-part (sum, count) aggregates once, and joins back on
+    * partkey — two scans of the reduced slice, one shuffle each. The
+    * threshold compare is exact integer-in-DECIMAL arithmetic
+    * (`qty·n·5 < sum_qty`, quantities are integral): no double
+    * division whose last ulp could flip a boundary row between
+    * engines. */
+  def q208SmallQtyRevenue(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val brandParts = part(s, d).filter($"p_brand" === "Brand#3")
+      .select($"p_partkey")
+    val li = lineitem(s, d)
+      .join(broadcast(brandParts), $"l_partkey" === $"p_partkey")
+      .select($"l_partkey", $"l_quantity", $"l_extendedprice")
+    val stats = li.groupBy($"l_partkey".as("sp"))
+      .agg(sum($"l_quantity".cast("decimal(28,6)")).as("sum_qty"),
+        count(lit(1)).as("n_li"))
+    li.join(stats, $"l_partkey" === $"sp")
+      .filter($"l_quantity".cast("decimal(28,6)") * $"n_li" * 5 < $"sum_qty")
+      .agg(count(lit(1)).as("n_lines"),
+        QueryUtil.safeSum($"l_extendedprice", 2).as("total_price"))
+  }
+
+  val q208Sql: String =
+    s"""SELECT count(*)::BIGINT AS n_lines,
+       |  ${QueryUtil.safeSumSql("l1.l_extendedprice", 2)} AS total_price
+       |FROM lineitem l1 JOIN part ON l1.l_partkey = p_partkey
+       |WHERE p_brand = 'Brand#3'
+       |  AND CAST(l1.l_quantity AS DECIMAL(28,6)) * 5 *
+       |    (SELECT count(*) FROM lineitem l3
+       |     WHERE l3.l_partkey = l1.l_partkey)
+       |  < (SELECT sum(CAST(l2.l_quantity AS DECIMAL(28,6)))
+       |     FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey)""".stripMargin
+
+  // ---------------------------------------------------------------- q209
+
+  /** q209: large-quantity orders (TPC-H Q18's shape) — orders whose
+    * total quantity exceeds 300, with customer and order detail, top
+    * 100 by order value. The HAVING aggregate runs on the fact ALONE
+    * (one shuffle on orderkey, map-side partial sums); the survivor
+    * set is tiny (~0.1% of orders), so it broadcasts into orders and
+    * then again into customer — the two dim joins cost zero shuffles.
+    * Cutoff determinism: (o_totalprice, o_orderkey) is a total order
+    * over stored columns (byte-identical in both engines). */
+  def q209LargeOrders(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val big = lineitem(s, d)
+      .groupBy($"l_orderkey")
+      .agg(sum($"l_quantity".cast("decimal(28,6)")).as("sq"))
+      .filter($"sq" > 300)
+      .select($"l_orderkey", $"sq".cast("bigint").as("sum_qty"))
+    val withOrders = orders(s, d)
+      .join(broadcast(big), $"o_orderkey" === $"l_orderkey")
+    customer(s, d)
+      .join(broadcast(withOrders), $"c_custkey" === $"o_custkey")
+      .select($"c_name", $"c_custkey", $"o_orderkey", $"o_orderdate",
+        $"o_totalprice", $"sum_qty")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+      .limit(100)
+  }
+
+  val q209Sql: String =
+    """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS BIGINT) AS sum_qty
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |GROUP BY 1, 2, 3, 4, 5
+      |HAVING sum(CAST(l_quantity AS DECIMAL(28,6))) > 300
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin
+
+  // ---------------------------------------------------------------- q210
+
+  /** q210: supplier diversity per part descriptor (TPC-H Q16's shape;
+    * no partsupp here, so actual lineitem supply relationships stand
+    * in) — how many distinct suppliers ship each (brand, type, size)
+    * combination, excluding one brand, 'small'-named parts, and
+    * suppliers in arrears (negative balance — Q16's complaint
+    * subquery). The exclusion is a broadcast anti-join applied to the
+    * fact BEFORE the part join (cheapest point: one dim-side hash
+    * probe per row, no shuffle); countDistinct expands to the
+    * standard two-phase partial-distinct aggregate — no row ever
+    * carries a distinct set bigger than its group's supplier count. */
+  def q210SupplierDiversity(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val inArrears = supplier(s, d).filter($"s_acctbal" < 0.0)
+      .select($"s_suppkey")
+    val pd = part(s, d)
+      .filter($"p_brand" =!= "Brand#1" && !$"p_name".startsWith("small"))
+      .select($"p_partkey", $"p_brand", $"p_type", $"p_size")
+    lineitem(s, d).select($"l_partkey", $"l_suppkey")
+      .join(broadcast(inArrears), $"l_suppkey" === $"s_suppkey", "left_anti")
+      .join(broadcast(pd), $"l_partkey" === $"p_partkey")
+      .groupBy($"p_brand", $"p_type", $"p_size")
+      .agg(countDistinct($"l_suppkey").as("supplier_cnt"))
+      .orderBy($"supplier_cnt".desc, $"p_brand", $"p_type", $"p_size")
+  }
+
+  val q210Sql: String =
+    """SELECT p_brand, p_type, p_size,
+      |  count(DISTINCT l_suppkey)::BIGINT AS supplier_cnt
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE p_brand <> 'Brand#1' AND p_name NOT LIKE 'small%'
+      |  AND l_suppkey NOT IN
+      |    (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      |GROUP BY 1, 2, 3
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q207_product_profit" -> (q207ProductProfit _),
+    "q208_small_qty_revenue" -> (q208SmallQtyRevenue _),
+    "q209_large_orders" -> (q209LargeOrders _),
+    "q210_supplier_diversity" -> (q210SupplierDiversity _),
     "q201_returned_revenue" -> (q201ReturnedRevenue _),
     "q202_band_join" -> (q202BandJoin _),
     "q203_top_supplier" -> (q203TopSupplier _),
@@ -806,6 +967,10 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q207_product_profit" -> q207Sql,
+    "q208_small_qty_revenue" -> q208Sql,
+    "q209_large_orders" -> q209Sql,
+    "q210_supplier_diversity" -> q210Sql,
     "q201_returned_revenue" -> q201Sql,
     "q202_band_join" -> q202Sql,
     "q203_top_supplier" -> q203Sql,
