@@ -972,7 +972,98 @@ object DedupQueries {
        |FROM documents GROUP BY source ORDER BY source""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q211
+
+  /** q211: blocking-scheme audit — BEFORE running entity resolution /
+    * near-dup verification at scale, score each candidate blocking key
+    * on the two numbers that matter: reduction ratio (what fraction of
+    * the n² comparison space the blocks eliminate) and pair
+    * completeness (what fraction of TRUE near-dup pairs land in the
+    * same block — the recall ceiling any blocked pipeline inherits).
+    * Truth = the exact word-3-gram Jaccard ≥0.7 pair set (q27's, small
+    * by construction). Candidate-pair counts come from block-size
+    * aggregation alone — `Σ nb·(nb−1) div 2`, exact integer math, no
+    * pair ever materialized; completeness joins the tiny truth frame
+    * (broadcast) to the per-scheme keys. One corpus scan builds all
+    * three schemes via a map+explode (rows ×3, then map-side combine);
+    * nothing in the plan is quadratic in the corpus. */
+  def q211BlockingAudit(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.TextFunctions.roundp
+    val docs = documents(s, d)
+    val toks = filter(split(lower($"text"), "\\s+"),
+      (w: org.apache.spark.sql.Column) => length(w) > 0)
+    val keyed = docs.select($"doc_id", explode(map(
+      lit("lang_lenb"), concat($"lang", lit("|"),
+        floor($"n_chars" / 64.0).cast("bigint").cast("string")),
+      lit("prefix8"), lower(substring($"text", 1, 8)),
+      lit("tok2"), array_join(slice(toks, 1, 2), " "))))
+      .toDF("doc_id", "scheme", "bkey")
+    val blocks = keyed.groupBy($"scheme", $"bkey")
+      .agg(count(lit(1)).as("nb"))
+      .groupBy($"scheme")
+      .agg(count(lit(1)).as("n_blocks"), max($"nb").as("max_block"),
+        expr("sum(nb * (nb - 1)) div 2").as("cand_pairs"))
+    val truth = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.7,
+      maxDf = Some(Q27MaxDf)).select($"id_a", $"id_b")
+    val audit = broadcast(truth)
+      .join(keyed.toDF("id_a", "scheme", "ka"), Seq("id_a"))
+      .join(keyed.toDF("id_b", "scheme", "kb"), Seq("id_b", "scheme"))
+      .groupBy($"scheme")
+      .agg(count(lit(1)).as("true_pairs"),
+        sum(when($"ka" === $"kb", 1L).otherwise(0L)).as("caught_pairs"))
+    val tot = docs.agg(count(lit(1)).as("n_docs"))
+    blocks.join(audit, Seq("scheme"))
+      .crossJoin(broadcast(tot))
+      .select($"scheme", $"n_blocks", $"max_block", $"cand_pairs",
+        $"true_pairs", $"caught_pairs",
+        roundp(lit(1.0) - $"cand_pairs" /
+          ($"n_docs".cast("double") * ($"n_docs" - 1) / 2.0), 6)
+          .as("reduction_ratio"),
+        when($"true_pairs" > 0,
+          roundp($"caught_pairs" * lit(1.0) / $"true_pairs", 6))
+          .as("completeness"))
+      .orderBy($"scheme")
+  }
+
+  val q211Sql: String =
+    jaccardPairsCte(0.7, Some(Q27MaxDf)) + "," +
+    s"""
+       |keyed AS (
+       |  SELECT doc_id, 'lang_lenb' AS scheme,
+       |    lang || '|' || CAST(floor(n_chars / 64.0) AS BIGINT) AS bkey
+       |  FROM documents
+       |  UNION ALL
+       |  SELECT doc_id, 'prefix8', lower(substr(text, 1, 8)) FROM documents
+       |  UNION ALL
+       |  SELECT doc_id, 'tok2', array_to_string(ws[1:2], ' ') FROM toks),
+       |bs AS (SELECT scheme, bkey, count(*)::BIGINT AS nb
+       |  FROM keyed GROUP BY 1, 2),
+       |blocks AS (SELECT scheme, count(*)::BIGINT AS n_blocks,
+       |    max(nb) AS max_block,
+       |    (sum(nb * (nb - 1)) // 2)::BIGINT AS cand_pairs
+       |  FROM bs GROUP BY 1),
+       |pk AS (SELECT a.scheme, a.bkey AS ka, b.bkey AS kb
+       |  FROM jpairs j
+       |  JOIN keyed a ON a.doc_id = j.id_a
+       |  JOIN keyed b ON b.doc_id = j.id_b AND b.scheme = a.scheme),
+       |audit AS (SELECT scheme, count(*)::BIGINT AS true_pairs,
+       |    sum(CASE WHEN ka = kb THEN 1 ELSE 0 END)::BIGINT AS caught_pairs
+       |  FROM pk GROUP BY 1),
+       |tot AS (SELECT count(*)::BIGINT AS n_docs FROM documents)
+       |SELECT scheme, n_blocks, max_block, cand_pairs, true_pairs,
+       |  caught_pairs,
+       |  ${DuckSql.roundpSql(
+            "1.0 - cand_pairs / (n_docs::DOUBLE * (n_docs - 1) / 2.0)", 6)}
+       |    AS reduction_ratio,
+       |  CASE WHEN true_pairs > 0 THEN
+       |    ${DuckSql.roundpSql("caught_pairs * 1.0 / true_pairs", 6)}
+       |  END AS completeness
+       |FROM blocks JOIN audit USING (scheme) CROSS JOIN tot
+       |ORDER BY scheme""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q211_blocking_audit" -> (q211BlockingAudit _),
     "q184_normalized_dedup" -> (q184NormalizedDedup _),
     "q168_minhash_fidelity" -> (q168MinhashFidelity _),
     "q177_winnowing"     -> (q177Winnowing _),
@@ -999,6 +1090,7 @@ object DedupQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q211_blocking_audit" -> q211Sql,
     "q184_normalized_dedup" -> q184Sql,
     "q168_minhash_fidelity" -> q168Sql,
     "q177_winnowing"     -> q177Sql,

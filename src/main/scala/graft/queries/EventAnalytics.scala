@@ -516,7 +516,61 @@ object EventAnalytics {
       |  min(us) AS min_us, max(us) AS max_us
       |FROM t GROUP BY split ORDER BY split""".stripMargin
 
+  // ---------------------------------------------------------------- q212
+
+  /** q212: session-gap tuning — the histogram that JUSTIFIES a
+    * sessionize timeout (q36/q80 hard-code 30 min; this query shows
+    * where the knee in the inter-event-gap distribution actually sits).
+    * Per-user consecutive gaps via one user-PARTITIONED lag window
+    * (never global; ties broken by event_id so both engines see the
+    * same neighbor), bucketed into the candidate-timeout bands, with
+    * each band's share of all gaps. Gap math is exact integer
+    * microseconds (`unix_micros`/`epoch_us`) — no float timestamp
+    * arithmetic. The share divides two exact BIGINTs; the total rides
+    * in on a broadcast 1-row frame. */
+  def q212GapHistogram(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val m = 60000000L // one minute in µs
+    val gaps = events(s, d)
+      .select($"user_id", $"ts", $"event_id")
+      .withColumn("gap_us", unix_micros($"ts") - lag(unix_micros($"ts"), 1).over(w))
+      .filter($"gap_us".isNotNull)
+    val bucket = when($"gap_us" < lit(1L * m), "a_lt_1m")
+      .when($"gap_us" < lit(5L * m), "b_1_5m")
+      .when($"gap_us" < lit(30L * m), "c_5_30m")
+      .when($"gap_us" < lit(120L * m), "d_30m_2h")
+      .otherwise("e_ge_2h")
+    val counts = gaps.groupBy(bucket.as("gap_bucket"))
+      .agg(count(lit(1)).as("n_gaps"))
+    val tot = counts.agg(sum($"n_gaps").as("n_total"))
+    counts.crossJoin(broadcast(tot))
+      .select($"gap_bucket", $"n_gaps",
+        roundp($"n_gaps" * lit(1.0) / $"n_total", 6).as("share"))
+      .orderBy($"gap_bucket")
+  }
+
+  val q212Sql: String =
+    s"""WITH g AS (SELECT epoch_us(ts) -
+       |    lag(epoch_us(ts)) OVER (PARTITION BY user_id
+       |      ORDER BY ts, event_id) AS gap_us
+       |  FROM events),
+       |b AS (SELECT CASE WHEN gap_us < 60000000 THEN 'a_lt_1m'
+       |    WHEN gap_us < 300000000 THEN 'b_1_5m'
+       |    WHEN gap_us < 1800000000 THEN 'c_5_30m'
+       |    WHEN gap_us < 7200000000 THEN 'd_30m_2h'
+       |    ELSE 'e_ge_2h' END AS gap_bucket
+       |  FROM g WHERE gap_us IS NOT NULL),
+       |c AS (SELECT gap_bucket, count(*)::BIGINT AS n_gaps
+       |  FROM b GROUP BY 1),
+       |t AS (SELECT sum(n_gaps)::BIGINT AS n_total FROM c)
+       |SELECT gap_bucket, n_gaps,
+       |  ${DuckSql.roundpSql("n_gaps * 1.0 / n_total", 6)} AS share
+       |FROM c CROSS JOIN t ORDER BY gap_bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q212_gap_histogram"  -> (q212GapHistogram _),
     "q143_trajectories"   -> (q143Trajectories _),
     "q153_embargo_split"  -> (q153EmbargoSplit _),
     "q106_max_concurrent" -> (q106MaxConcurrent _),
@@ -533,6 +587,7 @@ object EventAnalytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "q212_gap_histogram" -> q212Sql,
     "q143_trajectories"   -> q143Sql,
     "q153_embargo_split"  -> q153Sql,
     "q106_max_concurrent" -> q106Sql,
