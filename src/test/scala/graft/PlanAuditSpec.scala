@@ -301,6 +301,62 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpecBase {
       s"part hull not pushed:\n$plan")
   }
 
+  test("q207 product profit: all three dims broadcast; the only shuffle join is lineitem-orders") {
+    val df = Relational.q207ProductProfit(spark, sfSmoke)
+    val plan = planStr(df)
+    assert(broadcasts(df) >= 3, plan) // part, supplier, nation
+    assert(shuffles(df) <= 3, plan)   // li-orders join + agg + output sort
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q208 small-qty revenue: brand filter broadcasts into the fact BEFORE the per-part aggregate") {
+    val df = Relational.q208SmallQtyRevenue(spark, sfSmoke)
+    val plan = planStr(df)
+    assert(broadcasts(df) >= 1, plan) // brandParts into both fact scans
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // both lineitem scans must carry the broadcast-join reduction, so the
+    // per-part agg runs over the brand slice, never the full fact
+    val liScans = plan.split('\n').count(l =>
+      l.contains("Scan parquet") && l.contains("lineitem"))
+    assert(liScans == 2, s"expected the 2-scan decorrelated form:\n$plan")
+  }
+
+  test("q209 large orders: HAVING survivors broadcast into BOTH dim joins — zero join shuffles") {
+    val df = Relational.q209LargeOrders(spark, sfSmoke)
+    val plan = planStr(df)
+    assert(broadcasts(df) >= 2, plan) // big→orders, withOrders→customer
+    // only the orderkey agg (1) + TakeOrdered's single-partition gather
+    assert(shuffles(df) <= 2, plan)
+    assert(plan.contains("TakeOrdered"), plan) // top-100 is never a global sort
+  }
+
+  test("q210 supplier diversity: arrears anti-join is a broadcast hash join on the raw fact") {
+    val df = Relational.q210SupplierDiversity(spark, sfSmoke)
+    val plan = planStr(df)
+    val anti = plan.split('\n').filter(_.contains("LeftAnti"))
+    assert(anti.nonEmpty && anti.forall(_.contains("BroadcastHashJoin")), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q211 blocking audit: truth pairs broadcast; candidate counts from block sizes (no pair join)") {
+    val df = graft.queries.DedupQueries.q211BlockingAudit(spark, sfSmoke)
+    val plan = planStr(df)
+    assert(!plan.contains("Window"), plan)
+    // the only NLJ allowed is the 1-row n_docs total (q196-style); every
+    // other join is an equi hash join
+    val nlj = plan.split('\n').filter(_.contains("BroadcastNestedLoopJoin"))
+    assert(nlj.length <= 1, plan)
+    graft.ops.ScratchCache.releaseAll()
+  }
+
+  test("q212 gap histogram: the lag window is user-PARTITIONED, never global") {
+    val df = graft.queries.EventAnalytics.q212GapHistogram(spark, sfSmoke)
+    val plan = planStr(df)
+    val winLines = plan.split('\n').filter(_.contains("Window"))
+    assert(winLines.nonEmpty && winLines.forall(_.contains("user_id")), plan)
+  }
+
   test("q45 PQ ADC scan is the intended broadcast-NLJ; candidates rank via aggregate") {
     val emb = Tables.embeddings(spark, sfSmoke)
     val idx = graft.ops.PqIndex.build(emb, "vec_id", "embedding", m = 8, ksub = 16)
