@@ -709,7 +709,45 @@ object AdvancedQueries {
        |JOIN freq fb ON fb.item = p.item_b, tot
        |ORDER BY lift DESC, item_a, item_b LIMIT 50""".stripMargin
 
+  // ---------------------------------------------------------------- q213
+
+  /** q213: join-skew PREFLIGHT — before launching a per-user self-join
+    * (q50's stream-join shape, entity-resolution blocks, interval
+    * matching), the audit that predicts its output size and skew: each
+    * key's join multiplicity is n_k² (left and right counts are the same
+    * frame here), so one count-by-key scan yields the exact output
+    * cardinality, the top offenders, and each one's share of all output
+    * rows. This is how a 100 TB pipeline decides between a plain join, a
+    * salted join (q98), and a df-cap (q27's maxDf) BEFORE paying for the
+    * wrong one. One shuffle (the key count); the top-10 is a TakeOrdered;
+    * the total rides a broadcast 1-row frame. */
+  def q213SkewPreflight(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val perKey = events(s, d).groupBy($"user_id")
+      .agg(count(lit(1)).as("n_rows"))
+      .select($"user_id", $"n_rows", ($"n_rows" * $"n_rows").as("out_rows"))
+    val tot = perKey.agg(sum($"out_rows").as("total_out"),
+      count(lit(1)).as("n_keys"))
+    perKey.crossJoin(broadcast(tot))
+      .select($"user_id", $"n_rows", $"out_rows", $"total_out", $"n_keys",
+        roundp($"out_rows" * lit(1.0) / $"total_out", 6).as("share"))
+      .orderBy($"out_rows".desc, $"user_id")
+      .limit(10)
+  }
+
+  val q213Sql: String =
+    s"""WITH k AS (SELECT user_id, count(*)::BIGINT AS n_rows,
+       |    (count(*) * count(*))::BIGINT AS out_rows
+       |  FROM events GROUP BY 1),
+       |t AS (SELECT sum(out_rows)::BIGINT AS total_out,
+       |    count(*)::BIGINT AS n_keys FROM k)
+       |SELECT user_id, n_rows, out_rows, total_out, n_keys,
+       |  ${DuckSql.roundpSql("out_rows * 1.0 / total_out", 6)} AS share
+       |FROM k CROSS JOIN t
+       |ORDER BY out_rows DESC, user_id LIMIT 10""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q213_skew_preflight" -> (q213SkewPreflight _),
     "q192_basket_lift" -> (q192BasketLift _),
     "q105_skyline"      -> (q105Skyline _),
     "q158_epoch_mixture" -> (q158EpochMixture _),
@@ -733,6 +771,7 @@ object AdvancedQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q213_skew_preflight" -> q213Sql,
     "q192_basket_lift" -> q192Sql,
     "q158_epoch_mixture" -> q158Sql,
     "q159_ks_drift"     -> q159Sql,

@@ -1340,7 +1340,55 @@ object TextQueries {
       |FROM (SELECT * FROM per UNION ALL SELECT * FROM pooled)
       |ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- q214
+
+  /** q214: context-length sweep — the packing/truncation tradeoff table
+    * for choosing a training sequence length: for each candidate
+    * context L, how many docs fit whole, how many sequences a
+    * split-into-⌈n/L⌉-chunks policy emits, and the padding waste of
+    * padding every final chunk to L. (q161 fixes bin width and reports
+    * waste per bin; q114 packs greedily at ONE length — this is the
+    * upstream decision of which L to run those at.) Exact integer math
+    * (`(n + L − 1) div L`); one token-count scan exploded ×|L|, then a
+    * |L|-row aggregate — map-side combine collapses the explode. */
+  def q214ContextSweep(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val n = size(tokens($"text")).cast("long")
+    documents(s, d).select(n.as("n"))
+      .select($"n", explode(array(lit(128L), lit(256L), lit(512L),
+        lit(1024L))).as("l_ctx"))
+      .groupBy($"l_ctx")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"n" <= $"l_ctx", 1L).otherwise(0L)).as("n_fit_whole"),
+        sum($"n").as("total_tokens"),
+        sum(expr("(n + l_ctx - 1) div l_ctx")).as("n_seqs"))
+      .select($"l_ctx", $"n_docs", $"n_fit_whole", $"total_tokens",
+        $"n_seqs", ($"n_seqs" * $"l_ctx").as("padded_tokens"),
+        roundp(($"n_seqs" * $"l_ctx" - $"total_tokens") * lit(1.0) /
+          ($"n_seqs" * $"l_ctx"), 6).as("waste_frac"))
+      .orderBy($"l_ctx")
+  }
+
+  val q214Sql: String =
+    s"""WITH lens AS (SELECT len(${DuckSql.tokensSql})::BIGINT AS n
+       |  FROM documents),
+       |e AS (SELECT n, unnest([128, 256, 512, 1024])::BIGINT AS l_ctx
+       |  FROM lens),
+       |agg AS (SELECT l_ctx, count(*)::BIGINT AS n_docs,
+       |    sum(CASE WHEN n <= l_ctx THEN 1 ELSE 0 END)::BIGINT
+       |      AS n_fit_whole,
+       |    sum(n)::BIGINT AS total_tokens,
+       |    sum((n + l_ctx - 1) // l_ctx)::BIGINT AS n_seqs
+       |  FROM e GROUP BY 1)
+       |SELECT l_ctx, n_docs, n_fit_whole, total_tokens, n_seqs,
+       |  (n_seqs * l_ctx)::BIGINT AS padded_tokens,
+       |  ${DuckSql.roundpSql(
+            "(n_seqs * l_ctx - total_tokens) * 1.0 / (n_seqs * l_ctx)", 6)}
+       |    AS waste_frac
+       |FROM agg ORDER BY l_ctx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q214_context_sweep" -> (q214ContextSweep _),
     "q206_length_gini" -> (q206LengthGini _),
     "q204_gate_agreement" -> (q204GateAgreement _),
     "q205_calibration" -> (q205Calibration _),
@@ -1370,6 +1418,7 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q214_context_sweep" -> q214Sql,
     "q206_length_gini" -> q206Sql,
     "q204_gate_agreement" -> q204Sql,
     "q205_calibration" -> q205Sql,
