@@ -828,10 +828,9 @@ object Relational {
     * aggregate runs over the ~4% surviving slice, not the full fact),
     * the per-part (sum, count) aggregates once, and joins back on
     * partkey — two scans of the reduced slice, one shuffle each. The
-    * threshold compare is exact integer-in-DECIMAL arithmetic
-    * (`qty·n·5 < sum_qty`, quantities are integral): no double
-    * division whose last ulp could flip a boundary row between
-    * engines. */
+    * threshold compare is exact BIGINT arithmetic (`qty·n·5 <
+    * sum_qty`, quantities are integral doubles): no double division
+    * whose last ulp could flip a boundary row between engines. */
   def q208SmallQtyRevenue(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val brandParts = part(s, d).filter($"p_brand" === "Brand#3")
@@ -839,11 +838,13 @@ object Relational {
     val li = lineitem(s, d)
       .join(broadcast(brandParts), $"l_partkey" === $"p_partkey")
       .select($"l_partkey", $"l_quantity", $"l_extendedprice")
+    // quantities are integral doubles (asserted in RelationalSpec), so the
+    // threshold math runs in exact BIGINT — faster than DECIMAL, same parity
     val stats = li.groupBy($"l_partkey".as("sp"))
-      .agg(sum($"l_quantity".cast("decimal(28,6)")).as("sum_qty"),
+      .agg(sum($"l_quantity".cast("bigint")).as("sum_qty"),
         count(lit(1)).as("n_li"))
     li.join(stats, $"l_partkey" === $"sp")
-      .filter($"l_quantity".cast("decimal(28,6)") * $"n_li" * 5 < $"sum_qty")
+      .filter($"l_quantity".cast("bigint") * $"n_li" * 5 < $"sum_qty")
       .agg(count(lit(1)).as("n_lines"),
         QueryUtil.safeSum($"l_extendedprice", 2).as("total_price"))
   }
@@ -853,10 +854,10 @@ object Relational {
        |  ${QueryUtil.safeSumSql("l1.l_extendedprice", 2)} AS total_price
        |FROM lineitem l1 JOIN part ON l1.l_partkey = p_partkey
        |WHERE p_brand = 'Brand#3'
-       |  AND CAST(l1.l_quantity AS DECIMAL(28,6)) * 5 *
+       |  AND CAST(l1.l_quantity AS BIGINT) * 5 *
        |    (SELECT count(*) FROM lineitem l3
        |     WHERE l3.l_partkey = l1.l_partkey)
-       |  < (SELECT sum(CAST(l2.l_quantity AS DECIMAL(28,6)))
+       |  < (SELECT sum(CAST(l2.l_quantity AS BIGINT))
        |     FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey)""".stripMargin
 
   // ---------------------------------------------------------------- q209
@@ -871,11 +872,12 @@ object Relational {
     * over stored columns (byte-identical in both engines). */
   def q209LargeOrders(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    // integral quantities → exact BIGINT sum (same parity as DECIMAL,
+    // cheaper per-row aggregation over the full fact)
     val big = lineitem(s, d)
       .groupBy($"l_orderkey")
-      .agg(sum($"l_quantity".cast("decimal(28,6)")).as("sq"))
-      .filter($"sq" > 300)
-      .select($"l_orderkey", $"sq".cast("bigint").as("sum_qty"))
+      .agg(sum($"l_quantity".cast("bigint")).as("sum_qty"))
+      .filter($"sum_qty" > 300)
     val withOrders = orders(s, d)
       .join(broadcast(big), $"o_orderkey" === $"l_orderkey")
     customer(s, d)
@@ -888,12 +890,12 @@ object Relational {
 
   val q209Sql: String =
     """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
-      |  CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS BIGINT) AS sum_qty
+      |  sum(CAST(l_quantity AS BIGINT))::BIGINT AS sum_qty
       |FROM customer
       |JOIN orders ON c_custkey = o_custkey
       |JOIN lineitem ON o_orderkey = l_orderkey
       |GROUP BY 1, 2, 3, 4, 5
-      |HAVING sum(CAST(l_quantity AS DECIMAL(28,6))) > 300
+      |HAVING sum(CAST(l_quantity AS BIGINT)) > 300
       |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin
 
   // ---------------------------------------------------------------- q210

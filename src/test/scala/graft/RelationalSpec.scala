@@ -14,6 +14,12 @@ class RelationalSpec extends AnyFunSuite with SparkSpecBase {
     }
   }
 
+  test("l_quantity is integral — the precondition for q208/q209's exact BIGINT threshold math") {
+    val n = Tables.lineitem(spark, sfSmoke)
+      .filter("l_quantity <> floor(l_quantity)").count()
+    assert(n == 0, s"$n non-integral quantities; q208/q209 BIGINT casts would truncate")
+  }
+
   test("q01 aggregates match a hand check") {
     val rows = Relational.q01PricingSummary(spark, sfSmoke).collect()
     assert(rows.nonEmpty)
