@@ -569,7 +569,66 @@ object EventAnalytics {
        |  ${DuckSql.roundpSql("n_gaps * 1.0 / n_total", 6)} AS share
        |FROM c CROSS JOIN t ORDER BY gap_bucket""".stripMargin
 
+  // ---------------------------------------------------------------- q215
+
+  /** q215: conversion-latency histogram — time from a user's FIRST
+    * signup to their FIRST purchase, bucketed into the bands a
+    * conversion-window / attribution policy would choose from. Both
+    * firsts come from ONE per-user aggregation (conditional `min` per
+    * event type — no join, no window); users whose first purchase
+    * precedes signup or never purchase land in the explicit
+    * `e_none_or_before` band rather than silently dropping. Exact
+    * integer-µs math; shares against the signup population ride a
+    * broadcast 1-row total. */
+  def q215ConversionLatency(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val m = 60000000L
+    val firsts = events(s, d)
+      .groupBy($"user_id")
+      .agg(min(when($"event_type" === "signup", unix_micros($"ts")))
+            .as("t_signup"),
+        min(when($"event_type" === "purchase", unix_micros($"ts")))
+            .as("t_purchase"))
+      .filter($"t_signup".isNotNull)
+    val lat = $"t_purchase" - $"t_signup"
+    val bucket = when($"t_purchase".isNull || lat < 0L, "e_none_or_before")
+      .when(lat < lit(10L * m), "a_lt_10m")
+      .when(lat < lit(120L * m), "b_10m_2h")
+      .when(lat < lit(1440L * m), "c_2h_1d")
+      .otherwise("d_ge_1d")
+    val counts = firsts.groupBy(bucket.as("latency_bucket"))
+      .agg(count(lit(1)).as("n_users"))
+    val tot = counts.agg(sum($"n_users").as("n_signup"))
+    counts.crossJoin(broadcast(tot))
+      .select($"latency_bucket", $"n_users",
+        roundp($"n_users" * lit(1.0) / $"n_signup", 6).as("share"))
+      .orderBy($"latency_bucket")
+  }
+
+  val q215Sql: String =
+    s"""WITH f AS (SELECT user_id,
+       |    min(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END)
+       |      AS t_signup,
+       |    min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+       |      AS t_purchase
+       |  FROM events GROUP BY 1),
+       |b AS (SELECT CASE
+       |    WHEN t_purchase IS NULL OR t_purchase - t_signup < 0
+       |      THEN 'e_none_or_before'
+       |    WHEN t_purchase - t_signup < 600000000 THEN 'a_lt_10m'
+       |    WHEN t_purchase - t_signup < 7200000000 THEN 'b_10m_2h'
+       |    WHEN t_purchase - t_signup < 86400000000 THEN 'c_2h_1d'
+       |    ELSE 'd_ge_1d' END AS latency_bucket
+       |  FROM f WHERE t_signup IS NOT NULL),
+       |c AS (SELECT latency_bucket, count(*)::BIGINT AS n_users
+       |  FROM b GROUP BY 1),
+       |t AS (SELECT sum(n_users)::BIGINT AS n_signup FROM c)
+       |SELECT latency_bucket, n_users,
+       |  ${DuckSql.roundpSql("n_users * 1.0 / n_signup", 6)} AS share
+       |FROM c CROSS JOIN t ORDER BY latency_bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q215_conversion_latency" -> (q215ConversionLatency _),
     "q212_gap_histogram"  -> (q212GapHistogram _),
     "q143_trajectories"   -> (q143Trajectories _),
     "q153_embargo_split"  -> (q153EmbargoSplit _),
@@ -587,6 +646,7 @@ object EventAnalytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "q215_conversion_latency" -> q215Sql,
     "q212_gap_histogram" -> q212Sql,
     "q143_trajectories"   -> q143Sql,
     "q153_embargo_split"  -> q153Sql,

@@ -935,7 +935,49 @@ object Relational {
       |GROUP BY 1, 2, 3
       |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
 
+  // ---------------------------------------------------------------- q216
+
+  /** q216: revenue concentration (TPC-H Q11's shape) — parts whose
+    * revenue exceeds 0.05% of GLOBAL revenue: the HAVING-against-a-
+    * global-scalar pattern. One per-part aggregation; the global total
+    * re-aggregates the |parts|-sized frame (cheaper than a second fact
+    * scan) and broadcasts back as 1 row; the threshold compare is the
+    * CROSS-MULTIPLIED exact-DECIMAL form (`rev · 2000 > total`) — no
+    * division whose last ulp could flip a part sitting on the 0.05%
+    * boundary between engines. Share rounds only at output. */
+  def q216RevenueConcentration(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.TextFunctions.roundp
+    val perPart = lineitem(s, d)
+      .groupBy($"l_partkey")
+      .agg(sum(($"l_extendedprice" * (lit(1.0) - $"l_discount"))
+        .cast("decimal(28,6)")).as("rev"))
+    val tot = perPart.agg(sum($"rev").as("total_rev"))
+    perPart.crossJoin(broadcast(tot))
+      .filter($"rev" * 2000 > $"total_rev")
+      .select($"l_partkey",
+        roundp($"rev".cast("double"), 2).as("revenue"),
+        roundp($"rev".cast("double") / $"total_rev".cast("double"), 6)
+          .as("share"))
+      .orderBy($"revenue".desc, $"l_partkey")
+  }
+
+  val q216Sql: String =
+    s"""WITH p AS (SELECT l_partkey,
+       |    sum(CAST(l_extendedprice * (1.0 - l_discount)
+       |      AS DECIMAL(28,6))) AS rev
+       |  FROM lineitem GROUP BY 1),
+       |t AS (SELECT sum(rev) AS total_rev FROM p)
+       |SELECT l_partkey,
+       |  round((rev::DOUBLE) * 100.0) / 100.0 AS revenue,
+       |  round((rev::DOUBLE / total_rev::DOUBLE) * 1000000.0) / 1000000.0
+       |    AS share
+       |FROM p CROSS JOIN t
+       |WHERE rev * 2000 > total_rev
+       |ORDER BY revenue DESC, l_partkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q216_revenue_concentration" -> (q216RevenueConcentration _),
     "q207_product_profit" -> (q207ProductProfit _),
     "q208_small_qty_revenue" -> (q208SmallQtyRevenue _),
     "q209_large_orders" -> (q209LargeOrders _),
@@ -969,6 +1011,7 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q216_revenue_concentration" -> q216Sql,
     "q207_product_profit" -> q207Sql,
     "q208_small_qty_revenue" -> q208Sql,
     "q209_large_orders" -> q209Sql,

@@ -1387,7 +1387,82 @@ object TextQueries {
        |    AS waste_frac
        |FROM agg ORDER BY l_ctx""".stripMargin
 
+  // ---------------------------------------------------------------- q217
+
+  /** q217: Spearman rank correlation per source between document length
+    * and lexical diversity (distinct-token ratio) — the monotone-
+    * association audit behind "longer docs repeat themselves": rank-
+    * based, so score-scale-free and robust to the heavy length tails
+    * that break Pearson. Exact tie handling WITHOUT fractional ranks:
+    * the tie-averaged rank doubled is the integer `2·rank + ties − 1`,
+    * and Spearman is scale-invariant, so correlating the doubled ranks
+    * IS the textbook statistic. Ranks come from source-PARTITIONED
+    * windows (never global); the five sufficient sums fold exactly
+    * (BIGINT products, DECIMAL accumulation), and the final formula is
+    * one identical-IEEE double expression both engines round to 6dp.
+    * Bound: per-term products need rank ≤ ~2³¹ per source; DECIMAL(38)
+    * accumulators hold to ~10¹⁹ rows/source. */
+  def q217SpearmanLenDiversity(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = tokens($"text")
+    val base = documents(s, d)
+      .select($"source", $"n_chars".cast("bigint").as("x"),
+        (size(array_distinct(toks)) * lit(1.0) / size(toks)).as("y"))
+      .filter(size(toks) > 0)
+    val W = org.apache.spark.sql.expressions.Window
+    def rank2(c: Column): Column =
+      lit(2L) * rank().over(W.partitionBy($"source").orderBy(c)).cast("long") +
+        count(lit(1)).over(W.partitionBy($"source", c)) - 1L
+    val ranked = base.select($"source",
+      rank2($"x").as("rx"), rank2($"y").as("ry"))
+    val a = ranked.groupBy($"source").agg(
+      count(lit(1)).as("n"),
+      sum($"rx".cast("decimal(38,0)")).as("sx"),
+      sum($"ry".cast("decimal(38,0)")).as("sy"),
+      sum(($"rx" * $"ry").cast("decimal(38,0)")).as("sxy"),
+      sum(($"rx" * $"rx").cast("decimal(38,0)")).as("sxx"),
+      sum(($"ry" * $"ry").cast("decimal(38,0)")).as("syy"))
+    val nd = $"n".cast("double")
+    val (sx, sy, sxy, sxx, syy) = ($"sx".cast("double"), $"sy".cast("double"),
+      $"sxy".cast("double"), $"sxx".cast("double"), $"syy".cast("double"))
+    val den = (nd * sxx - sx * sx) * (nd * syy - sy * sy)
+    a.select($"source", $"n".as("n_docs"),
+        when(den > 0.0, roundp((nd * sxy - sx * sy) / sqrt(den), 6))
+          .as("spearman_rho"))
+      .orderBy($"source")
+  }
+
+  val q217Sql: String =
+    s"""WITH t0 AS (SELECT source, n_chars, ${DuckSql.tokensSql} AS toks
+       |  FROM documents),
+       |base AS (SELECT source, n_chars::BIGINT AS x,
+       |    len(list_distinct(toks)) * 1.0 / len(toks) AS y
+       |  FROM t0 WHERE len(toks) > 0),
+       |r AS (SELECT source,
+       |    2 * rank() OVER (PARTITION BY source ORDER BY x)
+       |      + count(*) OVER (PARTITION BY source, x) - 1 AS rx,
+       |    2 * rank() OVER (PARTITION BY source ORDER BY y)
+       |      + count(*) OVER (PARTITION BY source, y) - 1 AS ry
+       |  FROM base),
+       |a AS (SELECT source, count(*)::BIGINT AS n,
+       |    sum(CAST(rx AS DECIMAL(38,0))) AS sx,
+       |    sum(CAST(ry AS DECIMAL(38,0))) AS sy,
+       |    sum(CAST(rx * ry AS DECIMAL(38,0))) AS sxy,
+       |    sum(CAST(rx * rx AS DECIMAL(38,0))) AS sxx,
+       |    sum(CAST(ry * ry AS DECIMAL(38,0))) AS syy
+       |  FROM r GROUP BY 1)
+       |SELECT source, n AS n_docs,
+       |  CASE WHEN (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+       |      * (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE) > 0.0
+       |    THEN ${DuckSql.roundpSql(
+            "(n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE) / " +
+            "sqrt((n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) * " +
+            "(n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE))", 6)}
+       |  END AS spearman_rho
+       |FROM a ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q217_spearman" -> (q217SpearmanLenDiversity _),
     "q214_context_sweep" -> (q214ContextSweep _),
     "q206_length_gini" -> (q206LengthGini _),
     "q204_gate_agreement" -> (q204GateAgreement _),
@@ -1418,6 +1493,7 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q217_spearman" -> q217Sql,
     "q214_context_sweep" -> q214Sql,
     "q206_length_gini" -> q206Sql,
     "q204_gate_agreement" -> q204Sql,
