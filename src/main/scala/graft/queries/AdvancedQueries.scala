@@ -723,9 +723,13 @@ object AdvancedQueries {
     * the total rides a broadcast 1-row frame. */
   def q213SkewPreflight(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val perKey = events(s, d).groupBy($"user_id")
-      .agg(count(lit(1)).as("n_rows"))
-      .select($"user_id", $"n_rows", ($"n_rows" * $"n_rows").as("out_rows"))
+    // perKey feeds both the total and the top-10: persist the |keys|-row
+    // frame so the total never re-scans the fact
+    val perKey = graft.ops.ScratchCache.register(
+      events(s, d).groupBy($"user_id")
+        .agg(count(lit(1)).as("n_rows"))
+        .select($"user_id", $"n_rows",
+          ($"n_rows" * $"n_rows").as("out_rows")).persist())
     val tot = perKey.agg(sum($"out_rows").as("total_out"),
       count(lit(1)).as("n_keys"))
     perKey.crossJoin(broadcast(tot))

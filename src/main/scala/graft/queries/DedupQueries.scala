@@ -993,12 +993,15 @@ object DedupQueries {
     val docs = documents(s, d)
     val toks = filter(split(lower($"text"), "\\s+"),
       (w: org.apache.spark.sql.Column) => length(w) > 0)
-    val keyed = docs.select($"doc_id", explode(map(
-      lit("lang_lenb"), concat($"lang", lit("|"),
-        floor($"n_chars" / 64.0).cast("bigint").cast("string")),
-      lit("prefix8"), lower(substring($"text", 1, 8)),
-      lit("tok2"), array_join(slice(toks, 1, 2), " "))))
-      .toDF("doc_id", "scheme", "bkey")
+    // keyed has THREE consumers (block stats + both truth-pair joins):
+    // persist the (id, scheme, key) projection so they share one corpus scan
+    val keyed = graft.ops.ScratchCache.register(
+      docs.select($"doc_id", explode(map(
+        lit("lang_lenb"), concat($"lang", lit("|"),
+          floor($"n_chars" / 64.0).cast("bigint").cast("string")),
+        lit("prefix8"), lower(substring($"text", 1, 8)),
+        lit("tok2"), array_join(slice(toks, 1, 2), " "))))
+        .toDF("doc_id", "scheme", "bkey").persist())
     val blocks = keyed.groupBy($"scheme", $"bkey")
       .agg(count(lit(1)).as("nb"))
       .groupBy($"scheme")

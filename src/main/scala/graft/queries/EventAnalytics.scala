@@ -542,8 +542,11 @@ object EventAnalytics {
       .when($"gap_us" < lit(30L * m), "c_5_30m")
       .when($"gap_us" < lit(120L * m), "d_30m_2h")
       .otherwise("e_ge_2h")
-    val counts = gaps.groupBy(bucket.as("gap_bucket"))
-      .agg(count(lit(1)).as("n_gaps"))
+    // two consumers (rows + total): persist the ≤5-row frame so the
+    // total never replays the windowed fact scan
+    val counts = graft.ops.ScratchCache.register(
+      gaps.groupBy(bucket.as("gap_bucket"))
+        .agg(count(lit(1)).as("n_gaps")).persist())
     val tot = counts.agg(sum($"n_gaps").as("n_total"))
     counts.crossJoin(broadcast(tot))
       .select($"gap_bucket", $"n_gaps",
@@ -596,8 +599,11 @@ object EventAnalytics {
       .when(lat < lit(120L * m), "b_10m_2h")
       .when(lat < lit(1440L * m), "c_2h_1d")
       .otherwise("d_ge_1d")
-    val counts = firsts.groupBy(bucket.as("latency_bucket"))
-      .agg(count(lit(1)).as("n_users"))
+    // counts has two consumers (rows + total); persist the ≤5-row frame
+    // so the total never re-scans the fact (a second full scan at 100 TB)
+    val counts = graft.ops.ScratchCache.register(
+      firsts.groupBy(bucket.as("latency_bucket"))
+        .agg(count(lit(1)).as("n_users")).persist())
     val tot = counts.agg(sum($"n_users").as("n_signup"))
     counts.crossJoin(broadcast(tot))
       .select($"latency_bucket", $"n_users",

@@ -357,6 +357,31 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpecBase {
     assert(winLines.nonEmpty && winLines.forall(_.contains("user_id")), plan)
   }
 
+  test("q215 conversion latency: both firsts from ONE per-user aggregation — no join of event streams, no window; total reads the persisted counts") {
+    val df = graft.queries.EventAnalytics.q215ConversionLatency(spark, sfSmoke)
+    val plan = planStr(df)
+    assert(!plan.contains("Window"), plan)
+    // both consumers (rows + total) must read the cached ≤5-row counts
+    // frame, never replay the fact scan
+    assert("InMemoryTableScan".r.findAllIn(plan).size >= 2, plan)
+    graft.ops.ScratchCache.releaseAll()
+  }
+
+  test("q216 revenue concentration: one fact scan; the global total re-aggregates the |parts| frame") {
+    val df = Relational.q216RevenueConcentration(spark, sfSmoke)
+    val plan = planStr(df)
+    assert(plan.split('\n').count(l =>
+      l.contains("Scan parquet") && l.contains("lineitem")) <= 2, plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
+  test("q217 spearman: every rank/tie window is source-PARTITIONED") {
+    val df = graft.queries.TextQueries.q217SpearmanLenDiversity(spark, sfSmoke)
+    val plan = planStr(df)
+    val winLines = plan.split('\n').filter(_.contains("Window"))
+    assert(winLines.nonEmpty && winLines.forall(_.contains("source")), plan)
+  }
+
   test("q45 PQ ADC scan is the intended broadcast-NLJ; candidates rank via aggregate") {
     val emb = Tables.embeddings(spark, sfSmoke)
     val idx = graft.ops.PqIndex.build(emb, "vec_id", "embedding", m = 8, ksub = 16)
