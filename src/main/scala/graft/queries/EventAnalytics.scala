@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables.events
 import graft.functions.TextFunctions.roundp
@@ -526,8 +526,9 @@ object EventAnalytics {
     * same neighbor), bucketed into the candidate-timeout bands, with
     * each band's share of all gaps. Gap math is exact integer
     * microseconds (`unix_micros`/`epoch_us`) — no float timestamp
-    * arithmetic. The share divides two exact BIGINTs; the total rides
-    * in on a broadcast 1-row frame. */
+    * arithmetic. The bands are static, so every count and the share
+    * denominator fold in ONE aggregation row, stack()ed out to rows —
+    * one scan, no total re-scan. */
   def q212GapHistogram(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val w = org.apache.spark.sql.expressions.Window
@@ -537,18 +538,18 @@ object EventAnalytics {
       .select($"user_id", $"ts", $"event_id")
       .withColumn("gap_us", unix_micros($"ts") - lag(unix_micros($"ts"), 1).over(w))
       .filter($"gap_us".isNotNull)
-    val bucket = when($"gap_us" < lit(1L * m), "a_lt_1m")
-      .when($"gap_us" < lit(5L * m), "b_1_5m")
-      .when($"gap_us" < lit(30L * m), "c_5_30m")
-      .when($"gap_us" < lit(120L * m), "d_30m_2h")
-      .otherwise("e_ge_2h")
-    // two consumers (rows + total): persist the ≤5-row frame so the
-    // total never replays the windowed fact scan
-    val counts = graft.ops.ScratchCache.register(
-      gaps.groupBy(bucket.as("gap_bucket"))
-        .agg(count(lit(1)).as("n_gaps")).persist())
-    val tot = counts.agg(sum($"n_gaps").as("n_total"))
-    counts.crossJoin(broadcast(tot))
+    // the bucket list is STATIC, so every band folds in ONE aggregation
+    // row (conditional sums + the total share denominator) — one scan,
+    // one agg, no second consumer, no total re-scan to dodge
+    def inBand(lo: Long, hi: Long): Column =
+      sum(when($"gap_us" >= lo && $"gap_us" < hi, 1L).otherwise(0L))
+    val one = gaps.agg(
+      inBand(Long.MinValue, 1L * m).as("a"), inBand(1L * m, 5L * m).as("b"),
+      inBand(5L * m, 30L * m).as("c"), inBand(30L * m, 120L * m).as("d"),
+      inBand(120L * m, Long.MaxValue).as("e"),
+      count(lit(1)).as("n_total"))
+    one.select(expr("stack(5, 'a_lt_1m', a, 'b_1_5m', b, 'c_5_30m', c, " +
+        "'d_30m_2h', d, 'e_ge_2h', e) AS (gap_bucket, n_gaps)"), $"n_total")
       .select($"gap_bucket", $"n_gaps",
         roundp($"n_gaps" * lit(1.0) / $"n_total", 6).as("share"))
       .orderBy($"gap_bucket")
@@ -559,18 +560,27 @@ object EventAnalytics {
        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id
        |      ORDER BY ts, event_id) AS gap_us
        |  FROM events),
-       |b AS (SELECT CASE WHEN gap_us < 60000000 THEN 'a_lt_1m'
-       |    WHEN gap_us < 300000000 THEN 'b_1_5m'
-       |    WHEN gap_us < 1800000000 THEN 'c_5_30m'
-       |    WHEN gap_us < 7200000000 THEN 'd_30m_2h'
-       |    ELSE 'e_ge_2h' END AS gap_bucket
+       |one AS (SELECT
+       |    sum(CASE WHEN gap_us < 60000000 THEN 1 ELSE 0 END)::BIGINT AS a,
+       |    sum(CASE WHEN gap_us >= 60000000 AND gap_us < 300000000
+       |      THEN 1 ELSE 0 END)::BIGINT AS b,
+       |    sum(CASE WHEN gap_us >= 300000000 AND gap_us < 1800000000
+       |      THEN 1 ELSE 0 END)::BIGINT AS c,
+       |    sum(CASE WHEN gap_us >= 1800000000 AND gap_us < 7200000000
+       |      THEN 1 ELSE 0 END)::BIGINT AS d,
+       |    sum(CASE WHEN gap_us >= 7200000000 THEN 1 ELSE 0 END)::BIGINT
+       |      AS e,
+       |    count(*)::BIGINT AS n_total
        |  FROM g WHERE gap_us IS NOT NULL),
-       |c AS (SELECT gap_bucket, count(*)::BIGINT AS n_gaps
-       |  FROM b GROUP BY 1),
-       |t AS (SELECT sum(n_gaps)::BIGINT AS n_total FROM c)
+       |rows_ AS (
+       |  SELECT 'a_lt_1m' AS gap_bucket, a AS n_gaps, n_total FROM one
+       |  UNION ALL SELECT 'b_1_5m', b, n_total FROM one
+       |  UNION ALL SELECT 'c_5_30m', c, n_total FROM one
+       |  UNION ALL SELECT 'd_30m_2h', d, n_total FROM one
+       |  UNION ALL SELECT 'e_ge_2h', e, n_total FROM one)
        |SELECT gap_bucket, n_gaps,
        |  ${DuckSql.roundpSql("n_gaps * 1.0 / n_total", 6)} AS share
-       |FROM c CROSS JOIN t ORDER BY gap_bucket""".stripMargin
+       |FROM rows_ ORDER BY gap_bucket""".stripMargin
 
   // ---------------------------------------------------------------- q215
 
@@ -581,8 +591,10 @@ object EventAnalytics {
     * event type — no join, no window); users whose first purchase
     * precedes signup or never purchase land in the explicit
     * `e_none_or_before` band rather than silently dropping. Exact
-    * integer-µs math; shares against the signup population ride a
-    * broadcast 1-row total. */
+    * integer-µs math; the bands are static, so counts AND the share
+    * denominator fold in one aggregation row (stack()ed out to rows) —
+    * no second consumer, no total re-scan. Empty bands emit 0 rows
+    * explicitly (a histogram with a hole is a report bug). */
   def q215ConversionLatency(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val m = 60000000L
@@ -594,18 +606,20 @@ object EventAnalytics {
             .as("t_purchase"))
       .filter($"t_signup".isNotNull)
     val lat = $"t_purchase" - $"t_signup"
-    val bucket = when($"t_purchase".isNull || lat < 0L, "e_none_or_before")
-      .when(lat < lit(10L * m), "a_lt_10m")
-      .when(lat < lit(120L * m), "b_10m_2h")
-      .when(lat < lit(1440L * m), "c_2h_1d")
-      .otherwise("d_ge_1d")
-    // counts has two consumers (rows + total); persist the ≤5-row frame
-    // so the total never re-scans the fact (a second full scan at 100 TB)
-    val counts = graft.ops.ScratchCache.register(
-      firsts.groupBy(bucket.as("latency_bucket"))
-        .agg(count(lit(1)).as("n_users")).persist())
-    val tot = counts.agg(sum($"n_users").as("n_signup"))
-    counts.crossJoin(broadcast(tot))
+    // the band list is STATIC: fold every band + the denominator in ONE
+    // aggregation row, then stack to rows — one scan, no total re-scan
+    def inBand(lo: Long, hi: Long): Column =
+      sum(when($"t_purchase".isNotNull && lat >= lo && lat < hi, 1L)
+        .otherwise(0L))
+    val one = firsts.agg(
+      inBand(0L, 10L * m).as("a"), inBand(10L * m, 120L * m).as("b"),
+      inBand(120L * m, 1440L * m).as("c"),
+      inBand(1440L * m, Long.MaxValue).as("d"),
+      sum(when($"t_purchase".isNull || lat < 0L, 1L).otherwise(0L)).as("e"),
+      count(lit(1)).as("n_signup"))
+    one.select(expr("stack(5, 'a_lt_10m', a, 'b_10m_2h', b, 'c_2h_1d', c, " +
+        "'d_ge_1d', d, 'e_none_or_before', e) AS (latency_bucket, n_users)"),
+        $"n_signup")
       .select($"latency_bucket", $"n_users",
         roundp($"n_users" * lit(1.0) / $"n_signup", 6).as("share"))
       .orderBy($"latency_bucket")
@@ -618,20 +632,36 @@ object EventAnalytics {
        |    min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
        |      AS t_purchase
        |  FROM events GROUP BY 1),
-       |b AS (SELECT CASE
-       |    WHEN t_purchase IS NULL OR t_purchase - t_signup < 0
-       |      THEN 'e_none_or_before'
-       |    WHEN t_purchase - t_signup < 600000000 THEN 'a_lt_10m'
-       |    WHEN t_purchase - t_signup < 7200000000 THEN 'b_10m_2h'
-       |    WHEN t_purchase - t_signup < 86400000000 THEN 'c_2h_1d'
-       |    ELSE 'd_ge_1d' END AS latency_bucket
+       |one AS (SELECT
+       |    sum(CASE WHEN t_purchase IS NOT NULL
+       |      AND t_purchase - t_signup >= 0
+       |      AND t_purchase - t_signup < 600000000
+       |      THEN 1 ELSE 0 END)::BIGINT AS a,
+       |    sum(CASE WHEN t_purchase IS NOT NULL
+       |      AND t_purchase - t_signup >= 600000000
+       |      AND t_purchase - t_signup < 7200000000
+       |      THEN 1 ELSE 0 END)::BIGINT AS b,
+       |    sum(CASE WHEN t_purchase IS NOT NULL
+       |      AND t_purchase - t_signup >= 7200000000
+       |      AND t_purchase - t_signup < 86400000000
+       |      THEN 1 ELSE 0 END)::BIGINT AS c,
+       |    sum(CASE WHEN t_purchase IS NOT NULL
+       |      AND t_purchase - t_signup >= 86400000000
+       |      THEN 1 ELSE 0 END)::BIGINT AS d,
+       |    sum(CASE WHEN t_purchase IS NULL
+       |      OR t_purchase - t_signup < 0 THEN 1 ELSE 0 END)::BIGINT AS e,
+       |    count(*)::BIGINT AS n_signup
        |  FROM f WHERE t_signup IS NOT NULL),
-       |c AS (SELECT latency_bucket, count(*)::BIGINT AS n_users
-       |  FROM b GROUP BY 1),
-       |t AS (SELECT sum(n_users)::BIGINT AS n_signup FROM c)
+       |rows_ AS (
+       |  SELECT 'a_lt_10m' AS latency_bucket, a AS n_users, n_signup
+       |    FROM one
+       |  UNION ALL SELECT 'b_10m_2h', b, n_signup FROM one
+       |  UNION ALL SELECT 'c_2h_1d', c, n_signup FROM one
+       |  UNION ALL SELECT 'd_ge_1d', d, n_signup FROM one
+       |  UNION ALL SELECT 'e_none_or_before', e, n_signup FROM one)
        |SELECT latency_bucket, n_users,
        |  ${DuckSql.roundpSql("n_users * 1.0 / n_signup", 6)} AS share
-       |FROM c CROSS JOIN t ORDER BY latency_bucket""".stripMargin
+       |FROM rows_ ORDER BY latency_bucket""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q215_conversion_latency" -> (q215ConversionLatency _),

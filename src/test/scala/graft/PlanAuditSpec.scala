@@ -357,14 +357,13 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpecBase {
     assert(winLines.nonEmpty && winLines.forall(_.contains("user_id")), plan)
   }
 
-  test("q215 conversion latency: both firsts from ONE per-user aggregation — no join of event streams, no window; total reads the persisted counts") {
+  test("q215 conversion latency: ONE events scan — firsts, bands, and the share total all fold into single aggregations") {
     val df = graft.queries.EventAnalytics.q215ConversionLatency(spark, sfSmoke)
     val plan = planStr(df)
     assert(!plan.contains("Window"), plan)
-    // both consumers (rows + total) must read the cached ≤5-row counts
-    // frame, never replay the fact scan
-    assert("InMemoryTableScan".r.findAllIn(plan).size >= 2, plan)
-    graft.ops.ScratchCache.releaseAll()
+    assert(plan.split('\n').count(l =>
+      l.contains("Scan parquet") && l.contains("events")) == 1, plan)
+    assert(!plan.contains("Join"), plan) // not even the 1-row total NLJ
   }
 
   test("q216 revenue concentration: one fact scan; the global total re-aggregates the |parts| frame") {
