@@ -1399,9 +1399,8 @@ object TextQueries {
     * IS the textbook statistic. Ranks come from source-PARTITIONED
     * windows (never global); the five sufficient sums fold exactly
     * (BIGINT products, DECIMAL accumulation), and the final formula is
-    * one identical-IEEE double expression both engines round to 6dp.
-    * Bound: per-term products need rank ≤ ~2³¹ per source; DECIMAL(38)
-    * accumulators hold to ~10¹⁹ rows/source. */
+    * one identical-IEEE double expression both engines round to 6dp
+    * ([[graft.ops.RankCorr.spearman]] — tie-pinned in SketchSpec). */
   def q217SpearmanLenDiversity(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val toks = tokens($"text")
@@ -1409,26 +1408,8 @@ object TextQueries {
       .select($"source", $"n_chars".cast("bigint").as("x"),
         (size(array_distinct(toks)) * lit(1.0) / size(toks)).as("y"))
       .filter(size(toks) > 0)
-    val W = org.apache.spark.sql.expressions.Window
-    def rank2(c: Column): Column =
-      lit(2L) * rank().over(W.partitionBy($"source").orderBy(c)).cast("long") +
-        count(lit(1)).over(W.partitionBy($"source", c)) - 1L
-    val ranked = base.select($"source",
-      rank2($"x").as("rx"), rank2($"y").as("ry"))
-    val a = ranked.groupBy($"source").agg(
-      count(lit(1)).as("n"),
-      sum($"rx".cast("decimal(38,0)")).as("sx"),
-      sum($"ry".cast("decimal(38,0)")).as("sy"),
-      sum(($"rx" * $"ry").cast("decimal(38,0)")).as("sxy"),
-      sum(($"rx" * $"rx").cast("decimal(38,0)")).as("sxx"),
-      sum(($"ry" * $"ry").cast("decimal(38,0)")).as("syy"))
-    val nd = $"n".cast("double")
-    val (sx, sy, sxy, sxx, syy) = ($"sx".cast("double"), $"sy".cast("double"),
-      $"sxy".cast("double"), $"sxx".cast("double"), $"syy".cast("double"))
-    val den = (nd * sxx - sx * sx) * (nd * syy - sy * sy)
-    a.select($"source", $"n".as("n_docs"),
-        when(den > 0.0, roundp((nd * sxy - sx * sy) / sqrt(den), 6))
-          .as("spearman_rho"))
+    graft.ops.RankCorr.spearman(base, $"source", $"x", $"y")
+      .select($"g".as("source"), $"n_rows".as("n_docs"), $"spearman_rho")
       .orderBy($"source")
   }
 

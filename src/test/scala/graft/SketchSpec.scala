@@ -414,4 +414,29 @@ class SketchSpec extends AnyFunSuite with SparkSpecBase {
     assert(agg == win, s"aggregate form diverges from window form")
     assert(agg.nonEmpty)
   }
+
+  // ---- RankCorr.spearman ----------------------------------------------
+
+  test("spearman: tie-averaged ranks match the textbook value on a hand-computed example") {
+    // x=[10,20,20,30], y=[1,2,3,3]: avg ranks x=[1,2.5,2.5,4],
+    // y=[1,2,3.5,3.5] -> rho = 5/6 (hand-computed via the doubled-rank
+    // Pearson form; scipy.stats.spearmanr gives the same 0.833333...)
+    val df = Seq(("g", 10L, 1.0), ("g", 20L, 2.0), ("g", 20L, 3.0),
+      ("g", 30L, 3.0)).toDF("grp", "x", "y")
+    val out = graft.ops.RankCorr.spearman(df, $"grp", $"x", $"y").collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[Long]("n_rows") == 4L)
+    assert(out(0).getAs[Double]("spearman_rho") == 0.833333)
+  }
+
+  test("spearman: perfect anti-correlation is -1, constant variable is null, groups stay independent") {
+    val df = Seq(
+      ("a", 1L, 3.0), ("a", 2L, 2.0), ("a", 3L, 1.0),  // rho = -1
+      ("b", 1L, 7.0), ("b", 2L, 7.0), ("b", 3L, 7.0))  // y constant -> null
+      .toDF("grp", "x", "y")
+    val out = graft.ops.RankCorr.spearman(df, $"grp", $"x", $"y")
+      .orderBy($"g").collect()
+    assert(out(0).getAs[Double]("spearman_rho") == -1.0)
+    assert(out(1).isNullAt(out(1).fieldIndex("spearman_rho")))
+  }
 }
