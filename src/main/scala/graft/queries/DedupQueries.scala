@@ -991,8 +991,9 @@ object DedupQueries {
     import s.implicits._
     import graft.functions.TextFunctions.roundp
     val docs = documents(s, d)
-    val toks = filter(split(lower($"text"), "\\s+"),
-      (w: org.apache.spark.sql.Column) => length(w) > 0)
+    // the shared tokenizer, NOT an inline copy — its DuckDB twin
+    // (DuckSql.tokensSql) is what the oracle's tok2 key builds on
+    val toks = graft.functions.TextFunctions.tokens($"text")
     // keyed has THREE consumers (block stats + both truth-pair joins):
     // persist the (id, scheme, key) projection so they share one corpus scan
     val keyed = graft.ops.ScratchCache.register(
@@ -1016,10 +1017,13 @@ object DedupQueries {
       .agg(count(lit(1)).as("true_pairs"),
         sum(when($"ka" === $"kb", 1L).otherwise(0L)).as("caught_pairs"))
     val tot = docs.agg(count(lit(1)).as("n_docs"))
-    blocks.join(audit, Seq("scheme"))
+    // LEFT join: block statistics are valid with ZERO truth pairs (a
+    // corpus with no near-dups must still report reduction ratios)
+    blocks.join(audit, Seq("scheme"), "left")
       .crossJoin(broadcast(tot))
       .select($"scheme", $"n_blocks", $"max_block", $"cand_pairs",
-        $"true_pairs", $"caught_pairs",
+        coalesce($"true_pairs", lit(0L)).as("true_pairs"),
+        coalesce($"caught_pairs", lit(0L)).as("caught_pairs"),
         roundp(lit(1.0) - $"cand_pairs" /
           ($"n_docs".cast("double") * ($"n_docs" - 1) / 2.0), 6)
           .as("reduction_ratio"),
@@ -1054,15 +1058,16 @@ object DedupQueries {
        |    sum(CASE WHEN ka = kb THEN 1 ELSE 0 END)::BIGINT AS caught_pairs
        |  FROM pk GROUP BY 1),
        |tot AS (SELECT count(*)::BIGINT AS n_docs FROM documents)
-       |SELECT scheme, n_blocks, max_block, cand_pairs, true_pairs,
-       |  caught_pairs,
+       |SELECT scheme, n_blocks, max_block, cand_pairs,
+       |  coalesce(true_pairs, 0)::BIGINT AS true_pairs,
+       |  coalesce(caught_pairs, 0)::BIGINT AS caught_pairs,
        |  ${DuckSql.roundpSql(
             "1.0 - cand_pairs / (n_docs::DOUBLE * (n_docs - 1) / 2.0)", 6)}
        |    AS reduction_ratio,
        |  CASE WHEN true_pairs > 0 THEN
        |    ${DuckSql.roundpSql("caught_pairs * 1.0 / true_pairs", 6)}
        |  END AS completeness
-       |FROM blocks JOIN audit USING (scheme) CROSS JOIN tot
+       |FROM blocks LEFT JOIN audit USING (scheme) CROSS JOIN tot
        |ORDER BY scheme""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -948,10 +948,13 @@ object Relational {
   def q216RevenueConcentration(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import graft.functions.TextFunctions.roundp
-    val perPart = lineitem(s, d)
+    // perPart has two consumers (total + final rows): persist the
+    // |parts|-sized frame so the total aggregates IT, not a second
+    // full fact scan
+    val perPart = graft.ops.ScratchCache.register(lineitem(s, d)
       .groupBy($"l_partkey")
       .agg(sum(($"l_extendedprice" * (lit(1.0) - $"l_discount"))
-        .cast("decimal(28,6)")).as("rev"))
+        .cast("decimal(28,6)")).as("rev")).persist())
     val tot = perPart.agg(sum($"rev").as("total_rev"))
     perPart.crossJoin(broadcast(tot))
       .filter($"rev" * 2000 > $"total_rev")

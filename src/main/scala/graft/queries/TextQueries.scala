@@ -1354,7 +1354,7 @@ object TextQueries {
   def q214ContextSweep(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val n = size(tokens($"text")).cast("long")
-    documents(s, d).select(n.as("n"))
+    documents(s, d).filter($"text".isNotNull).select(n.as("n"))
       .select($"n", explode(array(lit(128L), lit(256L), lit(512L),
         lit(1024L))).as("l_ctx"))
       .groupBy($"l_ctx")
@@ -1371,7 +1371,7 @@ object TextQueries {
 
   val q214Sql: String =
     s"""WITH lens AS (SELECT len(${DuckSql.tokensSql})::BIGINT AS n
-       |  FROM documents),
+       |  FROM documents WHERE text IS NOT NULL),
        |e AS (SELECT n, unnest([128, 256, 512, 1024])::BIGINT AS l_ctx
        |  FROM lens),
        |agg AS (SELECT l_ctx, count(*)::BIGINT AS n_docs,

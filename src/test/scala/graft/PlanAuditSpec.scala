@@ -366,12 +366,13 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpecBase {
     assert(!plan.contains("Join"), plan) // not even the 1-row total NLJ
   }
 
-  test("q216 revenue concentration: one fact scan; the global total re-aggregates the |parts| frame") {
+  test("q216 revenue concentration: the global total reads the PERSISTED per-part frame, not a second fact scan") {
     val df = Relational.q216RevenueConcentration(spark, sfSmoke)
     val plan = planStr(df)
-    assert(plan.split('\n').count(l =>
-      l.contains("Scan parquet") && l.contains("lineitem")) <= 2, plan)
+    // both consumers (total + final rows) read the cached |parts| frame
+    assert("InMemoryTableScan".r.findAllIn(plan).size >= 2, plan)
     assert(!plan.contains("Window"), plan)
+    graft.ops.ScratchCache.releaseAll()
   }
 
   test("q217 spearman: every rank/tie window is source-PARTITIONED") {
