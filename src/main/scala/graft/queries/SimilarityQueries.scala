@@ -768,7 +768,121 @@ object SimilarityQueries {
        |SELECT vec_id, ${DuckSql.roundpSql("score0", 4)} AS score
        |FROM sc ORDER BY score DESC, vec_id LIMIT 20""".stripMargin
 
+  // ---------------------------------------------------------------- q218
+
+  private val RboD = 100
+  private val RboP = 0.9
+
+  /** Quantized RBO tail weights: Sq(m) = round(1e12 · Σ_{d=m..D} pᵈ⁻¹/d),
+    * the total weight an item entering the intersection at depth m earns
+    * through depth D. Computed ONCE in Scala and inlined as the SAME
+    * integer literals into the Spark plan and the oracle SQL — summation
+    * over items then happens in exact BIGINT in both engines (float
+    * reduction order can't perturb the 6dp output). */
+  private val rboSuffixQ: Array[Long] = {
+    val out = new Array[Long](RboD)
+    var acc = 0.0
+    var d = RboD
+    while (d >= 1) {
+      acc += math.pow(RboP, d - 1) / d
+      out(d - 1) = math.round(acc * 1e12)
+      d -= 1
+    }
+    out
+  }
+
+  /** q218: rank-biased overlap (RBO, Webber et al. 2010) at depth 100
+    * between two quality scorers' rankings (raw length vs token count)
+    * — the metric for "can I swap scorer A for scorer B without
+    * reshuffling the data I keep?". Top-weighted, unlike Spearman over
+    * the full list. Both rankings come from [[graft.ops.GlobalIndex]]'s
+    * two-pass rank (never a global window); an item entering the
+    * intersection at depth m = max(rank_a, rank_b) contributes the
+    * PRECOMPUTED quantized tail weight Sq(m), so the whole statistic is
+    * one 100-row join + one exact-BIGINT sum. */
+  def q218Rbo(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.TextFunctions.tokens
+    val docs = graft.Tables.documents(s, d)
+    val parts = s.sessionState.conf.numShufflePartitions
+    def topRanks(score: Column, as: String): DataFrame =
+      graft.ops.GlobalIndex.byScoreDesc(
+        docs.select(score.cast("long"), $"doc_id").as[(Long, Long)], parts)
+        .filter($"idx" < RboD)
+        .select($"id", ($"idx" + 1L).as(as))
+    val ra = topRanks($"n_chars", "ra")
+    val rb = topRanks(size(tokens($"text")).cast("long"), "rb")
+    val sq = array(rboSuffixQ.map(lit(_)): _*)
+    ra.join(rb, Seq("id"))
+      .select(element_at(sq, greatest($"ra", $"rb").cast("int")).as("w"))
+      .agg(count(lit(1)).as("n_overlap"), sum($"w").as("sumq"))
+      .select(lit(RboD).cast("bigint").as("depth"),
+        lit(RboP).as("p"), $"n_overlap",
+        roundp((lit(1.0) - RboP) * $"sumq" / lit(1e12), 6).as("rbo"))
+  }
+
+  val q218Sql: String = {
+    val lst = rboSuffixQ.mkString("[", ", ", "]")
+    s"""WITH ta AS (SELECT doc_id,
+       |    row_number() OVER (ORDER BY n_chars DESC, doc_id) AS ra
+       |  FROM documents),
+       |tb AS (SELECT doc_id, row_number() OVER
+       |    (ORDER BY len(${DuckSql.tokensSql}) DESC, doc_id) AS rb
+       |  FROM documents),
+       |j AS (SELECT greatest(ra, rb) AS m
+       |  FROM ta JOIN tb USING (doc_id)
+       |  WHERE ra <= $RboD AND rb <= $RboD),
+       |a AS (SELECT count(*)::BIGINT AS n_overlap,
+       |    sum(($lst)[m])::BIGINT AS sumq FROM j)
+       |SELECT $RboD::BIGINT AS depth, CAST($RboP AS DOUBLE) AS p, n_overlap,
+       |  ${DuckSql.roundpSql(s"(1.0 - $RboP) * sumq / 1e12", 6)} AS rbo
+       |FROM a""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q219
+
+  /** q219: reciprocal-rank fusion (RRF, k=60) of the same two scorers —
+    * the standard hybrid-retrieval combiner (`Σ 1/(k + rankᵢ)`), here
+    * fusing a cheap byte-length ranking with a token-count ranking into
+    * one keep-list. Full-corpus ranks from the two-pass GlobalIndex
+    * (window-free); the fused score is one double expression on two
+    * exact BIGINT ranks — identical IEEE both engines — and the top-10
+    * is a TakeOrdered on (score, id), never a global sort. */
+  def q219RrfFusion(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.TextFunctions.tokens
+    val docs = graft.Tables.documents(s, d)
+    val parts = s.sessionState.conf.numShufflePartitions
+    def ranks(score: Column, as: String): DataFrame =
+      graft.ops.GlobalIndex.byScoreDesc(
+        docs.select(score.cast("long"), $"doc_id").as[(Long, Long)], parts)
+        .select($"id", ($"idx" + 1L).as(as))
+    val rrf = lit(1.0) / (lit(60L) + $"ra") + lit(1.0) / (lit(60L) + $"rb")
+    ranks($"n_chars", "ra")
+      .join(ranks(size(tokens($"text")).cast("long"), "rb"), Seq("id"))
+      .select($"id".as("doc_id"), $"ra", $"rb", rrf.as("rrf"))
+      .orderBy($"rrf".desc, $"doc_id")
+      .limit(10)
+      .select($"doc_id", $"ra", $"rb", roundp($"rrf", 6).as("rrf_score"))
+  }
+
+  val q219Sql: String =
+    s"""WITH ta AS (SELECT doc_id,
+       |    row_number() OVER (ORDER BY n_chars DESC, doc_id) AS ra
+       |  FROM documents),
+       |tb AS (SELECT doc_id, row_number() OVER
+       |    (ORDER BY len(${DuckSql.tokensSql}) DESC, doc_id) AS rb
+       |  FROM documents),
+       |j AS (SELECT doc_id, ra, rb,
+       |    1.0 / (60 + ra) + 1.0 / (60 + rb) AS rrf
+       |  FROM ta JOIN tb USING (doc_id))
+       |SELECT doc_id, ra, rb,
+       |  ${DuckSql.roundpSql("rrf", 6)} AS rrf_score
+       |FROM j ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q218_rbo" -> (q218Rbo _),
+    "q219_rrf_fusion" -> (q219RrfFusion _),
     "q188_mahalanobis" -> (q188Mahalanobis _),
     "q187_covariance" -> (q187Covariance _),
     "q176_label_confusion"  -> (q176LabelConfusion _),
@@ -789,6 +903,8 @@ object SimilarityQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q218_rbo" -> q218Sql,
+    "q219_rrf_fusion" -> q219Sql,
     "q188_mahalanobis" -> q188Sql,
     "q187_covariance" -> q187Sql,
     "q176_label_confusion"  -> q176Sql,
