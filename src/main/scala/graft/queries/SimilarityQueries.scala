@@ -770,8 +770,8 @@ object SimilarityQueries {
 
   // ---------------------------------------------------------------- q218
 
-  private val RboD = 100
-  private val RboP = 0.9
+  private[graft] val RboD = 100
+  private[graft] val RboP = 0.9
 
   /** Quantized RBO tail weights: Sq(m) = round(1e12 · Σ_{d=m..D} pᵈ⁻¹/d),
     * the total weight an item entering the intersection at depth m earns
@@ -779,7 +779,7 @@ object SimilarityQueries {
     * integer literals into the Spark plan and the oracle SQL — summation
     * over items then happens in exact BIGINT in both engines (float
     * reduction order can't perturb the 6dp output). */
-  private val rboSuffixQ: Array[Long] = {
+  private[graft] val rboSuffixQ: Array[Long] = {
     val out = new Array[Long](RboD)
     var acc = 0.0
     var d = RboD

@@ -429,6 +429,16 @@ class SketchSpec extends AnyFunSuite with SparkSpecBase {
     assert(out(0).getAs[Double]("spearman_rho") == 0.833333)
   }
 
+  test("rbo tail weights: identical rankings integrate to 1 - p^D (the RBO self-agreement identity)") {
+    import graft.queries.SimilarityQueries.{rboSuffixQ, RboD, RboP}
+    // an item at rank d in BOTH lists enters the intersection at m = d,
+    // so self-RBO = (1-p) * sum_d Sq(d) / 1e12 and must equal 1 - p^D
+    val selfRbo = (1.0 - RboP) * rboSuffixQ.sum / 1e12
+    val expected = 1.0 - math.pow(RboP, RboD)
+    assert(math.abs(selfRbo - expected) < 1e-9,
+      s"selfRbo=$selfRbo expected=$expected")
+  }
+
   test("spearman: perfect anti-correlation is -1, constant variable is null, groups stay independent") {
     val df = Seq(
       ("a", 1L, 3.0), ("a", 2L, 2.0), ("a", 3L, 1.0),  // rho = -1
