@@ -55,4 +55,29 @@ object RankCorr {
       when(den > 0.0, roundp((nd * sxy - sx * sy) / sqrt(den), ndec))
         .as("spearman_rho"))
   }
+
+  /** Per-group exact AUC of `score` as a ranker for boolean `label` —
+    * the Mann-Whitney rank-sum form: with ascending tie-averaged ranks
+    * r̄, AUC = (Σ_pos r̄ − n₊(n₊+1)/2) / (n₊·n₋), which handles ties as
+    * the standard half-credit. Doubled ranks keep everything integer:
+    * AUC = (Σ_pos 2r̄ − n₊(n₊+1)) / (2·n₊·n₋). One group-partitioned
+    * rank window + one aggregation; null when a group has no positives
+    * or no negatives (AUC undefined).
+    * @return (group, n_pos, n_neg, auc) */
+  def aucRank(df: DataFrame, group: Column, score: Column, label: Column,
+              ndec: Int = 6): DataFrame = {
+    val ranked = df.select(group.as("g"), label.cast("boolean").as("y"),
+      rank2(group, score).as("r2"))
+    val a = ranked.groupBy(col("g")).agg(
+      sum(when(col("y"), 1L).otherwise(0L)).as("n_pos"),
+      sum(when(!col("y"), 1L).otherwise(0L)).as("n_neg"),
+      sum(when(col("y"), col("r2").cast("decimal(38,0)"))
+        .otherwise(lit(0).cast("decimal(38,0)"))).as("spos"))
+    a.select(col("g"), col("n_pos"), col("n_neg"),
+      when(col("n_pos") > 0 && col("n_neg") > 0,
+        roundp((col("spos").cast("double") -
+            col("n_pos").cast("double") * (col("n_pos") + 1).cast("double")) /
+          (lit(2.0) * col("n_pos").cast("double") * col("n_neg").cast("double")),
+          ndec)).as("auc"))
+  }
 }

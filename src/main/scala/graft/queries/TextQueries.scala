@@ -1442,7 +1442,62 @@ object TextQueries {
        |  END AS spearman_rho
        |FROM a ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- q220
+
+  /** q220: per-source exact AUC of the non-Latin-character fraction as
+    * a CJK (zh) detector — the threshold-free evaluation a gate gets
+    * BEFORE anyone picks its cutoff (q136/q146 tune cutoffs; this
+    * scores the ranker itself). On THIS fixture the verdict is
+    * ≈0.5 by construction — the synthetic lang labels are
+    * content-independent (measured: non-Latin fraction is 0.177±0.002
+    * for every lang) — which is the statistic doing its job: exposing
+    * a ranker with no signal. The discriminative cases (separable → 1,
+    * ties → 0.875, single-class → null) are hand-pinned in SketchSpec.
+    * Exact tie-corrected Mann-Whitney form
+    * via [[graft.ops.RankCorr.aucRank]]: doubled tie-averaged ranks
+    * keep the statistic in integers until one final double division —
+    * no pairwise positive×negative comparison is ever materialized
+    * (the naive form is n₊·n₋ pairs per source; this is one rank
+    * window + one aggregation). Null AUC where a source lacks either
+    * class, rather than a fake 0.5. */
+  def q220AucLatinEn(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val base = documents(s, d)
+      .filter(length($"text") > 0)
+      .select($"source",
+        ((length($"text") - charClassCount($"text", "\\p{IsLatin}")) *
+          lit(1.0) / length($"text")).as("score"),
+        ($"lang" === "zh").as("y"))
+    graft.ops.RankCorr.aucRank(base, $"source", $"score", $"y")
+      .select($"g".as("source"), $"n_pos", $"n_neg", $"auc")
+      .orderBy($"source")
+  }
+
+  val q220Sql: String =
+    s"""WITH t AS (SELECT source, (lang = 'zh') AS y,
+       |    len(regexp_replace(text, '\\p{Latin}', '', 'g'))
+       |      * 1.0 / len(text) AS score
+       |  FROM documents WHERE len(text) > 0),
+       |r AS (SELECT source, y,
+       |    2 * rank() OVER (PARTITION BY source ORDER BY score)
+       |      + count(*) OVER (PARTITION BY source, score) - 1 AS r2
+       |  FROM t),
+       |a AS (SELECT source,
+       |    sum(CASE WHEN y THEN 1 ELSE 0 END)::BIGINT AS n_pos,
+       |    sum(CASE WHEN NOT y THEN 1 ELSE 0 END)::BIGINT AS n_neg,
+       |    sum(CASE WHEN y THEN CAST(r2 AS DECIMAL(38,0))
+       |      ELSE CAST(0 AS DECIMAL(38,0)) END) AS spos
+       |  FROM r GROUP BY 1)
+       |SELECT source, n_pos, n_neg,
+       |  CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+       |    ${DuckSql.roundpSql(
+            "(spos::DOUBLE - n_pos::DOUBLE * (n_pos + 1)::DOUBLE) / " +
+            "(2.0 * n_pos::DOUBLE * n_neg::DOUBLE)", 6)}
+       |  END AS auc
+       |FROM a ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q220_auc_rank" -> (q220AucLatinEn _),
     "q217_spearman" -> (q217SpearmanLenDiversity _),
     "q214_context_sweep" -> (q214ContextSweep _),
     "q206_length_gini" -> (q206LengthGini _),
@@ -1474,6 +1529,7 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q220_auc_rank" -> q220Sql,
     "q217_spearman" -> q217Sql,
     "q214_context_sweep" -> q214Sql,
     "q206_length_gini" -> q206Sql,

@@ -429,6 +429,21 @@ class SketchSpec extends AnyFunSuite with SparkSpecBase {
     assert(out(0).getAs[Double]("spearman_rho") == 0.833333)
   }
 
+  test("aucRank: ties earn half credit (hand-computed 0.875), perfect separation is 1, single-class is null") {
+    // scores [1,2,2,3], labels [n,p,n,p]: pos-neg pairs score (1 + 0.5 +
+    // 1 + 1) / 4 = 0.875 under the standard tie-half-credit convention
+    val df = Seq(
+      ("t", 1.0, false), ("t", 2.0, true), ("t", 2.0, false), ("t", 3.0, true),
+      ("s", 1.0, false), ("s", 2.0, false), ("s", 3.0, true),  // separable
+      ("u", 1.0, true), ("u", 2.0, true))                      // no negatives
+      .toDF("grp", "score", "y")
+    val out = graft.ops.RankCorr.aucRank(df, $"grp", $"score", $"y")
+      .orderBy($"g").collect()
+    assert(out(0).getAs[Double]("auc") == 1.0)    // s
+    assert(out(1).getAs[Double]("auc") == 0.875)  // t
+    assert(out(2).isNullAt(out(2).fieldIndex("auc"))) // u
+  }
+
   test("rbo tail weights: identical rankings integrate to 1 - p^D (the RBO self-agreement identity)") {
     import graft.queries.SimilarityQueries.{rboSuffixQ, RboD, RboP}
     // an item at rank d in BOTH lists enters the intersection at m = d,
