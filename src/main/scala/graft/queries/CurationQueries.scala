@@ -1467,16 +1467,20 @@ object CurationQueries {
   def q169TemperatureMix(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import graft.functions.TextFunctions.tokens
-    val counts = documents(s, d)
+    // counts (consumed by tot + scaled) and scaled (consumed by z + the
+    // final join) are both multi-consumer: persist the |sources|-sized
+    // frames so the token explode over the corpus runs ONCE, not 4×
+    val counts = graft.ops.ScratchCache.register(documents(s, d)
       .select($"source", explode(tokens($"text")).as("w"))
-      .groupBy($"source").agg(count(lit(1)).as("n_tokens"))
+      .groupBy($"source").agg(count(lit(1)).as("n_tokens")).persist())
     val tot = counts.agg(sum($"n_tokens").as("n_total"))
-    val scaled = counts.crossJoin(broadcast(tot))
-      .select($"source", $"n_tokens",
-        ($"n_tokens" * lit(1.0) / $"n_total").as("p"),
-        explode(array(lit(0.5), lit(1.0), lit(2.0))).as("t"))
-      .select($"source", $"n_tokens", $"p", $"t",
-        pow($"p", lit(1.0) / $"t").as("w"))
+    val scaled = graft.ops.ScratchCache.register(
+      counts.crossJoin(broadcast(tot))
+        .select($"source", $"n_tokens",
+          ($"n_tokens" * lit(1.0) / $"n_total").as("p"),
+          explode(array(lit(0.5), lit(1.0), lit(2.0))).as("t"))
+        .select($"source", $"n_tokens", $"p", $"t",
+          pow($"p", lit(1.0) / $"t").as("w")).persist())
     val z = scaled.groupBy($"t").agg(sum($"w").as("z"))
     scaled.join(broadcast(z), Seq("t"))
       .select($"t", $"source", $"n_tokens",
@@ -1764,7 +1768,102 @@ object CurationQueries {
        |ORDER BY lf_a, lf_b""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q221
+
+  /** q221: stratified k-fold assignment AUDIT — deterministic 5-fold
+    * assignment by per-source rank mod k (the window is source-
+    * PARTITIONED — the stratification key is also the shuffle key, so
+    * the fold id never needs a global ordering), then the balance
+    * report: per source, each fold's count and the max−min spread,
+    * which the construction guarantees ≤ 1. This is the split a
+    * training pipeline can re-derive from (source, doc_id) alone — no
+    * persisted fold table, no RNG — and the audit row is the proof the
+    * derivation holds. Static fold ids fold into conditional sums (no
+    * pivot shuffle). */
+  def q221StratifiedFolds(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val W = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source").orderBy($"doc_id")
+    val folds = documents(s, d)
+      .select($"source",
+        ((row_number().over(W) - 1) % 5).cast("bigint").as("fold"))
+    val fcols = (0 until 5).map(i =>
+      sum(when($"fold" === i, 1L).otherwise(0L)).as(s"fold_$i"))
+    val agg = folds.groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), fcols: _*)
+    val fs = (0 until 5).map(i => col(s"fold_$i"))
+    agg.select($"source" +: $"n_docs" +: fs :+
+        (greatest(fs: _*) - least(fs: _*)).as("spread"): _*)
+      .orderBy($"source")
+  }
+
+  val q221Sql: String = {
+    val folds = (0 until 5).map(i =>
+      s"sum(CASE WHEN fold = $i THEN 1 ELSE 0 END)::BIGINT AS fold_$i")
+      .mkString(",\n       |    ")
+    s"""WITH f AS (SELECT source,
+       |    (row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1)
+       |      % 5 AS fold
+       |  FROM documents),
+       |a AS (SELECT source, count(*)::BIGINT AS n_docs,
+       |    $folds
+       |  FROM f GROUP BY 1)
+       |SELECT source, n_docs, fold_0, fold_1, fold_2, fold_3, fold_4,
+       |  (greatest(fold_0, fold_1, fold_2, fold_3, fold_4)
+       |    - least(fold_0, fold_1, fold_2, fold_3, fold_4))::BIGINT
+       |    AS spread
+       |FROM a ORDER BY source""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q222
+
+  /** q222: effective sample size of temperature sampling — for each of
+    * q169's temperatures, the fraction of the corpus that sampling
+    * under q_s ∝ p_s^(1/T) effectively keeps: ESS/N = (Σ_s p·w)² /
+    * Σ_s p·w² with w = q/p, which reduces to z² / Σ(w²/p) on the
+    * UNNORMALIZED weights — so one aggregation per temperature, no
+    * second normalization pass. The diagnostic that says "T=0.5 costs
+    * you X% of your effective data" BEFORE training on reweighted
+    * epochs. Same persisted one-scan token-mass frame as q169. */
+  def q222TemperatureEss(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.TextFunctions.tokens
+    val counts = graft.ops.ScratchCache.register(documents(s, d)
+      .select($"source", explode(tokens($"text")).as("w"))
+      .groupBy($"source").agg(count(lit(1)).as("n_tokens")).persist())
+    val tot = counts.agg(sum($"n_tokens").as("n_total"))
+    val scaled = counts.crossJoin(broadcast(tot))
+      .select(($"n_tokens" * lit(1.0) / $"n_total").as("p"),
+        explode(array(lit(0.5), lit(1.0), lit(2.0))).as("t"))
+      .select($"p", $"t", pow($"p", lit(1.0) / $"t").as("w"))
+    scaled.groupBy($"t")
+      .agg(count(lit(1)).as("n_strata"), sum($"w").as("z"),
+        sum($"w" * $"w" / $"p").as("s2"))
+      .select($"t", $"n_strata",
+        roundp($"z" * $"z" / $"s2", 6).as("ess_frac"))
+      .orderBy($"t")
+  }
+
+  val q222Sql: String = {
+    val ws = DuckSql.tokensSql
+    s"""WITH toks AS (SELECT source, unnest($ws) AS w FROM documents),
+       |c AS (SELECT source, count(*)::BIGINT AS n_tokens
+       |  FROM toks GROUP BY 1),
+       |n AS (SELECT sum(n_tokens)::BIGINT AS n_total FROM c),
+       |sc AS (SELECT n_tokens * 1.0 / n_total AS p, t,
+       |    pow(n_tokens * 1.0 / n_total, 1.0 / t) AS w
+       |  FROM c, n, (SELECT unnest([0.5, 1.0, 2.0]) AS t)),
+       |a AS (SELECT t, count(*)::BIGINT AS n_strata, sum(w) AS z,
+       |    sum(w * w / p) AS s2
+       |  FROM sc GROUP BY 1)
+       |SELECT t::DOUBLE AS t, n_strata,
+       |  ${DuckSql.roundpSql("z * z / s2", 6)} AS ess_frac
+       |FROM a ORDER BY t""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q221_stratified_folds" -> (q221StratifiedFolds _),
+    "q222_temperature_ess" -> (q222TemperatureEss _),
     "q185_label_model" -> (q185LabelModel _),
     "q179_shard_balance"    -> (q179ShardBalance _),
     "q178_growth_curve"     -> (q178GrowthCurve _),
@@ -1795,6 +1894,8 @@ object CurationQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q221_stratified_folds" -> q221Sql,
+    "q222_temperature_ess" -> q222Sql,
     "q185_label_model" -> q185Sql,
     "q179_shard_balance"    -> q179Sql,
     "q178_growth_curve"     -> q178Sql,
