@@ -442,4 +442,29 @@ class DedupSpec extends AnyFunSuite with SparkSpecBase {
     assert(got.length == 501 && got.forall(_._2 == 1L))
     graft.ops.ScratchCache.releaseAll()
   }
+
+  test("q211 on a corpus with ZERO truth pairs still reports block stats (completeness null, counts 0)") {
+    import spark.implicits._
+    // three docs with nothing in common: no 3-shingle is shared, so the
+    // jaccard truth-pair set is empty and the LEFT join path must keep
+    // every scheme row alive
+    val dir = java.nio.file.Files.createTempDirectory("graft_q211_zero").toString
+    Seq(
+      (1L, "alpha beta gamma delta epsilon", "en", "s1", 29L),
+      (2L, "one two three four five six", "en", "s1", 27L),
+      (3L, "rot grun blau gelb weiss", "de", "s2", 24L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val out = graft.queries.DedupQueries.q211BlockingAudit(spark, dir)
+      .collect()
+    assert(out.length == 3, out.mkString("\n")) // all three schemes survive
+    out.foreach { r =>
+      assert(r.getAs[Long]("true_pairs") == 0L)
+      assert(r.getAs[Long]("caught_pairs") == 0L)
+      assert(r.isNullAt(r.fieldIndex("completeness")))
+      assert(r.getAs[Long]("n_blocks") > 0L)
+    }
+    graft.ops.ScratchCache.releaseAll()
+  }
 }
