@@ -84,16 +84,22 @@ object DedupQueries {
     * the oracle is the plain SQL replay. */
   def q146ThresholdSweep(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val pairs = graft.ops.ScratchCache.register(
-      Dedup.jaccardPairs(documents(s, d), "doc_id", "text", 3, 0.7,
-        maxDf = Some(Q27MaxDf)).persist())
+    // the thresholds are STATIC, so the whole sweep is ONE aggregation
+    // over the pair frame — per-threshold conditional count + conditional
+    // countDistinct — stack()ed out to rows. No per-threshold action, no
+    // driver loop, no persist (single consumer), one jaccard pass.
+    val pairs = Dedup.jaccardPairs(documents(s, d), "doc_id", "text", 3, 0.7,
+      maxDf = Some(Q27MaxDf))
     val ts = Seq(0.7, 0.8, 0.9)
-    ts.map { t =>
-      val row = pairs.filter($"jac" >= t)
-        .agg(count(lit(1)).as("n_pairs"),
-          countDistinct($"id_b").as("n_dropped")).head()
-      (t, row.getLong(0), row.getLong(1))
-    }.toDF("threshold", "n_pairs", "n_dropped")
+    val aggs = ts.zipWithIndex.flatMap { case (t, i) => Seq(
+      sum(when($"jac" >= t, 1L).otherwise(0L)).as(s"np_$i"),
+      countDistinct(when($"jac" >= t, $"id_b")).as(s"nd_$i"))
+    }
+    val stackArgs = ts.zipWithIndex
+      .map { case (t, i) => s"${t}D, np_$i, nd_$i" }.mkString(", ")
+    pairs.agg(aggs.head, aggs.tail: _*)
+      .select(expr(s"stack(${ts.size}, $stackArgs) " +
+        "AS (threshold, n_pairs, n_dropped)"))
       .orderBy($"threshold")
   }
 
