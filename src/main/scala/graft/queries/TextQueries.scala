@@ -1496,7 +1496,73 @@ object TextQueries {
        |  END AS auc
        |FROM a ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- q223
+
+  /** q223: vocabulary drift — rank-biased overlap (RBO@100) between the
+    * token-frequency rankings of the corpus' two halves (doc_id parity
+    * stands in for crawl generation): the top-weighted complement of
+    * q159's KS / q178's growth curve for "did the head of the
+    * vocabulary move between snapshots?". One token explode → per-half
+    * counts; per-half top-100 ranks from GlobalIndex's two-pass index
+    * ordered by (count DESC, fnv-of-token ASC) — the tiebreak hash is
+    * the SAME polyHash both engines, so ranks agree exactly; the RBO
+    * sum reuses q218's quantized tail-weight constants (exact BIGINT
+    * fold). */
+  def q223VocabDrift(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.TextFunctions.polyHash
+    import SimilarityQueries.{RboD, RboP, rboSuffixQ}
+    val counts = graft.ops.ScratchCache.register(documents(s, d)
+      .select(($"doc_id" % 2).as("half"), explode(tokens($"text")).as("w"))
+      .groupBy($"half", polyHash($"w").as("h"))
+      .agg(count(lit(1)).as("cnt")).persist())
+    val parts = s.sessionState.conf.numShufflePartitions
+    def topRanks(half: Int, as: String): DataFrame =
+      graft.ops.GlobalIndex.byScoreDesc(
+        counts.filter($"half" === half)
+          // score packs (cnt DESC, hash ASC) into one long: GlobalIndex
+          // orders by (score DESC, id ASC), and id IS the hash, so the
+          // hash tiebreak rides the id channel for free
+          .select($"cnt", $"h").as[(Long, Long)], parts)
+        .filter($"idx" < RboD)
+        .select($"id".as("h"), ($"idx" + 1L).as(as))
+    val ra = topRanks(0, "ra")
+    val rb = topRanks(1, "rb")
+    val sq = array(rboSuffixQ.map(lit(_)): _*)
+    ra.join(rb, Seq("h"))
+      .select(element_at(sq, greatest($"ra", $"rb").cast("int")).as("wq"))
+      .agg(count(lit(1)).as("n_overlap"), sum($"wq").as("sumq"))
+      .select(lit(RboD).cast("bigint").as("depth"), $"n_overlap",
+        roundp($"n_overlap" * lit(1.0) / RboD, 6).as("overlap_frac"),
+        roundp((lit(1.0) - RboP) * $"sumq" / lit(1e12), 6).as("rbo"))
+  }
+
+  val q223Sql: String = {
+    import SimilarityQueries.{RboD, RboP, rboSuffixQ}
+    val lst = rboSuffixQ.mkString("[", ", ", "]")
+    val ph = DuckSql.polyHashSql("w")
+    s"""WITH toks AS (SELECT doc_id % 2 AS half,
+       |    unnest(${DuckSql.tokensSql}) AS w FROM documents),
+       |c AS (SELECT half, $ph AS h, count(*)::BIGINT AS cnt
+       |  FROM toks GROUP BY 1, 2),
+       |ra AS (SELECT h, row_number() OVER
+       |    (ORDER BY cnt DESC, h) AS ra FROM c WHERE half = 0),
+       |rb AS (SELECT h, row_number() OVER
+       |    (ORDER BY cnt DESC, h) AS rb FROM c WHERE half = 1),
+       |j AS (SELECT greatest(ra, rb) AS m
+       |  FROM ra JOIN rb USING (h)
+       |  WHERE ra <= $RboD AND rb <= $RboD),
+       |a AS (SELECT count(*)::BIGINT AS n_overlap,
+       |    sum(($lst)[m])::BIGINT AS sumq FROM j)
+       |SELECT $RboD::BIGINT AS depth, n_overlap,
+       |  ${DuckSql.roundpSql(s"n_overlap * 1.0 / $RboD", 6)}
+       |    AS overlap_frac,
+       |  ${DuckSql.roundpSql(s"(1.0 - $RboP) * sumq / 1e12", 6)} AS rbo
+       |FROM a""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q223_vocab_drift" -> (q223VocabDrift _),
     "q220_auc_rank" -> (q220AucLatinEn _),
     "q217_spearman" -> (q217SpearmanLenDiversity _),
     "q214_context_sweep" -> (q214ContextSweep _),
@@ -1529,6 +1595,7 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q223_vocab_drift" -> q223Sql,
     "q220_auc_rank" -> q220Sql,
     "q217_spearman" -> q217Sql,
     "q214_context_sweep" -> q214Sql,
