@@ -597,17 +597,27 @@ object EventAnalytics {
     * explicitly (a histogram with a hole is a report bug). */
   def q215ConversionLatency(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val m = 60000000L
     val firsts = events(s, d)
       .groupBy($"user_id")
       .agg(min(when($"event_type" === "signup", unix_micros($"ts")))
             .as("t_signup"),
         min(when($"event_type" === "purchase", unix_micros($"ts")))
             .as("t_purchase"))
-      .filter($"t_signup".isNotNull)
+    latencyBands(firsts)
+  }
+
+  /** The shared band fold of q215/q224: from a (t_signup, t_purchase)
+    * per-user firsts frame (nullable µs), the latency histogram. The
+    * band list is STATIC, so every band + the share denominator fold in
+    * ONE aggregation row, stack()ed to rows — one pass, no total
+    * re-scan. Both the batch and the streaming query end here, so their
+    * band semantics cannot drift apart. */
+  private[queries] def latencyBands(firsts0: DataFrame): DataFrame = {
+    val s = firsts0.sparkSession
+    import s.implicits._
+    val m = 60000000L
+    val firsts = firsts0.filter($"t_signup".isNotNull)
     val lat = $"t_purchase" - $"t_signup"
-    // the band list is STATIC: fold every band + the denominator in ONE
-    // aggregation row, then stack to rows — one scan, no total re-scan
     def inBand(lo: Long, hi: Long): Column =
       sum(when($"t_purchase".isNotNull && lat >= lo && lat < hi, 1L)
         .otherwise(0L))

@@ -617,7 +617,67 @@ object PipelineQueries {
        |FROM g GROUP BY source ORDER BY source""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q224
+
+  /** q224: STREAMING conversion attribution — q215's signup→purchase
+    * latency histogram computed as a live stream: per-user
+    * `mapGroupsWithState` keeps only (min signup µs, min purchase µs),
+    * a commutative-monoid state that is batch-split-invariant by
+    * construction (min ∘ min in any order), so AvailableNow catch-up is
+    * bit-equal to the batch answer — the oracle IS q215's SQL. Update
+    * mode emits each user's firsts per trigger; latest-per-user wins at
+    * read-back (batch_id tag), and the band fold is the SAME
+    * [[EventAnalytics.latencyBands]] the batch query ends in — the two
+    * paths cannot drift. State is 16 bytes/user (two longs): the
+    * smallest attribution state a marketing pipeline can carry. */
+  /** q224's state step, shared with its two-trigger spec: per-user
+    * (min signup µs, min purchase µs) via mapGroupsWithState.
+    * Long.MaxValue = "not seen yet" (encoder-friendly sentinel). */
+  private[graft] def attributionFirsts(
+      ev: org.apache.spark.sql.Dataset[(Long, String, Long)]): DataFrame = {
+    val s = ev.sparkSession
+    import s.implicits._
+    val NoTs = Long.MaxValue
+    ev.groupByKey(_._1)
+      .mapGroupsWithState[(Long, Long), (Long, Long, Long)](
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+        (uid, it, state) =>
+          var (sg, pu) = state.getOption.getOrElse((NoTs, NoTs))
+          it.foreach { case (_, t, us) =>
+            if (t == "signup") sg = math.min(sg, us)
+            else pu = math.min(pu, us)
+          }
+          state.update((sg, pu))
+          (uid, sg, pu)
+      }
+      .toDF("user_id", "sg", "pu")
+  }
+
+  def q224StreamAttribution(s0: SparkSession, d: String): DataFrame = {
+    val (s, outDir, ckDir) = streamRun(s0, "graft_q224")
+    import s.implicits._
+    val NoTs = Long.MaxValue
+    val ev = eventsStream(s, d)
+      .filter(col("event_type").isin("signup", "purchase"))
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts_conv")).as("us"))
+      .as[(Long, String, Long)]
+    runToParquet(attributionFirsts(ev), "update", outDir, ckDir,
+      tagBatch = true)
+    val latest = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("batch_id").desc)
+    val firsts = s.read.parquet(outDir)
+      .withColumn("rn", row_number().over(latest)).filter(col("rn") === 1)
+      .select(col("user_id"),
+        when(col("sg") === NoTs, lit(null)).otherwise(col("sg"))
+          .as("t_signup"),
+        when(col("pu") === NoTs, lit(null)).otherwise(col("pu"))
+          .as("t_purchase"))
+    EventAnalytics.latencyBands(firsts)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q224_stream_attribution" -> (q224StreamAttribution _),
     "q191_stream_funnel" -> (q191StreamFunnel _),
     "q121_stream_heavy_hitters" -> (q121StreamHeavyHitters _),
     "q141_stream_decontam" -> (q141StreamDecontam _),
@@ -634,6 +694,7 @@ object PipelineQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q224_stream_attribution" -> EventAnalytics.q215Sql,
     "q191_stream_funnel" -> q191Sql,
     "q121_stream_heavy_hitters" -> SketchQueries.q61Sql,
     "q141_stream_decontam" -> q141Sql,

@@ -132,6 +132,61 @@ class PipelineSpec extends AnyFunSuite with SparkSpecBase {
     assert(survivors.count(_ == "hello world this is fine today") == 1)
   }
 
+  test("q224 attribution min-state merges across two REAL triggers (later batch delivers an EARLIER purchase)") {
+    // batch A: user 1 signup@10:00 + purchase@NEXT-DAY (d_ge_1d if A were
+    // all there was); user 2 signup only. batch B: user 1's EARLIER
+    // purchase@10:05 (state must take the min — a_lt_10m), user 2's
+    // purchase@12:30 (cross-trigger signup/purchase pairing — b_10m_2h).
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-q224-mt")
+    val in = base.resolve("in"); java.nio.file.Files.createDirectories(in)
+    def us(t: String): Long =
+      java.sql.Timestamp.valueOf(t).getTime * 1000L
+    def writeBatch(rows: Seq[(Long, String, Long)], name: String): Unit = {
+      val tmp = base.resolve(name + "-tmp")
+      rows.toDF("user_id", "event_type", "us")
+        .coalesce(1).write.parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).iterator().asScala
+        .find(_.toString.endsWith(".parquet")).get
+      java.nio.file.Files.move(part, in.resolve(name + ".parquet"))
+    }
+    writeBatch(Seq(
+      (1L, "signup", us("2024-01-01 10:00:00")),
+      (1L, "purchase", us("2024-01-02 11:00:00")),
+      (2L, "signup", us("2024-01-01 09:00:00"))), "a")
+    writeBatch(Seq(
+      (1L, "purchase", us("2024-01-01 10:05:00")),
+      (2L, "purchase", us("2024-01-01 12:30:00"))), "b")
+    val out = base.resolve("out").toString
+    val ck = base.resolve("ck").toString
+    val schema = spark.read.parquet(in.toString).schema
+    val ev = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(in.toString)
+      .as[(Long, String, Long)]
+    val q = graft.queries.PipelineQueries.attributionFirsts(ev)
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", ck)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        df.withColumn("batch_id", lit(id))
+          .write.mode("append").parquet(out); ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val landed = spark.read.parquet(out)
+    assert(landed.select($"batch_id").distinct().count() == 2,
+      "expected two real trigger boundaries")
+    val latest = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"batch_id".desc)
+    val fin = landed.withColumn("rn", row_number().over(latest))
+      .filter($"rn" === 1)
+      .select($"user_id", $"sg", $"pu")
+      .as[(Long, Long, Long)].collect()
+      .map { case (u, sg, pu) => u -> ((pu - sg) / 60000000L) }.toMap
+    assert(fin(1L) == 5L, s"user 1 latency ${fin(1L)}m — min-state must prefer the later-arriving EARLIER purchase")
+    assert(fin(2L) == 210L, s"user 2 latency ${fin(2L)}m — purchase must pair with the prior trigger's signup")
+  }
+
   test("watermark drops late data: closed windows exclude it, metric counts it") {
     // The piece the AvailableNow parity gates can't show (their fixture
     // arrives in event-time order): a row arriving AFTER the watermark
