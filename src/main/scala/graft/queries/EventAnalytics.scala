@@ -673,7 +673,70 @@ object EventAnalytics {
        |  ${DuckSql.roundpSql("n_users * 1.0 / n_signup", 6)} AS share
        |FROM rows_ ORDER BY latency_bucket""".stripMargin
 
+  // ---------------------------------------------------------------- q225
+
+  /** q225: RFM segmentation — users scored 1-5 on Recency (last-seen
+    * µs), Frequency (event count) and Monetary (exact-DECIMAL value
+    * sum), each against its own GLOBAL quintile boundaries, then the
+    * segment census. Boundaries come from ONE exact-percentile
+    * aggregation over the per-user frame (broadcast back as a single
+    * row — never a global ntile window), and are quantized to 6dp on
+    * BOTH engines before the bin compares, so an interpolated boundary
+    * can't flip a bin by one ulp between engines. The per-user frame
+    * is persisted (two consumers: boundary agg + binning). */
+  def q225RfmSegments(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val perUser = graft.ops.ScratchCache.register(events(s, d)
+      .groupBy($"user_id")
+      .agg(max(unix_micros($"ts")).cast("double").as("rec"),
+        count(lit(1)).cast("double").as("freq"),
+        roundp(sum($"value".cast("decimal(28,6)")).cast("double"), 6)
+          .as("mon"))
+      .persist())
+    val qs = "array(0.2, 0.4, 0.6, 0.8)"
+    val bounds = perUser.agg(
+      expr(s"percentile(rec, $qs)").as("br"),
+      expr(s"percentile(freq, $qs)").as("bf"),
+      expr(s"percentile(mon, $qs)").as("bm"))
+    def score(m: Column, b: Column): Column =
+      (0 until 4).map(i => when(m > roundp(b(i), 6), 1L).otherwise(0L))
+        .reduce(_ + _) + 1L
+    perUser.crossJoin(broadcast(bounds))
+      .select((score($"rec", $"br") * 100L + score($"freq", $"bf") * 10L +
+        score($"mon", $"bm")).as("segment"))
+      .groupBy($"segment")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy($"segment")
+  }
+
+  val q225Sql: String =
+    s"""WITH u AS (SELECT user_id,
+       |    epoch_us(max(ts))::DOUBLE AS rec,
+       |    count(*)::DOUBLE AS freq,
+       |    ${DuckSql.roundpSql(
+            "CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE)", 6)} AS mon
+       |  FROM events GROUP BY 1),
+       |b AS (SELECT
+       |    quantile_cont(rec, [0.2, 0.4, 0.6, 0.8]) AS br,
+       |    quantile_cont(freq, [0.2, 0.4, 0.6, 0.8]) AS bf,
+       |    quantile_cont(mon, [0.2, 0.4, 0.6, 0.8]) AS bm
+       |  FROM u),
+       |sc AS (SELECT
+       |    (1 ${(1 to 4).map(i =>
+            s"+ CASE WHEN rec > ${DuckSql.roundpSql(s"br[$i]", 6)} THEN 1 ELSE 0 END")
+            .mkString(" ")}) * 100
+       |  + (1 ${(1 to 4).map(i =>
+            s"+ CASE WHEN freq > ${DuckSql.roundpSql(s"bf[$i]", 6)} THEN 1 ELSE 0 END")
+            .mkString(" ")}) * 10
+       |  + (1 ${(1 to 4).map(i =>
+            s"+ CASE WHEN mon > ${DuckSql.roundpSql(s"bm[$i]", 6)} THEN 1 ELSE 0 END")
+            .mkString(" ")}) AS segment
+       |  FROM u CROSS JOIN b)
+       |SELECT segment::BIGINT AS segment, count(*)::BIGINT AS n_users
+       |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q225_rfm_segments" -> (q225RfmSegments _),
     "q215_conversion_latency" -> (q215ConversionLatency _),
     "q212_gap_histogram"  -> (q212GapHistogram _),
     "q143_trajectories"   -> (q143Trajectories _),
@@ -692,6 +755,7 @@ object EventAnalytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "q225_rfm_segments" -> q225Sql,
     "q215_conversion_latency" -> q215Sql,
     "q212_gap_histogram" -> q212Sql,
     "q143_trajectories"   -> q143Sql,
