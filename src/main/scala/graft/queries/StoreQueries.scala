@@ -186,7 +186,55 @@ object StoreQueries {
       |  SELECT source, n_chars FROM documents WHERE source = 'src1')
       |GROUP BY source ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- q226
+
+  /** q226: incremental maintenance of a JOIN view — the bilinear delta
+    * rule V(A+ΔA, B+ΔB) = V(A,B) + V(ΔA,B) + V(A,ΔB) + V(ΔA,ΔB),
+    * the identity every join-view maintainer (Materialize, DBSP,
+    * Delta-of-Delta engines) is built on. q101 maintains an ADDITIVE
+    * aggregate; this maintains a two-table join view (per-nation order
+    * count + revenue over customer⋈orders) under simultaneous deltas on
+    * BOTH sides. The engine computes the view as the four-term sum —
+    * at scale the three Δ-terms broadcast the (small) delta side, so a
+    * refresh costs |Δ| work, never a base-base re-join — and the
+    * oracle recomputes the view from the full tables: if any delta
+    * term is missing, double-counted, or mis-joined, the hash breaks.
+    * Revenue folds in exact DECIMAL (re-aggregation of partial sums is
+    * order-free). */
+  def q226IvmJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.Tables.{customer, orders}
+    val c = customer(s, d)
+    val o = orders(s, d)
+    // deterministic splits standing in for "yesterday's base + today's
+    // delta" on both dimensions
+    val (cb, cd) = ($"c_custkey" % 10 =!= 0, $"c_custkey" % 10 === 0)
+    val (ob, od) = ($"o_orderkey" % 7 =!= 0, $"o_orderkey" % 7 === 0)
+    def view(cs: DataFrame, os: DataFrame): DataFrame =
+      cs.join(os, $"c_custkey" === $"o_custkey")
+        .groupBy($"c_nationkey".cast("bigint").as("nation"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum($"o_totalprice".cast("decimal(28,6)")).as("rev"))
+    val terms = Seq(
+      view(c.filter(cb), o.filter(ob)), view(c.filter(cd), o.filter(ob)),
+      view(c.filter(cb), o.filter(od)), view(c.filter(cd), o.filter(od)))
+    terms.reduce(_ unionByName _)
+      .groupBy($"nation")
+      .agg(sum($"n_orders").as("n_orders"),
+        graft.functions.TextFunctions.roundp(sum($"rev").cast("double"), 2)
+          .as("revenue"))
+      .orderBy($"nation")
+  }
+
+  val q226Sql: String =
+    """SELECT c_nationkey::BIGINT AS nation, count(*)::BIGINT AS n_orders,
+      |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+      |    * 100.0) / 100.0 AS revenue
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q226_ivm_join" -> (q226IvmJoin _),
     "q90_merge_upsert"     -> (q90MergeUpsert _),
     "q91_change_feed"      -> (q91ChangeFeed _),
     "q92_zorder_key"       -> (q92ZOrderKey _),
@@ -195,6 +243,7 @@ object StoreQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q226_ivm_join" -> q226Sql,
     "q90_merge_upsert"     -> q90Sql,
     "q91_change_feed"      -> q91Sql,
     "q92_zorder_key"       -> q92Sql,
