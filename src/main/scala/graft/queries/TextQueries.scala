@@ -1561,7 +1561,96 @@ object TextQueries {
        |FROM a""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q227
+
+  /** q227: chi-square homogeneity — is the language mix independent of
+    * source? (The intake audit that catches one crawl feeding you a
+    * different language balance than the rest.) One (source × lang)
+    * contingency aggregation; the margins re-aggregate the persisted
+    * contingency frame (tiny) and broadcast back; χ² = Σ(o−e)²/e with
+    * e = rowΣ·colΣ/N — every input an exact BIGINT, the statistic one
+    * identical-IEEE double expression. Output is the statistic + dof
+    * (the decision threshold lives in the caller's χ² table — no CDF
+    * in either engine). */
+  def q227Chi2Homogeneity(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cont = graft.ops.ScratchCache.register(documents(s, d)
+      .groupBy($"source", $"lang").agg(count(lit(1)).as("o")).persist())
+    val rows = cont.groupBy($"source").agg(sum($"o").as("rs"))
+    val cols = cont.groupBy($"lang").agg(sum($"o").as("cs"))
+    val tot = cont.agg(sum($"o").as("n"),
+      countDistinct($"source").as("nr"), countDistinct($"lang").as("nc"))
+    val e = $"rs".cast("double") * $"cs".cast("double") / $"n".cast("double")
+    cont.join(broadcast(rows), Seq("source"))
+      .join(broadcast(cols), Seq("lang"))
+      .crossJoin(broadcast(tot))
+      .select((($"o".cast("double") - e) * ($"o".cast("double") - e) / e)
+        .as("term"), $"nr", $"nc")
+      .groupBy($"nr", $"nc")
+      .agg(roundp(sum($"term"), 6).as("chi2"))
+      .select((($"nr" - 1) * ($"nc" - 1)).as("dof"), $"chi2")
+  }
+
+  val q227Sql: String =
+    s"""WITH c AS (SELECT source, lang, count(*)::BIGINT AS o
+       |  FROM documents GROUP BY 1, 2),
+       |r AS (SELECT source, sum(o)::BIGINT AS rs FROM c GROUP BY 1),
+       |l AS (SELECT lang, sum(o)::BIGINT AS cs FROM c GROUP BY 1),
+       |t AS (SELECT sum(o)::BIGINT AS n,
+       |    count(DISTINCT source)::BIGINT AS nr,
+       |    count(DISTINCT lang)::BIGINT AS nc FROM c),
+       |terms AS (SELECT nr, nc,
+       |    (o::DOUBLE - rs::DOUBLE * cs::DOUBLE / n::DOUBLE)
+       |      * (o::DOUBLE - rs::DOUBLE * cs::DOUBLE / n::DOUBLE)
+       |      / (rs::DOUBLE * cs::DOUBLE / n::DOUBLE) AS term
+       |  FROM c JOIN r USING (source) JOIN l USING (lang) CROSS JOIN t)
+       |SELECT ((nr - 1) * (nc - 1))::BIGINT AS dof,
+       |  ${DuckSql.roundpSql("sum(term)", 6)} AS chi2
+       |FROM terms GROUP BY nr, nc""".stripMargin
+
+  // ---------------------------------------------------------------- q228
+
+  /** q228: Chao1 vocabulary-richness estimate per source — from the
+    * observed vocabulary and its singleton/doubleton counts, the
+    * species-richness lower bound Ŝ = V + f₁(f₁−1)/(2(f₂+1)) (the
+    * bias-corrected form, defined at f₂ = 0): "how much vocabulary is
+    * this source still hiding?" — the saturation check before deciding
+    * a crawl is exhausted. Two hash aggregations (token counts →
+    * frequency-of-frequency), exact integers until the one output
+    * division. */
+  def q228VocabChao1(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val tf = documents(s, d)
+      .select($"source", explode(tokens($"text")).as("w"))
+      .groupBy($"source", $"w").agg(count(lit(1)).as("c"))
+    tf.groupBy($"source")
+      .agg(sum($"c").as("n_tokens"), count(lit(1)).as("v_obs"),
+        sum(when($"c" === 1, 1L).otherwise(0L)).as("f1"),
+        sum(when($"c" === 2, 1L).otherwise(0L)).as("f2"))
+      .select($"source", $"n_tokens", $"v_obs", $"f1", $"f2",
+        roundp($"v_obs" + $"f1".cast("double") * ($"f1" - 1).cast("double")
+          / (lit(2.0) * ($"f2" + 1).cast("double")), 2).as("chao1"))
+      .orderBy($"source")
+  }
+
+  val q228Sql: String =
+    s"""WITH tf AS (SELECT source, w, count(*)::BIGINT AS c
+       |  FROM (SELECT source, unnest(${DuckSql.tokensSql}) AS w
+       |        FROM documents) GROUP BY 1, 2),
+       |a AS (SELECT source, sum(c)::BIGINT AS n_tokens,
+       |    count(*)::BIGINT AS v_obs,
+       |    sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT AS f1,
+       |    sum(CASE WHEN c = 2 THEN 1 ELSE 0 END)::BIGINT AS f2
+       |  FROM tf GROUP BY 1)
+       |SELECT source, n_tokens, v_obs, f1, f2,
+       |  ${DuckSql.roundpSql(
+            "v_obs + f1::DOUBLE * (f1 - 1)::DOUBLE / (2.0 * (f2 + 1)::DOUBLE)",
+            2)} AS chao1
+       |FROM a ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q227_chi2_homogeneity" -> (q227Chi2Homogeneity _),
+    "q228_vocab_chao1" -> (q228VocabChao1 _),
     "q223_vocab_drift" -> (q223VocabDrift _),
     "q220_auc_rank" -> (q220AucLatinEn _),
     "q217_spearman" -> (q217SpearmanLenDiversity _),
@@ -1595,6 +1684,8 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q227_chi2_homogeneity" -> q227Sql,
+    "q228_vocab_chao1" -> q228Sql,
     "q223_vocab_drift" -> q223Sql,
     "q220_auc_rank" -> q220Sql,
     "q217_spearman" -> q217Sql,
