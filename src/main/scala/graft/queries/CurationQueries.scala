@@ -1321,21 +1321,29 @@ object CurationQueries {
     import s.implicits._
     import graft.functions.TextFunctions.{polyHash, tokens}
     val B = 64
-    val toks = documents(s, d)
+    // pre-aggregate the token explode to per-(doc, bucket) counts ONCE:
+    // the old form re-ran the explode for the score join (two corpus
+    // passes); td is ≤ |docs|·B rows and every later step is tiny. The
+    // per-doc average becomes the c-weighted bucket average — the same
+    // value, with the oracle restructured identically so the float fold
+    // order matches term for term.
+    val td = documents(s, d)
       .select($"doc_id", $"source", $"lang", explode(tokens($"text")).as("w"))
-      .select($"doc_id", $"source", $"lang",
+      .groupBy($"doc_id", $"source", $"lang",
         pmod(polyHash($"w"), lit(B.toLong)).as("b"))
-    val bk = toks.groupBy($"b").agg(
-      sum(when($"lang" === "en", 1L).otherwise(0L)).as("ct"),
-      count(lit(1)).as("cr"))
+      .agg(count(lit(1)).as("c"))
+    val bk = td.groupBy($"b").agg(
+      sum(when($"lang" === "en", $"c").otherwise(0L)).as("ct"),
+      sum($"c").as("cr"))
     val n = bk.agg(sum($"ct").as("nt"), sum($"cr").as("nr"))
-    toks.join(broadcast(bk), Seq("b")).crossJoin(broadcast(n))
-      .select($"doc_id", $"source",
+    td.join(broadcast(bk), Seq("b")).crossJoin(broadcast(n))
+      .select($"doc_id", $"source", $"c",
         (log(($"ct" + lit(1.0)) / ($"nt" + lit(B.toDouble))) -
           log(($"cr" + lit(1.0)) / ($"nr" + lit(B.toDouble)))).as("lr"))
       .groupBy($"doc_id", $"source")
-      .agg(count(lit(1)).as("n_tokens"),
-        (roundp(avg($"lr"), 6) + lit(0.0)).as("dsir_score"))
+      .agg(sum($"c").as("n_tokens"),
+        (roundp(sum($"c" * $"lr") / sum($"c"), 6) + lit(0.0))
+          .as("dsir_score"))
       .orderBy($"dsir_score".desc, $"doc_id")
       .limit(50)
   }
@@ -1344,17 +1352,18 @@ object CurationQueries {
     val ws = DuckSql.tokensSql
     s"""WITH toks AS (SELECT doc_id, source, lang, unnest($ws) AS w
        |  FROM documents),
-       |h AS (SELECT doc_id, source, lang,
-       |    (${DuckSql.polyHashSql("w")}) % 64 AS b FROM toks),
+       |td AS (SELECT doc_id, source, lang,
+       |    (${DuckSql.polyHashSql("w")}) % 64 AS b,
+       |    count(*)::BIGINT AS c FROM toks GROUP BY 1, 2, 3, 4),
        |bk AS (SELECT b,
-       |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS ct,
-       |    count(*)::BIGINT AS cr FROM h GROUP BY 1),
+       |    sum(CASE WHEN lang = 'en' THEN c ELSE 0 END)::BIGINT AS ct,
+       |    sum(c)::BIGINT AS cr FROM td GROUP BY 1),
        |n AS (SELECT sum(ct)::BIGINT AS nt, sum(cr)::BIGINT AS nr FROM bk),
-       |sc AS (SELECT doc_id, source,
+       |sc AS (SELECT doc_id, source, c,
        |    ln((ct + 1.0) / (nt + 64.0)) - ln((cr + 1.0) / (nr + 64.0)) AS lr
-       |  FROM h JOIN bk USING (b), n)
-       |SELECT doc_id, source, count(*)::BIGINT AS n_tokens,
-       |  ${DuckSql.roundpSql("avg(lr)", 6)} + 0.0 AS dsir_score
+       |  FROM td JOIN bk USING (b), n)
+       |SELECT doc_id, source, sum(c)::BIGINT AS n_tokens,
+       |  ${DuckSql.roundpSql("sum(c * lr) / sum(c)", 6)} + 0.0 AS dsir_score
        |FROM sc GROUP BY 1, 2
        |ORDER BY dsir_score DESC, doc_id LIMIT 50""".stripMargin
   }
