@@ -735,7 +735,74 @@ object EventAnalytics {
        |SELECT segment::BIGINT AS segment, count(*)::BIGINT AS n_users
        |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q229
+
+  /** q229: linear multi-touch attribution — each purchase's value split
+    * equally across the user's clicks in the trailing 24 h, credited to
+    * the click's hour-of-day: the "which hours drive revenue" report,
+    * with an explicit hour = −1 row for unattributed purchases (no
+    * touch in window) so the value column still totals the business
+    * number. The touch join is user-keyed (shuffle on user_id, band
+    * predicate as the residual — q50's stream-join shape in batch);
+    * per-purchase touch counts are a pid-PARTITIONED window over the
+    * (small) pair frame; allocations quantize to exact micro-units
+    * (`round(value·10⁶/n)`) BEFORE summing, so the per-hour totals fold
+    * in BIGINT and engine summation order cannot move a cent. */
+  def q229Multitouch(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val h24 = 24L * 3600000000L
+    val ev = events(s, d)
+    val p = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id".as("pid"),
+        unix_micros($"ts").as("pus"), $"value")
+    val c = ev.filter($"event_type" === "click")
+      .select($"user_id", hour($"ts").cast("bigint").as("click_hour"),
+        unix_micros($"ts").as("cus"))
+    val pairs = p.join(c, Seq("user_id"))
+      .filter($"cus" <= $"pus" && $"cus" > $"pus" - h24)
+      .select($"pid", $"value", $"click_hour")
+    val wn = org.apache.spark.sql.expressions.Window.partitionBy($"pid")
+    val alloc = pairs
+      .withColumn("n", count(lit(1)).over(wn))
+      .select($"click_hour",
+        round($"value" * lit(1e6) / $"n").cast("bigint").as("micro"))
+    val byHour = alloc.groupBy($"click_hour")
+      .agg(count(lit(1)).as("n_touches"), sum($"micro").as("m"))
+    val unattr = p
+      .join(pairs.select($"pid").distinct(), Seq("pid"), "left_anti")
+      .agg(count(lit(1)).as("n_touches"),
+        sum(round($"value" * lit(1e6)).cast("bigint")).as("m"))
+      .select(lit(-1L).as("click_hour"), $"n_touches", $"m")
+    byHour.unionByName(unattr)
+      .select($"click_hour", $"n_touches",
+        roundp($"m" / lit(1e6), 2).as("attributed_rev"))
+      .orderBy($"click_hour")
+  }
+
+  val q229Sql: String =
+    s"""WITH p AS (SELECT user_id, event_id AS pid, epoch_us(ts) AS pus,
+       |    value FROM events WHERE event_type = 'purchase'),
+       |c AS (SELECT user_id, hour(ts)::BIGINT AS click_hour,
+       |    epoch_us(ts) AS cus FROM events WHERE event_type = 'click'),
+       |pairs AS (SELECT pid, value, click_hour
+       |  FROM p JOIN c USING (user_id)
+       |  WHERE cus <= pus AND cus > pus - 86400000000),
+       |alloc AS (SELECT click_hour,
+       |    round(value * 1e6 / (count(*) OVER (PARTITION BY pid)))::BIGINT
+       |      AS micro
+       |  FROM pairs),
+       |byh AS (SELECT click_hour, count(*)::BIGINT AS n_touches,
+       |    sum(micro)::BIGINT AS m FROM alloc GROUP BY 1),
+       |un AS (SELECT -1::BIGINT AS click_hour, count(*)::BIGINT AS n_touches,
+       |    sum(round(value * 1e6)::BIGINT)::BIGINT AS m
+       |  FROM p WHERE pid NOT IN (SELECT pid FROM pairs))
+       |SELECT click_hour, n_touches,
+       |  ${DuckSql.roundpSql("m / 1e6", 2)} AS attributed_rev
+       |FROM (SELECT * FROM byh UNION ALL SELECT * FROM un)
+       |ORDER BY click_hour""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q229_multitouch" -> (q229Multitouch _),
     "q225_rfm_segments" -> (q225RfmSegments _),
     "q215_conversion_latency" -> (q215ConversionLatency _),
     "q212_gap_histogram"  -> (q212GapHistogram _),
@@ -755,6 +822,7 @@ object EventAnalytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "q229_multitouch" -> q229Sql,
     "q225_rfm_segments" -> q225Sql,
     "q215_conversion_latency" -> q215Sql,
     "q212_gap_histogram" -> q212Sql,
