@@ -801,7 +801,44 @@ object EventAnalytics {
        |FROM (SELECT * FROM byh UNION ALL SELECT * FROM un)
        |ORDER BY click_hour""".stripMargin
 
+  // ---------------------------------------------------------------- q230
+
+  /** q230: exponentially-decayed activity ranking — per event type, the
+    * half-life-weighted event mass (τ½ = 7 days against the corpus'
+    * max timestamp): the "what's trending NOW" view that a plain count
+    * can't give because it weighs a year-old click like yesterday's.
+    * Every per-event weight 2^(−age/τ½) quantizes to nano-units
+    * (`round(w·10⁹)` — identical double → identical integer in both
+    * engines) BEFORE the sum, so the fold is exact BIGINT and engine
+    * reduction order cannot move the output. The reference "now" is a
+    * 1-row max broadcast (one cheap column scan — parquet min/max
+    * stats serve it in a stats-aware reader). */
+  def q230DecayedRank(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val halfLifeUs = 7.0 * 86400000000.0
+    val ev = events(s, d).select($"event_type", unix_micros($"ts").as("us"))
+    val now = ev.agg(max($"us").as("now_us"))
+    val w = pow(lit(0.5), ($"now_us" - $"us").cast("double") / halfLifeUs)
+    ev.crossJoin(broadcast(now))
+      .select($"event_type", round(w * lit(1e9)).cast("bigint").as("nw"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        roundp(sum($"nw") / lit(1e9), 4).as("decayed_mass"))
+      .orderBy($"decayed_mass".desc, $"event_type")
+  }
+
+  val q230Sql: String =
+    s"""WITH e AS (SELECT event_type, epoch_us(ts) AS us FROM events),
+       |n AS (SELECT max(us) AS now_us FROM e)
+       |SELECT event_type, count(*)::BIGINT AS n_events,
+       |  ${DuckSql.roundpSql(
+            "sum(round(pow(0.5, (now_us - us)::DOUBLE / 604800000000.0) " +
+            "* 1e9)::BIGINT) / 1e9", 4)} AS decayed_mass
+       |FROM e CROSS JOIN n GROUP BY event_type
+       |ORDER BY decayed_mass DESC, event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q230_decayed_rank" -> (q230DecayedRank _),
     "q229_multitouch" -> (q229Multitouch _),
     "q225_rfm_segments" -> (q225RfmSegments _),
     "q215_conversion_latency" -> (q215ConversionLatency _),
@@ -822,6 +859,7 @@ object EventAnalytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "q230_decayed_rank" -> q230Sql,
     "q229_multitouch" -> q229Sql,
     "q225_rfm_segments" -> q225Sql,
     "q215_conversion_latency" -> q215Sql,
