@@ -382,6 +382,34 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpecBase {
     assert(winLines.nonEmpty && winLines.forall(_.contains("source")), plan)
   }
 
+  test("q229 multitouch: touch counts are pid-PARTITIONED windows; the touch join is a hash join on user_id") {
+    val df = graft.queries.EventAnalytics.q229Multitouch(spark, sfSmoke)
+    val plan = planStr(df)
+    val winLines = plan.split('\n').filter(_.contains("Window"))
+    assert(winLines.forall(_.contains("pid")), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("q226 join-view IVM: four equi hash joins, no cartesian, no window") {
+    val df = graft.queries.StoreQueries.q226IvmJoin(spark, sfSmoke)
+    val plan = planStr(df)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
+  test("q174 source-type loss: the |t1|-row owner join is GONE — only source-keyed joins remain") {
+    val df = graft.queries.CurationQueries.q174SourceTypeLoss(spark, sfSmoke)
+    val plan = planStr(df)
+    // the old plan joined t1 (corpus-shingle-sized) to owners on h; the
+    // rewritten plan's only equi-join keys on source (20 rows a side)
+    val joinLines = plan.split('\n').filter(l =>
+      l.contains("HashJoin") && !l.contains("BroadcastNestedLoop"))
+    assert(joinLines.forall(l => l.contains("source")), plan)
+    graft.ops.ScratchCache.releaseAll()
+  }
+
   test("q45 PQ ADC scan is the intended broadcast-NLJ; candidates rank via aggregate") {
     val emb = Tables.embeddings(spark, sfSmoke)
     val idx = graft.ops.PqIndex.build(emb, "vec_id", "embedding", m = 8, ksub = 16)
