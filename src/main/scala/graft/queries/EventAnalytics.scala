@@ -837,7 +837,74 @@ object EventAnalytics {
        |FROM e CROSS JOIN n GROUP BY event_type
        |ORDER BY decayed_mass DESC, event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q232
+
+  /** q232: peak demand window (Kadane via running windows) — per event
+    * type, the maximum-sum contiguous DAY RANGE of demeaned daily value
+    * (the stretch that most outperformed that type's average day): max
+    * subarray = prefix_d − min(0, min of earlier prefixes), all from
+    * type-PARTITIONED ordered windows — the linear-scan algorithm
+    * expressed relationally, no self-join over day pairs (the naive
+    * all-ranges form is |days|² per type). Exactness: daily masses and
+    * the mean derive from DECIMAL sums; per-day deviations quantize to
+    * exact micro-units BEFORE the running sums, so every window fold is
+    * integer. */
+  def q232BestRun(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val W = org.apache.spark.sql.expressions.Window
+    val daily = events(s, d)
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(sum($"value".cast("decimal(28,6)")).as("dv"))
+    val wType = W.partitionBy($"event_type")
+    val demeaned = daily
+      .withColumn("mean",
+        sum($"dv").over(wType).cast("double") /
+          count(lit(1)).over(wType).cast("double"))
+      .select($"event_type", $"day",
+        round(($"dv".cast("double") - $"mean") * lit(1e6)).cast("bigint")
+          .as("dev"))
+    val wRun = wType.orderBy($"day")
+    val cand = demeaned
+      .withColumn("prefix", sum($"dev").over(
+        wRun.rowsBetween(W.unboundedPreceding, W.currentRow)))
+      .withColumn("min_prior", min($"prefix").over(
+        wRun.rowsBetween(W.unboundedPreceding, -1)))
+      .select($"event_type",
+        ($"prefix" - least(coalesce($"min_prior", lit(0L)), lit(0L)))
+          .as("c"))
+    cand.groupBy($"event_type")
+      .agg(count(lit(1)).as("n_days"),
+        roundp(max($"c") / lit(1e6), 2).as("best_run"))
+      .orderBy($"event_type")
+  }
+
+  val q232Sql: String =
+    s"""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+       |    sum(CAST(value AS DECIMAL(28,6))) AS dv
+       |  FROM events GROUP BY 1, 2),
+       |dm AS (SELECT event_type, day,
+       |    round((dv::DOUBLE
+       |      - CAST(sum(dv) OVER (PARTITION BY event_type) AS DOUBLE)
+       |        / (count(*) OVER (PARTITION BY event_type))::DOUBLE)
+       |      * 1e6)::BIGINT AS dev
+       |  FROM daily),
+       |pfx AS (SELECT event_type, day,
+       |    sum(dev) OVER (PARTITION BY event_type ORDER BY day
+       |      ROWS UNBOUNDED PRECEDING) AS prefix
+       |  FROM dm),
+       |pf AS (SELECT event_type, prefix,
+       |    min(prefix) OVER (PARTITION BY event_type ORDER BY day
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |      AS min_prior
+       |  FROM pfx)
+       |SELECT event_type, count(*)::BIGINT AS n_days,
+       |  ${DuckSql.roundpSql(
+            "max(prefix - least(coalesce(min_prior, 0), 0)) / 1e6", 2)}
+       |    AS best_run
+       |FROM pf GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q232_best_run" -> (q232BestRun _),
     "q230_decayed_rank" -> (q230DecayedRank _),
     "q229_multitouch" -> (q229Multitouch _),
     "q225_rfm_segments" -> (q225RfmSegments _),
@@ -859,6 +926,7 @@ object EventAnalytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "q232_best_run" -> q232Sql,
     "q230_decayed_rank" -> q230Sql,
     "q229_multitouch" -> q229Sql,
     "q225_rfm_segments" -> q225Sql,

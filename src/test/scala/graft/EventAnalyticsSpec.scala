@@ -102,4 +102,30 @@ class EventAnalyticsSpec extends AnyFunSuite with SparkSpecBase {
     val b = SparkEntry.queries("q36_sessionize")(spark, sfSmoke).collect()
     assert(a.map(_.toSeq).toSet == b.map(_.toSeq).toSet && a.nonEmpty)
   }
+
+  test("q232's Kadane prefix trick equals brute-force max subarray on the demeaned daily series") {
+    // both engines replay the SAME formula, so the oracle gate alone
+    // can't catch a wrong formula — pin it against O(n²) enumeration
+    // on the real fixture's per-type demeaned series
+    val daily = Tables.events(spark, sfSmoke)
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(sum($"value".cast("decimal(28,6)")).as("dv"))
+      .collect()
+      .groupBy(_.getString(0))
+    val got = SparkEntry.queries("q232_best_run")(spark, sfSmoke)
+      .collect().map(r =>
+        r.getString(0) -> r.getAs[Double]("best_run")).toMap
+    daily.foreach { case (et, rows) =>
+      val decs = rows.sortBy(_.getDate(1).toString).map(_.getDecimal(2))
+      val dvs = decs.map(_.doubleValue())
+      // mean EXACTLY as the engine: exact decimal sum, then one double div
+      val mean = decs.reduce(_ add _).doubleValue() / dvs.length
+      val dev = dvs.map(v => math.round((v - mean) * 1e6))
+      val brute = (for {
+        i <- dev.indices; j <- i until dev.length
+      } yield dev.slice(i, j + 1).sum).max
+      val expect = math.round(brute / 1e6 * 100) / 100.0
+      assert(got(et) == expect, s"$et: kadane ${got(et)} vs brute $expect")
+    }
+  }
 }
