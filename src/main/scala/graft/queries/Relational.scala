@@ -979,7 +979,52 @@ object Relational {
        |WHERE rev * 2000 > total_rev
        |ORDER BY revenue DESC, l_partkey""".stripMargin
 
+  // ---------------------------------------------------------------- q231
+
+  /** q231: order-to-ship latency trend — p50/p95 of (l_shipdate −
+    * o_orderdate) per order month: the fulfillment-SLA dashboard, and
+    * the shape that matters is WHERE the percentile runs: per
+    * (month) group over integral day-latencies, exact `percentile`
+    * (map-side partial aggregation of a bounded counter map — latency
+    * domain is small integers), never a global sort. Latency in whole
+    * days (µs div 86400·10⁶ — exact integer both engines). */
+  def q231ShipLatencyTrend(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val lat = lineitem(s, d)
+      .select($"l_orderkey", unix_micros($"l_shipdate").as("sus"))
+      .join(orders(s, d).select($"o_orderkey",
+        unix_micros($"o_orderdate").as("ous"),
+        date_format($"o_orderdate", "yyyy-MM").as("month")),
+        $"l_orderkey" === $"o_orderkey")
+      // FLOOR division, not `div`: the synthetic data has ship-before-
+      // order lines (negative latencies), where Spark's `div` truncates
+      // toward zero but DuckDB's `//` floors — the pmod form floors
+      // exactly in integer arithmetic on both signs
+      .select($"month",
+        expr("(sus - ous - pmod(sus - ous, 86400000000)) div 86400000000")
+          .as("lat_days"))
+    import graft.functions.TextFunctions.roundp
+    lat.groupBy($"month")
+      .agg(count(lit(1)).as("n_lines"),
+        expr("percentile(lat_days, array(0.5, 0.95))").as("ps"))
+      .select($"month", $"n_lines",
+        roundp($"ps"(0), 2).as("p50_days"),
+        roundp($"ps"(1), 2).as("p95_days"))
+      .orderBy($"month")
+  }
+
+  val q231Sql: String =
+    s"""WITH lat AS (SELECT strftime(o_orderdate, '%Y-%m') AS month,
+       |    (epoch_us(l_shipdate) - epoch_us(o_orderdate))
+       |      // 86400000000 AS lat_days
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+       |SELECT month, count(*)::BIGINT AS n_lines,
+       |  round(quantile_cont(lat_days, 0.5) * 100.0) / 100.0 AS p50_days,
+       |  round(quantile_cont(lat_days, 0.95) * 100.0) / 100.0 AS p95_days
+       |FROM lat GROUP BY month ORDER BY month""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q231_ship_latency" -> (q231ShipLatencyTrend _),
     "q216_revenue_concentration" -> (q216RevenueConcentration _),
     "q207_product_profit" -> (q207ProductProfit _),
     "q208_small_qty_revenue" -> (q208SmallQtyRevenue _),
@@ -1014,6 +1059,7 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q231_ship_latency" -> q231Sql,
     "q216_revenue_concentration" -> q216Sql,
     "q207_product_profit" -> q207Sql,
     "q208_small_qty_revenue" -> q208Sql,
