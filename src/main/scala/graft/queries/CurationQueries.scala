@@ -1321,29 +1321,29 @@ object CurationQueries {
     import s.implicits._
     import graft.functions.TextFunctions.{polyHash, tokens}
     val B = 64
-    // pre-aggregate the token explode to per-(doc, bucket) counts ONCE:
-    // the old form re-ran the explode for the score join (two corpus
-    // passes); td is ≤ |docs|·B rows and every later step is tiny. The
-    // per-doc average becomes the c-weighted bucket average — the same
-    // value, with the oracle restructured identically so the float fold
-    // order matches term for term.
-    val td = documents(s, d)
+    // two explode passes ON PURPOSE: each feeds an aggregation with
+    // near-total map-side combine (64 bucket keys; |docs| doc keys), so
+    // the shuffles are tiny and the explode is shuffle-free CPU. The
+    // "obvious" fix — pre-aggregating to per-(doc, bucket) counts so the
+    // explode runs once — was measured WORSE (1.13 → 1.84 s at sf0.1,
+    // +63% against a +3% host-drift baseline): the (doc×64)-key shuffle
+    // it introduces dwarfs the explode it saves, at any scale where
+    // |docs|·B outgrows the post-combine partials.
+    val toks = documents(s, d)
       .select($"doc_id", $"source", $"lang", explode(tokens($"text")).as("w"))
-      .groupBy($"doc_id", $"source", $"lang",
+      .select($"doc_id", $"source", $"lang",
         pmod(polyHash($"w"), lit(B.toLong)).as("b"))
-      .agg(count(lit(1)).as("c"))
-    val bk = td.groupBy($"b").agg(
-      sum(when($"lang" === "en", $"c").otherwise(0L)).as("ct"),
-      sum($"c").as("cr"))
+    val bk = toks.groupBy($"b").agg(
+      sum(when($"lang" === "en", 1L).otherwise(0L)).as("ct"),
+      count(lit(1)).as("cr"))
     val n = bk.agg(sum($"ct").as("nt"), sum($"cr").as("nr"))
-    td.join(broadcast(bk), Seq("b")).crossJoin(broadcast(n))
-      .select($"doc_id", $"source", $"c",
+    toks.join(broadcast(bk), Seq("b")).crossJoin(broadcast(n))
+      .select($"doc_id", $"source",
         (log(($"ct" + lit(1.0)) / ($"nt" + lit(B.toDouble))) -
           log(($"cr" + lit(1.0)) / ($"nr" + lit(B.toDouble)))).as("lr"))
       .groupBy($"doc_id", $"source")
-      .agg(sum($"c").as("n_tokens"),
-        (roundp(sum($"c" * $"lr") / sum($"c"), 6) + lit(0.0))
-          .as("dsir_score"))
+      .agg(count(lit(1)).as("n_tokens"),
+        (roundp(avg($"lr"), 6) + lit(0.0)).as("dsir_score"))
       .orderBy($"dsir_score".desc, $"doc_id")
       .limit(50)
   }
@@ -1352,18 +1352,17 @@ object CurationQueries {
     val ws = DuckSql.tokensSql
     s"""WITH toks AS (SELECT doc_id, source, lang, unnest($ws) AS w
        |  FROM documents),
-       |td AS (SELECT doc_id, source, lang,
-       |    (${DuckSql.polyHashSql("w")}) % 64 AS b,
-       |    count(*)::BIGINT AS c FROM toks GROUP BY 1, 2, 3, 4),
+       |h AS (SELECT doc_id, source, lang,
+       |    (${DuckSql.polyHashSql("w")}) % 64 AS b FROM toks),
        |bk AS (SELECT b,
-       |    sum(CASE WHEN lang = 'en' THEN c ELSE 0 END)::BIGINT AS ct,
-       |    sum(c)::BIGINT AS cr FROM td GROUP BY 1),
+       |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS ct,
+       |    count(*)::BIGINT AS cr FROM h GROUP BY 1),
        |n AS (SELECT sum(ct)::BIGINT AS nt, sum(cr)::BIGINT AS nr FROM bk),
-       |sc AS (SELECT doc_id, source, c,
+       |sc AS (SELECT doc_id, source,
        |    ln((ct + 1.0) / (nt + 64.0)) - ln((cr + 1.0) / (nr + 64.0)) AS lr
-       |  FROM td JOIN bk USING (b), n)
-       |SELECT doc_id, source, sum(c)::BIGINT AS n_tokens,
-       |  ${DuckSql.roundpSql("sum(c * lr) / sum(c)", 6)} + 0.0 AS dsir_score
+       |  FROM h JOIN bk USING (b), n)
+       |SELECT doc_id, source, count(*)::BIGINT AS n_tokens,
+       |  ${DuckSql.roundpSql("avg(lr)", 6)} + 0.0 AS dsir_score
        |FROM sc GROUP BY 1, 2
        |ORDER BY dsir_score DESC, doc_id LIMIT 50""".stripMargin
   }
@@ -1583,9 +1582,11 @@ object CurationQueries {
     // shuffle — is unnecessary: sole-type counts aggregate from the
     // |types|-sized owners frame directly (cold-subset 1.36 s vs the old
     // plan's 1.71 s warm full-run; the |t1|-row join is gone either way)
-    val owners = graft.ops.ScratchCache.register(t1.groupBy($"h")
+    // owners is consumed twice (tot + sole) but derives from the
+    // PERSISTED t1, so recomputing it is one cached-scan aggregation —
+    // cheaper than its own cache fill
+    val owners = t1.groupBy($"h")
       .agg(count(lit(1)).as("n_src"), min($"source").as("solo_src"))
-      .persist())
     val tot = owners.agg(count(lit(1)).as("n_types"))
     val sole = owners.filter($"n_src" === 1L)
       .groupBy($"solo_src".as("source"))
