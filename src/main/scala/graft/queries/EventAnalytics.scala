@@ -903,7 +903,134 @@ object EventAnalytics {
        |    AS best_run
        |FROM pf GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q233
+
+  /** q233: single change-point detection — per event type, the day
+    * split that maximizes |mean(before) − mean(after)| of daily event
+    * counts (binary segmentation's first cut, the "when did the rate
+    * change" question). Every split is scored from ONE prefix-sum pass
+    * (type-PARTITIONED running window over daily counts — never a
+    * |days|² self-join of candidate splits), the argmax is a rank
+    * window on a quantized score with the day as the deterministic
+    * tiebreak, and all means derive from exact BIGINT prefix sums. */
+  def q233Changepoint(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val W = org.apache.spark.sql.expressions.Window
+    val daily = events(s, d)
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("c"))
+    val wT = W.partitionBy($"event_type")
+    val wRun = wT.orderBy($"day")
+    val scored = daily
+      .withColumn("i", row_number().over(wRun).cast("bigint"))
+      .withColumn("p", sum($"c").over(
+        wRun.rowsBetween(W.unboundedPreceding, W.currentRow)))
+      .withColumn("n", count(lit(1)).over(wT))
+      .withColumn("t", sum($"c").over(wT))
+      .filter($"i" < $"n") // a split needs a non-empty right side
+      .withColumn("mean_l", $"p".cast("double") / $"i".cast("double"))
+      .withColumn("mean_r", ($"t" - $"p").cast("double") /
+        ($"n" - $"i").cast("double"))
+      .withColumn("delta", abs($"mean_l" - $"mean_r"))
+    val best = scored
+      .withColumn("rn", row_number().over(wT.orderBy(
+        round($"delta" * 1e9).cast("bigint").desc, $"day")))
+      .filter($"rn" === 1)
+    best.select($"event_type", $"day".as("split_after"),
+        $"n".as("n_days"),
+        roundp($"mean_l", 4).as("mean_before"),
+        roundp($"mean_r", 4).as("mean_after"),
+        roundp($"delta", 4).as("delta"))
+      .orderBy($"event_type")
+  }
+
+  val q233Sql: String =
+    s"""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+       |    count(*)::BIGINT AS c FROM events GROUP BY 1, 2),
+       |sc AS (SELECT event_type, day,
+       |    row_number() OVER (PARTITION BY event_type ORDER BY day)
+       |      ::BIGINT AS i,
+       |    sum(c) OVER (PARTITION BY event_type ORDER BY day
+       |      ROWS UNBOUNDED PRECEDING) AS p,
+       |    count(*) OVER (PARTITION BY event_type)::BIGINT AS n,
+       |    sum(c) OVER (PARTITION BY event_type)::BIGINT AS t
+       |  FROM daily),
+       |m AS (SELECT event_type, day, n,
+       |    p::DOUBLE / i::DOUBLE AS mean_l,
+       |    (t - p)::DOUBLE / (n - i)::DOUBLE AS mean_r,
+       |    abs(p::DOUBLE / i::DOUBLE
+       |      - (t - p)::DOUBLE / (n - i)::DOUBLE) AS delta
+       |  FROM sc WHERE i < n),
+       |b AS (SELECT *, row_number() OVER (PARTITION BY event_type
+       |    ORDER BY round(delta * 1e9)::BIGINT DESC, day) AS rn FROM m)
+       |SELECT event_type, day AS split_after, n AS n_days,
+       |  ${DuckSql.roundpSql("mean_l", 4)} AS mean_before,
+       |  ${DuckSql.roundpSql("mean_r", 4)} AS mean_after,
+       |  ${DuckSql.roundpSql("delta", 4)} AS delta
+       |FROM b WHERE rn = 1 ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------- q234
+
+  /** q234: weekly-seasonality strength — per event type, the fraction
+    * of daily-value variance explained by the day-of-week profile:
+    * 1 − SS_resid/SS_total with SS_total = Σx² − (Σx)²/n and
+    * SS_resid = Σx² − Σ_dow S²_dow/n_dow (the one-way-ANOVA identity —
+    * two aggregations, no per-day mean join). Day-of-week is the
+    * calendar-neutral `days-since-epoch mod 7` (Spark's dayofweek and
+    * DuckDB's dayofweek disagree on numbering; integer date math
+    * doesn't). Daily masses quantize to cents, so Σx and Σx² fold in
+    * exact integers; only the ≤7-term dow fold and the final ratio are
+    * doubles (identical expressions both engines, 6dp output). */
+  def q234Seasonality(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val daily = events(s, d)
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(round(sum($"value".cast("decimal(28,6)")).cast("double") *
+        lit(100.0)).cast("bigint").as("xc"))
+      .withColumn("dow", pmod(datediff($"day", lit("1970-01-01")), lit(7)))
+    val byDow = daily.groupBy($"event_type", $"dow")
+      .agg(sum($"xc").as("sd"), count(lit(1)).as("nd"),
+        sum(($"xc" * $"xc").cast("decimal(38,0)")).as("sq"))
+    byDow.groupBy($"event_type")
+      .agg(sum($"nd").as("n_days"), sum($"sd").as("sx"),
+        sum($"sq").as("sumsq"),
+        sum($"sd".cast("double") * $"sd".cast("double") /
+          $"nd".cast("double")).as("dow_term"))
+      .select($"event_type", $"n_days",
+        roundp(
+          (lit(1.0) - ($"sumsq".cast("double") - $"dow_term") /
+            ($"sumsq".cast("double") -
+              $"sx".cast("double") * $"sx".cast("double") /
+                $"n_days".cast("double"))) * lit(1.0), 6)
+          .as("dow_strength"))
+      .orderBy($"event_type")
+  }
+
+  val q234Sql: String =
+    s"""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+       |    round(CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+       |      * 100.0)::BIGINT AS xc
+       |  FROM events GROUP BY 1, 2),
+       |dw AS (SELECT event_type,
+       |    ((day - DATE '1970-01-01') % 7 + 7) % 7 AS dow, xc FROM daily),
+       |bd AS (SELECT event_type, dow, sum(xc)::BIGINT AS sd,
+       |    count(*)::BIGINT AS nd,
+       |    sum(CAST(xc * xc AS DECIMAL(38,0))) AS sq
+       |  FROM dw GROUP BY 1, 2),
+       |a AS (SELECT event_type, sum(nd)::BIGINT AS n_days,
+       |    sum(sd)::BIGINT AS sx, sum(sq) AS sumsq,
+       |    sum(sd::DOUBLE * sd::DOUBLE / nd::DOUBLE) AS dow_term
+       |  FROM bd GROUP BY 1)
+       |SELECT event_type, n_days,
+       |  ${DuckSql.roundpSql(
+            "(1.0 - (sumsq::DOUBLE - dow_term) / (sumsq::DOUBLE " +
+            "- sx::DOUBLE * sx::DOUBLE / n_days::DOUBLE)) * 1.0", 6)}
+       |    AS dow_strength
+       |FROM a ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q233_changepoint" -> (q233Changepoint _),
+    "q234_seasonality" -> (q234Seasonality _),
     "q232_best_run" -> (q232BestRun _),
     "q230_decayed_rank" -> (q230DecayedRank _),
     "q229_multitouch" -> (q229Multitouch _),
@@ -926,6 +1053,8 @@ object EventAnalytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "q233_changepoint" -> q233Sql,
+    "q234_seasonality" -> q234Sql,
     "q232_best_run" -> q232Sql,
     "q230_decayed_rank" -> q230Sql,
     "q229_multitouch" -> q229Sql,
