@@ -65,16 +65,20 @@ object GlobalIndex {
       p += 1
     }
     val bcOffsets = spark.sparkContext.broadcast(offsets)
-    val df = ranged
-      .mapPartitions { it =>
-        var i = bcOffsets.value(TaskContext.getPartitionId())
-        it.map { case (score, id) =>
-          val r = (id, score, i)
-          i += 1
-          r
-        }
+    // mapPartitionsWithIndex, NOT TaskContext.getPartitionId(): the id
+    // must be THIS RDD's partition index. If a downstream plan pipelines
+    // this stage into a UnionRDD (observed in q235 before the fix), the
+    // task's stage-level partition id is union-shifted — an off-the-end
+    // id crashes, a small shift would mis-seed offsets SILENTLY.
+    val rdd = ranged.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var i = bcOffsets.value(pid)
+      it.map { case (score, id) =>
+        val r = (id, score, i)
+        i += 1
+        r
       }
-      .toDF("id", "score", "idx")
+    }
+    val df = spark.createDataset(rdd).toDF("id", "score", "idx")
     (df, acc)
   }
 }

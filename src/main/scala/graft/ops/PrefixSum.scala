@@ -42,12 +42,15 @@ object PrefixSum {
       p += 1
     }
     val bc = spark.sparkContext.broadcast(offsets)
-    ranged.mapPartitions { it =>
-      var run = bc.value(TaskContext.getPartitionId())
+    // mapPartitionsWithIndex, NOT TaskContext.getPartitionId(): must be
+    // THIS RDD's index — a downstream UnionRDD pipelining this stage
+    // shifts the task's stage-level partition id (see GlobalIndex)
+    spark.createDataset(ranged.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var run = bc.value(pid)
       it.map { case (k, v) =>
         run += v
         (k, v, run)
       }
-    }.toDF("k", "v", "cum")
+    }).toDF("k", "v", "cum")
   }
 }

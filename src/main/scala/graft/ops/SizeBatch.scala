@@ -80,16 +80,18 @@ object SizeBatch {
     val bcOffsets = spark.sparkContext.broadcast(offsets)
     val b = budget
 
-    // Pass 2: partition-local running sum seeded at the global offset.
-    ranged
-      .mapPartitions { it =>
-        var cum = bcOffsets.value(TaskContext.getPartitionId())
+    // Pass 2: partition-local running sum seeded at the global offset —
+    // mapPartitionsWithIndex, NOT TaskContext.getPartitionId(): must be
+    // THIS RDD's index, which a downstream UnionRDD pipelining this
+    // stage would shift (see GlobalIndex)
+    spark.createDataset(ranged.rdd.mapPartitionsWithIndex { (pid, it) =>
+        var cum = bcOffsets.value(pid)
         it.map { case (key, bytes) =>
           val batch = cum / b
           cum += bytes
           (key, bytes, batch)
         }
-      }
+      })
       .toDF("key", "n_bytes", "batch_id")
   }
 }

@@ -73,10 +73,12 @@ object Skyline {
     // Pass 2: stream each partition in cost order; only one equal-cost
     // group is ever buffered (bounded by the duplicate count of a single
     // cost value, not the partition size).
-    ranged
-      .mapPartitions { it0 =>
+    // mapPartitionsWithIndex, NOT TaskContext.getPartitionId(): must be
+    // THIS RDD's index, which a downstream UnionRDD pipelining this
+    // stage would shift (see GlobalIndex)
+    spark.createDataset(ranged.rdd.mapPartitionsWithIndex { (pid, it0) =>
         val it = it0.buffered
-        var below = bcOffsets.value(TaskContext.getPartitionId())
+        var below = bcOffsets.value(pid)
         val groups = new Iterator[Seq[(Long, Double, Long)]] {
           def hasNext: Boolean = it.hasNext
           def next(): Seq[(Long, Double, Long)] = {
@@ -93,7 +95,7 @@ object Skyline {
           if (gm > below) below = gm
           out
         }
-      }
+      })
       .toDF("id", "cost", "gain")
   }
 }

@@ -79,10 +79,11 @@ object Sweep {
 
     // Pass 2: seeded running counts; one (group, localMax) row per
     // contiguous group run per partition.
-    ranged
-      .mapPartitions { it =>
+    // mapPartitionsWithIndex, NOT TaskContext.getPartitionId(): must be
+    // THIS RDD's index, which a downstream UnionRDD pipelining this
+    // stage would shift (see GlobalIndex)
+    spark.createDataset(ranged.rdd.mapPartitionsWithIndex { (pid, it) =>
         val off = bcOffsets.value
-        val pid = TaskContext.getPartitionId()
         val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
         var g: String = null
         var run = 0L
@@ -100,7 +101,7 @@ object Sweep {
         }
         flush()
         out.iterator
-      }
+      })
       .toDF("g", "m")
       .groupBy("g")
       .agg(org.apache.spark.sql.functions.max("m").as("max_concurrent"))

@@ -1648,7 +1648,93 @@ object TextQueries {
             2)} AS chao1
        |FROM a ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- q235
+
+  /** q235: TOKEN-WEIGHTED median document length — the honest "typical
+    * document" when long docs carry most of the training mass (the
+    * unweighted median over-represents stubs). Weighted quantile =
+    * first row of the (len, doc_id)-ordered sequence whose cumulative
+    * weight crosses half the total: per source that's a source-
+    * PARTITIONED running window; the pooled '__all' row chains the two
+    * window-free two-pass ops — [[graft.ops.GlobalIndex]] (dense rank)
+    * into [[graft.ops.PrefixSum]] (cumulative weights) — never a
+    * global ORDER BY window. Integer weights → the crossing row is
+    * exact, no interpolation ambiguity between engines. */
+  def q235WeightedMedian(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val W = org.apache.spark.sql.expressions.Window
+    val docs = documents(s, d)
+      .select($"source", $"doc_id", length($"text").cast("bigint").as("len"),
+        size(tokens($"text")).cast("bigint").as("w"))
+    val wSrc = W.partitionBy($"source")
+    val wRun = wSrc.orderBy($"len", $"doc_id")
+    val per = docs
+      .withColumn("cum", sum($"w").over(
+        wRun.rowsBetween(W.unboundedPreceding, W.currentRow)))
+      .withColumn("tot", sum($"w").over(wSrc))
+      .withColumn("nd", count(lit(1)).over(wSrc))
+      .filter($"cum" * 2 >= $"tot")
+      .withColumn("rn", row_number().over(wRun))
+      .filter($"rn" === 1)
+      .select($"source", $"nd".as("n_docs"), $"tot".as("total_tokens"),
+        $"len".as("w_median_len"))
+    val parts = s.sessionState.conf.numShufflePartitions
+    val (idx, nDocs) = graft.ops.GlobalIndex.byScoreDescWithTotal(
+      docs.select((-$"len").as("s"), $"doc_id").as[(Long, Long)], parts)
+    // persisted: two consumers (the weights derivation and the final
+    // median-row join) share one rank computation. (Historical note:
+    // before GlobalIndex switched to mapPartitionsWithIndex, the final
+    // union pipelining an UNPERSISTED rank re-run would also shift its
+    // partition ids — that hazard is fixed at the op, and spec-pinned.)
+    val ranked = graft.ops.ScratchCache.register(
+      idx.select($"idx".as("k"), (-$"score").as("len"),
+        $"id".as("doc_id")).persist())
+    val weights = ranked
+      .join(docs.select($"doc_id", $"w"), Seq("doc_id"))
+      .select($"k", $"w").as[(Long, Long)]
+    val cum = graft.ops.PrefixSum.byKeyAsc(weights, parts)
+    val tot = cum.agg(max($"cum").as("tot"))
+    val pooled = cum.crossJoin(broadcast(tot))
+      .filter($"cum" * 2 >= $"tot")
+      .orderBy($"k").limit(1)
+      .join(ranked, Seq("k"))
+      .select(lit("__all").as("source"), lit(nDocs).as("n_docs"),
+        $"tot".as("total_tokens"), $"len".as("w_median_len"))
+    per.unionByName(pooled).orderBy($"source")
+  }
+
+  val q235Sql: String =
+    s"""WITH d AS (SELECT source, doc_id, len(text)::BIGINT AS len,
+       |    len(${DuckSql.tokensSql})::BIGINT AS w FROM documents),
+       |per0 AS (SELECT source, len,
+       |    sum(w) OVER (PARTITION BY source ORDER BY len, doc_id
+       |      ROWS UNBOUNDED PRECEDING) AS cum,
+       |    sum(w) OVER (PARTITION BY source) AS tot,
+       |    count(*) OVER (PARTITION BY source) AS nd,
+       |    row_number() OVER (PARTITION BY source ORDER BY len, doc_id)
+       |      AS rn0
+       |  FROM d),
+       |per AS (SELECT source, nd::BIGINT AS n_docs, tot::BIGINT
+       |      AS total_tokens, len AS w_median_len,
+       |    row_number() OVER (PARTITION BY source ORDER BY rn0) AS rn
+       |  FROM per0 WHERE cum * 2 >= tot),
+       |pool0 AS (SELECT len,
+       |    sum(w) OVER (ORDER BY len, doc_id ROWS UNBOUNDED PRECEDING)
+       |      AS cum,
+       |    sum(w) OVER () AS tot, count(*) OVER () AS nd,
+       |    row_number() OVER (ORDER BY len, doc_id) AS rn0
+       |  FROM d),
+       |pool AS (SELECT '__all' AS source, nd::BIGINT AS n_docs,
+       |    tot::BIGINT AS total_tokens, len AS w_median_len,
+       |    row_number() OVER (ORDER BY rn0) AS rn
+       |  FROM pool0 WHERE cum * 2 >= tot)
+       |SELECT source, n_docs, total_tokens, w_median_len
+       |FROM (SELECT * FROM per WHERE rn = 1
+       |      UNION ALL SELECT * FROM pool WHERE rn = 1)
+       |ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q235_weighted_median" -> (q235WeightedMedian _),
     "q227_chi2_homogeneity" -> (q227Chi2Homogeneity _),
     "q228_vocab_chao1" -> (q228VocabChao1 _),
     "q223_vocab_drift" -> (q223VocabDrift _),
@@ -1684,6 +1770,7 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q235_weighted_median" -> q235Sql,
     "q227_chi2_homogeneity" -> q227Sql,
     "q228_vocab_chao1" -> q228Sql,
     "q223_vocab_drift" -> q223Sql,

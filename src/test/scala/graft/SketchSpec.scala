@@ -415,6 +415,28 @@ class SketchSpec extends AnyFunSuite with SparkSpecBase {
     assert(agg.nonEmpty)
   }
 
+  test("GlobalIndex/PrefixSum survive UnionRDD pipelining (partition ids must be the op's own, not the stage's)") {
+    // regression: before the mapPartitionsWithIndex fix, a plan that
+    // pipelined the rank mapPartitions into a union crashed with
+    // ArrayIndexOutOfBounds (shifted stage partition ids) — or, worse,
+    // could mis-seed offsets silently. Union the UNPERSISTED op output
+    // with itself so both branches re-run inside the UnionRDD stage.
+    import graft.ops.{GlobalIndex, PrefixSum}
+    val rows = spark.range(0, 1000).map(i => (i % 37, i)).as[(Long, Long)]
+    val idx = GlobalIndex.byScoreDesc(rows, 8)
+    val u = idx.unionByName(idx).groupBy($"id")
+      .agg(min($"idx").as("a"), max($"idx").as("b"))
+    assert(u.filter($"a" =!= $"b").count() == 0) // both branches agree
+    assert(idx.agg(max($"idx")).head().getLong(0) == 999L) // dense 0..n-1
+    val ps = PrefixSum.byKeyAsc(
+      spark.range(1, 101).map(i => (i, i)).as[(Long, Long)], 8)
+    val pu = ps.unionByName(ps).groupBy($"k")
+      .agg(min($"cum").as("a"), max($"cum").as("b"))
+    assert(pu.filter($"a" =!= $"b").count() == 0)
+    assert(ps.filter($"k" === 100).head().getLong(2) == 5050L)
+    graft.ops.ScratchCache.releaseAll()
+  }
+
   // ---- RankCorr.spearman ----------------------------------------------
 
   test("spearman: tie-averaged ranks match the textbook value on a hand-computed example") {
