@@ -1478,9 +1478,7 @@ object CurationQueries {
     // counts (consumed by tot + scaled) and scaled (consumed by z + the
     // final join) are both multi-consumer: persist the |sources|-sized
     // frames so the token explode over the corpus runs ONCE, not 4×
-    val counts = graft.ops.ScratchCache.register(documents(s, d)
-      .select($"source", explode(tokens($"text")).as("w"))
-      .groupBy($"source").agg(count(lit(1)).as("n_tokens")).persist())
+    val counts = sourceTokenMass(s, d)
     val tot = counts.agg(sum($"n_tokens").as("n_total"))
     val scaled = graft.ops.ScratchCache.register(
       counts.crossJoin(broadcast(tot))
@@ -1843,22 +1841,35 @@ object CurationQueries {
     * second normalization pass. The diagnostic that says "T=0.5 costs
     * you X% of your effective data" BEFORE training on reweighted
     * epochs. Same persisted one-scan token-mass frame as q169. */
-  def q222TemperatureEss(s: SparkSession, d: String): DataFrame = {
+  /** One-scan per-source token masses, persisted — the shared input of
+    * q169's temperature mix and q222's ESS (one definition, so the two
+    * reports can never disagree about what a source's mass is). */
+  private[queries] def sourceTokenMass(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import graft.functions.TextFunctions.tokens
-    val counts = graft.ops.ScratchCache.register(documents(s, d)
+    graft.ops.ScratchCache.register(documents(s, d)
       .select($"source", explode(tokens($"text")).as("w"))
       .groupBy($"source").agg(count(lit(1)).as("n_tokens")).persist())
+  }
+
+  def q222TemperatureEss(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val counts = sourceTokenMass(s, d)
     val tot = counts.agg(sum($"n_tokens").as("n_total"))
     val scaled = counts.crossJoin(broadcast(tot))
       .select(($"n_tokens" * lit(1.0) / $"n_total").as("p"),
         explode(array(lit(0.5), lit(1.0), lit(2.0))).as("t"))
       .select($"p", $"t", pow($"p", lit(1.0) / $"t").as("w"))
+    // per-term pico-unit quantization before the folds (z, Σw²/p): each
+    // term is the same double in both engines, but multi-row double sums
+    // are reduction-order-sensitive; integral doubles sum exactly <2^53.
+    // ESS = z²/s2 = zq²/(s2q·10¹²) on the quantized units.
     scaled.groupBy($"t")
-      .agg(count(lit(1)).as("n_strata"), sum($"w").as("z"),
-        sum($"w" * $"w" / $"p").as("s2"))
+      .agg(count(lit(1)).as("n_strata"),
+        sum(round($"w" * lit(1e12))).as("zq"),
+        sum(round($"w" * $"w" / $"p" * lit(1e12))).as("s2q"))
       .select($"t", $"n_strata",
-        roundp($"z" * $"z" / $"s2", 6).as("ess_frac"))
+        roundp($"zq" * $"zq" / ($"s2q" * lit(1e12)), 6).as("ess_frac"))
       .orderBy($"t")
   }
 
@@ -1871,11 +1882,12 @@ object CurationQueries {
        |sc AS (SELECT n_tokens * 1.0 / n_total AS p, t,
        |    pow(n_tokens * 1.0 / n_total, 1.0 / t) AS w
        |  FROM c, n, (SELECT unnest([0.5, 1.0, 2.0]) AS t)),
-       |a AS (SELECT t, count(*)::BIGINT AS n_strata, sum(w) AS z,
-       |    sum(w * w / p) AS s2
+       |a AS (SELECT t, count(*)::BIGINT AS n_strata,
+       |    sum(round(w * 1e12)) AS zq,
+       |    sum(round(w * w / p * 1e12)) AS s2q
        |  FROM sc GROUP BY 1)
        |SELECT t::DOUBLE AS t, n_strata,
-       |  ${DuckSql.roundpSql("z * z / s2", 6)} AS ess_frac
+       |  ${DuckSql.roundpSql("zq * zq / (s2q * 1e12)", 6)} AS ess_frac
        |FROM a ORDER BY t""".stripMargin
   }
 

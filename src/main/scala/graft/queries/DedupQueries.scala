@@ -91,8 +91,11 @@ object DedupQueries {
     val pairs = Dedup.jaccardPairs(documents(s, d), "doc_id", "text", 3, 0.7,
       maxDf = Some(Q27MaxDf))
     val ts = Seq(0.7, 0.8, 0.9)
+    // count(when(...)), not sum(when(...)): over an EMPTY pair frame the
+    // ungrouped sum returns NULL where the oracle (and the pre-fold form)
+    // returns 0 — count of a null-producing expression is 0 on empty
     val aggs = ts.zipWithIndex.flatMap { case (t, i) => Seq(
-      sum(when($"jac" >= t, 1L).otherwise(0L)).as(s"np_$i"),
+      count(when($"jac" >= t, 1L)).as(s"np_$i"),
       countDistinct(when($"jac" >= t, $"id_b")).as(s"nd_$i"))
     }
     val stackArgs = ts.zipWithIndex

@@ -676,21 +676,26 @@ object EventAnalytics {
   // ---------------------------------------------------------------- q225
 
   /** q225: RFM segmentation — users scored 1-5 on Recency (last-seen
-    * µs), Frequency (event count) and Monetary (exact-DECIMAL value
-    * sum), each against its own GLOBAL quintile boundaries, then the
-    * segment census. Boundaries come from ONE exact-percentile
-    * aggregation over the per-user frame (broadcast back as a single
-    * row — never a global ntile window), and are quantized to 6dp on
-    * BOTH engines before the bin compares, so an interpolated boundary
-    * can't flip a bin by one ulp between engines. The per-user frame
-    * is persisted (two consumers: boundary agg + binning). */
+    * DAY), Frequency (event count) and Monetary (value sum in whole
+    * units), each against its own GLOBAL quintile boundaries, then the
+    * segment census. The metrics are deliberately QUANTIZED (day-
+    * granularity recency, unit-granularity money) so the exact
+    * `percentile` aggregation runs over BOUNDED domains — its
+    * per-buffer value map stays small and map-side combinable at any
+    * row count, where raw-µs recency would make the single final
+    * buffer |users|-sized (the global-window scale class). Boundaries
+    * broadcast back as one row (never an ntile window) and round to
+    * 6dp on BOTH engines before the bin compares, so an interpolated
+    * boundary can't flip a bin by one ulp. The per-user frame is
+    * persisted (two consumers: boundary agg + binning). */
   def q225RfmSegments(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val perUser = graft.ops.ScratchCache.register(events(s, d)
       .groupBy($"user_id")
-      .agg(max(unix_micros($"ts")).cast("double").as("rec"),
+      .agg(expr("max(unix_micros(ts)) div 86400000000").cast("double")
+          .as("rec"),
         count(lit(1)).cast("double").as("freq"),
-        roundp(sum($"value".cast("decimal(28,6)")).cast("double"), 6)
+        round(sum($"value".cast("decimal(28,6)")).cast("double"))
           .as("mon"))
       .persist())
     val qs = "array(0.2, 0.4, 0.6, 0.8)"
@@ -711,10 +716,9 @@ object EventAnalytics {
 
   val q225Sql: String =
     s"""WITH u AS (SELECT user_id,
-       |    epoch_us(max(ts))::DOUBLE AS rec,
+       |    (epoch_us(max(ts)) // 86400000000)::DOUBLE AS rec,
        |    count(*)::DOUBLE AS freq,
-       |    ${DuckSql.roundpSql(
-            "CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE)", 6)} AS mon
+       |    round(CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE)) AS mon
        |  FROM events GROUP BY 1),
        |b AS (SELECT
        |    quantile_cont(rec, [0.2, 0.4, 0.6, 0.8]) AS br,
@@ -808,9 +812,13 @@ object EventAnalytics {
     * max timestamp): the "what's trending NOW" view that a plain count
     * can't give because it weighs a year-old click like yesterday's.
     * Every per-event weight 2^(−age/τ½) quantizes to nano-units
-    * (`round(w·10⁹)` — identical double → identical integer in both
-    * engines) BEFORE the sum, so the fold is exact BIGINT and engine
-    * reduction order cannot move the output. The reference "now" is a
+    * (`round(w·10⁹)`) BEFORE the sum, so the fold is exact BIGINT and
+    * engine reduction order cannot move the output. (Known residual:
+    * pow itself is 1-ulp-accurate, not correctly rounded, so JVM and
+    * libm can disagree by one nano-unit when w·10⁹ sits within an ulp
+    * of a .5 boundary — a fixture-static, per-host-deterministic
+    * effect, bounded at 10⁻⁹ per event and invisible at the 4dp
+    * output; unlike a raw double fold it can never drift per-run.) The reference "now" is a
     * 1-row max broadcast (one cheap column scan — parquet min/max
     * stats serve it in a stats-aware reader). */
   def q230DecayedRank(s: SparkSession, d: String): DataFrame = {
@@ -991,18 +999,22 @@ object EventAnalytics {
     val byDow = daily.groupBy($"event_type", $"dow")
       .agg(sum($"xc").as("sd"), count(lit(1)).as("nd"),
         sum(($"xc" * $"xc").cast("decimal(38,0)")).as("sq"))
-    byDow.groupBy($"event_type")
+    // the ≤7-term S²/n fold quantizes each term to 10⁶-cent² units —
+    // identical doubles per term in both engines, and the quantized
+    // integral doubles sum exactly (multi-row raw-double sums are
+    // reduction-order-sensitive). Zero-variance groups (one day, or a
+    // constant series) yield null, not 0/0 NaN.
+    val agg = byDow.groupBy($"event_type")
       .agg(sum($"nd").as("n_days"), sum($"sd").as("sx"),
         sum($"sq").as("sumsq"),
-        sum($"sd".cast("double") * $"sd".cast("double") /
-          $"nd".cast("double")).as("dow_term"))
-      .select($"event_type", $"n_days",
-        roundp(
-          (lit(1.0) - ($"sumsq".cast("double") - $"dow_term") /
-            ($"sumsq".cast("double") -
-              $"sx".cast("double") * $"sx".cast("double") /
-                $"n_days".cast("double"))) * lit(1.0), 6)
-          .as("dow_strength"))
+        (sum(round($"sd".cast("double") * $"sd".cast("double") /
+          $"nd".cast("double") / lit(1e6))) * lit(1e6)).as("dow_term"))
+    val ssTot = $"sumsq".cast("double") -
+      $"sx".cast("double") * $"sx".cast("double") / $"n_days".cast("double")
+    agg.select($"event_type", $"n_days",
+        when(ssTot > 0.0,
+          roundp((lit(1.0) - ($"sumsq".cast("double") - $"dow_term") /
+            ssTot) * lit(1.0), 6)).as("dow_strength"))
       .orderBy($"event_type")
   }
 
@@ -1019,13 +1031,16 @@ object EventAnalytics {
        |  FROM dw GROUP BY 1, 2),
        |a AS (SELECT event_type, sum(nd)::BIGINT AS n_days,
        |    sum(sd)::BIGINT AS sx, sum(sq) AS sumsq,
-       |    sum(sd::DOUBLE * sd::DOUBLE / nd::DOUBLE) AS dow_term
+       |    sum(round(sd::DOUBLE * sd::DOUBLE / nd::DOUBLE / 1e6)) * 1e6
+       |      AS dow_term
        |  FROM bd GROUP BY 1)
        |SELECT event_type, n_days,
-       |  ${DuckSql.roundpSql(
+       |  CASE WHEN sumsq::DOUBLE
+       |      - sx::DOUBLE * sx::DOUBLE / n_days::DOUBLE > 0.0 THEN
+       |    ${DuckSql.roundpSql(
             "(1.0 - (sumsq::DOUBLE - dow_term) / (sumsq::DOUBLE " +
             "- sx::DOUBLE * sx::DOUBLE / n_days::DOUBLE)) * 1.0", 6)}
-       |    AS dow_strength
+       |  END AS dow_strength
        |FROM a ORDER BY event_type""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

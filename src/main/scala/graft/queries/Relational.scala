@@ -1019,8 +1019,8 @@ object Relational {
        |      // 86400000000 AS lat_days
        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
        |SELECT month, count(*)::BIGINT AS n_lines,
-       |  round(quantile_cont(lat_days, 0.5) * 100.0) / 100.0 AS p50_days,
-       |  round(quantile_cont(lat_days, 0.95) * 100.0) / 100.0 AS p95_days
+       |  ${DuckSql.roundpSql("quantile_cont(lat_days, 0.5)", 2)} AS p50_days,
+       |  ${DuckSql.roundpSql("quantile_cont(lat_days, 0.95)", 2)} AS p95_days
        |FROM lat GROUP BY month ORDER BY month""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -1581,13 +1581,17 @@ object TextQueries {
     val tot = cont.agg(sum($"o").as("n"),
       countDistinct($"source").as("nr"), countDistinct($"lang").as("nc"))
     val e = $"rs".cast("double") * $"cs".cast("double") / $"n".cast("double")
+    // per-term quantization to nano-units BEFORE the fold: each term is
+    // an identical double in both engines, but a multi-row double sum is
+    // reduction-order-sensitive (Spark's shuffle arrival order is per-run
+    // nondeterministic) — integral doubles sum exactly below 2^53
     cont.join(broadcast(rows), Seq("source"))
       .join(broadcast(cols), Seq("lang"))
       .crossJoin(broadcast(tot))
-      .select((($"o".cast("double") - e) * ($"o".cast("double") - e) / e)
-        .as("term"), $"nr", $"nc")
+      .select(round((($"o".cast("double") - e) * ($"o".cast("double") - e)
+        / e) * lit(1e9)).as("term_q"), $"nr", $"nc")
       .groupBy($"nr", $"nc")
-      .agg(roundp(sum($"term"), 6).as("chi2"))
+      .agg(roundp(sum($"term_q") / lit(1e9), 6).as("chi2"))
       .select((($"nr" - 1) * ($"nc" - 1)).as("dof"), $"chi2")
   }
 
@@ -1600,12 +1604,12 @@ object TextQueries {
        |    count(DISTINCT source)::BIGINT AS nr,
        |    count(DISTINCT lang)::BIGINT AS nc FROM c),
        |terms AS (SELECT nr, nc,
-       |    (o::DOUBLE - rs::DOUBLE * cs::DOUBLE / n::DOUBLE)
+       |    round(((o::DOUBLE - rs::DOUBLE * cs::DOUBLE / n::DOUBLE)
        |      * (o::DOUBLE - rs::DOUBLE * cs::DOUBLE / n::DOUBLE)
-       |      / (rs::DOUBLE * cs::DOUBLE / n::DOUBLE) AS term
+       |      / (rs::DOUBLE * cs::DOUBLE / n::DOUBLE)) * 1e9) AS term_q
        |  FROM c JOIN r USING (source) JOIN l USING (lang) CROSS JOIN t)
        |SELECT ((nr - 1) * (nc - 1))::BIGINT AS dof,
-       |  ${DuckSql.roundpSql("sum(term)", 6)} AS chi2
+       |  ${DuckSql.roundpSql("sum(term_q) / 1e9", 6)} AS chi2
        |FROM terms GROUP BY nr, nc""".stripMargin
 
   // ---------------------------------------------------------------- q228
@@ -1663,9 +1667,12 @@ object TextQueries {
   def q235WeightedMedian(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val W = org.apache.spark.sql.expressions.Window
-    val docs = documents(s, d)
+    // three consumers (per-source windows, the pooled rank, the weights
+    // join): persist the 4-scalar projection so the tokenize kernel
+    // runs once, not three times
+    val docs = graft.ops.ScratchCache.register(documents(s, d)
       .select($"source", $"doc_id", length($"text").cast("bigint").as("len"),
-        size(tokens($"text")).cast("bigint").as("w"))
+        size(tokens($"text")).cast("bigint").as("w")).persist())
     val wSrc = W.partitionBy($"source")
     val wRun = wSrc.orderBy($"len", $"doc_id")
     val per = docs
