@@ -466,6 +466,45 @@ class SketchSpec extends AnyFunSuite with SparkSpecBase {
     assert(out(2).isNullAt(out(2).fieldIndex("auc"))) // u
   }
 
+  test("spearman: property — matches a brute-force average-rank Pearson on 20 random tied datasets") {
+    val rnd = new scala.util.Random(42)
+    def avgRanks(v: Seq[Double]): Seq[Double] = {
+      val sorted = v.sorted
+      v.map { x =>
+        val lo = sorted.count(_ < x) + 1
+        val hi = sorted.count(_ <= x)
+        (lo + hi) / 2.0
+      }
+    }
+    def pearson(a: Seq[Double], b: Seq[Double]): Double = {
+      val n = a.length
+      val (ma, mb) = (a.sum / n, b.sum / n)
+      val num = a.zip(b).map { case (x, y) => (x - ma) * (y - mb) }.sum
+      val den = math.sqrt(a.map(x => (x - ma) * (x - ma)).sum *
+        b.map(y => (y - mb) * (y - mb)).sum)
+      num / den
+    }
+    val rows = (0 until 20).flatMap { g =>
+      val n = 5 + rnd.nextInt(20)
+      // small integer domains force plenty of ties
+      (0 until n).map(_ => (s"g$g", rnd.nextInt(6).toLong,
+        rnd.nextInt(4).toDouble))
+    }
+    val df = rows.toDF("grp", "x", "y")
+    val got = graft.ops.RankCorr.spearman(df, $"grp", $"x", $"y")
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    rows.groupBy(_._1).foreach { case (g, rs) =>
+      val xs = rs.map(_._2.toDouble)
+      val ys = rs.map(_._3)
+      if (xs.distinct.length > 1 && ys.distinct.length > 1) {
+        val expect = math.round(pearson(avgRanks(xs), avgRanks(ys)) * 1e6) / 1e6
+        assert(math.abs(got(g).get - expect) <= 1e-6,
+          s"$g: ${got(g)} vs $expect")
+      } else assert(got(g).isEmpty, s"$g: constant variable must be null")
+    }
+  }
+
   test("rbo tail weights: identical rankings integrate to 1 - p^D (the RBO self-agreement identity)") {
     import graft.queries.SimilarityQueries.{rboSuffixQ, RboD, RboP}
     // an item at rank d in BOTH lists enters the intersection at m = d,
