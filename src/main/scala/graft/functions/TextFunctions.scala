@@ -73,9 +73,12 @@ object TextFunctions {
   def tokenCountRegex(text: Column): Column =
     size(regexp_extract_all(lower(text), lit("[a-z0-9]+|[^a-z0-9\\s]"), lit(0)))
 
-  /** Engine-parity rounding to `ndec` decimals (see QueryUtil.safeAvg). */
+  /** Engine-parity rounding to `ndec` decimals (see QueryUtil.safeAvg).
+    * The `+ 0.0` normalizes IEEE −0.0 to +0.0, mirroring
+    * DuckSql.roundpSql — the byte-sensitive correctness hash treats the
+    * two zero bit patterns as different values. */
   def roundp(c: Column, ndec: Int): Column = {
     val p = math.pow(10, ndec)
-    round(c * lit(p)) / lit(p)
+    round(c * lit(p)) / lit(p) + lit(0.0)
   }
 }

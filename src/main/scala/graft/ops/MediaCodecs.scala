@@ -50,17 +50,24 @@ object MediaCodecs {
   def decodeImageGray(payload: Array[Byte]): Option[(Int, Int, Array[Byte])] =
     sniff(payload) match {
       case Jpeg | Png | Gif | Bmp =>
-        val img = ImageIO.read(new ByteArrayInputStream(payload))
-        if (img == null) None
-        else {
-          val w = img.getWidth; val h = img.getHeight
-          val gray = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
-          val g = gray.createGraphics()
-          try g.drawImage(img, 0, 0, null) finally g.dispose()
-          val px = new Array[Byte](w * h)
-          gray.getRaster.getDataElements(0, 0, w, h, px)
-          Some((w, h, px))
-        }
+        // Guarded like decodeAudioPcm: a payload whose magic bytes sniff
+        // as an image but whose body is truncated/corrupt makes
+        // ImageIO.read throw (IIOException) — that must surface as the
+        // documented "None, caller falls back to stub" contract, not as
+        // a failed executor task taking the whole job down.
+        try {
+          val img = ImageIO.read(new ByteArrayInputStream(payload))
+          if (img == null) None
+          else {
+            val w = img.getWidth; val h = img.getHeight
+            val gray = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+            val g = gray.createGraphics()
+            try g.drawImage(img, 0, 0, null) finally g.dispose()
+            val px = new Array[Byte](w * h)
+            gray.getRaster.getDataElements(0, 0, w, h, px)
+            Some((w, h, px))
+          }
+        } catch { case _: Exception => None }
       case _ => None
     }
 

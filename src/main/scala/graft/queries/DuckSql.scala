@@ -43,10 +43,16 @@ object DuckSql {
   def cosineSql(a: String, b: String, n: Int): String =
     s"(${dotSeqSql(a, b, n)} / (sqrt(${dotSeqSql(a, a, n)}) * sqrt(${dotSeqSql(b, b, n)})))"
 
-  /** roundp twin. */
+  /** roundp twin. The trailing `+ 0.0` normalizes IEEE signed zero:
+    * DuckDB's round() preserves the sign of a negative value rounding to
+    * zero (−0.0) while Spark's BigDecimal-backed round returns +0.0, and
+    * the driver's correctness hash is byte-sensitive, so without the
+    * normalization the two engines hash-differ on cells that compare
+    * numerically equal (−0.0 + 0.0 = +0.0 under round-to-nearest; every
+    * other value is unchanged). Mirrored in TextFunctions.roundp. */
   def roundpSql(x: String, ndec: Int): String = {
     val p = math.pow(10, ndec)
-    s"round(($x) * $p) / $p"
+    s"((round(($x) * $p) / $p) + 0.0)"
   }
 
   /** Hyperplane-LSH bucket twin of HashKernels.hyperplaneSigs for table

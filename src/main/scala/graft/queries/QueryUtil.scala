@@ -23,13 +23,15 @@ object QueryUtil {
     * decision identical. */
   def safeAvg(c: Column, ndec: Int): Column = {
     val p = math.pow(10, ndec)
-    round((sum(c.cast("decimal(28,6)")).cast("double") / count(c)) * lit(p)) / lit(p)
+    round((sum(c.cast("decimal(28,6)")).cast("double") / count(c)) * lit(p)) / lit(p) + lit(0.0)
   }
 
-  /** DuckDB SQL twin of [[safeAvg]]. */
+  /** DuckDB SQL twin of [[safeAvg]]. The `+ 0.0` normalizes IEEE −0.0 on
+    * both sides (DuckDB round() preserves the sign of negative values
+    * rounding to zero; the driver hash is byte-sensitive). */
   def safeAvgSql(expr: String, ndec: Int): String = {
     val p = math.pow(10, ndec)
-    s"round((CAST(sum(CAST(($expr) AS DECIMAL(28,6))) AS DOUBLE) / count($expr)) * $p) / $p"
+    s"((round((CAST(sum(CAST(($expr) AS DECIMAL(28,6))) AS DOUBLE) / count($expr)) * $p) / $p) + 0.0)"
   }
 
   /** Engine-parity rounded sum. Same contract as [[safeAvg]]: the partial
@@ -39,12 +41,13 @@ object QueryUtil {
     * whenever the engines reduce in different orders. */
   def safeSum(c: Column, ndec: Int): Column = {
     val p = math.pow(10, ndec)
-    round(sum(c.cast("decimal(28,6)")).cast("double") * lit(p)) / lit(p)
+    round(sum(c.cast("decimal(28,6)")).cast("double") * lit(p)) / lit(p) + lit(0.0)
   }
 
-  /** DuckDB SQL twin of [[safeSum]]. */
+  /** DuckDB SQL twin of [[safeSum]] (signed-zero normalized like
+    * [[safeAvgSql]]). */
   def safeSumSql(expr: String, ndec: Int): String = {
     val p = math.pow(10, ndec)
-    s"round(CAST(sum(CAST(($expr) AS DECIMAL(28,6))) AS DOUBLE) * $p) / $p"
+    s"((round(CAST(sum(CAST(($expr) AS DECIMAL(28,6))) AS DOUBLE) * $p) / $p) + 0.0)"
   }
 }

@@ -101,6 +101,30 @@ def main():
                     bad = (~eq).idxmax()
                     print(f"FAIL  {name}: col {c} row {bad}: {a[bad]!r} != {b[bad]!r}")
                     ok = False; break
+                # The driver's hash is BYTE-sensitive: pandas == treats
+                # -0.0 == 0.0 and never compares NaN payloads, which let the
+                # round-8 signed-zero regression (q186/q187) ship green
+                # locally and red on the driver. Audit float columns at the
+                # bit level.
+                import numpy as np
+                if getattr(a.dtype, "kind", "") == "f" and getattr(b.dtype, "kind", "") == "f":
+                    av = a.to_numpy(dtype=np.float64)
+                    bv = b.to_numpy(dtype=np.float64)
+                    sz = (av == 0) & (bv == 0) & (np.signbit(av) != np.signbit(bv))
+                    if sz.any():
+                        i = int(np.argmax(sz))
+                        print(f"FAIL  {name}: col {c} row {i}: signed-zero mismatch "
+                              f"({av[i]!r} vs {bv[i]!r} — driver hash is byte-sensitive)")
+                        ok = False; break
+                    both_nan = np.isnan(av) & np.isnan(bv)
+                    if both_nan.any():
+                        ab = av.view(np.uint64); bb = bv.view(np.uint64)
+                        nb = both_nan & (ab != bb)
+                        if nb.any():
+                            i = int(np.argmax(nb))
+                            print(f"FAIL  {name}: col {c} row {i}: NaN bit-pattern mismatch "
+                                  f"(0x{ab[i]:016x} vs 0x{bb[i]:016x})")
+                            ok = False; break
             except Exception as ex:
                 print(f"FAIL  {name}: col {c} compare error {ex} (dtypes {a.dtype} vs {b.dtype})")
                 ok = False; break
