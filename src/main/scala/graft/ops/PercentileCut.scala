@@ -1,0 +1,159 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.{BitExpressions, BitKernels}
+
+/** Exact linear-interpolation percentiles of a DOUBLE column — the same
+  * result as Spark's `percentile` / DuckDB's `quantile_cont` — computed
+  * WITHOUT an aggregation buffer that scales with the data: a percentile
+  * at probability p needs only the order statistics at ranks
+  * floor(p·(n−1)) and floor(p·(n−1))+1, and a distributed radix
+  * selection finds those in 2-4 map-side-combined aggregation jobs.
+  * Spark's built-in `Percentile` instead merges a value→count map of the
+  * WHOLE column into one final reduce buffer — fine at test scale, the
+  * single-buffer hazard class at 100 TB.
+  *
+  * How: values order through the exact sign-folded IEEE-754 bit key
+  * ([[BitKernels.sortable]], a codegen'd expression — no quantization
+  * assumption), so an arithmetic-shift prefix of the key is a monotone
+  * cell id. Job 1 `groupBy(k >> 48).count` — at most 2¹⁶ cells whatever
+  * the data — locates each target rank's cell and yields n as the count
+  * sum. Cells holding a target rank then either collect their exact
+  * per-value counts (≤ their known doc count rows, gated by a 1M-row
+  * budget) or refine by 16 more bits (≤ 2¹⁶ sub-cells per cell) and
+  * repeat; shift 0 is exact, so depth ≤ 4 with every driver transfer
+  * bounded by budget/2¹⁶-sized histograms, never by |rows|.
+  *
+  * The interpolation replicates `Percentile.getPercentile`'s arithmetic
+  * term-for-term (position = (n−1)·p; `(higher−position)·lo +
+  * (position−lower)·hi`; the lower value returned outright when the
+  * position is integral or the bracketing values tie), so the cuts are
+  * bit-identical to the built-in's — PercentileCutSpec pins that
+  * equality on randomized tied multisets and on integral/fractional
+  * position edge cases. */
+object PercentileCut {
+
+  def sortableBits(v: Double): Long = BitKernels.sortable(v)
+  def fromSortableBits(k: Long): Double = BitKernels.fromSortable(k)
+
+  /** Cells with a doc count at or under this collect their exact
+    * per-value histograms in one go (≤ 16 MB of (Long, Long) rows). */
+  private val CollectBudget = 1L << 20
+
+  /** Spark `Percentile.getPercentile` arithmetic, replicated exactly:
+    * valueAt(r) = the 0-based rank-r order statistic. */
+  private def interpolate(n: Long, p: Double, valueAt: Long => Double): Double = {
+    val position = (n - 1) * p
+    val lower = math.floor(position).toLong
+    val higher = math.ceil(position).toLong
+    val lowerKey = valueAt(lower)
+    if (lower == higher) lowerKey
+    else {
+      val higherKey = valueAt(higher)
+      if (lowerKey == higherKey) lowerKey
+      else (higher - position) * lowerKey + (position - lower) * higherKey
+    }
+  }
+
+  /** Percentiles of `df`'s non-null `col` at probabilities `ps`. Returns
+    * NaN per cut when the column is empty (the caller's comparisons then
+    * match nothing, same as the built-in's NULL). Each radix level is one
+    * job over `df` — callers on a heavy frame should persist it first, as
+    * q173 does. */
+  def cuts(df: DataFrame, col: String, ps: Seq[Double]): Seq[Double] = {
+    val s = df.sparkSession
+    import s.implicits._
+    // histogram jobs move ≤2¹⁶-row cell counts — AQE's per-stage re-plan
+    // rounds cost more than they save on collects this small; restore the
+    // caller's setting after (engine setting untouched for real queries)
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val aqeWas = s.conf.get(aqeKey, "true")
+    s.conf.set(aqeKey, "false")
+    try cutsInner(df, col, ps) finally s.conf.set(aqeKey, aqeWas)
+  }
+
+  private def cutsInner(df: DataFrame, col: String, ps: Seq[Double]): Seq[Double] = {
+    val s = df.sparkSession
+    import s.implicits._
+    val base = df
+      .select(BitExpressions.sortableDoubleBits(
+        org.apache.spark.sql.functions.col(col).cast("double")).as("k"))
+      .filter($"k".isNotNull)
+
+    /** One aggregation job: per-cell doc counts at `shift`, restricted to
+      * `parents` cells of `parentShift` (unrestricted when empty), in key
+      * order. Arithmetic shift composes (k>>a>>b = k>>(a+b)), so parent
+      * restriction is a codegen'd isin filter on the coarser prefix. */
+    def levelCounts(shift: Int, parentShift: Int, parents: Seq[Long]): Array[(Long, Long)] = {
+      val src =
+        if (parents.isEmpty) base
+        else base.filter(shiftright($"k", parentShift).isin(parents: _*))
+      val cell = if (shift == 0) $"k" else shiftright($"k", shift)
+      src.groupBy(cell.as("c")).agg(count(lit(1)).as("cnt"))
+        .as[(Long, Long)].collect().sortBy(_._1)
+    }
+
+    val l0 = levelCounts(48, 64, Nil)
+    val n = l0.map(_._2).sum
+    if (n == 0L) return ps.map(_ => Double.NaN)
+
+    val targetRanks: Seq[Long] = ps.flatMap { p =>
+      val position = (n - 1) * p
+      Seq(math.floor(position).toLong, math.ceil(position).toLong)
+    }.distinct.sorted
+
+    val resolved = scala.collection.mutable.Map.empty[Long, Double]
+    // a pending cell: (prefix, shift, cumBefore, docCnt, ranks inside it)
+    type Cell = (Long, Int, Long, Long, Seq[Long])
+
+    /** Walk `cells` (key-ordered, cumulative count starting at `cum0`),
+      * assign each of `ranks` to its cell; exact cells (shift 0) resolve
+      * immediately, the rest return as pending. */
+    def assign(cells: Array[(Long, Long)], shift: Int, cum0: Long, ranks: Seq[Long]): Seq[Cell] = {
+      val pending = scala.collection.mutable.ArrayBuffer.empty[Cell]
+      var cum = cum0
+      var i = 0
+      var rs = ranks
+      while (i < cells.length && rs.nonEmpty) {
+        val (prefix, cnt) = cells(i)
+        val (inCell, rest) = rs.span(_ < cum + cnt)
+        if (inCell.nonEmpty) {
+          if (shift == 0) inCell.foreach(r => resolved(r) = fromSortableBits(prefix))
+          else pending += ((prefix, shift, cum, cnt, inCell))
+        }
+        cum += cnt
+        rs = rest
+        i += 1
+      }
+      pending.toSeq
+    }
+
+    var pending = assign(l0, 48, 0L, targetRanks)
+    while (pending.nonEmpty) {
+      val parentShift = pending.head._2
+      // small cells jump straight to exact per-value counts; big ones
+      // refine one 16-bit level — each group is ONE batched job
+      val (small, big) = pending.partition(_._4 <= CollectBudget)
+      val childShift = if (big.nonEmpty && parentShift > 16) parentShift - 16 else 0
+      val next = scala.collection.mutable.ArrayBuffer.empty[Cell]
+      Seq((small, 0), (big, childShift)).foreach { case (group, shift) =>
+        if (group.nonEmpty) {
+          val cells = levelCounts(shift, parentShift, group.map(_._1))
+          group.foreach { case (prefix, _, cumBefore, _, ranks) =>
+            // this parent's children: prefix match on the coarser bits
+            val mine = cells.filter(c => (c._1 >> (parentShift - shift)) == prefix)
+            next ++= assign(mine, shift, cumBefore, ranks)
+          }
+        }
+      }
+      pending = next.toSeq
+    }
+
+    ps.map(p => interpolate(n, p, resolved))
+  }
+
+  /** Convenience: the cuts as literal Columns. */
+  def cutLits(df: DataFrame, col: String, ps: Seq[Double]): Seq[Column] =
+    cuts(df, col, ps).map(lit)
+}

@@ -484,20 +484,29 @@ object Relational {
     * self-joins on the fact table (EXISTS another-supplier /
     * NOT EXISTS another-flagged-supplier — the oracle runs exactly
     * that); at 100 TB each self-join re-shuffles the fact, so the
-    * engine instead folds BOTH existence tests into ONE per-order
+    * engine instead folds BOTH existence tests into a per-order
     * aggregation (distinct-supplier count, distinct-flagged count,
     * and the unique flagged suppkey via min — exact because n_bad = 1
     * is enforced in the filter). One fact shuffle total, then a
     * semi-join against finalized orders and a supplier dim join. */
   def q195BlameSupplier(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val flagged = when($"l_returnflag" === "R", $"l_suppkey")
-    val perOrder = lineitem(s, d)
+    // Two PLAIN aggregations, not one multi-distinct aggregate: two
+    // `countDistinct`s in a single agg trigger Spark's Expand — every
+    // fact row triples (one replica per distinct group) BEFORE the
+    // shuffle, the worst possible shape on the biggest table. The
+    // (orderkey, suppkey) pre-aggregate partial-combines map-side, so
+    // one fact-sized shuffle total; the second aggregation shuffles
+    // only the already-tiny per-(order,supplier) frame.
+    val perSupp = lineitem(s, d)
+      .groupBy($"l_orderkey", $"l_suppkey")
+      .agg(max(when($"l_returnflag" === "R", 1L).otherwise(0L)).as("flagged"))
+    val perOrder = perSupp
       .groupBy($"l_orderkey")
       .agg(
-        countDistinct($"l_suppkey").as("n_supp"),
-        countDistinct(flagged).as("n_bad"),
-        min(flagged).as("bad_supp"))
+        count(lit(1)).as("n_supp"),
+        sum($"flagged").as("n_bad"),
+        min(when($"flagged" === 1L, $"l_suppkey")).as("bad_supp"))
       .filter($"n_supp" >= 2 && $"n_bad" === 1)
     val finalized = orders(s, d)
       .filter($"o_orderstatus" === "F").select($"o_orderkey")

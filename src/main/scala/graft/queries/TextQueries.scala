@@ -952,17 +952,16 @@ object TextQueries {
     * keeps the head, samples the middle, drops the tail), reported as a
     * per-source × bucket census. Per-doc NLL is q111's smoothed-unigram
     * score, ROUNDED FIRST so both engines bucket identical doubles; the
-    * tercile cuts are exact linear-interpolation percentiles (Spark
-    * `percentile` ≡ DuckDB `quantile_cont`, p computed as 1/3 and 2/3 in
-    * IEEE double on both sides). A 1-ulp interpolation difference cannot
-    * flip a bucket: cuts only coincide with a doc's (6dp) NLL when the
-    * interpolation is exact on both engines.
-    *
-    * Scale note: exact percentile sorts per group — at deployment scale
-    * the cuts would come from approx_percentile (or a fixed reference
-    * model's thresholds, as CCNet actually does); the exact form is the
-    * oracle-checkable twin. Everything else is broadcast joins and one
-    * census aggregation. */
+    * tercile cuts are exact linear-interpolation percentiles (≡ DuckDB
+    * `quantile_cont`, p computed as 1/3 and 2/3 in IEEE double on both
+    * sides), computed by [[graft.ops.PercentileCut]] — a distributed
+    * value-histogram + two-pass prefix sum whose interpolation is
+    * bit-identical to Spark's `percentile` builtin (spec-pinned) but
+    * with NO aggregation buffer scaling with |docs|. A 1-ulp
+    * interpolation difference cannot flip a bucket: cuts only coincide
+    * with a doc's (6dp) NLL when the interpolation is exact on both
+    * engines. Everything else is broadcast joins and one census
+    * aggregation. */
   def q173CcnetBuckets(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     // NOT persisted: caching the |tokens|-row exploded frame was
@@ -982,13 +981,14 @@ object TextQueries {
         .agg(roundp(avg(-log(($"c" + lit(1.0)) / ($"n_tok" + $"vocab"))), 6)
           .as("nll"))
         .persist())
-    val cuts = nll.agg(
-      percentile($"nll", lit(1.0 / 3)).as("t1"),
-      percentile($"nll", lit(2.0 / 3)).as("t2"))
-    nll.crossJoin(broadcast(cuts))
+    // nll is persisted above, so the 3 tiny PercentileCut jobs re-read
+    // the cached |docs|-row frame, not the token join
+    val Seq(t1, t2) =
+      graft.ops.PercentileCut.cutLits(nll, "nll", Seq(1.0 / 3, 2.0 / 3))
+    nll
       .select($"source",
-        when($"nll" <= $"t1", "0_head")
-          .when($"nll" <= $"t2", "1_middle")
+        when($"nll" <= t1, "0_head")
+          .when($"nll" <= t2, "1_middle")
           .otherwise("2_tail").as("bucket"))
       .groupBy($"source", $"bucket").agg(count(lit(1)).as("n_docs"))
       .orderBy($"source", $"bucket")

@@ -1,0 +1,92 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.PercentileCut
+
+/** Pins PercentileCut (distributed histogram + prefix-sum order
+  * statistics) BIT-FOR-BIT against Spark's built-in `percentile`
+  * aggregate — q173's hash-sensitive bucket boundaries depend on that
+  * exact equality, not on "close enough". */
+class PercentileCutSpec extends AnyFunSuite with SparkSpecBase {
+  import spark.implicits._
+
+  private val ps = Seq(1.0 / 3, 2.0 / 3, 0.0, 1.0, 0.5, 0.25, 0.9)
+
+  private def builtin(vs: Seq[Double]): Seq[Double] = {
+    val df = vs.toDF("v")
+    val aggs = ps.zipWithIndex.map { case (p, i) =>
+      percentile($"v", lit(p)).as(s"p$i")
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    ps.indices.map(row.getDouble)
+  }
+
+  private def check(vs: Seq[Double]): Unit = {
+    val got = PercentileCut.cuts(vs.toDF("v"), "v", ps)
+    val want = builtin(vs)
+    ps.indices.foreach { i =>
+      assert(
+        java.lang.Double.doubleToLongBits(got(i)) ==
+          java.lang.Double.doubleToLongBits(want(i)),
+        s"p=${ps(i)} got=${got(i)} want=${want(i)} n=${vs.size}")
+    }
+    graft.ops.ScratchCache.releaseAll()
+  }
+
+  test("sortable bit key round-trips and orders like the double") {
+    val vs = Seq(-1e300, -3.5, -1e-308, -0.0, 0.0, 1e-308, 0.25, 7.125, 1e300)
+    vs.foreach(v => assert(
+      PercentileCut.fromSortableBits(PercentileCut.sortableBits(v)) == v ||
+        (v == 0.0 && PercentileCut.fromSortableBits(
+          PercentileCut.sortableBits(v)) == 0.0)))
+    val keys = vs.map(PercentileCut.sortableBits)
+    assert(keys == keys.sorted)
+  }
+
+  test("singleton, pair, and all-ties match the builtin exactly") {
+    check(Seq(4.25))
+    check(Seq(1.5, 2.5))
+    check(Seq(3.0, 3.0, 3.0, 3.0))
+    check(Seq(-2.0, -2.0, 5.0))
+  }
+
+  test("randomized tied 6dp multisets match the builtin bit-for-bit") {
+    val rnd = new scala.util.Random(1234)
+    for (trial <- 0 until 12) {
+      val n = 1 + rnd.nextInt(400)
+      // 6dp-quantized values with heavy ties, mixed signs — q173's domain
+      val vs = Seq.fill(n) {
+        math.rint((rnd.nextDouble() * 20 - 4) * 1e6) / 1e6
+      }
+      check(vs)
+    }
+  }
+
+  test("adversarial: positions that land exactly on and just off ranks") {
+    // n = 3k+1 makes (1/3)(n-1) integral; 3k makes it x.666…; 3k+2 x.333…
+    for (n <- Seq(3, 4, 5, 6, 7, 10, 31, 100)) {
+      val vs = (0 until n).map(i => i * 0.125 - 2.0)
+      check(vs)
+    }
+  }
+
+  test("q173's cut on real sf0.001 data equals the builtin on the same frame") {
+    val docs = Tables.documents(spark, sfSmoke)
+      .select(length($"text").cast("double").as("v"))
+    val got = PercentileCut.cuts(docs, "v", Seq(1.0 / 3, 2.0 / 3))
+    val row = docs.agg(
+      percentile($"v", lit(1.0 / 3)), percentile($"v", lit(2.0 / 3))).head()
+    assert(java.lang.Double.doubleToLongBits(got(0)) ==
+      java.lang.Double.doubleToLongBits(row.getDouble(0)))
+    assert(java.lang.Double.doubleToLongBits(got(1)) ==
+      java.lang.Double.doubleToLongBits(row.getDouble(1)))
+    graft.ops.ScratchCache.releaseAll()
+  }
+
+  test("empty column yields NaN cuts, no job failure") {
+    val empty = Seq.empty[Double].toDF("v")
+    assert(PercentileCut.cuts(empty, "v", Seq(0.5)).forall(_.isNaN))
+    graft.ops.ScratchCache.releaseAll()
+  }
+}

@@ -267,6 +267,21 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpecBase {
     // exactly one scan may mention the lineitem path
     assert(plan.split('\n').count(l => l.contains("Scan parquet") && l.contains("lineitem")) == 1, plan)
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
+    // the r9 shape used two countDistincts in one agg: Spark's Expand
+    // tripled every fact row before the shuffle; the (orderkey, suppkey)
+    // pre-aggregate form must keep Expand out of the plan for good
+    assert(!plan.contains("Expand"), plan)
+  }
+
+  test("q173 ccnet-buckets: no builtin Percentile buffer, no cut crossjoin — cuts are literals") {
+    val df = graft.queries.TextQueries.q173CcnetBuckets(spark, sfSmoke)
+    val plan = planStr(df)
+    assert(!plan.toLowerCase.contains("percentile"), plan)
+    // above the cached nll frame (whose 1-row stats broadcast is a
+    // deliberate NLJ) the census must be join-free: cuts arrive as
+    // literals, not a crossjoined 1-row cuts frame
+    val census = plan.split("InMemoryRelation").head
+    assert(!census.contains("Join") && !census.contains("CartesianProduct"), plan)
   }
 
   test("q196 dormant-value: scalar stats broadcast + HASH anti-join") {
