@@ -108,15 +108,41 @@ object Bench {
         }
         results0 :+ ("mosaic_pipeline_110tiles" -> math.min(mosaicRun(), mosaicRun()))
       }
-    // 3-decimal formatting keeps the single JSON line within the driver's
-    // capture buffer (r06's full-precision line was truncated mid-stream and
-    // recorded as parsed:null); millisecond resolution loses nothing real
+    // The driver keeps only the LAST ~1.9 KB of stdout before parsing, so a
+    // 235-key JSON line loses its head and records parsed:null (r06, r09).
+    // Emit the FULL per-query map to BENCH_FULL.json in the repo, and print
+    // a compact final line — total over ALL queries + a FIXED headline
+    // subset (stable keys for round-over-round comparison) sized well
+    // under the capture buffer.
     def fmt(v: Double): String =
       BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
+    def jsonMap(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val full =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":${jsonMap(results)},"sf":"$sfDir"}"""
+    scala.util.Try {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("/root/repo/BENCH_FULL.json"),
+        (full + "\n").getBytes("utf-8"))
+    }
+    // fixed headline set: the flagship relational/dedup/ANN/stream/curation
+    // heavies plus the named perf-watch queries — ~35 keys ≈ 1 KB
+    val headline = Set(
+      "q01_pricing_summary", "q16_required_scenes", "q21_coarsen",
+      "q27_ngram_jaccard", "q28_minhash_lsh", "q29_simhash",
+      "q30_embedding_neardup", "q34_stream_window", "q50_stream_join",
+      "q51_dedup_groups", "q52_incremental_dedup", "q58_substring_dedup",
+      "q62_cardinality", "q69_profile", "q74_tfidf", "q82_decile_stats",
+      "q90_merge_upsert", "q93_pagerank", "q104_semdedup",
+      "q106_max_concurrent", "q111_perplexity", "q113_curriculum",
+      "q115_dedup_survivors", "q119_bpe_pairs", "q122_curation_funnel",
+      "q128_cluster_sizes", "q133_dedup_policy_impact", "q144_incremental_curation",
+      "q148_stream_chunk_dedup", "q154_lm_filter", "q162_streamed_sink",
+      "q166_matryoshka", "q173_ccnet_buckets", "q192_basket_lift",
+      "q195_blame_supplier", "mosaic_pipeline_110tiles")
+    val head = results.filter { case (k, _) => headline(k) }
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"full":"BENCH_FULL.json","queries":${jsonMap(head)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

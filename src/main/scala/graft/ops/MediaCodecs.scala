@@ -67,7 +67,7 @@ object MediaCodecs {
             gray.getRaster.getDataElements(0, 0, w, h, px)
             Some((w, h, px))
           }
-        } catch { case _: Exception => None }
+        } catch { case scala.util.control.NonFatal(_) => None }
       case _ => None
     }
 
@@ -100,7 +100,7 @@ object MediaCodecs {
             f += 1
           }
           Some(out)
-        } catch { case _: Exception => None }
+        } catch { case scala.util.control.NonFatal(_) => None }
         finally if (in != null) in.close()
       case _ => None
     }

@@ -955,7 +955,7 @@ object TextQueries {
     * tercile cuts are exact linear-interpolation percentiles (≡ DuckDB
     * `quantile_cont`, p computed as 1/3 and 2/3 in IEEE double on both
     * sides), computed by [[graft.ops.PercentileCut]] — a distributed
-    * value-histogram + two-pass prefix sum whose interpolation is
+    * radix selection over cell histograms whose interpolation is
     * bit-identical to Spark's `percentile` builtin (spec-pinned) but
     * with NO aggregation buffer scaling with |docs|. A 1-ulp
     * interpolation difference cannot flip a bucket: cuts only coincide
@@ -981,8 +981,8 @@ object TextQueries {
         .agg(roundp(avg(-log(($"c" + lit(1.0)) / ($"n_tok" + $"vocab"))), 6)
           .as("nll"))
         .persist())
-    // nll is persisted above, so the 3 tiny PercentileCut jobs re-read
-    // the cached |docs|-row frame, not the token join
+    // nll is persisted above, so the 2 tiny PercentileCut histogram
+    // jobs re-read the cached |docs|-row frame, not the token join
     val Seq(t1, t2) =
       graft.ops.PercentileCut.cutLits(nll, "nll", Seq(1.0 / 3, 2.0 / 3))
     nll

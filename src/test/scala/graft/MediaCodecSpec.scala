@@ -118,6 +118,41 @@ class MediaCodecSpec extends AnyFunSuite with SparkSpecBase {
     }
   }
 
+  test("corrupt payloads: valid magic bytes + truncated/garbled body decode to None and auto falls back to the stub") {
+    // magic bytes sniff as real containers, so the decoder is ENTERED —
+    // ImageIO/AudioSystem then throw on the corrupt body; pre-guard code
+    // (no try/catch around ImageIO.read) fails this test by killing the
+    // task instead of degrading to the stub
+    val corruptJpeg = fixture("fixture.jpg").take(24)
+    val corruptPng = {
+      val b = fixture("fixture.png").clone()
+      // garble every body byte after the 8-byte signature + IHDR length
+      for (i <- 16 until b.length) b(i) = (b(i) ^ 0x5a).toByte
+      b
+    }
+    val corruptWav = fixture("fixture16.wav").take(16)
+    assert(MediaCodecs.sniff(corruptJpeg) == MediaCodecs.Jpeg)
+    assert(MediaCodecs.sniff(corruptPng) == MediaCodecs.Png)
+    assert(MediaCodecs.sniff(corruptWav) == MediaCodecs.Wav)
+    assert(MediaCodecs.decodeImageGray(corruptJpeg).isEmpty)
+    assert(MediaCodecs.decodeImageGray(corruptPng).isEmpty)
+    assert(MediaCodecs.decodeAudioPcm(corruptWav).isEmpty)
+
+    val df = Seq((1L, corruptJpeg), (2L, corruptPng)).toDF("doc_id", "payload")
+    val auto = Multimodal.resizeImages(df, "doc_id", 4, 2, 2, codec = "auto")
+      .collect().sortBy(_.doc_id)
+    val stub = Multimodal.resizeImages(df, "doc_id", 4, 2, 2, codec = "stub")
+      .collect().sortBy(_.doc_id)
+    assert(auto.length == 2)
+    auto.zip(stub).foreach { case (a, s) =>
+      assert(a.pixels.toSeq == s.pixels.toSeq, s"doc ${a.doc_id}")
+    }
+    val dfw = Seq((3L, corruptWav)).toDF("doc_id", "payload")
+    val autoA = Multimodal.audioFeatures(dfw, "doc_id", 8, codec = "auto").collect().toSeq
+    val stubA = Multimodal.audioFeatures(dfw, "doc_id", 8, codec = "stub").collect().toSeq
+    assert(autoA == stubA)
+  }
+
   test("mixed corpus: non-media payloads fall back to the stub inside auto mode") {
     val text = "not an image, just text bytes".getBytes("utf-8")
     val df = Seq((9L, text)).toDF("doc_id", "payload")

@@ -45,6 +45,27 @@ def dtype_audit(name, files, oracle_arrow_schema):
                        f"vs oracle {f.type} ({oc})")
     return bad
 
+def null_nan_audit(name, files, exp_arrow):
+    """Per float column shared by both sides, compare the (null count,
+    NaN count) pair between the Spark parquet dump and the oracle's Arrow
+    table — order-independent, so it runs before any row sort. A NULL one
+    engine computes where the other computes NaN shifts a count and is
+    caught here even though pandas would canonicalize both to NaN."""
+    import pyarrow.compute as pc
+    spark_tbl = pq.read_table(files)
+    bad = []
+    for f in exp_arrow.schema:
+        if not pa.types.is_floating(f.type) or f.name not in spark_tbl.schema.names:
+            continue
+        def counts(col):
+            nulls = col.null_count
+            nans = pc.sum(pc.is_nan(col.combine_chunks())).as_py() or 0
+            return nulls, nans
+        s, e = counts(spark_tbl.column(f.name)), counts(exp_arrow.column(f.name))
+        if s != e:
+            bad.append(f"col {f.name}: spark nulls/nans {s} vs oracle {e}")
+    return bad
+
 def norm(df):
     df = df[sorted(df.columns)]
     df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
@@ -81,6 +102,14 @@ def main():
             print(f"FAIL  {name}: dtype divergence (driver hash is type-sensitive): "
                   + "; ".join(dtype_bad))
             n_fail += 1; continue
+        # NULL vs computed-NaN divergence is invisible after .df()/.to_pandas()
+        # (both map to NaN) but byte-visible to the driver: compare per-column
+        # null/NaN counts on the ARROW tables before any pandas conversion.
+        null_bad = null_nan_audit(name, files, exp_arrow)
+        if null_bad:
+            print(f"FAIL  {name}: NULL-vs-NaN divergence (driver hash sees it): "
+                  + "; ".join(null_bad))
+            n_fail += 1; continue
         g, e = norm(got), norm(exp)
         if list(g.columns) != list(e.columns):
             print(f"FAIL  {name}: columns {list(g.columns)} != {list(e.columns)}"); n_fail += 1; continue
@@ -108,8 +137,10 @@ def main():
                 # bit level.
                 import numpy as np
                 if getattr(a.dtype, "kind", "") == "f" and getattr(b.dtype, "kind", "") == "f":
-                    av = a.to_numpy(dtype=np.float64)
-                    bv = b.to_numpy(dtype=np.float64)
+                    # na_value keeps nullable Float64 extension columns from
+                    # raising inside the audit (pd.NA has no float64 view)
+                    av = a.to_numpy(dtype=np.float64, na_value=np.nan)
+                    bv = b.to_numpy(dtype=np.float64, na_value=np.nan)
                     sz = (av == 0) & (bv == 0) & (np.signbit(av) != np.signbit(bv))
                     if sz.any():
                         i = int(np.argmax(sz))
