@@ -657,31 +657,36 @@ object AdvancedQueries {
     * (products < 2⁵³), so rounding is engine-identical. */
   def q192BasketLift(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    // basket-array form: ONE groupBy(ok) builds each order's distinct
-    // item set (collect_set dedups in-agg — no separate distinct pass),
-    // pairs expand IN-ROW over the sorted array (Σ C(basket,2) rows,
-    // never a self-join's repartition of both sides), and the pair count
-    // partial-combines map-side. Measured at sf0.1: self-join form
-    // 2.4-2.8 s, struct-pair baskets 2.8 s, packed-long baskets 1.94 s
-    // (ProfQ192 has the per-stage split).
+    // basket-array form, TWO shuffles total — the co-occurrence minimum:
+    // (1) ONE groupBy(ok) builds each order's item list; (2) the fused
+    // graft_packed_pairs_singles kernel (codegen'd — it sorts, dedups,
+    // packs pairs AND emits one diagonal key per item in-row) explodes
+    // into a single groupBy(count) that yields pair counts and item
+    // frequencies together, so frequency computation no longer pays its
+    // own explode + shuffle. Measured at sf0.1 (ProfQ192 per-stage):
+    // self-join form 2.4-2.8 s, struct-pair HOF 2.8 s, packed-long HOF
+    // 1.94 s, this fused-kernel form ~1.8 s (baskets 0.63 + fused
+    // explode/agg 0.72 + assembly 0.43 warm).
     val baskets = graft.ops.ScratchCache.register(lineitem(s, d)
       .select($"l_orderkey".cast("long").as("ok"),
         $"l_partkey".cast("long").as("item"))
-      .groupBy($"ok").agg(sort_array(collect_set($"item")).as("its"))
+      .groupBy($"ok").agg(collect_list($"item").as("its"))
       .persist())
-    val freq = baskets.select(explode($"its").as("item"))
-      .groupBy($"item").agg(count(lit(1)).as("f"))
-    val tot = baskets.agg(count(lit(1)).as("n"))
-    baskets
-      // pairs pack into ONE long (ids < 2³²): 8-byte shuffle rows and a
-      // single-column hash agg instead of a 2-field struct per pair
-      .select(explode(flatten(transform($"its", (x, i) =>
-        transform(slice($"its", i + lit(2), size($"its")),
-          y => x * lit(4294967296L) + y)))).as("pk"))
+    val agg = graft.ops.ScratchCache.register(baskets
+      .select(explode(
+        graft.functions.GraphFunctions.packedPairsAndSingles($"its")).as("pk"))
       .groupBy($"pk").agg(count(lit(1)).as("f_ab"))
+      .persist())
+    val hi = shiftrightunsigned($"pk", 32)
+    val lo = $"pk".bitwiseAND(lit(4294967295L))
+    // diagonal keys (a == b, impossible for the strict a < b pairs) carry
+    // the per-item basket-membership counts
+    val freq = agg.filter(hi === lo).select(hi.as("item"), $"f_ab".as("f"))
+    val tot = baskets.agg(count(lit(1)).as("n"))
+    agg
+      .filter(hi =!= lo)
       .filter($"f_ab" >= 3L)
-      .select(expr("pk div 4294967296L").as("item_a"),
-        pmod($"pk", lit(4294967296L)).as("item_b"), $"f_ab")
+      .select(hi.as("item_a"), lo.as("item_b"), $"f_ab")
       .join(broadcast(freq.select($"item".as("item_a"), $"f".as("f_a"))),
         Seq("item_a"))
       .join(broadcast(freq.select($"item".as("item_b"), $"f".as("f_b"))),

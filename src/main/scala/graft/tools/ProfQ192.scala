@@ -55,6 +55,47 @@ object ProfQ192 {
       t("B pair explode+agg")(pairsB.count())
       baskets.unpersist()
       spark.catalog.clearCache()
+      // variant C: codegen'd packedPairs kernel (collect_list — the kernel
+      // sorts+dedups in-row), freq still its own explode+shuffle
+      val basketsC = li.groupBy($"ok")
+        .agg(collect_list($"item").as("its")).persist()
+      t("C baskets (list)")(basketsC.count())
+      t("C kernel pairs+agg")(basketsC
+        .select(explode(graft.functions.GraphFunctions.packedPairs($"its")).as("pk"))
+        .groupBy($"pk").agg(count(lit(1)).as("f_ab"))
+        .filter($"f_ab" >= 3L).count())
+      t("C freq")(basketsC.select(explode($"its").as("item")).distinct()
+        .groupBy($"item").agg(count(lit(1))).count())
+      basketsC.unpersist()
+      // variant D: fused pairs+singles — ONE explode+shuffle yields pair
+      // counts AND item frequencies (diagonal keys), full query to output
+      val basketsD = li.groupBy($"ok")
+        .agg(collect_list($"item").as("its")).persist()
+      t("D baskets (list)")(basketsD.count())
+      val aggD = basketsD
+        .select(explode(
+          graft.functions.GraphFunctions.packedPairsAndSingles($"its")).as("pk"))
+        .groupBy($"pk").agg(count(lit(1)).as("f_ab")).persist()
+      t("D fused explode+agg")(aggD.count())
+      t("D assembly")({
+        val tot = basketsD.agg(count(lit(1)).as("n"))
+        val freq = aggD
+          .filter(shiftrightunsigned($"pk", 32) === $"pk".bitwiseAND(lit(0xFFFFFFFFL)))
+          .select(shiftrightunsigned($"pk", 32).as("item"), $"f_ab".as("f"))
+        aggD
+          .filter(shiftrightunsigned($"pk", 32) =!= $"pk".bitwiseAND(lit(0xFFFFFFFFL)))
+          .filter($"f_ab" >= 3L)
+          .select(shiftrightunsigned($"pk", 32).as("item_a"),
+            $"pk".bitwiseAND(lit(0xFFFFFFFFL)).as("item_b"), $"f_ab")
+          .join(broadcast(freq.select($"item".as("item_a"), $"f".as("f_a"))), Seq("item_a"))
+          .join(broadcast(freq.select($"item".as("item_b"), $"f".as("f_b"))), Seq("item_b"))
+          .crossJoin(broadcast(tot))
+          .select($"item_a", $"item_b", $"f_ab",
+            (($"f_ab" * $"n").cast("double") / ($"f_a" * $"f_b").cast("double")).as("lift"))
+          .orderBy($"lift".desc, $"item_a", $"item_b").limit(50).count()
+      })
+      aggD.unpersist(); basketsD.unpersist()
+      spark.catalog.clearCache()
     }
     spark.stop()
   }

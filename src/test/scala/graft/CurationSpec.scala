@@ -129,6 +129,36 @@ class CurationSpec extends AnyFunSuite with SparkSpecBase {
     got.zip(hof).foreach { case (g, h) => assert(g == h) }
   }
 
+  test("packedPairsAndSingles kernel: pairs plus one diagonal per distinct id") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    def run(xs: Seq[java.lang.Long]): Seq[Long] = {
+      val r = graft.functions.GraphKernels.packedPairsAndSingles(
+        new GenericArrayData(xs.toArray[Any]))
+      (0 until r.numElements()).map(r.getLong)
+    }
+    // per id: diagonal first, then its a<b pairs — kernel order
+    assert(run(Seq(3L, 1L, 2L, 1L)) == Seq(
+      (1L << 32) | 1L, (1L << 32) | 2L, (1L << 32) | 3L,
+      (2L << 32) | 2L, (2L << 32) | 3L,
+      (3L << 32) | 3L))
+    assert(run(Seq(5L)) == Seq((5L << 32) | 5L))
+    assert(run(Seq.empty) == Seq.empty)
+    assert(graft.functions.GraphKernels.packedPairsAndSingles(null).numElements() == 0)
+    intercept[IllegalArgumentException] { run(Seq(-1L, 2L)) }
+    // pair subset == packedPairs; diagonal subset == distinct ids
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 30) {
+      val xs = Seq.fill(rnd.nextInt(9))(rnd.nextInt(40).toLong)
+      val all = run(xs.map(java.lang.Long.valueOf))
+      val (diag, pairs) = all.partition(p => (p >>> 32) == (p & 0xFFFFFFFFL))
+      val want = graft.functions.GraphKernels.packedPairs(
+        new GenericArrayData(xs.toArray[Any]))
+      assert(pairs.sorted ==
+        (0 until want.numElements()).map(want.getLong).sorted)
+      assert(diag.map(_ >>> 32).sorted == xs.distinct.sorted)
+    }
+  }
+
   test("triangle strategies agree on a random graph") {
     val rnd = new scala.util.Random(11)
     val e = (1 to 300).map { _ =>
