@@ -100,6 +100,10 @@ object GraftExtensions {
         strArg(a(1), "graft_char_class_count")))),
     fn("graft_redact_pii", graft.queries.CurationQueries.getClass)(a =>
       comp(a)(c => graft.queries.CurationQueries.redactPii(c(0)))),
+    // graft_geodesic_m(lon1, lat1, lon2, lat2): WGS84 Vincenty metres;
+    // NaN in the ~0.55 degree nearly-antipodal cap (documented out-of-domain)
+    fn("graft_geodesic_m", classOf[GeodesicMeters])(a =>
+      comp(a)(c => GeodesicFunctions.geodesicMeters(c(0), c(1), c(2), c(3)))),
   )
 
   /** Imperative registration for an existing session (tests, Verify).

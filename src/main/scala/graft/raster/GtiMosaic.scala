@@ -880,34 +880,48 @@ object GtiMosaic {
       val (fresx, fresy) = (bresx * stride, bresy * stride)
       val plane = TileCache.plane(t.location, band, lvl, localize)
       // RESAMPLING honors the manifest metadata (mosaics.py:90; the
-      // reference's GTI default is "average"): average = mean of valid
-      // source pixels whose centers fall inside the target cell footprint
-      // (the axis-aligned bbox of the four warped cell corners), degrading
-      // to nearest when the source is coarser than the target (no center
-      // lands in the footprint). bilinear = 2×2 weighted sample at the
-      // warped cell center, cubic = 4×4 Catmull-Rom (a = −0.5, GDAL's
-      // kernel); both skip nodata/out-of-bounds taps and renormalize over
-      // the remaining weight (all-invalid → nodata). Anything else =
-      // nearest.
+      // reference's GTI default is "average", and GDAL's GTI driver
+      // admits the full gdalwarp set — mosaics.py:31). Footprint family
+      // (average/mode/min/max): statistic of valid source pixels whose
+      // centers fall inside the target cell footprint (the axis-aligned
+      // bbox of the four warped cell corners), degrading to nearest when
+      // the source is coarser than the target (no center lands in the
+      // footprint); mode breaks frequency ties toward the SMALLEST value
+      // (deterministic across scan orders). Kernel family: bilinear =
+      // 2×2 tent at the warped cell center, cubic = 4×4 Catmull-Rom
+      // (a = −0.5, GDAL's kernel), lanczos = 6×6 windowed sinc (radius
+      // 3, GDAL's kernel); all skip nodata/out-of-bounds taps and
+      // renormalize over the remaining weight (all-invalid → nodata).
+      // Anything else = nearest.
       val mode = m.resampling.toLowerCase match {
         case "average" => 0
         case "bilinear" => 1
         case "cubic" => 2
+        case "lanczos" => 4
+        case "mode" => 5
+        case "min" => 6
+        case "max" => 7
         case _ => 3
       }
       def isNd(v: Float): Boolean = if (nd.isNaN) v.isNaN else v == nd.toFloat
       // gx/gy are file PIXEL-CENTER coordinates (pixel k's center at k)
-      def sampleKernel(gx: Double, gy: Double, cubic: Boolean): Float = {
-        val r = if (cubic) 2 else 1 // taps per axis: 2r
+      def sampleKernel(gx: Double, gy: Double, kind: Int): Float = {
+        val r = kind match { case 2 => 2; case 4 => 3; case _ => 1 } // taps: 2r
         val xb = math.floor(gx).toInt
         val yb = math.floor(gy).toInt
-        def w1(t: Double): Double =
-          if (cubic) {
+        def sinc(t: Double): Double =
+          if (t == 0.0) 1.0 else { val p = math.Pi * t; math.sin(p) / p }
+        def w1(t: Double): Double = kind match {
+          case 2 =>
             val a = -0.5; val at = math.abs(t)
             if (at <= 1) ((a + 2) * at - (a + 3)) * at * at + 1
             else if (at < 2) ((a * at - 5 * a) * at + 8 * a) * at - 4 * a
             else 0.0
-          } else math.max(0.0, 1.0 - math.abs(t))
+          case 4 =>
+            val at = math.abs(t)
+            if (at < 3.0) sinc(t) * sinc(t / 3.0) else 0.0
+          case _ => math.max(0.0, 1.0 - math.abs(t))
+        }
         var sum = 0.0
         var wsum = 0.0
         var j = -r + 1
@@ -950,12 +964,12 @@ object GtiMosaic {
           // unguarded nearest/average path would silently resample pixel
           // (0,0) — skip the cell instead (stays mosaic nodata)
           if (fxc.isNaN || fyc.isNaN) ()
-          else if (mode == 1 || mode == 2) {
+          else if (mode == 1 || mode == 2 || mode == 4) {
             val gx = (fxc - fx0) / fresx - 0.5
             val gy = (fy1 - fyc) / fresy - 0.5
-            val v = sampleKernel(gx, gy, mode == 2)
+            val v = sampleKernel(gx, gy, mode)
             if (!v.isNaN) data(out) = v
-          } else if (mode == 0) {
+          } else if (mode == 0 || mode >= 5) {
             // footprint = bbox of the four warped corners (conservative
             // under rotation; equals the per-axis bounds when separable)
             val cA = aff.toFile(xL, yTop)
@@ -978,6 +992,11 @@ object GtiMosaic {
               }
             } else {
               var sum = 0.0; var n = 0
+              var mn = Float.MaxValue; var mx = Float.MinValue
+              // mode only: frequency of each valid value in the (small)
+              // footprint; ties resolve toward the smallest value
+              val freq = if (mode == 5)
+                scala.collection.mutable.HashMap.empty[Float, Int] else null
               var fr = math.max(frLo, 0)
               val frEnd = math.min(frHi, fi.height - 1)
               while (fr <= frEnd) {
@@ -985,12 +1004,29 @@ object GtiMosaic {
                 val fcEnd = math.min(fcHi, fi.width - 1)
                 while (fc <= fcEnd) {
                   val v = plane(fr * fi.width + fc)
-                  if (!isNd(v)) { sum += v; n += 1 }
+                  if (!isNd(v)) {
+                    sum += v; n += 1
+                    if (v < mn) mn = v
+                    if (v > mx) mx = v
+                    if (freq != null) freq(v) = freq.getOrElse(v, 0) + 1
+                  }
                   fc += 1
                 }
                 fr += 1
               }
-              if (n > 0) data(out) = (sum / n).toFloat
+              if (n > 0) data(out) = mode match {
+                case 5 =>
+                  var bestV = Float.NaN; var bestN = 0
+                  freq.foreach { case (v, c) =>
+                    if (c > bestN || (c == bestN && v < bestV)) {
+                      bestV = v; bestN = c
+                    }
+                  }
+                  bestV
+                case 6 => mn
+                case 7 => mx
+                case _ => (sum / n).toFloat
+              }
             }
           } else if (frN >= 0 && frN < fi.height && fcN >= 0 && fcN < fi.width) {
             val v = plane(frN * fi.width + fcN)

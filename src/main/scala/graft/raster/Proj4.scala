@@ -127,7 +127,7 @@ object Proj4 {
     if (!towgsOk && legacyEll.isEmpty && !wgsLike) return None
     if (!towgsOk && !kv.get("proj").exists(Set("longlat", "latlong", "utm",
         "tmerc", "lcc", "aea", "stere", "sterea", "somerc", "omerc",
-        "krovak", "geos"))) return None
+        "krovak", "geos", "aeqd"))) return None
 
     // compose the Helmert datum shift around a kernel whose geodetic side
     // is `ell`; Compiled's geographic side stays WGS84 lon/lat. GRS80 with
@@ -686,13 +686,32 @@ object Proj4 {
             (x, y) => c.inverse(x - x0, y - y0))
         }
 
+      case "aeqd" if sphereR.isEmpty =>
+        // ELLIPSOIDAL azimuthal equidistant: chart distance/bearing from
+        // the center are the true GEODESIC distance/azimuth (PROJ runs
+        // geodesics here — the spherical closed form below would silently
+        // diverge ~0.3 % on datum grids). Forward is one Vincenty inverse
+        // (NaN in the ~0.55° nearly-antipodal cap, the same out-of-domain
+        // NaN contract as geos off-disk), inverse one Vincenty direct;
+        // Helmert/NTv2 datum machinery composes outside like every other
+        // ellipsoidal kernel.
+        for {
+          hm <- helmert
+          ell <- shiftEll
+          lon0 <- numOr("lon_0", 0.0)
+          lat0 <- numOr("lat_0", 0.0)
+          x0 <- numOr("x_0", 0.0); y0 <- numOr("y_0", 0.0)
+        } yield {
+          val p = Geodesic.AzimuthalEquidistant(lat0, lon0, x0, y0, ell)
+          datumWrapped(
+            Compiled((lon, lat) => p.forward(lon, lat), (x, y) => p.inverse(x, y)),
+            ell, hm)
+        }
+
       case "aeqd" =>
-        // Azimuthal equidistant, SPHERICAL only (Snyder p.195, 25-2/25-4):
+        // Azimuthal equidistant, SPHERICAL (Snyder p.195, 25-2/25-4):
         // distance from the center on the map equals the great-circle
-        // distance exactly. PROJ's ellipsoidal aeqd runs geodesics — a
-        // spherical stand-in on +datum grids would silently diverge
-        // ~0.3 %, so ellipsoidal strings FAIL FAST (the honest-rejection
-        // contract) and only explicit +R spheres compile.
+        // distance exactly; compiled for explicit +R spheres.
         for {
           lon0 <- numOr("lon_0", 0.0)
           lat0 <- numOr("lat_0", 0.0)

@@ -544,6 +544,127 @@ class GtiMosaicSpec extends AnyFunSuite with SparkSpecBase {
     assert(near(1) == full(1 * 8 + 3)) // cell (0,1): center (3, 7) -> pixel (1,3)
   }
 
+  test("warp from a datum'd aeqd tile: ellipsoidal geodesic CRS resolves with no registration") {
+    val fix = Files.createTempDirectory("graft-gti-aeqd").toString
+    val localize = (loc: String) => Paths.get(fix, loc.split('/').last).toString
+    // 8x8 file on an ellipsoidal aeqd grid centered (2E, 48N), res 1000 m,
+    // spanning ±4 km; value = row*8+col so nearest-warp placement is exact
+    val srs = "+proj=aeqd +lat_0=48 +lon_0=2 +datum=WGS84 +units=m +no_defs"
+    val full = Array.tabulate(64)(_.toFloat)
+    Files.write(Paths.get(fix, "ae.tif"), GeoTiffWriter.write(8, 8, Seq(full),
+      pixelScale = (1000.0, 1000.0), tiepoint = (-4000.0, 4000.0),
+      nodata = Some(Double.NaN)))
+    val dst = Files.createTempDirectory("graft-gti-aeqd-dst").toString
+    GtiMosaic.write(
+      Seq(("s3://mosaic.fixtures/ae.tif", 1.95, 47.96, 2.05, 48.04, srs))
+        .toDF("location", "minx", "miny", "maxx", "maxy", "srs"),
+      dst, GtiMosaic.Meta("Float32", Double.NaN, 1.95, 47.96, 2.05, 48.04,
+        0.01, 0.01, 1, "nearest", "EPSG:4326"))
+    val got = GtiMosaic.assemble(spark, dst, 0, 16)(localize).collect()
+      .filter(_.cx == 0).head.data
+    val proj = graft.raster.Proj4.parse(srs).getOrElse(fail("aeqd parse"))
+    var checked = 0
+    for (py <- 0 until 8; px <- 0 until 10) {
+      val lon = 1.95 + (px + 0.5) * 0.01
+      val lat = 48.04 - (py + 0.5) * 0.01
+      val (fx, fy) = proj.forward(lon, lat)
+      val col = math.floor((fx + 4000.0) / 1000.0).toInt
+      val row = math.floor((4000.0 - fy) / 1000.0).toInt
+      if (col >= 0 && col < 8 && row >= 0 && row < 8) {
+        assert(got(py * 16 + px) == full(row * 8 + col),
+          s"aeqd warp ($py,$px): got ${got(py * 16 + px)} want ${full(row * 8 + col)}")
+        checked += 1
+      }
+    }
+    assert(checked > 40, s"only $checked cells inside the tile")
+  }
+
+  test("lanczos/mode/min/max resampling: hand-computed kernel and footprint cases") {
+    val fix = Files.createTempDirectory("graft-gti-lmx").toString
+    val localize = (loc: String) => Paths.get(fix, loc.split('/').last).toString
+
+    // LANCZOS at res 1 aligned with the file: every target center hits a
+    // pixel center, sinc(integer) = 0 everywhere but the center tap → exact
+    val full = Array.tabulate(36)(i => (i * 3 % 17).toFloat)
+    Files.write(Paths.get(fix, "lz.tif"), GeoTiffWriter.write(6, 6, Seq(full),
+      pixelScale = (1.0, 1.0), tiepoint = (0.0, 6.0), nodata = Some(Double.NaN)))
+    val dstL = Files.createTempDirectory("graft-gti-lz").toString
+    GtiMosaic.write(
+      Seq(("s3://mosaic.fixtures/lz.tif", 0.0, 0.0, 6.0, 6.0))
+        .toDF("location", "minx", "miny", "maxx", "maxy"),
+      dstL, GtiMosaic.Meta("Float32", Double.NaN, 0.0, 0.0, 6.0, 6.0,
+        1.0, 1.0, 1, "lanczos", "EPSG:4326"))
+    val gotL = GtiMosaic.assemble(spark, dstL, 0, 6)(localize).collect().head.data
+    // exact up to fp noise: sample positions carry ~1 ulp of affine
+    // arithmetic, and sinc(k ± 1e-16) is ~1e-16, not exactly 0
+    gotL.zip(full).zipWithIndex.foreach { case ((g, w), i) =>
+      assert(math.abs(g - w) < 1e-5, s"lanczos aligned px $i: $g vs $w")
+    }
+
+    // LANCZOS at res 0.5: hand-computed windowed-sinc sum over the 6x6
+    // support at one interior sample, renormalized over in-bounds taps
+    val dstL2 = Files.createTempDirectory("graft-gti-lz2").toString
+    GtiMosaic.write(
+      Seq(("s3://mosaic.fixtures/lz.tif", 0.0, 0.0, 6.0, 6.0))
+        .toDF("location", "minx", "miny", "maxx", "maxy"),
+      dstL2, GtiMosaic.Meta("Float32", Double.NaN, 0.0, 0.0, 6.0, 6.0,
+        0.5, 0.5, 1, "lanczos", "EPSG:4326"))
+    val gotL2 = GtiMosaic.assemble(spark, dstL2, 0, 12)(localize)
+      .collect().head.data
+    def sinc(t: Double) =
+      if (t == 0.0) 1.0 else math.sin(math.Pi * t) / (math.Pi * t)
+    def lz(t: Double) = if (math.abs(t) < 3.0) sinc(t) * sinc(t / 3.0) else 0.0
+    locally { // target cell (py=6, px=7): center gx=3.25, gy=2.75
+      val (gx, gy) = (0.5 * 7 - 0.25, 0.5 * 6 - 0.25)
+      var s = 0.0; var w = 0.0
+      for (r <- math.floor(gy).toInt - 2 to math.floor(gy).toInt + 3;
+           c <- math.floor(gx).toInt - 2 to math.floor(gx).toInt + 3
+           if r >= 0 && r < 6 && c >= 0 && c < 6) {
+        val wt = lz(gy - r) * lz(gx - c)
+        s += wt * full(r * 6 + c); w += wt
+      }
+      assert(math.abs(gotL2(6 * 12 + 7) - s / w) < 1e-4,
+        s"lanczos (6,7): got ${gotL2(6 * 12 + 7)} want ${s / w}")
+    }
+
+    // MODE/MIN/MAX at res 2 over an 8x8 file: per-2x2-block statistics;
+    // block (0,0) has a 2-2 frequency tie -> smallest value wins; block
+    // (0,1) has a NaN that must be excluded
+    val blocks = new Array[Float](64)
+    def setBlock(by: Int, bx: Int, vs: (Float, Float, Float, Float)): Unit = {
+      blocks((by * 2) * 8 + bx * 2) = vs._1
+      blocks((by * 2) * 8 + bx * 2 + 1) = vs._2
+      blocks((by * 2 + 1) * 8 + bx * 2) = vs._3
+      blocks((by * 2 + 1) * 8 + bx * 2 + 1) = vs._4
+    }
+    for (by <- 0 until 4; bx <- 0 until 4) setBlock(by, bx, (9f, 9f, 4f, 9f))
+    setBlock(0, 0, (5f, 5f, 3f, 3f))       // tie 2-2 -> 3
+    setBlock(0, 1, (Float.NaN, 7f, 7f, 2f)) // NaN out -> mode 7, min 2, max 7
+    setBlock(1, 2, (8f, 1f, 8f, 8f))       // mode 8, min 1, max 8
+    Files.write(Paths.get(fix, "blk.tif"), GeoTiffWriter.write(8, 8, Seq(blocks),
+      pixelScale = (1.0, 1.0), tiepoint = (0.0, 8.0), nodata = Some(Double.NaN)))
+    def assembleAs(res: String): Array[Float] = {
+      val dst = Files.createTempDirectory(s"graft-gti-$res").toString
+      GtiMosaic.write(
+        Seq(("s3://mosaic.fixtures/blk.tif", 0.0, 0.0, 8.0, 8.0))
+          .toDF("location", "minx", "miny", "maxx", "maxy"),
+        dst, GtiMosaic.Meta("Float32", Double.NaN, 0.0, 0.0, 8.0, 8.0,
+          2.0, 2.0, 1, res, "EPSG:4326"))
+      GtiMosaic.assemble(spark, dst, 0, 4)(localize).collect().head.data
+    }
+    val gotM = assembleAs("mode")
+    assert(gotM(0) == 3f, s"mode tie: ${gotM(0)}")      // block (0,0)
+    assert(gotM(1) == 7f, s"mode NaN-excl: ${gotM(1)}") // block (0,1)
+    assert(gotM(1 * 4 + 2) == 8f)                       // block (1,2)
+    assert(gotM(3 * 4 + 3) == 9f)                       // default block
+    val gotMin = assembleAs("min")
+    assert(gotMin(0) == 3f && gotMin(1) == 2f &&
+      gotMin(1 * 4 + 2) == 1f && gotMin(3 * 4 + 3) == 4f)
+    val gotMax = assembleAs("max")
+    assert(gotMax(0) == 5f && gotMax(1) == 7f &&
+      gotMax(1 * 4 + 2) == 8f && gotMax(3 * 4 + 3) == 9f)
+  }
+
   test("bilinear/cubic resampling: linear-field reproduction, hand-computed values") {
     val fix = Files.createTempDirectory("graft-gti-bil").toString
     // 6x6 res-1 file, v = 6y + x — BILINEAR in pixel coords, so bilinear

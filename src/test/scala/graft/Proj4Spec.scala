@@ -247,10 +247,21 @@ class Proj4Spec extends AnyFunSuite with SparkSpecBase {
       val (lon2, lat2) = ae.inverse(x, y)
       assert(math.abs(lon2 - lon) < 1e-7 && math.abs(lat2 - lat) < 1e-7)
     }
-    // ellipsoidal aeqd would need geodesics — must fail fast, not
-    // silently run spherical math on a datum grid
-    assert(Proj4.parse("+proj=aeqd +lat_0=48 +lon_0=2 +datum=WGS84").isEmpty)
-    assert(Proj4.parse("+proj=aeqd +lat_0=48 +lon_0=2 +ellps=GRS80").isEmpty)
+    // ellipsoidal aeqd compiles via geodesics (GeodesicSpec pins the
+    // kernel; here: the defining property — map distance from the center
+    // equals the VINCENTY geodesic distance, not the spherical one)
+    val aeE = Proj4.parse("+proj=aeqd +lat_0=48 +lon_0=2 +datum=WGS84")
+      .getOrElse(fail("ellipsoidal aeqd"))
+    for ((lon, lat) <- Seq((2.0, 49.0), (-70.0, 40.0), (140.0, -35.0))) {
+      val (x, y) = aeE.forward(lon, lat)
+      val Some(geod) = graft.raster.Geodesic.distance(
+        graft.raster.Datum.WGS84, 2.0, 48.0, lon, lat)
+      assert(math.abs(math.hypot(x, y) - geod) < 1e-6,
+        s"ell-aeqd dist ${math.hypot(x, y)} vs geodesic $geod")
+      val (lon2, lat2) = aeE.inverse(x, y)
+      assert(math.abs(lon2 - lon) < 1e-7 && math.abs(lat2 - lat) < 1e-7)
+    }
+    assert(Proj4.parse("+proj=aeqd +lat_0=48 +lon_0=2 +ellps=GRS80").isDefined)
   }
 
   test("honest rejection: unknown projections/ellipsoids, oblique stere") {
