@@ -23,11 +23,15 @@ package graft.raster
   * Compiled geographic side is ALWAYS WGS84 lon/lat (the shift is
   * composed inside). `+nadgrids=<file>.gsb` NTv2 grid shifts ([[Ntv2]])
   * supersede the Helmert, PROJ-style; a present-but-unreadable grid
-  * fails the parse. Anything else — unknown projections, unknown
-  * ellipsoid names, `+datum=` shorthands other than WGS84, non-Greenwich
-  * `+pm=`, nonzero shifts without a recognized ellipsoid — returns None,
-  * keeping `assemble`'s fail-fast contract rather than silently
-  * mis-warping.
+  * fails the parse. Non-Greenwich `+pm=` (named registry or numeric)
+  * folds into the longitude origin before dispatch; `+proj=pipeline`
+  * strings compile through a step interpreter (unitconvert/axisswap/
+  * projection steps, each optionally `+inv`). Anything else — unknown
+  * projections, unknown ellipsoid names, `+datum=` shorthands other
+  * than WGS84, nonzero shifts without a recognized ellipsoid,
+  * pipeline steps outside the vocabulary (push/pop, vgridshift —
+  * the engine has no vertical data model) — returns None, keeping
+  * `assemble`'s fail-fast contract rather than silently mis-warping.
   */
 object Proj4 {
 
@@ -42,9 +46,146 @@ object Proj4 {
   /** True iff the string looks like a proj4 string (leading `+key=…`). */
   def looksLikeProj(s: String): Boolean = s.trim.startsWith("+")
 
+  /** PROJ's prime-meridian registry (public constants, pj_datums) plus
+    * numeric degrees east of Greenwich. */
+  object PrimeMeridians {
+    private val named: Map[String, Double] = Map(
+      "greenwich" -> 0.0,
+      "lisbon" -> -9.131906111111,
+      "paris" -> 2.337229166667,
+      "bogota" -> -74.080916666667,
+      "madrid" -> -3.687938888889,
+      "rome" -> 12.452333333333,
+      "bern" -> 7.439583333333,
+      "jakarta" -> 106.807719444444,
+      "ferro" -> -17.666666666667,
+      "brussels" -> 4.367975,
+      "stockholm" -> 18.058277777778,
+      "athens" -> 23.7163375,
+      "oslo" -> 10.722916666667)
+    def resolve(v: String): Option[Double] =
+      named.get(v.toLowerCase).orElse(v.toDoubleOption)
+  }
+
+  /** `+proj=pipeline` interpreter for the canonical step vocabulary a
+    * projected/geographic CRS pipeline uses: `unitconvert` (xy deg↔rad,
+    * m↔m), `axisswap` (+order=2,1 / 1,2), and any projection this parser
+    * compiles standalone — each step optionally `+inv` (a projection
+    * step run inverse, i.e. an unproject). A unit-state machine (deg /
+    * rad / projected) decides how each projection step's degree-based
+    * kernel plugs into the radian-plumbed PROJ flow; global tokens
+    * (ellipsoid/datum family) inherit into steps that don't override
+    * them, PROJ-style. Anything outside this vocabulary — push/pop,
+    * vgridshift/geoid steps, 3D axis orders, angular outputs other than
+    * deg/rad — fails the parse (the engine has no vertical data model;
+    * fail-fast beats a silent partial transform). */
+  private def parsePipeline(toks: Array[String]): Option[Compiled] = {
+    val stepIdx = toks.indices.filter(toks(_) == "+step")
+    if (stepIdx.isEmpty) return None
+    val skipGlobal = Set("+proj=pipeline", "+no_defs", "+type=crs", "+step")
+    val inheritKeys = Set("ellps", "datum", "towgs84", "R", "a", "b",
+      "nadgrids", "units", "pm")
+    val globals = toks.take(stepIdx.head)
+      .filterNot(skipGlobal)
+      .filter(t => inheritKeys(t.drop(1).takeWhile(_ != '=')))
+    // any un-inheritable global besides the markers is out of vocabulary
+    if (toks.take(stepIdx.head).exists(t =>
+        !skipGlobal(t) && !inheritKeys(t.drop(1).takeWhile(_ != '='))))
+      return None
+    val steps: Seq[Array[String]] =
+      (stepIdx :+ toks.length).sliding(2).map { case Seq(a, b) =>
+        toks.slice(a + 1, b)
+      }.toSeq
+    if (steps.exists(_.isEmpty)) return None
+
+    sealed trait U
+    case object Deg extends U; case object Rad extends U; case object Prj extends U
+    val d2r = math.Pi / 180.0
+    val r2d = 180.0 / math.Pi
+    var cur: U = Deg
+    val fwds = scala.collection.mutable.ArrayBuffer
+      .empty[(Double, Double) => (Double, Double)]
+    val invs = scala.collection.mutable.ArrayBuffer
+      .empty[(Double, Double) => (Double, Double)]
+    def push(f: (Double, Double) => (Double, Double),
+             g: (Double, Double) => (Double, Double)): Unit = {
+      fwds += f; g +=: invs
+    }
+
+    for (step <- steps) {
+      val isInv = step.contains("+inv")
+      val body = step.filterNot(_ == "+inv")
+      val skv: Map[String, String] = body.map { t =>
+        val b = t.drop(1); val i = b.indexOf('=')
+        if (i < 0) b -> "" else b.take(i) -> b.drop(i + 1)
+      }.toMap
+      skv.getOrElse("proj", "") match {
+        case "unitconvert" =>
+          val (uin, uout) = {
+            val a = skv.getOrElse("xy_in", ""); val b = skv.getOrElse("xy_out", "")
+            if (isInv) (b, a) else (a, b)
+          }
+          (uin, uout) match {
+            case ("deg", "rad") =>
+              if (cur != Deg) return None
+              push((x, y) => (x * d2r, y * d2r), (x, y) => (x * r2d, y * r2d))
+              cur = Rad
+            case ("rad", "deg") =>
+              if (cur != Rad) return None
+              push((x, y) => (x * r2d, y * r2d), (x, y) => (x * d2r, y * d2r))
+              cur = Deg
+            case ("m", "m") => () // noop
+            case _ => return None
+          }
+        case "axisswap" =>
+          skv.getOrElse("order", "") match {
+            case "2,1" => push((x, y) => (y, x), (x, y) => (y, x))
+            case "1,2" => ()
+            case _ => return None
+          }
+        case "pipeline" | "" => return None
+        case _ =>
+          // a real projection step: compile standalone with inherited
+          // globals (step tokens win on conflict)
+          val stepKeys = body.map(_.drop(1).takeWhile(_ != '='))
+          val inherited = globals.filterNot(g =>
+            stepKeys.contains(g.drop(1).takeWhile(_ != '=')))
+          val c = parse((body ++ inherited).mkString(" ")).getOrElse(return None)
+          if (!isInv) {
+            cur match {
+              case Deg => push(c.forward, c.inverse)
+              case Rad => push(
+                (x, y) => c.forward(x * r2d, y * r2d),
+                (x, y) => { val (lo, la) = c.inverse(x, y); (lo * d2r, la * d2r) })
+              case Prj => return None // projection of projected coords
+            }
+            cur = Prj
+          } else {
+            // unproject: projected in, geographic out (PROJ flows rad)
+            if (cur != Prj && cur != Deg) return None
+            push(
+              (x, y) => { val (lo, la) = c.inverse(x, y); (lo * d2r, la * d2r) },
+              (x, y) => c.forward(x * r2d, y * r2d))
+            cur = Rad
+          }
+      }
+    }
+    // geographic-output pipelines surface degrees (Compiled contract)
+    if (cur == Rad)
+      push((x, y) => (x * r2d, y * r2d), (x, y) => (x * d2r, y * d2r))
+    val fv = fwds.toVector
+    val iv = invs.toVector
+    Some(Compiled(
+      (lon, lat) => fv.foldLeft((lon, lat)) { case ((x, y), f) => f(x, y) },
+      (x0, y0) => iv.foldLeft((x0, y0)) { case ((x, y), f) => f(x, y) }))
+  }
+
   def parse(s: String): Option[Compiled] = {
     val toks = s.trim.split("\\s+").filter(_.nonEmpty)
     if (!toks.forall(_.startsWith("+"))) return None
+    // +proj=pipeline has MULTIPLE +proj= tokens — route to the step
+    // interpreter before the last-wins kv collapse below can mangle it
+    if (toks.contains("+proj=pipeline")) return parsePipeline(toks)
     val kv: Map[String, String] = toks.map { t =>
       val body = t.drop(1)
       val i = body.indexOf('=')
@@ -83,10 +224,39 @@ object Proj4 {
     }
     if (gridSpec.exists(_.isEmpty)) return None
     val grid: Option[Ntv2.Grid] = gridSpec.flatten
-    // +pm: Greenwich only — a non-Greenwich prime meridian would shift
-    // every longitude; fail fast rather than silently ignore it
-    if (kv.get("pm").exists(pm => !pm.equalsIgnoreCase("greenwich")))
-      return None
+    // +pm: non-Greenwich prime meridians fold into the longitude origin
+    // BEFORE kernel dispatch (all kernels consume λ − λ₀ differences, so
+    // Greenwich-referencing λ₀ makes the whole kernel Greenwich-clean —
+    // the same arithmetic the Krovak/Ferro docstring describes). longlat
+    // is the one λ₀-free case and wraps directly; +utm's origin is
+    // zone-derived, so a pm'd utm fails fast rather than silently
+    // ignoring the shift. Datum machinery is unaffected: the rewrite
+    // happens at the string level, Helmert/NTv2 still see Greenwich
+    // geodetic coordinates.
+    val pmDeg: Option[Double] = kv.get("pm") match {
+      case None => Some(0.0)
+      case Some(v) => PrimeMeridians.resolve(v)
+    }
+    if (pmDeg.isEmpty) return None // unknown meridian name: fail fast
+    if (pmDeg.exists(_ != 0.0)) {
+      val pm = pmDeg.get
+      val proj = kv.getOrElse("proj", "")
+      if (proj == "longlat" || proj == "latlong") {
+        // file coords are pm-referenced degrees; Compiled's geographic
+        // side stays Greenwich
+        return parse(toks.filterNot(_.startsWith("+pm")).mkString(" "))
+          .map(c => Compiled(
+            (lon, lat) => { val (x, y) = c.forward(lon, lat); (x - pm, y) },
+            (x, y) => c.inverse(x + pm, y)))
+      }
+      if (proj == "utm") return None
+      val lonKey = if (proj == "omerc") "lonc" else "lon_0"
+      val lon0Local = kv.get(lonKey).flatMap(_.toDoubleOption).getOrElse(0.0)
+      val rewritten = toks
+        .filterNot(t => t.startsWith("+pm") || t.startsWith(s"+$lonKey="))
+        .mkString(" ") + s" +$lonKey=${lon0Local + pm}"
+      return parse(rewritten)
+    }
     val helmert: Option[Datum.Helmert] = kv.get("towgs84") match {
       case None => Some(Datum.Helmert(0, 0, 0))
       case Some(v) =>

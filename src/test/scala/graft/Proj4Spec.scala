@@ -264,6 +264,67 @@ class Proj4Spec extends AnyFunSuite with SparkSpecBase {
     assert(Proj4.parse("+proj=aeqd +lat_0=48 +lon_0=2 +ellps=GRS80").isDefined)
   }
 
+  test("+pm non-Greenwich meridians and +proj=pipeline step interpreter") {
+    // pm folds into the longitude origin: lcc referenced to Ferro equals
+    // the same lcc with a Greenwich lon_0 shifted by Ferro's offset
+    val ferro = -17.666666666667
+    val a = Proj4.parse("+proj=lcc +lat_1=49 +lat_2=46 +lat_0=47.5 " +
+      "+lon_0=31.2 +ellps=WGS84 +pm=ferro").getOrElse(fail("pm lcc"))
+    val b = Proj4.parse("+proj=lcc +lat_1=49 +lat_2=46 +lat_0=47.5 " +
+      s"+lon_0=${31.2 + ferro} +ellps=WGS84").getOrElse(fail("plain lcc"))
+    for ((lon, lat) <- Seq((14.0, 48.0), (17.5, 49.3))) {
+      val (xa, ya) = a.forward(lon, lat); val (xb, yb) = b.forward(lon, lat)
+      assert(math.abs(xa - xb) < 1e-6 && math.abs(ya - yb) < 1e-6)
+      val (lo, la) = a.inverse(xa, ya)
+      // lcc's latitude fixpoint converges to ~3e-9 deg (sub-mm)
+      assert(math.abs(lo - lon) < 1e-7 && math.abs(la - lat) < 1e-7)
+    }
+    // longlat + pm: file longitudes are pm-referenced
+    val pl = Proj4.parse("+proj=longlat +datum=WGS84 +pm=paris")
+      .getOrElse(fail("pm longlat"))
+    val paris = 2.337229166667
+    val (px, _) = pl.forward(10.0, 45.0)
+    assert(math.abs(px - (10.0 - paris)) < 1e-12)
+    assert(math.abs(pl.inverse(10.0 - paris, 45.0)._1 - 10.0) < 1e-12)
+    // unknown meridian name / pm'd utm: fail fast
+    assert(Proj4.parse("+proj=longlat +datum=WGS84 +pm=atlantis").isEmpty)
+    assert(Proj4.parse("+proj=utm +zone=33 +datum=WGS84 +pm=paris").isEmpty)
+
+    // canonical projected pipeline == its non-pipeline twin
+    val pipe = Proj4.parse("+proj=pipeline " +
+      "+step +proj=unitconvert +xy_in=deg +xy_out=rad " +
+      "+step +proj=utm +zone=33 +ellps=WGS84").getOrElse(fail("pipeline"))
+    val utm = Proj4.parse("+proj=utm +zone=33 +datum=WGS84")
+      .getOrElse(fail("utm"))
+    for ((lon, lat) <- Seq((15.0, 52.0), (12.3, 48.7))) {
+      val (xp, yp) = pipe.forward(lon, lat); val (xu, yu) = utm.forward(lon, lat)
+      assert(math.abs(xp - xu) < 1e-6 && math.abs(yp - yu) < 1e-6)
+      val (lo, la) = pipe.inverse(xp, yp)
+      assert(math.abs(lo - lon) < 1e-7 && math.abs(la - lat) < 1e-7)
+    }
+    // trailing axisswap swaps easting/northing both ways
+    val swapped = Proj4.parse("+proj=pipeline " +
+      "+step +proj=unitconvert +xy_in=deg +xy_out=rad " +
+      "+step +proj=utm +zone=33 +ellps=WGS84 " +
+      "+step +proj=axisswap +order=2,1").getOrElse(fail("axisswap"))
+    val (n1, e1) = swapped.forward(15.0, 52.0)
+    val (e0, n0) = utm.forward(15.0, 52.0)
+    assert(math.abs(n1 - n0) < 1e-9 && math.abs(e1 - e0) < 1e-9)
+    val (lo2, la2) = swapped.inverse(n1, e1)
+    assert(math.abs(lo2 - 15.0) < 1e-7 && math.abs(la2 - 52.0) < 1e-7)
+    // globals inherit into steps (ellps at pipeline level)
+    val inh = Proj4.parse("+proj=pipeline +ellps=WGS84 " +
+      "+step +proj=unitconvert +xy_in=deg +xy_out=rad " +
+      "+step +proj=utm +zone=33").getOrElse(fail("inherit"))
+    val (xi, yi) = inh.forward(15.0, 52.0)
+    val (xu2, yu2) = utm.forward(15.0, 52.0)
+    assert(math.abs(xi - xu2) < 1e-6 && math.abs(yi - yu2) < 1e-6)
+    // out-of-vocabulary steps fail fast, not partially transform
+    assert(Proj4.parse("+proj=pipeline +step +proj=vgridshift " +
+      "+grids=egm96_15.gtx").isEmpty)
+    assert(Proj4.parse("+proj=pipeline +step +proj=push +v_3").isEmpty)
+  }
+
   test("honest rejection: unknown projections/ellipsoids, oblique stere") {
     // OSGB36 (EPSG:27700) carries a real datum shift — round-7 Datum
     // machinery now compiles it (DatumSpec pins the worked example);

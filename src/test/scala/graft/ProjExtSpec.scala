@@ -146,9 +146,19 @@ class ProjExtSpec extends AnyFunSuite with SparkSpecBase {
     // geos with a bad sweep fails fast
     assert(Proj4.parse("+proj=geos +h=35786023 +lon_0=-75 +sweep=z " +
       "+ellps=GRS80").isEmpty)
-    // non-Greenwich prime meridian fails fast rather than mis-warping
-    assert(Proj4.parse("+proj=krovak +lat_0=49.5 +lon_0=42.5 " +
-      "+alpha=30.28813972222222 +k=0.9999 +ellps=bessel +pm=ferro").isEmpty)
+    // the classic Ferro-referenced Krovak string (42°30' E of Ferro)
+    // must equal the Greenwich form at 24°50' E that EPSG:5514 strings
+    // carry — the exact equivalence the Krovak docstring documents
+    val kvFerro = Proj4.parse("+proj=krovak +lat_0=49.5 +lon_0=42.5 " +
+      "+alpha=30.28813972222222 +k=0.9999 +ellps=bessel +pm=ferro")
+      .getOrElse(fail("ferro krovak"))
+    val kvGreen = Proj4.parse("+proj=krovak +lat_0=49.5 " +
+      "+lon_0=24.833333333333 +alpha=30.28813972222222 +k=0.9999 " +
+      "+ellps=bessel").getOrElse(fail("greenwich krovak"))
+    val (fx, fy) = kvFerro.forward(14.42, 50.09)
+    val (gx, gy) = kvGreen.forward(14.42, 50.09)
+    assert(math.abs(fx - gx) < 1e-4 && math.abs(fy - gy) < 1e-4,
+      s"ferro ($fx,$fy) vs greenwich ($gx,$gy)")
   }
 
   test("NTv2: write/read round-trip, bilinear interpolation, fixpoint inverse") {
