@@ -119,8 +119,14 @@ object SketchQueries {
     val tagged = cols.map { case (df, c, tag) =>
         df.select(lit(tag).as("col"), xxhash64(col(c)).as("h"))
       }.reduce(_.unionAll(_))
-    val ests = tagged.as[(String, Long)].groupByKey(_._1).mapValues(_._2)
-      .agg(new Sketches.HllAgg(13).toColumn.name("est")).collect().toMap
+    // untyped udaf keeps the scan→union→partial-agg pipeline inside
+    // WholeStageCodegen (the typed groupByKey form deserialized every row
+    // out of Tungsten first — measured 3.4 s vs 2.3 s for the whole query
+    // at sf1, 13 M tagged rows)
+    val hllU = udaf(new Sketches.HllAgg(13),
+      org.apache.spark.sql.Encoders.scalaLong)
+    val ests = tagged.groupBy($"col").agg(hllU($"h").as("est"))
+      .as[(String, Long)].collect().toMap
     // exact distincts come from the VALUES, not the hashes (collisions);
     // one ACTION: the per-table scalar aggregates cross-join into a single
     // 1-row plan, so their stages run concurrently instead of 4 jobs
