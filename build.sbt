@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify contract is "ONE parseable JSON line on stdout". Under
+// the default LoggedOutput strategy sbt prefixes every forked-run line
+// with "[info] " and appends its own "[success] Total time..." trailer —
+// both of which break a last-line JSON parse. Pipe the child's stdout
+// through untouched and drop the trailer.
+run / outputStrategy := Some(StdoutOutput)
+showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

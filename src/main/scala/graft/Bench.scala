@@ -121,10 +121,16 @@ object Bench {
     val total = results.map(_._2).sum
     val full =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":${jsonMap(results)},"sf":"$sfDir"}"""
-    scala.util.Try {
-      java.nio.file.Files.write(
-        java.nio.file.Paths.get("/root/repo/BENCH_FULL.json"),
-        (full + "\n").getBytes("utf-8"))
+    // CWD-relative (or env-overridden) so any checkout gets the file; a
+    // failed write is logged, not swallowed — the stdout line advertises it
+    val fullPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "BENCH_FULL.json"))
+      .toAbsolutePath
+    scala.util.Try(java.nio.file.Files.write(
+      fullPath, (full + "\n").getBytes("utf-8"))) match {
+      case scala.util.Failure(e) =>
+        System.err.println(s"Bench: could not write $fullPath: $e")
+      case _ => ()
     }
     // fixed headline set: the flagship relational/dedup/ANN/stream/curation
     // heavies plus the named perf-watch queries — ~35 keys ≈ 1 KB
@@ -142,7 +148,9 @@ object Bench {
       "q166_matryoshka", "q173_ccnet_buckets", "q192_basket_lift",
       "q195_blame_supplier", "mosaic_pipeline_110tiles")
     val head = results.filter { case (k, _) => headline(k) }
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"full":"BENCH_FULL.json","queries":${jsonMap(head)},"sf":"$sfDir"}""")
+    // stop FIRST so Spark's shutdown chatter can't land after the JSON
+    // line — the driver parses the last line of stdout
     spark.stop()
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"full":"BENCH_FULL.json","queries":${jsonMap(head)},"sf":"$sfDir"}""")
   }
 }

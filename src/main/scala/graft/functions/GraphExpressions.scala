@@ -85,11 +85,11 @@ object GraphKernels {
     }
     if (d > 0 && (a(0) < 0L || a(d - 1) > 0xFFFFFFFFL))
       throw new IllegalArgumentException(
-        s"graft_packed_pairs: id outside [0, 2^32): ${if (a(0) < 0) a(0) else a(d - 1)}")
+        s"graft_packed_pairs_singles: id outside [0, 2^32): ${if (a(0) < 0) a(0) else a(d - 1)}")
     val nPairs = d.toLong * (d - 1) / 2
     if (nPairs > (1L << 24))
       throw new IllegalArgumentException(
-        s"graft_packed_pairs: group of $d distinct ids would emit $nPairs " +
+        s"graft_packed_pairs_singles: group of $d distinct ids would emit $nPairs " +
           "pairs; bound the group (e.g. a co-occurrence cap) before pairing")
     val out = new Array[Long](nPairs.toInt + d)
     var k = 0

@@ -61,17 +61,8 @@ object PercentileCut {
     * match nothing, same as the built-in's NULL). Each radix level is one
     * job over `df` — callers on a heavy frame should persist it first, as
     * q173 does. */
-  def cuts(df: DataFrame, col: String, ps: Seq[Double]): Seq[Double] = {
-    val s = df.sparkSession
-    import s.implicits._
-    // histogram jobs move ≤2¹⁶-row cell counts — AQE's per-stage re-plan
-    // rounds cost more than they save on collects this small; restore the
-    // caller's setting after (engine setting untouched for real queries)
-    val aqeKey = "spark.sql.adaptive.enabled"
-    val aqeWas = s.conf.get(aqeKey, "true")
-    s.conf.set(aqeKey, "false")
-    try cutsInner(df, col, ps) finally s.conf.set(aqeKey, aqeWas)
-  }
+  def cuts(df: DataFrame, col: String, ps: Seq[Double]): Seq[Double] =
+    cutsInner(df, col, ps)
 
   private def cutsInner(df: DataFrame, col: String, ps: Seq[Double]): Seq[Double] = {
     val s = df.sparkSession
@@ -90,8 +81,13 @@ object PercentileCut {
         if (parents.isEmpty) base
         else base.filter(shiftright($"k", parentShift).isin(parents: _*))
       val cell = if (shift == 0) $"k" else shiftright($"k", shift)
-      src.groupBy(cell.as("c")).agg(count(lit(1)).as("cnt"))
-        .as[(Long, Long)].collect().sortBy(_._1)
+      val counts = src.groupBy(cell.as("c")).agg(count(lit(1)).as("cnt"))
+      // histogram jobs move ≤2¹⁶-row cell counts — AQE's per-stage
+      // re-plan rounds cost more than they save on collects this small.
+      // Run THIS plan in the shared AQE-off session clone so concurrent
+      // queries on the caller's session never see a mutated setting.
+      org.apache.spark.sql.graftbridge.Bridge.withoutAqe(counts)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
     }
 
     val l0 = levelCounts(48, 64, Nil)

@@ -250,11 +250,31 @@ object Proj4 {
             (x, y) => c.inverse(x + pm, y)))
       }
       if (proj == "utm") return None
+      // PROJ reads lon_0/lonc relative to the prime meridian — including
+      // the KERNEL DEFAULT when the string omits it (krovak's implicit
+      // 24°50' is Ferro-era pm-referenced, so `+proj=krovak +pm=ferro`
+      // means Greenwich lon_0 = 24.8333 + (−17.6667) = 7.1667, not
+      // −17.6667). Fold pm into the explicit value when present, else
+      // into the kernel's documented default; a kernel whose origin is
+      // required-but-absent (omerc without lonc/lon_0) fails fast here
+      // exactly as it would at dispatch.
       val lonKey = if (proj == "omerc") "lonc" else "lon_0"
-      val lon0Local = kv.get(lonKey).flatMap(_.toDoubleOption).getOrElse(0.0)
+      val lon0Local: Option[Double] = {
+        val explicit =
+          if (proj == "omerc")
+            kv.get("lonc").orElse(kv.get("lon_0")).flatMap(_.toDoubleOption)
+          else kv.get(lonKey).flatMap(_.toDoubleOption)
+        explicit.orElse(proj match {
+          case "omerc" => None // lonc is required; never fabricate one
+          case "krovak" => Some(24.833333333333332)
+          case _ => Some(0.0)
+        })
+      }
+      if (lon0Local.isEmpty) return None
       val rewritten = toks
-        .filterNot(t => t.startsWith("+pm") || t.startsWith(s"+$lonKey="))
-        .mkString(" ") + s" +$lonKey=${lon0Local + pm}"
+        .filterNot(t => t.startsWith("+pm") || t.startsWith(s"+$lonKey=") ||
+          (proj == "omerc" && t.startsWith("+lon_0=")))
+        .mkString(" ") + s" +$lonKey=${lon0Local.get + pm}"
       return parse(rewritten)
     }
     val helmert: Option[Datum.Helmert] = kv.get("towgs84") match {

@@ -12,6 +12,35 @@ object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  // one lazily-built AQE-off clone per base session (weak keys: a clone
+  // must not outlive — or retain — its base)
+  private val noAqeClones =
+    new java.util.WeakHashMap[org.apache.spark.sql.classic.SparkSession,
+      org.apache.spark.sql.classic.SparkSession]
+
+  /** Rebind `ds`'s logical plan into a CLONED session whose conf has AQE
+    * off — the InsertAdaptiveSparkPlan decision reads the owning
+    * session's conf (not the thread-local `SQLConf.get`), so a per-plan
+    * opt-out needs a session whose conf says so. The clone shares
+    * SparkContext and SharedState (CacheManager included: persisted
+    * frames still resolve), and the BASE session's setting is never
+    * touched — concurrent queries keep their own AQE behavior. */
+  def withoutAqe(ds: org.apache.spark.sql.Dataset[_]): org.apache.spark.sql.DataFrame = {
+    val cds = ds.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+    val base = cds.sparkSession
+    val clone = noAqeClones.synchronized {
+      val cached = noAqeClones.get(base)
+      if (cached != null) cached
+      else {
+        val c = base.cloneSession()
+        c.sessionState.conf.setConfString("spark.sql.adaptive.enabled", "false")
+        noAqeClones.put(base, c)
+        c
+      }
+    }
+    org.apache.spark.sql.classic.Dataset.ofRows(clone, cds.queryExecution.logical)
+  }
+
   /** Full ColumnNode→Expression conversion — required when a Column built
     * from the public functions API (zip_with/aggregate/... compositions)
     * must become a catalyst tree OUTSIDE a Dataset operation, e.g. inside

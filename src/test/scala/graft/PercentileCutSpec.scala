@@ -34,6 +34,25 @@ class PercentileCutSpec extends AnyFunSuite with SparkSpecBase {
     graft.ops.ScratchCache.releaseAll()
   }
 
+  test("withoutAqe: rebound plan is non-adaptive, session conf untouched") {
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val was = spark.conf.get(aqeKey)
+    spark.conf.set(aqeKey, "true")
+    try {
+      val ds = (1 to 100).toDF("v").groupBy($"v" % 7).count()
+      val rebound = org.apache.spark.sql.graftbridge.Bridge.withoutAqe(ds)
+      val plan = rebound.queryExecution.executedPlan
+      assert(!plan.getClass.getSimpleName.contains("Adaptive"),
+        s"expected non-adaptive plan, got ${plan.getClass.getSimpleName}")
+      assert(spark.conf.get(aqeKey) == "true",
+        "withoutAqe mutated the session-global AQE setting")
+      assert(rebound.count() == 7)
+      // and the original session still plans adaptively
+      assert(ds.queryExecution.executedPlan
+        .getClass.getSimpleName.contains("Adaptive"))
+    } finally spark.conf.set(aqeKey, was)
+  }
+
   test("sortable bit key round-trips and orders like the double") {
     val vs = Seq(-1e300, -3.5, -1e-308, -0.0, 0.0, 1e-308, 0.25, 7.125, 1e300)
     vs.foreach(v => assert(

@@ -289,6 +289,34 @@ class Proj4Spec extends AnyFunSuite with SparkSpecBase {
     // unknown meridian name / pm'd utm: fail fast
     assert(Proj4.parse("+proj=longlat +datum=WGS84 +pm=atlantis").isEmpty)
     assert(Proj4.parse("+proj=utm +zone=33 +datum=WGS84 +pm=paris").isEmpty)
+    // kernel DEFAULT lon_0 is pm-referenced (PROJ semantics): bare
+    // `+proj=krovak +pm=ferro` means Greenwich lon_0 = 24°50' + Ferro
+    // (≈7.1667E), NOT lon_0 = Ferro — the default must fold, not clobber
+    val kF = Proj4.parse("+proj=krovak +pm=ferro +ellps=bessel")
+      .getOrElse(fail("pm krovak"))
+    val kG = Proj4.parse(
+      s"+proj=krovak +lon_0=${24.833333333333332 + ferro} +ellps=bessel")
+      .getOrElse(fail("plain krovak"))
+    for ((lon, lat) <- Seq((16.85, 50.21), (14.42, 50.09))) {
+      val (xf, yf) = kF.forward(lon, lat); val (xg, yg) = kG.forward(lon, lat)
+      assert(math.abs(xf - xg) < 1e-6 && math.abs(yf - yg) < 1e-6,
+        s"krovak pm-default fold ($xf,$yf) vs ($xg,$yg)")
+    }
+    // omerc: +lon_0 aliases +lonc under pm, and a pm'd omerc with NO
+    // origin fails fast instead of fabricating one
+    val omA = Proj4.parse("+proj=omerc +lat_0=4 +lon_0=115 +alpha=53.316 " +
+      "+gamma=53.13 +k_0=0.99984 +ellps=WGS84 +pm=paris")
+      .getOrElse(fail("pm omerc lon_0 alias"))
+    val omB = Proj4.parse(s"+proj=omerc +lat_0=4 +lonc=${115 + paris} " +
+      "+alpha=53.316 +gamma=53.13 +k_0=0.99984 +ellps=WGS84")
+      .getOrElse(fail("plain omerc"))
+    locally {
+      val (xa2, ya2) = omA.forward(116.0, 5.0)
+      val (xb2, yb2) = omB.forward(116.0, 5.0)
+      assert(math.abs(xa2 - xb2) < 1e-6 && math.abs(ya2 - yb2) < 1e-6)
+    }
+    assert(Proj4.parse("+proj=omerc +lat_0=4 +alpha=53.316 " +
+      "+ellps=WGS84 +pm=paris").isEmpty)
 
     // canonical projected pipeline == its non-pipeline twin
     val pipe = Proj4.parse("+proj=pipeline " +
