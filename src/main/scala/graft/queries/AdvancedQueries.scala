@@ -660,21 +660,24 @@ object AdvancedQueries {
     // basket-array form, TWO shuffles total — the co-occurrence minimum:
     // (1) ONE groupBy(ok) builds each order's item list; (2) the fused
     // graft_packed_pairs_singles kernel (codegen'd — it sorts, dedups,
-    // packs pairs AND emits one diagonal key per item in-row) explodes
-    // into a single groupBy(count) that yields pair counts and item
-    // frequencies together, so frequency computation no longer pays its
-    // own explode + shuffle. Measured at sf0.1 (ProfQ192 per-stage):
-    // self-join form 2.4-2.8 s, struct-pair HOF 2.8 s, packed-long HOF
-    // 1.94 s, this fused-kernel form ~1.8 s (baskets 0.63 + fused
-    // explode/agg 0.72 + assembly 0.43 warm).
-    val baskets = graft.ops.ScratchCache.register(lineitem(s, d)
+    // packs pairs AND emits one diagonal key per item in-row), plus ONE
+    // sentinel key per basket (hi=1,lo=0 — unreachable: pairs are
+    // strictly hi<lo, diagonals hi==lo), explodes into a single
+    // groupBy(count) that yields pair counts, item frequencies AND the
+    // basket total together — the basket frame has exactly one consumer,
+    // so nothing upstream of the small pair-key aggregate is persisted
+    // or recomputed. Measured at sf0.1 (ProfQ192 per-stage): self-join
+    // form 2.4-2.8 s, struct-pair HOF 2.8 s, packed-long HOF 1.94 s,
+    // fused-kernel 1.8 s, this sentinel-fold ~1.5 s (one pipeline
+    // scan→baskets→explode→agg job + the assembly job).
+    val sentinel = 4294967296L // 1L << 32
+    val agg = graft.ops.ScratchCache.register(lineitem(s, d)
       .select($"l_orderkey".cast("long").as("ok"),
         $"l_partkey".cast("long").as("item"))
       .groupBy($"ok").agg(collect_list($"item").as("its"))
-      .persist())
-    val agg = graft.ops.ScratchCache.register(baskets
-      .select(explode(
-        graft.functions.GraphFunctions.packedPairsAndSingles($"its")).as("pk"))
+      .select(explode(concat(
+        graft.functions.GraphFunctions.packedPairsAndSingles($"its"),
+        array(lit(sentinel)))).as("pk"))
       .groupBy($"pk").agg(count(lit(1)).as("f_ab"))
       .persist())
     val hi = shiftrightunsigned($"pk", 32)
@@ -682,9 +685,9 @@ object AdvancedQueries {
     // diagonal keys (a == b, impossible for the strict a < b pairs) carry
     // the per-item basket-membership counts
     val freq = agg.filter(hi === lo).select(hi.as("item"), $"f_ab".as("f"))
-    val tot = baskets.agg(count(lit(1)).as("n"))
+    val tot = agg.filter($"pk" === sentinel).select($"f_ab".as("n"))
     agg
-      .filter(hi =!= lo)
+      .filter(hi =!= lo && $"pk" =!= sentinel)
       .filter($"f_ab" >= 3L)
       .select(hi.as("item_a"), lo.as("item_b"), $"f_ab")
       .join(broadcast(freq.select($"item".as("item_a"), $"f".as("f_a"))),

@@ -496,24 +496,21 @@ object Relational {
     // BEFORE the shuffle — measured 12x the oracle twin), and even the
     // Expand-free (orderkey, suppkey) pre-aggregate pays a second
     // shuffle. Instead each line packs (suppkey << 1 | returned-flag)
-    // into one long and a single collect_set aggregation per order
-    // dedups in-agg (set size bounded by the order's supplier count,
-    // ~4 — never data-scaled); supplier/flagged distinct counts and the
-    // unique flagged suppkey then derive IN-ROW from the packed set.
-    // Measured at sf1: 2.9 s (two-agg) -> 2.2 s (ProfQ195).
+    // into one long and the native SuppBlame aggregate dedups in-agg
+    // into a primitive sorted array (set size bounded by the order's
+    // supplier count, ~4 — never data-scaled), deriving the distinct
+    // supplier/flagged counts and the unique flagged suppkey once per
+    // GROUP at eval. Measured at sf1: 2.9 s (two-agg) -> 2.2 s
+    // (collect_set + in-row array kernels, ProfQ195) -> see ProfQ195
+    // for the native-agg number.
     val perOrder = lineitem(s, d)
       .select($"l_orderkey",
         (shiftleft($"l_suppkey".cast("long"), 1)
           .bitwiseOR(when($"l_returnflag" === "R", 1L).otherwise(0L))).as("pk"))
       .groupBy($"l_orderkey")
-      .agg(collect_set($"pk").as("pks"))
-      .select($"l_orderkey",
-        size(array_distinct(transform($"pks", p => shiftright(p, 1))))
-          .as("n_supp"),
-        transform(filter($"pks", p => p.bitwiseAND(lit(1L)) === 1L),
-          p => shiftright(p, 1)).as("bad"))
-      .filter($"n_supp" >= 2 && size($"bad") === 1)
-      .select($"l_orderkey", element_at($"bad", 1).as("bad_supp"))
+      .agg(graft.functions.SuppBlame($"pk").as("sb"))
+      .filter($"sb.n_supp" >= 2 && $"sb.n_bad" === 1)
+      .select($"l_orderkey", $"sb.bad_supp".as("bad_supp"))
     val finalized = orders(s, d)
       .filter($"o_orderstatus" === "F").select($"o_orderkey")
     perOrder

@@ -165,6 +165,27 @@ class DedupSpec extends AnyFunSuite with SparkSpecBase {
     assert(pruned == brute)
   }
 
+  test("near-dup duplicate-collapse: replicated vectors expand exactly") {
+    // k-way byte-identical replicas exercise the exact-duplicate collapse:
+    // intra-group pairs (self-cosine) and cross-group expansion must
+    // reproduce the brute form bit-for-bit, including the 10-way group
+    // regime that SCALEBENCH showed costs k² without the collapse
+    val base = Tables.embeddings(spark, sfSmoke)
+      .select($"vec_id", $"embedding").limit(40)
+    val dup = (1 to 3).map(k =>
+      base.select(($"vec_id" + lit(k * 100000L)).as("vec_id"), $"embedding"))
+      .reduce(_.unionByName(_)).unionByName(base)
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2))
+    val pruned = Similarity.nearDupPairs(dup, "vec_id", "embedding", 0.3)
+      .collect().map(key).toSet
+    val brute = Similarity.nearDupPairsBrute(dup, "vec_id", "embedding", 0.3)
+      .collect().map(key).toSet
+    // every 4-way replica group alone contributes C(4,2)=6 self-pairs
+    assert(brute.size >= 240, s"duplicate fixture too small: ${brute.size}")
+    assert(pruned == brute)
+  }
+
   test("native HyperplaneSigs equals staged-HOF lshBucket for every table") {
     val emb = Tables.embeddings(spark, sfSmoke)
     val (nP, nD, nT) = (4, 64, 8)
