@@ -8,12 +8,14 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
 
 /** Geodesic kernels (PUBLIC for Janino, same convention as HashKernels). */
 object GeoDistKernels {
-  /** WGS84 geodesic distance in metres (Vincenty, ~0.5 mm); NaN for the
-    * ~0.55° nearly-antipodal cap where the inverse iteration has no
-    * fixed point — the documented out-of-domain signal, never a silent
-    * spherical approximation. */
+  /** WGS84 geodesic distance in metres — Vincenty (~0.5 mm) outside the
+    * ~0.55° nearly-antipodal cap, Newton-shooting on the direct solution
+    * inside it (Geodesic.inverseTotal), so the function converges
+    * EVERYWHERE like PROJ/geographiclib; NaN only if every solver seed
+    * fails (not observed — the documented fail-soft, never a silent
+    * spherical approximation). */
   def geodesicM(lon1: Double, lat1: Double, lon2: Double, lat2: Double): Double =
-    graft.raster.Geodesic.distance(graft.raster.Datum.WGS84, lon1, lat1, lon2, lat2)
+    graft.raster.Geodesic.distanceTotal(graft.raster.Datum.WGS84, lon1, lat1, lon2, lat2)
       .getOrElse(Double.NaN)
 }
 

@@ -90,13 +90,47 @@ class GeodesicSpec extends AnyFunSuite with SparkSpecBase {
     assert(lo.abs <= 360 && la.abs <= 90)
   }
 
-  test("graft_geodesic_m: SQL + Column paths equal the kernel; nulls propagate; antipodal cap is NaN") {
+  test("inverseTotal converges in the antipodal cap and lands direct on the target") {
+    def wrapd(v: Double): Double = ((v % 360) + 540) % 360 - 180
+    // a lattice through the ~0.55-degree lens around the antipode of
+    // (2, 48), including the exact antipode itself
+    for {
+      dlo <- Seq(-0.5, -0.2, -0.05, 0.0, 0.05, 0.2, 0.5)
+      dla <- Seq(-0.4, -0.1, 0.0, 0.1, 0.4)
+    } {
+      val (lon2, lat2) = (wrapd(182.0 + dlo), -48.0 + dla)
+      val Some((s, a1, _)) =
+        Geodesic.inverseTotal(wgs, 2.0, 48.0, lon2, lat2)
+      // ~half-circumference distances only
+      assert(s > 1.9e7 && s < 2.1e7, s"cap distance $s at ($dlo,$dla)")
+      // the defining property: OUR direct shoots exactly back to p2
+      val (lo, la, _) = Geodesic.direct(wgs, 2.0, 48.0, a1, s)
+      assert(math.abs(wrapd(lo - lon2)) < 1e-7 && math.abs(la - lat2) < 1e-7,
+        s"direct($a1,$s) -> ($lo,$la) wanted ($lon2,$lat2)")
+    }
+    // exact equatorial antipode: the geodesic is meridional over a pole,
+    // s = 2 x quarter meridian (the closed-form pin)
+    val Some((sEq, _, _)) = Geodesic.inverseTotal(wgs, 0.0, 0.0, 180.0, 0.0)
+    assert(math.abs(sEq - 2 * 1.00019657293e7) < 0.5, s"equatorial antipode $sEq")
+    // just OUTSIDE the cap both solvers run: the Newton shoot must find
+    // the same SHORTEST geodesic as Vincenty (sub-mm — same problem)
+    for ((lo2, la2) <- Seq((-177.0, -47.6), (-178.0, -47.2), (179.0, -48.3),
+        (-176.9, -48.4))) {
+      val Some((sV, aV, _)) = Geodesic.inverse(wgs, 2.0, 48.0, lo2, la2)
+      val Some((sN, aN, _)) =
+        Geodesic.antipodalInverse(wgs, 2.0, 48.0, lo2, la2)
+      assert(math.abs(sV - sN) < 1e-3, s"($lo2,$la2) Vincenty $sV vs Newton $sN")
+      assert(math.abs(aV - aN) < 1e-9, s"($lo2,$la2) azimuth $aV vs $aN")
+    }
+  }
+
+  test("graft_geodesic_m: SQL + Column paths equal the kernel; nulls propagate; antipodal cap converges") {
     import spark.implicits._
     GraftExtensions.register(spark)
     val rows = Seq(
       (2.0, 48.0, -73.8, 40.6),
       (10.0, 0.0, 10.0, 90.0),
-      (0.0, 10.0, 179.9, -10.05)) // antipodal cap -> NaN
+      (0.0, 10.0, 179.9, -10.05)) // antipodal cap -> Newton shoot, not NaN
       .toDF("lon1", "lat1", "lon2", "lat2")
     val got = rows.selectExpr("graft_geodesic_m(lon1, lat1, lon2, lat2) AS d")
       .collect().map(_.getDouble(0))
@@ -106,9 +140,10 @@ class GeodesicSpec extends AnyFunSuite with SparkSpecBase {
     val want = Seq(
       Geodesic.distance(wgs, 2.0, 48.0, -73.8, 40.6).get,
       Geodesic.distance(wgs, 10.0, 0.0, 10.0, 90.0).get,
-      Double.NaN)
+      Geodesic.distanceTotal(wgs, 0.0, 10.0, 179.9, -10.05).get)
+    assert(!want(2).isNaN && want(2) > 1.9e7 && want(2) < 2.1e7)
     got.zip(colGot).zip(want).foreach { case ((g, cg), w) =>
-      assert(g.isNaN == w.isNaN && (w.isNaN || (g == w && cg == w)), s"$g vs $w")
+      assert(g == w && cg == w, s"$g/$cg vs $w")
     }
     // null propagation (not NaN): null coordinate -> null result
     val n = spark.sql(
