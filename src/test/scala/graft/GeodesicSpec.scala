@@ -112,6 +112,25 @@ class GeodesicSpec extends AnyFunSuite with SparkSpecBase {
     // s = 2 x quarter meridian (the closed-form pin)
     val Some((sEq, _, _)) = Geodesic.inverseTotal(wgs, 0.0, 0.0, 180.0, 0.0)
     assert(math.abs(sEq - 2 * 1.00019657293e7) < 0.5, s"equatorial antipode $sEq")
+    // randomized ellipsoids + cap targets: flattenings from near-sphere
+    // to 3x Earth, arbitrary centers, targets inside each lens — the
+    // astroid seed and restart ladder must converge for all of them
+    val rnd = new scala.util.Random(173)
+    for (_ <- 1 to 60) {
+      val rf = 100 + rnd.nextDouble() * 400 // inverse flattening
+      val f = 1.0 / rf
+      val ell = graft.raster.Datum.Ellipsoid(6.3e6 + rnd.nextDouble() * 2e5, rf)
+      val (lo1, la1) = (rnd.nextDouble() * 360 - 180, rnd.nextDouble() * 160 - 80)
+      val capR = 0.6 * f / (1.0 / 298.257223563) // lens scales with f
+      val (lo2, la2) = (wrapd(lo1 + 180 + (rnd.nextDouble() * 2 - 1) * capR),
+        -la1 + (rnd.nextDouble() * 2 - 1) * capR)
+      val r = Geodesic.inverseTotal(ell, lo1, la1, lo2, la2)
+      assert(r.isDefined, s"no convergence f=$f ($lo1,$la1)->($lo2,$la2)")
+      val (s, a1, _) = r.get
+      val (lo, la, _) = Geodesic.direct(ell, lo1, la1, a1, s)
+      assert(math.abs(wrapd(lo - lo2)) < 1e-6 && math.abs(la - la2) < 1e-6,
+        s"f=$f ($lo1,$la1)->($lo2,$la2): landed ($lo,$la)")
+    }
     // just OUTSIDE the cap both solvers run: the Newton shoot must find
     // the same SHORTEST geodesic as Vincenty (sub-mm — same problem)
     for ((lo2, la2) <- Seq((-177.0, -47.6), (-178.0, -47.2), (179.0, -48.3),
