@@ -73,11 +73,9 @@ object Dedup {
     * re-aggregation. */
   def jaccardPairs(df: DataFrame, id: String, text: String, k: Int,
                    threshold: Double, maxDf: Option[Int] = None): DataFrame = {
-    val pairs = shinglePairCounts(df, id, text, k, maxDf)
     val jac = col("inter") * lit(1.0) /
       (col("na") + col("nb") - col("inter"))
-    pairs
-      .filter(jac >= threshold)
+    shinglePairCounts(df, id, text, k, maxDf, _.filter(jac >= threshold))
       .select(PackedPair.idA(col("pair")).as("id_a"),
         PackedPair.idB(col("pair")).as("id_b"),
         roundp(jac, 6).as("jac"))
@@ -91,10 +89,8 @@ object Dedup {
     * `maxDf` scale guard as [[jaccardPairs]]; only the scoring differs. */
   def containmentPairs(df: DataFrame, id: String, text: String, k: Int,
                        threshold: Double, maxDf: Option[Int] = None): DataFrame = {
-    val pairs = shinglePairCounts(df, id, text, k, maxDf)
     val ov = col("inter") * lit(1.0) / least(col("na"), col("nb"))
-    pairs
-      .filter(ov >= threshold)
+    shinglePairCounts(df, id, text, k, maxDf, _.filter(ov >= threshold))
       .select(PackedPair.idA(col("pair")).as("id_a"),
         PackedPair.idB(col("pair")).as("id_b"),
         roundp(ov, 6).as("containment"))
@@ -102,12 +98,37 @@ object Dedup {
 
   /** Shared pair-intersection engine for the exhaustive shingle scorers:
     * builds the size-carrying inverted index (df-capped), self-joins it,
-    * and returns one row per candidate pair — (packed pair, |A∩B|, |A|,
-    * |B|). Callers apply their scoring function; plan/persist notes below
-    * apply to every consumer. */
+    * and returns one row per SURVIVING pair — (packed pair, |A∩B|, |A|,
+    * |B|), where `keep` is the caller's score filter. Plan/persist notes
+    * below apply to every consumer.
+    *
+    * EXACT-DUPLICATE COLLAPSE: byte-identical texts have identical
+    * shingle sets, so a g-way duplicate group would cost the postings
+    * self-join g² candidate rows PER SHARED SHINGLE; instead the index
+    * is built over one representative per distinct text and members
+    * expand back afterwards. `keep` runs at REP level (scores depend
+    * only on (inter, na, nb), identical across a group), so the
+    * expansion joins are strictly OUTPUT-bound; intra-group pairs carry
+    * the group's post-cap set size (score ≡ 1 under both scorers, same
+    * arithmetic). Web corpora are duplicate-heavy — this is the same
+    * collapse-first discipline as Similarity.nearDupPairs, and the SQL
+    * oracles (which replay brute pairs over ALL docs) pin its
+    * exactness. */
   private def shinglePairCounts(df: DataFrame, id: String, text: String,
-                                k: Int, maxDf: Option[Int]): DataFrame = {
-    val sets0 = shingleSets(df, id, text, k)
+                                k: Int, maxDf: Option[Int],
+                                keep: DataFrame => DataFrame): DataFrame = {
+    val base = df.select(col(id).as("doc_id"), col(text).as("_t"))
+    val grouped = ScratchCache.register(base
+      .groupBy(col("_t"))
+      .agg(min(col("doc_id")).as("_gid"), count(lit(1)).as("_m"))
+      .persist())
+    val members = ScratchCache.register(base
+      .join(grouped.select(col("_t"), col("_gid")), Seq("_t"))
+      .select(col("_gid"), col("doc_id"))
+      .persist())
+    val sets0 = shingleSets(
+      grouped.select(col("_gid").as("doc_id"), col("_t").as("_text")),
+      "doc_id", "_text", k)
     def preSizedInv(sets: DataFrame): DataFrame = sets
       .withColumn("n", size(col("shingles")))
       .filter(col("n") > 0)
@@ -139,7 +160,7 @@ object Dedup {
     // SHUFFLE_HASH: the equi-key is a string — a sort-merge join would sort
     // every posting twice just to stream them; hashing one (per-partition
     // bounded) side is strictly cheaper and AQE still handles skew splits
-    inv.as("a").join(inv.as("b").hint("SHUFFLE_HASH"),
+    val gPairs = inv.as("a").join(inv.as("b").hint("SHUFFLE_HASH"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .select(
         PackedPair.pack(col("a.doc_id"), col("b.doc_id")).as("pair"),
@@ -147,6 +168,38 @@ object Dedup {
       .groupBy(col("pair"))
       .agg(count(lit(1)).as("inter"),
         first(col("na0")).as("na"), first(col("nb0")).as("nb"))
+    // cross-group expansion of the SURVIVORS: each member pair inherits
+    // the rep pair's (inter, na, nb); na/nb swap with the id order so
+    // "na = |set of id_a|" stays true
+    val cross = keep(gPairs)
+      .select(PackedPair.idA(col("pair")).as("_ga"),
+        PackedPair.idB(col("pair")).as("_gb"),
+        col("inter"), col("na"), col("nb"))
+      .join(members.select(col("_gid").as("_ga"), col("doc_id").as("_ia")),
+        Seq("_ga"))
+      .join(members.select(col("_gid").as("_gb"), col("doc_id").as("_ib")),
+        Seq("_gb"))
+      .select(
+        PackedPair.pack(least(col("_ia"), col("_ib")),
+          greatest(col("_ia"), col("_ib"))).as("pair"),
+        col("inter"),
+        when(col("_ia") < col("_ib"), col("na")).otherwise(col("nb")).as("na"),
+        when(col("_ia") < col("_ib"), col("nb")).otherwise(col("na")).as("nb"))
+    // intra-group pairs: every member pair of a ≥2-way group whose
+    // POST-CAP shingle set is non-empty (a group absent from the index —
+    // all shingles hot or text too short — emits nothing, exactly like
+    // the brute join). inter = na = nb = the group's post-cap size.
+    val invSizes = inv.groupBy(col("doc_id")).agg(first(col("n")).as("n"))
+    val intra = keep(grouped.filter(col("_m") >= 2L)
+        .join(invSizes.withColumnRenamed("doc_id", "_gid"), Seq("_gid"))
+        .select(col("_gid"), col("n").as("inter"),
+          col("n").as("na"), col("n").as("nb")))
+      .join(members.select(col("_gid"), col("doc_id").as("_ia")), Seq("_gid"))
+      .join(members.select(col("_gid"), col("doc_id").as("_ib")), Seq("_gid"))
+      .filter(col("_ia") < col("_ib"))
+      .select(PackedPair.pack(col("_ia"), col("_ib")).as("pair"),
+        col("inter"), col("na"), col("nb"))
+    cross.unionByName(intra)
   }
 
   /** MinHash-LSH candidate pairs: n-hash signature, banded r rows/band,
