@@ -537,12 +537,31 @@ object Dedup {
 
   /** SimHash near-dup pairs: 4×12-bit band candidates (hamming ≤ maxHamming
     * guarantees ≥1 identical band when maxHamming < 4 by pigeonhole over 48
-    * bits), verified by exact hamming distance. */
+    * bits), verified by exact hamming distance.
+    *
+    * Same EXACT-DUPLICATE COLLAPSE as [[shinglePairCounts]]: identical
+    * texts have identical fingerprints, so a g-way group would flood
+    * every one of its band buckets with g copies (g² candidate rows per
+    * band); the band join runs over one representative per distinct
+    * text, cross pairs inherit the rep pair's hamming (same bytes, same
+    * fingerprint), and intra-group pairs are hamming-0 by identity —
+    * emitted unconditionally because simhash48 is total (empty/null
+    * hashes fingerprint to 0, exactly as the uncollapsed join would). */
   def simhashPairs(df: DataFrame, id: String, text: String, k: Int,
                    maxHamming: Int): DataFrame = {
     require(maxHamming < 4, "4-band pigeonhole only covers hamming <= 3")
-    val fp = ScratchCache.register(
-      simhashFingerprints(df, id, text, k).persist()) // self-joined
+    val base = df.select(col(id).as("doc_id"), col(text).as("_t"))
+    val grouped = ScratchCache.register(base
+      .groupBy(col("_t"))
+      .agg(min(col("doc_id")).as("_gid"), count(lit(1)).as("_m"))
+      .persist())
+    val members = ScratchCache.register(base
+      .join(grouped.select(col("_t"), col("_gid")), Seq("_t"))
+      .select(col("_gid"), col("doc_id"))
+      .persist())
+    val fp = ScratchCache.register(simhashFingerprints(
+      grouped.select(col("_gid").as("doc_id"), col("_t").as("_text")),
+      "doc_id", "_text", k).persist()) // self-joined
     val bands = fp.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),
@@ -553,7 +572,7 @@ object Dedup {
     // hamming is per-pair constant, so verify BEFORE the dedupe: only
     // surviving near-dups enter the distinct, and the shuffle carries one
     // packed long + the distance instead of two ids + two fingerprints
-    bands.as("a").join(bands.as("b").hint("SHUFFLE_HASH"),
+    val gp = bands.as("a").join(bands.as("b").hint("SHUFFLE_HASH"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(
@@ -562,8 +581,22 @@ object Dedup {
           .cast("bigint").as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
-      .select(PackedPair.idA(col("pair")).as("id_a"),
-        PackedPair.idB(col("pair")).as("id_b"), col("hamming"))
+    val cross = gp
+      .select(PackedPair.idA(col("pair")).as("_ga"),
+        PackedPair.idB(col("pair")).as("_gb"), col("hamming"))
+      .join(members.select(col("_gid").as("_ga"), col("doc_id").as("_ia")),
+        Seq("_ga"))
+      .join(members.select(col("_gid").as("_gb"), col("doc_id").as("_ib")),
+        Seq("_gb"))
+      .select(least(col("_ia"), col("_ib")).as("id_a"),
+        greatest(col("_ia"), col("_ib")).as("id_b"), col("hamming"))
+    val intra = grouped.filter(col("_m") >= 2L)
+      .join(members.select(col("_gid"), col("doc_id").as("_ia")), Seq("_gid"))
+      .join(members.select(col("_gid"), col("doc_id").as("_ib")), Seq("_gid"))
+      .filter(col("_ia") < col("_ib"))
+      .select(col("_ia").as("id_a"), col("_ib").as("id_b"),
+        lit(0L).as("hamming"))
+    cross.unionByName(intra)
   }
 
   /** Exact-substring overlap pairs: documents sharing ≥1 identical
