@@ -117,15 +117,7 @@ object Dedup {
   private def shinglePairCounts(df: DataFrame, id: String, text: String,
                                 k: Int, maxDf: Option[Int],
                                 keep: DataFrame => DataFrame): DataFrame = {
-    val base = df.select(col(id).as("doc_id"), col(text).as("_t"))
-    val grouped = ScratchCache.register(base
-      .groupBy(col("_t"))
-      .agg(min(col("doc_id")).as("_gid"), count(lit(1)).as("_m"))
-      .persist())
-    val members = ScratchCache.register(base
-      .join(grouped.select(col("_t"), col("_gid")), Seq("_t"))
-      .select(col("_gid"), col("doc_id"))
-      .persist())
+    val (grouped, members) = dupCollapse(df, id, text)
     val sets0 = shingleSets(
       grouped.select(col("_gid").as("doc_id"), col("_t").as("_text")),
       "doc_id", "_text", k)
@@ -348,14 +340,82 @@ object Dedup {
   /** MinHash-LSH dedup: candidates exact-verified against true Jaccard on
     * the shingle sets — output identical to brute force at the threshold,
     * cost bounded by the candidate count. */
+  /** `assumeDistinct`: callers whose input is PROVABLY duplicate-free
+    * (e.g. the stage right after an exact-dedup pass) skip the collapse
+    * — the grouping/expansion shuffles buy nothing there. */
   def minhashDedupPairs(df: DataFrame, id: String, text: String, k: Int,
                         threshold: Double, nHashes: Int = 64,
-                        rowsPerBand: Int = 2): DataFrame = {
+                        rowsPerBand: Int = 2,
+                        assumeDistinct: Boolean = false): DataFrame = {
+    if (assumeDistinct) {
+      // ONE tokenize+shingle pass serves candidates AND verification
+      val sets = ScratchCache.register(shingleSets(df, id, text, k).persist())
+      return verifyJaccard(
+        minhashCandidatesFromSets(sets, nHashes, rowsPerBand), sets, threshold)
+    }
+    // EXACT-DUPLICATE COLLAPSE (see shinglePairCounts): identical texts
+    // have identical signatures, so a g-way group floods every band
+    // bucket with g copies; signatures/bands/verification run over one
+    // representative per distinct text and members expand back
+    // output-bound. Intra-group pairs exist in the uncollapsed join iff
+    // the group's shingle set is non-empty (the signature filter) and
+    // verify at exactly jac = 1.0.
+    val (grouped, members) = dupCollapse(df, id, text)
     // ONE tokenize+shingle pass serves candidates AND exact verification
-    val sets = ScratchCache.register(shingleSets(df, id, text, k).persist())
-    verifyJaccard(minhashCandidatesFromSets(sets, nHashes, rowsPerBand),
+    val sets = ScratchCache.register(shingleSets(
+      grouped.select(col("_gid").as("doc_id"), col("_t").as("_text")),
+      "doc_id", "_text", k).persist())
+    val gp = verifyJaccard(minhashCandidatesFromSets(sets, nHashes, rowsPerBand),
       sets, threshold)
+    val cross = expandMemberPairs(gp, members, "jac")
+    val intra = grouped.filter(col("_m") >= 2L)
+      .join(sets.filter(size(col("shingles")) > 0)
+        .select(col("doc_id").as("_gid")), Seq("_gid"))
+      .join(members.select(col("_gid"), col("doc_id").as("_ia")), Seq("_gid"))
+      .join(members.select(col("_gid"), col("doc_id").as("_ib")), Seq("_gid"))
+      .filter(col("_ia") < col("_ib"))
+      .select(col("_ia").as("id_a"), col("_ib").as("id_b"),
+        lit(1.0).as("jac"))
+    cross.unionByName(if (threshold <= 1.0) intra else intra.limit(0))
   }
+
+  /** Duplicate-collapse frames shared by the pair generators: `grouped`
+    * has one row per DISTINCT text (`_t`, `_gid` = min member id, `_m` =
+    * member count); `members` maps `_gid` → every member `doc_id`.
+    *
+    * ONE text shuffle total: a window over hash(text) partitions tags
+    * every row with its group's min id and size in a single
+    * exchange+sort (WindowExec spills oversized partitions — an
+    * adversarial all-identical corpus degrades to disk, never to a
+    * driver buffer); both outputs read the one cached tagged frame, so
+    * the text column is shuffled and cached exactly once. */
+  private def dupCollapse(df: DataFrame, id: String,
+                          text: String): (DataFrame, DataFrame) = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("_t"))
+    val tagged = ScratchCache.register(df
+      .select(col(id).as("doc_id"), col(text).as("_t"))
+      .select(col("doc_id"), col("_t"),
+        min(col("doc_id")).over(w).as("_gid"),
+        count(lit(1)).over(w).as("_m"))
+      .persist())
+    val grouped = tagged.filter(col("doc_id") === col("_gid"))
+      .select(col("_t"), col("_gid"), col("_m"))
+    val members = tagged.select(col("_gid"), col("doc_id"))
+    (grouped, members)
+  }
+
+  /** Expand rep-level scored pairs (id_a, id_b, `score`) to member pairs:
+    * every (member-of-a, member-of-b) pair inherits the rep pair's score
+    * (identical bytes ⇒ identical score), re-canonicalized a < b. */
+  private def expandMemberPairs(gp: DataFrame, members: DataFrame,
+                                score: String): DataFrame =
+    gp.select(col("id_a").as("_ga"), col("id_b").as("_gb"), col(score))
+      .join(members.select(col("_gid").as("_ga"), col("doc_id").as("_ia")),
+        Seq("_ga"))
+      .join(members.select(col("_gid").as("_gb"), col("doc_id").as("_ib")),
+        Seq("_gb"))
+      .select(least(col("_ia"), col("_ib")).as("id_a"),
+        greatest(col("_ia"), col("_ib")).as("id_b"), col(score))
 
   /** INCREMENTAL MinHash dedup: near-dup pairs where at least one side
     * belongs to the NEW batch (`isNew`) — the corpus-growth flow: old-old
@@ -550,15 +610,7 @@ object Dedup {
   def simhashPairs(df: DataFrame, id: String, text: String, k: Int,
                    maxHamming: Int): DataFrame = {
     require(maxHamming < 4, "4-band pigeonhole only covers hamming <= 3")
-    val base = df.select(col(id).as("doc_id"), col(text).as("_t"))
-    val grouped = ScratchCache.register(base
-      .groupBy(col("_t"))
-      .agg(min(col("doc_id")).as("_gid"), count(lit(1)).as("_m"))
-      .persist())
-    val members = ScratchCache.register(base
-      .join(grouped.select(col("_t"), col("_gid")), Seq("_t"))
-      .select(col("_gid"), col("doc_id"))
-      .persist())
+    val (grouped, members) = dupCollapse(df, id, text)
     val fp = ScratchCache.register(simhashFingerprints(
       grouped.select(col("_gid").as("doc_id"), col("_t").as("_text")),
       "doc_id", "_text", k).persist()) // self-joined
@@ -581,15 +633,10 @@ object Dedup {
           .cast("bigint").as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
-    val cross = gp
-      .select(PackedPair.idA(col("pair")).as("_ga"),
-        PackedPair.idB(col("pair")).as("_gb"), col("hamming"))
-      .join(members.select(col("_gid").as("_ga"), col("doc_id").as("_ia")),
-        Seq("_ga"))
-      .join(members.select(col("_gid").as("_gb"), col("doc_id").as("_ib")),
-        Seq("_gb"))
-      .select(least(col("_ia"), col("_ib")).as("id_a"),
-        greatest(col("_ia"), col("_ib")).as("id_b"), col("hamming"))
+    val cross = expandMemberPairs(
+      gp.select(PackedPair.idA(col("pair")).as("id_a"),
+        PackedPair.idB(col("pair")).as("id_b"), col("hamming")),
+      members, "hamming")
     val intra = grouped.filter(col("_m") >= 2L)
       .join(members.select(col("_gid"), col("doc_id").as("_ia")), Seq("_gid"))
       .join(members.select(col("_gid"), col("doc_id").as("_ib")), Seq("_gid"))

@@ -613,7 +613,11 @@ object CurationQueries {
       s3.join(canon,
         lower(s3("text")) === canon("lt") && s3("doc_id") === canon("keep_id"),
         "left_semi").persist())
-    val pairs = graft.ops.Dedup.minhashDedupPairs(s4, "doc_id", "text", 3, 0.8)
+    // s4 is the output of stage 4's exact dedup (one survivor per
+    // lower(text), a fortiori per raw text) — skip the duplicate
+    // collapse its input can't benefit from
+    val pairs = graft.ops.Dedup.minhashDedupPairs(s4, "doc_id", "text", 3, 0.8,
+      assumeDistinct = true)
     val drops = pairs.select($"id_b").distinct()
     val s5 = graft.ops.ScratchCache.register(
       s4.join(drops, s4("doc_id") === drops("id_b"), "left_anti").persist())
