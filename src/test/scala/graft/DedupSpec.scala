@@ -49,6 +49,76 @@ class DedupSpec extends AnyFunSuite with SparkSpecBase {
     assert(uncapped((1L, 2L)) > capped((1L, 2L)))
   }
 
+  /** Replicated-docs fixture: every text appears 3× under shifted ids,
+    * plus two IDENTICAL short docs (empty shingle sets) and two DISTINCT
+    * short docs — the exact-duplicate collapse's intra/cross expansion
+    * paths, which the driver's duplicate-free sf0.01 gate data never
+    * exercises. */
+  private def dupDocs = {
+    val base = docs.select($"doc_id", $"text").limit(30)
+    (1 to 2).map(i =>
+      base.select(($"doc_id" + lit(i * 100000L)).as("doc_id"), $"text"))
+      .reduce(_.unionByName(_))
+      .unionByName(base)
+      .unionByName(Seq(
+        (900001L, "tiny one"), (900002L, "tiny one"), // identical, < k tokens
+        (900003L, "tiny two"), (900004L, "tiny other") // distinct shorts
+      ).toDF("doc_id", "text"))
+  }
+
+  test("jaccard pairs on replicated docs equal the all-pairs brute form") {
+    val got = Dedup.jaccardPairs(dupDocs, "doc_id", "text", 3, 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // brute: shingle sets cross-joined, same arithmetic
+    val sets = dupDocs.select($"doc_id",
+      graft.functions.ShingleExpressions.wordShingles($"text", 3).as("sh"))
+      .filter(size($"sh") > 0)
+    val inter = size(array_intersect($"a.sh", $"b.sh"))
+    val jac = inter * lit(1.0) / (size($"a.sh") + size($"b.sh") - inter)
+    val brute = sets.as("a").join(sets.as("b"), $"a.doc_id" < $"b.doc_id")
+      .filter(jac >= 0.3)
+      .select($"a.doc_id", $"b.doc_id",
+        graft.functions.TextFunctions.roundp(jac, 6))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // 3-way replica groups contribute C(3,2)=3 jac-1.0 pairs each; the
+    // identical SHORT pair must NOT appear (empty shingle sets)
+    assert(brute.count(_._3 == 1.0) >= 90, s"fixture thin: ${brute.size}")
+    assert(!got.exists(p => p._1 == 900001L && p._2 == 900002L))
+    assert(got == brute)
+  }
+
+  test("simhash pairs on replicated docs equal brute hamming; empty-shingle docs pair at fp 0") {
+    val got = Dedup.simhashPairs(dupDocs, "doc_id", "text", 3, 3)
+      .select($"id_a", $"id_b", $"hamming").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val fp = Dedup.simhashFingerprints(dupDocs, "doc_id", "text", 3)
+    val brute = fp.as("a").join(fp.as("b"), $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id", $"b.doc_id",
+        bit_count($"a.simhash".bitwiseXOR($"b.simhash")).cast("bigint").as("h"))
+      .filter($"h" <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // ALL four short docs fingerprint to 0 → all 6 pairs, hamming 0 —
+    // including the cross-group (distinct-text) ones
+    assert(got.contains((900001L, 900002L, 0L)))
+    assert(got.contains((900003L, 900004L, 0L)))
+    assert(got.contains((900001L, 900004L, 0L)))
+    assert(got == brute)
+  }
+
+  test("minhash pairs on replicated docs equal the uncollapsed (assumeDistinct) algorithm") {
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2))
+    val collapsed = Dedup.minhashDedupPairs(dupDocs, "doc_id", "text", 3, 0.8)
+      .collect().map(key).toSet
+    val uncollapsed = Dedup.minhashDedupPairs(dupDocs, "doc_id", "text", 3, 0.8,
+      assumeDistinct = true) // the pre-collapse algorithm, valid on any input
+      .collect().map(key).toSet
+    assert(collapsed.count(_._3 == 1.0) >= 90, "fixture thin")
+    assert(!collapsed.exists(p => p._1 == 900001L && p._2 == 900002L),
+      "empty-shingle docs must not pair (signature filter)")
+    assert(collapsed == uncollapsed)
+  }
+
   test("minhash-LSH pairs equal brute-force jaccard pairs at threshold 0.8") {
     val brute = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.8)
       .select($"id_a", $"id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
