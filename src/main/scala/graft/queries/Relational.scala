@@ -501,8 +501,8 @@ object Relational {
     // supplier count, ~4 — never data-scaled), deriving the distinct
     // supplier/flagged counts and the unique flagged suppkey once per
     // GROUP at eval. Measured at sf1: 2.9 s (two-agg) -> 2.2 s
-    // (collect_set + in-row array kernels, ProfQ195) -> see ProfQ195
-    // for the native-agg number.
+    // (collect_set + in-row array kernels, ProfQ195) -> 1.8 s (native
+    // SuppBlame, no per-row boxing or post-agg array kernels).
     val perOrder = lineitem(s, d)
       .select($"l_orderkey",
         (shiftleft($"l_suppkey".cast("long"), 1)
