@@ -599,21 +599,29 @@ object Dedup {
     * guarantees ≥1 identical band when maxHamming < 4 by pigeonhole over 48
     * bits), verified by exact hamming distance.
     *
-    * Same EXACT-DUPLICATE COLLAPSE as [[shinglePairCounts]]: identical
-    * texts have identical fingerprints, so a g-way group would flood
-    * every one of its band buckets with g copies (g² candidate rows per
-    * band); the band join runs over one representative per distinct
-    * text, cross pairs inherit the rep pair's hamming (same bytes, same
-    * fingerprint), and intra-group pairs are hamming-0 by identity —
-    * emitted unconditionally because simhash48 is total (empty/null
-    * hashes fingerprint to 0, exactly as the uncollapsed join would). */
+    * FINGERPRINT-level duplicate collapse — strictly coarser (and
+    * cheaper) than [[shinglePairCounts]]'s text collapse: hamming
+    * depends ONLY on the 48-bit fingerprint, so ANY docs sharing one
+    * (byte-identical texts included, but also distinct texts that
+    * fingerprint equal — e.g. every sub-k-token doc at fp 0) are
+    * interchangeable in the band join. Fingerprints are computed once
+    * over the full corpus as before; the collapse window then shuffles
+    * 16-byte (id, fp) rows, never text. Cross pairs inherit the rep
+    * pair's hamming; intra-group pairs are hamming-0 by definition and
+    * emitted unconditionally (simhash48 is total). */
   def simhashPairs(df: DataFrame, id: String, text: String, k: Int,
                    maxHamming: Int): DataFrame = {
     require(maxHamming < 4, "4-band pigeonhole only covers hamming <= 3")
-    val (grouped, members) = dupCollapse(df, id, text)
-    val fp = ScratchCache.register(simhashFingerprints(
-      grouped.select(col("_gid").as("doc_id"), col("_t").as("_text")),
-      "doc_id", "_text", k).persist()) // self-joined
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("simhash"))
+    val tagged = ScratchCache.register(
+      simhashFingerprints(df, id, text, k)
+        .select(col("doc_id"), col("simhash"),
+          min(col("doc_id")).over(w).as("_gid"),
+          count(lit(1)).over(w).as("_m"))
+        .persist())
+    val grouped = tagged.filter(col("doc_id") === col("_gid"))
+    val members = tagged.select(col("_gid"), col("doc_id"))
+    val fp = grouped.select(col("doc_id"), col("simhash")) // rep frame, self-joined
     val bands = fp.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),
