@@ -118,9 +118,13 @@ object Dedup {
                                 k: Int, maxDf: Option[Int],
                                 keep: DataFrame => DataFrame): DataFrame = {
     val (grouped, members) = dupCollapse(df, id, text)
-    val sets0 = shingleSets(
-      grouped.select(col("_gid").as("doc_id"), col("_t").as("_text")),
-      "doc_id", "_text", k)
+    // _m rides along so the hot-shingle check can weight by group size
+    // (df is defined over DOCS, not distinct texts — a shingle made
+    // ubiquitous by duplicated texts must still trip the cap exactly as
+    // it does in the uncollapsed form and the SQL oracles)
+    val sets0 = grouped.select(col("_gid").as("doc_id"), col("_m"),
+        graft.functions.ShingleExpressions.wordShingles(col("_t"), k).as("shingles"))
+      .filter(col("shingles").isNotNull)
     def preSizedInv(sets: DataFrame): DataFrame = sets
       .withColumn("n", size(col("shingles")))
       .filter(col("n") > 0)
@@ -132,8 +136,9 @@ object Dedup {
       case Some(cap) =>
         upstream += sets0.cache() // hot-check job + index build share the shingle pass
         val inv0 = sets0.select(col("doc_id"), explode(col("shingles")).as("s"))
-        val hot = inv0.groupBy("s").count()
-          .filter(col("count") > cap).select("s")
+        val hot = sets0.select(col("_m"), explode(col("shingles")).as("s"))
+          .groupBy("s").agg(sum(col("_m")).as("_df"))
+          .filter(col("_df") > cap).select("s")
         if (hot.isEmpty) preSizedInv(sets0) // cap is a no-op: sizes stay free
         else {
           // consumed by the sizes aggregation AND the join back: one
@@ -383,25 +388,103 @@ object Dedup {
     * has one row per DISTINCT text (`_t`, `_gid` = min member id, `_m` =
     * member count); `members` maps `_gid` → every member `doc_id`.
     *
-    * ONE text shuffle total: a window over hash(text) partitions tags
-    * every row with its group's min id and size in a single
-    * exchange+sort (WindowExec spills oversized partitions — an
-    * adversarial all-identical corpus degrades to disk, never to a
-    * driver buffer); both outputs read the one cached tagged frame, so
-    * the text column is shuffled and cached exactly once. */
+    * SURVIVOR-SLIVER GATE (the `substringPairs` discipline): duplicates
+    * can only live inside a 64-bit text-hash group of size ≥ 2, so the
+    * hot-hash set is aggregated FIRST — an 8-byte-key, map-side-combined
+    * shuffle, the only cost the collapse adds on a duplicate-free corpus
+    * (where the hot set is empty and every doc is trivially its own
+    * group: zero text shuffles, zero caches, no Window in the plan). Only
+    * the sliver of docs whose hash group repeats pays the text-keyed
+    * window that proves byte-equality; a hash collision can only ADD a
+    * doc to the sliver (the window still partitions on true bytes, so
+    * colliding distinct texts stay distinct groups), never merge texts —
+    * byte-exactness is preserved unconditionally. On duplicate-heavy
+    * corpora the sliver is the corpus and cost converges to the plain
+    * window (WindowExec spills oversized partitions — an adversarial
+    * all-identical corpus degrades to disk, never to a driver buffer). */
+  /** Hot-group broadcast bound: 1M 8-byte keys ≈ 8 MB — comfortably
+    * broadcastable, and a corpus with more repeated-hash groups than
+    * that is duplicate-HEAVY, where the ungated full collapse is the
+    * right plan anyway. */
+  private val HotBroadcastMax = 1000000L
+
+  /** Driver-collect bound for the hot set (2^16 8-byte keys ≈ 512 KB —
+    * bounded by construction, the PercentileCut discipline): below it the
+    * membership test is a codegen'd InSet FILTER, adding zero join or
+    * exchange stages to the plan — measured, the two broadcast-join
+    * stages otherwise cost more in AQE planning rounds than the sliver
+    * work itself on rare-duplicate corpora. */
+  private val HotCollectMax = 65536L
+
   private def dupCollapse(df: DataFrame, id: String,
                           text: String): (DataFrame, DataFrame) = {
+    val base = df.select(col(id).as("doc_id"), col(text).as("_t"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("_t"))
-    val tagged = ScratchCache.register(df
-      .select(col(id).as("doc_id"), col(text).as("_t"))
-      .select(col("doc_id"), col("_t"),
-        min(col("doc_id")).over(w).as("_gid"),
-        count(lit(1)).over(w).as("_m"))
+    val hot = ScratchCache.register(base
+      .groupBy(xxhash64(col("_t")).as("_h"))
+      .agg(count(lit(1)).as("_hc"))
+      .filter(col("_hc") >= 2L)
+      .select("_h")
       .persist())
-    val grouped = tagged.filter(col("doc_id") === col("_gid"))
-      .select(col("_t"), col("_gid"), col("_m"))
-    val members = tagged.select(col("_gid"), col("doc_id"))
-    (grouped, members)
+    val nHot = hot.count() // fills the persisted hot cache; cheap gate job
+    if (nHot == 0L) {
+      (base.select(col("_t"), col("doc_id").as("_gid"), lit(1L).as("_m")),
+        base.select(col("doc_id").as("_gid"), col("doc_id")))
+    } else if (nHot <= HotCollectMax) {
+      // rare-duplicate regime, bounded collect: the sliver membership
+      // test is an InSet filter — no join, no exchange; only the sliver
+      // pays the text window
+      val hotSet = hot.collect().map(_.getLong(0)).toSeq
+      val withH = base.withColumn("_h", xxhash64(col("_t")))
+      val sliver = withH.filter(col("_h").isin(hotSet: _*))
+        .select(col("doc_id"), col("_t"),
+          min(col("doc_id")).over(w).as("_gid"),
+          count(lit(1)).over(w).as("_m"))
+      val uniq = withH.filter(!col("_h").isin(hotSet: _*))
+        .select(col("doc_id"), col("_t"),
+          col("doc_id").as("_gid"), lit(1L).as("_m"))
+      val tagged = ScratchCache.register(
+        sliver.unionByName(uniq).persist())
+      val grouped = tagged.filter(col("doc_id") === col("_gid"))
+        .select(col("_t"), col("_gid"), col("_m"))
+      val members = tagged.select(col("_gid"), col("doc_id"))
+      (grouped, members)
+    } else if (nHot <= HotBroadcastMax) {
+      // mid regime: too many hot groups to collect — the hot set
+      // broadcasts EXPLICITLY (the hint must not depend on AQE, because
+      // consumers routinely materialize this plan under a .persist(),
+      // components' edge cache, where adaptive join re-planning is
+      // unavailable and an unhinted join would degrade to two full text
+      // shuffles). Both joins are map-side; the sliver pays the window.
+      val bHot = broadcast(hot)
+      val withH = base.withColumn("_h", xxhash64(col("_t")))
+      val sliver = withH.join(bHot, Seq("_h"), "left_semi")
+        .select(col("doc_id"), col("_t"),
+          min(col("doc_id")).over(w).as("_gid"),
+          count(lit(1)).over(w).as("_m"))
+      val uniq = withH.join(bHot, Seq("_h"), "left_anti")
+        .select(col("doc_id"), col("_t"),
+          col("doc_id").as("_gid"), lit(1L).as("_m"))
+      val tagged = ScratchCache.register(
+        sliver.unionByName(uniq).persist())
+      val grouped = tagged.filter(col("doc_id") === col("_gid"))
+        .select(col("_t"), col("_gid"), col("_m"))
+      val members = tagged.select(col("_gid"), col("doc_id"))
+      (grouped, members)
+    } else {
+      // duplicate-heavy regime: most rows are in the sliver, so the
+      // semi/anti split would shuffle the text twice for nothing — run
+      // the single full-corpus window (one text shuffle, spill-safe)
+      val tagged = ScratchCache.register(base
+        .select(col("doc_id"), col("_t"),
+          min(col("doc_id")).over(w).as("_gid"),
+          count(lit(1)).over(w).as("_m"))
+        .persist())
+      val grouped = tagged.filter(col("doc_id") === col("_gid"))
+        .select(col("_t"), col("_gid"), col("_m"))
+      val members = tagged.select(col("_gid"), col("doc_id"))
+      (grouped, members)
+    }
   }
 
   /** Expand rep-level scored pairs (id_a, id_b, `score`) to member pairs:
@@ -606,22 +689,73 @@ object Dedup {
     * fingerprint equal — e.g. every sub-k-token doc at fp 0) are
     * interchangeable in the band join. Fingerprints are computed once
     * over the full corpus as before; the collapse window then shuffles
-    * 16-byte (id, fp) rows, never text. Cross pairs inherit the rep
-    * pair's hamming; intra-group pairs are hamming-0 by definition and
-    * emitted unconditionally (simhash48 is total). */
+    * 16-byte (id, fp) rows, never text — and only for the sliver of
+    * docs whose fingerprint actually repeats (sliver gate below). Cross
+    * pairs inherit the rep pair's hamming; intra-group pairs are
+    * hamming-0 by definition and emitted unconditionally (simhash48 is
+    * total). */
   def simhashPairs(df: DataFrame, id: String, text: String, k: Int,
                    maxHamming: Int): DataFrame = {
     require(maxHamming < 4, "4-band pigeonhole only covers hamming <= 3")
+    // SLIVER GATE (cf. dupCollapse): repeated fingerprints are found by
+    // one 8-byte-key aggregation over the persisted fingerprint frame; a
+    // corpus with no repeats (the common gated case) skips the collapse
+    // window AND the member-expansion joins outright — the rep band join
+    // IS the full band join.
+    val fps = ScratchCache.register(
+      simhashFingerprints(df, id, text, k).persist())
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("simhash"))
-    val tagged = ScratchCache.register(
-      simhashFingerprints(df, id, text, k)
+    val hot = ScratchCache.register(
+      fps.groupBy(col("simhash")).agg(count(lit(1)).as("_c"))
+        .filter(col("_c") >= 2L).select("simhash").persist())
+    val nHot = hot.count()
+    if (nHot == 0L) return simhashBandPairs(fps, maxHamming)
+    // only the sliver sharing a fingerprint pays the collapse window; no
+    // collision caveat here — the fingerprint IS the collapse key. The
+    // broadcast is explicit for the same persist-materialization reason
+    // as dupCollapse; past the broadcastable bound the corpus is
+    // fingerprint-duplicate-heavy and the full window is the right plan.
+    val tagged = ScratchCache.register((if (nHot <= HotBroadcastMax) {
+      val bHot = broadcast(hot)
+      val sliver = fps.join(bHot, Seq("simhash"), "left_semi")
         .select(col("doc_id"), col("simhash"),
           min(col("doc_id")).over(w).as("_gid"),
           count(lit(1)).over(w).as("_m"))
-        .persist())
+      val uniq = fps.join(bHot, Seq("simhash"), "left_anti")
+        .select(col("doc_id"), col("simhash"),
+          col("doc_id").as("_gid"), lit(1L).as("_m"))
+      sliver.unionByName(uniq)
+    } else fps.select(col("doc_id"), col("simhash"),
+      min(col("doc_id")).over(w).as("_gid"),
+      count(lit(1)).over(w).as("_m"))).persist())
     val grouped = tagged.filter(col("doc_id") === col("_gid"))
     val members = tagged.select(col("_gid"), col("doc_id"))
     val fp = grouped.select(col("doc_id"), col("simhash")) // rep frame, self-joined
+    val gp = simhashBandPairsPacked(fp, maxHamming)
+    val cross = expandMemberPairs(
+      gp.select(PackedPair.idA(col("pair")).as("id_a"),
+        PackedPair.idB(col("pair")).as("id_b"), col("hamming")),
+      members, "hamming")
+    val intra = grouped.filter(col("_m") >= 2L)
+      .join(members.select(col("_gid"), col("doc_id").as("_ia")), Seq("_gid"))
+      .join(members.select(col("_gid"), col("doc_id").as("_ib")), Seq("_gid"))
+      .filter(col("_ia") < col("_ib"))
+      .select(col("_ia").as("id_a"), col("_ib").as("id_b"),
+        lit(0L).as("hamming"))
+    cross.unionByName(intra)
+  }
+
+  /** Banded candidate self-join + exact hamming verification over a
+    * (doc_id, simhash) frame whose fingerprints need not be distinct —
+    * the scoring core of [[simhashPairs]], shared by its gated (dup-free)
+    * and collapsed paths. */
+  private def simhashBandPairs(fp: DataFrame, maxHamming: Int): DataFrame =
+    simhashBandPairsPacked(fp, maxHamming)
+      .select(PackedPair.idA(col("pair")).as("id_a"),
+        PackedPair.idB(col("pair")).as("id_b"), col("hamming"))
+
+  private def simhashBandPairsPacked(fp: DataFrame,
+                                     maxHamming: Int): DataFrame = {
     val bands = fp.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),
@@ -641,17 +775,7 @@ object Dedup {
           .cast("bigint").as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
-    val cross = expandMemberPairs(
-      gp.select(PackedPair.idA(col("pair")).as("id_a"),
-        PackedPair.idB(col("pair")).as("id_b"), col("hamming")),
-      members, "hamming")
-    val intra = grouped.filter(col("_m") >= 2L)
-      .join(members.select(col("_gid"), col("doc_id").as("_ia")), Seq("_gid"))
-      .join(members.select(col("_gid"), col("doc_id").as("_ib")), Seq("_gid"))
-      .filter(col("_ia") < col("_ib"))
-      .select(col("_ia").as("id_a"), col("_ib").as("id_b"),
-        lit(0L).as("hamming"))
-    cross.unionByName(intra)
+    gp
   }
 
   /** Exact-substring overlap pairs: documents sharing ≥1 identical

@@ -227,14 +227,46 @@ object Similarity {
     // inherit the rep pair's cosine (identical bytes ⇒ identical doubles),
     // intra-group pairs carry the group's self-cosine computed with the
     // SAME dot/norm arithmetic (≈1, but never assumed).
+    // SLIVER GATE (cf. Dedup.dupCollapse): byte-identical vectors can
+    // only live inside a 64-bit hash group of size ≥ 2, so one cheap
+    // 8-byte-key aggregation finds the hot hashes first. Duplicate-free
+    // corpora (hot empty) skip the vector-keyed groupBy, the join-back,
+    // and the member-expansion joins entirely — all vectors are provably
+    // distinct (equal values hash equal), so the pruned generator runs
+    // straight over the input. A collision only ADDS a vector to the
+    // sliver (the groupBy still compares true values) — exactness holds.
     val base = emb.select(col(id).as("_id"), col(vec).as("_v"))
-    val reps = ScratchCache.register(base
+    val hot = ScratchCache.register(base
+      .groupBy(xxhash64(col("_v")).as("_h"))
+      .agg(count(lit(1)).as("_hc"))
+      .filter(col("_hc") >= 2L)
+      .select("_h")
+      .persist())
+    val nHot = hot.count() // gate job; fills the persisted hot cache
+    if (nHot == 0L)
+      return nearDupPairsDistinct(
+        base.select(col("_id").as(id), col("_v").as(vec)),
+        id, vec, threshold, nCells)
+    // explicit broadcast (not AQE-dependent — consumers materialize this
+    // plan under persists); past the bound the corpus is duplicate-heavy
+    // and the full-corpus collapse is the right plan
+    val (sliverBase, uniqBase) =
+      if (nHot <= 1000000L) {
+        val withH = base.withColumn("_h", xxhash64(col("_v")))
+        (withH.join(broadcast(hot), Seq("_h"), "left_semi").drop("_h"),
+          withH.join(broadcast(hot), Seq("_h"), "left_anti").drop("_h"))
+      } else (base, base.limit(0))
+    val sReps = ScratchCache.register(sliverBase
       .groupBy(col("_v"))
       .agg(min(col("_id")).as("_gid"), count(lit(1)).as("_m"))
       .persist())
-    val members = ScratchCache.register(base
-      .join(reps.select(col("_v"), col("_gid")), Seq("_v"))
+    val reps = ScratchCache.register(sReps.unionByName(
+        uniqBase.select(col("_v"), col("_id").as("_gid"), lit(1L).as("_m")))
+      .persist())
+    val members = ScratchCache.register(sliverBase
+      .join(sReps.select(col("_v"), col("_gid")), Seq("_v"))
       .select(col("_gid"), col("_id"))
+      .unionByName(uniqBase.select(col("_id").as("_gid"), col("_id")))
       .persist())
     val gPairs = nearDupPairsDistinct(
       reps.select(col("_gid").as(id), col("_v").as(vec)),

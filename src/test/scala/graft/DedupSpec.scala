@@ -49,6 +49,48 @@ class DedupSpec extends AnyFunSuite with SparkSpecBase {
     assert(uncapped((1L, 2L)) > capped((1L, 2L)))
   }
 
+  test("maxDf over replicated docs counts df per DOC, not per distinct text") {
+    // 4 distinct texts sharing the hot "x x x x" prefix, each replicated
+    // 3× — the hot shingles' true df is 12. cap=6 sits between the
+    // rep-level count (4, which would NOT engage the cap) and the
+    // doc-level count (12, which must): a collapse that counts df over
+    // representatives keeps the hot shingles and inflates jac(1,2) to
+    // 7/9; the correct member-weighted count drops them → jac = 3/5.
+    val hot = Seq(
+      (1L, "x x x x alpha beta gamma delta"),
+      (2L, "x x x x alpha beta gamma epsilon"),
+      (3L, "x x x x completely different words here"),
+      (4L, "x x x x nothing like the others at all")).toDF("doc_id", "text")
+    val dupHot = (0 to 2).map(i =>
+        hot.select(($"doc_id" + lit(i * 100L)).as("doc_id"), $"text"))
+      .reduce(_.unionByName(_))
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2))
+    val got = Dedup.jaccardPairs(dupHot, "doc_id", "text", 3, 0.3,
+      maxDf = Some(6)).collect().map(key).toSet
+    // brute: per-DOC df over the uncollapsed corpus, hot shingles out of
+    // the universe, then all-pairs with post-cap sets
+    val sets = dupHot.select($"doc_id",
+      graft.functions.ShingleExpressions.wordShingles($"text", 3).as("sh"))
+    val inv = sets.select($"doc_id", explode($"sh").as("s"))
+    val hotS = inv.groupBy("s").count().filter($"count" > 6).select("s")
+    val capped = inv.join(hotS, Seq("s"), "left_anti")
+      .groupBy("doc_id").agg(collect_set($"s").as("sh"))
+      .filter(size($"sh") > 0)
+    val inter = size(array_intersect($"a.sh", $"b.sh"))
+    val jac = inter * lit(1.0) / (size($"a.sh") + size($"b.sh") - inter)
+    val brute = capped.as("a").join(capped.as("b"), $"a.doc_id" < $"b.doc_id")
+      .filter(jac >= 0.3)
+      .select($"a.doc_id", $"b.doc_id",
+        graft.functions.TextFunctions.roundp(jac, 6))
+      .collect().map(key).toSet
+    val asMap = got.map(p => ((p._1, p._2), p._3)).toMap
+    assert(math.abs(asMap((1L, 2L)) - 0.6) < 1e-9,
+      s"hot shingles evaded the doc-level cap: jac(1,2)=${asMap((1L, 2L))}")
+    assert(got.count(_._3 == 1.0) >= 12, "intra-group pairs missing") // 4 groups × C(3,2)
+    assert(got == brute)
+  }
+
   /** Replicated-docs fixture: every text appears 3× under shifted ids,
     * plus two IDENTICAL short docs (empty shingle sets) and two DISTINCT
     * short docs — the exact-duplicate collapse's intra/cross expansion
