@@ -38,6 +38,12 @@ object Datum {
     "intl"   -> Ellipsoid(6378388.0, 297.0),
     "clrk66" -> Ellipsoid(6378206.4, 294.9786982),
     "clrk80" -> Ellipsoid(6378249.145, 293.465),
+    // Clarke 1880 (IGN): defined by a/b in PROJ; rf = a/(a−b)
+    "clrk80ign" -> Ellipsoid(6378249.2,
+      6378249.2 / (6378249.2 - 6356515.0)),
+    // Modified Airy (Ireland 65/Ireland 1975): PROJ defines a/b
+    "mod_airy" -> Ellipsoid(6377340.189,
+      6377340.189 / (6377340.189 - 6356034.446)),
     "airy"   -> Ellipsoid(6377563.396, 299.3249646),
     "krass"  -> Ellipsoid(6378245.0, 298.3),
     "evrst69" -> Ellipsoid(6377295.664, 300.8017),

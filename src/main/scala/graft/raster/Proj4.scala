@@ -67,6 +67,34 @@ object Proj4 {
       named.get(v.toLowerCase).orElse(v.toDoubleOption)
   }
 
+  /** PROJ's named-datum registry (public constants, pj_datums.c):
+    * `+datum=<name>` expands to its (+ellps, +towgs84|+nadgrids)
+    * definition BEFORE the kv pipeline runs, so a shorthand compiles
+    * through exactly the Helmert/NTv2 machinery the explicit form uses
+    * (and inherits its worked-example pins). NAD27's grids are
+    * optional-`@` in PROJ; the nadgrids contract here is unchanged — all
+    * listed grids must load or the parse fails loud (assemble prefers an
+    * error to a mis-warp). An explicit +ellps/+towgs84/+nadgrids that
+    * CONFLICTS with the datum's own definition is ambiguous → fail fast;
+    * a byte-equal restatement is allowed. */
+  private val namedDatums: Map[String, Map[String, String]] = Map(
+    "wgs84" -> Map("ellps" -> "WGS84", "towgs84" -> "0,0,0"),
+    "ggrs87" -> Map("ellps" -> "GRS80", "towgs84" -> "-199.87,74.79,246.62"),
+    "nad83" -> Map("ellps" -> "GRS80", "towgs84" -> "0,0,0"),
+    "nad27" -> Map("ellps" -> "clrk66",
+      "nadgrids" -> "@conus,@alaska,@ntv2_0.gsb,@ntv1_can.dat"),
+    "potsdam" -> Map("ellps" -> "bessel",
+      "towgs84" -> "598.1,73.7,418.2,0.202,0.045,-2.455,6.7"),
+    "carthage" -> Map("ellps" -> "clrk80ign", "towgs84" -> "-263.0,6.0,431.0"),
+    "hermannskogel" -> Map("ellps" -> "bessel",
+      "towgs84" -> "577.326,90.129,463.919,5.137,1.474,5.297,2.4232"),
+    "ire65" -> Map("ellps" -> "mod_airy",
+      "towgs84" -> "482.530,-130.596,564.557,-1.042,-0.214,-0.631,8.15"),
+    "nzgd49" -> Map("ellps" -> "intl",
+      "towgs84" -> "59.47,-5.04,187.44,0.47,-0.1,1.024,-4.5993"),
+    "osgb36" -> Map("ellps" -> "airy",
+      "towgs84" -> "446.448,-125.157,542.060,0.1502,0.2470,0.8421,-20.4894"))
+
   /** `+proj=pipeline` interpreter for the canonical step vocabulary a
     * projected/geographic CRS pipeline uses: `unitconvert` (xy deg↔rad,
     * m↔m), `axisswap` (+order=2,1 / 1,2), and any projection this parser
@@ -186,11 +214,25 @@ object Proj4 {
     // +proj=pipeline has MULTIPLE +proj= tokens — route to the step
     // interpreter before the last-wins kv collapse below can mangle it
     if (toks.contains("+proj=pipeline")) return parsePipeline(toks)
-    val kv: Map[String, String] = toks.map { t =>
+    val kv0: Map[String, String] = toks.map { t =>
       val body = t.drop(1)
       val i = body.indexOf('=')
       if (i < 0) body -> "" else body.take(i) -> body.drop(i + 1)
     }.toMap
+    // +datum= shorthand expansion (see namedDatums); WGS84 keeps its key
+    // (the plain fast path reads it), every other known name rewrites to
+    // its explicit definition, unknown names fail fast
+    val kv: Map[String, String] = kv0.get("datum") match {
+      case None => kv0
+      case Some(d) if d.equalsIgnoreCase("WGS84") => kv0
+      case Some(d) => namedDatums.get(d.toLowerCase) match {
+        case None => return None // unknown datum shorthand
+        case Some(exp) =>
+          if (exp.exists { case (k, v) => kv0.get(k).exists(_ != v) })
+            return None // conflicting explicit ellps/towgs84/nadgrids
+          (kv0 - "datum") ++ exp.filter { case (k, _) => !kv0.contains(k) }
+      }
+    }
     def num(k: String): Option[Double] = kv.get(k).flatMap(_.toDoubleOption)
     def numOr(k: String, d: Double): Option[Double] = kv.get(k) match {
       case None => Some(d)

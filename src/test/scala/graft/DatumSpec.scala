@@ -184,8 +184,10 @@ class DatumSpec extends AnyFunSuite {
     // real shift on a projection family with no datum-composable kernel
     assert(Proj4.parse("+proj=merc +towgs84=598.1,73.7,418.2").isEmpty)
     assert(Proj4.parse("+proj=sinu +R=6371007.181 +towgs84=1,2,3").isEmpty)
-    // +datum= shorthands other than WGS84 stay unsupported
-    assert(Proj4.parse("+proj=tmerc +lat_0=0 +lon_0=9 +datum=potsdam").isEmpty)
+    // known +datum= shorthands now expand (Proj4Spec pins them); an
+    // UNKNOWN shorthand still fails fast
+    assert(Proj4.parse("+proj=tmerc +lat_0=0 +lon_0=9 +datum=ch1903").isEmpty)
+    assert(Proj4.parse("+proj=tmerc +lat_0=0 +lon_0=9 +datum=potsdam").isDefined)
     // identity towgs84 stays accepted on the plain path
     assert(Proj4.parse("+proj=tmerc +lat_0=0 +lon_0=9 +k=0.9996 " +
       "+x_0=500000 +y_0=0 +ellps=WGS84 +towgs84=0,0,0").isDefined)

@@ -353,6 +353,77 @@ class Proj4Spec extends AnyFunSuite with SparkSpecBase {
     assert(Proj4.parse("+proj=pipeline +step +proj=push +v_3").isEmpty)
   }
 
+  test("+datum= shorthands expand to their PROJ pj_datums definitions") {
+    // shorthand ≡ manual expansion, point-for-point: the expansion path
+    // carries the worked-example pins (DatumSpec / assemble DHDN), so
+    // equality here inherits them
+    def eq2(a: (Double, Double), b: (Double, Double)): Unit = {
+      assert(math.abs(a._1 - b._1) < 1e-9, s"$a vs $b")
+      assert(math.abs(a._2 - b._2) < 1e-9, s"$a vs $b")
+    }
+    val cases = Seq(
+      // OSGB36 / EPSG:27700
+      ("+proj=tmerc +lat_0=49 +lon_0=-2 +k=0.9996012717 +x_0=400000 " +
+        "+y_0=-100000 +datum=OSGB36 +units=m",
+        "+proj=tmerc +lat_0=49 +lon_0=-2 +k=0.9996012717 +x_0=400000 " +
+          "+y_0=-100000 +ellps=airy " +
+          "+towgs84=446.448,-125.157,542.060,0.1502,0.2470,0.8421,-20.4894 +units=m",
+        Seq((-0.1276, 51.5074), (-5.0, 50.1), (1.5, 52.9))),
+      // DHDN Gauss-Krüger zone 3 via +datum=potsdam
+      ("+proj=tmerc +lat_0=0 +lon_0=9 +k=1 +x_0=3500000 +y_0=0 " +
+        "+datum=potsdam +units=m",
+        "+proj=tmerc +lat_0=0 +lon_0=9 +k=1 +x_0=3500000 +y_0=0 " +
+          "+ellps=bessel +towgs84=598.1,73.7,418.2,0.202,0.045,-2.455,6.7 " +
+          "+units=m",
+        Seq((9.2, 50.7), (7.9, 48.9))),
+      // Irish grid on Modified Airy via +datum=ire65
+      ("+proj=tmerc +lat_0=53.5 +lon_0=-8 +k=1.000035 +x_0=200000 " +
+        "+y_0=250000 +datum=ire65 +units=m",
+        "+proj=tmerc +lat_0=53.5 +lon_0=-8 +k=1.000035 +x_0=200000 " +
+          "+y_0=250000 +ellps=mod_airy " +
+          "+towgs84=482.530,-130.596,564.557,-1.042,-0.214,-0.631,8.15 +units=m",
+        Seq((-6.26, 53.35), (-9.05, 51.9))),
+      // Carthage 2SP LCC (Nord Tunisie belts) on Clarke 1880 (IGN)
+      ("+proj=lcc +lat_1=34.65 +lat_2=38.1 +lat_0=36 +lon_0=9.9 " +
+        "+x_0=500000 +y_0=300000 +datum=carthage +units=m",
+        "+proj=lcc +lat_1=34.65 +lat_2=38.1 +lat_0=36 +lon_0=9.9 " +
+          "+x_0=500000 +y_0=300000 +ellps=clrk80ign " +
+          "+towgs84=-263.0,6.0,431.0 +units=m",
+        Seq((10.18, 36.8))),
+      // NAD83 is a zero-shift GRS80 — the plain fast path
+      ("+proj=utm +zone=15 +datum=NAD83 +units=m",
+        "+proj=utm +zone=15 +ellps=GRS80 +towgs84=0,0,0 +units=m",
+        Seq((-93.2, 44.9))),
+      // GGRS87 geographic
+      ("+proj=longlat +datum=GGRS87",
+        "+proj=longlat +ellps=GRS80 +towgs84=-199.87,74.79,246.62",
+        Seq((23.72, 37.98))))
+    for ((s, f, pts) <- cases) {
+      val sc = Proj4.parse(s).getOrElse(fail(s"shorthand rejected: $s"))
+      val fc = Proj4.parse(f).getOrElse(fail(s"expansion rejected: $f"))
+      for ((lon, lat) <- pts) {
+        eq2(sc.forward(lon, lat), fc.forward(lon, lat))
+        val (e, n) = sc.forward(lon, lat)
+        eq2(sc.inverse(e, n), fc.inverse(e, n))
+        // and the shift is real: OSGB36-family datums are ~100 m off WGS84
+        val (lon2, lat2) = sc.inverse(e, n)
+        assert(math.abs(lon2 - lon) < 1e-7 && math.abs(lat2 - lat) < 1e-7)
+      }
+    }
+    // NAD27 expands to optional-@ NTv2 grids that are absent here — the
+    // nadgrids contract (all grids must load) keeps the failure LOUD
+    assert(Proj4.parse("+proj=longlat +datum=NAD27").isEmpty)
+    // unknown shorthand still fails fast
+    assert(Proj4.parse("+proj=longlat +datum=ch1903").isEmpty)
+    // conflicting explicit key is ambiguous → fail fast
+    assert(Proj4.parse("+proj=longlat +datum=potsdam +ellps=airy").isEmpty)
+    assert(Proj4.parse(
+      "+proj=longlat +datum=osgb36 +towgs84=1,2,3").isEmpty)
+    // byte-equal restatement is fine
+    assert(Proj4.parse(
+      "+proj=longlat +datum=potsdam +ellps=bessel").isDefined)
+  }
+
   test("honest rejection: unknown projections/ellipsoids, oblique stere") {
     // OSGB36 (EPSG:27700) carries a real datum shift — round-7 Datum
     // machinery now compiles it (DatumSpec pins the worked example);
