@@ -149,8 +149,9 @@ object Bench {
       "q195_blame_supplier", "mosaic_pipeline_110tiles")
     val head = results.filter { case (k, _) => headline(k) }
     // stop FIRST so Spark's shutdown chatter can't land after the JSON
-    // line — the driver parses the last line of stdout
-    spark.stop()
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"full":"BENCH_FULL.json","queries":${jsonMap(head)},"sf":"$sfDir"}""")
+    // line — the driver parses the last line of stdout; a throwing stop
+    // must not suppress the result line
+    scala.util.Try(spark.stop())
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"full":"$fullPath","queries":${jsonMap(head)},"sf":"$sfDir"}""")
   }
 }

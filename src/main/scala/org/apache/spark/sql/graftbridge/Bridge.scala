@@ -30,13 +30,29 @@ object Bridge {
     val base = cds.sparkSession
     val clone = noAqeClones.synchronized {
       val cached = noAqeClones.get(base)
-      if (cached != null) cached
-      else {
-        val c = base.cloneSession()
-        c.sessionState.conf.setConfString("spark.sql.adaptive.enabled", "false")
-        noAqeClones.put(base, c)
-        c
+      val c = if (cached != null) cached else {
+        val c0 = base.cloneSession()
+        noAqeClones.put(base, c0)
+        c0
       }
+      // the clone snapshots the base conf at clone time — re-sync on
+      // every call so later base changes (shuffle partitions, timeouts,
+      // ...) apply to plans run through the cached clone: copy the
+      // base's explicit confs, drop clone-only leftovers, then re-force
+      // AQE off (the clone's one intentional divergence)
+      val baseConfs = base.sessionState.conf.getAllConfs
+      val cloneConf = c.sessionState.conf
+      cloneConf.getAllConfs.keysIterator
+        .filterNot(baseConfs.contains)
+        .filterNot(_ == "spark.sql.adaptive.enabled")
+        .toList.foreach(cloneConf.unsetConf)
+      baseConfs.foreach { case (k, v) =>
+        if (k != "spark.sql.adaptive.enabled" &&
+            cloneConf.getConfString(k, null) != v)
+          cloneConf.setConfString(k, v)
+      }
+      cloneConf.setConfString("spark.sql.adaptive.enabled", "false")
+      c
     }
     org.apache.spark.sql.classic.Dataset.ofRows(clone, cds.queryExecution.logical)
   }
