@@ -420,16 +420,35 @@ object Dedup {
                           text: String): (DataFrame, DataFrame) = {
     val base = df.select(col(id).as("doc_id"), col(text).as("_t"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("_t"))
-    val hot = ScratchCache.register(base
+    val counts = ScratchCache.register(base
       .groupBy(xxhash64(col("_t")).as("_h"))
       .agg(count(lit(1)).as("_hc"))
-      .filter(col("_hc") >= 2L)
-      .select("_h")
       .persist())
-    val nHot = hot.count() // fills the persisted hot cache; cheap gate job
+    // ONE gate job yields all three regime inputs: hot-group count, docs
+    // covered by hot groups, total docs
+    val statsRow = counts.agg(
+      coalesce(sum(when(col("_hc") >= 2L, 1L)), lit(0L)),
+      coalesce(sum(when(col("_hc") >= 2L, col("_hc"))), lit(0L)),
+      coalesce(sum(col("_hc")), lit(0L))).head()
+    val (nHot, nDocsHot, nDocs) =
+      (statsRow.getLong(0), statsRow.getLong(1), statsRow.getLong(2))
+    val hot = counts.filter(col("_hc") >= 2L).select("_h") // cached parent
     if (nHot == 0L) {
       (base.select(col("_t"), col("doc_id").as("_gid"), lit(1L).as("_m")),
         base.select(col("doc_id").as("_gid"), col("doc_id")))
+    } else if (nDocsHot * 2L >= nDocs) {
+      // duplicate-heavy regime (sliver is the majority of the corpus):
+      // the semi/anti split would shuffle the text twice for nothing —
+      // run the single full-corpus window (one text shuffle, spill-safe)
+      val tagged = ScratchCache.register(base
+        .select(col("doc_id"), col("_t"),
+          min(col("doc_id")).over(w).as("_gid"),
+          count(lit(1)).over(w).as("_m"))
+        .persist())
+      val grouped = tagged.filter(col("doc_id") === col("_gid"))
+        .select(col("_t"), col("_gid"), col("_m"))
+      val members = tagged.select(col("_gid"), col("doc_id"))
+      (grouped, members)
     } else if (nHot <= HotCollectMax) {
       // rare-duplicate regime, bounded collect: the sliver membership
       // test is an InSet filter — no join, no exchange; only the sliver
@@ -472,9 +491,11 @@ object Dedup {
       val members = tagged.select(col("_gid"), col("doc_id"))
       (grouped, members)
     } else {
-      // duplicate-heavy regime: most rows are in the sliver, so the
-      // semi/anti split would shuffle the text twice for nothing — run
-      // the single full-corpus window (one text shuffle, spill-safe)
+      // degenerate corner (> 1M hot groups yet a minority sliver —
+      // billions of docs with scattered small duplicate groups): an
+      // unbroadcastable hot set would make the semi/anti split shuffle
+      // the text TWICE on _h; the single full-corpus window (one text
+      // shuffle, spill-safe) is strictly cheaper
       val tagged = ScratchCache.register(base
         .select(col("doc_id"), col("_t"),
           min(col("doc_id")).over(w).as("_gid"),
@@ -705,29 +726,44 @@ object Dedup {
     val fps = ScratchCache.register(
       simhashFingerprints(df, id, text, k).persist())
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("simhash"))
-    val hot = ScratchCache.register(
-      fps.groupBy(col("simhash")).agg(count(lit(1)).as("_c"))
-        .filter(col("_c") >= 2L).select("simhash").persist())
-    val nHot = hot.count()
+    val counts = ScratchCache.register(
+      fps.groupBy(col("simhash")).agg(count(lit(1)).as("_c")).persist())
+    val statsRow = counts.agg(
+      coalesce(sum(when(col("_c") >= 2L, 1L)), lit(0L)),
+      coalesce(sum(when(col("_c") >= 2L, col("_c"))), lit(0L)),
+      coalesce(sum(col("_c")), lit(0L))).head()
+    val (nHot, nDocsHot, nDocs) =
+      (statsRow.getLong(0), statsRow.getLong(1), statsRow.getLong(2))
     if (nHot == 0L) return simhashBandPairs(fps, maxHamming)
+    val hot = counts.filter(col("_c") >= 2L).select("simhash")
     // only the sliver sharing a fingerprint pays the collapse window; no
-    // collision caveat here — the fingerprint IS the collapse key. The
-    // broadcast is explicit for the same persist-materialization reason
-    // as dupCollapse; past the broadcastable bound the corpus is
-    // fingerprint-duplicate-heavy and the full window is the right plan.
-    val tagged = ScratchCache.register((if (nHot <= HotBroadcastMax) {
-      val bHot = broadcast(hot)
-      val sliver = fps.join(bHot, Seq("simhash"), "left_semi")
-        .select(col("doc_id"), col("simhash"),
+    // collision caveat here — the fingerprint IS the collapse key. Regime
+    // choice mirrors dupCollapse: majority-sliver (or unbroadcastable
+    // hot) corpora take the full window; a small hot set becomes an
+    // InSet filter; a mid-size one an EXPLICIT broadcast (the hint must
+    // not depend on AQE — consumers materialize this plan under
+    // persists, where adaptive join re-planning is unavailable).
+    val tagged = ScratchCache.register((
+      if (nDocsHot * 2L >= nDocs || nHot > HotBroadcastMax)
+        fps.select(col("doc_id"), col("simhash"),
           min(col("doc_id")).over(w).as("_gid"),
           count(lit(1)).over(w).as("_m"))
-      val uniq = fps.join(bHot, Seq("simhash"), "left_anti")
-        .select(col("doc_id"), col("simhash"),
-          col("doc_id").as("_gid"), lit(1L).as("_m"))
-      sliver.unionByName(uniq)
-    } else fps.select(col("doc_id"), col("simhash"),
-      min(col("doc_id")).over(w).as("_gid"),
-      count(lit(1)).over(w).as("_m"))).persist())
+      else {
+        val (sliverFp, uniqFp) =
+          if (nHot <= HotCollectMax) {
+            val hotSet = hot.collect().map(_.getLong(0)).toSeq
+            (fps.filter(col("simhash").isin(hotSet: _*)),
+              fps.filter(!col("simhash").isin(hotSet: _*)))
+          } else {
+            (fps.join(broadcast(hot), Seq("simhash"), "left_semi"),
+              fps.join(broadcast(hot), Seq("simhash"), "left_anti"))
+          }
+        sliverFp.select(col("doc_id"), col("simhash"),
+            min(col("doc_id")).over(w).as("_gid"),
+            count(lit(1)).over(w).as("_m"))
+          .unionByName(uniqFp.select(col("doc_id"), col("simhash"),
+            col("doc_id").as("_gid"), lit(1L).as("_m")))
+      }).persist())
     val grouped = tagged.filter(col("doc_id") === col("_gid"))
     val members = tagged.select(col("_gid"), col("doc_id"))
     val fp = grouped.select(col("doc_id"), col("simhash")) // rep frame, self-joined

@@ -236,26 +236,40 @@ object Similarity {
     // straight over the input. A collision only ADDS a vector to the
     // sliver (the groupBy still compares true values) — exactness holds.
     val base = emb.select(col(id).as("_id"), col(vec).as("_v"))
-    val hot = ScratchCache.register(base
+    val counts = ScratchCache.register(base
       .groupBy(xxhash64(col("_v")).as("_h"))
       .agg(count(lit(1)).as("_hc"))
-      .filter(col("_hc") >= 2L)
-      .select("_h")
       .persist())
-    val nHot = hot.count() // gate job; fills the persisted hot cache
+    // ONE gate job: hot-group count, docs covered by hot groups, total
+    val statsRow = counts.agg(
+      coalesce(sum(when(col("_hc") >= 2L, 1L)), lit(0L)),
+      coalesce(sum(when(col("_hc") >= 2L, col("_hc"))), lit(0L)),
+      coalesce(sum(col("_hc")), lit(0L))).head()
+    val (nHot, nDocsHot, nDocs) =
+      (statsRow.getLong(0), statsRow.getLong(1), statsRow.getLong(2))
     if (nHot == 0L)
       return nearDupPairsDistinct(
         base.select(col("_id").as(id), col("_v").as(vec)),
         id, vec, threshold, nCells)
-    // explicit broadcast (not AQE-dependent — consumers materialize this
-    // plan under persists); past the bound the corpus is duplicate-heavy
-    // and the full-corpus collapse is the right plan
+    val hot = counts.filter(col("_hc") >= 2L).select("_h")
+    // regime choice mirrors Dedup.dupCollapse: majority-sliver (or
+    // unbroadcastable-hot) corpora collapse the whole frame; a small hot
+    // set becomes an InSet filter (no join stages); a mid-size one an
+    // EXPLICIT broadcast (not AQE-dependent — consumers materialize this
+    // plan under persists, where adaptive join re-planning is
+    // unavailable)
     val (sliverBase, uniqBase) =
-      if (nHot <= 1000000L) {
+      if (nDocsHot * 2L >= nDocs || nHot > 1000000L) (base, base.limit(0))
+      else if (nHot <= 65536L) {
+        val hotSet = hot.collect().map(_.getLong(0)).toSeq
+        val withH = base.withColumn("_h", xxhash64(col("_v")))
+        (withH.filter(col("_h").isin(hotSet: _*)).drop("_h"),
+          withH.filter(!col("_h").isin(hotSet: _*)).drop("_h"))
+      } else {
         val withH = base.withColumn("_h", xxhash64(col("_v")))
         (withH.join(broadcast(hot), Seq("_h"), "left_semi").drop("_h"),
           withH.join(broadcast(hot), Seq("_h"), "left_anti").drop("_h"))
-      } else (base, base.limit(0))
+      }
     val sReps = ScratchCache.register(sliverBase
       .groupBy(col("_v"))
       .agg(min(col("_id")).as("_gid"), count(lit(1)).as("_m"))
