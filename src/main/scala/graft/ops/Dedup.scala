@@ -718,55 +718,25 @@ object Dedup {
   def simhashPairs(df: DataFrame, id: String, text: String, k: Int,
                    maxHamming: Int): DataFrame = {
     require(maxHamming < 4, "4-band pigeonhole only covers hamming <= 3")
-    // SLIVER GATE (cf. dupCollapse): repeated fingerprints are found by
-    // one 8-byte-key aggregation over the persisted fingerprint frame; a
-    // corpus with no repeats (the common gated case) skips the collapse
-    // window AND the member-expansion joins outright — the rep band join
-    // IS the full band join.
+    // LAZY collapse, no gate: the fingerprint is already an 8-byte key,
+    // so `grouped` is ONE map-side-combined aggregation (strictly
+    // cheaper than the r11 window — the combine collapses duplicate
+    // groups before the shuffle) and `members` a fingerprint-keyed
+    // join-back of two 16-byte-row cached frames (trivial at any skew,
+    // unlike a text join-back). No eager action is needed to pick a
+    // regime — measured, the gate's extra job barriers cost more than
+    // the expansions they could skip on every corpus shape tried
+    // (dup-free sf0.1 and 10-way-replicated sf1).
     val fps = ScratchCache.register(
       simhashFingerprints(df, id, text, k).persist())
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("simhash"))
-    val counts = ScratchCache.register(
-      fps.groupBy(col("simhash")).agg(count(lit(1)).as("_c")).persist())
-    val statsRow = counts.agg(
-      coalesce(sum(when(col("_c") >= 2L, 1L)), lit(0L)),
-      coalesce(sum(when(col("_c") >= 2L, col("_c"))), lit(0L)),
-      coalesce(sum(col("_c")), lit(0L))).head()
-    val (nHot, nDocsHot, nDocs) =
-      (statsRow.getLong(0), statsRow.getLong(1), statsRow.getLong(2))
-    if (nHot == 0L) return simhashBandPairs(fps, maxHamming)
-    val hot = counts.filter(col("_c") >= 2L).select("simhash")
-    // only the sliver sharing a fingerprint pays the collapse window; no
-    // collision caveat here — the fingerprint IS the collapse key. Regime
-    // choice mirrors dupCollapse: majority-sliver (or unbroadcastable
-    // hot) corpora take the full window; a small hot set becomes an
-    // InSet filter; a mid-size one an EXPLICIT broadcast (the hint must
-    // not depend on AQE — consumers materialize this plan under
-    // persists, where adaptive join re-planning is unavailable).
-    val tagged = ScratchCache.register((
-      if (nDocsHot * 2L >= nDocs || nHot > HotBroadcastMax)
-        fps.select(col("doc_id"), col("simhash"),
-          min(col("doc_id")).over(w).as("_gid"),
-          count(lit(1)).over(w).as("_m"))
-      else {
-        val (sliverFp, uniqFp) =
-          if (nHot <= HotCollectMax) {
-            val hotSet = hot.collect().map(_.getLong(0)).toSeq
-            (fps.filter(col("simhash").isin(hotSet: _*)),
-              fps.filter(!col("simhash").isin(hotSet: _*)))
-          } else {
-            (fps.join(broadcast(hot), Seq("simhash"), "left_semi"),
-              fps.join(broadcast(hot), Seq("simhash"), "left_anti"))
-          }
-        sliverFp.select(col("doc_id"), col("simhash"),
-            min(col("doc_id")).over(w).as("_gid"),
-            count(lit(1)).over(w).as("_m"))
-          .unionByName(uniqFp.select(col("doc_id"), col("simhash"),
-            col("doc_id").as("_gid"), lit(1L).as("_m")))
-      }).persist())
-    val grouped = tagged.filter(col("doc_id") === col("_gid"))
-    val members = tagged.select(col("_gid"), col("doc_id"))
-    val fp = grouped.select(col("doc_id"), col("simhash")) // rep frame, self-joined
+    val grouped = ScratchCache.register(
+      fps.groupBy(col("simhash"))
+        .agg(min(col("doc_id")).as("_gid"), count(lit(1)).as("_m"))
+        .persist())
+    val members = fps.join(grouped.select(col("simhash"), col("_gid")),
+        Seq("simhash"))
+      .select(col("_gid"), col("doc_id"))
+    val fp = grouped.select(col("_gid").as("doc_id"), col("simhash"))
     val gp = simhashBandPairsPacked(fp, maxHamming)
     val cross = expandMemberPairs(
       gp.select(PackedPair.idA(col("pair")).as("id_a"),
@@ -782,14 +752,8 @@ object Dedup {
   }
 
   /** Banded candidate self-join + exact hamming verification over a
-    * (doc_id, simhash) frame whose fingerprints need not be distinct —
-    * the scoring core of [[simhashPairs]], shared by its gated (dup-free)
-    * and collapsed paths. */
-  private def simhashBandPairs(fp: DataFrame, maxHamming: Int): DataFrame =
-    simhashBandPairsPacked(fp, maxHamming)
-      .select(PackedPair.idA(col("pair")).as("id_a"),
-        PackedPair.idB(col("pair")).as("id_b"), col("hamming"))
-
+    * (doc_id, simhash) frame — the scoring core of [[simhashPairs]],
+    * run over the collapsed rep frame. */
   private def simhashBandPairsPacked(fp: DataFrame,
                                      maxHamming: Int): DataFrame = {
     val bands = fp.select(col("doc_id"), col("simhash"),
