@@ -680,20 +680,29 @@ object AdvancedQueries {
         array(lit(sentinel)))).as("pk"))
       .groupBy($"pk").agg(count(lit(1)).as("f_ab"))
       .persist())
+    // fill the cache NOW: the output side launches its broadcast builds
+    // (two freq lookups + the total) as CONCURRENT jobs, and an unfilled
+    // cache makes each of them recompute the whole scan→baskets→agg
+    // pipeline (measured: 6 × ~1.9 s racing jobs at sf1 vs one)
+    agg.count()
     val hi = shiftrightunsigned($"pk", 32)
     val lo = $"pk".bitwiseAND(lit(4294967295L))
     // diagonal keys (a == b, impossible for the strict a < b pairs) carry
     // the per-item basket-membership counts
     val freq = agg.filter(hi === lo).select(hi.as("item"), $"f_ab".as("f"))
     val tot = agg.filter($"pk" === sentinel).select($"f_ab".as("n"))
+    // both frequency lookups join the SAME broadcast frame (aliased in
+    // the join condition, not re-projected) so the planner builds the
+    // hashed relation once and ReusedExchange serves the second join
+    val bFreq = broadcast(freq)
     agg
       .filter(hi =!= lo && $"pk" =!= sentinel)
       .filter($"f_ab" >= 3L)
       .select(hi.as("item_a"), lo.as("item_b"), $"f_ab")
-      .join(broadcast(freq.select($"item".as("item_a"), $"f".as("f_a"))),
-        Seq("item_a"))
-      .join(broadcast(freq.select($"item".as("item_b"), $"f".as("f_b"))),
-        Seq("item_b"))
+      .join(bFreq.as("fa"), $"item_a" === $"fa.item")
+      .join(bFreq.as("fb"), $"item_b" === $"fb.item")
+      .select($"item_a", $"item_b", $"f_ab",
+        $"fa.f".as("f_a"), $"fb.f".as("f_b"))
       .crossJoin(broadcast(tot))
       .select($"item_a", $"item_b", $"f_ab",
         roundp(($"f_ab" * $"n").cast("double") /
