@@ -26,12 +26,17 @@ package graft.raster
   * fails the parse. Non-Greenwich `+pm=` (named registry or numeric)
   * folds into the longitude origin before dispatch; `+proj=pipeline`
   * strings compile through a step interpreter (unitconvert/axisswap/
-  * projection steps, each optionally `+inv`). Anything else — unknown
-  * projections, unknown ellipsoid names, `+datum=` shorthands other
-  * than WGS84, nonzero shifts without a recognized ellipsoid,
-  * pipeline steps outside the vocabulary (push/pop, vgridshift —
-  * the engine has no vertical data model) — returns None, keeping
-  * `assemble`'s fail-fast contract rather than silently mis-warping.
+  * vgridshift/projection steps, each optionally `+inv`). The vertical
+  * data model — `+vunits=`/`+vto_meter=` unit scale, `+geoidgrids=`
+  * GTX geoid undulation ([[Gtx]]), pipeline `vgridshift` and z-axis
+  * `unitconvert` — compiles through [[parse3]] into a
+  * [[CompiledVertical]] (z ↔ WGS84 ellipsoidal meters); [[parse]]
+  * stays the 2-D horizontal contract. Anything else — unknown
+  * projections, unknown ellipsoid names, `+datum=` shorthands outside
+  * the registry, nonzero shifts without a recognized ellipsoid,
+  * pipeline steps outside the vocabulary (push/pop) — returns None,
+  * keeping `assemble`'s fail-fast contract rather than silently
+  * mis-warping.
   */
 object Proj4 {
 
@@ -40,6 +45,42 @@ object Proj4 {
   final case class Compiled(
       forward: (Double, Double) => (Double, Double),
       inverse: (Double, Double) => (Double, Double))
+
+  /** The vertical half of a 3-D CRS (`+vunits=`/`+vto_meter=`/
+    * `+geoidgrids=`, or pipeline `vgridshift`/z-`unitconvert` steps):
+    * `toMeters` = (lonDeg, latDeg, z in CRS vertical units) → WGS84
+    * ellipsoidal meters, `fromMeters` the exact inverse. lon/lat are the
+    * WGS84 geographic coordinates of the point (the [[Compiled]]
+    * contract's geographic side) — geoid undulation varies by location,
+    * so the horizontal position rides along even though it is never
+    * changed. Composition order matches PROJ's legacy 3-D flow:
+    * h = H·vto_meter + N(lon, lat), with N from the first listed grid
+    * covering the point; a point outside every grid's coverage (or on a
+    * NODATA node) passes through unshifted, PROJ-style — geoid grids are
+    * regional and data outside the grid is outside the CRS's area of
+    * use. A LISTED-but-unreadable grid still fails the parse (assemble's
+    * fail-fast contract; see `+nadgrids`). */
+  final case class CompiledVertical(
+      toMeters: (Double, Double, Double) => Double,
+      fromMeters: (Double, Double, Double) => Double)
+
+  /** PROJ's linear-unit registry (public constants, pj_units.c) — the
+    * `+vunits=` vocabulary. US-survey units are the exact legal ratios
+    * (1200/3937 ft), not rounded decimals. */
+  object VUnits {
+    private val named: Map[String, Double] = Map(
+      "m" -> 1.0, "km" -> 1000.0, "dm" -> 0.1, "cm" -> 0.01,
+      "mm" -> 0.001, "kmi" -> 1852.0, "in" -> 0.0254, "ft" -> 0.3048,
+      "yd" -> 0.9144, "mi" -> 1609.344, "fath" -> 1.8288,
+      "ch" -> 20.1168, "link" -> 0.201168,
+      "us-in" -> 100.0 / 3937.0, "us-ft" -> 1200.0 / 3937.0,
+      "us-yd" -> 3600.0 / 3937.0, "us-ch" -> 79200.0 / 3937.0,
+      "us-mi" -> 6336000.0 / 3937.0,
+      "ind-yd" -> 0.91439523, "ind-ft" -> 0.30479841,
+      "ind-ch" -> 20.11669506)
+    def toMeter(v: String): Option[Double] =
+      named.get(v).orElse(v.toDoubleOption).filter(_ > 0)
+  }
 
   private val WgsA = 6378137.0
 
@@ -103,11 +144,16 @@ object Proj4 {
     * rad / projected) decides how each projection step's degree-based
     * kernel plugs into the radian-plumbed PROJ flow; global tokens
     * (ellipsoid/datum family) inherit into steps that don't override
-    * them, PROJ-style. Anything outside this vocabulary — push/pop,
-    * vgridshift/geoid steps, 3D axis orders, angular outputs other than
-    * deg/rad — fails the parse (the engine has no vertical data model;
-    * fail-fast beats a silent partial transform). */
-  private def parsePipeline(toks: Array[String]): Option[Compiled] = {
+    * them, PROJ-style. `vgridshift` and z-axis `unitconvert` steps
+    * compile into the pipeline's [[CompiledVertical]] half (z never
+    * feeds back into xy, so the horizontal chain is unchanged); a
+    * vgridshift in projected coordinate state fails the parse (grid
+    * lookup needs geographic coordinates). Anything outside this
+    * vocabulary — push/pop, 3D axis orders, angular outputs other than
+    * deg/rad — fails the parse (fail-fast beats a silent partial
+    * transform). */
+  private def parsePipeline(toks: Array[String])
+      : Option[(Compiled, Option[CompiledVertical])] = {
     val stepIdx = toks.indices.filter(toks(_) == "+step")
     if (stepIdx.isEmpty) return None
     val skipGlobal = Set("+proj=pipeline", "+no_defs", "+type=crs", "+step")
@@ -131,6 +177,7 @@ object Proj4 {
     val d2r = math.Pi / 180.0
     val r2d = 180.0 / math.Pi
     var cur: U = Deg
+    var swapped = false // axisswap 2,1 parity: current (x,y) is (lat,lon)
     val fwds = scala.collection.mutable.ArrayBuffer
       .empty[(Double, Double) => (Double, Double)]
     val invs = scala.collection.mutable.ArrayBuffer
@@ -139,6 +186,17 @@ object Proj4 {
              g: (Double, Double) => (Double, Double)): Unit = {
       fwds += f; g +=: invs
     }
+    // z-steps record WHERE in the xy chain they sit (prefixLen) plus the
+    // coordinate state there, so vertical evaluation can re-derive the
+    // geographic position a grid lookup needs; z never feeds back into
+    // xy, so the horizontal chain stays untouched
+    final case class ZStep(prefixLen: Int, rad: Boolean, swap: Boolean,
+                           fwd: (Double, Double, Double) => Double,
+                           inv: (Double, Double, Double) => Double)
+    val zsteps = scala.collection.mutable.ArrayBuffer.empty[ZStep]
+    def pushZ(f: (Double, Double, Double) => Double,
+              g: (Double, Double, Double) => Double): Unit =
+      zsteps += ZStep(fwds.length, cur == Rad, swapped, f, g)
 
     for (step <- steps) {
       val isInv = step.contains("+inv")
@@ -149,28 +207,70 @@ object Proj4 {
       }.toMap
       skv.getOrElse("proj", "") match {
         case "unitconvert" =>
-          val (uin, uout) = {
-            val a = skv.getOrElse("xy_in", ""); val b = skv.getOrElse("xy_out", "")
-            if (isInv) (b, a) else (a, b)
+          val hasXy = skv.contains("xy_in") || skv.contains("xy_out")
+          val hasZ = skv.contains("z_in") || skv.contains("z_out")
+          if (!hasXy && !hasZ) return None
+          if (hasXy) {
+            val (uin, uout) = {
+              val a = skv.getOrElse("xy_in", ""); val b = skv.getOrElse("xy_out", "")
+              if (isInv) (b, a) else (a, b)
+            }
+            (uin, uout) match {
+              case ("deg", "rad") =>
+                if (cur != Deg) return None
+                push((x, y) => (x * d2r, y * d2r), (x, y) => (x * r2d, y * r2d))
+                cur = Rad
+              case ("rad", "deg") =>
+                if (cur != Rad) return None
+                push((x, y) => (x * r2d, y * r2d), (x, y) => (x * d2r, y * d2r))
+                cur = Deg
+              case ("m", "m") => () // noop
+              case _ => return None
+            }
           }
-          (uin, uout) match {
-            case ("deg", "rad") =>
-              if (cur != Deg) return None
-              push((x, y) => (x * d2r, y * d2r), (x, y) => (x * r2d, y * r2d))
-              cur = Rad
-            case ("rad", "deg") =>
-              if (cur != Rad) return None
-              push((x, y) => (x * r2d, y * r2d), (x, y) => (x * d2r, y * d2r))
-              cur = Deg
-            case ("m", "m") => () // noop
-            case _ => return None
+          if (hasZ) {
+            val (zin, zout) = {
+              val a = skv.getOrElse("z_in", "m"); val b = skv.getOrElse("z_out", "m")
+              if (isInv) (b, a) else (a, b)
+            }
+            val k = for { i <- VUnits.toMeter(zin); o <- VUnits.toMeter(zout) }
+              yield i / o
+            if (k.isEmpty) return None
+            val kk = k.get
+            pushZ((_, _, z) => z * kk, (_, _, z) => z / kk)
           }
         case "axisswap" =>
           skv.getOrElse("order", "") match {
-            case "2,1" => push((x, y) => (y, x), (x, y) => (y, x))
+            case "2,1" =>
+              push((x, y) => (y, x), (x, y) => (y, x))
+              swapped = !swapped
             case "1,2" => ()
             case _ => return None
           }
+        case "vgridshift" =>
+          // geoid / vertical-datum grid shift: z ± multiplier·N(lon,lat),
+          // N from the first listed .gtx covering the point (see [[Gtx]]);
+          // needs geographic coordinate state for the lookup
+          if (cur == Prj) return None
+          val files = skv.getOrElse("grids", "").split(",").map(_.trim)
+            .filter(s => s.nonEmpty && s != "null")
+            .map(s => if (s.startsWith("@")) s.drop(1) else s)
+          if (files.isEmpty) return None
+          val grids = files.map(Gtx.read)
+          if (grids.exists(_.isEmpty)) return None
+          val gs = grids.flatten.toVector
+          val mult = skv.get("multiplier") match {
+            case None => Some(1.0)
+            case Some(v) => v.toDoubleOption
+          }
+          if (mult.isEmpty) return None
+          val m = mult.get
+          def und(lon: Double, lat: Double): Double =
+            gs.iterator.map(_.undulation(lon, lat))
+              .collectFirst { case Some(v) => v }.getOrElse(0.0)
+          val add = (lon: Double, lat: Double, z: Double) => z + m * und(lon, lat)
+          val sub = (lon: Double, lat: Double, z: Double) => z - m * und(lon, lat)
+          if (isInv) pushZ(sub, add) else pushZ(add, sub)
         case "pipeline" | "" => return None
         case _ =>
           // a real projection step: compile standalone with inherited
@@ -203,9 +303,94 @@ object Proj4 {
       push((x, y) => (x * r2d, y * r2d), (x, y) => (x * d2r, y * d2r))
     val fv = fwds.toVector
     val iv = invs.toVector
-    Some(Compiled(
+    val horiz = Compiled(
       (lon, lat) => fv.foldLeft((lon, lat)) { case ((x, y), f) => f(x, y) },
-      (x0, y0) => iv.foldLeft((x0, y0)) { case ((x, y), f) => f(x, y) }))
+      (x0, y0) => iv.foldLeft((x0, y0)) { case ((x, y), f) => f(x, y) })
+    val vert: Option[CompiledVertical] =
+      if (zsteps.isEmpty) None
+      else {
+        val zv = zsteps.toVector
+        // a z-step's grid lookup happens at the coordinates the xy chain
+        // had at that step's position — re-derived per evaluation from
+        // the pipeline INPUT lon/lat (both CompiledVertical directions
+        // receive geographic input, and xy is independent of z, so the
+        // same forward prefixes serve the reverse z walk)
+        def coordsAt(zs: ZStep, lon: Double, lat: Double): (Double, Double) = {
+          val (x, y) = fv.take(zs.prefixLen)
+            .foldLeft((lon, lat)) { case ((a, b), f) => f(a, b) }
+          val (lo, la) = if (zs.swap) (y, x) else (x, y)
+          if (zs.rad) (lo * r2d, la * r2d) else (lo, la)
+        }
+        Some(CompiledVertical(
+          (lon, lat, z) => zv.foldLeft(z) { (zz, zs) =>
+            val (lo, la) = coordsAt(zs, lon, lat); zs.fwd(lo, la, zz)
+          },
+          (lon, lat, z) => zv.reverseIterator.foldLeft(z) { (zz, zs) =>
+            val (lo, la) = coordsAt(zs, lon, lat); zs.inv(lo, la, zz)
+          }))
+      }
+    Some((horiz, vert))
+  }
+
+  /** 3-D parse: the horizontal [[Compiled]] plus the string's vertical
+    * model, when it declares one (`+vunits=`/`+vto_meter=`/
+    * `+geoidgrids=`, or `vgridshift`/z-`unitconvert` pipeline steps).
+    * `(c, None)` means a plain 2-D CRS. A malformed vertical spec —
+    * unknown `+vunits` name, non-positive `+vto_meter`, conflicting
+    * vunits/vto_meter pair, or a listed-but-unreadable `.gtx` — fails
+    * the WHOLE parse even though the horizontal half would compile:
+    * silently dropping a declared height model is the vertical analogue
+    * of the mis-warp `+nadgrids` guards against. [[parse]] itself stays
+    * vertical-blind (a 2-D warp of a 3-D CRS is well-defined — heights
+    * never move pixels), so existing horizontal callers are unchanged. */
+  def parse3(s: String): Option[(Compiled, Option[CompiledVertical])] = {
+    val toks = s.trim.split("\\s+").filter(_.nonEmpty)
+    if (toks.isEmpty || !toks.forall(_.startsWith("+"))) return None
+    if (toks.contains("+proj=pipeline")) return parsePipeline(toks)
+    val kv: Map[String, String] = toks.map { t =>
+      val body = t.drop(1)
+      val i = body.indexOf('=')
+      if (i < 0) body -> "" else body.take(i) -> body.drop(i + 1)
+    }.toMap
+    for { c <- parse(s); v <- buildVertical(kv) } yield (c, v)
+  }
+
+  /** `None` = malformed vertical spec (fail the parse); `Some(None)` =
+    * no vertical keys; `Some(Some(v))` = compiled. PROJ's legacy 3-D
+    * composition: CRS z → meters via `vto_meter` (or the `vunits`
+    * registry), then + geoid undulation from the first covering grid —
+    * i.e. orthometric-in, WGS84-ellipsoidal-out when grids are given. */
+  private def buildVertical(kv: Map[String, String])
+      : Option[Option[CompiledVertical]] = {
+    if (!kv.contains("vto_meter") && !kv.contains("vunits") &&
+        !kv.contains("geoidgrids")) return Some(None)
+    val vtm: Option[Double] = (kv.get("vto_meter"), kv.get("vunits")) match {
+      case (None, None) => Some(1.0)
+      case (Some(v), None) => v.toDoubleOption.filter(_ > 0)
+      case (None, Some(u)) => VUnits.toMeter(u)
+      case (Some(v), Some(u)) => // both allowed only when they agree
+        for { a <- v.toDoubleOption; b <- VUnits.toMeter(u) if a == b } yield a
+    }
+    if (vtm.isEmpty) return None
+    val k = vtm.get
+    kv.get("geoidgrids") match {
+      case None =>
+        Some(Some(CompiledVertical(
+          (_, _, z) => z * k, (_, _, z) => z / k)))
+      case Some(g) =>
+        val files = g.split(",").map(_.trim)
+          .filter(s => s.nonEmpty && s != "null")
+          .map(s => if (s.startsWith("@")) s.drop(1) else s)
+        val grids = files.map(Gtx.read)
+        if (files.isEmpty || grids.exists(_.isEmpty)) return None
+        val gs = grids.flatten.toVector
+        def n(lon: Double, lat: Double): Double =
+          gs.iterator.map(_.undulation(lon, lat))
+            .collectFirst { case Some(v) => v }.getOrElse(0.0)
+        Some(Some(CompiledVertical(
+          (lon, lat, z) => z * k + n(lon, lat),
+          (lon, lat, z) => (z - n(lon, lat)) / k)))
+    }
   }
 
   def parse(s: String): Option[Compiled] = {
@@ -213,7 +398,7 @@ object Proj4 {
     if (!toks.forall(_.startsWith("+"))) return None
     // +proj=pipeline has MULTIPLE +proj= tokens — route to the step
     // interpreter before the last-wins kv collapse below can mangle it
-    if (toks.contains("+proj=pipeline")) return parsePipeline(toks)
+    if (toks.contains("+proj=pipeline")) return parsePipeline(toks).map(_._1)
     val kv0: Map[String, String] = toks.map { t =>
       val body = t.drop(1)
       val i = body.indexOf('=')
