@@ -1337,9 +1337,14 @@ object CurationQueries {
       .select($"doc_id", $"source", $"lang", explode(tokens($"text")).as("w"))
       .select($"doc_id", $"source", $"lang",
         pmod(polyHash($"w"), lit(B.toLong)).as("b"))
-    val bk = toks.groupBy($"b").agg(
+    // bk IS persisted (64 rows) and filled eagerly: the bk and n
+    // broadcast builds launch CONCURRENTLY (cf. q192) — unfilled, each
+    // races its own corpus explode, making the documented two passes
+    // three
+    val bk = graft.ops.ScratchCache.register(toks.groupBy($"b").agg(
       sum(when($"lang" === "en", 1L).otherwise(0L)).as("ct"),
-      count(lit(1)).as("cr"))
+      count(lit(1)).as("cr")).persist())
+    bk.count()
     val n = bk.agg(sum($"ct").as("nt"), sum($"cr").as("nr"))
     toks.join(broadcast(bk), Seq("b")).crossJoin(broadcast(n))
       .select($"doc_id", $"source",

@@ -1012,6 +1012,10 @@ object DedupQueries {
         lit("prefix8"), lower(substring($"text", 1, 8)),
         lit("tok2"), array_join(slice(toks, 1, 2), " "))))
         .toDF("doc_id", "scheme", "bkey").persist())
+    // fill the cache NOW: the blocks map stage and both truth-join map
+    // stages launch CONCURRENTLY (cf. q192) — unfilled, each races its
+    // own corpus scan+explode
+    keyed.count()
     val blocks = keyed.groupBy($"scheme", $"bkey")
       .agg(count(lit(1)).as("nb"))
       .groupBy($"scheme")

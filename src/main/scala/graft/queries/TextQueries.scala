@@ -532,7 +532,13 @@ object TextQueries {
     import s.implicits._
     val toks = documents(s, d)
       .select($"doc_id", explode(tokens($"text")).as("w"))
-    val model = toks.groupBy($"w").agg(count(lit(1)).as("c"))
+    // model IS persisted (vocab-sized) and filled eagerly: the model and
+    // stats broadcast builds launch CONCURRENTLY (cf. q192) — unfilled,
+    // each races its own corpus token pass, making the documented two
+    // token scans three
+    val model = graft.ops.ScratchCache.register(
+      toks.groupBy($"w").agg(count(lit(1)).as("c")).persist())
+    model.count()
     val stats = model.agg(sum($"c").as("n_tok"), count(lit(1)).as("vocab"))
     toks.join(broadcast(model), "w")
       .crossJoin(broadcast(stats))
@@ -586,9 +592,15 @@ object TextQueries {
         "transform(sequence(0, size(ws)-2), " +
           "i -> struct(ws[i] as w1, ws[i+1] as w2))")).as("b"))
       .select($"doc_id", $"source", $"b.w1".as("w1"), $"b.w2".as("w2"))
-    val uni = toks.where($"source" === "src0")
-      .select(explode($"ws").as("w"))
-      .groupBy($"w").agg(count(lit(1)).as("c1"))
+    // uni IS persisted (vocab-sized) and filled eagerly: its broadcast
+    // build and the vocab broadcast build launch CONCURRENTLY with the
+    // bg/big shuffle-map stages (cf. q192) — unfilled, uni's reference-
+    // slice token pass runs twice
+    val uni = graft.ops.ScratchCache.register(
+      toks.where($"source" === "src0")
+        .select(explode($"ws").as("w"))
+        .groupBy($"w").agg(count(lit(1)).as("c1")).persist())
+    uni.count()
     val big = bg.where($"source" === "src0")
       .groupBy($"w1", $"w2").agg(count(lit(1)).as("c12"))
     val vocab = uni.agg(count(lit(1)).as("v"))
@@ -817,6 +829,11 @@ object TextQueries {
     // standard LM count-table materialization
     val cab = graft.ops.ScratchCache.register(
       pairs.groupBy($"a", $"b").agg(count(lit(1)).as("c")).persist())
+    // fill the cache NOW: the final plan launches the n broadcast build
+    // plus the ca/cb/probe shuffle-map stages CONCURRENTLY (cf. q192);
+    // unfilled, each races its own corpus bigram explode+agg — up to 4x
+    // the corpus pass on a busy cluster
+    cab.count()
     val ca = cab.groupBy($"a").agg(sum($"c").as("cf"))
     val cb = cab.groupBy($"b").agg(sum($"c").as("cs"))
     val n = broadcast(cab.agg(sum($"c").as("nn")))
@@ -970,7 +987,14 @@ object TextQueries {
     // more than the second codegen'd regex pass)
     val toks = documents(s, d)
       .select($"doc_id", $"source", explode(tokens($"text")).as("w"))
-    val model = toks.groupBy($"w").agg(count(lit(1)).as("c"))
+    // model IS persisted (|vocab|-sized, unlike toks) and filled
+    // eagerly: the model and stats broadcast builds below launch
+    // CONCURRENTLY (cf. q192), and without the cache each would race
+    // its own corpus token pass — the 2nd documents explode+agg costs
+    // far more than the vocab-sized cache
+    val model = graft.ops.ScratchCache.register(
+      toks.groupBy($"w").agg(count(lit(1)).as("c")).persist())
+    model.count()
     val stats = model.agg(sum($"c").as("n_tok"), count(lit(1)).as("vocab"))
     // nll feeds BOTH the tercile cuts and the census — persist the
     // |docs|-row score frame so the token join runs once, not twice
@@ -1576,6 +1600,10 @@ object TextQueries {
     import s.implicits._
     val cont = graft.ops.ScratchCache.register(documents(s, d)
       .groupBy($"source", $"lang").agg(count(lit(1)).as("o")).persist())
+    // fill the cache NOW: rows/cols/tot below are three CONCURRENT
+    // broadcast builds (cf. q192), and an unfilled cache makes each race
+    // its own documents scan+agg — 3x the corpus pass on a busy cluster
+    cont.count()
     val rows = cont.groupBy($"source").agg(sum($"o").as("rs"))
     val cols = cont.groupBy($"lang").agg(sum($"o").as("cs"))
     val tot = cont.agg(sum($"o").as("n"),
