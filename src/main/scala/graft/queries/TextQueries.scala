@@ -1768,7 +1768,166 @@ object TextQueries {
        |      UNION ALL SELECT * FROM pool WHERE rn = 1)
        |ORDER BY source""".stripMargin
 
+  // ------------------------------------------------------------ q236/q237
+
+  /** BPE-style merge training over the corpus (Sennrich et al. 2016,
+    * ACL — adapted from characters to the engine's word units, the
+    * WordPiece-at-word-granularity variant a phrase-vocabulary pass
+    * uses; the CHARACTER-level trainer with end-of-word markers is
+    * [[graft.ops.BpeTrainer]], spec-gated — this word-unit form exists
+    * so the merge-loop semantics are additionally DuckDB-oracle-gated).
+    * Each round counts ADJACENT unit pairs corpus-wide, merges
+    * the most frequent pair (count desc, then lexicographic — fully
+    * deterministic) everywhere leftmost-non-overlapping, and repeats on
+    * the merged corpus — the canonical iterative-recount loop: a merged
+    * round CHANGES the next round's pair counts, so each round is one
+    * full corpus pass, exactly how distributed BPE trainers work.
+    *
+    * Exact-replay trick (what makes this ORACLE-checkable rather than
+    * rows-only): the corpus state is a guarded string — tokens joined by
+    * DOUBLE spaces with single-space sentinels at both ends — so "merge
+    * pair (a,b) leftmost-non-overlapping" IS the plain (non-regex)
+    * `replace(s, ' a  b ', ' a+b ')`: each match consumes one space from
+    * each neighboring separator, which keeps sentinels intact, preserves
+    * every other separator, and makes consecutive disjoint occurrences
+    * all merge while overlapping ones ("a a a" under (a,a)) merge only
+    * leftmost — the scan-continues-after-replacement semantics Spark's
+    * `StringReplace` and DuckDB's `replace` share.
+    *
+    * Scale shape: ONE corpus tokenize persists the |docs|-row state
+    * (eagerly filled — cf. the q192 cache-race note); each round is a
+    * map-side-combined pair-count aggregation over that cache plus a
+    * 1-row TakeOrdered and a driver-collected scalar (bounded by
+    * construction, like PercentileCut) folded back as replace literals —
+    * no shuffle grows with rounds, and round r's state is r nested
+    * codegen'd replaces over the cached strings, never a re-tokenize. */
+  private def bpeState0(s: SparkSession, d: String): DataFrame =
+    bpeState0Of(s, documents(s, d))
+
+  private[graft] def bpeState0Of(s: SparkSession, docs: DataFrame): DataFrame = {
+    import s.implicits._
+    val st = graft.ops.ScratchCache.register(docs
+      .select($"source", tokens($"text").as("ws"))
+      .filter(size($"ws") >= 1)
+      .select($"source",
+        concat(lit(" "), array_join($"ws", "  "), lit(" ")).as("s"))
+      .persist())
+    st.count() // ONE corpus tokenize; every round re-reads this cache
+    st
+  }
+
+  private[graft] def bpeUnits(c: Column): Column = split(trim(c), "  ")
+
+  private def bpePairs(st: DataFrame): DataFrame = {
+    val s = st.sparkSession
+    import s.implicits._
+    // size >= 2 REQUIRED: Spark's sequence(1, size-1) descends for
+    // single-unit docs (same guard as q142/q154)
+    st.select(bpeUnits($"s").as("u"))
+      .filter(size($"u") >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(u) - 1), " +
+          "i -> struct(element_at(u, i) AS a, element_at(u, i + 1) AS b))"))
+        .as("p"))
+      .select($"p.a".as("a"), $"p.b".as("b"))
+  }
+
+  /** Runs `k` merge rounds; returns the learned merges and the final
+    * corpus state (source, s). */
+  private[graft] def bpeMerges(s: SparkSession, st0: DataFrame, k: Int)
+      : (Seq[(Long, String, String, Long)], DataFrame) = {
+    import s.implicits._
+    var st = st0
+    val merges = Seq.newBuilder[(Long, String, String, Long)]
+    for (r <- 1 to k) {
+      val best = bpePairs(st).groupBy($"a", $"b").agg(count(lit(1)).as("c"))
+        .orderBy($"c".desc, $"a", $"b").limit(1).collect()
+      if (best.nonEmpty) {
+        val (a, b, c) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((r.toLong, a, b, c))
+        st = st.select($"source", replace($"s",
+          concat(lit(" "), lit(a), lit("  "), lit(b), lit(" ")),
+          concat(lit(" "), lit(a), lit("+"), lit(b), lit(" "))).as("s"))
+      }
+    }
+    (merges.result(), st)
+  }
+
+  private val BpeRounds = 3
+
+  /** q236: the learned merge table — round, pair, pre-merge count. */
+  def q236BpeTrain(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (m, _) = bpeMerges(s, bpeState0(s, d), BpeRounds)
+    m.toDF("round", "unit_a", "unit_b", "pair_count").orderBy($"round")
+  }
+
+  /** q237: per-source compression after the learned merges — the
+    * tokens-per-unit ratio a tokenizer sweep reports (the unmerged
+    * state's unit count IS the token count, so "before" reads the same
+    * cache "after" derives from). */
+  def q237BpeCompression(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val st0 = bpeState0(s, d)
+    val (_, stK) = bpeMerges(s, st0, BpeRounds)
+    val before = st0.groupBy($"source")
+      .agg(sum(size(bpeUnits($"s"))).as("n_tokens"))
+    val after = stK.groupBy($"source")
+      .agg(sum(size(bpeUnits($"s"))).as("n_units"))
+    before.join(after, Seq("source"))
+      .select($"source", $"n_tokens", $"n_units",
+        roundp($"n_units" * lit(1.0) / $"n_tokens", 6).as("compression"))
+      .orderBy($"source")
+  }
+
+  /** Unrolled CTE chain s0..s<k> with per-round pair counts + argmax —
+    * byte-identical semantics to [[bpeMerges]] (see the exact-replay
+    * note there). */
+  private def bpeSqlStates(k: Int): String = {
+    val ws = DuckSql.tokensSql
+    val sb = new StringBuilder
+    sb ++= s"s0 AS (SELECT source, ' ' || array_to_string(ws, '  ') || ' ' AS s\n" +
+      s"  FROM (SELECT source, $ws AS ws FROM documents) WHERE len(ws) >= 1)"
+    for (r <- 1 to k) {
+      val prev = s"s${r - 1}"
+      sb ++= s""",
+         |p$r AS (SELECT p.a AS a, p.b AS b FROM (
+         |  SELECT unnest(list_transform(range(1, len(u)),
+         |    i -> struct_pack(a := u[i], b := u[i + 1]))) AS p
+         |  FROM (SELECT string_split(trim(s), '  ') AS u FROM $prev)
+         |  WHERE len(u) >= 2)),
+         |b$r AS (SELECT a, b, count(*)::BIGINT AS c FROM p$r GROUP BY 1, 2
+         |  ORDER BY c DESC, a, b LIMIT 1),
+         |s$r AS (SELECT source, replace(s,
+         |    ' ' || (SELECT a FROM b$r) || '  ' || (SELECT b FROM b$r) || ' ',
+         |    ' ' || (SELECT a FROM b$r) || '+' || (SELECT b FROM b$r) || ' ') AS s
+         |  FROM $prev)""".stripMargin
+    }
+    sb.toString
+  }
+
+  val q236Sql: String = {
+    val rounds = (1 to BpeRounds).map(r =>
+      s"SELECT $r::BIGINT AS round, a AS unit_a, b AS unit_b, " +
+        s"c AS pair_count FROM b$r").mkString("\nUNION ALL ")
+    s"WITH ${bpeSqlStates(BpeRounds)}\n$rounds\nORDER BY round"
+  }
+
+  val q237Sql: String = {
+    val units = "sum(len(string_split(trim(s), '  ')))::BIGINT"
+    s"""WITH ${bpeSqlStates(BpeRounds)},
+       |before_t AS (SELECT source, $units AS n_tokens FROM s0 GROUP BY source),
+       |after_t AS (SELECT source, $units AS n_units FROM s$BpeRounds GROUP BY source)
+       |SELECT source, n_tokens, n_units,
+       |  ${DuckSql.roundpSql("n_units * 1.0 / n_tokens", 6)} AS compression
+       |FROM before_t JOIN after_t USING (source)
+       |ORDER BY source""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q236_bpe_train" -> (q236BpeTrain _),
+    "q237_bpe_compression" -> (q237BpeCompression _),
     "q235_weighted_median" -> (q235WeightedMedian _),
     "q227_chi2_homogeneity" -> (q227Chi2Homogeneity _),
     "q228_vocab_chao1" -> (q228VocabChao1 _),
@@ -1805,6 +1964,8 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q236_bpe_train" -> q236Sql,
+    "q237_bpe_compression" -> q237Sql,
     "q235_weighted_median" -> q235Sql,
     "q227_chi2_homogeneity" -> q227Sql,
     "q228_vocab_chao1" -> q228Sql,

@@ -73,4 +73,28 @@ class BpeSpec extends AnyFunSuite with SparkSpecBase {
     val encU = BpeTrainer.encodeWord(unseen, merges)
     assert(encU.mkString == unseen + BpeTrainer.Eow)
   }
+
+  test("q236 word-unit merge loop: hand-computed rounds incl. overlap + tie-break") {
+    import graft.queries.TextQueries
+    val docs = Seq(
+      ("s1", "x a b a b"), // two disjoint (a,b) occurrences both merge
+      ("s1", "a b c"),
+      ("s2", "a a a"),     // overlapping (a,a): only the LEFTMOST merges
+      ("s2", "c")          // single-token doc: no pairs, still counted in q237
+    ).toDF("source", "text")
+    val st0 = TextQueries.bpeState0Of(spark, docs)
+    val (m, stK) = TextQueries.bpeMerges(spark, st0, 3)
+    // round 1: (a,b)=3 wins; round 2: (a,a)=2 (merged leftmost only);
+    // round 3: all pairs tied at 1 — '+' (0x2B) < 'a' makes (a+a, a)
+    // the lexicographic argmin among {(a+a,a),(a+b,a+b),(a+b,c),(x,a+b)}
+    assert(m == Seq((1L, "a", "b", 3L), (2L, "a", "a", 2L),
+      (3L, "a+a", "a", 1L)), m)
+    val finalUnits = stK
+      .select($"source", TextQueries.bpeUnits($"s").as("u"))
+      .as[(String, Seq[String])].collect().toSet
+    assert(finalUnits == Set(
+      ("s1", Seq("x", "a+b", "a+b")), ("s1", Seq("a+b", "c")),
+      ("s2", Seq("a+a+a")), ("s2", Seq("c"))), finalUnits)
+    graft.ops.ScratchCache.releaseAll()
+  }
 }
