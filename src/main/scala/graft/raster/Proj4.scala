@@ -583,7 +583,31 @@ object Proj4 {
     def shiftEll: Option[Datum.Ellipsoid] =
       legacyEll.orElse(if (wgsLike) Some(Datum.WGS84) else None)
 
-    kv.get("proj").flatMap {
+    // +units=/+to_meter=: PROJ scales the FINAL projected coordinates by
+    // 1/to_meter (x_0/y_0 stay metric inside — pj_fwd's fr_meter), so a
+    // US state-plane string (`+units=us-ft`) surfaces survey feet. An
+    // unknown unit name fails the parse — silently emitting meters for a
+    // feet CRS is a 3.28x mis-warp. Geographic CRSs surface degrees and
+    // ignore linear units, PROJ-style.
+    val unitScale: Option[Double] = (kv.get("to_meter"), kv.get("units")) match {
+      case (None, None) => Some(1.0)
+      case (Some(v), None) => v.toDoubleOption.filter(_ > 0)
+      case (None, Some(u)) => VUnits.toMeter(u)
+      case (Some(v), Some(u)) => // both allowed only when they agree
+        for { a <- v.toDoubleOption; b <- VUnits.toMeter(u) if a == b } yield a
+    }
+    if (unitScale.isEmpty) return None
+    val isGeographic =
+      kv.get("proj").exists(p => p == "longlat" || p == "latlong")
+    def unitWrapped(c: Compiled): Compiled = {
+      val k = unitScale.get
+      if (k == 1.0 || isGeographic) c
+      else Compiled(
+        (lon, lat) => { val (x, y) = c.forward(lon, lat); (x / k, y / k) },
+        (x, y) => c.inverse(x * k, y * k))
+    }
+
+    (kv.get("proj").flatMap {
       case "longlat" | "latlong" if plainWgs =>
         Some(Compiled((lon, lat) => (lon, lat), (x, y) => (x, y)))
 
@@ -1189,6 +1213,6 @@ object Proj4 {
             (x, y) => c.inverse(x - x0, y - y0))
 
       case _ => None
-    }
+    }).map(unitWrapped)
   }
 }

@@ -543,4 +543,40 @@ class Proj4Spec extends AnyFunSuite with SparkSpecBase {
       assert(got == (fr * w + fc).toFloat, s"($px,$py)")
     }
   }
+
+  test("+units=/+to_meter scale the projected output, PROJ-style (fr_meter)") {
+    // EPSG:2229-class US state plane: x_0/y_0 are METERS in the string,
+    // output surfaces in survey feet — exactly meters / (1200/3937)
+    val base = "+proj=lcc +lat_1=35.466666666666667 +lat_2=34.033333333333333 " +
+      "+lat_0=33.5 +lon_0=-118 +x_0=2000000.0001016 +y_0=500000.0001016 " +
+      "+ellps=GRS80 +towgs84=0,0,0 +no_defs"
+    val m = Proj4.parse(base + " +units=m").getOrElse(fail("m must parse"))
+    val ft = Proj4.parse(base + " +units=us-ft").getOrElse(fail("us-ft must parse"))
+    val k = 1200.0 / 3937.0
+    for (lon <- Seq(-118.24, -117.5); lat <- Seq(33.9, 34.8)) {
+      val (xm, ym) = m.forward(lon, lat)
+      val (xf, yf) = ft.forward(lon, lat)
+      assert(math.abs(xf - xm / k) < 1e-6 && math.abs(yf - ym / k) < 1e-6)
+      val (lon2, lat2) = ft.inverse(xf, yf)
+      assert(math.abs(lon2 - lon) < 1e-9 && math.abs(lat2 - lat) < 1e-9)
+    }
+    // numeric +to_meter equals its named unit; disagreeing pair fails
+    val tm = Proj4.parse(base + " +to_meter=0.3048").get
+    val intl = Proj4.parse(base + " +units=ft").get
+    assert(tm.forward(-117.9, 34.2) == intl.forward(-117.9, 34.2))
+    assert(Proj4.parse(base + " +units=ft +to_meter=0.5").isEmpty)
+    // unknown unit names fail fast — silent meters would mis-warp 3.28x
+    assert(Proj4.parse(base + " +units=cubits").isEmpty)
+    // geographic CRSs surface degrees and ignore linear units, PROJ-style
+    val ll = Proj4.parse("+proj=longlat +datum=WGS84 +units=us-ft").get
+    assert(ll.forward(12.5, 47.25) == ((12.5, 47.25)))
+    // a pm'd projected CRS keeps its unit scale through the rewrite
+    val pmFt = Proj4.parse("+proj=lcc +lat_1=49 +lat_2=44 +lat_0=46.5 " +
+      "+lon_0=2 +pm=paris +ellps=GRS80 +towgs84=0,0,0 +units=ft").get
+    val pmM = Proj4.parse("+proj=lcc +lat_1=49 +lat_2=44 +lat_0=46.5 " +
+      "+lon_0=2 +pm=paris +ellps=GRS80 +towgs84=0,0,0").get
+    val (fx, fy) = pmFt.forward(3.1, 45.6)
+    val (mx, my) = pmM.forward(3.1, 45.6)
+    assert(math.abs(fx - mx / 0.3048) < 1e-6 && math.abs(fy - my / 0.3048) < 1e-6)
+  }
 }
