@@ -60,6 +60,12 @@ object Gtx {
     if (!Files.isReadable(p)) return None
     val bytes = Files.readAllBytes(p)
     if (bytes.length < 44) return None // header + at least one value
+    // modern PROJ ships grids as GeoTIFF (us_nga_egm96_15.tif etc.) —
+    // dispatch on the TIFF magic and convert through the engine's own
+    // reader; everything downstream (bilinear, nodata, wrap) is shared
+    if ((bytes(0) == 'I' && bytes(1) == 'I' && bytes(2) == 42 && bytes(3) == 0) ||
+        (bytes(0) == 'M' && bytes(1) == 'M' && bytes(2) == 0 && bytes(3) == 42))
+      return fromGeoTiff(bytes)
 
     def tryOrder(order: ByteOrder): Option[Grid] = {
       val bb = ByteBuffer.wrap(bytes).order(order)
@@ -83,4 +89,42 @@ object Gtx {
 
     tryOrder(ByteOrder.BIG_ENDIAN).orElse(tryOrder(ByteOrder.LITTLE_ENDIAN))
   }
+
+  /** A geoid grid in GeoTIFF form (the PROJ GTG layout a
+    * `gdal_translate`d .gtx produces): band 1 float undulations,
+    * north-up (row 0 = north), geotransform from ModelPixelScale +
+    * ModelTiepoint. Values are POINT samples at pixel centers — a
+    * node-registered .gtx converts with its tiepoint at the node minus
+    * half a pixel, so center sampling recovers the original nodes
+    * exactly. Converts into the same [[Grid]] (south-up, node-origin)
+    * the .gtx path builds: file nodata (GDAL ASCII tag) maps onto the
+    * GTX sentinel so interpolation suppression is shared. */
+  private def fromGeoTiff(bytes: Array[Byte]): Option[Grid] =
+    try {
+      val fi = GeoTiff.info(bytes)
+      for {
+        (dx, dy) <- fi.pixelScale
+        (ox, oy) <- fi.tiepoint
+        if dx > 0 && dy > 0 && fi.width > 1 && fi.height > 1
+      } yield {
+        val plane = GeoTiff.readBand(bytes, 0)
+        val values = new Array[Float](plane.length)
+        val (w, h) = (fi.width, fi.height)
+        var r = 0
+        while (r < h) { // flip north-up rows into the south-origin layout
+          System.arraycopy(plane, (h - 1 - r) * w, values, r * w, w)
+          r += 1
+        }
+        // declared nodata AND bare NaNs both map to the sentinel — a NaN
+        // that reached bilinear would poison the interpolation silently
+        val nd = fi.nodata
+        var i = 0
+        while (i < values.length) {
+          val v = values(i)
+          if (v.isNaN || nd.exists(n => v == n.toFloat)) values(i) = NoData
+          i += 1
+        }
+        Grid(oy - h * dy + dy / 2, ox + dx / 2, dy, dx, h, w, values)
+      }
+    } catch { case _: Exception => None } // fail-fast: unreadable ⇒ None
 }

@@ -69,6 +69,36 @@ class VerticalSpec extends AnyFunSuite {
     assert(Gtx.read(trunc.toString).isEmpty)
   }
 
+  test("GeoTIFF geoid grids convert to the same Grid the gtx path builds") {
+    import graft.raster.GeoTiffWriter
+    // same plane as the gtx fixture, written as a north-up float GeoTIFF
+    // with the tiepoint at node-minus-half-pixel (the gdal_translate'd
+    // .gtx layout) — center sampling must recover the nodes exactly
+    val (rows, cols) = (3, 4)
+    val plane = new Array[Float](rows * cols)
+    for (r <- 0 until rows; c <- 0 until cols) // row 0 = NORTH (lat 42)
+      plane(r * cols + c) = (30.0 + 2.0 * (rows - 1 - r) + 0.5 * c).toFloat
+    plane(0 * cols + 3) = -9999f // north-east corner: declared nodata
+    val tifBytes = GeoTiffWriter.write(cols, rows, Seq(plane),
+      pixelScale = (1.0, 1.0), tiepoint = (349.5, 42.5),
+      nodata = Some(-9999.0))
+    val p = Files.createTempFile("graft-geoid", ".tif")
+    Files.write(p, tifBytes)
+    val g = Gtx.read(p.toString).getOrElse(fail("geoid tif must read"))
+    assert(g.nRows == 3 && g.nCols == 4)
+    assert(math.abs(g.lat0 - 40.0) < 1e-9 && math.abs(g.lon0 - 350.0) < 1e-9)
+    for (lon <- Seq(-10.0, -9.5, -8.25); lat <- Seq(40.0, 40.75, 41.5)) {
+      val n = g.undulation(lon, lat).getOrElse(fail(s"covered ($lon,$lat)"))
+      assert(math.abs(n - planeAt(lon, lat)) < 1e-6, s"($lon,$lat)")
+    }
+    // the nodata node suppresses its cell, like the gtx sentinel
+    assert(g.undulation(-7.2, 41.8).isEmpty)
+    // and the whole thing plugs into +geoidgrids / vgridshift unchanged
+    val v = Proj4.parse3(
+      s"+proj=longlat +datum=WGS84 +geoidgrids=$p").flatMap(_._2).get
+    assert(math.abs(v.toMeters(-9.5, 41.25, 100) - 132.75) < 1e-6)
+  }
+
   test("+vunits / +vto_meter compile to the exact unit scale") {
     val ft = Proj4.parse3("+proj=longlat +datum=WGS84 +vunits=ft +no_defs")
       .flatMap(_._2).getOrElse(fail("vunits=ft must compile"))
