@@ -152,4 +152,119 @@ object PercentileCut {
   /** Convenience: the cuts as literal Columns. */
   def cutLits(df: DataFrame, col: String, ps: Seq[Double]): Seq[Column] =
     cuts(df, col, ps).map(lit)
+
+  /** Group-cardinality guard: each radix level collects a
+    * |groups|·≤2¹⁶-row histogram, so the key must be a CATEGORY
+    * (sources, languages, months, event types), not an id. */
+  private val MaxGroups = 4096
+
+  /** Per-GROUP exact percentiles — the grouped form of [[cuts]]. One
+    * (key, cell) histogram job per radix level covers EVERY group at
+    * once, so no aggregation buffer ever scales with a group's row
+    * count: Spark's builtin `percentile` under a groupBy buffers each
+    * group's whole value set in one reduce task — corpus-sized groups
+    * (per-source/per-month stats) are the single-buffer hazard class at
+    * 100 TB exactly like the ungrouped case. Per-group interpolation is
+    * [[interpolate]], bit-identical to the builtin's. Null keys and
+    * null values drop (the builtin emits a null-key group; callers here
+    * have non-null categories — documented divergence). Groups absent
+    * from the result had no non-null values. The key surfaces AS STRING
+    * (cast), so callers join results back via a literal local relation.
+    * Like [[cuts]], each level is one job over `df` — persist heavy
+    * frames first. */
+  def groupedCuts(df: DataFrame, key: String, col: String,
+                  ps: Seq[Double]): Map[String, Seq[Double]] = {
+    val s = df.sparkSession
+    import s.implicits._
+    val base = df
+      .select(
+        org.apache.spark.sql.functions.col(key).cast("string").as("g"),
+        BitExpressions.sortableDoubleBits(
+          org.apache.spark.sql.functions.col(col).cast("double")).as("k"))
+      .filter($"g".isNotNull && $"k".isNotNull)
+
+    /** One batched job: per-(group, cell) counts at `shift`, restricted
+      * to `parents` prefixes × `groups` (unrestricted when empty). The
+      * cross-product over-read (a prefix needed by one group matching
+      * another's rows) is discarded per-parent in the walk below —
+      * correctness is per-(g, prefix), the filter is only a pruner. */
+    def levelCounts(shift: Int, parentShift: Int, parents: Seq[Long],
+                    groups: Seq[String]): Array[(String, Long, Long)] = {
+      val src =
+        if (parents.isEmpty) base
+        else base.filter(shiftright($"k", parentShift).isin(parents: _*) &&
+          $"g".isin(groups: _*))
+      val cell = if (shift == 0) $"k" else shiftright($"k", shift)
+      val counts = src.groupBy($"g", cell.as("c")).agg(count(lit(1)).as("cnt"))
+      org.apache.spark.sql.graftbridge.Bridge.withoutAqe(counts)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    }
+
+    val l0 = levelCounts(48, 64, Nil, Nil)
+    if (l0.isEmpty) return Map.empty
+    val byG0 = l0.groupBy(_._1)
+    require(byG0.size <= MaxGroups,
+      s"groupedCuts: ${byG0.size} groups exceed $MaxGroups — the key must " +
+        "be a bounded category, not an id")
+    val nByG: Map[String, Long] =
+      byG0.map { case (g, cs) => g -> cs.map(_._3).sum }
+    val ranksByG: Map[String, Seq[Long]] = nByG.map { case (g, n) =>
+      g -> ps.flatMap { p =>
+        val position = (n - 1) * p
+        Seq(math.floor(position).toLong, math.ceil(position).toLong)
+      }.distinct.sorted
+    }
+
+    val resolved = scala.collection.mutable.Map.empty[(String, Long), Double]
+    // (group, prefix, shift, cumBefore, docCnt, ranks inside it)
+    type Cell = (String, Long, Int, Long, Long, Seq[Long])
+
+    def assign(g: String, cells: Array[(Long, Long)], shift: Int,
+               cum0: Long, ranks: Seq[Long]): Seq[Cell] = {
+      val pending = scala.collection.mutable.ArrayBuffer.empty[Cell]
+      var cum = cum0
+      var i = 0
+      var rs = ranks
+      while (i < cells.length && rs.nonEmpty) {
+        val (prefix, cnt) = cells(i)
+        val (inCell, rest) = rs.span(_ < cum + cnt)
+        if (inCell.nonEmpty) {
+          if (shift == 0)
+            inCell.foreach(r => resolved((g, r)) = fromSortableBits(prefix))
+          else pending += ((g, prefix, shift, cum, cnt, inCell))
+        }
+        cum += cnt
+        rs = rest
+        i += 1
+      }
+      pending.toSeq
+    }
+
+    var pending: Seq[Cell] = byG0.toSeq.flatMap { case (g, rows) =>
+      assign(g, rows.map(t => (t._2, t._3)).sortBy(_._1), 48, 0L, ranksByG(g))
+    }
+    while (pending.nonEmpty) {
+      val parentShift = pending.head._3 // uniform: levels advance together
+      val (small, big) = pending.partition(_._5 <= CollectBudget)
+      val childShift = if (big.nonEmpty && parentShift > 16) parentShift - 16 else 0
+      val next = scala.collection.mutable.ArrayBuffer.empty[Cell]
+      Seq((small, 0), (big, childShift)).foreach { case (group, shift) =>
+        if (group.nonEmpty) {
+          val cells = levelCounts(shift, parentShift,
+            group.map(_._2).distinct, group.map(_._1).distinct)
+          group.foreach { case (g, prefix, _, cumBefore, _, ranks) =>
+            val mine = cells
+              .filter(c => c._1 == g && (c._2 >> (parentShift - shift)) == prefix)
+              .map(c => (c._2, c._3)).sortBy(_._1)
+            next ++= assign(g, mine, shift, cumBefore, ranks)
+          }
+        }
+      }
+      pending = next.toSeq
+    }
+
+    nByG.map { case (g, n) =>
+      g -> ps.map(p => interpolate(n, p, r => resolved((g, r))))
+    }
+  }
 }

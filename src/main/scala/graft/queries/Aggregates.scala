@@ -86,17 +86,32 @@ object Aggregates {
     * shuffle, sort-based holistic state bounded per (source) group. */
   def q57Percentiles(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    graft.Tables.documents(s, d)
+    import graft.functions.TextFunctions.roundp
+    // per-source cuts via the GROUPED bounded radix selection
+    // (PercentileCut.groupedCuts — bit-identical per-group interpolation,
+    // spec-pinned): the builtin percentile under a groupBy buffers each
+    // source's WHOLE token-count multiset in one reduce task — the
+    // single-buffer hazard class at 100 TB. The scored frame persists
+    // (eagerly) because every radix level re-reads it — one tokenize.
+    val scored = graft.ops.ScratchCache.register(
+      graft.Tables.documents(s, d)
+        .select($"source",
+          size(graft.functions.TextFunctions.tokens($"text"))
+            .cast("double").as("n"))
+        .persist())
+    scored.count()
+    val ps = Seq(0.25, 0.5, 0.75, 0.95)
+    val cuts = graft.ops.PercentileCut.groupedCuts(scored, "source", "n", ps)
+    // cuts fold back through a literal local relation (no corpus job);
+    // roundp applies IN-PLAN so the float path stays byte-identical
+    val cutsDf = broadcast(cuts.toSeq
+      .map { case (g, cs) => (g, cs(0), cs(1), cs(2), cs(3)) }
+      .toDF("source", "c25", "c50", "c75", "c95"))
+    scored.groupBy($"source").agg(count(lit(1)).as("n_docs"))
+      .join(cutsDf, Seq("source"))
       .select($"source",
-        size(graft.functions.TextFunctions.tokens($"text")).cast("double").as("n"))
-      .groupBy($"source")
-      .agg(expr("percentile(n, array(0.25, 0.5, 0.75, 0.95))").as("ps"),
-        count(lit(1)).as("n_docs"))
-      .select($"source",
-        graft.functions.TextFunctions.roundp($"ps"(0), 6).as("p25"),
-        graft.functions.TextFunctions.roundp($"ps"(1), 6).as("p50"),
-        graft.functions.TextFunctions.roundp($"ps"(2), 6).as("p75"),
-        graft.functions.TextFunctions.roundp($"ps"(3), 6).as("p95"),
+        roundp($"c25", 6).as("p25"), roundp($"c50", 6).as("p50"),
+        roundp($"c75", 6).as("p75"), roundp($"c95", 6).as("p95"),
         $"n_docs")
       .orderBy($"source")
   }
@@ -126,12 +141,21 @@ object Aggregates {
   def q82DecileStats(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val ps = (1 to 9).map(_ / 10.0)
-    val cuts = Tables.orders(s, d)
-      .agg(expr(s"percentile(o_totalprice, array(${ps.mkString(",")}))").as("cuts"))
-    Tables.orders(s, d).crossJoin(broadcast(cuts))
-      .select($"o_totalprice",
-        size(filter(transform($"cuts", c => roundp(c, 4)),
-          c => $"o_totalprice" > c)).cast("long").as("bucket"))
+    // cutoffs via the bounded radix selection (graft.ops.PercentileCut —
+    // bit-identical interpolation to the percentile builtin, spec-pinned)
+    // instead of the builtin itself: the builtin merges a value→count map
+    // of the WHOLE column into one final reduce buffer, the single-buffer
+    // hazard class at 100 TB. The cuts come back as driver literals, so
+    // bucket assignment is a pure 9-comparison projection — the broadcast
+    // row (and its build job) disappears from the plan.
+    val cutVals = graft.ops.PercentileCut.cuts(
+      Tables.orders(s, d).select($"o_totalprice".cast("double").as("v")),
+      "v", ps)
+    val bucket = cutVals
+      .map(c => when($"o_totalprice" > roundp(lit(c), 4), 1L).otherwise(0L))
+      .reduce(_ + _)
+    Tables.orders(s, d)
+      .select($"o_totalprice", bucket.as("bucket"))
       .groupBy($"bucket")
       .agg(count(lit(1)).as("n"),
         round(min($"o_totalprice"), 2).as("lo"),

@@ -87,25 +87,32 @@ object CorpusOpsQueries {
     * whose score distributions sit lower; per-slice quantile cutoffs are
     * the standard fix (CCNet buckets by perplexity quantile per lang).
     *
-    * Scale shape: the percentile aggregation is holistic but its OUTPUT
-    * is |langs| rows — the cutoffs broadcast back over the corpus scan
-    * (q82's pattern, per group). Cutoffs round to 4dp on both engines so
-    * interpolated-quantile float noise cannot flip a >= comparison. */
+    * Scale shape: per-lang cutoffs via PercentileCut.groupedCuts (the
+    * grouped bounded radix selection — the builtin's per-group holistic
+    * buffer is the 100 TB single-buffer hazard), folded back over the
+    * persisted score frame as a literal local relation. Cutoffs round
+    * to 4dp IN-PLAN on both engines so interpolated-quantile float
+    * noise cannot flip a >= comparison. */
   def q136AdaptiveQuality(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     // FanOut.cpu measured NOT to pay here (0.63 s -> 0.75 s at sf0.1):
     // the per-row kernel is one tokens+stopword pass, lighter than the
-    // redistribution shuffle
-    val scored = documents(s, d)
+    // redistribution shuffle. Persisted (eagerly) because the radix
+    // levels and the final census each re-read it — one tokenize total.
+    val scored = graft.ops.ScratchCache.register(documents(s, d)
       .select($"lang", tokens($"text").as("ws"))
       .select($"lang", size($"ws").cast("long").as("n_words"),
         stopwordCount($"ws", Seq("the", "a", "of", "and")).as("n_stop"))
       .select($"lang",
         roundp(least($"n_words", lit(100)) / lit(100.0) *
           (lit(1.0) - $"n_stop" * lit(1.0) / $"n_words"), 6).as("q"))
-    val cuts = scored.groupBy($"lang")
-      .agg(roundp(expr("percentile(q, 0.2)"), 4).as("cutoff"))
-    scored.join(broadcast(cuts), Seq("lang"))
+      .persist())
+    scored.count()
+    val cutMap = graft.ops.PercentileCut.groupedCuts(scored, "lang", "q", Seq(0.2))
+    val cuts = broadcast(cutMap.toSeq.map { case (g, cs) => (g, cs.head) }
+      .toDF("lang", "c")
+      .select($"lang", roundp($"c", 4).as("cutoff")))
+    scored.join(cuts, Seq("lang"))
       .groupBy($"lang", $"cutoff")
       .agg(count(lit(1)).as("n_docs"),
         sum(when($"q" >= $"cutoff", 1L).otherwise(0L)).as("n_kept"))

@@ -698,17 +698,23 @@ object EventAnalytics {
         round(sum($"value".cast("decimal(28,6)")).cast("double"))
           .as("mon"))
       .persist())
-    val qs = "array(0.2, 0.4, 0.6, 0.8)"
-    val bounds = perUser.agg(
-      expr(s"percentile(rec, $qs)").as("br"),
-      expr(s"percentile(freq, $qs)").as("bf"),
-      expr(s"percentile(mon, $qs)").as("bm"))
-    def score(m: Column, b: Column): Column =
-      (0 until 4).map(i => when(m > roundp(b(i), 6), 1L).otherwise(0L))
+    // quartile bounds via the bounded radix selection (PercentileCut —
+    // bit-identical interpolation, spec-pinned): the builtin percentile
+    // over the CONTINUOUS mon/rec domains buffers ~|users| map entries
+    // in one reduce task — the 100 TB single-buffer hazard. The cuts
+    // come back as literals, so the broadcast row disappears; the
+    // first radix job fills perUser's cache for everything after it.
+    perUser.count()
+    val qs = Seq(0.2, 0.4, 0.6, 0.8)
+    val br = graft.ops.PercentileCut.cuts(perUser, "rec", qs)
+    val bf = graft.ops.PercentileCut.cuts(perUser, "freq", qs)
+    val bm = graft.ops.PercentileCut.cuts(perUser, "mon", qs)
+    def score(m: Column, b: Seq[Double]): Column =
+      b.map(c => when(m > roundp(lit(c), 6), 1L).otherwise(0L))
         .reduce(_ + _) + 1L
-    perUser.crossJoin(broadcast(bounds))
-      .select((score($"rec", $"br") * 100L + score($"freq", $"bf") * 10L +
-        score($"mon", $"bm")).as("segment"))
+    perUser
+      .select((score($"rec", br) * 100L + score($"freq", bf) * 10L +
+        score($"mon", bm)).as("segment"))
       .groupBy($"segment")
       .agg(count(lit(1)).as("n_users"))
       .orderBy($"segment")

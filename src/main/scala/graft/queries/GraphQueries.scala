@@ -125,15 +125,31 @@ object GraphQueries {
     * deployment swap, same as q173) + one broadcast-join scan. */
   def q175RobustOutliers(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val ev = events(s, d)
-    val med = ev.groupBy($"event_type")
-      .agg(roundp(percentile($"value", lit(0.5)), 6).as("med"),
-        count(lit(1)).as("n"))
-    val mad = ev.join(broadcast(med), Seq("event_type"))
-      .groupBy($"event_type")
-      .agg(roundp(percentile(abs($"value" - $"med"), lit(0.5)), 6).as("mad"))
-    ev.join(broadcast(med), Seq("event_type"))
-      .join(broadcast(mad), Seq("event_type"))
+    // both median rounds run through PercentileCut.groupedCuts (grouped
+    // bounded radix selection): the builtin percentile over a
+    // CONTINUOUS value domain buffers one value->count entry per
+    // distinct value per group — ~|events| entries in one reduce task,
+    // the 100 TB single-buffer hazard. The 2-column frame persists
+    // (eagerly) because each radix level and the final census re-read it.
+    val ev = graft.ops.ScratchCache.register(
+      events(s, d).select($"event_type", $"value").persist())
+    ev.count()
+    val medMap = graft.ops.PercentileCut
+      .groupedCuts(ev, "event_type", "value", Seq(0.5))
+    val med = broadcast(medMap.toSeq.map { case (g, cs) => (g, cs.head) }
+      .toDF("event_type", "m")
+      .select($"event_type", roundp($"m", 6).as("med")))
+    val dev = ev.join(med, Seq("event_type"))
+      .select($"event_type", abs($"value" - $"med").as("adev"))
+    val madMap = graft.ops.PercentileCut
+      .groupedCuts(dev, "event_type", "adev", Seq(0.5))
+    val mad = broadcast(madMap.toSeq.map { case (g, cs) => (g, cs.head) }
+      .toDF("event_type", "d")
+      .select($"event_type", roundp($"d", 6).as("mad")))
+    val n = ev.groupBy($"event_type").agg(count(lit(1)).as("n"))
+    ev.join(med, Seq("event_type"))
+      .join(mad, Seq("event_type"))
+      .join(broadcast(n), Seq("event_type"))
       .groupBy($"event_type")
       .agg(first($"n").as("n"), first($"med").as("med"),
         first($"mad").as("mad"),

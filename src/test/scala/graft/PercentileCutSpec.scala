@@ -108,4 +108,35 @@ class PercentileCutSpec extends AnyFunSuite with SparkSpecBase {
     assert(PercentileCut.cuts(empty, "v", Seq(0.5)).forall(_.isNaN))
     graft.ops.ScratchCache.releaseAll()
   }
+
+  test("groupedCuts equals the builtin percentile per group, bit-for-bit") {
+    val rnd = new scala.util.Random(20260816)
+    // uneven groups, heavy ties, negatives, one singleton group, and one
+    // group whose values straddle many radix cells
+    val rows: Seq[(String, Double)] =
+      (1 to 4000).map(_ => "a" -> rnd.nextInt(7).toDouble) ++
+      (1 to 997).map(_ => "b" -> (rnd.nextDouble() * 2e9 - 1e9)) ++
+      (1 to 50).map(_ => "c" -> -rnd.nextInt(3).toDouble) ++
+      Seq("d" -> 42.5)
+    val df = rows.toDF("g", "v")
+    val got = PercentileCut.groupedCuts(df, "g", "v", ps)
+    val aggs = ps.zipWithIndex.map { case (p, i) =>
+      percentile($"v", lit(p)).as(s"p$i") }
+    val want = df.groupBy($"g").agg(aggs.head, aggs.tail: _*)
+      .collect().map(r => r.getString(0) -> ps.indices.map(i => r.getDouble(i + 1)))
+      .toMap
+    assert(got.keySet == want.keySet)
+    for (g <- want.keySet; i <- ps.indices)
+      assert(java.lang.Double.doubleToLongBits(got(g)(i)) ==
+        java.lang.Double.doubleToLongBits(want(g)(i)),
+        s"g=$g p=${ps(i)} got=${got(g)(i)} want=${want(g)(i)}")
+    // null keys and null values drop; empty frame yields the empty map
+    val withNulls = (rows.map { case (g, v) => (g, Some(v)) } ++
+      Seq(("a", None), (null: String, Some(1.0)))).toDF("g", "v")
+    assert(PercentileCut.groupedCuts(withNulls, "g", "v", Seq(0.5)).keySet ==
+      want.keySet)
+    assert(PercentileCut.groupedCuts(
+      Seq.empty[(String, Double)].toDF("g", "v"), "g", "v", Seq(0.5)).isEmpty)
+    graft.ops.ScratchCache.releaseAll()
+  }
 }
