@@ -535,6 +535,46 @@ object GtiMosaic {
     }
   }
 
+  /** Ellipsoidal Mercator (Snyder USGS PP 1395 eqs. 7-7/7-9, EPSG 9804
+    * — the EPSG:3395 "World Mercator" family): x = a·k₀·Δλ,
+    * y = −a·k₀·ln t(φ) with the same conformal t(φ) the polar
+    * stereographic / LCC kernels use; inverse recovers φ from
+    * t = exp(−y/(a·k₀)) by the standard Snyder 7-9 fixpoint. k₀ comes
+    * from `+k` or from a standard parallel (`+lat_ts`):
+    * k₀ = cos φts / √(1 − e²·sin²φts) — true scale at ±φts. NOT the
+    * spherical Web-Mercator kernel: on WGS84 the two differ by up to
+    * ~0.3 % in y (≈20 km at 60°), which is exactly why `+proj=merc
+    * +ellps=WGS84` must not silently compile spherically. */
+  final case class MercatorEllipsoidal(lon0: Double, k0: Double,
+      falseE: Double = 0.0, falseN: Double = 0.0,
+      ell: Datum.Ellipsoid = Datum.WGS84) {
+    private val a = ell.a
+    private val e = ell.e
+
+    private def tFn(phi: Double) =
+      math.tan(math.Pi / 4 - phi / 2) /
+        math.pow((1 - e * math.sin(phi)) / (1 + e * math.sin(phi)), e / 2)
+
+    def forward(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      val phi = math.toRadians(latDeg)
+      val dLam = math.toRadians(lonDeg - lon0)
+      (falseE + a * k0 * dLam, falseN - a * k0 * math.log(tFn(phi)))
+    }
+
+    def inverse(easting: Double, northing: Double): (Double, Double) = {
+      val t = math.exp(-(northing - falseN) / (a * k0))
+      var phi = math.Pi / 2 - 2 * math.atan(t)
+      var i = 0
+      while (i < 8) {
+        phi = math.Pi / 2 - 2 * math.atan(t *
+          math.pow((1 - e * math.sin(phi)) / (1 + e * math.sin(phi)), e / 2))
+        i += 1
+      }
+      (lon0 + math.toDegrees((easting - falseE) / (a * k0)),
+        math.toDegrees(phi))
+    }
+  }
+
   /** mosaic EPSG:4326 → file UTM zone (files gridded in UTM meters). */
   final case class GeoToUtm(zone: Int, south: Boolean) extends PointWarp {
     def toFile(lon: Double, lat: Double): (Double, Double) =

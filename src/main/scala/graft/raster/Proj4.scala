@@ -618,19 +618,49 @@ object Proj4 {
             ell, hm)
 
       case "merc" =>
-        // spherical (Web-)Mercator only: x = R·Δλ, y = R·ln tan(π/4+φ/2)
-        val rOpt = sphereR.orElse(if (wgsLike) Some(WgsA) else None)
-        for {
-          r <- rOpt
-          lon0 <- numOr("lon_0", 0.0)
-          _ <- numOr("k", 1.0).filter(_ == 1.0)
-          x0 <- numOr("x_0", 0.0); y0 <- numOr("y_0", 0.0)
-          _ <- numOr("lat_ts", 0.0).filter(_ == 0.0)
-        } yield Compiled(
-          (lon, lat) => (x0 + r * math.toRadians(lon - lon0),
-            y0 + r * math.log(math.tan(math.Pi / 4 + math.toRadians(lat) / 2))),
-          (x, y) => (lon0 + math.toDegrees((x - x0) / r),
-            math.toDegrees(2 * math.atan(math.exp((y - y0) / r)) - math.Pi / 2)))
+        // two regimes, PROJ-faithful: an EXPLICIT sphere (+R / +a=+b —
+        // the EPSG:3857 legacy string spells +a=+b) takes the spherical
+        // kernel; an ellipsoid (+ellps=/+datum=, incl. WGS84) takes the
+        // ellipsoidal kernel (EPSG:3395 class) — compiling `+proj=merc
+        // +ellps=WGS84` spherically would silently mis-warp y by up to
+        // ~0.3 % (≈20 km at 60°). k₀ from +k/+k_0 or +lat_ts (mutually
+        // exclusive in PROJ — both-present fails unless k is default).
+        val kOpt = numOr("k", 1.0).flatMap(k => numOr("k_0", k))
+        val latTs = numOr("lat_ts", 0.0)
+        if (kOpt.isEmpty || latTs.isEmpty) None
+        else if (kOpt.get != 1.0 && latTs.get != 0.0) None
+        else {
+          val loXY = for {
+            lon0 <- numOr("lon_0", 0.0)
+            x0 <- numOr("x_0", 0.0); y0 <- numOr("y_0", 0.0)
+          } yield (lon0, x0, y0)
+          sphereR match {
+            case Some(r) => // explicit sphere: k₀ = +k or cos(φts)
+              loXY.map { case (lon0, x0, y0) =>
+                val k0 = if (latTs.get != 0.0)
+                  math.cos(math.toRadians(latTs.get)) else kOpt.get
+                val rk = r * k0
+                Compiled(
+                  (lon, lat) => (x0 + rk * math.toRadians(lon - lon0),
+                    y0 + rk * math.log(math.tan(math.Pi / 4 + math.toRadians(lat) / 2))),
+                  (x, y) => (lon0 + math.toDegrees((x - x0) / rk),
+                    math.toDegrees(2 * math.atan(math.exp((y - y0) / rk)) - math.Pi / 2)))
+              }
+            case None =>
+              for {
+                hm <- helmert; ell <- shiftEll; (lon0, x0, y0) <- loXY
+              } yield {
+                val k0 = if (latTs.get != 0.0) {
+                  val p = math.toRadians(latTs.get)
+                  math.cos(p) / math.sqrt(1 - ell.e2 * math.sin(p) * math.sin(p))
+                } else kOpt.get
+                val p = GtiMosaic.MercatorEllipsoidal(lon0, k0, x0, y0, ell)
+                datumWrapped(
+                  Compiled((lon, lat) => p.forward(lon, lat),
+                    (x, y) => p.inverse(x, y)), ell, hm)
+              }
+          }
+        }
 
       case "utm" if plainWgs =>
         kv.get("zone").flatMap(_.toIntOption)

@@ -544,6 +544,47 @@ class Proj4Spec extends AnyFunSuite with SparkSpecBase {
     }
   }
 
+  test("ellipsoidal Mercator: Snyder pin, closed-form cross-check, sphere split") {
+    // Snyder USGS PP 1395 numerical example (Mercator, ellipsoid):
+    // Clarke 1866, φ=35°N λ=−75° λ₀=−180° → x=11688673.7 y=4139145.6
+    val clrk66 = graft.raster.Datum.byName("clrk66")
+    val k = GtiMosaic.MercatorEllipsoidal(-180.0, 1.0, 0, 0, clrk66)
+    val (sx, sy) = k.forward(-75.0, 35.0)
+    assert(math.abs(sx - 11688673.7) < 0.5 && math.abs(sy - 4139145.6) < 0.5,
+      s"snyder: ($sx,$sy)")
+    // independent closed form: y = a·(atanh(sinφ) − e·atanh(e·sinφ))
+    for (lat <- Seq(-79.5, -35.0, 0.0, 12.25, 60.0, 84.9)) {
+      val phi = math.toRadians(lat)
+      val e = clrk66.e
+      def atanh(z: Double) = 0.5 * math.log((1 + z) / (1 - z))
+      val want = clrk66.a * (atanh(math.sin(phi)) - e * atanh(e * math.sin(phi)))
+      val (_, got) = k.forward(-180.0, lat)
+      assert(math.abs(got - want) < 1e-6, s"lat=$lat got=$got want=$want")
+      val (lon2, lat2) = k.inverse(k.forward(-100.0, lat)._1, got)
+      assert(math.abs(lon2 - -100.0) < 1e-9 && math.abs(lat2 - lat) < 1e-9)
+    }
+    // +ellps=WGS84 takes the ELLIPSOIDAL kernel (EPSG:3395 class): far
+    // from the spherical y — the silent mis-warp this split prevents
+    val ell = Proj4.parse("+proj=merc +ellps=WGS84").get
+    val wgs = GtiMosaic.MercatorEllipsoidal(0.0, 1.0)
+    assert(ell.forward(7.0, 60.0) == wgs.forward(7.0, 60.0))
+    val sph = Proj4.parse("+proj=merc +a=6378137 +b=6378137").get
+    assert(math.abs(ell.forward(7.0, 60.0)._2 - sph.forward(7.0, 60.0)._2) > 10000,
+      "ellipsoidal and spherical Mercator must differ by ~20 km at 60N")
+    // +lat_ts: k₀ = cos φts / sqrt(1 − e² sin² φts); exclusive with +k
+    val ts = Proj4.parse("+proj=merc +ellps=WGS84 +lat_ts=45").get
+    val pts = math.toRadians(45.0)
+    val k0 = math.cos(pts) /
+      math.sqrt(1 - graft.raster.Datum.WGS84.e2 * math.sin(pts) * math.sin(pts))
+    val tsk = GtiMosaic.MercatorEllipsoidal(0.0, k0)
+    assert(ts.forward(7.0, 48.0) == tsk.forward(7.0, 48.0))
+    assert(Proj4.parse("+proj=merc +ellps=WGS84 +lat_ts=45 +k=0.9").isEmpty)
+    // spherical +lat_ts scales by cos φts (the EPSG:3857 string keeps lat_ts=0)
+    val sphTs = Proj4.parse("+proj=merc +R=6371000 +lat_ts=60").get
+    assert(math.abs(sphTs.forward(10.0, 0.0)._1 -
+      6371000.0 * 0.5 * math.toRadians(10.0)) < 1e-6)
+  }
+
   test("+units=/+to_meter scale the projected output, PROJ-style (fr_meter)") {
     // EPSG:2229-class US state plane: x_0/y_0 are METERS in the string,
     // output surfaces in survey feet — exactly meters / (1200/3937)
