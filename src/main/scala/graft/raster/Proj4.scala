@@ -8,7 +8,9 @@ package graft.raster
   * kernels the EPSG gallery uses, so an unregistered national grid
   * (`+proj=lcc +lat_1=… `) warps without a gallery entry.
   *
-  * Supported: `+proj=longlat | merc (spherical, a=b) | utm | tmerc | lcc |
+  * Supported: `+proj=longlat | merc (spherical on +R/+a=+b — the
+  * EPSG:3857 legacy form; ellipsoidal Snyder 7-7 on +ellps/+datum — the
+  * EPSG:3395 family; +lat_ts/+k in both) | utm | tmerc | lcc |
   * aea | stere (polar aspect) | sinu | cea (spherical + ellipsoidal
   * EASE-Grid 2.0) | eqc` on WGS84/GRS80 (flattening delta
   * < 0.1 mm — the gallery's treat-as-equal bridge) or an explicit sphere
