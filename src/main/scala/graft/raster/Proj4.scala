@@ -664,6 +664,25 @@ object Proj4 {
           }
         }
 
+      case "webmerc" =>
+        // PROJ 6+'s EPSG:3857 operation (the modern string is
+        // `+proj=webmerc +datum=WGS84`): SPHERICAL formulas over the
+        // ellipsoid's semi-major axis with geodetic latitude used
+        // directly — definitionally not the ellipsoidal merc above
+        val aOpt = num("a")
+          .orElse(kv.get("ellps").flatMap(e =>
+            Datum.byName.get(e.toLowerCase)).map(_.a))
+          .orElse(if (wgsLike) Some(WgsA) else None)
+        for {
+          r <- aOpt
+          lon0 <- numOr("lon_0", 0.0)
+          x0 <- numOr("x_0", 0.0); y0 <- numOr("y_0", 0.0)
+        } yield Compiled(
+          (lon, lat) => (x0 + r * math.toRadians(lon - lon0),
+            y0 + r * math.log(math.tan(math.Pi / 4 + math.toRadians(lat) / 2))),
+          (x, y) => (lon0 + math.toDegrees((x - x0) / r),
+            math.toDegrees(2 * math.atan(math.exp((y - y0) / r)) - math.Pi / 2)))
+
       case "utm" if plainWgs =>
         kv.get("zone").flatMap(_.toIntOption)
           .filter(z => z >= 1 && z <= 60).map { z =>

@@ -93,6 +93,12 @@ class Proj4Spec extends AnyFunSuite with SparkSpecBase {
     val (mx, my) = merc.forward(2.35, 48.86)
     assert(math.abs(mx - GtiMosaic.GridWarp.GeoToWebMercator.invX(2.35)) < 1e-9 &&
       math.abs(my - GtiMosaic.GridWarp.GeoToWebMercator.invY(48.86)) < 1e-9)
+    // ...and so does PROJ 6+'s modern form (+proj=webmerc +datum=WGS84):
+    // spherical formulas on the WGS84 semi-major, NOT ellipsoidal merc
+    val wm = Proj4.parse("+proj=webmerc +datum=WGS84").get
+    assert(wm.forward(2.35, 48.86) == ((mx, my)))
+    val (wlon, wlat) = wm.inverse(mx, my)
+    assert(math.abs(wlon - 2.35) < 1e-12 && math.abs(wlat - 48.86) < 1e-12)
 
     val ll = Proj4.parse("+proj=longlat +datum=WGS84 +no_defs").get
     assert(ll.forward(12.5, -33.0) == ((12.5, -33.0)))
