@@ -139,4 +139,33 @@ class PercentileCutSpec extends AnyFunSuite with SparkSpecBase {
       Seq.empty[(String, Double)].toDF("g", "v"), "g", "v", Seq(0.5)).isEmpty)
     graft.ops.ScratchCache.releaseAll()
   }
+
+  test("groupedCuts property sweep: random group shapes across seeds") {
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed * 7919)
+      val nGroups = 1 + rnd.nextInt(12)
+      val rows: Seq[(String, Double)] = (0 until nGroups).flatMap { gi =>
+        val n = 1 + rnd.nextInt(800)
+        val tied = rnd.nextBoolean() // half the groups are heavy-tie integer domains
+        (0 until n).map(_ => s"g$gi" -> (
+          if (tied) rnd.nextInt(5).toDouble - 2
+          else rnd.nextGaussian() * math.pow(10, rnd.nextInt(7))))
+      }
+      val df = rows.toDF("g", "v")
+      val qs = Seq(0.1, 0.5, 0.9)
+      val got = PercentileCut.groupedCuts(df, "g", "v", qs)
+      val aggs = qs.zipWithIndex.map { case (p, i) =>
+        percentile($"v", lit(p)).as(s"p$i") }
+      val want = df.groupBy($"g").agg(aggs.head, aggs.tail: _*)
+        .collect()
+        .map(r => r.getString(0) -> qs.indices.map(i => r.getDouble(i + 1)))
+        .toMap
+      assert(got.keySet == want.keySet, s"seed=$seed")
+      for (g <- want.keySet; i <- qs.indices)
+        assert(java.lang.Double.doubleToLongBits(got(g)(i)) ==
+          java.lang.Double.doubleToLongBits(want(g)(i)),
+          s"seed=$seed g=$g p=${qs(i)}")
+      graft.ops.ScratchCache.releaseAll()
+    }
+  }
 }
