@@ -13,7 +13,7 @@ import graft.raster.{Gtx, Proj4}
   * (N = 30 + 2·Δlat + 0.5·Δlon) so bilinear interpolation must be EXACT
   * at every query point, and the lon/lat slopes differ so axis-order
   * bugs cannot cancel. */
-class VerticalSpec extends AnyFunSuite {
+class VerticalSpec extends AnyFunSuite with SparkSpecBase {
 
   private def writeGtx(lat0: Double, lon0: Double, dLat: Double,
                        dLon: Double, rows: Int, cols: Int,
@@ -97,6 +97,35 @@ class VerticalSpec extends AnyFunSuite {
     val v = Proj4.parse3(
       s"+proj=longlat +datum=WGS84 +geoidgrids=$p").flatMap(_._2).get
     assert(math.abs(v.toMeters(-9.5, 41.25, 100) - 132.75) < 1e-6)
+  }
+
+  test("graft_vertical_m: the vertical model runs IN-PLAN, codegen'd") {
+    import spark.implicits._
+    import graft.functions.VerticalFunctions._
+    val crs = s"+proj=longlat +datum=WGS84 +vunits=ft +geoidgrids=$gridPath"
+    val v = Proj4.parse3(crs).flatMap(_._2).get
+    // covered points plus an out-of-coverage point (pass-through)
+    val rows = Seq((-9.5, 41.25, 100.0), (-8.25, 41.5, 0.0),
+      (120.0, 10.0, 50.0))
+    val df = rows.toDF("lon", "lat", "z")
+    val got = df.select($"lon", $"lat",
+        toEllipsoidalMeters(crs, $"lon", $"lat", $"z").as("h"))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2)))
+    for (((lon, lat, z), (_, _, h)) <- rows.zip(got))
+      assert(math.abs(h - v.toMeters(lon, lat, z)) < 1e-9, s"($lon,$lat)")
+    // inverse round-trips through the plan too
+    val rt = df.select(fromEllipsoidalMeters(crs, $"lon", $"lat",
+        toEllipsoidalMeters(crs, $"lon", $"lat", $"z")).as("z2"),
+        $"z")
+      .collect()
+    rt.foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-9))
+    // a 2-D CRS (no vertical model) fails at PLAN time, not at runtime
+    intercept[IllegalArgumentException] {
+      toEllipsoidalMeters("+proj=longlat +datum=WGS84", $"lon", $"lat", $"z")
+    }
+    intercept[IllegalArgumentException] {
+      toEllipsoidalMeters("+proj=longlat +vunits=cubits", $"lon", $"lat", $"z")
+    }
   }
 
   test("+vunits / +vto_meter compile to the exact unit scale") {
