@@ -680,33 +680,36 @@ object AdvancedQueries {
         array(lit(sentinel)))).as("pk"))
       .groupBy($"pk").agg(count(lit(1)).as("f_ab"))
       .persist())
-    // fill the cache NOW: the output side launches its broadcast builds
-    // (two freq lookups + the total) as CONCURRENT jobs, and an unfilled
-    // cache makes each of them recompute the whole scan→baskets→agg
-    // pipeline (measured: 6 × ~1.9 s racing jobs at sf1 vs one)
-    agg.count()
     val hi = shiftrightunsigned($"pk", 32)
     val lo = $"pk".bitwiseAND(lit(4294967295L))
-    // diagonal keys (a == b, impossible for the strict a < b pairs) carry
-    // the per-item basket-membership counts
-    val freq = agg.filter(hi === lo).select(hi.as("item"), $"f_ab".as("f"))
-    val tot = agg.filter($"pk" === sentinel).select($"f_ab".as("n"))
-    // both frequency lookups join the SAME broadcast frame (aliased in
-    // the join condition, not re-projected) so the planner builds the
-    // hashed relation once and ReusedExchange serves the second join
-    val bFreq = broadcast(freq)
+    // ONE job fills the cache AND returns the bounded small side: the
+    // diagonal keys (a == b — impossible for the strict a < b pairs)
+    // carry the per-item basket-membership counts, the sentinel the
+    // basket total — ≤ |items|+1 rows, the same boundedness the
+    // frequency broadcast already assumes. Collecting them in the
+    // cache-filling action replaces the r11 shape's eager count() plus
+    // THREE broadcast-build jobs (which, unfilled, each re-ran the whole
+    // scan→baskets→agg pipeline — measured 6 × ~1.9 s racing jobs at
+    // sf1); the lookups fold back as a broadcast LOCAL relation and a
+    // literal, so only the final assembly job ever touches the cluster
+    // again.
+    val small = agg.filter(hi === lo || $"pk" === sentinel)
+      .select($"pk", $"f_ab").collect()
+    val totN: Long = small.find(_.getLong(0) == sentinel)
+      .map(_.getLong(1)).getOrElse(0L)
+    val freqDf = broadcast(small.toSeq
+      .filter(_.getLong(0) != sentinel)
+      .map(r => (r.getLong(0) >>> 32, r.getLong(1)))
+      .toDF("item", "f"))
     agg
       .filter(hi =!= lo && $"pk" =!= sentinel)
       .filter($"f_ab" >= 3L)
       .select(hi.as("item_a"), lo.as("item_b"), $"f_ab")
-      .join(bFreq.as("fa"), $"item_a" === $"fa.item")
-      .join(bFreq.as("fb"), $"item_b" === $"fb.item")
+      .join(freqDf.as("fa"), $"item_a" === $"fa.item")
+      .join(freqDf.as("fb"), $"item_b" === $"fb.item")
       .select($"item_a", $"item_b", $"f_ab",
-        $"fa.f".as("f_a"), $"fb.f".as("f_b"))
-      .crossJoin(broadcast(tot))
-      .select($"item_a", $"item_b", $"f_ab",
-        roundp(($"f_ab" * $"n").cast("double") /
-          ($"f_a" * $"f_b").cast("double"), 6).as("lift"))
+        roundp(($"f_ab" * lit(totN)).cast("double") /
+          ($"fa.f" * $"fb.f").cast("double"), 6).as("lift"))
       .orderBy($"lift".desc, $"item_a", $"item_b").limit(50)
   }
 
