@@ -1337,19 +1337,26 @@ object CurationQueries {
       .select($"doc_id", $"source", $"lang", explode(tokens($"text")).as("w"))
       .select($"doc_id", $"source", $"lang",
         pmod(polyHash($"w"), lit(B.toLong)).as("b"))
-    // bk IS persisted (64 rows) and filled eagerly: the bk and n
-    // broadcast builds launch CONCURRENTLY (cf. q192) — unfilled, each
-    // races its own corpus explode, making the documented two passes
-    // three
-    val bk = graft.ops.ScratchCache.register(toks.groupBy($"b").agg(
+    // the bucket table is B=64 rows — collect it from the model pass
+    // (one job) and fold BOTH lookups back as literal maps: no persist,
+    // no broadcast-build jobs, no join in the scoring pass (cf. the
+    // sourceOverlap literal-map precedent). nt/nr are driver sums of
+    // the same 64 longs. The q192-class race is gone by construction —
+    // nothing is left for the scoring pass to race.
+    val bkRows = toks.groupBy($"b").agg(
       sum(when($"lang" === "en", 1L).otherwise(0L)).as("ct"),
-      count(lit(1)).as("cr")).persist())
-    bk.count()
-    val n = bk.agg(sum($"ct").as("nt"), sum($"cr").as("nr"))
-    toks.join(broadcast(bk), Seq("b")).crossJoin(broadcast(n))
+      count(lit(1)).as("cr")).collect()
+    val nt = bkRows.map(_.getLong(1)).sum
+    val nr = bkRows.map(_.getLong(2)).sum
+    val ctMap = map(bkRows.toSeq.flatMap(r =>
+      Seq(lit(r.getLong(0)), lit(r.getLong(1)))): _*)
+    val crMap = map(bkRows.toSeq.flatMap(r =>
+      Seq(lit(r.getLong(0)), lit(r.getLong(2)))): _*)
+    toks
       .select($"doc_id", $"source",
-        (log(($"ct" + lit(1.0)) / ($"nt" + lit(B.toDouble))) -
-          log(($"cr" + lit(1.0)) / ($"nr" + lit(B.toDouble)))).as("lr"))
+        (log((element_at(ctMap, $"b") + lit(1.0)) / (lit(nt) + lit(B.toDouble))) -
+          log((element_at(crMap, $"b") + lit(1.0)) / (lit(nr) + lit(B.toDouble))))
+          .as("lr"))
       .groupBy($"doc_id", $"source")
       .agg(count(lit(1)).as("n_tokens"),
         (roundp(avg($"lr"), 6) + lit(0.0)).as("dsir_score"))
