@@ -1600,27 +1600,33 @@ object TextQueries {
     import s.implicits._
     val cont = graft.ops.ScratchCache.register(documents(s, d)
       .groupBy($"source", $"lang").agg(count(lit(1)).as("o")).persist())
-    // fill the cache NOW: rows/cols/tot below are three CONCURRENT
-    // broadcast builds (cf. q192), and an unfilled cache makes each race
-    // its own documents scan+agg — 3x the corpus pass on a busy cluster
-    cont.count()
-    val rows = cont.groupBy($"source").agg(sum($"o").as("rs"))
-    val cols = cont.groupBy($"lang").agg(sum($"o").as("cs"))
-    val tot = cont.agg(sum($"o").as("n"),
-      countDistinct($"source").as("nr"), countDistinct($"lang").as("nc"))
-    val e = $"rs".cast("double") * $"cs".cast("double") / $"n".cast("double")
+    // ONE job fills the cache AND returns the contingency table — it is
+    // |sources|×|langs| rows, bounded by category cardinality. The
+    // row/column marginals and totals fold back as literal maps/values,
+    // so the r11 shape's three concurrent broadcast builds (which,
+    // unfilled, each re-ran the documents scan+agg — the q192 race) are
+    // gone by construction; only the final term aggregation over the
+    // cached table touches the cluster again.
+    val tbl = cont.collect()
+    val rs = tbl.groupBy(_.getString(0))
+      .map { case (k, v) => k -> v.map(_.getLong(2)).sum }
+    val cs = tbl.groupBy(_.getString(1))
+      .map { case (k, v) => k -> v.map(_.getLong(2)).sum }
+    val nTot = tbl.map(_.getLong(2)).sum
+    val (nr, nc) = (rs.size.toLong, cs.size.toLong)
+    val rsMap = map(rs.toSeq.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+    val csMap = map(cs.toSeq.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+    val e = element_at(rsMap, $"source").cast("double") *
+      element_at(csMap, $"lang").cast("double") / lit(nTot).cast("double")
     // per-term quantization to nano-units BEFORE the fold: each term is
     // an identical double in both engines, but a multi-row double sum is
     // reduction-order-sensitive (Spark's shuffle arrival order is per-run
     // nondeterministic) — integral doubles sum exactly below 2^53
-    cont.join(broadcast(rows), Seq("source"))
-      .join(broadcast(cols), Seq("lang"))
-      .crossJoin(broadcast(tot))
+    cont
       .select(round((($"o".cast("double") - e) * ($"o".cast("double") - e)
-        / e) * lit(1e9)).as("term_q"), $"nr", $"nc")
-      .groupBy($"nr", $"nc")
+        / e) * lit(1e9)).as("term_q"))
       .agg(roundp(sum($"term_q") / lit(1e9), 6).as("chi2"))
-      .select((($"nr" - 1) * ($"nc" - 1)).as("dof"), $"chi2")
+      .select(lit((nr - 1) * (nc - 1)).as("dof"), $"chi2")
   }
 
   val q227Sql: String =
