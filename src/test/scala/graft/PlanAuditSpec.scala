@@ -169,11 +169,14 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpecBase {
     assert(!plan.contains("Window"), plan)
   }
 
-  test("q163 DSIR: bucket/total joins broadcast, token stream never sort-merges") {
+  test("q163 DSIR: literal-map lookups — the scoring pass has NO joins at all") {
     val df = graft.queries.CurationQueries.q163DsirWeights(spark, sfSmoke)
     val plan = planStr(df)
-    assert(broadcasts(df) >= 2, plan) // 64-row bucket table + totals
-    assert(!plan.contains("SortMergeJoin"), plan)
+    // the 64-row bucket table folds back as element_at literal maps, so
+    // the token stream never joins anything (stronger than the previous
+    // broadcast-join assertion this audit replaced)
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("Window"), plan)
   }
 
   test("q165 phrase blocklist: fused automaton in-scan, agg + sort shuffles only") {
