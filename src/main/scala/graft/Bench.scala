@@ -133,7 +133,9 @@ object Bench {
       case _ => ()
     }
     // fixed headline set: the flagship relational/dedup/ANN/stream/curation
-    // heavies plus the named perf-watch queries — ~35 keys ≈ 1 KB
+    // heavies plus the named perf-watch queries — 40 keys ≈ 1 KB.
+    // q109/q116 watch the duplicate-collapse consumers; q225/q236 watch
+    // the radix-percentile and BPE-training paths round-over-round.
     val headline = Set(
       "q01_pricing_summary", "q16_required_scenes", "q21_coarsen",
       "q27_ngram_jaccard", "q28_minhash_lsh", "q29_simhash",
@@ -141,12 +143,14 @@ object Bench {
       "q51_dedup_groups", "q52_incremental_dedup", "q58_substring_dedup",
       "q62_cardinality", "q69_profile", "q74_tfidf", "q82_decile_stats",
       "q90_merge_upsert", "q93_pagerank", "q104_semdedup",
-      "q106_max_concurrent", "q111_perplexity", "q113_curriculum",
-      "q115_dedup_survivors", "q119_bpe_pairs", "q122_curation_funnel",
+      "q106_max_concurrent", "q109_leakage_split", "q111_perplexity",
+      "q113_curriculum", "q115_dedup_survivors", "q116_containment",
+      "q119_bpe_pairs", "q122_curation_funnel",
       "q128_cluster_sizes", "q133_dedup_policy_impact", "q144_incremental_curation",
       "q148_stream_chunk_dedup", "q154_lm_filter", "q162_streamed_sink",
       "q166_matryoshka", "q173_ccnet_buckets", "q192_basket_lift",
-      "q195_blame_supplier", "mosaic_pipeline_110tiles")
+      "q195_blame_supplier", "q225_rfm_segments", "q236_bpe_train",
+      "mosaic_pipeline_110tiles")
     val head = results.filter { case (k, _) => headline(k) }
     // stop FIRST so Spark's shutdown chatter can't land after the JSON
     // line — the driver parses the last line of stdout; a throwing stop

@@ -184,23 +184,32 @@ object PercentileCut {
       .filter($"g".isNotNull && $"k".isNotNull)
 
     /** One batched job: per-(group, cell) counts at `shift`, restricted
-      * to `parents` prefixes × `groups` (unrestricted when empty). The
-      * cross-product over-read (a prefix needed by one group matching
-      * another's rows) is discarded per-parent in the walk below —
-      * correctness is per-(g, prefix), the filter is only a pruner. */
-    def levelCounts(shift: Int, parentShift: Int, parents: Seq[Long],
-                    groups: Seq[String]): Array[(String, Long, Long)] = {
+      * to the exact (group, parent-prefix) `pairs` needing refinement
+      * (unrestricted when empty). The filter unions one predicate per
+      * distinct parent prefix (prefix match AND that prefix's owning
+      * groups) — NOT independent prefix×group sets, whose cross-product
+      * over-read would let a group's million-value histogram under
+      * another group's prefix ride into the shift-0 collect and blow the
+      * bounded-driver-transfer contract. Pair count ≤ pending cells
+      * (≤ |groups|·|ranks|), so the OR chain stays tiny and codegen'd. */
+    def levelCounts(shift: Int, parentShift: Int,
+                    pairs: Seq[(String, Long)]): Array[(String, Long, Long)] = {
       val src =
-        if (parents.isEmpty) base
-        else base.filter(shiftright($"k", parentShift).isin(parents: _*) &&
-          $"g".isin(groups: _*))
+        if (pairs.isEmpty) base
+        else {
+          val perParent = pairs.groupBy(_._2).toSeq.map { case (p, ps) =>
+            shiftright($"k", parentShift) === lit(p) &&
+              $"g".isin(ps.map(_._1).distinct: _*)
+          }
+          base.filter(perParent.reduce(_ || _))
+        }
       val cell = if (shift == 0) $"k" else shiftright($"k", shift)
       val counts = src.groupBy($"g", cell.as("c")).agg(count(lit(1)).as("cnt"))
       org.apache.spark.sql.graftbridge.Bridge.withoutAqe(counts)
         .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     }
 
-    val l0 = levelCounts(48, 64, Nil, Nil)
+    val l0 = levelCounts(48, 64, Nil)
     if (l0.isEmpty) return Map.empty
     val byG0 = l0.groupBy(_._1)
     require(byG0.size <= MaxGroups,
@@ -251,7 +260,7 @@ object PercentileCut {
       Seq((small, 0), (big, childShift)).foreach { case (group, shift) =>
         if (group.nonEmpty) {
           val cells = levelCounts(shift, parentShift,
-            group.map(_._2).distinct, group.map(_._1).distinct)
+            group.map(c => (c._1, c._2)).distinct)
           group.foreach { case (g, prefix, _, cumBefore, _, ranks) =>
             val mine = cells
               .filter(c => c._1 == g && (c._2 >> (parentShift - shift)) == prefix)

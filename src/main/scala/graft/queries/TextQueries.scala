@@ -1608,9 +1608,12 @@ object TextQueries {
     // gone by construction; only the final term aggregation over the
     // cached table touches the cluster again.
     val tbl = cont.collect()
-    val rs = tbl.groupBy(_.getString(0))
+    // null source/lang keys stay out of the literal maps (map() throws on
+    // a null key); their rows then drop from the term sum via element_at
+    // null propagation — the same rows the old inner joins dropped
+    val rs = tbl.filter(_.getString(0) != null).groupBy(_.getString(0))
       .map { case (k, v) => k -> v.map(_.getLong(2)).sum }
-    val cs = tbl.groupBy(_.getString(1))
+    val cs = tbl.filter(_.getString(1) != null).groupBy(_.getString(1))
       .map { case (k, v) => k -> v.map(_.getLong(2)).sum }
     val nTot = tbl.map(_.getLong(2)).sum
     val (nr, nc) = (rs.size.toLong, cs.size.toLong)
@@ -1623,6 +1626,7 @@ object TextQueries {
     // reduction-order-sensitive (Spark's shuffle arrival order is per-run
     // nondeterministic) — integral doubles sum exactly below 2^53
     cont
+      .filter($"source".isNotNull && $"lang".isNotNull)
       .select(round((($"o".cast("double") - e) * ($"o".cast("double") - e)
         / e) * lit(1e9)).as("term_q"))
       .agg(roundp(sum($"term_q") / lit(1e9), 6).as("chi2"))
@@ -1889,7 +1893,10 @@ object TextQueries {
 
   /** Unrolled CTE chain s0..s<k> with per-round pair counts + argmax —
     * byte-identical semantics to [[bpeMerges]] (see the exact-replay
-    * note there). */
+    * note there), including the empty-round skip: when b$r has no pair
+    * (corpus exhausted before round k), the CASE keeps s unchanged — the
+    * bare scalar subqueries would otherwise NULL the state via
+    * replace(s, NULL, NULL). */
   private def bpeSqlStates(k: Int): String = {
     val ws = DuckSql.tokensSql
     val sb = new StringBuilder
@@ -1905,9 +1912,11 @@ object TextQueries {
          |  WHERE len(u) >= 2)),
          |b$r AS (SELECT a, b, count(*)::BIGINT AS c FROM p$r GROUP BY 1, 2
          |  ORDER BY c DESC, a, b LIMIT 1),
-         |s$r AS (SELECT source, replace(s,
+         |s$r AS (SELECT source, CASE WHEN (SELECT count(*) FROM b$r) = 0
+         |    THEN s ELSE replace(s,
          |    ' ' || (SELECT a FROM b$r) || '  ' || (SELECT b FROM b$r) || ' ',
-         |    ' ' || (SELECT a FROM b$r) || '+' || (SELECT b FROM b$r) || ' ') AS s
+         |    ' ' || (SELECT a FROM b$r) || '+' || (SELECT b FROM b$r) || ' ')
+         |    END AS s
          |  FROM $prev)""".stripMargin
     }
     sb.toString

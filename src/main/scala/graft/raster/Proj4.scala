@@ -673,8 +673,15 @@ object Proj4 {
           .orElse(kv.get("ellps").flatMap(e =>
             Datum.byName.get(e.toLowerCase)).map(_.a))
           .orElse(if (wgsLike) Some(WgsA) else None)
+        // PROJ's webmerc takes no scale parameters — a +k/+k_0/+lat_ts
+        // on the string is ambiguous input, rejected fail-fast like the
+        // merc path (silently compiling unscaled would mis-warp by k)
+        val noScaleParams =
+          numOr("k", 1.0).contains(1.0) && numOr("k_0", 1.0).contains(1.0) &&
+            numOr("lat_ts", 0.0).contains(0.0)
         for {
           r <- aOpt
+          if noScaleParams
           lon0 <- numOr("lon_0", 0.0)
           x0 <- numOr("x_0", 0.0); y0 <- numOr("y_0", 0.0)
         } yield Compiled(
