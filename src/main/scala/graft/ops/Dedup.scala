@@ -417,7 +417,16 @@ object Dedup {
   private val HotCollectMax = 65536L
 
   private def dupCollapse(df: DataFrame, id: String,
-                          text: String): (DataFrame, DataFrame) = {
+                          text: String): (DataFrame, DataFrame) =
+    dupCollapseWithBounds(df, id, text, HotCollectMax, HotBroadcastMax)
+
+  /** Test seam: the regime bounds injectable, so DedupSpec can force the
+    * broadcast-semi and degenerate full-window regimes on fixtures small
+    * enough for a unit test (production callers always go through
+    * [[dupCollapse]] with the real constants). */
+  private[graft] def dupCollapseWithBounds(
+      df: DataFrame, id: String, text: String,
+      hotCollectMax: Long, hotBroadcastMax: Long): (DataFrame, DataFrame) = {
     val base = df.select(col(id).as("doc_id"), col(text).as("_t"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("_t"))
     val counts = ScratchCache.register(base
@@ -449,7 +458,7 @@ object Dedup {
         .select(col("_t"), col("_gid"), col("_m"))
       val members = tagged.select(col("_gid"), col("doc_id"))
       (grouped, members)
-    } else if (nHot <= HotCollectMax) {
+    } else if (nHot <= hotCollectMax) {
       // rare-duplicate regime, bounded collect: the sliver membership
       // test is an InSet filter — no join, no exchange; only the sliver
       // pays the text window
@@ -468,7 +477,7 @@ object Dedup {
         .select(col("_t"), col("_gid"), col("_m"))
       val members = tagged.select(col("_gid"), col("doc_id"))
       (grouped, members)
-    } else if (nHot <= HotBroadcastMax) {
+    } else if (nHot <= hotBroadcastMax) {
       // mid regime: too many hot groups to collect — the hot set
       // broadcasts EXPLICITLY (the hint must not depend on AQE, because
       // consumers routinely materialize this plan under a .persist(),

@@ -1016,6 +1016,14 @@ object Relational {
         expr("(sus - ous - pmod(sus - ous, 86400000000)) div 86400000000")
           .as("lat_days"))
     import graft.functions.TextFunctions.roundp
+    // DELIBERATE builtin-percentile holdout (the one continuous-domain
+    // percentile NOT on ops.PercentileCut's radix path): lat_days is a
+    // SMALL-INTEGER domain — order-to-ship latency spans a few hundred
+    // distinct day values whatever the row count — so the builtin's
+    // value→count buffer is bounded by the domain, not the data, and its
+    // map-side partial aggregation is the cheaper plan at every scale.
+    // Do not "fix" this onto the radix path: groupedCuts' per-level jobs
+    // cost more than a bounded counter map here.
     lat.groupBy($"month")
       .agg(count(lit(1)).as("n_lines"),
         expr("percentile(lat_days, array(0.5, 0.95))").as("ps"))

@@ -625,24 +625,34 @@ object SimilarityQueries {
   def q176LabelConfusion(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val emb = embeddings(s, d)
-    val cent = emb.select($"label", posexplode($"embedding").as(Seq("p", "v")))
+    // the centroid table is |labels| rows — a bounded CATEGORY, so it
+    // collects in its own (only) job and folds back as literal vectors
+    // (q163/q227 precedent): no broadcast-build job, and the former
+    // |vectors|×|labels| crossJoin fan-out + max-struct re-aggregation
+    // collapses into ONE per-row projection — all label cosines compute
+    // inline and greatest(struct(cos, -label)) keeps the same
+    // lexicographic tie-determinism (highest rounded cosine, smallest
+    // label on ties). Same exact doubles: the centroid avg is the same
+    // aggregation as before, just collected instead of broadcast
+    val centRows = emb
+      .select($"label", posexplode($"embedding").as(Seq("p", "v")))
       .groupBy($"label", $"p").agg(avg($"v").as("c"))
       .groupBy($"label").agg(
         transform(array_sort(collect_list(struct($"p", $"c"))),
           e => e.getField("c")).as("cv"))
-      .select($"label".as("clabel"), $"cv")
-    val scored = emb.crossJoin(broadcast(cent))
-      .select($"vec_id", $"label", $"clabel",
-        roundp(VectorFunctions.cosine($"embedding", $"cv"), 6).as("cos"))
-    // fused tie-deterministic argmax: ONE aggregation of
-    // max(struct(cos, -clabel)) — lexicographic struct order gives the
-    // highest rounded cosine, smallest label on ties; no self-join, no
-    // second scan (measured 1.62 s → the join-back form's two extra jobs)
-    val pred = scored
-      .groupBy($"vec_id", $"label")
-      .agg(max(struct($"cos", (-$"clabel").as("nl"))).as("m"))
-      .select($"label", (-$"m.nl").as("pred_label"))
-    pred.groupBy($"label", $"pred_label").agg(count(lit(1)).as("n"))
+      .collect()
+    require(centRows.length <= 1024,
+      s"q176: ${centRows.length} labels exceed the bounded-category guard")
+    val cands: Array[Column] = centRows.map { r =>
+      val lab = r.getInt(0)
+      val cv = r.getSeq[Double](1).toArray
+      struct(
+        roundp(VectorFunctions.cosine($"embedding", lit(cv)), 6).as("cos"),
+        lit(-lab).as("nl"))
+    }
+    val m = if (cands.length == 1) cands.head else greatest(cands.toSeq: _*)
+    emb.select($"label", (-m.getField("nl")).as("pred_label"))
+      .groupBy($"label", $"pred_label").agg(count(lit(1)).as("n"))
       .select($"label".cast("int").as("label"),
         $"pred_label".cast("int").as("pred_label"), $"n")
       .orderBy($"label", $"pred_label")

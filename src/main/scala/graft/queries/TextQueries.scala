@@ -829,18 +829,20 @@ object TextQueries {
     // standard LM count-table materialization
     val cab = graft.ops.ScratchCache.register(
       pairs.groupBy($"a", $"b").agg(count(lit(1)).as("c")).persist())
-    // fill the cache NOW: the final plan launches the n broadcast build
-    // plus the ca/cb/probe shuffle-map stages CONCURRENTLY (cf. q192);
-    // unfilled, each races its own corpus bigram explode+agg — up to 4x
-    // the corpus pass on a busy cluster
-    cab.count()
+    // ONE job fills the cache AND returns the scalar total — the former
+    // shape's separate n-broadcast build raced the ca/cb/probe stages on
+    // the unfilled cache (cf. q192), each re-running the corpus bigram
+    // explode+agg. The marginals stay as joins: they are |vocab|-keyed,
+    // NOT a bounded category, so the q163-style literal-map fold-back
+    // would not survive 100 TB
+    val nnRow = cab.agg(sum($"c")).collect()(0)
+    val nn = if (nnRow.isNullAt(0)) 0L else nnRow.getLong(0) // empty corpus
     val ca = cab.groupBy($"a").agg(sum($"c").as("cf"))
     val cb = cab.groupBy($"b").agg(sum($"c").as("cs"))
-    val n = broadcast(cab.agg(sum($"c").as("nn")))
     cab.filter($"c" >= 5)
-      .join(ca, Seq("a")).join(cb, Seq("b")).crossJoin(n)
+      .join(ca, Seq("a")).join(cb, Seq("b"))
       .select($"a", $"b", $"c",
-        roundp(log($"c" * lit(1.0) * $"nn" / ($"cf" * lit(1.0) * $"cs")), 6)
+        roundp(log($"c" * lit(1.0) * lit(nn) / ($"cf" * lit(1.0) * $"cs")), 6)
           .as("pmi"))
       .orderBy($"pmi".desc, $"a", $"b")
       .limit(50)

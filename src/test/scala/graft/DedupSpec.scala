@@ -576,6 +576,48 @@ class DedupSpec extends AnyFunSuite with SparkSpecBase {
     graft.ops.ScratchCache.releaseAll()
   }
 
+  test("dupCollapse mid (broadcast-semi) and degenerate regimes match the brute grouping") {
+    import spark.implicits._
+    // 3 hot hash groups (duplicate pairs) inside a majority-unique corpus:
+    // nHot=3, nDocsHot=6, nDocs=14 — a MINORITY sliver, so the regime is
+    // picked purely by the injected bounds (the production constants would
+    // choose the bounded-collect regime; DedupSpec's other fixtures cover
+    // that and the trivial/heavy regimes)
+    val rows = Seq(
+      (1L, "dup one"), (2L, "dup one"),
+      (3L, "dup two"), (4L, "dup two"),
+      (5L, "dup three"), (6L, "dup three")) ++
+      (7L to 14L).map(i => (i, s"unique text number $i"))
+    val df = rows.toDF("doc_id", "text")
+    val expectGroups = rows.groupBy(_._2).map { case (t, ms) =>
+      (t, ms.map(_._1).min, ms.size.toLong) }.toSet
+    val expectMembers = rows.map { case (i, t) =>
+      (rows.filter(_._2 == t).map(_._1).min, i) }.toSet
+    def check(grouped: org.apache.spark.sql.DataFrame,
+              members: org.apache.spark.sql.DataFrame): Unit = {
+      assert(grouped.collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2))).toSet == expectGroups)
+      assert(members.collect().map(r =>
+        (r.getLong(0), r.getLong(1))).toSet == expectMembers)
+    }
+    // mid regime: hot count above the collect bound, under the broadcast
+    // bound — the semi/anti split must be an EXPLICIT broadcast join
+    val (g1, m1) = Dedup.dupCollapseWithBounds(df, "doc_id", "text", 1L, 10L)
+    val p1 = m1.queryExecution.executedPlan.toString
+    assert(p1.contains("BroadcastHashJoin"), p1)
+    check(g1, m1)
+    graft.ops.ScratchCache.releaseAll()
+    spark.catalog.clearCache()
+    // degenerate corner: hot count above BOTH bounds yet a minority
+    // sliver — one full-corpus window, NO join anywhere in the plan
+    val (g2, m2) = Dedup.dupCollapseWithBounds(df, "doc_id", "text", 1L, 2L)
+    val p2 = m2.queryExecution.executedPlan.toString
+    assert(p2.contains("Window") && !p2.toLowerCase.contains("join"), p2)
+    check(g2, m2)
+    graft.ops.ScratchCache.releaseAll()
+    spark.catalog.clearCache()
+  }
+
   test("q211 on a corpus with ZERO truth pairs still reports block stats (completeness null, counts 0)") {
     import spark.implicits._
     // three docs with nothing in common: no 3-shingle is shared, so the

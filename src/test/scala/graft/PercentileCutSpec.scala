@@ -140,6 +140,34 @@ class PercentileCutSpec extends AnyFunSuite with SparkSpecBase {
     graft.ops.ScratchCache.releaseAll()
   }
 
+  test("groupedCuts big-cell refinement with a small group under the same parent prefix") {
+    // forces the over-budget branch the other fixtures never reach: one
+    // group packs >CollectBudget distinct values into a single 48-bit
+    // radix cell (so it must refine 48→32→0), while a tiny group's
+    // pending cell lives under the SAME parent prefix — the shift-0
+    // small batch and the refining big batch then share a level job and
+    // the (group, prefix) pair filter is what keeps the small batch's
+    // collect from dragging in the big group's million-value histogram
+    val big = spark.range(1050000).select(lit("big").as("g"),
+      (lit(1.0) + $"id".cast("double") * lit(1e-12)).as("v"))
+    val small = spark.range(37).select(lit("small").as("g"),
+      (lit(1.0) + $"id".cast("double") * lit(3.7e-7)).as("v"))
+    val df = big.unionByName(small)
+    val qs = Seq(0.01, 0.5, 0.99)
+    val got = PercentileCut.groupedCuts(df, "g", "v", qs)
+    val aggs = qs.zipWithIndex.map { case (p, i) =>
+      percentile($"v", lit(p)).as(s"p$i") }
+    val want = df.groupBy($"g").agg(aggs.head, aggs.tail: _*)
+      .collect().map(r => r.getString(0) -> qs.indices.map(i => r.getDouble(i + 1)))
+      .toMap
+    assert(got.keySet == Set("big", "small"))
+    for (g <- want.keySet; i <- qs.indices)
+      assert(java.lang.Double.doubleToLongBits(got(g)(i)) ==
+        java.lang.Double.doubleToLongBits(want(g)(i)),
+        s"g=$g p=${qs(i)} got=${got(g)(i)} want=${want(g)(i)}")
+    graft.ops.ScratchCache.releaseAll()
+  }
+
   test("groupedCuts property sweep: random group shapes across seeds") {
     for (seed <- 1 to 5) {
       val rnd = new scala.util.Random(seed * 7919)
