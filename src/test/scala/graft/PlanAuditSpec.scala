@@ -432,6 +432,31 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpecBase {
     graft.ops.ScratchCache.releaseAll()
   }
 
+  test("q176 label confusion: literal centroids — the scoring pass has NO joins at all") {
+    val df = graft.queries.SimilarityQueries.q176LabelConfusion(spark, sfSmoke)
+    val plan = planStr(df)
+    // the |labels|-row centroid table folds back as literal vectors, so
+    // the per-vector argmax is one greatest(struct...) projection — the
+    // former |vectors|x|labels| crossJoin fan-out and its re-aggregation
+    // must be gone
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("Window"), plan)
+    // confusion-cell agg + output sort only
+    assert(shuffles(df) <= 2, plan)
+    graft.ops.ScratchCache.releaseAll()
+  }
+
+  test("q142 collocations: scalar total folded back — marginal joins stay hash equi-joins") {
+    val df = graft.queries.TextQueries.q142Collocations(spark, sfSmoke)
+    val plan = planStr(df)
+    // nn is a literal now: the crossJoin(broadcast(n)) NLJ must be gone;
+    // the |vocab|-keyed marginals legitimately remain as hash joins
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("Window"), plan)
+    graft.ops.ScratchCache.releaseAll()
+  }
+
   test("q45 PQ ADC scan is the intended broadcast-NLJ; candidates rank via aggregate") {
     val emb = Tables.embeddings(spark, sfSmoke)
     val idx = graft.ops.PqIndex.build(emb, "vec_id", "embedding", m = 8, ksub = 16)
