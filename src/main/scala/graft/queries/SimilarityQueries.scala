@@ -677,6 +677,133 @@ object SimilarityQueries {
 
   // ---------------------------------------------------------------- q187
 
+  // ---------------------------------------------------------------- q239
+
+  private val KmK = 4
+  private val KmRounds = 3
+  /** 2⁴⁰ — the centroid-update quantization scale. Multiplying a
+    * float-valued double by a power of two is EXACT (no mantissa
+    * rounding), so `round(v·2⁴⁰)::long` is the same integer in both
+    * engines and the per-(cluster, dim) SUM is order-free. */
+  private val Km2p40 = 1099511627776.0
+
+  /** q239: distributed K-MEANS training — Lloyd's algorithm over the
+    * embedding table, the clustering primitive under SemDeDup corpus
+    * curation, IVF index builds (q40/q49 train on a driver-side sample;
+    * this is the full-corpus form), and diversity-aware sampling.
+    * Deterministic init (the k lowest vec_ids' vectors); each round is
+    * ONE job over the persisted corpus: the assignment is a per-row
+    * least(struct(dist², cid)) over LITERAL centroid vectors (the q176
+    * fold-back shape — no join, no fan-out), and the update is a
+    * posexplode → (cid, dim) aggregation whose result is k·d rows —
+    * bounded whatever the corpus, so the weights live on the driver
+    * exactly like q236/q238. Linear per round at any scale.
+    *
+    * EXACT oracle parity: distances fold sequentially (dotSeq
+    * discipline), centroid sums quantize per-value to `round(v·2⁴⁰)`
+    * integers (exact — power-of-two scaling) so reduction order cannot
+    * matter, the new centroid is one double division of exact integers,
+    * and inertia quantizes to micro-units before summing. Empty clusters
+    * keep their previous centroid (mirrored in the SQL carry). Output:
+    * final-round cluster sizes, exact quantized inertia, centroid norms. */
+  def q239KmeansTrain(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = graft.ops.ScratchCache.register(
+      embeddings(s, d).select($"vec_id", $"embedding").persist())
+    val init: Array[Array[Double]] = emb.orderBy($"vec_id").limit(KmK)
+      .collect().map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    if (init.isEmpty) {
+      graft.ops.ScratchCache.releaseAll()
+      return Seq.empty[(Int, Long, Long, Double)]
+        .toDF("cid", "n_members", "inertia_q", "centroid_norm")
+    }
+    def dist2(a: Column, cv: Array[Double]): Column =
+      aggregate(zip_with(a, lit(cv), (x, y) =>
+          (x.cast("double") - y) * (x.cast("double") - y)),
+        lit(0.0), (acc, v) => acc + v)
+    val cents = init.clone()
+    var last: Array[org.apache.spark.sql.Row] = Array.empty
+    for (_ <- 1 to KmRounds) {
+      // distances materialize as named columns FIRST (struct() over
+      // lambda-bearing HOF children loses its field names in analysis),
+      // then the argmin is least(struct(d, j)) over plain references —
+      // Catalyst collapses the two projections into one
+      val withD = emb.select($"embedding" +:
+        cents.zipWithIndex.map { case (cv, j) =>
+          dist2($"embedding", cv).as(s"_d$j") }.toSeq: _*)
+      val cands = cents.indices.map(j =>
+        struct(col(s"_d$j").as("d"), lit(j).as("j")))
+      val m = if (cands.length == 1) cands.head else least(cands: _*)
+      last = withD
+        .select(m.getField("j").as("cid"), m.getField("d").as("d2"),
+          posexplode($"embedding").as(Seq("p", "v")))
+        .groupBy($"cid", $"p")
+        .agg(
+          sum(round($"v".cast("double") * lit(Km2p40)).cast("long")).as("sq"),
+          count(lit(1)).as("cnt"),
+          sum(when($"p" === 0, round($"d2" * lit(1000000.0)).cast("long"))
+            .otherwise(lit(0L))).as("iq"))
+        .collect()
+      val byCid = last.groupBy(_.getInt(0))
+      for (j <- 0 until KmK) byCid.get(j).foreach { rs =>
+        cents(j) = rs.sortBy(_.getInt(1))
+          .map(r => r.getLong(2).toDouble / (Km2p40 * r.getLong(3)))
+      }
+    }
+    val out = last.groupBy(_.getInt(0)).toSeq.map { case (cid, rs) =>
+      val n = rs.head.getLong(3)
+      val iq = rs.map(_.getLong(4)).sum // only the p=0 row is nonzero
+      val norm = math.sqrt(cents(cid).foldLeft(0.0)((acc, x) => acc + x * x))
+      (cid, n, iq, norm)
+    }
+    graft.ops.ScratchCache.releaseAll()
+    out.toDF("cid", "n_members", "inertia_q", "normr")
+      .select($"cid", $"n_members", $"inertia_q",
+        roundp($"normr", 6).as("centroid_norm"))
+      .orderBy($"cid")
+  }
+
+  /** Unrolled round-for-round SQL replay: same init order, same
+    * sequential distance folds, same quantization points, same
+    * empty-cluster carry. */
+  val q239Sql: String = {
+    def d2(v: String, cv: String): String =
+      s"list_reduce(list_transform(range(1, 65), i -> " +
+        s"(($v)[i]::DOUBLE - ($cv)[i]) * (($v)[i]::DOUBLE - ($cv)[i])), " +
+        "(x, y) -> x + y)"
+    def round_(r: Int): String =
+      s"""a$r AS (SELECT vec_id, any_value(embedding) AS embedding,
+         |    min(struct_pack(d := ${d2("embedding", "c.cv")}, j := c.cid)) AS m
+         |  FROM e CROSS JOIN c${r - 1} c GROUP BY vec_id),
+         |u$r AS (SELECT m.j AS cid, g.d AS p,
+         |    sum(CAST(round(embedding[g.d + 1]::DOUBLE * $Km2p40) AS BIGINT))
+         |      ::BIGINT AS sq,
+         |    count(*)::BIGINT AS cnt,
+         |    sum(CASE WHEN g.d = 0
+         |      THEN CAST(round(m.d * 1000000.0) AS BIGINT)
+         |      ELSE 0 END)::BIGINT AS iq
+         |  FROM a$r CROSS JOIN generate_series(0, 63) g(d)
+         |  GROUP BY 1, 2),
+         |c$r AS (SELECT cid, list(sq::DOUBLE / ($Km2p40 * cnt) ORDER BY p)
+         |      AS cv
+         |    FROM u$r GROUP BY cid
+         |  UNION ALL SELECT cid, cv FROM c${r - 1}
+         |    WHERE cid NOT IN (SELECT cid FROM u$r))""".stripMargin
+    val normSql = "sqrt(list_reduce(list_transform(range(1, 65), " +
+      "i -> cv[i] * cv[i]), (x, y) -> x + y))"
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+       |    list_transform(embedding, x -> x::DOUBLE) AS cv
+       |  FROM e ORDER BY vec_id LIMIT $KmK),
+       |${(1 to KmRounds).map(round_).mkString(",\n")},
+       |f AS (SELECT cid, max(cnt) AS n_members, sum(iq)::BIGINT AS inertia_q
+       |  FROM u$KmRounds GROUP BY cid)
+       |SELECT f.cid::INT AS cid, f.n_members, f.inertia_q,
+       |  ${DuckSql.roundpSql(normSql, 6)} AS centroid_norm
+       |FROM f JOIN c$KmRounds c ON f.cid = c.cid
+       |ORDER BY f.cid""".stripMargin
+  }
+
   /** q187: embedding COVARIANCE matrix — the d×d second-moment primitive
     * under PCA, whitening, Mahalanobis outlier scoring and drift tests
     * (the matrix q145's drift distances implicitly live in). One scan
@@ -896,6 +1023,7 @@ object SimilarityQueries {
     "q188_mahalanobis" -> (q188Mahalanobis _),
     "q187_covariance" -> (q187Covariance _),
     "q176_label_confusion"  -> (q176LabelConfusion _),
+    "q239_kmeans_train"     -> (q239KmeansTrain _),
     "q166_matryoshka"       -> (q166Matryoshka _),
     "q167_sq8_recall"       -> (q167Sq8Recall _),
     "q155_diversity_sample" -> (q155DiversitySample _),
@@ -918,6 +1046,7 @@ object SimilarityQueries {
     "q188_mahalanobis" -> q188Sql,
     "q187_covariance" -> q187Sql,
     "q176_label_confusion"  -> q176Sql,
+    "q239_kmeans_train"     -> q239Sql,
     "q166_matryoshka"       -> q166Sql,
     "q167_sq8_recall"       -> q167Sql,
     "q155_diversity_sample" -> q155Sql,

@@ -1942,7 +1942,117 @@ object TextQueries {
        |ORDER BY source""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q238
+
+  private val RegRounds = 3
+  private val RegLr = 0.5 // exact binary double — identical literal both engines
+
+  /** q238: distributed QUALITY-CLASSIFIER training — full-batch logistic
+    * regression (label: lang == 'en'; features: bias, scaled token count,
+    * scaled char count) by gradient descent, the fastText-style linear
+    * filter every curation stack trains over its own corpus (cf. the
+    * CCNet/DSIR lineage the reference's quality gates assume). The whole
+    * loop is Spark-shaped: each round is ONE map-side-combined
+    * aggregation over a persisted feature frame — the shuffle carries a
+    * 5-value partial (n, n_correct, 3 gradient sums), the weights live on
+    * the driver, so the plan is linear in the corpus and constant in
+    * state at any scale (the q236 BPE harness shape, applied to
+    * supervised training).
+    *
+    * EXACT oracle parity, not float luck: every cross-row reduction is an
+    * integer — per-row gradient terms quantize to nano-units
+    * (`round(term·1e9)::long`, the q227 discipline) before summing, so
+    * reduction order cannot matter; the weight update is one double
+    * expression over those exact integers, written term-for-term
+    * identically in the SQL twin, and per-row math (exp/sigmoid) is
+    * deterministic given identical weights. Accuracy counts via the
+    * sign of z (never the sigmoid), so no p≈0.5 boundary exists. */
+  def q238QualityRegression(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val feats = graft.ops.ScratchCache.register(documents(s, d)
+      .select(
+        when($"lang" === "en", 1.0).otherwise(0.0).as("y"),
+        (size(tokens($"text")).cast("double") * lit(0.01)).as("x1"),
+        ($"n_chars".cast("double") * lit(0.001)).as("x2"))
+      .persist())
+    // per-round job: gradient + accuracy at the CURRENT weights; the
+    // first call doubles as the cache fill (no separate count job)
+    def roundJob(w: Array[Double]): (Long, Long, Array[Long]) = {
+      val z = (lit(w(0)) + lit(w(1)) * $"x1") + lit(w(2)) * $"x2"
+      val p = lit(1.0) / (lit(1.0) + exp(-z))
+      val resid = $"y" - p
+      def gq(t: Column) = sum(round(t * lit(1000000000.0)).cast("long"))
+      val correct = ((z >= 0) && ($"y" === 1.0)) || ((z < 0) && ($"y" === 0.0))
+      val r = feats.agg(count(lit(1)),
+        coalesce(sum(when(correct, 1L).otherwise(0L)), lit(0L)),
+        coalesce(gq(resid), lit(0L)),
+        coalesce(gq($"x1" * resid), lit(0L)),
+        coalesce(gq($"x2" * resid), lit(0L))).head()
+      (r.getLong(0), r.getLong(1),
+        Array(r.getLong(2), r.getLong(3), r.getLong(4)))
+    }
+    val w = Array(0.0, 0.0, 0.0)
+    val out = Seq.newBuilder[(Long, Long, Double, Double, Double)]
+    var done = false
+    for (r <- 1 to RegRounds if !done) {
+      val (n, nCorrect, g) = roundJob(w)
+      if (n == 0L) done = true
+      else {
+        for (j <- 0 to 2)
+          w(j) = w(j) + RegLr * ((g(j).toDouble / 1000000000.0) / n)
+        out += ((r.toLong, nCorrect, w(0), w(1), w(2)))
+      }
+    }
+    out.result().toDF("round", "n_correct", "w0r", "w1r", "w2r")
+      .select($"round", $"n_correct",
+        roundp($"w0r", 6).as("w0"), roundp($"w1r", 6).as("w1"),
+        roundp($"w2r", 6).as("w2"))
+      .orderBy($"round")
+  }
+
+  /** Unrolled CTE chain replaying the training loop round-for-round:
+    * identical expression SHAPES (same association order, same
+    * quantization points), so every weight is the same double. */
+  val q238Sql: String = {
+    val ws = DuckSql.tokensSql
+    def z(w: String) = s"(($w.w0 + ($w.w1 * x1)) + ($w.w2 * x2))"
+    def body(r: Int): String = {
+      val zz = z(s"w${r - 1}")
+      val p = s"(1.0 / (1.0 + exp(-$zz)))"
+      def gq(t: String) =
+        s"sum(CAST(round(($t) * 1000000000.0) AS BIGINT))"
+      s"""g$r AS (SELECT count(*)::BIGINT AS n,
+         |    coalesce(sum(CASE WHEN (($zz >= 0) AND y = 1.0)
+         |      OR (($zz < 0) AND y = 0.0) THEN 1 ELSE 0 END), 0)::BIGINT
+         |      AS n_correct,
+         |    coalesce(${gq(s"(y - $p)")}, 0) AS g0,
+         |    coalesce(${gq(s"(x1 * (y - $p))")}, 0) AS g1,
+         |    coalesce(${gq(s"(x2 * (y - $p))")}, 0) AS g2
+         |  FROM f, w${r - 1}),
+         |w$r AS (SELECT
+         |    w.w0 + $RegLr * ((g.g0::DOUBLE / 1000000000.0) / g.n) AS w0,
+         |    w.w1 + $RegLr * ((g.g1::DOUBLE / 1000000000.0) / g.n) AS w1,
+         |    w.w2 + $RegLr * ((g.g2::DOUBLE / 1000000000.0) / g.n) AS w2
+         |  FROM w${r - 1} w, g$r g)""".stripMargin
+    }
+    val rounds = (1 to RegRounds).map(r =>
+      s"SELECT $r::BIGINT AS round, (SELECT n_correct FROM g$r) AS n_correct, " +
+        s"${DuckSql.roundpSql(s"(SELECT w0 FROM w$r)", 6)} AS w0, " +
+        s"${DuckSql.roundpSql(s"(SELECT w1 FROM w$r)", 6)} AS w1, " +
+        s"${DuckSql.roundpSql(s"(SELECT w2 FROM w$r)", 6)} AS w2")
+      .mkString("\nUNION ALL ")
+    s"""WITH f AS (SELECT CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+       |    len($ws)::DOUBLE * 0.01 AS x1,
+       |    n_chars::DOUBLE * 0.001 AS x2
+       |  FROM documents),
+       |w0 AS (SELECT 0.0::DOUBLE AS w0, 0.0::DOUBLE AS w1, 0.0::DOUBLE AS w2),
+       |${(1 to RegRounds).map(body).mkString(",\n")}
+       |$rounds
+       |ORDER BY round""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q238_quality_regression" -> (q238QualityRegression _),
     "q236_bpe_train" -> (q236BpeTrain _),
     "q237_bpe_compression" -> (q237BpeCompression _),
     "q235_weighted_median" -> (q235WeightedMedian _),
@@ -1981,6 +2091,7 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q238_quality_regression" -> q238Sql,
     "q236_bpe_train" -> q236Sql,
     "q237_bpe_compression" -> q237Sql,
     "q235_weighted_median" -> q235Sql,

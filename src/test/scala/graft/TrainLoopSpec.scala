@@ -1,0 +1,115 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** The round-13 distributed training loops (q238 logistic regression,
+  * q239 k-means) pinned against straight-line driver-side references on
+  * fixtures written to scratch document/embedding tables. The oracle gate
+  * already proves DuckDB parity; these prove the MATH — that the
+  * distributed quantized-gradient / quantized-centroid arithmetic
+  * implements the textbook algorithm, not just a self-consistent pair. */
+class TrainLoopSpec extends AnyFunSuite with SparkSpecBase {
+  import spark.implicits._
+
+  private def writeFixture(rows: Seq[(Long, String, String, String, Long)],
+                           embs: Seq[(Long, Seq[Float], Int)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_train").toString
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    embs.toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  test("q238 equals a driver-side quantized-gradient logistic regression") {
+    val docs = Seq(
+      (1L, "the quick brown fox", "en", "s1", 19L),
+      (2L, "ein kleiner brauner fuchs springt", "de", "s1", 33L),
+      (3L, "hello world again and again", "en", "s2", 27L),
+      (4L, "bonjour le monde encore", "fr", "s2", 23L),
+      (5L, "short", "en", "s1", 5L),
+      (6L, "une phrase un peu plus longue que les autres", "fr", "s1", 44L))
+    val dir = writeFixture(docs, Seq((0L, Seq.fill(64)(0.1f), 0)))
+    val got = graft.queries.TextQueries.q238QualityRegression(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    // straight-line reference: same features, same quantization
+    val feats = docs.map { case (_, text, lang, _, nChars) =>
+      val y = if (lang == "en") 1.0 else 0.0
+      val x1 = text.toLowerCase.split("\\s+").count(_.nonEmpty) * 0.01
+      val x2 = nChars * 0.001
+      (y, x1, x2)
+    }
+    val w = Array(0.0, 0.0, 0.0)
+    val want = (1 to 3).map { r =>
+      var (g0, g1, g2, nc) = (0L, 0L, 0L, 0L)
+      feats.foreach { case (y, x1, x2) =>
+        val z = (w(0) + w(1) * x1) + w(2) * x2
+        val p = 1.0 / (1.0 + math.exp(-z))
+        def q(t: Double) = BigDecimal(t * 1000000000.0)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+        g0 += q(y - p); g1 += q(x1 * (y - p)); g2 += q(x2 * (y - p))
+        if ((z >= 0 && y == 1.0) || (z < 0 && y == 0.0)) nc += 1
+      }
+      val n = feats.size
+      for ((g, j) <- Seq(g0, g1, g2).zipWithIndex)
+        w(j) = w(j) + 0.5 * ((g.toDouble / 1000000000.0) / n)
+      def r6(x: Double) = BigDecimal(x * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble / 1e6 + 0.0
+      (r.toLong, nc, r6(w(0)), r6(w(1)), r6(w(2)))
+    }
+    assert(got.toSeq == want, s"got=${got.toSeq}\nwant=$want")
+    graft.ops.ScratchCache.releaseAll()
+  }
+
+  test("q239 equals a driver-side quantized-centroid Lloyd iteration") {
+    val rnd = new scala.util.Random(239)
+    val dims = 64
+    // three separated blobs + a stray so assignments are non-trivial
+    val embs: Seq[(Long, Seq[Float], Int)] = (0 until 30).map { i =>
+      val base = Array.fill(dims)((i % 3) * 1.0f)
+      val v = base.map(b => b + (rnd.nextFloat() - 0.5f) * 0.2f)
+      (i.toLong, v.toSeq, i % 3)
+    }
+    val dir = writeFixture(
+      Seq((1L, "doc", "en", "s1", 3L)), embs)
+    val got = graft.queries.SimilarityQueries.q239KmeansTrain(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    // straight-line Lloyd with the same init, quantization, and carry
+    val vecs = embs.map { case (id, v, _) => id -> v.map(_.toDouble).toArray }
+      .sortBy(_._1)
+    var cents: Array[Array[Double]] =
+      vecs.take(4).map(_._2.clone).toArray
+    val S = 1099511627776.0
+    def q(x: Double, scale: Double) = BigDecimal(x * scale)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    var sizes = Map.empty[Int, Long]; var iqs = Map.empty[Int, Long]
+    for (_ <- 1 to 3) {
+      val assigned = vecs.map { case (_, v) =>
+        val ds = cents.zipWithIndex.map { case (c, j) =>
+          (v.zip(c).foldLeft(0.0) { case (acc, (a, b)) =>
+            acc + (a - b) * (a - b) }, j) }
+        val (d2, j) = ds.minBy(identity)
+        (j, d2, v)
+      }
+      sizes = assigned.groupBy(_._1).map { case (j, g) => j -> g.size.toLong }
+      iqs = assigned.groupBy(_._1)
+        .map { case (j, g) => j -> g.map(t => q(t._2, 1e6)).sum }
+      for (j <- 0 until 4; g = assigned.filter(_._1 == j); if g.nonEmpty) {
+        cents(j) = (0 until dims).map { p =>
+          g.map(t => q(t._3(p), S)).sum.toDouble / (S * g.size)
+        }.toArray
+      }
+    }
+    def r6(x: Double) = BigDecimal(x * 1e6)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble / 1e6 + 0.0
+    val want = sizes.keys.toSeq.sorted.map { j =>
+      (j, sizes(j), iqs(j),
+        r6(math.sqrt(cents(j).foldLeft(0.0)((a, x) => a + x * x))))
+    }
+    assert(got.toSeq == want, s"got=${got.toSeq}\nwant=$want")
+    graft.ops.ScratchCache.releaseAll()
+  }
+}
