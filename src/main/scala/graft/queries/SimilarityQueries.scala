@@ -804,6 +804,115 @@ object SimilarityQueries {
        |ORDER BY f.cid""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q240
+
+  private val PcaRounds = 3
+
+  /** q240: distributed PCA (top principal component via POWER ITERATION)
+    * and the corpus's spectrum along it — the whitening/drift primitive
+    * one level above q187's raw covariance: which direction carries the
+    * most embedding variance, and how each label's mass projects onto
+    * it (a one-dimensional encoder-collapse / modality-mix diagnostic).
+    * Distribution shape: the covariance comes from q187's ONE-scan
+    * [[graft.ops.Gram.MomentsAgg]] (exact Long moments of 10⁴-quantized
+    * inputs, map-side combined flat state); the 64×64 matrix and the
+    * power iteration live on the DRIVER (d² doubles — bounded whatever
+    * the corpus); the projection pass is one more scan with the
+    * eigenvector folded back as a LITERAL (q176/q239 discipline — no
+    * join), aggregating micro-quantized projection sums per label.
+    *
+    * Exact oracle parity: the covariance cells are per-cell double math
+    * over exact integer moments (the q187 contract); every power-
+    * iteration step is the same sequential fold shape in both engines
+    * (list_reduce first-element init == the 0.0-init foldLeft), so the
+    * eigenvector — and therefore every projection — is the same double;
+    * cross-row projection sums quantize to micro-units before summing. */
+  def q240PcaSpectrum(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = graft.ops.ScratchCache.register(
+      embeddings(s, d).select($"label", $"embedding").persist())
+    val dimRow = emb.select(size($"embedding")).limit(1).collect()
+    if (dimRow.isEmpty) {
+      graft.ops.ScratchCache.releaseAll()
+      return Seq.empty[(Int, Long, Double, Double)]
+        .toDF("label", "n_vecs", "mean_proj", "eig1")
+    }
+    val dims = dimRow(0).getInt(0)
+    val agg = new graft.ops.Gram.MomentsAgg(dims)
+    val (n, sx, sxy) =
+      emb.select($"embedding").as[Seq[Float]].select(agg.toColumn).head()
+    // symmetric covariance from the exact moments — the q187 cell
+    // expression verbatim (same association, same 1e8 de-quantization)
+    def tri(i: Int, j: Int): Int = i * dims - i * (i - 1) / 2 + (j - i)
+    val cov = Array.tabulate(dims, dims) { (i0, j0) =>
+      val (i, j) = if (i0 <= j0) (i0, j0) else (j0, i0)
+      (sxy(tri(i, j)).toDouble / n -
+        (sx(i).toDouble / n) * (sx(j).toDouble / n)) / 100000000.0
+    }
+    var v = Array.fill(dims)(1.0)
+    var lambda = 0.0
+    for (_ <- 1 to PcaRounds) {
+      val w = Array.tabulate(dims) { i =>
+        (0 until dims).foldLeft(0.0)((acc, j) => acc + cov(i)(j) * v(j))
+      }
+      lambda = math.sqrt(w.foldLeft(0.0)((acc, x) => acc + x * x))
+      v = w.map(_ / lambda)
+    }
+    val proj = VectorFunctions.dotSeq($"embedding", lit(v))
+    emb
+      .select($"label",
+        round(proj * lit(1000000.0)).cast("long").as("pq"))
+      .groupBy($"label")
+      .agg(count(lit(1)).as("n_vecs"), sum($"pq").as("sq"))
+      .select($"label".cast("int").as("label"), $"n_vecs",
+        roundp(($"sq".cast("double") / lit(1000000.0)) / $"n_vecs", 6)
+          .as("mean_proj"),
+        roundp(lit(lambda), 6).as("eig1"))
+      .orderBy($"label")
+  }
+
+  /** SQL replay: exact quantized moments (the q187Sql CTEs), the
+    * symmetric matrix as an ordered list-of-lists, three unrolled
+    * mat-vec/normalize rounds with identical fold shapes, then the
+    * projection aggregation over the literal final vector. */
+  val q240Sql: String = {
+    val cell = "(sxy.s::DOUBLE / n.n - (sa.s::DOUBLE / n.n) * " +
+      "(sb.s::DOUBLE / n.n)) / 100000000.0"
+    def iter(r: Int): String =
+      s"""p$r AS (SELECT list_transform(range(1, 65), i ->
+         |    list_reduce(list_transform(range(1, 65), j -> m[i][j] * v[j]),
+         |      (x, y) -> x + y)) AS w
+         |  FROM cmat, v${r - 1}),
+         |v$r AS (SELECT list_transform(range(1, 65), i -> w[i] / nw) AS v, nw
+         |  FROM (SELECT w, sqrt(list_reduce(list_transform(range(1, 65),
+         |      i -> w[i] * w[i]), (x, y) -> x + y)) AS nw FROM p$r))"""
+        .stripMargin
+    s"""WITH x AS (SELECT vec_id, d,
+       |    CAST(round(embedding[d + 1]::DOUBLE * 10000) AS BIGINT) AS xi
+       |  FROM embeddings CROSS JOIN generate_series(0, 63) g(d)),
+       |n AS (SELECT count(*)::BIGINT AS n FROM embeddings),
+       |sx AS (SELECT d, sum(xi)::BIGINT AS s FROM x GROUP BY d),
+       |sxy AS (SELECT a.d AS i, b.d AS j, sum(a.xi * b.xi)::BIGINT AS s
+       |  FROM x a JOIN x b USING (vec_id) WHERE a.d <= b.d GROUP BY 1, 2),
+       |cu AS (SELECT sxy.i AS i, sxy.j AS j, $cell AS cell
+       |  FROM sxy JOIN sx sa ON sa.d = sxy.i JOIN sx sb ON sb.d = sxy.j, n),
+       |cm AS (SELECT i, j, cell FROM cu
+       |  UNION ALL SELECT j AS i, i AS j, cell FROM cu WHERE i <> j),
+       |cl AS (SELECT i, list(cell ORDER BY j) AS row FROM cm GROUP BY i),
+       |cmat AS (SELECT list(row ORDER BY i) AS m FROM cl),
+       |v0 AS (SELECT list_transform(range(1, 65), i -> 1.0::DOUBLE) AS v),
+       |${(1 to PcaRounds).map(iter).mkString(",\n")},
+       |proj AS (SELECT e.label,
+       |    CAST(round(${DuckSql.dotSeqSql("e.embedding", "v", 64)}
+       |      * 1000000.0) AS BIGINT) AS pq
+       |  FROM embeddings e, v$PcaRounds)
+       |SELECT label::INT AS label, count(*)::BIGINT AS n_vecs,
+       |  ${DuckSql.roundpSql(
+              "(sum(pq)::DOUBLE / 1000000.0) / count(*)", 6)} AS mean_proj,
+       |  ${DuckSql.roundpSql(s"(SELECT nw FROM v$PcaRounds)", 6)} AS eig1
+       |FROM proj GROUP BY label ORDER BY label""".stripMargin
+  }
+
   /** q187: embedding COVARIANCE matrix — the d×d second-moment primitive
     * under PCA, whitening, Mahalanobis outlier scoring and drift tests
     * (the matrix q145's drift distances implicitly live in). One scan
@@ -1024,6 +1133,7 @@ object SimilarityQueries {
     "q187_covariance" -> (q187Covariance _),
     "q176_label_confusion"  -> (q176LabelConfusion _),
     "q239_kmeans_train"     -> (q239KmeansTrain _),
+    "q240_pca_spectrum"     -> (q240PcaSpectrum _),
     "q166_matryoshka"       -> (q166Matryoshka _),
     "q167_sq8_recall"       -> (q167Sq8Recall _),
     "q155_diversity_sample" -> (q155DiversitySample _),
@@ -1047,6 +1157,7 @@ object SimilarityQueries {
     "q187_covariance" -> q187Sql,
     "q176_label_confusion"  -> q176Sql,
     "q239_kmeans_train"     -> q239Sql,
+    "q240_pca_spectrum"     -> q240Sql,
     "q166_matryoshka"       -> q166Sql,
     "q167_sq8_recall"       -> q167Sql,
     "q155_diversity_sample" -> q155Sql,

@@ -63,6 +63,58 @@ class TrainLoopSpec extends AnyFunSuite with SparkSpecBase {
     graft.ops.ScratchCache.releaseAll()
   }
 
+  test("q240 equals a straight-line moments->covariance->power-iteration reference") {
+    val rnd = new scala.util.Random(240)
+    val dims = 64
+    // variance concentrated on dim 0 (label-dependent ±5) so the top PC
+    // is spectrally obvious; the other dims carry small noise
+    val embs: Seq[(Long, Seq[Float], Int)] = (0 until 40).map { i =>
+      val v = Array.tabulate(dims)(p =>
+        if (p == 0) (if (i % 2 == 0) 5.0f else -5.0f)
+        else (rnd.nextFloat() - 0.5f) * 0.1f)
+      (i.toLong, v.toSeq, i % 2)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_pca").toString
+    embs.toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = graft.queries.SimilarityQueries.q240PcaSpectrum(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getLong(1),
+        r.getDouble(2), r.getDouble(3)))
+    // straight-line reference: exact quantized moments, same cell math,
+    // same 3-round iteration, same micro-quantized projection means
+    def q4(x: Float) = math.round(x.toDouble * 1e4)
+    val n = embs.size.toLong
+    val xs = embs.map(_._2.map(q4).toArray)
+    val sx = Array.tabulate(dims)(p => xs.map(_(p)).sum)
+    val cov = Array.tabulate(dims, dims) { (i, j) =>
+      val sxy = xs.map(x => x(i) * x(j)).sum
+      (sxy.toDouble / n - (sx(i).toDouble / n) * (sx(j).toDouble / n)) /
+        100000000.0
+    }
+    var v = Array.fill(dims)(1.0); var lambda = 0.0
+    for (_ <- 1 to 3) {
+      val w = Array.tabulate(dims)(i =>
+        (0 until dims).foldLeft(0.0)((acc, j) => acc + cov(i)(j) * v(j)))
+      lambda = math.sqrt(w.foldLeft(0.0)((acc, x) => acc + x * x))
+      v = w.map(_ / lambda)
+    }
+    assert(math.abs(v(0)) > 0.9, s"top PC should align with dim 0: ${v(0)}")
+    def r6(x: Double) = BigDecimal(x * 1e6)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble / 1e6 + 0.0
+    val want = embs.groupBy(_._3).toSeq.sortBy(_._1).map { case (lab, g) =>
+      val pqs = g.map { case (_, e, _) =>
+        val proj = e.zip(v).foldLeft(0.0) { case (acc, (a, b)) =>
+          acc + a.toDouble * b }
+        BigDecimal(proj * 1000000.0)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      }
+      (lab, g.size.toLong,
+        r6((pqs.sum.toDouble / 1000000.0) / g.size), r6(lambda))
+    }
+    assert(got.toSeq == want, s"got=${got.toSeq}\nwant=$want")
+    graft.ops.ScratchCache.releaseAll()
+  }
+
   test("q239 equals a driver-side quantized-centroid Lloyd iteration") {
     val rnd = new scala.util.Random(239)
     val dims = 64
