@@ -457,6 +457,17 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpecBase {
     graft.ops.ScratchCache.releaseAll()
   }
 
+  test("q240 PCA projection pass: literal eigenvector — no join, one agg shuffle plus sort") {
+    val df = graft.queries.SimilarityQueries.q240PcaSpectrum(spark, sfSmoke)
+    val plan = planStr(df)
+    // the eigenvector folds back as a literal, so the projection scan
+    // joins nothing and windows nothing; per-label agg + output sort only
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("Window"), plan)
+    assert(shuffles(df) <= 2, plan)
+    graft.ops.ScratchCache.releaseAll()
+  }
+
   test("q45 PQ ADC scan is the intended broadcast-NLJ; candidates rank via aggregate") {
     val emb = Tables.embeddings(spark, sfSmoke)
     val idx = graft.ops.PqIndex.build(emb, "vec_id", "embedding", m = 8, ksub = 16)
