@@ -2051,7 +2051,114 @@ object TextQueries {
        |ORDER BY round""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q241
+
+  /** q241: closed-form OLS fit (NORMAL EQUATIONS) — the one-pass linear
+    * probe: lexical diversity (distinct-token ratio) regressed on scaled
+    * token count and char count. Complements q238's iterative GD with
+    * the closed form every feature-importance / probe sweep actually
+    * runs: ONE aggregation ships the 9 quantized cross-moments (exact
+    * `round(term·1e8)::long` integers, so reduction order is
+    * irrelevant), the driver solves the 3×3 system by Cramer's rule —
+    * double expressions over exact integers, written term-for-term
+    * identically in the SQL twin — and one more pass sums quantized
+    * squared residuals for R². Two linear scans, 10 longs + 4 doubles
+    * of state, at any corpus size. */
+  def q241OlsProbe(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val Q = 100000000.0 // 1e8 moment quantization
+    val feats = graft.ops.ScratchCache.register(documents(s, d)
+      .select(tokens($"text").as("ws"), $"n_chars")
+      .filter(size($"ws") >= 1)
+      .select(
+        (size($"ws").cast("double") * lit(0.01)).as("f1"),
+        ($"n_chars".cast("double") * lit(0.001)).as("f2"),
+        (size(array_distinct($"ws")).cast("double") / size($"ws")).as("t"))
+      .persist())
+    def mq(c: Column) = sum(round(c * lit(Q)).cast("long"))
+    val m = feats.agg(count(lit(1)),
+      mq($"f1"), mq($"f2"), mq($"t"),
+      mq($"f1" * $"f1"), mq($"f1" * $"f2"), mq($"f2" * $"f2"),
+      mq($"f1" * $"t"), mq($"f2" * $"t"), mq($"t" * $"t")).head()
+    val n = m.getLong(0)
+    if (n == 0L) {
+      graft.ops.ScratchCache.releaseAll()
+      return Seq.empty[(Long, Double, Double, Double, Double)]
+        .toDF("n_docs", "b0", "b1", "b2", "r2")
+    }
+    def d8(i: Int) = m.getLong(i).toDouble / Q
+    val (a11, a12, a13) = (n.toDouble, d8(1), d8(2))
+    val (a22, a23, a33) = (d8(4), d8(5), d8(6))
+    val (r1, r2m, r3) = (d8(3), d8(7), d8(8))
+    val stt = d8(9)
+    val det = a11 * (a22 * a33 - a23 * a23) -
+      a12 * (a12 * a33 - a23 * a13) + a13 * (a12 * a23 - a22 * a13)
+    val b0 = (r1 * (a22 * a33 - a23 * a23) -
+      a12 * (r2m * a33 - a23 * r3) + a13 * (r2m * a23 - a22 * r3)) / det
+    val b1 = (a11 * (r2m * a33 - a23 * r3) -
+      r1 * (a12 * a33 - a23 * a13) + a13 * (a12 * r3 - r2m * a13)) / det
+    val b2 = (a11 * (a22 * r3 - r2m * a23) -
+      a12 * (a12 * r3 - r2m * a13) + r1 * (a12 * a23 - a22 * a13)) / det
+    val sst = stt - (r1 * r1) / a11
+    val resid = $"t" - ((lit(b0) + lit(b1) * $"f1") + lit(b2) * $"f2")
+    val ssrq = feats
+      .agg(coalesce(sum(round((resid * resid) * lit(Q)).cast("long")),
+        lit(0L))).head().getLong(0)
+    val r2out = 1.0 - ((ssrq.toDouble / Q) / sst)
+    graft.ops.ScratchCache.releaseAll()
+    Seq((n, b0, b1, b2, r2out))
+      .toDF("n_docs", "b0r", "b1r", "b2r", "r2r")
+      .select($"n_docs", roundp($"b0r", 6).as("b0"), roundp($"b1r", 6).as("b1"),
+        roundp($"b2r", 6).as("b2"), roundp($"r2r", 6).as("r2"))
+  }
+
+  /** The same two passes + Cramer solve, expression shapes mirrored. */
+  val q241Sql: String = {
+    val ws = DuckSql.tokensSql
+    def mq(t: String) = s"sum(CAST(round(($t) * 100000000.0) AS BIGINT))::BIGINT"
+    s"""WITH f AS (SELECT len(ws)::DOUBLE * 0.01 AS f1,
+       |    n_chars::DOUBLE * 0.001 AS f2,
+       |    len(list_distinct(ws))::DOUBLE / len(ws) AS t
+       |  FROM (SELECT $ws AS ws, n_chars FROM documents) WHERE len(ws) >= 1),
+       |m AS (SELECT count(*)::BIGINT AS n,
+       |    ${mq("f1")} AS s1, ${mq("f2")} AS s2, ${mq("t")} AS st,
+       |    ${mq("f1 * f1")} AS s11, ${mq("f1 * f2")} AS s12,
+       |    ${mq("f2 * f2")} AS s22, ${mq("f1 * t")} AS s1t,
+       |    ${mq("f2 * t")} AS s2t, ${mq("t * t")} AS stt FROM f),
+       |c AS (SELECT n,
+       |    n::DOUBLE AS a11, s1::DOUBLE / 100000000.0 AS a12,
+       |    s2::DOUBLE / 100000000.0 AS a13, s11::DOUBLE / 100000000.0 AS a22,
+       |    s12::DOUBLE / 100000000.0 AS a23, s22::DOUBLE / 100000000.0 AS a33,
+       |    st::DOUBLE / 100000000.0 AS r1, s1t::DOUBLE / 100000000.0 AS r2m,
+       |    s2t::DOUBLE / 100000000.0 AS r3, stt::DOUBLE / 100000000.0 AS stt
+       |  FROM m),
+       |b AS (SELECT n, a11, r1, stt,
+       |    (a11 * (a22 * a33 - a23 * a23) - a12 * (a12 * a33 - a23 * a13)
+       |      + a13 * (a12 * a23 - a22 * a13)) AS det,
+       |    (r1 * (a22 * a33 - a23 * a23) - a12 * (r2m * a33 - a23 * r3)
+       |      + a13 * (r2m * a23 - a22 * r3)) AS det0,
+       |    (a11 * (r2m * a33 - a23 * r3) - r1 * (a12 * a33 - a23 * a13)
+       |      + a13 * (a12 * r3 - r2m * a13)) AS det1,
+       |    (a11 * (a22 * r3 - r2m * a23) - a12 * (a12 * r3 - r2m * a13)
+       |      + r1 * (a12 * a23 - a22 * a13)) AS det2
+       |  FROM c),
+       |w AS (SELECT n, det0 / det AS b0, det1 / det AS b1, det2 / det AS b2,
+       |    stt - (r1 * r1) / a11 AS sst FROM b),
+       |r AS (SELECT coalesce(sum(CAST(round(
+       |      ((t - ((w.b0 + (w.b1 * f1)) + w.b2 * f2))
+       |        * (t - ((w.b0 + (w.b1 * f1)) + w.b2 * f2))) * 100000000.0)
+       |      AS BIGINT)), 0)::BIGINT AS ssrq FROM f, w)
+       |SELECT w.n AS n_docs,
+       |  ${DuckSql.roundpSql("w.b0", 6)} AS b0,
+       |  ${DuckSql.roundpSql("w.b1", 6)} AS b1,
+       |  ${DuckSql.roundpSql("w.b2", 6)} AS b2,
+       |  ${DuckSql.roundpSql(
+            "1.0 - ((r.ssrq::DOUBLE / 100000000.0) / w.sst)", 6)} AS r2
+       |FROM w, r""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q241_ols_probe" -> (q241OlsProbe _),
     "q238_quality_regression" -> (q238QualityRegression _),
     "q236_bpe_train" -> (q236BpeTrain _),
     "q237_bpe_compression" -> (q237BpeCompression _),
@@ -2091,6 +2198,7 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q241_ols_probe" -> q241Sql,
     "q238_quality_regression" -> q238Sql,
     "q236_bpe_train" -> q236Sql,
     "q237_bpe_compression" -> q237Sql,

@@ -63,6 +63,57 @@ class TrainLoopSpec extends AnyFunSuite with SparkSpecBase {
     graft.ops.ScratchCache.releaseAll()
   }
 
+  test("q241 equals a straight-line quantized-moments Cramer OLS reference") {
+    val docs = Seq(
+      (1L, "alpha beta gamma alpha beta", "en", "s1", 27L),
+      (2L, "one two three four five six seven", "en", "s1", 33L),
+      (3L, "rot rot rot gruen", "de", "s2", 17L),
+      (4L, "a b c d e f g h i j k l", "en", "s2", 23L),
+      (5L, "xyz", "fr", "s1", 3L),
+      (6L, "p q p q p q p q", "de", "s1", 15L))
+    val dir = java.nio.file.Files.createTempDirectory("graft_ols").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.queries.TextQueries.q241OlsProbe(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    // straight-line reference with the same quantization and Cramer shapes
+    val feats = docs.map { case (_, text, _, _, nChars) =>
+      val ws = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      (ws.length * 0.01, nChars * 0.001, ws.distinct.length.toDouble / ws.length)
+    }
+    def q8(x: Double) = BigDecimal(x * 100000000.0)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val n = feats.size
+    def s(f: ((Double, Double, Double)) => Double) = feats.map(x => q8(f(x))).sum
+    val (a11, a12, a13) = (n.toDouble, s(_._1).toDouble / 1e8, s(_._2).toDouble / 1e8)
+    val (a22, a23, a33) = (s(x => x._1 * x._1).toDouble / 1e8,
+      s(x => x._1 * x._2).toDouble / 1e8, s(x => x._2 * x._2).toDouble / 1e8)
+    val (r1, r2m, r3) = (s(_._3).toDouble / 1e8,
+      s(x => x._1 * x._3).toDouble / 1e8, s(x => x._2 * x._3).toDouble / 1e8)
+    val stt = s(x => x._3 * x._3).toDouble / 1e8
+    val det = a11 * (a22 * a33 - a23 * a23) -
+      a12 * (a12 * a33 - a23 * a13) + a13 * (a12 * a23 - a22 * a13)
+    val b0 = (r1 * (a22 * a33 - a23 * a23) - a12 * (r2m * a33 - a23 * r3) +
+      a13 * (r2m * a23 - a22 * r3)) / det
+    val b1 = (a11 * (r2m * a33 - a23 * r3) - r1 * (a12 * a33 - a23 * a13) +
+      a13 * (a12 * r3 - r2m * a13)) / det
+    val b2 = (a11 * (a22 * r3 - r2m * a23) - a12 * (a12 * r3 - r2m * a13) +
+      r1 * (a12 * a23 - a22 * a13)) / det
+    val sst = stt - (r1 * r1) / a11
+    val ssrq = feats.map { case (f1, f2, t) =>
+      val e = t - ((b0 + b1 * f1) + b2 * f2); q8(e * e) }.sum
+    val r2out = 1.0 - ((ssrq.toDouble / 1e8) / sst)
+    def r6(x: Double) = BigDecimal(x * 1e6)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble / 1e6 + 0.0
+    val want = Seq((n.toLong, r6(b0), r6(b1), r6(b2), r6(r2out)))
+    assert(got.toSeq == want, s"got=${got.toSeq}\nwant=$want")
+    // well-formed fit: finite, bounded above by 1 (the sf0.1 data's fit
+    // is strong — R²≈0.88 — but this 6-doc fixture's needn't be)
+    assert(!r2out.isNaN && r2out <= 1.0, s"r2=$r2out")
+    graft.ops.ScratchCache.releaseAll()
+  }
+
   test("q240 equals a straight-line moments->covariance->power-iteration reference") {
     val rnd = new scala.util.Random(240)
     val dims = 64
