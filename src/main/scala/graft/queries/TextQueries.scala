@@ -2157,7 +2157,156 @@ object TextQueries {
        |FROM w, r""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q242
+
+  private val CvFolds = 4
+
+  /** q242: EXACT k-fold CROSS-VALIDATION of the q241 probe in TWO linear
+    * passes — the moment-subtraction trick: because every normal-equation
+    * entry is an exact integer sum, the training moments for fold φ are
+    * simply (total − fold φ's own), so ONE per-fold aggregation yields
+    * ALL k leave-one-fold-out models at once (no k re-scans, no
+    * per-fold sub-corpora — the shape a 100 TB hyperparameter sweep
+    * needs). The driver solves k Cramer systems (q241's expressions over
+    * the subtracted integers), folds the coefficients back as literal
+    * fold-keyed maps, and the second pass aggregates quantized
+    * OUT-OF-FOLD squared residuals per fold. Deterministic folds
+    * (doc_id mod k) so the oracle replays everything. Output per fold:
+    * train/test sizes, coefficients, out-of-fold R². */
+  def q242Crossval(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val Q = 100000000.0
+    val feats = graft.ops.ScratchCache.register(documents(s, d)
+      .select($"doc_id", tokens($"text").as("ws"), $"n_chars")
+      .filter(size($"ws") >= 1)
+      .select(($"doc_id" % CvFolds).as("fold"),
+        (size($"ws").cast("double") * lit(0.01)).as("f1"),
+        ($"n_chars".cast("double") * lit(0.001)).as("f2"),
+        (size(array_distinct($"ws")).cast("double") / size($"ws")).as("t"))
+      .persist())
+    def mq(c: Column) = sum(round(c * lit(Q)).cast("long"))
+    val m = feats.groupBy($"fold").agg(count(lit(1)),
+      mq($"f1"), mq($"f2"), mq($"t"),
+      mq($"f1" * $"f1"), mq($"f1" * $"f2"), mq($"f2" * $"f2"),
+      mq($"f1" * $"t"), mq($"f2" * $"t"), mq($"t" * $"t")).collect()
+      .map(r => r.getLong(0) -> Array.tabulate(10)(i => r.getLong(i + 1)))
+      .toMap
+    if (m.isEmpty) {
+      graft.ops.ScratchCache.releaseAll()
+      return Seq.empty[(Long, Long, Long, Double, Double, Double, Double)]
+        .toDF("fold", "n_train", "n_test", "b0", "b1", "b2", "oof_r2")
+    }
+    val tot = Array.tabulate(10)(i => m.valuesIterator.map(_(i)).sum)
+    // per-fold leave-out solve: q241's Cramer shapes over (tot − fold)
+    case class Fit(nTrain: Long, nTest: Long, b0: Double, b1: Double,
+                   b2: Double, sst: Double)
+    val fits: Map[Long, Fit] = m.map { case (fold, fm) =>
+      val tr = Array.tabulate(10)(i => tot(i) - fm(i))
+      def d8(i: Int) = tr(i).toDouble / Q
+      val (a11, a12, a13) = (tr(0).toDouble, d8(1), d8(2))
+      val (a22, a23, a33) = (d8(4), d8(5), d8(6))
+      val (r1, r2m, r3) = (d8(3), d8(7), d8(8))
+      val det = a11 * (a22 * a33 - a23 * a23) -
+        a12 * (a12 * a33 - a23 * a13) + a13 * (a12 * a23 - a22 * a13)
+      val b0 = (r1 * (a22 * a33 - a23 * a23) -
+        a12 * (r2m * a33 - a23 * r3) + a13 * (r2m * a23 - a22 * r3)) / det
+      val b1 = (a11 * (r2m * a33 - a23 * r3) -
+        r1 * (a12 * a33 - a23 * a13) + a13 * (a12 * r3 - r2m * a13)) / det
+      val b2 = (a11 * (a22 * r3 - r2m * a23) -
+        a12 * (a12 * r3 - r2m * a13) + r1 * (a12 * a23 - a22 * a13)) / det
+      // held-out total SS from the FOLD's own exact moments
+      val sst = fm(9).toDouble / Q -
+        (fm(3).toDouble / Q) * (fm(3).toDouble / Q) / fm(0).toDouble
+      fold -> Fit(tr(0), fm(0), b0, b1, b2, sst)
+    }
+    def coefMap(f: Fit => Double): Column =
+      map(fits.toSeq.sortBy(_._1).flatMap { case (k, v) =>
+        Seq(lit(k), lit(f(v))) }: _*)
+    val (b0c, b1c, b2c) = (element_at(coefMap(_.b0), $"fold"),
+      element_at(coefMap(_.b1), $"fold"), element_at(coefMap(_.b2), $"fold"))
+    val resid = $"t" - ((b0c + b1c * $"f1") + b2c * $"f2")
+    val ssrq = feats.groupBy($"fold")
+      .agg(coalesce(sum(round((resid * resid) * lit(Q)).cast("long")),
+        lit(0L)).as("ssrq"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    graft.ops.ScratchCache.releaseAll()
+    fits.toSeq.sortBy(_._1).map { case (fold, f) =>
+      (fold, f.nTrain, f.nTest, f.b0, f.b1, f.b2,
+        1.0 - ((ssrq(fold).toDouble / Q) / f.sst))
+    }.toDF("fold", "n_train", "n_test", "b0r", "b1r", "b2r", "r2r")
+      .select($"fold", $"n_train", $"n_test",
+        roundp($"b0r", 6).as("b0"), roundp($"b1r", 6).as("b1"),
+        roundp($"b2r", 6).as("b2"), roundp($"r2r", 6).as("oof_r2"))
+      .orderBy($"fold")
+  }
+
+  /** SQL replay — per-fold sums, total sums, the SUBTRACTED training
+    * moments, q241's Cramer expressions applied per fold ROW (no
+    * unrolling needed), and the out-of-fold residual aggregation. */
+  val q242Sql: String = {
+    val ws = DuckSql.tokensSql
+    def mq(t: String) = s"sum(CAST(round(($t) * 100000000.0) AS BIGINT))::BIGINT"
+    s"""WITH f AS (SELECT doc_id % $CvFolds AS fold,
+       |    len(ws)::DOUBLE * 0.01 AS f1, n_chars::DOUBLE * 0.001 AS f2,
+       |    len(list_distinct(ws))::DOUBLE / len(ws) AS t
+       |  FROM (SELECT doc_id, $ws AS ws, n_chars FROM documents)
+       |  WHERE len(ws) >= 1),
+       |m AS (SELECT fold, count(*)::BIGINT AS n,
+       |    ${mq("f1")} AS s1, ${mq("f2")} AS s2, ${mq("t")} AS st,
+       |    ${mq("f1 * f1")} AS s11, ${mq("f1 * f2")} AS s12,
+       |    ${mq("f2 * f2")} AS s22, ${mq("f1 * t")} AS s1t,
+       |    ${mq("f2 * t")} AS s2t, ${mq("t * t")} AS stt
+       |  FROM f GROUP BY fold),
+       |tot AS (SELECT sum(n)::BIGINT AS n, sum(s1)::BIGINT AS s1,
+       |    sum(s2)::BIGINT AS s2, sum(st)::BIGINT AS st,
+       |    sum(s11)::BIGINT AS s11, sum(s12)::BIGINT AS s12,
+       |    sum(s22)::BIGINT AS s22, sum(s1t)::BIGINT AS s1t,
+       |    sum(s2t)::BIGINT AS s2t, sum(stt)::BIGINT AS stt FROM m),
+       |c AS (SELECT m.fold, (tot.n - m.n) AS n_train, m.n AS n_test,
+       |    (tot.n - m.n)::DOUBLE AS a11,
+       |    (tot.s1 - m.s1)::DOUBLE / 100000000.0 AS a12,
+       |    (tot.s2 - m.s2)::DOUBLE / 100000000.0 AS a13,
+       |    (tot.s11 - m.s11)::DOUBLE / 100000000.0 AS a22,
+       |    (tot.s12 - m.s12)::DOUBLE / 100000000.0 AS a23,
+       |    (tot.s22 - m.s22)::DOUBLE / 100000000.0 AS a33,
+       |    (tot.st - m.st)::DOUBLE / 100000000.0 AS r1,
+       |    (tot.s1t - m.s1t)::DOUBLE / 100000000.0 AS r2m,
+       |    (tot.s2t - m.s2t)::DOUBLE / 100000000.0 AS r3,
+       |    m.stt::DOUBLE / 100000000.0
+       |      - (m.st::DOUBLE / 100000000.0) * (m.st::DOUBLE / 100000000.0)
+       |        / m.n::DOUBLE AS sst
+       |  FROM m, tot),
+       |b AS (SELECT fold, n_train, n_test, sst,
+       |    (r1 * (a22 * a33 - a23 * a23) - a12 * (r2m * a33 - a23 * r3)
+       |      + a13 * (r2m * a23 - a22 * r3)) /
+       |    (a11 * (a22 * a33 - a23 * a23) - a12 * (a12 * a33 - a23 * a13)
+       |      + a13 * (a12 * a23 - a22 * a13)) AS b0,
+       |    (a11 * (r2m * a33 - a23 * r3) - r1 * (a12 * a33 - a23 * a13)
+       |      + a13 * (a12 * r3 - r2m * a13)) /
+       |    (a11 * (a22 * a33 - a23 * a23) - a12 * (a12 * a33 - a23 * a13)
+       |      + a13 * (a12 * a23 - a22 * a13)) AS b1,
+       |    (a11 * (a22 * r3 - r2m * a23) - a12 * (a12 * r3 - r2m * a13)
+       |      + r1 * (a12 * a23 - a22 * a13)) /
+       |    (a11 * (a22 * a33 - a23 * a23) - a12 * (a12 * a33 - a23 * a13)
+       |      + a13 * (a12 * a23 - a22 * a13)) AS b2
+       |  FROM c),
+       |r AS (SELECT f.fold, coalesce(sum(CAST(round(
+       |      ((t - ((b.b0 + (b.b1 * f1)) + b.b2 * f2))
+       |        * (t - ((b.b0 + (b.b1 * f1)) + b.b2 * f2)))
+       |      * 100000000.0) AS BIGINT)), 0)::BIGINT AS ssrq
+       |  FROM f JOIN b ON f.fold = b.fold GROUP BY f.fold)
+       |SELECT b.fold, b.n_train, b.n_test,
+       |  ${DuckSql.roundpSql("b.b0", 6)} AS b0,
+       |  ${DuckSql.roundpSql("b.b1", 6)} AS b1,
+       |  ${DuckSql.roundpSql("b.b2", 6)} AS b2,
+       |  ${DuckSql.roundpSql(
+            "1.0 - ((r.ssrq::DOUBLE / 100000000.0) / b.sst)", 6)} AS oof_r2
+       |FROM b JOIN r ON b.fold = r.fold
+       |ORDER BY b.fold""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q242_crossval" -> (q242Crossval _),
     "q241_ols_probe" -> (q241OlsProbe _),
     "q238_quality_regression" -> (q238QualityRegression _),
     "q236_bpe_train" -> (q236BpeTrain _),
@@ -2198,6 +2347,7 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q242_crossval" -> q242Sql,
     "q241_ols_probe" -> q241Sql,
     "q238_quality_regression" -> q238Sql,
     "q236_bpe_train" -> q236Sql,

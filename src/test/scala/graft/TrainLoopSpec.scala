@@ -114,6 +114,63 @@ class TrainLoopSpec extends AnyFunSuite with SparkSpecBase {
     graft.ops.ScratchCache.releaseAll()
   }
 
+  test("q242 equals a straight-line moment-subtraction cross-validation reference") {
+    val rnd = new scala.util.Random(242)
+    val docs: Seq[(Long, String, String, String, Long)] = (1L to 24L).map { i =>
+      val n = 3 + rnd.nextInt(12)
+      val vocab = Seq("alpha", "beta", "gamma", "delta", "eps")
+      val text = Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      (i, text, "en", "s1", text.length.toLong)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_cv").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.queries.TextQueries.q242Crossval(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+    // reference: per-fold quantized moments, train = total − fold,
+    // q241's Cramer, out-of-fold quantized residuals
+    def q8(x: Double) = BigDecimal(x * 100000000.0)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val feats = docs.map { case (id, text, _, _, nChars) =>
+      val ws = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      (id % 4, ws.length * 0.01, nChars * 0.001,
+        ws.distinct.length.toDouble / ws.length)
+    }
+    val terms: ((Long, Double, Double, Double)) => Array[Long] = {
+      case (_, f1, f2, t) => Array(1L, q8(f1), q8(f2), q8(t), q8(f1 * f1),
+        q8(f1 * f2), q8(f2 * f2), q8(f1 * t), q8(f2 * t), q8(t * t))
+    }
+    val byFold = feats.groupBy(_._1).map { case (k, g) =>
+      k -> g.map(terms).transpose.map(_.sum).toArray }
+    val tot = byFold.values.toSeq.transpose.map(_.sum).toArray
+    def r6(x: Double) = BigDecimal(x * 1e6)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble / 1e6 + 0.0
+    val want = byFold.toSeq.sortBy(_._1).map { case (fold, fm) =>
+      val tr = Array.tabulate(10)(i => tot(i) - fm(i))
+      def d8(i: Int) = tr(i).toDouble / 1e8
+      val (a11, a12, a13) = (tr(0).toDouble, d8(1), d8(2))
+      val (a22, a23, a33) = (d8(4), d8(5), d8(6))
+      val (r1, r2m, r3) = (d8(3), d8(7), d8(8))
+      val det = a11 * (a22 * a33 - a23 * a23) -
+        a12 * (a12 * a33 - a23 * a13) + a13 * (a12 * a23 - a22 * a13)
+      val b0 = (r1 * (a22 * a33 - a23 * a23) - a12 * (r2m * a33 - a23 * r3) +
+        a13 * (r2m * a23 - a22 * r3)) / det
+      val b1 = (a11 * (r2m * a33 - a23 * r3) - r1 * (a12 * a33 - a23 * a13) +
+        a13 * (a12 * r3 - r2m * a13)) / det
+      val b2 = (a11 * (a22 * r3 - r2m * a23) - a12 * (a12 * r3 - r2m * a13) +
+        r1 * (a12 * a23 - a22 * a13)) / det
+      val sst = fm(9).toDouble / 1e8 -
+        (fm(3).toDouble / 1e8) * (fm(3).toDouble / 1e8) / fm(0).toDouble
+      val ssrq = feats.filter(_._1 == fold).map { case (_, f1, f2, t) =>
+        val e = t - ((b0 + b1 * f1) + b2 * f2); q8(e * e) }.sum
+      (fold, tr(0), fm(0), r6(b0), r6(b1), r6(b2),
+        r6(1.0 - ((ssrq.toDouble / 1e8) / sst)))
+    }
+    assert(got.toSeq == want, s"got=${got.toSeq}\nwant=$want")
+    graft.ops.ScratchCache.releaseAll()
+  }
+
   test("q240 equals a straight-line moments->covariance->power-iteration reference") {
     val rnd = new scala.util.Random(240)
     val dims = 64
