@@ -22,6 +22,36 @@ class TrainLoopSpec extends AnyFunSuite with SparkSpecBase {
     dir
   }
 
+  test("training family on an EMPTY corpus: zero rows, no job failure") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_empty").toString
+    Seq.empty[(Long, String, String, String, Long)]
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    Seq.empty[(Long, Seq[Float], Int)].toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    assert(graft.queries.TextQueries.q238QualityRegression(spark, dir).count() == 0)
+    assert(graft.queries.TextQueries.q241OlsProbe(spark, dir).count() == 0)
+    assert(graft.queries.TextQueries.q242Crossval(spark, dir).count() == 0)
+    assert(graft.queries.SimilarityQueries.q239KmeansTrain(spark, dir).count() == 0)
+    assert(graft.queries.SimilarityQueries.q240PcaSpectrum(spark, dir).count() == 0)
+    graft.ops.ScratchCache.releaseAll()
+  }
+
+  test("q241/q242 on a constant-feature corpus: singular system yields non-finite fit, no exception") {
+    // every doc identical → the feature matrix is rank-1, det == 0: the
+    // contract is R-style NaN/Inf coefficients (both engines produce the
+    // same non-finite doubles from the same expressions), never a crash
+    val docs = (1L to 8L).map(i => (i, "same same text", "en", "s1", 14L))
+    val dir = java.nio.file.Files.createTempDirectory("graft_singular").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r1 = graft.queries.TextQueries.q241OlsProbe(spark, dir).collect()
+    assert(r1.length == 1 && r1(0).getLong(0) == 8L)
+    val r2 = graft.queries.TextQueries.q242Crossval(spark, dir).collect()
+    assert(r2.length == 4)
+    graft.ops.ScratchCache.releaseAll()
+  }
+
   test("q238 equals a driver-side quantized-gradient logistic regression") {
     val docs = Seq(
       (1L, "the quick brown fox", "en", "s1", 19L),
