@@ -2305,7 +2305,180 @@ object TextQueries {
        |ORDER BY b.fold""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q243
+
+  private val BoostRounds = 3
+  private val BoostLr = 0.5
+
+  /** q243: distributed GRADIENT BOOSTING (L2Boost over decision stumps) —
+    * the nonlinear member of the model-fitting family: K rounds of
+    * least-squares stumps on integer-bucketed features (capped token
+    * count; n_chars/16), each round ONE bounded aggregation over the
+    * persisted frame: per (feature, bucket) residual count + nano-
+    * quantized residual sum (2×64 rows — bounded whatever the corpus),
+    * plus the quantized Σr² riding the feature-1 rows so the training
+    * SSE needs no extra pass. The split search (every (feature,
+    * threshold) via prefix sums), the gain argmax (deterministic
+    * lexicographic tie-break: score, then smaller feature, then smaller
+    * threshold) and the leaf values are driver math over the exact
+    * integers; the fitted stumps fold back into the next round's
+    * residual as literals (no state column, no join). The SQL twin
+    * replays the whole loop: same quantization points, same prefix
+    * sums, same struct-max argmax, same fold shapes. */
+  def q243BoostedStumps(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val Q9 = 1000000000.0
+    val feats = graft.ops.ScratchCache.register(documents(s, d)
+      .select(tokens($"text").as("ws"), $"n_chars")
+      .filter(size($"ws") >= 1)
+      .select(
+        least(size($"ws"), lit(63)).as("b1"),
+        expr("least(n_chars div 16, 63)").cast("int").as("b2"),
+        (size(array_distinct($"ws")).cast("double") / size($"ws")).as("t"))
+      .persist())
+    case class Stump(j: Int, th: Int, vl: Double, vr: Double)
+    val stumps = scala.collection.mutable.ArrayBuffer.empty[Stump]
+    def fCol: Column = stumps.foldLeft(lit(0.0)) { (acc, st) =>
+      val b = if (st.j == 1) $"b1" else $"b2"
+      acc + lit(BoostLr) * when(b <= st.th, lit(st.vl)).otherwise(lit(st.vr))
+    }
+    def roundJob(): (Array[(Int, Int, Long, Long)], Long) = {
+      val r = ($"t" - fCol).as("r")
+      val rows = feats
+        .select($"b1", $"b2", r)
+        .select(explode(array(
+          struct(lit(1).as("j"), $"b1".as("b")),
+          struct(lit(2).as("j"), $"b2".as("b")))).as("jb"), $"r")
+        .groupBy($"jb.j".as("j"), $"jb.b".as("b"))
+        .agg(count(lit(1)).as("n"),
+          sum(round($"r" * lit(Q9)).cast("long")).as("sq"),
+          sum(round(($"r" * $"r") * lit(Q9)).cast("long")).as("q2"))
+        .collect()
+      (rows.map(x => (x.getInt(0), x.getInt(1), x.getLong(2), x.getLong(3))),
+        rows.filter(_.getInt(0) == 1).map(_.getLong(4)).sum)
+    }
+    // Option: a corpus where every doc lands in one bucket on BOTH
+    // features has no valid split — boosting stops (degenerate corner,
+    // same class as q241's singular system)
+    def pickStump(buckets: Array[(Int, Int, Long, Long)]): Option[Stump] = {
+      val byJ = buckets.groupBy(_._1)
+      val cands = for {
+        j <- Seq(1, 2)
+        bs = byJ.getOrElse(j, Array.empty[(Int, Int, Long, Long)])
+        tn = bs.map(_._3).sum; ts = bs.map(_._4).sum
+        th <- 0 until 63
+        nl = bs.filter(_._2 <= th).map(_._3).sum
+        sl = bs.filter(_._2 <= th).map(_._4).sum
+        if nl > 0 && (tn - nl) > 0
+      } yield {
+        val score = ((sl.toDouble / Q9) * (sl.toDouble / Q9)) / nl.toDouble +
+          (((ts - sl).toDouble / Q9) * ((ts - sl).toDouble / Q9)) /
+            (tn - nl).toDouble
+        (score, -j, -th, Stump(j, th,
+          (sl.toDouble / Q9) / nl.toDouble,
+          ((ts - sl).toDouble / Q9) / (tn - nl).toDouble))
+      }
+      if (cands.isEmpty) None
+      else Some(cands.maxBy(x => (x._1, x._2, x._3))._4)
+    }
+    val perRound = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Int, Int, Double, Double)]
+    val sses = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var empty = false
+    for (r <- 1 to BoostRounds if !empty) {
+      val (buckets, sse) = roundJob()
+      if (buckets.isEmpty) empty = true
+      else {
+        if (r > 1) sses += sse // sse at F_{r-1}, recorded for round r-1
+        pickStump(buckets) match {
+          case None => empty = true
+          case Some(st) =>
+            stumps += st
+            perRound += ((r.toLong, st.j, st.th, st.vl, st.vr))
+        }
+      }
+    }
+    if (perRound.isEmpty) {
+      graft.ops.ScratchCache.releaseAll()
+      return Seq.empty[(Long, Int, Int, Double, Double, Long)]
+        .toDF("round", "feature", "threshold", "v_left", "v_right", "sse_q")
+    }
+    sses += roundJob()._2 // sse after the final stump
+    graft.ops.ScratchCache.releaseAll()
+    perRound.toSeq.zip(sses.drop(sses.length - perRound.length)).map {
+      case ((r, j, th, vl, vr), sq) => (r, j, th, vl, vr, sq)
+    }.toDF("round", "feature", "threshold", "vlr", "vrr", "sse_q")
+      .select($"round", $"feature", $"threshold",
+        roundp($"vlr", 6).as("v_left"), roundp($"vrr", 6).as("v_right"),
+        $"sse_q")
+      .orderBy($"round")
+  }
+
+  /** Unrolled SQL replay of the boosting loop: per-round bucket sums at
+    * the accumulated literal-stump model, prefix-sum split table,
+    * struct-max argmax with the identical tie-break, and the j=1-row
+    * Σr² as each round's SSE. */
+  val q243Sql: String = {
+    val ws = DuckSql.tokensSql
+    // residual at F_{r-1}: t minus the lr-scaled sum of rounds 1..r-1
+    def residual(r: Int): String = {
+      val fSum = (1 until r).map { i =>
+        s"$BoostLr * (CASE WHEN (CASE WHEN (SELECT j FROM best$i) = 1 " +
+          s"THEN b1 ELSE b2 END) <= (SELECT th FROM best$i) " +
+          s"THEN (SELECT vl FROM best$i) ELSE (SELECT vr FROM best$i) END)"
+      }.foldLeft("0.0")((acc, s) => s"($acc + $s)")
+      s"(t - $fSum)"
+    }
+    def g(r: Int): String = {
+      val rr = residual(r)
+      s"""g$r AS MATERIALIZED (SELECT j, b, count(*)::BIGINT AS n,
+         |    sum(CAST(round(($rr) * 1000000000.0) AS BIGINT))::BIGINT AS sq,
+         |    sum(CAST(round((($rr) * ($rr)) * 1000000000.0) AS BIGINT))
+         |      ::BIGINT AS q2
+         |  FROM u GROUP BY 1, 2)""".stripMargin
+    }
+    def best(r: Int): String =
+      s"""sp$r AS MATERIALIZED (SELECT g.j, th.th,
+         |    sum(CASE WHEN g.b <= th.th THEN g.n ELSE 0 END)::BIGINT AS nl,
+         |    sum(CASE WHEN g.b <= th.th THEN g.sq ELSE 0 END)::BIGINT AS sl,
+         |    sum(g.n)::BIGINT AS tn, sum(g.sq)::BIGINT AS ts
+         |  FROM g$r g CROSS JOIN generate_series(0, 62) th(th)
+         |  GROUP BY 1, 2),
+         |best$r AS MATERIALIZED (SELECT (-((mm).nj))::INT AS j,
+         |    (-((mm).nth))::INT AS th,
+         |    (mm).vl AS vl, (mm).vr AS vr FROM (
+         |  SELECT max(struct_pack(
+         |      sc := ((sl::DOUBLE / 1000000000.0) * (sl::DOUBLE / 1000000000.0))
+         |          / nl::DOUBLE
+         |        + (((ts - sl)::DOUBLE / 1000000000.0)
+         |            * ((ts - sl)::DOUBLE / 1000000000.0)) / (tn - nl)::DOUBLE,
+         |      nj := -j, nth := -th,
+         |      vl := (sl::DOUBLE / 1000000000.0) / nl::DOUBLE,
+         |      vr := ((ts - sl)::DOUBLE / 1000000000.0) / (tn - nl)::DOUBLE))
+         |    AS mm
+         |  FROM sp$r WHERE nl > 0 AND (tn - nl) > 0))""".stripMargin
+    val rounds = (1 to BoostRounds).map(r =>
+      s"SELECT $r::BIGINT AS round, (SELECT j FROM best$r) AS feature, " +
+        s"(SELECT th FROM best$r) AS threshold, " +
+        s"${DuckSql.roundpSql(s"(SELECT vl FROM best$r)", 6)} AS v_left, " +
+        s"${DuckSql.roundpSql(s"(SELECT vr FROM best$r)", 6)} AS v_right, " +
+        s"(SELECT sum(q2)::BIGINT FROM g${r + 1} WHERE j = 1) AS sse_q " +
+        s"FROM best$r").mkString("\nUNION ALL ")
+    s"""WITH f AS (SELECT least(len(ws), 63) AS b1,
+       |    least(n_chars // 16, 63) AS b2,
+       |    len(list_distinct(ws))::DOUBLE / len(ws) AS t
+       |  FROM (SELECT $ws AS ws, n_chars FROM documents) WHERE len(ws) >= 1),
+       |u AS MATERIALIZED (SELECT b1, b2, t, feats.j,
+       |    CASE WHEN feats.j = 1 THEN b1 ELSE b2 END AS b
+       |  FROM f CROSS JOIN (VALUES (1), (2)) feats(j)),
+       |${(1 to BoostRounds).map(r => g(r) + ",\n" + best(r)).mkString(",\n")},
+       |${g(BoostRounds + 1)}
+       |$rounds
+       |ORDER BY round""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q243_boosted_stumps" -> (q243BoostedStumps _),
     "q242_crossval" -> (q242Crossval _),
     "q241_ols_probe" -> (q241OlsProbe _),
     "q238_quality_regression" -> (q238QualityRegression _),
@@ -2347,6 +2520,7 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q243_boosted_stumps" -> q243Sql,
     "q242_crossval" -> q242Sql,
     "q241_ols_probe" -> q241Sql,
     "q238_quality_regression" -> q238Sql,

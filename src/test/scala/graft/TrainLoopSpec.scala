@@ -253,6 +253,67 @@ class TrainLoopSpec extends AnyFunSuite with SparkSpecBase {
     graft.ops.ScratchCache.releaseAll()
   }
 
+  test("q243 equals a straight-line quantized L2Boost-stump reference; SSE non-increasing") {
+    val rnd = new scala.util.Random(243)
+    val docs: Seq[(Long, String, String, String, Long)] = (1L to 30L).map { i =>
+      val n = 2 + rnd.nextInt(20)
+      val vocab = Seq("aa", "bb", "cc", "dd", "ee", "ff", "gg")
+      val text = Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      (i, text, "en", "s1", (10 + rnd.nextInt(900)).toLong)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_boost").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.queries.TextQueries.q243BoostedStumps(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getDouble(3), r.getDouble(4), r.getLong(5)))
+    // straight-line reference with the same buckets/quantization/argmax
+    def q9(x: Double) = BigDecimal(x * 1000000000.0)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val feats = docs.map { case (_, text, _, _, nChars) =>
+      val ws = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      (math.min(ws.length, 63), math.min(nChars / 16, 63L).toInt,
+        ws.distinct.length.toDouble / ws.length)
+    }
+    case class St(j: Int, th: Int, vl: Double, vr: Double)
+    val sts = scala.collection.mutable.ArrayBuffer.empty[St]
+    def fOf(b1: Int, b2: Int): Double = sts.foldLeft(0.0) { (acc, s) =>
+      val b = if (s.j == 1) b1 else b2
+      acc + 0.5 * (if (b <= s.th) s.vl else s.vr)
+    }
+    val want = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Int, Int, Double, Double, Long)]
+    def r6(x: Double) = BigDecimal(x * 1e6)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble / 1e6 + 0.0
+    for (r <- 1 to 3) {
+      val resid = feats.map { case (b1, b2, t) => (b1, b2, t - fOf(b1, b2)) }
+      val cands = for {
+        j <- Seq(1, 2); th <- 0 until 63
+        sel = resid.map { case (b1, b2, rr) =>
+          ((if (j == 1) b1 else b2) <= th, q9(rr)) }
+        nl = sel.count(_._1).toLong; tn = sel.size.toLong
+        sl = sel.filter(_._1).map(_._2).sum; ts = sel.map(_._2).sum
+        if nl > 0 && (tn - nl) > 0
+      } yield {
+        val score = ((sl.toDouble / 1e9) * (sl.toDouble / 1e9)) / nl.toDouble +
+          (((ts - sl).toDouble / 1e9) * ((ts - sl).toDouble / 1e9)) /
+            (tn - nl).toDouble
+        (score, -j, -th, St(j, th, (sl.toDouble / 1e9) / nl.toDouble,
+          ((ts - sl).toDouble / 1e9) / (tn - nl).toDouble))
+      }
+      val st = cands.maxBy(x => (x._1, x._2, x._3))._4
+      sts += st
+      val sse = feats.map { case (b1, b2, t) =>
+        val e = t - fOf(b1, b2); q9(e * e) }.sum
+      want += ((r.toLong, st.j, st.th, r6(st.vl), r6(st.vr), sse))
+    }
+    assert(got.toSeq == want.toSeq, s"got=${got.toSeq}\nwant=${want.toSeq}")
+    // boosting must not increase training SSE round over round
+    val sses = got.map(_._6)
+    assert(sses.zip(sses.tail).forall { case (a, b) => b <= a }, sses.toSeq)
+    graft.ops.ScratchCache.releaseAll()
+  }
+
   test("q239 equals a driver-side quantized-centroid Lloyd iteration") {
     val rnd = new scala.util.Random(239)
     val dims = 64
