@@ -2477,7 +2477,123 @@ object TextQueries {
        |ORDER BY round""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q244
+
+  private val EmRounds = 3
+
+  /** q244: EM for a TWO-COMPONENT GAUSSIAN MIXTURE over the lexical-
+    * diversity feature — the soft-clustering classic (the bimodality
+    * test behind "is this corpus two populations?": boilerplate vs
+    * prose, machine vs human text). Each EM round is ONE map-side-
+    * combined aggregation shipping 7 values (n + per-component
+    * quantized Σγ, Σγx, Σγx²); the M-step is driver math over the exact
+    * integers. Responsibilities are per-row doubles from literal
+    * parameters — the 1/√2π normalizer CANCELS in γ, so parity needs
+    * only exp/sqrt shape-matching (the q238 sigmoid precedent); the
+    * cross-row reductions quantize to nano-units first. Deterministic
+    * literal init (μ=0.25/0.75, σ²=0.1, π=0.5); a 10⁻⁶ variance floor
+    * (both engines, identical greatest/max shape) blocks collapse. */
+  def q244GmmEm(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val Q9 = 1000000000.0
+    val feats = graft.ops.ScratchCache.register(documents(s, d)
+      .select(tokens($"text").as("ws"))
+      .filter(size($"ws") >= 1)
+      .select((size(array_distinct($"ws")).cast("double") / size($"ws"))
+        .as("x"))
+      .persist())
+    var p = Array(0.5, 0.5)
+    var mu = Array(0.25, 0.75)
+    var s2 = Array(0.1, 0.1)
+    val out = Seq.newBuilder[(Long, Int, Double, Double, Double)]
+    var done = false
+    for (r <- 1 to EmRounds if !done) {
+      def w(k: Int): Column =
+        lit(p(k)) * exp(-((($"x" - lit(mu(k))) * ($"x" - lit(mu(k)))) /
+          (lit(2.0) * lit(s2(k))))) / sqrt(lit(s2(k)))
+      val g1 = w(0) / (w(0) + w(1))
+      def gq(t: Column) = coalesce(
+        sum(round(t * lit(Q9)).cast("long")), lit(0L))
+      val row = feats.agg(count(lit(1)),
+        gq(g1), gq(g1 * $"x"), gq(g1 * ($"x" * $"x")),
+        gq(lit(1.0) - g1), gq((lit(1.0) - g1) * $"x"),
+        gq((lit(1.0) - g1) * ($"x" * $"x"))).head()
+      val n = row.getLong(0)
+      if (n == 0L) done = true
+      else {
+        for (k <- 0 to 1) {
+          val (gk, gxk, gx2k) =
+            (row.getLong(1 + k * 3), row.getLong(2 + k * 3),
+              row.getLong(3 + k * 3))
+          p(k) = (gk.toDouble / Q9) / n
+          mu(k) = (gxk.toDouble / Q9) / (gk.toDouble / Q9)
+          s2(k) = math.max(
+            (gx2k.toDouble / Q9) / (gk.toDouble / Q9) - mu(k) * mu(k),
+            0.000001)
+          out += ((r.toLong, k + 1, p(k), mu(k), s2(k)))
+        }
+      }
+    }
+    graft.ops.ScratchCache.releaseAll()
+    out.result().toDF("round", "component", "pr", "mur", "s2r")
+      .select($"round", $"component",
+        roundp($"pr", 6).as("pi"), roundp($"mur", 6).as("mu"),
+        roundp($"s2r", 6).as("sigma2"))
+      .orderBy($"round", $"component")
+  }
+
+  /** Unrolled round CTEs with the identical responsibility, quantization
+    * and M-step shapes; greatest() mirrors the variance floor. */
+  val q244Sql: String = {
+    val ws = DuckSql.tokensSql
+    def w(k: Int, r: Int) =
+      s"((SELECT p$k FROM e${r - 1}) * exp(-(((x - (SELECT mu$k FROM e${r - 1}))" +
+        s" * (x - (SELECT mu$k FROM e${r - 1}))) / (2.0 * " +
+        s"(SELECT s$k FROM e${r - 1})))) / sqrt((SELECT s$k FROM e${r - 1})))"
+    def round_(r: Int): String = {
+      val g1 = s"(${w(1, r)} / (${w(1, r)} + ${w(2, r)}))"
+      def gq(t: String) =
+        s"coalesce(sum(CAST(round(($t) * 1000000000.0) AS BIGINT)), 0)::BIGINT"
+      s"""m$r AS MATERIALIZED (SELECT count(*)::BIGINT AS n,
+         |    ${gq(g1)} AS g1, ${gq(s"$g1 * x")} AS gx1,
+         |    ${gq(s"$g1 * (x * x)")} AS gx21,
+         |    ${gq(s"1.0 - $g1")} AS g2, ${gq(s"(1.0 - $g1) * x")} AS gx2,
+         |    ${gq(s"(1.0 - $g1) * (x * x)")} AS gx22 FROM f),
+         |e$r AS MATERIALIZED (SELECT
+         |    (g1::DOUBLE / 1000000000.0) / n AS p1,
+         |    (gx1::DOUBLE / 1000000000.0) / (g1::DOUBLE / 1000000000.0) AS mu1,
+         |    greatest((gx21::DOUBLE / 1000000000.0)
+         |        / (g1::DOUBLE / 1000000000.0)
+         |      - ((gx1::DOUBLE / 1000000000.0) / (g1::DOUBLE / 1000000000.0))
+         |        * ((gx1::DOUBLE / 1000000000.0) / (g1::DOUBLE / 1000000000.0)),
+         |      0.000001) AS s1,
+         |    (g2::DOUBLE / 1000000000.0) / n AS p2,
+         |    (gx2::DOUBLE / 1000000000.0) / (g2::DOUBLE / 1000000000.0) AS mu2,
+         |    greatest((gx22::DOUBLE / 1000000000.0)
+         |        / (g2::DOUBLE / 1000000000.0)
+         |      - ((gx2::DOUBLE / 1000000000.0) / (g2::DOUBLE / 1000000000.0))
+         |        * ((gx2::DOUBLE / 1000000000.0) / (g2::DOUBLE / 1000000000.0)),
+         |      0.000001) AS s2
+         |  FROM m$r)""".stripMargin
+    }
+    val rounds = (1 to EmRounds).flatMap(r => Seq(1, 2).map(k =>
+      s"SELECT $r::BIGINT AS round, $k::INT AS component, " +
+        s"${DuckSql.roundpSql(s"(SELECT p$k FROM e$r)", 6)} AS pi, " +
+        s"${DuckSql.roundpSql(s"(SELECT mu$k FROM e$r)", 6)} AS mu, " +
+        s"${DuckSql.roundpSql(s"(SELECT s$k FROM e$r)", 6)} AS sigma2"))
+      .mkString("\nUNION ALL ")
+    s"""WITH f AS (SELECT len(list_distinct(ws))::DOUBLE / len(ws) AS x
+       |  FROM (SELECT $ws AS ws FROM documents) WHERE len(ws) >= 1),
+       |e0 AS (SELECT 0.5::DOUBLE AS p1, 0.25::DOUBLE AS mu1,
+       |    0.1::DOUBLE AS s1, 0.5::DOUBLE AS p2, 0.75::DOUBLE AS mu2,
+       |    0.1::DOUBLE AS s2),
+       |${(1 to EmRounds).map(round_).mkString(",\n")}
+       |$rounds
+       |ORDER BY round, component""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q244_gmm_em" -> (q244GmmEm _),
     "q243_boosted_stumps" -> (q243BoostedStumps _),
     "q242_crossval" -> (q242Crossval _),
     "q241_ols_probe" -> (q241OlsProbe _),
@@ -2520,6 +2636,7 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q244_gmm_em" -> q244Sql,
     "q243_boosted_stumps" -> q243Sql,
     "q242_crossval" -> q242Sql,
     "q241_ols_probe" -> q241Sql,

@@ -314,6 +314,62 @@ class TrainLoopSpec extends AnyFunSuite with SparkSpecBase {
     graft.ops.ScratchCache.releaseAll()
   }
 
+  test("q244 equals a straight-line quantized-EM reference; means separate on a bimodal corpus") {
+    val rnd = new scala.util.Random(244)
+    // bimodal: half repetitive docs (low diversity), half varied (high)
+    val docs: Seq[(Long, String, String, String, Long)] = (1L to 30L).map { i =>
+      val text =
+        if (i % 2 == 0) Seq.fill(10)("rep").mkString(" ")
+        else (1 to 10).map(k => s"w${rnd.nextInt(1000)}_$k").mkString(" ")
+      (i, text, "en", "s1", text.length.toLong)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_gmm").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.queries.TextQueries.q244GmmEm(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    // straight-line EM with the same quantization and shapes
+    def q9(x: Double) = BigDecimal(x * 1000000000.0)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    def r6(x: Double) = BigDecimal(x * 1e6)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble / 1e6 + 0.0
+    val xs = docs.map { case (_, text, _, _, _) =>
+      val ws = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      ws.distinct.length.toDouble / ws.length
+    }
+    val p = Array(0.5, 0.5); val mu = Array(0.25, 0.75)
+    val s2 = Array(0.1, 0.1)
+    val want = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Int, Double, Double, Double)]
+    for (r <- 1 to 3) {
+      def w(k: Int, x: Double) =
+        p(k) * math.exp(-(((x - mu(k)) * (x - mu(k)))) /
+          (2.0 * s2(k))) / math.sqrt(s2(k))
+      val sums = Array.fill(6)(0L)
+      xs.foreach { x =>
+        val g1 = w(0, x) / (w(0, x) + w(1, x))
+        sums(0) += q9(g1); sums(1) += q9(g1 * x); sums(2) += q9(g1 * (x * x))
+        sums(3) += q9(1.0 - g1); sums(4) += q9((1.0 - g1) * x)
+        sums(5) += q9((1.0 - g1) * (x * x))
+      }
+      for (k <- 0 to 1) {
+        val (gk, gxk, gx2k) = (sums(k * 3), sums(k * 3 + 1), sums(k * 3 + 2))
+        p(k) = (gk.toDouble / 1e9) / xs.size
+        mu(k) = (gxk.toDouble / 1e9) / (gk.toDouble / 1e9)
+        s2(k) = math.max(
+          (gx2k.toDouble / 1e9) / (gk.toDouble / 1e9) - mu(k) * mu(k),
+          0.000001)
+        want += ((r.toLong, k + 1, r6(p(k)), r6(mu(k)), r6(s2(k))))
+      }
+    }
+    assert(got.toSeq == want.toSeq, s"got=${got.toSeq}\nwant=${want.toSeq}")
+    // the two means must straddle the two populations by round 3
+    val finalMus = got.filter(_._1 == 3L).map(_._4).sorted
+    assert(finalMus(0) < 0.5 && finalMus(1) > 0.7, finalMus.toSeq)
+    graft.ops.ScratchCache.releaseAll()
+  }
+
   test("q239 equals a driver-side quantized-centroid Lloyd iteration") {
     val rnd = new scala.util.Random(239)
     val dims = 64
