@@ -641,6 +641,11 @@ object SimilarityQueries {
         transform(array_sort(collect_list(struct($"p", $"c"))),
           e => e.getField("c")).as("cv"))
       .collect()
+    // empty corpus → zero centroids → greatest() would be built with no
+    // candidates and fail analysis; the pre-fold-back crossJoin shape
+    // returned an empty frame here, so mirror that (q239/q240 guards)
+    if (centRows.isEmpty)
+      return Seq.empty[(Int, Int, Long)].toDF("label", "pred_label", "n")
     require(centRows.length <= 1024,
       s"q176: ${centRows.length} labels exceed the bounded-category guard")
     val cands: Array[Column] = centRows.map { r =>
@@ -681,11 +686,15 @@ object SimilarityQueries {
 
   private val KmK = 4
   private val KmRounds = 3
-  /** 2⁴⁰ — the centroid-update quantization scale. Multiplying a
-    * float-valued double by a power of two is EXACT (no mantissa
-    * rounding), so `round(v·2⁴⁰)::long` is the same integer in both
-    * engines and the per-(cluster, dim) SUM is order-free. */
-  private val Km2p40 = 1099511627776.0
+  /** 10⁸ — the centroid-update quantization scale. `round(v·10⁸)::long`
+    * is the same integer in both engines (identical double product of a
+    * float-exact value, identical half-away-from-zero round), so the
+    * per-(cluster, dim) SUM is order-free; 10⁸ leaves ~2⁶³/10⁸ ≈ 9·10¹⁰
+    * rows of Long headroom per cluster at |v|≈1 — a 2⁴⁰ scale would
+    * silently wrap Spark's Long sum once a cluster held ~8M rows while
+    * the DuckDB twin's HUGEINT-promoted sum errored on the ::BIGINT
+    * cast, diverging the engines exactly at scale. */
+  private val KmScale = 100000000.0
 
   /** q239: distributed K-MEANS training — Lloyd's algorithm over the
     * embedding table, the clustering primitive under SemDeDup corpus
@@ -700,8 +709,8 @@ object SimilarityQueries {
     * exactly like q236/q238. Linear per round at any scale.
     *
     * EXACT oracle parity: distances fold sequentially (dotSeq
-    * discipline), centroid sums quantize per-value to `round(v·2⁴⁰)`
-    * integers (exact — power-of-two scaling) so reduction order cannot
+    * discipline), centroid sums quantize per-value to `round(v·10⁸)`
+    * integers (identical in both engines) so reduction order cannot
     * matter, the new centroid is one double division of exact integers,
     * and inertia quantizes to micro-units before summing. Empty clusters
     * keep their previous centroid (mirrored in the SQL carry). Output:
@@ -739,7 +748,7 @@ object SimilarityQueries {
           posexplode($"embedding").as(Seq("p", "v")))
         .groupBy($"cid", $"p")
         .agg(
-          sum(round($"v".cast("double") * lit(Km2p40)).cast("long")).as("sq"),
+          sum(round($"v".cast("double") * lit(KmScale)).cast("long")).as("sq"),
           count(lit(1)).as("cnt"),
           sum(when($"p" === 0, round($"d2" * lit(1000000.0)).cast("long"))
             .otherwise(lit(0L))).as("iq"))
@@ -747,7 +756,7 @@ object SimilarityQueries {
       val byCid = last.groupBy(_.getInt(0))
       for (j <- 0 until KmK) byCid.get(j).foreach { rs =>
         cents(j) = rs.sortBy(_.getInt(1))
-          .map(r => r.getLong(2).toDouble / (Km2p40 * r.getLong(3)))
+          .map(r => r.getLong(2).toDouble / (KmScale * r.getLong(3)))
       }
     }
     val out = last.groupBy(_.getInt(0)).toSeq.map { case (cid, rs) =>
@@ -776,7 +785,7 @@ object SimilarityQueries {
          |    min(struct_pack(d := ${d2("embedding", "c.cv")}, j := c.cid)) AS m
          |  FROM e CROSS JOIN c${r - 1} c GROUP BY vec_id),
          |u$r AS (SELECT m.j AS cid, g.d AS p,
-         |    sum(CAST(round(embedding[g.d + 1]::DOUBLE * $Km2p40) AS BIGINT))
+         |    sum(CAST(round(embedding[g.d + 1]::DOUBLE * $KmScale) AS BIGINT))
          |      ::BIGINT AS sq,
          |    count(*)::BIGINT AS cnt,
          |    sum(CASE WHEN g.d = 0
@@ -784,7 +793,7 @@ object SimilarityQueries {
          |      ELSE 0 END)::BIGINT AS iq
          |  FROM a$r CROSS JOIN generate_series(0, 63) g(d)
          |  GROUP BY 1, 2),
-         |c$r AS (SELECT cid, list(sq::DOUBLE / ($Km2p40 * cnt) ORDER BY p)
+         |c$r AS (SELECT cid, list(sq::DOUBLE / ($KmScale * cnt) ORDER BY p)
          |      AS cv
          |    FROM u$r GROUP BY cid
          |  UNION ALL SELECT cid, cv FROM c${r - 1}

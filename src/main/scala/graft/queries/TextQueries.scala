@@ -2035,11 +2035,15 @@ object TextQueries {
          |    w.w2 + $RegLr * ((g.g2::DOUBLE / 1000000000.0) / g.n) AS w2
          |  FROM w${r - 1} w, g$r g)""".stripMargin
     }
+    // the Scala loop emits zero rows on an empty corpus; without the n>0
+    // gate the w$r CTEs divide 0/0 (NaN under IEEE) and each round would
+    // still emit a NaN row — mirror the early return instead
     val rounds = (1 to RegRounds).map(r =>
       s"SELECT $r::BIGINT AS round, (SELECT n_correct FROM g$r) AS n_correct, " +
         s"${DuckSql.roundpSql(s"(SELECT w0 FROM w$r)", 6)} AS w0, " +
         s"${DuckSql.roundpSql(s"(SELECT w1 FROM w$r)", 6)} AS w1, " +
-        s"${DuckSql.roundpSql(s"(SELECT w2 FROM w$r)", 6)} AS w2")
+        s"${DuckSql.roundpSql(s"(SELECT w2 FROM w$r)", 6)} AS w2 " +
+        "WHERE (SELECT n FROM g1) > 0")
       .mkString("\nUNION ALL ")
     s"""WITH f AS (SELECT CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
        |    len($ws)::DOUBLE * 0.01 AS x1,
@@ -2154,7 +2158,8 @@ object TextQueries {
        |  ${DuckSql.roundpSql("w.b2", 6)} AS b2,
        |  ${DuckSql.roundpSql(
             "1.0 - ((r.ssrq::DOUBLE / 100000000.0) / w.sst)", 6)} AS r2
-       |FROM w, r""".stripMargin
+       |FROM w, r
+       |WHERE w.n > 0""".stripMargin
   }
 
   // ---------------------------------------------------------------- q242
@@ -2403,9 +2408,17 @@ object TextQueries {
       return Seq.empty[(Long, Int, Int, Double, Double, Long)]
         .toDF("round", "feature", "threshold", "v_left", "v_right", "sse_q")
     }
-    sses += roundJob()._2 // sse after the final stump
+    // SSE after the final stump — needed only when every round picked a
+    // stump; a mid-loop pickStump None at round r already recorded
+    // F_{r-1}'s SSE at that round's start, so sses is complete. (Today
+    // pickStump failure is only possible at round 1 — split feasibility
+    // is bucket-count-determined and bucket counts are round-invariant —
+    // but the alignment no longer RELIES on that invariant.)
+    if (sses.length < perRound.length) sses += roundJob()._2
     graft.ops.ScratchCache.releaseAll()
-    perRound.toSeq.zip(sses.drop(sses.length - perRound.length)).map {
+    assert(sses.length == perRound.length,
+      s"q243: ${sses.length} SSE entries for ${perRound.length} rounds")
+    perRound.toSeq.zip(sses).map {
       case ((r, j, th, vl, vr), sq) => (r, j, th, vl, vr, sq)
     }.toDF("round", "feature", "threshold", "vlr", "vrr", "sse_q")
       .select($"round", $"feature", $"threshold",
@@ -2463,7 +2476,9 @@ object TextQueries {
         s"${DuckSql.roundpSql(s"(SELECT vl FROM best$r)", 6)} AS v_left, " +
         s"${DuckSql.roundpSql(s"(SELECT vr FROM best$r)", 6)} AS v_right, " +
         s"(SELECT sum(q2)::BIGINT FROM g${r + 1} WHERE j = 1) AS sse_q " +
-        s"FROM best$r").mkString("\nUNION ALL ")
+        // empty corpus → sp$r is empty → best$r is max() over no rows:
+        // one all-NULL row; gate it out to mirror the Scala early return
+        s"FROM best$r WHERE j IS NOT NULL").mkString("\nUNION ALL ")
     s"""WITH f AS (SELECT least(len(ws), 63) AS b1,
        |    least(n_chars // 16, 63) AS b2,
        |    len(list_distinct(ws))::DOUBLE / len(ws) AS t
@@ -2576,11 +2591,15 @@ object TextQueries {
          |      0.000001) AS s2
          |  FROM m$r)""".stripMargin
     }
+    // the Scala loop emits zero rows on an empty corpus; without the n>0
+    // gate the e$r CTEs divide 0/0 (NaN) and each round would still emit
+    // NaN rows — mirror the early return instead
     val rounds = (1 to EmRounds).flatMap(r => Seq(1, 2).map(k =>
       s"SELECT $r::BIGINT AS round, $k::INT AS component, " +
         s"${DuckSql.roundpSql(s"(SELECT p$k FROM e$r)", 6)} AS pi, " +
         s"${DuckSql.roundpSql(s"(SELECT mu$k FROM e$r)", 6)} AS mu, " +
-        s"${DuckSql.roundpSql(s"(SELECT s$k FROM e$r)", 6)} AS sigma2"))
+        s"${DuckSql.roundpSql(s"(SELECT s$k FROM e$r)", 6)} AS sigma2 " +
+        "WHERE (SELECT n FROM m1) > 0"))
       .mkString("\nUNION ALL ")
     s"""WITH f AS (SELECT len(list_distinct(ws))::DOUBLE / len(ws) AS x
        |  FROM (SELECT $ws AS ws FROM documents) WHERE len(ws) >= 1),

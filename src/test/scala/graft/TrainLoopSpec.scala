@@ -32,8 +32,13 @@ class TrainLoopSpec extends AnyFunSuite with SparkSpecBase {
     assert(graft.queries.TextQueries.q238QualityRegression(spark, dir).count() == 0)
     assert(graft.queries.TextQueries.q241OlsProbe(spark, dir).count() == 0)
     assert(graft.queries.TextQueries.q242Crossval(spark, dir).count() == 0)
+    assert(graft.queries.TextQueries.q243BoostedStumps(spark, dir).count() == 0)
+    assert(graft.queries.TextQueries.q244GmmEm(spark, dir).count() == 0)
     assert(graft.queries.SimilarityQueries.q239KmeansTrain(spark, dir).count() == 0)
     assert(graft.queries.SimilarityQueries.q240PcaSpectrum(spark, dir).count() == 0)
+    // q176's fold-back builds greatest() from the collected centroids —
+    // zero labels must early-return, not fail analysis
+    assert(graft.queries.SimilarityQueries.q176LabelConfusion(spark, dir).count() == 0)
     graft.ops.ScratchCache.releaseAll()
   }
 
@@ -389,7 +394,7 @@ class TrainLoopSpec extends AnyFunSuite with SparkSpecBase {
       .sortBy(_._1)
     var cents: Array[Array[Double]] =
       vecs.take(4).map(_._2.clone).toArray
-    val S = 1099511627776.0
+    val S = 100000000.0 // the engine's KmScale (1e8 — Long-safe headroom)
     def q(x: Double, scale: Double) = BigDecimal(x * scale)
       .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
     var sizes = Map.empty[Int, Long]; var iqs = Map.empty[Int, Long]
