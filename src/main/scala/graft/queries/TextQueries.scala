@@ -2320,16 +2320,21 @@ object TextQueries {
     * least-squares stumps on integer-bucketed features (capped token
     * count; n_chars/16), each round ONE bounded aggregation over the
     * persisted frame: per (feature, bucket) residual count + nano-
-    * quantized residual sum (2×64 rows — bounded whatever the corpus),
-    * plus the quantized Σr² riding the feature-1 rows so the training
-    * SSE needs no extra pass. The split search (every (feature,
-    * threshold) via prefix sums), the gain argmax (deterministic
-    * lexicographic tie-break: score, then smaller feature, then smaller
-    * threshold) and the leaf values are driver math over the exact
-    * integers; the fitted stumps fold back into the next round's
-    * residual as literals (no state column, no join). The SQL twin
-    * replays the whole loop: same quantization points, same prefix
-    * sums, same struct-max argmax, same fold shapes. */
+    * quantized residual sum and Σr² (2×64 rows — bounded whatever the
+    * corpus). The split search (every (feature, threshold) via prefix
+    * sums), the gain argmax (deterministic lexicographic tie-break:
+    * score, then smaller feature, then smaller threshold) and the leaf
+    * values are driver math over the exact integers; the fitted stumps
+    * fold back into the next round's residual as literals (no state
+    * column, no join). Each round's AFTER-stump SSE derives from that
+    * round's OWN buckets via the algebraic identity
+    * Σ(r − lr·v)² = Σr² − 2·lr·v·Σr + n·lr²·v² applied per bucket of
+    * the chosen feature (v is constant within a bucket side), with the
+    * per-bucket double term re-quantized to nano-units before the
+    * ≤64-term integer sum — order-free, and exactly K jobs for K rounds
+    * (no trailing SSE scan). The SQL twin replays the whole loop: same
+    * quantization points, same prefix sums, same struct-max argmax,
+    * same per-bucket SSE derivation shape. */
   def q243BoostedStumps(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val Q9 = 1000000000.0
@@ -2347,9 +2352,9 @@ object TextQueries {
       val b = if (st.j == 1) $"b1" else $"b2"
       acc + lit(BoostLr) * when(b <= st.th, lit(st.vl)).otherwise(lit(st.vr))
     }
-    def roundJob(): (Array[(Int, Int, Long, Long)], Long) = {
+    def roundJob(): Array[(Int, Int, Long, Long, Long)] = {
       val r = ($"t" - fCol).as("r")
-      val rows = feats
+      feats
         .select($"b1", $"b2", r)
         .select(explode(array(
           struct(lit(1).as("j"), $"b1".as("b")),
@@ -2359,17 +2364,17 @@ object TextQueries {
           sum(round($"r" * lit(Q9)).cast("long")).as("sq"),
           sum(round(($"r" * $"r") * lit(Q9)).cast("long")).as("q2"))
         .collect()
-      (rows.map(x => (x.getInt(0), x.getInt(1), x.getLong(2), x.getLong(3))),
-        rows.filter(_.getInt(0) == 1).map(_.getLong(4)).sum)
+        .map(x => (x.getInt(0), x.getInt(1), x.getLong(2), x.getLong(3),
+          x.getLong(4)))
     }
     // Option: a corpus where every doc lands in one bucket on BOTH
     // features has no valid split — boosting stops (degenerate corner,
     // same class as q241's singular system)
-    def pickStump(buckets: Array[(Int, Int, Long, Long)]): Option[Stump] = {
+    def pickStump(buckets: Array[(Int, Int, Long, Long, Long)]): Option[Stump] = {
       val byJ = buckets.groupBy(_._1)
       val cands = for {
         j <- Seq(1, 2)
-        bs = byJ.getOrElse(j, Array.empty[(Int, Int, Long, Long)])
+        bs = byJ.getOrElse(j, Array.empty[(Int, Int, Long, Long, Long)])
         tn = bs.map(_._3).sum; ts = bs.map(_._4).sum
         th <- 0 until 63
         nl = bs.filter(_._2 <= th).map(_._3).sum
@@ -2386,41 +2391,38 @@ object TextQueries {
       if (cands.isEmpty) None
       else Some(cands.maxBy(x => (x._1, x._2, x._3))._4)
     }
+    // after-stump SSE from the round's own buckets: within each bucket
+    // of the chosen feature every row gets the same leaf value v, so
+    // Σ(r − lr·v)² = Σr² − 2·lr·v·Σr + n·lr²·v² — a double expression
+    // over the exact integers (q2, sq, n), re-quantized per bucket
+    // before the ≤64-term integer sum so reduction order cannot matter
+    def sseAfter(buckets: Array[(Int, Int, Long, Long, Long)],
+                 st: Stump): Long =
+      buckets.filter(_._1 == st.j).map { case (_, b, nb, sqb, q2b) =>
+        val v = if (b <= st.th) st.vl else st.vr
+        val term = (q2b.toDouble / Q9 -
+          ((2.0 * BoostLr) * v) * (sqb.toDouble / Q9)) +
+          nb.toDouble * ((BoostLr * BoostLr) * (v * v))
+        BigDecimal(term * Q9)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      }.sum
     val perRound = scala.collection.mutable.ArrayBuffer
-      .empty[(Long, Int, Int, Double, Double)]
-    val sses = scala.collection.mutable.ArrayBuffer.empty[Long]
+      .empty[(Long, Int, Int, Double, Double, Long)]
     var empty = false
     for (r <- 1 to BoostRounds if !empty) {
-      val (buckets, sse) = roundJob()
+      val buckets = roundJob()
       if (buckets.isEmpty) empty = true
-      else {
-        if (r > 1) sses += sse // sse at F_{r-1}, recorded for round r-1
-        pickStump(buckets) match {
-          case None => empty = true
-          case Some(st) =>
-            stumps += st
-            perRound += ((r.toLong, st.j, st.th, st.vl, st.vr))
-        }
+      else pickStump(buckets) match {
+        case None => empty = true
+        case Some(st) =>
+          stumps += st
+          perRound += ((r.toLong, st.j, st.th, st.vl, st.vr,
+            sseAfter(buckets, st)))
       }
     }
-    if (perRound.isEmpty) {
-      graft.ops.ScratchCache.releaseAll()
-      return Seq.empty[(Long, Int, Int, Double, Double, Long)]
-        .toDF("round", "feature", "threshold", "v_left", "v_right", "sse_q")
-    }
-    // SSE after the final stump — needed only when every round picked a
-    // stump; a mid-loop pickStump None at round r already recorded
-    // F_{r-1}'s SSE at that round's start, so sses is complete. (Today
-    // pickStump failure is only possible at round 1 — split feasibility
-    // is bucket-count-determined and bucket counts are round-invariant —
-    // but the alignment no longer RELIES on that invariant.)
-    if (sses.length < perRound.length) sses += roundJob()._2
     graft.ops.ScratchCache.releaseAll()
-    assert(sses.length == perRound.length,
-      s"q243: ${sses.length} SSE entries for ${perRound.length} rounds")
-    perRound.toSeq.zip(sses).map {
-      case ((r, j, th, vl, vr), sq) => (r, j, th, vl, vr, sq)
-    }.toDF("round", "feature", "threshold", "vlr", "vrr", "sse_q")
+    perRound.toSeq
+      .toDF("round", "feature", "threshold", "vlr", "vrr", "sse_q")
       .select($"round", $"feature", $"threshold",
         roundp($"vlr", 6).as("v_left"), roundp($"vrr", 6).as("v_right"),
         $"sse_q")
@@ -2470,12 +2472,23 @@ object TextQueries {
          |      vr := ((ts - sl)::DOUBLE / 1000000000.0) / (tn - nl)::DOUBLE))
          |    AS mm
          |  FROM sp$r WHERE nl > 0 AND (tn - nl) > 0))""".stripMargin
+    // after-stump SSE from round r's OWN buckets, the Scala sseAfter
+    // shape verbatim: per-bucket derived term re-quantized to nano-units
+    // before the integer sum (order-free), over the chosen feature's rows
+    def sse(r: Int): String =
+      s"(SELECT sum(CAST(round(((q2::DOUBLE / 1000000000.0 " +
+        s"- ((2.0 * $BoostLr) * v) * (sq::DOUBLE / 1000000000.0)) " +
+        s"+ n::DOUBLE * (($BoostLr * $BoostLr) * (v * v))) " +
+        s"* 1000000000.0) AS BIGINT))::BIGINT FROM " +
+        s"(SELECT n, sq, q2, CASE WHEN b <= (SELECT th FROM best$r) " +
+        s"THEN (SELECT vl FROM best$r) ELSE (SELECT vr FROM best$r) END AS v " +
+        s"FROM g$r WHERE j = (SELECT j FROM best$r)))"
     val rounds = (1 to BoostRounds).map(r =>
       s"SELECT $r::BIGINT AS round, (SELECT j FROM best$r) AS feature, " +
         s"(SELECT th FROM best$r) AS threshold, " +
         s"${DuckSql.roundpSql(s"(SELECT vl FROM best$r)", 6)} AS v_left, " +
         s"${DuckSql.roundpSql(s"(SELECT vr FROM best$r)", 6)} AS v_right, " +
-        s"(SELECT sum(q2)::BIGINT FROM g${r + 1} WHERE j = 1) AS sse_q " +
+        s"${sse(r)} AS sse_q " +
         // empty corpus → sp$r is empty → best$r is max() over no rows:
         // one all-NULL row; gate it out to mirror the Scala early return
         s"FROM best$r WHERE j IS NOT NULL").mkString("\nUNION ALL ")
@@ -2486,8 +2499,7 @@ object TextQueries {
        |u AS MATERIALIZED (SELECT b1, b2, t, feats.j,
        |    CASE WHEN feats.j = 1 THEN b1 ELSE b2 END AS b
        |  FROM f CROSS JOIN (VALUES (1), (2)) feats(j)),
-       |${(1 to BoostRounds).map(r => g(r) + ",\n" + best(r)).mkString(",\n")},
-       |${g(BoostRounds + 1)}
+       |${(1 to BoostRounds).map(r => g(r) + ",\n" + best(r)).mkString(",\n")}
        |$rounds
        |ORDER BY round""".stripMargin
   }

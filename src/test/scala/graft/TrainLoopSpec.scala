@@ -307,9 +307,22 @@ class TrainLoopSpec extends AnyFunSuite with SparkSpecBase {
           ((ts - sl).toDouble / 1e9) / (tn - nl).toDouble))
       }
       val st = cands.maxBy(x => (x._1, x._2, x._3))._4
+      // after-stump SSE via the engine's per-bucket derivation over the
+      // PRE-stump residual buckets: Σ(r − lr·v)² = Σr² − 2·lr·v·Σr
+      // + n·lr²·v², per-bucket term re-quantized before the integer sum
+      val sse = resid
+        .groupBy { case (b1, b2, _) => if (st.j == 1) b1 else b2 }
+        .map { case (b, rows) =>
+          val nb = rows.size.toLong
+          val sqb = rows.map { case (_, _, rr) => q9(rr) }.sum
+          val q2b = rows.map { case (_, _, rr) => q9(rr * rr) }.sum
+          val v = if (b <= st.th) st.vl else st.vr
+          val term = (q2b.toDouble / 1e9 -
+            ((2.0 * 0.5) * v) * (sqb.toDouble / 1e9)) +
+            nb.toDouble * ((0.5 * 0.5) * (v * v))
+          q9(term)
+        }.sum
       sts += st
-      val sse = feats.map { case (b1, b2, t) =>
-        val e = t - fOf(b1, b2); q9(e * e) }.sum
       want += ((r.toLong, st.j, st.th, r6(st.vl), r6(st.vr), sse))
     }
     assert(got.toSeq == want.toSeq, s"got=${got.toSeq}\nwant=${want.toSeq}")
