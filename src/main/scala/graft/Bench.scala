@@ -133,10 +133,15 @@ object Bench {
       case _ => ()
     }
     // fixed headline set: the flagship relational/dedup/ANN/stream/curation
-    // heavies plus the named perf-watch queries — 40 keys ≈ 1 KB.
+    // heavies plus the named perf-watch queries — 47 keys ≈ 1.2 KB.
     // q109/q116 watch the duplicate-collapse consumers; q225/q236 watch
-    // the radix-percentile and BPE-training paths round-over-round.
+    // the radix-percentile and BPE-training paths; q238-q244 watch the
+    // model-training loops (the rows most sensitive to ScratchCache/
+    // persist behavior changes) round-over-round.
     val headline = Set(
+      "q238_quality_regression", "q239_kmeans_train", "q240_pca_spectrum",
+      "q241_ols_probe", "q242_crossval", "q243_boosted_stumps",
+      "q244_gmm_em",
       "q01_pricing_summary", "q16_required_scenes", "q21_coarsen",
       "q27_ngram_jaccard", "q28_minhash_lsh", "q29_simhash",
       "q30_embedding_neardup", "q34_stream_window", "q50_stream_join",
