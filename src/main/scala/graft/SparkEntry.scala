@@ -43,7 +43,8 @@ object SparkEntry {
     graft.queries.StoreQueries.queries ++
     graft.queries.GraphQueries.queries ++
     graft.queries.CurationQueries.queries ++
-    graft.queries.CorpusOpsQueries.queries
+    graft.queries.CorpusOpsQueries.queries ++
+    graft.queries.InferenceQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -61,5 +62,6 @@ object SparkEntry {
     graft.queries.StoreQueries.oracles ++
     graft.queries.GraphQueries.oracles ++
     graft.queries.CurationQueries.oracles ++
-    graft.queries.CorpusOpsQueries.oracles
+    graft.queries.CorpusOpsQueries.oracles ++
+    graft.queries.InferenceQueries.oracles
 }

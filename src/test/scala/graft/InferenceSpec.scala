@@ -1,0 +1,250 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** The round-14 inference family (q245 bootstrap CI, q246 hashed LR,
+  * q247 nDCG retrieval eval, q248 JL distortion, q249 PQ codebook
+  * training) pinned against straight-line driver-side references — the
+  * oracle gate proves DuckDB parity; these prove the MATH. */
+class InferenceSpec extends AnyFunSuite with SparkSpecBase {
+  import spark.implicits._
+  import graft.queries.InferenceQueries
+
+  private def writeDocs(rows: Seq[(Long, String, String, String, Long)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_inf").toString
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    Seq.empty[(Long, Seq[Float], Int)].toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  private def writeEmbs(rows: Seq[(Long, Seq[Float], Int)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_inf_e").toString
+    Seq.empty[(Long, String, String, String, Long)]
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    rows.toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  private def r6(x: Double) = BigDecimal(x * 1e6)
+    .setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble / 1e6 + 0.0
+  private def q9(x: Double) = BigDecimal(x * 1e9)
+    .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+
+  test("inference family on an EMPTY corpus: zero rows, no job failure") {
+    val dir = writeDocs(Seq.empty)
+    assert(InferenceQueries.q245BootstrapCi(spark, dir).count() == 0)
+    assert(InferenceQueries.q246HashedLr(spark, dir).count() == 0)
+    assert(InferenceQueries.q247NdcgRetrieval(spark, dir).count() == 0)
+    assert(InferenceQueries.q248JlDistortion(spark, dir).count() == 0)
+    assert(InferenceQueries.q249PqTrain(spark, dir).count() == 0)
+    graft.ops.ScratchCache.releaseAll()
+  }
+
+  test("q245 equals a straight-line Poisson-bootstrap reference") {
+    val docs = (1L to 40L).map(i =>
+      (i, "t", "en", "s1", (50 + (i * 37) % 400)))
+    val dir = writeDocs(docs)
+    val got = InferenceQueries.q245BootstrapCi(spark, dir).collect()
+    assert(got.length == 1)
+    // straight-line: same LCG, same thresholds, same order statistics
+    val cum = {
+      var p = math.exp(-1.0); var c = p
+      (0 to 5).map { k =>
+        val t = math.floor(c * 2147483648.0).toLong
+        p = p / (k + 1); c += p; t
+      }
+    }
+    def w(docId: Long, b: Int): Long = {
+      val u = (1103515245L * ((docId * 31 + b) % 2147483648L) + 12345L) %
+        2147483648L
+      val k = cum.indexWhere(u < _)
+      if (k < 0) 6L else k.toLong
+    }
+    val means = (0 until 32).flatMap { b =>
+      val sw = docs.map { case (id, _, _, _, _) => w(id, b) }.sum
+      val swx = docs.map { case (id, _, _, _, nc) => w(id, b) * nc }.sum
+      if (sw > 0) Some(swx.toDouble / sw.toDouble) else None
+    }.sorted
+    val point = docs.map(_._5).sum.toDouble / docs.length
+    val r = got(0)
+    assert(r.getLong(0) == docs.length.toLong)
+    assert(r.getDouble(1) == r6(point))
+    assert(r.getDouble(2) == r6(means(math.min(1, means.length - 1))))
+    assert(r.getDouble(3) == r6(means(math.min(30, means.length - 1))))
+    // the interval must bracket the point estimate on a well-behaved corpus
+    assert(r.getDouble(2) <= r.getDouble(1) && r.getDouble(1) <= r.getDouble(3))
+  }
+
+  test("q246 equals a straight-line hashed-feature logistic regression") {
+    val docs = Seq(
+      (1L, "the quick brown fox", "en", "s1", 19L),
+      (2L, "ein kleiner brauner fuchs", "de", "s1", 25L),
+      (3L, "hello world again and again", "en", "s2", 27L),
+      (4L, "bonjour le monde encore", "fr", "s2", 23L),
+      (5L, "short text here", "en", "s1", 15L),
+      (6L, "une phrase un peu plus longue", "fr", "s1", 29L))
+    val dir = writeDocs(docs)
+    val got = InferenceQueries.q246HashedLr(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    // straight-line: same hash buckets, quantized gradients, update shape
+    val feats = docs.map { case (_, text, lang, _, _) =>
+      val ws = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      val y = if (lang == "en") 1.0 else 0.0
+      val x = Array.tabulate(16) { j =>
+        ws.count(w => graft.functions.ShingleKernel.polyHash32(w) % 16 == j)
+          .toDouble / ws.length
+      }
+      (y, x)
+    }
+    val wl = Array.fill(16)(0.0)
+    var bias = 0.0
+    val want = (1 to 3).map { r =>
+      var gb = 0L; var ncorr = 0L
+      val gj = Array.fill(16)(0L)
+      feats.foreach { case (y, x) =>
+        val z = bias + x.indices.foldLeft(0.0)((a, i) => a + x(i) * wl(i))
+        val p = 1.0 / (1.0 + math.exp(-z))
+        val resid = y - p
+        if ((z >= 0 && y == 1.0) || (z < 0 && y == 0.0)) ncorr += 1
+        gb += q9(resid)
+        for (j <- 0 until 16) gj(j) += q9(x(j) * resid)
+      }
+      val n = feats.length
+      for (j <- 0 until 16) wl(j) = wl(j) + 0.5 * ((gj(j).toDouble / 1e9) / n)
+      bias = bias + 0.5 * ((gb.toDouble / 1e9) / n)
+      val wn = math.sqrt(wl.foldLeft(0.0)((a, x) => a + x * x))
+      (r.toLong, ncorr, r6(bias), r6(wn))
+    }
+    assert(got.toSeq == want, s"got=${got.toSeq}\nwant=$want")
+    graft.ops.ScratchCache.releaseAll()
+  }
+
+  test("q247 equals a brute-force nDCG/MRR reference; perfect retrieval scores 1") {
+    // two well-separated label clusters: retrieval by cosine is perfect,
+    // so every query's ndcg@10 and mrr must be exactly 1
+    val rnd = new scala.util.Random(247)
+    val embs = (0L until 40L).map { i =>
+      val lab = (i % 2).toInt
+      val base = Array.tabulate(64)(d =>
+        if (d < 32 == (lab == 0)) 1.0f else 0.0f)
+      val v = base.map(x => x + rnd.nextFloat() * 0.01f)
+      (i, v.toSeq, lab)
+    }
+    val dir = writeEmbs(embs)
+    val got = InferenceQueries.q247NdcgRetrieval(spark, dir).collect()
+    assert(got.length == 20)
+    got.foreach { r =>
+      assert(r.getLong(1) == 19L, s"n_rel ${r.getLong(1)}")
+      assert(r.getDouble(2) == 1.0, s"ndcg ${r.getDouble(2)}")
+      assert(r.getDouble(3) == 1.0, s"mrr ${r.getDouble(3)}")
+    }
+    // and against a straight-line reference on a mixed corpus
+    val embs2 = (0L until 30L).map { i =>
+      (i, Seq.tabulate(64)(d => rnd.nextFloat() * 2f - 1f), (i % 3).toInt)
+    }
+    val dir2 = writeEmbs(embs2)
+    val got2 = InferenceQueries.q247NdcgRetrieval(spark, dir2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    def dot(a: Seq[Float], b: Seq[Float]): Double =
+      a.zip(b).foldLeft(0.0)((acc, p) => acc + p._1.toDouble * p._2.toDouble)
+    val disc = Array.tabulate(10)(i => 1.0 / (math.log(i + 2.0) / math.log(2.0)))
+    val cum = disc.scanLeft(0.0)(_ + _)
+    val want2 = embs2.filter(_._1 < 20).sortBy(_._1).map { case (qid, qv, qlab) =>
+      val cands = embs2.filter(_._1 != qid).map { case (cid, cv, clab) =>
+        val cos = dot(qv, cv) / (math.sqrt(dot(qv, qv)) * math.sqrt(dot(cv, cv)))
+        (cid, r6(cos), if (clab == qlab) 1L else 0L)
+      }
+      val ranked = cands.sortBy(c => (-c._2, c._1 * 2 + c._3)).take(10)
+      val nRel = cands.map(_._3).sum
+      val dcgq = ranked.zipWithIndex
+        .map { case ((_, _, rel), i) => q9(rel.toDouble * disc(i)) }.sum
+      val fr = ranked.zipWithIndex.collectFirst {
+        case ((_, _, 1L), i) => i + 1 }
+      val ndcg = if (nRel == 0) 0.0
+        else (dcgq.toDouble / 1e9) / cum(math.min(nRel, 10L).toInt)
+      (qid, nRel, r6(ndcg), r6(fr.map(1.0 / _).getOrElse(0.0)))
+    }
+    assert(got2.toSeq == want2, s"got=${got2.toSeq}\nwant=$want2")
+  }
+
+  test("q248 distortion equals a straight-line JL reference and centers near 1") {
+    val rnd = new scala.util.Random(248)
+    val embs = (0L until 50L).map { i =>
+      (i, Seq.tabulate(64)(_ => rnd.nextFloat() * 2f - 1f), (i % 2).toInt)
+    }
+    val dir = writeEmbs(embs)
+    val got = InferenceQueries.q248JlDistortion(spark, dir).collect()
+    def sign(j: Int, dd: Int): Double =
+      if (((1103515245L * (j * 64L + dd) + 12345L) % 2147483648L) >=
+        1073741824L) 1.0 else -1.0
+    val dists = embs.map { case (_, v, lab) =>
+      val ys = Array.tabulate(16)(j =>
+        (0 until 64).foldLeft(0.0)((a, dd) => a + v(dd).toDouble * sign(j, dd)))
+      val n2 = v.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble)
+      val y2 = ys.foldLeft(0.0)((a, y) => a + y * y)
+      lab -> ((y2 / 16.0) / n2)
+    }
+    val want = dists.groupBy(_._1).toSeq.sortBy(_._1).map { case (lab, g) =>
+      val ds = g.map(_._2)
+      (lab, g.size.toLong, r6((ds.map(q9).sum.toDouble / 1e9) / g.size),
+        ds.map(r6).min, ds.map(r6).max)
+    }
+    val gotT = got.map(r => (r.getInt(0), r.getLong(1), r.getDouble(2),
+      r.getDouble(3), r.getDouble(4)))
+    assert(gotT.toSeq == want, s"got=${gotT.toSeq}\nwant=$want")
+    // E[distortion] = 1 for ±1 projections: sanity-check the concentration
+    want.foreach { case (_, _, mean, mn, mx) =>
+      assert(mean > 0.5 && mean < 1.5, s"mean distortion $mean")
+      assert(mn > 0.05 && mx < 4.0, s"spread [$mn, $mx]")
+    }
+  }
+
+  test("q249 equals a straight-line per-subspace Lloyd reference") {
+    val rnd = new scala.util.Random(249)
+    val embs = (0L until 60L).map { i =>
+      (i, Seq.tabulate(64)(_ => rnd.nextFloat() * 2f - 1f), (i % 3).toInt)
+    }
+    val dir = writeEmbs(embs)
+    val got = InferenceQueries.q249PqTrain(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    val vecs = embs.sortBy(_._1).map(_._2.map(_.toDouble).toArray)
+    def q8(x: Double) = BigDecimal(x * 1e8)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    def qm(x: Double) = BigDecimal(x * 1e6)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val cents = Array.tabulate(4, 4) { (ss, j) =>
+      vecs(j).slice(ss * 16, ss * 16 + 16) }
+    var sizes = Map.empty[(Int, Int), Long]
+    var iqs = Map.empty[(Int, Int), Long]
+    for (_ <- 1 to 2) {
+      val assigned = for (v <- vecs; ss <- 0 until 4) yield {
+        val sub = v.slice(ss * 16, ss * 16 + 16)
+        val ds = cents(ss).zipWithIndex.map { case (c, j) =>
+          (sub.zip(c).foldLeft(0.0) { case (acc, (a, b)) =>
+            acc + (a - b) * (a - b) }, j) }
+        val (d2, j) = ds.minBy(identity)
+        (ss, j, d2, sub)
+      }
+      val byCell = assigned.groupBy(a => (a._1, a._2))
+      sizes = byCell.map { case (k, g) => k -> g.size.toLong }
+      iqs = byCell.map { case (k, g) => k -> g.map(a => qm(a._3)).sum }
+      for (((ss, j), g) <- byCell) {
+        cents(ss)(j) = (0 until 16).map { p =>
+          g.map(a => q8(a._4(p))).sum.toDouble / (1e8 * g.size)
+        }.toArray
+      }
+    }
+    val want = sizes.keys.toSeq.sorted.map { case (ss, j) =>
+      (ss, j, sizes((ss, j)), iqs((ss, j)),
+        r6(math.sqrt(cents(ss)(j).foldLeft(0.0)((a, x) => a + x * x))))
+    }
+    assert(got.toSeq == want, s"got=${got.toSeq}\nwant=$want")
+    graft.ops.ScratchCache.releaseAll()
+  }
+}
