@@ -536,7 +536,246 @@ object InferenceQueries {
        |ORDER BY f.s, f.cid""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q250
+
+  private val IsoBins = 64
+
+  /** q250: ISOTONIC CALIBRATION of a document score (the PAVA step every
+    * quality-classifier pipeline runs before thresholding: map raw score
+    * → monotone empirical P(label | score)). Scale shape: the corpus
+    * collapses into 64 BOUNDED score bins by one aggregation (integer
+    * (n, Σy) cells); the isotonic fit is driver math over ≤64 bins via
+    * the minimax characterization iso(i) = max_{j≤i} min_{k≥i}
+    * avg(y over bins j..k) — equivalent to pool-adjacent-violators but
+    * expressible identically in SQL (a ≤64³ bounded triple join), so the
+    * oracle replays the exact fit instead of trusting a driver loop.
+    * Averages are doubles of exact integer prefix sums; min/max are
+    * order-free, so parity is structural. */
+  def q250IsotonicCalibration(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val bins = documents(s, d)
+      .select($"lang", tokens($"text").as("ws"))
+      .filter(size($"ws") >= 1)
+      .select(
+        least(floor((size(array_distinct($"ws")).cast("double") /
+          size($"ws")) * lit(IsoBins.toDouble)).cast("int"),
+          lit(IsoBins - 1)).as("bin"),
+        when($"lang" === "en", 1L).otherwise(0L).as("y"))
+      .groupBy($"bin")
+      .agg(count(lit(1)).as("n"), sum($"y").as("sy"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    if (bins.isEmpty)
+      return Seq.empty[(Int, Long, Double, Double)]
+        .toDF("bin", "n", "raw_rate", "iso_rate")
+    val cn = bins.map(_._2).scanLeft(0L)(_ + _)
+    val cs = bins.map(_._3).scanLeft(0L)(_ + _)
+    val m = bins.length
+    def avg(j: Int, k: Int): Double = // over occupied bins j..k (0-based)
+      (cs(k + 1) - cs(j)).toDouble / (cn(k + 1) - cn(j)).toDouble
+    def r6(x: Double) = BigDecimal(x * 1e6)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble / 1e6 + 0.0
+    val iso = Array.tabulate(m) { i =>
+      (0 to i).map(j => (i until m).map(k => avg(j, k)).min).max
+    }
+    bins.zipWithIndex.map { case ((b, n, sy), i) =>
+      (b, n, r6(sy.toDouble / n.toDouble), r6(iso(i)))
+    }.toSeq.toDF("bin", "n", "raw_rate", "iso_rate").orderBy($"bin")
+  }
+
+  val q250Sql: String = {
+    val ws = DuckSql.tokensSql
+    s"""WITH f AS (SELECT
+       |    least(floor((len(list_distinct(ws))::DOUBLE / len(ws))
+       |      * ${IsoBins.toDouble})::INT, ${IsoBins - 1}) AS bin,
+       |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+       |  FROM (SELECT lang, $ws AS ws FROM documents) WHERE len(ws) >= 1),
+       |bins AS (SELECT bin, count(*)::BIGINT AS n, sum(y)::BIGINT AS sy
+       |  FROM f GROUP BY bin),
+       |pre AS (SELECT bin, n, sy,
+       |    sum(n) OVER (ORDER BY bin) AS cn, sum(sy) OVER (ORDER BY bin) AS cs
+       |  FROM bins),
+       |segs AS (SELECT j.bin AS jb, k.bin AS kb,
+       |    (k.cs - (j.cs - j.sy))::DOUBLE / (k.cn - (j.cn - j.n))::DOUBLE
+       |      AS av
+       |  FROM pre j JOIN pre k ON j.bin <= k.bin),
+       |mm AS (SELECT i.bin, s.jb, min(s.av) AS mn
+       |  FROM pre i JOIN segs s ON s.jb <= i.bin AND s.kb >= i.bin
+       |  GROUP BY i.bin, s.jb),
+       |iso AS (SELECT bin, max(mn) AS iso FROM mm GROUP BY bin)
+       |SELECT b.bin, b.n,
+       |  ${DuckSql.roundpSql("b.sy::DOUBLE / b.n::DOUBLE", 6)} AS raw_rate,
+       |  ${DuckSql.roundpSql("i.iso", 6)} AS iso_rate
+       |FROM bins b JOIN iso i USING (bin) ORDER BY b.bin""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q251
+
+  private val CupedSplit = "2024-01-16 00:00:00"
+
+  /** q251: CUPED variance-reduced A/B readout (Deng et al. 2013, "Improving
+    * the Sensitivity of Online Controlled Experiments") over the events
+    * table: per-user pre-period activity is the covariate, post-period
+    * value the metric, θ = cov(x,y)/var(x) fitted POOLED, each arm's
+    * mean adjusted by θ·(x̄_g − x̄). The experiment-readout primitive a
+    * pipeline runs after q137/q169-style mixture changes. Scale shape:
+    * one shuffle to per-user integer sums (micro-quantized per ROW, so
+    * user totals are exact integers), one bounded 2-group aggregation of
+    * user-level quantized moments, driver math over 2×5 cells. */
+  def q251Cuped(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = graft.Tables.events(s, d)
+    val split = lit(java.sql.Timestamp.valueOf(CupedSplit))
+    val vq = round($"value" * lit(1000000.0)).cast("long")
+    val users = ev.groupBy($"user_id")
+      .agg(
+        coalesce(sum(when($"ts" < split, vq).otherwise(lit(0L))), lit(0L))
+          .as("uxq"),
+        coalesce(sum(when($"ts" >= split, vq).otherwise(lit(0L))), lit(0L))
+          .as("uyq"))
+    val x = $"uxq".cast("double") / lit(1000000.0)
+    val y = $"uyq".cast("double") / lit(1000000.0)
+    val g = users
+      .select(($"user_id" % 2).as("grp"), $"uxq", $"uyq",
+        round((x * y) * lit(10000.0)).cast("long").as("pxy"),
+        round((x * x) * lit(10000.0)).cast("long").as("pxx"))
+      .groupBy($"grp")
+      .agg(count(lit(1)).as("n"), sum($"uxq").as("sx"), sum($"uyq").as("sy"),
+        sum($"pxy").as("sxy"), sum($"pxx").as("sxx"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+      .sortBy(_._1)
+    if (g.isEmpty)
+      return Seq.empty[(Long, Long, Double, Double, Double)]
+        .toDF("grp", "n_users", "mean_post", "mean_adj", "theta")
+    val nAll = g.map(_._2).sum
+    val mxAll = (g.map(_._3).sum.toDouble / 1000000.0) / nAll
+    val myAll = (g.map(_._4).sum.toDouble / 1000000.0) / nAll
+    val theta = ((g.map(_._5).sum.toDouble / 10000.0) / nAll - mxAll * myAll) /
+      ((g.map(_._6).sum.toDouble / 10000.0) / nAll - mxAll * mxAll)
+    def r6(v: Double) = BigDecimal(v * 1e6)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble / 1e6 + 0.0
+    g.map { case (grp, n, sx, sy, _, _) =>
+      val mx = (sx.toDouble / 1000000.0) / n
+      val my = (sy.toDouble / 1000000.0) / n
+      (grp, n, r6(my), r6(my - theta * (mx - mxAll)), r6(theta))
+    }.toSeq.toDF("grp", "n_users", "mean_post", "mean_adj", "theta")
+      .orderBy($"grp")
+  }
+
+  val q251Sql: String =
+    s"""WITH u AS (SELECT user_id,
+       |    coalesce(sum(CASE WHEN ts < TIMESTAMP '$CupedSplit'
+       |      THEN CAST(round(value * 1000000.0) AS BIGINT) ELSE 0 END), 0)
+       |      ::BIGINT AS uxq,
+       |    coalesce(sum(CASE WHEN ts >= TIMESTAMP '$CupedSplit'
+       |      THEN CAST(round(value * 1000000.0) AS BIGINT) ELSE 0 END), 0)
+       |      ::BIGINT AS uyq
+       |  FROM events GROUP BY user_id),
+       |g AS (SELECT user_id % 2 AS grp, count(*)::BIGINT AS n,
+       |    sum(uxq)::BIGINT AS sx, sum(uyq)::BIGINT AS sy,
+       |    sum(CAST(round(((uxq::DOUBLE / 1000000.0)
+       |      * (uyq::DOUBLE / 1000000.0)) * 10000.0) AS BIGINT))::BIGINT
+       |      AS sxy,
+       |    sum(CAST(round(((uxq::DOUBLE / 1000000.0)
+       |      * (uxq::DOUBLE / 1000000.0)) * 10000.0) AS BIGINT))::BIGINT
+       |      AS sxx
+       |  FROM u GROUP BY 1),
+       |t AS (SELECT sum(n) AS na,
+       |    (sum(sx)::DOUBLE / 1000000.0) / sum(n) AS mxa,
+       |    (sum(sy)::DOUBLE / 1000000.0) / sum(n) AS mya,
+       |    (((sum(sxy)::DOUBLE / 10000.0) / sum(n))
+       |      - ((sum(sx)::DOUBLE / 1000000.0) / sum(n))
+       |        * ((sum(sy)::DOUBLE / 1000000.0) / sum(n))) /
+       |    (((sum(sxx)::DOUBLE / 10000.0) / sum(n))
+       |      - ((sum(sx)::DOUBLE / 1000000.0) / sum(n))
+       |        * ((sum(sx)::DOUBLE / 1000000.0) / sum(n))) AS theta
+       |  FROM g)
+       |SELECT g.grp, g.n AS n_users,
+       |  ${DuckSql.roundpSql("(g.sy::DOUBLE / 1000000.0) / g.n", 6)}
+       |    AS mean_post,
+       |  ${DuckSql.roundpSql(
+            "((g.sy::DOUBLE / 1000000.0) / g.n) - t.theta * " +
+            "(((g.sx::DOUBLE / 1000000.0) / g.n) - t.mxa)", 6)} AS mean_adj,
+       |  ${DuckSql.roundpSql("t.theta", 6)} AS theta
+       |FROM g, t ORDER BY g.grp""".stripMargin
+
+  // ---------------------------------------------------------------- q252
+
+  /** q252: SIMPSON'S-PARADOX audit — per-source regression slope of
+    * lexical diversity on scaled token count vs the pooled slope, with a
+    * sign-flip flag. The aggregation-bias check a corpus report runs
+    * before quoting any pooled correlation (q217/q187's pitfall): a
+    * pooled trend can invert inside every stratum. One pass of per-row
+    * 10⁸-quantized moments grouped by source (q241's moment discipline);
+    * pooled moments are the integer sums of the group cells, so both
+    * slopes are driver math over the same exact integers. */
+  def q252SimpsonAudit(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val Q = 100000000.0
+    def mq(c: Column) = sum(round(c * lit(Q)).cast("long"))
+    val g = documents(s, d)
+      .select($"source", tokens($"text").as("ws"))
+      .filter(size($"ws") >= 1)
+      .select($"source",
+        (size($"ws").cast("double") * lit(0.01)).as("x"),
+        (size(array_distinct($"ws")).cast("double") / size($"ws")).as("yv"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n"), mq($"x").as("sx"), mq($"yv").as("sy"),
+        mq($"x" * $"yv").as("sxy"), mq($"x" * $"x").as("sxx"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+      .sortBy(_._1)
+    if (g.isEmpty)
+      return Seq.empty[(String, Long, Double, Double, Long)]
+        .toDF("source", "n", "slope", "pooled_slope", "sign_flip")
+    def slope(n: Long, sx: Long, sy: Long, sxy: Long, sxx: Long): Double = {
+      val (mx, my) = ((sx.toDouble / Q) / n, (sy.toDouble / Q) / n)
+      ((sxy.toDouble / Q) / n - mx * my) / ((sxx.toDouble / Q) / n - mx * mx)
+    }
+    val pooled = slope(g.map(_._2).sum, g.map(_._3).sum, g.map(_._4).sum,
+      g.map(_._5).sum, g.map(_._6).sum)
+    def r6(v: Double) = BigDecimal(v * 1e6)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble / 1e6 + 0.0
+    g.map { case (src, n, sx, sy, sxy, sxx) =>
+      val sl = slope(n, sx, sy, sxy, sxx)
+      (src, n, r6(sl), r6(pooled),
+        if (sl * pooled < 0.0) 1L else 0L)
+    }.toSeq.toDF("source", "n", "slope", "pooled_slope", "sign_flip")
+      .orderBy($"source")
+  }
+
+  val q252Sql: String = {
+    val ws = DuckSql.tokensSql
+    def mq(t: String) =
+      s"sum(CAST(round(($t) * 100000000.0) AS BIGINT))::BIGINT"
+    val slope = "(((sxy::DOUBLE / 100000000.0) / n) - " +
+      "((sx::DOUBLE / 100000000.0) / n) * ((sy::DOUBLE / 100000000.0) / n))" +
+      " / (((sxx::DOUBLE / 100000000.0) / n) - " +
+      "((sx::DOUBLE / 100000000.0) / n) * ((sx::DOUBLE / 100000000.0) / n))"
+    s"""WITH f AS (SELECT source, len(ws)::DOUBLE * 0.01 AS x,
+       |    len(list_distinct(ws))::DOUBLE / len(ws) AS yv
+       |  FROM (SELECT source, $ws AS ws FROM documents) WHERE len(ws) >= 1),
+       |g AS (SELECT source, count(*)::BIGINT AS n, ${mq("x")} AS sx,
+       |    ${mq("yv")} AS sy, ${mq("x * yv")} AS sxy, ${mq("x * x")} AS sxx
+       |  FROM f GROUP BY source),
+       |p AS (SELECT sum(n)::BIGINT AS n, sum(sx)::BIGINT AS sx,
+       |    sum(sy)::BIGINT AS sy, sum(sxy)::BIGINT AS sxy,
+       |    sum(sxx)::BIGINT AS sxx FROM g),
+       |ps AS (SELECT $slope AS pooled FROM p)
+       |SELECT g.source, g.n, ${DuckSql.roundpSql(slope, 6)} AS slope,
+       |  ${DuckSql.roundpSql("ps.pooled", 6)} AS pooled_slope,
+       |  CASE WHEN ($slope) * ps.pooled < 0.0 THEN 1::BIGINT
+       |    ELSE 0::BIGINT END AS sign_flip
+       |FROM g, ps ORDER BY g.source""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q250_isotonic_calibration" -> (q250IsotonicCalibration _),
+    "q251_cuped" -> (q251Cuped _),
+    "q252_simpson_audit" -> (q252SimpsonAudit _),
     "q245_bootstrap_ci" -> (q245BootstrapCi _),
     "q246_hashed_lr" -> (q246HashedLr _),
     "q247_ndcg" -> (q247NdcgRetrieval _),
@@ -544,6 +783,9 @@ object InferenceQueries {
     "q249_pq_train" -> (q249PqTrain _))
 
   val oracles: Map[String, String] = Map(
+    "q250_isotonic_calibration" -> q250Sql,
+    "q251_cuped" -> q251Sql,
+    "q252_simpson_audit" -> q252Sql,
     "q245_bootstrap_ci" -> q245Sql,
     "q246_hashed_lr" -> q246Sql,
     "q247_ndcg" -> q247Sql,

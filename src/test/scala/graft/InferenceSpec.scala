@@ -35,14 +35,141 @@ class InferenceSpec extends AnyFunSuite with SparkSpecBase {
   private def q9(x: Double) = BigDecimal(x * 1e9)
     .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
 
+  private def writeEvents(rows: Seq[(Long, java.sql.Timestamp, Long, String,
+      Double, String)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_inf_ev").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
   test("inference family on an EMPTY corpus: zero rows, no job failure") {
     val dir = writeDocs(Seq.empty)
+    Seq.empty[(Long, java.sql.Timestamp, Long, String, Double, String)]
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
     assert(InferenceQueries.q245BootstrapCi(spark, dir).count() == 0)
     assert(InferenceQueries.q246HashedLr(spark, dir).count() == 0)
     assert(InferenceQueries.q247NdcgRetrieval(spark, dir).count() == 0)
     assert(InferenceQueries.q248JlDistortion(spark, dir).count() == 0)
     assert(InferenceQueries.q249PqTrain(spark, dir).count() == 0)
+    assert(InferenceQueries.q250IsotonicCalibration(spark, dir).count() == 0)
+    assert(InferenceQueries.q251Cuped(spark, dir).count() == 0)
+    assert(InferenceQueries.q252SimpsonAudit(spark, dir).count() == 0)
     graft.ops.ScratchCache.releaseAll()
+  }
+
+  test("q250 isotonic fit is monotone, respects pooled means, equals minimax reference") {
+    val rnd = new scala.util.Random(250)
+    val docs = (1L to 200L).map { i =>
+      // diversity correlates with lang=en so the fit has real structure
+      val n = 5 + rnd.nextInt(30)
+      val distinct = 1 + rnd.nextInt(n)
+      val text = ((0 until distinct).map(k => s"w$k") ++
+        Seq.fill(n - distinct)("w0")).mkString(" ")
+      val lang = if (distinct * 2 > n == (rnd.nextInt(4) > 0)) "en" else "de"
+      (i, text, lang, "s1", text.length.toLong)
+    }
+    val dir = writeDocs(docs)
+    val got = InferenceQueries.q250IsotonicCalibration(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.nonEmpty)
+    // monotone non-decreasing in bin
+    got.map(_._4).zip(got.map(_._4).tail).foreach { case (a, b) =>
+      assert(a <= b, s"iso not monotone: $a > $b")
+    }
+    // straight-line minimax reference over the same bins
+    val binned = docs.map { case (_, text, lang, _, _) =>
+      val ws = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      val div = ws.distinct.length.toDouble / ws.length
+      (math.min(math.floor(div * 64).toInt, 63),
+        if (lang == "en") 1L else 0L)
+    }.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (b, g) => (b, g.size.toLong, g.map(_._2).sum) }
+    val cn = binned.map(_._2).scanLeft(0L)(_ + _)
+    val cs = binned.map(_._3).scanLeft(0L)(_ + _)
+    def avg(j: Int, k: Int) =
+      (cs(k + 1) - cs(j)).toDouble / (cn(k + 1) - cn(j)).toDouble
+    val want = binned.indices.map { i =>
+      (0 to i).map(j => (i until binned.length).map(k => avg(j, k)).min).max
+    }
+    got.map(_._4).zip(want.map(r6)).foreach { case (g, w) =>
+      assert(g == w, s"iso $g != $w")
+    }
+  }
+
+  test("q251 CUPED equals a straight-line reference and preserves the overall mean") {
+    val rnd = new scala.util.Random(251)
+    val split = java.sql.Timestamp.valueOf("2024-01-16 00:00:00")
+    val evs = (1L to 600L).map { i =>
+      val uid = 1L + (i % 30)
+      val pre = i % 2 == 0
+      val ts = java.sql.Timestamp.valueOf(
+        if (pre) s"2024-01-${(1 + i % 14).formatted("%02d")} 10:00:00"
+        else s"2024-01-${(17 + i % 14).formatted("%02d")} 10:00:00")
+      // per-user activity level makes x and y correlated → theta != 0
+      val level = 1.0 + (uid % 5)
+      (i, ts, uid, "view", level * (1.0 + rnd.nextInt(100) / 50.0), "{}")
+    }
+    val dir = writeEvents(evs)
+    val got = InferenceQueries.q251Cuped(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4)))
+    assert(got.length == 2)
+    // straight-line reference
+    def q6(x: Double) = BigDecimal(x * 1e6)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val users = evs.groupBy(_._3).toSeq.map { case (uid, g) =>
+      val ux = g.filter(_._2.before(split)).map(e => q6(e._5)).sum
+      val uy = g.filterNot(_._2.before(split)).map(e => q6(e._5)).sum
+      (uid % 2, ux, uy)
+    }
+    def q4(x: Double) = BigDecimal(x * 1e4)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val nAll = users.length
+    val mxAll = (users.map(_._2).sum.toDouble / 1e6) / nAll
+    val myAll = (users.map(_._3).sum.toDouble / 1e6) / nAll
+    val theta = ((users.map(u => q4((u._2.toDouble / 1e6) *
+      (u._3.toDouble / 1e6))).sum.toDouble / 1e4) / nAll - mxAll * myAll) /
+      ((users.map(u => q4((u._2.toDouble / 1e6) *
+        (u._2.toDouble / 1e6))).sum.toDouble / 1e4) / nAll - mxAll * mxAll)
+    val want = users.groupBy(_._1).toSeq.sortBy(_._1).map { case (grp, g) =>
+      val mx = (g.map(_._2).sum.toDouble / 1e6) / g.size
+      val my = (g.map(_._3).sum.toDouble / 1e6) / g.size
+      (grp, g.size.toLong, r6(my), r6(my - theta * (mx - mxAll)), r6(theta))
+    }
+    assert(got.toSeq == want, s"got=${got.toSeq}\nwant=$want")
+    // CUPED preserves the user-weighted overall mean: the group
+    // adjustments cancel (up to the 6dp rounding of the outputs)
+    val pooledRaw = got.map(r => r._3 * r._2).sum / got.map(_._2).sum
+    val pooledAdj = got.map(r => r._4 * r._2).sum / got.map(_._2).sum
+    assert(math.abs(pooledRaw - pooledAdj) < 1e-5, s"$pooledRaw vs $pooledAdj")
+  }
+
+  test("q252 flags a constructed Simpson reversal") {
+    // two sources: within each, diversity FALLS with token count; but the
+    // high-count source has uniformly higher diversity → pooled slope rises
+    def mk(src: String, baseN: Int, baseDiv: Double, ids: Range) =
+      ids.map { i =>
+        val n = baseN + (i % 5) * 2           // token count
+        val div = baseDiv - (i % 5) * 0.06    // diversity falls as n rises
+        val distinct = math.max(1, math.round(div * n).toInt)
+        val text = ((0 until distinct).map(k => s"${src}w$k") ++
+          Seq.fill(n - distinct)(s"${src}w0")).mkString(" ")
+        (i.toLong, text, "en", src, text.length.toLong)
+      }
+    val docs = mk("s1", 10, 0.55, 1 to 40) ++ mk("s2", 40, 0.95, 41 to 80)
+    val dir = writeDocs(docs)
+    val got = InferenceQueries.q252SimpsonAudit(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getLong(4)))
+    assert(got.length == 2)
+    got.foreach { case (src, n, slope, pooled, flip) =>
+      assert(n == 40L)
+      assert(slope < 0.0, s"$src slope $slope should be negative")
+      assert(pooled > 0.0, s"pooled $pooled should be positive")
+      assert(flip == 1L, s"$src should flag the reversal")
+    }
   }
 
   test("q245 equals a straight-line Poisson-bootstrap reference") {
