@@ -125,6 +125,27 @@ object HashKernels {
     new GenericArrayData(out.toArray)
   }
 
+  /** m-bucket hashed-feature fractions (q246): count tokens per
+    * PolyHash32 residue class, divide by token count — the same doubles
+    * as the staged `list_filter`-per-bucket form. EMPTY for null/
+    * token-free docs. */
+  def bucketFracs(s: UTF8String, m: Int): ArrayData = {
+    if (s == null) return new GenericArrayData(Array.empty[Double])
+    val toks = ShingleKernel.tokenize(s)
+    if (toks.length == 0) return new GenericArrayData(Array.empty[Double])
+    val counts = new Array[Long](m)
+    var i = 0
+    while (i < toks.length) {
+      counts((ShingleKernel.polyHash32(toks(i)) % m).toInt) += 1L
+      i += 1
+    }
+    val n = toks.length.toDouble
+    val out = new Array[Double](m)
+    i = 0
+    while (i < m) { out(i) = counts(i).toDouble / n; i += 1 }
+    new GenericArrayData(out)
+  }
+
   /** Distinct word-k-shingles; null for null/short docs (nullable expr). */
   def wordShingles(s: UTF8String, k: Int): ArrayData = {
     if (s == null) return null
@@ -665,6 +686,42 @@ case class WinnowHashes(child: Expression, k: Int, w: Int)
     copy(child = c)
 }
 
+/** `graft_bucket_fracs(text, m)` → ARRAY<DOUBLE>: the m-bucket
+  * hashed-feature vector of a document — fraction of tokens whose
+  * PolyHash32 lands in each residue class (q246's feature build). One
+  * tokenize pass and one integer histogram, vs the staged HOF form's m
+  * interpreted `filter` passes over the hash list (measured 12.2 s → the
+  * kernel's cost at sf1 on the q246 cache fill). EMPTY array for
+  * null/token-free docs — arithmetic (count/nt double division) is
+  * identical to the staged form, so the oracle's staged replay matches. */
+case class BucketFracs(child: Expression, m: Int) extends UnaryExpression {
+  require(m > 0)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_bucket_fracs expects STRING, got ${other.sql}")
+  }
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = false
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    HashKernels.bucketFracs(child.eval(input).asInstanceOf[UTF8String], m)
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val c = child.genCode(ctx)
+    ev.copy(code = code"""
+      ${c.code}
+      org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+        graft.functions.HashKernels.bucketFracs(${c.isNull} ? null : ${c.value}, $m);
+    """,
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
+  override protected def withNewChildInternal(c: Expression): BucketFracs =
+    copy(child = c)
+}
+
 object ShingleExpressions {
   def wordShingles(text: Column, k: Int): Column =
     Bridge.column(WordShingles(Bridge.expression(text), k))
@@ -682,4 +739,6 @@ object ShingleExpressions {
     Bridge.column(CdcChunkHashes(Bridge.expression(text), m))
   def winnowHashes(text: Column, k: Int, w: Int): Column =
     Bridge.column(WinnowHashes(Bridge.expression(text), k, w))
+  def bucketFracs(text: Column, m: Int): Column =
+    Bridge.column(BucketFracs(Bridge.expression(text), m))
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables.{documents, embeddings}
-import graft.functions.TextFunctions.{tokens, polyHash, roundp}
+import graft.functions.TextFunctions.{tokens, roundp}
 
 /** Scalable statistical-inference operators (round 14): resampled
   * uncertainty, hashed-feature training, retrieval evaluation, and
@@ -122,17 +122,18 @@ object InferenceQueries {
   def q246HashedLr(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val Q9 = 1000000000.0
+    // feature build runs on the fused graft_bucket_fracs kernel: one
+    // tokenize pass + one integer histogram per doc, vs the staged HOF
+    // form's 16 interpreted filter passes over the hash list (12.2 →
+    // 3.3 s on the sf1 cache fill). Same doubles — the kernel divides
+    // the same counts by the same token total — so the oracle keeps the
+    // staged list_filter replay.
     val feats = graft.ops.ScratchCache.register(documents(s, d)
-      .select($"lang", tokens($"text").as("ws"))
-      .filter(size($"ws") >= 1)
       .select(
         when($"lang" === "en", 1.0).otherwise(0.0).as("y"),
-        transform($"ws", wd => polyHash(wd) % HlrBuckets).as("hs"),
-        size($"ws").as("nt"))
-      .select($"y",
-        transform(sequence(lit(0), lit(HlrBuckets - 1)),
-          j => size(filter($"hs", h => h === j)).cast("double") / $"nt")
+        graft.functions.ShingleExpressions.bucketFracs($"text", HlrBuckets)
           .as("x"))
+      .filter(size($"x") > 0)
       .persist())
     val wl = Array.fill(HlrBuckets)(0.0)
     var bias = 0.0

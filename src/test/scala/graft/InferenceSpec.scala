@@ -251,6 +251,32 @@ class InferenceSpec extends AnyFunSuite with SparkSpecBase {
     graft.ops.ScratchCache.releaseAll()
   }
 
+  test("bucketFracs kernel equals the staged HOF composition") {
+    val docs = Seq(
+      (1L, "The quick  brown fox\tjumps", "en", "s1", 26L),
+      (2L, "  ", "en", "s1", 2L),
+      (3L, "einzelwort", "de", "s1", 10L),
+      (4L, "a b c d e f g h i j k l m n o p q r s t", "en", "s2", 40L))
+    val dir = writeDocs(docs)
+    val df = spark.read.parquet(s"$dir/documents.parquet")
+    val kernel = df.select($"doc_id",
+        graft.functions.ShingleExpressions.bucketFracs($"text", 16).as("x"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val ws = graft.functions.TextFunctions.tokens($"text")
+    val staged = df
+      .select($"doc_id", ws.as("ws"))
+      .select($"doc_id",
+        transform($"ws", wd =>
+          graft.functions.TextFunctions.polyHash(wd) % 16).as("hs"),
+        size($"ws").as("nt"))
+      .select($"doc_id",
+        when($"nt" >= 1, transform(sequence(lit(0), lit(15)),
+          j => size(filter($"hs", h => h === j)).cast("double") / $"nt"))
+          .otherwise(typedlit(Seq.empty[Double])).as("x"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(kernel == staged, s"kernel=$kernel\nstaged=$staged")
+  }
+
   test("q247 equals a brute-force nDCG/MRR reference; perfect retrieval scores 1") {
     // two well-separated label clusters: retrieval by cosine is perfect,
     // so every query's ndcg@10 and mrr must be exactly 1
