@@ -67,7 +67,10 @@ object RasterScaleBench {
         r._1.count()
         r
       }
-      val nChunks = cube.count()
+      // store read-back in isolation (fresh plan → per-file stat + zlib
+      // inflate of every chunk): the component of `total` the stage
+      // attribution below cannot see
+      val (nChunks, tRead) = time(cube.count())
 
       // stage attribution (each phase forced independently — re-runs the
       // upstream lineage, so these overlap; they locate cost, the total
@@ -106,7 +109,7 @@ object RasterScaleBench {
       println(f"[raster] tiles=$label%-6s total=$total%7.2f s  " +
         f"scenes=$nScenes%8d (${tScenes}%6.2f s)  " +
         f"features=$nFeatures%7d (${tFeatures}%6.2f s)  " +
-        f"write=${tWrite}%6.2f s  " +
+        f"write=${tWrite}%6.2f s  readback=${tRead}%6.2f s  " +
         f"chunks=$nChunks%7d files=$chunkFiles%7d regions=${regions.size}%5d " +
         f"grid=${gridDef.nY}x${gridDef.nX}")
       graft.ops.ScratchCache.releaseAll()
