@@ -44,7 +44,8 @@ object SparkEntry {
     graft.queries.GraphQueries.queries ++
     graft.queries.CurationQueries.queries ++
     graft.queries.CorpusOpsQueries.queries ++
-    graft.queries.InferenceQueries.queries
+    graft.queries.InferenceQueries.queries ++
+    graft.queries.PrivacyQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -63,5 +64,6 @@ object SparkEntry {
     graft.queries.GraphQueries.oracles ++
     graft.queries.CurationQueries.oracles ++
     graft.queries.CorpusOpsQueries.oracles ++
-    graft.queries.InferenceQueries.oracles
+    graft.queries.InferenceQueries.oracles ++
+    graft.queries.PrivacyQueries.oracles
 }
