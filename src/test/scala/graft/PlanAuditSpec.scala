@@ -481,4 +481,45 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpecBase {
     assert(!plan.contains("CartesianProduct"), plan)
     assert(plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  test("q245 bootstrap CI: ONE explode scan, no join, no window — B+1 replica cells") {
+    val df = graft.queries.InferenceQueries.q245BootstrapCi(spark, sfSmoke)
+    val plan = planStr(df)
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("Window"), plan)
+    graft.ops.ScratchCache.releaseAll()
+  }
+
+  test("q247 nDCG: literal query fold-back — scoring pass joins nothing, ranks via aggregate") {
+    val df = graft.queries.InferenceQueries.q247NdcgRetrieval(spark, sfSmoke)
+    val plan = planStr(df)
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    graft.ops.ScratchCache.releaseAll()
+  }
+
+  test("q250/q252: one bounded aggregation each — no join, no window") {
+    for ((name, df) <- Seq(
+        "q250" -> graft.queries.InferenceQueries.q250IsotonicCalibration(spark, sfSmoke),
+        "q252" -> graft.queries.InferenceQueries.q252SimpsonAudit(spark, sfSmoke))) {
+      val plan = planStr(df)
+      assert(!plan.contains("Join"), s"$name: $plan")
+      assert(!plan.contains("Window"), s"$name: $plan")
+    }
+    graft.ops.ScratchCache.releaseAll()
+  }
+
+  test("DP releases (q253/q254/q255): noise rides the bounded released frame — no join, no window, no cartesian") {
+    for ((name, df) <- Seq(
+        "q253" -> graft.queries.PrivacyQueries.q253DpHistogram(spark, sfSmoke),
+        "q254" -> graft.queries.PrivacyQueries.q254DpConsistency(spark, sfSmoke),
+        "q255" -> graft.queries.PrivacyQueries.q255DpVocab(spark, sfSmoke))) {
+      val plan = planStr(df)
+      // the mechanism is a per-row CASE over post-aggregation rows: any
+      // Join/Window here would mean the noise path touches the corpus
+      assert(!plan.contains("Join"), s"$name: $plan")
+      assert(!plan.contains("Window"), s"$name: $plan")
+      assert(!plan.contains("CartesianProduct"), s"$name: $plan")
+    }
+  }
 }
