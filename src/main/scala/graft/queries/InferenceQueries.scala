@@ -71,6 +71,12 @@ object InferenceQueries {
     val (_, psum, n) = point.get
     val reps = g.filter(r => r._1 < BootB && r._3 > 0L)
       .map(r => r._2.toDouble / r._3.toDouble).sorted
+    // all 32 replicas drawing weight 0 is deterministically possible on
+    // a 1-2 doc corpus (each replica zeroes with prob e^{-n}); the CI is
+    // undefined then — zero rows, and the twin's len(ms) guard matches
+    if (reps.isEmpty)
+      return Seq.empty[(Long, Double, Double, Double)]
+        .toDF("n_docs", "mean_chars", "ci_lo", "ci_hi")
     def r6(x: Double) = BigDecimal(x * 1e6)
       .setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble / 1e6 + 0.0
     Seq((n, r6(psum.toDouble / n.toDouble),
@@ -100,7 +106,7 @@ object InferenceQueries {
        |  ${DuckSql.roundpSql("pt.m", 6)} AS mean_chars,
        |  ${DuckSql.roundpSql("ms[least(2, len(ms))]", 6)} AS ci_lo,
        |  ${DuckSql.roundpSql("ms[least(31, len(ms))]", 6)} AS ci_hi
-       |FROM pt, reps WHERE pt.n > 0""".stripMargin
+       |FROM pt, reps WHERE pt.n > 0 AND len(ms) >= 1""".stripMargin
   }
 
   // ---------------------------------------------------------------- q246
@@ -614,15 +620,30 @@ object InferenceQueries {
 
   private val CupedSplit = "2024-01-16 00:00:00"
 
+  /** Winsorization cap for q251's per-user totals, in raw value units
+    * (10,000 — far above any plausible honest user; sf0.1's max total
+    * is ~3.3k). Capping BEFORE the moment pass is standard CUPED
+    * practice for heavy-user robustness AND what keeps every quantized
+    * moment per-ROW bounded (q241's discipline): without it a single
+    * bot user's x² term can overflow the Long sum on its own — Spark
+    * would wrap silently while the twin's HUGEINT→BIGINT cast errors,
+    * the q239 divergence class. */
+  private val CupedCap = 10000.0
+  private val CupedCapQ = 10000000000L // the cap in micro units
+
   /** q251: CUPED variance-reduced A/B readout (Deng et al. 2013, "Improving
     * the Sensitivity of Online Controlled Experiments") over the events
     * table: per-user pre-period activity is the covariate, post-period
-    * value the metric, θ = cov(x,y)/var(x) fitted POOLED, each arm's
-    * mean adjusted by θ·(x̄_g − x̄). The experiment-readout primitive a
-    * pipeline runs after q137/q169-style mixture changes. Scale shape:
-    * one shuffle to per-user integer sums (micro-quantized per ROW, so
-    * user totals are exact integers), one bounded 2-group aggregation of
-    * user-level quantized moments, driver math over 2×5 cells. */
+    * value the metric, θ = cov(x,y)/var(x) fitted POOLED over
+    * winsorized user totals, each arm's mean adjusted by θ·(x̄_g − x̄).
+    * The experiment-readout primitive a pipeline runs after
+    * q137/q169-style mixture changes. Scale shape: one shuffle to
+    * per-user integer sums (micro-quantized per ROW, so user totals are
+    * exact integers; per-event ≤1e8 units → ~9e10-event headroom), then
+    * winsorize at [[CupedCap]] so every user-level moment is row-bounded:
+    * first moments quantize at 1e2 (≤1e6/row → ~9e12-user headroom),
+    * second moments at 1 (≤1e8/row → ~9e10 users). One bounded 2-group
+    * aggregation, driver math over 2×5 cells. */
   def q251Cuped(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val ev = graft.Tables.events(s, d)
@@ -634,14 +655,16 @@ object InferenceQueries {
           .as("uxq"),
         coalesce(sum(when($"ts" >= split, vq).otherwise(lit(0L))), lit(0L))
           .as("uyq"))
-    val x = $"uxq".cast("double") / lit(1000000.0)
-    val y = $"uyq".cast("double") / lit(1000000.0)
+    val x = least($"uxq", lit(CupedCapQ)).cast("double") / lit(1000000.0)
+    val y = least($"uyq", lit(CupedCapQ)).cast("double") / lit(1000000.0)
     val g = users
-      .select(($"user_id" % 2).as("grp"), $"uxq", $"uyq",
-        round((x * y) * lit(10000.0)).cast("long").as("pxy"),
-        round((x * x) * lit(10000.0)).cast("long").as("pxx"))
+      .select(($"user_id" % 2).as("grp"),
+        round(x * lit(100.0)).cast("long").as("sxq"),
+        round(y * lit(100.0)).cast("long").as("syq"),
+        round(x * y).cast("long").as("pxy"),
+        round(x * x).cast("long").as("pxx"))
       .groupBy($"grp")
-      .agg(count(lit(1)).as("n"), sum($"uxq").as("sx"), sum($"uyq").as("sy"),
+      .agg(count(lit(1)).as("n"), sum($"sxq").as("sx"), sum($"syq").as("sy"),
         sum($"pxy").as("sxy"), sum($"pxx").as("sxx"))
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
@@ -651,17 +674,21 @@ object InferenceQueries {
       return Seq.empty[(Long, Long, Double, Double, Double)]
         .toDF("grp", "n_users", "mean_post", "mean_adj", "theta")
     val nAll = g.map(_._2).sum
-    val mxAll = (g.map(_._3).sum.toDouble / 1000000.0) / nAll
-    val myAll = (g.map(_._4).sum.toDouble / 1000000.0) / nAll
-    val theta = ((g.map(_._5).sum.toDouble / 10000.0) / nAll - mxAll * myAll) /
-      ((g.map(_._6).sum.toDouble / 10000.0) / nAll - mxAll * mxAll)
-    def r6(v: Double) = BigDecimal(v * 1e6)
-      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble / 1e6 + 0.0
+    val mxAll = (g.map(_._3).sum.toDouble / 100.0) / nAll
+    val myAll = (g.map(_._4).sum.toDouble / 100.0) / nAll
+    val theta = (g.map(_._5).sum.toDouble / nAll - mxAll * myAll) /
+      (g.map(_._6).sum.toDouble / nAll - mxAll * mxAll)
+    // rounding is PLAN-side roundp, not driver BigDecimal: a zero-
+    // variance covariate makes θ NaN, and the q241 singular contract is
+    // non-finite output in both engines, never a crash (BigDecimal(NaN)
+    // throws)
     g.map { case (grp, n, sx, sy, _, _) =>
-      val mx = (sx.toDouble / 1000000.0) / n
-      val my = (sy.toDouble / 1000000.0) / n
-      (grp, n, r6(my), r6(my - theta * (mx - mxAll)), r6(theta))
-    }.toSeq.toDF("grp", "n_users", "mean_post", "mean_adj", "theta")
+      val mx = (sx.toDouble / 100.0) / n
+      val my = (sy.toDouble / 100.0) / n
+      (grp, n, my, my - theta * (mx - mxAll), theta)
+    }.toSeq.toDF("grp", "n_users", "mpr", "mar", "thr")
+      .select($"grp", $"n_users", roundp($"mpr", 6).as("mean_post"),
+        roundp($"mar", 6).as("mean_adj"), roundp($"thr", 6).as("theta"))
       .orderBy($"grp")
   }
 
@@ -674,31 +701,32 @@ object InferenceQueries {
        |      THEN CAST(round(value * 1000000.0) AS BIGINT) ELSE 0 END), 0)
        |      ::BIGINT AS uyq
        |  FROM events GROUP BY user_id),
+       |w AS (SELECT user_id,
+       |    least(uxq, $CupedCapQ)::DOUBLE / 1000000.0 AS x,
+       |    least(uyq, $CupedCapQ)::DOUBLE / 1000000.0 AS y
+       |  FROM u),
        |g AS (SELECT user_id % 2 AS grp, count(*)::BIGINT AS n,
-       |    sum(uxq)::BIGINT AS sx, sum(uyq)::BIGINT AS sy,
-       |    sum(CAST(round(((uxq::DOUBLE / 1000000.0)
-       |      * (uyq::DOUBLE / 1000000.0)) * 10000.0) AS BIGINT))::BIGINT
-       |      AS sxy,
-       |    sum(CAST(round(((uxq::DOUBLE / 1000000.0)
-       |      * (uxq::DOUBLE / 1000000.0)) * 10000.0) AS BIGINT))::BIGINT
-       |      AS sxx
-       |  FROM u GROUP BY 1),
+       |    sum(CAST(round(x * 100.0) AS BIGINT))::BIGINT AS sx,
+       |    sum(CAST(round(y * 100.0) AS BIGINT))::BIGINT AS sy,
+       |    sum(CAST(round(x * y) AS BIGINT))::BIGINT AS sxy,
+       |    sum(CAST(round(x * x) AS BIGINT))::BIGINT AS sxx
+       |  FROM w GROUP BY 1),
        |t AS (SELECT sum(n) AS na,
-       |    (sum(sx)::DOUBLE / 1000000.0) / sum(n) AS mxa,
-       |    (sum(sy)::DOUBLE / 1000000.0) / sum(n) AS mya,
-       |    (((sum(sxy)::DOUBLE / 10000.0) / sum(n))
-       |      - ((sum(sx)::DOUBLE / 1000000.0) / sum(n))
-       |        * ((sum(sy)::DOUBLE / 1000000.0) / sum(n))) /
-       |    (((sum(sxx)::DOUBLE / 10000.0) / sum(n))
-       |      - ((sum(sx)::DOUBLE / 1000000.0) / sum(n))
-       |        * ((sum(sx)::DOUBLE / 1000000.0) / sum(n))) AS theta
+       |    (sum(sx)::DOUBLE / 100.0) / sum(n) AS mxa,
+       |    (sum(sy)::DOUBLE / 100.0) / sum(n) AS mya,
+       |    ((sum(sxy)::DOUBLE / sum(n))
+       |      - ((sum(sx)::DOUBLE / 100.0) / sum(n))
+       |        * ((sum(sy)::DOUBLE / 100.0) / sum(n))) /
+       |    ((sum(sxx)::DOUBLE / sum(n))
+       |      - ((sum(sx)::DOUBLE / 100.0) / sum(n))
+       |        * ((sum(sx)::DOUBLE / 100.0) / sum(n))) AS theta
        |  FROM g)
        |SELECT g.grp, g.n AS n_users,
-       |  ${DuckSql.roundpSql("(g.sy::DOUBLE / 1000000.0) / g.n", 6)}
+       |  ${DuckSql.roundpSql("(g.sy::DOUBLE / 100.0) / g.n", 6)}
        |    AS mean_post,
        |  ${DuckSql.roundpSql(
-            "((g.sy::DOUBLE / 1000000.0) / g.n) - t.theta * " +
-            "(((g.sx::DOUBLE / 1000000.0) / g.n) - t.mxa)", 6)} AS mean_adj,
+            "((g.sy::DOUBLE / 100.0) / g.n) - t.theta * " +
+            "(((g.sx::DOUBLE / 100.0) / g.n) - t.mxa)", 6)} AS mean_adj,
        |  ${DuckSql.roundpSql("t.theta", 6)} AS theta
        |FROM g, t ORDER BY g.grp""".stripMargin
 
@@ -738,13 +766,14 @@ object InferenceQueries {
     }
     val pooled = slope(g.map(_._2).sum, g.map(_._3).sum, g.map(_._4).sum,
       g.map(_._5).sum, g.map(_._6).sum)
-    def r6(v: Double) = BigDecimal(v * 1e6)
-      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble / 1e6 + 0.0
+    // plan-side roundp (q241 singular contract): a zero-variance source
+    // yields a NaN slope in both engines — driver BigDecimal would throw
     g.map { case (src, n, sx, sy, sxy, sxx) =>
       val sl = slope(n, sx, sy, sxy, sxx)
-      (src, n, r6(sl), r6(pooled),
-        if (sl * pooled < 0.0) 1L else 0L)
-    }.toSeq.toDF("source", "n", "slope", "pooled_slope", "sign_flip")
+      (src, n, sl, pooled, if (sl * pooled < 0.0) 1L else 0L)
+    }.toSeq.toDF("source", "n", "slr", "plr", "sign_flip")
+      .select($"source", $"n", roundp($"slr", 6).as("slope"),
+        roundp($"plr", 6).as("pooled_slope"), $"sign_flip")
       .orderBy($"source")
   }
 

@@ -124,18 +124,26 @@ class InferenceSpec extends AnyFunSuite with SparkSpecBase {
       val uy = g.filterNot(_._2.before(split)).map(e => q6(e._5)).sum
       (uid % 2, ux, uy)
     }
-    def q4(x: Double) = BigDecimal(x * 1e4)
+    // the winsorized grid form: x/y capped at 10k units, first moments
+    // on the 1e2 grid, second moments rounded to integers (the engine's
+    // row-bounded moment discipline)
+    def q0(x: Double) = BigDecimal(x)
       .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
-    val nAll = users.length
-    val mxAll = (users.map(_._2).sum.toDouble / 1e6) / nAll
-    val myAll = (users.map(_._3).sum.toDouble / 1e6) / nAll
-    val theta = ((users.map(u => q4((u._2.toDouble / 1e6) *
-      (u._3.toDouble / 1e6))).sum.toDouble / 1e4) / nAll - mxAll * myAll) /
-      ((users.map(u => q4((u._2.toDouble / 1e6) *
-        (u._2.toDouble / 1e6))).sum.toDouble / 1e4) / nAll - mxAll * mxAll)
-    val want = users.groupBy(_._1).toSeq.sortBy(_._1).map { case (grp, g) =>
-      val mx = (g.map(_._2).sum.toDouble / 1e6) / g.size
-      val my = (g.map(_._3).sum.toDouble / 1e6) / g.size
+    def q2(x: Double) = BigDecimal(x * 1e2)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val wu = users.map { case (grp, ux, uy) =>
+      (grp, math.min(ux, 10000000000L).toDouble / 1e6,
+        math.min(uy, 10000000000L).toDouble / 1e6)
+    }
+    val nAll = wu.length
+    val mxAll = (wu.map(u => q2(u._2)).sum.toDouble / 1e2) / nAll
+    val myAll = (wu.map(u => q2(u._3)).sum.toDouble / 1e2) / nAll
+    val theta = (wu.map(u => q0(u._2 * u._3)).sum.toDouble / nAll -
+      mxAll * myAll) /
+      (wu.map(u => q0(u._2 * u._2)).sum.toDouble / nAll - mxAll * mxAll)
+    val want = wu.groupBy(_._1).toSeq.sortBy(_._1).map { case (grp, g) =>
+      val mx = (g.map(u => q2(u._2)).sum.toDouble / 1e2) / g.size
+      val my = (g.map(u => q2(u._3)).sum.toDouble / 1e2) / g.size
       (grp, g.size.toLong, r6(my), r6(my - theta * (mx - mxAll)), r6(theta))
     }
     assert(got.toSeq == want, s"got=${got.toSeq}\nwant=$want")
@@ -144,6 +152,65 @@ class InferenceSpec extends AnyFunSuite with SparkSpecBase {
     val pooledRaw = got.map(r => r._3 * r._2).sum / got.map(_._2).sum
     val pooledAdj = got.map(r => r._4 * r._2).sum / got.map(_._2).sum
     assert(math.abs(pooledRaw - pooledAdj) < 1e-5, s"$pooledRaw vs $pooledAdj")
+  }
+
+  test("q251 winsorizes a bot user at the 10k cap — no Long-overflow channel") {
+    val split = java.sql.Timestamp.valueOf("2024-01-16 00:00:00")
+    // user 1: a bot with a 50k pre-period total (5 × the cap);
+    // users 2-4: honest, far under the cap
+    val evs =
+      (1 to 50).map(i => (i.toLong,
+        java.sql.Timestamp.valueOf("2024-01-05 10:00:00"), 1L, "view",
+        1000.0, "{}")) ++
+      Seq((100L, java.sql.Timestamp.valueOf("2024-01-20 10:00:00"), 1L,
+        "view", 7.0, "{}")) ++
+      (2 to 4).flatMap(u => Seq(
+        (200L + u, java.sql.Timestamp.valueOf("2024-01-05 10:00:00"),
+          u.toLong, "view", 10.0 * u, "{}"),
+        (300L + u, java.sql.Timestamp.valueOf("2024-01-20 10:00:00"),
+          u.toLong, "view", 5.0 * u, "{}")))
+    val dir = writeEvents(evs)
+    val got = InferenceQueries.q251Cuped(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(4)))
+    // replay theta with the bot CAPPED at 10,000 (not its true 50,000):
+    // x values post-cap are 10000 (bot), 20, 40 (u2, u4 odd? u2,u4 even)
+    val users = Seq( // (grp, x capped, y)
+      (1L, 10000.0, 7.0), (0L, 20.0, 10.0), (1L, 30.0, 15.0),
+      (0L, 40.0, 20.0))
+    def q2(x: Double) = BigDecimal(x * 1e2)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    def q0(x: Double) = BigDecimal(x)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val n = users.length
+    val mx = (users.map(u => q2(u._2)).sum.toDouble / 1e2) / n
+    val my = (users.map(u => q2(u._3)).sum.toDouble / 1e2) / n
+    val theta = (users.map(u => q0(u._2 * u._3)).sum.toDouble / n - mx * my) /
+      (users.map(u => q0(u._2 * u._2)).sum.toDouble / n - mx * mx)
+    got.foreach { case (_, t) => assert(t == r6(theta), s"$t != ${r6(theta)}") }
+  }
+
+  test("q251/q252 singular corners: zero-variance covariate yields non-finite output, no exception") {
+    // q251: both users have IDENTICAL pre-period totals → var(x) = 0 →
+    // θ = 0/0 = NaN; the q241 singular contract is non-finite output
+    val split = java.sql.Timestamp.valueOf("2024-01-16 00:00:00")
+    val evs = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-05 10:00:00"), 1L, "view", 10.0, "{}"),
+      (2L, java.sql.Timestamp.valueOf("2024-01-20 10:00:00"), 1L, "view", 3.0, "{}"),
+      (3L, java.sql.Timestamp.valueOf("2024-01-05 10:00:00"), 2L, "view", 10.0, "{}"),
+      (4L, java.sql.Timestamp.valueOf("2024-01-20 10:00:00"), 2L, "view", 7.0, "{}"))
+    val d1 = writeEvents(evs)
+    val r1 = InferenceQueries.q251Cuped(spark, d1).collect()
+    assert(r1.length == 2)
+    assert(r1.forall(r => r.getDouble(4).isNaN))
+    // q252: every doc has exactly 100 tokens (x = 1.0, exactly
+    // representable so the quantized moments cancel to a true 0/0) and
+    // constant diversity → NaN slope, sign_flip 0, no crash
+    val text100 = (0 until 100).map(k => s"w$k").mkString(" ")
+    val docs = (1L to 6L).map(i => (i, text100, "en", "s1", 100L))
+    val d2 = writeDocs(docs)
+    val r2 = InferenceQueries.q252SimpsonAudit(spark, d2).collect()
+    assert(r2.length == 1)
+    assert(r2.head.getDouble(2).isNaN && r2.head.getLong(4) == 0L)
   }
 
   test("q252 flags a constructed Simpson reversal") {
