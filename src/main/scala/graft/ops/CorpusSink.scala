@@ -168,7 +168,15 @@ object CorpusSink {
     import spark.implicits._
     require(budget < (1L << 31) - 1,
       s"shard budget $budget must stay below 2^31-1 so sum(rowHash) cannot wrap")
-    val hasManifest = new java.io.File(dir, ManifestDir).isDirectory
+    // test for manifest FILES, not the directory: an empty micro-batch's
+    // commit marker (appendStreamBatch) creates _manifest/ without any
+    // manifest parquet, and a directory-existence test would then send
+    // every subsequent append into a failing manifest read — empty
+    // triggers happen routinely on a live stream
+    val hasManifest = {
+      val m = new java.io.File(dir, ManifestDir)
+      m.isDirectory && m.listFiles().exists(_.getName.endsWith(".parquet"))
+    }
     val old = if (hasManifest) Some(manifestFrame(spark, dir)) else None
     val start = old.map(_.agg(max(col("shard_id").cast("long")))
       .head().getLong(0) + 1L).getOrElse(0L)

@@ -103,7 +103,13 @@ object PageRank {
     val e = ScratchCache.register(
       edges.select(col("src").cast("long"), col("dst").cast("long")).persist())
     val nEdges = e.count()
-    if (nEdges * BytesPerEdge <= maxDriverEdgeBytes) {
+    if (nEdges == 0L) {
+      // an empty graph has an empty ranking — the regime loops' ≥1-node
+      // contracts are for real graphs
+      lastChoice = "empty"
+      import spark.implicits._
+      Seq.empty[(Long, Long)].toDF("id", "rank")
+    } else if (nEdges * BytesPerEdge <= maxDriverEdgeBytes) {
       lastChoice = "driver-local"
       driverLocalLoop(spark, e, iters, scale)
     } else {

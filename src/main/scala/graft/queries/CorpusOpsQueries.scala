@@ -213,6 +213,13 @@ object CorpusOpsQueries {
     // write → read-many: re-runs over an unchanged corpus skip straight
     // to the pruned read (the economic shape of a corpus sink; first run
     // and any corpus change still pay the full sharded write)
+    // empty corpus: nothing to shard and no id bounds — the oracle's
+    // global aggregate over zero surviving rows is ONE row of
+    // (0, NULL, NULL, NULL), so mirror that shape exactly
+    if (st.getLong(0) == 0L)
+      return Seq((0L, Option.empty[Long], Option.empty[Long],
+          Option.empty[Long]))
+        .toDF("n_docs", "n_chars", "min_id", "max_id")
     if (!graft.ops.CorpusSink.isFresh(s, dir,
         st.getLong(0), st.getLong(1), st.getLong(2)))
       graft.ops.CorpusSink.write(
@@ -384,6 +391,15 @@ object CorpusOpsQueries {
       countDistinct($"source").as("n_sources"),
       countDistinct($"lang").as("n_langs")).head()
     val nDocs = base.getLong(0)
+    // empty corpus: the token/char sums above are NULL and every rate's
+    // denominator is 0. The card of an empty snapshot is DEFINED as all
+    // zeros (a release artifact must not carry NaN); the oracle is only
+    // exercised on non-empty corpora, where the paths agree
+    if (nDocs == 0L)
+      return Seq("contaminated_frac", "exact_dup_frac",
+          "mean_tokens_per_doc", "n_chars", "n_docs", "n_langs",
+          "n_sources", "n_tokens")
+        .map(m => (m, 0.0)).toDF("metric", "value").orderBy($"metric")
     val dupDocs = docs.groupBy(lower($"text")).agg(count(lit(1)).as("c"))
       .agg(sum($"c" - 1)).head().getLong(0)
     val benchHashes = docs.filter($"source" === "src0")
@@ -496,7 +512,14 @@ object CorpusOpsQueries {
       .createTempDirectory("graft-streamsink-").toString
     val docs = documents(s, d)
     val rh = polyHash(concat_ws("|", $"doc_id", $"text"))
-    val cut = 80L * (docs.count() / 160L).max(1L) // ~median, id-scaled
+    val nDocs = docs.count()
+    // empty corpus → both micro-batches are empty → the sink holds no
+    // shards and the read-back cannot infer a schema: zero rows is the
+    // oracle's answer
+    if (nDocs == 0L)
+      return Seq.empty[(String, Long, Long, Long)]
+        .toDF("source", "n_docs", "n_chars", "content_hash")
+    val cut = 80L * (nDocs / 160L).max(1L) // ~median, id-scaled
     graft.ops.CorpusSink.appendStreamBatch(docs.filter($"doc_id" < cut),
       0L, "doc_id", "n_chars", rh, 16000L, dir, 8)
     graft.ops.CorpusSink.appendStreamBatch(docs.filter($"doc_id" >= cut),

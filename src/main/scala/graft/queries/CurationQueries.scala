@@ -122,6 +122,10 @@ object CurationQueries {
       .orderBy($"vec_id")
       .limit(SemDedupK)
       .collect()
+    // empty corpus → zero centroids → array() of no structs has VOID
+    // element type and the getField fails analysis (q176's guard class)
+    if (cents.isEmpty)
+      return Seq.empty[(Long, Long, Long)].toDF("cluster", "n", "n_dropped")
 
     // argmax-cosine centroid: lexicographic max over (cos, -cid) structs —
     // ties (measure-zero on real data) break toward the lowest cid,
@@ -241,6 +245,11 @@ object CurationQueries {
     val docs = documents(s, d)
     val counts = docs.groupBy($"source").count()
       .as[(String, Long)].collect().toMap
+    // empty corpus → zero strata: mixtureRates' ≥1-stratum contract is
+    // for real mixtures; the report over nothing is an empty frame
+    if (counts.isEmpty)
+      return Seq.empty[(String, Long, Long, Double)]
+        .toDF("source", "n_docs", "n_kept", "rate")
     // digits extracted defensively (fixtures use 'srcNN', but any name is
     // legal): last ≤6 digits, 0 when none — the SQL twin is in lockstep
     val weights = counts.keys.map { src =>
@@ -608,11 +617,13 @@ object CurationQueries {
       .withColumn("f_lang", $"f_url" && g > 0 && $"n_en" === g && $"n_de" < g)
       .withColumn("f_qual", $"f_lang" && size($"ws") >= 20 &&
         size(array_distinct($"ws")) * lit(1.0) / size($"ws") >= 0.4)
+    // coalesce: sum over an EMPTY corpus is NULL, and the driver reads
+    // these as primitive longs
     val Row4 = flagged.agg(
       count(lit(1)).as("n0"),
-      sum(when($"f_url", 1L).otherwise(0L)).as("n1"),
-      sum(when($"f_lang", 1L).otherwise(0L)).as("n2"),
-      sum(when($"f_qual", 1L).otherwise(0L)).as("n3")).head()
+      coalesce(sum(when($"f_url", 1L).otherwise(0L)), lit(0L)).as("n1"),
+      coalesce(sum(when($"f_lang", 1L).otherwise(0L)), lit(0L)).as("n2"),
+      coalesce(sum(when($"f_qual", 1L).otherwise(0L)), lit(0L)).as("n3")).head()
     val (n0, n1, n2, n3) =
       (Row4.getLong(0), Row4.getLong(1), Row4.getLong(2), Row4.getLong(3))
     val s3 = flagged.filter($"f_qual")
@@ -948,6 +959,11 @@ object CurationQueries {
     val st = documents(s, d)
       .agg(count(lit(1)), sum($"n_chars".cast("long")),
         sum(rowHash) % 4294967296L).head()
+    // empty corpus → NULL sums above and nothing to shard: the manifest
+    // of an empty sink is an empty frame
+    if (st.getLong(0) == 0L)
+      return Seq.empty[(Long, Long, Long, Long)]
+        .toDF("shard_id", "n_docs", "n_chars", "content_hash")
     val manifest =
       if (graft.ops.CorpusSink.isFresh(s, dir,
           st.getLong(0), st.getLong(1), st.getLong(2)))
@@ -1225,7 +1241,8 @@ object CurationQueries {
         java.lang.System.getProperty("user.name", "u") + "-" +
         d.replaceAll("[^A-Za-z0-9._-]", "_")).toString
     val cs = corpus.agg(count(lit(1)),
-      sum(polyHash(concat_ws("|", $"doc_id", $"text"))) % 4294967296L).head()
+      coalesce(sum(polyHash(concat_ws("|", $"doc_id", $"text")))
+        % 4294967296L, lit(0L))).head()
     val stamp = s"""{"n":${cs.getLong(0)},"h":${cs.getLong(1)}}"""
     val stampPath = java.nio.file.Paths.get(idxDir, "corpus-stats.json")
     val ref =

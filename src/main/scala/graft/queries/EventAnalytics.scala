@@ -488,6 +488,11 @@ object EventAnalytics {
     import s.implicits._
     val e = events(s, d).select($"user_id", unix_micros($"ts").as("us"))
     val mm = e.agg(min($"us"), max($"us")).head()
+    // no events → no min/max → no cutoff: an empty split report (the
+    // oracle's GROUP BY over zero rows is empty too)
+    if (mm.isNullAt(0))
+      return Seq.empty[(String, Long, Long, Long, Long)]
+        .toDF("split", "n_events", "n_users", "min_us", "max_us")
     val (lo, hi) = (mm.getLong(0), mm.getLong(1))
     val cutoff = lo + (hi - lo) * 8 / 10
     val embargoUs = 86400000000L

@@ -286,6 +286,10 @@ object GraphQueries {
       .distinct()
     val seeds = lineitem(s, d).filter($"l_suppkey" < 10)
       .select($"l_suppkey".cast("long").as("id")).distinct()
+    // empty fact table → empty seed set: TrustRank over no seeds is an
+    // empty ranking, not a contract violation (rankSeeded's ≥1-seed
+    // require is for real seeded runs)
+    if (seeds.isEmpty) return Seq.empty[(Long, Long)].toDF("id", "rank")
     graft.ops.PageRank.rankSeeded(s, edges, seeds, iters = 3)
       .orderBy(desc("rank"), $"id").limit(100)
   }

@@ -118,7 +118,14 @@ object PipelineQueries {
   }
 
   /** AvailableNow → foreachBatch parquet-append sink, awaited. `tagBatch`
-    * adds batch_id (update-mode consumers keep the latest per key). */
+    * adds batch_id (update-mode consumers keep the latest per key).
+    *
+    * An EMPTY source stream runs zero micro-batches, so foreachBatch
+    * never fires and the sink directory never materializes — the
+    * read-back would then fail PATH_NOT_FOUND. Seed the sink with one
+    * schema-correct empty parquet in that case (EmptyCorpusSweepSpec:
+    * every downstream consumer — distinct, windows, joins — folds an
+    * empty frame to an empty result, which is the batch-parity answer). */
   private def runToParquet(stream: DataFrame, mode: String, outDir: String,
                            ckDir: String, tagBatch: Boolean = false): Unit = {
     val q = stream.writeStream
@@ -130,6 +137,20 @@ object PipelineQueries {
       }
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
+    val wrote = {
+      val d = new java.io.File(outDir)
+      d.isDirectory && d.listFiles().exists(f =>
+        !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    }
+    if (!wrote) {
+      val s = stream.sparkSession
+      val schema = if (tagBatch)
+        stream.schema.add("batch_id", org.apache.spark.sql.types.LongType)
+      else stream.schema
+      s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        .write.mode("append").parquet(outDir)
+    }
   }
 
   def q34StreamWindow(s0: SparkSession, d: String): DataFrame = {
@@ -459,9 +480,15 @@ object PipelineQueries {
       .select(explode(TextFunctions.tokens($"text")).as("w"))
       .agg(mg($"w").as("mg"))
     runToParquet(stream, "update", outDir, ckDir, tagBatch = true)
-    val (n, cands) = s.read.parquet(outDir)
+    // an empty corpus runs zero micro-batches → no sketch row: no
+    // candidates, empty result (the batch oracle's answer)
+    val sketchRow = s.read.parquet(outDir)
       .orderBy($"batch_id".desc).limit(1)
-      .select($"mg._1", $"mg._2").as[(Long, Seq[(String, Long)])].head()
+      .select($"mg._1", $"mg._2").as[(Long, Seq[(String, Long)])]
+      .collect().headOption
+    if (sketchRow.isEmpty)
+      return Seq.empty[(String, Long)].toDF("w", "c")
+    val (n, cands) = sketchRow.get
     val candidates = cands.map(_._1)
     graft.Tables.documents(s, d)
       .select(explode(TextFunctions.tokens($"text")).as("w"))

@@ -127,6 +127,9 @@ object SimilarityQueries {
     * partitioned scale path, gated through the recall-metric oracle. */
   def q40KnnIvf(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    if (embeddings(s, d).isEmpty)
+      return Seq.empty[(Long, Long, Boolean)]
+        .toDF("qid", "n_results", "mean_recall_ok")
     val idx = graft.ops.IvfIndex.build(embeddings(s, d), "vec_id", "embedding", nCells = 16)
     recallMetric(
       graft.ops.IvfIndex.knn(idx, "vec_id", "embedding", $"vec_id" < 20,
@@ -142,6 +145,9 @@ object SimilarityQueries {
     * through the recall-metric oracle (see recallMetric). */
   def q45KnnPq(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    if (embeddings(s, d).isEmpty)
+      return Seq.empty[(Long, Long, Boolean)]
+        .toDF("qid", "n_results", "mean_recall_ok")
     val idx = graft.ops.PqIndex.build(embeddings(s, d), "vec_id", "embedding",
       m = 8, ksub = 64)
     recallMetric(
@@ -159,6 +165,9 @@ object SimilarityQueries {
     * recall-metric oracle (see recallMetric). */
   def q49KnnIvfPq(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    if (embeddings(s, d).isEmpty)
+      return Seq.empty[(Long, Long, Boolean)]
+        .toDF("qid", "n_results", "mean_recall_ok")
     val idx = graft.ops.IvfPq.build(embeddings(s, d), "vec_id", "embedding",
       nCells = 16, m = 8, ksub = 64, residual = true)
     recallMetric(
@@ -182,7 +191,6 @@ object SimilarityQueries {
   def q81Centroids(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val emb = embeddings(s, d)
-    val dims = emb.select(size($"embedding")).head().getInt(0)
     val cent = emb.select($"label", posexplode($"embedding").as(Seq("p", "v")))
       .groupBy($"label", $"p").agg(avg($"v").as("c"))
       .groupBy($"label").agg(
@@ -939,6 +947,10 @@ object SimilarityQueries {
     val one = embeddings(s, d).select($"embedding").as[Seq[Float]]
       .select(agg.toColumn)
       .toDF("n", "sx", "sxy")
+      // empty corpus → the zero state (n = 0): covariance of nothing is
+      // an empty frame, and the /n would ANSI-throw — mirror the twin's
+      // empty join result
+      .where($"n" > 0)
     val tri = ($"i" * 64 - $"i" * ($"i" - 1) / 2 + ($"j" - $"i") + 1)
     one
       .select($"n", $"sx", $"sxy",

@@ -138,7 +138,12 @@ object SketchQueries {
     }.toMap
     cols.map { case (_, _, tag) =>
       val exact = exacts(tag)
-      (tag, exact, math.abs(ests(tag) - exact).toDouble / exact <= Q62Eps)
+      // empty tables: the sketch aggregation emits no group at all —
+      // estimate 0, and a 0-distinct column is ok iff the sketch says 0
+      val est = ests.getOrElse(tag, 0L)
+      val ok = if (exact == 0L) est == 0L
+               else math.abs(est - exact).toDouble / exact <= Q62Eps
+      (tag, exact, ok)
     }.toDF("col", "exact_n", "ok").orderBy($"col")
   }
 

@@ -453,6 +453,11 @@ object TextQueries {
     val (k1, k1p1, oneMinusB, b) = (1.2, 2.2, 0.25, 0.75)
     val doc = documents(s, d)
     val n = doc.count() // parquet metadata count — no scan
+    // empty corpus: no docs → no hits (the avgdl aggregate would be a
+    // NULL the driver read below chokes on)
+    if (n == 0L)
+      return Seq.empty[(Long, Double, Long)]
+        .toDF("doc_id", "bm25", "n_terms_hit")
     val tfCols = qTerms.map(t =>
       sum(when($"term" === t, 1L).otherwise(0L)).as(s"tf_$t"))
     val perDoc = graft.ops.ScratchCache.register(
