@@ -611,9 +611,12 @@ object AdvancedQueries {
       .groupBy($"source", $"ne", $"no")
       .agg(max(abs($"cume" * $"no" - $"cumo" * $"ne")).as("ksnum"))
       .select($"source", $"ne".as("n_even"), $"no".as("n_odd"),
-        roundp($"ksnum" * lit(1.0) / ($"ne" * $"no"), 6).as("ks"),
-        when($"ksnum" * 10L >= $"ne" * $"no", lit(1L)).otherwise(lit(0L))
-          .as("drifted"))
+        // a source whose docs all hash to one side has no two-sample KS
+        // (ANSI also throws on the 0-denominator divide): NULL / 0
+        when($"ne" > 0 && $"no" > 0,
+          roundp($"ksnum" * lit(1.0) / ($"ne" * $"no"), 6)).as("ks"),
+        when($"ne" > 0 && $"no" > 0 && $"ksnum" * 10L >= $"ne" * $"no",
+          lit(1L)).otherwise(lit(0L)).as("drifted"))
       .orderBy($"source")
   }
 

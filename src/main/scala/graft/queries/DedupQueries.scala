@@ -1037,8 +1037,11 @@ object DedupQueries {
       .select($"scheme", $"n_blocks", $"max_block", $"cand_pairs",
         coalesce($"true_pairs", lit(0L)).as("true_pairs"),
         coalesce($"caught_pairs", lit(0L)).as("caught_pairs"),
-        roundp(lit(1.0) - $"cand_pairs" /
-          ($"n_docs".cast("double") * ($"n_docs" - 1) / 2.0), 6)
+        // a 0/1-doc corpus has no pair universe — reduction undefined
+        // (and ANSI throws on the 0-denominator divide)
+        when($"n_docs" >= 2,
+          roundp(lit(1.0) - $"cand_pairs" /
+            ($"n_docs".cast("double") * ($"n_docs" - 1) / 2.0), 6))
           .as("reduction_ratio"),
         when($"true_pairs" > 0,
           roundp($"caught_pairs" * lit(1.0) / $"true_pairs", 6))

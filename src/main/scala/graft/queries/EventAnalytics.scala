@@ -337,14 +337,19 @@ object EventAnalytics {
       sum(dec($"yi")).as("sy"),
       sum(dec($"x") * dec($"yi")).as("sxy"),
       sum(dec($"x") * dec($"x")).as("sxx"))
-    // exact-integer numerators/denominator, cast to double only at the end
+    // exact-integer numerators/denominator, cast to double only at the
+    // end. Zero-variance x within a group (every event in the same
+    // second) is NULL-guarded: Catalyst cancels the double casts and
+    // plans a DECIMAL divide, which ANSI-throws on 0 — and the slope of
+    // a one-point group is undefined anyway (R's NA)
     val num = (dec($"n") * $"sxy" - $"sx" * $"sy").cast("double")
     val den = (dec($"n") * $"sxx" - $"sx" * $"sx").cast("double")
+    val slope = when(den =!= 0.0, num / den)
     stats
       .select($"event_type", $"n",
         // num/den is the slope in yi-units/s = 1e6 × (value-units/s)
-        roundp(num / den, 6).as("slope_e6"),
-        roundp(($"sy".cast("double") - (num / den) * $"sx".cast("double"))
+        roundp(slope, 6).as("slope_e6"),
+        roundp(($"sy".cast("double") - slope * $"sx".cast("double"))
           / $"n".cast("double") / lit(1e6), 6).as("intercept"))
       .orderBy($"event_type")
   }

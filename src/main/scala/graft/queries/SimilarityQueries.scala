@@ -873,7 +873,11 @@ object SimilarityQueries {
         (0 until dims).foldLeft(0.0)((acc, j) => acc + cov(i)(j) * v(j))
       }
       lambda = math.sqrt(w.foldLeft(0.0)((acc, x) => acc + x * x))
-      v = w.map(_ / lambda)
+      // an identically-zero covariance (1-vector / constant corpus) has
+      // no spectral direction: keep the start vector (the power-
+      // iteration stall convention) so the projection pass stays finite
+      // instead of dividing into a NaN vector the ANSI long-cast rejects
+      if (lambda > 0.0) v = w.map(_ / lambda)
     }
     val proj = VectorFunctions.dotSeq($"embedding", lit(v))
     emb
@@ -1008,7 +1012,12 @@ object SimilarityQueries {
       val xi = round(x.cast("double") * lit(1e4))
       val mu = st.getField("sx").cast("double") / st.getField("n")
       val vr = st.getField("sxx").cast("double") / st.getField("n") - mu * mu
-      ((xi - mu) * (xi - mu) / vr).cast("decimal(28,6)")
+      // a zero-variance dimension (constant across the corpus — e.g. a
+      // 1-vector corpus) carries no outlier signal: its z-term is 0,
+      // the standard pruned-dimension Mahalanobis convention (ANSI
+      // would throw on the /0 otherwise)
+      when(vr > 0.0, ((xi - mu) * (xi - mu) / vr).cast("decimal(28,6)"))
+        .otherwise(lit(0).cast("decimal(28,6)"))
     }
     emb.crossJoin(broadcast(stats))
       .select($"vec_id",

@@ -2241,14 +2241,27 @@ object TextQueries {
     val (b0c, b1c, b2c) = (element_at(coefMap(_.b0), $"fold"),
       element_at(coefMap(_.b1), $"fold"), element_at(coefMap(_.b2), $"fold"))
     val resid = $"t" - ((b0c + b1c * $"f1") + b2c * $"f2")
-    val ssrq = feats.groupBy($"fold")
-      .agg(coalesce(sum(round((resid * resid) * lit(Q)).cast("long")),
-        lit(0L)).as("ssrq"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // folds whose leave-out system is singular carry NaN coefficients
+    // (the q241 contract); their residuals cannot quantize (ANSI rejects
+    // the NaN→long cast), so the OOF pass runs over the FINITE folds
+    // only and singular folds report a NaN oof_r2 from driver math
+    val finiteFolds = fits.collect {
+      case (k, f) if f.b0.isFinite && f.b1.isFinite && f.b2.isFinite => k
+    }.toSeq
+    val ssrq: Map[Long, Long] =
+      if (finiteFolds.isEmpty) Map.empty
+      else feats.filter($"fold".isInCollection(finiteFolds))
+        .groupBy($"fold")
+        .agg(coalesce(sum(round((resid * resid) * lit(Q)).cast("long")),
+          lit(0L)).as("ssrq"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     graft.ops.ScratchCache.releaseAll()
     fits.toSeq.sortBy(_._1).map { case (fold, f) =>
-      (fold, f.nTrain, f.nTest, f.b0, f.b1, f.b2,
-        1.0 - ((ssrq(fold).toDouble / Q) / f.sst))
+      val r2 = ssrq.get(fold) match {
+        case Some(q) => 1.0 - ((q.toDouble / Q) / f.sst)
+        case None => Double.NaN
+      }
+      (fold, f.nTrain, f.nTest, f.b0, f.b1, f.b2, r2)
     }.toDF("fold", "n_train", "n_test", "b0r", "b1r", "b2r", "r2r")
       .select($"fold", $"n_train", $"n_test",
         roundp($"b0r", 6).as("b0"), roundp($"b1r", 6).as("b1"),
