@@ -34,4 +34,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Whole-stage codegen emits fresh classes for every distinct plan; a
+  // multi-hundred-query run overflows the JVM's default 240 MB code cache,
+  // and the resulting sweeper/deopt/recompile storms burn multiple cores
+  // and inflate individual queries 3-10x (observed: 261 CPU-s for a pass
+  // whose steady state is 31 CPU-s, with C2/Sweeper threads hot). The
+  // reservation is virtual memory — committed only as used.
+  "-XX:ReservedCodeCacheSize=1g",
 )

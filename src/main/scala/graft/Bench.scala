@@ -11,8 +11,18 @@ import org.apache.spark.sql.SparkSession
   * run-to-run comparability.
   */
 object Bench {
+  /** 1-minute loadavg via the JVM's own OS bean (getloadavg(3)); -1.0 when
+    * the platform can't report one. Emitted into the bench JSON so a run
+    * taken under external host load is self-identifying (r12-r14 all had
+    * judge-window runs 1.5-2x the quiet number with nothing in the
+    * artifact to say why). */
+  private def loadAvg(): Double =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .getSystemLoadAverage
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val loadStart = loadAvg()
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -119,8 +129,21 @@ object Bench {
     def jsonMap(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // load indicator: 1-min loadavg at start/end plus this JVM's total CPU
+    // seconds — wall >> cpu/cores on a quiet run is IO; wall inflated with
+    // loadavg >> cores engaged by the bench means external contention and
+    // the run should not be compared against quiet numbers
+    // (SCALEBENCH threshold: loadavg beyond ~1.5x SPARK_GRAFT_CPUS at
+    // either endpoint marks a run "loaded")
+    val loadEnd = loadAvg()
+    val cpuSec = java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+      case os: com.sun.management.OperatingSystemMXBean => os.getProcessCpuTime / 1e9
+      case _ => -1.0
+    }
+    val loadJson =
+      s""""load_start":${fmt(loadStart)},"load_end":${fmt(loadEnd)},"cpu_sec":${fmt(cpuSec)}"""
     val full =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":${jsonMap(results)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},$loadJson,"queries":${jsonMap(results)},"sf":"$sfDir"}"""
     // CWD-relative (or env-overridden) so any checkout gets the file; a
     // failed write is logged, not swallowed — the stdout line advertises it
     val fullPath = java.nio.file.Paths.get(
@@ -161,6 +184,6 @@ object Bench {
     // line — the driver parses the last line of stdout; a throwing stop
     // must not suppress the result line
     scala.util.Try(spark.stop())
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"full":"$fullPath","queries":${jsonMap(head)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"full":"$fullPath",$loadJson,"queries":${jsonMap(head)},"sf":"$sfDir"}""")
   }
 }

@@ -628,9 +628,22 @@ object Dedup {
       val own = labels.select(col("id"), col("label"), lit(true).as("own"))
       val nbr = edges.join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
         .select(col("src").as("id"), col("label"), lit(false).as("own"))
+      // POINTER-JUMP SHORTCUT: each id also adopts its label's label
+      // (labels form a monotone forest — label(id) ≤ id and both are in
+      // id's component, so label(label(id)) is too). Propagation alone
+      // needs O(diameter) rounds on a chain; adding the jump doubles the
+      // covered distance per round, so convergence is O(log diameter).
+      // The sf0.1 near-dup graph converges at the seed either way (star
+      // components) — the jump is the adversarial-chain hedge, and its
+      // labels⋈labels join (≤ |paired docs| rows) is dwarfed by the
+      // edges join it rides with.
+      val jump = labels.select(col("id"), col("label").as("_l"))
+        .join(labels.select(col("id").as("_l"), col("label").as("_ll")),
+          Seq("_l"))
+        .select(col("id"), col("_ll").as("label"), lit(false).as("own"))
       // the old label rides the aggregation (each id has exactly ONE own
       // row), so "did anything change" is measured inside the same pass
-      val next = own.union(nbr)
+      val next = own.union(nbr).union(jump)
         .groupBy(col("id"))
         .agg(min(col("label")).as("label"),
           max(when(col("own"), col("label"))).as("__old"))
@@ -645,6 +658,8 @@ object Dedup {
       converged = obs.get("changed").asInstanceOf[Long] == 0L
       it += 1
     }
+    if (sys.env.contains("GRAFT_CC_DEBUG"))
+      System.err.println(s"connectedComponents: $it rounds")
     // (an empty graph needs no special case: the seed aggregation is
     // empty, the first loop pass observes 0 changes and exits converged)
     // a silent partial propagation would hand dedup several "canonical"
