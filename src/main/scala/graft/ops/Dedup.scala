@@ -132,6 +132,12 @@ object Dedup {
     // upstream persists feeding only the postings build — dead (and
     // eagerly unpersisted) once `inv` below is materialized
     val upstream = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    // CACHE PARTITIONED ON THE JOIN KEY: the postings self-join below is
+    // the plan's heavy shuffle, and an unpartitioned cache makes the join
+    // exchange BOTH sides (the same bytes, twice). Repartitioning on `s`
+    // before the cache fill moves the postings through one exchange once;
+    // the self-join then reuses the cached partitioning on both sides —
+    // plan-verified 2 Exchange → 0 at the join (guide §2.4 shape).
     val inv = ScratchCache.register((maxDf match {
       case Some(cap) =>
         upstream += sets0.cache() // hot-check job + index build share the shingle pass
@@ -149,7 +155,7 @@ object Dedup {
           inv1.join(sizes, "doc_id").select(col("doc_id"), col("n"), col("s"))
         }
       case None => preSizedInv(sets0)
-    }).cache()) // self-joined: materialize the postings once
+    }).repartition(col("s")).cache()) // self-joined: materialize the postings once, pre-partitioned
     // fill the postings cache now (the self-join's first side would anyway)
     // so the upstream frames can be released before the heavy join runs
     inv.count()
@@ -253,12 +259,18 @@ object Dedup {
     * tokenize+shingle pass once. */
   private def minhashCandidatesFromSets(sets: DataFrame, nHashes: Int,
                                         rowsPerBand: Int): DataFrame = {
-    // self-joined below: persist so the signature pipeline runs once, not
-    // once per join side; lives until the caller materializes the result
-    // (ScratchCache.releaseAll between session jobs)
-    val sig = ScratchCache.register(signatures(sets, nHashes).persist())
+    // the BAND frame is what the self-join reads — cache it directly,
+    // PARTITIONED ON THE JOIN KEY, instead of caching the signature frame
+    // and recomputing the band explode per join side: one cache instead
+    // of two, and the self-join reuses the cached hash partitioning on
+    // both sides (plan-verified 2 Exchange → 0 at the join; the single
+    // fill exchange moves (doc_id, key) longs once). Lives until the
+    // caller materializes the result (ScratchCache.releaseAll between
+    // session jobs).
+    val bands = ScratchCache.register(
+      bandKeys(signatures(sets, nHashes), nHashes, rowsPerBand)
+        .repartition(col("key")).persist())
     // SHUFFLE_HASH: long-key self-join, no point sorting
-    val bands = bandKeys(sig, nHashes, rowsPerBand)
     bands.as("a").join(bands.as("b").hint("SHUFFLE_HASH"),
         col("a.key") === col("b.key") && col("a.doc_id") < col("b.doc_id"))
       .select(PackedPair.pack(col("a.doc_id"), col("b.doc_id")).as("pair"))
@@ -316,12 +328,16 @@ object Dedup {
                         rowsPerBand: Int = 2,
                         bandCounts: Seq[Int] = Seq(8, 16, 32)): DataFrame = {
     val sets = ScratchCache.register(shingleSets(df, id, text, k).persist())
-    val sig = ScratchCache.register(signatures(sets, nHashes).persist())
     val nBands = nHashes / rowsPerBand
-    val bands = sig.select(col("doc_id"),
-      posexplode(array((0 until nBands).map(b =>
-        xxhash64(lit(b), slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))): _*))
-        .as(Seq("b", "key")))
+    // band frame cached pre-partitioned on the join key (not the signature
+    // frame + per-side re-explode): self-join reuses the partitioning on
+    // both sides — same shape as minhashCandidatesFromSets
+    val bands = ScratchCache.register(signatures(sets, nHashes)
+      .select(col("doc_id"),
+        posexplode(array((0 until nBands).map(b =>
+          xxhash64(lit(b), slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))): _*))
+          .as(Seq("b", "key")))
+      .repartition(col("key")).persist())
     val cand = bands.as("a").join(bands.as("b").hint("SHUFFLE_HASH"),
         col("a.key") === col("b.key") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
@@ -781,13 +797,17 @@ object Dedup {
     * run over the collapsed rep frame. */
   private def simhashBandPairsPacked(fp: DataFrame,
                                      maxHamming: Int): DataFrame = {
-    val bands = fp.select(col("doc_id"), col("simhash"),
+    // cached pre-partitioned on the join key so the self-join reuses the
+    // partitioning on both sides instead of exchanging the band frame
+    // twice (same shape as the minhash/postings caches above)
+    val bands = ScratchCache.register(fp.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),
           shiftright(col("simhash"), b * 12).bitwiseAND(lit(0xFFFL)).as("key"))): _*))
         .as("bk"))
       .select(col("doc_id"), col("simhash"),
         col("bk.band").as("band"), col("bk.key").as("key"))
+      .repartition(col("band"), col("key")).persist())
     // hamming is per-pair constant, so verify BEFORE the dedupe: only
     // surviving near-dups enter the distinct, and the shuffle carries one
     // packed long + the distance instead of two ids + two fingerprints

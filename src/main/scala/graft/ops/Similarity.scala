@@ -313,13 +313,18 @@ object Similarity {
     // three consumers (radii pass + both pair-join sides): materialize the
     // assignment once instead of re-running scan+norm+NearestCentroid 3x;
     // released by ScratchCache.releaseAll once the caller has materialized
+    // cached PRE-PARTITIONED on the cell id: the pair join below clusters
+    // by cell on both sides, so the cached partitioning serves the probe
+    // side as-is — one fewer exchange of the vector payload (the join key
+    // has ≤ nCells distinct values either way, so pre-partitioning loses
+    // no parallelism the _cb exchange would have had)
     val assigned = ScratchCache.register(
       emb.select(col(id).as("_id"), col(vec).as("_v"),
         norm(col(vec)).as("_n"),
         graft.functions.NearestCentroid.nearest(col(vec), cents).as("_nc"))
       .select(col("_id"), col("_v"), col("_n"),
         col("_nc.cell").as("_cell"), col("_nc.angle").as("_ang"))
-      .persist())
+      .repartition(col("_cell")).persist())
     val radii = assigned.groupBy("_cell").agg(max(col("_ang")).as("r"))
       .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
     val bound = math.acos(math.max(-1.0, math.min(1.0, threshold - 1e-6))) + 1e-3

@@ -217,19 +217,34 @@ object AdvancedQueries {
     val nullQty = sum(when($"l_quantity".isNull, 1L).otherwise(0L))
     val badFlag = sum(when(!$"l_returnflag".isin("A", "N", "R"), 1L)
       .otherwise(0L))
-    val aggRows = Audit.aggregateChecks(li, Seq(
-      Audit.Check("li_flag_domain", badFlag, badFlag === 0),
-      Audit.Check("li_qty_nulls", nullQty, nullQty === 0),
-      Audit.Check("li_qty_range", max($"l_quantity"),
-        min($"l_quantity") >= 1 && max($"l_quantity") <= 50),
-      Audit.Check("li_rowcount", count(lit(1)), count(lit(1)) > 0)))
+    // ONE lazy union instead of three serial driver actions (the old
+    // Audit.aggregateChecks head() + dup.count() + orph.count() chain):
+    // the whole report is one job at the caller's action — three 1-row
+    // aggregate branches, no scalar passes through the driver. NULL
+    // coalescing mirrors aggregateChecks' empty-table semantics (NaN
+    // metric, false pass).
+    def m(c: org.apache.spark.sql.Column) =
+      coalesce(c.cast("double"), lit(Double.NaN))
+    def p(c: org.apache.spark.sql.Column) = coalesce(c, lit(false))
+    val aggRows = li.agg(
+        m(badFlag).as("m0"), p(badFlag === 0).as("p0"),
+        m(nullQty).as("m1"), p(nullQty === 0).as("p1"),
+        m(max($"l_quantity")).as("m2"),
+        p(min($"l_quantity") >= 1 && max($"l_quantity") <= 50).as("p2"),
+        m(count(lit(1))).as("m3"), p(count(lit(1)) > 0).as("p3"))
+      .select(expr("stack(4, 'li_flag_domain', m0, p0, 'li_qty_nulls', m1, p1, " +
+        "'li_qty_range', m2, p2, 'li_rowcount', m3, p3) " +
+        "AS (check_name, metric, pass)"))
     val ord = graft.Tables.orders(s, d)
-    val dup = Audit.duplicateKeys(ord, "o_orderkey").count()
-    val orph = Audit.fkOrphans(li, "l_orderkey", ord, "o_orderkey").count()
-    aggRows.unionAll(Seq(
-        ("li_fk_orders", orph.toDouble, orph == 0L),
-        ("ord_pk_unique", dup.toDouble, dup == 0L))
-      .toDF("check_name", "metric", "pass"))
+    val dupRow = Audit.duplicateKeys(ord, "o_orderkey")
+      .agg(count(lit(1)).as("c"))
+      .select(lit("ord_pk_unique").as("check_name"),
+        $"c".cast("double").as("metric"), ($"c" === 0L).as("pass"))
+    val orphRow = Audit.fkOrphans(li, "l_orderkey", ord, "o_orderkey")
+      .agg(count(lit(1)).as("c"))
+      .select(lit("li_fk_orders").as("check_name"),
+        $"c".cast("double").as("metric"), ($"c" === 0L).as("pass"))
+    aggRows.unionAll(orphRow).unionAll(dupRow)
       .orderBy($"check_name")
   }
 
@@ -641,7 +656,8 @@ object AdvancedQueries {
        |SELECT source, ne AS n_even, no AS n_odd,
        |  ${DuckSql.roundpSql(
               "max(abs(cume * no - cumo * ne)) * 1.0 / (ne * no)", 6)} AS ks,
-       |  CASE WHEN max(abs(cume * no - cumo * ne)) * 10 >= ne * no
+       |  CASE WHEN ne > 0 AND no > 0
+       |      AND max(abs(cume * no - cumo * ne)) * 10 >= ne * no
        |    THEN 1::BIGINT ELSE 0::BIGINT END AS drifted
        |FROM cum JOIN tot USING (source)
        |GROUP BY source, ne, no ORDER BY source""".stripMargin

@@ -471,8 +471,11 @@ object DedupQueries {
       .select($"doc_id")
     val nonMembers = docs.select($"doc_id")
       .join(comp.select($"id".as("doc_id")), Seq("doc_id"), "left_anti")
+    // no distinct: compKeep (one min-id row per component, ids that ARE
+    // members) and nonMembers (anti-join of members) are disjoint and each
+    // internally unique — the dedupe exchange was a no-op by construction
     val near = docs
-      .join(compKeep.unionByName(nonMembers).distinct(), "doc_id")
+      .join(compKeep.unionByName(nonMembers), "doc_id")
       .agg(count(lit(1)).as("n_docs_kept"), sum($"n_tok").as("n_tokens_kept"))
       .select(lit("2_near_dup").as("policy"), $"n_docs_kept", $"n_tokens_kept")
     raw.unionByName(exact).unionByName(near).orderBy($"policy")
@@ -594,7 +597,12 @@ object DedupQueries {
     val fp = graft.ops.ScratchCache.register(w0.persist())
     val hot = fp.groupBy($"h").agg(count(lit(1)).as("df"))
       .filter($"df" > Q177MaxDf).select($"h")
-    val w = fp.join(broadcast(hot), Seq("h"), "left_anti")
+    // cached pre-partitioned on h: the self-join below reuses the cached
+    // partitioning on both sides instead of exchanging the fingerprint
+    // frame twice (and the broadcast anti-join runs once, not per side)
+    val w = graft.ops.ScratchCache.register(
+      fp.join(broadcast(hot), Seq("h"), "left_anti")
+        .repartition($"h").persist())
     w.as("a").join(w.as("b").hint("SHUFFLE_HASH"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))

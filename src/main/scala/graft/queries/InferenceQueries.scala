@@ -681,7 +681,9 @@ object InferenceQueries {
     // rounding is PLAN-side roundp, not driver BigDecimal: a zero-
     // variance covariate makes θ NaN, and the q241 singular contract is
     // non-finite output in both engines, never a crash (BigDecimal(NaN)
-    // throws)
+    // throws). DuckDB's 0/0 is NULL, not NaN, so the twin's theta wraps
+    // the divide in CASE WHEN var = 0 THEN 'NaN'::DOUBLE — the engines
+    // agree on the singular corner byte-for-byte.
     g.map { case (grp, n, sx, sy, _, _) =>
       val mx = (sx.toDouble / 100.0) / n
       val my = (sy.toDouble / 100.0) / n
@@ -714,12 +716,16 @@ object InferenceQueries {
        |t AS (SELECT sum(n) AS na,
        |    (sum(sx)::DOUBLE / 100.0) / sum(n) AS mxa,
        |    (sum(sy)::DOUBLE / 100.0) / sum(n) AS mya,
-       |    ((sum(sxy)::DOUBLE / sum(n))
-       |      - ((sum(sx)::DOUBLE / 100.0) / sum(n))
-       |        * ((sum(sy)::DOUBLE / 100.0) / sum(n))) /
-       |    ((sum(sxx)::DOUBLE / sum(n))
-       |      - ((sum(sx)::DOUBLE / 100.0) / sum(n))
-       |        * ((sum(sx)::DOUBLE / 100.0) / sum(n))) AS theta
+       |    CASE WHEN ((sum(sxx)::DOUBLE / sum(n))
+       |        - ((sum(sx)::DOUBLE / 100.0) / sum(n))
+       |          * ((sum(sx)::DOUBLE / 100.0) / sum(n))) = 0
+       |      THEN 'NaN'::DOUBLE
+       |      ELSE ((sum(sxy)::DOUBLE / sum(n))
+       |        - ((sum(sx)::DOUBLE / 100.0) / sum(n))
+       |          * ((sum(sy)::DOUBLE / 100.0) / sum(n))) /
+       |      ((sum(sxx)::DOUBLE / sum(n))
+       |        - ((sum(sx)::DOUBLE / 100.0) / sum(n))
+       |          * ((sum(sx)::DOUBLE / 100.0) / sum(n))) END AS theta
        |  FROM g)
        |SELECT g.grp, g.n AS n_users,
        |  ${DuckSql.roundpSql("(g.sy::DOUBLE / 100.0) / g.n", 6)}
@@ -781,10 +787,14 @@ object InferenceQueries {
     val ws = DuckSql.tokensSql
     def mq(t: String) =
       s"sum(CAST(round(($t) * 100000000.0) AS BIGINT))::BIGINT"
-    val slope = "(((sxy::DOUBLE / 100000000.0) / n) - " +
-      "((sx::DOUBLE / 100000000.0) / n) * ((sy::DOUBLE / 100000000.0) / n))" +
-      " / (((sxx::DOUBLE / 100000000.0) / n) - " +
+    // CASE guard: DuckDB's 0/0 is NULL, not NaN — the zero-variance
+    // corner must produce NaN to match the Spark driver math (q251's fix)
+    val varx = "(((sxx::DOUBLE / 100000000.0) / n) - " +
       "((sx::DOUBLE / 100000000.0) / n) * ((sx::DOUBLE / 100000000.0) / n))"
+    val slope = s"(CASE WHEN $varx = 0 THEN 'NaN'::DOUBLE ELSE " +
+      "(((sxy::DOUBLE / 100000000.0) / n) - " +
+      "((sx::DOUBLE / 100000000.0) / n) * ((sy::DOUBLE / 100000000.0) / n))" +
+      s" / $varx END)"
     s"""WITH f AS (SELECT source, len(ws)::DOUBLE * 0.01 AS x,
        |    len(list_distinct(ws))::DOUBLE / len(ws) AS yv
        |  FROM (SELECT source, $ws AS ws FROM documents) WHERE len(ws) >= 1),

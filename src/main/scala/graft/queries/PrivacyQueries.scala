@@ -143,7 +143,7 @@ object PrivacyQueries {
        |  FROM documents GROUP BY lang, source),
        |crel AS (SELECT lang, n,
        |    greatest(n + (${dpNoiseSql(
-              dpDrawSql("concat(lang, '|', source)"))})::BIGINT, 0)
+              dpDrawSql("concat_ws('|', lang, source)"))})::BIGINT, 0)
        |      AS cell_rel
        |  FROM cells),
        |rollup AS (SELECT lang, count(*)::BIGINT AS n_cells,
@@ -151,9 +151,9 @@ object PrivacyQueries {
        |  FROM crel GROUP BY lang)
        |SELECT lang, n_cells, sum_cells,
        |  greatest(n_true + (${dpNoiseSql(
-            dpDrawSql("concat(lang, '|TOTAL')"))})::BIGINT, 0) AS total_rel,
+            dpDrawSql("concat_ws('|', lang, 'TOTAL')"))})::BIGINT, 0) AS total_rel,
        |  abs(sum_cells - greatest(n_true + (${dpNoiseSql(
-            dpDrawSql("concat(lang, '|TOTAL')"))})::BIGINT, 0))::BIGINT
+            dpDrawSql("concat_ws('|', lang, 'TOTAL')"))})::BIGINT, 0))::BIGINT
        |    AS l1_gap
        |FROM rollup ORDER BY lang""".stripMargin
 

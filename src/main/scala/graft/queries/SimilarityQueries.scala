@@ -1037,8 +1037,13 @@ object SimilarityQueries {
        |    count(*)::BIGINT AS n
        |  FROM x GROUP BY d),
        |sc AS (SELECT vec_id, CAST(sum(CAST(
-       |    (x.xi::DOUBLE - st.sx::DOUBLE / st.n) * (x.xi::DOUBLE - st.sx::DOUBLE / st.n)
-       |      / (st.sxx::DOUBLE / st.n - (st.sx::DOUBLE / st.n) * (st.sx::DOUBLE / st.n))
+       |    CASE WHEN (st.sxx::DOUBLE / st.n
+       |        - (st.sx::DOUBLE / st.n) * (st.sx::DOUBLE / st.n)) > 0
+       |      THEN (x.xi::DOUBLE - st.sx::DOUBLE / st.n)
+       |        * (x.xi::DOUBLE - st.sx::DOUBLE / st.n)
+       |        / (st.sxx::DOUBLE / st.n
+       |          - (st.sx::DOUBLE / st.n) * (st.sx::DOUBLE / st.n))
+       |      ELSE 0 END
        |    AS DECIMAL(28,6))) AS DOUBLE) AS score0
        |  FROM x JOIN st USING (d) GROUP BY vec_id)
        |SELECT vec_id, ${DuckSql.roundpSql("score0", 4)} AS score

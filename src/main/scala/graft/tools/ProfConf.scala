@@ -22,10 +22,9 @@ object ProfConf {
         .config("spark.sql.adaptive.enabled", "false")
       case "p8" => b.config("spark.sql.shuffle.partitions", "8")
         .config("spark.sql.adaptive.enabled", "true")
-      case "lcd" => b.config("spark.sql.shuffle.partitions", "32")
+      case "sizefirst" => b.config("spark.sql.shuffle.partitions", "32")
         .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.localShuffleReader.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "16m")
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       case _ => b.config("spark.sql.shuffle.partitions", "32")
         .config("spark.sql.adaptive.enabled", "true")
     }).getOrCreate()
