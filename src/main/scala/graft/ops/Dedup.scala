@@ -623,13 +623,19 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, a: String, b: String,
                           maxIter: Int = 25): DataFrame = {
     // both edge directions from ONE pass over the pair plan (a union of
-    // two selects would evaluate the upstream pair generator twice)
+    // two selects would evaluate the upstream pair generator twice);
+    // cached hash-partitioned on dst — the key every round's
+    // neighbor-label join uses — so when labels outgrow a broadcast (the
+    // 100 TB regime) the per-round join reuses the cached layout instead
+    // of re-shuffling the edges every round (the PageRank edge-cache
+    // discipline)
     val edges = ScratchCache.register(
       pairs.select(explode(array(
           struct(col(a).cast("long").as("src"), col(b).cast("long").as("dst")),
           struct(col(b).cast("long").as("src"), col(a).cast("long").as("dst"))))
           .as("e"))
         .select(col("e.src").as("src"), col("e.dst").as("dst"))
+        .repartition(col("dst"))
         .persist())
     // seed = round 1: label(id) = min(id, all neighbors) in one shuffle
     // (edges carry both directions, so min(least(src,dst)) grouped by src

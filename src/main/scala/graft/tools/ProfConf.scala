@@ -25,6 +25,9 @@ object ProfConf {
       case "sizefirst" => b.config("spark.sql.shuffle.partitions", "32")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      case "bc64" => b.config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
       case _ => b.config("spark.sql.shuffle.partitions", "32")
         .config("spark.sql.adaptive.enabled", "true")
     }).getOrCreate()
