@@ -155,7 +155,7 @@ object Dedup {
           inv1.join(sizes, "doc_id").select(col("doc_id"), col("n"), col("s"))
         }
       case None => preSizedInv(sets0)
-    }).repartition(col("s")).cache()) // self-joined: materialize the postings once, pre-partitioned
+    }).transform(FanOut.byKey(_, col("s"))).cache()) // self-joined: materialize the postings once, pre-partitioned
     // fill the postings cache now (the self-join's first side would anyway)
     // so the upstream frames can be released before the heavy join runs
     inv.count()
@@ -269,7 +269,14 @@ object Dedup {
     // session jobs).
     val bands = ScratchCache.register(
       bandKeys(signatures(sets, nHashes), nHashes, rowsPerBand)
-        .repartition(col("key")).persist())
+        .transform(FanOut.byKey(_, col("key"))).persist())
+    // fill NOW (the inv.count() discipline): an unfilled cache plans as
+    // UnknownPartitioning (its AdaptiveSparkPlan has no final plan yet),
+    // which re-inserts both self-join exchanges; a filled one reports
+    // HashPartitioning(key, N) and the join reuses it on both sides.
+    // The fill also materializes the upstream sets cache, whose own
+    // doc_id partitioning the verify joins reuse the same way.
+    bands.count()
     // SHUFFLE_HASH: long-key self-join, no point sorting
     bands.as("a").join(bands.as("b").hint("SHUFFLE_HASH"),
         col("a.key") === col("b.key") && col("a.doc_id") < col("b.doc_id"))
@@ -293,7 +300,8 @@ object Dedup {
   def minhashFidelity(df: DataFrame, id: String, text: String, k: Int,
                       threshold: Double, nHashes: Int = 64,
                       rowsPerBand: Int = 2): DataFrame = {
-    val sets = ScratchCache.register(shingleSets(df, id, text, k).persist())
+    val sets = ScratchCache.register(
+      FanOut.byKey(shingleSets(df, id, text, k), col("doc_id")).persist())
     val verified = verifyJaccard(
       minhashCandidatesFromSets(sets, nHashes, rowsPerBand), sets, threshold)
     val sig = signatures(sets, nHashes)
@@ -327,7 +335,8 @@ object Dedup {
                         threshold: Double, nHashes: Int = 64,
                         rowsPerBand: Int = 2,
                         bandCounts: Seq[Int] = Seq(8, 16, 32)): DataFrame = {
-    val sets = ScratchCache.register(shingleSets(df, id, text, k).persist())
+    val sets = ScratchCache.register(
+      FanOut.byKey(shingleSets(df, id, text, k), col("doc_id")).persist())
     val nBands = nHashes / rowsPerBand
     // band frame cached pre-partitioned on the join key (not the signature
     // frame + per-side re-explode): self-join reuses the partitioning on
@@ -337,7 +346,8 @@ object Dedup {
         posexplode(array((0 until nBands).map(b =>
           xxhash64(lit(b), slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))): _*))
           .as(Seq("b", "key")))
-      .repartition(col("key")).persist())
+      .transform(FanOut.byKey(_, col("key"))).persist())
+    bands.count() // fill: expose HashPartitioning to the self-join planner
     val cand = bands.as("a").join(bands.as("b").hint("SHUFFLE_HASH"),
         col("a.key") === col("b.key") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
@@ -370,7 +380,8 @@ object Dedup {
                         assumeDistinct: Boolean = false): DataFrame = {
     if (assumeDistinct) {
       // ONE tokenize+shingle pass serves candidates AND verification
-      val sets = ScratchCache.register(shingleSets(df, id, text, k).persist())
+      val sets = ScratchCache.register(
+      FanOut.byKey(shingleSets(df, id, text, k), col("doc_id")).persist())
       return verifyJaccard(
         minhashCandidatesFromSets(sets, nHashes, rowsPerBand), sets, threshold)
     }
@@ -385,7 +396,7 @@ object Dedup {
     // ONE tokenize+shingle pass serves candidates AND exact verification
     val sets = ScratchCache.register(shingleSets(
       grouped.select(col("_gid").as("doc_id"), col("_t").as("_text")),
-      "doc_id", "_text", k).persist())
+      "doc_id", "_text", k).transform(FanOut.byKey(_, col("doc_id"))).persist())
     val gp = verifyJaccard(minhashCandidatesFromSets(sets, nHashes, rowsPerBand),
       sets, threshold)
     val cross = expandMemberPairs(gp, members, "jac")
@@ -564,6 +575,7 @@ object Dedup {
       df.select(col(id).as("doc_id"), isNew.as("__new"),
           graft.functions.ShingleExpressions.wordShingles(col(text), k).as("shingles"))
         .filter(col("shingles").isNotNull)
+        .transform(FanOut.byKey(_, col("doc_id")))
         .persist())
     // both candidate-join sides read the band frame: persist so the
     // signature pipeline runs once (same guarantee as the full form)
@@ -635,7 +647,7 @@ object Dedup {
           struct(col(b).cast("long").as("src"), col(a).cast("long").as("dst"))))
           .as("e"))
         .select(col("e.src").as("src"), col("e.dst").as("dst"))
-        .repartition(col("dst"))
+        .transform(FanOut.byKey(_, col("dst")))
         .persist())
     // seed = round 1: label(id) = min(id, all neighbors) in one shuffle
     // (edges carry both directions, so min(least(src,dst)) grouped by src
@@ -813,7 +825,8 @@ object Dedup {
         .as("bk"))
       .select(col("doc_id"), col("simhash"),
         col("bk.band").as("band"), col("bk.key").as("key"))
-      .repartition(col("band"), col("key")).persist())
+      .transform(FanOut.byKey(_, col("band"), col("key"))).persist())
+    bands.count() // fill: expose HashPartitioning to the self-join planner
     // hamming is per-pair constant, so verify BEFORE the dedupe: only
     // surviving near-dups enter the distinct, and the shuffle carries one
     // packed long + the distance instead of two ids + two fingerprints

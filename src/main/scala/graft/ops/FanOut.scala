@@ -24,6 +24,18 @@ object FanOut {
   val ConfKey = "graft.fanout.maxInputBytes"
   val DefaultMaxInputBytes: Long = 256L << 20
 
+  /** Hash-repartition on `cols` with an EXPLICIT partition count (the
+    * session's numShufflePartitions — scale-adaptive via conf, never a
+    * constant). Used below every cache a key-equi self-join reads: a
+    * keyless-count `repartition(col)` may be AQE-coalesced inside the
+    * cached plan, which erases the HashPartitioning the downstream join
+    * needs to skip its exchanges; an explicit count is left alone by AQE,
+    * so InMemoryTableScan reports HashPartitioning(cols, N) and the join
+    * reuses it on both sides. */
+  def byKey(df: DataFrame, cols: org.apache.spark.sql.Column*): DataFrame =
+    df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions,
+      cols: _*)
+
   def cpu(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     val maxBytes = spark.conf.getOption(ConfKey).map(_.toLong)

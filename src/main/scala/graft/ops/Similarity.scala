@@ -324,7 +324,7 @@ object Similarity {
         graft.functions.NearestCentroid.nearest(col(vec), cents).as("_nc"))
       .select(col("_id"), col("_v"), col("_n"),
         col("_nc.cell").as("_cell"), col("_nc.angle").as("_ang"))
-      .repartition(col("_cell")).persist())
+      .transform(FanOut.byKey(_, col("_cell"))).persist())
     val radii = assigned.groupBy("_cell").agg(max(col("_ang")).as("r"))
       .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
     val bound = math.acos(math.max(-1.0, math.min(1.0, threshold - 1e-6))) + 1e-3

@@ -602,7 +602,8 @@ object DedupQueries {
     // frame twice (and the broadcast anti-join runs once, not per side)
     val w = graft.ops.ScratchCache.register(
       fp.join(broadcast(hot), Seq("h"), "left_anti")
-        .repartition($"h").persist())
+        .transform(graft.ops.FanOut.byKey(_, $"h")).persist())
+    w.count() // fill: expose HashPartitioning to the self-join planner
     w.as("a").join(w.as("b").hint("SHUFFLE_HASH"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
