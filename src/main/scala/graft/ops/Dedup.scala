@@ -633,51 +633,99 @@ object Dedup {
     * near-dup case: every component a clique around one survivor)
     * converge with a single loop pass. */
   def connectedComponents(pairs: DataFrame, a: String, b: String,
-                          maxIter: Int = 25): DataFrame = {
+                          maxIter: Int = 25): DataFrame =
+    connectedComponentsWithBounds(pairs, a, b, maxIter, -1L)
+
+  /** Test seam: `labelBroadcastMax` overrides the session's
+    * autoBroadcastJoinThreshold as the labels-fit-a-broadcast bound (-1 =
+    * use the session conf), so a unit test can force the scale regime
+    * (dst-partitioned edge cache + pointer jump) on a fixture small enough
+    * to assert on. Production callers go through [[connectedComponents]]. */
+  private[graft] def connectedComponentsWithBounds(
+      pairs: DataFrame, a: String, b: String,
+      maxIter: Int, labelBroadcastMax: Long): DataFrame = {
     // both edge directions from ONE pass over the pair plan (a union of
-    // two selects would evaluate the upstream pair generator twice);
-    // cached hash-partitioned on dst — the key every round's
-    // neighbor-label join uses — so when labels outgrow a broadcast (the
-    // 100 TB regime) the per-round join reuses the cached layout instead
-    // of re-shuffling the edges every round (the PageRank edge-cache
-    // discipline)
-    val edges = ScratchCache.register(
+    // two selects would evaluate the upstream pair generator twice).
+    // Cached UNPARTITIONED: in the common regime (labels fit a broadcast
+    // — every bench SF, and any corpus whose near-dup graph converges at
+    // the seed) the per-round neighbor join broadcasts labels and never
+    // shuffles the edges, so a dst repartition before the fill would be a
+    // pure extra exchange (measured r15: q133 5.9→9.7 s, q128 6.7→10.0 s
+    // from exactly that). The scale regime re-caches on dst below, gated
+    // on the OBSERVED label count — never speculatively.
+    val edges0 = ScratchCache.register(
       pairs.select(explode(array(
           struct(col(a).cast("long").as("src"), col(b).cast("long").as("dst")),
           struct(col(b).cast("long").as("src"), col(a).cast("long").as("dst"))))
           .as("e"))
         .select(col("e.src").as("src"), col("e.dst").as("dst"))
-        .transform(FanOut.byKey(_, col("dst")))
         .persist())
+    var edges = edges0
     // seed = round 1: label(id) = min(id, all neighbors) in one shuffle
     // (edges carry both directions, so min(least(src,dst)) grouped by src
     // IS the first propagation step)
     var labels = edges.groupBy(col("src").as("id"))
       .agg(min(least(col("src"), col("dst"))).as("label"))
       .persist()
+    // Plan view each round BUILDS on. Round 0 uses the seed plan directly
+    // (the common single-round case keeps the r14 plan shape exactly);
+    // later rounds use a LINEAGE-CUT view of the materialized generation
+    // (LogicalRDD over the persisted rows) — without the cut, each round's
+    // logical plan embeds the previous round's 3-4 times (own + neighbor +
+    // jump sides), so analysis cost and plan strings grow as 4^rounds and
+    // a ~10-round chain OOMs the driver before any data moves. The cut
+    // costs one Row conversion per round read and only exists off the
+    // seed-convergent fast path.
+    var labelsView = labels
     var it = 0
+    var nLabels = -1L
     var converged = false
     while (!converged && it < maxIter) {
+      // SCALE GATE, decided by round 0's own materialization (zero extra
+      // jobs): round 0 IS the r14 plan — star/clique components (the
+      // near-dup common case) converge there and never reach this block.
+      // A round-0 non-convergence means real chains; from round 1 on,
+      // (a) when the label table (nLabels rows of two longs) outgrows a
+      // broadcast, the per-round join would shuffle the edges EVERY round
+      // — re-cache them hash-partitioned on dst once (one pass over the
+      // already-cached edges) so the join reuses the cached layout (the
+      // PageRank edge-cache discipline);
+      if (it == 1) {
+        val bcMax =
+          if (labelBroadcastMax >= 0L) labelBroadcastMax
+          else pairs.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+        if (bcMax >= 0L && nLabels * 16L > bcMax) {
+          val e = ScratchCache.register(
+            FanOut.byKey(edges0, col("dst")).persist())
+          e.count() // fill from the cached unpartitioned edges, then drop them
+          edges0.unpersist()
+          edges = e
+        }
+      }
       val obs = org.apache.spark.sql.Observation(s"cc_round_$it")
-      val own = labels.select(col("id"), col("label"), lit(true).as("own"))
-      val nbr = edges.join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
+      val own = labelsView.select(col("id"), col("label"), lit(true).as("own"))
+      val nbr = edges.join(labelsView.withColumnRenamed("id", "dst"), Seq("dst"))
         .select(col("src").as("id"), col("label"), lit(false).as("own"))
-      // POINTER-JUMP SHORTCUT: each id also adopts its label's label
-      // (labels form a monotone forest — label(id) ≤ id and both are in
-      // id's component, so label(label(id)) is too). Propagation alone
-      // needs O(diameter) rounds on a chain; adding the jump doubles the
-      // covered distance per round, so convergence is O(log diameter).
-      // The sf0.1 near-dup graph converges at the seed either way (star
-      // components) — the jump is the adversarial-chain hedge, and its
-      // labels⋈labels join (≤ |paired docs| rows) is dwarfed by the
-      // edges join it rides with.
-      val jump = labels.select(col("id"), col("label").as("_l"))
-        .join(labels.select(col("id").as("_l"), col("label").as("_ll")),
-          Seq("_l"))
-        .select(col("id"), col("_ll").as("label"), lit(false).as("own"))
+      // (b) POINTER-JUMP SHORTCUT, same gate: each id also adopts its
+      // label's label (labels form a monotone forest — label(id) ≤ id and
+      // both are in id's component, so label(label(id)) is too).
+      // Propagation alone needs O(diameter) rounds on a chain; the jump
+      // doubles covered distance per round, so convergence is
+      // O(log diameter). Deferring it to round 1 costs nothing
+      // asymptotically and keeps the seed-convergent case (every bench
+      // query) free of the labels⋈labels join r15 paid per round.
+      val withJump =
+        if (it == 0) own.union(nbr)
+        else {
+          val jump = labelsView.select(col("id"), col("label").as("_l"))
+            .join(labelsView.select(col("id").as("_l"), col("label").as("_ll")),
+              Seq("_l"))
+            .select(col("id"), col("_ll").as("label"), lit(false).as("own"))
+          own.union(nbr).union(jump)
+        }
       // the old label rides the aggregation (each id has exactly ONE own
       // row), so "did anything change" is measured inside the same pass
-      val next = own.union(nbr).union(jump)
+      val next = withJump
         .groupBy(col("id"))
         .agg(min(col("label")).as("label"),
           max(when(col("own"), col("label"))).as("__old"))
@@ -686,9 +734,12 @@ object Dedup {
             lit(0L)).as("changed"))
         .select(col("id"), col("label"))
         .persist()
-      next.count()       // the ONE action: materializes next + the metric
-      labels.unpersist() // superseded generation frees NOW
+      nLabels = next.count() // the ONE action: materializes next + the metric
+      labels.unpersist()     // superseded generation frees NOW
       labels = next
+      // lineage cut (see labelsView note above): rounds > 0 build on the
+      // materialized rows, not the nested logical plan
+      labelsView = next.sparkSession.createDataFrame(next.rdd, next.schema)
       converged = obs.get("changed").asInstanceOf[Long] == 0L
       it += 1
     }

@@ -553,6 +553,22 @@ class DedupSpec extends AnyFunSuite with SparkSpecBase {
     graft.ops.ScratchCache.releaseAll()
   }
 
+  test("connectedComponents scale regime: dst-partitioned edges + pointer jump " +
+      "converge a long chain in O(log diameter) rounds") {
+    // labelBroadcastMax = 0 forces the round-1 gate: edges re-cached
+    // hash-partitioned on dst AND the pointer jump engaged — the regime a
+    // 100 TB label table (too big to broadcast) would select. A 64-node
+    // chain (diameter 63) cannot converge in 25 rounds by propagation
+    // alone (needs 62); the jump must carry it, and labels must still be
+    // exact min-ids.
+    val chain = (1L to 63L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponentsWithBounds(chain, "id_a", "id_b",
+        maxIter = 25, labelBroadcastMax = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == 64 && got.forall(_._2 == 1L))
+    graft.ops.ScratchCache.releaseAll()
+  }
+
   test("blockLocalComponents == iterative connectedComponents on blocked graphs") {
     // random block-confined edges (ids namespaced per block so blocks are
     // disjoint) — the union-find path must agree with label propagation
