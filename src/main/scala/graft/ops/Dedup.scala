@@ -254,6 +254,74 @@ object Dedup {
       .select(col("id_a"), col("id_b"), roundp(jac, 6).as("jac"))
   }
 
+  /** Hot-band guard for the LSH band self-joins (guide §2.5 skew). The
+    * band caches are pinned HashPartitioning(key) so the self-joins plan
+    * with ZERO exchanges — which also removes the exchanges AQE's skew
+    * split would need: one viral band bucket (near-identical boilerplate
+    * cluster) of g rows lands g²/2 candidate generation in a SINGLE task
+    * with no rescue. Buckets above this cap run through a salted join
+    * instead (the maxDf-discipline analogue for buckets that cannot be
+    * DROPPED: a df-cap may shrink the comparison universe, but dropping
+    * an LSH candidate would break the pairs-above-threshold contract, so
+    * the guard reshapes the layout and keeps the row multiset identical).
+    * Conf-overridable; 8192² /2 ≈ 33M candidate rows is a seconds-scale
+    * task, far above any bench-SF bucket (≤ |docs| = 5000 at sf0.1), so
+    * the cold path — the exact pre-guard plan — is what every bench and
+    * oracle run executes. */
+  val HotBandCapKey = "graft.lsh.hotBandCap"
+  val DefaultHotBandCap = 8192L
+
+  /** Skew-guarded candidate SELF-join over a cached band frame: pairs of
+    * rows sharing `keys` with a.doc_id < b.doc_id, `sel` projecting from
+    * the joined (a, b) aliases. `bands` must already be persisted and
+    * hash-partitioned on `keys` (FanOut.byKey). The cache fill runs HERE
+    * as a per-key count aggregation — ONE action like the plain `.count()`
+    * fill it replaces (the aggregation reuses the cached partitioning, so
+    * no new exchange), and its max bucket size picks the regime:
+    *  - every bucket ≤ hotCap: EXACTLY the plain self-join — same plan,
+    *    same jobs, zero overhead;
+    *  - else: over-cap keys split out (broadcast semi/anti — the cold
+    *    sliver keeps the cached partitioning and the plain join); hot
+    *    rows join salted — side a carries salt = xxhash64(doc_id) mod s,
+    *    side b replicates s×, both explicitly repartitioned on
+    *    (keys, salt) so a hot bucket spreads over s tasks. Each qualifying
+    *    pair meets exactly once (on a's salt), so the output multiset is
+    *    identical to the plain join — DedupSpec pins this. */
+  private def bandSelfJoinSkewGuarded(bands: DataFrame, keys: Seq[String])
+                                     (sel: DataFrame => DataFrame): DataFrame = {
+    val spark = bands.sparkSession
+    val hotCap = spark.conf.getOption(HotBandCapKey).map(_.toLong)
+      .getOrElse(DefaultHotBandCap)
+    val eq = (keys.map(k => col(s"a.$k") === col(s"b.$k")) :+
+      (col("a.doc_id") < col("b.doc_id"))).reduce(_ && _)
+    val counts = bands.groupBy(keys.map(col): _*).count()
+    val maxRow = counts.agg(max(col("count"))).head() // fill + max, one action
+    val maxBucket = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
+    if (maxBucket <= hotCap)
+      return sel(bands.as("a").join(bands.as("b").hint("SHUFFLE_HASH"), eq))
+    val hotKeys = broadcast(
+      counts.filter(col("count") > hotCap).select(keys.map(col): _*))
+    val cold = bands.join(hotKeys, keys, "left_anti")
+    val hot = bands.join(hotKeys, keys, "left_semi")
+    // linear salt count: bounds the per-task BUILD side at ~hotCap rows;
+    // per-task probe work is g·hotCap — a bucket so hot that even that
+    // staggers is emitting O(g²) candidates and is mis-parameterized
+    // upstream (raise rowsPerBand / tighten the collapse), not a layout
+    // problem this guard can absorb
+    val salts = math.min(64L, (maxBucket + hotCap - 1L) / hotCap).toInt
+    val aS = FanOut.byKey(
+      hot.withColumn("_salt",
+        pmod(xxhash64(col("doc_id")), lit(salts.toLong))),
+      (keys :+ "_salt").map(col): _*)
+    val bS = FanOut.byKey(
+      hot.withColumn("_salt",
+        explode(array((0 until salts).map(i => lit(i.toLong)): _*))),
+      (keys :+ "_salt").map(col): _*)
+    sel(cold.as("a").join(cold.as("b").hint("SHUFFLE_HASH"), eq))
+      .unionByName(sel(aS.as("a").join(bS.as("b").hint("SHUFFLE_HASH"),
+        eq && col("a._salt") === col("b._salt"))))
+  }
+
   /** Candidates from an ALREADY-SHINGLED (doc_id, shingles) table — lets a
     * caller that also needs the string sets (exact verification) pay the
     * tokenize+shingle pass once. */
@@ -270,17 +338,16 @@ object Dedup {
     val bands = ScratchCache.register(
       bandKeys(signatures(sets, nHashes), nHashes, rowsPerBand)
         .transform(FanOut.byKey(_, col("key"))).persist())
-    // fill NOW (the inv.count() discipline): an unfilled cache plans as
-    // UnknownPartitioning (its AdaptiveSparkPlan has no final plan yet),
-    // which re-inserts both self-join exchanges; a filled one reports
-    // HashPartitioning(key, N) and the join reuses it on both sides.
-    // The fill also materializes the upstream sets cache, whose own
-    // doc_id partitioning the verify joins reuse the same way.
-    bands.count()
-    // SHUFFLE_HASH: long-key self-join, no point sorting
-    bands.as("a").join(bands.as("b").hint("SHUFFLE_HASH"),
-        col("a.key") === col("b.key") && col("a.doc_id") < col("b.doc_id"))
-      .select(PackedPair.pack(col("a.doc_id"), col("b.doc_id")).as("pair"))
+    // the skew-guarded join runs the eager fill (the inv.count()
+    // discipline): an unfilled cache plans as UnknownPartitioning (its
+    // AdaptiveSparkPlan has no final plan yet), which re-inserts both
+    // self-join exchanges; a filled one reports HashPartitioning(key, N)
+    // and the join reuses it on both sides. The fill also materializes
+    // the upstream sets cache, whose own doc_id partitioning the verify
+    // joins reuse the same way. SHUFFLE_HASH inside: long-key self-join,
+    // no point sorting.
+    bandSelfJoinSkewGuarded(bands, Seq("key"))(
+      _.select(PackedPair.pack(col("a.doc_id"), col("b.doc_id")).as("pair")))
       .distinct() // one long per pair for the dedupe shuffle
       .select(PackedPair.idA(col("pair")).as("id_a"),
         PackedPair.idB(col("pair")).as("id_b"))
@@ -347,11 +414,13 @@ object Dedup {
           xxhash64(lit(b), slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))): _*))
           .as(Seq("b", "key")))
       .transform(FanOut.byKey(_, col("key"))).persist())
-    bands.count() // fill: expose HashPartitioning to the self-join planner
-    val cand = bands.as("a").join(bands.as("b").hint("SHUFFLE_HASH"),
-        col("a.key") === col("b.key") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .agg(min(col("a.b")).as("min_band"))
+    // skew-guarded join runs the fill (expose HashPartitioning; hot-band
+    // salting at scale — see bandSelfJoinSkewGuarded)
+    val cand = bandSelfJoinSkewGuarded(bands, Seq("key"))(
+      _.select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.b").as("ab")))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(min(col("ab")).as("min_band"))
     val withJac = ScratchCache.register(
       verifyJaccard(cand.select(col("id_a"), col("id_b")), sets, 0.0)
         .join(cand, Seq("id_a", "id_b"))
@@ -877,20 +946,18 @@ object Dedup {
       .select(col("doc_id"), col("simhash"),
         col("bk.band").as("band"), col("bk.key").as("key"))
       .transform(FanOut.byKey(_, col("band"), col("key"))).persist())
-    bands.count() // fill: expose HashPartitioning to the self-join planner
-    // hamming is per-pair constant, so verify BEFORE the dedupe: only
-    // surviving near-dups enter the distinct, and the shuffle carries one
-    // packed long + the distance instead of two ids + two fingerprints
-    val gp = bands.as("a").join(bands.as("b").hint("SHUFFLE_HASH"),
-        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(
+    // skew-guarded join runs the fill (expose HashPartitioning; hot-band
+    // salting at scale — see bandSelfJoinSkewGuarded). hamming is per-pair
+    // constant, so verify BEFORE the dedupe: only surviving near-dups
+    // enter the distinct, and the shuffle carries one packed long + the
+    // distance instead of two ids + two fingerprints
+    bandSelfJoinSkewGuarded(bands, Seq("band", "key"))(
+      _.select(
         PackedPair.pack(col("a.doc_id"), col("b.doc_id")).as("pair"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
           .cast("bigint").as("hamming"))
-      .filter(col("hamming") <= maxHamming)
+        .filter(col("hamming") <= maxHamming))
       .distinct()
-    gp
   }
 
   /** Exact-substring overlap pairs: documents sharing ≥1 identical

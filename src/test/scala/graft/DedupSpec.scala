@@ -553,6 +553,31 @@ class DedupSpec extends AnyFunSuite with SparkSpecBase {
     graft.ops.ScratchCache.releaseAll()
   }
 
+  test("hot-band skew guard: salted self-join output == plain join (forced low cap)") {
+    // cap 2 marks most fixture band buckets hot, forcing the salted path
+    // (side-a salt + side-b replication + explicit (key, salt)
+    // repartition) — the pair sets must be EXACTLY the default-cap plan's
+    // (which this fixture runs entirely cold), for minhash and simhash
+    val plainMh = Dedup.minhashDedupPairs(dupDocs, "doc_id", "text", 3, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val plainSh = Dedup.simhashPairs(dupDocs, "doc_id", "text", 3, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    graft.ops.ScratchCache.releaseAll()
+    spark.conf.set(Dedup.HotBandCapKey, "2")
+    try {
+      val saltedMh = Dedup.minhashDedupPairs(dupDocs, "doc_id", "text", 3, 0.8)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val saltedSh = Dedup.simhashPairs(dupDocs, "doc_id", "text", 3, 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(saltedMh == plainMh, "salted minhash pairs diverge from plain join")
+      assert(saltedSh == plainSh, "salted simhash pairs diverge from plain join")
+      assert(plainMh.nonEmpty && plainSh.nonEmpty, "fixture produced no pairs")
+    } finally {
+      spark.conf.unset(Dedup.HotBandCapKey)
+      graft.ops.ScratchCache.releaseAll()
+    }
+  }
+
   test("connectedComponents scale regime: dst-partitioned edges + pointer jump " +
       "converge a long chain in O(log diameter) rounds") {
     // labelBroadcastMax = 0 forces the round-1 gate: edges re-cached
