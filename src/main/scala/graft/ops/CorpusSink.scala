@@ -47,6 +47,17 @@ object CorpusSink {
     * data, so `spark.read.parquet(dir)` still sees only the shards. */
   val ManifestDir = "_manifest"
 
+  /** Write-exchange width: ~one task per shard (each task writes whole
+    * shard files — hash partitioning on shard_id never splits one), capped
+    * at 4× the session's shuffle width so a 100 TB sink (millions of
+    * shards) doesn't schedule millions of tiny tasks — past the cap each
+    * task just writes several shard files. Scale-adaptive via conf, never
+    * a constant. */
+  private def shardWriteParts(spark: org.apache.spark.sql.SparkSession,
+                              nShards: Long): Int =
+    math.max(1L, math.min(nShards,
+      4L * spark.sessionState.conf.numShufflePartitions)).toInt
+
   def write(docs: DataFrame, idCol: String, weightCol: String,
             rowHash: Column, budget: Long, dir: String,
             parts: Int): DataFrame = {
@@ -76,8 +87,15 @@ object CorpusSink {
           .select(col(idCol), col("shard_id")),
         Seq(idCol))
       .persist())
+    // one tiny job fills the assignment cache and reads off the shard
+    // count, so the write below can repartition with an EXPLICIT width:
+    // a keyless-count repartition(col) is AQE-coalesced to one partition
+    // at small exchange sizes, and that one task then creates every
+    // shard file serially (measured: the dominant job of the sink)
+    val maxShard = assigned.agg(max(col("shard_id").cast("long"))).head()
+    val nShards = if (maxShard.isNullAt(0)) 0L else maxShard.getLong(0) + 1L
     assigned
-      .repartition(col("shard_id"))
+      .repartition(shardWriteParts(spark, nShards), col("shard_id"))
       .sortWithinPartitions(col("shard_id"), col(idCol))
       .write.mode(SaveMode.Overwrite)
       .partitionBy("shard_id")
@@ -196,9 +214,15 @@ object CorpusSink {
           .select(col(idCol), (col("shard_id") + start).as("shard_id")),
         Seq(idCol))
       .persist())
-    if (assigned.isEmpty) return spark.emptyDataFrame
+    // same action the isEmpty guard cost before, but it also reads off
+    // the batch's shard count so the write exchange gets an explicit
+    // width (see shardWriteParts — an AQE-coalesced keyless repartition
+    // writes every shard file from one task)
+    val maxShard = assigned.agg(max(col("shard_id").cast("long"))).head()
+    if (maxShard.isNullAt(0)) return spark.emptyDataFrame
+    val nShards = maxShard.getLong(0) - start + 1L
     assigned
-      .repartition(col("shard_id"))
+      .repartition(shardWriteParts(spark, nShards), col("shard_id"))
       .sortWithinPartitions(col("shard_id"), col(idCol))
       .write.mode(SaveMode.Append)
       .partitionBy("shard_id")
