@@ -243,6 +243,12 @@ object Dedup {
     * forms so the verification semantics cannot drift. */
   private[ops] def verifyJaccard(cands: DataFrame, sets: DataFrame,
                             threshold: Double): DataFrame = {
+    // SHUFFLE_HASH measured, kept (r16 A/B at sf1, 32 cores, min-of-two
+    // bench pairs): unhinted the pre-AQE plan degrades to SortMergeJoin
+    // over the sets frames and every consumer pays the sort — q28 3.9 →
+    // 10.8 s, q115 6.0 → 14.4 s, q128 7.1 → 19.0 s, q52 8.0 → 15.5 s;
+    // AQE does NOT rescue it (the cached sets side plans under a persist,
+    // where adaptive join re-planning is unavailable to the consumers).
     val withSets = cands
       .join(sets.select(col("doc_id").as("id_a"), col("shingles").as("sa"))
         .hint("SHUFFLE_HASH"), Seq("id_a"))
