@@ -33,12 +33,23 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
   // Whole-stage codegen emits fresh classes for every distinct plan; a
-  // multi-hundred-query run overflows the JVM's default 240 MB code cache,
+  // multi-hundred-query run overflows the JVM default 240 MB code cache,
   // and the resulting sweeper/deopt/recompile storms burn multiple cores
   // and inflate individual queries 3-10x (observed: 261 CPU-s for a pass
   // whose steady state is 31 CPU-s, with C2/Sweeper threads hot). The
   // reservation is virtual memory — committed only as used.
   "-XX:ReservedCodeCacheSize=1g",
+  // G1 humongous-allocation fragmentation is the other measurement
+  // artifact of a multi-hundred-query JVM: dedup/shingle queries allocate
+  // many arrays above half a region, and on an aged heap the resulting
+  // region fragmentation turns into concurrent-GC churn that inflates
+  // whichever heavy query runs mid-bench 2-3x (q109 18.8 s in a full pass
+  // vs 5.9 s isolated — same tree, same data). Measured A/B on the full
+  // 255-query bench, same host, quiet: 8g/G1 290.2 s, 32g/G1 269.5 s,
+  // 8g/G1+32m-regions 261.4 s, 32g/G1+32m 251.3 s, 32g/ParallelGC 265.1 s
+  // (ParallelGC full-GC stalls: q115 18.4 s). Heap is env-overridable for
+  // smaller hosts; both flags change no semantics and no query plan.
+  "-XX:G1HeapRegionSize=32m",
 )
